@@ -1,13 +1,71 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator from SURVEY.md §2 to a
+  * DataFrame program over the harness tables; `oracleSql` carries the
+  * DuckDB-equivalent SQL the driver hash-compares against at sf0.01.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Composed slice (SURVEY §7.2): filter → broadcast dim join → agg →
+    * top-k, the download-citation path shape. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val o   = Tables.orders(spark, dir)
+    val c   = Tables.customer(spark, dir)
+    o.filter(col("o_orderstatus") === "F")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("n_orders").desc, col("c_mktsegment"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map[String, Q](
+    "q1_agg"            -> (Relational.q1Agg _),
+    "q_terms_agg"       -> (Relational.qTermsAgg _),
+    "q_max_watermark"   -> (Relational.qMaxWatermark _),
+    "q_count"           -> (Relational.qCount _),
+    "q_children_counts" -> (Relational.qChildrenCounts _),
+    "q_stats_rollup"    -> (Relational.qStatsRollup _),
+    "q_dup_detect"      -> (Relational.qDupDetect _),
+    "q_join_equi"       -> (Relational.qJoinEqui _),
+    "q_join_broadcast"  -> (Relational.qJoinBroadcast _),
+    "q_semi_join"       -> (Relational.qSemiJoin _),
+    "q_anti_join"       -> (Relational.qAntiJoin _),
+    "q_latest_version"  -> (Relational.qLatestVersion _),
+    "q_identifiers_agg" -> (Relational.qIdentifiersAgg _),
+    "q_sibling_closure" -> (Relational.qSiblingClosure _),
+    "q_paging"          -> (Relational.qPaging _),
+    "q_topk"            -> (Relational.qTopK _),
+    "q_union"           -> (Relational.qUnion _),
+    "q_except"          -> (Relational.qExcept _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg"            -> Relational.q1AggSql,
+    "q_terms_agg"       -> Relational.qTermsAggSql,
+    "q_max_watermark"   -> Relational.qMaxWatermarkSql,
+    "q_count"           -> Relational.qCountSql,
+    "q_children_counts" -> Relational.qChildrenCountsSql,
+    "q_stats_rollup"    -> Relational.qStatsRollupSql,
+    "q_dup_detect"      -> Relational.qDupDetectSql,
+    "q_join_equi"       -> Relational.qJoinEquiSql,
+    "q_join_broadcast"  -> Relational.qJoinBroadcastSql,
+    "q_semi_join"       -> Relational.qSemiJoinSql,
+    "q_anti_join"       -> Relational.qAntiJoinSql,
+    "q_latest_version"  -> Relational.qLatestVersionSql,
+    "q_identifiers_agg" -> Relational.qIdentifiersAggSql,
+    "q_sibling_closure" -> Relational.qSiblingClosureSql,
+    "q_paging"          -> Relational.qPagingSql,
+    "q_topk"            -> Relational.qTopKSql,
+    "q_union"           -> Relational.qUnionSql,
+    "q_except"          -> Relational.qExceptSql,
+  )
 }

@@ -1,0 +1,309 @@
+package graft.queries
+
+import graft.Tables
+import graft.Tables.Money
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator conformance queries (SURVEY.md §2.3-§2.7) expressed
+  * over the harness tables, each paired with an ANSI-SQL DuckDB oracle.
+  *
+  * Determinism rules (so the driver's sorted-column value hash matches):
+  *  - every float aggregate goes through exact decimal and is cast to
+  *    double only at the end;
+  *  - every query has a total ORDER BY;
+  *  - collect_list-style aggs are emitted as sorted strings.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast(Money)
+  /** sum in exact decimal, emit as double (bit-identical to DuckDB). */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  // --- §2.4 aggregations ----------------------------------------------
+
+  /** TPC-H Q1-shaped pricing summary: groupBy + partial-agg-friendly
+    * sums/avgs/counts. Maps the reference's recordset rollups
+    * (idb/stats/collect.py:97-224) onto the harness star schema. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Terms-agg / citation counts: groupBy one key, count, order by count
+    * desc (download.py:99-131, write_citation_file). */
+  def qTermsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+
+  val qTermsAggSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+      |GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority""".stripMargin
+
+  /** Incremental watermark: max(modified) (index_from_postgres.py:71-89). */
+  def qMaxWatermark(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).agg(max(col("o_orderdate")).as("watermark"))
+
+  val qMaxWatermarkSql: String =
+    "SELECT MAX(o_orderdate) AS watermark FROM orders"
+
+  /** Filtered count (db.py:381-385, es.count). */
+  def qCount(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .agg(count(lit(1)).as("n"))
+
+  val qCountSql: String =
+    "SELECT COUNT(*) AS n FROM lineitem WHERE l_returnflag = 'R'"
+
+  /** Children counts pivoted wide: GROUP BY parent,type + pivot
+    * (collect.py:233-249 api_stats). Pivot columns fixed so the plan is
+    * a single pass with conditional aggregation (no second job to
+    * discover pivot values — matters at 100 TB). */
+  def qChildrenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "error", 1)).as("n_error"))
+      .orderBy(col("user_id"))
+
+  val qChildrenCountsSql: String =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Usage-stats rollup: multi-metric groupBy (collect.py:97-224):
+    * count / exact sum / distinct users per (event_type, day). */
+  def qStatsRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("total"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day"), col("event_type"))
+
+  val qStatsRollupSql: String =
+    """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** Duplicate detection by content key (db_check.py:271-297):
+    * groupBy(key).count().filter(>1). */
+  def qDupDetect(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy(col("l_orderkey"))
+
+  val qDupDetectSql: String =
+    """SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+      |GROUP BY l_orderkey HAVING COUNT(*) > 1 ORDER BY l_orderkey""".stripMargin
+
+  // --- §2.3 joins --------------------------------------------------------
+
+  /** Plain equi-join + agg: stats ⋈ queries analog (collect.py:116-119).
+    * customer joins nation (small dim → broadcast). */
+  def qJoinEqui(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  val qJoinEquiSql: String =
+    """SELECT n_name, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Fact-to-dim broadcast join with pushed-down dim filter:
+    * lineitem ⋈ part (data-body join, db.py:75-78 shape). */
+  def qJoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p  = Tables.part(s, dir).filter(col("p_size") > 40)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  val qJoinBroadcastSql: String =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size > 40 GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** has_child semi-join (download.py:407-412): orders that have a
+    * returned lineitem — left_semi keeps only the parent side. */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Set difference / delete propagation (db_check.py:441-454):
+    * customers with no orders — left_anti join. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Latest-version lateral join (db.py:37-44): top-1 per group by
+    * timestamp desc. max_by(struct) avoids the sort a window would
+    * need — single hash-agg pass, no per-partition sort at scale. */
+  def qLatestVersion(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("top"))
+      .select(
+        col("o_custkey"),
+        col("top.o_orderkey").as("latest_orderkey"),
+        col("top.o_orderdate").as("latest_orderdate"))
+      .orderBy(col("o_custkey"))
+
+  val qLatestVersionSql: String =
+    """SELECT o_custkey, o_orderkey AS latest_orderkey,
+      |  o_orderdate AS latest_orderdate
+      |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+      |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  /** Identifiers aggregation join (db.py:50-56 array_agg): emitted as a
+    * sorted joined string so the hash compare is order-stable. */
+  def qIdentifiersAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(concat_ws(",",
+        sort_array(collect_list(col("o_orderkey")))).as("orderkeys"))
+      .orderBy(col("o_custkey"))
+
+  val qIdentifiersAggSql: String =
+    """SELECT o_custkey,
+      |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS orderkeys
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Sibling symmetric closure (db.py:58-73): undirected edges → union of
+    * both directions → degree per node. Edges derived from supplier →
+    * nation containment. */
+  def qSiblingClosure(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("r1"), col("s_nationkey").cast("long").as("r2"))
+    val closure = e.unionAll(e.select(col("r2").as("r1"), col("r1").as("r2")))
+    closure.groupBy(col("r1")).agg(count(lit(1)).as("degree"))
+      .orderBy(col("r1"))
+  }
+
+  val qSiblingClosureSql: String =
+    """WITH e AS (SELECT s_suppkey AS r1, CAST(s_nationkey AS BIGINT) AS r2 FROM supplier),
+      |c AS (SELECT r1, r2 FROM e UNION ALL SELECT r2, r1 FROM e)
+      |SELECT r1, COUNT(*) AS degree FROM c GROUP BY r1 ORDER BY r1""".stripMargin
+
+  // --- §2.6 sorts / limits / paging ---------------------------------------
+
+  /** ORDER BY key LIMIT/OFFSET paging (db.py:357-411). Spark DF API has no
+    * OFFSET: rank window + filter keeps it one shuffle. */
+  def qPaging(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 100 && col("rn") <= 200)
+      .drop("rn")
+      .orderBy(col("c_custkey"))
+  }
+
+  val qPagingSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |ORDER BY c_custkey LIMIT 100 OFFSET 100""".stripMargin
+
+  /** Top-k by count desc (download.py:197 most_common). */
+  def qTopK(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l_partkey"))
+      .limit(10)
+
+  val qTopKSql: String =
+    """SELECT l_partkey, COUNT(*) AS n FROM lineitem
+      |GROUP BY l_partkey ORDER BY n DESC, l_partkey LIMIT 10""".stripMargin
+
+  // --- §2.7 set operations -------------------------------------------------
+
+  /** UNION of two selections (db.py:64-67). */
+  def qUnion(s: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.customer(s, dir).filter(col("c_acctbal") > 9900)
+      .select(col("c_custkey").as("key"), lit("cust_hi").as("src"))
+    val lo = Tables.supplier(s, dir).filter(col("s_acctbal") > 9900)
+      .select(col("s_suppkey").as("key"), lit("supp_hi").as("src"))
+    hi.unionAll(lo).orderBy(col("src"), col("key"))
+  }
+
+  val qUnionSql: String =
+    """SELECT c_custkey AS key, 'cust_hi' AS src FROM customer WHERE c_acctbal > 9900
+      |UNION ALL
+      |SELECT s_suppkey AS key, 'supp_hi' AS src FROM supplier WHERE s_acctbal > 9900
+      |ORDER BY src, key""".stripMargin
+
+  /** EXCEPT: existing − seen ⇒ deletes (db_check.py:441-454). */
+  def qExcept(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val d1 = ev.filter(to_date(col("ts")) === "2024-01-01").select(col("user_id"))
+    val d2 = ev.filter(to_date(col("ts")) === "2024-01-02").select(col("user_id"))
+    d1.except(d2).orderBy(col("user_id"))
+  }
+
+  val qExceptSql: String =
+    """SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+      |ORDER BY user_id""".stripMargin
+}
