@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geo predicates composed entirely from codegen'd built-ins — no UDFs in
+  * the hot path, so they stay inside WholeStageCodegen and push work to
+  * executors unchanged at any scale.
+  *
+  * Semantics follow the reference's Elasticsearch geo filters
+  * (idigbio_workers/lib/query_shim.py:68-90).
+  */
+object GeoFunctions {
+  private val EarthRadiusMeters = 6371008.8 // IUGG mean Earth radius
+
+  /** Great-circle distance in meters (haversine). */
+  def haversineMeters(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2 * EarthRadiusMeters) * asin(sqrt(a))
+  }
+
+  /** geo_distance: within `meters` of (lat, lon). */
+  def withinDistance(latCol: Column, lonCol: Column,
+      lat: Double, lon: Double, meters: Double): Column =
+    haversineMeters(latCol, lonCol, lit(lat), lit(lon)) <= lit(meters)
+
+  /** geo_bounding_box, including the date-line wrap ES handles (west > east
+    * means the box crosses the antimeridian). */
+  def inBoundingBox(latCol: Column, lonCol: Column,
+      topLeftLat: Double, topLeftLon: Double,
+      bottomRightLat: Double, bottomRightLon: Double): Column = {
+    val latOk = latCol <= lit(topLeftLat) && latCol >= lit(bottomRightLat)
+    val lonOk =
+      if (topLeftLon <= bottomRightLon)
+        lonCol >= lit(topLeftLon) && lonCol <= lit(bottomRightLon)
+      else // crosses the antimeridian
+        lonCol >= lit(topLeftLon) || lonCol <= lit(bottomRightLon)
+    latOk && lonOk
+  }
+
+  /** geo_polygon via even-odd ray casting, unrolled per edge at plan time.
+    * The polygon is a per-query constant, so N edges become N codegen'd
+    * boolean terms XOR-folded into a parity bit — distributed, no UDF,
+    * no broadcast needed. Points are (lat, lon). */
+  def inPolygon(latCol: Column, lonCol: Column, points: Seq[(Double, Double)]): Column = {
+    require(points.size >= 3, "polygon needs >= 3 points")
+    val edges = points.zip(points.tail :+ points.head)
+    val crossings = edges.map { case ((yi, xi), (yj, xj)) =>
+      // edge straddles the ray's latitude AND intersection is east of the point
+      val straddles = (lit(yi) > latCol) =!= (lit(yj) > latCol)
+      val intersectLon =
+        lit(xj - xi) * (latCol - lit(yi)) / lit(yj - yi) + lit(xi)
+      straddles && (lonCol < intersectLon)
+    }
+    edges.indices.foldLeft(lit(false)) { (acc, i) => acc =!= crossings(i) }
+  }
+
+  /** The ray-cast predicate as ANSI SQL over `latExpr`/`lonExpr` — used to
+    * generate DuckDB oracle SQL that matches [[inPolygon]] bit-for-bit. */
+  def inPolygonSql(latExpr: String, lonExpr: String,
+      points: Seq[(Double, Double)]): String = {
+    val edges = points.zip(points.tail :+ points.head)
+    edges.map { case ((yi, xi), (yj, xj)) =>
+      s"((($yi > $latExpr) != ($yj > $latExpr)) AND " +
+        s"($lonExpr < ${xj - xi} * ($latExpr - $yi) / ${yj - yi} + $xi))"
+    }.mkString("(", " != ", " != FALSE)")
+  }
+
+  /** Haversine distance in meters as ANSI SQL (oracle twin of
+    * [[withinDistance]]). */
+  def haversineSql(latExpr: String, lonExpr: String, lat: Double, lon: Double): String =
+    s"2 * $EarthRadiusMeters * asin(sqrt(" +
+      s"pow(sin(radians($latExpr - ($lat)) / 2), 2) + " +
+      s"cos(radians($lat)) * cos(radians($latExpr)) * " +
+      s"pow(sin(radians($lonExpr - ($lon)) / 2), 2)))"
+}
