@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.Relational
+import graft.queries.{DslQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -46,6 +46,18 @@ object SparkEntry {
     "q_topk"            -> (Relational.qTopK _),
     "q_union"           -> (Relational.qUnion _),
     "q_except"          -> (Relational.qExcept _),
+    // iDigBio Query Format DSL, end-to-end (SURVEY §2.2)
+    "q_dsl_term"           -> (DslQueries.qDslTerm _),
+    "q_dsl_terms"          -> (DslQueries.qDslTerms _),
+    "q_dsl_range"          -> (DslQueries.qDslRange _),
+    "q_dsl_prefix"         -> (DslQueries.qDslPrefix _),
+    "q_dsl_exists_missing" -> (DslQueries.qDslExistsMissing _),
+    "q_dsl_fulltext"       -> (DslQueries.qDslFulltext _),
+    "q_dsl_compound"       -> (DslQueries.qDslCompound _),
+    "q_dsl_geo_distance"   -> (DslQueries.qDslGeoDistance _),
+    "q_dsl_geo_bbox"       -> (DslQueries.qDslGeoBbox _),
+    "q_dsl_geo_polygon"    -> (DslQueries.qDslGeoPolygon _),
+    "q_dsl_geo_shape"      -> (DslQueries.qDslGeoShape _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -67,5 +79,16 @@ object SparkEntry {
     "q_topk"            -> Relational.qTopKSql,
     "q_union"           -> Relational.qUnionSql,
     "q_except"          -> Relational.qExceptSql,
+    "q_dsl_term"           -> DslQueries.qDslTermSql,
+    "q_dsl_terms"          -> DslQueries.qDslTermsSql,
+    "q_dsl_range"          -> DslQueries.qDslRangeSql,
+    "q_dsl_prefix"         -> DslQueries.qDslPrefixSql,
+    "q_dsl_exists_missing" -> DslQueries.qDslExistsMissingSql,
+    "q_dsl_fulltext"       -> DslQueries.qDslFulltextSql,
+    "q_dsl_compound"       -> DslQueries.qDslCompoundSql,
+    "q_dsl_geo_distance"   -> DslQueries.qDslGeoDistanceSql,
+    "q_dsl_geo_bbox"       -> DslQueries.qDslGeoBboxSql,
+    "q_dsl_geo_polygon"    -> DslQueries.qDslGeoPolygonSql,
+    "q_dsl_geo_shape"      -> DslQueries.qDslGeoShapeSql,
   )
 }

@@ -40,6 +40,28 @@ final case class GeoDistance(field: String,
 final case class GeoPolygon(field: String,
     points: Seq[(Double, Double)])                           extends Predicate
 
+/** GeoJSON-ish geometry for geo_shape queries. Coordinates use GeoJSON
+  * (lon, lat) order, unlike the other geo predicates.
+  *
+  * NOTE: the reference's translator (query_shim.py:85-86) wraps the shape
+  * as `typeWrapper(k, "geo_shape", {"shape": shimK})`, whose
+  * `del qd["type"]` raises KeyError on the wrapped dict, which
+  * `singleFilter`'s blanket except swallows — so geo_shape queries
+  * silently drop the filter in the reference. We implement the intended
+  * semantics instead (documented divergence).
+  */
+sealed trait ShapeGeom
+object ShapeGeom {
+  /** Outer ring, (lon, lat) GeoJSON order; closing point optional. */
+  final case class Polygon(ring: Seq[(Double, Double)])               extends ShapeGeom
+  /** ES envelope: [[minLon, maxLat], [maxLon, minLat]]. */
+  final case class Envelope(minLon: Double, maxLat: Double,
+                            maxLon: Double, minLat: Double)           extends ShapeGeom
+  final case class Circle(lon: Double, lat: Double, radiusM: Double)  extends ShapeGeom
+  final case class Point(lon: Double, lat: Double)                    extends ShapeGeom
+}
+final case class GeoShape(field: String, geom: ShapeGeom)    extends Predicate
+
 final case class Query(predicates: Seq[Predicate])
 
 class UnknownTypeException(msg: String) extends RuntimeException(msg)
@@ -105,6 +127,46 @@ object Query {
     }
   }
 
+  private def lonLatPair(v: JValue, what: String): (Double, Double) = v match {
+    case JArray(Seq(x, y)) => (num(x, s"$what.lon"), num(y, s"$what.lat"))
+    case other => throw new UnknownTypeException(s"$what must be [lon, lat], got $other")
+  }
+
+  /** GeoJSON-ish geometry parse for geo_shape (coordinates in lon,lat order). */
+  private def shapeGeom(v: JValue): ShapeGeom = v match {
+    case JObject(o) =>
+      val m = o.toMap
+      m.get("type") match {
+        case Some(JString("polygon")) =>
+          m.getOrElse("coordinates", JNothing) match {
+            case JArray(Seq(JArray(ring), _*)) =>
+              ShapeGeom.Polygon(ring.map(p => lonLatPair(p, "polygon point")))
+            case other => throw new UnknownTypeException(s"polygon coordinates: $other")
+          }
+        case Some(JString("envelope")) =>
+          m.getOrElse("coordinates", JNothing) match {
+            case JArray(Seq(tl, br)) =>
+              val (minLon, maxLat) = lonLatPair(tl, "envelope top_left")
+              val (maxLon, minLat) = lonLatPair(br, "envelope bottom_right")
+              ShapeGeom.Envelope(minLon, maxLat, maxLon, minLat)
+            case other => throw new UnknownTypeException(s"envelope coordinates: $other")
+          }
+        case Some(JString("circle")) =>
+          val (lon, lat) = lonLatPair(m.getOrElse("coordinates", JNothing), "circle center")
+          val r = m.get("radius") match {
+            case Some(JString(s)) => parseDistanceMeters(s)
+            case Some(n)          => num(n, "circle radius")
+            case None => throw new UnknownTypeException("circle needs radius")
+          }
+          ShapeGeom.Circle(lon, lat, r)
+        case Some(JString("point")) =>
+          val (lon, lat) = lonLatPair(m.getOrElse("coordinates", JNothing), "point")
+          ShapeGeom.Point(lon, lat)
+        case other => throw new UnknownTypeException(s"unsupported shape type: $other")
+      }
+    case other => throw new UnknownTypeException(s"geometry must be an object, got $other")
+  }
+
   private def predicate(field: String, v: JValue): Predicate = v match {
     // scalar → term (query_shim.py:93-105; lowercasing happens at compile)
     case JString(_) | JInt(_) | JLong(_) | JDouble(_) | JDecimal(_) | JBool(_) =>
@@ -151,6 +213,10 @@ object Query {
             case other => throw new UnknownTypeException(s"geo_polygon points: $other")
           }
           GeoPolygon(field, pts)
+        case Some(JString("geo_shape")) =>
+          val geomJson = m.get("geometry").orElse(m.get("shape")).getOrElse(
+            throw new UnknownTypeException(s"geo_shape on $field needs geometry"))
+          GeoShape(field, shapeGeom(geomJson))
         case Some(JString(t)) => throw new UnknownTypeException(s"unknown predicate type: $t")
         case _ => throw new UnknownTypeException(s"predicate on $field has no type")
       }

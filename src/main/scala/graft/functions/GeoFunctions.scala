@@ -63,10 +63,12 @@ object GeoFunctions {
   def inPolygonSql(latExpr: String, lonExpr: String,
       points: Seq[(Double, Double)]): String = {
     val edges = points.zip(points.tail :+ points.head)
+    // XOR-fold expressed as crossing-count parity (DuckDB cannot parse a
+    // chained `a != b != c` of booleans).
     edges.map { case ((yi, xi), (yj, xj)) =>
-      s"((($yi > $latExpr) != ($yj > $latExpr)) AND " +
-        s"($lonExpr < ${xj - xi} * ($latExpr - $yi) / ${yj - yi} + $xi))"
-    }.mkString("(", " != ", " != FALSE)")
+      s"CAST(((($yi > $latExpr) != ($yj > $latExpr)) AND " +
+        s"($lonExpr < ${xj - xi} * ($latExpr - $yi) / ${yj - yi} + $xi)) AS INT)"
+    }.mkString("((", " + ", ") % 2 = 1)")
   }
 
   /** Haversine distance in meters as ANSI SQL (oracle twin of

@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.Tables
+import graft.dsl.{Compile, Query}
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The iDigBio Query Format wired end-to-end: every query here is a JSON
+  * DSL string → [[graft.dsl.Query.parse]] → [[graft.dsl.Compile]] →
+  * `df.filter(column)`, checked against a hand-written DuckDB oracle.
+  *
+  * This is the reference's flagship path (queryFromShim,
+  * idigbio_workers/lib/query_shim.py:181-197): every search, count, and
+  * download goes through it.
+  *
+  * The geo queries run over a geopoint view derived arithmetically from
+  * `supplier` (integer-modular lat/lon at 0.01° granularity), so the
+  * oracle can mirror the exact doubles with no float-parsing ambiguity.
+  */
+object DslQueries {
+
+  /** lat/lon derived from s_suppkey with exact integer arithmetic. */
+  private def geoView(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .withColumn("lat", (col("s_suppkey") * 7919 % 18000) / 100.0 - 90.0)
+      .withColumn("lon", (col("s_suppkey") * 104729 % 36000) / 100.0 - 180.0)
+
+  private val geoViewSql =
+    """SELECT s_suppkey,
+      |  (s_suppkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
+      |  (s_suppkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+      |FROM supplier""".stripMargin
+
+  private val geoOpts =
+    Compile.Options(geoFields = Map("geopoint" -> ("lat", "lon")))
+
+  // --- scalar predicates ------------------------------------------------
+
+  /** term: scalar string, lowercased on both sides (query_shim.py:93-105). */
+  def qDslTerm(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(Compile.fromJson("""{"c_mktsegment": "Building"}"""))
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+
+  val qDslTermSql: String =
+    """SELECT c_custkey FROM customer
+      |WHERE lower(c_mktsegment) = 'building' ORDER BY c_custkey""".stripMargin
+
+  /** terms OR-list (query_shim.py:108-121). */
+  def qDslTerms(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(Compile.fromJson("""{"o_orderpriority": ["1-URGENT", "5-LOW"]}"""))
+      .select(col("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+
+  val qDslTermsSql: String =
+    """SELECT o_orderkey FROM orders
+      |WHERE lower(o_orderpriority) IN ('1-urgent', '5-low')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** range gt/gte/lt/lte passthrough (query_shim.py:49-50). */
+  def qDslRange(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(Compile.fromJson(
+        """{"o_totalprice": {"type": "range", "gte": 400000, "lt": 450000}}"""))
+      .select(col("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+
+  val qDslRangeSql: String =
+    """SELECT o_orderkey FROM orders
+      |WHERE o_totalprice >= 400000 AND o_totalprice < 450000
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** prefix, value lowercased (query_shim.py:53-65). */
+  def qDslPrefix(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(Compile.fromJson("""{"p_name": {"type": "prefix", "value": "SM"}}"""))
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+
+  val qDslPrefixSql: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE lower(p_name) LIKE 'sm%' ORDER BY p_partkey""".stripMargin
+
+  /** exists + missing over a nullable derived column
+    * (query_shim.py:23-36). */
+  def qDslExistsMissing(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("big_value", when(col("value") > 15.0, col("value")))
+    val c = Compile.fromJson("""{"big_value": {"type": "missing"}}""") &&
+      Compile.fromJson("""{"event_type": "click"}""")
+    ev.filter(c).select(col("event_id")).orderBy(col("event_id"))
+  }
+
+  val qDslExistsMissingSql: String =
+    """SELECT event_id FROM events
+      |WHERE (CASE WHEN value > 15.0 THEN value END) IS NULL
+      |  AND lower(event_type) = 'click'
+      |ORDER BY event_id""".stripMargin
+
+  /** fulltext: match-_all operator AND — every token must match
+    * (query_shim.py:123-133). */
+  def qDslFulltext(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(Compile.fromJson(
+        """{"text": {"type": "fulltext", "value": "SPARK window merge"}}"""))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  val qDslFulltextSql: String =
+    """SELECT doc_id FROM documents
+      |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+      |  AND list_contains(string_split(lower(text), ' '), 'window')
+      |  AND list_contains(string_split(lower(text), ' '), 'merge')
+      |ORDER BY doc_id""".stripMargin
+
+  /** implicit top-level AND of mixed predicates (query_shim.py:171-179). */
+  def qDslCompound(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(Compile.fromJson(
+        """{"o_orderstatus": "f",
+          | "o_orderpriority": ["1-URGENT", "2-HIGH"],
+          | "o_totalprice": {"type": "range", "gte": 100000, "lt": 250000}}""".stripMargin))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  val qDslCompoundSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE lower(o_orderstatus) = 'f'
+      |  AND lower(o_orderpriority) IN ('1-urgent', '2-high')
+      |  AND o_totalprice >= 100000 AND o_totalprice < 250000
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --- geo predicates ---------------------------------------------------
+
+  /** geo_distance with ES unit parse (query_shim.py:72-82). */
+  def qDslGeoDistance(s: SparkSession, dir: String): DataFrame =
+    geoView(s, dir)
+      .filter(Compile.predicate(Query.parse(
+        """{"geopoint": {"type": "geo_distance", "distance": "3000km",
+          |  "lat": 10.0, "lon": 20.0}}""".stripMargin).predicates.head, geoOpts))
+      .select(col("s_suppkey"))
+      .orderBy(col("s_suppkey"))
+
+  val qDslGeoDistanceSql: String =
+    s"""WITH g AS ($geoViewSql)
+       |SELECT s_suppkey FROM g
+       |WHERE ${GeoFunctions.haversineSql("lat", "lon", 10.0, 20.0)} <= 3000000.0
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** geo_bounding_box crossing the antimeridian (query_shim.py:68-69). */
+  def qDslGeoBbox(s: SparkSession, dir: String): DataFrame =
+    geoView(s, dir)
+      .filter(Compile.predicate(Query.parse(
+        """{"geopoint": {"type": "geo_bounding_box",
+          |  "top_left": {"lat": 60.0, "lon": 150.0},
+          |  "bottom_right": {"lat": -60.0, "lon": -100.0}}}""".stripMargin)
+        .predicates.head, geoOpts))
+      .select(col("s_suppkey"))
+      .orderBy(col("s_suppkey"))
+
+  val qDslGeoBboxSql: String =
+    s"""WITH g AS ($geoViewSql)
+       |SELECT s_suppkey FROM g
+       |WHERE lat <= 60.0 AND lat >= -60.0
+       |  AND (lon >= 150.0 OR lon <= -100.0)
+       |ORDER BY s_suppkey""".stripMargin
+
+  private val polyPoints = Seq(
+    (0.0, -60.0), (70.0, 10.0), (0.0, 80.0), (-70.0, 10.0)) // (lat, lon)
+
+  /** geo_polygon via even-odd ray casting (query_shim.py:89-90). */
+  def qDslGeoPolygon(s: SparkSession, dir: String): DataFrame =
+    geoView(s, dir)
+      .filter(Compile.predicate(Query.parse(
+        """{"geopoint": {"type": "geo_polygon", "points": [
+          |  {"lat": 0.0, "lon": -60.0}, {"lat": 70.0, "lon": 10.0},
+          |  {"lat": 0.0, "lon": 80.0}, {"lat": -70.0, "lon": 10.0}]}}""".stripMargin)
+        .predicates.head, geoOpts))
+      .select(col("s_suppkey"))
+      .orderBy(col("s_suppkey"))
+
+  val qDslGeoPolygonSql: String =
+    s"""WITH g AS ($geoViewSql)
+       |SELECT s_suppkey FROM g
+       |WHERE ${GeoFunctions.inPolygonSql("lat", "lon", polyPoints)}
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** geo_shape circle (intended semantics; the reference's own translator
+    * drops geo_shape filters on a KeyError — see [[graft.dsl.ShapeGeom]]). */
+  def qDslGeoShape(s: SparkSession, dir: String): DataFrame =
+    geoView(s, dir)
+      .filter(Compile.predicate(Query.parse(
+        """{"geopoint": {"type": "geo_shape", "geometry": {
+          |  "type": "circle", "coordinates": [-40.0, -20.0],
+          |  "radius": "4000km"}}}""".stripMargin).predicates.head, geoOpts))
+      .select(col("s_suppkey"))
+      .orderBy(col("s_suppkey"))
+
+  val qDslGeoShapeSql: String =
+    s"""WITH g AS ($geoViewSql)
+       |SELECT s_suppkey FROM g
+       |WHERE ${GeoFunctions.haversineSql("lat", "lon", -20.0, -40.0)} <= 4000000.0
+       |ORDER BY s_suppkey""".stripMargin
+}

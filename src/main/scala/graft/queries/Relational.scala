@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import graft.Tables.Money
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational operator conformance queries (SURVEY.md §2.3-§2.7) expressed
@@ -249,17 +248,16 @@ object Relational {
 
   // --- §2.6 sorts / limits / paging ---------------------------------------
 
-  /** ORDER BY key LIMIT/OFFSET paging (db.py:357-411). Spark DF API has no
-    * OFFSET: rank window + filter keeps it one shuffle. */
-  def qPaging(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_custkey"))
+  /** ORDER BY key LIMIT/OFFSET paging (db.py:357-411). offset+limit over a
+    * sort plans as TakeOrderedAndProject: top-(offset+limit) per partition,
+    * merged on the driver — no global single-partition window, so the same
+    * plan holds at 100 TB (each task keeps only 200 rows). */
+  def qPaging(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_name"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > 100 && col("rn") <= 200)
-      .drop("rn")
       .orderBy(col("c_custkey"))
-  }
+      .offset(100)
+      .limit(100)
 
   val qPagingSql: String =
     """SELECT c_custkey, c_name FROM customer
