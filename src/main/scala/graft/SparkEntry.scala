@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{DslQueries, Relational}
+import graft.queries.{DslQueries, LlmQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,14 @@ object SparkEntry {
     "q_dsl_geo_bbox"       -> (DslQueries.qDslGeoBbox _),
     "q_dsl_geo_polygon"    -> (DslQueries.qDslGeoPolygon _),
     "q_dsl_geo_shape"      -> (DslQueries.qDslGeoShape _),
+    // LLM-training-data pipeline operators (documents/embeddings)
+    "q_dedup_exact"   -> (LlmQueries.qDedupExact _),
+    "q_dedup_minhash" -> (LlmQueries.qDedupMinhash _),
+    "q_dedup_simhash" -> (LlmQueries.qDedupSimhash _),
+    "q_text_stats"    -> (LlmQueries.qTextStats _),
+    "q_lang_id"       -> (LlmQueries.qLangId _),
+    "q_ann_topk"      -> (LlmQueries.qAnnTopk _),
+    "q_ann_lsh"       -> (LlmQueries.qAnnLsh _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -90,5 +98,12 @@ object SparkEntry {
     "q_dsl_geo_bbox"       -> DslQueries.qDslGeoBboxSql,
     "q_dsl_geo_polygon"    -> DslQueries.qDslGeoPolygonSql,
     "q_dsl_geo_shape"      -> DslQueries.qDslGeoShapeSql,
+    "q_dedup_exact"   -> LlmQueries.qDedupExactSql,
+    "q_dedup_minhash" -> LlmQueries.qDedupMinhashSql,
+    "q_dedup_simhash" -> LlmQueries.qDedupSimhashSql,
+    "q_text_stats"    -> LlmQueries.qTextStatsSql,
+    "q_lang_id"       -> LlmQueries.qLangIdSql,
+    "q_ann_topk"      -> LlmQueries.qAnnTopkSql,
+    "q_ann_lsh"       -> LlmQueries.qAnnLshSql,
   )
 }

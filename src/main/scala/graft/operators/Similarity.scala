@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact top-k by cosine — the correctness
+  *    baseline. The query side is broadcast, so the big side streams
+  *    through one codegen'd stage with no shuffle of the corpus; the
+  *    per-query top-k heap is a window over (tiny) per-query groups.
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing — the scale path.
+  *    The corpus is grouped into 2^planes sign-pattern buckets, and each
+  *    query probes only its own bucket: the crossJoin disappears in
+  *    favor of a bucket equi-join (shuffle keyed on bucket, AQE-skew
+  *    safe). Plane matrices are deterministic compile-time constants so
+  *    results are reproducible and oracle-checkable.
+  */
+object Similarity {
+
+  /** Sequential-order double dot product (bit-reproducible across
+    * engines that fold left-to-right). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector. Output:
+    * (qid, neighbor, rank). Scores are intentionally not emitted —
+    * ranks are stable across float ulp differences, raw floats are not. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.toDF("nid", "e")
+      .join(broadcast(queries.toDF("qid", "q")), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("q"), col("e")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
+  /** Deterministic ±1 hyperplanes: planes(j)(d) ∈ {-1, 1}. */
+  def planes(numPlanes: Int, dim: Int, seed: Long = 123457L): IndexedSeq[IndexedSeq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.fill(numPlanes)(IndexedSeq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Sign-pattern bucket id of an embedding against the plane set. */
+  def bucket(e: Column, ps: IndexedSeq[IndexedSeq[Double]]): Column =
+    ps.zipWithIndex.map { case (p, j) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(e, planeLit) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates limited to the query's own LSH
+    * bucket. Recall trades against bucket count; the plan is a bucket
+    * equi-join + per-query window, never a crossJoin. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int, dim: Int): DataFrame = {
+    val ps = planes(numPlanes, dim)
+    val c = corpus.toDF("nid", "e").withColumn("bucket", bucket(col("e"), ps))
+    val q = queries.toDF("qid", "q").withColumn("bucket", bucket(col("q"), ps))
+    val joined = c.join(broadcast(q), Seq("bucket"))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("q"), col("e")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
+  /** SQL twin of [[bucket]] for the DuckDB oracle. */
+  def bucketSql(embExpr: String, ps: IndexedSeq[IndexedSeq[Double]]): String =
+    ps.zipWithIndex.map { case (p, j) =>
+      val arr = p.mkString("[", ",", "]::DOUBLE[]")
+      s"(CASE WHEN list_inner_product($embExpr, $arr) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora: exact (content hash),
+  * MinHash+LSH banded near-dup, and SimHash near-dup.
+  *
+  * Scale notes (the whole point of these designs):
+  *  - nothing here is all-pairs: candidate generation goes through
+  *    hash-bucket shuffles (band → bucket-join), so cost is
+  *    O(docs × signature) plus output-sized joins;
+  *  - signatures are computed in ONE aggregation pass over the exploded
+  *    shingle table (64 `min` aggregates, map-side partial agg);
+  *  - exact-Jaccard verification touches only LSH candidates, never the
+  *    full corpus.
+  */
+object TextDedup {
+
+  /** 60-bit integer hash shared with the DuckDB oracle:
+    * parse the first 15 hex chars of md5. Codegen'd built-ins only. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct n-word shingles of a whitespace-tokenized text column —
+    * per-row array ops, no shuffle. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    array_distinct(
+      when(size(w) < n, array())
+        .otherwise(transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
+  }
+
+  // MinHash universal-hash family over Z_P: h_k(x) = (a_k x + b_k) mod P.
+  // P fits in 31 bits so a_k*x stays well inside Long.
+  val P: Long = 1000000007L
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand = 4
+
+  /** Deterministic (a_k, b_k) parameters, seeded — no runtime RNG. */
+  val perms: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(424242L)
+    IndexedSeq.fill(NumHashes)((rnd.nextLong(P - 1) + 1, rnd.nextLong(P)))
+  }
+
+  /** (id, shingle-hash) exploded table → one row per doc with a
+    * `sig` array of 64 minhashes, computed as 64 partial-aggregable
+    * `min`s in a single groupBy pass. */
+  def minhashSignatures(shingleHashes: DataFrame, idCol: String): DataFrame = {
+    val h = col("h") % P
+    val aggs = perms.zipWithIndex.map { case ((a, b), k) =>
+      min((lit(a) * h + lit(b)) % P).as(s"m$k")
+    }
+    shingleHashes.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until NumHashes).map(k => col(s"m$k")): _*).as("sig"))
+  }
+
+  /** Candidate pairs from banded LSH: each signature splits into
+    * `Bands` bands of `RowsPerBand` rows; docs colliding on any whole
+    * band become a pair. The band bucket join is the only shuffle. */
+  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
+    val bands = sigs.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(Bands - 1)),
+        b => hash(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
+      .toDF(idCol, "band", "bucket")
+    val b1 = bands.toDF("d1", "band", "bucket")
+    val b2 = bands.toDF("d2", "band", "bucket")
+    b1.join(b2, Seq("band", "bucket"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for the given candidate pairs only. `shingleHashes`
+    * is the (id, h) exploded table; the corpus is first semi-joined down
+    * to docs that appear in any candidate pair. */
+  def verifyJaccard(shingleHashes: DataFrame, idCol: String,
+      candidates: DataFrame): DataFrame = {
+    val candDocs = candidates.select(col("d1").as(idCol))
+      .union(candidates.select(col("d2").as(idCol))).distinct()
+    val sh = shingleHashes.join(candDocs, idCol, "left_semi")
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val s1 = sh.toDF("d1", "h")
+    val s2 = sh.toDF("d2", "h")
+    val inter = s1.join(s2, Seq("h")).where(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+      .join(candidates, Seq("d1", "d2"), "left_semi")
+    inter
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** End-to-end MinHash near-dup: shingle → sign → band → verify.
+    * With 16×4 bands, a pair at Jaccard 0.8 is missed with probability
+    * (1-0.8⁴)¹⁶ ≈ 2e-4 and at 0.95+ effectively never — candidates are
+    * then *exactly* verified, so precision is 1 and recall is the band
+    * curve. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol),
+        explode(shingles(col(textCol), shingleSize)).as("s"))
+      .select(col(idCol), hash60(col("s")).as("h"))
+    val sigs = minhashSignatures(sh, idCol)
+    val cands = lshCandidates(sigs, idCol)
+    verifyJaccard(sh, idCol, cands)
+      .where(col("jaccard") >= threshold)
+  }
+
+  // --- SimHash ----------------------------------------------------------
+
+  val SimBits = 60       // bits of the md5-derived word hash we use
+  val SimBands = 4       // 4 bands of 15 bits ⇒ hamming ≤ 3 recall = 1
+  val SimBandBits: Int = SimBits / SimBands
+  val SimMaxHamming = 3
+
+  /** 60-bit SimHash per doc from its distinct words: one exploded
+    * aggregation with 60 conditional sums (single shuffle; each sum is
+    * partial-aggregable). Bit j of the result is 1 iff the sum of
+    * (±1 per word, + when word-hash bit j set) is positive. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol),
+        explode(array_distinct(split(col(textCol), " "))).as("w"))
+      .select(col(idCol), hash60(col("w")).as("h"))
+    val sums = (0 until SimBits).map { j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    words.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        (0 until SimBits).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming(simhash) ≤ maxHamming, found by band
+    * blocking: with `SimBands` bands, any pair within hamming
+    * `SimBands - 1` shares at least one identical band (pigeonhole), so
+    * recall is exactly 1 for maxHamming ≤ 3 — no all-pairs scan. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = SimMaxHamming): DataFrame = {
+    require(maxHamming <= SimBands - 1, "banding only guarantees recall ≤ bands-1")
+    val sh = simhash(docs, idCol, textCol)
+    val mask = (1L << SimBandBits) - 1
+    val bands = sh.select(col(idCol), col("simhash"), posexplode(
+      array((0 until SimBands).map(b =>
+        shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit(mask))): _*)))
+      .toDF(idCol, "simhash", "band", "bucket")
+    val b1 = bands.toDF("d1", "h1", "band", "bucket")
+    val b2 = bands.toDF("d2", "h2", "band", "bucket")
+    b1.join(b2, Seq("band", "bucket"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

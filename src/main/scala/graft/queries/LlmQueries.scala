@@ -1,0 +1,231 @@
+package graft.queries
+
+import graft.Tables
+import graft.hash.Etags
+import graft.operators.{Similarity, TextDedup, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables, each with a DuckDB oracle.
+  *
+  * Oracle strategy per family:
+  *  - exact dedup: both sides build the identical etag JSON + md5;
+  *  - MinHash LSH: the oracle is ground truth (brute-force shingle
+  *    Jaccard); the Spark side must *find* all pairs via banding + exact
+  *    verification — at the data's J≈0.97 the 16×4 band miss probability
+  *    is ~1e-15, so LSH recall is deterministic in practice;
+  *  - SimHash: banding recall for hamming ≤ 3 is *exactly* 1 by
+  *    pigeonhole, and the 60-bit word hash (md5 prefix) is reproduced in
+  *    SQL, so both sides are exact;
+  *  - ANN: ranks (not raw floats) are compared; dot products are
+  *    sequential double folds on both engines.
+  */
+object LlmQueries {
+
+  // --- exact dedup (hash-groupBy; db_check.py:271-297 etag dedup) ------
+
+  /** Corpus with deterministic exact duplicates injected (every 10th doc
+    * re-appears under a shifted id) — sf0.01 documents are all-distinct,
+    * which would make the operator's output vacuously empty. */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.unionAll(d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    docsWithDups(s, dir)
+      .select(Etags.etagColumnMd5(
+        map(lit("lang"), col("lang"), lit("text"), col("text"))).as("etag"))
+      .groupBy(col("etag")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy(col("etag"))
+
+  val qDedupExactSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0),
+      |e AS (SELECT md5('["lang","' || lang || '","text","' || text || '"]') AS etag
+      |      FROM all_docs)
+      |SELECT etag, COUNT(*) AS n FROM e GROUP BY etag
+      |HAVING COUNT(*) > 1 ORDER BY etag""".stripMargin
+
+  // --- MinHash + LSH near-dup ------------------------------------------
+
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashNearDups(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      .orderBy(col("d1"), col("d2"))
+
+  val qDedupMinhashSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d),
+      |sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s FROM g),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT d1, d2,
+      |  CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON d1 = s1.doc_id
+      |JOIN sizes s2 ON d2 = s2.doc_id
+      |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+
+  // --- SimHash near-dup -------------------------------------------------
+
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("d1"), col("d2"))
+
+  val qDedupSimhashSql: String = {
+    val bits = TextDedup.SimBits
+    val sums = (0 until bits).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n  ")
+    val assemble = (0 until bits).map(j =>
+      s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+       |           FROM documents),
+       |h AS (SELECT doc_id, try_cast('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM w),
+       |s AS (SELECT doc_id,
+       |  $sums
+       |  FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $assemble AS simhash FROM s),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |        bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT d1, d2, CAST(hamming AS INT) AS hamming FROM p
+       |WHERE hamming <= ${TextDedup.SimMaxHamming} ORDER BY d1, d2""".stripMargin
+  }
+
+  // --- text analysis ----------------------------------------------------
+
+  private val enStops = TextStats.stopwordProfiles("en")
+
+  def qTextStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextStats.tokenCount(col("text")).as("n_tokens"),
+      TextStats.subwordCount(col("text")).as("n_subwords"),
+      TextStats.distinctTokenCount(col("text")).as("n_distinct"),
+      TextStats.avgTokenLen(col("text")).as("avg_len"),
+      TextStats.stopwordRatio(col("text"), enStops).as("stop_en"),
+      array_join(TextStats.qualityFlags(col("text")), ",").as("flags"),
+      TextStats.fingerprint(col("text")).as("fp"),
+    ).orderBy(col("doc_id"))
+
+  val qTextStatsSql: String = {
+    val stopsIn = enStops.map(w => s"'$w'").mkString(", ")
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      |m AS (SELECT doc_id, text, w,
+      |  len(w) AS n_tokens,
+      |  CAST(list_sum(list_transform(w, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+      |  len(list_distinct(w)) AS n_distinct,
+      |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_len,
+      |  CAST(list_sum(list_transform(w, x -> CASE WHEN lower(x) IN (STOPS) THEN 1 ELSE 0 END)) AS DOUBLE)
+      |    / CAST(len(w) AS DOUBLE) AS stop_en,
+      |  list_min(list_transform(range(len(w) - 2),
+      |    i -> try_cast('0x' || substr(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 15) AS BIGINT))) AS fp
+      |  FROM t)
+      |SELECT doc_id, n_tokens, n_subwords, n_distinct, avg_len, stop_en,
+      |  concat_ws(',',
+      |    CASE WHEN n_tokens < 20 THEN 'too_short' END,
+      |    CASE WHEN CAST(n_distinct AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) < 0.3
+      |         THEN 'low_diversity' END,
+      |    CASE WHEN avg_len > 12.0 THEN 'long_tokens' END) AS flags,
+      |  fp
+      |FROM m ORDER BY doc_id""".stripMargin.replace("STOPS", stopsIn)
+  }
+
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextStats.langId(col("text")).as("lang_pred"),
+    ).orderBy(col("doc_id"))
+
+  val qLangIdSql: String = {
+    val profiles = TextStats.stopwordProfiles.toSeq.sortBy(_._1)
+    val scoreCols = profiles.map { case (lang, ws) =>
+      val in = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(list_sum(list_transform(w, x -> CASE WHEN lower(x) IN ($in) THEN 1 ELSE 0 END)) AS BIGINT) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = profiles.map(_._1)
+    // alphabetical-first-wins argmax: a CASE chain in language order with >=
+    val caseChain = langs.init.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sc AS (SELECT doc_id,
+       |  $scoreCols
+       |  FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN ${langs.map(l => s"s_$l").mkString(" + ")} = 0 OR
+       |            greatest(${langs.map(l => s"s_$l").mkString(", ")}) = 0 THEN 'und'
+       |    $caseChain
+       |    ELSE '${langs.last}' END AS lang_pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // --- similarity search ------------------------------------------------
+
+  private def queriesDf(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+
+  /** Exact top-5 cosine neighbors for 10 probe vectors — the
+    * brute-force baseline (broadcast probes, no corpus shuffle). */
+  def qAnnTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        queriesDf(s, dir), k = 5)
+      .orderBy(col("qid"), col("rank"))
+
+  val qAnnTopkSql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id < 10),
+      |s AS (SELECT qid, e.vec_id AS nid,
+      |        list_inner_product(qe, e.embedding::DOUBLE[]) /
+      |        (sqrt(list_inner_product(qe, qe)) *
+      |         sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
+      |      FROM q, embeddings e WHERE e.vec_id != qid),
+      |r AS (SELECT qid, nid,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+      |      FROM s)
+      |SELECT qid, nid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  private val NumPlanes = 6
+  private val Dim = 64
+
+  /** LSH-bucketed top-3: each probe searches only its sign-pattern
+    * bucket (the 100 TB path — bucket equi-join instead of crossJoin).
+    * The oracle replays the identical deterministic bucketing. */
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        queriesDf(s, dir), k = 3, numPlanes = NumPlanes, dim = Dim)
+      .orderBy(col("qid"), col("rank"))
+
+  val qAnnLshSql: String = {
+    val ps = Similarity.planes(NumPlanes, Dim)
+    val bq = Similarity.bucketSql("qe", ps)
+    val be = Similarity.bucketSql("ee", ps)
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+       |           WHERE vec_id < 10),
+       |qb AS (SELECT qid, qe, $bq AS bucket FROM q),
+       |e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ee FROM embeddings),
+       |eb AS (SELECT nid, ee, $be AS bucket FROM e),
+       |s AS (SELECT qid, nid,
+       |        list_inner_product(qe, ee) /
+       |        (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(ee, ee))) AS sim
+       |      FROM qb JOIN eb USING (bucket) WHERE nid != qid),
+       |r AS (SELECT qid, nid,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+       |      FROM s)
+       |SELECT qid, nid, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+}

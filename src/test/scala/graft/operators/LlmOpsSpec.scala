@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    val base = "spark shuffles data across partitions during wide transformations " +
+      "and joins while narrow transformations stay pipelined in one stage"
+    Seq(
+      (1L, base),
+      (2L, base.replace("joins", "unions")),          // near-dup of 1
+      (3L, "completely different content about birds nesting in spring gardens " +
+           "with flowers blooming and insects buzzing around the pond"),
+      (4L, base),                                      // exact dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("shingles: distinct 3-grams, per-row") {
+    val s = spark
+    import s.implicits._
+    val r = Seq(Tuple1("a b c d")).toDF("t")
+      .select(TextDedup.shingles(col("t"), 3)).collect()(0).getSeq[String](0)
+    assert(r === Seq("a b c", "b c d"))
+    val short = Seq(Tuple1("a b")).toDF("t")
+      .select(TextDedup.shingles(col("t"), 3)).collect()(0).getSeq[String](0)
+    assert(short === Seq())
+  }
+
+  test("minhash LSH finds the near-dup and exact-dup pairs, not the unrelated doc") {
+    val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text", 3, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("minhash exact-dup pair has jaccard exactly 1.0") {
+    val j = TextDedup.minhashNearDups(docs, "doc_id", "text", 3, 0.5)
+      .where(col("d1") === 1 && col("d2") === 4)
+      .select("jaccard").collect()(0).getDouble(0)
+    assert(j === 1.0)
+  }
+
+  test("simhash: identical docs have hamming 0; near-dups small; unrelated far") {
+    val h = TextDedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(h(a) ^ h(b))
+    assert(ham(1L, 4L) === 0)
+    assert(ham(1L, 2L) <= 10)
+    assert(ham(1L, 3L) > 10)
+  }
+
+  test("simhash banding guarantees recall for hamming <= bands-1") {
+    // hamming(1,2) is small but nonzero; with default maxHamming=3 the
+    // banded search must still surface (1,4) at hamming 0
+    val found = TextDedup.simhashNearDups(docs, "doc_id", "text")
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 4L)))
+  }
+
+  test("brute-force top-k ranks by cosine, excludes self, tiebreaks by id") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+    val r = Similarity.bruteForceTopK(vecs, q, 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(r === Array((3L, 1), (1L, 2), (2L, 3)))
+  }
+
+  test("lsh buckets: identical vectors share a bucket") {
+    val s = spark
+    import s.implicits._
+    val ps = Similarity.planes(6, 2)
+    val vecs = Seq((0L, Array(1.0f, 0.2f)), (1L, Array(1.0f, 0.2f)),
+      (2L, Array(-1.0f, -0.2f))).toDF("vec_id", "embedding")
+    val b = vecs.select(Similarity.bucket(col("embedding"), ps))
+      .collect().map(_.getLong(0))
+    assert(b(0) === b(1))
+    assert(b(0) !== b(2)) // antipodal flips every plane sign
+  }
+
+  test("text stats expressions") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1("the cat sat on the mat")).toDF("t")
+    val r = df.select(
+      TextStats.tokenCount(col("t")),
+      TextStats.distinctTokenCount(col("t")),
+      TextStats.avgTokenLen(col("t")),
+      TextStats.stopwordRatio(col("t"), Seq("the", "on")),
+    ).collect()(0)
+    assert(r.getInt(0) === 6)
+    assert(r.getInt(1) === 5)
+    assert(r.getDouble(2) === 17.0 / 6.0)
+    assert(r.getDouble(3) === 3.0 / 6.0)
+  }
+
+  test("quality flags fire on short / repetitive text") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("short doc", 1), ("a a a a a a a a a a a a a a a a a a a a b", 2),
+    ).toDF("t", "id")
+    val flags = df.orderBy("id")
+      .select(array_join(TextStats.qualityFlags(col("t")), ","))
+      .collect().map(_.getString(0))
+    assert(flags(0) === "too_short")
+    assert(flags(1) === "low_diversity")
+  }
+
+  test("langId picks the profile with most hits, 'und' when none") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("the cat is in the house and it is warm", 1),
+      ("el perro es un animal que vive en la casa", 2),
+      ("zzz qqq www", 3),
+    ).toDF("t", "id")
+    val langs = df.orderBy("id")
+      .select(TextStats.langId(col("t"))).collect().map(_.getString(0))
+    assert(langs === Array("en", "es", "und"))
+  }
+}
