@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: print the formatted/codegen plan for one SparkEntry
+  * query and time it — the `.explain`-driven iteration loop.
+  * Usage: runMain graft.Plan <queryName> [sfDir] [codegen]
+  */
+object Plan {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val mode = if (args.length > 2) args(2) else "formatted"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.explain(mode)
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    println(f"[plan] $name executed in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}

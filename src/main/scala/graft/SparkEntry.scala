@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{DslQueries, LlmQueries, Relational}
+import graft.queries.{DslQueries, EtlQueries, LlmQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -66,6 +66,8 @@ object SparkEntry {
     "q_lang_id"       -> (LlmQueries.qLangId _),
     "q_ann_topk"      -> (LlmQueries.qAnnTopk _),
     "q_ann_lsh"       -> (LlmQueries.qAnnLsh _),
+    // grabAll enrichment pipeline (SURVEY §2.8)
+    "q_enrich"        -> (EtlQueries.qEnrich _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -105,5 +107,6 @@ object SparkEntry {
     "q_lang_id"       -> LlmQueries.qLangIdSql,
     "q_ann_topk"      -> LlmQueries.qAnnTopkSql,
     "q_ann_lsh"       -> LlmQueries.qAnnLshSql,
+    "q_enrich"        -> EtlQueries.qEnrichSql,
   )
 }

@@ -1,0 +1,234 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The grabAll enrichment pipeline (conversions.py:932-964) as a
+  * DataFrame transform: verbatim → elev → int → float → geo → date →
+  * relations → commonnames/genbank → crossfill → basisofrecord →
+  * taxonrank → flags → dqs.
+  *
+  * Input contract: a `data: map<string,string>` column holding the
+  * canonicalized raw record; optional metadata columns `uuid`, `etag`,
+  * `version`, `parent`, `recordids: array<string>`,
+  * `siblings: map<string,array<string>>` (as produced by the store
+  * layer). Output: one typed column per index field (FieldSchema),
+  * `geopoint: struct<lon,lat>`, `flags: array<string>`, `dqs: double`.
+  *
+  * PERFORMANCE SHAPE — hand-CSE via staged projections. The pipeline is
+  * a stack of thin Projects where every expression consumed more than
+  * once downstream is materialized ONCE as a named column and referenced
+  * by attribute afterwards. A single flat projection would let Catalyst
+  * inline each shared tree into all of its consumers (~450 element_at /
+  * ~130 regex occurrences for a 12-column read — measured 4× slower at
+  * sf0.1), because whole-stage codegen (and with it subexpression
+  * elimination) turns off beyond spark.sql.codegen.maxFields. Catalyst's
+  * CollapseProject keeps this staging intact: it only merges layers when
+  * doing so duplicates no non-cheap multi-referenced alias. The wide raw
+  * `data` map is consumed entirely in the first stage and pruned from
+  * all later row buffers. Still no shuffle and no UDFs anywhere.
+  */
+object Enrich {
+  import Grabbers._
+
+  /** A fixed `now` so plans are deterministic (checkBounds upper bound). */
+  def records(df: DataFrame,
+      now: java.sql.Timestamp = java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      : DataFrame = {
+    val data = col("data")
+    val hasCol = df.columns.toSet
+
+    // fields whose final nullness differs from their verbatim value
+    // (crossfill / vocabulary fixes run after the verbatim pass)
+    val mutatedAfterVerbatim = Set("scientificname", "genus",
+      "specificepithet", "basisofrecord", "taxonrank")
+
+    // partial data-quality score over plain verbatim text fields —
+    // nullness equals the raw probe's, so fold it to one small int while
+    // `data` is still in scope
+    val verbatimScore = FieldSchema.records
+      .filter(fd => fd.inScore > 0 && fd.raw.nonEmpty &&
+        Set("text", "longtext")(fd.ftype) && !mutatedAfterVerbatim(fd.index))
+      .map(fd => when(element_at(data, fd.raw).isNotNull, fd.inScore).otherwise(0))
+      .reduce(_ + _)
+
+    // carry caller columns that are neither contract inputs nor outputs
+    val contract = Set("data", "uuid", "etag", "version", "parent",
+      "recordids", "siblings")
+    val produced = FieldSchema.records.map(_.index).toSet
+    val passthrough = df.columns.toSeq
+      .filterNot(c => contract(c) || produced(c)).map(col)
+
+    // --- stage 1: everything that reads `data` ------------------------
+    val textCols = FieldSchema.records.collect {
+      case fd if fd.raw.nonEmpty && Set("text", "longtext")(fd.ftype) &&
+        !Set("uuid", "etag")(fd.index) =>
+        getField(data, fd.raw).as(fd.index)
+    }
+    val elevCols = Seq(
+      "minelevation" -> "dwc:minimumElevationInMeters",
+      "maxelevation" -> "dwc:maximumElevationInMeters",
+      "mindepth"     -> "dwc:minimumDepthInMeters",
+      "maxdepth"     -> "dwc:maximumDepthInMeters",
+    ).map { case (idx, raw) => firstNumberDouble(getField(data, raw)).as(idx) }
+    val siblings =
+      if (hasCol("siblings")) col("siblings")
+      else lit(null).cast("map<string,array<string>>")
+    val mediarecords = element_at(siblings, "mediarecord")
+
+    val s1 = df.select(passthrough ++ Seq(
+      (if (hasCol("uuid")) col("uuid") else getField(data, "idigbio:uuid")).as("uuid"),
+      (if (hasCol("etag")) col("etag") else getField(data, "idigbio:etag")).as("etag"),
+      (if (hasCol("recordids")) col("recordids")
+       else lit(null).cast("array<string>")).as("recordids"),
+      (if (hasCol("version")) col("version").cast("long")
+       else firstNumberLong(getField(data, "idigbio:version"))).as("version"),
+      (if (hasCol("parent")) col("parent")
+       else element_at(siblings, "recordset").getItem(0)).as("recordset"),
+      mediarecords.as("mediarecords"),
+      firstNumberDouble(getField(data, "dwc:individualCount")).as("individualcount"),
+      firstNumberDouble(getField(data, "dwc:coordinateUncertaintyInMeters"))
+        .as("coordinateuncertainty"),
+      getField(data, "dwc:decimalLatitude").as("_lat_raw"),
+      getField(data, "dwc:decimalLongitude").as("_lon_raw"),
+      getField(data, "dwc:geodeticDatum").as("_datum_raw"),
+      permissiveTimestamp(upper(trim(getFieldRaw(data, "idigbio:dateModified"))))
+        .as("datemodified"),
+      permissiveTimestamp(upper(trim(getFieldRaw(data, "dwc:eventDate")))).as("_dc_direct"),
+      firstNumberLong(getField(data, "dwc:year")).cast("int").as("_yr"),
+      firstNumberLong(getField(data, "dwc:month")).cast("int").as("_mo"),
+      firstNumberLong(getField(data, "dwc:day")).cast("int").as("_dy"),
+      firstNumberLong(getField(data, "dwc:startDayOfYear")).cast("int").as("_sdy"),
+      array_compact(array(getField(data, "dwc:vernacularName"))).as("commonnames"),
+      genbankSequences(data).as("associatedsequences"),
+      verbatimScore.as("_score_verbatim"),
+    ) ++ textCols ++ elevCols: _*)
+
+    // --- stage 2: parses of stage-1 strings ---------------------------
+    val s2 = s1.withColumns(Map(
+      "_lat0" -> col("_lat_raw").cast("double"),
+      "_lon0" -> col("_lon_raw").cast("double"),
+      "_latexp" -> getExponent(col("_lat_raw")),
+      "_lonexp" -> getExponent(col("_lon_raw")),
+      "datecollected" -> coalesce(col("_dc_direct"),
+        composeEventDate(col("_yr"), col("_mo"), col("_dy"), col("_sdy"))),
+      "hasImage" -> col("mediarecords").isNotNull,
+      "hasMedia" -> col("mediarecords").isNotNull,
+    ))
+
+    // --- stage 3: geo assembly (conversions.py:446-509; the
+    //     reverse-geocode stage needs a country-polygon index — omitted) ---
+    val preFlip = col("_lat0").isNotNull && col("_lon0").isNotNull &&
+      ((col("_lat0") >= -180 && col("_lat0") < -90) ||
+       (col("_lat0") > 90 && col("_lat0") <= 180)) &&
+      (col("_lon0") >= -90 && col("_lon0") <= 90)
+    val s3 = s2.withColumns(Map(
+      "_pre_flip" -> preFlip,
+      "_lat1" -> when(preFlip, col("_lon0")).otherwise(col("_lat0")),
+      "_lon1" -> when(preFlip, col("_lat0")).otherwise(col("_lon0")),
+      "startdayofyear" -> dayofyear(col("datecollected")),
+    ))
+
+    val s4 = s3.withColumns(Map(
+      "_oob" -> (col("_lat0").isNotNull && col("_lon0").isNotNull &&
+        (!(col("_lat1") >= -90 && col("_lat1") <= 90) ||
+         !(col("_lon1") >= -180 && col("_lon1") <= 180))),
+      "_datum_norm" -> {
+        val mangled = mangleString(col("_datum_raw"))
+        // linear when-chain; a when().otherwise(acc) fold would embed the
+        // mangle tree twice per alias (2^n blowup)
+        coalesce(Vocab.datumAliases.foldLeft(when(lit(false), lit("")))(
+          (acc, kv) => acc.when(mangled === kv._1, kv._2)), mangled)
+      },
+    ))
+
+    val s5 = s4.withColumns(Map(
+      "geopoint" -> when(col("_lat0").isNotNull && col("_lon0").isNotNull && !col("_oob"),
+        struct(col("_lon1").as("lon"), col("_lat1").as("lat"))),
+    ))
+
+    val s6 = s5.withColumns(Map(
+      "_flag_geopoint_pre_flip" -> col("_pre_flip"),
+      "_flag_geopoint_bounds" -> col("_oob"),
+      "_flag_geopoint_low_precision" -> (col("geopoint").isNotNull &&
+        (col("_latexp") <= 2 || col("_lonexp") <= 2)),
+      "_flag_geopoint_datum_missing" ->
+        (col("geopoint").isNotNull && col("_datum_raw").isNull),
+      "_flag_geopoint_datum_error" ->
+        (col("geopoint").isNotNull && col("_datum_raw").isNotNull &&
+          !col("_datum_norm").isin(Vocab.knownDatums.toSeq: _*)),
+    ))
+
+    // --- stage 7: crossfill (conversions.py:745-768; reverse direction
+    //     splits the name instead of calling the gnparser service) ------
+    val s7 = s6.withColumns(Map(
+      "_flag_scientificname_added" ->
+        (col("genus").isNotNull && col("scientificname").isNull),
+      "_flag_genus_added" ->
+        (col("scientificname").isNotNull && col("genus").isNull),
+      "_sci_words" -> split(col("scientificname"), " "),
+    ))
+    val s8 = s7.withColumns(Map(
+      "_flag_specificepithet_added" -> (col("_flag_genus_added") &&
+        col("specificepithet").isNull && size(col("_sci_words")) >= 2),
+      "scientificname" -> when(col("_flag_scientificname_added"),
+        concat_ws(" ", col("genus"), col("specificepithet")))
+        .otherwise(col("scientificname")),
+      "genus" -> when(col("_flag_genus_added"), col("_sci_words").getItem(0))
+        .otherwise(col("genus")),
+    ))
+    val s9 = s8.withColumns(Map(
+      "specificepithet" -> when(col("_flag_specificepithet_added"),
+        col("_sci_words").getItem(1)).otherwise(col("specificepithet")),
+    ))
+
+    // --- stage 10: vocabulary fixes -----------------------------------
+    val (borVal, borRemoved, borInvalid) = fixBasisOfRecord(col("basisofrecord"))
+    val (rankVal, rankRemoved, rankReplaced) = fixTaxonRank(col("taxonrank"))
+    val s10 = s9.withColumns(Map(
+      "_flag_dwc_basisofrecord_removed" -> borRemoved,
+      "_flag_dwc_basisofrecord_invalid" -> borInvalid,
+      "basisofrecord" -> borVal,
+      "_flag_dwc_taxonrank_removed" -> rankRemoved,
+      "_flag_dwc_taxonrank_replaced" -> rankReplaced,
+      "_flag_dwc_taxonrank_invalid" -> rankRemoved,
+      "taxonrank" -> rankVal,
+    ))
+
+    // --- flags fold (setFlags conversions.py:235-261 + grabAll
+    //     :957-962). Order: set-flags first, then fold order. ----------
+    val setFlagCols: Seq[(String, Column)] = Seq(
+      "geopoint_0_coord" -> (col("geopoint").isNotNull &&
+        (col("geopoint.lon") === 0 || col("geopoint.lat") === 0)),
+      "geopoint_similar_coord" -> (col("geopoint").isNotNull &&
+        abs(col("geopoint.lon")) === abs(col("geopoint.lat"))),
+      "datecollected_bounds" -> dateOutOfBounds(col("datecollected"), now),
+    )
+    val foldOrder = Seq(
+      "geopoint_pre_flip", "geopoint_bounds", "geopoint_low_precision",
+      "geopoint_datum_missing", "geopoint_datum_error",
+      "scientificname_added", "genus_added", "specificepithet_added",
+      "dwc_basisofrecord_removed", "dwc_basisofrecord_invalid",
+      "dwc_taxonrank_removed", "dwc_taxonrank_replaced",
+      "dwc_taxonrank_invalid")
+    val flagsCol = array_compact(array(
+      (setFlagCols ++ foldOrder.map(n => n -> col(s"_flag_$n"))).map {
+        case (name, cond) => when(coalesce(cond, lit(false)), name)
+      }: _*))
+    val s11 = s10.withColumn("flags", flagsCol)
+
+    // --- dqs (score, conversions.py:264-271) --------------------------
+    val laterFields = FieldSchema.records.filter(fd =>
+      fd.inScore > 0 && (mutatedAfterVerbatim(fd.index) ||
+        fd.raw.isEmpty || !Set("text", "longtext")(fd.ftype)))
+    val scored = laterFields
+      .filter(fd => s11.columns.contains(fd.index))
+      .map(fd => when(col(fd.index).isNotNull, lit(fd.inScore)).otherwise(lit(0)))
+      .foldLeft(col("_score_verbatim"))(_ + _)
+    val s12 = s11.withColumn("dqs",
+      (scored - size(col("flags"))).cast("double") /
+        lit(FieldSchema.maxScores("records")))
+
+    s12.drop(s12.columns.filter(_.startsWith("_")): _*)
+  }
+}

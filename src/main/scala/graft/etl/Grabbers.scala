@@ -1,0 +1,208 @@
+package graft.etl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The scalar enrichment function library (SURVEY §2.8) as Catalyst
+  * column expressions — the Spark re-expression of the reference's
+  * per-record Python loop (idb/helpers/conversions.py). Everything here
+  * is codegen'd built-ins (regexp/cast/when); no UDFs, so a full-record
+  * enrich is ONE WholeStageCodegen stage per row at any scale vs the
+  * reference's 750 rec/s/core interpreter loop.
+  */
+object Grabbers {
+
+  /** getfield (conversions.py:274-287): lowercase + trim string values.
+    * Case-insensitive key resolution is handled upstream by the
+    * normalize step (fieldnames canonicalization), not per-access. */
+  def getField(data: Column, key: String): Column =
+    lower(trim(element_at(data, key)))
+
+  /** Raw (non-lowercased) access for fields where case matters
+    * (e.g. URLs for license matching). */
+  def getFieldRaw(data: Column, key: String): Column =
+    element_at(data, key)
+
+  /** grabFirstNumber (conversions.py:296-310): first number in the
+    * string, thousands separators allowed, returned as the matched text
+    * (comma-stripped here for casting). */
+  private val FirstNumber = "([+-]?[0-9]+(?:[,][0-9]{3})*(?:[\\.][0-9]*)?)"
+
+  def grabFirstNumber(c: Column): Column = {
+    val m = regexp_extract(c, FirstNumber, 1)
+    when(m === "", lit(null)).otherwise(m)
+  }
+
+  /** locale.atof of the first number (elev/floatGrabber semantics). */
+  def firstNumberDouble(c: Column): Column =
+    regexp_replace(grabFirstNumber(c), ",", "").cast("double")
+
+  /** locale.atoi of the first number: fails (null) when the match has a
+    * fractional part, like Python int() on "1.5" (intGrabber :380-384). */
+  def firstNumberLong(c: Column): Column = {
+    val m = regexp_replace(grabFirstNumber(c), ",", "")
+    when(m.contains("."), lit(null)).otherwise(m.cast("long"))
+  }
+
+  /** grabFirstUUID (conversions.py:319-331). */
+  private val UuidRe =
+    "([a-fA-F0-9]{8}-[a-fA-F0-9]{4}-[a-fA-F0-9]{4}-[a-fA-F0-9]{4}-[a-fA-F0-9]{12})"
+
+  def grabFirstUUID(c: Column): Column = {
+    val m = regexp_extract(c, UuidRe, 1)
+    when(m === "", lit(null)).otherwise(m)
+  }
+
+  /** mangleString (conversions.py:312-316): strip non-word chars,
+    * uppercase (datum normalization). */
+  def mangleString(c: Column): Column =
+    upper(regexp_replace(c, "[\\W]+", ""))
+
+  /** getExponent (conversions.py:246-251): number of decimal places of a
+    * plain decimal string ("1.50" → 2, "100" → 0, junk → 0). Python
+    * Decimal also handles exponent notation; coordinates are plain
+    * decimals in practice (documented divergence). */
+  def getExponent(c: Column): Column = {
+    val t = trim(c)
+    when(t.rlike("^[+-]?[0-9]*\\.[0-9]*$"),
+      length(regexp_extract(t, "\\.([0-9]*)$", 1)))
+      .otherwise(lit(0))
+  }
+
+  /** Permissive timestamp parse standing in for dateutil
+    * (conversions.py:585-598; no month-name or exotic formats —
+    * divergence documented per SURVEY §7.4.3).
+    *
+    * Perf note: the whole ISO family (yyyy[-MM[-dd[ T HH:mm:ss[.f][Z]]]])
+    * goes through Spark's native string→timestamp cast — a hand-written
+    * parser with NO per-row exceptions. Formatter-based parsing
+    * (`try_to_timestamp`, which throws+catches internally on mismatch)
+    * runs only behind an rlike gate for slash formats, so it almost
+    * never sees a non-matching input. A naive 13-format coalesce
+    * cascade costs ~10 failed-parse exceptions per value and made the
+    * sf0.1 enrich bench 4× slower. */
+  def permissiveTimestamp(c: Column): Column =
+    coalesce(
+      c.try_cast(org.apache.spark.sql.types.TimestampType),
+      when(c.rlike("^\\d{4}/\\d{1,2}/\\d{1,2}$"),
+        try_to_timestamp(regexp_replace(c, "/", "-"), lit("y-M-d"))),
+      when(c.rlike("^\\d{1,2}/\\d{1,2}/\\d{4}$"),
+        try_to_timestamp(c, lit("M/d/y"))))
+
+  /** datecollected fallback composition from dwc:year/month/day or
+    * startDayOfYear (conversions.py:604-624). Inputs must be ALREADY
+    * PARSED int columns (pass each source through [[firstNumberLong]]
+    * exactly once upstream — inlining the parse here would duplicate its
+    * regex chain into every branch). */
+  def composeEventDate(y: Column, m: Column, d: Column, sdy: Column): Column =
+    when(y.isNull, lit(null).cast("timestamp"))
+      .when(m.isNotNull && d.isNotNull,
+        try_to_timestamp(concat_ws("-", y, m, d), lit("y-M-d")))
+      .when(m.isNotNull && sdy.isNotNull,
+        date_add(make_date(y, lit(1), lit(1)), sdy - 1).cast("timestamp"))
+      .when(m.isNotNull,
+        try_to_timestamp(concat_ws("-", y, m), lit("y-M")))
+      .otherwise(try_to_timestamp(y.cast("string"), lit("y")))
+
+  /** checkBounds (conversions.py:227-233): collection date outside
+    * [1500-01-02, now]. `now` must be a literal passed in so plans stay
+    * deterministic/cacheable. */
+  def dateOutOfBounds(c: Column, nowLiteral: java.sql.Timestamp): Column =
+    c.isNotNull &&
+      (c < to_timestamp(lit("1500-01-02 00:00:00")) || c > lit(nowLiteral))
+
+  /** fixBOR (conversions.py:856-893): normalize basisOfRecord to the
+    * DwC controlled vocabulary by substring; invalid → null + flags.
+    * Returns (value, removedFlag, invalidFlag). */
+  def fixBasisOfRecord(bor: Column): (Column, Column, Column) = {
+    val fixed =
+      when(bor.contains("preserved"), "preservedspecimen")
+        .when(bor.contains("fossil"), "fossilspecimen")
+        .when(bor.contains("living"), "livingspecimen")
+        .when(bor.contains("material"), "materialsample")
+        .when(bor.contains("specimen"), "preservedspecimen")
+        .when(bor.contains("machine") && bor.contains("observation"), "machineobservation")
+        .when(bor.contains("observation"), "humanobservation")
+        .when(bor.contains("occurrence"), "occurrence")
+    val removed = bor.isNotNull && fixed.isNull
+    val invalid = bor.isNull || fixed.isNull
+    (when(bor.isNotNull, fixed), removed, invalid)
+  }
+
+  /** fix_taxon_rank (conversions.py:895-913): alias mapping + acceptable
+    * vocabulary. Returns (value, removedFlag, replacedFlag). */
+  def fixTaxonRank(rank: Column): (Column, Column, Column) = {
+    val mapsToNull = Vocab.rankMapping.filter(_._2.isEmpty).keys.toSeq
+    val renames = Vocab.rankMapping.collect { case (k, Some(v)) if k != v => (k, v) }.toSeq
+    val identities = Vocab.rankMapping.collect { case (k, Some(v)) if k == v => k }.toSeq
+    val replaced = renames.foldLeft(when(lit(false), lit("")))(
+      (acc, kv) => acc.when(rank === kv._1, kv._2))
+    val acceptable = Vocab.acceptableRanks.toSeq
+    val isRemoved = rank.isNotNull &&
+      (rank.isin(mapsToNull: _*) ||
+        (!rank.isin((renames.map(_._1) ++ identities ++ acceptable): _*)))
+    val value = when(isRemoved, lit(null))
+      .otherwise(coalesce(replaced, rank))
+    val wasReplaced = rank.isNotNull && replaced.isNotNull
+    (value, isRemoved, wasReplaced)
+  }
+
+  /** getLicense (conversions.py:683-708): match candidate rights fields
+    * against the license table, majority vote, expand to detail fields.
+    * Returns (rights, licenselogourl, webstatement). The vote is over a
+    * constant-size candidate list → pure expressions, no join. */
+  def license(data: Column, candidateFields: Seq[String])
+      : (Column, Column, Column) = {
+    // map each candidate field's raw value to a license key (or null)
+    val keyCols = candidateFields.map { f =>
+      val v = getFieldRaw(data, f)
+      Vocab.licenseTrans.foldLeft(when(lit(false), lit("")))(
+        (acc, kv) => acc.when(v === kv._1, kv._2))
+    }
+    val keys = array_compact(array(keyCols: _*))
+    // majority vote with first-seen tiebreak (Python max(set, key=count)
+    // ties are arbitrary-order; we pin to first-seen — divergence noted)
+    val voted = aggregate(
+      array_distinct(keys),
+      struct(lit(0).as("n"), lit(null).cast("string").as("k")),
+      (best, k) => {
+        val n = size(filter(keys, x => x === k))
+        when(n > best.getField("n"),
+          struct(n.as("n"), k.as("k"))).otherwise(best)
+      }).getField("k")
+    def detail(i: Int): Column =
+      Vocab.licenses.foldLeft(when(lit(false), lit("")))((acc, kv) =>
+        acc.when(voted === kv._1, kv._2.productElement(i).toString))
+    (detail(0), detail(1), detail(2))
+  }
+
+  /** get_accessuri (conversions.py:711-722): accessURI ∥ bestQuality ∥
+    * identifier-unless-any-ac-field-present. */
+  def accessUri(data: Column): Column = {
+    val hasAc = exists(map_keys(data), k => k.startsWith("ac:"))
+    coalesce(
+      getFieldRaw(data, "ac:accessURI"),
+      getFieldRaw(data, "ac:bestQualityAccessURI"),
+      when(!hasAc, coalesce(
+        getFieldRaw(data, "dcterms:identifier"),
+        getFieldRaw(data, "dc:identifier"))))
+  }
+
+  /** get_media_type (conversions.py:725-738): format → default bucket. */
+  def mediaType(data: Column): (Column, Column) = {
+    val form = lower(trim(coalesce(
+      getFieldRaw(data, "dcterms:format"),
+      getFieldRaw(data, "dc:format"),
+      getFieldRaw(data, "ac:bestQualityFormat"))))
+    val bucket = Vocab.defaultBuckets.foldLeft(when(lit(false), lit("")))(
+      (acc, kv) => acc.when(form === kv._1, kv._2))
+    (form, bucket)
+  }
+
+  /** collect_genbank_sequences (conversions.py:838-853). */
+  def genbankSequences(data: Column): Column =
+    when(getFieldRaw(data, "dwc:associatedSequences").isNotNull,
+      regexp_extract_all(getFieldRaw(data, "dwc:associatedSequences"),
+        lit("[a-zA-Z]{1,2}-?_?\\d{5,6}"), lit(0)))
+      .otherwise(array().cast("array<string>"))
+}

@@ -1,0 +1,301 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Goldens ported from the reference's conversion suite
+  * (tests/idb/test_helpers_conversions.py) — same inputs, asserted
+  * against the column-expression implementations.
+  */
+class EnrichSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column, v: String): Row = {
+    val s = spark
+    import s.implicits._
+    Seq(Tuple1(v)).toDF("x").select(c).collect()(0)
+  }
+
+  test("grabFirstNumber golden table (test_helpers_conversions.py:81-100)") {
+    val cases = Seq(
+      "2050" -> "2050", "2050 m" -> "2050", "2050.0" -> "2050.0",
+      "2050.0 m" -> "2050.0", "2,050" -> "2,050", "2,050 m" -> "2,050",
+      "2,050.0" -> "2,050.0", "100000" -> "100000", "1,000,000" -> "1,000,000",
+      "100,000.0" -> "100,000.0")
+    cases.foreach { case (in, want) =>
+      assert(one(Grabbers.grabFirstNumber(col("x")), in).getString(0) === want, in)
+    }
+  }
+
+  test("firstNumberDouble applies locale.atof semantics") {
+    assert(one(Grabbers.firstNumberDouble(col("x")), "2,050.5 m").getDouble(0) === 2050.5)
+    assert(one(Grabbers.firstNumberDouble(col("x")), "no number").isNullAt(0))
+  }
+
+  test("firstNumberLong fails on fractional like Python int()") {
+    assert(one(Grabbers.firstNumberLong(col("x")), "1,234").getLong(0) === 1234L)
+    assert(one(Grabbers.firstNumberLong(col("x")), "12.5").isNullAt(0))
+  }
+
+  test("mangleString golden table (:102-110)") {
+    Seq("blah" -> "BLAH", "blah " -> "BLAH", " blah " -> "BLAH",
+      "blah blah!" -> "BLAHBLAH").foreach { case (in, want) =>
+      assert(one(Grabbers.mangleString(col("x")), in).getString(0) === want, in)
+    }
+  }
+
+  test("grabFirstUUID golden table (:113-122)") {
+    val u = "0072bf11-a354-4998-8730-c0cb4cfc9517"
+    Seq(u, s"blah $u blah", s"http://blah.blah/blah/$u").foreach { in =>
+      assert(one(Grabbers.grabFirstUUID(col("x")), in).getString(0) === u, in)
+    }
+    assert(one(Grabbers.grabFirstUUID(col("x")), "nothing here").isNullAt(0))
+  }
+
+  test("getExponent (conversions.py:246-251)") {
+    Seq("100" -> 0, "1.5" -> 1, "1.50" -> 2, "18.348" -> 3,
+      "-64.7131" -> 4, "junk" -> 0, "1." -> 0).foreach { case (in, want) =>
+      assert(one(Grabbers.getExponent(col("x")), in).getInt(0) === want, in)
+    }
+  }
+
+  test("fixBasisOfRecord substring vocabulary (conversions.py:856-893)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("preservedspecimen", "fossil material", "machine observation",
+      "field observation", "herbarium specimen", "exsiccati", null)
+      .map(Tuple1(_)).toDF("x")
+    val (v, removed, invalid) = Grabbers.fixBasisOfRecord(col("x"))
+    val rows = df.select(v, removed, invalid).collect()
+    assert(rows(0).getString(0) === "preservedspecimen")
+    assert(rows(1).getString(0) === "fossilspecimen")
+    assert(rows(2).getString(0) === "machineobservation")
+    assert(rows(3).getString(0) === "humanobservation")
+    assert(rows(4).getString(0) === "preservedspecimen")
+    assert(rows(5).isNullAt(0) && rows(5).getBoolean(1) && rows(5).getBoolean(2))
+    assert(rows(6).isNullAt(0) && !rows(6).getBoolean(1) && rows(6).getBoolean(2))
+  }
+
+  test("fixTaxonRank mapping/acceptable (conversions.py:895-913)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("sp.", "species", "speciesaggregate", "nonsense", "unknown", null)
+      .map(Tuple1(_)).toDF("x")
+    val (v, removed, replaced) = Grabbers.fixTaxonRank(col("x"))
+    val rows = df.select(v, removed, replaced).collect()
+    assert(rows(0).getString(0) === "species" && rows(0).getBoolean(2)) // mapped
+    assert(rows(1).getString(0) === "species" && !rows(1).getBoolean(2)) // identity
+    assert(rows(3).isNullAt(0) && rows(3).getBoolean(1)) // not acceptable
+    assert(rows(4).isNullAt(0) && rows(4).getBoolean(1)) // maps to null
+    assert(rows(5).isNullAt(0) && !rows(5).getBoolean(1))
+  }
+
+  // --- grabAll end-to-end on the reference's fixture record ------------
+
+  private lazy val enriched = {
+    val s = spark
+    import s.implicits._
+    val data = Map(
+      "dwc:startDayOfYear" -> "233",
+      "dwc:specificEpithet" -> "monticola",
+      "dwc:kingdom" -> "Plantae",
+      "dwc:recordedBy" -> "P. Acevedo; A. Reilly",
+      "dwc:locality" -> "Coral Bay Quarter, Bordeaux Mountain Road.",
+      "dwc:order" -> "Myrtales",
+      "dwc:occurrenceID" -> "urn:uuid:ed400275-09d7-4302-b777-b4e0dcf7f2a3",
+      "dwc:stateProvince" -> "Saint John",
+      "dwc:eventDate" -> "1987-08-21",
+      "dwc:collectionID" -> "a2e32c87-d320-4a01-bafd-a9182ae2e191",
+      "dwc:country" -> "U.S. Virgin Islands",
+      "dwc:collectionCode" -> "Plants",
+      "dwc:decimalLatitude" -> "18.348",
+      "dwc:basisOfRecord" -> "PreservedSpecimen",
+      "dwc:genus" -> "Eugenia",
+      "dwc:family" -> "Myrtaceae",
+      "dwc:phylum" -> "Magnoliophyta",
+      "dwc:institutionCode" -> "ASU",
+      "dwc:catalogNumber" -> "ASU0010142",
+      "dwc:month" -> "8",
+      "dwc:decimalLongitude" -> "-64.7131",
+      "dwc:scientificName" -> "Eugenia monticola",
+      "dwc:recordNumber" -> "1897",
+      "dwc:coordinateUncertaintyInMeters" -> "2000",
+      "dwc:day" -> "21",
+      "dwc:year" -> "1987",
+    )
+    val df = Seq((
+      "0000012b-9bb8-42f4-ad3b-c958cb22ae45",
+      "cb7d64ec3aef36fa4dec6a028b818e331a67aacc",
+      5L,
+      "40250f4d-7aa6-4fcc-ac38-2868fa4846bd",
+      Seq("urn:uuid:ed400275-09d7-4302-b777-b4e0dcf7f2a3"),
+      Map("mediarecord" -> Seq(
+        "ae175cc6-82f4-456b-910c-34da322e768d",
+        "d0ca23cd-d4eb-43b5-aaba-cb75f8aef9e3")),
+      data,
+    )).toDF("uuid", "etag", "version", "parent", "recordids", "siblings", "data")
+      .withColumn("datemodified_raw", lit("2015-01-17T08:35:59.395Z"))
+      .withColumn("data", map_concat(col("data"),
+        map(lit("idigbio:dateModified"), col("datemodified_raw"))))
+      .drop("datemodified_raw")
+    Enrich.records(df).collect()(0)
+  }
+
+  private def g(name: String): Any =
+    enriched.get(enriched.fieldIndex(name))
+
+  test("grabAll golden: verbatim text fields lowercased (test:349-380)") {
+    assert(g("institutioncode") === "asu")
+    assert(g("kingdom") === "plantae")
+    assert(g("locality") === "coral bay quarter, bordeaux mountain road.")
+    assert(g("occurrenceid") === "urn:uuid:ed400275-09d7-4302-b777-b4e0dcf7f2a3")
+    assert(g("order") === "myrtales")
+    assert(g("phylum") === "magnoliophyta")
+    assert(g("recordnumber") === "1897")
+    assert(g("scientificname") === "eugenia monticola")
+    assert(g("specificepithet") === "monticola")
+    assert(g("stateprovince") === "saint john")
+    assert(g("basisofrecord") === "preservedspecimen")
+    assert(g("catalognumber") === "asu0010142")
+    assert(g("collectioncode") === "plants")
+    assert(g("collectionid") === "a2e32c87-d320-4a01-bafd-a9182ae2e191")
+    assert(g("collector") === "p. acevedo; a. reilly")
+    assert(g("eventdate") === "1987-08-21")
+    assert(g("family") === "myrtaceae")
+    assert(g("genus") === "eugenia")
+    assert(g("country") === "u.s. virgin islands")
+  }
+
+  test("grabAll golden: null keys stay null") {
+    Seq("accessuri", "barcodevalue", "bed", "class", "collectionname",
+      "commonname", "continent", "countrycode", "county", "fieldnumber",
+      "formation", "group", "highertaxon", "individualcount",
+      "infraspecificepithet", "institutionid", "institutionname",
+      "maxdepth", "maxelevation", "member", "mindepth", "minelevation",
+      "municipality", "taxonid", "taxonomicstatus", "taxonrank",
+      "typestatus", "verbatimeventdate", "verbatimlocality", "waterbody")
+      .filter(enriched.schema.fieldNames.contains)
+      .foreach { k => assert(g(k) == null, s"$k should be null") }
+  }
+
+  test("grabAll golden: metadata, relations, numerics, geo, dates") {
+    assert(g("uuid") === "0000012b-9bb8-42f4-ad3b-c958cb22ae45")
+    assert(g("etag") === "cb7d64ec3aef36fa4dec6a028b818e331a67aacc")
+    assert(g("version") === 5L)
+    assert(g("recordset") === "40250f4d-7aa6-4fcc-ac38-2868fa4846bd")
+    assert(g("mediarecords") === Seq("ae175cc6-82f4-456b-910c-34da322e768d",
+      "d0ca23cd-d4eb-43b5-aaba-cb75f8aef9e3"))
+    assert(g("hasImage") === true)
+    assert(g("hasMedia") === true)
+    assert(g("recordids") === Seq("urn:uuid:ed400275-09d7-4302-b777-b4e0dcf7f2a3"))
+    assert(g("coordinateuncertainty") === 2000.0)
+    val gp = g("geopoint").asInstanceOf[Row]
+    assert(gp.getDouble(0) === -64.7131 && gp.getDouble(1) === 18.348)
+    assert(g("datemodified").toString === "2015-01-17 08:35:59.395")
+    assert(g("datecollected").toString === "1987-08-21 00:00:00.0")
+    assert(g("startdayofyear") === 233)
+  }
+
+  test("grabAll golden: flags and dqs") {
+    assert(g("flags") === Seq("geopoint_datum_missing"))
+    val dqs = g("dqs").asInstanceOf[Double]
+    assert(dqs >= 0.0 && dqs <= 1.0)
+  }
+
+  test("date fallback composes from year/month/day (test:209-221)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1(Map("dwc:year" -> "2014", "dwc:month" -> "01",
+      "dwc:day" -> "10"))).toDF("data")
+    val r = Enrich.records(df).select("datecollected", "startdayofyear").collect()(0)
+    assert(r.getTimestamp(0).toString === "2014-01-10 00:00:00.0")
+    assert(r.getInt(1) === 10)
+  }
+
+  test("date fallback: year + startDayOfYear") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1(Map("dwc:year" -> "1987", "dwc:month" -> "8",
+      "dwc:startDayOfYear" -> "233"))).toDF("data")
+    val r = Enrich.records(df).select("datecollected").collect()(0)
+    assert(r.getTimestamp(0).toString === "1987-08-21 00:00:00.0")
+  }
+
+  test("geo pre-flip swaps transposed coordinates (conversions.py:460-465)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1(Map(
+      "dwc:decimalLatitude" -> "134.567", "dwc:decimalLongitude" -> "34.567",
+      "dwc:geodeticDatum" -> "WGS84"))).toDF("data")
+    val r = Enrich.records(df).select("geopoint", "flags").collect()(0)
+    val gp = r.getStruct(0)
+    assert(gp.getDouble(0) === 134.567 && gp.getDouble(1) === 34.567)
+    assert(r.getSeq[String](1).contains("geopoint_pre_flip"))
+  }
+
+  test("geo bounds: out-of-range nulls the point and flags (:467-475)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1(Map(
+      "dwc:decimalLatitude" -> "91.0", "dwc:decimalLongitude" -> "200.0")))
+      .toDF("data")
+    val r = Enrich.records(df).select("geopoint", "flags").collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getSeq[String](1).contains("geopoint_bounds"))
+  }
+
+  test("geo low-precision flag at <= 2 decimals (:476-477)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1(Map(
+      "dwc:decimalLatitude" -> "18.34", "dwc:decimalLongitude" -> "-64.7131",
+      "dwc:geodeticDatum" -> "WGS84"))).toDF("data")
+    val r = Enrich.records(df).select("flags").collect()(0)
+    assert(r.getSeq[String](0).contains("geopoint_low_precision"))
+  }
+
+  test("datum: unknown datum flags error; alias resolves (:485-509)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1, Map("dwc:decimalLatitude" -> "10.123", "dwc:decimalLongitude" -> "20.123",
+        "dwc:geodeticDatum" -> "World Geodetic System 1984")),
+      (2, Map("dwc:decimalLatitude" -> "10.123", "dwc:decimalLongitude" -> "20.123",
+        "dwc:geodeticDatum" -> "Mars 2000")),
+    ).toDF("id", "data")
+    val rows = Enrich.records(df.orderBy("id")).select("flags").collect()
+    assert(!rows(0).getSeq[String](0).exists(_.startsWith("geopoint_datum")))
+    assert(rows(1).getSeq[String](0).contains("geopoint_datum_error"))
+  }
+
+  test("crossfill: genus+epithet builds scientificname with flag (:745-768)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1(Map("dwc:genus" -> "Puma",
+      "dwc:specificEpithet" -> "concolor"))).toDF("data")
+    val r = Enrich.records(df).select("scientificname", "flags").collect()(0)
+    assert(r.getString(0) === "puma concolor")
+    assert(r.getSeq[String](1).contains("scientificname_added"))
+  }
+
+  test("crossfill reverse: scientificname splits to genus/epithet") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1(Map("dwc:scientificName" -> "Puma concolor"))).toDF("data")
+    val r = Enrich.records(df)
+      .select("genus", "specificepithet", "flags").collect()(0)
+    assert(r.getString(0) === "puma")
+    assert(r.getString(1) === "concolor")
+    assert(r.getSeq[String](2).contains("genus_added"))
+    assert(r.getSeq[String](2).contains("specificepithet_added"))
+  }
+
+  test("enrich plan is UDF-free single-stage (no shuffle)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1(Map("dwc:genus" -> "x"))).toDF("data")
+    val plan = Enrich.records(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "enrich must not shuffle")
+    assert(!plan.toLowerCase.contains("scalaudf"), "enrich must not use UDFs")
+  }
+}
