@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{DslQueries, EtlQueries, LlmQueries, Relational}
+import graft.queries.{CorrectionQueries, DslQueries, EtlQueries, ExportQueries, LlmQueries, Relational, StoreQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -68,6 +68,16 @@ object SparkEntry {
     "q_ann_lsh"       -> (LlmQueries.qAnnLsh _),
     // grabAll enrichment pipeline (SURVEY §2.8)
     "q_enrich"        -> (EtlQueries.qEnrich _),
+    // versioned record store (SURVEY §1.1, §2.3, §2.5)
+    "q_store_view"     -> (StoreQueries.qStoreView _),
+    "q_has_child"      -> (StoreQueries.qHasChild _),
+    "q_version_assign" -> (StoreQueries.qVersionAssign _),
+    "q_etag_dedup"     -> (StoreQueries.qEtagDedup _),
+    // correction engine + export sinks (SURVEY §2.9, §2.1)
+    "q_corrections" -> (CorrectionQueries.qCorrections _),
+    "q_uniquevals"  -> (ExportQueries.qUniquevals _),
+    "q_export_csv"  -> (ExportQueries.qExportCsv _),
+    "q_citations"   -> (ExportQueries.qCitations _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -108,5 +118,13 @@ object SparkEntry {
     "q_ann_topk"      -> LlmQueries.qAnnTopkSql,
     "q_ann_lsh"       -> LlmQueries.qAnnLshSql,
     "q_enrich"        -> EtlQueries.qEnrichSql,
+    "q_store_view"     -> StoreQueries.qStoreViewSql,
+    "q_has_child"      -> StoreQueries.qHasChildSql,
+    "q_version_assign" -> StoreQueries.qVersionAssignSql,
+    "q_etag_dedup"     -> StoreQueries.qEtagDedupSql,
+    "q_corrections" -> CorrectionQueries.qCorrectionsSql,
+    "q_uniquevals"  -> ExportQueries.qUniquevalsSql,
+    "q_export_csv"  -> ExportQueries.qExportCsvSql,
+    "q_citations"   -> ExportQueries.qCitationsSql,
   )
 }

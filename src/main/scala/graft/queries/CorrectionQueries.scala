@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.Tables
+import graft.etl.Corrections
+import graft.etl.Corrections.Rule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The KV correction engine (record_corrector.py:186-255) as a
+  * CORRECTNESS query. Records are customers joined to their nation;
+  * the rule table sets an ISO-code for every country, and the
+  * France rule additionally rewrites `dwc:kingdom` — exercising the
+  * protected-kingdom guard (suspect flag, rule skipped), the
+  * `_added`/`_replaced` flags, the never-overwrite-scientificname
+  * guard, and sequential key-tuple application (a second-stage rule on
+  * the CORRECTED kingdom adds a phylum).
+  */
+object CorrectionQueries {
+
+  def qCorrections(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val records = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(
+        col("c_custkey").as("id"),
+        col("n_name").as("country"),
+        lit(null).cast("string").as("countrycode"),
+        when(col("c_mktsegment") === "BUILDING", "Animalia")
+          .when(col("c_mktsegment") === "MACHINERY", "Vehiclia").as("kingdom"),
+        lit(null).cast("string").as("phylum"),
+        lit("Placeholder name").as("scientificname"))
+
+    // the corrections table: driver-side data, broadcast per stage
+    val nations = n.select(col("n_name"), col("n_nationkey")).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue)).toSeq.sortBy(_._1)
+    val countryRules = nations.map { case (name, key) =>
+      val base = Map("idigbio:isoCountryCode" -> s"cc$key",
+        "dwc:scientificname" -> "never applied")
+      val set = if (name.equalsIgnoreCase("FRANCE"))
+        base + ("dwc:kingdom" -> "plantae") else base
+      Rule(Map("dwc:country" -> name.toLowerCase), set)
+    }
+    val kingdomRules = Seq(
+      Rule(Map("dwc:kingdom" -> "plantae"), Map("dwc:phylum" -> "tracheophyta")))
+
+    val fieldCol = Map(
+      "dwc:country" -> "country", "idigbio:isoCountryCode" -> "countrycode",
+      "dwc:kingdom" -> "kingdom", "dwc:phylum" -> "phylum",
+      "dwc:scientificname" -> "scientificname")
+
+    Corrections.foldFlags(
+        Corrections.apply(records, countryRules ++ kingdomRules, fieldCol),
+        "flags")
+      .select(col("id"), col("country"), col("countrycode"), col("kingdom"),
+        col("phylum"), col("scientificname"),
+        array_join(col("flags"), ",").as("flags"))
+      .orderBy(col("id"))
+  }
+
+  val qCorrectionsSql: String =
+    """WITH rec AS (
+      |  SELECT c_custkey AS id, n_name AS country, n_nationkey,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 'Animalia'
+      |         WHEN c_mktsegment = 'MACHINERY' THEN 'Vehiclia' END AS kingdom
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |st AS (
+      |  SELECT id, country, n_nationkey, kingdom,
+      |    lower(country) = 'france' AS fr,
+      |    (lower(country) = 'france' AND kingdom = 'Animalia') AS suspect
+      |  FROM rec),
+      |applied AS (
+      |  SELECT id, country, kingdom AS kingdom_in, fr, suspect,
+      |    CASE WHEN NOT suspect THEN 'cc' || n_nationkey END AS countrycode,
+      |    CASE WHEN fr AND NOT suspect THEN 'plantae' ELSE kingdom END AS kingdom
+      |  FROM st)
+      |SELECT id, country, countrycode, kingdom,
+      |  CASE WHEN kingdom = 'plantae' THEN 'tracheophyta' END AS phylum,
+      |  'Placeholder name' AS scientificname,
+      |  concat_ws(',',
+      |    CASE WHEN fr AND NOT suspect AND kingdom_in IS NULL
+      |         THEN 'dwc_kingdom_added' END,
+      |    CASE WHEN fr AND NOT suspect AND kingdom_in IS NOT NULL
+      |              AND lower(kingdom_in) != 'plantae'
+      |         THEN 'dwc_kingdom_replaced' END,
+      |    CASE WHEN suspect THEN 'dwc_kingdom_suspect' END,
+      |    CASE WHEN kingdom = 'plantae' THEN 'dwc_phylum_added' END,
+      |    CASE WHEN NOT suspect THEN 'idigbio_isocountrycode_added' END
+      |  ) AS flags
+      |FROM applied ORDER BY id""".stripMargin
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.Tables
+import graft.store.RecordStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The versioned record store exercised end-to-end. The five store
+  * tables are derived deterministically from `events` (the append log):
+  * each user is a record entity, each event appends a version whose body
+  * is the event's props, identifiers are event ids, and a sibling edge
+  * links the record to a synthetic mediarecord entity. The DuckDB
+  * oracle rebuilds the same model in SQL and must match the composed
+  * `idigbio_uuids_data` view (db.py:37-108) row for row.
+  */
+object StoreQueries {
+
+  /** events → store tables. */
+  def storeFrom(s: SparkSession, dir: String): RecordStore = {
+    val ev = Tables.events(s, dir)
+    val recordUuids = ev.select(concat(lit("u"), col("user_id")).as("uuid"),
+        lit("records").as("type"),
+        concat(lit("rs"), col("user_id") % 5).as("parent"),
+        (col("user_id") % 97 === 0).as("deleted"))
+      .distinct()
+    val mediaUuids = ev.select(concat(lit("m"), col("event_id") % 200).as("uuid"),
+        lit("mediarecords").as("type"),
+        concat(lit("rs"), col("event_id") % 5).as("parent"),
+        lit(false).as("deleted"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val uuidsData = ev.select(
+      concat(lit("u"), col("user_id")).as("uuids_id"),
+      md5(col("props")).as("data_etag"),
+      col("ts").as("modified"),
+      (row_number().over(w) - 1).cast("long").as("version"))
+    val data = ev.select(md5(col("props")).as("etag"), col("props").as("data"))
+      .distinct()
+    val identifiers = ev.select(
+      concat(lit("ev:"), col("event_id")).as("identifier"),
+      concat(lit("u"), col("user_id")).as("uuids_id"))
+    val siblings = ev.select(
+      concat(lit("u"), col("user_id")).as("r1"),
+      concat(lit("m"), col("event_id") % 200).as("r2"))
+      .distinct()
+    RecordStore(recordUuids.unionByName(mediaUuids), data, uuidsData,
+      identifiers, siblings)
+  }
+
+  private val modelSql =
+    """ru AS (SELECT DISTINCT 'u' || user_id AS uuid,
+      |         'rs' || (user_id % 5) AS parent,
+      |         (user_id % 97 = 0) AS deleted
+      |       FROM events),
+      |vlog AS (SELECT 'u' || user_id AS uuids_id, md5(props) AS data_etag,
+      |           ts AS modified, props,
+      |           CAST(row_number() OVER (PARTITION BY user_id
+      |             ORDER BY ts, event_id) - 1 AS BIGINT) AS version
+      |         FROM events)""".stripMargin
+
+  /** The composed store view: latest version + sorted recordids +
+    * sibling media + content body, non-deleted records only. */
+  def qStoreView(s: SparkSession, dir: String): DataFrame = {
+    val st = storeFrom(s, dir)
+    st.uuidsDataView
+      .filter(col("type") === "records" && !col("deleted"))
+      .select(
+        col("uuid"), col("parent"), col("etag"), col("version"), col("modified"),
+        array_join(col("recordids"), ",").as("recordids_csv"),
+        size(element_at(col("siblings"), "mediarecords")).as("n_media"),
+        element_at(element_at(col("siblings"), "mediarecords"), 1).as("first_media"),
+        col("data").as("body"))
+      .orderBy(col("uuid"))
+  }
+
+  val qStoreViewSql: String =
+    s"""WITH $modelSql,
+       |latest AS (
+       |  SELECT uuids_id, data_etag, modified, version, props FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY uuids_id
+       |      ORDER BY modified DESC, version DESC) AS rn FROM vlog) WHERE rn = 1),
+       |ids AS (SELECT 'u' || user_id AS uuids_id,
+       |          list_sort(list('ev:' || event_id)) AS recordids
+       |        FROM events GROUP BY 1),
+       |sib AS (SELECT 'u' || user_id AS uuids_id,
+       |          count(DISTINCT 'm' || (event_id % 200)) AS n_media,
+       |          min('m' || (event_id % 200)) AS first_media
+       |        FROM events GROUP BY 1)
+       |SELECT ru.uuid, ru.parent, latest.data_etag AS etag, latest.version,
+       |  latest.modified,
+       |  array_to_string(ids.recordids, ',') AS recordids_csv,
+       |  CAST(sib.n_media AS INT) AS n_media, sib.first_media,
+       |  latest.props AS body
+       |FROM ru
+       |JOIN latest ON latest.uuids_id = ru.uuid
+       |JOIN ids ON ids.uuids_id = ru.uuid
+       |JOIN sib ON sib.uuids_id = ru.uuid
+       |WHERE NOT ru.deleted
+       |ORDER BY ru.uuid""".stripMargin
+
+  /** has_child semi-join over the sibling-derived child arrays
+    * (download.py:407-412): records with at least one even-numbered
+    * mediarecord child. */
+  def qHasChild(s: SparkSession, dir: String): DataFrame = {
+    val st = storeFrom(s, dir)
+    val media = st.siblings
+      .groupBy(col("r2").as("media_id"))
+      .agg(sort_array(collect_list(col("r1"))).as("records"))
+      .filter(expr("CAST(substr(media_id, 2) AS INT) % 2 = 0"))
+    val parents = st.uuids.filter(col("type") === "records" && !col("deleted"))
+      .select(col("uuid"))
+    st.hasChild(parents, media, "records", "uuid")
+      .distinct()
+      .orderBy(col("uuid"))
+  }
+
+  val qHasChildSql: String =
+    """WITH ru AS (SELECT DISTINCT 'u' || user_id AS uuid,
+      |              (user_id % 97 = 0) AS deleted FROM events),
+      |sib AS (SELECT DISTINCT 'u' || user_id AS r1,
+      |          'm' || (event_id % 200) AS r2 FROM events)
+      |SELECT DISTINCT ru.uuid FROM ru
+      |WHERE NOT ru.deleted AND EXISTS (
+      |  SELECT 1 FROM sib
+      |  WHERE sib.r1 = ru.uuid
+      |    AND CAST(substr(sib.r2, 2) AS INT) % 2 = 0)
+      |ORDER BY ru.uuid""".stripMargin
+
+  /** version+1 assignment for an incoming batch (db.py:144-155): the
+    * next version per uuid is max(existing)+1, via one aggregate of the
+    * log — SURVEY §2.5's missing window pattern, done without a window. */
+  def qVersionAssign(s: SparkSession, dir: String): DataFrame = {
+    val st = storeFrom(s, dir)
+    val incoming = st.uuids.filter(col("type") === "records")
+      .select(col("uuid"), md5(col("uuid")).as("etag"))
+    st.assignVersions(incoming)
+      .select(col("uuid"), col("version").as("next_version"))
+      .orderBy(col("uuid"))
+  }
+
+  val qVersionAssignSql: String =
+    """WITH ru AS (SELECT DISTINCT 'u' || user_id AS uuid FROM events),
+      |counts AS (SELECT 'u' || user_id AS uuid, COUNT(*) AS n
+      |           FROM events GROUP BY 1)
+      |SELECT ru.uuid, CAST(counts.n AS BIGINT) AS next_version
+      |FROM ru JOIN counts USING (uuid) ORDER BY uuid""".stripMargin
+
+  /** Content-addressed write dedup (db.py:132-138): how many of an
+    * incoming batch's bodies are genuinely new. */
+  def qEtagDedup(s: SparkSession, dir: String): DataFrame = {
+    val st = storeFrom(s, dir)
+    // incoming: all day-1 bodies plus a synthetic new one per user
+    val ev = Tables.events(s, dir)
+    val incoming = ev.filter(to_date(col("ts")) === "2024-01-01")
+      .select(md5(col("props")).as("etag"))
+      .unionAll(ev.select(md5(concat(lit("new"), col("user_id"))).as("etag")))
+      .distinct()
+    st.newBodies(incoming)
+      .orderBy(col("etag"))
+  }
+
+  val qEtagDedupSql: String =
+    """WITH store_etags AS (SELECT DISTINCT md5(props) AS etag FROM events),
+      |incoming AS (
+      |  SELECT DISTINCT md5(props) AS etag FROM events
+      |  WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+      |  UNION
+      |  SELECT DISTINCT md5('new' || user_id) FROM events)
+      |SELECT etag FROM incoming
+      |WHERE etag NOT IN (SELECT etag FROM store_etags)
+      |ORDER BY etag""".stripMargin
+}
