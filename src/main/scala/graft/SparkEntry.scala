@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CorrectionQueries, DslQueries, EtlQueries, ExportQueries, LlmQueries, Relational, StoreQueries}
+import graft.queries.{CorrectionQueries, DslQueries, EtlQueries, ExportQueries, LlmQueries, Relational, StoreQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -78,6 +78,9 @@ object SparkEntry {
     "q_uniquevals"  -> (ExportQueries.qUniquevals _),
     "q_export_csv"  -> (ExportQueries.qExportCsv _),
     "q_citations"   -> (ExportQueries.qCitations _),
+    // incremental / resume indexing (SURVEY §2.10)
+    "q_incremental"    -> (StreamQueries.qIncremental _),
+    "q_resume_actions" -> (StreamQueries.qResumeActions _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -126,5 +129,7 @@ object SparkEntry {
     "q_uniquevals"  -> ExportQueries.qUniquevalsSql,
     "q_export_csv"  -> ExportQueries.qExportCsvSql,
     "q_citations"   -> ExportQueries.qCitationsSql,
+    "q_incremental"    -> StreamQueries.qIncrementalSql,
+    "q_resume_actions" -> StreamQueries.qResumeActionsSql,
   )
 }

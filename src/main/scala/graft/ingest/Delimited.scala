@@ -1,0 +1,73 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delimited (CSV/TSV) ingestion with the reference's recovery
+  * semantics (idigbio_ingestion/lib/delimited.py:49-306):
+  * header canonicalization, rowtype inference by majority DwC-class
+  * vote, NUL stripping, and bad-line flagging — expressed on Spark's
+  * PERMISSIVE reader so malformed lines survive as flagged rows instead
+  * of killing the file.
+  */
+object Delimited {
+
+  /** Delimiter normalization (delimited.py:63-125): named/escaped/HTML
+    * forms → the character. */
+  def normalizeDelimiter(d: String): String = d match {
+    case "tab" | "\\t" | "0x09" | "&#9;" | "&#09;" => "\t"
+    case "comma" | ","                             => ","
+    case "pipe" | "|"                              => "|"
+    case ";" | "semicolon"                         => ";"
+    case other                                     => other
+  }
+
+  /** Rowtype inference: majority vote of the canonical classes of the
+    * header terms (delimited.py:171-208). Ties break to dwc:Occurrence. */
+  def rowTypeVote(headers: Seq[String]): String = {
+    val classes = headers.map(h => Fieldnames.canonicalName(h)._2)
+      .filter(_ != Fieldnames.UnknownClass)
+    if (classes.isEmpty) "dwc:Occurrence"
+    else {
+      val counts = classes.groupBy(identity).view.mapValues(_.size).toMap
+      val best = counts.values.max
+      val winners = counts.filter(_._2 == best).keys.toSeq.sorted
+      if (winners.contains("dwc:Occurrence")) "dwc:Occurrence" else winners.head
+    }
+  }
+
+  /** Read a delimited file: PERMISSIVE mode with a corrupt-record
+    * column, canonicalized headers (duplicates uniquified), NULs
+    * stripped from every string column, and a `flags` column carrying
+    * `line_parse_error` for rows Spark could not fully parse
+    * (delimited.py:237-296's bad-line recovery). */
+  def read(spark: SparkSession, path: String, delimiter: String = ",",
+      encoding: String = "UTF-8"): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("delimiter", normalizeDelimiter(delimiter))
+      .option("encoding", encoding)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+    val dataCols = raw.columns.filterNot(_ == "_corrupt")
+    // canonicalize + uniquify
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val renamed = dataCols.map { c =>
+      val canon = Fieldnames.canonicalName(c)._1
+      val n = seen.getOrElse(canon, 0)
+      seen(canon) = n + 1
+      if (n == 0) canon else s"${canon}_$n"
+    }
+    val strippedCols = dataCols.zip(renamed).map { case (c, name) =>
+      // strip NULs (db_check.py:170-179)
+      regexp_replace(col(c), "\u0000", "").as(name)
+    }
+    val flagCol =
+      (if (raw.columns.contains("_corrupt"))
+        when(col("_corrupt").isNotNull, array(lit("line_parse_error")))
+          .otherwise(array().cast("array<string>"))
+      else array().cast("array<string>")).as("flags")
+    raw.select(strippedCols :+ flagCol: _*)
+  }
+}
