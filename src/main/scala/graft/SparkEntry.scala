@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CorrectionQueries, DslQueries, EtlQueries, ExportQueries, LlmQueries, Relational, StoreQueries, StreamQueries}
+import graft.queries.{CorrectionQueries, DslQueries, EtlQueries, ExportQueries, LlmQueries, MediaQueries, Relational, StoreQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -81,6 +81,8 @@ object SparkEntry {
     // incremental / resume indexing (SURVEY §2.10)
     "q_incremental"    -> (StreamQueries.qIncremental _),
     "q_resume_actions" -> (StreamQueries.qResumeActions _),
+    // media url/etag resolution (SURVEY §2.3)
+    "q_media_resolution" -> (MediaQueries.qMediaResolution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -131,5 +133,6 @@ object SparkEntry {
     "q_citations"   -> ExportQueries.qCitationsSql,
     "q_incremental"    -> StreamQueries.qIncrementalSql,
     "q_resume_actions" -> StreamQueries.qResumeActionsSql,
+    "q_media_resolution" -> MediaQueries.qMediaResolutionSql,
   )
 }
