@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CorrectionQueries, DslQueries, EtlQueries, ExportQueries, LlmQueries, MediaQueries, Relational, StoreQueries, StreamQueries}
+import graft.queries.{CorrectionQueries, DslQueries, EtlQueries, ExportQueries, IngestQueries, LlmQueries, MediaQueries, Relational, StoreQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -83,6 +83,11 @@ object SparkEntry {
     "q_resume_actions" -> (StreamQueries.qResumeActions _),
     // media url/etag resolution (SURVEY §2.3)
     "q_media_resolution" -> (MediaQueries.qMediaResolution _),
+    // ingestion joins + reporting (SURVEY §2.3, §2.4)
+    "q_ingest_identity" -> (IngestQueries.qIngestIdentity _),
+    "q_suffix_match"    -> (IngestQueries.qSuffixMatch _),
+    "q_dq_report"       -> (IngestQueries.qDqReport _),
+    "q_ingest_summary"  -> (IngestQueries.qIngestSummary _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -134,5 +139,9 @@ object SparkEntry {
     "q_incremental"    -> StreamQueries.qIncrementalSql,
     "q_resume_actions" -> StreamQueries.qResumeActionsSql,
     "q_media_resolution" -> MediaQueries.qMediaResolutionSql,
+    "q_ingest_identity" -> IngestQueries.qIngestIdentitySql,
+    "q_suffix_match"    -> IngestQueries.qSuffixMatchSql,
+    "q_dq_report"       -> IngestQueries.qDqReportSql,
+    "q_ingest_summary"  -> IngestQueries.qIngestSummarySql,
   )
 }

@@ -52,6 +52,18 @@ object Compile {
   def fromJson(json: String, opts: Options = Options()): Column =
     query(Query.parse(json), opts)
 
+  /** `_source` projection with dotted-path fields
+    * (download.py:155-163 get_source_value, :320-323): "a.b.c" walks
+    * nested structs; the last path segment names the output column. */
+  def projection(fields: Seq[String]): Seq[Column] =
+    fields.map { f =>
+      val c = f.split("\\.").foldLeft(Option.empty[Column]) {
+        case (None, seg)      => Some(col(seg))
+        case (Some(acc), seg) => Some(acc.getField(seg))
+      }.get
+      c.as(f.split("\\.").last)
+    }
+
   private def strEq(c: Column, v: String, opts: Options): Column =
     if (opts.dataNormalized) c === lit(v.toLowerCase)
     else lower(c) === lit(v.toLowerCase)

@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion-side join/aggregation semantics (SURVEY §2.3, §2.4):
+  * identity resolution with conflict checks, suffix-match identifier
+  * lookup, the DQ flag report, and ingest summary counters. */
+object IngestQueries {
+
+  /** Ingest identity join (db_check.py:277-339): incoming rows probe
+    * the identifier dimension by candidate id; resolved → existing
+    * uuid, unresolved → "new"; an id claimed by rows of two different
+    * parents is a conflict (cross-record ID violation :304-314).
+    * Broadcast-hash join of the batch against the dimension. */
+  def qIngestIdentity(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // identifier dimension: ids seen on day 1 map to their entity
+    val dim = ev.filter(to_date(col("ts")) === "2024-01-01")
+      .select(concat(lit("id:"), col("event_id") % 5000).as("identifier"),
+        concat(lit("u"), col("user_id")).as("uuids_id"))
+      .groupBy(col("identifier"))
+      .agg(min(col("uuids_id")).as("uuids_id"),
+        (countDistinct(col("uuids_id")) > 1).as("id_conflict"))
+    // incoming batch: day 2 rows with the same candidate-id scheme
+    val incoming = ev.filter(to_date(col("ts")) === "2024-01-02")
+      .select(col("event_id"),
+        concat(lit("id:"), col("event_id") % 5000).as("identifier"),
+        concat(lit("u"), col("user_id")).as("claimed"))
+    incoming.join(dim, Seq("identifier"), "left")
+      .select(col("event_id"), col("identifier"),
+        coalesce(col("uuids_id"), lit("new")).as("resolved"),
+        coalesce(col("id_conflict"), lit(false)).as("id_conflict"),
+        (col("uuids_id").isNotNull && col("uuids_id") =!= col("claimed"))
+          .as("foreign_claim"))
+      .orderBy(col("event_id"))
+  }
+
+  val qIngestIdentitySql: String =
+    """WITH dim AS (
+      |  SELECT 'id:' || (event_id % 5000) AS identifier,
+      |    min('u' || user_id) AS uuids_id,
+      |    count(DISTINCT 'u' || user_id) > 1 AS id_conflict
+      |  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01' GROUP BY 1),
+      |inc AS (
+      |  SELECT event_id, 'id:' || (event_id % 5000) AS identifier,
+      |    'u' || user_id AS claimed
+      |  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02')
+      |SELECT inc.event_id, inc.identifier,
+      |  coalesce(dim.uuids_id, 'new') AS resolved,
+      |  coalesce(dim.id_conflict, false) AS id_conflict,
+      |  (dim.uuids_id IS NOT NULL AND dim.uuids_id != inc.claimed) AS foreign_claim
+      |FROM inc LEFT JOIN dim USING (identifier)
+      |ORDER BY event_id""".stripMargin
+
+  /** Associated-specimen suffix-match join (db_check.py:385-413):
+    * `identifier LIKE '%suffix'` resolved as a reversed-PREFIX match
+    * against the broadcast dimension, so the probe is `startswith` on
+    * reversed strings — sargable, and range-partitionable on the
+    * reversed dimension at scale. */
+  def qSuffixMatch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dim = ev.select(concat(lit("urn:cat:"), col("event_id")).as("identifier"),
+      concat(lit("u"), col("user_id")).as("uuids_id")).distinct()
+    // references carry only the trailing digits of the catalog number
+    val refs = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        concat(lit("cat:"), col("event_id")).as("ref_suffix"))
+      .distinct()
+    // A raw startswith condition plans as a nested-loop join (minutes at
+    // sf0.1, unusable at scale). Any match agrees on the first K chars
+    // of the REVERSED strings, so equi-join on that blocking key (all
+    // refs here are >= K chars) and keep startswith as the residual —
+    // a plain hash join probing ~|alphabet|^K-sized buckets.
+    val K = 4
+    val dimKeyed = dim.withColumn("_rk", substring(reverse(col("identifier")), 1, K))
+    val refKeyed = refs.withColumn("_rk", substring(reverse(col("ref_suffix")), 1, K))
+    refKeyed.join(dimKeyed, Seq("_rk"))
+      .where(reverse(col("identifier")).startsWith(reverse(col("ref_suffix"))))
+      .select(col("event_id"), col("identifier"), col("uuids_id"))
+      .orderBy(col("event_id"), col("identifier"))
+  }
+
+  val qSuffixMatchSql: String =
+    """WITH dim AS (SELECT DISTINCT 'urn:cat:' || event_id AS identifier,
+      |    'u' || user_id AS uuids_id FROM events),
+      |refs AS (SELECT DISTINCT event_id, 'cat:' || event_id AS ref_suffix
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT refs.event_id, dim.identifier, dim.uuids_id
+      |FROM refs JOIN dim ON dim.identifier LIKE '%' || refs.ref_suffix
+      |ORDER BY refs.event_id, dim.identifier""".stripMargin
+
+  /** DQ flag report (idb/reporting/dq_flags.py:44-80): per recordset,
+    * exploded flag counts plus dqs stats (order-independent min/max/
+    * count — avg is derivable and float-order-dependent, so not
+    * hash-compared). Flags derive from event fields like the enrich
+    * pipeline's checks. */
+  def qDqReport(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val flagged = ev.select(
+      concat(lit("rs"), col("user_id") % 5).as("recordset"),
+      (col("value") / 100.0).as("dqs"),
+      array_compact(array(
+        when(col("value") < 1.0, "low_value"),
+        when(col("event_type") === "error", "is_error"))).as("flags"))
+    val flagCounts = flagged
+      .select(col("recordset"), explode(col("flags")).as("flag"))
+      .groupBy(col("recordset"), col("flag"))
+      .agg(count(lit(1)).as("n"))
+    val dqsStats = flagged.groupBy(col("recordset"))
+      .agg(min(col("dqs")).as("dqs_min"), max(col("dqs")).as("dqs_max"),
+        count(col("dqs")).as("dqs_count"))
+    flagCounts.join(dqsStats, Seq("recordset"))
+      .orderBy(col("recordset"), col("flag"))
+  }
+
+  val qDqReportSql: String =
+    """WITH flagged AS (
+      |  SELECT 'rs' || (user_id % 5) AS recordset, value / 100.0 AS dqs,
+      |    CASE WHEN value < 1.0 THEN 1 ELSE 0 END AS f_low,
+      |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS f_err
+      |  FROM events),
+      |fc AS (
+      |  SELECT recordset, 'low_value' AS flag, sum(f_low) AS n FROM flagged
+      |  GROUP BY 1 HAVING sum(f_low) > 0
+      |  UNION ALL
+      |  SELECT recordset, 'is_error', sum(f_err) FROM flagged
+      |  GROUP BY 1 HAVING sum(f_err) > 0),
+      |ds AS (SELECT recordset, min(dqs) AS dqs_min, max(dqs) AS dqs_max,
+      |         count(*) AS dqs_count FROM flagged GROUP BY 1)
+      |SELECT fc.recordset, fc.flag, fc.n, ds.dqs_min, ds.dqs_max, ds.dqs_count
+      |FROM fc JOIN ds USING (recordset)
+      |ORDER BY recordset, flag""".stripMargin
+
+  /** Ingest summary counters (db_check.py:456-475): create/update/
+    * delete/unchanged outcome counts per batch — the resume-action
+    * classification rolled up. */
+  def qIngestSummary(s: SparkSession, dir: String): DataFrame =
+    StreamQueries.qResumeActions(s, dir)
+      .groupBy(col("action")).agg(count(lit(1)).as("n"))
+      .orderBy(col("action"))
+
+  val qIngestSummarySql: String =
+    s"""WITH actions AS (${StreamQueries.qResumeActionsSql})
+       |SELECT action, COUNT(*) AS n FROM actions
+       |GROUP BY action ORDER BY action""".stripMargin
+}
