@@ -14,15 +14,19 @@ object Plan {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.codegen.maxFields", sys.env.getOrElse("MAXF", "100"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain(mode)
-    val t0 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
-    println(f"[plan] $name executed in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val iters = sys.env.getOrElse("PLAN_ITERS", "1").toInt
+    (1 to iters).foreach { i =>
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[plan] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -99,7 +99,12 @@ object Enrich {
       firstNumberLong(getField(data, "dwc:month")).cast("int").as("_mo"),
       firstNumberLong(getField(data, "dwc:day")).cast("int").as("_dy"),
       firstNumberLong(getField(data, "dwc:startDayOfYear")).cast("int").as("_sdy"),
-      array_compact(array(getField(data, "dwc:vernacularName"))).as("commonnames"),
+      // no array_compact: it rewrites to a higher-order ArrayFilter,
+      // which is CodegenFallback and would knock this whole projection
+      // chain out of WholeStageCodegen
+      when(getField(data, "dwc:vernacularName").isNotNull,
+        array(getField(data, "dwc:vernacularName")))
+        .otherwise(array().cast("array<string>")).as("commonnames"),
       genbankSequences(data).as("associatedsequences"),
       verbatimScore.as("_score_verbatim"),
     ) ++ textCols ++ elevCols: _*)
@@ -211,10 +216,14 @@ object Enrich {
       "dwc_basisofrecord_removed", "dwc_basisofrecord_invalid",
       "dwc_taxonrank_removed", "dwc_taxonrank_replaced",
       "dwc_taxonrank_invalid")
-    val flagsCol = array_compact(array(
+    // conditional-array concat instead of array_compact(array(...)):
+    // stays codegen-able (see commonnames note)
+    val flagsCol = concat(
       (setFlagCols ++ foldOrder.map(n => n -> col(s"_flag_$n"))).map {
-        case (name, cond) => when(coalesce(cond, lit(false)), name)
-      }: _*))
+        case (name, cond) =>
+          when(coalesce(cond, lit(false)), array(lit(name)))
+            .otherwise(array().cast("array<string>"))
+      }: _*)
     val s11 = s10.withColumn("flags", flagsCol)
 
     // --- dqs (score, conversions.py:264-271) --------------------------
