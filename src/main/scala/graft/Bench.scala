@@ -43,7 +43,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // enrich throughput vs the reference's only published perf number
+    // (750 rec/s/core, conversions.py:915-930): q_enrich records/sec/core
+    val enrichRecS = results.toMap.get("q_enrich").filter(_ > 0).map { t =>
+      val n = Tables.orders(spark, sfDir).count()
+      n / t / cpus.toDouble
+    }.getOrElse(0.0)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"enrich_rec_s_core":$enrichRecS%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

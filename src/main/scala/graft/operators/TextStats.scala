@@ -11,9 +11,47 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  /** Tokenize once — every stat below also has a `FromWords` form
+    * taking this column, so a multi-stat projection computes the split
+    * a single time (the words column is multi-referenced, which keeps
+    * Catalyst from inlining one split per consumer). */
+  def words(text: Column): Column = split(text, "\\s+")
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     size(split(text, "\\s+"))
+
+  def tokenCountFromWords(w: Column): Column = size(w)
+
+  def subwordCountFromWords(w: Column): Column =
+    aggregate(
+      transform(w, x => ceil(length(x).cast("double") / 4.0).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  def distinctTokenCountFromWords(w: Column): Column =
+    size(array_distinct(w))
+
+  def avgTokenLenFromWords(w: Column): Column =
+    when(size(w) === 0, lit(0.0))
+      .otherwise(
+        aggregate(transform(w, length(_).cast("long")), lit(0L), _ + _)
+          .cast("double") / size(w).cast("double"))
+
+  def stopwordRatioFromWords(w: Column, stopwords: Seq[String]): Column =
+    when(size(w) === 0, lit(0.0)).otherwise(
+      aggregate(transform(w,
+          x => when(lower(x).isin(stopwords: _*), 1L).otherwise(0L)),
+        lit(0L), _ + _).cast("double") / size(w).cast("double"))
+
+  /** Distinct n-word shingles from a pre-split words column. */
+  def shinglesFromWords(w: Column, n: Int): Column =
+    array_distinct(
+      when(size(w) < n, array())
+        .otherwise(transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
+
+  def fingerprintFromWords(w: Column, shingleSize: Int = 3): Column =
+    array_min(transform(shinglesFromWords(w, shingleSize), TextDedup.hash60 _))
 
   /** BPE-ish subword count: word-characters chunk to runs of ≤4 chars
     * (a crude stand-in for byte-pair merges), punctuation counts singly.
@@ -59,8 +97,11 @@ object TextStats {
   /** Stopword-profile language ID: score = matching-token count per
     * language; prediction = argmax, ties broken by language code order
     * (deterministic). 'und' when no profile matches at all. */
-  def langId(text: Column): Column = {
-    val words = split(lower(text), "\\s+")
+  def langId(text: Column): Column = langIdFromWords(split(lower(text), "\\s+"))
+
+  /** Stopword-profile language ID over a pre-split lowercased words
+    * column (see [[langId]]). */
+  def langIdFromWords(words: Column): Column = {
     def score(ws: Seq[String]): Column =
       aggregate(transform(words, w => when(w.isin(ws: _*), 1L).otherwise(0L)),
         lit(0L), _ + _)

@@ -106,17 +106,28 @@ object LlmQueries {
 
   private val enStops = TextStats.stopwordProfiles("en")
 
-  def qTextStats(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      TextStats.tokenCount(col("text")).as("n_tokens"),
-      TextStats.subwordCount(col("text")).as("n_subwords"),
-      TextStats.distinctTokenCount(col("text")).as("n_distinct"),
-      TextStats.avgTokenLen(col("text")).as("avg_len"),
-      TextStats.stopwordRatio(col("text"), enStops).as("stop_en"),
-      array_join(TextStats.qualityFlags(col("text")), ",").as("flags"),
-      TextStats.fingerprint(col("text")).as("fp"),
+  def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    // tokenize once, derive every stat from the shared words column
+    val staged = Tables.documents(s, dir)
+      .select(col("doc_id"), TextStats.words(col("text")).as("_w"))
+      .select(col("doc_id"),
+        TextStats.tokenCountFromWords(col("_w")).as("n_tokens"),
+        TextStats.subwordCountFromWords(col("_w")).as("n_subwords"),
+        TextStats.distinctTokenCountFromWords(col("_w")).as("n_distinct"),
+        TextStats.avgTokenLenFromWords(col("_w")).as("avg_len"),
+        TextStats.stopwordRatioFromWords(col("_w"), enStops).as("stop_en"),
+        TextStats.fingerprintFromWords(col("_w")).as("fp"))
+    staged.select(col("doc_id"), col("n_tokens"), col("n_subwords"),
+      col("n_distinct"), col("avg_len"), col("stop_en"),
+      // flags recomputed from the already-materialized stats
+      concat_ws(",",
+        when(col("n_tokens") < 20, "too_short"),
+        when(col("n_distinct").cast("double") /
+          greatest(col("n_tokens"), lit(1)).cast("double") < 0.3, "low_diversity"),
+        when(col("avg_len") > 12.0, "long_tokens")).as("flags"),
+      col("fp"),
     ).orderBy(col("doc_id"))
+  }
 
   val qTextStatsSql: String = {
     val stopsIn = enStops.map(w => s"'$w'").mkString(", ")
@@ -142,10 +153,11 @@ object LlmQueries {
   }
 
   def qLangId(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      TextStats.langId(col("text")).as("lang_pred"),
-    ).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("_w"))
+      .select(col("doc_id"),
+        TextStats.langIdFromWords(col("_w")).as("lang_pred"))
+      .orderBy(col("doc_id"))
 
   val qLangIdSql: String = {
     val profiles = TextStats.stopwordProfiles.toSeq.sortBy(_._1)
