@@ -12,17 +12,34 @@ import graft.queries.{CorrectionQueries, DslQueries, EtlQueries, ExportQueries, 
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Composed slice (SURVEY §7.2): filter → broadcast dim join → agg →
-    * top-k, the download-citation path shape. */
+    *
+    * The SURVEY §7.2 minimum end-to-end slice: synthesized raw `dwc:*`
+    * records → the full grabAll enrichment pipeline → a Query Format
+    * DSL filter (the reference's own smoke query shape,
+    * download.py:588-594) → the recordset citation aggregation. Every
+    * layer of the engine in one plan: map-column ETL, typed index
+    * fields, DSL compile to pushable predicates, groupBy count. */
   def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val o   = Tables.orders(spark, dir)
-    val c   = Tables.customer(spark, dir)
-    o.filter(col("o_orderstatus") === "F")
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("revenue"))
-      .orderBy(col("n_orders").desc, col("c_mktsegment"))
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val o = Tables.orders(spark, dir)
+    val raw = o.select(
+      col("o_orderkey").as("id"),
+      concat(lit("rs"), col("o_custkey") % 5).as("parent"),
+      map(
+        lit("dwc:genus"), concat(lit("Genus"), col("o_custkey") % 7),
+        lit("dwc:specificEpithet"), concat(lit("sp"), col("o_orderkey") % 3),
+        lit("dwc:stateProvince"), col("o_orderpriority"),
+        lit("dwc:eventDate"), col("o_orderdate").cast("string"),
+        lit("dwc:basisOfRecord"), lit("PreservedSpecimen"),
+      ).as("data"))
+    val enriched = graft.etl.Enrich.records(raw)
+    val rq = graft.dsl.Compile.fromJson(
+      """{"genus": "Genus1", "basisofrecord": "preservedspecimen"}""",
+      graft.dsl.Compile.Options(dataNormalized = true))
+    enriched.filter(rq)
+      .groupBy(col("recordset"))
+      .agg(count(lit(1)).as("itemCount"))
+      .orderBy(col("itemCount").desc, col("recordset"))
   }
 
   type Q = (SparkSession, String) => DataFrame
