@@ -101,16 +101,21 @@ object IngestQueries {
     val flagged = ev.select(
       concat(lit("rs"), col("user_id") % 5).as("recordset"),
       (col("value") / 100.0).as("dqs"),
-      array_compact(array(
-        when(col("value") < 1.0, "low_value"),
-        when(col("event_type") === "error", "is_error"))).as("flags"))
+      // conditional-array concat instead of array_compact(array(...)):
+      // array_compact rewrites to ArrayFilter (CodegenFallback) and
+      // kicks the projection out of WholeStageCodegen
+      concat(
+        when(col("value") < 1.0, array(lit("low_value")))
+          .otherwise(array().cast("array<string>")),
+        when(col("event_type") === "error", array(lit("is_error")))
+          .otherwise(array().cast("array<string>"))).as("flags"))
     val flagCounts = flagged
       .select(col("recordset"), explode(col("flags")).as("flag"))
       .groupBy(col("recordset"), col("flag"))
       .agg(count(lit(1)).as("n"))
     val dqsStats = flagged.groupBy(col("recordset"))
       .agg(min(col("dqs")).as("dqs_min"), max(col("dqs")).as("dqs_max"),
-        count(col("dqs")).as("dqs_count"))
+        count(lit(1)).as("dqs_count"))
     flagCounts.join(dqsStats, Seq("recordset"))
       .orderBy(col("recordset"), col("flag"))
   }
@@ -122,10 +127,11 @@ object IngestQueries {
       |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS f_err
       |  FROM events),
       |fc AS (
-      |  SELECT recordset, 'low_value' AS flag, sum(f_low) AS n FROM flagged
+      |  SELECT recordset, 'low_value' AS flag,
+      |    CAST(sum(f_low) AS BIGINT) AS n FROM flagged
       |  GROUP BY 1 HAVING sum(f_low) > 0
       |  UNION ALL
-      |  SELECT recordset, 'is_error', sum(f_err) FROM flagged
+      |  SELECT recordset, 'is_error', CAST(sum(f_err) AS BIGINT) FROM flagged
       |  GROUP BY 1 HAVING sum(f_err) > 0),
       |ds AS (SELECT recordset, min(dqs) AS dqs_min, max(dqs) AS dqs_max,
       |         count(*) AS dqs_count FROM flagged GROUP BY 1)
