@@ -28,21 +28,26 @@ object Grabbers {
     * (comma-stripped here for casting). */
   private val FirstNumber = "([+-]?[0-9]+(?:[,][0-9]{3})*(?:[\\.][0-9]*)?)"
 
-  def grabFirstNumber(c: Column): Column = {
-    val m = regexp_extract(c, FirstNumber, 1)
-    when(m === "", lit(null)).otherwise(m)
-  }
+  def grabFirstNumber(c: Column): Column =
+    nullif(regexp_extract(c, FirstNumber, 1), lit(""))
 
-  /** locale.atof of the first number (elev/floatGrabber semantics). */
+  /** locale.atof of the first number (elev/floatGrabber semantics).
+    * Single regexp evaluation: no-match yields "", comma-strip keeps it
+    * "", and try_cast sends "" to null — no `=== ""` guard that would
+    * duplicate the regexp tree (it was the hottest expression family in
+    * the enrich stage, previously evaluated 3× per column). */
   def firstNumberDouble(c: Column): Column =
-    regexp_replace(grabFirstNumber(c), ",", "").cast("double")
+    regexp_replace(regexp_extract(c, FirstNumber, 1), ",", "")
+      .try_cast(org.apache.spark.sql.types.DoubleType)
 
   /** locale.atoi of the first number: fails (null) when the match has a
-    * fractional part, like Python int() on "1.5" (intGrabber :380-384). */
-  def firstNumberLong(c: Column): Column = {
-    val m = regexp_replace(grabFirstNumber(c), ",", "")
-    when(m.contains("."), lit(null)).otherwise(m.cast("long"))
-  }
+    * fractional part, like Python int() on "1.5" (intGrabber :380-384).
+    * ANSI try_cast string→long rejects non-integral text ("1.5", "1.",
+    * "") as null — exactly the Python int() failure set — so one regexp
+    * evaluation suffices, no contains(".") guard. */
+  def firstNumberLong(c: Column): Column =
+    regexp_replace(regexp_extract(c, FirstNumber, 1), ",", "")
+      .try_cast(org.apache.spark.sql.types.LongType)
 
   /** grabFirstUUID (conversions.py:319-331). */
   private val UuidRe =
