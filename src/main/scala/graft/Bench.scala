@@ -22,6 +22,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Fall back from whole-stage fusion when the compiled method exceeds
+      // HotSpot's 8000-byte JIT ceiling (SPARK-21871): a fused method past
+      // that limit silently runs interpreted — measured 6x slower on the
+      // wide enrich projection than per-operator codegen that does JIT.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

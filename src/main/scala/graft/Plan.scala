@@ -15,6 +15,7 @@ object Plan {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.codegen.maxFields", sys.env.getOrElse("MAXF", "100"))
+      .config("spark.sql.codegen.hugeMethodLimit", sys.env.getOrElse("HML", "8000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

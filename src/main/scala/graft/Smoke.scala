@@ -9,6 +9,8 @@ object Smoke {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // see Bench.scala: fused methods past the JIT limit run interpreted
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -14,6 +14,8 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // see Bench.scala: fused methods past the JIT limit run interpreted
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -35,7 +35,13 @@ object EtlQueries {
       .when(col("o_orderpriority") === "3-MEDIUM", "machine observation")
       .when(col("o_orderpriority") === "4-NOT SPECIFIED", "mystery meat")
       .otherwise("unknown sheet")
-    val raw = o.select(
+    // Sort at the SOURCE, not on the enriched result: a top-level orderBy
+    // range-samples its child, which re-executes the entire enrich
+    // projection a second time just to pick partition boundaries. Sorting
+    // the scan first means the sampling job reads only the pruned orders
+    // columns, and the enrich projection (order-preserving, narrow) runs
+    // once, in parallel, over already-ranged partitions.
+    val raw = o.orderBy(col("o_orderkey")).select(
       col("o_orderkey").as("id"),
       map(
         lit("dwc:scientificName"), sciname,
@@ -55,7 +61,7 @@ object EtlQueries {
       col("datecollected"), col("startdayofyear"), col("eventdate"),
       array_join(col("flags"), ",").as("flags"),
       col("dqs"),
-    ).orderBy(col("id"))
+    )
   }
 
   val qEnrichSql: String = {
