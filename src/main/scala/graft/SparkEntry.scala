@@ -85,6 +85,7 @@ object SparkEntry {
     "q_ann_lsh"       -> (LlmQueries.qAnnLsh _),
     // grabAll enrichment pipeline (SURVEY §2.8)
     "q_enrich"        -> (EtlQueries.qEnrich _),
+    "q_geo_correct"   -> (EtlQueries.qGeoCorrect _),
     // versioned record store (SURVEY §1.1, §2.3, §2.5)
     "q_store_view"     -> (StoreQueries.qStoreView _),
     "q_has_child"      -> (StoreQueries.qHasChild _),
@@ -145,6 +146,7 @@ object SparkEntry {
     "q_ann_topk"      -> LlmQueries.qAnnTopkSql,
     "q_ann_lsh"       -> LlmQueries.qAnnLshSql,
     "q_enrich"        -> EtlQueries.qEnrichSql,
+    "q_geo_correct"   -> EtlQueries.qGeoCorrectSql,
     "q_store_view"     -> StoreQueries.qStoreViewSql,
     "q_has_child"      -> StoreQueries.qHasChildSql,
     "q_version_assign" -> StoreQueries.qVersionAssignSql,

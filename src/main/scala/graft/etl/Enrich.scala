@@ -31,9 +31,14 @@ import org.apache.spark.sql.functions._
 object Enrich {
   import Grabbers._
 
-  /** A fixed `now` so plans are deterministic (checkBounds upper bound). */
+  /** A fixed `now` so plans are deterministic (checkBounds upper bound).
+    * `geo` supplies the country-polygon (and optional EEZ) index for the
+    * reverse-geocode correction stage (conversions.py:514-563); when set,
+    * `geopoint` is flip-corrected against `countrycode` and the
+    * rev_geocode_* flags join the fold (and count toward dqs). */
   def records(df: DataFrame,
-      now: java.sql.Timestamp = java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      now: java.sql.Timestamp = java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+      geo: Option[(GeoCorrection.CountryIndex, Option[GeoCorrection.CountryIndex])] = None)
       : DataFrame = {
     val data = col("data")
     val hasCol = df.columns.toSet
@@ -147,10 +152,17 @@ object Enrich {
       },
     ))
 
-    val s5 = s4.withColumns(Map(
+    val s5pre = s4.withColumns(Map(
       "geopoint" -> when(col("_lat0").isNotNull && col("_lon0").isNotNull && !col("_oob"),
         struct(col("_lon1").as("lon"), col("_lat1").as("lat"))),
     ))
+
+    // reverse-geocode correction (conversions.py:514-563) — the budgeted
+    // broadcast-lookup UDF; skipped entirely when no index is supplied
+    val s5 = geo match {
+      case Some((idx, eez)) => GeoCorrection.stage(s5pre, idx, eez)
+      case None => s5pre
+    }
 
     val s6 = s5.withColumns(Map(
       "_flag_geopoint_pre_flip" -> col("_pre_flip"),
@@ -209,21 +221,31 @@ object Enrich {
         abs(col("geopoint.lon")) === abs(col("geopoint.lat"))),
       "datecollected_bounds" -> dateOutOfBounds(col("datecollected"), now),
     )
-    val foldOrder = Seq(
+    val geoFoldOrder = Seq(
       "geopoint_pre_flip", "geopoint_bounds", "geopoint_low_precision",
-      "geopoint_datum_missing", "geopoint_datum_error",
+      "geopoint_datum_missing", "geopoint_datum_error")
+    val restFoldOrder = Seq(
       "scientificname_added", "genus_added", "specificepithet_added",
       "dwc_basisofrecord_removed", "dwc_basisofrecord_invalid",
       "dwc_taxonrank_removed", "dwc_taxonrank_replaced",
       "dwc_taxonrank_invalid")
     // conditional-array concat instead of array_compact(array(...)):
     // stays codegen-able (see commonnames note)
+    def flagParts(named: Seq[(String, Column)]): Seq[Column] =
+      named.map { case (name, cond) =>
+        when(coalesce(cond, lit(false)), array(lit(name)))
+          .otherwise(array().cast("array<string>"))
+      }
+    // rev_geocode flags slot in right after the other geo flags, matching
+    // the reference's per-grabber append order (geoGrabber before
+    // crossfill/vocab fixes)
+    val rgPart =
+      if (geo.isDefined) Seq(coalesce(col("_rg_flags"), array().cast("array<string>")))
+      else Nil
     val flagsCol = concat(
-      (setFlagCols ++ foldOrder.map(n => n -> col(s"_flag_$n"))).map {
-        case (name, cond) =>
-          when(coalesce(cond, lit(false)), array(lit(name)))
-            .otherwise(array().cast("array<string>"))
-      }: _*)
+      flagParts(setFlagCols ++ geoFoldOrder.map(n => n -> col(s"_flag_$n"))) ++
+        rgPart ++
+        flagParts(restFoldOrder.map(n => n -> col(s"_flag_$n"))): _*)
     val s11 = s10.withColumn("flags", flagsCol)
 
     // --- dqs (score, conversions.py:264-271) --------------------------

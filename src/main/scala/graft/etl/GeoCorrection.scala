@@ -115,12 +115,15 @@ object GeoCorrection {
     ((lon, lat), flags)
   }
 
-  /** DataFrame stage: applies [[correctPoint]] to a `geopoint` struct +
-    * `countrycode` column via a UDF over the broadcast index (SURVEY
-    * §2.11 explicitly budgets this cluster as a broadcast-lookup UDF —
-    * polygon probing is not expressible in codegen built-ins). Adds the
-    * flags into the existing `flags` array. */
-  def reverseGeocode(df: DataFrame, index: CountryIndex,
+  /** Pipeline stage form: applies [[correctPoint]] to the `geopoint`
+    * struct + `countrycode` column via a UDF over the broadcast index
+    * (SURVEY §2.11 explicitly budgets this cluster as a broadcast-lookup
+    * UDF — polygon probing is not expressible in codegen built-ins).
+    * Rewrites `geopoint` with the corrected point and adds a
+    * `_rg_flags: array<string>` column (null when there is no geopoint)
+    * for the caller's flag fold — used by [[Enrich.records]] so the
+    * rev_geocode_* flags land in fold order and count toward dqs. */
+  def stage(df: DataFrame, index: CountryIndex,
       eez: Option[CountryIndex] = None): DataFrame = {
     val spark = df.sparkSession
     val bIdx = spark.sparkContext.broadcast(index)
@@ -134,15 +137,24 @@ object GeoCorrection {
         case _ => Option.empty[(Double, Double, Seq[String])]
       }
     }
-    df.withColumn("_rg",
-        fn(col("geopoint.lon"), col("geopoint.lat"), col("countrycode")))
+    val cc = if (df.columns.contains("countrycode")) col("countrycode")
+             else lit(null).cast("string")
+    df.withColumn("_rg", fn(col("geopoint.lon"), col("geopoint.lat"), cc))
       .withColumn("geopoint",
         when(col("_rg").isNotNull,
           struct(col("_rg._1").as("lon"), col("_rg._2").as("lat")))
           .otherwise(col("geopoint")))
-      .withColumn("flags",
-        when(col("_rg").isNotNull, concat(col("flags"), col("_rg._3")))
-          .otherwise(col("flags")))
+      .withColumn("_rg_flags", col("_rg._3"))
       .drop("_rg")
   }
+
+  /** Standalone form: corrects `geopoint` and concatenates the
+    * rev_geocode flags onto an existing `flags` array. */
+  def reverseGeocode(df: DataFrame, index: CountryIndex,
+      eez: Option[CountryIndex] = None): DataFrame =
+    stage(df, index, eez)
+      .withColumn("flags",
+        when(col("_rg_flags").isNotNull, concat(col("flags"), col("_rg_flags")))
+          .otherwise(col("flags")))
+      .drop("_rg_flags")
 }

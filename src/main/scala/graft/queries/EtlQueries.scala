@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.etl.{Enrich, FieldSchema}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.{Enrich, FieldSchema, GeoCorrection}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The grabAll enrichment pipeline (SURVEY §2.8) as a CORRECTNESS query:
@@ -107,5 +107,160 @@ object EtlQueries {
        |        + (CASE WHEN bor_fixed IS NULL THEN 2 ELSE 0 END)))
        |  / $maxScore AS dqs
        |FROM raw ORDER BY id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_geo_correct: the reverse-geocode correction stage
+  // (conversions.py:514-563, rg.py:14-78) exercised END-TO-END through
+  // Enrich.records with a fixture country index. Points are synthesized
+  // inside rectangle "countries", then deterministically corrupted with
+  // the exact error classes the reference's 7-way flip search repairs
+  // (sign flips, transposition), plus ocean points (rev_geocode_failure)
+  // and wrong-countrycode rows (rev_geocode_mismatch). The oracle mirrors
+  // the full decision procedure in SQL: point-in-rectangle stands in for
+  // point-in-polygon (the ray-cast agrees on rectangle interiors), and
+  // the candidate CASE replays the reference's priority order.
+  // ---------------------------------------------------------------------
+
+  /** Fixture countries: (code, lon0, lon1, lat0, lat1), chosen so no
+    * synthesized point lands on a boundary and ranges stay disjoint
+    * under every corruption. */
+  private val rgRects = Seq(
+    ("aa", 9.5, 31.5, 44.5, 65.5),
+    ("bb", -81.5, -59.5, 34.5, 55.5),
+    ("cc", 59.5, 80.5, -41.5, -19.5))
+
+  def rgFixtureIndex: GeoCorrection.CountryIndex =
+    new GeoCorrection.CountryIndex(rgRects.map { case (code, x0, x1, y0, y1) =>
+      GeoCorrection.CountryShape(code,
+        Seq((x0, y0), (x1, y0), (x1, y1), (x0, y1)))
+    })
+
+  /** SQL twin of CountryIndex.countryOf over the fixture rectangles. */
+  private def countrySql(lon: String, lat: String): String =
+    "CASE " + rgRects.map { case (c, x0, x1, y0, y1) =>
+      s"WHEN $lon > $x0 AND $lon < $x1 AND $lat > $y0 AND $lat < $y1 THEN '$c'"
+    }.mkString(" ") + " END"
+
+  def qGeoCorrect(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val k = col("o_orderkey") % 5   // corruption class
+    val ci = col("o_custkey") % 4   // country (3 = ocean)
+    val lonI = when(ci === 0, 10).when(ci === 1, -80)
+      .when(ci === 2, 60).otherwise(-150) + col("o_orderkey") % 20
+    val latI = when(ci === 0, 45).when(ci === 1, 35)
+      .otherwise(-40) + col("o_custkey") % 20
+    val lonS = concat(lonI.cast("string"), lit("."),
+      lpad((col("o_orderkey") % 1000).cast("string"), 3, "0"))
+    val latS = concat(latI.cast("string"), lit("."),
+      lpad((col("o_custkey") % 1000).cast("string"), 3, "0"))
+    def negS(c: Column): Column =
+      when(substring(c, 1, 1) === "-", substring(c, 2, 64))
+        .otherwise(concat(lit("-"), c))
+    val lonC = when(k === 1 || k === 3, negS(lonS))
+      .when(k === 4, latS).otherwise(lonS)
+    val latC = when(k === 2 || k === 3, negS(latS))
+      .when(k === 4, lonS).otherwise(latS)
+    // countrycode: absent for ocean rows; deliberately wrong every 7th key
+    val ccTrue = when(ci === 0, "aa").when(ci === 1, "bb").otherwise("cc")
+    val ccWrong = when(ci === 0, "bb").when(ci === 1, "cc").otherwise("aa")
+    val cc = when(col("o_orderkey") % 7 === 0, ccWrong).otherwise(ccTrue)
+    val base = Seq(
+      lit("dwc:decimalLatitude"), latC,
+      lit("dwc:decimalLongitude"), lonC,
+      lit("dwc:geodeticDatum"), lit("WGS84"),
+      lit("dwc:basisOfRecord"), lit("PreservedSpecimen"))
+    val raw = o.orderBy(col("o_orderkey")).select(
+      col("o_orderkey").as("id"),
+      when(ci === 3, map(base: _*))
+        .otherwise(map(base ++ Seq(lit("idigbio:isoCountryCode"), cc): _*))
+        .as("data"))
+    Enrich.records(raw, geo = Some((rgFixtureIndex, None))).select(
+      col("id"),
+      col("geopoint.lon").as("lon"), col("geopoint.lat").as("lat"),
+      array_join(col("flags"), ",").as("flags"))
+  }
+
+  val qGeoCorrectSql: String = {
+    def c(lon: String, lat: String) = countrySql(lon, lat)
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS id, o_orderkey % 5 AS k, o_custkey % 4 AS ci,
+       |    CAST(CASE o_custkey % 4 WHEN 0 THEN 10 WHEN 1 THEN -80
+       |           WHEN 2 THEN 60 ELSE -150 END + o_orderkey % 20 AS VARCHAR)
+       |      || '.' || lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') AS lon_s,
+       |    CAST(CASE o_custkey % 4 WHEN 0 THEN 45 WHEN 1 THEN 35
+       |           ELSE -40 END + o_custkey % 20 AS VARCHAR)
+       |      || '.' || lpad(CAST(o_custkey % 1000 AS VARCHAR), 3, '0') AS lat_s,
+       |    CASE WHEN o_custkey % 4 = 3 THEN NULL
+       |         WHEN o_orderkey % 7 = 0 THEN
+       |           (CASE o_custkey % 4 WHEN 0 THEN 'bb' WHEN 1 THEN 'cc' ELSE 'aa' END)
+       |         ELSE (CASE o_custkey % 4 WHEN 0 THEN 'aa' WHEN 1 THEN 'bb' ELSE 'cc' END)
+       |    END AS cc
+       |  FROM orders),
+       |corr AS (
+       |  SELECT id, cc,
+       |    CAST(CASE WHEN k IN (1, 3) THEN
+       |           (CASE WHEN substr(lon_s, 1, 1) = '-' THEN substr(lon_s, 2)
+       |                 ELSE '-' || lon_s END)
+       |         WHEN k = 4 THEN lat_s ELSE lon_s END AS DOUBLE) AS plon,
+       |    CAST(CASE WHEN k IN (2, 3) THEN
+       |           (CASE WHEN substr(lat_s, 1, 1) = '-' THEN substr(lat_s, 2)
+       |                 ELSE '-' || lat_s END)
+       |         WHEN k = 4 THEN lon_s ELSE lat_s END AS DOUBLE) AS plat
+       |  FROM base),
+       |g1 AS (
+       |  SELECT *, ((plat >= -180 AND plat < -90) OR (plat > 90 AND plat <= 180))
+       |    AND plon BETWEEN -90 AND 90 AS pre_flip FROM corr),
+       |g2 AS (
+       |  SELECT id, cc, pre_flip,
+       |    CASE WHEN pre_flip THEN plat ELSE plon END AS lon1,
+       |    CASE WHEN pre_flip THEN plon ELSE plat END AS lat1 FROM g1),
+       |g3 AS (
+       |  SELECT *, NOT (lat1 BETWEEN -90 AND 90 AND lon1 BETWEEN -180 AND 180)
+       |    AS oob FROM g2),
+       |g4 AS (
+       |  SELECT *, CASE WHEN NOT oob THEN ${c("lon1", "lat1")} END AS r0 FROM g3),
+       |g5 AS (
+       |  SELECT *,
+       |    CASE WHEN NOT oob AND cc IS NOT NULL AND (r0 IS NULL OR r0 != cc) THEN
+       |      CASE WHEN ${c("(-lon1)", "lat1")} = cc THEN 1
+       |           WHEN ${c("lon1", "(-lat1)")} = cc THEN 2
+       |           WHEN ${c("(-lon1)", "(-lat1)")} = cc THEN 3
+       |           WHEN abs(lon1) <= 90 AND ${c("lat1", "lon1")} = cc THEN 4
+       |           WHEN abs(lon1) <= 90 AND ${c("(-lat1)", "lon1")} = cc THEN 5
+       |           WHEN abs(lon1) <= 90 AND ${c("lat1", "(-lon1)")} = cc THEN 6
+       |           WHEN abs(lon1) <= 90 AND ${c("(-lat1)", "(-lon1)")} = cc THEN 7
+       |           ELSE 0 END
+       |    ELSE 0 END AS cidx FROM g4),
+       |g6 AS (
+       |  SELECT *,
+       |    CASE WHEN oob THEN NULL
+       |         WHEN cidx IN (1, 3) THEN -lon1 WHEN cidx IN (4, 6) THEN lat1
+       |         WHEN cidx IN (5, 7) THEN -lat1 ELSE lon1 END AS lon,
+       |    CASE WHEN oob THEN NULL
+       |         WHEN cidx IN (2, 3) THEN -lat1 WHEN cidx IN (4, 5) THEN lon1
+       |         WHEN cidx IN (6, 7) THEN -lon1 ELSE lat1 END AS lat
+       |  FROM g5)
+       |SELECT id, lon, lat,
+       |  concat_ws(',',
+       |    CASE WHEN lon IS NOT NULL AND (lon = 0 OR lat = 0)
+       |      THEN 'geopoint_0_coord' END,
+       |    CASE WHEN lon IS NOT NULL AND abs(lon) = abs(lat)
+       |      THEN 'geopoint_similar_coord' END,
+       |    CASE WHEN pre_flip THEN 'geopoint_pre_flip' END,
+       |    CASE WHEN oob THEN 'geopoint_bounds' END,
+       |    CASE WHEN NOT oob AND r0 IS NULL THEN 'rev_geocode_failure' END,
+       |    CASE WHEN NOT oob AND cc IS NOT NULL AND (r0 IS NULL OR r0 != cc)
+       |      THEN 'rev_geocode_mismatch' END,
+       |    CASE cidx WHEN 1 THEN 'rev_geocode_lon_sign'
+       |      WHEN 2 THEN 'rev_geocode_lat_sign'
+       |      WHEN 3 THEN 'rev_geocode_both_sign'
+       |      WHEN 4 THEN 'rev_geocode_flip'
+       |      WHEN 5 THEN 'rev_geocode_flip_lat_sign'
+       |      WHEN 6 THEN 'rev_geocode_flip_lon_sign'
+       |      WHEN 7 THEN 'rev_geocode_flip_both_sign' END,
+       |    CASE WHEN cidx > 0 THEN 'rev_geocode_corrected' END
+       |  ) AS flags
+       |FROM g6 ORDER BY id""".stripMargin
   }
 }
