@@ -86,6 +86,7 @@ object SparkEntry {
     // grabAll enrichment pipeline (SURVEY §2.8)
     "q_enrich"        -> (EtlQueries.qEnrich _),
     "q_geo_correct"   -> (EtlQueries.qGeoCorrect _),
+    "q_enrich_media"  -> (EtlQueries.qEnrichMedia _),
     // versioned record store (SURVEY §1.1, §2.3, §2.5)
     "q_store_view"     -> (StoreQueries.qStoreView _),
     "q_has_child"      -> (StoreQueries.qHasChild _),
@@ -147,6 +148,7 @@ object SparkEntry {
     "q_ann_lsh"       -> LlmQueries.qAnnLshSql,
     "q_enrich"        -> EtlQueries.qEnrichSql,
     "q_geo_correct"   -> EtlQueries.qGeoCorrectSql,
+    "q_enrich_media"  -> EtlQueries.qEnrichMediaSql,
     "q_store_view"     -> StoreQueries.qStoreViewSql,
     "q_has_child"      -> StoreQueries.qHasChildSql,
     "q_version_assign" -> StoreQueries.qVersionAssignSql,

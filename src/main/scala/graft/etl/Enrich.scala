@@ -262,4 +262,94 @@ object Enrich {
 
     s12.drop(s12.columns.filter(_.startsWith("_")): _*)
   }
+
+  /** grabAll for the mediarecords type (conversions.py:932-964 with the
+    * mediarecords field table :138-160). Same input contract as
+    * [[records]]; output is one typed column per
+    * FieldSchema.mediarecords entry plus `flags` and `dqs`.
+    *
+    * Notes vs the reference:
+    *  - the intGrabber table (conversions.py:365-368) grabs `xpixels`
+    *    from exif:PixelYDimension and `ypixels` from exif:PixelXDimension
+    *    — a deliberate-looking swap we REPRODUCE, since downstream
+    *    consumers of the reference's index see swapped dimensions and
+    *    behavior compatibility wins over exif correctness;
+    *  - the license vote resolves count ties to the first-seen candidate
+    *    (the reference's max(set(...)) tie order is hash-arbitrary);
+    *  - no geo/elev/crossfill/vocab stages run for this type (their
+    *    per-type grabber tables are empty), so the only flags are the
+    *    ones inherited from the raw record, and dqs is pure field
+    *    presence. */
+  def mediarecords(df: DataFrame): DataFrame = {
+    val data = col("data")
+    val hasCol = df.columns.toSet
+    val siblings =
+      if (hasCol("siblings")) col("siblings")
+      else lit(null).cast("map<string,array<string>>")
+
+    val licenseCandidates = Seq("dcterms:rights", "dc:rights",
+      "xmpRights:UsageTerms", "xmpRights:WebStatement", "dcterms:license")
+    val (formatCol, mediatypeCol) = mediaType(data)
+
+    val contract = Set("data", "uuid", "etag", "version", "parent",
+      "recordids", "siblings")
+    val produced = FieldSchema.mediarecords.map(_.index).toSet
+    val passthrough = df.columns.toSeq
+      .filterNot(c => contract(c) || produced(c)).map(col)
+
+    // --- stage 1: everything that reads `data` ------------------------
+    val s1 = df.select(passthrough ++ Seq(
+      (if (hasCol("uuid")) col("uuid") else getField(data, "idigbio:uuid")).as("uuid"),
+      (if (hasCol("etag")) col("etag") else getField(data, "idigbio:etag")).as("etag"),
+      (if (hasCol("recordids")) col("recordids")
+       else lit(null).cast("array<string>")).as("recordids"),
+      (if (hasCol("version")) col("version").cast("long")
+       else firstNumberLong(getField(data, "idigbio:version"))).as("version"),
+      (if (hasCol("parent")) col("parent")
+       else element_at(siblings, "recordset").getItem(0)).as("recordset"),
+      element_at(siblings, "record").as("records"),
+      permissiveTimestamp(upper(trim(getFieldRaw(data, "idigbio:dateModified"))))
+        .as("datemodified"),
+      permissiveTimestamp(upper(trim(getFieldRaw(data, "dcterms:modified"))))
+        .as("modified"),
+      getField(data, "dc:type").as("type"),
+      getField(data, "ac:tag").as("tag"),
+      // reference swap (conversions.py:367-368): xpixels ← PixelY
+      firstNumberLong(getField(data, "exif:PixelYDimension")).as("xpixels"),
+      firstNumberLong(getField(data, "exif:PixelXDimension")).as("ypixels"),
+      formatCol.as("format"),
+      mediatypeCol.as("mediatype"),
+      accessUri(data).as("accessuri"),
+    ) ++ licenseCandidates.zipWithIndex.map { case (f, i) =>
+      licenseKey(getFieldRaw(data, f)).as(s"_lic_$i")
+    }: _*)
+
+    // --- stage 2: license vote over the materialized key columns ------
+    val s2 = s1.withColumns(Map(
+      "_lic_vote" -> licenseVote(
+        licenseCandidates.indices.map(i => col(s"_lic_$i"))),
+      "hasSpecimen" -> col("records").isNotNull,
+    ))
+    val (rights, logo, webstatement) = licenseDetail(col("_lic_vote"))
+    val s3 = s2.withColumns(Map(
+      "rights" -> rights,
+      "licenselogourl" -> logo,
+      "webstatement" -> webstatement,
+    ))
+
+    // --- flags + dqs ---------------------------------------------------
+    // no geopoint/datecollected for this type → setFlags contributes
+    // nothing; flags is the empty list (corrections-added flag_ keys are
+    // the correction engine's concern, Corrections.scala)
+    val s4 = s3.withColumn("flags", array().cast("array<string>"))
+    val scored = FieldSchema.mediarecords
+      .filter(fd => fd.inScore > 0 && s4.columns.contains(fd.index))
+      .map(fd => when(col(fd.index).isNotNull, lit(fd.inScore)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val s5 = s4.withColumn("dqs",
+      (scored - size(col("flags"))).cast("double") /
+        lit(FieldSchema.maxScores("mediarecords")))
+
+    s5.drop(s5.columns.filter(_.startsWith("_")): _*)
+  }
 }

@@ -152,29 +152,42 @@ object Grabbers {
     (value, isRemoved, wasReplaced)
   }
 
-  /** getLicense (conversions.py:683-708): match candidate rights fields
-    * against the license table, majority vote, expand to detail fields.
-    * Returns (rights, licenselogourl, webstatement). The vote is over a
-    * constant-size candidate list → pure expressions, no join. */
-  def license(data: Column, candidateFields: Seq[String])
-      : (Column, Column, Column) = {
-    // map each candidate field's raw value to a license key (or null)
-    val keyCols = candidateFields.map { f =>
-      val v = getFieldRaw(data, f)
-      Vocab.licenseTrans.foldLeft(when(lit(false), lit("")))(
-        (acc, kv) => acc.when(v === kv._1, kv._2))
+  /** getLicense step 1 (conversions.py:683-708): map one candidate
+    * field's raw value to a license key via the acceptable-licenses
+    * table. Callers materialize one of these per candidate field as a
+    * named column, then run [[licenseVote]] over the attributes — the
+    * when-chain is large, so it must appear once per candidate, not once
+    * per vote comparison. */
+  def licenseKey(v: Column): Column =
+    Vocab.licenseTrans.foldLeft(when(lit(false), lit("")))(
+      (acc, kv) => acc.when(v === kv._1, kv._2))
+
+  /** getLicense step 2: majority vote with first-seen tiebreak (Python
+    * max(set, key=count) ties are hash-order-arbitrary; we pin to
+    * first-seen — divergence noted). Pure pairwise comparisons over the
+    * fixed candidate positions — codegen-friendly, unlike the previous
+    * higher-order `aggregate`/`filter` formulation (CodegenFallback). */
+  def licenseVote(keys: Seq[Column]): Column = {
+    val n = keys.size
+    // score_i = votes for key_i, packed with a position tiebreak; only
+    // the first occurrence of each key is eligible so equal-count ties
+    // resolve to the earliest candidate field
+    val scores = keys.zipWithIndex.map { case (ki, i) =>
+      val cnt = keys.map(kj => when(kj === ki, 1).otherwise(0)).reduce(_ + _)
+      val isFirst = (0 until i)
+        .map(j => coalesce(keys(j) =!= ki, lit(true)))
+        .foldLeft(lit(true))(_ && _)
+      when(ki.isNotNull && isFirst, cnt * (n + 1) + (n - i)).otherwise(0)
     }
-    val keys = array_compact(array(keyCols: _*))
-    // majority vote with first-seen tiebreak (Python max(set, key=count)
-    // ties are arbitrary-order; we pin to first-seen — divergence noted)
-    val voted = aggregate(
-      array_distinct(keys),
-      struct(lit(0).as("n"), lit(null).cast("string").as("k")),
-      (best, k) => {
-        val n = size(filter(keys, x => x === k))
-        when(n > best.getField("n"),
-          struct(n.as("n"), k.as("k"))).otherwise(best)
-      }).getField("k")
+    val best = greatest(scores: _*)
+    coalesce(keys.zipWithIndex.map { case (ki, i) =>
+      when(best > 0 && scores(i) === best, ki)
+    }: _*)
+  }
+
+  /** getLicense step 3: expand the voted key to its detail fields;
+    * `voted` should be a materialized attribute (referenced 3×). */
+  def licenseDetail(voted: Column): (Column, Column, Column) = {
     def detail(i: Int): Column =
       Vocab.licenses.foldLeft(when(lit(false), lit("")))((acc, kv) =>
         acc.when(voted === kv._1, kv._2.productElement(i).toString))
@@ -182,9 +195,12 @@ object Grabbers {
   }
 
   /** get_accessuri (conversions.py:711-722): accessURI ∥ bestQuality ∥
-    * identifier-unless-any-ac-field-present. */
+    * identifier-unless-any-ac-field-present. The "any ac: key" probe
+    * joins the map keys with a \\u0001 separator and string-matches —
+    * ConcatWs stays in codegen where a higher-order `exists` would not. */
   def accessUri(data: Column): Column = {
-    val hasAc = exists(map_keys(data), k => k.startsWith("ac:"))
+    val joined = concat_ws("\u0001", map_keys(data))
+    val hasAc = joined.startsWith("ac:") || joined.contains("\u0001ac:")
     coalesce(
       getFieldRaw(data, "ac:accessURI"),
       getFieldRaw(data, "ac:bestQualityAccessURI"),

@@ -263,4 +263,123 @@ object EtlQueries {
        |  ) AS flags
        |FROM g6 ORDER BY id""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q_enrich_media: the mediarecords grabAll pipeline
+  // (conversions.py:932-964 over the :138-160 field table) end-to-end:
+  // license majority vote with first-seen tiebreak, accessuri fallback
+  // with the any-ac:-key suppression, media-type bucketing, the
+  // reference's xpixels↔ypixels grab swap, and the presence-based dqs.
+  // Scenario classes are keyed off small moduli so every branch of every
+  // grabber appears at sf0.01.
+  // ---------------------------------------------------------------------
+
+  private val ccBy4 = "http://creativecommons.org/licenses/by/4.0/"
+  private val ccByNc4 = "http://creativecommons.org/licenses/by-nc/4.0/"
+  private val ccBySa3 = "http://creativecommons.org/licenses/by-sa/3.0/"
+  private val cc0 = "http://creativecommons.org/publicdomain/zero/1.0/"
+
+  def qEnrichMedia(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val m7 = col("o_orderkey") % 7  // license scenario
+    val m5 = col("o_custkey") % 5   // format scenario
+    val m4 = col("o_orderkey") % 4  // accessuri scenario
+    val m3 = col("o_custkey") % 3   // ac:tag presence (gates identifier fallback)
+    val t3 = col("o_orderkey") % 3  // dc:type presence
+    val idS = col("o_orderkey").cast("string")
+    val empty = typedLit(Map.empty[String, String])
+    val data = map_concat(
+      map(
+        lit("dcterms:modified"), col("o_orderdate").cast("string"),
+        lit("idigbio:dateModified"), col("o_orderdate").cast("string"),
+        lit("exif:PixelXDimension"), (col("o_custkey") % 3000 + 100).cast("string"),
+        lit("exif:PixelYDimension"), (col("o_orderkey") % 4000 + 100).cast("string")),
+      when(t3 =!= 2, map(lit("dc:type"),
+        when(t3 === 0, "StillImage").otherwise("Sound"))).otherwise(empty),
+      when(m3 =!= 0, map(lit("ac:tag"),
+        concat(lit("media tag "), (col("o_custkey") % 10).cast("string"))))
+        .otherwise(empty),
+      when(m4 === 0, map(lit("ac:accessURI"), concat(lit("http://img/"), idS)))
+        .when(m4 === 1, map(lit("ac:bestQualityAccessURI"), concat(lit("http://best/"), idS)))
+        .when(m4 === 2, map(lit("dcterms:identifier"), concat(lit("http://ident/"), idS)))
+        .otherwise(map(lit("dc:identifier"), concat(lit("http://dc/"), idS))),
+      when(m5 === 0, map(lit("dcterms:format"), lit(" Image/JPEG ")))
+        .when(m5 === 1, map(lit("dcterms:format"), lit("video/mp4")))
+        .when(m5 === 2, map(lit("ac:bestQualityFormat"), lit("audio/mpeg")))
+        .when(m5 === 3, map(lit("dcterms:format"), lit("text/plain")))
+        .otherwise(empty),
+      when(m7 === 0, map(lit("dcterms:rights"), lit(ccBy4)))
+        .when(m7 === 1, map(
+          lit("dcterms:rights"), lit(ccBy4), lit("dc:rights"), lit(ccBy4),
+          lit("dcterms:license"), lit(cc0)))
+        .when(m7 === 2, map(
+          lit("dcterms:rights"), lit(ccByNc4), lit("dcterms:license"), lit(cc0)))
+        .when(m7 === 3, map(lit("xmpRights:UsageTerms"), lit(ccBySa3)))
+        .when(m7 === 4, map(lit("dcterms:rights"), lit("All rights reserved")))
+        .when(m7 === 5, map(lit("dcterms:license"), lit(cc0)))
+        .otherwise(empty))
+    val raw = o.orderBy(col("o_orderkey"))
+      .select(col("o_orderkey").as("id"), data.as("data"))
+    Enrich.mediarecords(raw).select(
+      col("id"), col("type"), col("tag"),
+      col("xpixels"), col("ypixels"),
+      col("format"), col("mediatype"), col("accessuri"),
+      col("rights"), col("licenselogourl"), col("webstatement"),
+      col("modified"), col("hasSpecimen"), col("dqs"))
+  }
+
+  val qEnrichMediaSql: String = {
+    val lic = Map(
+      "BY" -> ("BY", "https://i.creativecommons.org/l/by/4.0/88x31.png",
+        "http://creativecommons.org/licenses/by/4.0/"),
+      "BY-NC" -> ("BY-NC", "https://i.creativecommons.org/l/by-nc/4.0/88x31.png",
+        "http://creativecommons.org/licenses/by-nc/4.0/"),
+      "BY-SA" -> ("BY-SA", "https://i.creativecommons.org/l/by-sa/3.0/88x31.png",
+        "http://creativecommons.org/licenses/by-sa/3.0/"),
+      "CC0" -> ("CC0", "https://i.creativecommons.org/p/zero/1.0/88x31.png",
+        "http://creativecommons.org/publicdomain/zero/1.0/"))
+    def licCase(i: Int): String = {
+      def v(t: (String, String, String)) = t.productElement(i).toString
+      s"""CASE o_orderkey % 7
+         |      WHEN 0 THEN '${v(lic("BY"))}' WHEN 1 THEN '${v(lic("BY"))}'
+         |      WHEN 2 THEN '${v(lic("BY-NC"))}' WHEN 3 THEN '${v(lic("BY-SA"))}'
+         |      WHEN 5 THEN '${v(lic("CC0"))}' END""".stripMargin
+    }
+    s"""SELECT o_orderkey AS id,
+       |  CASE o_orderkey % 3 WHEN 0 THEN 'stillimage' WHEN 1 THEN 'sound' END AS type,
+       |  CASE WHEN o_custkey % 3 != 0
+       |    THEN 'media tag ' || CAST(o_custkey % 10 AS VARCHAR) END AS tag,
+       |  CAST(o_orderkey % 4000 + 100 AS BIGINT) AS xpixels,
+       |  CAST(o_custkey % 3000 + 100 AS BIGINT) AS ypixels,
+       |  CASE o_custkey % 5 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'video/mp4'
+       |    WHEN 2 THEN 'audio/mpeg' WHEN 3 THEN 'text/plain' END AS format,
+       |  CASE o_custkey % 5 WHEN 0 THEN 'images' WHEN 1 THEN 'video'
+       |    WHEN 2 THEN 'sounds' END AS mediatype,
+       |  CASE o_orderkey % 4
+       |    WHEN 0 THEN 'http://img/' || CAST(o_orderkey AS VARCHAR)
+       |    WHEN 1 THEN 'http://best/' || CAST(o_orderkey AS VARCHAR)
+       |    -- identifier fallback is suppressed when ANY ac: key exists:
+       |    -- ac:tag (custkey%3!=0) or ac:bestQualityFormat (custkey%5=2)
+       |    WHEN 2 THEN (CASE WHEN o_custkey % 3 = 0 AND o_custkey % 5 != 2
+       |      THEN 'http://ident/' || CAST(o_orderkey AS VARCHAR) END)
+       |    ELSE (CASE WHEN o_custkey % 3 = 0 AND o_custkey % 5 != 2
+       |      THEN 'http://dc/' || CAST(o_orderkey AS VARCHAR) END)
+       |  END AS accessuri,
+       |  ${licCase(0)} AS rights,
+       |  ${licCase(1)} AS licenselogourl,
+       |  ${licCase(2)} AS webstatement,
+       |  CAST(o_orderdate AS TIMESTAMP) AS modified,
+       |  false AS hasSpecimen,
+       |  (1 + 1 + 1
+       |   + (CASE WHEN o_orderkey % 3 != 2 THEN 1 ELSE 0 END)
+       |   + (CASE WHEN o_custkey % 3 != 0 THEN 1 ELSE 0 END)
+       |   + (CASE WHEN o_custkey % 5 != 4 THEN 1 ELSE 0 END)
+       |   + (CASE WHEN o_custkey % 5 IN (0, 1, 2) THEN 1 ELSE 0 END)
+       |   + (CASE WHEN o_orderkey % 4 IN (0, 1)
+       |        OR (o_custkey % 3 = 0 AND o_custkey % 5 != 2)
+       |        THEN 1 ELSE 0 END)
+       |   + (CASE WHEN o_orderkey % 7 IN (0, 1, 2, 3, 5) THEN 3 ELSE 0 END)
+       |  ) / 11.0 AS dqs
+       |FROM orders ORDER BY id""".stripMargin
+  }
 }
