@@ -186,12 +186,19 @@ object Grabbers {
   }
 
   /** getLicense step 3: expand the voted key to its detail fields;
-    * `voted` should be a materialized attribute (referenced 3×). */
+    * `voted` should be a materialized attribute (referenced 3×). The
+    * detail table can lack logo/webstatement for a key ("Public
+    * Domain") — those stay null, like the reference's absent dict keys. */
   def licenseDetail(voted: Column): (Column, Column, Column) = {
-    def detail(i: Int): Column =
-      Vocab.licenses.foldLeft(when(lit(false), lit("")))((acc, kv) =>
-        acc.when(voted === kv._1, kv._2.productElement(i).toString))
-    (detail(0), detail(1), detail(2))
+    def detail(pick: ((String, Option[String], Option[String])) => Option[String])
+        : Column =
+      Vocab.licenses.foldLeft(when(lit(false), lit(""))) { (acc, kv) =>
+        pick(kv._2) match {
+          case Some(v) => acc.when(voted === kv._1, v)
+          case None => acc
+        }
+      }
+    (detail(t => Some(t._1)), detail(_._2), detail(_._3))
   }
 
   /** get_accessuri (conversions.py:711-722): accessURI ∥ bestQuality ∥

@@ -22,60 +22,19 @@ object Vocab {
   val knownDatums: Set[String] = Set("WGS84", "WGS72", "NAD83", "NAD27", "ETRS89",
     "GRS80", "OSGB36", "ED50", "GDA94", "TOKYO", "AGD66", "AGD84", "SAD69")
 
-  /** rights string → license key (data port of the canonical subset of
-    * idb/data_tables/rights_strings.py acceptable_licenses_trans: the
-    * CC URL forms http/https × with/without trailing slash × v3/v4,
-    * plus the common short codes). */
-  val licenseTrans: Map[String, String] = {
-    val byUrl = for {
-      scheme <- Seq("http", "https")
-      (path, key) <- Seq(
-        "licenses/by-nc-sa" -> "BY-NC-SA", "licenses/by-sa" -> "BY-SA",
-        "licenses/by-nc" -> "BY-NC", "licenses/by-nc-nd" -> "BY-NC-ND",
-        "licenses/by-nd" -> "BY-ND", "licenses/by" -> "BY")
-      ver <- Seq("3.0" -> "CC3", "4.0" -> "CC4")
-      slash <- Seq("", "/")
-    } yield s"$scheme://creativecommons.org/$path/${ver._1}$slash" -> s"${ver._2} $key"
-    val zero = for {
-      scheme <- Seq("http", "https"); slash <- Seq("", "/")
-    } yield s"$scheme://creativecommons.org/publicdomain/zero/1.0$slash" -> "CC0"
-    val short = Seq(
-      "CC0" -> "CC0", "Public Domain" -> "Public Domain",
-      "cc-by" -> "CC4 BY", "cc-by-sa" -> "CC4 BY-SA",
-      "cc-by-nc" -> "CC4 BY-NC", "cc-by-nc-sa" -> "CC4 BY-NC-SA",
-      "cc-by-nc-nd" -> "CC4 BY-NC-ND",
-      "CC BY" -> "CC4 BY", "CC BY-SA" -> "CC4 BY-SA",
-      "CC BY-NC" -> "CC4 BY-NC", "CC BY-NC-SA" -> "CC4 BY-NC-SA",
-      "CC-BY" -> "CC4 BY", "CC-BY-SA" -> "CC4 BY-SA",
-      "CC-BY-NC" -> "CC4 BY-NC", "CC-BY-NC-SA" -> "CC4 BY-NC-SA",
-      "CC BY-NC-SA (Attribution-NonCommercial-ShareAlike)" -> "CC4 BY-NC-SA",
-      "CC BY-SA (Attribution-ShareAlike)" -> "CC4 BY-SA",
-      "CC BY-NC (Attribution-NonCommercial)" -> "CC4 BY-NC",
-      "CC BY (Attribution)" -> "CC4 BY",
-      "Attribution" -> "CC4 BY", "Attribution-NonCommercial" -> "CC4 BY-NC")
-    (byUrl ++ zero ++ short).toMap
-  }
+  /** rights string → license key (FULL data port of
+    * idb/data_tables/rights_strings.py:7-114 acceptable_licenses_trans,
+    * 103 entries including the prose and HTML-blob rights strings real
+    * publishers send). */
+  val licenseTrans: Map[String, String] = VocabTables.licenseTrans
 
   /** license key → (rights, licenselogourl, webstatement) detail
-    * (rights_strings.py:116-226; note the reference maps "CC3 BY"'s
-    * rights to "BY-NC-SA" — an upstream typo we do NOT replicate). */
-  val licenses: Map[String, (String, String, String)] = {
-    def cc(ver: String, key: String): (String, (String, String, String)) = {
-      val lower = key.toLowerCase
-      val v = if (ver == "CC3") "3.0" else "4.0"
-      s"$ver $key" -> (key,
-        s"https://i.creativecommons.org/l/$lower/$v/88x31.png",
-        s"http://creativecommons.org/licenses/$lower/$v/")
-    }
-    val keys = Seq("BY", "BY-SA", "BY-NC", "BY-NC-SA", "BY-ND", "BY-NC-ND")
-    (keys.map(cc("CC3", _)) ++ keys.map(cc("CC4", _)) ++ Seq(
-      "CC0" -> ("CC0",
-        "https://i.creativecommons.org/p/zero/1.0/88x31.png",
-        "http://creativecommons.org/publicdomain/zero/1.0/"),
-      "Public Domain" -> ("Public Domain",
-        "https://i.creativecommons.org/p/mark/1.0/88x31.png",
-        "http://creativecommons.org/publicdomain/mark/1.0/"))).toMap
-  }
+    * (FULL data port of rights_strings.py:116-185; quirks kept verbatim:
+    * "CC3 BY" carries rights "BY-NC-SA" — the reference's own data bug —
+    * CC3 logo URLs use http://, and "Public Domain" has no logo or
+    * webstatement). */
+  val licenses: Map[String, (String, Option[String], Option[String])] =
+    VocabTables.licenses
 
   /** mime → default storage bucket (media_validation.py:18-34). */
   val defaultBuckets: Map[String, String] = Map(
@@ -94,25 +53,8 @@ object Vocab {
     "subspecificAggregate", "subspecies", "variety", "subvariety", "form",
     "subform", "cultivarGroup", "cultivar", "strain")
 
-  /** Common alias → canonical rank (data port of a representative subset
-    * of taxon_rank.py mapping; entries mapping to null mean "remove"). */
-  val rankMapping: Map[String, Option[String]] = Map(
-    "class" -> Some("class"), "classe" -> Some("class"),
-    "division" -> Some("phylum"), "espècie" -> Some("species"),
-    "espécie" -> Some("species"), "f." -> Some("form"),
-    "family" -> Some("family"), "familia" -> Some("family"),
-    "fm." -> Some("family"), "gen." -> Some("genus"),
-    "genero" -> Some("genus"), "género" -> Some("genus"),
-    "genus" -> Some("genus"), "kingdom" -> Some("kingdom"),
-    "order" -> Some("order"), "orden" -> Some("order"),
-    "phylum" -> Some("phylum"), "sp." -> Some("species"),
-    "specie" -> Some("species"), "species" -> Some("species"),
-    "spp." -> Some("species"), "ssp." -> Some("subspecies"),
-    "subsp." -> Some("subspecies"), "subspecies" -> Some("subspecies"),
-    "var." -> Some("variety"), "variety" -> Some("variety"),
-    "varietas" -> Some("variety"), "cultivar" -> Some("cultivar"),
-    "forma" -> Some("form"), "form" -> Some("form"),
-    "tribe" -> Some("tribe"), "sect." -> Some("section"),
-    "section" -> Some("section"), "unknown" -> None, "not stated" -> None,
-    "indet." -> None, "?" -> None)
+  /** Alias → canonical rank (FULL data port, taxon_rank.py:49-366:
+    * 74 mapping entries plus 239 reject entries that map to None =
+    * "remove"). */
+  val rankMapping: Map[String, Option[String]] = VocabTables.rankMapping
 }

@@ -23,17 +23,15 @@ object Delimited {
   }
 
   /** Rowtype inference: majority vote of the canonical classes of the
-    * header terms (delimited.py:171-208). Ties break to dwc:Occurrence. */
+    * header terms (delimited.py:182-203): dropped (None-name) headers
+    * don't vote, Unknown does, and ties break to the lexically LARGER
+    * class name (the reference sorts (count, name) descending). */
   def rowTypeVote(headers: Seq[String]): String = {
-    val classes = headers.map(h => Fieldnames.canonicalName(h)._2)
-      .filter(_ != Fieldnames.UnknownClass)
+    val classes = headers.map(Fieldnames.canonical)
+      .collect { case (Some(_), cls) => cls }
     if (classes.isEmpty) "dwc:Occurrence"
-    else {
-      val counts = classes.groupBy(identity).view.mapValues(_.size).toMap
-      val best = counts.values.max
-      val winners = counts.filter(_._2 == best).keys.toSeq.sorted
-      if (winners.contains("dwc:Occurrence")) "dwc:Occurrence" else winners.head
-    }
+    else classes.groupBy(identity).view.mapValues(_.size)
+      .toSeq.maxBy { case (name, n) => (n, name) }._1
   }
 
   /** Read a delimited file: PERMISSIVE mode with a corrupt-record
@@ -50,8 +48,10 @@ object Delimited {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .csv(path)
+    // canonicalize + uniquify; headers whose canonical name is None
+    // ("row number", "Error", ...) are dropped like delimited.py:186-189
     val dataCols = raw.columns.filterNot(_ == "_corrupt")
-    // canonicalize + uniquify
+      .filter(c => Fieldnames.canonical(c)._1.isDefined)
     val seen = scala.collection.mutable.Map.empty[String, Int]
     val renamed = dataCols.map { c =>
       val canon = Fieldnames.canonicalName(c)._1

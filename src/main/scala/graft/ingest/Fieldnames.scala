@@ -1,109 +1,37 @@
 package graft.ingest
 
 /** Field-name canonicalization (idb/helpers/fieldnames.py:594-631):
-  * provider headers → `[canonical namespace:term, DwC class]`, with
-  * non-printable characters stripped and unknown fields classed
-  * `Unknown`.
-  *
-  * The reference's translate_dict has ~580 alias entries; this port
-  * keeps the resolution MACHINERY exact and carries a representative
-  * alias subset plus the dict's three systematic families (identity,
-  * `ns_term` underscore forms, bare-term and case variants), which
-  * together cover the overwhelming majority of the original entries.
+  * provider headers → (canonical namespace:term, DwC class), resolved
+  * against the FULL translate_dict ([[FieldnamesTable]], 496 entries —
+  * a complete data port of fieldnames.py:92-589). The reference
+  * semantics are a pure dict lookup: unknown fields come back unchanged
+  * with class `Unknown`; a handful of housekeeping headers ("row
+  * number", "Error", …) map to a None name meaning "drop this column".
+  * Quirks of the table (e.g. the "dwc:Occurence" class typo on some
+  * entries) are carried verbatim — consumers match on names, not
+  * classes, and behavior compatibility wins.
   */
 object Fieldnames {
 
   val UnknownClass = "Unknown"
 
-  private val occ = "dwc:Occurrence"
-  private val mm = "dwc:Multimedia"
-
-  /** Canonical DwC occurrence terms (drives the generated families). */
-  private val dwcTerms: Seq[String] = Seq(
-    "occurrenceID", "catalogNumber", "recordNumber", "recordedBy",
-    "individualCount", "sex", "lifeStage", "reproductiveCondition",
-    "behavior", "establishmentMeans", "occurrenceStatus", "preparations",
-    "disposition", "associatedMedia", "associatedReferences",
-    "associatedSequences", "associatedTaxa", "otherCatalogNumbers",
-    "occurrenceRemarks", "institutionID", "collectionID", "datasetID",
-    "institutionCode", "collectionCode", "datasetName", "basisOfRecord",
-    "informationWithheld", "dataGeneralizations", "dynamicProperties",
-    "eventID", "fieldNumber", "eventDate", "eventTime", "startDayOfYear",
-    "endDayOfYear", "year", "month", "day", "verbatimEventDate", "habitat",
-    "samplingProtocol", "fieldNotes", "eventRemarks", "locationID",
-    "higherGeography", "continent", "waterBody", "islandGroup", "island",
-    "country", "countryCode", "stateProvince", "county", "municipality",
-    "locality", "verbatimLocality", "minimumElevationInMeters",
-    "maximumElevationInMeters", "verbatimElevation",
-    "minimumDepthInMeters", "maximumDepthInMeters", "verbatimDepth",
-    "decimalLatitude", "decimalLongitude", "geodeticDatum",
-    "coordinateUncertaintyInMeters", "coordinatePrecision",
-    "verbatimCoordinates", "verbatimLatitude", "verbatimLongitude",
-    "verbatimCoordinateSystem", "verbatimSRS", "footprintWKT",
-    "georeferencedBy", "georeferencedDate", "georeferenceProtocol",
-    "georeferenceSources", "georeferenceVerificationStatus",
-    "georeferenceRemarks", "geologicalContextID", "bed", "formation",
-    "group", "member", "identificationID", "identifiedBy",
-    "dateIdentified", "identificationReferences", "identificationRemarks",
-    "identificationQualifier", "typeStatus", "taxonID", "scientificName",
-    "acceptedNameUsage", "higherClassification", "kingdom", "phylum",
-    "class", "order", "family", "genus", "subgenus", "specificEpithet",
-    "infraspecificEpithet", "taxonRank", "verbatimTaxonRank",
-    "scientificNameAuthorship", "vernacularName", "nomenclaturalCode",
-    "taxonomicStatus", "nomenclaturalStatus", "taxonRemarks", "modified",
-    "language", "license", "rightsHolder", "accessRights",
-    "bibliographicCitation", "references", "occurrenceDetails")
-
-  /** Hand-carried aliases (subset of translate_dict; fieldnames.py
-    * :96-593). */
-  private val aliases: Map[String, (String, String)] = Map(
-    "Collector" -> ("dwc:recordedBy", occ),
-    "CollectorNumber" -> ("dwc:recordNumber", occ),
-    "DayCollected" -> ("dwc:day", occ),
-    "MonthCollected" -> ("dwc:month", occ),
-    "YearCollected" -> ("dwc:year", occ),
-    "DayIdentified" -> ("dwc:dateIdentified", occ),
-    "Identifier" -> ("dwc:identifiedBy", occ),
-    "JulianDay" -> ("dwc:startDayOfYear", occ),
-    "Latitude" -> ("dwc:decimalLatitude", occ),
-    "Longitude" -> ("dwc:decimalLongitude", occ),
-    "CatalogNumber" -> ("dwc:catalogNumber", occ),
-    "CatalogNumberText" -> ("dwc:catalogNumber", occ),
-    "id" -> ("id", occ),
-    "coreid" -> ("coreid", occ),
-    "accessURI" -> ("ac:accessURI", mm),
-    "ac:accessURI" -> ("ac:accessURI", mm),
-    "dcterms:identifier" -> ("dcterms:identifier", occ),
-    "dc:identifier" -> ("dc:identifier", occ),
-    "dcterms:modified" -> ("dcterms:modified", occ),
-    "dcterms:rights" -> ("dcterms:rights", occ),
-    "dcterms:license" -> ("dcterms:license", occ),
-    "dcterms:type" -> ("dcterms:type", occ),
-    "gbif:canonicalName" -> ("gbif:canonicalName", occ),
-    "idigbio:recordId" -> ("idigbio:recordId", occ),
-    "symbiota:verbatimScientificName" -> ("symbiota:verbatimScientificName", occ),
-  )
-
-  private val byLower: Map[String, String] =
-    dwcTerms.map(t => t.toLowerCase -> t).toMap
+  /** string.printable minus the lookup: the reference strips characters
+    * outside Python's string.printable before the dict probe. */
+  private def printable(c: Char): Boolean =
+    (c >= ' ' && c < 127) || c == '\t' || c == '\n' || c == '\r' ||
+      c == '\u000b' || c == '\u000c'
 
   /** get_canonical_name (fieldnames.py:594-631): returns
-    * (canonical name, class). */
+    * (canonical name — None means drop the field, class). */
+  def canonical(field: String): (Option[String], String) = {
+    val f = field.filter(printable)
+    FieldnamesTable.translate.getOrElse(f, (Some(f), UnknownClass))
+  }
+
+  /** Convenience shape for callers that treat "drop" as identity. */
   def canonicalName(field: String): (String, String) = {
-    // strip non-printable, like the reference's string.printable filter
-    val f = field.filter(c => c >= ' ' && c < 127)
-    aliases.get(f).getOrElse {
-      // identity family: "dwc:month" etc.
-      if (f.startsWith("dwc:") && byLower.contains(f.stripPrefix("dwc:").toLowerCase))
-        ("dwc:" + byLower(f.stripPrefix("dwc:").toLowerCase), occ)
-      // underscore family: "dwc_decimalLatitude"
-      else if (f.startsWith("dwc_") && byLower.contains(f.stripPrefix("dwc_").toLowerCase))
-        ("dwc:" + byLower(f.stripPrefix("dwc_").toLowerCase), occ)
-      // bare-term + case family: "decimalLatitude", "ScientificName"
-      else if (byLower.contains(f.toLowerCase))
-        ("dwc:" + byLower(f.toLowerCase), occ)
-      else (f, UnknownClass)
-    }
+    val (n, c) = canonical(field)
+    (n.getOrElse(field.filter(printable)), c)
   }
 
   /** DwC-A extension rowType URI → CURIE shortname (data port of

@@ -329,14 +329,16 @@ object EtlQueries {
   }
 
   val qEnrichMediaSql: String = {
+    // exact detail triples from rights_strings.py:116-185 (note the CC3
+    // logo is http://, not https://)
     val lic = Map(
       "BY" -> ("BY", "https://i.creativecommons.org/l/by/4.0/88x31.png",
         "http://creativecommons.org/licenses/by/4.0/"),
       "BY-NC" -> ("BY-NC", "https://i.creativecommons.org/l/by-nc/4.0/88x31.png",
         "http://creativecommons.org/licenses/by-nc/4.0/"),
-      "BY-SA" -> ("BY-SA", "https://i.creativecommons.org/l/by-sa/3.0/88x31.png",
+      "BY-SA" -> ("BY-SA", "http://i.creativecommons.org/l/by-sa/3.0/88x31.png",
         "http://creativecommons.org/licenses/by-sa/3.0/"),
-      "CC0" -> ("CC0", "https://i.creativecommons.org/p/zero/1.0/88x31.png",
+      "CC0" -> ("CC0", "http://i.creativecommons.org/p/zero/1.0/88x31.png",
         "http://creativecommons.org/publicdomain/zero/1.0/"))
     def licCase(i: Int): String = {
       def v(t: (String, String, String)) = t.productElement(i).toString

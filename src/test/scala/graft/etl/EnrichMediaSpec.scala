@@ -36,8 +36,9 @@ class EnrichMediaSpec extends SparkSpec {
     // xmpRights:UsageTerms is prose (not an acceptable-license URL), so
     // only dcterms:rights votes: CC3 BY-NC expands to its detail triple
     assert(r.getAs[String]("rights") === "BY-NC")
+    // CC3 logo URLs are http:// in the reference table (CC4's are https)
     assert(r.getAs[String]("licenselogourl") ===
-      "https://i.creativecommons.org/l/by-nc/3.0/88x31.png")
+      "http://i.creativecommons.org/l/by-nc/3.0/88x31.png")
     assert(r.getAs[String]("webstatement") ===
       "http://creativecommons.org/licenses/by-nc/3.0/")
     // dc:type absent (the fixture uses dcterms:type) → null, like the
