@@ -38,7 +38,12 @@ object Delimited {
     * column, canonicalized headers (duplicates uniquified), NULs
     * stripped from every string column, and a `flags` column carrying
     * `line_parse_error` for rows Spark could not fully parse
-    * (delimited.py:237-296's bad-line recovery). */
+    * (delimited.py:237-296's bad-line recovery) and `encoding_error`
+    * for rows with undecodable bytes (delimited.py:256-266: the
+    * reference's decoder injects a DECODEERROR: marker; the JVM charset
+    * decoder substitutes U+FFFD, so that replacement char is the
+    * equivalent per-row signal — the mojibake'd value is kept, like the
+    * reference keeps the marker-stripped text). */
   def read(spark: SparkSession, path: String, delimiter: String = ",",
       encoding: String = "UTF-8"): DataFrame = {
     val raw = spark.read
@@ -63,11 +68,17 @@ object Delimited {
       // strip NULs (db_check.py:170-179)
       regexp_replace(col(c), "\u0000", "").as(name)
     }
-    val flagCol =
-      (if (raw.columns.contains("_corrupt"))
+    val parseFlag =
+      if (raw.columns.contains("_corrupt"))
         when(col("_corrupt").isNotNull, array(lit("line_parse_error")))
           .otherwise(array().cast("array<string>"))
-      else array().cast("array<string>")).as("flags")
+      else array().cast("array<string>")
+    val encodeFlag = dataCols
+      .map(c => coalesce(col(c).contains("\ufffd"), lit(false)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val flagCol = concat(parseFlag,
+      when(encodeFlag, array(lit("encoding_error")))
+        .otherwise(array().cast("array<string>"))).as("flags")
     raw.select(strippedCols :+ flagCol: _*)
   }
 }

@@ -58,16 +58,37 @@ object TextDedup {
       .select(col(idCol), array((0 until NumHashes).map(k => col(s"m$k")): _*).as("sig"))
   }
 
+  /** A band bucket holding more than this many docs is dropped from
+    * candidate generation: a single degenerate bucket (empty strings,
+    * boilerplate-heavy corpora) otherwise contributes O(n²) pairs and
+    * skews one reducer at cluster scale. Docs inside a dropped bucket
+    * still pair through their other 15 bands, so only pathological
+    * all-identical clusters above the cap lose recall — by design.
+    * 1000 is far above any honest bucket at the tested scales (the cap
+    * must not fire at sf0.01, and doesn't). */
+  val MaxBucketSize = 1000
+
   /** Candidate pairs from banded LSH: each signature splits into
     * `Bands` bands of `RowsPerBand` rows; docs colliding on any whole
-    * band become a pair. The band bucket join is the only shuffle. */
-  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
+    * band become a pair. The band bucket join is the only shuffle;
+    * buckets above `maxBucketSize` are dropped before the self-join
+    * (the count and the join shuffle on the same (band, bucket) key,
+    * so the guard adds no extra exchange of the big table). */
+  def lshCandidates(sigs: DataFrame, idCol: String,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
     val bands = sigs.select(col(idCol), posexplode(
       transform(sequence(lit(0), lit(Bands - 1)),
         b => hash(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
       .toDF(idCol, "band", "bucket")
-    val b1 = bands.toDF("d1", "band", "bucket")
-    val b2 = bands.toDF("d2", "band", "bucket")
+    val hot = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n"))
+      .where(col("_n") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    // a USING join moves the join keys first; reselect before renaming
+    val kept = bands.join(hot, Seq("band", "bucket"), "left_anti")
+      .select(col(idCol), col("band"), col("bucket"))
+    val b1 = kept.toDF("d1", "band", "bucket")
+    val b2 = kept.toDF("d2", "band", "bucket")
     b1.join(b2, Seq("band", "bucket"))
       .where(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))

@@ -128,4 +128,23 @@ class LlmOpsSpec extends SparkSpec {
       .select(TextStats.langId(col("t"))).collect().map(_.getString(0))
     assert(langs === Array("en", "es", "und"))
   }
+
+  test("lsh hot buckets are capped: a degenerate all-identical cluster is bounded") {
+    val s = spark
+    import s.implicits._
+    // 40 docs with IDENTICAL signatures -> every band is one 40-doc
+    // bucket. Uncapped that is 780 pairs; with a cap below 40 the hot
+    // buckets are dropped entirely and no pair survives.
+    val sig = (0 until TextDedup.NumHashes).map(_.toLong)
+    val sigs = (1 to 40).map(i => (i.toLong, sig)).toDF("id", "sig")
+    val uncapped = TextDedup.lshCandidates(sigs, "id", maxBucketSize = 1000)
+    assert(uncapped.count() === 40L * 39 / 2)
+    val capped = TextDedup.lshCandidates(sigs, "id", maxBucketSize = 10)
+    assert(capped.count() === 0)
+    // honest small buckets are untouched by the cap
+    val twoSigs = Seq((1L, sig), (2L, sig),
+      (3L, sig.map(_ + 100))).toDF("id", "sig")
+    assert(TextDedup.lshCandidates(twoSigs, "id", maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
 }
