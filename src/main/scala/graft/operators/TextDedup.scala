@@ -18,19 +18,31 @@ import org.apache.spark.sql.functions._
 object TextDedup {
 
   /** 60-bit integer hash shared with the DuckDB oracle:
-    * parse the first 15 hex chars of md5. Codegen'd built-ins only. */
+    * parse the first 15 hex chars of md5. Codegen'd built-ins only.
+    * Used where the oracle must replay the exact hash (SimHash); the
+    * MinHash path uses [[xxhash64]] instead because its oracle is
+    * ground-truth Jaccard over the shingle *strings* — any injective
+    * base hash gives identical counts, and xxhash64 is ~20× cheaper
+    * than md5-hex-parse. */
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Distinct n-word shingles of a whitespace-tokenized text column —
     * per-row array ops, no shuffle. */
-  def shingles(text: Column, n: Int): Column = {
-    val w = split(text, " ")
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromWords(split(text, " "), n)
+
+  /** Shingles from an already-materialized words-array column. Callers
+    * on a hot path should bind `split(text)` to its own projected
+    * column first: the shingle lambda references the array n times per
+    * element, and a bound attribute is a slot read while an inline
+    * `split` tree is re-evaluated per reference when the
+    * higher-order-function Project falls back to interpreted eval. */
+  def shinglesFromWords(w: Column, n: Int): Column =
     array_distinct(
       when(size(w) < n, array())
         .otherwise(transform(sequence(lit(0), size(w) - n),
           i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
-  }
 
   // MinHash universal-hash family over Z_P: h_k(x) = (a_k x + b_k) mod P.
   // P fits in 31 bits so a_k*x stays well inside Long.
@@ -49,11 +61,13 @@ object TextDedup {
     * `sig` array of 64 minhashes, computed as 64 partial-aggregable
     * `min`s in a single groupBy pass. */
   def minhashSignatures(shingleHashes: DataFrame, idCol: String): DataFrame = {
-    val h = col("h") % P
+    // reduce h into Z_P ONCE per row — inlining `h % P` into the 64
+    // aggregates would evaluate the mod 64× per input row
+    val reduced = shingleHashes.select(col(idCol), pmod(col("h"), lit(P)).as("hm"))
     val aggs = perms.zipWithIndex.map { case ((a, b), k) =>
-      min((lit(a) * h + lit(b)) % P).as(s"m$k")
+      min((lit(a) * col("hm") + lit(b)) % P).as(s"m$k")
     }
-    shingleHashes.groupBy(col(idCol))
+    reduced.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until NumHashes).map(k => col(s"m$k")): _*).as("sig"))
   }
@@ -76,16 +90,21 @@ object TextDedup {
     * so the guard adds no extra exchange of the big table). */
   def lshCandidates(sigs: DataFrame, idCol: String,
       maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bands = sigs.select(col(idCol), posexplode(
       transform(sequence(lit(0), lit(Bands - 1)),
         b => hash(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
       .toDF(idCol, "band", "bucket")
-    val hot = bands.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("_n"))
-      .where(col("_n") > maxBucketSize)
-      .select(col("band"), col("bucket"))
-    // a USING join moves the join keys first; reselect before renaming
-    val kept = bands.join(hot, Seq("band", "bucket"), "left_anti")
+    // hot-bucket guard via a window count over the SAME (band, bucket)
+    // partitioning the self-join shuffles on: the signature pipeline
+    // upstream is computed once (a groupBy-count + anti-join formulation
+    // re-evaluates the whole expensive sig subtree for the count side),
+    // and the two self-join inputs below are identical subplans over one
+    // exchange (ReuseExchange dedupes them).
+    val kept = bands
+      .withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("_n") <= maxBucketSize)
       .select(col(idCol), col("band"), col("bucket"))
     val b1 = kept.toDF("d1", "band", "bucket")
     val b2 = kept.toDF("d2", "band", "bucket")
@@ -143,9 +162,13 @@ object TextDedup {
     * curve. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol),
-        explode(shingles(col(textCol), shingleSize)).as("s"))
-      .select(col(idCol), hash60(col("s")).as("h"))
+    // words bound to a projected column (see shinglesFromWords), then
+    // xxhash64 per shingle — the Jaccard math downstream only needs an
+    // injective shingle→long map, not the oracle-replayable md5.
+    val sh = docs.select(col(idCol), split(col(textCol), " ").as("_w"))
+      .select(col(idCol),
+        explode(shinglesFromWords(col("_w"), shingleSize)).as("s"))
+      .select(col(idCol), xxhash64(col("s")).as("h"))
     val sigs = minhashSignatures(sh, idCol)
     val cands = lshCandidates(sigs, idCol)
     verifyJaccard(sh, idCol, cands)
