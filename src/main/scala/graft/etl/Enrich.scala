@@ -352,4 +352,101 @@ object Enrich {
 
     s5.drop(s5.columns.filter(_.startsWith("_")): _*)
   }
+
+  /** Nested contacts element type (conversions.py:190-203 — the one
+    * `custom_mappings` entry: recordsets.contacts, a nested object list
+    * with keyword-analyzed first_name/last_name/email/role). */
+  val contactsType = "array<struct<first_name:string,last_name:string," +
+    "email:string,role:string>>"
+
+  /** grabAll for the recordsets type (conversions.py:932-964 over the
+    * field table :173-188). The recordset's raw document comes from the
+    * RSS/EML harvest (collection_name, data_rights, link, eml_link,
+    * logo_url), so raw keys are bare names, not CURIEs. `contacts` is the
+    * reference's single "custom"-typed field: verbatimGrabber returns the
+    * nested value untouched (getfield's non-string branch,
+    * conversions.py:281-283), so here it is an optional typed nested
+    * column ([[contactsType]]) passed through as-is. No grabber table has
+    * recordsets entries for elev/float/geo/license/crossfill, so those
+    * stages vanish; intGrabber takes version, dateGrabber datemodified,
+    * relationsGrabber publisher (parent or siblings). All inScore weights
+    * are 0 for this type ⇒ dqs = -len(flags)/1.0 = 0.0 for flagless rows
+    * (score, conversions.py:264-271 with the maxscores==0 → 1 guard). */
+  def recordsets(df: DataFrame): DataFrame = {
+    val data = col("data")
+    val hasCol = df.columns.toSet
+    val siblings =
+      if (hasCol("siblings")) col("siblings")
+      else lit(null).cast("map<string,array<string>>")
+
+    val contract = Set("data", "uuid", "etag", "version", "parent",
+      "recordids", "siblings", "contacts")
+    val produced = FieldSchema.recordsets.map(_.index).toSet
+    val passthrough = df.columns.toSeq
+      .filterNot(c => contract(c) || produced(c)).map(col)
+
+    val s1 = df.select(passthrough ++ Seq(
+      (if (hasCol("uuid")) col("uuid") else getField(data, "idigbio:uuid")).as("uuid"),
+      (if (hasCol("etag")) col("etag") else getField(data, "idigbio:etag")).as("etag"),
+      (if (hasCol("recordids")) col("recordids")
+       else lit(null).cast("array<string>")).as("recordids"),
+      (if (hasCol("version")) col("version").cast("long")
+       else firstNumberLong(getField(data, "idigbio:version"))).as("version"),
+      (if (hasCol("parent")) col("parent")
+       else element_at(siblings, "publisher").getItem(0)).as("publisher"),
+      permissiveTimestamp(upper(trim(getFieldRaw(data, "idigbio:dateModified"))))
+        .as("datemodified"),
+      getField(data, "data_rights").as("rights"),
+      (if (hasCol("contacts")) col("contacts")
+       else lit(null).cast(contactsType)).as("contacts"),
+      getField(data, "link").as("archivelink"),
+      getField(data, "eml_link").as("emllink"),
+      getField(data, "logo_url").as("logourl"),
+      getField(data, "collection_name").as("name"),
+    ): _*)
+
+    val s2 = s1.withColumn("flags", array().cast("array<string>"))
+    // every recordsets inScore weight is 0 (conversions.py:173-188) and
+    // maxscores falls back to 1, so dqs is just -|flags| (== 0.0 here)
+    s2.withColumn("dqs",
+      (lit(0) - size(col("flags"))).cast("double") /
+        lit(FieldSchema.maxScores("recordsets")))
+  }
+
+  /** grabAll for the publishers type (conversions.py:932-964 over the
+    * field table :162-172): name from the publisher record's bare `name`
+    * key, child recordsets list from siblings (relationsGrabber
+    * :651-652), version/datemodified via the shared int/date grabbers.
+    * Like recordsets, all inScore weights are 0 ⇒ dqs 0.0. */
+  def publishers(df: DataFrame): DataFrame = {
+    val data = col("data")
+    val hasCol = df.columns.toSet
+    val siblings =
+      if (hasCol("siblings")) col("siblings")
+      else lit(null).cast("map<string,array<string>>")
+
+    val contract = Set("data", "uuid", "etag", "version", "parent",
+      "recordids", "siblings")
+    val produced = FieldSchema.publishers.map(_.index).toSet
+    val passthrough = df.columns.toSeq
+      .filterNot(c => contract(c) || produced(c)).map(col)
+
+    val s1 = df.select(passthrough ++ Seq(
+      (if (hasCol("uuid")) col("uuid") else getField(data, "idigbio:uuid")).as("uuid"),
+      (if (hasCol("etag")) col("etag") else getField(data, "idigbio:etag")).as("etag"),
+      (if (hasCol("recordids")) col("recordids")
+       else lit(null).cast("array<string>")).as("recordids"),
+      (if (hasCol("version")) col("version").cast("long")
+       else firstNumberLong(getField(data, "idigbio:version"))).as("version"),
+      element_at(siblings, "recordset").as("recordsets"),
+      permissiveTimestamp(upper(trim(getFieldRaw(data, "idigbio:dateModified"))))
+        .as("datemodified"),
+      getField(data, "name").as("name"),
+    ): _*)
+
+    val s2 = s1.withColumn("flags", array().cast("array<string>"))
+    s2.withColumn("dqs",
+      (lit(0) - size(col("flags"))).cast("double") /
+        lit(FieldSchema.maxScores("publishers")))
+  }
 }

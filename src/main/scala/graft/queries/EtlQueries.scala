@@ -328,6 +328,157 @@ object EtlQueries {
       col("modified"), col("hasSpecimen"), col("dqs"))
   }
 
+  // ---------------------------------------------------------------------
+  // q_enrich_recordset / q_enrich_publisher: grabAll for the two
+  // dimension types (conversions.py:932-964 over the field tables
+  // :162-188). A recordset's raw document comes from the RSS/EML harvest
+  // (bare keys: collection_name, data_rights, link, eml_link, logo_url),
+  // with the nested contacts "custom" field (conversions.py:190-203)
+  // passed through typed; a publisher's from the registry row (name).
+  // Fixtures synthesize both shapes deterministically from customer /
+  // supplier so every branch (missing keys, null contacts, 1-vs-2
+  // contact lists, versioned "V3" strings) appears at sf0.01.
+  // ---------------------------------------------------------------------
+
+  def qEnrichRecordset(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val k = col("c_custkey")
+    val m3 = k % 3; val m5 = k % 5
+    val m4 = col("c_nationkey") % 4
+    val kS = k.cast("string")
+    val empty = typedLit(Map.empty[String, String])
+    val roles = Seq("Collection Manager", "Data Manager", "Curator")
+    val roleOf = (i: Column) =>
+      when(i % 3 === 0, roles(0)).when(i % 3 === 1, roles(1)).otherwise(roles(2))
+    val contact1 = struct(
+      concat(lit("First"), (col("c_nationkey") % 10).cast("string")).as("first_name"),
+      concat(lit("Last"), (k % 7).cast("string")).as("last_name"),
+      concat(lit("c"), kS, lit("@example.org")).as("email"),
+      roleOf(k).as("role"))
+    val contact2 = struct(
+      lit("Second").as("first_name"),
+      concat(lit("Last"), (k % 11).cast("string")).as("last_name"),
+      concat(lit("alt"), kS, lit("@example.org")).as("email"),
+      roleOf(k + 1).as("role"))
+    val data = map_concat(
+      map(
+        lit("idigbio:uuid"), concat(lit("RS-"), kS),
+        lit("idigbio:dateModified"),
+          concat(lit("2024-"), lpad((k % 12 + 1).cast("string"), 2, "0"),
+            lit("-"), lpad((k % 28 + 1).cast("string"), 2, "0"), lit("T00:00:00")),
+        lit("idigbio:version"), concat(lit("V"), (k % 9).cast("string")),
+        lit("collection_name"), concat(lit("Collection "), col("c_name")),
+        lit("link"), concat(lit("http://Archive.example/"), kS)),
+      when(m4 === 0, map(lit("data_rights"), lit("CC0")))
+        .when(m4 === 1, map(lit("data_rights"), lit("Public Domain")))
+        .when(m4 === 2, map(lit("data_rights"),
+          lit("http://creativecommons.org/licenses/by/4.0/")))
+        .otherwise(empty),
+      when(m3 =!= 0, map(lit("eml_link"),
+        concat(lit("http://eml.example/"), kS))).otherwise(empty),
+      when(m5 =!= 4, map(lit("logo_url"),
+        concat(lit("http://logo.example/"), kS, lit(".png")))).otherwise(empty))
+    val contacts = when(m5 === 0, lit(null).cast(graft.etl.Enrich.contactsType))
+      .when(k % 2 === 0, array(contact1, contact2))
+      .otherwise(array(contact1))
+    val raw = c.orderBy(k).select(
+      k.as("id"), data.as("data"),
+      concat(lit("pub-"), (k % 20).cast("string")).as("parent"),
+      contacts.as("contacts"))
+    Enrich.recordsets(raw).select(
+      col("id"), col("uuid"), col("name"), col("publisher"), col("rights"),
+      col("archivelink"), col("emllink"), col("logourl"),
+      col("version"), col("datemodified"),
+      to_json(col("contacts")).as("contacts_json"),
+      size(col("contacts")).as("n_contacts"),
+      array_join(col("flags"), ",").as("flags"), col("dqs"))
+  }
+
+  val qEnrichRecordsetSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_name, c_nationkey,
+      |    c_custkey % 3 AS m3, c_custkey % 5 AS m5, c_nationkey % 4 AS m4
+      |  FROM customer),
+      |ct AS (
+      |  SELECT *,
+      |    {'first_name': 'First' || CAST(c_nationkey % 10 AS VARCHAR),
+      |     'last_name': 'Last' || CAST(k % 7 AS VARCHAR),
+      |     'email': 'c' || CAST(k AS VARCHAR) || '@example.org',
+      |     'role': CASE k % 3 WHEN 0 THEN 'Collection Manager'
+      |             WHEN 1 THEN 'Data Manager' ELSE 'Curator' END} AS c1,
+      |    {'first_name': 'Second',
+      |     'last_name': 'Last' || CAST(k % 11 AS VARCHAR),
+      |     'email': 'alt' || CAST(k AS VARCHAR) || '@example.org',
+      |     'role': CASE (k + 1) % 3 WHEN 0 THEN 'Collection Manager'
+      |             WHEN 1 THEN 'Data Manager' ELSE 'Curator' END} AS c2
+      |  FROM base)
+      |SELECT k AS id,
+      |  'rs-' || CAST(k AS VARCHAR) AS uuid,
+      |  lower('Collection ' || c_name) AS name,
+      |  'pub-' || CAST(k % 20 AS VARCHAR) AS publisher,
+      |  CASE m4 WHEN 0 THEN 'cc0' WHEN 1 THEN 'public domain'
+      |    WHEN 2 THEN 'http://creativecommons.org/licenses/by/4.0/' END AS rights,
+      |  'http://archive.example/' || CAST(k AS VARCHAR) AS archivelink,
+      |  CASE WHEN m3 != 0
+      |    THEN 'http://eml.example/' || CAST(k AS VARCHAR) END AS emllink,
+      |  CASE WHEN m5 != 4
+      |    THEN 'http://logo.example/' || CAST(k AS VARCHAR) || '.png' END AS logourl,
+      |  CAST(k % 9 AS BIGINT) AS version,
+      |  CAST('2024-' || lpad(CAST(k % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+      |       lpad(CAST(k % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00'
+      |       AS TIMESTAMP) AS datemodified,
+      |  CASE WHEN m5 = 0 THEN NULL
+      |       WHEN k % 2 = 0 THEN CAST(to_json([c1, c2]) AS VARCHAR)
+      |       ELSE CAST(to_json([c1]) AS VARCHAR) END AS contacts_json,
+      |  CASE WHEN m5 = 0 THEN NULL
+      |       WHEN k % 2 = 0 THEN 2 ELSE 1 END AS n_contacts,
+      |  '' AS flags, 0.0 AS dqs
+      |FROM ct ORDER BY id""".stripMargin
+
+  def qEnrichPublisher(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+    val k = col("s_suppkey")
+    val kS = k.cast("string")
+    val data = map(
+      lit("idigbio:uuid"), concat(lit("PUB-"), kS),
+      lit("name"), concat(lit("Publisher "), col("s_name")),
+      lit("idigbio:dateModified"),
+        concat(lit("2023-"), lpad((k % 12 + 1).cast("string"), 2, "0"),
+          lit("-"), lpad((k % 28 + 1).cast("string"), 2, "0"), lit(" 12:30:00")),
+      lit("idigbio:version"), (k % 5).cast("string"))
+    val siblings = when(k % 7 === 0,
+        lit(null).cast("map<string,array<string>>"))
+      .otherwise(map(lit("recordset"),
+        when(k % 2 === 0,
+          array(concat(lit("rs-"), kS, lit("-1")), concat(lit("rs-"), kS, lit("-2"))))
+          .otherwise(array(concat(lit("rs-"), kS, lit("-1"))))))
+    val raw = sup.orderBy(k).select(
+      k.as("id"), data.as("data"), siblings.as("siblings"))
+    Enrich.publishers(raw).select(
+      col("id"), col("uuid"), col("name"), col("version"), col("datemodified"),
+      array_join(col("recordsets"), ",").as("recordsets"),
+      size(col("recordsets")).as("n_recordsets"),
+      array_join(col("flags"), ",").as("flags"), col("dqs"))
+  }
+
+  val qEnrichPublisherSql: String =
+    """SELECT s_suppkey AS id,
+      |  'pub-' || CAST(s_suppkey AS VARCHAR) AS uuid,
+      |  lower('Publisher ' || s_name) AS name,
+      |  CAST(s_suppkey % 5 AS BIGINT) AS version,
+      |  CAST('2023-' || lpad(CAST(s_suppkey % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+      |       lpad(CAST(s_suppkey % 28 + 1 AS VARCHAR), 2, '0') || ' 12:30:00'
+      |       AS TIMESTAMP) AS datemodified,
+      |  CASE WHEN s_suppkey % 7 = 0 THEN NULL
+      |       WHEN s_suppkey % 2 = 0 THEN
+      |         'rs-' || CAST(s_suppkey AS VARCHAR) || '-1,rs-' ||
+      |         CAST(s_suppkey AS VARCHAR) || '-2'
+      |       ELSE 'rs-' || CAST(s_suppkey AS VARCHAR) || '-1' END AS recordsets,
+      |  CASE WHEN s_suppkey % 7 = 0 THEN NULL
+      |       WHEN s_suppkey % 2 = 0 THEN 2 ELSE 1 END AS n_recordsets,
+      |  '' AS flags, 0.0 AS dqs
+      |FROM supplier ORDER BY id""".stripMargin
+
   val qEnrichMediaSql: String = {
     // exact detail triples from rights_strings.py:116-185 (note the CC3
     // logo is http://, not https://)
