@@ -87,6 +87,7 @@ object SparkEntry {
     "q_enrich"        -> (EtlQueries.qEnrich _),
     "q_geo_correct"   -> (EtlQueries.qGeoCorrect _),
     "q_enrich_media"  -> (EtlQueries.qEnrichMedia _),
+    "q_datum"         -> (EtlQueries.qDatum _),
     "q_enrich_recordset" -> (EtlQueries.qEnrichRecordset _),
     "q_enrich_publisher" -> (EtlQueries.qEnrichPublisher _),
     // versioned record store (SURVEY §1.1, §2.3, §2.5)
@@ -151,6 +152,7 @@ object SparkEntry {
     "q_enrich"        -> EtlQueries.qEnrichSql,
     "q_geo_correct"   -> EtlQueries.qGeoCorrectSql,
     "q_enrich_media"  -> EtlQueries.qEnrichMediaSql,
+    "q_datum"         -> EtlQueries.qDatumSql,
     "q_enrich_recordset" -> EtlQueries.qEnrichRecordsetSql,
     "q_enrich_publisher" -> EtlQueries.qEnrichPublisherSql,
     "q_store_view"     -> StoreQueries.qStoreViewSql,

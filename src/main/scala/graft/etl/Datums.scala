@@ -1,0 +1,88 @@
+package graft.etl
+
+/** Datum → WGS84 reprojection via the abridged Molodensky transformation
+  * (public DMA TR-8350.2 formulas with the published 3-parameter
+  * geocentric shifts), standing in for the reference's PROJ transform
+  * (conversions.py:485-509: Transformer.from_crs(src, EPSG:4326)).
+  *
+  * A 3-parameter shift reproduces PROJ's grid-less fallback to within a
+  * few meters for these datums — the right fidelity/complexity point for
+  * an engine without a projection library. NAD83/GRS80/ETRS89/GDA94 are
+  * within ~1-2 m of WGS84 (PROJ's grid-less path treats them as
+  * identity) so they pass through unshifted, as do unknown datums
+  * (matching the reference, whose failed CRS construction leaves the
+  * point untouched under `flag_geopoint_datum_error`,
+  * conversions.py:496-509).
+  *
+  * The formulas are generated as SQL TEXT consumed twice: Spark-side via
+  * `expr(...)` and oracle-side verbatim in DuckDB — one source of truth,
+  * identical parse trees, identical IEEE-double evaluation order. (The
+  * engines' sin/cos may differ in the last ulp; queries comparing output
+  * round to 7 decimals ≈ 1 cm.)
+  */
+object Datums {
+
+  /** Source ellipsoid (semi-major axis a, inverse flattening 1/f) and
+    * geocentric shift (dx, dy, dz meters) to WGS84. Published values:
+    * Clarke 1866 / International 1924 / Airy 1830 / WGS72 ellipsoids,
+    * DMA TR-8350.2 datum shift tables. */
+  final case class Shift(a: Double, invF: Double,
+      dx: Double, dy: Double, dz: Double)
+
+  val Wgs84A = 6378137.0
+  val Wgs84InvF = 298.257223563
+
+  val shifts: Map[String, Shift] = Map(
+    // NAD27 (Clarke 1866), CONUS mean shift
+    "NAD27" -> Shift(6378206.4, 294.9786982, -8.0, 160.0, 176.0),
+    // ED50 (International 1924), western-Europe mean
+    "ED50" -> Shift(6378388.0, 297.0, -87.0, -98.0, -121.0),
+    // OSGB36 (Airy 1830), Great Britain mean
+    "OSGB36" -> Shift(6377563.396, 299.3249646, 375.0, -111.0, 431.0),
+    // WGS72 → WGS84 (z-shift dominates; Δa/Δf carry the rest)
+    "WGS72" -> Shift(6378135.0, 298.26, 0.0, 0.0, 4.5),
+  )
+
+  /** Datum codes that get an actual coordinate shift. */
+  val shiftedDatums: Seq[String] = shifts.keys.toSeq.sorted
+
+  /** (lonSql, latSql): abridged Molodensky for one datum over column
+    * references `lon`/`lat` (degrees). Δφ and Δλ in radians:
+    *   Δφ = (-dx sinφ cosλ - dy sinφ sinλ + dz cosφ + (a·Δf + f·Δa) sin2φ) / Rm
+    *   Δλ = (-dx sinλ + dy cosλ) / (Rn cosφ)
+    * with W = √(1 - e²sin²φ), Rm = a(1-e²)/W³, Rn = a/W, e² = 2f - f². */
+  private def branch(lon: String, lat: String, s: Shift): (String, String) = {
+    val f = 1.0 / s.invF
+    val e2 = 2.0 * f - f * f
+    val da = Wgs84A - s.a
+    val df = 1.0 / Wgs84InvF - f
+    val k = s.a * df + f * da          // (a·Δf + f·Δa)
+    val aRm = s.a * (1.0 - e2)         // Rm numerator
+    val sp = s"sin(radians($lat))"
+    val cp = s"cos(radians($lat))"
+    val sl = s"sin(radians($lon))"
+    val cl = s"cos(radians($lon))"
+    val w = s"sqrt(1.0 - ($e2) * $sp * $sp)"
+    val dphi = s"(((${-s.dx}) * $sp * $cl + (${-s.dy}) * $sp * $sl + " +
+      s"(${s.dz}) * $cp + ($k) * sin(2.0 * radians($lat))) * $w * $w * $w / ($aRm))"
+    val dlam = s"(((${-s.dx}) * $sl + (${s.dy}) * $cl) * $w / ((${s.a}) * $cp))"
+    (s"($lon + degrees($dlam))", s"($lat + degrees($dphi))")
+  }
+
+  private def caseSql(lon: String, lat: String, datum: String,
+      pick: ((String, String)) => String, fallback: String): String = {
+    val whens = shiftedDatums.map { d =>
+      s"WHEN '$d' THEN ${pick(branch(lon, lat, shifts(d)))}"
+    }.mkString(" ")
+    s"(CASE $datum $whens ELSE $fallback END)"
+  }
+
+  /** WGS84 longitude as a SQL expression over `lon`,`lat`,`datum`
+    * columns — unshifted datums fall through to the input. */
+  def lonCaseSql(lon: String, lat: String, datum: String): String =
+    caseSql(lon, lat, datum, _._1, lon)
+
+  /** WGS84 latitude; see [[lonCaseSql]]. */
+  def latCaseSql(lon: String, lat: String, datum: String): String =
+    caseSql(lon, lat, datum, _._2, lat)
+}

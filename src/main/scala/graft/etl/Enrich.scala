@@ -157,11 +157,27 @@ object Enrich {
         struct(col("_lon1").as("lon"), col("_lat1").as("lat"))),
     ))
 
+    // datum → WGS84 reprojection (conversions.py:496-505: PROJ transform
+    // applied BEFORE the rev-geocode lookup). Abridged-Molodensky SQL from
+    // Datums; datums outside the shift table (incl. the ~identity
+    // NAD83/GRS80 family and unknown/datum_error values) pass through,
+    // matching the reference's failed-CRS behavior.
+    val s5dat = s5pre
+      .withColumns(Map(
+        "_glon" -> col("geopoint.lon"), "_glat" -> col("geopoint.lat")))
+      .withColumn("geopoint",
+        when(col("geopoint").isNotNull &&
+            col("_datum_norm").isin(Datums.shiftedDatums: _*),
+          struct(
+            expr(Datums.lonCaseSql("_glon", "_glat", "_datum_norm")).as("lon"),
+            expr(Datums.latCaseSql("_glon", "_glat", "_datum_norm")).as("lat")))
+          .otherwise(col("geopoint")))
+
     // reverse-geocode correction (conversions.py:514-563) — the budgeted
     // broadcast-lookup UDF; skipped entirely when no index is supplied
     val s5 = geo match {
-      case Some((idx, eez)) => GeoCorrection.stage(s5pre, idx, eez)
-      case None => s5pre
+      case Some((idx, eez)) => GeoCorrection.stage(s5dat, idx, eez)
+      case None => s5dat
     }
 
     val s6 = s5.withColumns(Map(

@@ -329,6 +329,69 @@ object EtlQueries {
   }
 
   // ---------------------------------------------------------------------
+  // q_datum: datum → WGS84 reprojection (conversions.py:485-509) through
+  // Enrich.records. Every shifted datum (NAD27 incl. its long-name alias,
+  // ED50, OSGB36, WGS72), the identity datum (WGS84), the missing case,
+  // and the unknown case (datum_error, point untouched) each appear as a
+  // fixture class. The oracle consumes the SAME generated Molodensky SQL
+  // the engine runs via expr() — one formula source, two engines — and
+  // both sides round to 7 decimals (≈1 cm) to absorb sin/cos last-ulp
+  // differences between the JVM and libm.
+  // ---------------------------------------------------------------------
+
+  def qDatum(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val k = col("p_partkey")
+    val m8 = k % 8
+    val latS = concat(((k % 140) - 70).cast("string"), lit(".123456"))
+    val lonS = concat(((k % 340) - 170).cast("string"), lit(".654321"))
+    val base = Seq(
+      lit("dwc:decimalLatitude"), latS,
+      lit("dwc:decimalLongitude"), lonS)
+    val datum = when(m8 === 0, "NAD27")
+      .when(m8 === 1, "North American Datum 1927")
+      .when(m8 === 2, "ED50")
+      .when(m8 === 3, "OSGB36")
+      .when(m8 === 4, "WGS72")
+      .when(m8 === 5, "WGS84")
+      .otherwise("MARS 2000")
+    val raw = p.orderBy(k).select(
+      k.as("id"),
+      when(m8 === 6, map(base: _*))
+        .otherwise(map(base ++ Seq(lit("dwc:geodeticDatum"), datum): _*))
+        .as("data"))
+    Enrich.records(raw).select(
+      col("id"),
+      round(col("geopoint.lon"), 7).as("lon"),
+      round(col("geopoint.lat"), 7).as("lat"),
+      array_join(col("flags"), ",").as("flags"))
+  }
+
+  val qDatumSql: String = {
+    import graft.etl.Datums
+    s"""WITH base AS (
+       |  SELECT p_partkey AS id, p_partkey % 8 AS m8,
+       |    CAST(CAST(p_partkey % 140 - 70 AS VARCHAR) || '.123456' AS DOUBLE) AS plat,
+       |    CAST(CAST(p_partkey % 340 - 170 AS VARCHAR) || '.654321' AS DOUBLE) AS plon
+       |  FROM part),
+       |d AS (
+       |  SELECT *, CASE m8 WHEN 0 THEN 'NAD27' WHEN 1 THEN 'NAD27'
+       |    WHEN 2 THEN 'ED50' WHEN 3 THEN 'OSGB36' WHEN 4 THEN 'WGS72'
+       |    WHEN 5 THEN 'WGS84' WHEN 7 THEN 'MARS2000' END AS datum_norm
+       |  FROM base)
+       |SELECT id,
+       |  round(${Datums.lonCaseSql("plon", "plat", "datum_norm")}, 7) AS lon,
+       |  round(${Datums.latCaseSql("plon", "plat", "datum_norm")}, 7) AS lat,
+       |  -- the fixture has no basisOfRecord: the reference flags absent
+       |  -- bor as invalid (conversions.py:892-893), hence the constant
+       |  concat_ws(',',
+       |    CASE WHEN m8 = 6 THEN 'geopoint_datum_missing'
+       |         WHEN m8 = 7 THEN 'geopoint_datum_error' END,
+       |    'dwc_basisofrecord_invalid') AS flags
+       |FROM d ORDER BY id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_enrich_recordset / q_enrich_publisher: grabAll for the two
   // dimension types (conversions.py:932-964 over the field tables
   // :162-188). A recordset's raw document comes from the RSS/EML harvest
