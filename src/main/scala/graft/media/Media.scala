@@ -134,6 +134,61 @@ object Media {
     md.digest()
   }
 
+  /** Raised for undecodable bytes, like the reference's BadImageError
+    * (derivatives.py:44-51). */
+  final class BadImageException(msg: String) extends RuntimeException(msg)
+
+  /** REAL resize kernel via javax.imageio — the production counterpart
+    * of [[fakeResize]], reproducing resize_image + img_to_buffer
+    * (derivatives.py:285-305): downscale-only to the target width,
+    * bilinear interpolation, height = floor(h · w'/w), then JPEG
+    * encode at quality 0.95 regardless of input format. Pure JDK —
+    * no external imaging library. */
+  def imageResize(bytes: Array[Byte], width: Int): Array[Byte] = {
+    import java.awt.RenderingHints
+    import java.awt.image.BufferedImage
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) throw new BadImageException(s"undecodable image (${bytes.length} bytes)")
+    // resize_image: only shrink; height truncates like int() in the ref
+    val out =
+      if (img.getWidth > width) {
+        val h = (img.getHeight.toFloat * (width.toFloat / img.getWidth.toFloat)).toInt
+        val scaled = new BufferedImage(width, h, BufferedImage.TYPE_INT_RGB)
+        val g = scaled.createGraphics()
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, width, h, null)
+        g.dispose()
+        scaled
+      } else if (img.getType == BufferedImage.TYPE_INT_RGB) img
+      else { // JPEG writer needs an opaque raster (PNG/alpha inputs)
+        val rgb = new BufferedImage(img.getWidth, img.getHeight,
+          BufferedImage.TYPE_INT_RGB)
+        val g = rgb.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose()
+        rgb
+      }
+    // img_to_buffer: JPEG, quality 95
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.95f)
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(buf)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(out, null, null), param)
+    } finally { ios.close(); writer.dispose() }
+    buf.toByteArray
+  }
+
+  /** Decoded (width, height) of an image blob, or null when
+    * undecodable — the metadata probe for multimodal binary columns. */
+  def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    Option(img).map(i => (i.getWidth, i.getHeight))
+  }
+
   /** mime → storage bucket with validation flag (media_validation.py).*/
   def bucketFor(mime: Column): Column =
     graft.etl.Vocab.defaultBuckets.foldLeft(when(lit(false), lit("")))(

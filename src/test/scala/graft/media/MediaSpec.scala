@@ -48,6 +48,64 @@ class MediaSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Array[Byte]](3).nonEmpty))
   }
 
+  /** In-memory JPEG fixture: a w×h gradient encoded through the JDK
+    * writer (the reference ships a test JPEG; this container builds an
+    * equivalent deterministically). */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8) | 0x40)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", buf)
+    buf.toByteArray
+  }
+
+  test("imageResize: real JPEG downscales to target width, bilinear, aspect kept") {
+    val src = jpegBytes(1000, 500)
+    val thumb = Media.imageResize(src, 260)
+    val web = Media.imageResize(src, 600)
+    assert(Media.imageDims(thumb).contains((260, 130)))
+    assert(Media.imageDims(web).contains((600, 300)))
+    // truncating height like the reference's int(): 500 * 260/1000 = 130
+  }
+
+  test("imageResize: no upscale below target width, still JPEG-encoded") {
+    val src = jpegBytes(100, 80)
+    val out = Media.imageResize(src, 260)
+    assert(Media.imageDims(out).contains((100, 80)))
+    // JPEG SOI marker
+    assert((out(0) & 0xff) == 0xff && (out(1) & 0xff) == 0xd8)
+  }
+
+  test("imageResize: undecodable bytes raise BadImageException") {
+    intercept[Media.BadImageException] {
+      Media.imageResize(Array.tabulate[Byte](64)(_.toByte), 260)
+    }
+  }
+
+  test("derivative pipeline end-to-end with the REAL kernel over binaryFile") {
+    val s = spark
+    import s.implicits._
+    // write a fixture image, ingest via the binaryFile source — the
+    // multimodal-column path: opaque binary + typed metadata
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile
+    val f = new java.io.File(dir, "fixture.jpg")
+    val fos = new java.io.FileOutputStream(f)
+    fos.write(jpegBytes(900, 600)); fos.close()
+    val bin = spark.read.format("binaryFile").load(f.getAbsolutePath)
+      .select(col("path"), col("content"))
+    val blobs = bin.select(
+      md5(col("content")).as("etag"), col("content"))
+    val d = Media.derivatives(blobs, Media.imageResize)
+    val rows = d.orderBy("deriv").collect()
+    assert(rows.length == 2)
+    val dims = rows.map(r => Media.imageDims(r.getAs[Array[Byte]](3)).get).toSeq
+    assert(dims == Seq((260, 173), (600, 400)))  // 600*260/900=173.33→173
+    // derivative blobs are genuine JPEGs, not hashes
+    assert(rows.forall(_.getAs[Array[Byte]](3).length > 1000))
+  }
+
   test("mediaView resolves the latest association per url (db.py:624-656)") {
     val s = spark
     import s.implicits._
