@@ -97,6 +97,7 @@ object SparkEntry {
     "q_etag_dedup"     -> (StoreQueries.qEtagDedup _),
     // correction engine + export sinks (SURVEY §2.9, §2.1)
     "q_corrections" -> (CorrectionQueries.qCorrections _),
+    "q_corrections_geo" -> (CorrectionQueries.qCorrectionsGeo _),
     "q_uniquevals"  -> (ExportQueries.qUniquevals _),
     "q_export_csv"  -> (ExportQueries.qExportCsv _),
     "q_citations"   -> (ExportQueries.qCitations _),
@@ -160,6 +161,7 @@ object SparkEntry {
     "q_version_assign" -> StoreQueries.qVersionAssignSql,
     "q_etag_dedup"     -> StoreQueries.qEtagDedupSql,
     "q_corrections" -> CorrectionQueries.qCorrectionsSql,
+    "q_corrections_geo" -> CorrectionQueries.qCorrectionsGeoSql,
     "q_uniquevals"  -> ExportQueries.qUniquevalsSql,
     "q_export_csv"  -> ExportQueries.qExportCsvSql,
     "q_citations"   -> ExportQueries.qCitationsSql,

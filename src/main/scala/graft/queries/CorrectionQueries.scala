@@ -57,6 +57,73 @@ object CorrectionQueries {
       .orderBy(col("id"))
   }
 
+  // ---------------------------------------------------------------------
+  // q_corrections_geo: the corrections engine over GEOGRAPHY rules in the
+  // locality_data shape (locality.py:3-46 rule assembly over
+  // locality_data.py tables — see graft.etl.Locality). Exercises:
+  // stateprovince implied-parent fill (incl. Hawaii keeping "oceania"
+  // because the US has no country-continent entry — a preserved data
+  // quirk), variant canonicalization ("USA" → "united states"), ISO-code
+  // fill on canonical names, kl_none junk blanking, sequential
+  // country-stage-then-state-stage application, and the no-match
+  // passthrough.
+  // ---------------------------------------------------------------------
+
+  def qCorrectionsGeo(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val k = col("o_orderkey") % 8
+    val records = o.select(
+      col("o_orderkey").as("id"),
+      when(k === 0, "Florida").when(k === 1, "Hawaii")
+        .when(k === 7, "Texas").as("stateprovince"),
+      when(k === 2, "USA").when(k === 3, "United States")
+        .when(k === 4, "Federative Republic of Brazil")
+        .when(k === 5, "unknown").when(k === 6, "Narnia")
+        .when(k === 7, "usa").as("country"),
+      lit(null).cast("string").as("continent"),
+      lit(null).cast("string").as("countrycode"),
+      lit(null).cast("string").as("kingdom"))
+    val fieldCol = Map(
+      "dwc:stateProvince" -> "stateprovince", "dwc:country" -> "country",
+      "dwc:continent" -> "continent",
+      "idigbio:isoCountryCode" -> "countrycode", "dwc:kingdom" -> "kingdom")
+    Corrections.foldFlags(
+        Corrections.apply(records, graft.etl.Locality.rules, fieldCol), "flags")
+      .select(col("id"), col("stateprovince"), col("country"),
+        col("continent"), col("countrycode"),
+        array_join(col("flags"), ",").as("flags"))
+      .orderBy(col("id"))
+  }
+
+  val qCorrectionsGeoSql: String =
+    """WITH base AS (SELECT o_orderkey AS id, o_orderkey % 8 AS k FROM orders)
+      |SELECT id,
+      |  CASE k WHEN 0 THEN 'Florida' WHEN 1 THEN 'Hawaii'
+      |    WHEN 7 THEN 'Texas' END AS stateprovince,
+      |  -- canonical-name rules set only the vds fields (ISO/continent),
+      |  -- never dwc:country itself, so class 3 keeps its original casing
+      |  CASE k WHEN 0 THEN 'united states' WHEN 1 THEN 'united states'
+      |    WHEN 2 THEN 'united states' WHEN 3 THEN 'United States'
+      |    WHEN 4 THEN 'brazil' WHEN 5 THEN '' WHEN 6 THEN 'Narnia'
+      |    WHEN 7 THEN 'united states' END AS country,
+      |  CASE k WHEN 0 THEN 'north america' WHEN 1 THEN 'oceania'
+      |    WHEN 4 THEN 'south america' WHEN 7 THEN 'north america' END
+      |    AS continent,
+      |  CASE k WHEN 0 THEN 'usa' WHEN 1 THEN 'usa' WHEN 2 THEN 'usa'
+      |    WHEN 3 THEN 'usa' WHEN 4 THEN 'bra' WHEN 7 THEN 'usa' END
+      |    AS countrycode,
+      |  CASE k
+      |    WHEN 0 THEN 'dwc_continent_added,dwc_country_added,idigbio_isocountrycode_added'
+      |    WHEN 1 THEN 'dwc_continent_added,dwc_country_added,idigbio_isocountrycode_added'
+      |    WHEN 2 THEN 'dwc_country_replaced,idigbio_isocountrycode_added'
+      |    WHEN 3 THEN 'idigbio_isocountrycode_added'
+      |    WHEN 4 THEN 'dwc_continent_added,dwc_country_replaced,idigbio_isocountrycode_added'
+      |    WHEN 5 THEN 'dwc_country_replaced'
+      |    WHEN 6 THEN ''
+      |    WHEN 7 THEN 'dwc_continent_added,dwc_country_replaced,idigbio_isocountrycode_added'
+      |  END AS flags
+      |FROM base ORDER BY id""".stripMargin
+
   val qCorrectionsSql: String =
     """WITH rec AS (
       |  SELECT c_custkey AS id, n_name AS country, n_nationkey,
