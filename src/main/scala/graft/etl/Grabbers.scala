@@ -92,7 +92,35 @@ object Grabbers {
       when(c.rlike("^\\d{4}/\\d{1,2}/\\d{1,2}$"),
         try_to_timestamp(regexp_replace(c, "/", "-"), lit("y-M-d"))),
       when(c.rlike("^\\d{1,2}/\\d{1,2}/\\d{4}$"),
-        try_to_timestamp(c, lit("M/d/y"))))
+        try_to_timestamp(c, lit("M/d/y"))),
+      monthNamed(c))
+
+  /** Month-name formats dateutil accepts ("Jan 5, 1999", "5 March 2001",
+    * "March 2001" — missing day defaults to 1 like dateutil's
+    * default=datetime(1,1,1)). Inputs arrive UPPERCASED (dateGrabber
+    * upper-cases first, conversions.py:589), so initcap restores the
+    * "Jan"/"January" casing the case-sensitive Java month parser needs.
+    * Every formatter attempt sits behind an anchored rlike gate — the
+    * formatter's internal throw/catch only ever runs on rows shaped like
+    * a month-name date. */
+  private def monthNamed(c: Column): Column = {
+    val t = initcap(c)
+    coalesce(
+      when(c.rlike("^[A-Z]{3,9} \\d{1,2},? \\d{4}$"), {
+        val noComma = regexp_replace(t, ",", "")
+        coalesce(
+          try_to_timestamp(noComma, lit("MMM d y")),
+          try_to_timestamp(noComma, lit("MMMM d y")))
+      }),
+      when(c.rlike("^\\d{1,2} [A-Z]{3,9} \\d{4}$"),
+        coalesce(
+          try_to_timestamp(t, lit("d MMM y")),
+          try_to_timestamp(t, lit("d MMMM y")))),
+      when(c.rlike("^[A-Z]{3,9} \\d{4}$"),
+        coalesce(
+          try_to_timestamp(t, lit("MMM y")),
+          try_to_timestamp(t, lit("MMMM y")))))
+  }
 
   /** datecollected fallback composition from dwc:year/month/day or
     * startDayOfYear (conversions.py:604-624). Inputs must be ALREADY

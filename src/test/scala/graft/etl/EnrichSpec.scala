@@ -202,6 +202,33 @@ class EnrichSpec extends SparkSpec {
     assert(dqs >= 0.0 && dqs <= 1.0)
   }
 
+  test("permissiveTimestamp month-name formats (dateutil parity subset)") {
+    import Grabbers._
+    // dateGrabber upper-cases before parsing (conversions.py:589), so the
+    // goldens feed uppercase like the pipeline does
+    val cases = Seq(
+      "JAN 5, 1999"      -> "1999-01-05 00:00:00.0",
+      "JANUARY 5, 1999"  -> "1999-01-05 00:00:00.0",
+      "JAN 5 1999"       -> "1999-01-05 00:00:00.0",
+      "5 MARCH 2001"     -> "2001-03-05 00:00:00.0",
+      "5 MAR 2001"       -> "2001-03-05 00:00:00.0",
+      "28 FEBRUARY 1987" -> "1987-02-28 00:00:00.0",
+      // missing day defaults to 1 (dateutil default=datetime(1,1,1))
+      "MARCH 2001"       -> "2001-03-01 00:00:00.0",
+      "DEC 1964"         -> "1964-12-01 00:00:00.0",
+    )
+    for ((in, want) <- cases) {
+      val got = one(permissiveTimestamp(upper(trim(col("x")))), in)
+      assert(!got.isNullAt(0) && got.getTimestamp(0).toString == want,
+        s"$in -> ${got}")
+    }
+    // non-dates and junk month names stay null, ISO family still works
+    assert(one(permissiveTimestamp(col("x")), "SMARCH 5, 1999").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "FOO BAR").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "2014-01-10").getTimestamp(0)
+      .toString == "2014-01-10 00:00:00.0")
+  }
+
   test("date fallback composes from year/month/day (test:209-221)") {
     val s = spark
     import s.implicits._
