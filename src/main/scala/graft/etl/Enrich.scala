@@ -193,26 +193,34 @@ object Enrich {
     ))
 
     // --- stage 7: crossfill (conversions.py:745-768; reverse direction
-    //     splits the name instead of calling the gnparser service) ------
+    //     via the minimal gnparser-equivalent Grabbers.parseSciName:
+    //     subgenus skip, rank-marker and authorship exclusion) ----------
+    val (sciGenus, sciEpithet) = parseSciName(col("scientificname"))
     val s7 = s6.withColumns(Map(
       "_flag_scientificname_added" ->
         (col("genus").isNotNull && col("scientificname").isNull),
-      "_flag_genus_added" ->
+      // the reverse branch runs when the name is present and genus absent
+      // (:761); each part fills + flags only when it PARSED, mirroring
+      // the reference's `filled(k, gs)` guard (:763-765)
+      "_crossfill_rev" ->
         (col("scientificname").isNotNull && col("genus").isNull),
-      "_sci_words" -> split(col("scientificname"), " "),
+      "_sci_genus" -> sciGenus,
+      "_sci_epithet" -> sciEpithet,
     ))
     val s8 = s7.withColumns(Map(
-      "_flag_specificepithet_added" -> (col("_flag_genus_added") &&
-        col("specificepithet").isNull && size(col("_sci_words")) >= 2),
+      "_flag_genus_added" ->
+        (col("_crossfill_rev") && col("_sci_genus").isNotNull),
+      "_flag_specificepithet_added" -> (col("_crossfill_rev") &&
+        col("specificepithet").isNull && col("_sci_epithet").isNotNull),
       "scientificname" -> when(col("_flag_scientificname_added"),
         concat_ws(" ", col("genus"), col("specificepithet")))
         .otherwise(col("scientificname")),
-      "genus" -> when(col("_flag_genus_added"), col("_sci_words").getItem(0))
-        .otherwise(col("genus")),
     ))
     val s9 = s8.withColumns(Map(
+      "genus" -> when(col("_flag_genus_added"), col("_sci_genus"))
+        .otherwise(col("genus")),
       "specificepithet" -> when(col("_flag_specificepithet_added"),
-        col("_sci_words").getItem(1)).otherwise(col("specificepithet")),
+        col("_sci_epithet")).otherwise(col("specificepithet")),
     ))
 
     // --- stage 10: vocabulary fixes -----------------------------------

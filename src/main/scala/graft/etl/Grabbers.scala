@@ -122,6 +122,33 @@ object Grabbers {
           try_to_timestamp(t, lit("MMMM y")))))
   }
 
+  /** Minimal gnparser-equivalent scientific-name parse
+    * (conversions.py:745-768 via the biodiversity socket service, whose
+    * _parseResp extracts lowercased genus + species). Input arrives
+    * ALREADY LOWERCASED (verbatimGrabber lowercases text fields before
+    * the crossfill runs). Public DwC name-structure rules applied:
+    * genus = first token when it is a plain word; a parenthesized
+    * subgenus token is skipped; the species epithet is the next plain
+    * word that is not an abbreviated rank marker (var/subsp/ssp …).
+    * Authorship tokens self-exclude — lowercased "(linnaeus," / "1771)"
+    * fail the plain-word shape. Returns (genus, epithet), null when the
+    * respective part doesn't parse — callers flag/fill only on non-null,
+    * like the reference's `filled(k, gs)` guard. */
+  def parseSciName(sci: Column): (Column, Column) = {
+    val w = split(trim(sci), "\\s+")
+    val t1 = element_at(w, 1)
+    // plain epithet-shaped token, ≥ 2 chars (excludes the hybrid marker
+    // "x" and stray initials; dots/commas/digits-first all fail)
+    val word = "^[a-z][a-z0-9-]+$"
+    val genus = when(t1.rlike(word), t1)
+    val t2 = element_at(w, 2)
+    val cand = when(t2.rlike("^\\(.*\\)$"), element_at(w, 3)).otherwise(t2)
+    val rankMarkers = Seq("var", "subsp", "ssp", "f", "cf", "aff", "sp", "spp", "x")
+    val epithet = when(genus.isNotNull && cand.rlike(word) &&
+      !cand.isin(rankMarkers: _*), cand)
+    (genus, epithet)
+  }
+
   /** datecollected fallback composition from dwc:year/month/day or
     * startDayOfYear (conversions.py:604-624). Inputs must be ALREADY
     * PARSED int columns (pass each source through [[firstNumberLong]]

@@ -317,6 +317,30 @@ class EnrichSpec extends SparkSpec {
     assert(r.getSeq[String](2).contains("specificepithet_added"))
   }
 
+  test("parseSciName: authorship, subgenus, rank markers (gnparser-equivalent)") {
+    val s = spark
+    import s.implicits._
+    // input is lowercased upstream (verbatimGrabber) — goldens feed the
+    // same shape; expected pairs match gnparser's genus/species extraction
+    val cases = Seq(
+      ("puma concolor (linnaeus, 1771)", "puma", "concolor"),   // trailing authorship
+      ("quercus alba l.", "quercus", "alba"),                   // abbreviated author
+      ("puma (puma) concolor", "puma", "concolor"),             // subgenus skipped
+      ("carex sp.", "carex", null),                             // sp. is not an epithet
+      ("abies cf. alba", "abies", null),                        // cf. blocks the slot
+      ("aus var. bus", "aus", null),                            // rank marker not epithet
+      ("homo sapiens", "homo", "sapiens"),
+      ("x triticosecale", null, null),                          // hybrid marker ≠ genus... x fails genus word min
+      ("123 weird", null, null),                                // junk
+    )
+    for ((in, g, e) <- cases) {
+      val (gc, ec) = Grabbers.parseSciName(col("x"))
+      val r = Seq(Tuple1(in)).toDF("x").select(gc, ec).collect()(0)
+      assert(Option(r.getString(0)) == Option(g), s"genus of '$in': $r")
+      assert(Option(r.getString(1)) == Option(e), s"epithet of '$in': $r")
+    }
+  }
+
   test("enrich plan is UDF-free single-stage (no shuffle)") {
     val s = spark
     import s.implicits._
