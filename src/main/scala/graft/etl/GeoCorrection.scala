@@ -105,7 +105,7 @@ object GeoCorrection {
       }.headOption
       hit match {
         case Some((flon, flat, flag, isEez)) =>
-          flags :+= s"flag_$flag".stripPrefix("flag_")
+          flags :+= flag
           if (isEez) flags :+= "rev_geocode_eez_corrected"
           flags :+= "rev_geocode_corrected"
           return ((flon, flat), flags)
