@@ -78,6 +78,7 @@ object SparkEntry {
     // LLM-training-data pipeline operators (documents/embeddings)
     "q_dedup_exact"   -> (LlmQueries.qDedupExact _),
     "q_dedup_minhash" -> (LlmQueries.qDedupMinhash _),
+    "q_dedup_embed" -> (LlmQueries.qDedupEmbed _),
     "q_dedup_simhash" -> (LlmQueries.qDedupSimhash _),
     "q_text_stats"    -> (LlmQueries.qTextStats _),
     "q_lang_id"       -> (LlmQueries.qLangId _),
@@ -145,6 +146,7 @@ object SparkEntry {
     "q_dsl_geo_shape"      -> DslQueries.qDslGeoShapeSql,
     "q_dedup_exact"   -> LlmQueries.qDedupExactSql,
     "q_dedup_minhash" -> LlmQueries.qDedupMinhashSql,
+    "q_dedup_embed" -> LlmQueries.qDedupEmbedSql,
     "q_dedup_simhash" -> LlmQueries.qDedupSimhashSql,
     "q_text_stats"    -> LlmQueries.qTextStatsSql,
     "q_lang_id"       -> LlmQueries.qLangIdSql,

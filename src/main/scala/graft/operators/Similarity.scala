@@ -73,6 +73,27 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** Embedding-cosine near-dup pairs: the dedup-by-embedding member of
+    * the dedup family (exact / MinHash / SimHash / cosine). Same
+    * sign-plane bucketing as [[lshTopK]] — each vector lives in exactly
+    * one bucket, the self-join is a bucket equi-join (never a
+    * crossJoin), and a pair can appear at most once, so no distinct is
+    * needed. Identical vectors share every plane sign, so exact-dup
+    * recall is 1; near-dup recall follows the plane count. Cosine is
+    * computed only on bucket-colliding pairs. */
+  def cosineNearDups(vecs: DataFrame, threshold: Double,
+      numPlanes: Int, dim: Int): DataFrame = {
+    val ps = planes(numPlanes, dim)
+    val b = vecs.toDF("id", "e").withColumn("bucket", bucket(col("e"), ps))
+    val b1 = b.toDF("d1", "e1", "bucket")
+    val b2 = b.toDF("d2", "e2", "bucket")
+    b1.join(b2, Seq("bucket"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), cosine(col("e1"), col("e2")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** SQL twin of [[bucket]] for the DuckDB oracle. */
   def bucketSql(embExpr: String, ps: IndexedSeq[IndexedSeq[Double]]): String =
     ps.zipWithIndex.map { case (p, j) =>

@@ -76,6 +76,37 @@ object LlmQueries {
       |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
       |ORDER BY d1, d2""".stripMargin
 
+  // --- embedding-cosine near-dup ---------------------------------------
+
+  /** Corpus with injected exact-duplicate vectors (every 25th vec_id
+    * re-appears shifted) — the natural corpus has no high-cosine pairs
+    * (background max ≈ 0.51), which would make the operator vacuously
+    * empty. At threshold 0.9 only the injected pairs qualify, and
+    * identical vectors always share their LSH bucket, so recall is
+    * exactly 1 and the brute-force oracle is a complete ground truth. */
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val dups = e.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    Similarity.cosineNearDups(e.unionAll(dups), threshold = 0.9,
+        numPlanes = NumPlanes, dim = Dim)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val qDedupEmbedSql: String =
+    """WITH all_e AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+      |p AS (
+      |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+      |    list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |    (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |     sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+      |  FROM all_e a JOIN all_e b ON a.vec_id < b.vec_id)
+      |SELECT d1, d2, round(cos, 6) AS cosine FROM p
+      |WHERE cos >= 0.9 ORDER BY d1, d2""".stripMargin
+
   // --- SimHash near-dup -------------------------------------------------
 
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =

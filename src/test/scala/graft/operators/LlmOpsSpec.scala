@@ -129,6 +129,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(langs === Array("en", "es", "und"))
   }
 
+  test("cosineNearDups finds identical vectors, skips dissimilar, bucket-joined") {
+    val s = spark
+    import s.implicits._
+    val v1 = (0 until 8).map(i => (i + 1).toFloat)
+    val v2 = v1.map(x => -x)             // cosine(v1, v2) = -1
+    val v3 = (0 until 8).map(i => if (i % 2 == 0) 1f else -1f)
+    val vecs = Seq((1L, v1), (2L, v1), (3L, v2), (4L, v3))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDups(vecs, threshold = 0.9,
+      numPlanes = 4, dim = 8).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(got.head.getDouble(2) === 1.0)
+    // plan shape: bucket equi-join, no cartesian
+    val plan = Similarity.cosineNearDups(vecs, 0.9, 4, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), "must not be all-pairs")
+  }
+
   test("lsh hot buckets are capped: a degenerate all-identical cluster is bounded") {
     val s = spark
     import s.implicits._
