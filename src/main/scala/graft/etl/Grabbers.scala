@@ -93,6 +93,8 @@ object Grabbers {
         try_to_timestamp(regexp_replace(c, "/", "-"), lit("y-M-d"))),
       when(c.rlike("^\\d{1,2}/\\d{1,2}/\\d{4}$"),
         try_to_timestamp(c, lit("M/d/y"))),
+      when(c.rlike("^\\d{4}\\.\\d{1,2}\\.\\d{1,2}$"),
+        try_to_timestamp(translate(c, ".", "-"), lit("y-M-d"))),
       monthNamed(c))
 
   /** Month-name formats dateutil accepts ("Jan 5, 1999", "5 March 2001",
@@ -119,7 +121,12 @@ object Grabbers {
       when(c.rlike("^[A-Z]{3,9} \\d{4}$"),
         coalesce(
           try_to_timestamp(t, lit("MMM y")),
-          try_to_timestamp(t, lit("MMMM y")))))
+          try_to_timestamp(t, lit("MMMM y")))),
+      // dashed month-name dates: "5-MAR-2001" / "5-MARCH-2001"
+      when(c.rlike("^\\d{1,2}-[A-Z]{3,9}-\\d{4}$"),
+        coalesce(
+          try_to_timestamp(initcap(translate(c, "-", " ")), lit("d MMM y")),
+          try_to_timestamp(initcap(translate(c, "-", " ")), lit("d MMMM y")))))
   }
 
   /** Minimal gnparser-equivalent scientific-name parse

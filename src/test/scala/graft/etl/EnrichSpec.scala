@@ -216,6 +216,9 @@ class EnrichSpec extends SparkSpec {
       // missing day defaults to 1 (dateutil default=datetime(1,1,1))
       "MARCH 2001"       -> "2001-03-01 00:00:00.0",
       "DEC 1964"         -> "1964-12-01 00:00:00.0",
+      "5-MAR-2001"       -> "2001-03-05 00:00:00.0",
+      "28-FEBRUARY-1987" -> "1987-02-28 00:00:00.0",
+      "1999.03.05"       -> "1999-03-05 00:00:00.0",
     )
     for ((in, want) <- cases) {
       val got = one(permissiveTimestamp(upper(trim(col("x")))), in)
