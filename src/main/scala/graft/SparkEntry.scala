@@ -99,6 +99,7 @@ object SparkEntry {
     // correction engine + export sinks (SURVEY §2.9, §2.1)
     "q_corrections" -> (CorrectionQueries.qCorrections _),
     "q_corrections_geo" -> (CorrectionQueries.qCorrectionsGeo _),
+    "q_dq_stats" -> (CorrectionQueries.qDqStats _),
     "q_uniquevals"  -> (ExportQueries.qUniquevals _),
     "q_export_csv"  -> (ExportQueries.qExportCsv _),
     "q_citations"   -> (ExportQueries.qCitations _),
@@ -164,6 +165,7 @@ object SparkEntry {
     "q_etag_dedup"     -> StoreQueries.qEtagDedupSql,
     "q_corrections" -> CorrectionQueries.qCorrectionsSql,
     "q_corrections_geo" -> CorrectionQueries.qCorrectionsGeoSql,
+    "q_dq_stats" -> CorrectionQueries.qDqStatsSql,
     "q_uniquevals"  -> ExportQueries.qUniquevalsSql,
     "q_export_csv"  -> ExportQueries.qExportCsvSql,
     "q_citations"   -> ExportQueries.qCitationsSql,

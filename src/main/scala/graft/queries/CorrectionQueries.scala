@@ -124,6 +124,53 @@ object CorrectionQueries {
       |  END AS flags
       |FROM base ORDER BY id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_dq_stats: the data-quality stats report (reporting/dq_stats.py:1-72)
+  // — an ES _search with SIX sibling filter-aggregations (total, kingdom
+  // exists, kingdom_added flag, phylum exists, phylum_added flag,
+  // countrycode exists) reported as ratios. The Spark shape is the
+  // one-pass equivalent: a single hash aggregate of conditional counts —
+  // no explode, no join, one job over the corrected records.
+  // ---------------------------------------------------------------------
+
+  def qDqStats(s: SparkSession, dir: String): DataFrame = {
+    val corrected = qCorrections(s, dir)
+    def has(flag: String) = when(col("flags").contains(flag), 1L).otherwise(0L)
+    val agg = corrected.agg(
+      count(lit(1)).as("t"),
+      count(col("kingdom")).as("kc"),
+      sum(has("dwc_kingdom_added")).as("ka"),
+      count(col("phylum")).as("pc"),
+      sum(has("dwc_phylum_added")).as("pa"),
+      count(col("countrycode")).as("ccc"))
+    agg.select(
+      col("t"), col("kc"), col("ka"), col("pc"), col("pa"), col("ccc"),
+      (col("kc").cast("double") / col("t")).as("kc_r"),
+      (col("ka").cast("double") / col("t")).as("ka_r"),
+      (col("pc").cast("double") / col("t")).as("pc_r"),
+      (col("pa").cast("double") / col("t")).as("pa_r"),
+      (col("ccc").cast("double") / col("t")).as("ccc_r"))
+  }
+
+  def qDqStatsSql: String =
+    s"""WITH corrected AS (${qCorrectionsSql})
+       |SELECT CAST(count(*) AS BIGINT) AS t,
+       |  CAST(count(kingdom) AS BIGINT) AS kc,
+       |  CAST(sum(CASE WHEN position('dwc_kingdom_added' IN flags) > 0
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS ka,
+       |  CAST(count(phylum) AS BIGINT) AS pc,
+       |  CAST(sum(CASE WHEN position('dwc_phylum_added' IN flags) > 0
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS pa,
+       |  CAST(count(countrycode) AS BIGINT) AS ccc,
+       |  CAST(count(kingdom) AS DOUBLE) / count(*) AS kc_r,
+       |  CAST(sum(CASE WHEN position('dwc_kingdom_added' IN flags) > 0
+       |        THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS ka_r,
+       |  CAST(count(phylum) AS DOUBLE) / count(*) AS pc_r,
+       |  CAST(sum(CASE WHEN position('dwc_phylum_added' IN flags) > 0
+       |        THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pa_r,
+       |  CAST(count(countrycode) AS DOUBLE) / count(*) AS ccc_r
+       |FROM corrected""".stripMargin
+
   val qCorrectionsSql: String =
     """WITH rec AS (
       |  SELECT c_custkey AS id, n_name AS country, n_nationkey,
