@@ -100,6 +100,7 @@ object SparkEntry {
     "q_corrections" -> (CorrectionQueries.qCorrections _),
     "q_corrections_geo" -> (CorrectionQueries.qCorrectionsGeo _),
     "q_dq_stats" -> (CorrectionQueries.qDqStats _),
+    "q_ingest_suspects" -> (IngestQueries.qIngestSuspects _),
     "q_uniquevals"  -> (ExportQueries.qUniquevals _),
     "q_export_csv"  -> (ExportQueries.qExportCsv _),
     "q_citations"   -> (ExportQueries.qCitations _),
@@ -166,6 +167,7 @@ object SparkEntry {
     "q_corrections" -> CorrectionQueries.qCorrectionsSql,
     "q_corrections_geo" -> CorrectionQueries.qCorrectionsGeoSql,
     "q_dq_stats" -> CorrectionQueries.qDqStatsSql,
+    "q_ingest_suspects" -> IngestQueries.qIngestSuspectsSql,
     "q_uniquevals"  -> ExportQueries.qUniquevalsSql,
     "q_export_csv"  -> ExportQueries.qExportCsvSql,
     "q_citations"   -> ExportQueries.qCitationsSql,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ingestion-side join/aggregation semantics (SURVEY §2.3, §2.4):
@@ -142,6 +142,79 @@ object IngestQueries {
   /** Ingest summary counters (db_check.py:456-475): create/update/
     * delete/unchanged outcome counts per batch — the resume-action
     * classification rolled up. */
+  // ---------------------------------------------------------------------
+  // q_ingest_suspects: the summary quality gate (ds_sum_counts.py:52-97)
+  // over synthesized per-recordset counter rows. Twelve fixture classes
+  // hit every rule of the ordered cascade (plus the benign fallthrough);
+  // the oracle replays the identical cascade in SQL over the same
+  // counters, including the ratio thresholds with true division.
+  // ---------------------------------------------------------------------
+
+  def qIngestSuspects(s: SparkSession, dir: String): DataFrame = {
+    val c = graft.Tables.customer(s, dir)
+    val k = col("c_custkey")
+    val cls = k % 12
+    def pick(vals: Seq[Int]): Column =
+      vals.zipWithIndex.tail.foldLeft(when(cls === 0, vals.head))(
+        (acc, vi) => acc.when(cls === vi._2, vi._1)).cast("long")
+    //            cls:  0    1    2    3    4    5    6    7    8    9   10   11
+    val rc   = pick(Seq(100,   0, 100,   0, 100, 100, 100, 100, 100, 100, 100, 100))
+    val rcr  = pick(Seq( 10,   0, 100,   0,  20,  10,  50,  10,  10,  10,  10,  10))
+    val rup  = pick(Seq( 90,   0,   0,   0,  60,  60,  50,  90,  90,  90,  90,  90))
+    val rdel = pick(Seq(  0,   0,   0,   5,  20,  30,   0,   0,   0,   0,   0,   0))
+    val mc   = pick(Seq( 50,   0,  50,  10,  50,  50,  50,  50,   0, 500, 500, 100))
+    val mcr  = pick(Seq( 10,   0,  10,   2,  10,  10,  10,  50,   0,  10, 250,  20))
+    val mup  = pick(Seq( 40,   0,  40,   8,  40,  40,  40,   0,   0, 450, 250,  60))
+    val mdel = pick(Seq(  0,   0,   0,   0,   0,   0,   0,   0,   3,  40,   0,  20))
+    val counters = c.orderBy(k).select(
+      k.as("id"), (cls =!= 0).as("datafile_ok"),
+      rc.as("rc"), rcr.as("rcr"), rup.as("rup"), rdel.as("rdel"),
+      mc.as("mc"), mcr.as("mcr"), mup.as("mup"), mdel.as("mdel"))
+    counters.select(col("id"),
+      graft.ingest.SummaryChecks.suspectTag(col("datafile_ok"),
+        col("rc"), col("rcr"), col("rup"), col("rdel"),
+        col("mc"), col("mcr"), col("mup"), col("mdel")).as("tag"))
+  }
+
+  val qIngestSuspectsSql: String = {
+    def pickSql(vals: Seq[Int]): String =
+      "CASE c_custkey % 12 " + vals.zipWithIndex.map { case (v, i) =>
+        s"WHEN $i THEN $v" }.mkString(" ") + " END"
+    val rc   = pickSql(Seq(100,   0, 100,   0, 100, 100, 100, 100, 100, 100, 100, 100))
+    val rcr  = pickSql(Seq( 10,   0, 100,   0,  20,  10,  50,  10,  10,  10,  10,  10))
+    val rup  = pickSql(Seq( 90,   0,   0,   0,  60,  60,  50,  90,  90,  90,  90,  90))
+    val rdel = pickSql(Seq(  0,   0,   0,   5,  20,  30,   0,   0,   0,   0,   0,   0))
+    val mc   = pickSql(Seq( 50,   0,  50,  10,  50,  50,  50,  50,   0, 500, 500, 100))
+    val mcr  = pickSql(Seq( 10,   0,  10,   2,  10,  10,  10,  50,   0,  10, 250,  20))
+    val mup  = pickSql(Seq( 40,   0,  40,   8,  40,  40,  40,   0,   0, 450, 250,  60))
+    val mdel = pickSql(Seq(  0,   0,   0,   0,   0,   0,   0,   0,   3,  40,   0,  20))
+    s"""WITH ctr AS (
+       |  SELECT c_custkey AS id, c_custkey % 12 != 0 AS datafile_ok,
+       |    $rc AS rc, $rcr AS rcr, $rup AS rup, $rdel AS rdel,
+       |    $mc AS mc, $mcr AS mcr, $mup AS mup, $mdel AS mdel
+       |  FROM customer)
+       |SELECT id,
+       |  CASE
+       |    WHEN NOT datafile_ok THEN 'DATAFILE_NOT_OK'
+       |    WHEN rc = 0 AND mc = 0 THEN 'NO_RECORDS'
+       |    WHEN rc > 0 AND rcr = rc AND rup = 0 AND rdel = 0 THEN 'ALLNEW_RECORDS'
+       |    WHEN rc = 0 AND rdel > 0 THEN 'DELETED_ALL_RECORDS'
+       |    WHEN rdel > 0 AND CAST(rcr AS DOUBLE)/rdel > 0.9
+       |      AND CAST(rcr AS DOUBLE)/rdel < 1.1
+       |      AND CAST(rcr AS DOUBLE)/rc > 0.1 THEN 'RECORDS_CHURN'
+       |    WHEN rc > 0 AND CAST(rdel AS DOUBLE)/rc > 0.2 THEN 'DELETED_MANY_RECORDS'
+       |    WHEN rc > 0 AND CAST(rcr AS DOUBLE)/rc > 0.45 THEN 'MANY_NEW_RECORDS'
+       |    WHEN mc > 0 AND mcr = mc AND mup = 0 AND mdel = 0 THEN 'ALLNEW_MEDIA'
+       |    WHEN mc = 0 AND mdel > 0 THEN 'DELETED_ALL_MEDIA'
+       |    WHEN mc > 400 AND CAST(mdel AS DOUBLE)/mc > 0.06 THEN 'DELETED_MANY_MEDIA'
+       |    WHEN mc > 400 AND CAST(mcr AS DOUBLE)/mc > 0.4 THEN 'MANY_NEW_MEDIA'
+       |    WHEN mdel > 0 AND CAST(mcr AS DOUBLE)/mdel > 0.9
+       |      AND CAST(mcr AS DOUBLE)/mdel < 1.1
+       |      AND CAST(mcr AS DOUBLE)/mc > 0.1 THEN 'MEDIA_CHURN'
+       |  END AS tag
+       |FROM ctr ORDER BY id""".stripMargin
+  }
+
   def qIngestSummary(s: SparkSession, dir: String): DataFrame =
     StreamQueries.qResumeActions(s, dir)
       .groupBy(col("action")).agg(count(lit(1)).as("n"))
