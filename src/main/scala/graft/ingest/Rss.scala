@@ -36,6 +36,23 @@ object Rss {
     }
   }
 
+  /** id_func (update_publisher_recordset.py:61-96): the recordid
+    * identity key for a feed entry — the entry's own id/guid, or for
+    * Symbiota feeds (which carry only a `collid`) the portal's
+    * collprofiles URL built from portal_url + collid. IPT ids drop a
+    * trailing `/v<major>[.<minor>]` version suffix so re-published
+    * versions keep one identity; the result is lowercased. */
+  def recordId(portalUrl: String, id: Option[String],
+      collid: Option[String] = None): Option[String] = {
+    val base = id.orElse(collid.map(c =>
+      s"${portalUrl}collections/misc/collprofiles.php?collid=$c"))
+    val VersionSuffix = "^(.*)/v[0-9]*(\\.)?[0-9]*$".r
+    base.map {
+      case VersionSuffix(stem, _) => stem.toLowerCase
+      case other => other.toLowerCase
+    }
+  }
+
   /** Diff feed entries against known recordsets: returns (new entries,
     * changed entries) by id; "changed" = pubDate differs (the
     * reference's harvest-date/etag comparison). */
