@@ -189,6 +189,72 @@ object Media {
     Option(img).map(i => (i.getWidth, i.getHeight))
   }
 
+  // --- audio waveform derivative (sounds bucket) ------------------------
+
+  /** Per-bar loudness peaks of an audio blob — the feature-extraction
+    * half of the reference's waveform derivative (mediaing/waveform.py
+    * :17-42): split into `barCount` chunks, RMS per chunk, normalize to
+    * `dbCeiling` as int((rms/max)·ceiling). REAL decode via
+    * javax.sound.sampled (WAV/AIFF PCM — pure JDK; the reference's mp3
+    * path needs ffmpeg, absent here, so mp3 blobs raise like its
+    * pydub error path). 16-bit PCM assumed, first channel read. */
+  def waveformPeaks(bytes: Array[Byte], barCount: Int = 107,
+      dbCeiling: Int = 60): Array[Int] = {
+    import javax.sound.sampled.AudioSystem
+    val in =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case e: Exception =>
+        throw new BadImageException(s"undecodable audio: ${e.getMessage}") }
+    val fmt = in.getFormat
+    val frameSize = fmt.getFrameSize
+    val data = in.readAllBytes()
+    val frames = data.length / frameSize
+    val chunk = math.max(1, frames / barCount)
+    val bigEndian = fmt.isBigEndian
+    def sample(frame: Int): Int = {
+      val off = frame * frameSize // first channel of the frame
+      val (a, b) = (data(off) & 0xff, data(off + 1) & 0xff)
+      val s = if (bigEndian) (a << 8) | b else (b << 8) | a
+      (s << 16) >> 16 // sign-extend 16-bit
+    }
+    val rms = Array.tabulate(barCount) { i =>
+      val start = i * chunk
+      val end = math.min(start + chunk, frames)
+      if (end <= start) 0.0
+      else {
+        var acc = 0.0
+        var f = start
+        while (f < end) { val s = sample(f).toDouble; acc += s * s; f += 1 }
+        math.sqrt(acc / (end - start))
+      }
+    }
+    val max = rms.max
+    if (max == 0.0) Array.fill(barCount)(0)
+    else rms.map(r => ((r / max) * dbCeiling).toInt)
+  }
+
+  /** Waveform bar image from an audio blob (waveform.py:58-77 layout:
+    * 840×150 canvas, 4px bars on an 8px grid, value·2 bar heights
+    * around the 64px midline), JPEG-encoded. The reference's duration
+    * caption needs a TTF font file — absent in this container — so the
+    * caption is omitted (documented divergence); bars are exact. */
+  def waveformImage(bytes: Array[Byte]): Array[Byte] = {
+    import java.awt.Color
+    import java.awt.image.BufferedImage
+    val peaks = waveformPeaks(bytes)
+    val im = new BufferedImage(840, 150, BufferedImage.TYPE_INT_RGB)
+    val g = im.createGraphics()
+    g.setColor(new Color(0xf5, 0xf5, 0xf5)); g.fillRect(0, 0, 840, 150)
+    g.setColor(new Color(0x42, 0x42, 0x42))
+    peaks.zipWithIndex.foreach { case (v, i) =>
+      if (v > 0) g.fillRect(i * 8 + 2, 64 - v, 4, math.max(1, v * 2))
+    }
+    g.dispose()
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpeg", buf)
+    buf.toByteArray
+  }
+
   /** mime → storage bucket with validation flag (media_validation.py).*/
   def bucketFor(mime: Column): Column =
     graft.etl.Vocab.defaultBuckets.foldLeft(when(lit(false), lit("")))(

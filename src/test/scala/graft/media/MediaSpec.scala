@@ -106,6 +106,47 @@ class MediaSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Array[Byte]](3).length > 1000))
   }
 
+  /** PCM-16 mono WAV fixture: `seconds` of audio at 8 kHz where the
+    * first half is silence and the second half a full-scale square
+    * wave — extreme RMS contrast for peak assertions. */
+  private def wavBytes(): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val rate = 8000
+    val n = rate // 1 second
+    val pcm = new Array[Byte](n * 2)
+    for (i <- n / 2 until n) {
+      val v: Short = if ((i / 8) % 2 == 0) 20000 else -20000
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  test("waveformPeaks: real WAV decode, silent half ~0, loud half at ceiling") {
+    val peaks = Media.waveformPeaks(wavBytes())
+    assert(peaks.length == 107)
+    // first ~half silent, second ~half loud; allow the boundary bar slack
+    assert(peaks.take(50).forall(_ == 0), "silent chunks must be 0")
+    assert(peaks.drop(55).count(_ == 60) > 40, "loud chunks at the 60 ceiling")
+    assert(peaks.max == 60)
+  }
+
+  test("waveformImage renders the 840x150 bar canvas from audio bytes") {
+    val img = Media.waveformImage(wavBytes())
+    assert(Media.imageDims(img).contains((840, 150)))
+  }
+
+  test("waveform: undecodable audio raises like the reference's error path") {
+    intercept[Media.BadImageException] {
+      Media.waveformPeaks(Array.tabulate[Byte](100)(_.toByte))
+    }
+  }
+
   test("mediaView resolves the latest association per url (db.py:624-656)") {
     val s = spark
     import s.implicits._
