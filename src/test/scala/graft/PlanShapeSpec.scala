@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape pins for the operators added in round 5 — the
+  * properties that make them survive a 100× scale-up, asserted so a
+  * future refactor can't silently regress them:
+  *  - dimension enrich pipelines stay shuffle-free and UDF-free;
+  *  - the corrections engine joins only by broadcast (records never
+  *    shuffle);
+  *  - the datum shift stays inside the single enrich projection chain;
+  *  - the suspects gate is a pure projection.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("recordsets/publishers enrich: no shuffle, no UDF") {
+    val rs = graft.etl.Enrich.recordsets(
+      Seq(1L).toDF("id").select(col("id"),
+        map(lit("collection_name"), lit("x")).as("data")))
+    val pub = graft.etl.Enrich.publishers(
+      Seq(1L).toDF("id").select(col("id"),
+        map(lit("name"), lit("x")).as("data")))
+    for (p <- Seq(plan(rs), plan(pub))) {
+      assert(!p.contains("Exchange"), "dimension enrich must not shuffle")
+      assert(!p.toLowerCase.contains("scalaudf"), "must not use UDFs")
+    }
+  }
+
+  test("datum reprojection stays inside the enrich projection (no shuffle)") {
+    val df = Seq(1L).toDF("id").select(col("id"), map(
+      lit("dwc:decimalLatitude"), lit("39.8"),
+      lit("dwc:decimalLongitude"), lit("-98.5"),
+      lit("dwc:geodeticDatum"), lit("NAD27")).as("data"))
+    val p = plan(graft.etl.Enrich.records(df))
+    assert(!p.contains("Exchange"), "datum shift must not add a shuffle")
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
+
+  test("locality corrections: broadcast joins only, records never shuffle") {
+    val recs = Seq((1L, "Florida", null: String)).toDF("id", "stateprovince", "country")
+      .select(col("id"), col("stateprovince"), col("country"),
+        lit(null).cast("string").as("continent"),
+        lit(null).cast("string").as("countrycode"),
+        lit(null).cast("string").as("kingdom"))
+    val fieldCol = Map(
+      "dwc:stateProvince" -> "stateprovince", "dwc:country" -> "country",
+      "dwc:continent" -> "continent",
+      "idigbio:isoCountryCode" -> "countrycode", "dwc:kingdom" -> "kingdom")
+    val p = plan(graft.etl.Corrections.apply(
+      recs, graft.etl.Locality.rules, fieldCol))
+    assert(p.contains("BroadcastHashJoin"), "rule stages must broadcast")
+    assert(!p.contains("SortMergeJoin"), "record side must never shuffle-join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "record side must never be hash-repartitioned")
+  }
+
+  test("suspects gate is a pure projection (no shuffle, no join)") {
+    val ctr = Seq((1L, true, 100L, 10L, 90L, 0L, 50L, 10L, 40L, 0L))
+      .toDF("id", "ok", "rc", "rcr", "rup", "rdel", "mc", "mcr", "mup", "mdel")
+    val p = plan(ctr.select(col("id"),
+      graft.ingest.SummaryChecks.suspectTag(col("ok"), col("rc"), col("rcr"),
+        col("rup"), col("rdel"), col("mc"), col("mcr"), col("mup"),
+        col("mdel")).as("tag")))
+    assert(!p.contains("Exchange") && !p.contains("Join"))
+  }
+}
