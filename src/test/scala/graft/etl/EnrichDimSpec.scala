@@ -90,6 +90,47 @@ class EnrichDimSpec extends SparkSpec {
     assert(r.getAs[Double]("dqs") == 0.0)
   }
 
+  test("harvest integration: EML parse feeds the recordsets enrich end-to-end") {
+    // the real composition: RSS gives link/eml_link, EML gives
+    // collection_name/rights/logo/contacts, Enrich.recordsets types it
+    val eml =
+      """<eml><dataset>
+        |  <title>Example Fish Collection</title>
+        |  <intellectualRights>CC0</intellectualRights>
+        |  <creator>
+        |    <individualName><givenName>Ann</givenName><surName>Smith</surName></individualName>
+        |    <electronicMailAddress>ann@example.org</electronicMailAddress>
+        |  </creator>
+        |  <contact>
+        |    <individualName><givenName>Bo</givenName><surName>Li</surName></individualName>
+        |    <electronicMailAddress>bo@example.org</electronicMailAddress>
+        |  </contact>
+        |</dataset></eml>""".stripMargin
+    val meta = graft.ingest.Eml.parse(eml)
+    val dataEntries: Seq[Column] = Seq(
+      Some(lit("idigbio:uuid") -> lit("RS-X")),
+      meta.collectionName.map(v => lit("collection_name") -> lit(v)),
+      meta.rights.map(v => lit("data_rights") -> lit(v)),
+      meta.logoUrl.map(v => lit("logo_url") -> lit(v)),
+      Some(lit("link") -> lit("http://ipt.example/archive.do?r=x")),
+    ).flatten.flatMap(kv => Seq(kv._1, kv._2))
+    val contacts = array(meta.contacts.map(c => struct(
+      lit(c.firstName.orNull).as("first_name"),
+      lit(c.lastName.orNull).as("last_name"),
+      lit(c.email.orNull).as("email"),
+      lit(c.role.orNull).as("role"))): _*)
+    val raw = Seq(1L).toDF("id").select(col("id"),
+      map(dataEntries: _*).as("data"), contacts.as("contacts"))
+    val r = Enrich.recordsets(raw).collect().head
+    assert(r.getAs[String]("name") == "example fish collection")
+    assert(r.getAs[String]("rights") == "cc0")
+    assert(r.getAs[String]("archivelink") == "http://ipt.example/archive.do?r=x")
+    val got = Enrich.recordsets(raw).select(col("contacts")).collect()
+      .head.getSeq[Row](0)
+    assert(got.map(c => (c.getAs[String]("email"), c.getAs[String]("role"))) ==
+      Seq(("ann@example.org", "creator"), ("bo@example.org", "contact")))
+  }
+
   test("publishers: missing siblings yields null recordsets list") {
     val raw = Seq(1L).toDF("id").select(
       col("id"), map(lit("name"), lit("P")).as("data"))
