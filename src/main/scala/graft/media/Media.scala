@@ -255,6 +255,46 @@ object Media {
     buf.toByteArray
   }
 
+  // --- video frame sampling (multimodal plumbing) -----------------------
+
+  /** One sampled frame per (etag, frame_idx). */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("etag", StringType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame", BinaryType)))
+
+  /** Sample `n` frames from each video blob via an injectable decode
+    * kernel — the video member of the multimodal column family. The JDK
+    * has no video decoder, so the DEFAULT KERNEL IS A DETERMINISTIC
+    * STUB (content-seeded fake frames); the Spark-side plumbing —
+    * per-partition batch shape, schema, one output row per sampled
+    * frame — is real, and a production deployment injects a JNI/ffmpeg
+    * kernel with the same signature. */
+  def sampleFrames(blobs: DataFrame, n: Int,
+      decoder: (Array[Byte], Int) => Seq[Array[Byte]] = fakeFrameDecoder)
+      : DataFrame = {
+    val spark = blobs.sparkSession
+    val etagIdx = blobs.schema.fieldIndex("etag")
+    val contentIdx = blobs.schema.fieldIndex("content")
+    val rows = blobs.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val etag = r.getString(etagIdx)
+        val frames = decoder(r.getAs[Array[Byte]](contentIdx), n)
+        frames.zipWithIndex.map { case (f, i) => Row(etag, i, f) }
+      }
+    }
+    spark.createDataFrame(rows, frameSchema)
+  }
+
+  /** STUB video decode (no video codec in the JDK/container):
+    * deterministic 64-byte fake frames derived from the blob hash. */
+  def fakeFrameDecoder(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seed = md.digest(bytes)
+    (0 until n).map(i =>
+      Array.tabulate[Byte](64)(j => (seed(j % 16) + i * 31 + j).toByte))
+  }
+
   /** mime → storage bucket with validation flag (media_validation.py).*/
   def bucketFor(mime: Column): Column =
     graft.etl.Vocab.defaultBuckets.foldLeft(when(lit(false), lit("")))(

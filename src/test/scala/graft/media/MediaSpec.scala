@@ -141,6 +141,22 @@ class MediaSpec extends SparkSpec {
     assert(Media.imageDims(img).contains((840, 150)))
   }
 
+  test("sampleFrames: one row per (etag, frame_idx), deterministic stub kernel") {
+    val s = spark
+    import s.implicits._
+    val blobs = Media.fetchBatch(Seq("http://a.example/v.mp4").toDF("url"))
+    val frames = Media.sampleFrames(blobs, n = 4)
+    assert(frames.schema === Media.frameSchema)
+    val rows = frames.orderBy("frame_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 1, 2, 3))
+    assert(rows.forall(_.getAs[Array[Byte]](2).length == 64))
+    // deterministic across runs, distinct across frames
+    val again = Media.sampleFrames(blobs, n = 4).orderBy("frame_idx").collect()
+    assert(rows.map(_.getAs[Array[Byte]](2).toSeq) ===
+      again.map(_.getAs[Array[Byte]](2).toSeq))
+    assert(rows.map(_.getAs[Array[Byte]](2).toSeq).distinct.length == 4)
+  }
+
   test("waveform: undecodable audio raises like the reference's error path") {
     intercept[Media.BadImageException] {
       Media.waveformPeaks(Array.tabulate[Byte](100)(_.toByte))
