@@ -64,6 +64,18 @@ object TextStats {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** GPT-2-style pre-tokenizer pattern (public BPE pre-tokenization
+    * shape: contraction tail, space-prefixed letter runs, digit runs,
+    * punctuation runs, whitespace). Restricted to the ASCII classes so
+    * Java-regex (Spark) and RE2 (DuckDB oracle) agree exactly. */
+  val BpePattern = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+| +"
+
+  /** BPE-ish token count: matches of [[BpePattern]] — the regex half of
+    * "whitespace + BPE-ish regex" token counting (subwordCount is the
+    * whitespace/length half). Codegen regexp_count, no explode. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("long")
+
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(split(text, "\\s+")))
 

@@ -140,16 +140,17 @@ object LlmQueries {
   def qTextStats(s: SparkSession, dir: String): DataFrame = {
     // tokenize once, derive every stat from the shared words column
     val staged = Tables.documents(s, dir)
-      .select(col("doc_id"), TextStats.words(col("text")).as("_w"))
+      .select(col("doc_id"), col("text"), TextStats.words(col("text")).as("_w"))
       .select(col("doc_id"),
         TextStats.tokenCountFromWords(col("_w")).as("n_tokens"),
         TextStats.subwordCountFromWords(col("_w")).as("n_subwords"),
+        TextStats.bpeTokenCount(col("text")).as("n_bpe"),
         TextStats.distinctTokenCountFromWords(col("_w")).as("n_distinct"),
         TextStats.avgTokenLenFromWords(col("_w")).as("avg_len"),
         TextStats.stopwordRatioFromWords(col("_w"), enStops).as("stop_en"),
         TextStats.fingerprintFromWords(col("_w")).as("fp"))
     staged.select(col("doc_id"), col("n_tokens"), col("n_subwords"),
-      col("n_distinct"), col("avg_len"), col("stop_en"),
+      col("n_bpe"), col("n_distinct"), col("avg_len"), col("stop_en"),
       // flags recomputed from the already-materialized stats
       concat_ws(",",
         when(col("n_tokens") < 20, "too_short"),
@@ -162,10 +163,11 @@ object LlmQueries {
 
   val qTextStatsSql: String = {
     val stopsIn = enStops.map(w => s"'$w'").mkString(", ")
-    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
       |m AS (SELECT doc_id, text, w,
       |  len(w) AS n_tokens,
       |  CAST(list_sum(list_transform(w, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+      |  CAST(len(regexp_extract_all(text, 'BPEPAT')) AS BIGINT) AS n_bpe,
       |  len(list_distinct(w)) AS n_distinct,
       |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_len,
       |  CAST(list_sum(list_transform(w, x -> CASE WHEN lower(x) IN (STOPS) THEN 1 ELSE 0 END)) AS DOUBLE)
@@ -173,7 +175,7 @@ object LlmQueries {
       |  list_min(list_transform(range(len(w) - 2),
       |    i -> try_cast('0x' || substr(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 15) AS BIGINT))) AS fp
       |  FROM t)
-      |SELECT doc_id, n_tokens, n_subwords, n_distinct, avg_len, stop_en,
+      |SELECT doc_id, n_tokens, n_subwords, n_bpe, n_distinct, avg_len, stop_en,
       |  concat_ws(',',
       |    CASE WHEN n_tokens < 20 THEN 'too_short' END,
       |    CASE WHEN CAST(n_distinct AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) < 0.3
@@ -181,6 +183,7 @@ object LlmQueries {
       |    CASE WHEN avg_len > 12.0 THEN 'long_tokens' END) AS flags,
       |  fp
       |FROM m ORDER BY doc_id""".stripMargin.replace("STOPS", stopsIn)
+      .replace("BPEPAT", TextStats.BpePattern.replace("'", "''"))
   }
 
   def qLangId(s: SparkSession, dir: String): DataFrame =
