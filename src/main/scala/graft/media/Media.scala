@@ -207,6 +207,10 @@ object Media {
         throw new BadImageException(s"undecodable audio: ${e.getMessage}") }
     val fmt = in.getFormat
     val frameSize = fmt.getFrameSize
+    if (frameSize < 2 || fmt.getSampleSizeInBits != 16)
+      throw new BadImageException(
+        s"unsupported sample format: ${fmt.getSampleSizeInBits}-bit " +
+          s"(16-bit PCM expected)")
     val data = in.readAllBytes()
     val frames = data.length / frameSize
     val chunk = math.max(1, frames / barCount)
