@@ -74,6 +74,45 @@ class ExportsSpec extends SparkSpec {
     assert(meta.startsWith("""<archive xmlns="http://rs.tdwg.org/dwc/text/">"""))
   }
 
+  test("bulk download end-to-end: DSL query → CSV + citations → DwC-A zip (§3.2)") {
+    val s = spark
+    import s.implicits._
+    // store-shaped records
+    val records = Seq(
+      ("u1", "acer", "united states", "rs-1"),
+      ("u2", "acer", "canada", "rs-1"),
+      ("u3", "quercus", "united states", "rs-2"),
+      ("u4", "pinus", "mexico", "rs-2"),
+    ).toDF("uuid", "genus", "country", "recordset")
+    // the download request: {"genus": {"type": "term", "value": "acer"}}-ish
+    val pred = graft.dsl.Compile.fromJson(
+      """{"genus": "acer"}""",
+      graft.dsl.Compile.Options(dataNormalized = true))
+    val hits = records.where(pred)
+    // occurrence CSV with long-name headers + citation counts
+    val csvRows = Exports.csvFormat(hits, "records", "uuid", Seq("genus", "country"))
+      .collect().map(_.toSeq.mkString(","))
+    val cites = Exports.citationCounts(hits, "recordset")
+      .collect().map(r => s"${r.get(0)},${r.get(1)}")
+    val meta = Exports.makeMeta(Seq(
+      Exports.makeFileBlock("occurrence.csv", Seq("dwc:genus", "dwc:country"),
+        core = true, rowType = "dwc:Occurrence")))
+    val tmp = java.nio.file.Files.createTempDirectory("dl").toString
+    val path = s"$tmp/download.zip"
+    Exports.writeDwcaZip(path, Map(
+      "meta.xml" -> meta,
+      "occurrence.csv" -> ("id,dwc:genus,dwc:country\n" + csvRows.mkString("\n")),
+      "citations.txt" -> cites.mkString("\n")))
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      def read(n: String): String = new String(
+        zf.getInputStream(zf.getEntry(n)).readAllBytes(), "UTF-8")
+      assert(read("occurrence.csv").linesIterator.size == 3) // header + 2 hits
+      assert(read("citations.txt").contains("rs-1,2"))
+      assert(read("meta.xml").contains("occurrence.csv"))
+    } finally zf.close()
+  }
+
   test("dwca zip round-trips") {
     val tmp = java.nio.file.Files.createTempDirectory("dwca").toString
     val path = s"$tmp/dwca.zip"
