@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Streaming operators beyond the incremental-index loop: the
+  * event-time windowed usage-stats rollup and the per-url stateful
+  * fetch gate.
+  */
+object StreamOps {
+
+  /** Streaming usage-stats rollup — the stats collector's date-bucketed
+    * counters (idb/stats/collect.py aggregates per recordset per day)
+    * as an event-time windowed aggregation: 1-day tumbling windows per
+    * (recordset, stat_type), closed by the watermark. Late events past
+    * `lateness` are dropped; in Append mode each window emits exactly
+    * once when it closes — the streaming twin of q_stats_rollup's
+    * date_trunc groupBy. */
+  def statsWindowed(events: DataFrame, lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 day"),
+        col("recordset"), col("stat_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("day"),
+        col("recordset"), col("stat_type"), col("n"))
+
+  /** One fetch attempt outcome flowing through the media loop. */
+  final case class FetchEvent(url: String, status: Int,
+      at: java.sql.Timestamp)
+
+  /** Per-url fetch state: the media table's (last_status, last_check)
+    * pair plus a consecutive-failure counter. */
+  final case class UrlState(lastStatus: Int, lastCheckMs: Long,
+      failures: Int)
+
+  /** The gate's verdict for a url after folding its latest events. */
+  final case class FetchVerdict(url: String, lastStatus: Int,
+      failures: Int, due: Boolean)
+
+  /** Retry-interval the reference applies to failed media before
+    * rechecking (fetcher.py:106 LAST_CHECK_INTERVAL = '1 month'). */
+  val RecheckAfterMs: Long = 30L * 24 * 3600 * 1000
+
+  /** Per-url fetch gate as custom keyed state (mapGroupsWithState):
+    * folds each url's fetch outcomes into (last_status, last_check,
+    * consecutive failures) and emits whether the url is due for another
+    * attempt — the streaming form of the reference's fetch predicate
+    * `last_status IS NULL OR (last_status >= 400 AND last_check <
+    * now() - interval)` (fetcher.py:213-218), with the failure streak
+    * carried as state the batch query cannot express. */
+  def fetchGate(events: Dataset[FetchEvent],
+      recheckAfterMs: Long = RecheckAfterMs)
+      : Dataset[FetchVerdict] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.url)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (url: String, evs: Iterator[FetchEvent], state: GroupState[UrlState]) =>
+          val ordered = evs.toSeq.sortBy(_.at.getTime)
+          val s0 = state.getOption.getOrElse(UrlState(-1, 0L, 0))
+          val s1 = ordered.foldLeft(s0) { (s, e) =>
+            val failures = if (e.status >= 400) s.failures + 1 else 0
+            UrlState(e.status, e.at.getTime, failures)
+          }
+          state.update(s1)
+          val due = s1.lastStatus < 0 ||
+            (s1.lastStatus >= 400 &&
+              s1.lastCheckMs < System.currentTimeMillis() - recheckAfterMs)
+          FetchVerdict(url, s1.lastStatus, s1.failures, due)
+      }
+  }
+}

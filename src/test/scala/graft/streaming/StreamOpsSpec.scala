@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamOpsSpec extends SparkSpec {
+
+  private def ts(x: String) = java.sql.Timestamp.valueOf(x)
+
+  test("statsWindowed: event-time 1-day windows close under the watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    val events = mem.toDF().toDF("ts", "recordset", "stat_type")
+    val q = StreamOps.statsWindowed(events, "1 hour")
+      .writeStream.format("memory").queryName("stats_win")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), "rs1", "search"),
+        (ts("2024-01-01 11:00:00"), "rs1", "search"),
+        (ts("2024-01-01 12:00:00"), "rs1", "view"),
+        (ts("2024-01-02 09:00:00"), "rs2", "search"))
+      q.processAllAvailable()
+      // second batch advances the watermark past Jan-3, closing the
+      // earlier windows so Append mode emits them exactly once
+      mem.addData((ts("2024-01-03 12:00:00"), "rs2", "view"))
+      q.processAllAvailable()
+      val got = sp.sql("SELECT day, recordset, stat_type, n FROM stats_win")
+        .collect().map(r => (r.getTimestamp(0).toString.take(10),
+          r.getString(1), r.getString(2), r.getLong(3))).toSet
+      assert(got.contains(("2024-01-01", "rs1", "search", 2L)))
+      assert(got.contains(("2024-01-01", "rs1", "view", 1L)))
+      assert(got.contains(("2024-01-02", "rs2", "search", 1L)))
+    } finally q.stop()
+  }
+
+  test("fetchGate: per-url keyed state folds status + failure streak across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[StreamOps.FetchEvent]
+    val q = StreamOps.fetchGate(mem.toDS())
+      .writeStream.format("memory").queryName("fetch_gate")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      mem.addData(
+        StreamOps.FetchEvent("http://a/1.jpg", 200, ts("2024-01-01 10:00:00")),
+        StreamOps.FetchEvent("http://a/2.jpg", 500, ts("2024-01-01 10:00:00")),
+        StreamOps.FetchEvent("http://a/2.jpg", 404, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val got = sp.sql("SELECT url, lastStatus, failures, due FROM fetch_gate")
+        .collect().map(r => r.getString(0) ->
+          ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+      // success resets the streak and is not due again
+      assert(got("http://a/1.jpg") == ((200, 0, false)))
+      // two consecutive failures; last_check is old -> due for recheck
+      assert(got("http://a/2.jpg") == ((404, 2, true)))
+
+      // next micro-batch: state persisted, streak continues; a success
+      // on the other url keeps it at zero
+      mem.addData(
+        StreamOps.FetchEvent("http://a/2.jpg", 503, ts("2024-01-02 10:00:00")))
+      q.processAllAvailable()
+      val later = sp.sql(
+        "SELECT failures FROM fetch_gate WHERE url='http://a/2.jpg'")
+        .collect().map(_.getInt(0)).max
+      assert(later == 3, "failure streak must carry across micro-batches")
+    } finally q.stop()
+  }
+}
