@@ -78,6 +78,7 @@ object SparkEntry {
     // LLM-training-data pipeline operators (documents/embeddings)
     "q_dedup_exact"   -> (LlmQueries.qDedupExact _),
     "q_dedup_minhash" -> (LlmQueries.qDedupMinhash _),
+    "q_ann_ivf" -> (LlmQueries.qAnnIvf _),
     "q_dedup_embed" -> (LlmQueries.qDedupEmbed _),
     "q_dedup_simhash" -> (LlmQueries.qDedupSimhash _),
     "q_text_stats"    -> (LlmQueries.qTextStats _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "q_dsl_geo_shape"      -> DslQueries.qDslGeoShapeSql,
     "q_dedup_exact"   -> LlmQueries.qDedupExactSql,
     "q_dedup_minhash" -> LlmQueries.qDedupMinhashSql,
+    "q_ann_ivf" -> LlmQueries.qAnnIvfSql,
     "q_dedup_embed" -> LlmQueries.qDedupEmbedSql,
     "q_dedup_simhash" -> LlmQueries.qDedupSimhashSql,
     "q_text_stats"    -> LlmQueries.qTextStatsSql,

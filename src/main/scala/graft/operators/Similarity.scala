@@ -100,4 +100,44 @@ object Similarity {
       val arr = p.mkString("[", ",", "]::DOUBLE[]")
       s"(CASE WHEN list_inner_product($embExpr, $arr) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  // --- IVF (inverted-file) variant --------------------------------------
+
+  /** IVF cell assignment: nearest centroid by squared L2, computed as
+    * argmin of (|c|² − 2·x·c) — the |x|² term is constant per vector and
+    * drops out. Centroids are a deterministic corpus sample (every
+    * `centroidMod`-th vec_id), making the quantizer replayable by the
+    * SQL oracle; a production build would train k-means, which only
+    * changes the centroid table, not this plan. The centroid side is
+    * tiny and broadcast; the argmin is a per-vector window over the
+    * (vector × centroid) scores with (score, cid) ordering so ties are
+    * deterministic. */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vecs.toDF("vid", "v")
+      .join(broadcast(centroids.toDF("cid", "c")))
+      .select(col("vid"), col("v"), col("cid"),
+        (dot(col("c"), col("c")) - lit(2.0) * dot(col("v"), col("c"))).as("score"))
+    val w = Window.partitionBy(col("vid")).orderBy(col("score"), col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vid"), col("v"), col("cid").as("cell"))
+  }
+
+  /** IVF top-k: both corpus and probes are quantized to their nearest
+    * centroid cell; each probe searches only its own inverted list
+    * (cell equi-join — the nprobe=1 scale path; more probe cells would
+    * union more joins). Output ranks, not raw scores. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroidMod: Int): DataFrame = {
+    val centroids = corpus.toDF("cid", "c").where(col("cid") % centroidMod === 0)
+    val c = ivfAssign(corpus, centroids).toDF("nid", "e", "cell")
+    val q = ivfAssign(queries, centroids).toDF("qid", "qv", "cell")
+    val joined = c.join(broadcast(q), Seq("cell"))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("e")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
 }

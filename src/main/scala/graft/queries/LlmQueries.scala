@@ -246,6 +246,40 @@ object LlmQueries {
 
   private val NumPlanes = 6
   private val Dim = 64
+  private val CentroidMod = 29
+
+  /** IVF-bucketed top-3: deterministic sampled centroids, nearest-cell
+    * quantization, per-cell inverted-list search (nprobe=1). The oracle
+    * replays the identical quantizer: same |c|²−2x·c scores, same
+    * (score, cid) tie order — double arithmetic is sequential-fold
+    * bit-identical on both engines. */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        queriesDf(s, dir), k = 3, centroidMod = CentroidMod)
+      .orderBy(col("qid"), col("rank"))
+
+  val qAnnIvfSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id % $CentroidMod = 0),
+       |scored AS (
+       |  SELECT v.vec_id AS vid, v.e, cent.cid,
+       |    list_inner_product(c, c) - 2.0 * list_inner_product(v.e, c) AS score
+       |  FROM v, cent),
+       |assigned AS (
+       |  SELECT vid, e, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY score, cid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |q AS (SELECT vid AS qid, e AS qv, cell FROM assigned WHERE vid < 10),
+       |s AS (
+       |  SELECT qid, a.vid AS nid,
+       |    list_inner_product(qv, a.e) /
+       |    (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(a.e, a.e))) AS sim
+       |  FROM q JOIN assigned a USING (cell) WHERE a.vid != qid),
+       |r AS (SELECT qid, nid,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+       |      FROM s)
+       |SELECT qid, nid, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   /** LSH-bucketed top-3: each probe searches only its sign-pattern
     * bucket (the 100 TB path — bucket equi-join instead of crossJoin).

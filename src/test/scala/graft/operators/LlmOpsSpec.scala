@@ -129,6 +129,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(langs === Array("en", "es", "und"))
   }
 
+  test("ivfAssign quantizes to the nearest centroid with deterministic ties") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)),   // centroid A (0 % 2 == 0)
+      (2L, Seq(10.0, 10.0)), // centroid B
+      (1L, Seq(1.0, 1.0)),   // near A
+      (3L, Seq(9.0, 9.0)),   // near B
+      (5L, Seq(5.0, 5.0)),   // EQUIDISTANT -> smaller cid wins
+    ).toDF("vec_id", "embedding")
+    val centroids = vecs.toDF("cid", "c").where(col("cid") % 2 === 0)
+    val cells = Similarity.ivfAssign(vecs, centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cells(1L) == 0L && cells(3L) == 2L)
+    assert(cells(0L) == 0L && cells(2L) == 2L) // centroids map to themselves
+    assert(cells(5L) == 0L, "equidistant tie must break to the smaller cid")
+  }
+
   test("cosineNearDups finds identical vectors, skips dissimilar, bucket-joined") {
     val s = spark
     import s.implicits._
