@@ -113,10 +113,14 @@ object Similarity {
     * (vector × centroid) scores with (score, cid) ordering so ties are
     * deterministic. */
   def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    // |c|² hoisted into the tiny centroid table: the interpreted HOF dot
+    // would otherwise re-fold it once per (vector × centroid) pair
+    val cents = centroids.toDF("cid", "c")
+      .withColumn("cc", dot(col("c"), col("c")))
     val scored = vecs.toDF("vid", "v")
-      .join(broadcast(centroids.toDF("cid", "c")))
+      .join(broadcast(cents))
       .select(col("vid"), col("v"), col("cid"),
-        (dot(col("c"), col("c")) - lit(2.0) * dot(col("v"), col("c"))).as("score"))
+        (col("cc") - lit(2.0) * dot(col("v"), col("c"))).as("score"))
     val w = Window.partitionBy(col("vid")).orderBy(col("score"), col("cid"))
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
