@@ -34,9 +34,13 @@ object Similarity {
     * (qid, neighbor, rank). Scores are intentionally not emitted —
     * ranks are stable across float ulp differences, raw floats are not. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val joined = corpus.toDF("nid", "e")
-      .join(broadcast(queries.toDF("qid", "q")), col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), cosine(col("q"), col("e")).as("sim"))
+    // norms hoisted to each side: the interpreted HOF fold would
+    // otherwise recompute them once per (corpus × query) pair
+    val c = corpus.toDF("nid", "e").withColumn("ne", norm(col("e")))
+    val q = queries.toDF("qid", "q").withColumn("nq", norm(col("q")))
+    val joined = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("q"), col("e")) / (col("nq") * col("ne"))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     joined.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -63,10 +67,13 @@ object Similarity {
       numPlanes: Int, dim: Int): DataFrame = {
     val ps = planes(numPlanes, dim)
     val c = corpus.toDF("nid", "e").withColumn("bucket", bucket(col("e"), ps))
+      .withColumn("ne", norm(col("e")))
     val q = queries.toDF("qid", "q").withColumn("bucket", bucket(col("q"), ps))
+      .withColumn("nq", norm(col("q")))
     val joined = c.join(broadcast(q), Seq("bucket"))
       .where(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), cosine(col("q"), col("e")).as("sim"))
+      .select(col("qid"), col("nid"),
+        (dot(col("q"), col("e")) / (col("nq") * col("ne"))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     joined.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -85,11 +92,13 @@ object Similarity {
       numPlanes: Int, dim: Int): DataFrame = {
     val ps = planes(numPlanes, dim)
     val b = vecs.toDF("id", "e").withColumn("bucket", bucket(col("e"), ps))
-    val b1 = b.toDF("d1", "e1", "bucket")
-    val b2 = b.toDF("d2", "e2", "bucket")
+      .withColumn("n", norm(col("e")))
+    val b1 = b.toDF("d1", "e1", "bucket", "n1")
+    val b2 = b.toDF("d2", "e2", "bucket", "n2")
     b1.join(b2, Seq("bucket"))
       .where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), cosine(col("e1"), col("e2")).as("cos"))
+      .select(col("d1"), col("d2"),
+        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("d1"), col("d2"), round(col("cos"), 6).as("cosine"))
   }
