@@ -41,6 +41,13 @@ object Datums {
     "OSGB36" -> Shift(6377563.396, 299.3249646, 375.0, -111.0, 431.0),
     // WGS72 → WGS84 (z-shift dominates; Δa/Δf carry the rest)
     "WGS72" -> Shift(6378135.0, 298.26, 0.0, 0.0, 4.5),
+    // Tokyo (Bessel 1841), Japan mean
+    "TOKYO" -> Shift(6377397.155, 299.1528128, -148.0, 507.0, 685.0),
+    // AGD66 / AGD84 (Australian National ellipsoid), Australia mean
+    "AGD66" -> Shift(6378160.0, 298.25, -133.0, -48.0, 148.0),
+    "AGD84" -> Shift(6378160.0, 298.25, -134.0, -48.0, 149.0),
+    // SAD69 (GRS 1967 modified), South-America mean
+    "SAD69" -> Shift(6378160.0, 298.247167427, -57.0, 1.0, -41.0),
   )
 
   /** Datum codes that get an actual coordinate shift. */

@@ -14,11 +14,12 @@ object Vocab {
     "NORTHAMERICANDATUM1983"  -> "NAD83",
     "NORTHAMERICANDATUM1927"  -> "NAD27")
 
-  /** Datums we accept as parseable. The reference reprojects these to
-    * WGS84 via PROJ (conversions.py:485-509); no projection library is
-    * available here, so known datums pass through untransformed
-    * (divergence: coordinates keep their source datum, typically within
-    * ~100 m of WGS84 for these) and unknown ones flag `datum_error`. */
+  /** Datums we accept as parseable (no `datum_error` flag). The
+    * reference reprojects via PROJ (conversions.py:485-509); here every
+    * non-identity member (NAD27/ED50/OSGB36/WGS72/TOKYO/AGD66/AGD84/
+    * SAD69) goes through the abridged-Molodensky transform in
+    * [[Datums]], and the ~identity family (WGS84/NAD83/GRS80/ETRS89/
+    * GDA94) passes through — matching PROJ's grid-less behavior. */
   val knownDatums: Set[String] = Set("WGS84", "WGS72", "NAD83", "NAD27", "ETRS89",
     "GRS80", "OSGB36", "ED50", "GDA94", "TOKYO", "AGD66", "AGD84", "SAD69")
 

@@ -342,7 +342,7 @@ object EtlQueries {
   def qDatum(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
     val k = col("p_partkey")
-    val m8 = k % 8
+    val m8 = k % 12
     val latS = concat(((k % 140) - 70).cast("string"), lit(".123456"))
     val lonS = concat(((k % 340) - 170).cast("string"), lit(".654321"))
     val base = Seq(
@@ -354,6 +354,10 @@ object EtlQueries {
       .when(m8 === 3, "OSGB36")
       .when(m8 === 4, "WGS72")
       .when(m8 === 5, "WGS84")
+      .when(m8 === 8, "TOKYO")
+      .when(m8 === 9, "AGD66")
+      .when(m8 === 10, "AGD84")
+      .when(m8 === 11, "SAD69")
       .otherwise("MARS 2000")
     val raw = p.orderBy(k).select(
       k.as("id"),
@@ -370,14 +374,16 @@ object EtlQueries {
   val qDatumSql: String = {
     import graft.etl.Datums
     s"""WITH base AS (
-       |  SELECT p_partkey AS id, p_partkey % 8 AS m8,
+       |  SELECT p_partkey AS id, p_partkey % 12 AS m8,
        |    CAST(CAST(p_partkey % 140 - 70 AS VARCHAR) || '.123456' AS DOUBLE) AS plat,
        |    CAST(CAST(p_partkey % 340 - 170 AS VARCHAR) || '.654321' AS DOUBLE) AS plon
        |  FROM part),
        |d AS (
        |  SELECT *, CASE m8 WHEN 0 THEN 'NAD27' WHEN 1 THEN 'NAD27'
        |    WHEN 2 THEN 'ED50' WHEN 3 THEN 'OSGB36' WHEN 4 THEN 'WGS72'
-       |    WHEN 5 THEN 'WGS84' WHEN 7 THEN 'MARS2000' END AS datum_norm
+       |    WHEN 5 THEN 'WGS84' WHEN 7 THEN 'MARS2000'
+       |    WHEN 8 THEN 'TOKYO' WHEN 9 THEN 'AGD66' WHEN 10 THEN 'AGD84'
+       |    WHEN 11 THEN 'SAD69' END AS datum_norm
        |  FROM base)
        |SELECT id,
        |  round(${Datums.lonCaseSql("plon", "plat", "datum_norm")}, 7) AS lon,
