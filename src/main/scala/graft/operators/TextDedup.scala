@@ -121,7 +121,15 @@ object TextDedup {
       candidates: DataFrame): DataFrame = {
     val candDocs = candidates.select(col("d1").as(idCol))
       .union(candidates.select(col("d2").as(idCol))).distinct()
-    val sh = shingleHashes.join(candDocs, idCol, "left_semi")
+    verifyJaccardOnCandidates(
+      shingleHashes.join(candDocs, idCol, "left_semi"), idCol, candidates)
+  }
+
+  /** [[verifyJaccard]] body for an already-candidate-only shingle table
+    * (callers that can filter the corpus BEFORE shingling avoid
+    * re-deriving the full corpus's shingles in each verify subtree). */
+  def verifyJaccardOnCandidates(sh: DataFrame, idCol: String,
+      candidates: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val s1 = sh.toDF("d1", "h")
     val s2 = sh.toDF("d2", "h")
@@ -165,13 +173,22 @@ object TextDedup {
     // words bound to a projected column (see shinglesFromWords), then
     // xxhash64 per shingle — the Jaccard math downstream only needs an
     // injective shingle→long map, not the oracle-replayable md5.
-    val sh = docs.select(col(idCol), split(col(textCol), " ").as("_w"))
+    val withWords = docs.select(col(idCol), split(col(textCol), " ").as("_w"))
+    def shingleHashes(d: DataFrame): DataFrame = d
       .select(col(idCol),
         explode(shinglesFromWords(col("_w"), shingleSize)).as("s"))
       .select(col(idCol), xxhash64(col("s")).as("h"))
-    val sigs = minhashSignatures(sh, idCol)
+    val sigs = minhashSignatures(shingleHashes(withWords), idCol)
     val cands = lshCandidates(sigs, idCol)
-    verifyJaccard(sh, idCol, cands)
+    // verification re-shingles only the candidate docs: the semi-join
+    // runs BEFORE the (interpreted, per-doc) shingle lambda, so the
+    // full corpus is shingled exactly once (the signature pass) instead
+    // of once per verify subtree
+    val candDocs = cands.select(col("d1").as(idCol))
+      .union(cands.select(col("d2").as(idCol))).distinct()
+    val shCand = shingleHashes(
+      withWords.join(candDocs, Seq(idCol), "left_semi"))
+    verifyJaccardOnCandidates(shCand, idCol, cands)
       .where(col("jaccard") >= threshold)
   }
 
