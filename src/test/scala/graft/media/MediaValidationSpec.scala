@@ -44,6 +44,33 @@ class MediaValidationSpec extends AnyFunSuite {
       (Some("application/zip"), Some("datasets")))
   }
 
+  test("validate_mime_for_type golden table (test_helpers_media_validation.py:9-30)") {
+    def v(m: String, t: String) =
+      validateMimeForType(Option(m), Option(t))
+    assert(v(null, null) == ((None, None)))
+    assert(v(null, "images") == ((None, Some("images"))))
+    assert(v("image/jpeg", null) == ((Some("image/jpeg"), Some("images"))))
+    assert(v("image/jpeg", "images") == ((Some("image/jpeg"), Some("images"))))
+    assert(v("audio/mpeg", null) == ((Some("audio/mpeg"), Some("sounds"))))
+    assert(v("audio/mpeg", "sounds") == ((Some("audio/mpeg"), Some("sounds"))))
+    assert(v("audio/mpeg3", null) == ((Some("audio/mpeg"), Some("sounds"))))
+    assert(v("audio/mpeg3", "sounds") == ((Some("audio/mpeg"), Some("sounds"))))
+    assert(v("application/zip", "datasets") ==
+      ((Some("application/zip"), Some("datasets"))))
+    assert(v("model/mesh", null) == ((Some("model/mesh"), Some("models"))))
+    assert(v("model/mesh", "models") == ((Some("model/mesh"), Some("models"))))
+    intercept[UnknownBucketError] { v("application/zip", null) }
+    intercept[UnknownBucketError] { v("text/plain", null) }
+    intercept[InvalidBucketError] { v("application/zip", "foobar") }
+    intercept[MimeNotAllowedError] { v("application/zip", "images") }
+  }
+
+  test("wrong 'image/jpg' mime is kicked back, not coerced (test:51-62 policy)") {
+    intercept[UnknownBucketError] { validate(jpeg, mime = Some("image/jpg")) }
+    intercept[MimeNotAllowedError] {
+      validate(jpeg, mime = Some("image/jpg"), t = Some("images")) }
+  }
+
   test("content/claim mismatch raises MimeMismatchError") {
     intercept[MimeMismatchError] { validate(zip, mime = Some("image/jpeg")) }
   }
