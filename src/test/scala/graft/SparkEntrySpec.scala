@@ -1,0 +1,25 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract guards: every query must carry an oracle (the
+  * correctness gate silently downgrades to a rows-only check for keys
+  * missing from oracleSql, so a wiring slip would weaken the gate
+  * without failing anything). */
+class SparkEntrySpec extends AnyFunSuite {
+
+  test("every queries key has an oracleSql twin and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q.diff(o).isEmpty, s"queries without oracle: ${q.diff(o)}")
+    assert(o.diff(q).isEmpty, s"oracles without query: ${o.diff(q)}")
+  }
+
+  test("oracle SQL is non-empty and single-statement") {
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(sql.trim.nonEmpty, s"$k oracle empty")
+      assert(!sql.trim.stripSuffix(";").contains(";"),
+        s"$k oracle has multiple statements")
+    }
+  }
+}
