@@ -16,6 +16,7 @@ object Plan {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.codegen.maxFields", sys.env.getOrElse("MAXF", "100"))
       .config("spark.sql.codegen.hugeMethodLimit", sys.env.getOrElse("HML", "8000"))
+      .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("WSCG", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -44,7 +44,34 @@ object SparkEntry {
 
   type Q = (SparkSession, String) => DataFrame
 
-  def queries: Map[String, Q] = Map[String, Q](
+  /** Queries whose plans embed the wide grabAll record/media enrichment.
+    * Operator fusion inlines every stacked Project of the pipeline into
+    * ONE generated processNext (inside WholeStageCodegen inputs are
+    * locals, not rows, so expression code cannot be split into
+    * sub-methods). That fused method exceeds HotSpot's 8000-byte JIT
+    * threshold — so under hugeMethodLimit it is ALWAYS discarded in
+    * favor of the per-operator path — and, since the month-name date
+    * formats widened the cascade, it also exceeds Janino's hard 64 KB
+    * method limit (compile ERROR, then the same fallback). Either way
+    * the fused attempt is pure wasted compile time. These queries pin
+    * whole-stage codegen OFF: per-operator UnsafeProjections generate
+    * row-based code that DOES split into small JIT-friendly methods —
+    * measured faster both cold and warm at sf0.1. */
+  private val noFuse = Set("q_enrich", "q_enrich_media", "q_geo_correct",
+    "q_datum")
+
+  /** Each query pins the session codegen conf it wants at build time, so
+    * serial build→execute harnesses (Bench, Verify, the driver loop) run
+    * every query under its own setting with no cross-query leakage. */
+  private def pinCodegen(name: String, f: Q): Q = (s, dir) => {
+    s.conf.set("spark.sql.codegen.wholeStage", (!noFuse(name)).toString)
+    f(s, dir)
+  }
+
+  def queries: Map[String, Q] =
+    rawQueries.map { case (k, f) => k -> pinCodegen(k, f) }
+
+  private def rawQueries: Map[String, Q] = Map[String, Q](
     "q1_agg"            -> (Relational.q1Agg _),
     "q_terms_agg"       -> (Relational.qTermsAgg _),
     "q_max_watermark"   -> (Relational.qMaxWatermark _),

@@ -64,6 +64,20 @@ object Enrich {
     val passthrough = df.columns.toSeq
       .filterNot(c => contract(c) || produced(c)).map(col)
 
+    // --- stage 0: date-string staging ---------------------------------
+    // permissiveTimestamp references its input ~16× (cast + rlike gates +
+    // month-name branches); fed the raw `upper(trim(element_at(...)))`
+    // tree directly, that tree is copied into every reference and the ONE
+    // generated method for the date expression passes the JVM's 64 KB
+    // bytecode limit — Janino then fails the whole stage into interpreted
+    // execution. Materializing the trimmed input as a named column makes
+    // each reference a bound attribute; CollapseProject keeps the stage
+    // (multi-referenced, non-cheap alias).
+    val s0 = df.withColumns(Map(
+      "_dm_in" -> upper(trim(getFieldRaw(data, "idigbio:dateModified"))),
+      "_ed_in" -> upper(trim(getFieldRaw(data, "dwc:eventDate"))),
+    ))
+
     // --- stage 1: everything that reads `data` ------------------------
     val textCols = FieldSchema.records.collect {
       case fd if fd.raw.nonEmpty && Set("text", "longtext")(fd.ftype) &&
@@ -81,7 +95,7 @@ object Enrich {
       else lit(null).cast("map<string,array<string>>")
     val mediarecords = element_at(siblings, "mediarecord")
 
-    val s1 = df.select(passthrough ++ Seq(
+    val s1 = s0.select(passthrough ++ Seq(
       (if (hasCol("uuid")) col("uuid") else getField(data, "idigbio:uuid")).as("uuid"),
       (if (hasCol("etag")) col("etag") else getField(data, "idigbio:etag")).as("etag"),
       (if (hasCol("recordids")) col("recordids")
@@ -97,9 +111,8 @@ object Enrich {
       getField(data, "dwc:decimalLatitude").as("_lat_raw"),
       getField(data, "dwc:decimalLongitude").as("_lon_raw"),
       getField(data, "dwc:geodeticDatum").as("_datum_raw"),
-      permissiveTimestamp(upper(trim(getFieldRaw(data, "idigbio:dateModified"))))
-        .as("datemodified"),
-      permissiveTimestamp(upper(trim(getFieldRaw(data, "dwc:eventDate")))).as("_dc_direct"),
+      permissiveTimestamp(col("_dm_in")).as("datemodified"),
+      permissiveTimestamp(col("_ed_in")).as("_dc_direct"),
       firstNumberLong(getField(data, "dwc:year")).cast("int").as("_yr"),
       firstNumberLong(getField(data, "dwc:month")).cast("int").as("_mo"),
       firstNumberLong(getField(data, "dwc:day")).cast("int").as("_dy"),
@@ -322,7 +335,13 @@ object Enrich {
       .filterNot(c => contract(c) || produced(c)).map(col)
 
     // --- stage 1: everything that reads `data` ------------------------
-    val s1 = df.select(passthrough ++ Seq(
+    // date-string staging: see the records stage-0 comment (64 KB Janino
+    // method limit when the input tree is inlined into the date cascade)
+    val s0 = df.withColumns(Map(
+      "_dm_in" -> upper(trim(getFieldRaw(data, "idigbio:dateModified"))),
+      "_mo_in" -> upper(trim(getFieldRaw(data, "dcterms:modified"))),
+    ))
+    val s1 = s0.select(passthrough ++ Seq(
       (if (hasCol("uuid")) col("uuid") else getField(data, "idigbio:uuid")).as("uuid"),
       (if (hasCol("etag")) col("etag") else getField(data, "idigbio:etag")).as("etag"),
       (if (hasCol("recordids")) col("recordids")
@@ -332,10 +351,8 @@ object Enrich {
       (if (hasCol("parent")) col("parent")
        else element_at(siblings, "recordset").getItem(0)).as("recordset"),
       element_at(siblings, "record").as("records"),
-      permissiveTimestamp(upper(trim(getFieldRaw(data, "idigbio:dateModified"))))
-        .as("datemodified"),
-      permissiveTimestamp(upper(trim(getFieldRaw(data, "dcterms:modified"))))
-        .as("modified"),
+      permissiveTimestamp(col("_dm_in")).as("datemodified"),
+      permissiveTimestamp(col("_mo_in")).as("modified"),
       getField(data, "dc:type").as("type"),
       getField(data, "ac:tag").as("tag"),
       // reference swap (conversions.py:367-368): xpixels ← PixelY
@@ -409,7 +426,9 @@ object Enrich {
     val passthrough = df.columns.toSeq
       .filterNot(c => contract(c) || produced(c)).map(col)
 
-    val s1 = df.select(passthrough ++ Seq(
+    val s0 = df.withColumn("_dm_in",
+      upper(trim(getFieldRaw(data, "idigbio:dateModified"))))
+    val s1 = s0.select(passthrough ++ Seq(
       (if (hasCol("uuid")) col("uuid") else getField(data, "idigbio:uuid")).as("uuid"),
       (if (hasCol("etag")) col("etag") else getField(data, "idigbio:etag")).as("etag"),
       (if (hasCol("recordids")) col("recordids")
@@ -418,8 +437,7 @@ object Enrich {
        else firstNumberLong(getField(data, "idigbio:version"))).as("version"),
       (if (hasCol("parent")) col("parent")
        else element_at(siblings, "publisher").getItem(0)).as("publisher"),
-      permissiveTimestamp(upper(trim(getFieldRaw(data, "idigbio:dateModified"))))
-        .as("datemodified"),
+      permissiveTimestamp(col("_dm_in")).as("datemodified"),
       getField(data, "data_rights").as("rights"),
       (if (hasCol("contacts")) col("contacts")
        else lit(null).cast(contactsType)).as("contacts"),
@@ -455,7 +473,9 @@ object Enrich {
     val passthrough = df.columns.toSeq
       .filterNot(c => contract(c) || produced(c)).map(col)
 
-    val s1 = df.select(passthrough ++ Seq(
+    val s0 = df.withColumn("_dm_in",
+      upper(trim(getFieldRaw(data, "idigbio:dateModified"))))
+    val s1 = s0.select(passthrough ++ Seq(
       (if (hasCol("uuid")) col("uuid") else getField(data, "idigbio:uuid")).as("uuid"),
       (if (hasCol("etag")) col("etag") else getField(data, "idigbio:etag")).as("etag"),
       (if (hasCol("recordids")) col("recordids")
@@ -463,8 +483,7 @@ object Enrich {
       (if (hasCol("version")) col("version").cast("long")
        else firstNumberLong(getField(data, "idigbio:version"))).as("version"),
       element_at(siblings, "recordset").as("recordsets"),
-      permissiveTimestamp(upper(trim(getFieldRaw(data, "idigbio:dateModified"))))
-        .as("datemodified"),
+      permissiveTimestamp(col("_dm_in")).as("datemodified"),
       getField(data, "name").as("name"),
     ): _*)
 
