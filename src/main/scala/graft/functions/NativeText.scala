@@ -1,0 +1,203 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-dedup hot path (SURVEY
+  * §2.11: custom `Expression` with `doGenCode` where built-ins can't
+  * express the semantics efficiently).
+  *
+  * Both expressions compute a whole per-document summary in ONE pass
+  * over the document's words array, replacing a
+  * shingle-explode → 64-min-aggregate shuffle (MinHash) and a
+  * word-explode → 60-conditional-sum shuffle (SimHash) with per-row
+  * work — at 100 TB that removes the two widest intermediate tables in
+  * the dedup family (corpus × shingles rows) entirely.
+  *
+  * Codegen strategy: `doGenCode` emits a single static call into the
+  * kernel object. The kernel is plain JVM code (tight primitive loops,
+  * no megamorphic dispatch), so HotSpot JITs it like any hand-written
+  * hash loop; the expression itself stays codegen-compatible, so the
+  * enclosing Project keeps whole-stage fusion.
+  */
+object NativeText {
+
+  /** MinHash signature of the `n`-word shingles of `words`:
+    * array of [[MinhashKernel.NumHashes]] minima of universal hashes
+    * over Z_P. Empty array when the document has fewer than `n` words
+    * (mirrors "no shingles → no signature"). The shingle base hash is
+    * a rolling xxhash64 combine of per-word hashes — no shingle string
+    * is ever materialized. Shingle multiplicity is irrelevant to a min,
+    * so no distinct step is needed (min over a multiset equals min over
+    * its support set). */
+  def minhashSig(words: Column, n: Int): Column =
+    GraftSqlBridge.column(MinhashSigExpr(GraftSqlBridge.expression(words), n))
+
+  /** 60-bit SimHash over the DISTINCT words of `words`, bit-identical
+    * to the SQL formulation the DuckDB oracle replays: per distinct
+    * word h = first 15 hex digits of md5 (= top 60 bits of the
+    * digest), bit j of the result set iff Σ(±1 by bit j of h) > 0. */
+  def simhash60(words: Column): Column =
+    GraftSqlBridge.column(Simhash60Expr(GraftSqlBridge.expression(words)))
+}
+
+case class MinhashSigExpr(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+  require(shingleN >= 1, "shingleN must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig needs array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  protected override def nullSafeEval(words: Any): Any =
+    MinhashKernel.sig(words.asInstanceOf[ArrayData], shingleN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashKernel.sig($c, $shingleN);")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+}
+
+case class Simhash60Expr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash60 needs array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+  protected override def nullSafeEval(words: Any): Any =
+    MinhashKernel.simhash60(words.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashKernel.simhash60($c);")
+  override protected def withNewChildInternal(newChild: Expression): Simhash60Expr =
+    copy(child = newChild)
+}
+
+/** The per-document kernels. Static methods so generated code calls
+  * them directly; primitive arrays and while-loops so HotSpot JITs
+  * them into the same machine code a hand-rolled native engine would
+  * get. */
+object MinhashKernel {
+
+  /** Universal-hash modulus; fits in 31 bits so a*h + b stays well
+    * inside a positive Long (a, h < P ⇒ a*h < 2^62). */
+  val P: Long = 1000000007L
+  val NumHashes = 64
+
+  /** Deterministic (a_k, b_k) parameters, seeded — no runtime RNG.
+    * Kept identical to the historical TextDedup parameters so the
+    * aggregate formulation and this kernel describe the same hash
+    * family. */
+  val perms: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(424242L)
+    IndexedSeq.fill(NumHashes)((rnd.nextLong(P - 1) + 1, rnd.nextLong(P)))
+  }
+  private val permA: Array[Long] = perms.map(_._1).toArray
+  private val permB: Array[Long] = perms.map(_._2).toArray
+
+  private val XxSeed = 42L
+  private val FnvPrime = 0x100000001b3L
+
+  /** splitmix64 finalizer — avalanches the rolling shingle combine so
+    * universal-hash minima aren't biased by the weak fold. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature over the n-word shingles of `words`; empty
+    * array when fewer than n words. One pass, no allocation beyond the
+    * two primitive arrays. */
+  def sig(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements()
+    if (m < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val wh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      wh(i) = XXH64.hashUTF8String(words.getUTF8String(i), XxSeed)
+      i += 1
+    }
+    val mins = new Array[Long](NumHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    i = 0
+    val last = m - n
+    while (i <= last) {
+      var acc = wh(i)
+      var j = 1
+      while (j < n) { acc = acc * FnvPrime ^ wh(i + j); j += 1 }
+      val hm = java.lang.Long.remainderUnsigned(mix64(acc), P)
+      var k = 0
+      while (k < NumHashes) {
+        val v = (permA(k) * hm + permB(k)) % P
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of md5(word) — the same value as
+    * `conv(substr(md5(w), 1, 15), 16, 10)`: 15 hex digits = the first
+    * 7.5 digest bytes = the big-endian first-8-bytes long shifted
+    * right by one nibble. The DuckDB oracle replays this exact hash
+    * (`try_cast('0x' || substr(md5(w), 1, 15) AS BIGINT)`), so the
+    * derivation must stay bit-stable. */
+  def md5Hash60(w: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(w.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** SimHash over the distinct words: bit j set iff the count of
+    * distinct words with md5-bit j set exceeds the count without.
+    * Distinctness is by word STRING (not by hash) — the oracle
+    * deduplicates words before hashing, and a 60-bit collision between
+    * two distinct words must contribute twice, exactly as the oracle
+    * counts it. */
+  def simhash60(words: ArrayData): Long = {
+    val m = words.numElements()
+    val seen = new java.util.HashSet[UTF8String](Math.max(16, m * 2))
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < m) {
+      val w = words.getUTF8String(i)
+      if (seen.add(w)) {
+        val h = md5Hash60(w)
+        var j = 0
+        while (j < 60) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (counts(j) > 0) out |= 1L << j; j += 1 }
+    out
+  }
+}

@@ -45,17 +45,15 @@ object TextDedup {
           i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
 
   // MinHash universal-hash family over Z_P: h_k(x) = (a_k x + b_k) mod P.
-  // P fits in 31 bits so a_k*x stays well inside Long.
-  val P: Long = 1000000007L
-  val NumHashes = 64
+  // Constants live in the native kernel (graft.functions.MinhashKernel)
+  // shared by the per-row expression and the aggregate formulation below.
+  val P: Long = graft.functions.MinhashKernel.P
+  val NumHashes: Int = graft.functions.MinhashKernel.NumHashes
   val Bands = 16
   val RowsPerBand = 4
 
   /** Deterministic (a_k, b_k) parameters, seeded — no runtime RNG. */
-  val perms: IndexedSeq[(Long, Long)] = {
-    val rnd = new scala.util.Random(424242L)
-    IndexedSeq.fill(NumHashes)((rnd.nextLong(P - 1) + 1, rnd.nextLong(P)))
-  }
+  val perms: IndexedSeq[(Long, Long)] = graft.functions.MinhashKernel.perms
 
   /** (id, shingle-hash) exploded table → one row per doc with a
     * `sig` array of 64 minhashes, computed as 64 partial-aggregable
@@ -170,16 +168,22 @@ object TextDedup {
     * curve. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // words bound to a projected column (see shinglesFromWords), then
-    // xxhash64 per shingle — the Jaccard math downstream only needs an
-    // injective shingle→long map, not the oracle-replayable md5.
     val withWords = docs.select(col(idCol), split(col(textCol), " ").as("_w"))
+    // signatures via the native one-pass kernel expression: per-row
+    // work only — the shingle-explode → 64-min-aggregate shuffle (the
+    // corpus × shingles intermediate, by far the widest table of this
+    // pipeline at scale) disappears from the plan. The verify stage
+    // below still hashes shingle STRINGS (it IS the ground truth);
+    // candidate generation is free to use any minhash family.
+    val sigs = withWords
+      .select(col(idCol),
+        graft.functions.NativeText.minhashSig(col("_w"), shingleSize).as("sig"))
+      .where(size(col("sig")) > 0)
+    val cands = lshCandidates(sigs, idCol)
     def shingleHashes(d: DataFrame): DataFrame = d
       .select(col(idCol),
         explode(shinglesFromWords(col("_w"), shingleSize)).as("s"))
       .select(col(idCol), xxhash64(col("s")).as("h"))
-    val sigs = minhashSignatures(shingleHashes(withWords), idCol)
-    val cands = lshCandidates(sigs, idCol)
     // verification re-shingles only the candidate docs: the semi-join
     // runs BEFORE the (interpreted, per-doc) shingle lambda, so the
     // full corpus is shingled exactly once (the signature pass) instead
@@ -199,10 +203,15 @@ object TextDedup {
   val SimBandBits: Int = SimBits / SimBands
   val SimMaxHamming = 3
 
-  /** 60-bit SimHash per doc from its distinct words: one exploded
-    * aggregation with 60 conditional sums (single shuffle; each sum is
-    * partial-aggregable). Bit j of the result is 1 iff the sum of
-    * (±1 per word, + when word-hash bit j set) is positive. */
+  /** 60-bit SimHash per doc from its distinct words — aggregate
+    * formulation: one exploded aggregation with 60 conditional sums
+    * (single shuffle; each sum is partial-aggregable). Bit j of the
+    * result is 1 iff the sum of (±1 per word, + when word-hash bit j
+    * set) is positive. Retained as the executable specification the
+    * native kernel is parity-tested against (SimhashParity spec); the
+    * production path is [[simhashNearDups]] via
+    * [[graft.functions.NativeText.simhash60]], which computes the same
+    * value per-row with no explode and no shuffle. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = docs.select(col(idCol),
         explode(array_distinct(split(col(textCol), " "))).as("w"))
@@ -225,7 +234,10 @@ object TextDedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = SimMaxHamming): DataFrame = {
     require(maxHamming <= SimBands - 1, "banding only guarantees recall ≤ bands-1")
-    val sh = simhash(docs, idCol, textCol)
+    // native one-pass kernel (md5-60bit per distinct word, oracle
+    // bit-parity) — replaces the word-explode + 60-sum aggregation
+    val sh = docs.select(col(idCol),
+      graft.functions.NativeText.simhash60(split(col(textCol), " ")).as("simhash"))
     val mask = (1L << SimBandBits) - 1
     val bands = sh.select(col(idCol), col("simhash"), posexplode(
       array((0 until SimBands).map(b =>

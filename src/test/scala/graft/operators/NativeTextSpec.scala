@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{MinhashKernel, NativeText}
+import org.apache.spark.sql.functions._
+
+/** Parity + shape specs for the native text-dedup kernels
+  * (graft.functions.NativeText / MinhashKernel). The SimHash kernel
+  * must be BIT-IDENTICAL to the SQL formulation the DuckDB oracle
+  * replays; the MinHash kernel only has to be a valid universal-hash
+  * minhash family (its oracle is ground-truth Jaccard on strings). */
+class NativeTextSpec extends SparkSpec {
+
+  private lazy val texts = Seq(
+    "spark shuffles data across partitions during wide transformations",
+    "the the the repeated words words collapse to a distinct set",
+    "unicode wörds welt café 東京 mixed in",
+    "single",
+    "",
+    "double  space and trailing space ",
+  )
+
+  test("md5Hash60 equals conv(substr(md5(w),1,15),16,10) for every word") {
+    val s = spark
+    import s.implicits._
+    val words = texts.flatMap(_.split(" ", -1)).distinct
+    val viaSql = words.toDF("w")
+      .select(col("w"), conv(substring(md5(col("w")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach { w =>
+      val kernel = MinhashKernel.md5Hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w))
+      assert(kernel === viaSql(w), s"word '$w'")
+    }
+  }
+
+  test("simhash60 kernel is bit-identical to the aggregate formulation") {
+    val s = spark
+    import s.implicits._
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val agg = TextDedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = docs.select(col("doc_id"),
+        NativeText.simhash60(split(col("text"), " ")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the aggregate path drops docs whose explode produced no rows;
+    // every doc here has at least one word (split("") = [""])
+    assert(kernel === agg)
+  }
+
+  test("minhash sig: 64 values in [0, P); empty when fewer words than n") {
+    val s = spark
+    import s.implicits._
+    val r = Seq(Tuple1("a b c d e")).toDF("t")
+      .select(NativeText.minhashSig(split(col("t"), " "), 3))
+      .collect()(0).getSeq[Long](0)
+    assert(r.length === MinhashKernel.NumHashes)
+    assert(r.forall(v => v >= 0 && v < MinhashKernel.P))
+    val short = Seq(Tuple1("a b")).toDF("t")
+      .select(NativeText.minhashSig(split(col("t"), " "), 3))
+      .collect()(0).getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
+  test("minhash sig is deterministic and permutation-sensitive") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "x1 x2 x3 x4 x5 x6")).toDF("id", "t")
+      .select(col("id"), NativeText.minhashSig(split(col("t"), " "), 3).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("identical docs collide on every LSH band; disjoint docs on none") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "p q r s t u v w"), (2L, "p q r s t u v w"),
+      (3L, "m n o k l j i h")).toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"),
+      NativeText.minhashSig(split(col("text"), " "), 3).as("sig"))
+    val cands = TextDedup.lshCandidates(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands === Set((1L, 2L)))
+  }
+
+  test("expression survives interpreted (non-codegen) evaluation too") {
+    // CODEGEN_ONLY would mask an eval() bug; force interpreted mode
+    val s = spark
+    import s.implicits._
+    withConf("spark.sql.codegen.factoryMode", "NO_CODEGEN") {
+      val r = Seq(Tuple1("a b c d")).toDF("t")
+        .select(NativeText.minhashSig(split(col("t"), " "), 3).as("sig"),
+          NativeText.simhash60(split(col("t"), " ")).as("sh"))
+        .collect()(0)
+      assert(r.getSeq[Long](0).length === MinhashKernel.NumHashes)
+      assert(r.getLong(1) !== 0L)
+    }
+  }
+
+  private def withConf(k: String, v: String)(body: => Unit): Unit = {
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try body finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None => spark.conf.unset(k)
+    }
+  }
+}
