@@ -109,6 +109,7 @@ object SparkEntry {
     "q_dedup_embed" -> (LlmQueries.qDedupEmbed _),
     "q_dedup_simhash" -> (LlmQueries.qDedupSimhash _),
     "q_text_stats"    -> (LlmQueries.qTextStats _),
+    "q_quality_rep"   -> (LlmQueries.qQualityRep _),
     "q_lang_id"       -> (LlmQueries.qLangId _),
     "q_ann_topk"      -> (LlmQueries.qAnnTopk _),
     "q_ann_lsh"       -> (LlmQueries.qAnnLsh _),
@@ -180,6 +181,7 @@ object SparkEntry {
     "q_dedup_embed" -> LlmQueries.qDedupEmbedSql,
     "q_dedup_simhash" -> LlmQueries.qDedupSimhashSql,
     "q_text_stats"    -> LlmQueries.qTextStatsSql,
+    "q_quality_rep"   -> LlmQueries.qQualityRepSql,
     "q_lang_id"       -> LlmQueries.qLangIdSql,
     "q_ann_topk"      -> LlmQueries.qAnnTopkSql,
     "q_ann_lsh"       -> LlmQueries.qAnnLshSql,

@@ -46,6 +46,16 @@ object NativeText {
     * digest), bit j of the result set iff Σ(±1 by bit j of h) > 0. */
   def simhash60(words: Column): Column =
     GraftSqlBridge.column(Simhash60Expr(GraftSqlBridge.expression(words)))
+
+  /** Repetition statistics of one document (Gopher/C4-style quality
+    * signals) in a single pass: word count, distinct-word count, the
+    * occurrence count of the most frequent bigram and trigram, and the
+    * number of bigram occurrences belonging to bigrams seen more than
+    * once. Callers derive the published fractions (duplicate-word
+    * fraction, top-n-gram coverage) with plain double division so the
+    * DuckDB oracle can replay the exact arithmetic. */
+  def repetitionStats(words: Column): Column =
+    GraftSqlBridge.column(RepetitionStatsExpr(GraftSqlBridge.expression(words)))
 }
 
 case class MinhashSigExpr(child: Expression, shingleN: Int)
@@ -82,6 +92,29 @@ case class Simhash60Expr(child: Expression)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.MinhashKernel.simhash60($c);")
   override protected def withNewChildInternal(newChild: Expression): Simhash60Expr =
+    copy(child = newChild)
+}
+
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats needs array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top2", LongType, nullable = false),
+    StructField("dup2", LongType, nullable = false),
+    StructField("top3", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+  protected override def nullSafeEval(words: Any): Any =
+    MinhashKernel.repetitionStats(words.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashKernel.repetitionStats($c);")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
     copy(child = newChild)
 }
 
@@ -170,6 +203,53 @@ object MinhashKernel {
     var i = 0
     while (i < 8) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
     v >>> 4
+  }
+
+  /** One-pass repetition stats; see
+    * [[NativeText.repetitionStats]]. Distinct words are counted by
+    * STRING (set semantics the oracle's `list_distinct` replays);
+    * n-gram counting keys on the rolling word-hash combine — a 64-bit
+    * collision between two distinct n-grams of one document is the
+    * only divergence source and is negligible (and deterministic) at
+    * any corpus size, the same trade the candidate-join hashes make. */
+  def repetitionStats(words: ArrayData): Any = {
+    val m = words.numElements()
+    val seen = new java.util.HashSet[UTF8String](Math.max(16, m * 2))
+    val wh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val w = words.getUTF8String(i)
+      seen.add(w)
+      wh(i) = XXH64.hashUTF8String(w, XxSeed)
+      i += 1
+    }
+    def ngramCounts(n: Int): java.util.HashMap[java.lang.Long, Int] = {
+      val counts = new java.util.HashMap[java.lang.Long, Int]()
+      var i = 0
+      val last = m - n
+      while (i <= last) {
+        var acc = wh(i)
+        var j = 1
+        while (j < n) { acc = acc * FnvPrime ^ wh(i + j); j += 1 }
+        counts.merge(acc, 1, (a, b) => a + b)
+        i += 1
+      }
+      counts
+    }
+    var top2 = 0L; var dup2 = 0L; var top3 = 0L
+    val it2 = ngramCounts(2).values().iterator()
+    while (it2.hasNext) {
+      val c = it2.next()
+      if (c > top2) top2 = c
+      if (c > 1) dup2 += c
+    }
+    val it3 = ngramCounts(3).values().iterator()
+    while (it3.hasNext) {
+      val c = it3.next()
+      if (c > top3) top3 = c
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m.toLong, seen.size.toLong, top2, dup2, top3))
   }
 
   /** SimHash over the distinct words: bit j set iff the count of

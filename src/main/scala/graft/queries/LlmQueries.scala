@@ -186,6 +186,56 @@ object LlmQueries {
       .replace("BPEPAT", TextStats.BpePattern.replace("'", "''"))
   }
 
+  /** Gopher/C4-style repetition quality signals per document via the
+    * one-pass native kernel
+    * ([[graft.functions.NativeText.repetitionStats]]): duplicate-word
+    * fraction, most-frequent-bigram/trigram coverage, and the fraction
+    * of bigram occurrences inside repeated bigrams. Counts come out of
+    * the kernel as integers; every fraction is derived with plain
+    * double division so the DuckDB oracle replays the arithmetic
+    * bit-for-bit. Documents shorter than 3 words are excluded on both
+    * sides (degenerate trigram denominator). Per-row work only — at
+    * corpus scale this is a single scan with no shuffle at all. */
+  def qQualityRep(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.NativeText.repetitionStats(split(col("text"), " ")).as("r"))
+      .where(col("r.n_words") >= 3)
+      .select(col("doc_id"),
+        col("r.n_words").as("n_words"),
+        col("r.n_distinct").as("n_distinct"),
+        (lit(1.0) - col("r.n_distinct").cast("double") /
+          col("r.n_words").cast("double")).as("dup_word_frac"),
+        (col("r.top2").cast("double") /
+          (col("r.n_words") - 1).cast("double")).as("top2_frac"),
+        (col("r.dup2").cast("double") /
+          (col("r.n_words") - 1).cast("double")).as("dup2_frac"),
+        (col("r.top3").cast("double") /
+          (col("r.n_words") - 2).cast("double")).as("top3_frac"))
+      .orderBy(col("doc_id"))
+
+  val qQualityRepSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |base AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct FROM d),
+      |g2 AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] AS g
+      |       FROM (SELECT doc_id, unnest(range(len(w) - 1)) AS i, w FROM d)),
+      |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+      |a2 AS (SELECT doc_id, max(c) AS top2,
+      |              COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup2
+      |       FROM c2 GROUP BY 1),
+      |g3 AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+      |       FROM (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d)),
+      |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+      |a3 AS (SELECT doc_id, max(c) AS top3 FROM c3 GROUP BY 1)
+      |SELECT b.doc_id, b.n_words, b.n_distinct,
+      |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+      |  CAST(top2 AS DOUBLE) / CAST(n_words - 1 AS DOUBLE) AS top2_frac,
+      |  CAST(dup2 AS DOUBLE) / CAST(n_words - 1 AS DOUBLE) AS dup2_frac,
+      |  CAST(top3 AS DOUBLE) / CAST(n_words - 2 AS DOUBLE) AS top3_frac
+      |FROM base b JOIN a2 USING (doc_id) JOIN a3 USING (doc_id)
+      |WHERE n_words >= 3
+      |ORDER BY doc_id""".stripMargin
+
   def qLangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("_w"))

@@ -88,6 +88,36 @@ class NativeTextSpec extends SparkSpec {
     assert(cands === Set((1L, 2L)))
   }
 
+  test("repetitionStats matches a brute-force Scala computation") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "a b a b a b c",          // heavy bigram repetition
+      "x y z w v u t",          // all distinct
+      "r r r r r r",            // single repeated word
+      "one two",                // no trigrams
+      "solo",                   // no bigrams
+    )
+    val rows = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), graft.functions.NativeText.repetitionStats(
+        split(col("t"), " ")).as("r"))
+      .select("id", "r.n_words", "r.n_distinct", "r.top2", "r.dup2", "r.top3")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      val w = t.split(" ", -1)
+      def grams(n: Int) = w.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      val c2 = grams(2).groupBy(identity).view.mapValues(_.size)
+      val c3 = grams(3).groupBy(identity).view.mapValues(_.size)
+      val expect = (w.length.toLong, w.distinct.length.toLong,
+        if (c2.isEmpty) 0L else c2.values.max.toLong,
+        c2.values.filter(_ > 1).sum.toLong,
+        if (c3.isEmpty) 0L else c3.values.max.toLong)
+      assert(rows(i.toLong) === expect, s"case '$t'")
+    }
+  }
+
   test("expression survives interpreted (non-codegen) evaluation too") {
     // CODEGEN_ONLY would mask an eval() bug; force interpreted mode
     val s = spark
