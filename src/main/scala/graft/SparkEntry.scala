@@ -136,8 +136,9 @@ object SparkEntry {
     // incremental / resume indexing (SURVEY §2.10)
     "q_incremental"    -> (StreamQueries.qIncremental _),
     "q_resume_actions" -> (StreamQueries.qResumeActions _),
-    // media url/etag resolution (SURVEY §2.3)
+    // media url/etag resolution (SURVEY §2.3) + derivative kernels
     "q_media_resolution" -> (MediaQueries.qMediaResolution _),
+    "q_media_derivative" -> (MediaQueries.qMediaDerivative _),
     // ingestion joins + reporting (SURVEY §2.3, §2.4)
     "q_ingest_identity" -> (IngestQueries.qIngestIdentity _),
     "q_suffix_match"    -> (IngestQueries.qSuffixMatch _),

@@ -138,6 +138,31 @@ object Media {
     * (derivatives.py:44-51). */
   final class BadImageException(msg: String) extends RuntimeException(msg)
 
+  /** Deterministic RGB test pattern encoded as JPEG — lets the REAL
+    * decode/resize kernels be driven end-to-end from plain table rows
+    * in environments with no blob store (this one ships no image
+    * fixtures in the sf dirs). Seeded per record so every blob is
+    * distinct; pure JDK. */
+  def synthImageJpeg(seed: Long, w: Int = 320, h: Int = 240): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 7 + seed) & 0xff
+        val g = (y * 5 + seed * 3) & 0xff
+        val b = (x + y + seed * 7) & 0xff
+        img.setRGB(x, y, ((r << 16) | (g << 8) | b).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", buf)
+    buf.toByteArray
+  }
+
   /** REAL resize kernel via javax.imageio — the production counterpart
     * of [[fakeResize]], reproducing resize_image + img_to_buffer
     * (derivatives.py:285-305): downscale-only to the target width,

@@ -51,4 +51,36 @@ object MediaQueries {
       |       WHEN 'video/mp4' THEN 'video' END AS bucket
       |FROM latest LEFT JOIN objs USING (etag)
       |ORDER BY url""".stripMargin
+
+  /** Image-derivative generation (derivatives.py:162-193) through the
+    * REAL javax.imageio resize kernel, driven end-to-end from table
+    * rows via deterministic synthesized JPEGs (this environment has no
+    * blob store). Binary kernels are not SQL-expressible, so this
+    * query is registered WITHOUT an oracle — the driver records the
+    * weaker rows-only check: 50 blobs × {thumbnail, webview} = 100
+    * rows. Output carries the decoded derivative dimensions, proving
+    * the full encode → resize → re-decode roundtrip: 320×240 sources
+    * shrink to 260×195 thumbnails and pass through (re-encoded) for
+    * the 600px webview, exactly the reference's downscale-only rule. */
+  def qMediaDerivative(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ids = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("id")).orderBy(col("id")).limit(50)
+    val blobSchema = StructType(Seq(
+      StructField("etag", StringType), StructField("content", BinaryType)))
+    val blobs = s.createDataFrame(
+      ids.rdd.map(r => Row(f"img${r.getLong(0)}%06d",
+        Media.synthImageJpeg(r.getLong(0)))), blobSchema)
+    val derivs = Media.derivatives(blobs, Media.imageResize)
+    val outSchema = StructType(Seq(
+      StructField("etag", StringType), StructField("kind", StringType),
+      StructField("width", IntegerType), StructField("out_w", IntegerType),
+      StructField("out_h", IntegerType)))
+    val rows = derivs.rdd.map { r =>
+      val dims = Media.imageDims(r.getAs[Array[Byte]](3)).getOrElse((-1, -1))
+      Row(r.getString(0), r.getString(1), r.getInt(2), dims._1, dims._2)
+    }
+    s.createDataFrame(rows, outSchema).orderBy(col("etag"), col("kind"))
+  }
 }

@@ -8,10 +8,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * without failing anything). */
 class SparkEntrySpec extends AnyFunSuite {
 
+  /** Queries DELIBERATELY registered without an oracle: binary-kernel
+    * pipelines no SQL engine can replay (the driver then records a
+    * rows-only check). Keep this list explicit so an accidental
+    * omission elsewhere still fails the contract. */
+  private val rowsOnly = Set("q_media_derivative")
+
   test("every queries key has an oracleSql twin and vice versa") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert(q.diff(o).isEmpty, s"queries without oracle: ${q.diff(o)}")
+    assert(q.diff(o) === rowsOnly, s"queries without oracle: ${q.diff(o)}")
     assert(o.diff(q).isEmpty, s"oracles without query: ${o.diff(q)}")
   }
 
