@@ -21,10 +21,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-order double dot product (bit-reproducible across
-    * engines that fold left-to-right). */
+    * engines that fold left-to-right): the native kernel expression —
+    * same summation order as the `aggregate(zip_with(...))` higher-order
+    * formulation it replaced and as DuckDB's `list_inner_product`, so
+    * oracle hashes are unchanged, but the per-pair cost is a JIT'd
+    * primitive loop instead of an interpreted Column-tree fold. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.NativeMath.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -122,18 +125,25 @@ object Similarity {
     * (vector × centroid) scores with (score, cid) ordering so ties are
     * deterministic. */
   def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    // |c|² hoisted into the tiny centroid table: the interpreted HOF dot
-    // would otherwise re-fold it once per (vector × centroid) pair
+    // |c|² hoisted into the tiny centroid table — computed once per
+    // centroid instead of once per (vector × centroid) pair
     val cents = centroids.toDF("cid", "c")
       .withColumn("cc", dot(col("c"), col("c")))
     val scored = vecs.toDF("vid", "v")
       .join(broadcast(cents))
       .select(col("vid"), col("v"), col("cid"),
         (col("cc") - lit(2.0) * dot(col("v"), col("c"))).as("score"))
-    val w = Window.partitionBy(col("vid")).orderBy(col("score"), col("cid"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vid"), col("v"), col("cid").as("cell"))
+    // argmin via min_by with a (score, cid) struct — the same
+    // lexicographic tie order as the oracle's ORDER BY score, cid — so
+    // the aggregation partial-combines map-side: the exchange moves one
+    // reduced row per vector, where the previous window-row_number
+    // formulation shuffled and sorted the full (vector × centroid)
+    // product. first(v) rides along under the same combine.
+    scored.groupBy(col("vid"))
+      .agg(
+        min_by(col("cid"), struct(col("score"), col("cid"))).as("cell"),
+        first(col("v")).as("v"))
+      .select(col("vid"), col("v"), col("cell"))
   }
 
   /** IVF top-k: both corpus and probes are quantized to their nearest
