@@ -138,17 +138,28 @@ object LlmQueries {
   private val enStops = TextStats.stopwordProfiles("en")
 
   def qTextStats(s: SparkSession, dir: String): DataFrame = {
-    // tokenize once, derive every stat from the shared words column
+    // tokenize once; every fold-shaped stat comes out of the one-pass
+    // native kernel (graft.functions.NativeTextStats — the HOF
+    // formulations it replaced are parity-tested in TextStatsSpec),
+    // and the ratio columns derive by the same double divisions the
+    // oracle replays
     val staged = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), TextStats.words(col("text")).as("_w"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("text"),
         TextStats.tokenCountFromWords(col("_w")).as("n_tokens"),
-        TextStats.subwordCountFromWords(col("_w")).as("n_subwords"),
+        graft.functions.NativeTextStats.textStats(col("_w"), enStops).as("_r"))
+      .select(col("doc_id"),
+        col("n_tokens"),
+        col("_r.n_subwords").as("n_subwords"),
         TextStats.bpeTokenCount(col("text")).as("n_bpe"),
-        TextStats.distinctTokenCountFromWords(col("_w")).as("n_distinct"),
-        TextStats.avgTokenLenFromWords(col("_w")).as("avg_len"),
-        TextStats.stopwordRatioFromWords(col("_w"), enStops).as("stop_en"),
-        TextStats.fingerprintFromWords(col("_w")).as("fp"))
+        col("_r.n_distinct").as("n_distinct"),
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          col("_r.sum_len").cast("double") / col("n_tokens").cast("double"))
+          .as("avg_len"),
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          col("_r.stop_hits").cast("double") / col("n_tokens").cast("double"))
+          .as("stop_en"),
+        col("_r.fp").as("fp"))
     staged.select(col("doc_id"), col("n_tokens"), col("n_subwords"),
       col("n_bpe"), col("n_distinct"), col("avg_len"), col("stop_en"),
       // flags recomputed from the already-materialized stats
@@ -240,7 +251,8 @@ object LlmQueries {
     Tables.documents(s, dir)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("_w"))
       .select(col("doc_id"),
-        TextStats.langIdFromWords(col("_w")).as("lang_pred"))
+        graft.functions.NativeTextStats.langId(col("_w"),
+          TextStats.stopwordProfiles.toSeq).as("lang_pred"))
       .orderBy(col("doc_id"))
 
   val qLangIdSql: String = {

@@ -118,6 +118,55 @@ class NativeTextSpec extends SparkSpec {
     }
   }
 
+  test("textStats kernel matches the HOF column formulations exactly") {
+    val s = spark
+    import s.implicits._
+    val stops = TextStats.stopwordProfiles("en")
+    val docs = (texts :+ "the cat sat on the mat and the dog barked")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"), col("text"), TextStats.words(col("text")).as("_w"))
+    val hof = docs.select(col("id"),
+        TextStats.subwordCountFromWords(col("_w")).as("sub"),
+        TextStats.distinctTokenCountFromWords(col("_w")).as("nd"),
+        TextStats.avgTokenLenFromWords(col("_w")).as("avg"),
+        TextStats.stopwordRatioFromWords(col("_w"), stops).as("stop"),
+        TextStats.fingerprintFromWords(col("_w")).as("fp"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getLong(5))).toMap
+    val kern = docs.select(col("id"), col("_w"),
+        graft.functions.NativeTextStats.textStats(col("_w"), stops).as("r"))
+      .select(col("id"), col("r.n_subwords"), col("r.n_distinct"),
+        when(size(col("_w")) === 0, lit(0.0)).otherwise(
+          col("r.sum_len").cast("double") / size(col("_w")).cast("double")),
+        when(size(col("_w")) === 0, lit(0.0)).otherwise(
+          col("r.stop_hits").cast("double") / size(col("_w")).cast("double")),
+        col("r.fp"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2).toInt,
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getLong(5))).toMap
+    assert(kern === hof)
+  }
+
+  test("langId kernel matches the column formulation including ties and 'und'") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      "the cat is in a box",              // en
+      "der hund ist nicht hier",          // de
+      "el perro es un animal",            // es
+      "xyz qqq zzz",                      // und
+      "de la",                            // es/fr tie → alphabetical first
+      "").zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"), split(lower(col("text")), "\\s+").as("_w"))
+    val hof = docs.select(col("id"), TextStats.langIdFromWords(col("_w")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val kern = docs.select(col("id"), graft.functions.NativeTextStats.langId(
+        col("_w"), TextStats.stopwordProfiles.toSeq))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kern === hof)
+  }
+
   test("expression survives interpreted (non-codegen) evaluation too") {
     // CODEGEN_ONLY would mask an eval() bug; force interpreted mode
     val s = spark
