@@ -212,7 +212,8 @@ object MinhashKernel {
     * collision between two distinct n-grams of one document is the
     * only divergence source and is negligible (and deterministic) at
     * any corpus size, the same trade the candidate-join hashes make. */
-  def repetitionStats(words: ArrayData): Any = {
+  def repetitionStats(words: ArrayData)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
     val m = words.numElements()
     val seen = new java.util.HashSet[UTF8String](Math.max(16, m * 2))
     val wh = new Array[Long](m)

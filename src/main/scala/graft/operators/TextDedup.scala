@@ -86,13 +86,20 @@ object TextDedup {
     * buckets above `maxBucketSize` are dropped before the self-join
     * (the count and the join shuffle on the same (band, bucket) key,
     * so the guard adds no extra exchange of the big table). */
-  def lshCandidates(sigs: DataFrame, idCol: String,
-      maxBucketSize: Int = MaxBucketSize): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bands = sigs.select(col(idCol), posexplode(
+  /** (id, band, bucket) rows from a signature table: each signature
+    * splits into `Bands` bands of `RowsPerBand` rows, hashed to a
+    * bucket id. Shared by the batch self-join candidates below and the
+    * streaming stateful dedup (streaming/StreamingDedup.scala). */
+  def bandBuckets(sigs: DataFrame, idCol: String): DataFrame =
+    sigs.select(col(idCol), posexplode(
       transform(sequence(lit(0), lit(Bands - 1)),
         b => hash(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
       .toDF(idCol, "band", "bucket")
+
+  def lshCandidates(sigs: DataFrame, idCol: String,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = bandBuckets(sigs, idCol)
     // hot-bucket guard via a window count over the SAME (band, bucket)
     // partitioning the self-join shuffles on: the signature pipeline
     // upstream is computed once (a groupBy-count + anti-join formulation
