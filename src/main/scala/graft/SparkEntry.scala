@@ -110,6 +110,8 @@ object SparkEntry {
     "q_dedup_simhash" -> (LlmQueries.qDedupSimhash _),
     "q_text_stats"    -> (LlmQueries.qTextStats _),
     "q_quality_rep"   -> (LlmQueries.qQualityRep _),
+    "q_split_hash"    -> (LlmQueries.qSplitHash _),
+    "q_pack_chunks"   -> (LlmQueries.qPackChunks _),
     "q_lang_id"       -> (LlmQueries.qLangId _),
     "q_ann_topk"      -> (LlmQueries.qAnnTopk _),
     "q_ann_lsh"       -> (LlmQueries.qAnnLsh _),
@@ -183,6 +185,8 @@ object SparkEntry {
     "q_dedup_simhash" -> LlmQueries.qDedupSimhashSql,
     "q_text_stats"    -> LlmQueries.qTextStatsSql,
     "q_quality_rep"   -> LlmQueries.qQualityRepSql,
+    "q_split_hash"    -> LlmQueries.qSplitHashSql,
+    "q_pack_chunks"   -> LlmQueries.qPackChunksSql,
     "q_lang_id"       -> LlmQueries.qLangIdSql,
     "q_ann_topk"      -> LlmQueries.qAnnTopkSql,
     "q_ann_lsh"       -> LlmQueries.qAnnLshSql,

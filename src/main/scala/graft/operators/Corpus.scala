@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data assembly:
+  * deterministic dataset splits and sequence packing.
+  */
+object Corpus {
+
+  /** Deterministic train/val/test assignment by content-stable hash:
+    * md5-derived 60-bit value of the id column modulo 100 against
+    * cumulative percentage cuts. Content-hash splitting survives
+    * re-runs, re-partitioning, and corpus growth (a document's split
+    * never changes), unlike positional or random sampling — and the
+    * md5 base makes the assignment replayable by any SQL engine. */
+  def hashSplit(id: Column, trainPct: Int, valPct: Int): Column = {
+    val h = pmod(TextDedup.hash60(id.cast("string")), lit(100))
+    when(h < trainPct, "train")
+      .when(h < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** GPT-style sequence packing by concatenation: documents are laid
+    * end-to-end in a deterministic order and cut into fixed
+    * `chunkTokens` training sequences; each document's span of chunks
+    * is derived from the running token total. Output columns:
+    * `first_chunk`, `last_chunk` (0-based chunk ids the document
+    * touches), `chunk_offset` (the document's start position inside
+    * its first chunk).
+    *
+    * The running total is a window cumulative sum over the order
+    * column. At 100 TB the single global ordering would be the
+    * bottleneck; production would run this per shard (partitionBy a
+    * shard key to pack each shard independently) — the arithmetic is
+    * unchanged, so the global form here is the oracle-checkable
+    * specification of the per-shard one. */
+  def packChunks(docs: DataFrame, orderCol: String, tokensCol: String,
+      chunkTokens: Int): DataFrame = {
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("_cum", sum(col(tokensCol)).over(w))
+      .withColumn("_start", col("_cum") - col(tokensCol))
+      .withColumn("first_chunk", floor(col("_start") / chunkTokens))
+      .withColumn("last_chunk",
+        floor((col("_cum") - 1) / chunkTokens))
+      .withColumn("chunk_offset", pmod(col("_start"), lit(chunkTokens.toLong)))
+      .drop("_cum", "_start")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.hash.Etags
-import graft.operators.{Similarity, TextDedup, TextStats}
+import graft.operators.{Corpus, Similarity, TextDedup, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -246,6 +246,51 @@ object LlmQueries {
       |FROM base b JOIN a2 USING (doc_id) JOIN a3 USING (doc_id)
       |WHERE n_words >= 3
       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic content-hash dataset split (90/5/5): a document's
+    * assignment never changes under re-runs, repartitioning, or corpus
+    * growth. md5-based so the oracle replays it exactly. */
+  def qSplitHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Corpus.hashSplit(col("doc_id"), trainPct = 90, valPct = 5).as("split"))
+      .orderBy(col("doc_id"))
+
+  val qSplitHashSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        try_cast('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |          AS BIGINT) % 100 AS h
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** GPT-style sequence packing: documents laid end-to-end in doc_id
+    * order and cut into 1024-token training sequences; each document
+    * reports the chunk span it occupies. The running-total window is
+    * the oracle-checkable specification of the per-shard packing a
+    * 100 TB run would execute (same arithmetic, partitioned by shard). */
+  def qPackChunks(s: SparkSession, dir: String): DataFrame =
+    Corpus.packChunks(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("n_tokens")),
+        orderCol = "doc_id", tokensCol = "n_tokens", chunkTokens = 1024)
+      .orderBy(col("doc_id"))
+
+  val qPackChunksSql: String =
+    """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |        SUM(n_tokens) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM t)
+      |SELECT doc_id, n_tokens,
+      |  CAST(FLOOR((cum - n_tokens) / 1024) AS BIGINT) AS first_chunk,
+      |  CAST(FLOOR((cum - 1) / 1024) AS BIGINT) AS last_chunk,
+      |  (cum - n_tokens) % 1024 AS chunk_offset
+      |FROM c ORDER BY doc_id""".stripMargin
 
   def qLangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+
+  test("packChunks: spans are contiguous, offsets bounded, totals consistent") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, 700L), (2L, 700L), (3L, 100L), (4L, 2200L), (5L, 48L))
+      .toDF("id", "n")
+    val r = Corpus.packChunks(docs, "id", "n", chunkTokens = 1024)
+      .orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        x.getLong(2), x.getLong(3), x.getLong(4)))
+    // cum: 700, 1400, 1500, 3700, 3748
+    assert(r(0) === ((1L, 700L, 0L, 0L, 0L)))     // [0,700) in chunk 0
+    assert(r(1) === ((2L, 700L, 0L, 1L, 700L)))   // [700,1400) spans 0→1
+    assert(r(2) === ((3L, 100L, 1L, 1L, 376L)))   // [1400,1500)
+    assert(r(3) === ((4L, 2200L, 1L, 3L, 476L)))  // [1500,3700) spans 1→3
+    assert(r(4) === ((5L, 48L, 3L, 3L, 628L)))    // [3700,3748)
+  }
+
+  test("hashSplit: deterministic, total partition, roughly proportional") {
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 1000L).toDF("id")
+    val splits = ids.select(col("id"),
+        Corpus.hashSplit(col("id"), 90, 5).as("split"))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum === 1000L)
+    assert(splits("train") > 850 && splits("train") < 950)
+    assert(splits.keySet === Set("train", "val", "test"))
+    // determinism: same id → same split on re-evaluation
+    val again = ids.select(Corpus.hashSplit(col("id"), 90, 5)).collect()
+    val first = ids.select(Corpus.hashSplit(col("id"), 90, 5)).collect()
+    assert(again.map(_.getString(0)).toSeq === first.map(_.getString(0)).toSeq)
+  }
+}
