@@ -150,6 +150,41 @@ object Similarity {
     * centroid cell; each probe searches only its own inverted list
     * (cell equi-join — the nprobe=1 scale path; more probe cells would
     * union more joins). Output ranks, not raw scores. */
+  /** Lloyd's k-means over the embedding column — the IVF index BUILD
+    * path (q_ann_ivf's deterministic corpus-sample quantizer stands in
+    * for these trained centroids in the oracle-checked query; this
+    * operator produces the production centroid table). Deterministic:
+    * init = every `initMod`-th vector, fixed `iters` sweeps, ties in
+    * assignment broken by centroid id (same rule as ivfAssign).
+    *
+    * Scale shape per iteration: one broadcast of the centroid table
+    * (k × dim doubles), one scan of the corpus for assignment (per-row
+    * argmin, no shuffle), then a posexplode to (cell, dim) pairs and a
+    * partial-aggregable avg — the only exchange moves k × dim reduced
+    * rows per map partition. Empty cells keep their previous centroid
+    * (standard Lloyd practice; keeps k stable). */
+  def kmeansCentroids(corpus: DataFrame, initMod: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    var cents = corpus.toDF("cid", "c").where(col("cid") % initMod === 0)
+      .select(col("cid"), col("c").cast("array<double>").as("c"))
+    (1 to iters).foreach { _ =>
+      val assigned = ivfAssign(corpus, cents)  // (vid, v, cell)
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cid"),
+          transform(col("pm"), x => x.getField("m")).as("c"))
+      // empty cells: keep the previous centroid so k never shrinks
+      cents = cents.toDF("cid", "prev")
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("c"), col("prev")).as("c"))
+    }
+    cents
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       centroidMod: Int): DataFrame = {
     val centroids = corpus.toDF("cid", "c").where(col("cid") % centroidMod === 0)

@@ -60,6 +60,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(found.contains((1L, 4L)))
   }
 
+  test("kmeansCentroids converges to cluster means, deterministic, keeps k") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.2f, 0.0f)),
+      (2L, Array(0.0f, 0.2f)), (3L, Array(0.2f, 0.2f)),
+      (4L, Array(10.0f, 10.0f)), (5L, Array(10.2f, 10.0f)),
+      (6L, Array(10.0f, 10.2f)), (7L, Array(10.2f, 10.2f)),
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(pts, initMod = 4, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cents.keySet === Set(0L, 4L))
+    def close(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-6 }
+    assert(close(cents(0L), Seq(0.1, 0.1)), s"got ${cents(0L)}")
+    assert(close(cents(4L), Seq(10.1, 10.1)), s"got ${cents(4L)}")
+    // determinism
+    val again = Similarity.kmeansCentroids(pts, initMod = 4, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again === cents)
+  }
+
   test("brute-force top-k ranks by cosine, excludes self, tiebreaks by id") {
     val s = spark
     import s.implicits._
