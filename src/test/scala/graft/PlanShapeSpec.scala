@@ -67,4 +67,39 @@ class PlanShapeSpec extends SparkSpec {
         col("mdel")).as("tag")))
     assert(!p.contains("Exchange") && !p.contains("Join"))
   }
+
+  // --- round-6 pins: native kernels keep per-row families shuffle-free --
+
+  test("native kernel summaries are pure per-row scans (no shuffle/join/agg)") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val perRow = Seq(
+      docs.select(graft.functions.NativeText.minhashSig(
+        split(col("text"), " "), 3)),
+      docs.select(graft.functions.NativeText.simhash60(
+        split(col("text"), " "))),
+      docs.select(graft.functions.NativeText.repetitionStats(
+        split(col("text"), " "))),
+      docs.select(graft.functions.NativeTextStats.textStats(
+        split(col("text"), " "), Seq("the"))),
+      docs.select(graft.functions.NativeTextStats.langId(
+        split(col("text"), " "),
+        graft.operators.TextStats.stopwordProfiles.toSeq)))
+    perRow.foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange") && !p.contains("Aggregate"),
+        s"per-row kernel must not shuffle or aggregate:\n$p")
+      assert(!p.toLowerCase.contains("scalaudf"))
+    }
+  }
+
+  test("ivf assignment aggregates without a window sort") {
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0, 0.0))).toDF("cid", "c")
+    val p = plan(graft.operators.Similarity.ivfAssign(vecs, cents))
+    assert(!p.contains("Window"),
+      "argmin must be the partial-aggregable min_by, not a window sort")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("Broadcast"), "centroid side must broadcast")
+  }
 }
