@@ -112,6 +112,7 @@ object SparkEntry {
     "q_quality_rep"   -> (LlmQueries.qQualityRep _),
     "q_split_hash"    -> (LlmQueries.qSplitHash _),
     "q_pack_chunks"   -> (LlmQueries.qPackChunks _),
+    "q_decontaminate" -> (LlmQueries.qDecontaminate _),
     "q_lang_id"       -> (LlmQueries.qLangId _),
     "q_ann_topk"      -> (LlmQueries.qAnnTopk _),
     "q_ann_lsh"       -> (LlmQueries.qAnnLsh _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "q_quality_rep"   -> LlmQueries.qQualityRepSql,
     "q_split_hash"    -> LlmQueries.qSplitHashSql,
     "q_pack_chunks"   -> LlmQueries.qPackChunksSql,
+    "q_decontaminate" -> LlmQueries.qDecontaminateSql,
     "q_lang_id"       -> LlmQueries.qLangIdSql,
     "q_ann_topk"      -> LlmQueries.qAnnTopkSql,
     "q_ann_lsh"       -> LlmQueries.qAnnLshSql,

@@ -22,6 +22,28 @@ object Corpus {
       .otherwise("test")
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minShared` distinct `n`-word shingles with any benchmark
+    * document — the standard guard against evaluation data leaking
+    * into a training corpus. The benchmark side (eval suites: small by
+    * construction) broadcasts, so the corpus streams through one scan
+    * + a broadcast join keyed on shingle hash; only colliding pairs
+    * reach the count. Output: (doc_id, bench_id, n_shared). */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 5, minShared: Long = 3): DataFrame = {
+    def shingleHashes(d: DataFrame, outId: String): DataFrame = d
+      .select(col(idCol).as(outId),
+        explode(TextDedup.shinglesFromWords(
+          split(col(textCol), " "), n)).as("s"))
+      .select(col(outId), xxhash64(col("s")).as("h"))
+    shingleHashes(corpus, "doc_id")
+      .join(broadcast(shingleHashes(bench, "bench_id")), "h")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** GPT-style sequence packing by concatenation: documents are laid
     * end-to-end in a deterministic order and cut into fixed
     * `chunkTokens` training sequences; each document's span of chunks

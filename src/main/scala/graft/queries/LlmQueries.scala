@@ -266,6 +266,34 @@ object LlmQueries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination over the documents table: every 50th
+    * document plays the held-out benchmark; corpus documents sharing
+    * ≥3 distinct 5-grams with any benchmark doc are flagged. The
+    * synthetic corpus has exactly the planted near-dup overlaps
+    * (background 5-gram collisions are zero), so the result is the
+    * contamination ground truth the string-join oracle replays. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Corpus.decontaminate(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0),
+        "doc_id", "text")
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  val qDecontaminateSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |        w[i+4] || ' ' || w[i+5] AS s
+      |      FROM (SELECT doc_id, unnest(range(len(w) - 4)) AS i, w FROM d)),
+      |bench AS (SELECT doc_id AS bench_id, s FROM g WHERE doc_id % 50 = 0),
+      |corp AS (SELECT doc_id, s FROM g WHERE doc_id % 50 != 0)
+      |SELECT corp.doc_id, bench.bench_id, count(*) AS n_shared
+      |FROM corp JOIN bench USING (s)
+      |GROUP BY 1, 2 HAVING count(*) >= 3
+      |ORDER BY doc_id, bench_id""".stripMargin
+
   /** GPT-style sequence packing: documents laid end-to-end in doc_id
     * order and cut into 1024-token training sequences; each document
     * reports the chunk span it occupies. The running-total window is

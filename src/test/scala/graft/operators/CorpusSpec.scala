@@ -22,6 +22,27 @@ class CorpusSpec extends SparkSpec {
     assert(r(4) === ((5L, 48L, 3L, 3L, 628L)))    // [3700,3748)
   }
 
+  test("decontaminate flags only docs sharing enough shingles with the benchmark") {
+    val s = spark
+    import s.implicits._
+    val benchText = "the quick brown fox jumps over the lazy sleeping dog today"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains a long verbatim run of the benchmark → many shared 5-grams
+      (1L, "intro words then " + benchText + " and a conclusion"),
+      // shares a single 5-gram only → below the threshold
+      (2L, "quick brown fox jumps over something else entirely different here now"),
+      // disjoint
+      (3L, "completely unrelated text about databases and query planning engines"),
+    ).toDF("doc_id", "text")
+    val flagged = Corpus.decontaminate(corpus, bench, "doc_id", "text",
+        n = 5, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(flagged.map(_._1).toSet === Set(1L))
+    assert(flagged.head._2 === 100L)
+    assert(flagged.head._3 >= 6) // the verbatim run shares its whole 5-gram chain
+  }
+
   test("hashSplit: deterministic, total partition, roughly proportional") {
     val s = spark
     import s.implicits._
