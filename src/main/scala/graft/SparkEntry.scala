@@ -106,6 +106,7 @@ object SparkEntry {
     "q_dedup_exact"   -> (LlmQueries.qDedupExact _),
     "q_dedup_minhash" -> (LlmQueries.qDedupMinhash _),
     "q_ann_ivf" -> (LlmQueries.qAnnIvf _),
+    "q_ann_ivf_probe" -> (LlmQueries.qAnnIvfProbe _),
     "q_dedup_embed" -> (LlmQueries.qDedupEmbed _),
     "q_dedup_simhash" -> (LlmQueries.qDedupSimhash _),
     "q_text_stats"    -> (LlmQueries.qTextStats _),
@@ -182,6 +183,7 @@ object SparkEntry {
     "q_dedup_exact"   -> LlmQueries.qDedupExactSql,
     "q_dedup_minhash" -> LlmQueries.qDedupMinhashSql,
     "q_ann_ivf" -> LlmQueries.qAnnIvfSql,
+    "q_ann_ivf_probe" -> LlmQueries.qAnnIvfProbeSql,
     "q_dedup_embed" -> LlmQueries.qDedupEmbedSql,
     "q_dedup_simhash" -> LlmQueries.qDedupSimhashSql,
     "q_text_stats"    -> LlmQueries.qTextStatsSql,

@@ -186,11 +186,30 @@ object Similarity {
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroidMod: Int): DataFrame = {
+      centroidMod: Int): DataFrame =
+    ivfTopKProbed(corpus, queries, k, centroidMod, nprobe = 1)
+
+  /** IVF top-k with multi-cell probing — the recall knob: each query
+    * searches its `nprobe` nearest inverted lists instead of one.
+    * Corpus vectors still live in exactly one cell (assignment stays
+    * min_by, no duplication), so probe cells contribute disjoint
+    * neighbor sets and no dedup is needed. The probe expansion is a
+    * window over the (tiny, broadcast) query × centroid table only —
+    * the corpus-side plan is identical to nprobe=1 at any scale. */
+  def ivfTopKProbed(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroidMod: Int, nprobe: Int): DataFrame = {
     val centroids = corpus.toDF("cid", "c").where(col("cid") % centroidMod === 0)
     val c = ivfAssign(corpus, centroids).toDF("nid", "e", "cell")
-    val q = ivfAssign(queries, centroids).toDF("qid", "qv", "cell")
-    val joined = c.join(broadcast(q), Seq("cell"))
+    val cents = centroids.withColumn("cc", dot(col("c"), col("c")))
+    val qScored = queries.toDF("qid", "qv")
+      .join(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cid"),
+        (col("cc") - lit(2.0) * dot(col("qv"), col("c"))).as("score"))
+    val pw = Window.partitionBy(col("qid")).orderBy(col("score"), col("cid"))
+    val probes = qScored.withColumn("rn", row_number().over(pw))
+      .where(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid").as("cell"))
+    val joined = c.join(broadcast(probes), Seq("cell"))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), cosine(col("qv"), col("e")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))

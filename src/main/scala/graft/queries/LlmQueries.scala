@@ -416,6 +416,41 @@ object LlmQueries {
        |      FROM s)
        |SELECT qid, nid, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** IVF with nprobe=2 — the recall knob: each query searches its two
+    * nearest inverted lists. Corpus vectors live in exactly one cell,
+    * so probe cells contribute disjoint neighbors; the oracle replays
+    * the probe expansion with rn <= 2. */
+  def qAnnIvfProbe(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopKProbed(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        queriesDf(s, dir), k = 3, centroidMod = CentroidMod, nprobe = 2)
+      .orderBy(col("qid"), col("rank"))
+
+  val qAnnIvfProbeSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id % $CentroidMod = 0),
+       |scored AS (
+       |  SELECT v.vec_id AS vid, v.e, cent.cid,
+       |    list_inner_product(c, c) - 2.0 * list_inner_product(v.e, c) AS score
+       |  FROM v, cent),
+       |assigned AS (
+       |  SELECT vid, e, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY score, cid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vid AS qid, e AS qv, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY score, cid) AS rn
+       |    FROM scored WHERE vid < 10) WHERE rn <= 2),
+       |s AS (
+       |  SELECT qid, a.vid AS nid,
+       |    list_inner_product(qv, a.e) /
+       |    (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(a.e, a.e))) AS sim
+       |  FROM probes q JOIN assigned a USING (cell) WHERE a.vid != qid),
+       |r AS (SELECT qid, nid,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+       |      FROM s)
+       |SELECT qid, nid, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   /** LSH-bucketed top-3: each probe searches only its sign-pattern
     * bucket (the 100 TB path — bucket equi-join instead of crossJoin).
     * The oracle replays the identical deterministic bucketing. */
