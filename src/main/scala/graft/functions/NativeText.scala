@@ -47,6 +47,16 @@ object NativeText {
   def simhash60(words: Column): Column =
     GraftSqlBridge.column(Simhash60Expr(GraftSqlBridge.expression(words)))
 
+  /** Distinct n-word shingle hashes of `words` — the join key column
+    * for shingle-overlap operators (Jaccard verify, decontamination).
+    * The hash is the same rolling xxhash64 combine the MinHash kernel
+    * uses: joining on it is equivalent to joining on the shingle
+    * STRINGS up to 64-bit collisions, the accepted trade of every
+    * hash-keyed candidate join here — while never materializing a
+    * shingle string or running an interpreted HOF. */
+  def shingleHashes(words: Column, n: Int): Column =
+    GraftSqlBridge.column(ShingleHashesExpr(GraftSqlBridge.expression(words), n))
+
   /** Repetition statistics of one document (Gopher/C4-style quality
     * signals) in a single pass: word count, distinct-word count, the
     * occurrence count of the most frequent bigram and trigram, and the
@@ -92,6 +102,25 @@ case class Simhash60Expr(child: Expression)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.MinhashKernel.simhash60($c);")
   override protected def withNewChildInternal(newChild: Expression): Simhash60Expr =
+    copy(child = newChild)
+}
+
+case class ShingleHashesExpr(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+  require(shingleN >= 1, "shingleN must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes needs array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  protected override def nullSafeEval(words: Any): Any =
+    MinhashKernel.shingleHashes(words.asInstanceOf[ArrayData], shingleN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashKernel.shingleHashes($c, $shingleN);")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
 }
 
@@ -182,6 +211,34 @@ object MinhashKernel {
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** Distinct rolling shingle hashes, insertion-ordered for
+    * determinism. Same per-shingle value as the [[sig]] base hash. */
+  def shingleHashes(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements()
+    if (m < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val wh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      wh(i) = XXH64.hashUTF8String(words.getUTF8String(i), XxSeed)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    val last = m - n
+    while (i <= last) {
+      var acc = wh(i)
+      var j = 1
+      while (j < n) { acc = acc * FnvPrime ^ wh(i + j); j += 1 }
+      seen.add(mix64(acc))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   private val md5 = new ThreadLocal[java.security.MessageDigest] {

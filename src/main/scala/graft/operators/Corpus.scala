@@ -32,11 +32,13 @@ object Corpus {
   def decontaminate(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String,
       n: Int = 5, minShared: Long = 3): DataFrame = {
+    // distinct shingle hashes via the native one-pass kernel — joining
+    // on them is string-join-equivalent up to 64-bit collisions (the
+    // standard trade of every hash-keyed candidate join here)
     def shingleHashes(d: DataFrame, outId: String): DataFrame = d
       .select(col(idCol).as(outId),
-        explode(TextDedup.shinglesFromWords(
-          split(col(textCol), " "), n)).as("s"))
-      .select(col(outId), xxhash64(col("s")).as("h"))
+        explode(graft.functions.NativeText.shingleHashes(
+          split(col(textCol), " "), n)).as("h"))
     shingleHashes(corpus, "doc_id")
       .join(broadcast(shingleHashes(bench, "bench_id")), "h")
       .groupBy(col("doc_id"), col("bench_id"))

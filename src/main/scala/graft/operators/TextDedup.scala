@@ -189,8 +189,8 @@ object TextDedup {
     val cands = lshCandidates(sigs, idCol)
     def shingleHashes(d: DataFrame): DataFrame = d
       .select(col(idCol),
-        explode(shinglesFromWords(col("_w"), shingleSize)).as("s"))
-      .select(col(idCol), xxhash64(col("s")).as("h"))
+        explode(graft.functions.NativeText.shingleHashes(
+          col("_w"), shingleSize)).as("h"))
     // verification re-shingles only the candidate docs: the semi-join
     // runs BEFORE the (interpreted, per-doc) shingle lambda, so the
     // full corpus is shingled exactly once (the signature pass) instead
