@@ -208,7 +208,9 @@ object Enrich {
     // --- stage 7: crossfill (conversions.py:745-768; reverse direction
     //     via the minimal gnparser-equivalent Grabbers.parseSciName:
     //     subgenus skip, rank-marker and authorship exclusion) ----------
-    val (sciGenus, sciEpithet) = parseSciName(col("scientificname"))
+    // the native one-pass parser (semantics pinned to
+    // Grabbers.parseSciName by NativeTextSpec); both fields extract
+    // from one materialized struct so the kernel runs once per row
     val s7 = s6.withColumns(Map(
       "_flag_scientificname_added" ->
         (col("genus").isNotNull && col("scientificname").isNull),
@@ -217,23 +219,22 @@ object Enrich {
       // the reference's `filled(k, gs)` guard (:763-765)
       "_crossfill_rev" ->
         (col("scientificname").isNotNull && col("genus").isNull),
-      "_sci_genus" -> sciGenus,
-      "_sci_epithet" -> sciEpithet,
+      "_sci" -> graft.functions.NativeText.sciParse(col("scientificname")),
     ))
     val s8 = s7.withColumns(Map(
       "_flag_genus_added" ->
-        (col("_crossfill_rev") && col("_sci_genus").isNotNull),
+        (col("_crossfill_rev") && col("_sci.genus").isNotNull),
       "_flag_specificepithet_added" -> (col("_crossfill_rev") &&
-        col("specificepithet").isNull && col("_sci_epithet").isNotNull),
+        col("specificepithet").isNull && col("_sci.epithet").isNotNull),
       "scientificname" -> when(col("_flag_scientificname_added"),
         concat_ws(" ", col("genus"), col("specificepithet")))
         .otherwise(col("scientificname")),
     ))
     val s9 = s8.withColumns(Map(
-      "genus" -> when(col("_flag_genus_added"), col("_sci_genus"))
+      "genus" -> when(col("_flag_genus_added"), col("_sci.genus"))
         .otherwise(col("genus")),
       "specificepithet" -> when(col("_flag_specificepithet_added"),
-        col("_sci_epithet")).otherwise(col("specificepithet")),
+        col("_sci.epithet")).otherwise(col("specificepithet")),
     ))
 
     // --- stage 10: vocabulary fixes -----------------------------------

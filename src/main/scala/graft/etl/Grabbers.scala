@@ -86,16 +86,25 @@ object Grabbers {
     * never sees a non-matching input. A naive 13-format coalesce
     * cascade costs ~10 failed-parse exceptions per value and made the
     * sf0.1 enrich bench 4× slower. */
-  def permissiveTimestamp(c: Column): Column =
+  def permissiveTimestamp(c: Column): Column = {
+    // ONE native shape-classifier call replaces the seven anchored
+    // rlike gates (the classifier is property-pinned to the exact
+    // regexes); every parse still goes through Spark's own
+    // try_cast/try_to_timestamp, so parse semantics are untouched.
+    // The identical date_shape subtrees below CSE into a single
+    // evaluation (subexpression elimination in the per-operator
+    // UnsafeProjection the enrich pipelines run under).
+    val sh = graft.functions.NativeText.dateShape(c)
     coalesce(
       c.try_cast(org.apache.spark.sql.types.TimestampType),
-      when(c.rlike("^\\d{4}/\\d{1,2}/\\d{1,2}$"),
+      when(sh === 1,
         try_to_timestamp(regexp_replace(c, "/", "-"), lit("y-M-d"))),
-      when(c.rlike("^\\d{1,2}/\\d{1,2}/\\d{4}$"),
+      when(sh === 2,
         try_to_timestamp(c, lit("M/d/y"))),
-      when(c.rlike("^\\d{4}\\.\\d{1,2}\\.\\d{1,2}$"),
+      when(sh === 3,
         try_to_timestamp(translate(c, ".", "-"), lit("y-M-d"))),
-      monthNamed(c))
+      monthNamed(c, sh))
+  }
 
   /** Month-name formats dateutil accepts ("Jan 5, 1999", "5 March 2001",
     * "March 2001" — missing day defaults to 1 like dateutil's
@@ -105,25 +114,25 @@ object Grabbers {
     * Every formatter attempt sits behind an anchored rlike gate — the
     * formatter's internal throw/catch only ever runs on rows shaped like
     * a month-name date. */
-  private def monthNamed(c: Column): Column = {
+  private def monthNamed(c: Column, sh: Column): Column = {
     val t = initcap(c)
     coalesce(
-      when(c.rlike("^[A-Z]{3,9} \\d{1,2},? \\d{4}$"), {
+      when(sh === 4, {
         val noComma = regexp_replace(t, ",", "")
         coalesce(
           try_to_timestamp(noComma, lit("MMM d y")),
           try_to_timestamp(noComma, lit("MMMM d y")))
       }),
-      when(c.rlike("^\\d{1,2} [A-Z]{3,9} \\d{4}$"),
+      when(sh === 5,
         coalesce(
           try_to_timestamp(t, lit("d MMM y")),
           try_to_timestamp(t, lit("d MMMM y")))),
-      when(c.rlike("^[A-Z]{3,9} \\d{4}$"),
+      when(sh === 6,
         coalesce(
           try_to_timestamp(t, lit("MMM y")),
           try_to_timestamp(t, lit("MMMM y")))),
       // dashed month-name dates: "5-MAR-2001" / "5-MARCH-2001"
-      when(c.rlike("^\\d{1,2}-[A-Z]{3,9}-\\d{4}$"),
+      when(sh === 7,
         coalesce(
           try_to_timestamp(initcap(translate(c, "-", " ")), lit("d MMM y")),
           try_to_timestamp(initcap(translate(c, "-", " ")), lit("d MMMM y")))))
@@ -143,13 +152,16 @@ object Grabbers {
     * like the reference's `filled(k, gs)` guard. */
   def parseSciName(sci: Column): (Column, Column) = {
     val w = split(trim(sci), "\\s+")
-    val t1 = element_at(w, 1)
+    val t1 = try_element_at(w, lit(1))
     // plain epithet-shaped token, ≥ 2 chars (excludes the hybrid marker
     // "x" and stray initials; dots/commas/digits-first all fail)
     val word = "^[a-z][a-z0-9-]+$"
     val genus = when(t1.rlike(word), t1)
-    val t2 = element_at(w, 2)
-    val cand = when(t2.rlike("^\\(.*\\)$"), element_at(w, 3)).otherwise(t2)
+    // try_element_at: under ANSI (Spark 4 default) a plain element_at
+    // THROWS on single-token names — a latent crash the native kernel's
+    // parity spec exposed; null is the intended "didn't parse" result
+    val t2 = try_element_at(w, lit(2))
+    val cand = when(t2.rlike("^\\(.*\\)$"), try_element_at(w, lit(3))).otherwise(t2)
     val rankMarkers = Seq("var", "subsp", "ssp", "f", "cf", "aff", "sp", "spp", "x")
     val epithet = when(genus.isNotNull && cand.rlike(word) &&
       !cand.isin(rankMarkers: _*), cand)

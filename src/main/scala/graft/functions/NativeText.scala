@@ -57,6 +57,26 @@ object NativeText {
   def shingleHashes(words: Column, n: Int): Column =
     GraftSqlBridge.column(ShingleHashesExpr(GraftSqlBridge.expression(words), n))
 
+  /** Scientific-name parse (genus, epithet) — the native form of
+    * Grabbers.parseSciName: whitespace split, plain-word genus,
+    * subgenus skip, rank-marker/authorship exclusion, all in one pass
+    * with no regex. Semantics are pinned to the Column formulation by
+    * a parity spec over the golden cases. */
+  def sciParse(sci: Column): Column =
+    GraftSqlBridge.column(SciParseExpr(GraftSqlBridge.expression(sci)))
+
+  /** Date-format shape classifier for the permissive timestamp
+    * cascade: returns which of the non-ISO format families the string
+    * matches (0 = none, 1 = y/M/d, 2 = M/d/y, 3 = y.M.d, 4 = "MON d,
+    * y", 5 = "d MON y", 6 = "MON y", 7 = "d-MON-y") in ONE pass,
+    * replacing seven anchored rlike gates per date column. The parse
+    * itself stays in Spark's own try_cast / try_to_timestamp — only
+    * the gating moves into the kernel, so parse semantics are
+    * untouched. A property spec pins the classifier to the exact
+    * regexes it replaced. */
+  def dateShape(c: Column): Column =
+    GraftSqlBridge.column(DateShapeExpr(GraftSqlBridge.expression(c)))
+
   /** Repetition statistics of one document (Gopher/C4-style quality
     * signals) in a single pass: word count, distinct-word count, the
     * occurrence count of the most frequent bigram and trigram, and the
@@ -102,6 +122,44 @@ case class Simhash60Expr(child: Expression)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.MinhashKernel.simhash60($c);")
   override protected def withNewChildInternal(newChild: Expression): Simhash60Expr =
+    copy(child = newChild)
+}
+
+case class SciParseExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sci_parse needs string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("genus", StringType, nullable = true),
+    StructField("epithet", StringType, nullable = true)))
+  override def prettyName: String = "sci_parse"
+  protected override def nullSafeEval(sci: Any): Any =
+    MinhashKernel.sciParse(sci.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashKernel.sciParse($c);")
+  override protected def withNewChildInternal(newChild: Expression): SciParseExpr =
+    copy(child = newChild)
+}
+
+case class DateShapeExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"date_shape needs string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "date_shape"
+  protected override def nullSafeEval(c: Any): Any =
+    MinhashKernel.dateShape(c.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashKernel.dateShape($c);")
+  override protected def withNewChildInternal(newChild: Expression): DateShapeExpr =
     copy(child = newChild)
 }
 
@@ -239,6 +297,167 @@ object MinhashKernel {
     i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  // --- scientific-name parse -------------------------------------------
+
+  private def isJavaWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Java `split("\\s+", -1)` semantics over ASCII whitespace: leading
+    * separator yields a leading empty token, trailing likewise. */
+  private def splitWs(s: UTF8String): Array[UTF8String] = {
+    val b = s.getBytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i <= b.length) {
+      val start = i
+      while (i < b.length && !isJavaWs(b(i))) i += 1
+      out += UTF8String.fromBytes(b, start, i - start)
+      if (i == b.length) return out.toArray
+      while (i < b.length && isJavaWs(b(i))) i += 1
+      if (i == b.length) { // trailing separator keeps "" (limit -1)
+        out += UTF8String.EMPTY_UTF8
+        return out.toArray
+      }
+    }
+    out.toArray
+  }
+
+  /** ^[a-z][a-z0-9-]+$ as a byte loop (pure-ASCII classes: any
+    * multibyte char fails the class exactly like the regex). */
+  private def isWord(t: UTF8String): Boolean = {
+    val b = t.getBytes
+    if (b.length < 2) return false
+    if (b(0) < 'a' || b(0) > 'z') return false
+    var i = 1
+    while (i < b.length) {
+      val c = b(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '-'
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
+  private val RankMarkers: Array[UTF8String] =
+    Array("var", "subsp", "ssp", "f", "cf", "aff", "sp", "spp", "x")
+      .map(UTF8String.fromString)
+
+  /** Grabbers.parseSciName semantics in one pass (parity spec pins
+    * them): whitespace split of the trimmed name, plain-word genus,
+    * parenthesized-subgenus skip, rank-marker exclusion; null parts
+    * when the respective shape doesn't parse. */
+  def sciParse(sci: UTF8String)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val toks = splitWs(sci.trim())
+    val t1 = if (toks.length >= 1) toks(0) else null
+    val genus: UTF8String = if (t1 != null && isWord(t1)) t1 else null
+    val t2: UTF8String = if (toks.length >= 2) toks(1) else null
+    val isParen = t2 != null && t2.numBytes() >= 2 && {
+      val b = t2.getBytes
+      b(0) == '(' && b(b.length - 1) == ')'
+    }
+    val cand: UTF8String =
+      if (isParen) (if (toks.length >= 3) toks(2) else null) else t2
+    val isMarker = cand != null && RankMarkers.exists(_.equals(cand))
+    val epithet: UTF8String =
+      if (genus != null && cand != null && isWord(cand) && !isMarker) cand
+      else null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](genus, epithet))
+  }
+
+  // --- date-format shape classifier ------------------------------------
+
+  private def allDigits(b: Array[Byte], from: Int, to: Int): Boolean = {
+    if (to <= from) return false
+    var i = from
+    while (i < to) { if (b(i) < '0' || b(i) > '9') return false; i += 1 }
+    true
+  }
+  private def allUpper(b: Array[Byte], from: Int, to: Int): Boolean = {
+    if (to <= from) return false
+    var i = from
+    while (i < to) { if (b(i) < 'A' || b(i) > 'Z') return false; i += 1 }
+    true
+  }
+
+  /** Shape id of the non-ISO date families the permissive-timestamp
+    * cascade gates on (0 = none; see NativeText.dateShape). Each case
+    * replicates one anchored regex exactly — pinned by a property
+    * spec against the original patterns. */
+  def dateShape(c: UTF8String): Int = {
+    val b = c.getBytes
+    val n = b.length
+    var i = 0
+    while (i < n) { if (b(i) < 0) return 0; i += 1 }
+
+    def split3(sep: Byte): Array[Int] = { // (s0,e0,s1,e1,s2,e2) or null
+      var p1 = -1; var p2 = -1
+      var i = 0
+      while (i < n) {
+        if (b(i) == sep) {
+          if (p1 < 0) p1 = i
+          else if (p2 < 0) p2 = i
+          else return null // more than two separators
+        }
+        i += 1
+      }
+      if (p2 < 0) null else Array(0, p1, p1 + 1, p2, p2 + 1, n)
+    }
+    def dig(s: Int, e: Int, min: Int, max: Int) =
+      (e - s) >= min && (e - s) <= max && allDigits(b, s, e)
+    def up(s: Int, e: Int, min: Int, max: Int) =
+      (e - s) >= min && (e - s) <= max && allUpper(b, s, e)
+
+    val slash = split3('/')
+    if (slash != null) {
+      if (dig(slash(0), slash(1), 4, 4) && dig(slash(2), slash(3), 1, 2) &&
+        dig(slash(4), slash(5), 1, 2)) return 1
+      if (dig(slash(0), slash(1), 1, 2) && dig(slash(2), slash(3), 1, 2) &&
+        dig(slash(4), slash(5), 4, 4)) return 2
+      return 0
+    }
+    val dot = split3('.')
+    if (dot != null) {
+      if (dig(dot(0), dot(1), 4, 4) && dig(dot(2), dot(3), 1, 2) &&
+        dig(dot(4), dot(5), 1, 2)) return 3
+      return 0
+    }
+    // space forms: the patterns use literal single spaces
+    var sp1 = -1; var sp2 = -1; var spMore = false
+    i = 0
+    while (i < n) {
+      if (b(i) == ' ') {
+        if (sp1 < 0) sp1 = i
+        else if (sp2 < 0) sp2 = i
+        else spMore = true
+      }
+      i += 1
+    }
+    if (sp1 >= 0 && !spMore) {
+      if (sp2 < 0) { // "^[A-Z]{3,9} \d{4}$"
+        if (up(0, sp1, 3, 9) && dig(sp1 + 1, n, 4, 4)) return 6
+        return 0
+      }
+      // "^[A-Z]{3,9} \d{1,2},? \d{4}$"
+      if (up(0, sp1, 3, 9) && dig(sp2 + 1, n, 4, 4)) {
+        val e = if (sp2 > sp1 + 1 && b(sp2 - 1) == ',') sp2 - 1 else sp2
+        if (dig(sp1 + 1, e, 1, 2)) return 4
+      }
+      // "^\d{1,2} [A-Z]{3,9} \d{4}$"
+      if (dig(0, sp1, 1, 2) && up(sp1 + 1, sp2, 3, 9) &&
+        dig(sp2 + 1, n, 4, 4)) return 5
+      return 0
+    }
+    if (sp1 < 0) {
+      // "^\d{1,2}-[A-Z]{3,9}-\d{4}$"
+      val dash = split3('-')
+      if (dash != null && dig(dash(0), dash(1), 1, 2) &&
+        up(dash(2), dash(3), 3, 9) && dig(dash(4), dash(5), 4, 4)) return 7
+    }
+    0
   }
 
   private val md5 = new ThreadLocal[java.security.MessageDigest] {

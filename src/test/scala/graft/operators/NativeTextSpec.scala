@@ -167,6 +167,60 @@ class NativeTextSpec extends SparkSpec {
     assert(kern === hof)
   }
 
+  test("sciParse kernel matches the Column parseSciName on golden shapes") {
+    val s = spark
+    import s.implicits._
+    val names = Seq(
+      "acer rubrum", "acer", "acer (acer) rubrum", "acer (acer)",
+      "acer x rubrum", "acer var rubrum", "acer sp", "acer cf rubrum",
+      "genus1 epithet22", "puma concolor (linnaeus, 1771)",
+      "x hybridus", "a b", "ab cd-ef", "ab c3d",
+      " acer  rubrum ", "\tacer rubrum", "", "  ", "acer rubrum extra",
+      "(acer) rubrum", "acer (acer court.) rubrum", "acer 9digit")
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "sci")
+    val (g, e) = graft.etl.Grabbers.parseSciName(col("sci"))
+    val cols = df.select(col("id"), g.as("g"), e.as("e"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    val kern = df.select(col("id"),
+        graft.functions.NativeText.sciParse(col("sci")).as("p"))
+      .select(col("id"), col("p.genus"), col("p.epithet"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(kern === cols)
+  }
+
+  test("dateShape kernel matches the seven anchored regexes it replaced") {
+    val patterns = Seq(
+      1 -> "^\\d{4}/\\d{1,2}/\\d{1,2}$",
+      2 -> "^\\d{1,2}/\\d{1,2}/\\d{4}$",
+      3 -> "^\\d{4}\\.\\d{1,2}\\.\\d{1,2}$",
+      4 -> "^[A-Z]{3,9} \\d{1,2},? \\d{4}$",
+      5 -> "^\\d{1,2} [A-Z]{3,9} \\d{4}$",
+      6 -> "^[A-Z]{3,9} \\d{4}$",
+      7 -> "^\\d{1,2}-[A-Z]{3,9}-\\d{4}$")
+    def regexShape(s: String): Int =
+      patterns.find { case (_, p) => s.matches(p) }.map(_._1).getOrElse(0)
+    val fixed = Seq(
+      "2001/3/4", "12/31/2001", "2001.3.4", "JAN 5, 1999", "JAN 5 1999",
+      "5 MARCH 2001", "MARCH 2001", "5-MAR-2001", "2001-03-04", "",
+      "JANUARYXYZ 2001", "J 2001", "5, MARCH 2001", "MAR  2001",
+      "123/4/5", "1/2/34", "2001/13/44", "1-MAR-201", "1-MA-2011",
+      "2001.3.4.5", "a/b/c", "JAN 5,, 1999", "JAN , 1999", "Jan 5, 1999",
+      "ünïcode 2001", "5 MAR 2001 EXTRA", " MAR 2001", "MAR 2001 ")
+    val rnd = new scala.util.Random(7)
+    val alphabet = "0123456789/.,- ABCDEFGHIJZ"
+    val fuzz = (1 to 3000).map(_ =>
+      (1 to (1 + rnd.nextInt(12))).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    (fixed ++ fuzz).foreach { s =>
+      val kern = graft.functions.MinhashKernel.dateShape(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(kern === regexShape(s), s"input '$s'")
+    }
+  }
+
   test("expression survives interpreted (non-codegen) evaluation too") {
     // CODEGEN_ONLY would mask an eval() bug; force interpreted mode
     val s = spark
