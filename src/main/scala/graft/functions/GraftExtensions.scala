@@ -48,6 +48,16 @@ object GraftFunctions {
     ("dot_product",
       new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
       (es: Seq[Expression]) => DotProductExpr(es(0), es(1))),
+    ("shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
+      (es: Seq[Expression]) => ShingleHashesExpr(es.head,
+        if (es.length > 1) intLit(es(1), "shingle size") else 3)),
+    ("sci_parse",
+      new ExpressionInfo(classOf[SciParseExpr].getName, "sci_parse"),
+      (es: Seq[Expression]) => SciParseExpr(es.head)),
+    ("date_shape",
+      new ExpressionInfo(classOf[DateShapeExpr].getName, "date_shape"),
+      (es: Seq[Expression]) => DateShapeExpr(es.head)),
   )
 
   /** Register into an existing session's function registry. */

@@ -39,4 +39,16 @@ class GraftFunctionsSpec extends SparkSpec {
       .collect()(0).getInt(0)
     assert(r === MinhashKernel.NumHashes)
   }
+
+  test("shingle_hashes / sci_parse / date_shape answer from SQL") {
+    val s = spark
+    GraftFunctions.register(s)
+    val r = s.sql(
+      """SELECT size(shingle_hashes(split('a b c d', ' '), 3)) AS ns,
+        |       sci_parse('acer rubrum').genus AS g,
+        |       date_shape('5-MAR-2001') AS sh""".stripMargin).collect()(0)
+    assert(r.getInt(0) === 2)
+    assert(r.getString(1) === "acer")
+    assert(r.getInt(2) === 7)
+  }
 }
