@@ -103,7 +103,7 @@ object Enrich {
       (if (hasCol("version")) col("version").cast("long")
        else firstNumberLong(getField(data, "idigbio:version"))).as("version"),
       (if (hasCol("parent")) col("parent")
-       else element_at(siblings, "recordset").getItem(0)).as("recordset"),
+       else try_element_at(element_at(siblings, "recordset"), lit(1))).as("recordset"),
       mediarecords.as("mediarecords"),
       firstNumberDouble(getField(data, "dwc:individualCount")).as("individualcount"),
       firstNumberDouble(getField(data, "dwc:coordinateUncertaintyInMeters"))
@@ -129,8 +129,10 @@ object Enrich {
 
     // --- stage 2: parses of stage-1 strings ---------------------------
     val s2 = s1.withColumns(Map(
-      "_lat0" -> col("_lat_raw").cast("double"),
-      "_lon0" -> col("_lon_raw").cast("double"),
+      // try_cast: junk coordinate text is a null coordinate (the
+      // reference's float-parse try/except), not an ANSI cast error
+      "_lat0" -> col("_lat_raw").try_cast(org.apache.spark.sql.types.DoubleType),
+      "_lon0" -> col("_lon_raw").try_cast(org.apache.spark.sql.types.DoubleType),
       "_latexp" -> getExponent(col("_lat_raw")),
       "_lonexp" -> getExponent(col("_lon_raw")),
       "datecollected" -> coalesce(col("_dc_direct"),
@@ -350,7 +352,7 @@ object Enrich {
       (if (hasCol("version")) col("version").cast("long")
        else firstNumberLong(getField(data, "idigbio:version"))).as("version"),
       (if (hasCol("parent")) col("parent")
-       else element_at(siblings, "recordset").getItem(0)).as("recordset"),
+       else try_element_at(element_at(siblings, "recordset"), lit(1))).as("recordset"),
       element_at(siblings, "record").as("records"),
       permissiveTimestamp(col("_dm_in")).as("datemodified"),
       permissiveTimestamp(col("_mo_in")).as("modified"),
@@ -437,7 +439,7 @@ object Enrich {
       (if (hasCol("version")) col("version").cast("long")
        else firstNumberLong(getField(data, "idigbio:version"))).as("version"),
       (if (hasCol("parent")) col("parent")
-       else element_at(siblings, "publisher").getItem(0)).as("publisher"),
+       else try_element_at(element_at(siblings, "publisher"), lit(1))).as("publisher"),
       permissiveTimestamp(col("_dm_in")).as("datemodified"),
       getField(data, "data_rights").as("rights"),
       (if (hasCol("contacts")) col("contacts")

@@ -34,17 +34,23 @@ object Serialize {
       "^POLYGON\\s*\\(\\(\\s*(.*?)\\s*\\)\\)$", 1)
     val polyPairs = transform(split(inner, "\\s*,\\s*"), p => {
       val xy = split(trim(p), "\\s+")
-      struct(element_at(xy, 1).cast("double").as("lon"),
-        element_at(xy, 2).cast("double").as("lat"))
+      // try_element_at: a malformed coord pair ("10" with no y) must
+      // yield a null that polyOk rejects, not an ANSI OOB error
+      struct(try_element_at(xy, lit(1))
+          .try_cast(org.apache.spark.sql.types.DoubleType).as("lon"),
+        try_element_at(xy, lit(2))
+          .try_cast(org.apache.spark.sql.types.DoubleType).as("lat"))
     })
     // bare list fallback: "x,y,x,y,..." with an even count (:777-782)
     val nums = split(trim(wkt), "\\s*,\\s*")
     val bareOk = wkt.isNotNull && inner === "" &&
       size(nums) >= 4 && size(nums) % 2 === 0 &&
-      !exists(nums, n => n.cast("double").isNull)
+      !exists(nums, n => n.try_cast(org.apache.spark.sql.types.DoubleType).isNull)
     val barePairs = transform(sequence(lit(0), (size(nums) / 2).cast("int") - 1), i =>
-      struct(element_at(nums, i * 2 + 1).cast("double").as("lon"),
-        element_at(nums, i * 2 + 2).cast("double").as("lat")))
+      struct(try_element_at(nums, (i * 2 + 1).cast("int"))
+          .try_cast(org.apache.spark.sql.types.DoubleType).as("lon"),
+        try_element_at(nums, (i * 2 + 2).cast("int"))
+          .try_cast(org.apache.spark.sql.types.DoubleType).as("lat")))
     val polyOk = inner =!= "" &&
       !exists(polyPairs, p => p.getField("lon").isNull || p.getField("lat").isNull)
     val shape = when(polyOk,

@@ -69,7 +69,10 @@ object StoreQueries {
         col("uuid"), col("parent"), col("etag"), col("version"), col("modified"),
         array_join(col("recordids"), ",").as("recordids_csv"),
         size(element_at(col("siblings"), "mediarecords")).as("n_media"),
-        element_at(element_at(col("siblings"), "mediarecords"), 1).as("first_media"),
+        // try_element_at: an empty mediarecords edge list is a null
+        // first_media (DuckDB [1] semantics), not an ANSI OOB error
+        try_element_at(element_at(col("siblings"), "mediarecords"), lit(1))
+          .as("first_media"),
         col("data").as("body"))
       .orderBy(col("uuid"))
   }
