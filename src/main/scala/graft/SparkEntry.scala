@@ -102,6 +102,7 @@ object SparkEntry {
     "q_dsl_geo_bbox"       -> (DslQueries.qDslGeoBbox _),
     "q_dsl_geo_polygon"    -> (DslQueries.qDslGeoPolygon _),
     "q_dsl_geo_shape"      -> (DslQueries.qDslGeoShape _),
+    "q_fulltext_rank"      -> (DslQueries.qFulltextRank _),
     // LLM-training-data pipeline operators (documents/embeddings)
     "q_dedup_exact"   -> (LlmQueries.qDedupExact _),
     "q_dedup_minhash" -> (LlmQueries.qDedupMinhash _),
@@ -180,6 +181,7 @@ object SparkEntry {
     "q_dsl_geo_bbox"       -> DslQueries.qDslGeoBboxSql,
     "q_dsl_geo_polygon"    -> DslQueries.qDslGeoPolygonSql,
     "q_dsl_geo_shape"      -> DslQueries.qDslGeoShapeSql,
+    "q_fulltext_rank"      -> DslQueries.qFulltextRankSql,
     "q_dedup_exact"   -> LlmQueries.qDedupExactSql,
     "q_dedup_minhash" -> LlmQueries.qDedupMinhashSql,
     "q_ann_ivf" -> LlmQueries.qAnnIvfSql,

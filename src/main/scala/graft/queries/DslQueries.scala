@@ -116,6 +116,48 @@ object DslQueries {
       |  AND list_contains(string_split(lower(text), ' '), 'merge')
       |ORDER BY doc_id""".stripMargin
 
+  /** BM25-ranked fulltext — the relevance-sort half of the reference's
+    * search surface (ES scores every search.py hit with BM25 and returns
+    * `_score` order; the filter half is qDslFulltext). Constants and
+    * idf/tf form in [[graft.operators.Search]]. */
+  def qFulltextRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Search.bm25TopK(
+      Tables.documents(s, dir), "doc_id", "text",
+      terms = Seq("hash", "merge", "scan"), k = 20)
+
+  val qFulltextRankSql: String = {
+    val (k1, b) = (graft.operators.Search.K1, graft.operators.Search.B)
+    val terms = Seq("hash", "merge", "scan")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(w) - len(list_filter(w, x -> x != '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n  ")
+    val dfCols = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(",\n  ")
+    val scoreTerms = terms.indices.map { i =>
+      s"""(CASE WHEN tf_$i > 0 THEN
+         |    ln(1.0 + (CAST(n_docs - df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+         |    * (CAST(tf_$i AS DOUBLE) * ${k1 + 1.0})
+         |    / (CAST(tf_$i AS DOUBLE) + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE)
+         |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         |  ELSE 0.0 END)""".stripMargin
+    }.mkString(" +\n  ")
+    s"""WITH staged AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+       |  $tfCols
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+       |  $dfCols
+       |  FROM staged),
+       |scored AS (
+       |  SELECT doc_id,
+       |  $scoreTerms AS score
+       |  FROM staged, stats)
+       |SELECT doc_id, round(score, 6) AS score_r6 FROM scored
+       |WHERE score > 0.0
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** implicit top-level AND of mixed predicates (query_shim.py:171-179). */
   def qDslCompound(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    // doc 1: "hash" twice in a short doc — highest tf density
+    (1L, "hash join hash probe build side"),
+    // doc 2: one "hash" in a longer doc
+    (2L, "a hash table lookup inside a very long scan pipeline over rows"),
+    // doc 3: no query terms at all
+    (3L, "window frame sort spill buffer"),
+    // doc 4: both "merge" and "scan" — two matching terms
+    (4L, "merge sort scan output"),
+    // doc 5: rare term "scan" only
+    (5L, "scan scan scan scan"),
+  ).toDF("doc_id", "text")
+
+  test("bm25: multi-term and high-tf docs outrank, non-matching drop out") {
+    val out = Search.bm25TopK(corpus, "doc_id", "text",
+      terms = Seq("hash", "merge", "scan"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val ranked = out.map(_._1)
+    assert(!ranked.contains(3L), "doc with no query terms must not appear")
+    assert(ranked.toSet === Set(1L, 2L, 4L, 5L))
+    val scores = out.toMap
+    // doc 1 (tf=2, dl=6) beats doc 2 (tf=1, dl=12) on the same term
+    assert(scores(1L) > scores(2L))
+    // scores are strictly positive and descending in rank order
+    assert(out.map(_._2).toSeq === out.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("bm25: saturating tf — repeating a term cannot blow up the score") {
+    val out = Search.bm25TopK(corpus, "doc_id", "text",
+      terms = Seq("scan"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // k1=1.2 caps the tf factor at k1+1: doc 5 (tf=4) scores less than
+    // (k1+1)/1 times doc 4 (tf=1, same-ish dl after normalization)
+    assert(out(5L) < out(4L) * (Search.K1 + 1.0) + 1e-9)
+    assert(out(5L) > out(4L), "more occurrences still rank higher")
+  }
+
+  test("bm25: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = Search.bm25TopK(corpus, "doc_id", "text",
+      Seq("hash"), k = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("bm25: deterministic under repartitioning") {
+    val a = Search.bm25TopK(corpus, "doc_id", "text", Seq("hash", "scan"), k = 10)
+      .collect().toSeq
+    val b = Search.bm25TopK(corpus.repartition(7), "doc_id", "text",
+      Seq("hash", "scan"), k = 10).collect().toSeq
+    assert(a === b)
+  }
+}
