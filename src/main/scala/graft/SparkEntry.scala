@@ -113,6 +113,7 @@ object SparkEntry {
     "q_text_stats"    -> (LlmQueries.qTextStats _),
     "q_quality_rep"   -> (LlmQueries.qQualityRep _),
     "q_split_hash"    -> (LlmQueries.qSplitHash _),
+    "q_pii_scrub"     -> (LlmQueries.qPiiScrub _),
     "q_pack_chunks"   -> (LlmQueries.qPackChunks _),
     "q_decontaminate" -> (LlmQueries.qDecontaminate _),
     "q_lang_id"       -> (LlmQueries.qLangId _),
@@ -191,6 +192,7 @@ object SparkEntry {
     "q_text_stats"    -> LlmQueries.qTextStatsSql,
     "q_quality_rep"   -> LlmQueries.qQualityRepSql,
     "q_split_hash"    -> LlmQueries.qSplitHashSql,
+    "q_pii_scrub"     -> LlmQueries.qPiiScrubSql,
     "q_pack_chunks"   -> LlmQueries.qPackChunksSql,
     "q_decontaminate" -> LlmQueries.qDecontaminateSql,
     "q_lang_id"       -> LlmQueries.qLangIdSql,

@@ -46,6 +46,33 @@ object Corpus {
       .where(col("n_shared") >= minShared)
   }
 
+  /** PII patterns for [[piiScrub]], in the common Java-regex/RE2 subset
+    * so any SQL engine replays them: email, NANP phone (+1-aaa-bbb-cccc),
+    * dotted-quad IPv4. Order-independent — no placeholder re-matches a
+    * later pattern (the placeholders carry no digits or '@'). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phones", "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ips", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+  )
+
+  /** PII redaction — the standard pre-training privacy pass: replace
+    * every email / phone / IPv4 literal with a typed placeholder and
+    * count what was removed per class. Pure per-row regex work: one
+    * corpus scan, no shuffle, no UDF — `regexp_replace` and
+    * `regexp_count` are built-in codegen expressions, so at 100 TB
+    * this runs at scan speed and the counts aggregate for free.
+    * Output: the input columns with `textCol` scrubbed in place plus
+    * `n_<class>` counts per document. */
+  def piiScrub(docs: DataFrame, textCol: String): DataFrame = {
+    val counted = PiiPatterns.foldLeft(docs) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)))
+    }
+    PiiPatterns.foldLeft(counted) { case (d, (_, pat, repl)) =>
+      d.withColumn(textCol, regexp_replace(col(textCol), pat, repl))
+    }
+  }
+
   /** GPT-style sequence packing by concatenation: documents are laid
     * end-to-end in a deterministic order and cut into fixed
     * `chunkTokens` training sequences; each document's span of chunks

@@ -247,6 +247,57 @@ object LlmQueries {
       |WHERE n_words >= 3
       |ORDER BY doc_id""".stripMargin
 
+  /** PII scrubbing over the documents table. The synthetic corpus
+    * carries no PII, so deterministic PII is staged in first (emails on
+    * every 7th doc, NANP phones on every 11th, IPv4 hosts on every
+    * 13th — all derived from doc_id so the oracle stages byte-identical
+    * text), then [[Corpus.piiScrub]] redacts and counts. The output
+    * carries the scrubbed text's md5 rather than the text itself. */
+  def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.org for details"))).otherwise(""),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0.4 logged"))).otherwise("")).as("text"))
+    Corpus.piiScrub(staged, "text")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(col("text").cast("binary")).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qPiiScrubSql: String = {
+    val pats = Corpus.PiiPatterns
+    // DuckDB single-quoted strings are standard SQL: backslashes pass
+    // through to RE2 literally, so the Java pattern embeds unchanged
+    val countCols = pats.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS n_$name"
+    }.mkString(",\n  ")
+    val scrubbed = pats.foldLeft("text") { case (e, (_, pat, repl)) =>
+      s"regexp_replace($e, '$pat', '$repl', 'g')"
+    }
+    s"""WITH staged AS (
+       |  SELECT doc_id, text ||
+       |    (CASE WHEN doc_id % 7 = 0
+       |      THEN ' contact u' || doc_id || '@example.org for details' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 11 = 0
+       |      THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |           || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) ||
+       |    (CASE WHEN doc_id % 13 = 0
+       |      THEN ' host 10.' || (doc_id % 256) || '.0.4 logged' ELSE '' END) AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  $countCols,
+       |  md5($scrubbed) AS scrub_md5
+       |FROM staged ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic content-hash dataset split (90/5/5): a document's
     * assignment never changes under re-runs, repartitioning, or corpus
     * growth. md5-based so the oracle replays it exactly. */

@@ -59,4 +59,32 @@ class CorpusSpec extends SparkSpec {
     val first = ids.select(Corpus.hashSplit(col("id"), 90, 5)).collect()
     assert(again.map(_.getString(0)).toSeq === first.map(_.getString(0)).toSeq)
   }
+
+  test("piiScrub redacts emails, phones, and IPs with per-class counts") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "write to jane.doe+spam@lists.example.org or bob@example.com today"),
+      (2L, "server 192.168.1.17 called +1-415-555-0199 twice"),
+      (3L, "no pii here at all"),
+      (4L, "version 1.2 and section 3.4.5 are not addresses"),
+    ).toDF("doc_id", "text")
+    val out = Corpus.piiScrub(docs, "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(out(0) === ((1L, "write to <EMAIL> or <EMAIL> today", 2, 0, 0)))
+    assert(out(1) === ((2L, "server <IP> called <PHONE> twice", 0, 1, 1)))
+    assert(out(2) === ((3L, "no pii here at all", 0, 0, 0)))
+    // short dotted numerics must not false-positive as IPv4
+    assert(out(3) === ((4L, "version 1.2 and section 3.4.5 are not addresses", 0, 0, 0)))
+  }
+
+  test("piiScrub stays UDF-free and shuffle-free (scan-speed at scale)") {
+    val s = spark
+    import s.implicits._
+    val plan = Corpus.piiScrub(Seq((1L, "x")).toDF("doc_id", "text"), "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
 }
