@@ -114,6 +114,7 @@ object SparkEntry {
     "q_quality_rep"   -> (LlmQueries.qQualityRep _),
     "q_split_hash"    -> (LlmQueries.qSplitHash _),
     "q_pii_scrub"     -> (LlmQueries.qPiiScrub _),
+    "q_sample_quota"  -> (LlmQueries.qSampleQuota _),
     "q_pack_chunks"   -> (LlmQueries.qPackChunks _),
     "q_decontaminate" -> (LlmQueries.qDecontaminate _),
     "q_lang_id"       -> (LlmQueries.qLangId _),
@@ -193,6 +194,7 @@ object SparkEntry {
     "q_quality_rep"   -> LlmQueries.qQualityRepSql,
     "q_split_hash"    -> LlmQueries.qSplitHashSql,
     "q_pii_scrub"     -> LlmQueries.qPiiScrubSql,
+    "q_sample_quota"  -> LlmQueries.qSampleQuotaSql,
     "q_pack_chunks"   -> LlmQueries.qPackChunksSql,
     "q_decontaminate" -> LlmQueries.qDecontaminateSql,
     "q_lang_id"       -> LlmQueries.qLangIdSql,

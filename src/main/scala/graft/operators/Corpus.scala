@@ -46,6 +46,26 @@ object Corpus {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Per-group quota sampling — the corpus-mixing primitive: keep at
+    * most `k` documents per `groupCol` (source, domain, language …),
+    * chosen in content-hash order so the sample is uniform-ish yet
+    * fully reproducible (a document's selection depends only on its id
+    * and its group's membership, never on partitioning or run order).
+    *
+    * One hash-partition shuffle on the group key, then an in-partition
+    * sort bounded by the largest group — the standard exact top-k per
+    * group. At 100 TB with a pathologically hot group, bound the sort
+    * by pre-filtering on the hash (`pmod(h, m) < ceil(m·k/|g|)`) from a
+    * first-pass group count, then rank the survivors; the arithmetic
+    * here is unchanged. Output: input columns + `pick_rank` (1-based). */
+  def quotaSample(docs: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(TextDedup.hash60(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("pick_rank", row_number().over(w))
+      .where(col("pick_rank") <= k)
+  }
+
   /** PII patterns for [[piiScrub]], in the common Java-regex/RE2 subset
     * so any SQL engine replays them: email, NANP phone (+1-aaa-bbb-cccc),
     * dotted-quad IPv4. Order-independent — no placeholder re-matches a

@@ -247,6 +247,25 @@ object LlmQueries {
       |WHERE n_words >= 3
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-source quota sampling: 25 documents per `source`, picked in
+    * content-hash order ([[Corpus.quotaSample]]) — the deterministic
+    * corpus-mixing draw. The oracle replays the identical md5-derived
+    * ordering with a QUALIFY row_number. */
+  def qSampleQuota(s: SparkSession, dir: String): DataFrame =
+    Corpus.quotaSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        groupCol = "source", idCol = "doc_id", k = 25)
+      .orderBy(col("source"), col("pick_rank"))
+
+  val qSampleQuotaSql: String =
+    """SELECT source, doc_id, CAST(rn AS INT) AS pick_rank FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY
+      |      try_cast('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+      |      doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 25 ORDER BY source, pick_rank""".stripMargin
+
   /** PII scrubbing over the documents table. The synthetic corpus
     * carries no PII, so deterministic PII is staged in first (emails on
     * every 7th doc, NANP phones on every 11th, IPv4 hosts on every

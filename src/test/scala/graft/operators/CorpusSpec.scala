@@ -60,6 +60,23 @@ class CorpusSpec extends SparkSpec {
     assert(again.map(_.getString(0)).toSeq === first.map(_.getString(0)).toSeq)
   }
 
+  test("quotaSample: caps every group at k, deterministically") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 40L).map(i => (i, if (i <= 30) "big" else "small"))
+      .toDF("doc_id", "source")
+    val out = Corpus.quotaSample(docs, "source", "doc_id", k = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    val byGroup = out.groupBy(_._1)
+    assert(byGroup("big").length === 5, "hot group capped at k")
+    assert(byGroup("small").length === 5, "10-doc group also capped at k")
+    assert(out.forall(_._3 <= 5))
+    // selection is content-hash determined: independent of partitioning
+    val again = Corpus.quotaSample(docs.repartition(7), "source", "doc_id", k = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2))).toSet
+    assert(again === out.toSet)
+  }
+
   test("piiScrub redacts emails, phones, and IPs with per-class counts") {
     val s = spark
     import s.implicits._
