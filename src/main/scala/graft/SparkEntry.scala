@@ -81,6 +81,7 @@ object SparkEntry {
     "q_dup_detect"      -> (Relational.qDupDetect _),
     "q_join_equi"       -> (Relational.qJoinEqui _),
     "q_join_broadcast"  -> (Relational.qJoinBroadcast _),
+    "q_join_salted"     -> (Relational.qJoinSalted _),
     "q_semi_join"       -> (Relational.qSemiJoin _),
     "q_anti_join"       -> (Relational.qAntiJoin _),
     "q_latest_version"  -> (Relational.qLatestVersion _),
@@ -115,6 +116,7 @@ object SparkEntry {
     "q_split_hash"    -> (LlmQueries.qSplitHash _),
     "q_pii_scrub"     -> (LlmQueries.qPiiScrub _),
     "q_sample_quota"  -> (LlmQueries.qSampleQuota _),
+    "q_len_quantiles" -> (LlmQueries.qLenQuantiles _),
     "q_pack_chunks"   -> (LlmQueries.qPackChunks _),
     "q_decontaminate" -> (LlmQueries.qDecontaminate _),
     "q_lang_id"       -> (LlmQueries.qLangId _),
@@ -163,6 +165,7 @@ object SparkEntry {
     "q_dup_detect"      -> Relational.qDupDetectSql,
     "q_join_equi"       -> Relational.qJoinEquiSql,
     "q_join_broadcast"  -> Relational.qJoinBroadcastSql,
+    "q_join_salted"     -> Relational.qJoinSaltedSql,
     "q_semi_join"       -> Relational.qSemiJoinSql,
     "q_anti_join"       -> Relational.qAntiJoinSql,
     "q_latest_version"  -> Relational.qLatestVersionSql,
@@ -195,6 +198,7 @@ object SparkEntry {
     "q_split_hash"    -> LlmQueries.qSplitHashSql,
     "q_pii_scrub"     -> LlmQueries.qPiiScrubSql,
     "q_sample_quota"  -> LlmQueries.qSampleQuotaSql,
+    "q_len_quantiles" -> LlmQueries.qLenQuantilesSql,
     "q_pack_chunks"   -> LlmQueries.qPackChunksSql,
     "q_decontaminate" -> LlmQueries.qDecontaminateSql,
     "q_lang_id"       -> LlmQueries.qLangIdSql,

@@ -247,6 +247,39 @@ object LlmQueries {
       |WHERE n_words >= 3
       |ORDER BY doc_id""".stripMargin
 
+  /** Token-length distribution per source — the corpus-profiling report
+    * every mixing decision starts from: doc count, mean tokens, and
+    * exact interpolated quartiles/p90. Exact `percentile` (not approx)
+    * so the DuckDB `quantile_cont` replays it; both engines use linear
+    * interpolation over the sorted values and the result is rounded
+    * before comparison. The mean goes through exact decimal so partial
+    * aggregation order can't move the double (Tables.Money pattern). */
+  def qLenQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_tokens").cast(graft.Tables.Money)).cast("double") /
+          count(lit(1))).as("avg_tokens"),
+        expr("percentile(n_tokens, array(0.25D, 0.5D, 0.75D, 0.9D))").as("_q"))
+      .select(col("source"), col("n_docs"), round(col("avg_tokens"), 6).as("avg_tokens"),
+        round(element_at(col("_q"), 1), 6).as("p25"),
+        round(element_at(col("_q"), 2), 6).as("p50"),
+        round(element_at(col("_q"), 3), 6).as("p75"),
+        round(element_at(col("_q"), 4), 6).as("p90"))
+      .orderBy(col("source"))
+
+  val qLenQuantilesSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  round(CAST(SUM(CAST(n_tokens AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+      |  round(quantile_cont(n_tokens, 0.25), 6) AS p25,
+      |  round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+      |  round(quantile_cont(n_tokens, 0.75), 6) AS p75,
+      |  round(quantile_cont(n_tokens, 0.9), 6) AS p90
+      |FROM (SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Per-source quota sampling: 25 documents per `source`, picked in
     * content-hash order ([[Corpus.quotaSample]]) — the deterministic
     * corpus-mixing draw. The oracle replays the identical md5-derived

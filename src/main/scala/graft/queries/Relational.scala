@@ -163,6 +163,30 @@ object Relational {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE p_size > 40 GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** The salted-join path under the driver gate: same revenue rollup as
+    * a plain customer⋈orders join (the oracle IS the plain join), but
+    * executed through [[graft.operators.Skew.saltedJoin]] — each order
+    * row scatters to one of 8 sub-keys, the customer dimension
+    * replicates 8×, and the hot key's rows spread over 8 reducers. The
+    * gate thereby pins the salting transform to exact equality with the
+    * unsalted semantics on real data. */
+  def qJoinSalted(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.operators.Skew.saltedJoin(o, c, "o_custkey", n = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qJoinSaltedSql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** has_child semi-join (download.py:407-412): orders that have a
     * returned lineitem — left_semi keeps only the parent side. */
   def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
