@@ -19,6 +19,15 @@ class BucketedStoreSpec extends SparkSpec {
     val versions = (1 to 2000).flatMap(i =>
       (1 to 2).map(v => (f"uuid$i%05d", v.toLong, s"etag$i-$v")))
       .toDF("uuid", "version", "etag")
+    // a killed test JVM leaves the warehouse DIRECTORY behind while the
+    // in-memory catalog forgets the table — CREATE then fails with
+    // LOCATION_ALREADY_EXISTS; drop both layers before writing
+    Seq("g_uuids_bucketed", "g_versions_bucketed").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
     uuids.write.mode("overwrite").format("parquet")
       .bucketBy(8, "uuid").sortBy("uuid").saveAsTable("g_uuids_bucketed")
     versions.write.mode("overwrite").format("parquet")
