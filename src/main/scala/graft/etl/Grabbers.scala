@@ -87,7 +87,7 @@ object Grabbers {
     * cascade costs ~10 failed-parse exceptions per value and made the
     * sf0.1 enrich bench 4× slower. */
   def permissiveTimestamp(c: Column): Column = {
-    // ONE native shape-classifier call replaces the seven anchored
+    // ONE native shape-classifier call replaces the ten anchored
     // rlike gates (the classifier is property-pinned to the exact
     // regexes); every parse still goes through Spark's own
     // try_cast/try_to_timestamp, so parse semantics are untouched.
@@ -108,7 +108,9 @@ object Grabbers {
 
   /** Month-name formats dateutil accepts ("Jan 5, 1999", "5 March 2001",
     * "March 2001" — missing day defaults to 1 like dateutil's
-    * default=datetime(1,1,1)). Inputs arrive UPPERCASED (dateGrabber
+    * default=datetime(1,1,1)), ordinal-day variants ("June 1st, 2000",
+    * "1st March 2001"), and compact yyyyMMdd. Inputs arrive UPPERCASED
+    * (dateGrabber
     * upper-cases first, conversions.py:589), so initcap restores the
     * "Jan"/"January" casing the case-sensitive Java month parser needs.
     * Every formatter attempt sits behind an anchored rlike gate — the
@@ -135,7 +137,24 @@ object Grabbers {
       when(sh === 7,
         coalesce(
           try_to_timestamp(initcap(translate(c, "-", " ")), lit("d MMM y")),
-          try_to_timestamp(initcap(translate(c, "-", " ")), lit("d MMMM y")))))
+          try_to_timestamp(initcap(translate(c, "-", " ")), lit("d MMMM y")))),
+      // ordinal days ("JAN 1ST, 1999" / "1ST MARCH 2001"): after initcap
+      // the suffix is lowercase — strip it, then parse as shapes 4/5
+      when(sh === 8, {
+        val deOrd = regexp_replace(regexp_replace(t, ",", ""),
+          "(\\d)(st|nd|rd|th)", "$1")
+        coalesce(
+          try_to_timestamp(deOrd, lit("MMM d y")),
+          try_to_timestamp(deOrd, lit("MMMM d y")))
+      }),
+      when(sh === 9, {
+        val deOrd = regexp_replace(t, "(\\d)(st|nd|rd|th)", "$1")
+        coalesce(
+          try_to_timestamp(deOrd, lit("d MMM y")),
+          try_to_timestamp(deOrd, lit("d MMMM y")))
+      }),
+      // compact "20140110" (dateutil parses 8-digit runs as yyyyMMdd)
+      when(sh === 10, try_to_timestamp(c, lit("yyyyMMdd"))))
   }
 
   /** Minimal gnparser-equivalent scientific-name parse

@@ -410,6 +410,13 @@ object MinhashKernel {
       (e - s) >= min && (e - s) <= max && allDigits(b, s, e)
     def up(s: Int, e: Int, min: Int, max: Int) =
       (e - s) >= min && (e - s) <= max && allUpper(b, s, e)
+    // "1ST".."31TH": 1-2 digits + an uppercase English ordinal suffix
+    def ordDay(s: Int, e: Int): Boolean = {
+      if (e - s < 3 || e - s > 4 || !allDigits(b, s, e - 2)) return false
+      val c0 = b(e - 2); val c1 = b(e - 1)
+      (c0 == 'S' && c1 == 'T') || (c0 == 'N' && c1 == 'D') ||
+      (c0 == 'R' && c1 == 'D') || (c0 == 'T' && c1 == 'H')
+    }
 
     val slash = split3('/')
     if (slash != null) {
@@ -441,14 +448,17 @@ object MinhashKernel {
         if (up(0, sp1, 3, 9) && dig(sp1 + 1, n, 4, 4)) return 6
         return 0
       }
-      // "^[A-Z]{3,9} \d{1,2},? \d{4}$"
+      // "^[A-Z]{3,9} \d{1,2},? \d{4}$" (8 with an ordinal day: "JAN 1ST, 1999")
       if (up(0, sp1, 3, 9) && dig(sp2 + 1, n, 4, 4)) {
         val e = if (sp2 > sp1 + 1 && b(sp2 - 1) == ',') sp2 - 1 else sp2
         if (dig(sp1 + 1, e, 1, 2)) return 4
+        if (ordDay(sp1 + 1, e)) return 8
       }
-      // "^\d{1,2} [A-Z]{3,9} \d{4}$"
-      if (dig(0, sp1, 1, 2) && up(sp1 + 1, sp2, 3, 9) &&
-        dig(sp2 + 1, n, 4, 4)) return 5
+      // "^\d{1,2} [A-Z]{3,9} \d{4}$" (9 with an ordinal day: "1ST MARCH 2001")
+      if (up(sp1 + 1, sp2, 3, 9) && dig(sp2 + 1, n, 4, 4)) {
+        if (dig(0, sp1, 1, 2)) return 5
+        if (ordDay(0, sp1)) return 9
+      }
       return 0
     }
     if (sp1 < 0) {
@@ -456,6 +466,8 @@ object MinhashKernel {
       val dash = split3('-')
       if (dash != null && dig(dash(0), dash(1), 1, 2) &&
         up(dash(2), dash(3), 3, 9) && dig(dash(4), dash(5), 4, 4)) return 7
+      // "^\d{8}$" — compact yyyyMMdd (dateutil accepts "20140110")
+      if (dash == null && dig(0, n, 8, 8)) return 10
     }
     0
   }

@@ -219,6 +219,14 @@ class EnrichSpec extends SparkSpec {
       "5-MAR-2001"       -> "2001-03-05 00:00:00.0",
       "28-FEBRUARY-1987" -> "1987-02-28 00:00:00.0",
       "1999.03.05"       -> "1999-03-05 00:00:00.0",
+      // ordinal days and the compact form (dateutil accepts all three)
+      "JUNE 1ST, 2000"   -> "2000-06-01 00:00:00.0",
+      "JUNE 21ST 2000"   -> "2000-06-21 00:00:00.0",
+      "1ST MARCH 2001"   -> "2001-03-01 00:00:00.0",
+      "2ND APRIL 1999"   -> "1999-04-02 00:00:00.0",
+      "3RD MAY 1998"     -> "1998-05-03 00:00:00.0",
+      "4TH JUN 1997"     -> "1997-06-04 00:00:00.0",
+      "20140110"         -> "2014-01-10 00:00:00.0",
     )
     for ((in, want) <- cases) {
       val got = one(permissiveTimestamp(upper(trim(col("x")))), in)

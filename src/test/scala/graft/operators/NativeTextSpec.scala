@@ -191,7 +191,7 @@ class NativeTextSpec extends SparkSpec {
     assert(kern === cols)
   }
 
-  test("dateShape kernel matches the seven anchored regexes it replaced") {
+  test("dateShape kernel matches the ten anchored regexes it replaced") {
     val patterns = Seq(
       1 -> "^\\d{4}/\\d{1,2}/\\d{1,2}$",
       2 -> "^\\d{1,2}/\\d{1,2}/\\d{4}$",
@@ -199,7 +199,10 @@ class NativeTextSpec extends SparkSpec {
       4 -> "^[A-Z]{3,9} \\d{1,2},? \\d{4}$",
       5 -> "^\\d{1,2} [A-Z]{3,9} \\d{4}$",
       6 -> "^[A-Z]{3,9} \\d{4}$",
-      7 -> "^\\d{1,2}-[A-Z]{3,9}-\\d{4}$")
+      7 -> "^\\d{1,2}-[A-Z]{3,9}-\\d{4}$",
+      8 -> "^[A-Z]{3,9} \\d{1,2}(ST|ND|RD|TH),? \\d{4}$",
+      9 -> "^\\d{1,2}(ST|ND|RD|TH) [A-Z]{3,9} \\d{4}$",
+      10 -> "^\\d{8}$")
     def regexShape(s: String): Int =
       patterns.find { case (_, p) => s.matches(p) }.map(_._1).getOrElse(0)
     val fixed = Seq(
@@ -208,9 +211,13 @@ class NativeTextSpec extends SparkSpec {
       "JANUARYXYZ 2001", "J 2001", "5, MARCH 2001", "MAR  2001",
       "123/4/5", "1/2/34", "2001/13/44", "1-MAR-201", "1-MA-2011",
       "2001.3.4.5", "a/b/c", "JAN 5,, 1999", "JAN , 1999", "Jan 5, 1999",
-      "ünïcode 2001", "5 MAR 2001 EXTRA", " MAR 2001", "MAR 2001 ")
+      "ünïcode 2001", "5 MAR 2001 EXTRA", " MAR 2001", "MAR 2001 ",
+      "JUNE 1ST, 2000", "JUNE 1ST 2000", "1ST MARCH 2001", "21ST MARCH 2001",
+      "2ND MAY 1999", "3RD MAY 1999", "4TH MAY 1999", "1STT MARCH 2001",
+      "ST MARCH 2001", "JAN 5TH, 1999", "20140110", "2014011", "201401100",
+      "JAN 1STX, 1999")
     val rnd = new scala.util.Random(7)
-    val alphabet = "0123456789/.,- ABCDEFGHIJZ"
+    val alphabet = "0123456789/.,- ABCDEFGHIJZSTNRH"
     val fuzz = (1 to 3000).map(_ =>
       (1 to (1 + rnd.nextInt(12))).map(_ =>
         alphabet(rnd.nextInt(alphabet.length))).mkString)
