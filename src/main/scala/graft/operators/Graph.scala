@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Small-graph algorithms the dedup pipelines need. */
+object Graph {
+
+  /** Connected components by iterative min-label propagation — the
+    * cluster-resolution step after any near-dup pair generation: pairs
+    * say "these two are the same document", components say "this is
+    * the set, and its canonical id is the minimum member", which is
+    * what a dedup pass actually deletes against.
+    *
+    * Each round every node takes the minimum component label among
+    * itself and its neighbors (one hash join edges⋈labels + one
+    * partial-aggregable min — both shuffle on the same id key);
+    * convergence needs diameter rounds, and near-dup clusters are
+    * almost-cliques, so 2-3 rounds settle real corpora. The loop stops
+    * early on a fixpoint (an aggregate-only check, no driver-side
+    * data).
+    *
+    * Every round materializes through `localCheckpoint` — iterative
+    * DataFrame algorithms MUST cut lineage each round or the nested
+    * join plan grows exponentially with iterations (a 10-hop path
+    * aborts analysis without it; GraphSpec pins that case). On a
+    * cluster where executor loss matters, swap in reliable
+    * `checkpoint()` — same plan, durable blocks.
+    *
+    * @param edges undirected pair list (src, dst)
+    * @return (id, comp) — every node that appears in any edge, labeled
+    *   with the minimum id reachable from it
+    */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col(src).as("a"), col(dst).as("b"))
+      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+      .distinct()
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("b"), col("comp").as("_nc")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("_nc")).as("_nbMin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_nbMin"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.select(col("id"), col("comp").as("_old")), "id")
+        .filter(col("comp") =!= col("_old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+}

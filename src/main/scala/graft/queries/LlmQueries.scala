@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.hash.Etags
-import graft.operators.{Corpus, Similarity, TextDedup, TextStats}
+import graft.operators.{Corpus, Graph, Similarity, TextDedup, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -60,21 +60,51 @@ object LlmQueries {
         shingleSize = 3, threshold = 0.5)
       .orderBy(col("d1"), col("d2"))
 
-  val qDedupMinhashSql: String =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** Shared CTE chain: brute-force shingle-Jaccard pair ground truth
+    * (used by the minhash oracle directly and recursively closed over
+    * by the cluster oracle). */
+  private val minhashPairsCte: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d),
       |sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s FROM g),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT d1, d2,
-      |  CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) AS jaccard
-      |FROM inter
-      |JOIN sizes s1 ON d1 = s1.doc_id
-      |JOIN sizes s2 ON d2 = s2.doc_id
-      |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
-      |ORDER BY d1, d2""".stripMargin
+      |          GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2,
+      |    CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) AS jaccard
+      |  FROM inter
+      |  JOIN sizes s1 ON d1 = s1.doc_id
+      |  JOIN sizes s2 ON d2 = s2.doc_id
+      |  WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5)""".stripMargin
+
+  val qDedupMinhashSql: String =
+    s"""WITH $minhashPairsCte
+       |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin
+
+  /** Duplicate-CLUSTER resolution: the near-dup pairs say "same
+    * document"; connected components turn them into deletion sets with
+    * a canonical (minimum) id per set — [[Graph.connectedComponents]]
+    * min-label propagation, whose fixpoint the oracle replays as a
+    * recursive CTE (min reachable id). */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.minhashNearDups(
+      Tables.documents(s, dir), "doc_id", "text",
+      shingleSize = 3, threshold = 0.5)
+    Graph.connectedComponents(pairs, "d1", "d2")
+      .orderBy(col("id"))
+  }
+
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashPairsCte,
+       |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |        UNION SELECT d2, d1 FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT a, a FROM und
+       |  UNION
+       |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id)
+       |SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   // --- embedding-cosine near-dup ---------------------------------------
 
