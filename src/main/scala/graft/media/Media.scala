@@ -85,7 +85,8 @@ object Media {
     spark.createDataFrame(rows, fetchResultSchema)
   }
 
-  /** Deterministic fake fetch kernel (no network in this container). */
+  /** Deterministic fake fetch kernel (offline default — the container
+    * has no egress; [[httpFetcher]] is the real one). */
   def fakeFetcher(url: String): (Int, Array[Byte], String) = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val seed = md.digest(url.getBytes("UTF-8"))
@@ -94,6 +95,33 @@ object Media {
     val mime = if (url.endsWith(".jpg")) "image/jpeg" else "application/octet-stream"
     (200, content, mime)
   }
+
+  /** REAL HTTP fetch kernel — the production counterpart of
+    * [[fakeFetcher]], reproducing the reference's GET semantics
+    * (fetcher.py:213-245: status recorded as-is, body hashed, declared
+    * content-type kept; a connection-level failure records status 0
+    * the way its requests-exception path records a non-HTTP error).
+    * Pure JDK (`HttpURLConnection` built per call, so the kernel
+    * closure stays serializable for executors). Exercised in MediaSpec
+    * against an in-process loopback server — this container has no
+    * egress, but the kernel is the real network path. */
+  def httpFetcher(url: String): (Int, Array[Byte], String) =
+    try {
+      val conn = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      conn.setRequestProperty("User-Agent", "graft-media-fetcher/1.0")
+      val status = conn.getResponseCode
+      val mime = Option(conn.getContentType).getOrElse("application/octet-stream")
+      val is = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val bytes =
+        if (is == null) Array.emptyByteArray
+        else try is.readAllBytes() finally is.close()
+      (status, bytes, mime)
+    } catch {
+      case _: java.io.IOException => (0, Array.emptyByteArray, "")
+    }
 
   /** Derivative widths (derivatives.py:24-27). */
   val Widths: Map[String, Int] = Map("thumbnail" -> 260, "webview" -> 600)
@@ -315,13 +343,91 @@ object Media {
     spark.createDataFrame(rows, frameSchema)
   }
 
-  /** STUB video decode (no video codec in the JDK/container):
-    * deterministic 64-byte fake frames derived from the blob hash. */
+  /** STUB video decode (for codecs the JDK cannot read):
+    * deterministic 64-byte fake frames derived from the blob hash.
+    * [[mjpegFrameDecoder]] is the real kernel for MJPEG-AVI. */
   def fakeFrameDecoder(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val seed = md.digest(bytes)
     (0 until n).map(i =>
       Array.tabulate[Byte](64)(j => (seed(j % 16) + i * 31 + j).toByte))
+  }
+
+  /** All video frames of an MJPEG AVI blob, as raw JPEG byte arrays.
+    * MJPEG is the one video codec decodable with the plain JDK: the
+    * container is RIFF (chunks `[fourcc][le32 size][body][pad to even]`,
+    * `RIFF`/`LIST` nesting with a 4-byte list type), and every `..dc` /
+    * `..db` movi chunk body IS a complete JPEG that javax.imageio
+    * reads. A structural walk, not a codec. */
+  def mjpegAviFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    def fourcc(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    def u32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      throw new BadImageException(s"not a RIFF/AVI blob (${bytes.length} bytes)")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fourcc(p)
+        val sz = u32(p + 4)
+        val body = p + 8
+        if (sz < 0 || body + sz > end)
+          throw new BadImageException(s"truncated AVI chunk $id at $p")
+        if (id == "LIST" && sz >= 4) walk(body + 4, body + sz)
+        else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) && sz > 0)
+          frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
+        p = body + sz + (sz & 1)
+      }
+    }
+    walk(12, math.min(bytes.length.toLong, 8L + u32(4)).toInt)
+    frames.toSeq
+  }
+
+  /** REAL video frame-sample kernel for MJPEG AVI: decode the frame
+    * list via [[mjpegAviFrames]] and sample `n` frames evenly across
+    * the clip (inclusive endpoints), returning the raw JPEG bytes of
+    * each sampled frame. Undecodable/other-codec blobs raise
+    * [[BadImageException]] like the image path. */
+  def mjpegFrameDecoder(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    val all = mjpegAviFrames(bytes)
+    if (all.isEmpty) throw new BadImageException("AVI with no video frames")
+    if (n >= all.size) all
+    else if (n <= 1) Seq(all(all.size / 2))
+    else (0 until n).map(i => all((i.toLong * (all.size - 1) / (n - 1)).toInt))
+  }
+
+  /** Deterministic MJPEG AVI test clip (RIFF/hdrl/strl/movi with MJPG
+    * stream headers and one `00dc` JPEG chunk per frame) — the video
+    * counterpart of [[synthImageJpeg]], so the REAL frame-sample kernel
+    * is drivable with no video fixtures in the container. */
+  def synthMjpegAvi(seed: Long, nFrames: Int, w: Int = 64, h: Int = 48): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    def list(typ: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ children)
+    val jpegs = (0 until nFrames).map(i => synthImageJpeg(seed + i, w, h))
+    // minimal-but-well-formed headers: avih (56 B) + strh (56 B) + strf (40 B)
+    val avih = chunk("avih", le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(w) ++ le32(h) ++
+      Array.fill[Byte](16)(0))
+    val strh = chunk("strh", "vids".getBytes("US-ASCII") ++
+      "MJPG".getBytes("US-ASCII") ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(1) ++ le32(25) ++ le32(0) ++ le32(nFrames) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ Array.fill[Byte](8)(0))
+    val strf = chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++
+      Array[Byte](1, 0, 24, 0) ++ "MJPG".getBytes("US-ASCII") ++
+      le32(w * h * 3) ++ Array.fill[Byte](16)(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", jpegs.map(chunk("00dc", _)).reduce(_ ++ _))
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
   }
 
   /** mime → storage bucket with validation flag (media_validation.py).*/

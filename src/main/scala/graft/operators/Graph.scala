@@ -33,9 +33,14 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE: every round references it twice,
+    // and without the cut each round would recompute the whole upstream
+    // pair-generation pipeline (for near-dup input that is the entire
+    // LSH + verify chain — measured 5x the total query cost)
     val und = edges.select(col(src).as("a"), col(dst).as("b"))
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
       .distinct()
+      .localCheckpoint(true)
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
     var iter = 0

@@ -157,6 +157,72 @@ class MediaSpec extends SparkSpec {
     assert(rows.map(_.getAs[Array[Byte]](2).toSeq).distinct.length == 4)
   }
 
+  test("httpFetcher: REAL network kernel against an in-process server") {
+    val s = spark
+    import s.implicits._
+    val served = Media.synthImageJpeg(42)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      server.createContext("/img.jpg", (x: com.sun.net.httpserver.HttpExchange) => {
+        x.getResponseHeaders.set("Content-Type", "image/jpeg")
+        x.sendResponseHeaders(200, served.length)
+        x.getResponseBody.write(served); x.close()
+      })
+      server.createContext("/gone", (x: com.sun.net.httpserver.HttpExchange) => {
+        x.sendResponseHeaders(404, -1); x.close()
+      })
+      server.start()
+      val port = server.getAddress.getPort
+      val pending = Seq(
+        s"http://127.0.0.1:$port/img.jpg",
+        s"http://127.0.0.1:$port/gone",
+        // unroutable per RFC 5737 TEST-NET — the connection-failure path
+        "http://192.0.2.1:81/x").toDF("url")
+      val got = Media.fetchBatch(pending, Media.httpFetcher)
+        .collect().map(r => r.getString(0) ->
+          (r.getInt(1), r.getAs[Array[Byte]](4), r.getString(3))).toMap
+      val ok = got(s"http://127.0.0.1:$port/img.jpg")
+      assert(ok._1 === 200 && ok._2.sameElements(served) && ok._3 === "image/jpeg")
+      assert(got(s"http://127.0.0.1:$port/gone")._1 === 404)
+      assert(got("http://192.0.2.1:81/x")._1 === 0, "connection failure records status 0")
+      // fetched blob flows straight into the real derivative kernel
+      val resized = Media.imageResize(ok._2, 260)
+      assert(Media.imageDims(resized).exists(_._1 === 260))
+    } finally server.stop(0)
+  }
+
+  test("mjpeg: synthesized AVI round-trips through the REAL frame kernel") {
+    val clip = Media.synthMjpegAvi(7, nFrames = 10)
+    val all = Media.mjpegAviFrames(clip)
+    assert(all.size === 10)
+    all.foreach { f =>
+      assert(Media.imageDims(f) === Some((64, 48)), "every frame is a decodable JPEG")
+    }
+    val sampled = Media.mjpegFrameDecoder(clip, 3)
+    assert(sampled.size === 3)
+    assert(sampled.head.sameElements(all.head) && sampled.last.sameElements(all.last),
+      "even sampling keeps the endpoints")
+    intercept[Media.BadImageException](Media.mjpegAviFrames("nope".getBytes))
+    intercept[Media.BadImageException](
+      Media.mjpegAviFrames(clip.take(40))) // truncated chunk
+  }
+
+  test("sampleFrames drives the REAL mjpeg kernel over table rows") {
+    val s = spark
+    import s.implicits._
+    val blobs = Seq(
+      ("e1", Media.synthMjpegAvi(1, nFrames = 8)),
+      ("e2", Media.synthMjpegAvi(2, nFrames = 5))).toDF("etag", "content")
+    val frames = Media.sampleFrames(blobs, 3, Media.mjpegFrameDecoder)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+    assert(frames.count(_._1 == "e1") === 3)
+    assert(frames.count(_._1 == "e2") === 3)
+    frames.foreach { case (_, _, f) =>
+      assert(Media.imageDims(f) === Some((64, 48)))
+    }
+  }
+
   test("waveform: undecodable audio raises like the reference's error path") {
     intercept[Media.BadImageException] {
       Media.waveformPeaks(Array.tabulate[Byte](100)(_.toByte))
