@@ -154,7 +154,18 @@ object Grabbers {
           try_to_timestamp(deOrd, lit("d MMMM y")))
       }),
       // compact "20140110" (dateutil parses 8-digit runs as yyyyMMdd)
-      when(sh === 10, try_to_timestamp(c, lit("yyyyMMdd"))))
+      when(sh === 10, try_to_timestamp(c, lit("yyyyMMdd"))),
+      // two-digit-year slash dates ("1/2/34" → 2034-01-02): dateutil
+      // windows the year to ±50 of the run date; the fixed 1950/2049
+      // pivot here equals that window for any run before 2049
+      when(sh === 11, {
+        val p = split(c, "/")
+        val yy = element_at(p, 3).cast("int")
+        try_make_timestamp(
+          when(yy < 50, yy + 2000).otherwise(yy + 1900),
+          element_at(p, 1).cast("int"), element_at(p, 2).cast("int"),
+          lit(0), lit(0), lit(0))
+      }))
   }
 
   /** Minimal gnparser-equivalent scientific-name parse

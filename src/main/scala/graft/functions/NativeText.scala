@@ -422,8 +422,11 @@ object MinhashKernel {
     if (slash != null) {
       if (dig(slash(0), slash(1), 4, 4) && dig(slash(2), slash(3), 1, 2) &&
         dig(slash(4), slash(5), 1, 2)) return 1
-      if (dig(slash(0), slash(1), 1, 2) && dig(slash(2), slash(3), 1, 2) &&
-        dig(slash(4), slash(5), 4, 4)) return 2
+      if (dig(slash(0), slash(1), 1, 2) && dig(slash(2), slash(3), 1, 2)) {
+        if (dig(slash(4), slash(5), 4, 4)) return 2
+        // "^\d{1,2}/\d{1,2}/\d{2}$" — two-digit year ("1/2/34")
+        if (dig(slash(4), slash(5), 2, 2)) return 11
+      }
       return 0
     }
     val dot = split3('.')

@@ -227,6 +227,11 @@ class EnrichSpec extends SparkSpec {
       "3RD MAY 1998"     -> "1998-05-03 00:00:00.0",
       "4TH JUN 1997"     -> "1997-06-04 00:00:00.0",
       "20140110"         -> "2014-01-10 00:00:00.0",
+      // two-digit years: dateutil's ±50y window (1950/2049 pivot here)
+      "1/2/34"           -> "2034-01-02 00:00:00.0",
+      "12/31/99"         -> "1999-12-31 00:00:00.0",
+      "6/15/49"          -> "2049-06-15 00:00:00.0",
+      "6/15/50"          -> "1950-06-15 00:00:00.0",
     )
     for ((in, want) <- cases) {
       val got = one(permissiveTimestamp(upper(trim(col("x")))), in)

@@ -202,7 +202,8 @@ class NativeTextSpec extends SparkSpec {
       7 -> "^\\d{1,2}-[A-Z]{3,9}-\\d{4}$",
       8 -> "^[A-Z]{3,9} \\d{1,2}(ST|ND|RD|TH),? \\d{4}$",
       9 -> "^\\d{1,2}(ST|ND|RD|TH) [A-Z]{3,9} \\d{4}$",
-      10 -> "^\\d{8}$")
+      10 -> "^\\d{8}$",
+      11 -> "^\\d{1,2}/\\d{1,2}/\\d{2}$")
     def regexShape(s: String): Int =
       patterns.find { case (_, p) => s.matches(p) }.map(_._1).getOrElse(0)
     val fixed = Seq(
@@ -215,7 +216,7 @@ class NativeTextSpec extends SparkSpec {
       "JUNE 1ST, 2000", "JUNE 1ST 2000", "1ST MARCH 2001", "21ST MARCH 2001",
       "2ND MAY 1999", "3RD MAY 1999", "4TH MAY 1999", "1STT MARCH 2001",
       "ST MARCH 2001", "JAN 5TH, 1999", "20140110", "2014011", "201401100",
-      "JAN 1STX, 1999")
+      "JAN 1STX, 1999", "1/2/34", "12/31/99", "1/2/345", "111/2/34")
     val rnd = new scala.util.Random(7)
     val alphabet = "0123456789/.,- ABCDEFGHIJZSTNRH"
     val fuzz = (1 to 3000).map(_ =>
