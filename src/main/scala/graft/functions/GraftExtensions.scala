@@ -19,10 +19,13 @@ import org.apache.spark.sql.types.IntegerType
   * the SQL surface and the Column surface share one implementation.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // whole-operator tier: the heap-based top-k-per-group physical plan
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }
 
 object GraftFunctions {

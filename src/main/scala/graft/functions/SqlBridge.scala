@@ -1,15 +1,30 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.SparkStrategy
 
-/** Bridge into the `private[sql]` Column ⇄ Expression converters —
-  * the standard mechanism for third-party Catalyst expressions since
-  * the Spark 4 Column API became backend-agnostic (no public
-  * `Column.expr` / `new Column(expr)` anymore). Kept to these two
-  * one-liners; everything else in graft uses public API.
+/** Bridge into the `private[sql]` Column ⇄ Expression / Dataset ⇄
+  * LogicalPlan converters — the standard mechanism for third-party
+  * Catalyst extensions since the Spark 4 Column API became
+  * backend-agnostic (no public `Column.expr` / `new Column(expr)` /
+  * `Dataset.ofRows` anymore). Kept to these one-liners; everything
+  * else in graft uses public API.
   */
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over a custom logical node (graft.plans). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotent per-session planner-strategy registration (the
+    * cluster-wide path is GraftExtensions via spark.sql.extensions). */
+  def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s))
+      exp.extraStrategies = exp.extraStrategies :+ s
+  }
 }

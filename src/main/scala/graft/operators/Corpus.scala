@@ -52,13 +52,24 @@ object Corpus {
     * fully reproducible (a document's selection depends only on its id
     * and its group's membership, never on partitioning or run order).
     *
-    * One hash-partition shuffle on the group key, then an in-partition
-    * sort bounded by the largest group — the standard exact top-k per
-    * group. At 100 TB with a pathologically hot group, bound the sort
-    * by pre-filtering on the hash (`pmod(h, m) < ceil(m·k/|g|)`) from a
-    * first-pass group count, then rank the survivors; the arithmetic
-    * here is unchanged. Output: input columns + `pick_rank` (1-based). */
+    * Executes on the custom heap operator
+    * ([[graft.plans.TopKPerGroup]]): the same single hash-partition
+    * shuffle a row_number window would take, but per-group k-bounded
+    * heaps instead of the full in-partition sort — O(n log k) and
+    * O(groups·k) memory, so a pathologically hot group costs k rows of
+    * buffer instead of a spilling sort. Output: input columns +
+    * `pick_rank` (1-based). */
   def quotaSample(docs: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame =
+    graft.plans.TopKPerGroup.topK(
+        docs.withColumn("_h", TextDedup.hash60(col(idCol).cast("string"))),
+        groupCols = Seq(groupCol), orderCols = Seq("_h", idCol), k = k)
+      .drop("_h")
+
+  /** The built-in formulation of [[quotaSample]] (row_number window →
+    * shuffle + full in-partition sort) — kept as the executable
+    * specification the custom operator is spec-pinned against. */
+  def quotaSampleWindow(docs: DataFrame, groupCol: String, idCol: String,
       k: Int): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(TextDedup.hash60(col(idCol).cast("string")), col(idCol))

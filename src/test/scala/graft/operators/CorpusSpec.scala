@@ -60,6 +60,17 @@ class CorpusSpec extends SparkSpec {
     assert(again.map(_.getString(0)).toSeq === first.map(_.getString(0)).toSeq)
   }
 
+  test("quotaSample: heap operator equals the window formulation row-for-row") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 300L).map(i => (i, s"src${i % 7}")).toDF("doc_id", "source")
+    val heap = Corpus.quotaSample(docs, "source", "doc_id", k = 9)
+      .collect().map(_.toSeq).toSet
+    val window = Corpus.quotaSampleWindow(docs, "source", "doc_id", k = 9)
+      .collect().map(_.toSeq).toSet
+    assert(heap === window)
+  }
+
   test("quotaSample: caps every group at k, deterministically") {
     val s = spark
     import s.implicits._
