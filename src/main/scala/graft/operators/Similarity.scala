@@ -33,6 +33,16 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-query rank step shared by every top-k variant: row_number
+    * semantics over (sim desc, nid) — executed on the custom heap
+    * operator ([[graft.plans.TopKPerGroup]]), so each probe's
+    * candidate list costs k buffered rows instead of a full
+    * in-partition sort of the (probe × candidates) product. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.TopKPerGroup.topKSorted(scored, Seq("qid"),
+        Seq("sim" -> false, "nid" -> true), k, rankName = "rank")
+      .select(col("qid"), col("nid"), col("rank"))
+
   /** Exact top-k neighbors for each query vector. Output:
     * (qid, neighbor, rank). Scores are intentionally not emitted —
     * ranks are stable across float ulp differences, raw floats are not. */
@@ -44,10 +54,7 @@ object Similarity {
     val joined = c.join(broadcast(q), col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         (dot(col("q"), col("e")) / (col("nq") * col("ne"))).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"))
+    rankTopK(joined, k)
   }
 
   /** Deterministic ±1 hyperplanes: planes(j)(d) ∈ {-1, 1}. */
@@ -77,10 +84,7 @@ object Similarity {
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         (dot(col("q"), col("e")) / (col("nq") * col("ne"))).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"))
+    rankTopK(joined, k)
   }
 
   /** Embedding-cosine near-dup pairs: the dedup-by-embedding member of
@@ -212,9 +216,6 @@ object Similarity {
     val joined = c.join(broadcast(probes), Seq("cell"))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), cosine(col("qv"), col("e")).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"))
+    rankTopK(joined, k)
   }
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Descending, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
@@ -99,7 +99,13 @@ object TopKPerGroup {
     * `rankName` column. Registers [[TopKStrategy]] in the session on
     * first use. */
   def topK(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
-      k: Int, rankName: String = "pick_rank"): DataFrame = {
+      k: Int, rankName: String = "pick_rank"): DataFrame =
+    topKSorted(df, groupCols, orderCols.map(_ -> true), k, rankName)
+
+  /** As [[topK]] with per-column direction: (name, ascending). */
+  def topKSorted(df: DataFrame, groupCols: Seq[String],
+      order: Seq[(String, Boolean)], k: Int,
+      rankName: String = "pick_rank"): DataFrame = {
     val spark: SparkSession = df.sparkSession
     GraftSqlBridge.addStrategy(spark, TopKStrategy)
     val analyzed = df.queryExecution.analyzed
@@ -108,7 +114,8 @@ object TopKPerGroup {
         s"column $n not in ${analyzed.output.map(_.name).mkString(",")}"))
     GraftSqlBridge.ofRows(spark, TopKPerGroupPlan(
       groupCols.map(attr),
-      orderCols.map(c => SortOrder(attr(c), Ascending)),
+      order.map { case (c, asc) =>
+        SortOrder(attr(c), if (asc) Ascending else Descending) },
       k,
       AttributeReference(rankName, IntegerType, nullable = false)(),
       analyzed))
