@@ -241,6 +241,10 @@ class EnrichSpec extends SparkSpec {
     // non-dates and junk month names stay null, ISO family still works
     assert(one(permissiveTimestamp(col("x")), "SMARCH 5, 1999").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")), "FOO BAR").isNullAt(0))
+    // shape-matching junk parses to null, never an ANSI error
+    assert(one(permissiveTimestamp(col("x")), "99/99/99").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "JAN 99TH, 1999").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "99999999").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")), "2014-01-10").getTimestamp(0)
       .toString == "2014-01-10 00:00:00.0")
   }
