@@ -45,5 +45,19 @@ object Smoke {
         s"target=${r.getAs[Int]("width")} decoded=${dims.orNull}")
     }
     assert(derivs.length == 2, "expected thumbnail + webview derivative rows")
+
+    // video: synthesized MJPEG AVI → REAL RIFF-walk frame-sample kernel
+    import spark.implicits._
+    val clip = graft.media.Media.synthMjpegAvi(9, nFrames = 12)
+    val frames = graft.media.Media.sampleFrames(
+        Seq(("vclip", clip)).toDF("etag", "content"), n = 3,
+        graft.media.Media.mjpegFrameDecoder)
+      .collect()
+    frames.foreach { r =>
+      val dims = graft.media.Media.imageDims(r.getAs[Array[Byte]]("frame"))
+      println(s"[smoke] video frame idx=${r.getAs[Int]("frame_idx")} " +
+        s"decoded=${dims.orNull}")
+    }
+    assert(frames.length == 3, "expected 3 sampled frames")
   }
 }

@@ -49,6 +49,30 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("bm25: scores equal an independent local implementation exactly") {
+    val terms = Seq("hash", "merge", "scan")
+    val docs = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val words = docs.view.mapValues(_.toLowerCase.split(" ").toSeq).toMap
+    val n = docs.size.toDouble
+    val avgdl = words.values.map(_.size).sum.toDouble / n
+    def tf(id: Long, t: String) = words(id).count(_ == t).toDouble
+    def df(t: String) = words.values.count(_.contains(t)).toDouble
+    def score(id: Long) = terms.map { t =>
+      val f = tf(id, t)
+      if (f == 0) 0.0
+      else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+        (f * (Search.K1 + 1.0)) /
+        (f + Search.K1 * (1.0 - Search.B + Search.B * words(id).size / avgdl))
+    }.sum
+    val expected = docs.keys.map(id => id -> score(id)).filter(_._2 > 0)
+      .map { case (id, sc) =>
+        id -> BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+      .toMap
+    val got = Search.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === expected)
+  }
+
   test("bm25: deterministic under repartitioning") {
     val a = Search.bm25TopK(corpus, "doc_id", "text", Seq("hash", "scan"), k = 10)
       .collect().toSeq
