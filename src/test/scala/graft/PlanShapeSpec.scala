@@ -92,6 +92,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ANN ranking runs on the heap operator, not a window sort") {
+    val e = (1L to 40L).map(i => (i, Array.tabulate(8)(d => (i * d % 7 + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val df = graft.operators.Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") < 3), k = 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("Window"), s"rank must not fall back to a window:\n$p")
+  }
+
+  test("bm25 attaches corpus stats by broadcast and top-ks without a full sort") {
+    // more rows than k — otherwise EliminateLimits drops the Limit
+    // (maxRows <= k) and no TakeOrderedAndProject can form
+    val docs = (1L to 20L).map(i => (i, s"a b w$i")).toDF("doc_id", "text")
+    val p = plan(graft.operators.Search.bm25TopK(docs, "doc_id", "text", Seq("b"), 5))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), s"stats must broadcast, never shuffle-join:\n$p")
+  }
+
   test("ivf assignment aggregates without a window sort") {
     val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
