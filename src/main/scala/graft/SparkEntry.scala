@@ -44,32 +44,14 @@ object SparkEntry {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Queries whose plans embed the wide grabAll record/media enrichment.
-    * Operator fusion inlines every stacked Project of the pipeline into
-    * ONE generated processNext (inside WholeStageCodegen inputs are
-    * locals, not rows, so expression code cannot be split into
-    * sub-methods). That fused method exceeds HotSpot's 8000-byte JIT
-    * threshold — so under hugeMethodLimit it is ALWAYS discarded in
-    * favor of the per-operator path — and, since the month-name date
-    * formats widened the cascade, it also exceeds Janino's hard 64 KB
-    * method limit (compile ERROR, then the same fallback). Either way
-    * the fused attempt is pure wasted compile time. These queries pin
-    * whole-stage codegen OFF: per-operator UnsafeProjections generate
-    * row-based code that DOES split into small JIT-friendly methods —
-    * measured faster both cold and warm at sf0.1. */
-  private val noFuse = Set("q_enrich", "q_enrich_media", "q_geo_correct",
-    "q_datum")
-
-  /** Each query pins the session codegen conf it wants at build time, so
-    * serial build→execute harnesses (Bench, Verify, the driver loop) run
-    * every query under its own setting with no cross-query leakage. */
-  private def pinCodegen(name: String, f: Q): Q = (s, dir) => {
-    s.conf.set("spark.sql.codegen.wholeStage", (!noFuse(name)).toString)
-    f(s, dir)
-  }
-
-  def queries: Map[String, Q] =
-    rawQueries.map { case (k, f) => k -> pinCodegen(k, f) }
+  /** Whole-stage codegen stays ON for every query. The wide enrichment
+    * pipelines used to need a codegen-off pin here (one fused
+    * processNext() past the 8 KB JIT / 64 KB Janino ceilings = wasted
+    * compile + per-operator fallback); graft.plans.CodegenBarrier now
+    * splits those plans into per-stage-group spans that each compile,
+    * so the pin — and the cross-query session-conf juggling it needed —
+    * is gone. */
+  def queries: Map[String, Q] = rawQueries
 
   private def rawQueries: Map[String, Q] = Map[String, Q](
     "q1_agg"            -> (Relational.q1Agg _),

@@ -127,8 +127,18 @@ object Enrich {
       verbatimScore.as("_score_verbatim"),
     ) ++ textCols ++ elevCols: _*)
 
+    // Codegen span boundaries (graft.plans.CodegenBarrier): the stage
+    // stack would otherwise fuse into ONE generated processNext() past
+    // the 8 KB JIT / 64 KB Janino ceilings — compiled, discarded, run
+    // per-operator. Splitting at the three natural group boundaries
+    // (raw-map reads | geo/datum math | vocab chains + flags fold) keeps
+    // every span small enough to fuse FOR REAL: measured faster warm
+    // than per-operator execution, and the wasted giant compile is gone
+    // from the cold path.
+    val s1b = graft.plans.CodegenBarrier(s1)
+
     // --- stage 2: parses of stage-1 strings ---------------------------
-    val s2 = s1.withColumns(Map(
+    val s2 = s1b.withColumns(Map(
       // try_cast: junk coordinate text is a null coordinate (the
       // reference's float-parse try/except), not an ANSI cast error
       "_lat0" -> col("_lat_raw").try_cast(org.apache.spark.sql.types.DoubleType),
@@ -195,7 +205,9 @@ object Enrich {
       case None => s5dat
     }
 
-    val s6 = s5.withColumns(Map(
+    val s5b = graft.plans.CodegenBarrier(s5)
+
+    val s6 = s5b.withColumns(Map(
       "_flag_geopoint_pre_flip" -> col("_pre_flip"),
       "_flag_geopoint_bounds" -> col("_oob"),
       "_flag_geopoint_low_precision" -> (col("geopoint").isNotNull &&
@@ -240,9 +252,10 @@ object Enrich {
     ))
 
     // --- stage 10: vocabulary fixes -----------------------------------
+    val s9b = graft.plans.CodegenBarrier(s9)
     val (borVal, borRemoved, borInvalid) = fixBasisOfRecord(col("basisofrecord"))
     val (rankVal, rankRemoved, rankReplaced) = fixTaxonRank(col("taxonrank"))
-    val s10 = s9.withColumns(Map(
+    val s10 = s9b.withColumns(Map(
       "_flag_dwc_basisofrecord_removed" -> borRemoved,
       "_flag_dwc_basisofrecord_invalid" -> borInvalid,
       "basisofrecord" -> borVal,
@@ -368,8 +381,14 @@ object Enrich {
       licenseKey(getFieldRaw(data, f)).as(s"_lic_$i")
     }: _*)
 
+    // Codegen span boundaries — same rationale as the records pipeline:
+    // the raw-map-read span (2× date cascade + 5× 103-entry license-key
+    // chains) and the pairwise license vote each fuse and compile on
+    // their own; stacked they exceed the JIT/Janino method ceilings.
+    val s1bar = graft.plans.CodegenBarrier(s1)
+
     // --- stage 2: license vote over the materialized key columns ------
-    val s2 = s1.withColumns(Map(
+    val s2 = s1bar.withColumns(Map(
       "_lic_vote" -> licenseVote(
         licenseCandidates.indices.map(i => col(s"_lic_$i"))),
       "hasSpecimen" -> col("records").isNotNull,

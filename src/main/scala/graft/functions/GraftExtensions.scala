@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // whole-operator tier: the heap-based top-k-per-group physical plan
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // codegen span splitter for the wide enrichment pipelines; the
+    // pushdown rule interleaves with the operator-optimization batch here
+    ext.injectPlannerStrategy(_ => graft.plans.CodegenBarrierStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.BarrierPushdown)
   }
 }
 

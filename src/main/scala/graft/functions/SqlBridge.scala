@@ -27,4 +27,13 @@ object GraftSqlBridge {
     if (!exp.extraStrategies.contains(s))
       exp.extraStrategies = exp.extraStrategies :+ s
   }
+
+  /** Idempotent per-session optimizer-rule registration (same dual path
+    * as [[addStrategy]]). */
+  def addOptimization(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(r))
+      exp.extraOptimizations = exp.extraOptimizations :+ r
+  }
 }

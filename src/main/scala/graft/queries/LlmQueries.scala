@@ -450,7 +450,7 @@ object LlmQueries {
       |SELECT doc_id, n_tokens,
       |  CAST(FLOOR((cum - n_tokens) / 1024) AS BIGINT) AS first_chunk,
       |  CAST(FLOOR((cum - 1) / 1024) AS BIGINT) AS last_chunk,
-      |  (cum - n_tokens) % 1024 AS chunk_offset
+      |  CAST((cum - n_tokens) % 1024 AS BIGINT) AS chunk_offset
       |FROM c ORDER BY doc_id""".stripMargin
 
   def qLangId(s: SparkSession, dir: String): DataFrame =
