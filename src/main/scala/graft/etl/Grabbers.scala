@@ -155,14 +155,22 @@ object Grabbers {
       }),
       // compact "20140110" (dateutil parses 8-digit runs as yyyyMMdd)
       when(sh === 10, try_to_timestamp(c, lit("yyyyMMdd"))),
-      // two-digit-year slash dates ("1/2/34" → 2034-01-02): dateutil
-      // windows the year to ±50 of the run date; the fixed 1950/2049
-      // pivot here equals that window for any run before 2049
+      // two-digit-year slash dates ("1/2/34" → 2034-01-02): dateutil's
+      // convertyear (parser.py) windows the year to ±50 of the RUN year
+      // — yy lands in the run year's century, then shifts a century
+      // toward the run year when ≥50 away. The run year is captured at
+      // plan build (a literal in the plan, like Enrich's fixed `now`),
+      // so one job parses consistently; plans built in different
+      // calendar years window differently, exactly as dateutil does.
       when(sh === 11, {
         val p = split(c, "/")
         val yy = element_at(p, 3).cast("int")
-        try_make_timestamp(
-          when(yy < 50, yy + 2000).otherwise(yy + 1900),
+        val runYear = java.time.Year.now.getValue
+        val y0 = yy + lit((runYear / 100) * 100)
+        val yr = when(abs(y0 - runYear) >= 50,
+            when(y0 < runYear, y0 + 100).otherwise(y0 - 100))
+          .otherwise(y0)
+        try_make_timestamp(yr,
           element_at(p, 1).cast("int"), element_at(p, 2).cast("int"),
           lit(0), lit(0), lit(0))
       }))

@@ -120,7 +120,13 @@ object Media {
         else try is.readAllBytes() finally is.close()
       (status, bytes, mime)
     } catch {
-      case _: java.io.IOException => (0, Array.emptyByteArray, "")
+      // any per-URL failure — connection error, malformed URL
+      // (URISyntaxException/IllegalArgumentException from toURL), bad
+      // header — records status 0 and lets the batch continue, like the
+      // reference's InvalidURL→UNREQUESTABLE / generic→UNHANDLED_FAILURE
+      // per-row paths (fetcher.py:239-245); one scraped junk URL must
+      // never fail the whole fetch stage
+      case scala.util.control.NonFatal(_) => (0, Array.emptyByteArray, "")
     }
 
   /** Derivative widths (derivatives.py:24-27). */

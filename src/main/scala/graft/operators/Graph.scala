@@ -59,6 +59,15 @@ object Graph {
       converged = changed == 0
       iter += 1
     }
+    // Unconverged labels are WRONG labels (a component split across
+    // several canonical ids corrupts downstream deletion sets silently),
+    // so failing loud beats returning them. Near-dup cliques converge in
+    // 2-3 rounds; a graph that genuinely needs more gets a bigger budget
+    // from the caller, not a quietly wrong answer.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds; " +
+        "raise maxIter for graphs with diameter beyond the label-" +
+        "propagation budget")
     labels
   }
 }

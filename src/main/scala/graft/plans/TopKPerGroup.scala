@@ -106,6 +106,9 @@ object TopKPerGroup {
   def topKSorted(df: DataFrame, groupCols: Seq[String],
       order: Seq[(String, Boolean)], k: Int,
       rankName: String = "pick_rank"): DataFrame = {
+    // k=0 would NoSuchElementException on the empty heap's head at
+    // execution time; fail at plan build instead
+    require(k >= 1, s"topK requires k >= 1, got $k")
     val spark: SparkSession = df.sparkSession
     GraftSqlBridge.addStrategy(spark, TopKStrategy)
     val analyzed = df.queryExecution.analyzed

@@ -202,6 +202,17 @@ class EnrichSpec extends SparkSpec {
     assert(dqs >= 0.0 && dqs <= 1.0)
   }
 
+  /** dateutil parser.ParserInfo.convertyear, independently restated:
+    * land yy in the run year's century, then shift one century toward
+    * the run year when ≥50 away. Sanity anchors for a 2026 run: 34→2034,
+    * 49→2049, 50→2050 (NOT 1950 — inside the window), 99→1999. */
+  private def pivotYear(yy: Int): Int = {
+    val ry = java.time.Year.now.getValue
+    val y0 = yy + (ry / 100) * 100
+    if (math.abs(y0 - ry) >= 50) { if (y0 < ry) y0 + 100 else y0 - 100 }
+    else y0
+  }
+
   test("permissiveTimestamp month-name formats (dateutil parity subset)") {
     import Grabbers._
     // dateGrabber upper-cases before parsing (conversions.py:589), so the
@@ -227,11 +238,13 @@ class EnrichSpec extends SparkSpec {
       "3RD MAY 1998"     -> "1998-05-03 00:00:00.0",
       "4TH JUN 1997"     -> "1997-06-04 00:00:00.0",
       "20140110"         -> "2014-01-10 00:00:00.0",
-      // two-digit years: dateutil's ±50y window (1950/2049 pivot here)
-      "1/2/34"           -> "2034-01-02 00:00:00.0",
-      "12/31/99"         -> "1999-12-31 00:00:00.0",
-      "6/15/49"          -> "2049-06-15 00:00:00.0",
-      "6/15/50"          -> "1950-06-15 00:00:00.0",
+      // two-digit years: dateutil's convertyear windows to ±50 of the
+      // RUN year — goldens computed against the same run-year the plan
+      // captures, so they hold in any calendar year
+      "1/2/34"           -> s"${pivotYear(34)}-01-02 00:00:00.0",
+      "12/31/99"         -> s"${pivotYear(99)}-12-31 00:00:00.0",
+      "6/15/49"          -> s"${pivotYear(49)}-06-15 00:00:00.0",
+      "6/15/50"          -> s"${pivotYear(50)}-06-15 00:00:00.0",
     )
     for ((in, want) <- cases) {
       val got = one(permissiveTimestamp(upper(trim(col("x")))), in)
