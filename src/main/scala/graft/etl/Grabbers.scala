@@ -87,7 +87,7 @@ object Grabbers {
     * cascade costs ~10 failed-parse exceptions per value and made the
     * sf0.1 enrich bench 4× slower. */
   def permissiveTimestamp(c: Column): Column = {
-    // ONE native shape-classifier call replaces the ten anchored
+    // ONE native shape-classifier call replaces the per-family anchored
     // rlike gates (the classifier is property-pinned to the exact
     // regexes); every parse still goes through Spark's own
     // try_cast/try_to_timestamp, so parse semantics are untouched.
@@ -173,7 +173,37 @@ object Grabbers {
         try_make_timestamp(yr,
           element_at(p, 1).cast("int"), element_at(p, 2).cast("int"),
           lit(0), lit(0), lit(0))
-      }))
+      }),
+      // time-bearing month-name dates ("JAN 5, 1999 3:15 PM" family,
+      // dateutil's default time handling): the date part reuses the
+      // shape-4 path; the clock is assembled numerically so the
+      // upper-cased AM/PM never meets the case-sensitive Java parser
+      // (dateutil: 12 AM → 00, 12 PM → 12)
+      when(sh === 12, {
+        val re = "^([A-Z]{3,9} \\d{1,2},? \\d{4}) " +
+          "(\\d{1,2}):(\\d{2})(?::(\\d{2}))? ?(AM|PM)?$"
+        val datePart = regexp_extract(c, re, 1)
+        val hh0 = regexp_extract(c, re, 2).cast("int")
+        val mm = regexp_extract(c, re, 3).cast("int")
+        val ss = coalesce(
+          nullif(regexp_extract(c, re, 4), lit("")).cast("int"), lit(0))
+        val ap = regexp_extract(c, re, 5)
+        val hh = when(ap === "PM" && hh0 =!= 12, hh0 + 12)
+          .when(ap === "AM" && hh0 === 12, lit(0))
+          .otherwise(hh0)
+        val noComma = regexp_replace(initcap(datePart), ",", "")
+        val d = coalesce(
+          try_to_timestamp(noComma, lit("MMM d y")),
+          try_to_timestamp(noComma, lit("MMMM d y")))
+        try_make_timestamp(year(d), month(d), dayofmonth(d), hh, mm, ss)
+      }),
+      // UTC/GMT-suffixed datetimes ("2014-01-10 12:30:15 UTC"): dateutil
+      // resolves both names to +00:00 and the reference pins naive
+      // values to UTC anyway (conversions.py:592-598), so stripping the
+      // suffix and parsing in the session's UTC zone is value-identical
+      when(sh === 13,
+        c.substr(lit(1), length(c) - 4)
+          .try_cast(org.apache.spark.sql.types.TimestampType)))
   }
 
   /** Minimal gnparser-equivalent scientific-name parse

@@ -446,6 +446,66 @@ object MinhashKernel {
       }
       i += 1
     }
+
+    // "\d{1,2}:\d{2}(:\d{2})?( ?[AP]M)?" over [s, e0)
+    def timeTail(s: Int, e0: Int): Boolean = {
+      var e = e0
+      if (e - s >= 2 && b(e - 1) == 'M' && (b(e - 2) == 'A' || b(e - 2) == 'P')) {
+        e -= 2
+        if (e > s && b(e - 1) == ' ') e -= 1
+      }
+      var j = s
+      while (j < e && b(j) != ':') j += 1
+      if (!dig(s, j, 1, 2)) return false
+      if (j + 3 > e || !allDigits(b, j + 1, j + 3)) return false
+      if (j + 3 == e) return true
+      b(j + 3) == ':' && j + 6 == e && allDigits(b, j + 4, j + 6)
+    }
+    // "\d{1,2}:\d{2}(:\d{2})?(\.\d+)?" over [s, e)
+    def timeIsoTail(s: Int, e: Int): Boolean = {
+      var j = s
+      while (j < e && b(j) != ':') j += 1
+      if (!dig(s, j, 1, 2)) return false
+      if (j + 3 > e || !allDigits(b, j + 1, j + 3)) return false
+      var p = j + 3
+      if (p < e && b(p) == ':') {
+        if (p + 3 > e || !allDigits(b, p + 1, p + 3)) return false
+        p += 3
+      }
+      if (p == e) return true
+      b(p) == '.' && p + 1 < e && allDigits(b, p + 1, e)
+    }
+    // 13: "^\d{4}-\d{1,2}-\d{1,2}[T ]\d{1,2}:\d{2}(:\d{2})?(\.\d+)? (UTC|GMT)$"
+    def isoZoneSuffix(): Boolean = {
+      if (n < 15 || b(n - 4) != ' ') return false
+      val utc = b(n - 3) == 'U' && b(n - 2) == 'T' && b(n - 1) == 'C'
+      val gmt = b(n - 3) == 'G' && b(n - 2) == 'M' && b(n - 1) == 'T'
+      if (!utc && !gmt) return false
+      val e = n - 4
+      if (!allDigits(b, 0, 4) || b(4) != '-') return false
+      var j = 5
+      while (j < e && b(j) != '-') j += 1
+      if (!dig(5, j, 1, 2)) return false
+      var k = j + 1
+      while (k < e && b(k) != 'T' && b(k) != ' ') k += 1
+      if (!dig(j + 1, k, 1, 2) || k >= e) return false
+      timeIsoTail(k + 1, e)
+    }
+    // 12: "^[A-Z]{3,9} \d{1,2},? \d{4} \d{1,2}:\d{2}(:\d{2})?( ?[AP]M)?$"
+    def monthDayYearTime(): Boolean = {
+      if (!up(0, sp1, 3, 9)) return false
+      val dayEnd = if (sp2 > sp1 + 1 && b(sp2 - 1) == ',') sp2 - 1 else sp2
+      if (!dig(sp1 + 1, dayEnd, 1, 2)) return false
+      val ys = sp2 + 1
+      if (ys + 4 >= n || !allDigits(b, ys, ys + 4) || b(ys + 4) != ' ')
+        return false
+      timeTail(ys + 5, n)
+    }
+    if (sp1 >= 0) {
+      if (isoZoneSuffix()) return 13
+      if (sp2 >= 0 && monthDayYearTime()) return 12
+    }
+
     if (sp1 >= 0 && !spMore) {
       if (sp2 < 0) { // "^[A-Z]{3,9} \d{4}$"
         if (up(0, sp1, 3, 9) && dig(sp1 + 1, n, 4, 4)) return 6

@@ -245,6 +245,17 @@ class EnrichSpec extends SparkSpec {
       "12/31/99"         -> s"${pivotYear(99)}-12-31 00:00:00.0",
       "6/15/49"          -> s"${pivotYear(49)}-06-15 00:00:00.0",
       "6/15/50"          -> s"${pivotYear(50)}-06-15 00:00:00.0",
+      // time-bearing month-name forms (dateutil parses the clock; 12 AM
+      // is midnight, 12 PM noon)
+      "JAN 5, 1999 3:15 PM"      -> "1999-01-05 15:15:00.0",
+      "JAN 5 1999 3:15PM"        -> "1999-01-05 15:15:00.0",
+      "JAN 5, 1999 15:30"        -> "1999-01-05 15:30:00.0",
+      "JAN 5, 1999 15:30:45"     -> "1999-01-05 15:30:45.0",
+      "JANUARY 12, 1999 12:00 AM" -> "1999-01-12 00:00:00.0",
+      "JANUARY 12, 1999 12:00 PM" -> "1999-01-12 12:00:00.0",
+      // UTC/GMT suffixes (dateutil → +00:00; engine runs in UTC)
+      "2014-01-10 12:30:15 UTC"  -> "2014-01-10 12:30:15.0",
+      "2014-01-10T08:35:59.395 GMT" -> "2014-01-10 08:35:59.395",
     )
     for ((in, want) <- cases) {
       val got = one(permissiveTimestamp(upper(trim(col("x")))), in)

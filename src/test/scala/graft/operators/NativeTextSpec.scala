@@ -191,8 +191,13 @@ class NativeTextSpec extends SparkSpec {
     assert(kern === cols)
   }
 
-  test("dateShape kernel matches the ten anchored regexes it replaced") {
+  test("dateShape kernel matches the anchored regexes it replaced") {
     val patterns = Seq(
+      // 13/12 first: they are the only shapes that can share a prefix
+      // with 4 (the kernel also tests them first)
+      13 -> ("^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}(:\\d{2})?" +
+        "(\\.\\d+)? (UTC|GMT)$"),
+      12 -> "^[A-Z]{3,9} \\d{1,2},? \\d{4} \\d{1,2}:\\d{2}(:\\d{2})?( ?[AP]M)?$",
       1 -> "^\\d{4}/\\d{1,2}/\\d{1,2}$",
       2 -> "^\\d{1,2}/\\d{1,2}/\\d{4}$",
       3 -> "^\\d{4}\\.\\d{1,2}\\.\\d{1,2}$",
@@ -216,9 +221,19 @@ class NativeTextSpec extends SparkSpec {
       "JUNE 1ST, 2000", "JUNE 1ST 2000", "1ST MARCH 2001", "21ST MARCH 2001",
       "2ND MAY 1999", "3RD MAY 1999", "4TH MAY 1999", "1STT MARCH 2001",
       "ST MARCH 2001", "JAN 5TH, 1999", "20140110", "2014011", "201401100",
-      "JAN 1STX, 1999", "1/2/34", "12/31/99", "1/2/345", "111/2/34")
+      "JAN 1STX, 1999", "1/2/34", "12/31/99", "1/2/345", "111/2/34",
+      // time-bearing month-name family (12) and near-misses
+      "JAN 5, 1999 3:15 PM", "JAN 5 1999 3:15PM", "JAN 5, 1999 15:30",
+      "JAN 5, 1999 15:30:45", "JANUARY 12, 1999 12:00 AM",
+      "JAN 5, 1999 3:15 XM", "JAN 5, 1999 3:155", "JAN 5, 1999 3:15M",
+      "JAN 5, 1999 :15", "JAN 5, 19999 3:15", "JAN 5, 1999  3:15",
+      // UTC/GMT-suffixed datetimes (13) and near-misses
+      "2014-01-10 12:30:15 UTC", "2014-01-10T08:35:59.395 GMT",
+      "2014-1-2 3:15 UTC", "2014-01-10 12:30 EST", "2014-01-10 UTC",
+      "2014-01-10 12:30:15UTC", "2014/01/10 12:30 UTC",
+      "2014-01-10 12:30:15.5 GMT", "2014-01-10 12:30:15. UTC")
     val rnd = new scala.util.Random(7)
-    val alphabet = "0123456789/.,- ABCDEFGHIJZSTNRH"
+    val alphabet = "0123456789/.,- ABCDEFGHIJZSTNRHUPM:"
     val fuzz = (1 to 3000).map(_ =>
       (1 to (1 + rnd.nextInt(12))).map(_ =>
         alphabet(rnd.nextInt(alphabet.length))).mkString)
