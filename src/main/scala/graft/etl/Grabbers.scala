@@ -220,7 +220,11 @@ object Grabbers {
     * like the reference's `filled(k, gs)` guard. */
   def parseSciName(sci: Column): (Column, Column) = {
     val w = split(trim(sci), "\\s+")
-    val t1 = try_element_at(w, lit(1))
+    // a leading hybrid marker ("× sorbaronia fallax" / lowercased "x …")
+    // prefixes the whole name — shift the genus/epithet window right
+    val h1 = try_element_at(w, lit(1))
+    val off = when(h1 === "x" || h1 === "×", lit(1)).otherwise(lit(0))
+    val t1 = try_element_at(w, off + lit(1))
     // plain epithet-shaped token, ≥ 2 chars (excludes the hybrid marker
     // "x" and stray initials; dots/commas/digits-first all fail)
     val word = "^[a-z][a-z0-9-]+$"
@@ -228,12 +232,26 @@ object Grabbers {
     // try_element_at: under ANSI (Spark 4 default) a plain element_at
     // THROWS on single-token names — a latent crash the native kernel's
     // parity spec exposed; null is the intended "didn't parse" result
-    val t2 = try_element_at(w, lit(2))
-    val cand = when(t2.rlike("^\\(.*\\)$"), try_element_at(w, lit(3))).otherwise(t2)
+    val t2 = try_element_at(w, off + lit(2))
+    // skip a parenthesized subgenus OR an infix hybrid marker
+    // ("salix × sepulcralis" — a named hybrid keeps genus + epithet)
+    val cand = when(t2.rlike("^\\(.*\\)$") || t2 === "x" || t2 === "×",
+      try_element_at(w, off + lit(3))).otherwise(t2)
     val rankMarkers = Seq("var", "subsp", "ssp", "f", "cf", "aff", "sp", "spp", "x")
     val epithet = when(genus.isNotNull && cand.rlike(word) &&
       !cand.isin(rankMarkers: _*), cand)
     (genus, epithet)
+  }
+
+  /** Authorship year of a scientific name: the first whitespace token
+    * that, after stripping surrounding bracket/punctuation characters,
+    * is exactly four digits in [1500, 2099] ("puma concolor (linnaeus,
+    * 1771)" → 1771). Column twin of the native kernel's year field. */
+  def parseSciYear(sci: Column): Column = {
+    val p = "[\\(\\)\\[\\],.;:]"
+    nullif(regexp_extract(sci,
+      s"(?:^|\\s)$p*((?:1[5-9]|20)\\d{2})$p*(?=\\s|$$)", 1), lit(""))
+      .cast("int")
   }
 
   /** datecollected fallback composition from dwc:year/month/day or

@@ -134,7 +134,8 @@ case class SciParseExpr(child: Expression)
   }
   override def dataType: DataType = StructType(Seq(
     StructField("genus", StringType, nullable = true),
-    StructField("epithet", StringType, nullable = true)))
+    StructField("epithet", StringType, nullable = true),
+    StructField("year", IntegerType, nullable = true)))
   override def prettyName: String = "sci_parse"
   protected override def nullSafeEval(sci: Any): Any =
     MinhashKernel.sciParse(sci.asInstanceOf[UTF8String])
@@ -344,6 +345,28 @@ object MinhashKernel {
     Array("var", "subsp", "ssp", "f", "cf", "aff", "sp", "spp", "x")
       .map(UTF8String.fromString)
 
+  // hybrid markers: the lowercased letter form and the real sign
+  private val HybridX = UTF8String.fromString("x")
+  private val HybridSign = UTF8String.fromString("×")
+  private def isHybridTok(t: UTF8String): Boolean =
+    t != null && (t.equals(HybridX) || t.equals(HybridSign))
+
+  /** First plausible authorship year in a token: strip surrounding
+    * bracket/punctuation bytes, require exactly four digits in
+    * [1500, 2099]; -1 when the token is not a year. */
+  private def yearOf(t: UTF8String): Int = {
+    val b = t.getBytes
+    var s = 0; var e = b.length
+    def p(c: Byte) = c == '(' || c == ')' || c == '[' || c == ']' ||
+      c == ',' || c == '.' || c == ';' || c == ':'
+    while (s < e && p(b(s))) s += 1
+    while (e > s && p(b(e - 1))) e -= 1
+    if (e - s != 4 || !allDigits(b, s, e)) return -1
+    val v = (b(s) - '0') * 1000 + (b(s + 1) - '0') * 100 +
+      (b(s + 2) - '0') * 10 + (b(s + 3) - '0')
+    if (v >= 1500 && v <= 2099) v else -1
+  }
+
   /** Grabbers.parseSciName semantics in one pass (parity spec pins
     * them): whitespace split of the trimmed name, plain-word genus,
     * parenthesized-subgenus skip, rank-marker exclusion; null parts
@@ -351,21 +374,36 @@ object MinhashKernel {
   def sciParse(sci: UTF8String)
       : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
     val toks = splitWs(sci.trim())
-    val t1 = if (toks.length >= 1) toks(0) else null
+    // a leading hybrid marker ("× sorbaronia fallax") prefixes the whole
+    // name — shift the genus/epithet window one token right
+    val off = if (toks.length >= 1 && isHybridTok(toks(0))) 1 else 0
+    val t1 = if (toks.length >= off + 1) toks(off) else null
     val genus: UTF8String = if (t1 != null && isWord(t1)) t1 else null
-    val t2: UTF8String = if (toks.length >= 2) toks(1) else null
+    val t2: UTF8String = if (toks.length >= off + 2) toks(off + 1) else null
     val isParen = t2 != null && t2.numBytes() >= 2 && {
       val b = t2.getBytes
       b(0) == '(' && b(b.length - 1) == ')'
     }
+    // skip a parenthesized subgenus OR an infix hybrid marker
+    // ("salix × sepulcralis" — a named hybrid keeps genus + epithet)
     val cand: UTF8String =
-      if (isParen) (if (toks.length >= 3) toks(2) else null) else t2
+      if (isParen || isHybridTok(t2))
+        (if (toks.length >= off + 3) toks(off + 2) else null)
+      else t2
     val isMarker = cand != null && RankMarkers.exists(_.equals(cand))
     val epithet: UTF8String =
       if (genus != null && cand != null && isWord(cand) && !isMarker) cand
       else null
+    // authorship year: first punctuation-stripped 4-digit token in range
+    var year: Any = null
+    var i = 0
+    while (i < toks.length && year == null) {
+      val y = yearOf(toks(i))
+      if (y > 0) year = y
+      i += 1
+    }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](genus, epithet))
+      Array[Any](genus, epithet, year))
   }
 
   // --- date-format shape classifier ------------------------------------

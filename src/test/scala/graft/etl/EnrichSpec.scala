@@ -374,7 +374,13 @@ class EnrichSpec extends SparkSpec {
       ("abies cf. alba", "abies", null),                        // cf. blocks the slot
       ("aus var. bus", "aus", null),                            // rank marker not epithet
       ("homo sapiens", "homo", "sapiens"),
-      ("x triticosecale", null, null),                          // hybrid marker ≠ genus... x fails genus word min
+      // hybrid markers (×, lowercased x): a leading marker prefixes a
+      // hybrid genus; an infix marker names a binomial hybrid — both
+      // shapes keep genus/epithet like gnparser's details extraction
+      ("x triticosecale", "triticosecale", null),               // hybrid genus, uninomial
+      ("x sorbaronia fallax", "sorbaronia", "fallax"),          // hybrid genus binomial
+      ("salix × sepulcralis", "salix", "sepulcralis"),          // named hybrid
+      ("acer x rubrum", "acer", "rubrum"),                      // letter-form marker
       ("123 weird", null, null),                                // junk
     )
     for ((in, g, e) <- cases) {

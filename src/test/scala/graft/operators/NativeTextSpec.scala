@@ -176,19 +176,40 @@ class NativeTextSpec extends SparkSpec {
       "genus1 epithet22", "puma concolor (linnaeus, 1771)",
       "x hybridus", "a b", "ab cd-ef", "ab c3d",
       " acer  rubrum ", "\tacer rubrum", "", "  ", "acer rubrum extra",
-      "(acer) rubrum", "acer (acer court.) rubrum", "acer 9digit")
+      "(acer) rubrum", "acer (acer court.) rubrum", "acer 9digit",
+      // hybrid markers: leading (hybrid genus) and infix (named hybrid)
+      "x sorbaronia fallax", "× sorbaronia fallax", "salix × sepulcralis",
+      "x triticosecale", "× aus", "aus × bus var cus", "x x aus",
+      // authorship years: parens, comma, brackets, out-of-range, junk
+      "aus bus smith 1900", "aus bus (smith, 1771)", "aus bus [1850]",
+      "aus bus 1234", "aus bus 21000", "aus bus x1999", "aus bus 1999,",
+      "aus bus l. 2020 and 1900")
     val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
       .toDF("id", "sci")
     val (g, e) = graft.etl.Grabbers.parseSciName(col("sci"))
-    val cols = df.select(col("id"), g.as("g"), e.as("e"))
+    val cols = df.select(col("id"), g.as("g"), e.as("e"),
+        graft.etl.Grabbers.parseSciYear(col("sci")).as("y"))
       .collect().map(r => r.getLong(0) ->
-        (Option(r.getString(1)), Option(r.getString(2)))).toMap
+        (Option(r.getString(1)), Option(r.getString(2)),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
     val kern = df.select(col("id"),
         graft.functions.NativeText.sciParse(col("sci")).as("p"))
-      .select(col("id"), col("p.genus"), col("p.epithet"))
+      .select(col("id"), col("p.genus"), col("p.epithet"), col("p.year"))
       .collect().map(r => r.getLong(0) ->
-        (Option(r.getString(1)), Option(r.getString(2)))).toMap
+        (Option(r.getString(1)), Option(r.getString(2)),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
     assert(kern === cols)
+    // year goldens (both sides just proven identical)
+    val yr = names.zip(names.indices).map { case (n, i) =>
+      n -> kern(i.toLong)._3 }.toMap
+    assert(yr("puma concolor (linnaeus, 1771)") === Some(1771))
+    assert(yr("aus bus smith 1900") === Some(1900))
+    assert(yr("aus bus [1850]") === Some(1850))
+    assert(yr("aus bus 1234") === None)     // below 1500
+    assert(yr("aus bus 21000") === None)    // five digits
+    assert(yr("aus bus x1999") === None)    // not a standalone token
+    assert(yr("aus bus 1999,") === Some(1999))
+    assert(yr("aus bus l. 2020 and 1900") === Some(2020)) // first wins
   }
 
   test("dateShape kernel matches the anchored regexes it replaced") {
