@@ -124,6 +124,7 @@ object SparkEntry {
     "q_ingest_suspects" -> (IngestQueries.qIngestSuspects _),
     "q_uniquevals"  -> (ExportQueries.qUniquevals _),
     "q_export_csv"  -> (ExportQueries.qExportCsv _),
+    "q_export_dwca" -> (ExportQueries.qExportDwca _),
     "q_citations"   -> (ExportQueries.qCitations _),
     // incremental / resume indexing (SURVEY §2.10)
     "q_incremental"    -> (StreamQueries.qIncremental _),
@@ -204,6 +205,7 @@ object SparkEntry {
     "q_ingest_suspects" -> IngestQueries.qIngestSuspectsSql,
     "q_uniquevals"  -> ExportQueries.qUniquevalsSql,
     "q_export_csv"  -> ExportQueries.qExportCsvSql,
+    "q_export_dwca" -> ExportQueries.qExportDwcaSql,
     "q_citations"   -> ExportQueries.qCitationsSql,
     "q_incremental"    -> StreamQueries.qIncrementalSql,
     "q_resume_actions" -> StreamQueries.qResumeActionsSql,

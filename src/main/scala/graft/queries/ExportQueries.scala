@@ -56,4 +56,71 @@ object ExportQueries {
   val qCitationsSql: String =
     """SELECT source AS recordset, COUNT(*) AS itemCount FROM documents
       |GROUP BY source ORDER BY itemCount DESC, recordset""".stripMargin
+
+  /** DwC-A export sink through the oracle gate (download.py:433-577,
+    * lib/meta_xml.py): one row per archive member — its meta.xml block
+    * exactly as [[Exports.makeFileBlock]] emits it (CURIE→URI term
+    * expansion, core `id` vs extension `coreid`, quoting/terminator
+    * attributes), joined with the member's row count from the data
+    * (core = every document, the multimedia extension = the synthetic
+    * has-media subset). The oracle restates the expected XML as an
+    * independent literal, so any sink formatting drift goes hash-red. */
+  def qExportDwca(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val coreFields = Seq("dwc:occurrenceID", "dwc:scientificName", "dwc:eventDate")
+    val extFields = Seq("ac:accessURI", "dcterms:format")
+    val blocks = Seq(
+      ("occurrence.csv", "core", Exports.rowTypes("records"),
+        coreFields.size,
+        Exports.makeFileBlock("occurrence.csv", coreFields, core = true,
+          rowType = Exports.rowTypes("records"))),
+      ("multimedia.csv", "extension", Exports.rowTypes("mediarecords"),
+        extFields.size,
+        Exports.makeFileBlock("multimedia.csv", extFields, core = false,
+          rowType = Exports.rowTypes("mediarecords"))),
+    ).toDF("location", "file_type", "row_type", "n_fields", "meta_xml")
+    val counts = docs.agg(count(lit(1)).as("n_rows"))
+        .withColumn("location", lit("occurrence.csv"))
+      .unionByName(
+        docs.filter(col("doc_id") % 3 === 0).agg(count(lit(1)).as("n_rows"))
+          .withColumn("location", lit("multimedia.csv")))
+    counts.join(broadcast(blocks), Seq("location"))
+      .select(col("location"), col("file_type"), col("row_type"),
+        col("n_fields"), col("n_rows"), col("meta_xml"))
+      .orderBy(col("location"))
+  }
+
+  val qExportDwcaSql: String = {
+    val coreXml =
+      """  <core encoding="utf-8" fieldsTerminatedBy="," linesTerminatedBy="\n" fieldsEnclosedBy="&quot;" ignoreHeaderLines="1" rowType="http://rs.tdwg.org/dwc/terms/Occurrence">
+        |    <files>
+        |      <location>occurrence.csv</location>
+        |    </files>
+        |    <id index="0" />
+        |    <field index="1" term="http://rs.tdwg.org/dwc/terms/occurrenceID"/>
+        |    <field index="2" term="http://rs.tdwg.org/dwc/terms/scientificName"/>
+        |    <field index="3" term="http://rs.tdwg.org/dwc/terms/eventDate"/>
+        |  </core>""".stripMargin
+    val extXml =
+      """  <extension encoding="utf-8" fieldsTerminatedBy="," linesTerminatedBy="\n" fieldsEnclosedBy="&quot;" ignoreHeaderLines="1" rowType="http://rs.tdwg.org/ac/terms/multimedia">
+        |    <files>
+        |      <location>multimedia.csv</location>
+        |    </files>
+        |    <coreid index="0" />
+        |    <field index="1" term="http://rs.tdwg.org/ac/terms/accessURI"/>
+        |    <field index="2" term="http://purl.org/dc/terms/format"/>
+        |  </extension>""".stripMargin
+    s"""WITH blocks(location, file_type, row_type, n_fields, meta_xml) AS (VALUES
+       |  ('occurrence.csv', 'core', 'http://rs.tdwg.org/dwc/terms/Occurrence',
+       |   3, '$coreXml'),
+       |  ('multimedia.csv', 'extension', 'http://rs.tdwg.org/ac/terms/multimedia',
+       |   2, '$extXml')),
+       |counts AS (
+       |  SELECT 'occurrence.csv' AS location, COUNT(*) AS n_rows FROM documents
+       |  UNION ALL
+       |  SELECT 'multimedia.csv', COUNT(*) FROM documents WHERE doc_id % 3 = 0)
+       |SELECT location, file_type, row_type, n_fields, n_rows, meta_xml
+       |FROM counts JOIN blocks USING (location) ORDER BY location""".stripMargin
+  }
 }
