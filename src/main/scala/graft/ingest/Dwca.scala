@@ -15,6 +15,7 @@ object Dwca {
       rowType: String,
       fieldsTerminatedBy: String,
       linesTerminatedBy: String,
+      fieldsEnclosedBy: String, // "" = unquoted (the DwC text default)
       encoding: String,
       ignoreHeaderLines: Int,
       idIndex: Int,
@@ -47,6 +48,9 @@ object Dwca {
         rowType = attr("rowType", "http://rs.tdwg.org/dwc/terms/Occurrence"),
         fieldsTerminatedBy = unescape(attr("fieldsTerminatedBy", ",")),
         linesTerminatedBy = unescape(attr("linesTerminatedBy", "\n")),
+        // the DwC text guide default is unquoted; &quot; enables RFC4180
+        // quoting (python csv's quotechar in the reference's reader)
+        fieldsEnclosedBy = unescape(attr("fieldsEnclosedBy", "")),
         encoding = attr("encoding", "UTF-8"),
         ignoreHeaderLines = attr("ignoreHeaderLines", "0").trim.toInt,
         idIndex = idNode.headOption.map(n => (n \@ "index").trim.toInt).getOrElse(0),
@@ -64,11 +68,23 @@ object Dwca {
     * CURIE names, id/coreid column, defaults appended (dwca.py's
     * `#term` default handling). */
   def readFile(spark: SparkSession, dir: String, spec: FileSpec): DataFrame = {
+    val quoted = spec.fieldsEnclosedBy.nonEmpty
     val raw = spark.read
       .option("header", spec.ignoreHeaderLines > 0)
       .option("delimiter", spec.fieldsTerminatedBy)
       .option("encoding", spec.encoding)
       .option("mode", "PERMISSIVE")
+      // fieldsEnclosedBy="" disables quote handling entirely (a quote is
+      // data); when set, escape = the quote char gives RFC4180 doubled
+      // quotes ("the ""old"" farm"), matching python csv's default
+      // doublequote=True in the reference reader
+      .option("quote", if (quoted) spec.fieldsEnclosedBy else "")
+      .option("escape", if (quoted) spec.fieldsEnclosedBy else "\\")
+      // quoted fields may legally embed record terminators; multiLine
+      // parses them at the cost of file-level (not block-level) input
+      // splits — archive members are per-file reads of bounded size, so
+      // correctness wins here. An unquoted archive keeps splittable reads.
+      .option("multiLine", quoted)
       .csv(s"$dir/${spec.location}")
     val positional = raw.columns
     def colAt(i: Int) =

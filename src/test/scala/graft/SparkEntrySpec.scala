@@ -24,7 +24,11 @@ class SparkEntrySpec extends AnyFunSuite {
   test("oracle SQL is non-empty and single-statement") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(sql.trim.nonEmpty, s"$k oracle empty")
-      assert(!sql.trim.stripSuffix(";").contains(";"),
+      // blank out string literals first: a ';' INSIDE one (e.g. the
+      // XML entity &quot; in the DwC-A meta goldens) is data, not a
+      // statement separator
+      val noLiterals = sql.replaceAll("(?s)'[^']*'", "''")
+      assert(!noLiterals.trim.stripSuffix(";").contains(";"),
         s"$k oracle has multiple statements")
     }
   }
