@@ -1,5 +1,7 @@
 package graft.etl
 
+import org.apache.spark.sql.Column
+
 /** Datum → WGS84 reprojection via the abridged Molodensky transformation
   * (public DMA TR-8350.2 formulas with the published 3-parameter
   * geocentric shifts), standing in for the reference's PROJ transform
@@ -85,11 +87,61 @@ object Datums {
   }
 
   /** WGS84 longitude as a SQL expression over `lon`,`lat`,`datum`
-    * columns — unshifted datums fall through to the input. */
+    * columns — unshifted datums fall through to the input. Consumed by
+    * the DuckDB oracle (and kept as the executable spec of the Column
+    * form below, which DatumsSpec pins against it). */
   def lonCaseSql(lon: String, lat: String, datum: String): String =
     caseSql(lon, lat, datum, _._1, lon)
 
   /** WGS84 latitude; see [[lonCaseSql]]. */
   def latCaseSql(lon: String, lat: String, datum: String): String =
     caseSql(lon, lat, datum, _._2, lat)
+
+  // --- Column form: constants-by-lookup, ONE formula --------------------
+  // The CASE SQL above instantiates the full Molodensky expression once
+  // per datum (8 × ~3 KB of generated code). Here the per-datum constants
+  // come from native hash probes (graft.functions.StaticLookup) and the
+  // formula is emitted once — same math, an order of magnitude less
+  // bytecode, and the engines no longer share one generated source (the
+  // oracle CASE is now an independent restatement of this arithmetic).
+
+  private def constCol(datum: Column, name: String, f: Shift => Double): Column =
+    graft.functions.StaticLookup.double(datum, s"datum_$name",
+      shifts.map { case (k, s) => k -> f(s) })
+
+  /** (Δλ°, Δφ°) columns of the abridged-Molodensky shift for `datum`
+    * (null for unshifted datums — callers guard with isin anyway). */
+  private def deltas(lon: Column, lat: Column, datum: Column): (Column, Column) = {
+    import org.apache.spark.sql.functions._
+    val aC = constCol(datum, "a", _.a)
+    val e2C = constCol(datum, "e2", { s =>
+      val f = 1.0 / s.invF; 2.0 * f - f * f })
+    val kC = constCol(datum, "k", { s =>
+      val f = 1.0 / s.invF
+      s.a * (1.0 / Wgs84InvF - f) + f * (Wgs84A - s.a) })
+    val aRmC = constCol(datum, "arm", { s =>
+      val f = 1.0 / s.invF; s.a * (1.0 - (2.0 * f - f * f)) })
+    val dxC = constCol(datum, "dx", _.dx)
+    val dyC = constCol(datum, "dy", _.dy)
+    val dzC = constCol(datum, "dz", _.dz)
+    val sp = sin(radians(lat)); val cp = cos(radians(lat))
+    val sl = sin(radians(lon)); val cl = cos(radians(lon))
+    val w = sqrt(lit(1.0) - e2C * sp * sp)
+    val dphi = ((dxC * lit(-1.0)) * sp * cl + (dyC * lit(-1.0)) * sp * sl +
+      dzC * cp + kC * sin(lit(2.0) * radians(lat))) * w * w * w / aRmC
+    val dlam = ((dxC * lit(-1.0)) * sl + dyC * cl) * w / (aC * cp)
+    (degrees(dlam), degrees(dphi))
+  }
+
+  /** WGS84 longitude Column; input passthrough for unshifted datums. */
+  def lonCol(lon: Column, lat: Column, datum: Column): Column = {
+    import org.apache.spark.sql.functions._
+    coalesce(lon + deltas(lon, lat, datum)._1, lon)
+  }
+
+  /** WGS84 latitude Column; see [[lonCol]]. */
+  def latCol(lon: Column, lat: Column, datum: Column): Column = {
+    import org.apache.spark.sql.functions._
+    coalesce(lat + deltas(lon, lat, datum)._2, lat)
+  }
 }

@@ -48,13 +48,35 @@ object Enrich {
     val mutatedAfterVerbatim = Set("scientificname", "genus",
       "specificepithet", "basisofrecord", "taxonrank")
 
+    // ALL normalized map reads go through one one-pass multi-key kernel
+    // (graft.functions.MapFields): ~60 element_at calls were ~60 linear
+    // scans of the raw map per row — and the largest bytecode block in
+    // the span. `_f` materializes once in stage 0; each consumer is a
+    // cheap struct-field read.
+    val textKeys = FieldSchema.records.collect {
+      case fd if fd.raw.nonEmpty && Set("text", "longtext")(fd.ftype) &&
+        !Set("uuid", "etag")(fd.index) => fd.raw
+    }
+    val elevKeys = Seq("dwc:minimumElevationInMeters",
+      "dwc:maximumElevationInMeters", "dwc:minimumDepthInMeters",
+      "dwc:maximumDepthInMeters")
+    val scoreKeys = FieldSchema.records.collect {
+      case fd if fd.inScore > 0 && fd.raw.nonEmpty => fd.raw }
+    val miscKeys = Seq("idigbio:uuid", "idigbio:etag", "idigbio:version",
+      "dwc:individualCount", "dwc:coordinateUncertaintyInMeters",
+      "dwc:decimalLatitude", "dwc:decimalLongitude", "dwc:geodeticDatum",
+      "dwc:year", "dwc:month", "dwc:day", "dwc:startDayOfYear",
+      "dwc:vernacularName")
+    val allKeys = (textKeys ++ elevKeys ++ scoreKeys ++ miscKeys).distinct
+    def fk(key: String): Column = col("_f").getField(key)
+
     // partial data-quality score over plain verbatim text fields —
     // nullness equals the raw probe's, so fold it to one small int while
-    // `data` is still in scope
+    // the projected fields are in scope
     val verbatimScore = FieldSchema.records
       .filter(fd => fd.inScore > 0 && fd.raw.nonEmpty &&
         Set("text", "longtext")(fd.ftype) && !mutatedAfterVerbatim(fd.index))
-      .map(fd => when(element_at(data, fd.raw).isNotNull, fd.inScore).otherwise(0))
+      .map(fd => when(fk(fd.raw).isNotNull, fd.inScore).otherwise(0))
       .reduce(_ + _)
 
     // carry caller columns that are neither contract inputs nor outputs
@@ -73,57 +95,64 @@ object Enrich {
     // execution. Materializing the trimmed input as a named column makes
     // each reference a bound attribute; CollapseProject keeps the stage
     // (multi-referenced, non-cheap alias).
-    val s0 = df.withColumns(Map(
-      "_dm_in" -> upper(trim(getFieldRaw(data, "idigbio:dateModified"))),
-      "_ed_in" -> upper(trim(getFieldRaw(data, "dwc:eventDate"))),
-    ))
+    // stage 0 consumes the raw map ENTIRELY (one multi-key projection +
+    // the three raw reads) and a barrier closes its codegen span, so the
+    // scan/synthesis span and the parse span each stay under the JIT
+    // method ceiling and neither carries the map across
+    val s0 = graft.plans.CodegenBarrier(
+      df.withColumns(Map(
+        "_dm_in" -> upper(trim(getFieldRaw(data, "idigbio:dateModified"))),
+        "_ed_in" -> upper(trim(getFieldRaw(data, "dwc:eventDate"))),
+        "_as_raw" -> getFieldRaw(data, "dwc:associatedSequences"),
+        "_f" -> graft.functions.MapFields(data, allKeys),
+      )).drop("data"))
 
     // --- stage 1: everything that reads `data` ------------------------
     val textCols = FieldSchema.records.collect {
       case fd if fd.raw.nonEmpty && Set("text", "longtext")(fd.ftype) &&
         !Set("uuid", "etag")(fd.index) =>
-        getField(data, fd.raw).as(fd.index)
+        fk(fd.raw).as(fd.index)
     }
     val elevCols = Seq(
       "minelevation" -> "dwc:minimumElevationInMeters",
       "maxelevation" -> "dwc:maximumElevationInMeters",
       "mindepth"     -> "dwc:minimumDepthInMeters",
       "maxdepth"     -> "dwc:maximumDepthInMeters",
-    ).map { case (idx, raw) => firstNumberDouble(getField(data, raw)).as(idx) }
+    ).map { case (idx, raw) => firstNumberDouble(fk(raw)).as(idx) }
     val siblings =
       if (hasCol("siblings")) col("siblings")
       else lit(null).cast("map<string,array<string>>")
     val mediarecords = element_at(siblings, "mediarecord")
 
     val s1 = s0.select(passthrough ++ Seq(
-      (if (hasCol("uuid")) col("uuid") else getField(data, "idigbio:uuid")).as("uuid"),
-      (if (hasCol("etag")) col("etag") else getField(data, "idigbio:etag")).as("etag"),
+      (if (hasCol("uuid")) col("uuid") else fk("idigbio:uuid")).as("uuid"),
+      (if (hasCol("etag")) col("etag") else fk("idigbio:etag")).as("etag"),
       (if (hasCol("recordids")) col("recordids")
        else lit(null).cast("array<string>")).as("recordids"),
       (if (hasCol("version")) col("version").cast("long")
-       else firstNumberLong(getField(data, "idigbio:version"))).as("version"),
+       else firstNumberLong(fk("idigbio:version"))).as("version"),
       (if (hasCol("parent")) col("parent")
        else try_element_at(element_at(siblings, "recordset"), lit(1))).as("recordset"),
       mediarecords.as("mediarecords"),
-      firstNumberDouble(getField(data, "dwc:individualCount")).as("individualcount"),
-      firstNumberDouble(getField(data, "dwc:coordinateUncertaintyInMeters"))
+      firstNumberDouble(fk("dwc:individualCount")).as("individualcount"),
+      firstNumberDouble(fk("dwc:coordinateUncertaintyInMeters"))
         .as("coordinateuncertainty"),
-      getField(data, "dwc:decimalLatitude").as("_lat_raw"),
-      getField(data, "dwc:decimalLongitude").as("_lon_raw"),
-      getField(data, "dwc:geodeticDatum").as("_datum_raw"),
+      fk("dwc:decimalLatitude").as("_lat_raw"),
+      fk("dwc:decimalLongitude").as("_lon_raw"),
+      fk("dwc:geodeticDatum").as("_datum_raw"),
       permissiveTimestamp(col("_dm_in")).as("datemodified"),
       permissiveTimestamp(col("_ed_in")).as("_dc_direct"),
-      firstNumberLong(getField(data, "dwc:year")).cast("int").as("_yr"),
-      firstNumberLong(getField(data, "dwc:month")).cast("int").as("_mo"),
-      firstNumberLong(getField(data, "dwc:day")).cast("int").as("_dy"),
-      firstNumberLong(getField(data, "dwc:startDayOfYear")).cast("int").as("_sdy"),
+      firstNumberLong(fk("dwc:year")).cast("int").as("_yr"),
+      firstNumberLong(fk("dwc:month")).cast("int").as("_mo"),
+      firstNumberLong(fk("dwc:day")).cast("int").as("_dy"),
+      firstNumberLong(fk("dwc:startDayOfYear")).cast("int").as("_sdy"),
       // no array_compact: it rewrites to a higher-order ArrayFilter,
       // which is CodegenFallback and would knock this whole projection
       // chain out of WholeStageCodegen
-      when(getField(data, "dwc:vernacularName").isNotNull,
-        array(getField(data, "dwc:vernacularName")))
+      when(fk("dwc:vernacularName").isNotNull,
+        array(fk("dwc:vernacularName")))
         .otherwise(array().cast("array<string>")).as("commonnames"),
-      genbankSequences(data).as("associatedsequences"),
+      genbankFromText(col("_as_raw")).as("associatedsequences"),
       verbatimScore.as("_score_verbatim"),
     ) ++ textCols ++ elevCols: _*)
 
@@ -170,10 +199,10 @@ object Enrich {
          !(col("_lon1") >= -180 && col("_lon1") <= 180))),
       "_datum_norm" -> {
         val mangled = mangleString(col("_datum_raw"))
-        // linear when-chain; a when().otherwise(acc) fold would embed the
-        // mangle tree twice per alias (2^n blowup)
-        coalesce(Vocab.datumAliases.foldLeft(when(lit(false), lit("")))(
-          (acc, kv) => acc.when(mangled === kv._1, kv._2)), mangled)
+        // alias table as one native hash probe; unknown datums pass
+        // through (DatumsSpec covers alias + passthrough cases)
+        coalesce(graft.functions.StaticLookup(mangled, "datum_aliases",
+          Vocab.datumAliases), mangled)
       },
     ))
 
@@ -194,8 +223,8 @@ object Enrich {
         when(col("geopoint").isNotNull &&
             col("_datum_norm").isin(Datums.shiftedDatums: _*),
           struct(
-            expr(Datums.lonCaseSql("_glon", "_glat", "_datum_norm")).as("lon"),
-            expr(Datums.latCaseSql("_glon", "_glat", "_datum_norm")).as("lat")))
+            Datums.lonCol(col("_glon"), col("_glat"), col("_datum_norm")).as("lon"),
+            Datums.latCol(col("_glon"), col("_glat"), col("_datum_norm")).as("lat")))
           .otherwise(col("geopoint")))
 
     // reverse-geocode correction (conversions.py:514-563) — the budgeted

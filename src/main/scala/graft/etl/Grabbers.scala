@@ -37,8 +37,14 @@ object Grabbers {
     * duplicate the regexp tree (it was the hottest expression family in
     * the enrich stage, previously evaluated 3× per column). */
   def firstNumberDouble(c: Column): Column =
-    regexp_replace(regexp_extract(c, FirstNumber, 1), ",", "")
+    graft.functions.NativeText.firstNumber(c)
       .try_cast(org.apache.spark.sql.types.DoubleType)
+
+  /** Regex-tree form of the comma-stripped first number — the
+    * executable spec of the native kernel (parity-fuzzed in
+    * EnrichSpec). */
+  def firstNumberTextSpec(c: Column): Column =
+    nullif(regexp_replace(regexp_extract(c, FirstNumber, 1), ",", ""), lit(""))
 
   /** locale.atoi of the first number: fails (null) when the match has a
     * fractional part, like Python int() on "1.5" (intGrabber :380-384).
@@ -46,7 +52,7 @@ object Grabbers {
     * "") as null — exactly the Python int() failure set — so one regexp
     * evaluation suffices, no contains(".") guard. */
   def firstNumberLong(c: Column): Column =
-    regexp_replace(regexp_extract(c, FirstNumber, 1), ",", "")
+    graft.functions.NativeText.firstNumber(c)
       .try_cast(org.apache.spark.sql.types.LongType)
 
   /** grabFirstUUID (conversions.py:319-331). */
@@ -67,7 +73,12 @@ object Grabbers {
     * plain decimal string ("1.50" → 2, "100" → 0, junk → 0). Python
     * Decimal also handles exponent notation; coordinates are plain
     * decimals in practice (documented divergence). */
-  def getExponent(c: Column): Column = {
+  def getExponent(c: Column): Column =
+    graft.functions.NativeText.decimalExponent(c)
+
+  /** Regex form of getExponent — the executable spec of the native
+    * kernel (parity-fuzzed in EnrichSpec). */
+  def getExponentSpec(c: Column): Column = {
     val t = trim(c)
     when(t.rlike("^[+-]?[0-9]*\\.[0-9]*$"),
       length(regexp_extract(t, "\\.([0-9]*)$", 1)))
@@ -86,14 +97,25 @@ object Grabbers {
     * never sees a non-matching input. A naive 13-format coalesce
     * cascade costs ~10 failed-parse exceptions per value and made the
     * sf0.1 enrich bench 4× slower. */
-  def permissiveTimestamp(c: Column): Column = {
+  def permissiveTimestamp(c: Column): Column =
+    coalesce(
+      // ISO fast path: Spark's native string→timestamp cast
+      c.try_cast(org.apache.spark.sql.types.TimestampType),
+      // every non-ISO family in ONE native call (shape classify + parse;
+      // ~40 bytes of generated code where the try_to_timestamp cascade
+      // emitted 15-20 KB per use — the difference between a fused span
+      // that JITs and one that runs interpreted). Semantics pinned to
+      // [[permissiveTimestampSpec]] by EnrichSpec's parity sweep.
+      graft.functions.NativeText.shapedDate(c, java.time.Year.now.getValue))
+
+  /** The original try_cast/try_to_timestamp cascade — retained verbatim
+    * as the executable specification of [[permissiveTimestamp]]'s native
+    * kernel (same pattern as the minhash/textstats HOF twins). */
+  def permissiveTimestampSpec(c: Column): Column = {
     // ONE native shape-classifier call replaces the per-family anchored
     // rlike gates (the classifier is property-pinned to the exact
     // regexes); every parse still goes through Spark's own
     // try_cast/try_to_timestamp, so parse semantics are untouched.
-    // The identical date_shape subtrees below CSE into a single
-    // evaluation (subexpression elimination in the per-operator
-    // UnsafeProjection the enrich pipelines run under).
     val sh = graft.functions.NativeText.dateShape(c)
     coalesce(
       c.try_cast(org.apache.spark.sql.types.TimestampType),
@@ -300,8 +322,9 @@ object Grabbers {
     val mapsToNull = Vocab.rankMapping.filter(_._2.isEmpty).keys.toSeq
     val renames = Vocab.rankMapping.collect { case (k, Some(v)) if k != v => (k, v) }.toSeq
     val identities = Vocab.rankMapping.collect { case (k, Some(v)) if k == v => k }.toSeq
-    val replaced = renames.foldLeft(when(lit(false), lit("")))(
-      (acc, kv) => acc.when(rank === kv._1, kv._2))
+    // native hash probe (was a 300-branch when-chain; EnrichSpec's golden
+    // table sweeps the full mapping so the swap stays behavior-pinned)
+    val replaced = graft.functions.StaticLookup(rank, "rank_renames", renames.toMap)
     val acceptable = Vocab.acceptableRanks.toSeq
     val isRemoved = rank.isNotNull &&
       (rank.isin(mapsToNull: _*) ||
@@ -314,11 +337,15 @@ object Grabbers {
 
   /** getLicense step 1 (conversions.py:683-708): map one candidate
     * field's raw value to a license key via the acceptable-licenses
-    * table. Callers materialize one of these per candidate field as a
-    * named column, then run [[licenseVote]] over the attributes — the
-    * when-chain is large, so it must appear once per candidate, not once
-    * per vote comparison. */
+    * table — one native hash probe per candidate
+    * (graft.functions.StaticLookup; the when-chain form below is the
+    * executable spec EnrichMediaSpec pins it against). */
   def licenseKey(v: Column): Column =
+    graft.functions.StaticLookup(v, "license_trans", Vocab.licenseTrans)
+
+  /** [[licenseKey]] as the original 103-branch when-chain — the
+    * specification the native probe is parity-tested against. */
+  def licenseKeySpec(v: Column): Column =
     Vocab.licenseTrans.foldLeft(when(lit(false), lit("")))(
       (acc, kv) => acc.when(v === kv._1, kv._2))
 
@@ -389,8 +416,11 @@ object Grabbers {
 
   /** collect_genbank_sequences (conversions.py:838-853). */
   def genbankSequences(data: Column): Column =
-    when(getFieldRaw(data, "dwc:associatedSequences").isNotNull,
-      regexp_extract_all(getFieldRaw(data, "dwc:associatedSequences"),
-        lit("[a-zA-Z]{1,2}-?_?\\d{5,6}"), lit(0)))
+    genbankFromText(getFieldRaw(data, "dwc:associatedSequences"))
+
+  /** [[genbankSequences]] over an already-extracted raw field value. */
+  def genbankFromText(raw: Column): Column =
+    when(raw.isNotNull,
+      regexp_extract_all(raw, lit("[a-zA-Z]{1,2}-?_?\\d{5,6}"), lit(0)))
       .otherwise(array().cast("array<string>"))
 }

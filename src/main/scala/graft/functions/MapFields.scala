@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.MapData
+import org.apache.spark.sql.types.{DataType, MapType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Project N keys out of a `map<string,string>` column in ONE pass.
+  *
+  * The grabAll enrichment reads ~60 fields from the raw `data` map; as
+  * individual `element_at` calls each read is a LINEAR scan of the map's
+  * key array — ~2 400 string compares per row on a 40-key record — and
+  * each generates its own loop (the single biggest bytecode block left
+  * in the enrich span). This expression walks the map's entries once,
+  * probing a prebuilt key→slot hash table, and emits one struct; per-row
+  * cost is O(|map|) probes and the generated code is one static call
+  * plus cheap GetStructField reads.
+  *
+  * `normalize = true` applies getField's `lower(trim(value))`
+  * normalization in-kernel (UTF8String.trim/toLowerCase — the exact
+  * kernels Spark's own trim/lower expressions call), so
+  * `mapFields(data, keys)(k)` ≡ `lower(trim(element_at(data, k)))`,
+  * parity-pinned in EnrichSpec.
+  */
+case class MapFieldsExpr(child: Expression, keys: Seq[String],
+    normalize: Boolean) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case MapType(StringType, StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"map_fields needs map<string,string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType =
+    StructType(keys.map(k => StructField(k, StringType, nullable = true)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "map_fields"
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"${keys.size} keys", normalize)
+
+  @transient private lazy val slotOf: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](keys.size * 2)
+    keys.zipWithIndex.foreach { case (k, i) =>
+      m.put(UTF8String.fromString(k), Integer.valueOf(i))
+    }
+    m
+  }
+
+  def project(map: MapData): GenericInternalRow = {
+    val out = new Array[Any](keys.length)
+    val found = new Array[Boolean](keys.length)
+    val ks = map.keyArray(); val vs = map.valueArray()
+    var i = 0
+    val n = map.numElements()
+    while (i < n) {
+      val slot = slotOf.get(ks.getUTF8String(i))
+      // first occurrence wins, null values included — element_at scans
+      // forward and returns the first hit, so a duplicate-keyed map
+      // (possible from external sources) must resolve identically
+      if (slot != null && !found(slot.intValue())) {
+        found(slot.intValue()) = true
+        if (!vs.isNullAt(i)) {
+          val v = vs.getUTF8String(i)
+          out(slot.intValue()) = if (normalize) v.trim().toLowerCase else v
+        }
+      }
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  protected override def nullSafeEval(map: Any): Any =
+    project(map.asInstanceOf[MapData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mapFields", this, classOf[MapFieldsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.project($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MapFieldsExpr =
+    copy(child = newChild)
+}
+
+object MapFields {
+  /** One-pass multi-key map projection; field `k` of the result is
+    * `lower(trim(element_at(m, k)))` when `normalize`, else the raw
+    * value. Missing keys and null values are null fields. */
+  def apply(m: Column, keys: Seq[String], normalize: Boolean = true): Column =
+    GraftSqlBridge.column(MapFieldsExpr(GraftSqlBridge.expression(m),
+      keys, normalize))
+}

@@ -77,6 +77,24 @@ object NativeText {
   def dateShape(c: Column): Column =
     GraftSqlBridge.column(DateShapeExpr(GraftSqlBridge.expression(c)))
 
+  /** Native parse of the shaped (non-ISO) date families; null when the
+    * value matches no family or fails its family's validation. */
+  def shapedDate(c: Column, runYear: Int): Column =
+    GraftSqlBridge.column(ShapedDateExpr(GraftSqlBridge.expression(c), runYear))
+
+  /** First number in the string (grabFirstNumber), comma-stripped, as
+    * text — callers try_cast to the numeric type they want. One native
+    * call replacing a regexp_extract + regexp_replace tree per use
+    * (~10 uses in one enrich projection); same java.util.regex engine,
+    * same pattern, parity-pinned by EnrichSpec's golden table. */
+  def firstNumber(c: Column): Column =
+    GraftSqlBridge.column(FirstNumberExpr(GraftSqlBridge.expression(c)))
+
+  /** Fraction-digit count of a plain decimal string (getExponent);
+    * 0 for non-decimals AND for null input, like the Column spec. */
+  def decimalExponent(c: Column): Column =
+    GraftSqlBridge.column(DecimalExponentExpr(GraftSqlBridge.expression(c)))
+
   /** Repetition statistics of one document (Gopher/C4-style quality
     * signals) in a single pass: word count, distinct-word count, the
     * occurrence count of the most frequent bigram and trigram, and the
@@ -161,6 +179,97 @@ case class DateShapeExpr(child: Expression)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.MinhashKernel.dateShape($c);")
   override protected def withNewChildInternal(newChild: Expression): DateShapeExpr =
+    copy(child = newChild)
+}
+
+/** Parse the non-ISO date families (shapes 1-13 of [[DateShapeExpr]]) in
+  * one native call. The Column cascade this replaces
+  * (Grabbers.permissiveTimestampSpec — retained as the executable spec,
+  * parity-pinned in EnrichSpec) generated 15-20 KB of bytecode PER USE
+  * (two uses per enrich pipeline), blowing every fused span past the
+  * 8 KB JIT ceiling; this call is ~40 bytes. ISO forms stay on Spark's
+  * own `try_cast(… AS TIMESTAMP)` in front of it, so cast semantics are
+  * untouched. `runYear` pins dateutil's two-digit-year window at plan
+  * build; the session time zone arrives via the standard
+  * TimeZoneAwareExpression resolution. */
+case class ShapedDateExpr(child: Expression, runYear: Int,
+    timeZoneId: Option[String] = None)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shaped_date needs string, got ${other.catalogString}")
+  }
+  override def withTimeZone(timeZoneId: String): ShapedDateExpr =
+    copy(timeZoneId = Some(timeZoneId))
+  override def dataType: DataType = TimestampType
+  override def nullable: Boolean = true
+  override def prettyName: String = "shaped_date"
+  protected override def nullSafeEval(c: Any): Any =
+    MinhashKernel.parseShapedDate(c.asInstanceOf[UTF8String], runYear, zoneId)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val zoneRef = ctx.addReferenceObj("zoneId", zoneId, "java.time.ZoneId")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long r = graft.functions.MinhashKernel.parseShapedDate(
+        $c, $runYear, $zoneRef);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.longValue(); }""")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ShapedDateExpr =
+    copy(child = newChild)
+}
+
+case class DecimalExponentExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"decimal_exponent needs string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = IntegerType
+  // the Column spec returns 0 (not null) for null input — when(rlike)
+  // over a null condition falls to the otherwise(0) branch
+  override def nullable: Boolean = false
+  override def prettyName: String = "decimal_exponent"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0
+    else MinhashKernel.decimalExponent(v.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      int ${ev.value} = ${childGen.isNull} ? 0 :
+        graft.functions.MinhashKernel.decimalExponent(${childGen.value});""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): DecimalExponentExpr =
+    copy(child = newChild)
+}
+
+case class FirstNumberExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"first_number needs string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "first_number"
+  protected override def nullSafeEval(c: Any): Any =
+    MinhashKernel.firstNumber(c.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.unsafe.types.UTF8String r =
+        graft.functions.MinhashKernel.firstNumber($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r; }""")
+  override protected def withNewChildInternal(newChild: Expression): FirstNumberExpr =
     copy(child = newChild)
 }
 
@@ -571,6 +680,160 @@ object MinhashKernel {
       if (dash == null && dig(0, n, 8, 8)) return 10
     }
     0
+  }
+
+  // --- decimal-exponent count (DecimalExponentExpr) ---------------------
+
+  /** getExponent (conversions.py:246-251): count of fraction digits when
+    * the trimmed string is `^[+-]?[0-9]*\.[0-9]*$`, else 0. Byte-exact
+    * restatement of the rlike + regexp_extract Column form. */
+  def decimalExponent(c: UTF8String): Int = {
+    val b = c.trim().getBytes
+    var i = 0
+    if (i < b.length && (b(i) == '+' || b(i) == '-')) i += 1
+    while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+    if (i >= b.length || b(i) != '.') return 0
+    val fs = i + 1
+    var j = fs
+    while (j < b.length && b(j) >= '0' && b(j) <= '9') j += 1
+    if (j != b.length) return 0
+    j - fs
+  }
+
+  // --- first-number extraction (FirstNumberExpr) ------------------------
+
+  // grabFirstNumber's exact pattern (conversions.py:296-310); same
+  // java.util.regex engine Spark's regexp_extract runs on
+  private val FirstNumberP = java.util.regex.Pattern.compile(
+    "[+-]?[0-9]+(?:[,][0-9]{3})*(?:[\\.][0-9]*)?")
+
+  /** First number in the string, thousands separators stripped; null
+    * when no number occurs (regexp_extract's "" no-match result maps to
+    * null through the nullif the Column form applied). */
+  def firstNumber(c: UTF8String): UTF8String = {
+    val m = FirstNumberP.matcher(c.toString)
+    if (!m.find()) return null
+    UTF8String.fromString(m.group().replace(",", ""))
+  }
+
+  // --- shaped-date parsing (ShapedDateExpr) -----------------------------
+
+  private val MonthNum: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    val ab = Array("JAN", "FEB", "MAR", "APR", "MAY", "JUN", "JUL", "AUG",
+      "SEP", "OCT", "NOV", "DEC")
+    val full = Array("JANUARY", "FEBRUARY", "MARCH", "APRIL", "MAY", "JUNE",
+      "JULY", "AUGUST", "SEPTEMBER", "OCTOBER", "NOVEMBER", "DECEMBER")
+    var i = 0
+    while (i < 12) { m.put(ab(i), i + 1); m.put(full(i), i + 1); i += 1 }
+    m
+  }
+
+  private val P12 = java.util.regex.Pattern.compile(
+    "^([A-Z]{3,9}) (\\d{1,2}),? (\\d{4}) (\\d{1,2}):(\\d{2})(?::(\\d{2}))? ?(AM|PM)?$")
+  private val P13 = java.util.regex.Pattern.compile(
+    "^(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ](\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
+      "(?:\\.(\\d+))? (?:UTC|GMT)$")
+
+  private def microsOf(ldt: java.time.LocalDateTime,
+      zone: java.time.ZoneId): java.lang.Long = {
+    val inst = ldt.atZone(zone).toInstant
+    java.lang.Long.valueOf(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+  }
+
+  /** Midnight date. Year 0000 resolves to proleptic year 0 (1 BCE) —
+    * Spark's `y` pattern is lenient there, and LocalDate matches it. */
+  private def dateMicros(zone: java.time.ZoneId, y: Int, m: Int, d: Int): java.lang.Long =
+    microsOf(java.time.LocalDate.of(y, m, d).atStartOfDay(), zone)
+
+  private def monthDateMicros(zone: java.time.ZoneId, monthWord: String,
+      d: Int, y: Int): java.lang.Long = {
+    val mi = MonthNum.get(monthWord)
+    if (mi == null) return null
+    dateMicros(zone, y, mi.intValue(), d)
+  }
+
+  private def stripOrdinal(tok: String): String =
+    if (tok.length >= 3 && !Character.isDigit(tok.charAt(tok.length - 1)))
+      tok.substring(0, tok.length - 2)
+    else tok
+
+  /** Parse a string already classified by [[dateShape]]; null when it is
+    * shape 0 or fails its family's calendar/clock validation. Semantics
+    * are pinned to Grabbers.permissiveTimestampSpec (the original
+    * try_to_timestamp cascade) by EnrichSpec's parity sweep. */
+  def parseShapedDate(c: UTF8String, runYear: Int,
+      zone: java.time.ZoneId): java.lang.Long = {
+    val sh = dateShape(c)
+    if (sh == 0) return null
+    val s = c.toString
+    try {
+      sh match {
+        case 1 =>
+          val p = s.split("/")
+          dateMicros(zone, p(0).toInt, p(1).toInt, p(2).toInt)
+        case 2 =>
+          val p = s.split("/")
+          dateMicros(zone, p(2).toInt, p(0).toInt, p(1).toInt)
+        case 3 =>
+          val p = s.split("\\.")
+          dateMicros(zone, p(0).toInt, p(1).toInt, p(2).toInt)
+        case 4 | 8 =>
+          val t = s.replace(",", "").split(" ")
+          monthDateMicros(zone, t(0), stripOrdinal(t(1)).toInt, t(2).toInt)
+        case 5 | 9 =>
+          val t = s.split(" ")
+          monthDateMicros(zone, t(1), stripOrdinal(t(0)).toInt, t(2).toInt)
+        case 6 =>
+          val t = s.split(" ")
+          monthDateMicros(zone, t(0), 1, t(1).toInt)
+        case 7 =>
+          val t = s.split("-")
+          monthDateMicros(zone, t(1), t(0).toInt, t(2).toInt)
+        case 10 =>
+          dateMicros(zone, s.substring(0, 4).toInt,
+            s.substring(4, 6).toInt, s.substring(6, 8).toInt)
+        case 11 =>
+          val p = s.split("/")
+          val y0 = p(2).toInt + (runYear / 100) * 100
+          val y = if (math.abs(y0 - runYear) >= 50) {
+            if (y0 < runYear) y0 + 100 else y0 - 100
+          } else y0
+          dateMicros(zone, y, p(0).toInt, p(1).toInt)
+        case 12 =>
+          val m = P12.matcher(s)
+          if (!m.matches()) return null
+          val mi = MonthNum.get(m.group(1))
+          if (mi == null) return null
+          val y = m.group(3).toInt
+          val hh0 = m.group(4).toInt
+          val mm = m.group(5).toInt
+          val ss = if (m.group(6) == null) 0 else m.group(6).toInt
+          val ap = m.group(7)
+          val hh =
+            if (ap == "PM" && hh0 != 12) hh0 + 12
+            else if (ap == "AM" && hh0 == 12) 0
+            else hh0
+          microsOf(java.time.LocalDateTime.of(y, mi.intValue(),
+            m.group(2).toInt, hh, mm, ss), zone)
+        case 13 =>
+          val m = P13.matcher(s)
+          if (!m.matches()) return null
+          val frac = m.group(7)
+          // Spark's cast grammar attaches the fraction to SECONDS, ≤ 9
+          // digits; fraction-after-minutes or overlong fractions are null
+          if (frac != null && (m.group(6) == null || frac.length > 9))
+            return null
+          val nanos =
+            if (frac == null) 0
+            else (frac + "0" * (9 - frac.length)).toInt
+          val ss = if (m.group(6) == null) 0 else m.group(6).toInt
+          microsOf(java.time.LocalDateTime.of(m.group(1).toInt,
+            m.group(2).toInt, m.group(3).toInt, m.group(4).toInt,
+            m.group(5).toInt, ss, nanos), zone)
+        case _ => null
+      }
+    } catch { case _: RuntimeException => null }
   }
 
   private val md5 = new ThreadLocal[java.security.MessageDigest] {

@@ -55,4 +55,24 @@ class DatumsSpec extends SparkSpec {
       .select(col("geopoint.lon"), col("geopoint.lat")).collect().head
     assert(r.getDouble(0) != -98.5 && r.getDouble(1) != 39.8)
   }
+
+  test("Column form (constant-lookup, one formula) matches the CASE SQL spec") {
+    // every shifted datum plus passthrough cases, at several points incl.
+    // the equator/antimeridian corners — the lookup-constant formula must
+    // reproduce the per-datum CASE expansion to double precision
+    val points = Seq((-98.5, 39.8), (10.0, 45.0), (139.7, 35.7),
+      (151.2, -33.9), (-47.9, -15.8), (0.001, 0.001), (179.9, 60.0))
+    val datums = Datums.shiftedDatums ++ Seq("WGS84", "MARS2000")
+    val rows = for { d <- datums; (lo, la) <- points } yield (lo, la, d)
+    val df = rows.toDF("_glon", "_glat", "_datum_norm")
+      .select(
+        expr(Datums.lonCaseSql("_glon", "_glat", "_datum_norm")).as("lon_sql"),
+        expr(Datums.latCaseSql("_glon", "_glat", "_datum_norm")).as("lat_sql"),
+        Datums.lonCol(col("_glon"), col("_glat"), col("_datum_norm")).as("lon_col"),
+        Datums.latCol(col("_glon"), col("_glat"), col("_datum_norm")).as("lat_col"))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 1e-12, r)
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-12, r)
+    }
+  }
 }

@@ -105,4 +105,20 @@ class EnrichMediaSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
   }
+
+  test("licenseKey native probe matches the when-chain spec on the full table") {
+    val s = spark
+    import s.implicits._
+    // every key in the acceptable-licenses table, plus misses and null
+    val inputs = Vocab.licenseTrans.keys.toSeq ++
+      Seq("not a license", "", "CC0 ", "cc0\n") :+ null
+    val df = inputs.map(Tuple1(_)).toDF("v").select(
+      col("v"),
+      graft.etl.Grabbers.licenseKey(col("v")).as("probe"),
+      graft.etl.Grabbers.licenseKeySpec(col("v")).as("spec"))
+    df.collect().foreach { r =>
+      assert(Option(r.getString(1)) === Option(r.getString(2)),
+        s"input '${r.getString(0)}'")
+    }
+  }
 }

@@ -213,6 +213,77 @@ class EnrichSpec extends SparkSpec {
     else y0
   }
 
+  test("firstNumber native kernel matches the regex-tree spec (parity fuzz)") {
+    val s = spark
+    import s.implicits._
+    val fixed = Seq("1,234", "abc 5.5m", "-3.", "+7", "12,34", "1,2345",
+      "no digits", "", " 0.001 ", "5.5.5", "-", "+,", "00123", "1,000,000.25")
+    val rnd = new scala.util.Random(31)
+    val alphabet = "0123456789,.+- abcm"
+    val fuzz = (1 to 2000).map(_ =>
+      (0 to rnd.nextInt(12)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    (fixed ++ fuzz).map(Tuple1(_)).toDF("x")
+      .select(col("x"),
+        graft.functions.NativeText.firstNumber(col("x")).as("kern"),
+        Grabbers.firstNumberTextSpec(col("x")).as("spec"))
+      .collect().foreach { r =>
+        assert(Option(r.getString(1)) === Option(r.getString(2)),
+          s"input '${r.getString(0)}'")
+      }
+  }
+
+  test("getExponent native kernel matches the regex spec (incl. null → 0)") {
+    val s = spark
+    import s.implicits._
+    val fixed = Seq("18.34", "-64.7131", "5.", ".5", "+.25", "1", "",
+      " 18.34 ", "1.2.3", "abc", "12e5", "-", ".", "00.000", null)
+    val rnd = new scala.util.Random(17)
+    val alphabet = "0123456789.+- e"
+    val fuzz = (1 to 1500).map(_ =>
+      (0 to rnd.nextInt(10)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    (fixed ++ fuzz).map(Tuple1(_)).toDF("x")
+      .select(col("x"),
+        Grabbers.getExponent(col("x")).as("kern"),
+        Grabbers.getExponentSpec(col("x")).as("spec"))
+      .collect().foreach { r =>
+        assert(r.getInt(1) === r.getInt(2), s"input '${r.getString(0)}'")
+      }
+  }
+
+  test("permissiveTimestamp native kernel matches the cascade spec (parity sweep)") {
+    val s = spark
+    import s.implicits._
+    // goldens + near-misses + fuzz: the kernel (shaped_date) and the
+    // retained try_to_timestamp cascade must agree on every input
+    val fixed = Seq(
+      "2014-01-10", "2014-01-10 12:30:15", "2014-01-10T08:35:59.395Z",
+      "2001/3/4", "12/31/2001", "2/30/2001", "13/1/2001", "2001.3.4",
+      "JAN 5, 1999", "JANUARY 5, 1999", "SEPT 5, 1999", "FEB 29 1900",
+      "FEB 29 2000", "5 MARCH 2001", "MARCH 2001", "5-MAR-2001",
+      "JUNE 1ST, 2000", "21ST MARCH 2001", "20140110", "99999999",
+      "1/2/34", "12/31/99", "99/99/99", "0/0/00",
+      "JAN 5, 1999 3:15 PM", "JAN 5 1999 3:15PM", "JAN 5, 1999 15:30",
+      "JAN 5, 1999 15:30:45", "JAN 5, 1999 12:61 AM", "JAN 5, 1999 13:15 PM",
+      "JANUARY 12, 1999 12:00 AM", "JANUARY 12, 1999 12:00 PM",
+      "2014-01-10 12:30:15 UTC", "2014-01-10T08:35:59.395 GMT",
+      "2014-1-2 3:15 UTC", "2014-01-10 12:00.5 UTC", "2014-01-10 24:00 UTC",
+      "0000/1/1", "1/1/0000", "SMARCH 5, 1999", "FOO BAR", "")
+    val rnd = new scala.util.Random(13)
+    val alphabet = "0123456789/.,- :APMUTCGJANFEBRYLOVDES"
+    val fuzz = (1 to 2000).map(_ =>
+      (1 to (1 + rnd.nextInt(16))).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (fixed ++ fuzz).map(Tuple1(_)).toDF("x")
+      .select(col("x"),
+        Grabbers.permissiveTimestamp(upper(trim(col("x")))).as("kern"),
+        Grabbers.permissiveTimestampSpec(upper(trim(col("x")))).as("spec"))
+    df.collect().foreach { r =>
+      assert(Option(r.get(1)) === Option(r.get(2)), s"input '${r.getString(0)}'")
+    }
+  }
+
   test("permissiveTimestamp month-name formats (dateutil parity subset)") {
     import Grabbers._
     // dateGrabber upper-cases before parsing (conversions.py:589), so the

@@ -212,6 +212,36 @@ class NativeTextSpec extends SparkSpec {
     assert(yr("aus bus l. 2020 and 1900") === Some(2020)) // first wins
   }
 
+  test("mapFields one-pass projection matches per-key element_at semantics") {
+    val s = spark
+    import s.implicits._
+    val keys = Seq("a", "b", "c", "missing", "dwc:x")
+    val maps: Seq[Map[String, String]] = Seq(
+      Map("a" -> "Hello World", "b" -> "  PADDED  ", "dwc:x" -> "MiXeD"),
+      Map("a" -> "", "c" -> " ", "zz" -> "ignored"),
+      Map("b" -> null, "c" -> "Ünïcode Ö"),
+      Map(),
+      Map("a" -> "x\ty", "b" -> "a  b"))
+    val df = maps.map(Tuple1(_)).toDF("m")
+    val proj = graft.functions.MapFields(col("m"), keys)
+    val checks = keys.flatMap { k =>
+      Seq(proj.getField(k).as(s"kern_$k"),
+        lower(trim(element_at(col("m"), k))).as(s"spec_$k"))
+    }
+    df.select(checks: _*).collect().foreach { r =>
+      keys.indices.foreach { i =>
+        assert(Option(r.getString(2 * i)) === Option(r.getString(2 * i + 1)),
+          s"key ${keys(i)} row $r")
+      }
+    }
+    // raw mode passes values through untouched
+    val raw = df.select(
+      graft.functions.MapFields(col("m"), Seq("b"), normalize = false)
+        .getField("b").as("k"),
+      element_at(col("m"), "b").as("s")).collect()
+    raw.foreach(r => assert(Option(r.getString(0)) === Option(r.getString(1))))
+  }
+
   test("dateShape kernel matches the anchored regexes it replaced") {
     val patterns = Seq(
       // 13/12 first: they are the only shapes that can share a prefix
