@@ -371,7 +371,6 @@ object Enrich {
 
     val licenseCandidates = Seq("dcterms:rights", "dc:rights",
       "xmpRights:UsageTerms", "xmpRights:WebStatement", "dcterms:license")
-    val (formatCol, mediatypeCol) = mediaType(data)
 
     val contract = Set("data", "uuid", "etag", "version", "parent",
       "recordids", "siblings")
@@ -379,35 +378,49 @@ object Enrich {
     val passthrough = df.columns.toSeq
       .filterNot(c => contract(c) || produced(c)).map(col)
 
-    // --- stage 1: everything that reads `data` ------------------------
-    // date-string staging: see the records stage-0 comment (64 KB Janino
-    // method limit when the input tree is inlined into the date cascade)
-    val s0 = df.withColumns(Map(
-      "_dm_in" -> upper(trim(getFieldRaw(data, "idigbio:dateModified"))),
-      "_mo_in" -> upper(trim(getFieldRaw(data, "dcterms:modified"))),
-    ))
+    // --- stage 0: consume the raw map entirely ------------------------
+    // one one-pass multi-key projection (raw values — URLs/licenses are
+    // case-sensitive) + the two date stagings + the ac:-prefix probe;
+    // the barrier closes the span so the parse stage never carries the
+    // map (see the records pipeline for the full rationale)
+    val rawKeys = (Seq("idigbio:uuid", "idigbio:etag", "idigbio:version",
+      "dc:type", "ac:tag", "exif:PixelYDimension", "exif:PixelXDimension",
+      "ac:accessURI", "ac:bestQualityAccessURI", "dcterms:identifier",
+      "dc:identifier", "dcterms:format", "dc:format",
+      "ac:bestQualityFormat") ++ licenseCandidates).distinct
+    def fr(key: String): Column = col("_fr").getField(key)
+    def frNorm(key: String): Column = lower(trim(fr(key)))
+    val s0 = graft.plans.CodegenBarrier(
+      df.withColumns(Map(
+        "_dm_in" -> upper(trim(getFieldRaw(data, "idigbio:dateModified"))),
+        "_mo_in" -> upper(trim(getFieldRaw(data, "dcterms:modified"))),
+        "_has_ac" -> hasAcKey(data),
+        "_fr" -> graft.functions.MapFields(data, rawKeys, normalize = false),
+      )).drop("data"))
+    val (formatCol, mediatypeCol) = mediaTypeFrom(fr)
+
     val s1 = s0.select(passthrough ++ Seq(
-      (if (hasCol("uuid")) col("uuid") else getField(data, "idigbio:uuid")).as("uuid"),
-      (if (hasCol("etag")) col("etag") else getField(data, "idigbio:etag")).as("etag"),
+      (if (hasCol("uuid")) col("uuid") else frNorm("idigbio:uuid")).as("uuid"),
+      (if (hasCol("etag")) col("etag") else frNorm("idigbio:etag")).as("etag"),
       (if (hasCol("recordids")) col("recordids")
        else lit(null).cast("array<string>")).as("recordids"),
       (if (hasCol("version")) col("version").cast("long")
-       else firstNumberLong(getField(data, "idigbio:version"))).as("version"),
+       else firstNumberLong(frNorm("idigbio:version"))).as("version"),
       (if (hasCol("parent")) col("parent")
        else try_element_at(element_at(siblings, "recordset"), lit(1))).as("recordset"),
       element_at(siblings, "record").as("records"),
       permissiveTimestamp(col("_dm_in")).as("datemodified"),
       permissiveTimestamp(col("_mo_in")).as("modified"),
-      getField(data, "dc:type").as("type"),
-      getField(data, "ac:tag").as("tag"),
+      frNorm("dc:type").as("type"),
+      frNorm("ac:tag").as("tag"),
       // reference swap (conversions.py:367-368): xpixels ← PixelY
-      firstNumberLong(getField(data, "exif:PixelYDimension")).as("xpixels"),
-      firstNumberLong(getField(data, "exif:PixelXDimension")).as("ypixels"),
+      firstNumberLong(frNorm("exif:PixelYDimension")).as("xpixels"),
+      firstNumberLong(frNorm("exif:PixelXDimension")).as("ypixels"),
       formatCol.as("format"),
       mediatypeCol.as("mediatype"),
-      accessUri(data).as("accessuri"),
+      accessUriFrom(fr, col("_has_ac")).as("accessuri"),
     ) ++ licenseCandidates.zipWithIndex.map { case (f, i) =>
-      licenseKey(getFieldRaw(data, f)).as(s"_lic_$i")
+      licenseKey(fr(f)).as(s"_lic_$i")
     }: _*)
 
     // Codegen span boundaries — same rationale as the records pipeline:

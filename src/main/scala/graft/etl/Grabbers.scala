@@ -392,25 +392,35 @@ object Grabbers {
     * identifier-unless-any-ac-field-present. The "any ac: key" probe
     * joins the map keys with a \\u0001 separator and string-matches —
     * ConcatWs stays in codegen where a higher-order `exists` would not. */
-  def accessUri(data: Column): Column = {
+  /** Whether any raw key carries the ac: prefix (get_accessuri's
+    * suppression guard) — consumes only the map's key array. */
+  def hasAcKey(data: Column): Column = {
     val joined = concat_ws("\u0001", map_keys(data))
-    val hasAc = joined.startsWith("ac:") || joined.contains("\u0001ac:")
-    coalesce(
-      getFieldRaw(data, "ac:accessURI"),
-      getFieldRaw(data, "ac:bestQualityAccessURI"),
-      when(!hasAc, coalesce(
-        getFieldRaw(data, "dcterms:identifier"),
-        getFieldRaw(data, "dc:identifier"))))
+    joined.startsWith("ac:") || joined.contains("\u0001ac:")
   }
 
+  def accessUri(data: Column): Column =
+    accessUriFrom(getFieldRaw(data, _), hasAcKey(data))
+
+  /** get_accessuri over pre-extracted raw fields (`f` = raw accessor). */
+  def accessUriFrom(f: String => Column, hasAc: Column): Column =
+    coalesce(
+      f("ac:accessURI"),
+      f("ac:bestQualityAccessURI"),
+      when(!hasAc, coalesce(f("dcterms:identifier"), f("dc:identifier"))))
+
   /** get_media_type (conversions.py:725-738): format → default bucket. */
-  def mediaType(data: Column): (Column, Column) = {
+  def mediaType(data: Column): (Column, Column) =
+    mediaTypeFrom(getFieldRaw(data, _))
+
+  /** get_media_type over pre-extracted raw fields; the bucket table is
+    * a native probe (spec: the small when-chain it replaced, pinned by
+    * EnrichMediaSpec's bucket cases). */
+  def mediaTypeFrom(f: String => Column): (Column, Column) = {
     val form = lower(trim(coalesce(
-      getFieldRaw(data, "dcterms:format"),
-      getFieldRaw(data, "dc:format"),
-      getFieldRaw(data, "ac:bestQualityFormat"))))
-    val bucket = Vocab.defaultBuckets.foldLeft(when(lit(false), lit("")))(
-      (acc, kv) => acc.when(form === kv._1, kv._2))
+      f("dcterms:format"), f("dc:format"), f("ac:bestQualityFormat"))))
+    val bucket = graft.functions.StaticLookup(form, "default_buckets",
+      Vocab.defaultBuckets)
     (form, bucket)
   }
 
