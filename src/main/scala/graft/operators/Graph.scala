@@ -49,14 +49,16 @@ object Graph {
       val nbrMin = und
         .join(labels.select(col("id").as("b"), col("comp").as("_nc")), "b")
         .groupBy(col("a").as("id")).agg(min(col("_nc")).as("_nbMin"))
+      // the changed flag rides the propagation join, so convergence
+      // detection is a cheap scan of the checkpointed round result —
+      // not another shuffle join of next⋈labels per round
+      val newComp = least(col("comp"), coalesce(col("_nbMin"), col("comp")))
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("_nbMin"), col("comp"))).as("comp"))
+        .select(col("id"), newComp.as("comp"),
+          (newComp =!= col("comp")).as("_chg"))
         .localCheckpoint(true)
-      val changed = next.join(labels.select(col("id"), col("comp").as("_old")), "id")
-        .filter(col("comp") =!= col("_old")).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("_chg")).head(1).isEmpty
+      labels = next.drop("_chg")
       iter += 1
     }
     // Unconverged labels are WRONG labels (a component split across
