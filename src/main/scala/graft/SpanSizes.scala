@@ -18,7 +18,9 @@ object SpanSizes {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("q_enrich", "q_enrich_media", "q_geo_correct", "q_datum")) {
+    val qs = if (args.length > 1) args.toSeq.drop(1)
+      else Seq("q_enrich", "q_enrich_media", "q_geo_correct", "q_datum")
+    for (q <- qs) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       val spans = df.queryExecution.executedPlan.collect {
         case w: WholeStageCodegenExec => w

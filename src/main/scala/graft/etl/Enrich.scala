@@ -72,12 +72,15 @@ object Enrich {
 
     // partial data-quality score over plain verbatim text fields —
     // nullness equals the raw probe's, so fold it to one small int while
-    // the projected fields are in scope
-    val verbatimScore = FieldSchema.records
+    // the projected fields are in scope (one native pass over the
+    // projected struct; the when/isNotNull fold is the spec, pinned in
+    // EnrichSpec)
+    val verbatimScoreWeights = FieldSchema.records
       .filter(fd => fd.inScore > 0 && fd.raw.nonEmpty &&
         Set("text", "longtext")(fd.ftype) && !mutatedAfterVerbatim(fd.index))
-      .map(fd => when(fk(fd.raw).isNotNull, fd.inScore).otherwise(0))
-      .reduce(_ + _)
+      .map(fd => fd.raw -> fd.inScore)
+    val verbatimScore =
+      graft.functions.MapFields.structScore(col("_f"), verbatimScoreWeights)
 
     // carry caller columns that are neither contract inputs nor outputs
     val contract = Set("data", "uuid", "etag", "version", "parent",

@@ -91,4 +91,56 @@ object MapFields {
   def apply(m: Column, keys: Seq[String], normalize: Boolean = true): Column =
     GraftSqlBridge.column(MapFieldsExpr(GraftSqlBridge.expression(m),
       keys, normalize))
+
+  /** Weighted non-null count over named struct fields — the verbatim
+    * data-quality score fold (`Σ when(f.isNotNull, w)`) as one loop. */
+  def structScore(struct: Column, weights: Seq[(String, Int)]): Column =
+    GraftSqlBridge.column(StructScoreExpr(GraftSqlBridge.expression(struct),
+      weights))
+}
+
+/** Σ weight(field) over non-null struct fields: the ~40-branch
+  * when/isNotNull fold of the enrich verbatim score as a single pass
+  * (parity-pinned in EnrichSpec against the fold form). */
+case class StructScoreExpr(child: Expression, weights: Seq[(String, Int)])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case s: org.apache.spark.sql.types.StructType
+        if weights.forall(w => s.fieldNames.contains(w._1)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"struct_score needs a struct with all scored fields, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "struct_score"
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"${weights.size} weighted fields")
+
+  @transient private lazy val slots: Array[(Int, Int)] = {
+    val fields = child.dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    weights.map { case (n, w) => fields.indexOf(n) -> w }.toArray
+  }
+
+  def score(row: org.apache.spark.sql.catalyst.InternalRow): Int = {
+    var total = 0
+    var i = 0
+    while (i < slots.length) {
+      if (!row.isNullAt(slots(i)._1)) total += slots(i)._2
+      i += 1
+    }
+    total
+  }
+
+  protected override def nullSafeEval(row: Any): Any =
+    score(row.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("structScore", this, classOf[StructScoreExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.score($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StructScoreExpr =
+    copy(child = newChild)
 }

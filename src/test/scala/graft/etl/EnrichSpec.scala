@@ -213,6 +213,26 @@ class EnrichSpec extends SparkSpec {
     else y0
   }
 
+  test("structScore kernel matches the when/isNotNull fold (parity fuzz)") {
+    val s = spark
+    import s.implicits._
+    val keys = Seq("k1", "k2", "k3", "k4")
+    val weights = Seq("k1" -> 5, "k3" -> 2, "k4" -> 10)
+    val rnd = new scala.util.Random(41)
+    val maps = (1 to 300).map { _ =>
+      keys.filter(_ => rnd.nextBoolean()).map(k => k -> "v").toMap
+    } :+ Map.empty[String, String] :+ keys.map(_ -> "").toMap
+    val df = maps.map(Tuple1(_)).toDF("m")
+      .select(graft.functions.MapFields(col("m"), keys).as("_f"))
+    val fold = weights
+      .map { case (k, w) => when(col("_f").getField(k).isNotNull, w).otherwise(0) }
+      .reduce(_ + _)
+    df.select(
+        graft.functions.MapFields.structScore(col("_f"), weights).as("kern"),
+        fold.as("spec"))
+      .collect().foreach(r => assert(r.getInt(0) === r.getInt(1), r))
+  }
+
   test("firstNumber native kernel matches the regex-tree spec (parity fuzz)") {
     val s = spark
     import s.implicits._
