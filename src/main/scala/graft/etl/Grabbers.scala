@@ -225,7 +225,24 @@ object Grabbers {
       // suffix and parsing in the session's UTC zone is value-identical
       when(sh === 13,
         c.substr(lit(1), length(c) - 4)
-          .try_cast(org.apache.spark.sql.types.TimestampType)))
+          .try_cast(org.apache.spark.sql.types.TimestampType)),
+      // slash date + clock ("1/2/2014 3:15 PM"): shape-2 date, shape-12
+      // clock assembly
+      when(sh === 14, {
+        val re = "^(\\d{1,2}/\\d{1,2}/\\d{4}) " +
+          "(\\d{1,2}):(\\d{2})(?::(\\d{2}))? ?(AM|PM)?$"
+        val datePart = regexp_extract(c, re, 1)
+        val hh0 = regexp_extract(c, re, 2).cast("int")
+        val mm = regexp_extract(c, re, 3).cast("int")
+        val ss = coalesce(
+          nullif(regexp_extract(c, re, 4), lit("")).cast("int"), lit(0))
+        val ap = regexp_extract(c, re, 5)
+        val hh = when(ap === "PM" && hh0 =!= 12, hh0 + 12)
+          .when(ap === "AM" && hh0 === 12, lit(0))
+          .otherwise(hh0)
+        val d = try_to_timestamp(datePart, lit("M/d/y"))
+        try_make_timestamp(year(d), month(d), dayofmonth(d), hh, mm, ss)
+      }))
   }
 
   /** Minimal gnparser-equivalent scientific-name parse

@@ -565,6 +565,21 @@ object MinhashKernel {
       (c0 == 'R' && c1 == 'D') || (c0 == 'T' && c1 == 'H')
     }
 
+    // "\d{1,2}:\d{2}(:\d{2})?( ?[AP]M)?" over [s, e0)
+    def timeTail(s: Int, e0: Int): Boolean = {
+      var e = e0
+      if (e - s >= 2 && b(e - 1) == 'M' && (b(e - 2) == 'A' || b(e - 2) == 'P')) {
+        e -= 2
+        if (e > s && b(e - 1) == ' ') e -= 1
+      }
+      var j = s
+      while (j < e && b(j) != ':') j += 1
+      if (!dig(s, j, 1, 2)) return false
+      if (j + 3 > e || !allDigits(b, j + 1, j + 3)) return false
+      if (j + 3 == e) return true
+      b(j + 3) == ':' && j + 6 == e && allDigits(b, j + 4, j + 6)
+    }
+
     val slash = split3('/')
     if (slash != null) {
       if (dig(slash(0), slash(1), 4, 4) && dig(slash(2), slash(3), 1, 2) &&
@@ -573,6 +588,10 @@ object MinhashKernel {
         if (dig(slash(4), slash(5), 4, 4)) return 2
         // "^\d{1,2}/\d{1,2}/\d{2}$" — two-digit year ("1/2/34")
         if (dig(slash(4), slash(5), 2, 2)) return 11
+        // 14: "^\d{1,2}/\d{1,2}/\d{4} \d{1,2}:\d{2}(:\d{2})?( ?[AP]M)?$"
+        val ys = slash(4); val ye = ys + 4
+        if (slash(5) - ys > 5 && allDigits(b, ys, ye) && b(ye) == ' ' &&
+          timeTail(ye + 1, n)) return 14
       }
       return 0
     }
@@ -594,20 +613,6 @@ object MinhashKernel {
       i += 1
     }
 
-    // "\d{1,2}:\d{2}(:\d{2})?( ?[AP]M)?" over [s, e0)
-    def timeTail(s: Int, e0: Int): Boolean = {
-      var e = e0
-      if (e - s >= 2 && b(e - 1) == 'M' && (b(e - 2) == 'A' || b(e - 2) == 'P')) {
-        e -= 2
-        if (e > s && b(e - 1) == ' ') e -= 1
-      }
-      var j = s
-      while (j < e && b(j) != ':') j += 1
-      if (!dig(s, j, 1, 2)) return false
-      if (j + 3 > e || !allDigits(b, j + 1, j + 3)) return false
-      if (j + 3 == e) return true
-      b(j + 3) == ':' && j + 6 == e && allDigits(b, j + 4, j + 6)
-    }
     // "\d{1,2}:\d{2}(:\d{2})?(\.\d+)?" over [s, e)
     def timeIsoTail(s: Int, e: Int): Boolean = {
       var j = s
@@ -734,6 +739,8 @@ object MinhashKernel {
   private val P13 = java.util.regex.Pattern.compile(
     "^(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ](\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
       "(?:\\.(\\d+))? (?:UTC|GMT)$")
+  private val P14 = java.util.regex.Pattern.compile(
+    "^(\\d{1,2})/(\\d{1,2})/(\\d{4}) (\\d{1,2}):(\\d{2})(?::(\\d{2}))? ?(AM|PM)?$")
 
   private def microsOf(ldt: java.time.LocalDateTime,
       zone: java.time.ZoneId): java.lang.Long = {
@@ -816,6 +823,21 @@ object MinhashKernel {
             else hh0
           microsOf(java.time.LocalDateTime.of(y, mi.intValue(),
             m.group(2).toInt, hh, mm, ss), zone)
+        case 14 =>
+          // slash date + clock: "1/2/2014 3:15 PM" (M/d/y + shape-12
+          // clock rules)
+          val m = P14.matcher(s)
+          if (!m.matches()) return null
+          val hh0 = m.group(4).toInt
+          val mm = m.group(5).toInt
+          val ss = if (m.group(6) == null) 0 else m.group(6).toInt
+          val ap = m.group(7)
+          val hh =
+            if (ap == "PM" && hh0 != 12) hh0 + 12
+            else if (ap == "AM" && hh0 == 12) 0
+            else hh0
+          microsOf(java.time.LocalDateTime.of(m.group(3).toInt,
+            m.group(1).toInt, m.group(2).toInt, hh, mm, ss), zone)
         case 13 =>
           val m = P13.matcher(s)
           if (!m.matches()) return null

@@ -289,6 +289,8 @@ class EnrichSpec extends SparkSpec {
       "JANUARY 12, 1999 12:00 AM", "JANUARY 12, 1999 12:00 PM",
       "2014-01-10 12:30:15 UTC", "2014-01-10T08:35:59.395 GMT",
       "2014-1-2 3:15 UTC", "2014-01-10 12:00.5 UTC", "2014-01-10 24:00 UTC",
+      "1/2/2014 3:15 PM", "12/31/1999 23:59:59", "2/30/2014 3:15 PM",
+      "1/2/2014 13:15 PM", "1/2/2014 12:00 AM", "1/2/0000 3:15",
       "0000/1/1", "1/1/0000", "SMARCH 5, 1999", "FOO BAR", "")
     val rnd = new scala.util.Random(13)
     val alphabet = "0123456789/.,- :APMUTCGJANFEBRYLOVDES"
@@ -347,6 +349,10 @@ class EnrichSpec extends SparkSpec {
       // UTC/GMT suffixes (dateutil → +00:00; engine runs in UTC)
       "2014-01-10 12:30:15 UTC"  -> "2014-01-10 12:30:15.0",
       "2014-01-10T08:35:59.395 GMT" -> "2014-01-10 08:35:59.395",
+      // slash date + clock
+      "1/2/2014 3:15 PM"         -> "2014-01-02 15:15:00.0",
+      "12/31/1999 23:59:59"      -> "1999-12-31 23:59:59.0",
+      "1/2/2014 12:00 AM"        -> "2014-01-02 00:00:00.0",
     )
     for ((in, want) <- cases) {
       val got = one(permissiveTimestamp(upper(trim(col("x")))), in)

@@ -249,6 +249,7 @@ class NativeTextSpec extends SparkSpec {
       13 -> ("^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}(:\\d{2})?" +
         "(\\.\\d+)? (UTC|GMT)$"),
       12 -> "^[A-Z]{3,9} \\d{1,2},? \\d{4} \\d{1,2}:\\d{2}(:\\d{2})?( ?[AP]M)?$",
+      14 -> "^\\d{1,2}/\\d{1,2}/\\d{4} \\d{1,2}:\\d{2}(:\\d{2})?( ?[AP]M)?$",
       1 -> "^\\d{4}/\\d{1,2}/\\d{1,2}$",
       2 -> "^\\d{1,2}/\\d{1,2}/\\d{4}$",
       3 -> "^\\d{4}\\.\\d{1,2}\\.\\d{1,2}$",
@@ -278,6 +279,10 @@ class NativeTextSpec extends SparkSpec {
       "JAN 5, 1999 15:30:45", "JANUARY 12, 1999 12:00 AM",
       "JAN 5, 1999 3:15 XM", "JAN 5, 1999 3:155", "JAN 5, 1999 3:15M",
       "JAN 5, 1999 :15", "JAN 5, 19999 3:15", "JAN 5, 1999  3:15",
+      // slash date + time (14) and near-misses
+      "1/2/2014 3:15 PM", "12/31/1999 23:59:59", "1/2/2014 3:15PM",
+      "1/2/14 3:15 PM", "1/2/2014  3:15", "1/2/2014 3:15 XM",
+      "1/2/20144 3:15", "2014/1/2 3:15",
       // UTC/GMT-suffixed datetimes (13) and near-misses
       "2014-01-10 12:30:15 UTC", "2014-01-10T08:35:59.395 GMT",
       "2014-1-2 3:15 UTC", "2014-01-10 12:30 EST", "2014-01-10 UTC",
