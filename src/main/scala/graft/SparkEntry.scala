@@ -90,6 +90,7 @@ object SparkEntry {
     "q_dedup_exact"   -> (LlmQueries.qDedupExact _),
     "q_dedup_minhash" -> (LlmQueries.qDedupMinhash _),
     "q_dedup_clusters" -> (LlmQueries.qDedupClusters _),
+    "q_dedup_apply"   -> (LlmQueries.qDedupApply _),
     "q_ann_ivf" -> (LlmQueries.qAnnIvf _),
     "q_ann_ivf_probe" -> (LlmQueries.qAnnIvfProbe _),
     "q_dedup_embed" -> (LlmQueries.qDedupEmbed _),
@@ -174,6 +175,7 @@ object SparkEntry {
     "q_dedup_exact"   -> LlmQueries.qDedupExactSql,
     "q_dedup_minhash" -> LlmQueries.qDedupMinhashSql,
     "q_dedup_clusters" -> LlmQueries.qDedupClustersSql,
+    "q_dedup_apply"   -> LlmQueries.qDedupApplySql,
     "q_ann_ivf" -> LlmQueries.qAnnIvfSql,
     "q_ann_ivf_probe" -> LlmQueries.qAnnIvfProbeSql,
     "q_dedup_embed" -> LlmQueries.qDedupEmbedSql,

@@ -72,4 +72,18 @@ object Graph {
         "propagation budget")
     labels
   }
+
+  /** Materialize the deduplicated corpus: drop every non-canonical
+    * member of a duplicate cluster (canonical = the component's min
+    * id), keep everything unclustered. The standard end-cap after
+    * near-dup detection + [[connectedComponents]]: a left-anti join
+    * against the (small) kill set — corpus-side single pass, no
+    * shuffle of the corpus when the kill set broadcasts. */
+  def dropDuplicates(corpus: DataFrame, idCol: String,
+      labels: DataFrame): DataFrame = {
+    val kill = labels.filter(col("comp") =!= col("id"))
+      .select(col("id").as("_kill_id"))
+    corpus.join(broadcast(kill),
+      corpus(idCol) === col("_kill_id"), "left_anti")
+  }
 }

@@ -106,6 +106,34 @@ object LlmQueries {
        |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id)
        |SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** The dedup end-cap: materialize the surviving corpus after near-dup
+    * clustering — every non-canonical cluster member (comp ≠ id) is
+    * dropped via a broadcast anti-join; unclustered documents survive
+    * untouched. Returns (doc_id, n_tokens) of survivors. */
+  def qDedupApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5)
+    val labels = Graph.connectedComponents(pairs, "d1", "d2")
+    Graph.dropDuplicates(docs, "doc_id", labels)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupApplySql: String =
+    s"""WITH RECURSIVE $minhashPairsCte,
+       |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |        UNION SELECT d2, d1 FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT a, a FROM und
+       |  UNION
+       |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id),
+       |comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |kill AS (SELECT id FROM comps WHERE comp <> id)
+       |SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+       |FROM documents WHERE doc_id NOT IN (SELECT id FROM kill)
+       |ORDER BY doc_id""".stripMargin
+
   // --- embedding-cosine near-dup ---------------------------------------
 
   /** Corpus with injected exact-duplicate vectors (every 25th vec_id
