@@ -27,6 +27,7 @@ object Bench {
       // that limit silently runs interpreted — measured 6x slower on the
       // wide enrich projection than per-operator codegen that does JIT.
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -59,10 +60,12 @@ object Bench {
     val n = Tables.orders(spark, sfDir).count()
     val inputParts = Tables.orders(spark, sfDir).rdd.getNumPartitions
     val effCores = math.min(cpus.toInt, inputParts).toDouble
+    // a FAILED warm run must report 0, not divide its (tiny) elapsed
+    // time into a bogus headline throughput
     val tWarm = {
       val t0 = System.nanoTime()
-      try run("q_enrich") catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { run("q_enrich"); true } catch { case _: Throwable => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else 0.0
     }
     val enrichWarm = if (tWarm > 0) n / tWarm / effCores else 0.0
     val enrichCold = results.toMap.get("q_enrich").filter(_ > 0)

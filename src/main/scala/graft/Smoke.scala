@@ -11,6 +11,7 @@ object Smoke {
       .config("spark.sql.shuffle.partitions", "8")
       // see Bench.scala: fused methods past the JIT limit run interpreted
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

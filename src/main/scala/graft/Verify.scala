@@ -16,6 +16,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       // see Bench.scala: fused methods past the JIT limit run interpreted
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -53,13 +53,19 @@ object Enrich {
     // scans of the raw map per row — and the largest bytecode block in
     // the span. `_f` materializes once in stage 0; each consumer is a
     // cheap struct-field read.
-    val textKeys = FieldSchema.records.collect {
+    // ONE key→index list drives BOTH the projection key set and the
+    // consuming columns below, so the two can never drift apart
+    val textFields = FieldSchema.records.collect {
       case fd if fd.raw.nonEmpty && Set("text", "longtext")(fd.ftype) &&
-        !Set("uuid", "etag")(fd.index) => fd.raw
+        !Set("uuid", "etag")(fd.index) => fd.raw -> fd.index
     }
-    val elevKeys = Seq("dwc:minimumElevationInMeters",
-      "dwc:maximumElevationInMeters", "dwc:minimumDepthInMeters",
-      "dwc:maximumDepthInMeters")
+    val textKeys = textFields.map(_._1)
+    val elevFields = Seq(
+      "minelevation" -> "dwc:minimumElevationInMeters",
+      "maxelevation" -> "dwc:maximumElevationInMeters",
+      "mindepth"     -> "dwc:minimumDepthInMeters",
+      "maxdepth"     -> "dwc:maximumDepthInMeters")
+    val elevKeys = elevFields.map(_._2)
     val scoreKeys = FieldSchema.records.collect {
       case fd if fd.inScore > 0 && fd.raw.nonEmpty => fd.raw }
     val miscKeys = Seq("idigbio:uuid", "idigbio:etag", "idigbio:version",
@@ -111,17 +117,9 @@ object Enrich {
       )).drop("data"))
 
     // --- stage 1: everything that reads `data` ------------------------
-    val textCols = FieldSchema.records.collect {
-      case fd if fd.raw.nonEmpty && Set("text", "longtext")(fd.ftype) &&
-        !Set("uuid", "etag")(fd.index) =>
-        fk(fd.raw).as(fd.index)
-    }
-    val elevCols = Seq(
-      "minelevation" -> "dwc:minimumElevationInMeters",
-      "maxelevation" -> "dwc:maximumElevationInMeters",
-      "mindepth"     -> "dwc:minimumDepthInMeters",
-      "maxdepth"     -> "dwc:maximumDepthInMeters",
-    ).map { case (idx, raw) => firstNumberDouble(fk(raw)).as(idx) }
+    val textCols = textFields.map { case (raw, idx) => fk(raw).as(idx) }
+    val elevCols = elevFields.map { case (idx, raw) =>
+      firstNumberDouble(fk(raw)).as(idx) }
     val siblings =
       if (hasCol("siblings")) col("siblings")
       else lit(null).cast("map<string,array<string>>")

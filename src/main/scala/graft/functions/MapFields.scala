@@ -36,7 +36,10 @@ case class MapFieldsExpr(child: Expression, keys: Seq[String],
   }
   override def dataType: DataType =
     StructType(keys.map(k => StructField(k, StringType, nullable = true)))
-  override def nullable: Boolean = false
+  // a null map yields a null struct (whose field reads are null — the
+  // same result element_at(null_map, k) gave); claiming non-null here
+  // made codegen skip the child null check and NPE on null `data` rows
+  override def nullable: Boolean = child.nullable
   override def prettyName: String = "map_fields"
   override def stringArgs: Iterator[Any] =
     Iterator(child, s"${keys.size} keys", normalize)
@@ -124,6 +127,10 @@ case class StructScoreExpr(child: Expression, weights: Seq[(String, Int)])
   }
 
   def score(row: org.apache.spark.sql.catalyst.InternalRow): Int = {
+    // a null struct scores 0 — every field of it "is null", exactly the
+    // when/isNotNull fold's result (mirrors DecimalExponentExpr's
+    // null→0 contract rather than crashing or leaking a fake null)
+    if (row == null) return 0
     var total = 0
     var i = 0
     while (i < slots.length) {
@@ -133,12 +140,20 @@ case class StructScoreExpr(child: Expression, weights: Seq[(String, Int)])
     total
   }
 
-  protected override def nullSafeEval(row: Any): Any =
-    score(row.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    score(child.eval(input)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val ref = ctx.addReferenceObj("structScore", this, classOf[StructScoreExpr].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.score($c);")
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      int ${ev.value} = ${childGen.isNull} ? 0 :
+        $ref.score(${childGen.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): StructScoreExpr =

@@ -77,13 +77,14 @@ object Graph {
     * member of a duplicate cluster (canonical = the component's min
     * id), keep everything unclustered. The standard end-cap after
     * near-dup detection + [[connectedComponents]]: a left-anti join
-    * against the (small) kill set — corpus-side single pass, no
-    * shuffle of the corpus when the kill set broadcasts. */
+    * against the kill set. No broadcast hint — the kill set scales with
+    * the duplicate count (20% dups of a 100 TB corpus would OOM a
+    * forced broadcast); the planner/AQE broadcasts when it fits and
+    * falls back to a shuffled anti-join when it doesn't. */
   def dropDuplicates(corpus: DataFrame, idCol: String,
       labels: DataFrame): DataFrame = {
     val kill = labels.filter(col("comp") =!= col("id"))
       .select(col("id").as("_kill_id"))
-    corpus.join(broadcast(kill),
-      corpus(idCol) === col("_kill_id"), "left_anti")
+    corpus.join(kill, corpus(idCol) === col("_kill_id"), "left_anti")
   }
 }

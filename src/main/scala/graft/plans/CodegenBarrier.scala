@@ -67,7 +67,16 @@ object CodegenBarrierStrategy extends SparkStrategy {
 
 /** Deterministic filters commute with a pass-through node; pushing them
   * below lets the built-in PushDownPredicate keep walking them through
-  * the stage projections toward the scan. */
+  * the stage projections toward the scan.
+  *
+  * FIDELITY NOTE: full pushdown-to-scan needs this rule to interleave
+  * with the operator-optimization batch, which only the
+  * `spark.sql.extensions=graft.functions.GraftExtensions` registration
+  * provides (every session this engine builds — Bench/Verify/Smoke/
+  * specs — sets it). The per-session fallback
+  * (`experimental.extraOptimizations`) runs in Spark's LAST optimizer
+  * batch: the filter still moves below the barrier, but is not walked
+  * further that run — correct, just not scan-pushed. */
 object BarrierPushdown extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case Filter(cond, b @ CodegenBarrierPlan(child)) if cond.deterministic =>

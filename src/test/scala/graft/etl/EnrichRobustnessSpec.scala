@@ -63,6 +63,28 @@ class EnrichRobustnessSpec extends SparkSpec {
     assert(Enrich.publishers(nastyRecords).collect().length === 5)
   }
 
+  test("NULL data map survives enrich end-to-end (parquet roundtrip, codegen)") {
+    val s = spark
+    import s.implicits._
+    // a nullable parquet map column with an actual null row — the shape
+    // PERMISSIVE ingest can produce; the one-pass map kernel must treat
+    // it like element_at does (null struct → null fields), not NPE in
+    // the generated code
+    val dir = java.nio.file.Files.createTempDirectory("nullmap").toString
+    Seq((1L, Map("dwc:genus" -> "Acer")), (2L, null))
+      .toDF("id", "data").write.mode("overwrite").parquet(dir)
+    val back = s.read.parquet(dir)
+    val rec = Enrich.records(back).orderBy("id").collect()
+    assert(rec.length === 2)
+    assert(rec(1).isNullAt(rec(1).fieldIndex("genus")))
+    // only the always-present fields (empty commonnames array scores as
+    // non-null, like the reference's `is not None` check) contribute
+    assert(rec(1).getDouble(rec(1).fieldIndex("dqs")) < 0.05)
+    val med = Enrich.mediarecords(back).orderBy("id").collect()
+    assert(med.length === 2)
+    assert(med(1).isNullAt(med(1).fieldIndex("accessuri")))
+  }
+
   test("store view tolerates empty mediarecords edge lists") {
     val s = spark
     import s.implicits._
