@@ -97,6 +97,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (LlmQueries.qDedupSimhash _),
     "q_text_stats"    -> (LlmQueries.qTextStats _),
     "q_quality_rep"   -> (LlmQueries.qQualityRep _),
+    "q_quality_filter" -> (LlmQueries.qQualityFilter _),
     "q_split_hash"    -> (LlmQueries.qSplitHash _),
     "q_pii_scrub"     -> (LlmQueries.qPiiScrub _),
     "q_sample_quota"  -> (LlmQueries.qSampleQuota _),
@@ -182,6 +183,7 @@ object SparkEntry {
     "q_dedup_simhash" -> LlmQueries.qDedupSimhashSql,
     "q_text_stats"    -> LlmQueries.qTextStatsSql,
     "q_quality_rep"   -> LlmQueries.qQualityRepSql,
+    "q_quality_filter" -> LlmQueries.qQualityFilterSql,
     "q_split_hash"    -> LlmQueries.qSplitHashSql,
     "q_pii_scrub"     -> LlmQueries.qPiiScrubSql,
     "q_sample_quota"  -> LlmQueries.qSampleQuotaSql,

@@ -255,6 +255,82 @@ object LlmQueries {
       .replace("BPEPAT", TextStats.BpePattern.replace("'", "''"))
   }
 
+  /** The quality-filter end-cap: combine the text-stats, repetition,
+    * and language signals into one C4/Gopher-style keep decision and
+    * materialize the surviving corpus — the step a training-data
+    * pipeline actually ships. One scan, all native kernels, no
+    * shuffle; each signal reuses the exact formulation its own gated
+    * query proves. */
+  def qQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val profiles = TextStats.stopwordProfiles.toSeq
+    val staged = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextStats.words(col("text")).as("_w"),
+        split(col("text"), " ").as("_rw"),
+        split(lower(col("text")), "\\s+").as("_lw"))
+      .select(col("doc_id"),
+        size(col("_w")).as("n_tokens"),
+        graft.functions.NativeTextStats.textStats(col("_w"), enStops).as("_t"),
+        graft.functions.NativeText.repetitionStats(col("_rw")).as("_r"),
+        graft.functions.NativeTextStats.langId(col("_lw"), profiles)
+          .as("lang_pred"))
+    val tooShort = col("n_tokens") < 20
+    val lowDiv = col("_t.n_distinct").cast("double") /
+      greatest(col("n_tokens"), lit(1)).cast("double") < 0.3
+    val longTok = (col("_t.sum_len").cast("double") /
+      col("n_tokens").cast("double")) > 12.0
+    val repetitive = col("_r.n_words") >= 3 &&
+      (col("_r.dup2").cast("double") /
+        (col("_r.n_words") - 1).cast("double")) > 0.3
+    val wrongLang = col("lang_pred") =!= "en"
+    staged
+      .filter(!tooShort && !lowDiv && !longTok && !repetitive && !wrongLang)
+      .select(col("doc_id"), col("n_tokens"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQualityFilterSql: String = {
+    val profiles = TextStats.stopwordProfiles.toSeq.sortBy(_._1)
+    val scoreCols = profiles.map { case (lang, ws) =>
+      val in = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(list_sum(list_transform(w, x -> CASE WHEN lower(x) IN ($in) THEN 1 ELSE 0 END)) AS BIGINT) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = profiles.map(_._1)
+    val caseChain = langs.init.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |m AS (SELECT doc_id, len(w) AS n_tokens,
+       |  len(list_distinct(w)) AS n_distinct,
+       |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len
+       |  FROM t),
+       |g2 AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] AS g
+       |       FROM (SELECT doc_id, unnest(range(len(w) - 1)) AS i, w FROM t)),
+       |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+       |a2 AS (SELECT doc_id, COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup2
+       |       FROM c2 GROUP BY 1),
+       |sc AS (SELECT doc_id,
+       |  $scoreCols
+       |  FROM t),
+       |lang AS (SELECT doc_id,
+       |  CASE WHEN ${langs.map(l => s"s_$l").mkString(" + ")} = 0 OR
+       |            greatest(${langs.map(l => s"s_$l").mkString(", ")}) = 0 THEN 'und'
+       |    $caseChain
+       |    ELSE '${langs.last}' END AS lang_pred
+       |  FROM sc)
+       |SELECT m.doc_id, m.n_tokens, lang.lang_pred
+       |FROM m JOIN lang ON m.doc_id = lang.doc_id
+       |  LEFT JOIN a2 ON m.doc_id = a2.doc_id
+       |WHERE NOT (m.n_tokens < 20)
+       |  AND NOT (CAST(n_distinct AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) < 0.3)
+       |  AND NOT (CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 12.0)
+       |  AND NOT (n_tokens >= 3 AND
+       |    CAST(COALESCE(dup2, 0) AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE) > 0.3)
+       |  AND lang_pred = 'en'
+       |ORDER BY m.doc_id""".stripMargin
+  }
+
   /** Gopher/C4-style repetition quality signals per document via the
     * one-pass native kernel
     * ([[graft.functions.NativeText.repetitionStats]]): duplicate-word
