@@ -41,14 +41,17 @@ object Bench {
     // shuffle service, parquet footers for the big tables).
     try { run("q1_agg"); run("q_join_equi") } catch { case _: Throwable => }
 
+    // per-query (elapsed, succeeded): a failed run keeps its elapsed in
+    // the per-query table (the driver should see the cost) but must
+    // never be turned into a throughput
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { run(name); true } catch { case _: Throwable => false }
+      name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2._1).sum
     // enrich throughput vs the reference's only published perf number
     // (750 rec/s/core, conversions.py:915-930): q_enrich records/sec/core.
     // Steady-state is the comparable axis — the reference's number is a
@@ -68,8 +71,9 @@ object Bench {
       if (ok) (System.nanoTime() - t0) / 1e9 else 0.0
     }
     val enrichWarm = if (tWarm > 0) n / tWarm / effCores else 0.0
-    val enrichCold = results.toMap.get("q_enrich").filter(_ > 0)
-      .map(t => n / t / effCores).getOrElse(0.0)
+    val enrichCold = results.toMap.get("q_enrich")
+      .collect { case (t, true) if t > 0 => n / t / effCores }
+      .getOrElse(0.0)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"enrich_rec_s_core":$enrichWarm%.0f,"enrich_rec_s_core_cold":$enrichCold%.0f,"enrich_cores":$effCores%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -96,20 +96,26 @@ object LlmQueries {
       .orderBy(col("id"))
   }
 
+  /** Shared recursive-closure block over `pairs` (used by the cluster
+    * oracle and the dedup-apply oracle — one source, no drift). */
+  private val ccClosureCte: String =
+    """und AS (SELECT d1 AS a, d2 AS b FROM pairs
+      |        UNION SELECT d2, d1 FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT a, a FROM und
+      |  UNION
+      |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id)""".stripMargin
+
   val qDedupClustersSql: String =
     s"""WITH RECURSIVE $minhashPairsCte,
-       |und AS (SELECT d1 AS a, d2 AS b FROM pairs
-       |        UNION SELECT d2, d1 FROM pairs),
-       |reach(id, r) AS (
-       |  SELECT DISTINCT a, a FROM und
-       |  UNION
-       |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id)
+       |$ccClosureCte
        |SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   /** The dedup end-cap: materialize the surviving corpus after near-dup
     * clustering — every non-canonical cluster member (comp ≠ id) is
-    * dropped via a broadcast anti-join; unclustered documents survive
-    * untouched. Returns (doc_id, n_tokens) of survivors. */
+    * dropped via a planner-chosen anti-join (Graph.dropDuplicates
+    * deliberately leaves broadcast to the planner/AQE); unclustered
+    * documents survive untouched. Returns (doc_id, n_tokens). */
   def qDedupApply(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
@@ -122,12 +128,7 @@ object LlmQueries {
 
   val qDedupApplySql: String =
     s"""WITH RECURSIVE $minhashPairsCte,
-       |und AS (SELECT d1 AS a, d2 AS b FROM pairs
-       |        UNION SELECT d2, d1 FROM pairs),
-       |reach(id, r) AS (
-       |  SELECT DISTINCT a, a FROM und
-       |  UNION
-       |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id),
+       |$ccClosureCte,
        |comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
        |kill AS (SELECT id FROM comps WHERE comp <> id)
        |SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
@@ -262,12 +263,18 @@ object LlmQueries {
     * shuffle; each signal reuses the exact formulation its own gated
     * query proves. */
   def qQualityFilter(s: SparkSession, dir: String): DataFrame = {
-    val profiles = TextStats.stopwordProfiles.toSeq
+    // sorted: the kernel breaks score ties first-profile-wins and the
+    // oracle's CASE chain is alphabetical — unsorted Map order would
+    // diverge on tied documents
+    val profiles = TextStats.stopwordProfiles.toSeq.sortBy(_._1)
+    // ONE tokenization (single-space split, the oracle's string_split)
+    // for every signal in the keep decision — mixing \s+ and ' ' splits
+    // would disagree on tabs/double spaces
     val staged = Tables.documents(s, dir)
       .select(col("doc_id"),
-        TextStats.words(col("text")).as("_w"),
+        split(col("text"), " ").as("_w"),
         split(col("text"), " ").as("_rw"),
-        split(lower(col("text")), "\\s+").as("_lw"))
+        split(lower(col("text")), " ").as("_lw"))
       .select(col("doc_id"),
         size(col("_w")).as("n_tokens"),
         graft.functions.NativeTextStats.textStats(col("_w"), enStops).as("_t"),
@@ -289,35 +296,28 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
-  val qQualityFilterSql: String = {
-    val profiles = TextStats.stopwordProfiles.toSeq.sortBy(_._1)
-    val scoreCols = profiles.map { case (lang, ws) =>
-      val in = ws.map(w => s"'$w'").mkString(", ")
-      s"CAST(list_sum(list_transform(w, x -> CASE WHEN lower(x) IN ($in) THEN 1 ELSE 0 END)) AS BIGINT) AS s_$lang"
-    }.mkString(",\n  ")
-    val langs = profiles.map(_._1)
-    val caseChain = langs.init.map { l =>
-      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
-      s"WHEN $geAll THEN '$l'"
-    }.mkString("\n    ")
+  /** Shared bigram-duplication CTEs over a `t(doc_id, w)` word-list CTE
+    * — dup2 = bigram occurrences belonging to repeated bigrams (used by
+    * the repetition oracle and the quality-filter oracle). */
+  private val bigramDupCte: String =
+    """g2 AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] AS g
+      |       FROM (SELECT doc_id, unnest(range(len(w) - 1)) AS i, w FROM t)),
+      |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+      |a2 AS (SELECT doc_id, COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup2
+      |       FROM c2 GROUP BY 1)""".stripMargin
+
+  val qQualityFilterSql: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |m AS (SELECT doc_id, len(w) AS n_tokens,
        |  len(list_distinct(w)) AS n_distinct,
        |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len
        |  FROM t),
-       |g2 AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] AS g
-       |       FROM (SELECT doc_id, unnest(range(len(w) - 1)) AS i, w FROM t)),
-       |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
-       |a2 AS (SELECT doc_id, COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup2
-       |       FROM c2 GROUP BY 1),
+       |$bigramDupCte,
        |sc AS (SELECT doc_id,
-       |  $scoreCols
+       |  $langScoreColsSql
        |  FROM t),
        |lang AS (SELECT doc_id,
-       |  CASE WHEN ${langs.map(l => s"s_$l").mkString(" + ")} = 0 OR
-       |            greatest(${langs.map(l => s"s_$l").mkString(", ")}) = 0 THEN 'und'
-       |    $caseChain
-       |    ELSE '${langs.last}' END AS lang_pred
+       |  $langArgmaxSql AS lang_pred
        |  FROM sc)
        |SELECT m.doc_id, m.n_tokens, lang.lang_pred
        |FROM m JOIN lang ON m.doc_id = lang.doc_id
@@ -329,7 +329,6 @@ object LlmQueries {
        |    CAST(COALESCE(dup2, 0) AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE) > 0.3)
        |  AND lang_pred = 'en'
        |ORDER BY m.doc_id""".stripMargin
-  }
 
   /** Gopher/C4-style repetition quality signals per document via the
     * one-pass native kernel
@@ -561,33 +560,44 @@ object LlmQueries {
     Tables.documents(s, dir)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("_w"))
       .select(col("doc_id"),
+        // sorted: kernel tie-breaking is first-profile-wins and must
+        // match the oracle's alphabetical CASE chain on tied scores
         graft.functions.NativeTextStats.langId(col("_w"),
-          TextStats.stopwordProfiles.toSeq).as("lang_pred"))
+          TextStats.stopwordProfiles.toSeq.sortBy(_._1)).as("lang_pred"))
       .orderBy(col("doc_id"))
 
-  val qLangIdSql: String = {
+  /** Shared lang-ID SQL: per-language stopword-hit score columns over a
+    * `w` word-list CTE named `t`, and the alphabetical-first-wins argmax
+    * CASE — ONE builder for every oracle that replays the langId kernel
+    * (the kernel receives the same alphabetically-sorted profiles, so
+    * tie-breaking agrees by construction). */
+  private def langScoreColsSql: String = {
     val profiles = TextStats.stopwordProfiles.toSeq.sortBy(_._1)
-    val scoreCols = profiles.map { case (lang, ws) =>
+    profiles.map { case (lang, ws) =>
       val in = ws.map(w => s"'$w'").mkString(", ")
       s"CAST(list_sum(list_transform(w, x -> CASE WHEN lower(x) IN ($in) THEN 1 ELSE 0 END)) AS BIGINT) AS s_$lang"
     }.mkString(",\n  ")
-    val langs = profiles.map(_._1)
-    // alphabetical-first-wins argmax: a CASE chain in language order with >=
+  }
+  private def langArgmaxSql: String = {
+    val langs = TextStats.stopwordProfiles.keys.toSeq.sorted
     val caseChain = langs.init.map { l =>
       val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN $geAll THEN '$l'"
     }.mkString("\n    ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |sc AS (SELECT doc_id,
-       |  $scoreCols
-       |  FROM t)
-       |SELECT doc_id,
-       |  CASE WHEN ${langs.map(l => s"s_$l").mkString(" + ")} = 0 OR
+    s"""CASE WHEN ${langs.map(l => s"s_$l").mkString(" + ")} = 0 OR
        |            greatest(${langs.map(l => s"s_$l").mkString(", ")}) = 0 THEN 'und'
        |    $caseChain
-       |    ELSE '${langs.last}' END AS lang_pred
-       |FROM sc ORDER BY doc_id""".stripMargin
+       |    ELSE '${langs.last}' END""".stripMargin
   }
+
+  val qLangIdSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sc AS (SELECT doc_id,
+       |  $langScoreColsSql
+       |  FROM t)
+       |SELECT doc_id,
+       |  $langArgmaxSql AS lang_pred
+       |FROM sc ORDER BY doc_id""".stripMargin
 
   // --- similarity search ------------------------------------------------
 
