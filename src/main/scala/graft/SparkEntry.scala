@@ -214,9 +214,43 @@ object SparkEntry {
     "q_incremental"    -> StreamQueries.qIncrementalSql,
     "q_resume_actions" -> StreamQueries.qResumeActionsSql,
     "q_media_resolution" -> MediaQueries.qMediaResolutionSql,
+    "q_media_derivative" -> MediaQueries.qMediaDerivativeSql(mediaDerivativeNBytes),
     "q_ingest_identity" -> IngestQueries.qIngestIdentitySql,
     "q_suffix_match"    -> IngestQueries.qSuffixMatchSql,
     "q_dq_report"       -> IngestQueries.qDqReportSql,
     "q_ingest_summary"  -> IngestQueries.qIngestSummarySql,
   )
+
+  /** Pinned byte lengths of every q_media_derivative output blob —
+    * (seed, kind, n_bytes), generated once by [[MediaOracleGen]] and
+    * pasted here so the oracle is a durable constants gate rather than
+    * a dump-time recomputation (MediaOracleSpec fails loudly if the
+    * kernels drift from these, forcing a conscious regeneration). */
+  val mediaDerivativeNBytes: String =
+    """(1, 'thumbnail', 19302), (1, 'webview', 22381), (2, 'thumbnail', 19947), (2, 'webview', 22538),
+      |(3, 'thumbnail', 19588), (3, 'webview', 22163), (4, 'thumbnail', 19556), (4, 'webview', 22140),
+      |(5, 'thumbnail', 19451), (5, 'webview', 22414), (6, 'thumbnail', 19537), (6, 'webview', 22237),
+      |(7, 'thumbnail', 19805), (7, 'webview', 22584), (8, 'thumbnail', 19848), (8, 'webview', 22005),
+      |(9, 'thumbnail', 19942), (9, 'webview', 21955), (10, 'thumbnail', 19730), (10, 'webview', 22565),
+      |(11, 'thumbnail', 19990), (11, 'webview', 21899), (12, 'thumbnail', 20134), (12, 'webview', 22274),
+      |(13, 'thumbnail', 19583), (13, 'webview', 22312), (14, 'thumbnail', 19430), (14, 'webview', 22533),
+      |(15, 'thumbnail', 20030), (15, 'webview', 22727), (16, 'thumbnail', 20042), (16, 'webview', 21707),
+      |(17, 'thumbnail', 19352), (17, 'webview', 21689), (18, 'thumbnail', 20028), (18, 'webview', 22472),
+      |(19, 'thumbnail', 20201), (19, 'webview', 22199), (20, 'thumbnail', 20015), (20, 'webview', 22297),
+      |(21, 'thumbnail', 19730), (21, 'webview', 22360), (22, 'thumbnail', 19880), (22, 'webview', 22187),
+      |(23, 'thumbnail', 19990), (23, 'webview', 22644), (24, 'thumbnail', 20018), (24, 'webview', 22013),
+      |(25, 'thumbnail', 19975), (25, 'webview', 21965), (26, 'thumbnail', 19495), (26, 'webview', 22710),
+      |(27, 'thumbnail', 19288), (27, 'webview', 22712), (28, 'thumbnail', 19978), (28, 'webview', 22795),
+      |(29, 'thumbnail', 20605), (29, 'webview', 23210), (30, 'thumbnail', 20274), (30, 'webview', 22944),
+      |(31, 'thumbnail', 20004), (31, 'webview', 23550), (32, 'thumbnail', 20952), (32, 'webview', 22108),
+      |(33, 'thumbnail', 20757), (33, 'webview', 22350), (34, 'thumbnail', 20033), (34, 'webview', 23079),
+      |(35, 'thumbnail', 20166), (35, 'webview', 22668), (36, 'thumbnail', 20797), (36, 'webview', 22641),
+      |(37, 'thumbnail', 20629), (37, 'webview', 22868), (38, 'thumbnail', 20466), (38, 'webview', 22627),
+      |(39, 'thumbnail', 20274), (39, 'webview', 23351), (40, 'thumbnail', 20602), (40, 'webview', 22902),
+      |(41, 'thumbnail', 20490), (41, 'webview', 22893), (42, 'thumbnail', 20605), (42, 'webview', 23471),
+      |(43, 'thumbnail', 19987), (43, 'webview', 23068), (44, 'thumbnail', 20543), (44, 'webview', 23143),
+      |(45, 'thumbnail', 20484), (45, 'webview', 23288), (46, 'thumbnail', 20468), (46, 'webview', 23035),
+      |(47, 'thumbnail', 20313), (47, 'webview', 23705), (48, 'thumbnail', 20196), (48, 'webview', 22512),
+      |(49, 'thumbnail', 20605), (49, 'webview', 22731), (50, 'thumbnail', 20960), (50, 'webview', 23446)"""
+      .stripMargin.replace("\n", " ")
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Small-graph algorithms the dedup pipelines need. */
 object Graph {
@@ -20,46 +22,101 @@ object Graph {
     * early on a fixpoint (an aggregate-only check, no driver-side
     * data).
     *
-    * Every round materializes through `localCheckpoint` — iterative
-    * DataFrame algorithms MUST cut lineage each round or the nested
-    * join plan grows exponentially with iterations (a 10-hop path
-    * aborts analysis without it; GraphSpec pins that case). On a
-    * cluster where executor loss matters, swap in reliable
-    * `checkpoint()` — same plan, durable blocks.
+    * Every round materializes through a lineage cut — iterative
+    * DataFrame algorithms MUST truncate the plan each round or the
+    * nested join plan grows exponentially with iterations (a 10-hop
+    * path aborts analysis without it; GraphSpec pins that case). The
+    * cut is managed at the RDD level rather than via
+    * `Dataset.localCheckpoint`, because the Dataset API hides the
+    * checkpointed RDD and its cached blocks can then never be
+    * released: with explicit handles, every superseded round is
+    * unpersisted as soon as its successor materializes and the edge
+    * list is released on exit, so block usage stays O(1) in rounds
+    * instead of O(rounds) — on a long bench run (or a 100 TB job with
+    * many rounds) leaked MEMORY_AND_DISK blocks otherwise squeeze the
+    * executor storage pool for the rest of the application.
+    *
+    * Cache residue: with `checkpointDir` set (the cluster form), the
+    * labels are durable files and ZERO cached blocks remain after the
+    * call — blocks are dropped the moment each round's checkpoint is
+    * written. Without it (the local form), exactly ONE cached RDD
+    * remains: the returned result itself, sized to the label table
+    * (two columns, one row per node that appears in an edge) — it must
+    * stay pinned because its lineage was truncated, and it lives until
+    * the session ends. GraphSpec pins both residue counts.
     *
     * @param edges undirected pair list (src, dst)
+    * @param checkpointDir when set, rounds go through reliable
+    *   `RDD.checkpoint()` into this directory (survives executor loss;
+    *   zero cache residue) instead of local checkpointing — pass a
+    *   durable (HDFS/object-store) path on a real cluster
     * @return (id, comp) — every node that appears in any edge, labeled
     *   with the minimum id reachable from it
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val reliable = checkpointDir.isDefined
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    // Materialize `df` with its lineage cut, returning the rebuilt
+    // DataFrame plus the RDD handle that pins its blocks. Reliable
+    // path: persist → checkpoint → count (the persist makes the
+    // checkpoint job a cache read, not a recompute) → unpersist, so
+    // the durable files are the only copy. Local path: localCheckpoint
+    // + count; the handle lets the caller of cut() release the blocks
+    // once the round is superseded.
+    def cut(df: DataFrame): (DataFrame, RDD[Row]) = {
+      val rdd = df.rdd
+      if (reliable) {
+        rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        rdd.checkpoint()
+        rdd.count()
+        rdd.unpersist(blocking = false)
+      } else {
+        rdd.localCheckpoint()
+        rdd.count()
+      }
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+
     // materialize the edge list ONCE: every round references it twice,
     // and without the cut each round would recompute the whole upstream
     // pair-generation pipeline (for near-dup input that is the entire
     // LSH + verify chain — measured 5x the total query cost)
-    val und = edges.select(col(src).as("a"), col(dst).as("b"))
-      .union(edges.select(col(dst).as("a"), col(src).as("b")))
-      .distinct()
-      .localCheckpoint(true)
+    val (und, undRdd) = cut(
+      edges.select(col(src).as("a"), col(dst).as("b"))
+        .union(edges.select(col(dst).as("a"), col(src).as("b")))
+        .distinct())
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
+    var pinned: Option[RDD[Row]] = None // the round backing `labels`
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
-      val nbrMin = und
-        .join(labels.select(col("id").as("b"), col("comp").as("_nc")), "b")
-        .groupBy(col("a").as("id")).agg(min(col("_nc")).as("_nbMin"))
-      // the changed flag rides the propagation join, so convergence
-      // detection is a cheap scan of the checkpointed round result —
-      // not another shuffle join of next⋈labels per round
-      val newComp = least(col("comp"), coalesce(col("_nbMin"), col("comp")))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), newComp.as("comp"),
-          (newComp =!= col("comp")).as("_chg"))
-        .localCheckpoint(true)
-      converged = next.filter(col("_chg")).head(1).isEmpty
-      labels = next.drop("_chg")
-      iter += 1
+    try {
+      while (!converged && iter < maxIter) {
+        val nbrMin = und
+          .join(labels.select(col("id").as("b"), col("comp").as("_nc")), "b")
+          .groupBy(col("a").as("id")).agg(min(col("_nc")).as("_nbMin"))
+        // the changed flag rides the propagation join, so convergence
+        // detection is a cheap scan of the materialized round result —
+        // not another shuffle join of next⋈labels per round
+        val newComp = least(col("comp"), coalesce(col("_nbMin"), col("comp")))
+        val (next, nextRdd) = cut(labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), newComp.as("comp"),
+            (newComp =!= col("comp")).as("_chg")))
+        converged = next.filter(col("_chg")).head(1).isEmpty
+        // `next` is materialized and lineage-cut — the previous round's
+        // blocks can no longer be read by anything; release them now
+        pinned.foreach(_.unpersist(blocking = false))
+        pinned = Some(nextRdd)
+        labels = next.drop("_chg")
+        iter += 1
+      }
+    } finally {
+      undRdd.unpersist(blocking = false)
+      // on the non-convergence throw path the last round is garbage too
+      if (!converged) pinned.foreach(_.unpersist(blocking = false))
     }
     // Unconverged labels are WRONG labels (a component split across
     // several canonical ids corrupts downstream deletion sets silently),

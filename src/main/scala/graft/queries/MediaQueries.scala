@@ -55,32 +55,63 @@ object MediaQueries {
   /** Image-derivative generation (derivatives.py:162-193) through the
     * REAL javax.imageio resize kernel, driven end-to-end from table
     * rows via deterministic synthesized JPEGs (this environment has no
-    * blob store). Binary kernels are not SQL-expressible, so this
-    * query is registered WITHOUT an oracle — the driver records the
-    * weaker rows-only check: 50 blobs × {thumbnail, webview} = 100
-    * rows. Output carries the decoded derivative dimensions, proving
-    * the full encode → resize → re-decode roundtrip: 320×240 sources
-    * shrink to 260×195 thumbnails and pass through (re-encoded) for
-    * the 600px webview, exactly the reference's downscale-only rule. */
+    * blob store). The binary outputs themselves are not
+    * SQL-expressible, but their deterministic scalar FACTS are, so the
+    * query emits those and is hash-gated against a constants oracle:
+    * the decoded derivative dimensions prove the full encode → resize
+    * → re-decode roundtrip (320×240 sources shrink to 260×195
+    * thumbnails and pass through, re-encoded, for the 600px webview —
+    * exactly the reference's downscale-only rule), and the encoded
+    * byte length pins the JPEG writer's exact output per seed
+    * (constants printed by [[graft.MediaOracleGen]], stable because
+    * the pipeline is pure JDK and fully deterministic).
+    *
+    * Seeds are normalized to the blob's rank (1..50) rather than the
+    * raw orderkey so every scale factor synthesizes the SAME 50 blobs
+    * — the byte-length constants hold at any SF with ≥ 50 orders. The
+    * single-partition window is fine here: it ranks an
+    * already-limited 50-row fixture, not a data-sized table. */
   def qMediaDerivative(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val ids = Tables.orders(s, dir)
-      .select(col("o_orderkey").as("id")).orderBy(col("id")).limit(50)
+      .select(col("o_orderkey")).orderBy(col("o_orderkey")).limit(50)
+      .select(row_number().over(Window.orderBy(col("o_orderkey"))).as("id"))
     val blobSchema = StructType(Seq(
       StructField("etag", StringType), StructField("content", BinaryType)))
     val blobs = s.createDataFrame(
-      ids.rdd.map(r => Row(f"img${r.getLong(0)}%06d",
-        Media.synthImageJpeg(r.getLong(0)))), blobSchema)
+      ids.rdd.map(r => Row(f"img${r.getInt(0)}%06d",
+        Media.synthImageJpeg(r.getInt(0).toLong))), blobSchema)
     val derivs = Media.derivatives(blobs, Media.imageResize)
     val outSchema = StructType(Seq(
       StructField("etag", StringType), StructField("kind", StringType),
       StructField("width", IntegerType), StructField("out_w", IntegerType),
-      StructField("out_h", IntegerType)))
+      StructField("out_h", IntegerType), StructField("n_bytes", IntegerType)))
     val rows = derivs.rdd.map { r =>
-      val dims = Media.imageDims(r.getAs[Array[Byte]](3)).getOrElse((-1, -1))
-      Row(r.getString(0), r.getString(1), r.getInt(2), dims._1, dims._2)
+      val content = r.getAs[Array[Byte]](3)
+      val dims = Media.imageDims(content).getOrElse((-1, -1))
+      Row(r.getString(0), r.getString(1), r.getInt(2), dims._1, dims._2,
+        content.length)
     }
     s.createDataFrame(rows, outSchema).orderBy(col("etag"), col("kind"))
   }
+
+  /** Constants oracle for [[qMediaDerivative]]: dimensions derive from
+    * the downscale-only rule; byte lengths are the pinned encoder
+    * facts. `nBytesValues` is generated by [[graft.MediaOracleGen]]. */
+  def qMediaDerivativeSql(nBytesValues: String): String =
+    s"""WITH ids AS (
+       |  SELECT row_number() OVER (ORDER BY o_orderkey) AS id
+       |  FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 50)),
+       |kinds(kind, tgt, out_w, out_h) AS (VALUES
+       |  ('thumbnail', 260, 260, 195), ('webview', 600, 320, 240)),
+       |nb(id2, kind2, n_bytes) AS (VALUES $nBytesValues),
+       |base AS (
+       |  SELECT 'img' || lpad(CAST(id AS VARCHAR), 6, '0') AS etag,
+       |         id, kind, tgt, out_w, out_h
+       |  FROM ids CROSS JOIN kinds)
+       |SELECT etag, kind, tgt AS width, out_w, out_h, n_bytes
+       |FROM base JOIN nb ON id = id2 AND kind = kind2
+       |ORDER BY etag, kind""".stripMargin
 }

@@ -8,11 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * without failing anything). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  /** Queries DELIBERATELY registered without an oracle: binary-kernel
-    * pipelines no SQL engine can replay (the driver then records a
-    * rows-only check). Keep this list explicit so an accidental
-    * omission elsewhere still fails the contract. */
-  private val rowsOnly = Set("q_media_derivative")
+  /** Queries DELIBERATELY registered without an oracle (the driver
+    * then records a rows-only check). Empty since round 8: even the
+    * binary media pipeline is gated, via the scalar-facts constants
+    * oracle. Keep the mechanism so a future genuinely-ungateable query
+    * has to be listed here explicitly to pass. */
+  private val rowsOnly = Set.empty[String]
 
   test("every queries key has an oracleSql twin and vice versa") {
     val q = SparkEntry.queries.keySet

@@ -32,4 +32,41 @@ class GraphSpec extends SparkSpec {
     assert(comp.values.toSet === Set(0L))
     assert(comp.keySet === (0L to 9L).toSet)
   }
+
+  test("connectedComponents pins only its result — superseded rounds and " +
+      "the edge list are unpersisted") {
+    val s = spark
+    import s.implicits._
+    // the 9-hop path forces many rounds, so a per-round leak would show
+    // up as many residual persistent RDDs, not one
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val comp = Graph.connectedComponents(edges, "d1", "d2")
+    assert(comp.collect().map(_.getLong(1)).toSet === Set(0L))
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- before
+    // exactly the returned labels' own blocks — its lineage is
+    // truncated, so it must stay pinned until the session ends
+    assert(leaked.size === 1,
+      s"expected only the result to stay cached, found ${leaked.size} RDDs")
+  }
+
+  test("connectedComponents with checkpointDir leaves ZERO cached blocks " +
+      "and stays readable from the durable files") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-ck-").toString
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val comp = Graph.connectedComponents(edges, "d1", "d2",
+      checkpointDir = Some(dir))
+    // consumable repeatedly — each read streams from the checkpoint files
+    assert(comp.count() === 6)
+    assert(comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"reliable-checkpoint path must leave no cached blocks, found $leaked")
+  }
+
 }
