@@ -293,6 +293,68 @@ object Grabbers {
       .cast("int")
   }
 
+  /** Structured authorship of a scientific name — Column twin of the
+    * native kernel's basionym/combination author arrays (gnparser-
+    * shaped detail; the reference consumed only genus/species from its
+    * parser response, conversions.py:745-768, so this is the engine
+    * exceeding it with the structure the parser had available).
+    *
+    * The authorship TAIL starts at the first token after the genus
+    * that is neither a plain name word, nor a rank marker (optionally
+    * dotted), nor a hybrid sign, nor — directly after the genus — a
+    * parenthesized subgenus. With lowercased input the surviving
+    * authorship signal is punctuation: an unpunctuated lowercase
+    * author ("aus bus smith") is indistinguishable from an
+    * infraspecific epithet and stays name-side (documented divergence
+    * — gnparser sees the original capitals). A leading parenthesized
+    * group is the basionym (original-combination) authorship,
+    * everything after it the combination authorship. Within a group,
+    * grouping/separator punctuation is dropped anywhere in the token
+    * (initials keep their dots), connector words (and/et/ex/in/apud/
+    * non/&) and all-digit tokens (years, stray numerals) are skipped,
+    * and a group with nothing left is null.
+    *
+    * Returns (basionym_authors, combination_authors). */
+  def parseSciAuthors(sci: Column): (Column, Column) = {
+    val w = split(trim(sci), "\\s+")
+    val n = size(w)
+    val h1 = try_element_at(w, lit(1))
+    val off = when(h1 === "x" || h1 === "×", lit(1)).otherwise(lit(0))
+    val genus = when(try_element_at(w, off + lit(1)).rlike("^[a-z][a-z0-9-]+$"),
+      try_element_at(w, off + lit(1)))
+    // name-shaped token: plain word | optionally-dotted rank marker |
+    // hybrid sign | (only directly after the genus) parenthesized group
+    val nameShape =
+      "^(?:[a-z][a-z0-9-]+|(?:var|subsp|ssp|f|cf|aff|sp|spp|x)\\.?|×)$"
+    def isNameTok(i: Column): Column = {
+      val t = try_element_at(w, i)
+      t.rlike(nameShape) || (i === off + lit(2) && t.rlike("^\\(.*\\)$"))
+    }
+    val idx = sequence(lit(1), n)
+    val tailStart = array_min(filter(idx,
+      i => i > off + lit(1) && !isNameTok(i)))
+    // basionym group: when the tail opens with '(', up to and including
+    // the first ')'-terminated token (an unclosed paren swallows the
+    // whole tail)
+    val opens = startswith(try_element_at(w, tailStart), lit("("))
+    val closeIdx = array_min(filter(idx,
+      i => i >= tailStart && endswith(try_element_at(w, i), lit(")"))))
+    val basEnd = coalesce(closeIdx, n)
+    def authors(from: Column, to: Column): Column = {
+      val raw = filter(idx, i => i >= from && i <= to)
+      val cleaned = filter(
+        transform(raw, i => regexp_replace(
+          try_element_at(w, i), "[\\(\\)\\[\\],;:]", "")),
+        t => t =!= "" && !t.isin("and", "et", "ex", "in", "apud", "non", "&") &&
+          !t.rlike("^[0-9]+$"))
+      when(genus.isNotNull && size(cleaned) > 0, cleaned)
+    }
+    val basionym = when(opens, authors(tailStart, basEnd))
+    val combination = when(opens, authors(basEnd + lit(1), n))
+      .otherwise(authors(tailStart, n))
+    (basionym, combination)
+  }
+
   /** datecollected fallback composition from dwc:year/month/day or
     * startDayOfYear (conversions.py:604-624). Inputs must be ALREADY
     * PARSED int columns (pass each source through [[firstNumberLong]]

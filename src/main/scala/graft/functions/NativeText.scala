@@ -153,7 +153,9 @@ case class SciParseExpr(child: Expression)
   override def dataType: DataType = StructType(Seq(
     StructField("genus", StringType, nullable = true),
     StructField("epithet", StringType, nullable = true),
-    StructField("year", IntegerType, nullable = true)))
+    StructField("year", IntegerType, nullable = true),
+    StructField("basionym_authors", ArrayType(StringType), nullable = true),
+    StructField("combination_authors", ArrayType(StringType), nullable = true)))
   override def prettyName: String = "sci_parse"
   protected override def nullSafeEval(sci: Any): Any =
     MinhashKernel.sciParse(sci.asInstanceOf[UTF8String])
@@ -476,10 +478,70 @@ object MinhashKernel {
     if (v >= 1500 && v <= 2099) v else -1
   }
 
+  /** Rank marker with an optional trailing dot ("var" / "var."). */
+  private def isMarkerTok(t: UTF8String): Boolean = {
+    if (t == null) return false
+    val b = t.getBytes
+    val core =
+      if (b.length >= 2 && b(b.length - 1) == '.')
+        UTF8String.fromBytes(b, 0, b.length - 1)
+      else t
+    RankMarkers.exists(_.equals(core))
+  }
+
+  private def isParenGroup(t: UTF8String): Boolean =
+    t != null && t.numBytes() >= 2 && {
+      val b = t.getBytes
+      b(0) == '(' && b(b.length - 1) == ')'
+    }
+
+  /** Authorship connector words skipped between author names — the
+    * small botanical/zoological linking vocabulary ("smith ex jones",
+    * "smith & jones"). */
+  private val Connectors: Array[UTF8String] =
+    Array("and", "et", "ex", "in", "apud", "non", "&")
+      .map(UTF8String.fromString)
+
+  /** Author-token normalization: drop grouping/separator punctuation
+    * anywhere in the token (keeps dots and hyphens — initials like
+    * "l." and compound names survive); null when nothing remains, the
+    * token is a connector, or it is all digits (years and stray
+    * numerals are not author names). */
+  private def cleanAuthorTok(t: UTF8String): UTF8String = {
+    val b = t.getBytes
+    val out = new Array[Byte](b.length)
+    var i = 0; var o = 0; var digits = 0
+    while (i < b.length) {
+      val c = b(i)
+      val drop = c == '(' || c == ')' || c == '[' || c == ']' ||
+        c == ',' || c == ';' || c == ':'
+      if (!drop) { out(o) = c; if (c >= '0' && c <= '9') digits += 1; o += 1 }
+      i += 1
+    }
+    if (o == 0 || digits == o) return null
+    val s = UTF8String.fromBytes(out, 0, o)
+    if (Connectors.exists(_.equals(s))) null else s
+  }
+
   /** Grabbers.parseSciName semantics in one pass (parity spec pins
     * them): whitespace split of the trimmed name, plain-word genus,
     * parenthesized-subgenus skip, rank-marker exclusion; null parts
-    * when the respective shape doesn't parse. */
+    * when the respective shape doesn't parse.
+    *
+    * Structured authorship (gnparser-shaped, the detail level of the
+    * reference's socket parser response that conversions.py:745-768
+    * consumed only genus/species from): the authorship TAIL starts at
+    * the first token after the genus that is neither a plain name word
+    * nor a rank marker nor a hybrid sign (nor, directly after the
+    * genus, a parenthesized subgenus) — with lowercased input the
+    * surviving authorship signal is punctuation, so an unpunctuated
+    * lowercase author ("aus bus smith") is indistinguishable from an
+    * infraspecific epithet and stays name-side (documented
+    * divergence; gnparser sees the original capitals). A leading
+    * parenthesized group is the basionym (original-combination)
+    * authorship, everything after it the combination authorship;
+    * connector words, years, and stray numerals are dropped from both
+    * groups, initials keep their dots. Empty groups are null. */
   def sciParse(sci: UTF8String)
       : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
     val toks = splitWs(sci.trim())
@@ -489,10 +551,7 @@ object MinhashKernel {
     val t1 = if (toks.length >= off + 1) toks(off) else null
     val genus: UTF8String = if (t1 != null && isWord(t1)) t1 else null
     val t2: UTF8String = if (toks.length >= off + 2) toks(off + 1) else null
-    val isParen = t2 != null && t2.numBytes() >= 2 && {
-      val b = t2.getBytes
-      b(0) == '(' && b(b.length - 1) == ')'
-    }
+    val isParen = isParenGroup(t2)
     // skip a parenthesized subgenus OR an infix hybrid marker
     // ("salix × sepulcralis" — a named hybrid keeps genus + epithet)
     val cand: UTF8String =
@@ -511,8 +570,48 @@ object MinhashKernel {
       if (y > 0) year = y
       i += 1
     }
+    // authorship tail: first non-name token after the genus window
+    var tailStart = -1
+    if (genus != null) {
+      var j = off + 1
+      while (tailStart < 0 && j < toks.length) {
+        val t = toks(j)
+        val nameTok = isWord(t) || isMarkerTok(t) || isHybridTok(t) ||
+          (j == off + 1 && isParenGroup(t))
+        if (!nameTok) tailStart = j
+        j += 1
+      }
+    }
+    var basionym: Any = null
+    var combination: Any = null
+    if (tailStart >= 0) {
+      val first = toks(tailStart)
+      var combStart = tailStart
+      if (first.numBytes() >= 1 && first.getBytes()(0) == '(') {
+        // basionym group: up to and including the first ')'-terminated
+        // token; an unclosed paren swallows the rest of the tail
+        var close = -1
+        var k = tailStart
+        while (close < 0 && k < toks.length) {
+          val b = toks(k).getBytes
+          if (b.length >= 1 && b(b.length - 1) == ')') close = k
+          k += 1
+        }
+        val end = if (close >= 0) close else toks.length - 1
+        val bas = toks.slice(tailStart, end + 1).flatMap(t => Option(cleanAuthorTok(t)))
+        if (bas.nonEmpty) basionym =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            bas.asInstanceOf[Array[Any]])
+        combStart = end + 1
+      }
+      val comb = toks.slice(combStart, toks.length)
+        .flatMap(t => Option(cleanAuthorTok(t)))
+      if (comb.nonEmpty) combination =
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          comb.asInstanceOf[Array[Any]])
+    }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](genus, epithet, year))
+      Array[Any](genus, epithet, year, basionym, combination))
   }
 
   // --- date-format shape classifier ------------------------------------

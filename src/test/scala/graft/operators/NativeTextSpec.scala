@@ -183,22 +183,58 @@ class NativeTextSpec extends SparkSpec {
       // authorship years: parens, comma, brackets, out-of-range, junk
       "aus bus smith 1900", "aus bus (smith, 1771)", "aus bus [1850]",
       "aus bus 1234", "aus bus 21000", "aus bus x1999", "aus bus 1999,",
-      "aus bus l. 2020 and 1900")
+      "aus bus l. 2020 and 1900",
+      // structured authorship: basionym vs combination groups,
+      // initials, connectors, rank markers with dots, unclosed parens
+      "quercus alba l.", "quercus alba l., 1753",
+      "x sorbaronia fallax (c.k.schneid.) c.k.schneid.",
+      "aus bus (smith & jones, 1850) brown ex green, 1900",
+      "aus bus var. cus hort. ex lam.", "aus bus (smith, 1850",
+      "aus bus (smith) (jones)", "aus bus smith ex", "aus bus &")
     val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
       .toDF("id", "sci")
+    def seqOpt(r: org.apache.spark.sql.Row, i: Int): Option[Seq[String]] =
+      if (r.isNullAt(i)) None else Some(r.getSeq[String](i))
     val (g, e) = graft.etl.Grabbers.parseSciName(col("sci"))
+    val (ba, ca) = graft.etl.Grabbers.parseSciAuthors(col("sci"))
     val cols = df.select(col("id"), g.as("g"), e.as("e"),
-        graft.etl.Grabbers.parseSciYear(col("sci")).as("y"))
+        graft.etl.Grabbers.parseSciYear(col("sci")).as("y"),
+        ba.as("ba"), ca.as("ca"))
       .collect().map(r => r.getLong(0) ->
         (Option(r.getString(1)), Option(r.getString(2)),
-          if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+          if (r.isNullAt(3)) None else Some(r.getInt(3)),
+          seqOpt(r, 4), seqOpt(r, 5))).toMap
     val kern = df.select(col("id"),
         graft.functions.NativeText.sciParse(col("sci")).as("p"))
-      .select(col("id"), col("p.genus"), col("p.epithet"), col("p.year"))
+      .select(col("id"), col("p.genus"), col("p.epithet"), col("p.year"),
+        col("p.basionym_authors"), col("p.combination_authors"))
       .collect().map(r => r.getLong(0) ->
         (Option(r.getString(1)), Option(r.getString(2)),
-          if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+          if (r.isNullAt(3)) None else Some(r.getInt(3)),
+          seqOpt(r, 4), seqOpt(r, 5))).toMap
     assert(kern === cols)
+    // authorship goldens (both formulations just proven identical)
+    val auth = names.zip(names.indices).map { case (n, i) =>
+      n -> (kern(i.toLong)._4, kern(i.toLong)._5) }.toMap
+    assert(auth("puma concolor (linnaeus, 1771)") ===
+      (Some(Seq("linnaeus")), None))
+    assert(auth("quercus alba l.") === (None, Some(Seq("l."))))
+    assert(auth("quercus alba l., 1753") === (None, Some(Seq("l."))))
+    assert(auth("x sorbaronia fallax (c.k.schneid.) c.k.schneid.") ===
+      (Some(Seq("c.k.schneid.")), Some(Seq("c.k.schneid."))))
+    assert(auth("aus bus (smith & jones, 1850) brown ex green, 1900") ===
+      (Some(Seq("smith", "jones")), Some(Seq("brown", "green"))))
+    // dotted rank marker + infra epithet stay name-side; "hort. ex lam."
+    // is combination authorship (the botanical hortulanorum form)
+    assert(auth("aus bus var. cus hort. ex lam.") ===
+      (None, Some(Seq("hort.", "lam."))))
+    // unclosed basionym paren swallows the tail
+    assert(auth("aus bus (smith, 1850") === (Some(Seq("smith")), None))
+    assert(auth("aus bus (smith) (jones)") ===
+      (Some(Seq("smith")), Some(Seq("jones"))))
+    assert(auth("aus bus smith ex") === (None, None)) // smith stays name-side
+    assert(auth("aus bus &") === (None, None))        // connector only
+    assert(auth("acer rubrum") === (None, None))      // no tail at all
     // year goldens (both sides just proven identical)
     val yr = names.zip(names.indices).map { case (n, i) =>
       n -> kern(i.toLong)._3 }.toMap
@@ -210,6 +246,43 @@ class NativeTextSpec extends SparkSpec {
     assert(yr("aus bus x1999") === None)    // not a standalone token
     assert(yr("aus bus 1999,") === Some(1999))
     assert(yr("aus bus l. 2020 and 1900") === Some(2020)) // first wins
+  }
+
+  test("sciParse kernel matches the Column twins on random token soups") {
+    val s = spark
+    import s.implicits._
+    // token alphabet spanning every branch: words, markers (dotted and
+    // not), hybrid signs, paren fragments, years, connectors, junk
+    val alphabet = Seq("aus", "bus", "x", "×", "var", "var.", "f", "sp.",
+      "(acer)", "(smith", "(smith,", "1850)", "jones)", "l.", "&", "ex",
+      "and", "1771", "1234", "smith", "c.k.schneid.", "(", ")", "[1850]",
+      ",", "9digit", "a", "", " ")
+    val rnd = new scala.util.Random(4334)
+    val names = (0 until 400).map { _ =>
+      val n = rnd.nextInt(7)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
+    }
+    val df = names.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "sci")
+    def seqOpt(r: org.apache.spark.sql.Row, i: Int): Option[Seq[String]] =
+      if (r.isNullAt(i)) None else Some(r.getSeq[String](i))
+    val (g, e) = graft.etl.Grabbers.parseSciName(col("sci"))
+    val (ba, ca) = graft.etl.Grabbers.parseSciAuthors(col("sci"))
+    val cols = df.select(col("id"), g.as("g"), e.as("e"), ba.as("ba"), ca.as("ca"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)),
+          seqOpt(r, 3), seqOpt(r, 4))).toMap
+    val kern = df.select(col("id"),
+        graft.functions.NativeText.sciParse(col("sci")).as("p"))
+      .select(col("id"), col("p.genus"), col("p.epithet"),
+        col("p.basionym_authors"), col("p.combination_authors"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)),
+          seqOpt(r, 3), seqOpt(r, 4))).toMap
+    names.indices.foreach { i =>
+      assert(kern(i.toLong) === cols(i.toLong),
+        s"mismatch on ${"\"" + names(i) + "\""}")
+    }
   }
 
   test("mapFields one-pass projection matches per-key element_at semantics") {
