@@ -99,14 +99,20 @@ object Grabbers {
     * sf0.1 enrich bench 4× slower. */
   def permissiveTimestamp(c: Column): Column =
     coalesce(
-      // ISO fast path: Spark's native string→timestamp cast
-      c.try_cast(org.apache.spark.sql.types.TimestampType),
       // every non-ISO family in ONE native call (shape classify + parse;
       // ~40 bytes of generated code where the try_to_timestamp cascade
       // emitted 15-20 KB per use — the difference between a fused span
       // that JITs and one that runs interpreted). Semantics pinned to
       // [[permissiveTimestampSpec]] by EnrichSpec's parity sweep.
-      graft.functions.NativeText.shapedDate(c, java.time.Year.now.getValue))
+      // MUST run BEFORE the cast: Spark's cast resolves some zone
+      // names itself ("12:30:15 EST" → -05:00 shift), but dateutil
+      // cannot (UnknownTimezoneWarning → naive) and the reference pins
+      // naive to UTC — the shape-15 claim keeps that parity
+      graft.functions.NativeText.shapedDate(c, java.time.Year.now.getValue),
+      // ISO fallback: Spark's native string→timestamp cast (the
+      // classifier returns 0 for plain ISO, so ISO rows reach the cast
+      // after one linear byte-scan)
+      c.try_cast(org.apache.spark.sql.types.TimestampType))
 
   /** The original try_cast/try_to_timestamp cascade — retained verbatim
     * as the executable specification of [[permissiveTimestamp]]'s native
@@ -118,14 +124,16 @@ object Grabbers {
     // try_cast/try_to_timestamp, so parse semantics are untouched.
     val sh = graft.functions.NativeText.dateShape(c)
     coalesce(
-      c.try_cast(org.apache.spark.sql.types.TimestampType),
       when(sh === 1,
         try_to_timestamp(regexp_replace(c, "/", "-"), lit("y-M-d"))),
       when(sh === 2,
         try_to_timestamp(c, lit("M/d/y"))),
       when(sh === 3,
         try_to_timestamp(translate(c, ".", "-"), lit("y-M-d"))),
-      monthNamed(c, sh))
+      monthNamed(c, sh),
+      // cast LAST, mirroring the kernel form: shape 15 must claim
+      // zone-name suffixes before Spark's cast resolves them to offsets
+      c.try_cast(org.apache.spark.sql.types.TimestampType))
   }
 
   /** Month-name formats dateutil accepts ("Jan 5, 1999", "5 March 2001",
@@ -196,6 +204,29 @@ object Grabbers {
           element_at(p, 1).cast("int"), element_at(p, 2).cast("int"),
           lit(0), lit(0), lit(0))
       }),
+      timeBearing(c, sh),
+      // zone-NAME-suffixed datetimes ("2014-01-10 12:30:15 EST",
+      // "JAN 5, 1999 3:15 PM EST"): dateutil identifies the trailing
+      // 1-5-letter uppercase token as a tzname it cannot resolve and
+      // returns the NAIVE parse (UnknownTimezoneWarning path), which
+      // the reference pins to UTC (conversions.py:592-598) — so the
+      // name is stripped and the prefix re-classified and parsed
+      when(sh === 15, {
+        val base = regexp_replace(c, " [A-Z]{1,5}$", "")
+        val sh2 = graft.functions.NativeText.dateShape(base)
+        coalesce(
+          when(base.rlike("^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}"),
+            base.try_cast(org.apache.spark.sql.types.TimestampType)),
+          timeBearing(base, sh2))
+      }))
+  }
+
+  /** The time-bearing families (12: month-name + clock, 13: ISO +
+    * UTC/GMT, 14: slash date + clock) — shared between the top-level
+    * cascade and the zone-name-suffixed shape 15, whose stripped
+    * prefix re-enters these same parses. */
+  private def timeBearing(c: Column, sh: Column): Column =
+    coalesce(
       // time-bearing month-name dates ("JAN 5, 1999 3:15 PM" family,
       // dateutil's default time handling): the date part reuses the
       // shape-4 path; the clock is assembled numerically so the
@@ -243,7 +274,6 @@ object Grabbers {
         val d = try_to_timestamp(datePart, lit("M/d/y"))
         try_make_timestamp(year(d), month(d), dayofmonth(d), hh, mm, ss)
       }))
-  }
 
   /** Minimal gnparser-equivalent scientific-name parse
     * (conversions.py:745-768 via the biodiversity socket service, whose

@@ -679,6 +679,71 @@ object MinhashKernel {
       b(j + 3) == ':' && j + 6 == e && allDigits(b, j + 4, j + 6)
     }
 
+    // "\d{1,2}:\d{2}(:\d{2})?(\.\d+)?" over [s, e)
+    def timeIsoTail(s: Int, e: Int): Boolean = {
+      var j = s
+      while (j < e && b(j) != ':') j += 1
+      if (!dig(s, j, 1, 2)) return false
+      if (j + 3 > e || !allDigits(b, j + 1, j + 3)) return false
+      var p = j + 3
+      if (p < e && b(p) == ':') {
+        if (p + 3 > e || !allDigits(b, p + 1, p + 3)) return false
+        p += 3
+      }
+      if (p == e) return true
+      b(p) == '.' && p + 1 < e && allDigits(b, p + 1, e)
+    }
+    // "^\d{4}-\d{1,2}-\d{1,2}[T ]\d{1,2}:\d{2}(:\d{2})?(\.\d+)?$" over
+    // [from, to) — an ISO datetime WITH a clock (the time-bearing core
+    // shapes 13 and 15 both require)
+    def isoDateTime(from: Int, to: Int): Boolean = {
+      if (to - from < 5 || !allDigits(b, from, from + 4) ||
+        b(from + 4) != '-') return false
+      var j = from + 5
+      while (j < to && b(j) != '-') j += 1
+      if (!dig(from + 5, j, 1, 2)) return false
+      var k = j + 1
+      while (k < to && b(k) != 'T' && b(k) != ' ') k += 1
+      if (!dig(j + 1, k, 1, 2) || k >= to) return false
+      timeIsoTail(k + 1, to)
+    }
+    // 13: "^\d{4}-\d{1,2}-\d{1,2}[T ]\d{1,2}:\d{2}(:\d{2})?(\.\d+)? (UTC|GMT)$"
+    def isoZoneSuffix(): Boolean = {
+      if (n < 15 || b(n - 4) != ' ') return false
+      val utc = b(n - 3) == 'U' && b(n - 2) == 'T' && b(n - 1) == 'C'
+      val gmt = b(n - 3) == 'G' && b(n - 2) == 'M' && b(n - 1) == 'T'
+      (utc || gmt) && isoDateTime(0, n - 4)
+    }
+    // 15: time-bearing value + " " + a 1-5 letter uppercase zone NAME —
+    // dateutil identifies the token as a tzname it cannot resolve and
+    // returns the NAIVE parse (the reference then pins naive values to
+    // UTC, conversions.py:592-598), so the name is semantically ignored.
+    // Single "A"/"P" and "AM"/"PM" are clock markers, not zone names
+    // (dateutil applies them to the hour), and the zone only attaches
+    // to a parsed TIME: the prefix must be an ISO datetime with a
+    // clock or itself classify as a time-bearing shape (12/13/14 —
+    // date-only + zone name is a dateutil ParserError).
+    def tzNameSuffix(): Boolean = {
+      var sp = n - 1
+      while (sp >= 0 && b(sp) != ' ') sp -= 1
+      if (sp <= 0 || sp == n - 1 || n - sp - 1 > 5) return false
+      if (!allUpper(b, sp + 1, n)) return false
+      val len = n - sp - 1
+      if (len == 1 && (b(sp + 1) == 'A' || b(sp + 1) == 'P')) return false
+      if (len == 2 && (b(sp + 1) == 'A' || b(sp + 1) == 'P') &&
+        b(sp + 2) == 'M') return false
+      if (isoDateTime(0, sp)) return true
+      val sub = dateShape(UTF8String.fromBytes(b, 0, sp))
+      sub == 12 || sub == 13 || sub == 14
+    }
+
+    // ISO+UTC/GMT first (13 claims it before the generic zone-name
+    // suffix), then zone-name datetimes (15) — both BEFORE the
+    // separator families, whose early returns would otherwise swallow
+    // "1/2/2014 3:15 PM EST"
+    if (isoZoneSuffix()) return 13
+    if (tzNameSuffix()) return 15
+
     val slash = split3('/')
     if (slash != null) {
       if (dig(slash(0), slash(1), 4, 4) && dig(slash(2), slash(3), 1, 2) &&
@@ -712,36 +777,6 @@ object MinhashKernel {
       i += 1
     }
 
-    // "\d{1,2}:\d{2}(:\d{2})?(\.\d+)?" over [s, e)
-    def timeIsoTail(s: Int, e: Int): Boolean = {
-      var j = s
-      while (j < e && b(j) != ':') j += 1
-      if (!dig(s, j, 1, 2)) return false
-      if (j + 3 > e || !allDigits(b, j + 1, j + 3)) return false
-      var p = j + 3
-      if (p < e && b(p) == ':') {
-        if (p + 3 > e || !allDigits(b, p + 1, p + 3)) return false
-        p += 3
-      }
-      if (p == e) return true
-      b(p) == '.' && p + 1 < e && allDigits(b, p + 1, e)
-    }
-    // 13: "^\d{4}-\d{1,2}-\d{1,2}[T ]\d{1,2}:\d{2}(:\d{2})?(\.\d+)? (UTC|GMT)$"
-    def isoZoneSuffix(): Boolean = {
-      if (n < 15 || b(n - 4) != ' ') return false
-      val utc = b(n - 3) == 'U' && b(n - 2) == 'T' && b(n - 1) == 'C'
-      val gmt = b(n - 3) == 'G' && b(n - 2) == 'M' && b(n - 1) == 'T'
-      if (!utc && !gmt) return false
-      val e = n - 4
-      if (!allDigits(b, 0, 4) || b(4) != '-') return false
-      var j = 5
-      while (j < e && b(j) != '-') j += 1
-      if (!dig(5, j, 1, 2)) return false
-      var k = j + 1
-      while (k < e && b(k) != 'T' && b(k) != ' ') k += 1
-      if (!dig(j + 1, k, 1, 2) || k >= e) return false
-      timeIsoTail(k + 1, e)
-    }
     // 12: "^[A-Z]{3,9} \d{1,2},? \d{4} \d{1,2}:\d{2}(:\d{2})?( ?[AP]M)?$"
     def monthDayYearTime(): Boolean = {
       if (!up(0, sp1, 3, 9)) return false
@@ -753,7 +788,6 @@ object MinhashKernel {
       timeTail(ys + 5, n)
     }
     if (sp1 >= 0) {
-      if (isoZoneSuffix()) return 13
       if (sp2 >= 0 && monthDayYearTime()) return 12
     }
 
@@ -840,6 +874,11 @@ object MinhashKernel {
       "(?:\\.(\\d+))? (?:UTC|GMT)$")
   private val P14 = java.util.regex.Pattern.compile(
     "^(\\d{1,2})/(\\d{1,2})/(\\d{4}) (\\d{1,2}):(\\d{2})(?::(\\d{2}))? ?(AM|PM)?$")
+  // the zone-less ISO-with-clock core (shape 15's prefix when it is not
+  // itself a 12/13/14 string) — P13 minus the UTC/GMT suffix
+  private val P15 = java.util.regex.Pattern.compile(
+    "^(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ](\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
+      "(?:\\.(\\d+))?$")
 
   private def microsOf(ldt: java.time.LocalDateTime,
       zone: java.time.ZoneId): java.lang.Long = {
@@ -952,6 +991,31 @@ object MinhashKernel {
           microsOf(java.time.LocalDateTime.of(m.group(1).toInt,
             m.group(2).toInt, m.group(3).toInt, m.group(4).toInt,
             m.group(5).toInt, ss, nanos), zone)
+        case 15 =>
+          // zone-NAME-suffixed datetime: dateutil identifies the name
+          // but cannot resolve it and yields the NAIVE parse; the
+          // reference pins naive values to UTC (conversions.py:592-598),
+          // so the suffix is stripped and the prefix parsed as usual
+          val sp = s.lastIndexOf(' ')
+          val base = s.substring(0, sp)
+          val bu = UTF8String.fromString(base)
+          val sub = dateShape(bu)
+          if (sub == 12 || sub == 13 || sub == 14)
+            parseShapedDate(bu, runYear, zone)
+          else {
+            val m = P15.matcher(base)
+            if (!m.matches()) return null
+            val frac = m.group(7)
+            if (frac != null && (m.group(6) == null || frac.length > 9))
+              return null
+            val nanos =
+              if (frac == null) 0
+              else (frac + "0" * (9 - frac.length)).toInt
+            val ss = if (m.group(6) == null) 0 else m.group(6).toInt
+            microsOf(java.time.LocalDateTime.of(m.group(1).toInt,
+              m.group(2).toInt, m.group(3).toInt, m.group(4).toInt,
+              m.group(5).toInt, ss, nanos), zone)
+          }
         case _ => null
       }
     } catch { case _: RuntimeException => null }

@@ -291,7 +291,13 @@ class EnrichSpec extends SparkSpec {
       "2014-1-2 3:15 UTC", "2014-01-10 12:00.5 UTC", "2014-01-10 24:00 UTC",
       "1/2/2014 3:15 PM", "12/31/1999 23:59:59", "2/30/2014 3:15 PM",
       "1/2/2014 13:15 PM", "1/2/2014 12:00 AM", "1/2/0000 3:15",
-      "0000/1/1", "1/1/0000", "SMARCH 5, 1999", "FOO BAR", "")
+      "0000/1/1", "1/1/0000", "SMARCH 5, 1999", "FOO BAR", "",
+      // zone-name-suffixed datetimes (shape 15) and near-misses
+      "2014-01-10 12:30:15 EST", "2014-01-10T12:30:15 CST",
+      "JAN 5, 1999 3:15 PM EST", "1/2/2014 3:15 PM PST",
+      "2014-01-10 12:30 Z", "2014-01-10 12:30:15 BLURG",
+      "2014-02-31 12:30:15 EST", "2014-01-10 12:30:15 A",
+      "JAN 5, 1999 EST", "2014-01-10 EST", "NOON", "JAN 5, 1999 NOON")
     val rnd = new scala.util.Random(13)
     val alphabet = "0123456789/.,- :APMUTCGJANFEBRYLOVDES"
     val fuzz = (1 to 2000).map(_ =>
@@ -353,6 +359,15 @@ class EnrichSpec extends SparkSpec {
       "1/2/2014 3:15 PM"         -> "2014-01-02 15:15:00.0",
       "12/31/1999 23:59:59"      -> "1999-12-31 23:59:59.0",
       "1/2/2014 12:00 AM"        -> "2014-01-02 00:00:00.0",
+      // zone-NAME suffixes: dateutil identifies the 1-5-letter token as
+      // a tzname it cannot resolve and returns the NAIVE parse
+      // (UnknownTimezoneWarning), which the reference pins to UTC
+      // (conversions.py:592-598) — so the name is ignored entirely
+      "2014-01-10 12:30:15 EST"  -> "2014-01-10 12:30:15.0",
+      "2014-01-10T12:30:15 CST"  -> "2014-01-10 12:30:15.0",
+      "2014-01-10 12:30:15 BLURG" -> "2014-01-10 12:30:15.0",
+      "JAN 5, 1999 3:15 PM EST"  -> "1999-01-05 15:15:00.0",
+      "1/2/2014 3:15 PM PST"     -> "2014-01-02 15:15:00.0",
     )
     for ((in, want) <- cases) {
       val got = one(permissiveTimestamp(upper(trim(col("x")))), in)
@@ -362,6 +377,17 @@ class EnrichSpec extends SparkSpec {
     // non-dates and junk month names stay null, ISO family still works
     assert(one(permissiveTimestamp(col("x")), "SMARCH 5, 1999").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")), "FOO BAR").isNullAt(0))
+    // word times: dateutil itself REJECTS "NOON"/"MIDNIGHT" (ParserError,
+    // probed against dateutil directly), so the reference's try/except
+    // yields None and null here IS the parity answer — not a divergence
+    assert(one(permissiveTimestamp(col("x")), "NOON").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "JAN 5, 1999 NOON").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "MIDNIGHT").isNullAt(0))
+    // a zone name attaches only to a parsed TIME (dateutil ParserError
+    // on date-only + zone), and single A/P are clock markers, not zones
+    assert(one(permissiveTimestamp(col("x")), "JAN 5, 1999 EST").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "2014-01-10 EST").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "2014-01-10 12:30:15 A").isNullAt(0))
     // shape-matching junk parses to null, never an ANSI error
     assert(one(permissiveTimestamp(col("x")), "99/99/99").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")), "JAN 99TH, 1999").isNullAt(0))

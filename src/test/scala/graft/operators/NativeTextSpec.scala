@@ -316,26 +316,42 @@ class NativeTextSpec extends SparkSpec {
   }
 
   test("dateShape kernel matches the anchored regexes it replaced") {
-    val patterns = Seq(
-      // 13/12 first: they are the only shapes that can share a prefix
+    val p12 = "^[A-Z]{3,9} \\d{1,2},? \\d{4} \\d{1,2}:\\d{2}(:\\d{2})?( ?[AP]M)?$"
+    val p13 = "^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}(:\\d{2})?" +
+      "(\\.\\d+)? (UTC|GMT)$"
+    val p14 = "^\\d{1,2}/\\d{1,2}/\\d{4} \\d{1,2}:\\d{2}(:\\d{2})?( ?[AP]M)?$"
+    val isoClock = "^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}(:\\d{2})?(\\.\\d+)?$"
+    // 15: time-bearing prefix + " " + 1-5 uppercase letters that are not
+    // the AM/PM clock markers (dateutil's unresolvable-tzname path)
+    def shape15(s: String): Boolean = {
+      val m = java.util.regex.Pattern
+        .compile("^(.+) ([A-Z]{1,5})$").matcher(s)
+      m.matches() && !Seq("A", "P", "AM", "PM").contains(m.group(2)) && {
+        val base = m.group(1)
+        base.matches(isoClock) || base.matches(p12) || base.matches(p13) ||
+          base.matches(p14)
+      }
+    }
+    val patterns: Seq[(Int, String => Boolean)] = Seq(
+      // 13/15/12 first: they are the only shapes that can share a prefix
       // with 4 (the kernel also tests them first)
-      13 -> ("^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}(:\\d{2})?" +
-        "(\\.\\d+)? (UTC|GMT)$"),
-      12 -> "^[A-Z]{3,9} \\d{1,2},? \\d{4} \\d{1,2}:\\d{2}(:\\d{2})?( ?[AP]M)?$",
-      14 -> "^\\d{1,2}/\\d{1,2}/\\d{4} \\d{1,2}:\\d{2}(:\\d{2})?( ?[AP]M)?$",
-      1 -> "^\\d{4}/\\d{1,2}/\\d{1,2}$",
-      2 -> "^\\d{1,2}/\\d{1,2}/\\d{4}$",
-      3 -> "^\\d{4}\\.\\d{1,2}\\.\\d{1,2}$",
-      4 -> "^[A-Z]{3,9} \\d{1,2},? \\d{4}$",
-      5 -> "^\\d{1,2} [A-Z]{3,9} \\d{4}$",
-      6 -> "^[A-Z]{3,9} \\d{4}$",
-      7 -> "^\\d{1,2}-[A-Z]{3,9}-\\d{4}$",
-      8 -> "^[A-Z]{3,9} \\d{1,2}(ST|ND|RD|TH),? \\d{4}$",
-      9 -> "^\\d{1,2}(ST|ND|RD|TH) [A-Z]{3,9} \\d{4}$",
-      10 -> "^\\d{8}$",
-      11 -> "^\\d{1,2}/\\d{1,2}/\\d{2}$")
+      13 -> ((s: String) => s.matches(p13)),
+      15 -> shape15 _,
+      12 -> ((s: String) => s.matches(p12)),
+      14 -> ((s: String) => s.matches(p14)),
+      1 -> ((s: String) => s.matches("^\\d{4}/\\d{1,2}/\\d{1,2}$")),
+      2 -> ((s: String) => s.matches("^\\d{1,2}/\\d{1,2}/\\d{4}$")),
+      3 -> ((s: String) => s.matches("^\\d{4}\\.\\d{1,2}\\.\\d{1,2}$")),
+      4 -> ((s: String) => s.matches("^[A-Z]{3,9} \\d{1,2},? \\d{4}$")),
+      5 -> ((s: String) => s.matches("^\\d{1,2} [A-Z]{3,9} \\d{4}$")),
+      6 -> ((s: String) => s.matches("^[A-Z]{3,9} \\d{4}$")),
+      7 -> ((s: String) => s.matches("^\\d{1,2}-[A-Z]{3,9}-\\d{4}$")),
+      8 -> ((s: String) => s.matches("^[A-Z]{3,9} \\d{1,2}(ST|ND|RD|TH),? \\d{4}$")),
+      9 -> ((s: String) => s.matches("^\\d{1,2}(ST|ND|RD|TH) [A-Z]{3,9} \\d{4}$")),
+      10 -> ((s: String) => s.matches("^\\d{8}$")),
+      11 -> ((s: String) => s.matches("^\\d{1,2}/\\d{1,2}/\\d{2}$")))
     def regexShape(s: String): Int =
-      patterns.find { case (_, p) => s.matches(p) }.map(_._1).getOrElse(0)
+      patterns.find { case (_, p) => p(s) }.map(_._1).getOrElse(0)
     val fixed = Seq(
       "2001/3/4", "12/31/2001", "2001.3.4", "JAN 5, 1999", "JAN 5 1999",
       "5 MARCH 2001", "MARCH 2001", "5-MAR-2001", "2001-03-04", "",
@@ -360,7 +376,16 @@ class NativeTextSpec extends SparkSpec {
       "2014-01-10 12:30:15 UTC", "2014-01-10T08:35:59.395 GMT",
       "2014-1-2 3:15 UTC", "2014-01-10 12:30 EST", "2014-01-10 UTC",
       "2014-01-10 12:30:15UTC", "2014/01/10 12:30 UTC",
-      "2014-01-10 12:30:15.5 GMT", "2014-01-10 12:30:15. UTC")
+      "2014-01-10 12:30:15.5 GMT", "2014-01-10 12:30:15. UTC",
+      // zone-name-suffixed datetimes (15) and near-misses
+      "2014-01-10 12:30:15 EST", "2014-01-10T12:30:15 CST",
+      "JAN 5, 1999 3:15 PM EST", "1/2/2014 3:15 PM EST",
+      "2014-01-10 12:30:15 BLURG", "2014-01-10 12:30:15 ABCDEF",
+      "2014-01-10 12:30:15 A", "2014-01-10 12:30:15 AM",
+      "2014-01-10 12:30:15 P", "2014-01-10 12:30 GMTX",
+      "2014-01-10 12:30 ES T", "MARCH 2001 EST", "20140110 EST",
+      "2014-01-10 12:30:15 est", "2014-01-10 12:30:15 EST5EDT",
+      "JAN 5, 1999 EST", "2014-01-10 12:30:15 UTC EST")
     val rnd = new scala.util.Random(7)
     val alphabet = "0123456789/.,- ABCDEFGHIJZSTNRHUPM:"
     val fuzz = (1 to 3000).map(_ =>
