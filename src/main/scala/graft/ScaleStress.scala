@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness (VERDICT r7 #5): materialize an N× copy of the
+  * tables behind the most expensive bench queries and time those
+  * queries at 1× and N×, to catch super-linear surprises (CC rounds,
+  * LSH bucket skew, store-view joins) before any real 100× claim.
+  *
+  * Scaling model: per-copy id-space shifts, and for `documents` a
+  * per-copy word suffix — each copy keeps the original's internal
+  * duplicate structure while cross-copy similarity drops to zero, so
+  * near-dup pair counts scale LINEARLY by construction. (Verbatim
+  * clones would make every document a 10-way near-dup and explode the
+  * pair count quadratically — a clone-attack stress, not a bigger
+  * corpus.) `events` keeps `ts` as the raw nanos long exactly as the
+  * driver's files carry it, so Tables.events reads the output
+  * unchanged.
+  *
+  * Results are recorded in BENCH_NOTES.md per round. */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "target/sf_scaled"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until copies).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(s"_$k"))), " ").as("text"),
+        col("lang"), col("source"))
+    }.reduce(_ unionByName _)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    (0 until copies).map { k =>
+      ev.select(
+        (col("event_id") + lit(k * 100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    spark.read.parquet(s"$src/orders.parquet")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val five = Seq("q_dedup_apply", "q_dedup_clusters", "q_dedup_minhash",
+      "q_store_view", "q_media_derivative")
+    def time(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // 1x pass first: it doubles as JIT warm-up so the Nx pass is not
+    // charged the compilation cost the 1x pass already paid
+    val base = five.map(q => q -> time(src, q)).toMap
+    val scaled = five.map(q => q -> time(out, q)).toMap
+    five.foreach { q =>
+      println(f"[scale] $q%-20s 1x=${base(q)}%6.2fs ${copies}x=${scaled(q)}%7.2fs " +
+        f"ratio=${scaled(q) / base(q)}%5.2f (linear=$copies.0)")
+    }
+    spark.stop()
+  }
+}

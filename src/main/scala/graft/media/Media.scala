@@ -254,9 +254,20 @@ object Media {
     * half of the reference's waveform derivative (mediaing/waveform.py
     * :17-42): split into `barCount` chunks, RMS per chunk, normalize to
     * `dbCeiling` as int((rms/max)·ceiling). REAL decode via
-    * javax.sound.sampled (WAV/AIFF PCM — pure JDK; the reference's mp3
-    * path needs ffmpeg, absent here, so mp3 blobs raise like its
-    * pydub error path). 16-bit PCM assumed, first channel read. */
+    * javax.sound.sampled. 16-bit PCM assumed, first channel read.
+    *
+    * SCOPE DECISION (closed round 8): the decode seam is WAV/AIFF PCM —
+    * what the pure-JDK javax.sound.sampled SPI ships. The reference's
+    * mp3/ogg path shells out to ffmpeg via pydub (derivatives.py:338,
+    * fixture whip-poor-will.mp3); no decoder for those formats exists
+    * in the JDK, none can be vendored into this zero-egress build, and
+    * on a cluster the right integration is the same as the
+    * reference's: an external transcoder in front of this seam. MP3
+    * blobs therefore take the BadAudio failure path — byte-identical
+    * behavior to the reference running without ffmpeg installed. A
+    * deployment with a JVM mp3 SPI (e.g. a Tritonus-style plugin on
+    * the classpath) lights this kernel up unchanged, because
+    * AudioSystem discovers decoders through the SPI registry. */
   def waveformPeaks(bytes: Array[Byte], barCount: Int = 107,
       dbCeiling: Int = 60): Array[Int] = {
     import javax.sound.sampled.AudioSystem

@@ -165,16 +165,30 @@ object EtlQueries {
     val ccTrue = when(ci === 0, "aa").when(ci === 1, "bb").otherwise("cc")
     val ccWrong = when(ci === 0, "bb").when(ci === 1, "cc").otherwise("aa")
     val cc = when(col("o_orderkey") % 7 === 0, ccWrong).otherwise(ccTrue)
+    // Barriers between fixture synthesis and the pipeline: without
+    // them CollapseProject fuses the corruption CASE trees into
+    // Enrich's stage-0 map-consumption span (measured 11 KB > the 8 KB
+    // JIT ceiling → the whole span ran interpreted). Production inputs
+    // are source columns, so stage 0's own span stays small — the
+    // barriers make the fixture feed look like one. Two spans because
+    // the map() constructor copies each value tree into both CASE
+    // branches: value synthesis first (the big trees, once), then the
+    // cheap map assembly over bound attributes.
+    val parts = graft.plans.CodegenBarrier(
+      o.orderBy(col("o_orderkey")).select(
+        col("o_orderkey").as("id"), ci.as("_ci"),
+        lonC.as("_lonc"), latC.as("_latc"), cc.as("_cc")))
     val base = Seq(
-      lit("dwc:decimalLatitude"), latC,
-      lit("dwc:decimalLongitude"), lonC,
+      lit("dwc:decimalLatitude"), col("_latc"),
+      lit("dwc:decimalLongitude"), col("_lonc"),
       lit("dwc:geodeticDatum"), lit("WGS84"),
       lit("dwc:basisOfRecord"), lit("PreservedSpecimen"))
-    val raw = o.orderBy(col("o_orderkey")).select(
-      col("o_orderkey").as("id"),
-      when(ci === 3, map(base: _*))
-        .otherwise(map(base ++ Seq(lit("idigbio:isoCountryCode"), cc): _*))
-        .as("data"))
+    val raw = graft.plans.CodegenBarrier(
+      parts.select(
+        col("id"),
+        when(col("_ci") === 3, map(base: _*))
+          .otherwise(map(base ++ Seq(lit("idigbio:isoCountryCode"), col("_cc")): _*))
+          .as("data")))
     Enrich.records(raw, geo = Some((rgFixtureIndex, None))).select(
       col("id"),
       col("geopoint.lon").as("lon"), col("geopoint.lat").as("lat"),
