@@ -110,6 +110,7 @@ object SparkEntry {
     // grabAll enrichment pipeline (SURVEY §2.8)
     "q_enrich"        -> (EtlQueries.qEnrich _),
     "q_geo_correct"   -> (EtlQueries.qGeoCorrect _),
+    "q_sci_authors"   -> (EtlQueries.qSciAuthors _),
     "q_enrich_media"  -> (EtlQueries.qEnrichMedia _),
     "q_datum"         -> (EtlQueries.qDatum _),
     "q_enrich_recordset" -> (EtlQueries.qEnrichRecordset _),
@@ -195,6 +196,7 @@ object SparkEntry {
     "q_ann_lsh"       -> LlmQueries.qAnnLshSql,
     "q_enrich"        -> EtlQueries.qEnrichSql,
     "q_geo_correct"   -> EtlQueries.qGeoCorrectSql,
+    "q_sci_authors"   -> EtlQueries.qSciAuthorsSql,
     "q_enrich_media"  -> EtlQueries.qEnrichMediaSql,
     "q_datum"         -> EtlQueries.qDatumSql,
     "q_enrich_recordset" -> EtlQueries.qEnrichRecordsetSql,

@@ -618,4 +618,71 @@ object EtlQueries {
        |  ) / 11.0 AS dqs
        |FROM orders ORDER BY id""".stripMargin
   }
+
+  // q_sci_authors: the structured-authorship parse (sciParse's
+  // gnparser-shaped basionym/combination extraction, Grabbers
+  // .parseSciAuthors twin) under the oracle gate. Same pattern as
+  // q_geo_correct: name forms are SYNTHESIZED deterministically from
+  // table words (part.p_name — two plain lowercase words per row,
+  // verified marker/connector-free), one decoration class per key
+  // residue, and the oracle replays the GENERATION rules — for known
+  // inputs the expected parse is a closed-form of the class, so the
+  // DuckDB side needs no parser. Covers: bare binomial, parenthesized
+  // basionym + year, combination author + year, leading hybrid
+  // marker, dotted rank marker + infra epithet + initial, the full
+  // "(smith & jones, 1850) brown ex green, 1900" two-group form, and
+  // a parenthesized subgenus (no authorship at all).
+  // ---------------------------------------------------------------------
+
+  def qSciAuthors(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val w = split(col("p_name"), " ")
+    val w1 = element_at(w, 1)
+    val w2 = element_at(w, 2)
+    val k = col("p_partkey") % 7
+    val name = when(k === 0, concat_ws(" ", w1, w2))
+      .when(k === 1, concat_ws(" ", w1, w2,
+        concat(lit("("), w2, lit(", 1850)"))))
+      .when(k === 2, concat_ws(" ", w1, w2,
+        concat(w2, lit(",")), lit("1900")))
+      .when(k === 3, concat_ws(" ", lit("x"), w1, w2))
+      .when(k === 4, concat_ws(" ", w1, w2, lit("var."), w2, lit("l.")))
+      .when(k === 5, concat_ws(" ", w1, w2,
+        lit("(smith & jones, 1850) brown ex green, 1900")))
+      .otherwise(concat_ws(" ", w1, concat(lit("("), w1, lit(")")), w2))
+    p.select(col("p_partkey").as("id"), name.as("name"))
+      .withColumn("_p", graft.functions.NativeText.sciParse(col("name")))
+      .select(col("id"), col("name"),
+        col("_p.genus").as("genus"),
+        col("_p.epithet").as("epithet"),
+        col("_p.year").as("year"),
+        array_join(col("_p.basionym_authors"), " ").as("basionym"),
+        array_join(col("_p.combination_authors"), " ").as("combination"))
+      .orderBy(col("id"))
+  }
+
+  val qSciAuthorsSql: String =
+    """WITH e AS (
+      |  SELECT p_partkey AS id,
+      |    string_split(p_name, ' ')[1] AS w1,
+      |    string_split(p_name, ' ')[2] AS w2,
+      |    p_partkey % 7 AS k
+      |  FROM part)
+      |SELECT id,
+      |  CASE k WHEN 0 THEN w1 || ' ' || w2
+      |         WHEN 1 THEN w1 || ' ' || w2 || ' (' || w2 || ', 1850)'
+      |         WHEN 2 THEN w1 || ' ' || w2 || ' ' || w2 || ', 1900'
+      |         WHEN 3 THEN 'x ' || w1 || ' ' || w2
+      |         WHEN 4 THEN w1 || ' ' || w2 || ' var. ' || w2 || ' l.'
+      |         WHEN 5 THEN w1 || ' ' || w2 ||
+      |           ' (smith & jones, 1850) brown ex green, 1900'
+      |         ELSE w1 || ' (' || w1 || ') ' || w2 END AS name,
+      |  w1 AS genus,
+      |  w2 AS epithet,
+      |  CAST(CASE k WHEN 1 THEN 1850 WHEN 2 THEN 1900 WHEN 5 THEN 1850 END
+      |       AS INTEGER) AS "year",
+      |  CASE k WHEN 1 THEN w2 WHEN 5 THEN 'smith jones' END AS basionym,
+      |  CASE k WHEN 2 THEN w2 WHEN 4 THEN 'l.'
+      |         WHEN 5 THEN 'brown green' END AS combination
+      |FROM e ORDER BY id""".stripMargin
 }
