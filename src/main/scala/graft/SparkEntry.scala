@@ -89,6 +89,7 @@ object SparkEntry {
     // LLM-training-data pipeline operators (documents/embeddings)
     "q_dedup_exact"   -> (LlmQueries.qDedupExact _),
     "q_dedup_minhash" -> (LlmQueries.qDedupMinhash _),
+    "q_dedup_jaccard" -> (LlmQueries.qDedupJaccard _),
     "q_dedup_clusters" -> (LlmQueries.qDedupClusters _),
     "q_dedup_apply"   -> (LlmQueries.qDedupApply _),
     "q_ann_ivf" -> (LlmQueries.qAnnIvf _),
@@ -176,6 +177,7 @@ object SparkEntry {
     "q_fulltext_rank"      -> DslQueries.qFulltextRankSql,
     "q_dedup_exact"   -> LlmQueries.qDedupExactSql,
     "q_dedup_minhash" -> LlmQueries.qDedupMinhashSql,
+    "q_dedup_jaccard" -> LlmQueries.qDedupJaccardSql,
     "q_dedup_clusters" -> LlmQueries.qDedupClustersSql,
     "q_dedup_apply"   -> LlmQueries.qDedupApplySql,
     "q_ann_ivf" -> LlmQueries.qAnnIvfSql,

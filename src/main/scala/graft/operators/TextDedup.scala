@@ -149,6 +149,81 @@ object TextDedup {
           .as("jaccard"))
   }
 
+  /** EXACT n-gram Jaccard self-join via prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo, Ma & Srikant, WWW'07; Xiao et
+    * al., WWW'08), re-expressed as DataFrame joins. Unlike
+    * [[minhashNearDups]] (probabilistic recall from the LSH band
+    * curve), this returns EXACTLY the pairs with Jaccard ≥ τ over
+    * distinct word-shingles, with no all-pairs comparison:
+    *
+    *  1. global document frequency per shingle (one groupBy) defines a
+    *     rarest-first total order (df, h);
+    *  2. each doc indexes only its PREFIX under that order — the first
+    *     `n − ⌈τ·n⌉ + 1` of its `n` shingles. Correctness (exactness):
+    *     J(x,y) ≥ τ ⇒ overlap o ≥ τ·(|x|+|y|)/(1+τ) ≥ ⌈τ·max(|x|,|y|)⌉,
+    *     so the smallest common shingle under the global order must sit
+    *     inside BOTH prefixes (else the ≥ ⌈τ·n⌉ common shingles of that
+    *     doc would all fit in its last ⌈τ·n⌉ − 1 positions — pigeonhole);
+    *  3. candidates come from the prefix-prefix equi-join plus the size
+    *     filter τ·n₂ ≤ n₁ ≤ n₂/τ, then exact verification
+    *     ([[verifyJaccardOnCandidates]]) touches candidates only.
+    *
+    * 100 TB shape: rarest-first ordering puts low-df shingles in the
+    * prefixes, so inverted-index buckets are inherently tiny — hot
+    * boilerplate shingles (the skew hazard of a naive shingle
+    * self-join) land in suffixes and never generate candidates. The
+    * window rank and size count share one hash-partition of the
+    * shingle table by doc id; the df table is shingle-keyed and
+    * shuffles once. Reference behavior context: the reference dedups
+    * via content etags only (data_identifiers.py); this generalizes
+    * its exact-dup semantics to exact set-similarity. */
+  def jaccardSelfJoin(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withWords = docs.select(col(idCol), split(col(textCol), " ").as("_w"))
+    def shingleHashes(d: DataFrame): DataFrame = d
+      .select(col(idCol),
+        explode(graft.functions.NativeText.shingleHashes(
+          col("_w"), shingleSize)).as("h"))
+    val cands = jaccardCandidates(shingleHashes(withWords), idCol, threshold)
+    // re-shingle only candidate docs for the exact verify (same
+    // semi-join-first discipline as minhashNearDups)
+    val candDocs = cands.select(col("d1").as(idCol))
+      .union(cands.select(col("d2").as(idCol))).distinct()
+    val shCand = shingleHashes(withWords.join(candDocs, Seq(idCol), "left_semi"))
+    verifyJaccardOnCandidates(shCand, idCol, cands)
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Prefix-filtered candidate pairs from an exploded (id, h) distinct
+    * shingle table — exact-recall superset of all pairs with Jaccard ≥
+    * `threshold` (see [[jaccardSelfJoin]] for the pigeonhole argument).
+    * Exposed separately so the pruning claim is testable: a spec
+    * asserts candidates ⊇ true pairs AND ≪ the all-pairs count. */
+  def jaccardCandidates(sh: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // rank each doc's shingles rarest-first; the ordered rank and the
+    // whole-doc size use the SAME doc-id partitioning (one exchange,
+    // two Window operators)
+    val byDoc = Window.partitionBy(col(idCol))
+    val ranked = sh.join(dfreq, "h")
+      .select(col(idCol), col("h"),
+        row_number().over(byDoc.orderBy(col("df"), col("h"))).as("pos"),
+        count(lit(1)).over(byDoc).as("n"))
+    val prefix = ranked.where(
+      col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+    val p1 = prefix.select(col(idCol).as("d1"), col("h"), col("n").as("n1"))
+    val p2 = prefix.select(col(idCol).as("d2"), col("h"), col("n").as("n2"))
+    p1.join(p2, Seq("h"))
+      .where(col("d1") < col("d2") &&
+        col("n1") >= lit(threshold) * col("n2") &&
+        col("n2") >= lit(threshold) * col("n1"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+  }
+
   /** Per-row signature alternative: 64 transform/array_min passes over
     * each document's own shingle-hash array — no shuffle, but
     * higher-order functions evaluate interpreted (CodegenFallback) and

@@ -60,11 +60,12 @@ object LlmQueries {
         shingleSize = 3, threshold = 0.5)
       .orderBy(col("d1"), col("d2"))
 
-  /** Shared CTE chain: brute-force shingle-Jaccard pair ground truth
-    * (used by the minhash oracle directly and recursively closed over
-    * by the cluster oracle). */
-  private val minhashPairsCte: String =
-    """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** Shared CTE chain: brute-force shingle-Jaccard pair ground truth at
+    * the given threshold (used by the minhash oracle directly, closed
+    * over recursively by the cluster oracle, and — at a lower τ — as
+    * the EXACT expected output of the prefix-filtered Jaccard join). */
+  private def jaccardPairsCte(tau: String): String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d),
       |sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s FROM g),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -77,10 +78,30 @@ object LlmQueries {
       |  FROM inter
       |  JOIN sizes s1 ON d1 = s1.doc_id
       |  JOIN sizes s2 ON d2 = s2.doc_id
-      |  WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5)""".stripMargin
+      |  WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= $tau)""".stripMargin
+
+  private val minhashPairsCte: String = jaccardPairsCte("0.5")
 
   val qDedupMinhashSql: String =
     s"""WITH $minhashPairsCte
+       |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin
+
+  /** EXACT n-gram Jaccard near-dup (prefix-filtered AllPairs join,
+    * TextDedup.jaccardSelfJoin) at τ = 0.4 — deliberately BELOW the LSH
+    * operating point: at low thresholds the 16×4 band curve's recall
+    * decays (miss prob (1-0.4⁴)¹⁶ ≈ 0.66), which is exactly where an
+    * exact algorithm is the right tool. The oracle is the same
+    * brute-force ground truth as the minhash gate, so the hash match
+    * proves EXACTNESS (recall = precision = 1), not just recall at a
+    * forgiving threshold. */
+  def qDedupJaccard(s: SparkSession, dir: String): DataFrame =
+    TextDedup.jaccardSelfJoin(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.4)
+      .orderBy(col("d1"), col("d2"))
+
+  val qDedupJaccardSql: String =
+    s"""WITH ${jaccardPairsCte("0.4")}
        |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin
 
   /** Duplicate-CLUSTER resolution: the near-dup pairs say "same
