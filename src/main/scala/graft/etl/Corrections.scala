@@ -71,10 +71,19 @@ object Corrections {
       .sortBy { case (t, _) => (t.length, t.mkString("\u0000")) }
 
     byTuple.foldLeft(df) { case (acc, (tuple, tupleRules)) =>
-      val ruleRows = tupleRules.map { r =>
+      // rules sharing a match key resolve LAST-write-wins, like the
+      // reference's etag-keyed KV store where later to_insert lines
+      // overwrite earlier ones wholesale (record_corrector.py:125-151;
+      // locality's kl identity entries collide with its implied-parent
+      // rules this way) — and the broadcast join below must see one
+      // row per hash or matches would fan out record rows
+      val deduped = tupleRules.foldLeft(
+        scala.collection.immutable.ListMap.empty[Map[String, String], Rule]
+      ) { (m, r) => m - r.matchOn + (r.matchOn -> r) }.values.toSeq
+      val ruleRows = deduped.map { r =>
         (ruleHash(r.matchOn), r.set.map { case (k, v) => k -> v })
       }.toDF("_rule_hash", "_rule_set")
-      val setFields = tupleRules.flatMap(_.set.keys).distinct
+      val setFields = deduped.flatMap(_.set.keys).distinct
         .filterNot(_ == "dwc:scientificname") // never overwritten (:231)
 
       val withHash = acc.withColumn("_key_hash",
@@ -108,7 +117,13 @@ object Corrections {
         val d1 = orFlag(d, flagBase + "_added", hasNew && col(cn).isNull)
         val d2 = orFlag(d1, flagBase + "_replaced",
           hasNew && col(cn).isNotNull && lower(col(cn)) =!= newVal)
-        d2.withColumn(cn, when(hasNew, newVal).otherwise(col(cn)))
+        // write only on added/replaced: a case-insensitive MATCH keeps
+        // the record's own casing (record_corrector.py:246-248 `pass` —
+        // kl identity rules like "florida"→"florida" must not lowercase
+        // a record's "Florida")
+        d2.withColumn(cn,
+          when(hasNew && (col(cn).isNull || lower(col(cn)) =!= newVal), newVal)
+            .otherwise(col(cn)))
       }
       applied.drop("_key_hash", "_rule_hash", "_rule_set")
     }

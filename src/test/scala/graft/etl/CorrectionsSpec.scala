@@ -88,6 +88,35 @@ class CorrectionsSpec extends SparkSpec {
     assert(out(3).isNullAt(2))
   }
 
+  test("duplicate match keys resolve last-write-wins, no row fan-out " +
+      "(record_corrector.py:125-151 etag overwrite)") {
+    val rules = Seq(
+      Rule(Map("dwc:genus" -> "acer"), Map("dwc:family" -> "overwritten")),
+      Rule(Map("dwc:genus" -> "acer"), Map("dwc:family" -> "sapindaceae")))
+    val out = Corrections.apply(df, rules, fieldCol)
+      .select("id", "family").orderBy("id").collect()
+    assert(out.length === 4, "a duplicate rule hash must not duplicate rows")
+    assert(out(0).getString(1) === "sapindaceae")
+    assert(out(1).getString(1) === "sapindaceae")
+  }
+
+  test("case-insensitive match keeps the record's own casing (:246-248 pass)") {
+    // the locality kl identity rules ("florida"→"florida") hit this
+    // path: the rule names the matched field itself with the same
+    // lowercased value — no flag, and the record's casing survives
+    val rules = Seq(Rule(Map("dwc:kingdom" -> "plantae"),
+      Map("dwc:kingdom" -> "plantae", "dwc:family" -> "somefam")))
+    val out = Corrections.apply(df, rules, fieldCol)
+      .select("id", "kingdom", "family").orderBy("id").collect()
+    assert(out(0).getString(1) === "Plantae") // NOT lowercased
+    assert(out(0).getString(2) === "somefam")
+    val flags = Corrections.apply(df, rules, fieldCol)
+      .where(col("id") === 1)
+      .select("_flag_dwc_kingdom_added", "_flag_dwc_kingdom_replaced",
+        "_flag_dwc_kingdom_suspect").collect()(0)
+    assert(!flags.getBoolean(0) && !flags.getBoolean(1) && !flags.getBoolean(2))
+  }
+
   test("later tuples see earlier tuples' corrections (cross-tuple sequencing)") {
     val rules = Seq(
       Rule(Map("dwc:country" -> "franse"), Map("dwc:kingdom" -> "plantae")),
