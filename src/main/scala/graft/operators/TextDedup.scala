@@ -184,7 +184,20 @@ object TextDedup {
       .select(col(idCol),
         explode(graft.functions.NativeText.shingleHashes(
           col("_w"), shingleSize)).as("h"))
-    val cands = jaccardCandidates(shingleHashes(withWords), idCol, threshold)
+    // materialize the corpus × shingles explode ONCE for candidate
+    // generation: its two consumers are keyed differently (the df
+    // aggregate by shingle, the rank window by doc) so no layout lets
+    // them share an Exchange — unpersisted, each re-derives the
+    // widest intermediate of the whole pipeline from the scan. The
+    // eager localCheckpoint on the (small) candidate pair list both
+    // materializes the only reader of the cache and cuts its lineage,
+    // so the shingle blocks are released immediately — no O(corpus)
+    // cache residue outlives this call (the Graph.scala discipline).
+    val sh = shingleHashes(withWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands =
+      try jaccardCandidates(sh, idCol, threshold).localCheckpoint()
+      finally sh.unpersist(false)
     // re-shingle only candidate docs for the exact verify (same
     // semi-join-first discipline as minhashNearDups)
     val candDocs = cands.select(col("d1").as(idCol))

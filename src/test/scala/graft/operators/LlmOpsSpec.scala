@@ -36,6 +36,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("jaccardSelfJoin finds exactly the true pairs at τ=0.4 over 3-shingles") {
+    val pairs = TextDedup.jaccardSelfJoin(docs, "doc_id", "text", 3, 0.4)
+      .select("d1", "d2", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(pairs((1L, 4L)) === 1.0) // exact dup
+    assert(pairs((1L, 2L)) === pairs((2L, 4L))) // 4 is a copy of 1
+  }
+
+  test("jaccardCandidates over a persisted shingle table derives it once " +
+      "(both consumers read the cache); selfJoin pins only the pair list") {
+    val s = spark
+    // candidate generation on a persisted (id, h) table must feed BOTH
+    // the document-frequency aggregate and the rank window from the
+    // cache — the explode appears nowhere in the plan
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.NativeText.shingleHashes(
+        split(col("text"), " "), 3)).as("h")).persist()
+    try {
+      sh.count()
+      val plan = TextDedup.jaccardCandidates(sh, "doc_id", 0.4)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        "candidate generation must read the persisted shingle table")
+      assert(!plan.toLowerCase.contains("shinglehashes"),
+        "no consumer may re-derive the shingle explode:\n" + plan)
+    } finally sh.unpersist(true)
+    // end-to-end: after materialization the only cache residue is the
+    // localCheckpoint'ed candidate PAIR list (small), never the
+    // corpus × shingles table (the Graph.scala residue discipline)
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    TextDedup.jaccardSelfJoin(docs, "doc_id", "text", 3, 0.4).collect()
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"only the checkpointed pair list may stay cached, found $leaked")
+  }
+
   test("minhash exact-dup pair has jaccard exactly 1.0") {
     val j = TextDedup.minhashNearDups(docs, "doc_id", "text", 3, 0.5)
       .where(col("d1") === 1 && col("d2") === 4)
