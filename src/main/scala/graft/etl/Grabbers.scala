@@ -205,14 +205,16 @@ object Grabbers {
           lit(0), lit(0), lit(0))
       }),
       timeBearing(c, sh),
-      // zone-NAME-suffixed datetimes ("2014-01-10 12:30:15 EST",
-      // "JAN 5, 1999 3:15 PM EST"): dateutil identifies the trailing
-      // 1-5-letter uppercase token as a tzname it cannot resolve and
-      // returns the NAIVE parse (UnknownTimezoneWarning path), which
-      // the reference pins to UTC (conversions.py:592-598) — so the
-      // name is stripped and the prefix re-classified and parsed
+      // zone-NAME-suffixed datetimes ("2014-01-10 12:30:15 EST", the
+      // attached "…12:30:15EST", "JAN 5, 1999 3:15 PM EST"): dateutil
+      // identifies the trailing 1-5-letter uppercase token as a tzname
+      // it cannot resolve and returns the NAIVE parse
+      // (UnknownTimezoneWarning path), which the reference pins to UTC
+      // (conversions.py:592-598) — so the whole trailing letter run is
+      // stripped and the prefix re-classified and parsed (double-zone
+      // prefixes never reach here: the classifier rejects them)
       when(sh === 15, {
-        val base = regexp_replace(c, " [A-Z]{1,5}$", "")
+        val base = regexp_replace(c, " ?[A-Z]{1,5}$", "")
         val sh2 = graft.functions.NativeText.dateShape(base)
         coalesce(
           when(base.rlike("^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}"),
@@ -221,29 +223,36 @@ object Grabbers {
       }))
   }
 
+  /** dateutil's meridiem-to-24h rule over extracted clock columns
+    * (parser.py _parse): hour > 12 with an explicit meridiem is a
+    * ParserError (null here); PM lifts any hour below 12 (00 PM → 12);
+    * 12 AM → 00; the token may be the bare letter ("9:30 P"). `ap` is
+    * the extracted A/P letter ("" when the clock had no meridiem). */
+  private def meridiemHour(hh0: Column, ap: Column): Column =
+    when(ap =!= "" && hh0 > 12, lit(null).cast("int"))
+      .when(ap === "P" && hh0 =!= 12, hh0 + 12)
+      .when(ap === "A" && hh0 === 12, lit(0))
+      .otherwise(hh0)
+
   /** The time-bearing families (12: month-name + clock, 13: ISO +
-    * UTC/GMT, 14: slash date + clock) — shared between the top-level
-    * cascade and the zone-name-suffixed shape 15, whose stripped
-    * prefix re-enters these same parses. */
+    * UTC/GMT, 14: slash date + clock, 16: ISO clock + meridiem) —
+    * shared between the top-level cascade and the zone-name-suffixed
+    * shape 15, whose stripped prefix re-enters these same parses. */
   private def timeBearing(c: Column, sh: Column): Column =
     coalesce(
       // time-bearing month-name dates ("JAN 5, 1999 3:15 PM" family,
       // dateutil's default time handling): the date part reuses the
       // shape-4 path; the clock is assembled numerically so the
       // upper-cased AM/PM never meets the case-sensitive Java parser
-      // (dateutil: 12 AM → 00, 12 PM → 12)
       when(sh === 12, {
         val re = "^([A-Z]{3,9} \\d{1,2},? \\d{4}) " +
-          "(\\d{1,2}):(\\d{2})(?::(\\d{2}))? ?(AM|PM)?$"
+          "(\\d{1,2}):(\\d{2})(?::(\\d{2}))?(?: ?([AP])M?)?$"
         val datePart = regexp_extract(c, re, 1)
         val hh0 = regexp_extract(c, re, 2).cast("int")
         val mm = regexp_extract(c, re, 3).cast("int")
         val ss = coalesce(
           nullif(regexp_extract(c, re, 4), lit("")).cast("int"), lit(0))
-        val ap = regexp_extract(c, re, 5)
-        val hh = when(ap === "PM" && hh0 =!= 12, hh0 + 12)
-          .when(ap === "AM" && hh0 === 12, lit(0))
-          .otherwise(hh0)
+        val hh = meridiemHour(hh0, regexp_extract(c, re, 5))
         val noComma = regexp_replace(initcap(datePart), ",", "")
         val d = coalesce(
           try_to_timestamp(noComma, lit("MMM d y")),
@@ -261,18 +270,27 @@ object Grabbers {
       // clock assembly
       when(sh === 14, {
         val re = "^(\\d{1,2}/\\d{1,2}/\\d{4}) " +
-          "(\\d{1,2}):(\\d{2})(?::(\\d{2}))? ?(AM|PM)?$"
+          "(\\d{1,2}):(\\d{2})(?::(\\d{2}))?(?: ?([AP])M?)?$"
         val datePart = regexp_extract(c, re, 1)
         val hh0 = regexp_extract(c, re, 2).cast("int")
         val mm = regexp_extract(c, re, 3).cast("int")
         val ss = coalesce(
           nullif(regexp_extract(c, re, 4), lit("")).cast("int"), lit(0))
-        val ap = regexp_extract(c, re, 5)
-        val hh = when(ap === "PM" && hh0 =!= 12, hh0 + 12)
-          .when(ap === "AM" && hh0 === 12, lit(0))
-          .otherwise(hh0)
+        val hh = meridiemHour(hh0, regexp_extract(c, re, 5))
         val d = try_to_timestamp(datePart, lit("M/d/y"))
         try_make_timestamp(year(d), month(d), dayofmonth(d), hh, mm, ss)
+      }),
+      // ISO clock + meridiem token ("2014-01-10 9:30 PM" / "…9:30P"):
+      // parse the ISO core with Spark's cast, then shift the hour by
+      // dateutil's meridiem rules (hour > 12 + meridiem → null)
+      when(sh === 16, {
+        val re = "^(\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}" +
+          "(?::\\d{2})?(?:\\.\\d+)?) ?([AP])M?$"
+        val ts = regexp_extract(c, re, 1)
+          .try_cast(org.apache.spark.sql.types.TimestampType)
+        val hh = meridiemHour(hour(ts), regexp_extract(c, re, 2))
+        when(hh.isNotNull,
+          ts + make_dt_interval(lit(0), hh - hour(ts), lit(0), lit(0)))
       }))
 
   /** Minimal gnparser-equivalent scientific-name parse

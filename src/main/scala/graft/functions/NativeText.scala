@@ -664,11 +664,17 @@ object MinhashKernel {
       (c0 == 'R' && c1 == 'D') || (c0 == 'T' && c1 == 'H')
     }
 
-    // "\d{1,2}:\d{2}(:\d{2})?( ?[AP]M)?" over [s, e0)
+    // "\d{1,2}:\d{2}(:\d{2})?( ?[AP]M?)?" over [s, e0) — the meridiem
+    // may be the bare letter ("9:30 A" / "9:30P"): dateutil's lexer
+    // splits at the letter boundary and applies A/P to the hour
+    // exactly like AM/PM (probed, see EnrichSpec date goldens)
     def timeTail(s: Int, e0: Int): Boolean = {
       var e = e0
       if (e - s >= 2 && b(e - 1) == 'M' && (b(e - 2) == 'A' || b(e - 2) == 'P')) {
         e -= 2
+        if (e > s && b(e - 1) == ' ') e -= 1
+      } else if (e - s >= 2 && (b(e - 1) == 'A' || b(e - 1) == 'P')) {
+        e -= 1
         if (e > s && b(e - 1) == ' ') e -= 1
       }
       var j = s
@@ -714,35 +720,58 @@ object MinhashKernel {
       val gmt = b(n - 3) == 'G' && b(n - 2) == 'M' && b(n - 1) == 'T'
       (utc || gmt) && isoDateTime(0, n - 4)
     }
-    // 15: time-bearing value + " " + a 1-5 letter uppercase zone NAME —
-    // dateutil identifies the token as a tzname it cannot resolve and
-    // returns the NAIVE parse (the reference then pins naive values to
-    // UTC, conversions.py:592-598), so the name is semantically ignored.
-    // Single "A"/"P" and "AM"/"PM" are clock markers, not zone names
-    // (dateutil applies them to the hour), and the zone only attaches
-    // to a parsed TIME: the prefix must be an ISO datetime with a
-    // clock or itself classify as a time-bearing shape (12/13/14 —
-    // date-only + zone name is a dateutil ParserError).
+    // 15: time-bearing value + a 1-5 letter uppercase zone NAME, spaced
+    // ("… 12:30:15 EST") or ATTACHED to the clock ("… 12:30:15EST") —
+    // dateutil's lexer splits at the letter boundary either way,
+    // identifies the token as a tzname it cannot resolve and returns
+    // the NAIVE parse (the reference then pins naive values to UTC,
+    // conversions.py:592-598), so the name is semantically ignored.
+    // Exact "A"/"P"/"AM"/"PM" are clock markers, not zone names
+    // (dateutil applies them to the hour — shape 16 / the 12/14 time
+    // tails), but LONGER runs that merely start with them ("PMEST")
+    // are a single unknown-tzname token, swallowing the meridiem —
+    // reproduced by stripping the whole run. The zone only attaches to
+    // a parsed TIME: the prefix must be an ISO datetime with a clock
+    // or itself classify 12, 14 or 16. A prefix that already carries a
+    // zone (13/15) makes a DOUBLE zone, which is a dateutil
+    // ParserError → shape 0, not a nested strip.
     def tzNameSuffix(): Boolean = {
-      var sp = n - 1
-      while (sp >= 0 && b(sp) != ' ') sp -= 1
-      if (sp <= 0 || sp == n - 1 || n - sp - 1 > 5) return false
-      if (!allUpper(b, sp + 1, n)) return false
-      val len = n - sp - 1
-      if (len == 1 && (b(sp + 1) == 'A' || b(sp + 1) == 'P')) return false
-      if (len == 2 && (b(sp + 1) == 'A' || b(sp + 1) == 'P') &&
-        b(sp + 2) == 'M') return false
-      if (isoDateTime(0, sp)) return true
-      val sub = dateShape(UTF8String.fromBytes(b, 0, sp))
-      sub == 12 || sub == 13 || sub == 14
+      var st = n
+      while (st > 0 && b(st - 1) >= 'A' && b(st - 1) <= 'Z') st -= 1
+      val len = n - st
+      if (len < 1 || len > 5 || st == 0) return false
+      val spaced = b(st - 1) == ' '
+      if (!spaced && !(b(st - 1) >= '0' && b(st - 1) <= '9')) return false
+      if (len == 1 && (b(st) == 'A' || b(st) == 'P')) return false
+      if (len == 2 && (b(st) == 'A' || b(st) == 'P') && b(st + 1) == 'M')
+        return false
+      val pe = if (spaced) st - 1 else st
+      if (pe <= 0) return false
+      if (isoDateTime(0, pe)) return true
+      val sub = dateShape(UTF8String.fromBytes(b, 0, pe))
+      sub == 12 || sub == 14 || sub == 16
+    }
+    // 16: ISO datetime clock + a meridiem token (A/P/AM/PM, spaced or
+    // attached): dateutil applies the token to the hour (12 AM → 00,
+    // 12 PM stays, 00 PM → 12; hour > 12 with a meridiem is a
+    // ParserError — validated at parse). Month-name and slash-date
+    // prefixes take the same tokens through the 12/14 time tails.
+    def meridiemSuffix(): Boolean = {
+      var e = n
+      if (e > 0 && b(e - 1) == 'M') e -= 1
+      if (e > 0 && (b(e - 1) == 'A' || b(e - 1) == 'P')) e -= 1
+      else return false
+      if (e > 0 && b(e - 1) == ' ') e -= 1
+      e > 0 && isoDateTime(0, e)
     }
 
     // ISO+UTC/GMT first (13 claims it before the generic zone-name
-    // suffix), then zone-name datetimes (15) — both BEFORE the
-    // separator families, whose early returns would otherwise swallow
-    // "1/2/2014 3:15 PM EST"
+    // suffix), then zone-name datetimes (15), then ISO+meridiem (16) —
+    // all BEFORE the separator families, whose early returns would
+    // otherwise swallow "1/2/2014 3:15 PM EST"
     if (isoZoneSuffix()) return 13
     if (tzNameSuffix()) return 15
+    if (meridiemSuffix()) return 16
 
     val slash = split3('/')
     if (slash != null) {
@@ -868,17 +897,34 @@ object MinhashKernel {
   }
 
   private val P12 = java.util.regex.Pattern.compile(
-    "^([A-Z]{3,9}) (\\d{1,2}),? (\\d{4}) (\\d{1,2}):(\\d{2})(?::(\\d{2}))? ?(AM|PM)?$")
+    "^([A-Z]{3,9}) (\\d{1,2}),? (\\d{4}) (\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
+      "(?: ?([AP])M?)?$")
   private val P13 = java.util.regex.Pattern.compile(
     "^(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ](\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
       "(?:\\.(\\d+))? (?:UTC|GMT)$")
   private val P14 = java.util.regex.Pattern.compile(
-    "^(\\d{1,2})/(\\d{1,2})/(\\d{4}) (\\d{1,2}):(\\d{2})(?::(\\d{2}))? ?(AM|PM)?$")
+    "^(\\d{1,2})/(\\d{1,2})/(\\d{4}) (\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
+      "(?: ?([AP])M?)?$")
   // the zone-less ISO-with-clock core (shape 15's prefix when it is not
-  // itself a 12/13/14 string) — P13 minus the UTC/GMT suffix
+  // itself a 12/14/16 string) — P13 minus the UTC/GMT suffix
   private val P15 = java.util.regex.Pattern.compile(
     "^(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ](\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
       "(?:\\.(\\d+))?$")
+  // ISO clock + meridiem token (shape 16): the token may be bare A/P
+  // and may attach directly to the clock
+  private val P16 = java.util.regex.Pattern.compile(
+    "^(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ](\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
+      "(?:\\.(\\d+))? ?([AP])M?$")
+
+  /** dateutil's meridiem-to-24h rule (parser.py _parse): hour > 12
+    * with an explicit meridiem is a ParserError (returns -1 here);
+    * PM lifts any hour below 12 (00 PM → 12); 12 AM → 00. */
+  private def meridiemHour(hh0: Int, ap: String): Int = {
+    if (ap == null) return hh0
+    if (hh0 > 12) return -1
+    if (ap == "P") { if (hh0 != 12) hh0 + 12 else hh0 }
+    else { if (hh0 == 12) 0 else hh0 }
+  }
 
   private def microsOf(ldt: java.time.LocalDateTime,
       zone: java.time.ZoneId): java.lang.Long = {
@@ -954,11 +1000,8 @@ object MinhashKernel {
           val hh0 = m.group(4).toInt
           val mm = m.group(5).toInt
           val ss = if (m.group(6) == null) 0 else m.group(6).toInt
-          val ap = m.group(7)
-          val hh =
-            if (ap == "PM" && hh0 != 12) hh0 + 12
-            else if (ap == "AM" && hh0 == 12) 0
-            else hh0
+          val hh = meridiemHour(hh0, m.group(7))
+          if (hh < 0) return null
           microsOf(java.time.LocalDateTime.of(y, mi.intValue(),
             m.group(2).toInt, hh, mm, ss), zone)
         case 14 =>
@@ -969,11 +1012,8 @@ object MinhashKernel {
           val hh0 = m.group(4).toInt
           val mm = m.group(5).toInt
           val ss = if (m.group(6) == null) 0 else m.group(6).toInt
-          val ap = m.group(7)
-          val hh =
-            if (ap == "PM" && hh0 != 12) hh0 + 12
-            else if (ap == "AM" && hh0 == 12) 0
-            else hh0
+          val hh = meridiemHour(hh0, m.group(7))
+          if (hh < 0) return null
           microsOf(java.time.LocalDateTime.of(m.group(3).toInt,
             m.group(1).toInt, m.group(2).toInt, hh, mm, ss), zone)
         case 13 =>
@@ -992,15 +1032,21 @@ object MinhashKernel {
             m.group(2).toInt, m.group(3).toInt, m.group(4).toInt,
             m.group(5).toInt, ss, nanos), zone)
         case 15 =>
-          // zone-NAME-suffixed datetime: dateutil identifies the name
-          // but cannot resolve it and yields the NAIVE parse; the
-          // reference pins naive values to UTC (conversions.py:592-598),
-          // so the suffix is stripped and the prefix parsed as usual
-          val sp = s.lastIndexOf(' ')
-          val base = s.substring(0, sp)
+          // zone-NAME-suffixed datetime (spaced or attached): dateutil
+          // identifies the name but cannot resolve it and yields the
+          // NAIVE parse; the reference pins naive values to UTC
+          // (conversions.py:592-598), so the suffix is stripped and the
+          // prefix parsed as usual. The strip drops the whole trailing
+          // letter run — for "3:15PMEST" dateutil swallows the meridiem
+          // inside the unknown tzname too (probed; 03:15).
+          var t = s.length - 1
+          while (t >= 0 && s.charAt(t) >= 'A' && s.charAt(t) <= 'Z') t -= 1
+          val base =
+            if (t >= 0 && s.charAt(t) == ' ') s.substring(0, t)
+            else s.substring(0, t + 1)
           val bu = UTF8String.fromString(base)
           val sub = dateShape(bu)
-          if (sub == 12 || sub == 13 || sub == 14)
+          if (sub == 12 || sub == 14 || sub == 16)
             parseShapedDate(bu, runYear, zone)
           else {
             val m = P15.matcher(base)
@@ -1016,6 +1062,24 @@ object MinhashKernel {
               m.group(2).toInt, m.group(3).toInt, m.group(4).toInt,
               m.group(5).toInt, ss, nanos), zone)
           }
+        case 16 =>
+          // ISO clock + meridiem token: parse the ISO core, then apply
+          // dateutil's meridiem rules to the hour (hour > 12 with a
+          // meridiem is a ParserError → null)
+          val m = P16.matcher(s)
+          if (!m.matches()) return null
+          val frac = m.group(7)
+          if (frac != null && (m.group(6) == null || frac.length > 9))
+            return null
+          val nanos =
+            if (frac == null) 0
+            else (frac + "0" * (9 - frac.length)).toInt
+          val ss = if (m.group(6) == null) 0 else m.group(6).toInt
+          val hh = meridiemHour(m.group(4).toInt, m.group(8))
+          if (hh < 0) return null
+          microsOf(java.time.LocalDateTime.of(m.group(1).toInt,
+            m.group(2).toInt, m.group(3).toInt, hh,
+            m.group(5).toInt, ss, nanos), zone)
         case _ => null
       }
     } catch { case _: RuntimeException => null }

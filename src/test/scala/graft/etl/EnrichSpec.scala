@@ -297,7 +297,20 @@ class EnrichSpec extends SparkSpec {
       "JAN 5, 1999 3:15 PM EST", "1/2/2014 3:15 PM PST",
       "2014-01-10 12:30 Z", "2014-01-10 12:30:15 BLURG",
       "2014-02-31 12:30:15 EST", "2014-01-10 12:30:15 A",
-      "JAN 5, 1999 EST", "2014-01-10 EST", "NOON", "JAN 5, 1999 NOON")
+      "JAN 5, 1999 EST", "2014-01-10 EST", "NOON", "JAN 5, 1999 NOON",
+      // attached zones (15), ISO+meridiem (16), bare A/P tails (12/14),
+      // double-zone errors
+      "2014-01-10 12:30:15EST", "2014-01-10T12:30:15.5EDT",
+      "JAN 5, 1999 3:15PMEST", "JAN 5, 1999 3:15 PMEST",
+      "2014-01-10 12:30AMEST", "2014-01-10 12:30 AMEST",
+      "2014-01-10 9:30 AM", "2014-01-10 9:30AM", "2014-01-10 9:30 A",
+      "2014-01-10 9:30P", "2014-01-10 12:30:15P", "2014-01-10 12:30:15A",
+      "2014-01-10 13:30 A", "2014-01-10 00:30 PM", "2014-01-10 24:00 PM",
+      "2014-01-10 9:30 A EST", "2014-01-10 9:30AM EST",
+      "JAN 5, 1999 9:30P", "JAN 5, 1999 13:30 AM", "1/2/2014 9:30A",
+      "1/2/2014 9:30P EST", "2014-01-10 12:30 M",
+      "2014-01-10 12:30:15 EST EST", "2014-01-10 12:30:15 EST UTC",
+      "2014-01-10 12:30:15GMT", "2014-01-10 9:30 AP")
     val rnd = new scala.util.Random(13)
     val alphabet = "0123456789/.,- :APMUTCGJANFEBRYLOVDES"
     val fuzz = (1 to 2000).map(_ =>
@@ -368,6 +381,37 @@ class EnrichSpec extends SparkSpec {
       "2014-01-10 12:30:15 BLURG" -> "2014-01-10 12:30:15.0",
       "JAN 5, 1999 3:15 PM EST"  -> "1999-01-05 15:15:00.0",
       "1/2/2014 3:15 PM PST"     -> "2014-01-02 15:15:00.0",
+      // ATTACHED zone names: dateutil's lexer splits at the letter
+      // boundary, so "…15EST" parses naive exactly like "…15 EST"
+      // (probed; "GMT" attached resolves to +00:00, same value in UTC)
+      "2014-01-10 12:30:15EST"   -> "2014-01-10 12:30:15.0",
+      "2014-01-10 12:30:15GMT"   -> "2014-01-10 12:30:15.0",
+      // a longer run that merely STARTS with a meridiem is one unknown
+      // tzname token — dateutil swallows the meridiem inside it
+      // (probed: both give 03:15, not 15:15)
+      "JAN 5, 1999 3:15PMEST"    -> "1999-01-05 03:15:00.0",
+      "JAN 5, 1999 3:15 PMEST"   -> "1999-01-05 03:15:00.0",
+      "2014-01-10 12:30AMEST"    -> "2014-01-10 12:30:00.0",
+      // ISO clock + meridiem (shape 16), spaced/attached/bare-letter
+      "2014-01-10 9:30 AM"       -> "2014-01-10 09:30:00.0",
+      "2014-01-10 9:30AM"        -> "2014-01-10 09:30:00.0",
+      "2014-01-10 9:30 A"        -> "2014-01-10 09:30:00.0",
+      "2014-01-10 9:30P"         -> "2014-01-10 21:30:00.0",
+      "2014-01-10 12:30 AM"      -> "2014-01-10 00:30:00.0",
+      "2014-01-10 00:30 PM"      -> "2014-01-10 12:30:00.0",
+      "2014-01-10 12:30:15P"     -> "2014-01-10 12:30:15.0",
+      "2014-01-10 12:30:15A"     -> "2014-01-10 00:30:15.0",
+      "2014-01-10 12:30:15 A"    -> "2014-01-10 00:30:15.0",
+      // bare A/P through the month-name and slash time tails (12/14)
+      "JAN 5, 1999 9:30P"        -> "1999-01-05 21:30:00.0",
+      "JAN 5, 1999 9:30 A"       -> "1999-01-05 09:30:00.0",
+      "1/2/2014 9:30A"           -> "2014-01-02 09:30:00.0",
+      // meridiem prefix + zone suffix compose
+      "2014-01-10 9:30 A EST"    -> "2014-01-10 09:30:00.0",
+      "2014-01-10 9:30AM EST"    -> "2014-01-10 09:30:00.0",
+      "1/2/2014 9:30P EST"       -> "2014-01-02 21:30:00.0",
+      // a lone "M" is an unknown zone name, not a meridiem
+      "2014-01-10 12:30 M"       -> "2014-01-10 12:30:00.0",
     )
     for ((in, want) <- cases) {
       val got = one(permissiveTimestamp(upper(trim(col("x")))), in)
@@ -384,10 +428,19 @@ class EnrichSpec extends SparkSpec {
     assert(one(permissiveTimestamp(col("x")), "JAN 5, 1999 NOON").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")), "MIDNIGHT").isNullAt(0))
     // a zone name attaches only to a parsed TIME (dateutil ParserError
-    // on date-only + zone), and single A/P are clock markers, not zones
+    // on date-only + zone)
     assert(one(permissiveTimestamp(col("x")), "JAN 5, 1999 EST").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")), "2014-01-10 EST").isNullAt(0))
-    assert(one(permissiveTimestamp(col("x")), "2014-01-10 12:30:15 A").isNullAt(0))
+    // DOUBLE zone = dateutil ParserError (probed): the prefix of a
+    // zone-name suffix may not itself carry a zone
+    assert(one(permissiveTimestamp(col("x")),
+      "2014-01-10 12:30:15 UTC EST").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")),
+      "2014-01-10 12:30:15 EST EST").isNullAt(0))
+    // hour > 12 with an explicit meridiem = dateutil ParserError (probed)
+    assert(one(permissiveTimestamp(col("x")), "2014-01-10 13:30 A").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "JAN 5, 1999 13:30 AM").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "1/2/2014 13:30 PM").isNullAt(0))
     // shape-matching junk parses to null, never an ANSI error
     assert(one(permissiveTimestamp(col("x")), "99/99/99").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")), "JAN 99TH, 1999").isNullAt(0))

@@ -316,27 +316,36 @@ class NativeTextSpec extends SparkSpec {
   }
 
   test("dateShape kernel matches the anchored regexes it replaced") {
-    val p12 = "^[A-Z]{3,9} \\d{1,2},? \\d{4} \\d{1,2}:\\d{2}(:\\d{2})?( ?[AP]M)?$"
+    val p12 = "^[A-Z]{3,9} \\d{1,2},? \\d{4} \\d{1,2}:\\d{2}(:\\d{2})?( ?[AP]M?)?$"
     val p13 = "^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}(:\\d{2})?" +
       "(\\.\\d+)? (UTC|GMT)$"
-    val p14 = "^\\d{1,2}/\\d{1,2}/\\d{4} \\d{1,2}:\\d{2}(:\\d{2})?( ?[AP]M)?$"
+    val p14 = "^\\d{1,2}/\\d{1,2}/\\d{4} \\d{1,2}:\\d{2}(:\\d{2})?( ?[AP]M?)?$"
     val isoClock = "^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}(:\\d{2})?(\\.\\d+)?$"
-    // 15: time-bearing prefix + " " + 1-5 uppercase letters that are not
-    // the AM/PM clock markers (dateutil's unresolvable-tzname path)
+    // 16: ISO clock + meridiem token, spaced or attached
+    val p16 = "^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}(:\\d{2})?" +
+      "(\\.\\d+)? ?[AP]M?$"
+    // 15: time-bearing prefix + a 1-5 letter uppercase run that is not
+    // an exact AM/PM clock marker (dateutil's unresolvable-tzname
+    // path), spaced or attached to a digit. Prefixes that already
+    // carry a zone (13/15) are a dateutil ParserError — excluded.
     def shape15(s: String): Boolean = {
-      val m = java.util.regex.Pattern
-        .compile("^(.+) ([A-Z]{1,5})$").matcher(s)
-      m.matches() && !Seq("A", "P", "AM", "PM").contains(m.group(2)) && {
-        val base = m.group(1)
-        base.matches(isoClock) || base.matches(p12) || base.matches(p13) ||
-          base.matches(p14)
-      }
+      val i = s.lastIndexWhere(ch => !(ch >= 'A' && ch <= 'Z'))
+      val run = s.length - 1 - i
+      if (run < 1 || run > 5 || i < 0) return false
+      val tok = s.substring(i + 1)
+      if (Seq("A", "P", "AM", "PM").contains(tok)) return false
+      val spaced = s.charAt(i) == ' '
+      if (!spaced && !s.charAt(i).isDigit) return false
+      val base = if (spaced) s.substring(0, i) else s.substring(0, i + 1)
+      base.nonEmpty && (base.matches(isoClock) || base.matches(p12) ||
+        base.matches(p14) || base.matches(p16))
     }
     val patterns: Seq[(Int, String => Boolean)] = Seq(
-      // 13/15/12 first: they are the only shapes that can share a prefix
-      // with 4 (the kernel also tests them first)
+      // 13/15/16/12 first: they are the only shapes that can share a
+      // prefix with 4 (the kernel also tests them first)
       13 -> ((s: String) => s.matches(p13)),
       15 -> shape15 _,
+      16 -> ((s: String) => s.matches(p16)),
       12 -> ((s: String) => s.matches(p12)),
       14 -> ((s: String) => s.matches(p14)),
       1 -> ((s: String) => s.matches("^\\d{4}/\\d{1,2}/\\d{1,2}$")),
@@ -385,7 +394,20 @@ class NativeTextSpec extends SparkSpec {
       "2014-01-10 12:30:15 P", "2014-01-10 12:30 GMTX",
       "2014-01-10 12:30 ES T", "MARCH 2001 EST", "20140110 EST",
       "2014-01-10 12:30:15 est", "2014-01-10 12:30:15 EST5EDT",
-      "JAN 5, 1999 EST", "2014-01-10 12:30:15 UTC EST")
+      "JAN 5, 1999 EST", "2014-01-10 12:30:15 UTC EST",
+      // attached zone names (15), ISO+meridiem (16), bare A/P time
+      // tails (12/14) and their near-misses / double-zone errors
+      "2014-01-10 12:30:15EST", "2014-01-10T12:30:15.5EDT",
+      "JAN 5, 1999 3:15PMEST", "JAN 5, 1999 3:15 PMEST",
+      "2014-01-10 12:30AMEST", "2014-01-10 12:30 AMEST",
+      "2014-01-10 9:30 AM", "2014-01-10 9:30AM", "2014-01-10 9:30 A",
+      "2014-01-10 9:30P", "2014-01-10 12:30:15P", "2014-01-10 13:30 A",
+      "2014-01-10 9:30 A EST", "2014-01-10 9:30AM EST",
+      "JAN 5, 1999 9:30P", "JAN 5, 1999 9:30 A", "1/2/2014 9:30A",
+      "1/2/2014 9:30P EST", "2014-01-10 12:30 M",
+      "2014-01-10 12:30:15 EST EST", "2014-01-10 12:30:15 EST UTC",
+      "2014-01-10 12:30:15GMT", "20140110EST", "9:30 P", "12:30:15EST",
+      "2014-01-10 9:30 AP", "2014-01-10 9:30 PM EST")
     val rnd = new scala.util.Random(7)
     val alphabet = "0123456789/.,- ABCDEFGHIJZSTNRHUPM:"
     val fuzz = (1 to 3000).map(_ =>
