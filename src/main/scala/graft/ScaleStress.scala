@@ -57,11 +57,21 @@ object ScaleStress {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    spark.read.parquet(s"$src/orders.parquet")
+    // orders scales by id-shifted copies too (round 9): q_enrich and
+    // q_media_derivative synthesize their inputs from orders, so a
+    // verbatim 1x copy (round 8) left their "10x" pass reading
+    // unscaled data — the r8 media ratio of 0.86 measured JIT, not
+    // scale. The custkey shift keeps the % value distributions the
+    // synthesizers use; nothing in the stress set joins customer.
+    val or = spark.read.parquet(s"$src/orders.parquet")
+    (0 until copies).map { k =>
+      or.withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * 10000000L))
+    }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
-    val five = Seq("q_dedup_apply", "q_dedup_clusters", "q_dedup_minhash",
-      "q_store_view", "q_media_derivative")
+    val stressed = Seq("q_dedup_apply", "q_dedup_clusters", "q_dedup_minhash",
+      "q_store_view", "q_media_derivative", "q_dedup_jaccard", "q_enrich")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
@@ -70,9 +80,9 @@ object ScaleStress {
     }
     // 1x pass first: it doubles as JIT warm-up so the Nx pass is not
     // charged the compilation cost the 1x pass already paid
-    val base = five.map(q => q -> time(src, q)).toMap
-    val scaled = five.map(q => q -> time(out, q)).toMap
-    five.foreach { q =>
+    val base = stressed.map(q => q -> time(src, q)).toMap
+    val scaled = stressed.map(q => q -> time(out, q)).toMap
+    stressed.foreach { q =>
       println(f"[scale] $q%-20s 1x=${base(q)}%6.2fs ${copies}x=${scaled(q)}%7.2fs " +
         f"ratio=${scaled(q) / base(q)}%5.2f (linear=$copies.0)")
     }

@@ -229,7 +229,16 @@ object SparkEntry {
     * (seed, kind, n_bytes), generated once by [[MediaOracleGen]] and
     * pasted here so the oracle is a durable constants gate rather than
     * a dump-time recomputation (MediaOracleSpec fails loudly if the
-    * kernels drift from these, forcing a conscious regeneration). */
+    * kernels drift from these, forcing a conscious regeneration).
+    *
+    * ENVIRONMENT-COUPLED: the JPEG byte lengths pin the exact encoder
+    * output of the JDK these constants were generated under —
+    * OpenJDK 17.0.20 (Debian, javax.imageio). A JDK/vendor upgrade may
+    * legitimately change encoder output with the resize semantics
+    * unchanged; when MediaOracleSpec fails after such an upgrade,
+    * rerun [[MediaOracleGen]] and paste the fresh table — that IS the
+    * conscious regeneration, not a bug. (The decoded derivative
+    * DIMENSIONS in the same oracle are environment-independent.) */
   val mediaDerivativeNBytes: String =
     """(1, 'thumbnail', 19302), (1, 'webview', 22381), (2, 'thumbnail', 19947), (2, 'webview', 22538),
       |(3, 'thumbnail', 19588), (3, 'webview', 22163), (4, 'thumbnail', 19556), (4, 'webview', 22140),

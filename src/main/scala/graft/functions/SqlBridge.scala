@@ -20,6 +20,17 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** DataFrame over an already-materialized RDD[InternalRow] — for
+    * lineage cuts that stay in the Tungsten representation
+    * (Graph.cut): `df.rdd` + `createDataFrame` would decode every
+    * InternalRow to Row and re-encode it on read, once per CC round. */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Idempotent per-session planner-strategy registration (the
     * cluster-wide path is GraftExtensions via spark.sql.extensions). */
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {

@@ -57,6 +57,11 @@ object Graph {
       maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     val reliable = checkpointDir.isDefined
+    // the checkpoint dir is SparkContext-global state: save and restore
+    // it so the call leaves no session-wide side effect (two concurrent
+    // callers still race on the shared setting while both run — that is
+    // inherent to the SparkContext API)
+    val prevCheckpointDir = spark.sparkContext.getCheckpointDir
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
     // Materialize `df` with its lineage cut, returning the rebuilt
@@ -65,9 +70,15 @@ object Graph {
     // checkpoint job a cache read, not a recompute) → unpersist, so
     // the durable files are the only copy. Local path: localCheckpoint
     // + count; the handle lets the caller of cut() release the blocks
-    // once the round is superseded.
-    def cut(df: DataFrame): (DataFrame, RDD[Row]) = {
-      val rdd = df.rdd
+    // once the round is superseded. The cut stays in the Tungsten
+    // representation (queryExecution.toRdd + internalCreateDataFrame):
+    // `df.rdd` would decode InternalRow → Row and re-encode on every
+    // read, once per round over the whole label table. The per-row
+    // copy() is required — codegen operators reuse row buffers, and
+    // caching uncopied rows would alias them.
+    def cut(df: DataFrame): (DataFrame,
+        RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+      val rdd = df.queryExecution.toRdd.map(_.copy())
       if (reliable) {
         rdd.persist(StorageLevel.MEMORY_AND_DISK)
         rdd.checkpoint()
@@ -77,7 +88,8 @@ object Graph {
         rdd.localCheckpoint()
         rdd.count()
       }
-      (spark.createDataFrame(rdd, df.schema), rdd)
+      (org.apache.spark.sql.GraftSqlBridge
+        .internalCreateDataFrame(spark, rdd, df.schema), rdd)
     }
 
     // materialize the edge list ONCE: every round references it twice,
@@ -90,7 +102,7 @@ object Graph {
         .distinct())
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
-    var pinned: Option[RDD[Row]] = None // the round backing `labels`
+    var pinned: Option[RDD[_]] = None // the round backing `labels`
     var iter = 0
     var converged = false
     try {
@@ -117,6 +129,10 @@ object Graph {
       undRdd.unpersist(blocking = false)
       // on the non-convergence throw path the last round is garbage too
       if (!converged) pinned.foreach(_.unpersist(blocking = false))
+      // restore the session-global checkpoint dir (null clears it —
+      // SparkContext wraps the argument in Option)
+      if (reliable && prevCheckpointDir != spark.sparkContext.getCheckpointDir)
+        spark.sparkContext.setCheckpointDir(prevCheckpointDir.orNull)
     }
     // Unconverged labels are WRONG labels (a component split across
     // several canonical ids corrupts downstream deletion sets silently),
