@@ -206,21 +206,46 @@ object Grabbers {
       }),
       timeBearing(c, sh),
       // zone-NAME-suffixed datetimes ("2014-01-10 12:30:15 EST", the
-      // attached "…12:30:15EST", "JAN 5, 1999 3:15 PM EST"): dateutil
-      // identifies the trailing 1-5-letter uppercase token as a tzname
-      // it cannot resolve and returns the NAIVE parse
-      // (UnknownTimezoneWarning path), which the reference pins to UTC
-      // (conversions.py:592-598) — so the whole trailing letter run is
-      // stripped and the prefix re-classified and parsed (double-zone
-      // prefixes never reach here: the classifier rejects them)
+      // attached "…12:30:15EST", "JAN 5, 1999 3:15 PM EST", the
+      // date-less "12:30:15 EST"): dateutil identifies the trailing
+      // 1-5-letter uppercase token as a tzname it cannot resolve and
+      // returns the NAIVE parse (UnknownTimezoneWarning path), which
+      // the reference pins to UTC (conversions.py:592-598) — so the
+      // whole trailing letter run is stripped and the prefix
+      // re-classified and parsed (double-zone prefixes never reach
+      // here: the classifier rejects them)
       when(sh === 15, {
         val base = regexp_replace(c, " ?[A-Z]{1,5}$", "")
-        val sh2 = graft.functions.NativeText.dateShape(base)
-        coalesce(
-          when(base.rlike("^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}"),
-            base.try_cast(org.apache.spark.sql.types.TimestampType)),
-          timeBearing(base, sh2))
+        naivePrefix(base)
+      }),
+      // zone name + POSIX offset ("… GMT+5", "EST+5" — shape 18):
+      // dateutil's tzstr INVERTS the sign, so the UTC instant is the
+      // naive prefix PLUS the printed offset for '+' (minus for '-');
+      // minutes past 59 carry into hours, and ≥ 24h total is a
+      // ValueError → null (probed)
+      when(sh === 18, {
+        val re = " ?[A-Z]{1,5}([+-])(\\d{1,2})(?::(\\d{1,2}))?$"
+        val base = regexp_replace(c, re, "")
+        val oh = regexp_extract(c, re, 2).cast("int")
+        val om = coalesce(
+          nullif(regexp_extract(c, re, 3), lit("")).cast("int"), lit(0))
+        val offMin = (oh * 60 + om) *
+          when(regexp_extract(c, re, 1) === "+", 1).otherwise(-1)
+        when(abs(offMin) < 24 * 60,
+          naivePrefix(base) + make_dt_interval(lit(0), lit(0), offMin, lit(0)))
       }))
+  }
+
+  /** The naive prefix left after stripping a zone-name (15) or
+    * zone-offset (18) suffix: a 12/14/16/17-shaped prefix re-enters
+    * [[timeBearing]]; otherwise it must be the ISO clock core (with
+    * the date optional — dateutil default-fills year-1 Jan 1). */
+  private def naivePrefix(base: Column): Column = {
+    val sh2 = graft.functions.NativeText.dateShape(base)
+    coalesce(
+      when(base.rlike("^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}"),
+        base.try_cast(org.apache.spark.sql.types.TimestampType)),
+      timeBearing(base, sh2))
   }
 
   /** dateutil's meridiem-to-24h rule over extracted clock columns
@@ -235,9 +260,10 @@ object Grabbers {
       .otherwise(hh0)
 
   /** The time-bearing families (12: month-name + clock, 13: ISO +
-    * UTC/GMT, 14: slash date + clock, 16: ISO clock + meridiem) —
-    * shared between the top-level cascade and the zone-name-suffixed
-    * shape 15, whose stripped prefix re-enters these same parses. */
+    * UTC/GMT, 14: slash date + clock, 16: clock + meridiem, 17: bare
+    * clock) — shared between the top-level cascade and the
+    * zone-suffixed shapes 15/18, whose stripped prefixes re-enter
+    * these same parses via [[naivePrefix]]. */
   private def timeBearing(c: Column, sh: Column): Column =
     coalesce(
       // time-bearing month-name dates ("JAN 5, 1999 3:15 PM" family,
@@ -280,18 +306,34 @@ object Grabbers {
         val d = try_to_timestamp(datePart, lit("M/d/y"))
         try_make_timestamp(year(d), month(d), dayofmonth(d), hh, mm, ss)
       }),
-      // ISO clock + meridiem token ("2014-01-10 9:30 PM" / "…9:30P"):
-      // parse the ISO core with Spark's cast, then shift the hour by
+      // clock core + meridiem token ("2014-01-10 9:30 PM" / "…9:30P" /
+      // the date-less "9:30 P"): parse the core with Spark's cast
+      // (year-1 default for a missing date), then shift the hour by
       // dateutil's meridiem rules (hour > 12 + meridiem → null)
       when(sh === 16, {
-        val re = "^(\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}" +
+        val re = "^((?:\\d{4}-\\d{1,2}-\\d{1,2}[T ])?\\d{1,2}:\\d{2}" +
           "(?::\\d{2})?(?:\\.\\d+)?) ?([AP])M?$"
-        val ts = regexp_extract(c, re, 1)
-          .try_cast(org.apache.spark.sql.types.TimestampType)
+        val ts = clockCore(regexp_extract(c, re, 1))
         val hh = meridiemHour(hour(ts), regexp_extract(c, re, 2))
         when(hh.isNotNull,
           ts + make_dt_interval(lit(0), hh - hour(ts), lit(0), lit(0)))
-      }))
+      }),
+      // bare clock (17): dateutil's default fills the missing date
+      // with year-1 Jan 1 ("12:30:15" → 0001-01-01 12:30:15)
+      when(sh === 17, clockCore(c)))
+
+  /** The (optional-date) clock core as a timestamp: Spark's cast
+    * parses it directly when the date is present (the rlike gate —
+    * Spark's cast would otherwise fill a bare clock with TODAY's
+    * date); a bare clock gets dateutil's default date (year 1, Jan 1)
+    * prefixed first. Both paths keep the cast's validation and
+    * fraction rules. */
+  private def clockCore(core: Column): Column =
+    coalesce(
+      when(core.rlike("^\\d{4}-"),
+        core.try_cast(org.apache.spark.sql.types.TimestampType)),
+      concat(lit("0001-01-01 "), core)
+        .try_cast(org.apache.spark.sql.types.TimestampType))
 
   /** Minimal gnparser-equivalent scientific-name parse
     * (conversions.py:745-768 via the biodiversity socket service, whose

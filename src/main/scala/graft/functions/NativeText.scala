@@ -735,6 +735,12 @@ object MinhashKernel {
     // or itself classify 12, 14 or 16. A prefix that already carries a
     // zone (13/15) makes a DOUBLE zone, which is a dateutil
     // ParserError → shape 0, not a nested strip.
+    // a clock-bearing prefix for the zone/meridiem/offset suffixes: an
+    // ISO datetime with a clock, or a BARE clock (dateutil's default
+    // fills the missing date with year-1 Jan 1 — "12:30:15 EST" is
+    // 0001-01-01T12:30:15, probed)
+    def clockPrefix(pe: Int): Boolean =
+      isoDateTime(0, pe) || timeIsoTail(0, pe)
     def tzNameSuffix(): Boolean = {
       var st = n
       while (st > 0 && b(st - 1) >= 'A' && b(st - 1) <= 'Z') st -= 1
@@ -747,11 +753,11 @@ object MinhashKernel {
         return false
       val pe = if (spaced) st - 1 else st
       if (pe <= 0) return false
-      if (isoDateTime(0, pe)) return true
+      if (clockPrefix(pe)) return true
       val sub = dateShape(UTF8String.fromBytes(b, 0, pe))
       sub == 12 || sub == 14 || sub == 16
     }
-    // 16: ISO datetime clock + a meridiem token (A/P/AM/PM, spaced or
+    // 16: clock-bearing value + a meridiem token (A/P/AM/PM, spaced or
     // attached): dateutil applies the token to the hour (12 AM → 00,
     // 12 PM stays, 00 PM → 12; hour > 12 with a meridiem is a
     // ParserError — validated at parse). Month-name and slash-date
@@ -762,16 +768,52 @@ object MinhashKernel {
       if (e > 0 && (b(e - 1) == 'A' || b(e - 1) == 'P')) e -= 1
       else return false
       if (e > 0 && b(e - 1) == ' ') e -= 1
-      e > 0 && isoDateTime(0, e)
+      e > 0 && clockPrefix(e)
+    }
+    // 18: clock-bearing value + zone name + POSIX-style offset
+    // ("12:30:15 GMT+5", attached "…15GMT+5", "EST+5", "Z+5" — the
+    // name is irrelevant, probed): dateutil's tzstr INVERTS the sign
+    // (GMT+5 → UTC−5 → the UTC instant is naive + 5h). Offset hour(s)
+    // then optional :minutes; total must stay under 24h (GMT+24 is a
+    // ValueError). Prefix rules mirror shape 15 (double zone =
+    // ParserError).
+    def offsetZoneSuffix(): Boolean = {
+      var p = n
+      while (p > 0 && b(p - 1) >= '0' && b(p - 1) <= '9') p -= 1
+      if (p == n || n - p > 2) return false // 1-2 trailing digits
+      var q = p
+      if (q > 0 && b(q - 1) == ':') { // optional :mm — hours before
+        q -= 1
+        var h = q
+        while (h > 0 && b(h - 1) >= '0' && b(h - 1) <= '9') h -= 1
+        if (h == q || q - h > 2) return false
+        q = h
+      }
+      if (q == 0 || (b(q - 1) != '+' && b(q - 1) != '-')) return false
+      var st = q - 1
+      while (st > 0 && b(st - 1) >= 'A' && b(st - 1) <= 'Z') st -= 1
+      val len = q - 1 - st
+      if (len < 1 || len > 5 || st == 0) return false
+      val spaced = b(st - 1) == ' '
+      if (!spaced && !(b(st - 1) >= '0' && b(st - 1) <= '9')) return false
+      val pe = if (spaced) st - 1 else st
+      if (pe <= 0) return false
+      if (clockPrefix(pe)) return true
+      val sub = dateShape(UTF8String.fromBytes(b, 0, pe))
+      sub == 12 || sub == 14 || sub == 16
     }
 
     // ISO+UTC/GMT first (13 claims it before the generic zone-name
-    // suffix), then zone-name datetimes (15), then ISO+meridiem (16) —
-    // all BEFORE the separator families, whose early returns would
-    // otherwise swallow "1/2/2014 3:15 PM EST"
+    // suffix), then name+offset zones (18), zone-name datetimes (15),
+    // ISO+meridiem (16) — all BEFORE the separator families, whose
+    // early returns would otherwise swallow "1/2/2014 3:15 PM EST".
+    // Bare clocks (17) come last of the time family: 15/16/18 all
+    // accept a bare-clock prefix plus their suffix.
     if (isoZoneSuffix()) return 13
+    if (offsetZoneSuffix()) return 18
     if (tzNameSuffix()) return 15
     if (meridiemSuffix()) return 16
+    if (timeIsoTail(0, n)) return 17
 
     val slash = split3('/')
     if (slash != null) {
@@ -905,16 +947,21 @@ object MinhashKernel {
   private val P14 = java.util.regex.Pattern.compile(
     "^(\\d{1,2})/(\\d{1,2})/(\\d{4}) (\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
       "(?: ?([AP])M?)?$")
-  // the zone-less ISO-with-clock core (shape 15's prefix when it is not
-  // itself a 12/14/16 string) — P13 minus the UTC/GMT suffix
+  // the zone-less clock core (shapes 15/17/18 prefix and shape 16's
+  // base): ISO datetime with clock, or a BARE clock whose missing date
+  // defaults to year-1 Jan 1 (dateutil default=datetime(1,1,1))
   private val P15 = java.util.regex.Pattern.compile(
-    "^(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ](\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
+    "^(?:(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ])?(\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
       "(?:\\.(\\d+))?$")
-  // ISO clock + meridiem token (shape 16): the token may be bare A/P
+  // clock core + meridiem token (shape 16): the token may be bare A/P
   // and may attach directly to the clock
   private val P16 = java.util.regex.Pattern.compile(
-    "^(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ](\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
+    "^(?:(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ])?(\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
       "(?:\\.(\\d+))? ?([AP])M?$")
+  // trailing zone-name + POSIX offset of shape 18: " GMT+5", ":30"
+  // minute part optional, name attached or spaced
+  private val P18Tail = java.util.regex.Pattern.compile(
+    " ?[A-Z]{1,5}([+-])(\\d{1,2})(?::(\\d{1,2}))?$")
 
   /** dateutil's meridiem-to-24h rule (parser.py _parse): hour > 12
     * with an explicit meridiem is a ParserError (returns -1 here);
@@ -924,6 +971,38 @@ object MinhashKernel {
     if (hh0 > 12) return -1
     if (ap == "P") { if (hh0 != 12) hh0 + 12 else hh0 }
     else { if (hh0 == 12) 0 else hh0 }
+  }
+
+  /** LocalDateTime of a P15/P16-style match (optional date groups 1-3,
+    * clock groups 4-7): year-1 default date, Spark-cast fraction rules
+    * (fraction legal only after seconds, ≤ 9 digits). Null on frac
+    * violation; calendar/clock validation throws to the caller's
+    * catch. */
+  private def clockCoreOf(m: java.util.regex.Matcher): java.time.LocalDateTime = {
+    val frac = m.group(7)
+    if (frac != null && (m.group(6) == null || frac.length > 9)) return null
+    val nanos = if (frac == null) 0 else (frac + "0" * (9 - frac.length)).toInt
+    val ss = if (m.group(6) == null) 0 else m.group(6).toInt
+    val y = if (m.group(1) == null) 1 else m.group(1).toInt
+    val mo = if (m.group(2) == null) 1 else m.group(2).toInt
+    val d = if (m.group(3) == null) 1 else m.group(3).toInt
+    java.time.LocalDateTime.of(y, mo, d,
+      m.group(4).toInt, m.group(5).toInt, ss, nanos)
+  }
+
+  /** Parse the naive prefix left after stripping a zone-name (15) or
+    * zone-offset (18) suffix: a 12/14/16/17-shaped prefix recurses,
+    * anything else must be the (optional-date) clock core. */
+  private def naivePrefixMicros(base: String, runYear: Int,
+      zone: java.time.ZoneId): java.lang.Long = {
+    val bu = UTF8String.fromString(base)
+    val sub = dateShape(bu)
+    if (sub == 12 || sub == 14 || sub == 16 || sub == 17)
+      return parseShapedDate(bu, runYear, zone)
+    val m = P15.matcher(base)
+    if (!m.matches()) return null
+    val ldt = clockCoreOf(m)
+    if (ldt == null) null else microsOf(ldt, zone)
   }
 
   private def microsOf(ldt: java.time.LocalDateTime,
@@ -1044,42 +1123,42 @@ object MinhashKernel {
           val base =
             if (t >= 0 && s.charAt(t) == ' ') s.substring(0, t)
             else s.substring(0, t + 1)
-          val bu = UTF8String.fromString(base)
-          val sub = dateShape(bu)
-          if (sub == 12 || sub == 14 || sub == 16)
-            parseShapedDate(bu, runYear, zone)
-          else {
-            val m = P15.matcher(base)
-            if (!m.matches()) return null
-            val frac = m.group(7)
-            if (frac != null && (m.group(6) == null || frac.length > 9))
-              return null
-            val nanos =
-              if (frac == null) 0
-              else (frac + "0" * (9 - frac.length)).toInt
-            val ss = if (m.group(6) == null) 0 else m.group(6).toInt
-            microsOf(java.time.LocalDateTime.of(m.group(1).toInt,
-              m.group(2).toInt, m.group(3).toInt, m.group(4).toInt,
-              m.group(5).toInt, ss, nanos), zone)
-          }
+          naivePrefixMicros(base, runYear, zone)
         case 16 =>
-          // ISO clock + meridiem token: parse the ISO core, then apply
+          // clock core + meridiem token: parse the core, then apply
           // dateutil's meridiem rules to the hour (hour > 12 with a
           // meridiem is a ParserError → null)
           val m = P16.matcher(s)
           if (!m.matches()) return null
-          val frac = m.group(7)
-          if (frac != null && (m.group(6) == null || frac.length > 9))
-            return null
-          val nanos =
-            if (frac == null) 0
-            else (frac + "0" * (9 - frac.length)).toInt
-          val ss = if (m.group(6) == null) 0 else m.group(6).toInt
+          val ldt = clockCoreOf(m)
+          if (ldt == null) return null
           val hh = meridiemHour(m.group(4).toInt, m.group(8))
           if (hh < 0) return null
-          microsOf(java.time.LocalDateTime.of(m.group(1).toInt,
-            m.group(2).toInt, m.group(3).toInt, hh,
-            m.group(5).toInt, ss, nanos), zone)
+          microsOf(ldt.withHour(hh), zone)
+        case 17 =>
+          // bare clock: dateutil's default fills the missing date with
+          // year-1 Jan 1 ("12:30:15" → 0001-01-01T12:30:15, probed)
+          val m = P15.matcher(s)
+          if (!m.matches()) return null
+          val ldt = clockCoreOf(m)
+          if (ldt == null) null else microsOf(ldt, zone)
+        case 18 =>
+          // zone name + POSIX offset ("GMT+5", "EST+5", "Z+5"):
+          // dateutil's tzstr INVERTS the sign, so the UTC instant is
+          // the naive prefix PLUS the printed offset for '+', minus
+          // for '-'. Minutes past 59 carry into hours ("GMT+5:67" →
+          // 6h07, probed); a total of 24h or more is a ValueError.
+          val m = P18Tail.matcher(s)
+          if (!m.find()) return null
+          val offSec = m.group(2).toInt * 3600L +
+            (if (m.group(3) == null) 0L else m.group(3).toInt * 60L)
+          if (offSec >= 86400L) return null
+          val v = naivePrefixMicros(s.substring(0, m.start()), runYear, zone)
+          if (v == null) null
+          else {
+            val sign = if (m.group(1) == "+") 1L else -1L
+            java.lang.Long.valueOf(v.longValue() + sign * offSec * 1000000L)
+          }
         case _ => null
       }
     } catch { case _: RuntimeException => null }

@@ -71,16 +71,24 @@ object CorrectionQueries {
 
   def qCorrectionsGeo(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
-    val k = col("o_orderkey") % 8
+    val k = col("o_orderkey") % 12
     val records = o.select(
       col("o_orderkey").as("id"),
       when(k === 0, "Florida").when(k === 1, "Hawaii")
-        .when(k === 7, "Texas").as("stateprovince"),
+        .when(k === 7, "Texas")
+        // round 9, full-table families: a kl stateprovince VARIANT —
+        // "(wy)" canonicalizes to wyoming and inherits the state vds
+        // entry (continent + country + the mutated-in ISO code)
+        .when(k === 8, "(WY)").as("stateprovince"),
       when(k === 2, "USA").when(k === 3, "United States")
         .when(k === 4, "Federative Republic of Brazil")
         .when(k === 5, "unknown").when(k === 6, "Narnia")
-        .when(k === 7, "usa").as("country"),
-      lit(null).cast("string").as("continent"),
+        .when(k === 7, "usa")
+        .when(k === 11, "U.S.A.").as("country"),
+      // kl continent rules canonicalize only (no continent vds):
+      // "EURASIA" → asia; kl_none junk blanks the field
+      when(k === 9, "EURASIA").when(k === 10, "Unknown")
+        .as("continent"),
       lit(null).cast("string").as("countrycode"),
       lit(null).cast("string").as("kingdom"))
     val fieldCol = Map(
@@ -96,22 +104,29 @@ object CorrectionQueries {
   }
 
   val qCorrectionsGeoSql: String =
-    """WITH base AS (SELECT o_orderkey AS id, o_orderkey % 8 AS k FROM orders)
+    """WITH base AS (SELECT o_orderkey AS id, o_orderkey % 12 AS k FROM orders)
       |SELECT id,
+      |  -- class 8: the kl stateprovince variant rule REPLACES the value
+      |  -- with its canonical form. classes 0/1/7 hit the kl IDENTITY
+      |  -- rules (last-write-wins over the implied-parent rules), whose
+      |  -- case-insensitive match keeps the original casing
       |  CASE k WHEN 0 THEN 'Florida' WHEN 1 THEN 'Hawaii'
-      |    WHEN 7 THEN 'Texas' END AS stateprovince,
+      |    WHEN 7 THEN 'Texas' WHEN 8 THEN 'wyoming' END AS stateprovince,
       |  -- canonical-name rules set only the vds fields (ISO/continent),
       |  -- never dwc:country itself, so class 3 keeps its original casing
       |  CASE k WHEN 0 THEN 'united states' WHEN 1 THEN 'united states'
       |    WHEN 2 THEN 'united states' WHEN 3 THEN 'United States'
       |    WHEN 4 THEN 'brazil' WHEN 5 THEN '' WHEN 6 THEN 'Narnia'
-      |    WHEN 7 THEN 'united states' END AS country,
+      |    WHEN 7 THEN 'united states' WHEN 8 THEN 'united states'
+      |    WHEN 11 THEN 'united states' END AS country,
+      |  -- kl continent rules canonicalize only. kl_none blanks
       |  CASE k WHEN 0 THEN 'north america' WHEN 1 THEN 'oceania'
-      |    WHEN 4 THEN 'south america' WHEN 7 THEN 'north america' END
-      |    AS continent,
+      |    WHEN 4 THEN 'south america' WHEN 7 THEN 'north america'
+      |    WHEN 8 THEN 'north america' WHEN 9 THEN 'asia'
+      |    WHEN 10 THEN '' END AS continent,
       |  CASE k WHEN 0 THEN 'usa' WHEN 1 THEN 'usa' WHEN 2 THEN 'usa'
-      |    WHEN 3 THEN 'usa' WHEN 4 THEN 'bra' WHEN 7 THEN 'usa' END
-      |    AS countrycode,
+      |    WHEN 3 THEN 'usa' WHEN 4 THEN 'bra' WHEN 7 THEN 'usa'
+      |    WHEN 8 THEN 'usa' WHEN 11 THEN 'usa' END AS countrycode,
       |  CASE k
       |    WHEN 0 THEN 'dwc_continent_added,dwc_country_added,idigbio_isocountrycode_added'
       |    WHEN 1 THEN 'dwc_continent_added,dwc_country_added,idigbio_isocountrycode_added'
@@ -121,6 +136,10 @@ object CorrectionQueries {
       |    WHEN 5 THEN 'dwc_country_replaced'
       |    WHEN 6 THEN ''
       |    WHEN 7 THEN 'dwc_continent_added,dwc_country_replaced,idigbio_isocountrycode_added'
+      |    WHEN 8 THEN 'dwc_continent_added,dwc_country_added,dwc_stateprovince_replaced,idigbio_isocountrycode_added'
+      |    WHEN 9 THEN 'dwc_continent_replaced'
+      |    WHEN 10 THEN 'dwc_continent_replaced'
+      |    WHEN 11 THEN 'dwc_country_replaced,idigbio_isocountrycode_added'
       |  END AS flags
       |FROM base ORDER BY id""".stripMargin
 

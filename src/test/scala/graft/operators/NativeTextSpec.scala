@@ -320,14 +320,20 @@ class NativeTextSpec extends SparkSpec {
     val p13 = "^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}(:\\d{2})?" +
       "(\\.\\d+)? (UTC|GMT)$"
     val p14 = "^\\d{1,2}/\\d{1,2}/\\d{4} \\d{1,2}:\\d{2}(:\\d{2})?( ?[AP]M?)?$"
-    val isoClock = "^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}(:\\d{2})?(\\.\\d+)?$"
-    // 16: ISO clock + meridiem token, spaced or attached
-    val p16 = "^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}(:\\d{2})?" +
+    // the clock core: ISO datetime with a clock, or a bare clock
+    // (date optional — dateutil default-fills year-1 Jan 1)
+    val isoClock = "^(\\d{4}-\\d{1,2}-\\d{1,2}[T ])?\\d{1,2}:\\d{2}(:\\d{2})?(\\.\\d+)?$"
+    // 16: clock core + meridiem token, spaced or attached
+    val p16 = "^(\\d{4}-\\d{1,2}-\\d{1,2}[T ])?\\d{1,2}:\\d{2}(:\\d{2})?" +
       "(\\.\\d+)? ?[AP]M?$"
-    // 15: time-bearing prefix + a 1-5 letter uppercase run that is not
+    // a clock-bearing prefix for the zone suffixes of 15/18
+    def clockBearing(base: String): Boolean =
+      base.nonEmpty && (base.matches(isoClock) || base.matches(p12) ||
+        base.matches(p14) || base.matches(p16))
+    // 15: clock-bearing prefix + a 1-5 letter uppercase run that is not
     // an exact AM/PM clock marker (dateutil's unresolvable-tzname
     // path), spaced or attached to a digit. Prefixes that already
-    // carry a zone (13/15) are a dateutil ParserError — excluded.
+    // carry a zone (13/15/18) are a dateutil ParserError — excluded.
     def shape15(s: String): Boolean = {
       val i = s.lastIndexWhere(ch => !(ch >= 'A' && ch <= 'Z'))
       val run = s.length - 1 - i
@@ -337,15 +343,30 @@ class NativeTextSpec extends SparkSpec {
       val spaced = s.charAt(i) == ' '
       if (!spaced && !s.charAt(i).isDigit) return false
       val base = if (spaced) s.substring(0, i) else s.substring(0, i + 1)
-      base.nonEmpty && (base.matches(isoClock) || base.matches(p12) ||
-        base.matches(p14) || base.matches(p16))
+      clockBearing(base)
+    }
+    // 18: clock-bearing prefix + zone name + POSIX offset ("GMT+5",
+    // "EST+5:30"), name spaced or attached
+    def shape18(s: String): Boolean = {
+      val m = java.util.regex.Pattern
+        .compile("^(.*?) ?([A-Z]{1,5})([+-])(\\d{1,2})(:\\d{1,2})?$")
+        .matcher(s)
+      if (!m.matches()) return false
+      val base = m.group(1)
+      // attached name needs a digit before it (mirror of shape 15)
+      val joined = !s.startsWith(base + " ")
+      if (joined && (base.isEmpty || !base.last.isDigit)) return false
+      clockBearing(base)
     }
     val patterns: Seq[(Int, String => Boolean)] = Seq(
-      // 13/15/16/12 first: they are the only shapes that can share a
-      // prefix with 4 (the kernel also tests them first)
+      // 13/18/15/16/12 first: they are the only shapes that can share
+      // a prefix with 4 (the kernel also tests them first)
       13 -> ((s: String) => s.matches(p13)),
+      18 -> shape18 _,
       15 -> shape15 _,
       16 -> ((s: String) => s.matches(p16)),
+      17 -> ((s: String) =>
+        s.matches("^\\d{1,2}:\\d{2}(:\\d{2})?(\\.\\d+)?$")),
       12 -> ((s: String) => s.matches(p12)),
       14 -> ((s: String) => s.matches(p14)),
       1 -> ((s: String) => s.matches("^\\d{4}/\\d{1,2}/\\d{1,2}$")),
@@ -407,9 +428,20 @@ class NativeTextSpec extends SparkSpec {
       "1/2/2014 9:30P EST", "2014-01-10 12:30 M",
       "2014-01-10 12:30:15 EST EST", "2014-01-10 12:30:15 EST UTC",
       "2014-01-10 12:30:15GMT", "20140110EST", "9:30 P", "12:30:15EST",
-      "2014-01-10 9:30 AP", "2014-01-10 9:30 PM EST")
+      "2014-01-10 9:30 AP", "2014-01-10 9:30 PM EST",
+      // bare clocks (17), zone offsets (18) and their near-misses
+      "12:30:15", "9:30", "12:30:15.5", "25:30", "1:2", "12:345",
+      "12:30:15 EST", "9:30 PM EST", "9:30P EST", "12:30:15.5EST",
+      "2014-01-10 12:30:15 GMT+5", "2014-01-10 12:30:15GMT+5",
+      "2014-01-10 12:30:15 GMT+5:30", "2014-01-10 12:30:15 EST+5",
+      "2014-01-10 12:30:15 Z+5", "9:30:15 GMT+5", "9:30 PM GMT+5",
+      "JAN 5, 1999 3:15 PM GMT+5", "1/2/2014 3:15PM GMT+5",
+      "2014-01-10 12:30:15 GMT+567", "2014-01-10 12:30:15 GMT+5EST",
+      "2014-01-10 GMT+5", "12:30:15 GMT+5 EST", "20140110 GMT+5",
+      "2014-01-10 12:30:15+05:00", "2014-01-10 12:30:15 ABCDEF+5",
+      "2014-01-10 12:30:15 GMT +5")
     val rnd = new scala.util.Random(7)
-    val alphabet = "0123456789/.,- ABCDEFGHIJZSTNRHUPM:"
+    val alphabet = "0123456789/.,- ABCDEFGHIJZSTNRHUPM:+"
     val fuzz = (1 to 3000).map(_ =>
       (1 to (1 + rnd.nextInt(12))).map(_ =>
         alphabet(rnd.nextInt(alphabet.length))).mkString)
