@@ -237,6 +237,52 @@ object TextDedup {
       .distinct()
   }
 
+  /** EXACT duplicated-passage detection — word-window-granularity
+    * ExactSubstr (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22, §4.1, re-expressed relationally):
+    * every k-word window occurring in ≥ 2 distinct documents, with its
+    * document count. Catches passage-level duplication (boilerplate
+    * headers, licenses, quotations) that whole-document near-dup
+    * misses when the surrounding documents are dissimilar — the
+    * complement of [[minhashNearDups]]/[[jaccardSelfJoin]], which rank
+    * whole docs. Per-doc windows are DISTINCT (shinglesFromWords), so
+    * the count IS the doc count without a countDistinct.
+    *
+    * 100 TB shape: one explode + one hash groupBy with map-side
+    * partial aggregation — no joins, no windows; the same plan family
+    * as the shingle table. This string form keeps spans readable (and
+    * DuckDB-replayable for the oracle); [[duplicatedSpanHashes]] is
+    * the scale twin whose shuffle carries only (hash, count).
+    * Reference context: the reference dedups via whole-record content
+    * etags only (data_identifiers.py); this generalizes its exact-dup
+    * semantics below document granularity. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 10): DataFrame =
+    // bind the words array to its own column FIRST (see
+    // [[shinglesFromWords]]): an inline split would re-evaluate per
+    // lambda reference — k re-splits per window — when the HOF
+    // Project runs interpreted
+    docs.select(col(idCol), split(col(textCol), " ").as("_w"))
+      .select(col(idCol),
+        explode(shinglesFromWords(col("_w"), k)).as("span"))
+      .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+
+  /** Hash-only twin of [[duplicatedSpans]] for corpora where moving
+    * span STRINGS through the shuffle is the cost (k·avg-word bytes
+    * per window): the native kernel hashes windows in one pass and
+    * only 8-byte hashes shuffle. A 64-bit cross-doc collision is the
+    * only divergence source (negligible and deterministic — the same
+    * trade the candidate-join hashes make; parity-spec'd at test
+    * scale). */
+  def duplicatedSpanHashes(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 10): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("_w"))
+      .select(col(idCol),
+        explode(graft.functions.NativeText.shingleHashes(col("_w"), k)).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+
   /** Per-row signature alternative: 64 transform/array_min passes over
     * each document's own shingle-hash array — no shuffle, but
     * higher-order functions evaluate interpreted (CodegenFallback) and

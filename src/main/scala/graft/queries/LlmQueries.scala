@@ -104,6 +104,22 @@ object LlmQueries {
     s"""WITH ${jaccardPairsCte("0.4")}
        |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin
 
+  /** EXACT duplicated-PASSAGE detection (TextDedup.duplicatedSpans):
+    * every 10-word window appearing in ≥ 2 distinct documents —
+    * sub-document granularity the whole-doc dedups cannot see. The
+    * oracle replays the window explode with DuckDB list slicing. */
+  def qDedupPassages(s: SparkSession, dir: String): DataFrame =
+    TextDedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", 10)
+      .orderBy(col("span"))
+
+  val qDedupPassagesSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(range(len(w) - 9)) AS i, w FROM d),
+      |sp AS (SELECT DISTINCT doc_id,
+      |         array_to_string(w[i+1:i+10], ' ') AS span FROM g)
+      |SELECT span, COUNT(*) AS n_docs FROM sp
+      |GROUP BY span HAVING COUNT(*) >= 2 ORDER BY span""".stripMargin
+
   /** Duplicate-CLUSTER resolution: the near-dup pairs say "same
     * document"; connected components turn them into deletion sets with
     * a canonical (minimum) id per set — [[Graph.connectedComponents]]

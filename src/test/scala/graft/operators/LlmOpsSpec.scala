@@ -73,6 +73,30 @@ class LlmOpsSpec extends SparkSpec {
       s"only the checkpointed pair list may stay cached, found $leaked")
   }
 
+  test("duplicatedSpans finds cross-doc passages; hash twin agrees") {
+    val s = spark
+    import s.implicits._
+    val boiler = "this license text is identical across otherwise unrelated docs"
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta $boiler epsilon zeta"),
+      (2L, s"one two three four five six seven $boiler"),
+      (3L, "totally unrelated content with no shared passage at all here"),
+    ).toDF("doc_id", "text")
+    val spans = TextDedup.duplicatedSpans(corpus, "doc_id", "text", 9)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exactly the 9-word windows fully inside the shared passage occur
+    // in both docs; doc 3 contributes nothing
+    assert(spans.nonEmpty)
+    assert(spans(boiler) === 2L)
+    assert(spans.values.forall(_ == 2L))
+    assert(spans.keySet.forall(_.contains("license")))
+    // the scale twin (hash-only shuffle) sees the same duplication
+    // structure — same number of duplicated windows, same counts
+    val hashed = TextDedup.duplicatedSpanHashes(corpus, "doc_id", "text", 9)
+      .collect().map(r => r.getLong(1)).sorted
+    assert(hashed === spans.values.toArray.sorted)
+  }
+
   test("minhash exact-dup pair has jaccard exactly 1.0") {
     val j = TextDedup.minhashNearDups(docs, "doc_id", "text", 3, 0.5)
       .where(col("d1") === 1 && col("d2") === 4)
