@@ -91,6 +91,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (LlmQueries.qDedupMinhash _),
     "q_dedup_jaccard" -> (LlmQueries.qDedupJaccard _),
     "q_dedup_passages" -> (LlmQueries.qDedupPassages _),
+    "q_dedup_passages_apply" -> (LlmQueries.qDedupPassagesApply _),
     "q_dedup_clusters" -> (LlmQueries.qDedupClusters _),
     "q_dedup_apply"   -> (LlmQueries.qDedupApply _),
     "q_ann_ivf" -> (LlmQueries.qAnnIvf _),
@@ -180,6 +181,7 @@ object SparkEntry {
     "q_dedup_minhash" -> LlmQueries.qDedupMinhashSql,
     "q_dedup_jaccard" -> LlmQueries.qDedupJaccardSql,
     "q_dedup_passages" -> LlmQueries.qDedupPassagesSql,
+    "q_dedup_passages_apply" -> LlmQueries.qDedupPassagesApplySql,
     "q_dedup_clusters" -> LlmQueries.qDedupClustersSql,
     "q_dedup_apply"   -> LlmQueries.qDedupApplySql,
     "q_ann_ivf" -> LlmQueries.qAnnIvfSql,

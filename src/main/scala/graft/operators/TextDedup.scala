@@ -283,6 +283,52 @@ object TextDedup {
       .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2)
 
+  /** APPLY step of passage dedup (the "deduplicate" in Lee et al.
+    * ACL'22 §4.1, keep-one-occurrence convention): scrub every k-word
+    * window occurring in ≥ 2 distinct documents from every document
+    * EXCEPT the minimum-id document containing it — the same
+    * canonical-keeper convention cluster resolution uses (min label).
+    * Overlapping duplicated windows union per document; surviving
+    * words keep their original order; the keeper document keeps all
+    * its occurrences.
+    *
+    * Shape: positional window hashes (one bound-array HOF pass; the
+    * md5-based [[hash60]] so the oracle can replay the key) →
+    * hash-grouped keeper election → covered-index explode (k× the
+    * duplicated-window count only, not the corpus) → per-doc index
+    * set → one index-filter pass over the original words. Shuffles
+    * are all key-hashed aggregations/joins; nothing all-pairs. */
+  def scrubDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 10): DataFrame = {
+    val others = docs.columns.filterNot(_ == textCol).map(col).toSeq
+    val withW = docs.withColumn("_w", split(col(textCol), " "))
+    // sequence(0, n) DESCENDS for n < 0 — guard short docs explicitly
+    // (the shinglesFromWords convention)
+    val winHashes = when(size(col("_w")) < k,
+        array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+      .otherwise(transform(
+        sequence(lit(0), size(col("_w")) - k),
+        i => hash60(concat_ws(" ",
+          (0 until k).map(j => element_at(col("_w"), i + j + 1)): _*))))
+    val wins = withW
+      .select(col(idCol), posexplode(winHashes).as(Seq("_pos", "_h")))
+    val dups = wins.groupBy(col("_h"))
+      .agg(countDistinct(col(idCol)).as("_nd"), min(col(idCol)).as("_keeper"))
+      .where(col("_nd") >= 2)
+    val covered = wins.join(dups, "_h")
+      .where(col(idCol) =!= col("_keeper"))
+      .select(col(idCol),
+        explode(sequence(col("_pos"), col("_pos") + (k - 1))).as("_ix"))
+      .groupBy(col(idCol)).agg(collect_set(col("_ix")).as("_cov"))
+    withW.join(covered, Seq(idCol), "left")
+      .select(others :+
+        when(col("_cov").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(col("_w"), (wd, i) => !array_contains(col("_cov"), i)),
+            " ")).as(textCol): _*)
+  }
+
   /** Per-row signature alternative: 64 transform/array_min passes over
     * each document's own shingle-hash array — no shuffle, but
     * higher-order functions evaluate interpreted (CodegenFallback) and

@@ -120,6 +120,40 @@ object LlmQueries {
       |SELECT span, COUNT(*) AS n_docs FROM sp
       |GROUP BY span HAVING COUNT(*) >= 2 ORDER BY span""".stripMargin
 
+  /** The APPLY step (TextDedup.scrubDuplicatedSpans): duplicated
+    * 10-word windows are scrubbed from every document except the
+    * minimum-id keeper; the oracle replays the window hash election
+    * and rebuilds each text with a DuckDB list comprehension over the
+    * un-covered word indices. */
+  def qDedupPassagesApply(s: SparkSession, dir: String): DataFrame =
+    TextDedup.scrubDuplicatedSpans(
+        Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text", 10)
+      .orderBy(col("doc_id"))
+
+  val qDedupPassagesApplySql: String =
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      |wins AS (SELECT doc_id, i,
+      |    try_cast('0x' || substr(md5(array_to_string(w[i+1:i+10], ' ')), 1, 15)
+      |      AS BIGINT) AS h
+      |  FROM d, unnest(range(len(w) - 9)) AS t(i)),
+      |dups AS (SELECT h, min(doc_id) AS keeper
+      |  FROM (SELECT DISTINCT doc_id, h FROM wins)
+      |  GROUP BY h HAVING COUNT(*) >= 2),
+      |cov AS (SELECT DISTINCT wins.doc_id, wins.i + u.j AS ix
+      |  FROM wins JOIN dups USING (h), unnest(range(10)) AS u(j)
+      |  WHERE wins.doc_id != dups.keeper),
+      |covagg AS (SELECT doc_id, list(ix) AS cov FROM cov GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  -- COALESCE: DuckDB array_to_string of an EMPTY list is NULL
+      |  -- (a fully-covered doc) where Spark array_join gives the
+      |  -- empty string
+      |  CASE WHEN c.cov IS NULL THEN d.text
+      |    ELSE COALESCE(array_to_string(
+      |      [w[ix+1] FOR ix IN range(len(w)) IF NOT list_contains(c.cov, ix)],
+      |      ' '), '') END AS text
+      |FROM d LEFT JOIN covagg c ON d.doc_id = c.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Duplicate-CLUSTER resolution: the near-dup pairs say "same
     * document"; connected components turn them into deletion sets with
     * a canonical (minimum) id per set — [[Graph.connectedComponents]]

@@ -97,6 +97,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(hashed === spans.values.toArray.sorted)
   }
 
+  test("scrubDuplicatedSpans: keeper keeps the passage, others lose it, " +
+      "unique docs untouched") {
+    val s = spark
+    import s.implicits._
+    val boiler = "one two three four five six seven eight nine"  // 9 words
+    val corpus = Seq(
+      (1L, s"alpha $boiler omega"),
+      (2L, s"start $boiler"),
+      (5L, "an entirely distinct document with no shared passage inside it"),
+    ).toDF("doc_id", "text")
+    val out = TextDedup.scrubDuplicatedSpans(corpus, "doc_id", "text", 9)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 is the minimum id containing the shared window → keeper
+    assert(out(1L) === s"alpha $boiler omega")
+    // doc 2 loses exactly the covered words, keeps its own prefix
+    assert(out(2L) === "start")
+    // untouched doc passes through byte-identical
+    assert(out(5L) === "an entirely distinct document with no shared passage inside it")
+  }
+
   test("minhash exact-dup pair has jaccard exactly 1.0") {
     val j = TextDedup.minhashNearDups(docs, "doc_id", "text", 3, 0.5)
       .where(col("d1") === 1 && col("d2") === 4)
