@@ -57,6 +57,16 @@ object NativeText {
   def shingleHashes(words: Column, n: Int): Column =
     GraftSqlBridge.column(ShingleHashesExpr(GraftSqlBridge.expression(words), n))
 
+  /** POSITIONAL k-word window hashes (one per window start, order
+    * preserved, NOT distinct — posexplode recovers positions). The
+    * hash is the md5-based hash60 of the space-joined window,
+    * byte-identical to `conv(substr(md5(concat_ws(' ', …)), 1, 15),
+    * 16, 10)`, so a DuckDB oracle can replay the key — the passage
+    * scrub's keeper election depends on that. One digest pass per
+    * window, no window strings materialized, no interpreted HOF. */
+  def spanHashes(words: Column, n: Int): Column =
+    GraftSqlBridge.column(SpanHashesExpr(GraftSqlBridge.expression(words), n))
+
   /** Scientific-name parse (genus, epithet) — the native form of
     * Grabbers.parseSciName: whitespace split, plain-word genus,
     * subgenus skip, rank-marker/authorship exclusion, all in one pass
@@ -291,6 +301,25 @@ case class ShingleHashesExpr(child: Expression, shingleN: Int)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.MinhashKernel.shingleHashes($c, $shingleN);")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+case class SpanHashesExpr(child: Expression, spanN: Int)
+    extends UnaryExpression {
+  require(spanN >= 1, "spanN must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"span_hashes needs array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "span_hashes"
+  protected override def nullSafeEval(words: Any): Any =
+    MinhashKernel.spanHashes(words.asInstanceOf[ArrayData], spanN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashKernel.spanHashes($c, $spanN);")
+  override protected def withNewChildInternal(newChild: Expression): SpanHashesExpr =
     copy(child = newChild)
 }
 
@@ -1183,6 +1212,37 @@ object MinhashKernel {
     var i = 0
     while (i < 8) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
     v >>> 4
+  }
+
+  private val SpaceByte = Array[Byte](' ')
+
+  /** Positional n-word window hashes: md5Hash60 of each space-joined
+    * window, digest-streamed (word bytes + ' ' separators) so no
+    * window string is ever built. out(i) == md5Hash60("w_i … w_{i+n-1}")
+    * byte-for-byte — [[graft.operators.TextDedup.hash60]]'s SQL twin
+    * and the DuckDB replay both stay valid. */
+  def spanHashes(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements()
+    if (m < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val d = md5.get()
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      d.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) d.update(SpaceByte)
+        d.update(words.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val bytes = d.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (bytes(b) & 0xffL); b += 1 }
+      out(i) = v >>> 4
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** One-pass repetition stats; see

@@ -292,27 +292,21 @@ object TextDedup {
     * words keep their original order; the keeper document keeps all
     * its occurrences.
     *
-    * Shape: positional window hashes (one bound-array HOF pass; the
-    * md5-based [[hash60]] so the oracle can replay the key) →
-    * hash-grouped keeper election → covered-index explode (k× the
-    * duplicated-window count only, not the corpus) → per-doc index
-    * set → one index-filter pass over the original words. Shuffles
-    * are all key-hashed aggregations/joins; nothing all-pairs. */
+    * Shape: positional window hashes in ONE native digest pass per
+    * window (the md5-based [[hash60]] so the oracle can replay the
+    * key; [[spanHashesSpec]] is the parity-pinned Column twin — the
+    * HOF form re-reads k array slots and re-hashes a built string per
+    * window, measured ~2× the whole query) → hash-grouped keeper
+    * election → covered-index explode (k× the duplicated-window count
+    * only, not the corpus) → per-doc index set → one index-filter
+    * pass over the original words. Shuffles are all key-hashed
+    * aggregations/joins; nothing all-pairs. */
   def scrubDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 10): DataFrame = {
     val others = docs.columns.filterNot(_ == textCol).map(col).toSeq
     val withW = docs.withColumn("_w", split(col(textCol), " "))
-    // sequence(0, n) DESCENDS for n < 0 — guard short docs explicitly
-    // (the shinglesFromWords convention)
-    val winHashes = when(size(col("_w")) < k,
-        array().cast(org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.LongType)))
-      .otherwise(transform(
-        sequence(lit(0), size(col("_w")) - k),
-        i => hash60(concat_ws(" ",
-          (0 until k).map(j => element_at(col("_w"), i + j + 1)): _*))))
-    val wins = withW
-      .select(col(idCol), posexplode(winHashes).as(Seq("_pos", "_h")))
+    val wins = withW.select(col(idCol), posexplode(
+      graft.functions.NativeText.spanHashes(col("_w"), k)).as(Seq("_pos", "_h")))
     val dups = wins.groupBy(col("_h"))
       .agg(countDistinct(col(idCol)).as("_nd"), min(col(idCol)).as("_keeper"))
       .where(col("_nd") >= 2)
@@ -328,6 +322,20 @@ object TextDedup {
             filter(col("_w"), (wd, i) => !array_contains(col("_cov"), i)),
             " ")).as(textCol): _*)
   }
+
+  /** The Column formulation of the native positional window hash —
+    * retained as [[graft.functions.NativeText.spanHashes]]'s
+    * executable specification (the kernel-parity pattern): hash60 of
+    * each space-joined k-window, empty for docs shorter than k
+    * (sequence(0, n) DESCENDS for negative n — the guard matters). */
+  def spanHashesSpec(w: Column, k: Int): Column =
+    when(size(w) < k,
+        array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+      .otherwise(transform(
+        sequence(lit(0), size(w) - k),
+        i => hash60(concat_ws(" ",
+          (0 until k).map(j => element_at(w, i + j + 1)): _*))))
 
   /** Per-row signature alternative: 64 transform/array_min passes over
     * each document's own shingle-hash array — no shuffle, but

@@ -97,6 +97,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(hashed === spans.values.toArray.sorted)
   }
 
+  test("spanHashes kernel matches the hash60 Column spec (parity fuzz)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Seq("a", "bb", "ccc", "wört", "東京", "", "x")
+    val fuzz = (1 to 200).map(_ =>
+      (0 to rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    val df = fuzz.map(Tuple1(_)).toDF("t")
+      .select(split(col("t"), " ").as("_w"))
+    for (k <- Seq(1, 3, 10)) {
+      val rows = df.select(
+        graft.functions.NativeText.spanHashes(col("_w"), k).as("kern"),
+        TextDedup.spanHashesSpec(col("_w"), k).as("spec")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"k=$k row $r")
+      }
+    }
+  }
+
   test("scrubDuplicatedSpans: keeper keeps the passage, others lose it, " +
       "unique docs untouched") {
     val s = spark
