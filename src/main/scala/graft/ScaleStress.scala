@@ -71,7 +71,8 @@ object ScaleStress {
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     val stressed = Seq("q_dedup_apply", "q_dedup_clusters", "q_dedup_minhash",
-      "q_store_view", "q_media_derivative", "q_dedup_jaccard", "q_enrich")
+      "q_store_view", "q_media_derivative", "q_dedup_jaccard", "q_enrich",
+      "q_dedup_passages", "q_dedup_passages_apply")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
