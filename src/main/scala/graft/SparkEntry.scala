@@ -97,6 +97,7 @@ object SparkEntry {
     "q_ann_ivf" -> (LlmQueries.qAnnIvf _),
     "q_ann_ivf_probe" -> (LlmQueries.qAnnIvfProbe _),
     "q_dedup_embed" -> (LlmQueries.qDedupEmbed _),
+    "q_semdedup" -> (LlmQueries.qSemdedup _),
     "q_dedup_simhash" -> (LlmQueries.qDedupSimhash _),
     "q_text_stats"    -> (LlmQueries.qTextStats _),
     "q_quality_rep"   -> (LlmQueries.qQualityRep _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "q_ann_ivf" -> LlmQueries.qAnnIvfSql,
     "q_ann_ivf_probe" -> LlmQueries.qAnnIvfProbeSql,
     "q_dedup_embed" -> LlmQueries.qDedupEmbedSql,
+    "q_semdedup" -> LlmQueries.qSemdedupSql,
     "q_dedup_simhash" -> LlmQueries.qDedupSimhashSql,
     "q_text_stats"    -> LlmQueries.qTextStatsSql,
     "q_quality_rep"   -> LlmQueries.qQualityRepSql,

@@ -150,6 +150,36 @@ object Similarity {
       .select(col("vid"), col("v"), col("cell"))
   }
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540 §3): semantic near-dup
+    * labels scoped to embedding-space clusters — candidate pairs are
+    * compared only WITHIN a cluster cell, the paper's key trick: with
+    * k balanced cells the pairwise work drops from n² to ~Σ n_c²
+    * ≈ n²/k, and cells parallelize perfectly (the cell equi-join
+    * shuffles once on the cell key, never a crossJoin). Pipeline:
+    * quantize to cells ([[ivfAssign]] — the same deterministic
+    * sampled-centroid quantizer the IVF queries use; a trained
+    * [[kmeansCentroids]] table drops in without a plan change) →
+    * exact within-cell cosine pairs at `threshold` (no LSH recall
+    * curve inside a cell) → connected components → min-id canonical
+    * per component. Returns (id, comp) labels; callers materialize
+    * the surviving corpus via [[graft.operators.Graph.dropDuplicates]].
+    * Cross-cell near-dup pairs are never compared — the paper accepts
+    * exactly that miss in exchange for the n²/k bound. */
+  def semDedupLabels(vecs: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = ivfAssign(vecs, centroids)
+    val a1 = assigned.toDF("d1", "e1", "cell")
+      .withColumn("n1", norm(col("e1")))
+    val a2 = assigned.toDF("d2", "e2", "cell")
+      .withColumn("n2", norm(col("e2")))
+    val pairs = a1.join(a2, Seq("cell"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
+      .where(col("cos") >= threshold)
+    graft.operators.Graph.connectedComponents(pairs, "d1", "d2")
+  }
+
   /** IVF top-k: both corpus and probes are quantized to their nearest
     * centroid cell; each probe searches only its own inverted list
     * (cell equi-join — the nprobe=1 scale path; more probe cells would

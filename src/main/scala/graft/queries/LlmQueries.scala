@@ -237,6 +237,59 @@ object LlmQueries {
       |SELECT d1, d2, round(cos, 6) AS cosine FROM p
       |WHERE cos >= 0.9 ORDER BY d1, d2""".stripMargin
 
+  // --- SemDeDup (cluster-scoped semantic dedup) -------------------------
+
+  /** SemDeDup (Similarity.semDedupLabels): semantic near-dup removal
+    * scoped to embedding clusters — the q_dedup_embed fixture (every
+    * 25th vector re-injected under a shifted id) run through the
+    * cell-quantize → within-cell exact cosine → connected-components
+    * pipeline, returning the SURVIVING corpus ids. An exact duplicate
+    * always lands in its original's cell (identical vector, identical
+    * argmin with the same tie order), so the injected pairs are
+    * guaranteed within-cell and every shifted clone must die. The
+    * oracle replays the quantizer (the IVF CTE), the cell-scoped
+    * cosine pairs, and the component closure. */
+  def qSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val dups = e.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val all = e.unionAll(dups)
+    val centroids = all.toDF("cid", "c").where(col("cid") % CentroidMod === 0)
+    val labels = Similarity.semDedupLabels(all, centroids, threshold = 0.9)
+    graft.operators.Graph.dropDuplicates(all, "vec_id", labels)
+      .select(col("vec_id")).orderBy(col("vec_id"))
+  }
+
+  // def, not val: CentroidMod is declared further down the object body
+  // and a forward VAL reference would interpolate its default (0) at
+  // object init
+  def qSemdedupSql: String =
+    s"""WITH RECURSIVE all_e AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM all_e),
+       |cent AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id % $CentroidMod = 0),
+       |scored AS (
+       |  SELECT v.vec_id AS vid, v.e, cent.cid,
+       |    list_inner_product(c, c) - 2.0 * list_inner_product(v.e, c) AS score
+       |  FROM v, cent),
+       |assigned AS (
+       |  SELECT vid, e, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY score, cid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vid AS d1, b.vid AS d2
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vid < b.vid
+       |  WHERE list_inner_product(a.e, b.e) /
+       |    (sqrt(list_inner_product(a.e, a.e)) *
+       |     sqrt(list_inner_product(b.e, b.e))) >= 0.9),
+       |$ccClosureCte,
+       |labels AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+       |SELECT vec_id FROM all_e
+       |WHERE vec_id NOT IN (SELECT id FROM labels WHERE comp != id)
+       |ORDER BY vec_id""".stripMargin
+
   // --- SimHash near-dup -------------------------------------------------
 
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =

@@ -97,6 +97,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(hashed === spans.values.toArray.sorted)
   }
 
+  test("semDedupLabels: exact clone dies in its keeper's cell, " +
+      "dissimilar vectors survive unlabeled") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),   // centroid sample (id % 2 == 0)
+      (1L, Array(0.99f, 0.1f, 0.0f)),  // near-dup of 0 (cos ≈ 0.995)
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // centroid sample, own cell
+      (3L, Array(0.0f, 0.0f, 1.0f)),   // dissimilar to everything
+      (101L, Array(1.0f, 0.0f, 0.0f)), // exact clone of 0
+    ).toDF("vec_id", "embedding")
+    val centroids = vecs.toDF("cid", "c").where(col("cid") % 2 === 0)
+    val labels = Similarity.semDedupLabels(vecs, centroids, 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0, 1, 101 share a cell and pairwise exceed 0.95 → one component
+    // with canonical min id 0; 2 and 3 never pair → unlabeled
+    assert(labels === Map(0L -> 0L, 1L -> 0L, 101L -> 0L))
+    val survivors = Graph.dropDuplicates(vecs, "vec_id",
+        Similarity.semDedupLabels(vecs, centroids, 0.95))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(0L, 2L, 3L))
+  }
+
   test("spanHashes kernel matches the hash60 Column spec (parity fuzz)") {
     val s = spark
     import s.implicits._
