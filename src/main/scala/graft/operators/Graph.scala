@@ -129,10 +129,18 @@ object Graph {
       undRdd.unpersist(blocking = false)
       // on the non-convergence throw path the last round is garbage too
       if (!converged) pinned.foreach(_.unpersist(blocking = false))
-      // restore the session-global checkpoint dir (null clears it —
-      // SparkContext wraps the argument in Option)
-      if (reliable && prevCheckpointDir != spark.sparkContext.getCheckpointDir)
-        spark.sparkContext.setCheckpointDir(prevCheckpointDir.orNull)
+      // restore the session-global checkpoint dir. Clearing an unset
+      // previous value means passing null, which only the LOCAL-mode
+      // path tolerates (on a cluster SparkContext's non-local warning
+      // check dereferences the string before Option-wrapping it) — on
+      // a cluster with no previous dir the setting stays, documented
+      // last-caller-wins residue.
+      if (reliable) prevCheckpointDir match {
+        case Some(d) => spark.sparkContext.setCheckpointDir(d)
+        case None if spark.sparkContext.isLocal =>
+          spark.sparkContext.setCheckpointDir(null)
+        case None => ()
+      }
     }
     // Unconverged labels are WRONG labels (a component split across
     // several canonical ids corrupts downstream deletion sets silently),
