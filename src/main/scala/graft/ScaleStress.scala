@@ -35,7 +35,23 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-copy shifts MUST clear the fixture's id space: colliding
+    // copies would silently merge rows and understate scaling ratios.
+    // Assert instead of deriving the shift from max(id)+1 so the copy
+    // ids stay round numbers a human can map back to their copy.
+    def assertShiftClears(df: org.apache.spark.sql.DataFrame,
+        table: String, keyAndShift: (String, Long)*): Unit = {
+      val maxes = df.agg(max(col(keyAndShift.head._1)),
+        keyAndShift.tail.map(ks => max(col(ks._1))): _*).head()
+      keyAndShift.zipWithIndex.foreach { case ((k, shift), i) =>
+        val m = maxes.getLong(i)
+        require(m < shift,
+          s"$table.$k max $m >= copy shift $shift: scaled copies would alias ids")
+      }
+    }
+
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    assertShiftClears(docs, "documents", "doc_id" -> 10000000L)
     (0 until copies).map { k =>
       docs.select(
         (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
@@ -48,6 +64,8 @@ object ScaleStress {
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$src/events.parquet")
+    assertShiftClears(ev, "events",
+      "event_id" -> 100000000L, "user_id" -> 10000000L)
     (0 until copies).map { k =>
       ev.select(
         (col("event_id") + lit(k * 100000000L)).as("event_id"),
@@ -64,6 +82,8 @@ object ScaleStress {
     // scale. The custkey shift keeps the % value distributions the
     // synthesizers use; nothing in the stress set joins customer.
     val or = spark.read.parquet(s"$src/orders.parquet")
+    assertShiftClears(or, "orders",
+      "o_orderkey" -> 100000000L, "o_custkey" -> 10000000L)
     (0 until copies).map { k =>
       or.withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L))
         .withColumn("o_custkey", col("o_custkey") + lit(k * 10000000L))

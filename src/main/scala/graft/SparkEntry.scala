@@ -107,6 +107,7 @@ object SparkEntry {
     "q_sample_quota"  -> (LlmQueries.qSampleQuota _),
     "q_len_quantiles" -> (LlmQueries.qLenQuantiles _),
     "q_pack_chunks"   -> (LlmQueries.qPackChunks _),
+    "q_pack_chunks_sharded" -> (LlmQueries.qPackChunksSharded _),
     "q_decontaminate" -> (LlmQueries.qDecontaminate _),
     "q_lang_id"       -> (LlmQueries.qLangId _),
     "q_ann_topk"      -> (LlmQueries.qAnnTopk _),
@@ -198,6 +199,7 @@ object SparkEntry {
     "q_sample_quota"  -> LlmQueries.qSampleQuotaSql,
     "q_len_quantiles" -> LlmQueries.qLenQuantilesSql,
     "q_pack_chunks"   -> LlmQueries.qPackChunksSql,
+    "q_pack_chunks_sharded" -> LlmQueries.qPackChunksShardedSql,
     "q_decontaminate" -> LlmQueries.qDecontaminateSql,
     "q_lang_id"       -> LlmQueries.qLangIdSql,
     "q_ann_topk"      -> LlmQueries.qAnnTopkSql,

@@ -113,11 +113,11 @@ object Corpus {
     * its first chunk).
     *
     * The running total is a window cumulative sum over the order
-    * column. At 100 TB the single global ordering would be the
-    * bottleneck; production would run this per shard (partitionBy a
-    * shard key to pack each shard independently) — the arithmetic is
-    * unchanged, so the global form here is the oracle-checkable
-    * specification of the per-shard one. */
+    * column with NO partitionBy — a single-task funnel at scale. This
+    * global form is the oracle-checkable executable SPECIFICATION of
+    * [[packChunksSharded]], the production form (identical arithmetic,
+    * spec-pinned row-equal in CorpusSpec); use the sharded form for
+    * anything larger than one task's worth of rows. */
   def packChunks(docs: DataFrame, orderCol: String, tokensCol: String,
       chunkTokens: Int): DataFrame = {
     val w = Window.orderBy(col(orderCol))
@@ -130,5 +130,43 @@ object Corpus {
         floor((col("_cum") - 1) / chunkTokens))
       .withColumn("chunk_offset", pmod(col("_start"), lit(chunkTokens.toLong)))
       .drop("_cum", "_start")
+  }
+
+  /** The production form of [[packChunks]] — standard two-level packing
+    * under the global order (shardCol, orderCol):
+    *
+    *  1. per-shard cumulative token sum — `Window.partitionBy(shard)`,
+    *     so every shard's cumsum is an independent task (the global
+    *     form's single-task funnel becomes one task per shard);
+    *  2. per-shard token totals (one hash-partitioned groupBy) turned
+    *     into exclusive running base offsets by a window over the
+    *     totals table — unpartitioned, but over ONE ROW PER SHARD
+    *     (thousands, not billions; trivially one task);
+    *  3. base offsets broadcast back and added — each document's
+    *     global running total is base(shard) + local cumsum, and the
+    *     chunk arithmetic is byte-identical to the global form's.
+    *
+    * Equality with [[packChunks]] under (shard, order) ordering — and
+    * on any single-shard input under the bare order — is spec-pinned
+    * (CorpusSpec) and oracle-gated (q_pack_chunks_sharded). */
+  def packChunksSharded(docs: DataFrame, shardCol: String, orderCol: String,
+      tokensCol: String, chunkTokens: Int): DataFrame = {
+    val wLocal = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBase = Window.orderBy(col(shardCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = docs.groupBy(col(shardCol))
+      .agg(sum(col(tokensCol)).as("_tot"))
+      .withColumn("_base", sum(col("_tot")).over(wBase) - col("_tot"))
+      .select(col(shardCol), col("_base"))
+    docs
+      .withColumn("_lcum", sum(col(tokensCol)).over(wLocal))
+      .join(broadcast(bases), Seq(shardCol))
+      .withColumn("_cum", col("_base") + col("_lcum"))
+      .withColumn("_start", col("_cum") - col(tokensCol))
+      .withColumn("first_chunk", floor(col("_start") / chunkTokens))
+      .withColumn("last_chunk", floor((col("_cum") - 1) / chunkTokens))
+      .withColumn("chunk_offset", pmod(col("_start"), lit(chunkTokens.toLong)))
+      .drop("_lcum", "_base", "_cum", "_start")
   }
 }

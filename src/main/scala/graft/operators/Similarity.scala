@@ -102,8 +102,11 @@ object Similarity {
       .withColumn("n", norm(col("e")))
     val b1 = b.toDF("d1", "e1", "bucket", "n1")
     val b2 = b.toDF("d2", "e2", "bucket", "n2")
+    // n1*n2 > 0 guard: a zero-norm vector makes cos = 0/0 = NaN, and
+    // Spark orders NaN above every number so `NaN >= threshold` passes —
+    // without the guard one zero vector pairs with its whole bucket
     b1.join(b2, Seq("bucket"))
-      .where(col("d1") < col("d2"))
+      .where(col("d1") < col("d2") && col("n1") * col("n2") > 0)
       .select(col("d1"), col("d2"),
         (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
       .where(col("cos") >= threshold)
@@ -172,8 +175,12 @@ object Similarity {
       .withColumn("n1", norm(col("e1")))
     val a2 = assigned.toDF("d2", "e2", "cell")
       .withColumn("n2", norm(col("e2")))
+    // n1*n2 > 0: zero-norm embeddings would yield cos = 0/0 = NaN, which
+    // Spark's NaN ordering treats as >= threshold — one zero vector would
+    // link its entire cell into a single component and dropDuplicates
+    // would then erase the cell. Zero-norm rows simply never pair.
     val pairs = a1.join(a2, Seq("cell"))
-      .where(col("d1") < col("d2"))
+      .where(col("d1") < col("d2") && col("n1") * col("n2") > 0)
       .select(col("d1"), col("d2"),
         (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
       .where(col("cos") >= threshold)

@@ -305,16 +305,28 @@ object TextDedup {
       k: Int = 10): DataFrame = {
     val others = docs.columns.filterNot(_ == textCol).map(col).toSeq
     val withW = docs.withColumn("_w", split(col(textCol), " "))
+    // materialize the positional-hash explode ONCE: its two consumers
+    // (the keeper-election aggregate keyed by hash, the covered join
+    // keyed by hash then re-grouped by doc) would otherwise each
+    // re-derive the widest intermediate of the pipeline from the scan.
+    // The eager localCheckpoint on the (small) per-doc coverage sets
+    // materializes both cache readers and cuts lineage, so the window
+    // blocks are released before the final corpus pass — the same
+    // single-derivation/zero-residue discipline as jaccardSelfJoin.
     val wins = withW.select(col(idCol), posexplode(
-      graft.functions.NativeText.spanHashes(col("_w"), k)).as(Seq("_pos", "_h")))
-    val dups = wins.groupBy(col("_h"))
-      .agg(countDistinct(col(idCol)).as("_nd"), min(col(idCol)).as("_keeper"))
-      .where(col("_nd") >= 2)
-    val covered = wins.join(dups, "_h")
-      .where(col(idCol) =!= col("_keeper"))
-      .select(col(idCol),
-        explode(sequence(col("_pos"), col("_pos") + (k - 1))).as("_ix"))
-      .groupBy(col(idCol)).agg(collect_set(col("_ix")).as("_cov"))
+        graft.functions.NativeText.spanHashes(col("_w"), k)).as(Seq("_pos", "_h")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val covered = try {
+      val dups = wins.groupBy(col("_h"))
+        .agg(countDistinct(col(idCol)).as("_nd"), min(col(idCol)).as("_keeper"))
+        .where(col("_nd") >= 2)
+      wins.join(dups, "_h")
+        .where(col(idCol) =!= col("_keeper"))
+        .select(col(idCol),
+          explode(sequence(col("_pos"), col("_pos") + (k - 1))).as("_ix"))
+        .groupBy(col(idCol)).agg(collect_set(col("_ix")).as("_cov"))
+        .localCheckpoint()
+    } finally wins.unpersist(false)
     withW.join(covered, Seq(idCol), "left")
       .select(others :+
         when(col("_cov").isNull, col(textCol))

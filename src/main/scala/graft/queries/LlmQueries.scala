@@ -680,6 +680,42 @@ object LlmQueries {
       |  CAST((cum - n_tokens) % 1024 AS BIGINT) AS chunk_offset
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Production (per-shard) sequence packing — the scale form of
+    * [[qPackChunks]]: shard = source, packed under the global
+    * (source, doc_id) order via per-shard window cumsums plus
+    * broadcast per-shard base offsets (Corpus.packChunksSharded).
+    * The oracle replays both levels: the partitioned local cumsum
+    * and the exclusive running total over the 20-row shard table. */
+  def qPackChunksSharded(s: SparkSession, dir: String): DataFrame =
+    Corpus.packChunksSharded(
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).as("n_tokens")),
+        shardCol = "source", orderCol = "doc_id",
+        tokensCol = "n_tokens", chunkTokens = 1024)
+      .select(col("doc_id"), col("n_tokens"), col("first_chunk"),
+        col("last_chunk"), col("chunk_offset"))
+      .orderBy(col("doc_id"))
+
+  val qPackChunksShardedSql: String =
+    """WITH t AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+      |           FROM documents),
+      |l AS (SELECT source, doc_id, n_tokens,
+      |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lcum
+      |      FROM t),
+      |b AS (SELECT source,
+      |        SUM(tot) OVER (ORDER BY source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tot AS base
+      |      FROM (SELECT source, SUM(n_tokens) AS tot FROM t GROUP BY source)),
+      |c AS (SELECT doc_id, n_tokens, base + lcum AS cum
+      |      FROM l JOIN b USING (source))
+      |SELECT doc_id, n_tokens,
+      |  CAST(FLOOR((cum - n_tokens) / 1024) AS BIGINT) AS first_chunk,
+      |  CAST(FLOOR((cum - 1) / 1024) AS BIGINT) AS last_chunk,
+      |  CAST((cum - n_tokens) % 1024 AS BIGINT) AS chunk_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
   def qLangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("_w"))

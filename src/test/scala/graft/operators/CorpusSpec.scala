@@ -22,6 +22,55 @@ class CorpusSpec extends SparkSpec {
     assert(r(4) === ((5L, 48L, 3L, 3L, 628L)))    // [3700,3748)
   }
 
+  test("packChunksSharded: row-equal to the global spec under (shard, order)") {
+    val s = spark
+    import s.implicits._
+    // sizes straddle the chunk boundary: some docs span chunks, some
+    // chunks span shards — the base-offset arithmetic must carry a
+    // partially-filled chunk across a shard boundary
+    val docs = (1L to 97L).map(i => (s"shard${i % 5}", i, (i * 37) % 900 + 1))
+      .toDF("shard", "id", "n")
+    val global = Corpus.packChunks(
+        docs.withColumn("_ord", struct(col("shard"), col("id"))),
+        "_ord", "n", chunkTokens = 256)
+      .drop("_ord")
+    val sharded = Corpus.packChunksSharded(docs, "shard", "id", "n", 256)
+    assert(sharded.collect().map(_.toSeq).toSet ===
+      global.collect().map(_.toSeq).toSet)
+  }
+
+  test("packChunksSharded: degenerates to the global form on one shard") {
+    val s = spark
+    import s.implicits._
+    val one = Seq((1L, 700L), (2L, 700L), (3L, 100L), (4L, 2200L), (5L, 48L))
+      .toDF("id", "n").withColumn("shard", lit("only"))
+    val cols = Seq("shard", "id", "n", "first_chunk", "last_chunk",
+      "chunk_offset").map(col)
+    val g = Corpus.packChunks(one, "id", "n", chunkTokens = 1024).select(cols: _*)
+    val sh = Corpus.packChunksSharded(one, "shard", "id", "n", chunkTokens = 1024)
+      .select(cols: _*)
+    assert(sh.collect().map(_.toSeq).toSet === g.collect().map(_.toSeq).toSet)
+  }
+
+  test("packChunksSharded: no unpartitioned window over the corpus") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 50L).map(i => (s"s${i % 3}", i, i)).toDF("shard", "id", "n")
+    val lp = Corpus.packChunksSharded(docs, "shard", "id", "n", 256)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // any window that still sees per-document rows (the `id` column)
+    // must be shard-partitioned; the only unpartitioned window is over
+    // the per-shard totals table — one row per shard, id long gone
+    val corpusWins = wins.filter(_.child.output.exists(_.name == "id"))
+    assert(corpusWins.nonEmpty, lp.toString)
+    corpusWins.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+    val totalsWins = wins.filterNot(_.child.output.exists(_.name == "id"))
+    assert(totalsWins.forall(_.partitionSpec.isEmpty))
+  }
+
   test("decontaminate flags only docs sharing enough shingles with the benchmark") {
     val s = spark
     import s.implicits._
