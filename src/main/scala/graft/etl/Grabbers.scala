@@ -233,6 +233,30 @@ object Grabbers {
           when(regexp_extract(c, re, 1) === "+", 1).otherwise(-1)
         when(abs(offMin) < 24 * 60,
           naivePrefix(base) + make_dt_interval(lit(0), lit(0), offMin, lit(0)))
+      }),
+      // zone name + SPACED offset ("… GMT +5", "… EST +0500" — shape
+      // 19): dateutil consumes the orphan offset — DROPPED after a
+      // UTC-equivalent name (UTC/GMT/Z: the naive clock is the
+      // instant) and REPLACING the zone's offset with the AS-WRITTEN
+      // sign after any other name (UTC instant = naive − offset; the
+      // attached shape-18 POSIX inversion does NOT apply — probed)
+      when(sh === 19, {
+        val re = " ([+-])(?:(\\d{1,2})(?::(\\d{1,2}))?|(\\d{2})(\\d{2}))$"
+        val base0 = regexp_replace(c, re, "")
+        val name = regexp_extract(base0, "([A-Z]{1,5})$", 1)
+        val base = regexp_replace(base0, " ?[A-Z]{1,5}$", "")
+        val oh = coalesce(
+          nullif(regexp_extract(c, re, 2), lit("")).cast("int"),
+          nullif(regexp_extract(c, re, 4), lit("")).cast("int"))
+        val om = coalesce(
+          nullif(regexp_extract(c, re, 3), lit("")).cast("int"),
+          nullif(regexp_extract(c, re, 5), lit("")).cast("int"), lit(0))
+        val offMin = (oh * 60 + om) *
+          when(regexp_extract(c, re, 1) === "+", 1).otherwise(-1)
+        when(abs(offMin) < 24 * 60,
+          when(name.isin("UTC", "GMT", "Z"), naivePrefix(base))
+            .otherwise(naivePrefix(base) -
+              make_dt_interval(lit(0), lit(0), offMin, lit(0))))
       }))
   }
 
@@ -243,8 +267,8 @@ object Grabbers {
   private def naivePrefix(base: Column): Column = {
     val sh2 = graft.functions.NativeText.dateShape(base)
     coalesce(
-      when(base.rlike("^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}"),
-        base.try_cast(org.apache.spark.sql.types.TimestampType)),
+      when(base.rlike("^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{1,2}"),
+        clockCore(base)),
       timeBearing(base, sh2))
   }
 
@@ -272,7 +296,7 @@ object Grabbers {
       // upper-cased AM/PM never meets the case-sensitive Java parser
       when(sh === 12, {
         val re = "^([A-Z]{3,9} \\d{1,2},? \\d{4}) " +
-          "(\\d{1,2}):(\\d{2})(?::(\\d{2}))?(?: ?([AP])M?)?$"
+          "(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?(?: ?([AP])M?)?$"
         val datePart = regexp_extract(c, re, 1)
         val hh0 = regexp_extract(c, re, 2).cast("int")
         val mm = regexp_extract(c, re, 3).cast("int")
@@ -289,14 +313,13 @@ object Grabbers {
       // resolves both names to +00:00 and the reference pins naive
       // values to UTC anyway (conversions.py:592-598), so stripping the
       // suffix and parsing in the session's UTC zone is value-identical
-      when(sh === 13,
-        c.substr(lit(1), length(c) - 4)
-          .try_cast(org.apache.spark.sql.types.TimestampType)),
+      // (clockCore carries the minute-fraction rewrite the cast lacks)
+      when(sh === 13, clockCore(c.substr(lit(1), length(c) - 4))),
       // slash date + clock ("1/2/2014 3:15 PM"): shape-2 date, shape-12
       // clock assembly
       when(sh === 14, {
         val re = "^(\\d{1,2}/\\d{1,2}/\\d{4}) " +
-          "(\\d{1,2}):(\\d{2})(?::(\\d{2}))?(?: ?([AP])M?)?$"
+          "(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?(?: ?([AP])M?)?$"
         val datePart = regexp_extract(c, re, 1)
         val hh0 = regexp_extract(c, re, 2).cast("int")
         val mm = regexp_extract(c, re, 3).cast("int")
@@ -311,8 +334,8 @@ object Grabbers {
       // (year-1 default for a missing date), then shift the hour by
       // dateutil's meridiem rules (hour > 12 + meridiem → null)
       when(sh === 16, {
-        val re = "^((?:\\d{4}-\\d{1,2}-\\d{1,2}[T ])?\\d{1,2}:\\d{2}" +
-          "(?::\\d{2})?(?:\\.\\d+)?) ?([AP])M?$"
+        val re = "^((?:\\d{4}-\\d{1,2}-\\d{1,2}[T ])?\\d{1,2}:\\d{1,2}" +
+          "(?::\\d{1,2})?(?:\\.\\d+)?) ?([AP])M?$"
         val ts = clockCore(regexp_extract(c, re, 1))
         val hh = meridiemHour(hour(ts), regexp_extract(c, re, 2))
         when(hh.isNotNull,
@@ -326,14 +349,26 @@ object Grabbers {
     * parses it directly when the date is present (the rlike gate —
     * Spark's cast would otherwise fill a bare clock with TODAY's
     * date); a bare clock gets dateutil's default date (year 1, Jan 1)
-    * prefixed first. Both paths keep the cast's validation and
-    * fraction rules. */
-  private def clockCore(core: Column): Column =
+    * prefixed first. A fraction after MINUTES (no seconds) is
+    * dateutil's minute fraction — second = int(60 · frac), sub-second
+    * remainder dropped ("9:30.999" → :59 exactly; probed) — rewritten
+    * to explicit seconds before the cast, which otherwise rejects it.
+    * Both paths keep the cast's validation and seconds-fraction
+    * rules. */
+  private def clockCore(core0: Column): Column = {
+    val mf = "^((?:\\d{4}-\\d{1,2}-\\d{1,2}[T ])?\\d{1,2}:\\d{1,2})\\.(\\d+)$"
+    val mfSec = floor(concat(lit("0."), regexp_extract(core0, mf, 2))
+      .cast("double") * 60).cast("int")
+    val core = when(core0.rlike(mf),
+        concat(regexp_extract(core0, mf, 1), lit(":"),
+          lpad(mfSec.cast("string"), 2, "0")))
+      .otherwise(core0)
     coalesce(
       when(core.rlike("^\\d{4}-"),
         core.try_cast(org.apache.spark.sql.types.TimestampType)),
       concat(lit("0001-01-01 "), core)
         .try_cast(org.apache.spark.sql.types.TimestampType))
+  }
 
   /** Minimal gnparser-equivalent scientific-name parse
     * (conversions.py:745-768 via the biodiversity socket service, whose

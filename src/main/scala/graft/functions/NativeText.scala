@@ -693,10 +693,11 @@ object MinhashKernel {
       (c0 == 'R' && c1 == 'D') || (c0 == 'T' && c1 == 'H')
     }
 
-    // "\d{1,2}:\d{2}(:\d{2})?( ?[AP]M?)?" over [s, e0) — the meridiem
-    // may be the bare letter ("9:30 A" / "9:30P"): dateutil's lexer
-    // splits at the letter boundary and applies A/P to the hour
-    // exactly like AM/PM (probed, see EnrichSpec date goldens)
+    // "\d{1,2}:\d{1,2}(:\d{1,2})?( ?[AP]M?)?" over [s, e0) — the
+    // meridiem may be the bare letter ("9:30 A" / "9:30P"): dateutil's
+    // lexer splits at the letter boundary and applies A/P to the hour
+    // exactly like AM/PM; minutes and seconds may be 1-digit ("3:5 PM"
+    // → 15:05, probed — dateutil's tokenizer has no width minimum)
     def timeTail(s: Int, e0: Int): Boolean = {
       var e = e0
       if (e - s >= 2 && b(e - 1) == 'M' && (b(e - 2) == 'A' || b(e - 2) == 'P')) {
@@ -709,21 +710,34 @@ object MinhashKernel {
       var j = s
       while (j < e && b(j) != ':') j += 1
       if (!dig(s, j, 1, 2)) return false
-      if (j + 3 > e || !allDigits(b, j + 1, j + 3)) return false
-      if (j + 3 == e) return true
-      b(j + 3) == ':' && j + 6 == e && allDigits(b, j + 4, j + 6)
+      var q = j + 1
+      while (q < e && b(q) >= '0' && b(q) <= '9') q += 1
+      if (!dig(j + 1, q, 1, 2)) return false
+      if (q == e) return true
+      if (b(q) != ':') return false
+      var r = q + 1
+      while (r < e && b(r) >= '0' && b(r) <= '9') r += 1
+      r == e && dig(q + 1, r, 1, 2)
     }
 
-    // "\d{1,2}:\d{2}(:\d{2})?(\.\d+)?" over [s, e)
+    // "\d{1,2}:\d{1,2}(:\d{1,2})?(\.\d+)?" over [s, e) — 1-digit
+    // minutes/seconds accepted ("1:2" → 01:02, probed); the fraction
+    // needs ≥ 1 digit ("9:30." stays unparsed)
     def timeIsoTail(s: Int, e: Int): Boolean = {
       var j = s
       while (j < e && b(j) != ':') j += 1
       if (!dig(s, j, 1, 2)) return false
-      if (j + 3 > e || !allDigits(b, j + 1, j + 3)) return false
-      var p = j + 3
+      var p = j + 1
+      var q = p
+      while (q < e && b(q) >= '0' && b(q) <= '9') q += 1
+      if (!dig(p, q, 1, 2)) return false
+      p = q
       if (p < e && b(p) == ':') {
-        if (p + 3 > e || !allDigits(b, p + 1, p + 3)) return false
-        p += 3
+        q = p + 1
+        var r = q
+        while (r < e && b(r) >= '0' && b(r) <= '9') r += 1
+        if (!dig(q, r, 1, 2)) return false
+        p = r
       }
       if (p == e) return true
       b(p) == '.' && p + 1 < e && allDigits(b, p + 1, e)
@@ -832,17 +846,82 @@ object MinhashKernel {
       sub == 12 || sub == 14 || sub == 16
     }
 
+    // 19: clock-bearing value + zone NAME + SPACE-separated signed
+    // offset ("… 10:00 GMT +5", "… 10:00 EST +0500"): dateutil
+    // consumes the orphan offset token — DROPPED after a UTC-equivalent
+    // name (UTC/GMT/Z: the zone stays UTC, probed) and REPLACING the
+    // zone's offset with the AS-WRITTEN sign after any other name
+    // (tzoffset('EST', +5h), probed; parse semantics in
+    // parseShapedDate). Name rules mirror shape 15 (1-5 letters,
+    // spaced or attached to the clock, meridiem tokens excluded); the
+    // offset is H{1,2}, H{1,2}:M{1,2} or HHMM; a spaced sign
+    // ("GMT + 5") is a dateutil ParserError → 0.
+    def spacedOffsetZoneSuffix(): Boolean = {
+      var p = n
+      while (p > 0 && b(p - 1) >= '0' && b(p - 1) <= '9') p -= 1
+      val dlen = n - p
+      if (dlen == 0) return false
+      var q = p
+      if (dlen <= 2 && q > 0 && b(q - 1) == ':') { // H{1,2}:M{1,2}
+        q -= 1
+        var h = q
+        while (h > 0 && b(h - 1) >= '0' && b(h - 1) <= '9') h -= 1
+        if (!dig(h, q, 1, 2)) return false
+        q = h
+      } else if (dlen != 4 && dlen > 2) return false // else H{1,2} or HHMM
+      if (q == 0 || (b(q - 1) != '+' && b(q - 1) != '-')) return false
+      if (q - 1 == 0 || b(q - 2) != ' ') return false // offset is SPACED
+      var st = q - 2
+      while (st > 0 && b(st - 1) >= 'A' && b(st - 1) <= 'Z') st -= 1
+      val len = q - 2 - st
+      if (len < 1 || len > 5 || st == 0) return false
+      if (len == 1 && (b(st) == 'A' || b(st) == 'P')) return false
+      if (len == 2 && (b(st) == 'A' || b(st) == 'P') && b(st + 1) == 'M')
+        return false
+      val spaced = b(st - 1) == ' '
+      if (!spaced && !(b(st - 1) >= '0' && b(st - 1) <= '9')) return false
+      val pe = if (spaced) st - 1 else st
+      if (pe <= 0) return false
+      if (clockPrefix(pe)) return true
+      val sub = dateShape(UTF8String.fromBytes(b, 0, pe))
+      sub == 12 || sub == 14 || sub == 16
+    }
+
     // ISO+UTC/GMT first (13 claims it before the generic zone-name
-    // suffix), then name+offset zones (18), zone-name datetimes (15),
-    // ISO+meridiem (16) — all BEFORE the separator families, whose
-    // early returns would otherwise swallow "1/2/2014 3:15 PM EST".
-    // Bare clocks (17) come last of the time family: 15/16/18 all
-    // accept a bare-clock prefix plus their suffix.
+    // suffix), then name+offset zones (18 attached, 19 spaced),
+    // zone-name datetimes (15), ISO+meridiem (16) — all BEFORE the
+    // separator families, whose early returns would otherwise swallow
+    // "1/2/2014 3:15 PM EST". Bare clocks (17) come last of the time
+    // family: 15/16/18/19 all accept a bare-clock prefix plus their
+    // suffix.
     if (isoZoneSuffix()) return 13
     if (offsetZoneSuffix()) return 18
+    if (spacedOffsetZoneSuffix()) return 19
     if (tzNameSuffix()) return 15
     if (meridiemSuffix()) return 16
     if (timeIsoTail(0, n)) return 17
+    // ISO datetime whose clock carries a MINUTE fraction ("2014-01-10
+    // 9:30.5"): plain ISO stays shape 0 (Spark's cast parses it
+    // directly), but the cast rejects minute fractions, so exactly
+    // these claim the clock-core parse (dateutil: second = int(60·frac))
+    def isoMinuteFrac(): Boolean = {
+      if (!isoDateTime(0, n)) return false
+      var cs = -1
+      var j = 5
+      while (j < n && cs < 0) {
+        if (b(j) == 'T' || b(j) == ' ') cs = j + 1
+        j += 1
+      }
+      var colons = 0; var dot = false
+      j = cs
+      while (j < n) {
+        if (b(j) == ':') colons += 1
+        else if (b(j) == '.') dot = true
+        j += 1
+      }
+      colons == 1 && dot
+    }
+    if (isoMinuteFrac()) return 17
 
     val slash = split3('/')
     if (slash != null) {
@@ -968,29 +1047,31 @@ object MinhashKernel {
   }
 
   private val P12 = java.util.regex.Pattern.compile(
-    "^([A-Z]{3,9}) (\\d{1,2}),? (\\d{4}) (\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
+    "^([A-Z]{3,9}) (\\d{1,2}),? (\\d{4}) (\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?" +
       "(?: ?([AP])M?)?$")
-  private val P13 = java.util.regex.Pattern.compile(
-    "^(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ](\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
-      "(?:\\.(\\d+))? (?:UTC|GMT)$")
   private val P14 = java.util.regex.Pattern.compile(
-    "^(\\d{1,2})/(\\d{1,2})/(\\d{4}) (\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
+    "^(\\d{1,2})/(\\d{1,2})/(\\d{4}) (\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?" +
       "(?: ?([AP])M?)?$")
-  // the zone-less clock core (shapes 15/17/18 prefix and shape 16's
-  // base): ISO datetime with clock, or a BARE clock whose missing date
-  // defaults to year-1 Jan 1 (dateutil default=datetime(1,1,1))
+  // the zone-less clock core (shapes 13/15/17/18/19 prefix and shape
+  // 16's base): ISO datetime with clock, or a BARE clock whose missing
+  // date defaults to year-1 Jan 1 (dateutil default=datetime(1,1,1));
+  // minutes/seconds may be 1-digit (dateutil's tokenizer, probed)
   private val P15 = java.util.regex.Pattern.compile(
-    "^(?:(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ])?(\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
+    "^(?:(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ])?(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?" +
       "(?:\\.(\\d+))?$")
   // clock core + meridiem token (shape 16): the token may be bare A/P
   // and may attach directly to the clock
   private val P16 = java.util.regex.Pattern.compile(
-    "^(?:(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ])?(\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
+    "^(?:(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ])?(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?" +
       "(?:\\.(\\d+))? ?([AP])M?$")
   // trailing zone-name + POSIX offset of shape 18: " GMT+5", ":30"
   // minute part optional, name attached or spaced
   private val P18Tail = java.util.regex.Pattern.compile(
     " ?[A-Z]{1,5}([+-])(\\d{1,2})(?::(\\d{1,2}))?$")
+  // trailing SPACED offset of shape 19 (" +5", " +5:30", " +0500");
+  // the zone name before it is stripped separately
+  private val P19Tail = java.util.regex.Pattern.compile(
+    " ([+-])(?:(\\d{1,2})(?::(\\d{1,2}))?|(\\d{2})(\\d{2}))$")
 
   /** dateutil's meridiem-to-24h rule (parser.py _parse): hour > 12
     * with an explicit meridiem is a ParserError (returns -1 here);
@@ -1003,18 +1084,23 @@ object MinhashKernel {
   }
 
   /** LocalDateTime of a P15/P16-style match (optional date groups 1-3,
-    * clock groups 4-7): year-1 default date, Spark-cast fraction rules
-    * (fraction legal only after seconds, ≤ 9 digits). Null on frac
-    * violation; calendar/clock validation throws to the caller's
-    * catch. */
+    * clock groups 4-7). A fraction after SECONDS keeps Spark-cast
+    * rules (≤ 9 digits → nanos, else null); a fraction after MINUTES
+    * (no seconds group) is dateutil's minute fraction — second =
+    * int(60 · frac) with the sub-second remainder DROPPED ("9:30.999"
+    * → :59 exactly, no micros; probed). Calendar/clock validation
+    * throws to the caller's catch. */
   private def clockCoreOf(m: java.util.regex.Matcher): java.time.LocalDateTime = {
     val frac = m.group(7)
-    if (frac != null && (m.group(6) == null || frac.length > 9)) return null
-    val nanos = if (frac == null) 0 else (frac + "0" * (9 - frac.length)).toInt
-    val ss = if (m.group(6) == null) 0 else m.group(6).toInt
     val y = if (m.group(1) == null) 1 else m.group(1).toInt
     val mo = if (m.group(2) == null) 1 else m.group(2).toInt
     val d = if (m.group(3) == null) 1 else m.group(3).toInt
+    if (frac != null && m.group(6) == null)
+      return java.time.LocalDateTime.of(y, mo, d, m.group(4).toInt,
+        m.group(5).toInt, (("0." + frac).toDouble * 60).toInt, 0)
+    if (frac != null && frac.length > 9) return null
+    val nanos = if (frac == null) 0 else (frac + "0" * (9 - frac.length)).toInt
+    val ss = if (m.group(6) == null) 0 else m.group(6).toInt
     java.time.LocalDateTime.of(y, mo, d,
       m.group(4).toInt, m.group(5).toInt, ss, nanos)
   }
@@ -1125,20 +1211,14 @@ object MinhashKernel {
           microsOf(java.time.LocalDateTime.of(m.group(3).toInt,
             m.group(1).toInt, m.group(2).toInt, hh, mm, ss), zone)
         case 13 =>
-          val m = P13.matcher(s)
+          // "… UTC"/"… GMT": both resolve to +00:00 and the engine
+          // runs in UTC, so strip the 4-char suffix and parse the ISO
+          // clock core (clockCoreOf carries the fraction rules,
+          // including dateutil's minute fraction)
+          val m = P15.matcher(s.substring(0, s.length - 4))
           if (!m.matches()) return null
-          val frac = m.group(7)
-          // Spark's cast grammar attaches the fraction to SECONDS, ≤ 9
-          // digits; fraction-after-minutes or overlong fractions are null
-          if (frac != null && (m.group(6) == null || frac.length > 9))
-            return null
-          val nanos =
-            if (frac == null) 0
-            else (frac + "0" * (9 - frac.length)).toInt
-          val ss = if (m.group(6) == null) 0 else m.group(6).toInt
-          microsOf(java.time.LocalDateTime.of(m.group(1).toInt,
-            m.group(2).toInt, m.group(3).toInt, m.group(4).toInt,
-            m.group(5).toInt, ss, nanos), zone)
+          val ldt = clockCoreOf(m)
+          if (ldt == null) null else microsOf(ldt, zone)
         case 15 =>
           // zone-NAME-suffixed datetime (spaced or attached): dateutil
           // identifies the name but cannot resolve it and yields the
@@ -1187,6 +1267,39 @@ object MinhashKernel {
           else {
             val sign = if (m.group(1) == "+") 1L else -1L
             java.lang.Long.valueOf(v.longValue() + sign * offSec * 1000000L)
+          }
+        case 19 =>
+          // zone name + SPACED offset ("… GMT +5", "… EST +0500"):
+          // dateutil consumes the orphan offset token — after a
+          // UTC-equivalent name (UTC/GMT/Z) it is DROPPED (the zone
+          // stays UTC, so the naive clock IS the instant); after any
+          // other name it REPLACES the zone's offset with the
+          // AS-WRITTEN sign (tzoffset('EST', +5h) → UTC instant =
+          // naive − offset — NOT the POSIX inversion shape 18 applies
+          // to attached offsets). 24h+ offsets are a ValueError
+          // (probed, all of it).
+          val m = P19Tail.matcher(s)
+          if (!m.find()) return null
+          val oh = if (m.group(2) != null) m.group(2).toInt else m.group(4).toInt
+          val om =
+            if (m.group(3) != null) m.group(3).toInt
+            else if (m.group(5) != null) m.group(5).toInt else 0
+          val offSec = oh * 3600L + om * 60L
+          if (offSec >= 86400L) return null
+          val base0 = s.substring(0, m.start())
+          var t = base0.length - 1
+          while (t >= 0 && base0.charAt(t) >= 'A' && base0.charAt(t) <= 'Z')
+            t -= 1
+          val name = base0.substring(t + 1)
+          val base =
+            if (t >= 0 && base0.charAt(t) == ' ') base0.substring(0, t)
+            else base0.substring(0, t + 1)
+          val v = naivePrefixMicros(base, runYear, zone)
+          if (v == null) null
+          else if (name == "UTC" || name == "GMT" || name == "Z") v
+          else {
+            val sign = if (m.group(1) == "+") 1L else -1L
+            java.lang.Long.valueOf(v.longValue() - sign * offSec * 1000000L)
           }
         case _ => null
       }

@@ -320,7 +320,22 @@ class EnrichSpec extends SparkSpec {
       "2014-01-10 12:30:15 GMT+24", "9:30:15 GMT+5", "9:30 PM GMT+5",
       "JAN 5, 1999 3:15 PM GMT+5", "1/2/2014 3:15PM GMT+5",
       "2014-01-10 GMT+5", "12:30:15 GMT+5 EST",
-      "2014-01-10 12:30:15+05:00", "2014-01-10 12:30:15 GMT +5")
+      "2014-01-10 12:30:15+05:00", "2014-01-10 12:30:15 GMT +5",
+      // 1-digit minutes/seconds (r10), minute fractions, spaced
+      // name+offset zones (shape 19) and their near-misses
+      "1:2", "3:45:6", "1:2:3", "12:3 AM", "1:2 PM", "2014-01-10 1:2",
+      "2014-1-2 3:4", "JAN 5, 1999 3:5 PM", "1/2/2014 3:5 PM",
+      "9:30.999", "1:02.5", "10:15.25 PM", "2014-01-10 9:30.5",
+      "9:30.5EST", "2014-01-10 12:00.5 UTC", "9:30.5 GMT+5", "9:30.",
+      "1:2 EST", "1:2:3 GMT+5", "1:75", "1:2:3:4",
+      "2014-01-10 12:30:15 EST +5", "2014-01-10 12:30:15 EST -7",
+      "2014-01-10 12:30:15 UTC +0500", "2014-01-10 12:30:15 EST +0500",
+      "2014-01-10 12:30:15 EST +5:30", "2014-01-10 12:30:15 Z +3",
+      "2014-01-10 12:30 M +5", "12:30:15 GMT +5", "JAN 5, 1999 3:15 PM GMT +5",
+      "1/2/2014 3:15PM GMT +5", "2014-01-10 12:30:15 EST +25",
+      "2014-01-10 12:30:15 GMT +530", "2014-01-10 12:30:15 GMT + 5",
+      "12:30:15 GMT +5 EST", "2014-01-10 GMT +5", "9:30 PM +5",
+      "2014-01-10 12:30:15 A +5", "2014-01-10 12:30:15 EST +5 ")
     val rnd = new scala.util.Random(13)
     val alphabet = "0123456789/.,- :APMUTCGJANFEBRYLOVDES+"
     val fuzz = (1 to 2000).map(_ =>
@@ -441,6 +456,46 @@ class EnrichSpec extends SparkSpec {
       "9:30:15 GMT+5"            -> "0001-01-01 14:30:15.0",
       "JAN 5, 1999 3:15 PM GMT+5" -> "1999-01-05 20:15:00.0",
       "1/2/2014 3:15PM GMT+5"    -> "2014-01-02 20:15:00.0",
+      // 1-digit minutes/seconds (dateutil's tokenizer has no width
+      // minimum — all probed, r10)
+      "1:2"                      -> "0001-01-01 01:02:00.0",
+      "3:45:6"                   -> "0001-01-01 03:45:06.0",
+      "1:2:3"                    -> "0001-01-01 01:02:03.0",
+      "12:3 AM"                  -> "0001-01-01 00:03:00.0",
+      "1:2 PM"                   -> "0001-01-01 13:02:00.0",
+      "2014-01-10 1:2"           -> "2014-01-10 01:02:00.0",
+      "2014-1-2 3:4"             -> "2014-01-02 03:04:00.0",
+      "JAN 5, 1999 3:5 PM"       -> "1999-01-05 15:05:00.0",
+      "1/2/2014 3:5 PM"          -> "2014-01-02 15:05:00.0",
+      "1:2 EST"                  -> "0001-01-01 01:02:00.0",
+      "1:2:3 GMT+5"              -> "0001-01-01 06:02:03.0",
+      // minute fractions (dateutil: second = int(60·frac), sub-second
+      // remainder dropped — all probed, r10)
+      "9:30.5"                   -> "0001-01-01 09:30:30.0",
+      "9:30.5 PM"                -> "0001-01-01 21:30:30.0",
+      "9:30.999"                 -> "0001-01-01 09:30:59.0",
+      "1:02.5"                   -> "0001-01-01 01:02:30.0",
+      "10:15.25 PM"              -> "0001-01-01 22:15:15.0",
+      "2014-01-10 9:30.5"        -> "2014-01-10 09:30:30.0",
+      "9:30.5EST"                -> "0001-01-01 09:30:30.0",
+      "2014-01-10 12:00.5 UTC"   -> "2014-01-10 12:00:30.0",
+      "9:30.5 GMT+5"             -> "0001-01-01 14:30:30.0",
+      // zone name + SPACED offset (shape 19, probed r10): after
+      // UTC/GMT/Z the orphan offset is DROPPED (naive clock = the
+      // instant); after any other name it replaces the zone's offset
+      // with the AS-WRITTEN sign (UTC instant = naive − offset — no
+      // POSIX inversion, unlike the attached GMT+5 form)
+      "2014-01-10 12:30:15 GMT +5"   -> "2014-01-10 12:30:15.0",
+      "2014-01-10 12:30:15 UTC +0500" -> "2014-01-10 12:30:15.0",
+      "2014-01-10 12:30:15 Z +3"     -> "2014-01-10 12:30:15.0",
+      "12:30:15 GMT +5"              -> "0001-01-01 12:30:15.0",
+      "JAN 5, 1999 3:15 PM GMT +5"   -> "1999-01-05 15:15:00.0",
+      "1/2/2014 3:15PM GMT +5"       -> "2014-01-02 15:15:00.0",
+      "2014-01-10 12:30:15 EST +5"   -> "2014-01-10 07:30:15.0",
+      "2014-01-10 12:30:15 EST -7"   -> "2014-01-10 19:30:15.0",
+      "2014-01-10 12:30:15 EST +0500" -> "2014-01-10 07:30:15.0",
+      "2014-01-10 12:30:15 EST +5:30" -> "2014-01-10 07:00:15.0",
+      "2014-01-10 12:30 M +5"        -> "2014-01-10 07:30:00.0",
     )
     for ((in, want) <- cases) {
       val got = one(permissiveTimestamp(upper(trim(col("x")))), in)
@@ -470,21 +525,33 @@ class EnrichSpec extends SparkSpec {
     assert(one(permissiveTimestamp(col("x")), "2014-01-10 13:30 A").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")), "JAN 5, 1999 13:30 AM").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")), "1/2/2014 13:30 PM").isNullAt(0))
-    // bare-clock validation and offset bounds (probed: 25:30 and 12:61
-    // are ParserErrors; a 24h+ offset is a ValueError; an offset needs
-    // a TIME). "GMT +5" (offset separated from the name) is a KNOWN
-    // DIVERGENCE: dateutil parses the GMT and silently DROPS the
-    // orphan "+5" (probed → 12:30:15+00:00); here the whole value is
-    // null — documented in COVERAGE.md residue
+    // bare-clock validation and offset bounds (probed: 25:30, 12:61
+    // and 1:75 are ParserErrors; a 24h+ offset is a ValueError — for
+    // the spaced form too; an offset needs a TIME; a spaced SIGN
+    // ("GMT + 5"), a 3-digit offset ("+530") and a zone after a
+    // spaced offset are ParserErrors — all probed r10)
     assert(one(permissiveTimestamp(col("x")), "25:30").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")), "12:61").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "1:75").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")),
       "2014-01-10 12:30:15 GMT+24").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")), "2014-01-10 GMT+5").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")),
       "12:30:15 GMT+5 EST").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")),
-      "2014-01-10 12:30:15 GMT +5").isNullAt(0))
+      "2014-01-10 12:30:15 EST +25").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")),
+      "2014-01-10 12:30:15 GMT +530").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")),
+      "2014-01-10 12:30:15 GMT + 5").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "2014-01-10 GMT +5").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")),
+      "12:30:15 GMT +5 EST").isNullAt(0))
+    // dateutil accepts a trailing-dot fraction ("9:30.") and meridiem/
+    // bare-letter names composed with a spaced offset ("9:30 PM +5");
+    // both stay null here — documented residue (COVERAGE divergences)
+    assert(one(permissiveTimestamp(col("x")), "9:30.").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "9:30 PM +5").isNullAt(0))
     // shape-matching junk parses to null, never an ANSI error
     assert(one(permissiveTimestamp(col("x")), "99/99/99").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")), "JAN 99TH, 1999").isNullAt(0))

@@ -316,15 +316,16 @@ class NativeTextSpec extends SparkSpec {
   }
 
   test("dateShape kernel matches the anchored regexes it replaced") {
-    val p12 = "^[A-Z]{3,9} \\d{1,2},? \\d{4} \\d{1,2}:\\d{2}(:\\d{2})?( ?[AP]M?)?$"
-    val p13 = "^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{2}(:\\d{2})?" +
+    val p12 = "^[A-Z]{3,9} \\d{1,2},? \\d{4} \\d{1,2}:\\d{1,2}(:\\d{1,2})?( ?[AP]M?)?$"
+    val p13 = "^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{1,2}(:\\d{1,2})?" +
       "(\\.\\d+)? (UTC|GMT)$"
-    val p14 = "^\\d{1,2}/\\d{1,2}/\\d{4} \\d{1,2}:\\d{2}(:\\d{2})?( ?[AP]M?)?$"
+    val p14 = "^\\d{1,2}/\\d{1,2}/\\d{4} \\d{1,2}:\\d{1,2}(:\\d{1,2})?( ?[AP]M?)?$"
     // the clock core: ISO datetime with a clock, or a bare clock
-    // (date optional — dateutil default-fills year-1 Jan 1)
-    val isoClock = "^(\\d{4}-\\d{1,2}-\\d{1,2}[T ])?\\d{1,2}:\\d{2}(:\\d{2})?(\\.\\d+)?$"
+    // (date optional — dateutil default-fills year-1 Jan 1);
+    // minutes/seconds may be 1-digit (r10, probed)
+    val isoClock = "^(\\d{4}-\\d{1,2}-\\d{1,2}[T ])?\\d{1,2}:\\d{1,2}(:\\d{1,2})?(\\.\\d+)?$"
     // 16: clock core + meridiem token, spaced or attached
-    val p16 = "^(\\d{4}-\\d{1,2}-\\d{1,2}[T ])?\\d{1,2}:\\d{2}(:\\d{2})?" +
+    val p16 = "^(\\d{4}-\\d{1,2}-\\d{1,2}[T ])?\\d{1,2}:\\d{1,2}(:\\d{1,2})?" +
       "(\\.\\d+)? ?[AP]M?$"
     // a clock-bearing prefix for the zone suffixes of 15/18
     def clockBearing(base: String): Boolean =
@@ -358,15 +359,33 @@ class NativeTextSpec extends SparkSpec {
       if (joined && (base.isEmpty || !base.last.isDigit)) return false
       clockBearing(base)
     }
+    // 19: clock-bearing prefix + zone name (spaced or attached, not a
+    // meridiem token) + SPACE-separated signed offset — H{1,2},
+    // H{1,2}:M{1,2} or HHMM (r10, probed)
+    def shape19(s: String): Boolean = {
+      val m = java.util.regex.Pattern
+        .compile("^(.*?) ?([A-Z]{1,5}) [+-](\\d{1,2}(:\\d{1,2})?|\\d{4})$")
+        .matcher(s)
+      if (!m.matches()) return false
+      if (Seq("A", "P", "AM", "PM").contains(m.group(2))) return false
+      val base = m.group(1)
+      val joined = !s.startsWith(base + " ")
+      if (joined && (base.isEmpty || !base.last.isDigit)) return false
+      clockBearing(base)
+    }
     val patterns: Seq[(Int, String => Boolean)] = Seq(
-      // 13/18/15/16/12 first: they are the only shapes that can share
-      // a prefix with 4 (the kernel also tests them first)
+      // 13/18/19/15/16/12 first: they are the only shapes that can
+      // share a prefix with 4 (the kernel also tests them first)
       13 -> ((s: String) => s.matches(p13)),
       18 -> shape18 _,
+      19 -> shape19 _,
       15 -> shape15 _,
       16 -> ((s: String) => s.matches(p16)),
       17 -> ((s: String) =>
-        s.matches("^\\d{1,2}:\\d{2}(:\\d{2})?(\\.\\d+)?$")),
+        s.matches("^\\d{1,2}:\\d{1,2}(:\\d{1,2})?(\\.\\d+)?$") ||
+        // ISO datetime + MINUTE fraction also takes the clock-core
+        // parse (plain ISO stays 0 for Spark's cast — r10)
+        s.matches("^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{1,2}\\.\\d+$")),
       12 -> ((s: String) => s.matches(p12)),
       14 -> ((s: String) => s.matches(p14)),
       1 -> ((s: String) => s.matches("^\\d{4}/\\d{1,2}/\\d{1,2}$")),
@@ -439,7 +458,15 @@ class NativeTextSpec extends SparkSpec {
       "2014-01-10 12:30:15 GMT+567", "2014-01-10 12:30:15 GMT+5EST",
       "2014-01-10 GMT+5", "12:30:15 GMT+5 EST", "20140110 GMT+5",
       "2014-01-10 12:30:15+05:00", "2014-01-10 12:30:15 ABCDEF+5",
-      "2014-01-10 12:30:15 GMT +5")
+      // spaced name+offset zones (19), 1-digit minutes/seconds, ISO
+      // minute fractions and their near-misses (r10)
+      "2014-01-10 12:30:15 GMT +5", "2014-01-10 12:30:15 EST +5",
+      "2014-01-10 12:30:15 GMT +0500", "2014-01-10 12:30:15 EST +5:30",
+      "2014-01-10 12:30:15 GMT + 5", "2014-01-10 12:30:15 GMT +530",
+      "12:30 M +5", "9:30 PM +5", "2014-01-10 GMT +5", "12:30:15 GMT +5 EST",
+      "3:45:6", "12:3 AM", "JAN 5, 1999 3:5 PM", "1/2/2014 3:5 PM",
+      "2014-01-10 1:2", "2014-01-10 9:30.5", "9:30.", "1:02.5",
+      "2014-01-10 12:00.5 UTC", "9:30.5EST", "1:2:3 GMT+5", "1:2 EST")
     val rnd = new scala.util.Random(7)
     val alphabet = "0123456789/.,- ABCDEFGHIJZSTNRHUPM:+"
     val fuzz = (1 to 3000).map(_ =>
