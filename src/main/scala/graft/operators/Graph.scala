@@ -154,6 +154,24 @@ object Graph {
     labels
   }
 
+  /** Standalone local-mode lineage cut for OTHER iterative DataFrame
+    * loops (k-means sweeps, fixpoint enrichments): materialize `df`
+    * via localCheckpoint with its plan truncated to a leaf, returning
+    * the rebuilt DataFrame plus the RDD handle pinning its blocks —
+    * the caller releases the handle when the next round supersedes it,
+    * exactly the [[connectedComponents]] round discipline. Stays in
+    * the Tungsten representation (toRdd + internalCreateDataFrame, no
+    * Row decode/encode); the per-row copy() is required because
+    * codegen operators reuse row buffers. */
+  def localCut(df: DataFrame): (DataFrame,
+      RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count()
+    (org.apache.spark.sql.GraftSqlBridge
+      .internalCreateDataFrame(df.sparkSession, rdd, df.schema), rdd)
+  }
+
   /** Materialize the deduplicated corpus: drop every non-canonical
     * member of a duplicate cluster (canonical = the component's min
     * id), keep everything unclustered. The standard end-cap after

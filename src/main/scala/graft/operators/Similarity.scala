@@ -203,11 +203,21 @@ object Similarity {
     * argmin, no shuffle), then a posexplode to (cell, dim) pairs and a
     * partial-aggregable avg — the only exchange moves k × dim reduced
     * rows per map partition. Empty cells keep their previous centroid
-    * (standard Lloyd practice; keeps k stable). */
+    * (standard Lloyd practice; keeps k stable).
+    *
+    * Every sweep materializes through a lineage cut (Graph.localCut —
+    * the connectedComponents round discipline): without it each sweep
+    * nests join+groupBy+transform on top of the previous plan and the
+    * tree grows without bound in the iteration count (exactly the
+    * failure Graph.scala documents for CC). Each superseded sweep's
+    * blocks are released as soon as its successor materializes, so
+    * residue stays at the one pinned centroid table the caller
+    * receives — k × dim doubles — regardless of `iters` (LlmOpsSpec
+    * pins plan depth and residue at iters=10). */
   def kmeansCentroids(corpus: DataFrame, initMod: Int, iters: Int): DataFrame = {
-    val spark = corpus.sparkSession
     var cents = corpus.toDF("cid", "c").where(col("cid") % initMod === 0)
       .select(col("cid"), col("c").cast("array<double>").as("c"))
+    var pinned: Option[org.apache.spark.rdd.RDD[_]] = None
     (1 to iters).foreach { _ =>
       val assigned = ivfAssign(corpus, cents)  // (vid, v, cell)
       val means = assigned
@@ -219,9 +229,13 @@ object Similarity {
         .select(col("cell").as("cid"),
           transform(col("pm"), x => x.getField("m")).as("c"))
       // empty cells: keep the previous centroid so k never shrinks
-      cents = cents.toDF("cid", "prev")
-        .join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("c"), col("prev")).as("c"))
+      val (next, nextRdd) = graft.operators.Graph.localCut(
+        cents.toDF("cid", "prev")
+          .join(means, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("c"), col("prev")).as("c")))
+      pinned.foreach(_.unpersist(blocking = false))
+      pinned = Some(nextRdd)
+      cents = next
     }
     cents
   }

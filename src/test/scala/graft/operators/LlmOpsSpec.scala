@@ -206,6 +206,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(again === cents)
   }
 
+  test("kmeansCentroids: plan depth constant and one-block residue at iters=10") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.2f, 0.0f)),
+      (2L, Array(0.0f, 0.2f)), (3L, Array(0.2f, 0.2f)),
+      (4L, Array(10.0f, 10.0f)), (5L, Array(10.2f, 10.0f)),
+      (6L, Array(10.0f, 10.2f)), (7L, Array(10.2f, 10.2f)),
+    ).toDF("vec_id", "embedding")
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val at10 = Similarity.kmeansCentroids(pts, initMod = 4, iters = 10)
+    // per-sweep lineage cut: the returned plan is the last sweep's
+    // checkpointed leaf, NOT a 10-deep nest of join+groupBy+transform —
+    // its depth must match the iters=1 plan's, i.e. be iteration-free
+    val depth10 = at10.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    val mid = Similarity.kmeansCentroids(pts, initMod = 4, iters = 1)
+    val depth1 = mid.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    assert(depth10 === depth1, s"plan grew with iterations: $depth10 vs $depth1")
+    // residue: each superseded sweep is released when its successor
+    // materializes — only the two returned centroid tables stay pinned
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2,
+      s"only the returned centroid tables may stay cached, found $leaked")
+    // ten sweeps still land on the true cluster means
+    val cents = at10.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cents.keySet === Set(0L, 4L))
+    def close(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-6 }
+    assert(close(cents(0L), Seq(0.1, 0.1)), s"got ${cents(0L)}")
+    assert(close(cents(4L), Seq(10.1, 10.1)), s"got ${cents(4L)}")
+  }
+
   test("brute-force top-k ranks by cosine, excludes self, tiebreaks by id") {
     val s = spark
     import s.implicits._
