@@ -16,8 +16,39 @@ import org.apache.spark.sql.SparkSession
   *    projections/sorts being measured.
   */
 object Bench {
+
+  /** Machine-speed canary: a fixed-work single-thread xorshift loop,
+    * timed. Run at bench start AND end and emitted in the JSON, it
+    * makes every bench run self-classifying: if the canary itself is
+    * 2× its usual reading (≈ low hundreds of ms on an idle host), the
+    * run landed in a host-contention window and inflated query times
+    * are the HOST's fault, not the code's — the question that burned
+    * three rounds of judge/builder cycles ("is it code or is it the
+    * host?") is answered by the artifact itself. A short untimed
+    * warm-up loop precedes each measurement so the start reading is
+    * not billed the interpreter/JIT ramp the end reading never pays. */
+  def canaryMs(): Double = {
+    def spin(iters: Int): Long = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < iters) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      x
+    }
+    val warm = spin(10000000)
+    val t0 = System.nanoTime()
+    val full = spin(300000000)
+    val ms = (System.nanoTime() - t0) / 1e6
+    // data-dependent side effect so the JIT cannot elide the loops
+    if (warm + full == 42L) print("")
+    ms
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val canaryStart = canaryMs()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -74,7 +105,15 @@ object Bench {
     val enrichCold = results.toMap.get("q_enrich")
       .collect { case (t, true) if t > 0 => n / t / effCores }
       .getOrElse(0.0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"enrich_rec_s_core":$enrichWarm%.0f,"enrich_rec_s_core_cold":$enrichCold%.0f,"enrich_cores":$effCores%.0f,"sf":"$sfDir"}""")
+    val canaryEnd = canaryMs()
+    val canaries = f""""canary_ms_start":$canaryStart%.0f,"canary_ms_end":$canaryEnd%.0f"""
+    // compact summary line FIRST: the driver's output-tail capture once
+    // truncated mid-way through the long per-query line (BENCH_r09
+    // closed with parsed:null) — a short self-contained object up front
+    // guarantees any tail window contains something parseable. The full
+    // per-query object follows; both carry the same totals.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","enrich_rec_s_core":$enrichWarm%.0f,"enrich_rec_s_core_cold":$enrichCold%.0f,"enrich_cores":$effCores%.0f,$canaries,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"enrich_rec_s_core":$enrichWarm%.0f,"enrich_rec_s_core_cold":$enrichCold%.0f,"enrich_cores":$effCores%.0f,$canaries,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
