@@ -90,9 +90,35 @@ object ScaleStress {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
+    // embeddings scale for q_semdedup: the id shift 725000 is divisible
+    // by both the %25 dup-injection mod and the %29 centroid mod, so
+    // each copy reproduces the fixture's injected-dup and centroid
+    // pattern inside its own id band (and clears the +100000 the
+    // fixture adds to injected dup ids). Each copy k>0 applies a
+    // deterministic per-dimension sign flip — an orthogonal transform,
+    // exact in IEEE float, so within-copy cosines are bit-identical to
+    // the original while cross-copy cosines collapse to ~N(0, 1/64):
+    // copies never link and pair counts scale linearly by construction
+    // (the embedding analogue of the documents word-suffix trick).
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    assertShiftClears(emb, "embeddings", "vec_id" -> 625000L) // 725000 − 100000 injected-dup headroom
+    (0 until copies).map { k =>
+      val flipped = if (k == 0) col("embedding") else
+        transform(col("embedding"), (x, i) =>
+          x * when(pmod(xxhash64(lit(k), i), lit(2)) === 0, lit(1.0f))
+            .otherwise(lit(-1.0f))).cast("array<float>")
+      emb.select((col("vec_id") + lit(k * 725000L)).as("vec_id"),
+        flipped.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
     val stressed = Seq("q_dedup_apply", "q_dedup_clusters", "q_dedup_minhash",
       "q_store_view", "q_media_derivative", "q_dedup_jaccard", "q_enrich",
-      "q_dedup_passages", "q_dedup_passages_apply")
+      "q_dedup_passages", "q_dedup_passages_apply",
+      // round 10: SemDeDup's within-cell pair term (~Σ n_c²) is the one
+      // quadratic-in-a-cell cost on the board; q_quality_filter earns
+      // its row as the top line of the r9 driver snapshot
+      "q_semdedup", "q_quality_filter")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
