@@ -108,6 +108,9 @@ object SparkEntry {
     "q_len_quantiles" -> (LlmQueries.qLenQuantiles _),
     "q_pack_chunks"   -> (LlmQueries.qPackChunks _),
     "q_pack_chunks_sharded" -> (LlmQueries.qPackChunksSharded _),
+    "q_remix_weights" -> (LlmQueries.qRemixWeights _),
+    "q_chunk_overlap" -> (LlmQueries.qChunkOverlap _),
+    "q_shuffle_order" -> (LlmQueries.qShuffleOrder _),
     "q_decontaminate" -> (LlmQueries.qDecontaminate _),
     "q_lang_id"       -> (LlmQueries.qLangId _),
     "q_ann_topk"      -> (LlmQueries.qAnnTopk _),
@@ -200,6 +203,9 @@ object SparkEntry {
     "q_len_quantiles" -> LlmQueries.qLenQuantilesSql,
     "q_pack_chunks"   -> LlmQueries.qPackChunksSql,
     "q_pack_chunks_sharded" -> LlmQueries.qPackChunksShardedSql,
+    "q_remix_weights" -> LlmQueries.qRemixWeightsSql,
+    "q_chunk_overlap" -> LlmQueries.qChunkOverlapSql,
+    "q_shuffle_order" -> LlmQueries.qShuffleOrderSql,
     "q_decontaminate" -> LlmQueries.qDecontaminateSql,
     "q_lang_id"       -> LlmQueries.qLangIdSql,
     "q_ann_topk"      -> LlmQueries.qAnnTopkSql,

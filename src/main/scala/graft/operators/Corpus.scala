@@ -169,4 +169,103 @@ object Corpus {
       .withColumn("chunk_offset", pmod(col("_start"), lit(chunkTokens.toLong)))
       .drop("_lcum", "_base", "_cum", "_start")
   }
+
+  /** Weighted domain remixing — the corpus-mixture primitive that turns
+    * per-source target weights into a physical corpus: a document whose
+    * source has weight w appears floor(w) times, plus one more with
+    * probability frac(w), decided by a content-stable hash draw so the
+    * materialized mixture is exactly reproducible (a document's copy
+    * count depends only on its id and its source's weight — never on
+    * partitioning, run order, or an RNG stream). Weights arrive in
+    * basis points (wt_bp = weight × 10⁴, integer) so the fractional
+    * draw is exact integer arithmetic any SQL engine replays.
+    *
+    * Plan shape at 100 TB: the weight table is a per-source dimension
+    * (tens of rows) — broadcast join — and the replication is one
+    * `explode(sequence(...))` over the scan: no shuffle at all. Output:
+    * the input columns + `epoch` (0-based copy number); weight-0
+    * sources drop out entirely. */
+  def remixByWeights(docs: DataFrame, weights: DataFrame,
+      keyCol: String, idCol: String): DataFrame = {
+    val draw = pmod(TextDedup.hash60(
+      concat(col(idCol).cast("string"), lit(":remix"))), lit(10000))
+    docs.join(broadcast(weights), keyCol)
+      .withColumn("_copies", (col("wt_bp") / 10000).cast("int") +
+        when(draw < pmod(col("wt_bp"), lit(10000)), 1).otherwise(0))
+      .where(col("_copies") >= 1)
+      .withColumn("epoch", explode(sequence(lit(0), col("_copies") - 1)))
+      .drop("_copies", "wt_bp")
+  }
+
+  /** Sliding-window chunking — split each long document into
+    * fixed-length token windows with overlap (the context-window prep
+    * step for documents longer than the training sequence): windows
+    * start every `stride` tokens; a document of n ≤ `maxLen` tokens is
+    * one chunk, otherwise the window count is ceil((n−maxLen)/stride)+1
+    * and the LAST window is clamped to end exactly at n (every emitted
+    * window is full-length; the clamp is the no-padding-waste variant
+    * of the Hugging Face `stride` semantics, and what makes the chunk
+    * count exact instead of data-dependent on a ragged tail).
+    *
+    * Pure per-row array arithmetic over one scan — `split`, `sequence`,
+    * `explode`, `slice` are all codegen built-ins, no shuffle, so this
+    * runs at scan speed at any corpus size. Output: (id, chunk_seq
+    * 0-based, start 0-based, n_tok, chunk_md5 of the space-rejoined
+    * window — the fingerprint downstream exact-dedup consumes). */
+  def chunkWithOverlap(docs: DataFrame, idCol: String, textCol: String,
+      maxLen: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && maxLen >= stride,
+      s"need 1 <= stride <= maxLen, got stride=$stride maxLen=$maxLen")
+    val words = split(col(textCol), " ")
+    val n = size(words)
+    val nChunks = when(n <= maxLen, lit(1L))
+      .otherwise(ceil((n - maxLen).cast("double") / stride) + 1)
+    docs
+      .select(col(idCol), words.as("_w"), n.as("_n"), nChunks.as("_nc"))
+      .withColumn("chunk_seq", explode(sequence(lit(0L), col("_nc") - 1)))
+      .withColumn("start",
+        least(col("chunk_seq") * stride, greatest(col("_n") - maxLen, lit(0))))
+      .withColumn("n_tok", least(lit(maxLen), col("_n") - col("start")))
+      .select(col(idCol), col("chunk_seq"), col("start").cast("long").as("start"),
+        col("n_tok").cast("long").as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("_w"), (col("start") + 1).cast("int"),
+            col("n_tok").cast("int"))).cast("binary"))
+          .as("chunk_md5"))
+  }
+
+  /** Deterministic corpus shuffle — the global training-order
+    * permutation: every document gets a dense global rank ordered by a
+    * seeded content hash, so the epoch order is fully reproducible and
+    * uncorrelated with ingest order, yet computed without ever funneling
+    * the corpus through one task. Two-level rank, the same discipline as
+    * [[packChunksSharded]]: documents hash into `buckets` ranges whose
+    * within-bucket rank is an independent per-bucket window task; bucket
+    * base offsets come from a cumulative sum over the per-bucket COUNTS
+    * (one row per bucket — trivially tiny) broadcast back. Because the
+    * bucket is the hash's high-order range, bucket-major +
+    * within-bucket-hash order IS the global hash order: rank =
+    * base(bucket) + local rank reproduces exactly the single
+    * `row_number() OVER (ORDER BY hash, id)` an oracle replays. Output:
+    * (rank 1-based, id). */
+  def shuffleOrder(docs: DataFrame, idCol: String, seed: String,
+      buckets: Int = 1024): DataFrame = {
+    val keyed = docs.select(col(idCol),
+      TextDedup.hash60(concat(col(idCol).cast("string"),
+        lit(":shuffle:" + seed))).as("_k"))
+      // range-bucket on the hash's high bits (exact integer division —
+      // any monotone bucketing of _k keeps bucket-major = hash order)
+      .withColumn("_b", expr(s"_k div ${(1L << 60) / buckets}").cast("int"))
+    val wLocal = Window.partitionBy(col("_b"))
+      .orderBy(col("_k"), col(idCol))
+    val wBase = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = keyed.groupBy(col("_b")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_base", sum(col("_cnt")).over(wBase) - col("_cnt"))
+      .select(col("_b"), col("_base"))
+    keyed
+      .withColumn("_lr", row_number().over(wLocal))
+      .join(broadcast(bases), Seq("_b"))
+      .select((col("_base") + col("_lr")).as("rank"), col(idCol))
+  }
 }

@@ -716,6 +716,81 @@ object LlmQueries {
       |  CAST((cum - n_tokens) % 1024 AS BIGINT) AS chunk_offset
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Weighted domain remixing: per-source target weights (derived
+    * deterministically from the source number — 0.25× to 3.25× in 0.5
+    * steps, so the fixture exercises sub-1 drop-sampling AND multi-epoch
+    * up-sampling) materialized into a physical mixture by
+    * [[Corpus.remixByWeights]]. The oracle replays the md5 fractional
+    * draw and the generate_series replication exactly. */
+  def qRemixWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val wts = docs.select(col("source")).distinct()
+      .withColumn("wt_bp", lit(2500) +
+        (substring(col("source"), 4, 10).cast("int") % 7) * 5000)
+    Corpus.remixByWeights(docs, wts, keyCol = "source", idCol = "doc_id")
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  val qRemixWeightsSql: String =
+    """WITH wt AS (SELECT source,
+      |        2500 + (CAST(substr(source, 4) AS INT) % 7) * 5000 AS wt_bp
+      |      FROM (SELECT DISTINCT source FROM documents)),
+      |d AS (SELECT doc_id, documents.source, wt_bp // 10000 +
+      |        CASE WHEN try_cast('0x' ||
+      |            substr(md5(CAST(doc_id AS VARCHAR) || ':remix'), 1, 15)
+      |            AS BIGINT) % 10000 < wt_bp % 10000
+      |          THEN 1 ELSE 0 END AS copies
+      |      FROM documents JOIN wt USING (source))
+      |SELECT doc_id, source,
+      |  CAST(unnest(generate_series(0, copies - 1)) AS INT) AS epoch
+      |FROM d WHERE copies >= 1
+      |ORDER BY doc_id, epoch""".stripMargin
+
+  /** Sliding-window chunking at maxLen=40, stride=30 over the documents
+    * table (10-99 tokens/doc → 1-3 windows each, tail-clamp exercised
+    * whenever (n − 40) is not a stride multiple). The oracle replays
+    * the window arithmetic and the list-slice md5 per chunk. */
+  def qChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    Corpus.chunkWithOverlap(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text", maxLen = 40, stride = 30)
+      .orderBy(col("doc_id"), col("chunk_seq"))
+
+  val qChunkOverlapSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |d AS (SELECT doc_id, w, len(w) AS n,
+      |        CASE WHEN len(w) <= 40 THEN 1
+      |             ELSE CAST(CEIL((len(w) - 40) / 30.0) AS BIGINT) + 1
+      |        END AS nc
+      |      FROM t),
+      |e AS (SELECT doc_id, w, n,
+      |        unnest(generate_series(0, nc - 1)) AS c FROM d),
+      |f AS (SELECT doc_id, c AS chunk_seq,
+      |        LEAST(c * 30, GREATEST(n - 40, 0)) AS start, n, w
+      |      FROM e)
+      |SELECT doc_id, chunk_seq, start,
+      |  LEAST(40, n - start) AS n_tok,
+      |  md5(array_to_string(
+      |    list_slice(w, start + 1, start + LEAST(40, n - start)), ' ')) AS chunk_md5
+      |FROM f ORDER BY doc_id, chunk_seq""".stripMargin
+
+  /** Deterministic training-order shuffle: dense seeded-hash global
+    * rank via the scale-safe two-level form ([[Corpus.shuffleOrder]] —
+    * per-bucket windows + broadcast bucket offsets); the oracle is the
+    * single global row_number the two-level rank must reproduce
+    * exactly. */
+  def qShuffleOrder(s: SparkSession, dir: String): DataFrame =
+    Corpus.shuffleOrder(Tables.documents(s, dir).select(col("doc_id")),
+        idCol = "doc_id", seed = "r10", buckets = 64)
+      .orderBy(col("rank"))
+
+  val qShuffleOrderSql: String =
+    """SELECT row_number() OVER (ORDER BY
+      |    try_cast('0x' ||
+      |      substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle:r10'), 1, 15)
+      |      AS BIGINT),
+      |    doc_id) AS rank, doc_id
+      |FROM documents ORDER BY rank""".stripMargin
+
   def qLangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("_w"))

@@ -164,4 +164,111 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
+
+  test("remixByWeights: copy counts follow floor(w) + hash-gated fraction") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 400L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    // weights 0 / 0.5 / 1 / 2.5 in basis points
+    val wts = Seq(("g0", 0L), ("g1", 5000L), ("g2", 10000L), ("g3", 25000L))
+      .toDF("grp", "wt_bp")
+    val out = Corpus.remixByWeights(docs, wts, "grp", "id").cache()
+    val counts = out.groupBy("grp").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // g0: weight 0 drops everything; g2: exactly one copy each
+    assert(!counts.contains("g0"))
+    assert(counts("g2") === 100L)
+    // g1: 0.5 → each doc 0 or 1 copies, hash-decided; strictly between
+    assert(counts("g1") > 20L && counts("g1") < 80L)
+    // g3: 2.5 → every doc 2 or 3 copies
+    val perDoc = out.where(col("grp") === "g3").groupBy("id")
+      .agg(count(lit(1)).as("n")).collect().map(_.getLong(1))
+    assert(perDoc.length === 100 && perDoc.forall(n => n == 2L || n == 3L))
+    assert(counts("g3") > 200L && counts("g3") < 300L)
+    // epochs are dense 0..copies-1
+    val epochs = out.where(col("grp") === "g3" && col("id") === 3L)
+      .select("epoch").collect().map(_.getInt(0)).sorted
+    assert(epochs === (0 until epochs.length).toArray)
+    // deterministic under repartitioning
+    val again = Corpus.remixByWeights(docs.repartition(7), wts, "grp", "id")
+    assert(again.count() === out.count())
+    out.unpersist()
+    // the weight dimension broadcasts: no shuffle on the corpus side
+    val plan = Corpus.remixByWeights(docs, wts, "grp", "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("chunkWithOverlap: window spans, tail clamp, and md5 reconstruction") {
+    val s = spark
+    import s.implicits._
+    val text100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val text40 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val text7 = (1 to 7).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text100), (2L, text40), (3L, text7), (4L, "solo"))
+      .toDF("id", "text")
+    val r = Corpus.chunkWithOverlap(docs, "id", "text", maxLen = 40, stride = 30)
+      .orderBy("id", "chunk_seq").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // n=100: ceil(60/30)+1 = 3 windows at 0, 30, clamped 60 (not 60=2*30 — equal here)
+    assert(r.filter(_._1 == 1L).toSeq ===
+      Seq((1L, 0L, 0L, 40L), (1L, 1L, 30L, 40L), (1L, 2L, 60L, 40L)))
+    // n=40: exactly one window, full doc
+    assert(r.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 0L, 40L)))
+    // n=7 and n=1: one short window each
+    assert(r.filter(_._1 == 3L).toSeq === Seq((3L, 0L, 0L, 7L)))
+    assert(r.filter(_._1 == 4L).toSeq === Seq((4L, 0L, 0L, 1L)))
+    // tail clamp: n=95 → windows 0,30,55 (last clamped from 60 to 95−40)
+    val odd = Seq((9L, (1 to 95).map(i => s"w$i").mkString(" "))).toDF("id", "text")
+    val ro = Corpus.chunkWithOverlap(odd, "id", "text", 40, 30)
+      .orderBy("chunk_seq").collect().map(x => (x.getLong(2), x.getLong(3)))
+    assert(ro.toSeq === Seq((0L, 40L), (30L, 40L), (55L, 40L)))
+    // md5 is of the actual window content: every token covered, and the
+    // first window's hash replays from first principles
+    val h = Corpus.chunkWithOverlap(docs.where(col("id") === 2L),
+        "id", "text", 40, 30).select("chunk_md5").head().getString(0)
+    assert(h === java.security.MessageDigest.getInstance("MD5")
+      .digest(text40.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    // scan-shaped: no shuffle, no UDF
+    val plan = Corpus.chunkWithOverlap(docs, "id", "text", 40, 30)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("shuffleOrder: two-level rank equals the global row_number, dense, deterministic") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 500L).toDF("id")
+    val r = Corpus.shuffleOrder(docs, "id", seed = "t", buckets = 16)
+      .orderBy("rank").collect().map(x => (x.getLong(0), x.getLong(1)))
+    // dense 1..n
+    assert(r.map(_._1).toSeq === (1L to 500L))
+    // equals the single global window ordered by the same seeded hash
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(TextDedup.hash60(concat(col("id").cast("string"),
+        lit(":shuffle:t"))), col("id"))
+    val want = docs.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy("rank").collect().map(x => (x.getLong(1), x.getLong(0)))
+    assert(r.toSeq === want.toSeq)
+    // a different seed produces a different permutation
+    val other = Corpus.shuffleOrder(docs, "id", seed = "u", buckets = 16)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(other.toSeq !== r.map(_._2).toSeq)
+    // stable under input repartitioning
+    val again = Corpus.shuffleOrder(docs.repartition(13), "id", "t", 16)
+      .orderBy("rank").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(again.toSeq === r.toSeq)
+    // scale shape: every corpus-sized window is bucket-partitioned; the
+    // only unpartitioned window runs over the per-bucket counts table
+    val lp = Corpus.shuffleOrder(docs, "id", "t", 16)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect {
+      case win: org.apache.spark.sql.catalyst.plans.logical.Window => win
+    }
+    val corpusWins = wins.filter(_.child.output.exists(_.name == "id"))
+    assert(corpusWins.nonEmpty && corpusWins.forall(_.partitionSpec.nonEmpty))
+    assert(wins.filterNot(_.child.output.exists(_.name == "id"))
+      .forall(_.partitionSpec.isEmpty))
+  }
 }
