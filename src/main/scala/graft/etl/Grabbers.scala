@@ -117,7 +117,17 @@ object Grabbers {
   /** The original try_cast/try_to_timestamp cascade — retained verbatim
     * as the executable specification of [[permissiveTimestamp]]'s native
     * kernel (same pattern as the minhash/textstats HOF twins). */
-  def permissiveTimestampSpec(c: Column): Column = {
+  def permissiveTimestampSpec(c0: Column): Column = {
+    // empty clock fractions stripped first ("9:30." ≡ "9:30", also
+    // mid-string before zone/meridiem suffixes — dateutil's tokenizer
+    // swallows them; probed): TWO passes, mirroring the kernel's two
+    // replaceAll calls ("9:30.." needs the second; ≥3 dots stay
+    // unparsed on both sides). A dot followed by digits is a real
+    // fraction and never matches; a fraction followed by a dot
+    // ("9:30.5.") never matches either — documented divergence
+    // (dateutil misreads the trailing "5." as a DAY token).
+    val dotless = "(\\d{1,2}:\\d{1,2}(?::\\d{1,2})?)\\.(?!\\d)"
+    val c = regexp_replace(regexp_replace(c0, dotless, "$1"), dotless, "$1")
     // ONE native shape-classifier call replaces the per-family anchored
     // rlike gates (the classifier is property-pinned to the exact
     // regexes); every parse still goes through Spark's own
@@ -257,6 +267,26 @@ object Grabbers {
           when(name.isin("UTC", "GMT", "Z"), naivePrefix(base))
             .otherwise(naivePrefix(base) -
               make_dt_interval(lit(0), lit(0), offMin, lit(0))))
+      }),
+      // bare signed offset, NO zone name ("12:30:15 +5", attached
+      // "…12:30:15+5", meridiem prefixes "9:30 PM +5" / "9:30PM+5" —
+      // shape 20): dateutil builds tzoffset(None, as-written) — no
+      // POSIX inversion — so the UTC instant is naive − offset, with
+      // any meridiem applied to the hour first; ≥ 24 h is a
+      // ValueError (probed)
+      when(sh === 20, {
+        val re = " ?([+-])(?:(\\d{1,2})(?::(\\d{1,2}))?|(\\d{2})(\\d{2}))$"
+        val base = regexp_replace(c, re, "")
+        val oh = coalesce(
+          nullif(regexp_extract(c, re, 2), lit("")).cast("int"),
+          nullif(regexp_extract(c, re, 4), lit("")).cast("int"))
+        val om = coalesce(
+          nullif(regexp_extract(c, re, 3), lit("")).cast("int"),
+          nullif(regexp_extract(c, re, 5), lit("")).cast("int"), lit(0))
+        val offMin = (oh * 60 + om) *
+          when(regexp_extract(c, re, 1) === "+", 1).otherwise(-1)
+        when(abs(offMin) < 24 * 60,
+          naivePrefix(base) - make_dt_interval(lit(0), lit(0), offMin, lit(0)))
       }))
   }
 

@@ -837,6 +837,13 @@ object MinhashKernel {
       while (st > 0 && b(st - 1) >= 'A' && b(st - 1) <= 'Z') st -= 1
       val len = q - 1 - st
       if (len < 1 || len > 5 || st == 0) return false
+      // exact A/P/AM/PM before the offset is a MERIDIEM, not a tzstr
+      // name: "9:30PM+5" is 21:30 at tzoffset(+5), no POSIX inversion
+      // (probed) — that's shape 20's claim; longer runs that merely
+      // start with them ("PMEST+5") stay tzstr names
+      if (len == 1 && (b(st) == 'A' || b(st) == 'P')) return false
+      if (len == 2 && (b(st) == 'A' || b(st) == 'P') && b(st + 1) == 'M')
+        return false
       val spaced = b(st - 1) == ' '
       if (!spaced && !(b(st - 1) >= '0' && b(st - 1) <= '9')) return false
       val pe = if (spaced) st - 1 else st
@@ -894,9 +901,43 @@ object MinhashKernel {
     // "1/2/2014 3:15 PM EST". Bare clocks (17) come last of the time
     // family: 15/16/18/19 all accept a bare-clock prefix plus their
     // suffix.
+    // 20: clock-bearing value + BARE signed offset, no zone name —
+    // spaced or attached, meridiem prefixes included ("12:30:15 +5",
+    // "2014-01-10 12:30:15+5", "9:30 PM +5", "9:30PM+5",
+    // "12:30:15 -0500"): dateutil builds tzoffset(None, as-written) —
+    // NO POSIX inversion — and a meridiem before the offset applies to
+    // the hour first (probed). Offset is H{1,2}, H{1,2}:M{1,2} or
+    // HHMM; < 24 h; a spaced sign or a 3-digit offset is a
+    // ParserError → 0. Also claims full ISO datetimes with attached
+    // ±H/±HH:MM/±HHMM offsets (value-identical to Spark's cast where
+    // the cast accepts them; the cast alone rejects "+5").
+    def bareOffsetSuffix(): Boolean = {
+      var p = n
+      while (p > 0 && b(p - 1) >= '0' && b(p - 1) <= '9') p -= 1
+      val dlen = n - p
+      if (dlen == 0) return false
+      var q = p
+      if (dlen <= 2 && q > 0 && b(q - 1) == ':') { // H{1,2}:M{1,2}
+        q -= 1
+        var h = q
+        while (h > 0 && b(h - 1) >= '0' && b(h - 1) <= '9') h -= 1
+        if (!dig(h, q, 1, 2)) return false
+        q = h
+      } else if (dlen != 4 && dlen > 2) return false // else H{1,2} or HHMM
+      if (q == 0 || (b(q - 1) != '+' && b(q - 1) != '-')) return false
+      val sp = q - 1
+      if (sp == 0) return false
+      val pe = if (b(sp - 1) == ' ') sp - 1 else sp
+      if (pe <= 0) return false
+      if (clockPrefix(pe)) return true
+      val sub = dateShape(UTF8String.fromBytes(b, 0, pe))
+      sub == 12 || sub == 14 || sub == 16
+    }
+
     if (isoZoneSuffix()) return 13
     if (offsetZoneSuffix()) return 18
     if (spacedOffsetZoneSuffix()) return 19
+    if (bareOffsetSuffix()) return 20
     if (tzNameSuffix()) return 15
     if (meridiemSuffix()) return 16
     if (timeIsoTail(0, n)) return 17
@@ -1072,6 +1113,42 @@ object MinhashKernel {
   // the zone name before it is stripped separately
   private val P19Tail = java.util.regex.Pattern.compile(
     " ([+-])(?:(\\d{1,2})(?::(\\d{1,2}))?|(\\d{2})(\\d{2}))$")
+  // trailing NAME-LESS offset of shape 20 ("+5", " +5", "+05:00",
+  // " -0500") — spaced or attached
+  private val P20Tail = java.util.regex.Pattern.compile(
+    " ?([+-])(?:(\\d{1,2})(?::(\\d{1,2}))?|(\\d{2})(\\d{2}))$")
+  // a '.' that terminates a clock's minutes or seconds group with no
+  // fraction digits after it — dateutil's tokenizer swallows the empty
+  // fraction ("9:30." ≡ "9:30", also mid-string: "9:30. PM",
+  // "2014-01-10 12:30. UTC"; probed). A dot FOLLOWED by digits is a
+  // real fraction and a dot after one ("9:30.5.") never matches — that
+  // shape is a documented divergence (dateutil misreads the trailing
+  // "5." as a DAY token; here it stays unparsed → null).
+  private val ClockDot = java.util.regex.Pattern.compile(
+    "(\\d{1,2}:\\d{1,2}(?::\\d{1,2})?)\\.(?!\\d)")
+
+  /** Strip empty clock fractions before shape classification — TWO
+    * replaceAll passes, exactly mirroring the Column spec's two
+    * regexp_replace calls ("9:30.." needs the second; three or more
+    * trailing dots stay unparsed on both sides). Gated on a cheap
+    * dot-followed-by-nondigit byte scan so the regex never runs on the
+    * overwhelmingly dot-free (or real-fraction) majority. */
+  private def stripClockDots(c: UTF8String): UTF8String = {
+    val b = c.getBytes
+    val n = b.length
+    var i = 0
+    var hit = false
+    while (i < n && !hit) {
+      if (b(i) == '.' && (i + 1 == n || b(i + 1) < '0' || b(i + 1) > '9'))
+        hit = true
+      i += 1
+    }
+    if (!hit) return c
+    val s0 = c.toString
+    var s = ClockDot.matcher(s0).replaceAll("$1")
+    s = ClockDot.matcher(s).replaceAll("$1")
+    if (s == s0) c else UTF8String.fromString(s)
+  }
 
   /** dateutil's meridiem-to-24h rule (parser.py _parse): hour > 12
     * with an explicit meridiem is a ParserError (returns -1 here);
@@ -1147,10 +1224,22 @@ object MinhashKernel {
     * shape 0 or fails its family's calendar/clock validation. Semantics
     * are pinned to Grabbers.permissiveTimestampSpec (the original
     * try_to_timestamp cascade) by EnrichSpec's parity sweep. */
-  def parseShapedDate(c: UTF8String, runYear: Int,
+  def parseShapedDate(c0: UTF8String, runYear: Int,
       zone: java.time.ZoneId): java.lang.Long = {
+    val c = stripClockDots(c0)
     val sh = dateShape(c)
-    if (sh == 0) return null
+    if (sh == 0) {
+      // a dot-strip can reduce to a PLAIN ISO datetime (shape 0, the
+      // cast's territory) — but the cast upstream sees the original
+      // dotted string and rejects it, so the clock core parses here
+      if (c eq c0) return null
+      val m = P15.matcher(c.toString)
+      if (!m.matches()) return null
+      return try {
+        val ldt = clockCoreOf(m)
+        if (ldt == null) null else microsOf(ldt, zone)
+      } catch { case _: RuntimeException => null }
+    }
     val s = c.toString
     try {
       sh match {
@@ -1297,6 +1386,26 @@ object MinhashKernel {
           val v = naivePrefixMicros(base, runYear, zone)
           if (v == null) null
           else if (name == "UTC" || name == "GMT" || name == "Z") v
+          else {
+            val sign = if (m.group(1) == "+") 1L else -1L
+            java.lang.Long.valueOf(v.longValue() - sign * offSec * 1000000L)
+          }
+        case 20 =>
+          // bare signed offset, NO zone name ("12:30:15 +5",
+          // "2014-01-10 12:30:15+5", "9:30 PM +5", "-0500"):
+          // dateutil's tzoffset(None, as-written) — UTC instant =
+          // naive − offset, a meridiem in the prefix applies to the
+          // hour first, and ≥ 24 h is a ValueError (probed).
+          val m = P20Tail.matcher(s)
+          if (!m.find()) return null
+          val oh = if (m.group(2) != null) m.group(2).toInt else m.group(4).toInt
+          val om =
+            if (m.group(3) != null) m.group(3).toInt
+            else if (m.group(5) != null) m.group(5).toInt else 0
+          val offSec = oh * 3600L + om * 60L
+          if (offSec >= 86400L) return null
+          val v = naivePrefixMicros(s.substring(0, m.start()), runYear, zone)
+          if (v == null) null
           else {
             val sign = if (m.group(1) == "+") 1L else -1L
             java.lang.Long.valueOf(v.longValue() - sign * offSec * 1000000L)

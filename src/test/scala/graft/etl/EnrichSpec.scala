@@ -335,7 +335,18 @@ class EnrichSpec extends SparkSpec {
       "1/2/2014 3:15PM GMT +5", "2014-01-10 12:30:15 EST +25",
       "2014-01-10 12:30:15 GMT +530", "2014-01-10 12:30:15 GMT + 5",
       "12:30:15 GMT +5 EST", "2014-01-10 GMT +5", "9:30 PM +5",
-      "2014-01-10 12:30:15 A +5", "2014-01-10 12:30:15 EST +5 ")
+      "2014-01-10 12:30:15 A +5", "2014-01-10 12:30:15 EST +5 ",
+      // bare offsets (shape 20), empty clock fractions, and their
+      // near-misses (r10)
+      "12:30:15 +5", "2014-01-10 12:30:15+5", "12:30:15 -0500",
+      "12:30:15 +05:00", "9:30PM+5", "9:30 P +5", "9:30 AM+0500",
+      "9:30 PM -7", "10:15.25 PM +5", "JAN 5, 1999 3:15 PM +5",
+      "1/2/2014 3:15PM +5", "9:30 PM +25", "9:30 PM +530", "9:30 PM + 5",
+      "9:30 PM +5 EST", "13:30 PM +5", "9:30 PMEST+5", "1:2 -5",
+      "9:30.", "9:30..", "9:30...", "9:30. PM", "1:2:3.", "2014-01-10 9:30.",
+      "12:3. AM", "9:30. EST", "9:30. GMT+5", "2014-01-10 12:30. UTC",
+      "9:30.+5", "9:30.5.", "2014-01-10.", "+5", "12:30+", "9:30 +",
+      "2014-01-10 12:30:15 +5.5", ".5", ":30.", "9:30. 5")
     val rnd = new scala.util.Random(13)
     val alphabet = "0123456789/.,- :APMUTCGJANFEBRYLOVDES+"
     val fuzz = (1 to 2000).map(_ =>
@@ -496,6 +507,42 @@ class EnrichSpec extends SparkSpec {
       "2014-01-10 12:30:15 EST +0500" -> "2014-01-10 07:30:15.0",
       "2014-01-10 12:30:15 EST +5:30" -> "2014-01-10 07:00:15.0",
       "2014-01-10 12:30 M +5"        -> "2014-01-10 07:30:00.0",
+      // bare signed offset, NO zone name (shape 20, probed r10):
+      // tzoffset(None, as-written) — UTC = naive − offset, meridiem
+      // applied to the hour first, NO POSIX inversion
+      "12:30:15 +5"              -> "0001-01-01 07:30:15.0",
+      "2014-01-10 12:30:15 +5"   -> "2014-01-10 07:30:15.0",
+      "2014-01-10 12:30:15+5"    -> "2014-01-10 07:30:15.0",
+      "12:30:15 +5:30"           -> "0001-01-01 07:00:15.0",
+      "12:30:15 -0500"           -> "0001-01-01 17:30:15.0",
+      "12:30:15 +05:00"          -> "0001-01-01 07:30:15.0",
+      "1:2 -5"                   -> "0001-01-01 06:02:00.0",
+      "9:30 PM +5"               -> "0001-01-01 16:30:00.0",
+      "9:30PM+5"                 -> "0001-01-01 16:30:00.0",
+      "9:30 P +5"                -> "0001-01-01 16:30:00.0",
+      "9:30AM+5"                 -> "0001-01-01 04:30:00.0",
+      "9:30 AM+0500"             -> "0001-01-01 04:30:00.0",
+      "9:30 PM -7"               -> "0001-01-02 04:30:00.0",
+      "10:15.25 PM +5"           -> "0001-01-01 17:15:15.0",
+      "JAN 5, 1999 3:15 PM +5"   -> "1999-01-05 10:15:00.0",
+      "1/2/2014 3:15PM +5"       -> "2014-01-02 10:15:00.0",
+      "2014-01-10 12:30:15 A +5" -> "2014-01-09 19:30:15.0",
+      // meridiem directly before an ATTACHED offset: dateutil reads a
+      // meridiem + tzoffset, NOT a POSIX tzstr name (probed r10 — the
+      // pre-r10 kernel classified "PM+5" as a zone name and inverted)
+      "9:30 PMEST+5"             -> "0001-01-01 14:30:00.0",
+      // empty clock fractions are swallowed ("9:30." ≡ "9:30", also
+      // mid-string before any suffix family; probed r10)
+      "9:30."                    -> "0001-01-01 09:30:00.0",
+      "9:30.."                   -> "0001-01-01 09:30:00.0",
+      "9:30. PM"                 -> "0001-01-01 21:30:00.0",
+      "1:2:3."                   -> "0001-01-01 01:02:03.0",
+      "2014-01-10 9:30."         -> "2014-01-10 09:30:00.0",
+      "12:3. AM"                 -> "0001-01-01 00:03:00.0",
+      "9:30. EST"                -> "0001-01-01 09:30:00.0",
+      "9:30. GMT+5"              -> "0001-01-01 14:30:00.0",
+      "2014-01-10 12:30. UTC"    -> "2014-01-10 12:30:00.0",
+      "9:30.+5"                  -> "0001-01-01 04:30:00.0",
     )
     for ((in, want) <- cases) {
       val got = one(permissiveTimestamp(upper(trim(col("x")))), in)
@@ -547,11 +594,19 @@ class EnrichSpec extends SparkSpec {
     assert(one(permissiveTimestamp(col("x")), "2014-01-10 GMT +5").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")),
       "12:30:15 GMT +5 EST").isNullAt(0))
-    // dateutil accepts a trailing-dot fraction ("9:30.") and meridiem/
-    // bare-letter names composed with a spaced offset ("9:30 PM +5");
-    // both stay null here — documented residue (COVERAGE divergences)
-    assert(one(permissiveTimestamp(col("x")), "9:30.").isNullAt(0))
-    assert(one(permissiveTimestamp(col("x")), "9:30 PM +5").isNullAt(0))
+    // bare-offset family nulls (probed r10): spaced sign, 3-digit
+    // offset, ≥24h, meridiem-hour violation, zone after the offset —
+    // all dateutil errors
+    assert(one(permissiveTimestamp(col("x")), "9:30 PM +25").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "9:30 PM +530").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "9:30 PM + 5").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "9:30 PM +5 EST").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "13:30 PM +5").isNullAt(0))
+    // "9:30.5." stays null — DOCUMENTED divergence: dateutil misreads
+    // the trailing "5." as a DAY token (→ 0001-01-05 09:30, probed);
+    // that lunacy is not worth reproducing
+    assert(one(permissiveTimestamp(col("x")), "9:30.5.").isNullAt(0))
+    assert(one(permissiveTimestamp(col("x")), "9:30...").isNullAt(0))
     // shape-matching junk parses to null, never an ANSI error
     assert(one(permissiveTimestamp(col("x")), "99/99/99").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")), "JAN 99TH, 1999").isNullAt(0))

@@ -347,12 +347,14 @@ class NativeTextSpec extends SparkSpec {
       clockBearing(base)
     }
     // 18: clock-bearing prefix + zone name + POSIX offset ("GMT+5",
-    // "EST+5:30"), name spaced or attached
+    // "EST+5:30"), name spaced or attached; an exact A/P/AM/PM "name"
+    // is a MERIDIEM — shape 20's claim, not a tzstr (r10, probed)
     def shape18(s: String): Boolean = {
       val m = java.util.regex.Pattern
         .compile("^(.*?) ?([A-Z]{1,5})([+-])(\\d{1,2})(:\\d{1,2})?$")
         .matcher(s)
       if (!m.matches()) return false
+      if (Seq("A", "P", "AM", "PM").contains(m.group(2))) return false
       val base = m.group(1)
       // attached name needs a digit before it (mirror of shape 15)
       val joined = !s.startsWith(base + " ")
@@ -373,12 +375,24 @@ class NativeTextSpec extends SparkSpec {
       if (joined && (base.isEmpty || !base.last.isDigit)) return false
       clockBearing(base)
     }
+    // 20: clock-bearing prefix (meridiem forms included — the prefix
+    // itself may match p12/p14/p16) + bare signed offset with NO zone
+    // name, spaced or attached — H{1,2}, H{1,2}:M{1,2} or HHMM
+    // (r10, probed: tzoffset as written, no POSIX inversion)
+    def shape20(s: String): Boolean = {
+      val m = java.util.regex.Pattern
+        .compile("^(.*?) ?([+-])(\\d{1,2}(:\\d{1,2})?|\\d{4})$")
+        .matcher(s)
+      if (!m.matches()) return false
+      clockBearing(m.group(1))
+    }
     val patterns: Seq[(Int, String => Boolean)] = Seq(
-      // 13/18/19/15/16/12 first: they are the only shapes that can
+      // 13/18/19/20/15/16/12 first: they are the only shapes that can
       // share a prefix with 4 (the kernel also tests them first)
       13 -> ((s: String) => s.matches(p13)),
       18 -> shape18 _,
       19 -> shape19 _,
+      20 -> shape20 _,
       15 -> shape15 _,
       16 -> ((s: String) => s.matches(p16)),
       17 -> ((s: String) =>
@@ -466,7 +480,14 @@ class NativeTextSpec extends SparkSpec {
       "12:30 M +5", "9:30 PM +5", "2014-01-10 GMT +5", "12:30:15 GMT +5 EST",
       "3:45:6", "12:3 AM", "JAN 5, 1999 3:5 PM", "1/2/2014 3:5 PM",
       "2014-01-10 1:2", "2014-01-10 9:30.5", "9:30.", "1:02.5",
-      "2014-01-10 12:00.5 UTC", "9:30.5EST", "1:2:3 GMT+5", "1:2 EST")
+      "2014-01-10 12:00.5 UTC", "9:30.5EST", "1:2:3 GMT+5", "1:2 EST",
+      // bare offsets (20) and the 18-vs-20 meridiem-name split (r10)
+      "12:30:15 +5", "2014-01-10 12:30:15+5", "12:30:15 -0500",
+      "12:30:15 +05:00", "9:30 PM +5", "9:30PM+5", "9:30AM+5", "9:30 P+5",
+      "9:30 AM+0500", "10:15.25 PM +5", "JAN 5, 1999 3:15 PM +5",
+      "1/2/2014 3:15PM +5", "9:30 PMEST+5", "9:30 PM +530", "9:30 PM + 5",
+      "9:30 PM +5 EST", "9:30.+5", "2014-01-10+5", "+5", "12:30+",
+      "2014-01-10 12:30:15 +5.5", "9:30 PM+5:30", "13:30 PM +5")
     val rnd = new scala.util.Random(7)
     val alphabet = "0123456789/.,- ABCDEFGHIJZSTNRHUPM:+"
     val fuzz = (1 to 3000).map(_ =>
