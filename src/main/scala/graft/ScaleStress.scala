@@ -118,7 +118,10 @@ object ScaleStress {
       // round 10: SemDeDup's within-cell pair term (~Σ n_c²) is the one
       // quadratic-in-a-cell cost on the board; q_quality_filter earns
       // its row as the top line of the r9 driver snapshot
-      "q_semdedup", "q_quality_filter")
+      "q_semdedup", "q_quality_filter",
+      // round 10: the KMV sketch's cost model is one dedup shuffle +
+      // bounded heaps — stress confirms it stays ~scan-bound
+      "q_distinct_kmv")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)

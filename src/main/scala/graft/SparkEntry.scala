@@ -111,6 +111,7 @@ object SparkEntry {
     "q_remix_weights" -> (LlmQueries.qRemixWeights _),
     "q_chunk_overlap" -> (LlmQueries.qChunkOverlap _),
     "q_shuffle_order" -> (LlmQueries.qShuffleOrder _),
+    "q_distinct_kmv"  -> (LlmQueries.qDistinctKmv _),
     "q_decontaminate" -> (LlmQueries.qDecontaminate _),
     "q_lang_id"       -> (LlmQueries.qLangId _),
     "q_ann_topk"      -> (LlmQueries.qAnnTopk _),
@@ -206,6 +207,7 @@ object SparkEntry {
     "q_remix_weights" -> LlmQueries.qRemixWeightsSql,
     "q_chunk_overlap" -> LlmQueries.qChunkOverlapSql,
     "q_shuffle_order" -> LlmQueries.qShuffleOrderSql,
+    "q_distinct_kmv"  -> LlmQueries.qDistinctKmvSql,
     "q_decontaminate" -> LlmQueries.qDecontaminateSql,
     "q_lang_id"       -> LlmQueries.qLangIdSql,
     "q_ann_topk"      -> LlmQueries.qAnnTopkSql,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distinct-count sketching — the cardinality-estimation
+  * pass a 100 TB dedup plan runs FIRST (how many distinct shingles /
+  * urls / doc hashes per source?) before committing to the exact
+  * operators' shuffles.
+  *
+  * The sketch is KMV (k minimum values, the bottom-k / Theta-sketch
+  * family): per group, keep the k smallest DISTINCT 60-bit hashes of
+  * the value; if fewer than k exist the count is exact, otherwise the
+  * k-th smallest hash h_k estimates the cardinality as
+  * (k-1) * 2^60 / h_k (the classic KMV estimator — relative error
+  * ~1/sqrt(k-2)). Unlike HLL (whose register layout is
+  * engine-private), every step here — md5-derived hash, k-th order
+  * statistic, one double division, floor — is replayable bit-for-bit
+  * by any SQL engine, so the estimate itself is oracle-checkable, and
+  * the sketch is MERGEABLE: the union's bottom-k is the bottom-k of
+  * the concatenated sketches, which is what lets per-partition /
+  * per-day sketches roll up without rescanning data.
+  *
+  * Scale shape: the heavy lifting is one (group, hash) dedup shuffle
+  * + the [[graft.plans.TopKPerGroup]] heap (O(groups * k) memory, no
+  * full sort), so the sketch costs one pass regardless of corpus
+  * size. Reference analogue: the ES `cardinality` aggregation the
+  * stats API exposes (idb/stats/collect.py) — same job, but exact-
+  * replayable instead of engine-opaque.
+  */
+object Sketches {
+
+  /** hash60's range: hashes are uniform in [0, 2^60). */
+  val HashSpace: Double = (1L << 60).toDouble
+
+  /** KMV sketch per group: one row per group with `kmv` = the k
+    * smallest distinct values of `hashCol`, sorted ascending. The
+    * input's `hashCol` must already be hash60-uniform (see
+    * [[TextDedup.hash60]] / NativeText.shingleHashes). */
+  def kmv(df: DataFrame, groupCols: Seq[String], hashCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val dedup = df
+      .select(groupCols.map(col) :+ col(hashCol).as("_h"): _*)
+      .distinct()
+    graft.plans.TopKPerGroup.topK(dedup, groupCols, Seq("_h"), k, "_r")
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("_h"))).as("kmv"))
+  }
+
+  /** Merge two sketch arrays (union semantics): bottom-k of the
+    * distinct union. Associative + commutative, so partial sketches
+    * roll up in any tree shape. */
+  def merge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** The estimator over a sketch array: exact size when the group had
+    * fewer than k distinct values, else floor((k-1) * 2^60 / h_k).
+    * All-double arithmetic in evaluation order (k-1)*2^60 first (both
+    * factors exact in double for any sane k) then one IEEE division —
+    * an oracle replays it as
+    * `CAST(FLOOR((k-1) * 2^60 / CAST(h_k AS DOUBLE)) AS BIGINT)`. */
+  def estimate(kmvCol: Column, k: Int): Column =
+    when(size(kmvCol) < k, size(kmvCol).cast("long"))
+      .otherwise(floor(
+        lit((k - 1).toDouble * HashSpace) /
+          element_at(kmvCol, k).cast("double")).cast("long"))
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.hash.Etags
-import graft.operators.{Corpus, Graph, Similarity, TextDedup, TextStats}
+import graft.operators.{Corpus, Graph, Similarity, Sketches, TextDedup, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -790,6 +790,48 @@ object LlmQueries {
       |      AS BIGINT),
       |    doc_id) AS rank, doc_id
       |FROM documents ORDER BY rank""".stripMargin
+
+  /** KMV distinct-count sketch: per source, estimate the distinct
+    * 3-shingle cardinality from the 256 smallest shingle hashes
+    * ([[Sketches.kmv]]) next to the exact count — the
+    * cardinality-estimation pass a 100 TB dedup plan runs before
+    * committing to the exact operators' shuffles. Every step (md5
+    * hash60, k-th order statistic, the (k-1)*2^60/h_k division,
+    * floor) is deterministic, so the ESTIMATE itself is
+    * oracle-replayable — the reason KMV is here and HLL is not. */
+  def qDistinctKmv(s: SparkSession, dir: String): DataFrame = {
+    // md5-hash60 over shingle STRINGS (not the xx64 shingleHashes
+    // kernel): the sketch's whole point is an oracle-replayable
+    // estimate, so the hash must be the replayable one
+    val sh = Tables.documents(s, dir).select(col("source"),
+      explode(TextDedup.shingles(col("text"), 3)).as("sp"))
+      .select(col("source"), TextDedup.hash60(col("sp")).as("h"))
+    val exact = sh.select("source", "h").distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    Sketches.kmv(sh, Seq("source"), "h", k = 256)
+      .select(col("source"), Sketches.estimate(col("kmv"), 256).as("n_est"))
+      .join(exact, "source")
+      .select(col("source"), col("n_exact"), col("n_est"))
+      .orderBy(col("source"))
+  }
+
+  val qDistinctKmvSql: String =
+    """WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT source,
+      |    try_cast('0x' || substr(md5(array_to_string(w[i+1:i+3], ' ')), 1, 15)
+      |      AS BIGINT) AS h
+      |  FROM d, unnest(range(len(w) - 2)) AS t(i)),
+      |r AS (SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n_exact
+      |  FROM sh),
+      |tot AS (SELECT source, MAX(n_exact) AS n_exact FROM r GROUP BY source),
+      |kth AS (SELECT source, h AS hk FROM r WHERE rn = 256)
+      |SELECT tot.source, n_exact,
+      |  COALESCE(CAST(FLOOR(255.0 * 1152921504606846976.0
+      |      / CAST(hk AS DOUBLE)) AS BIGINT), n_exact) AS n_est
+      |FROM tot LEFT JOIN kth ON tot.source = kth.source
+      |ORDER BY tot.source""".stripMargin
 
   def qLangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

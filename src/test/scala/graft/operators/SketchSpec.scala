@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+
+  private def hashedValues(grp: String, vals: Range) = {
+    val s = spark
+    import s.implicits._
+    vals.map(v => (grp, s"$grp-v$v")).toDF("g", "v")
+      .select(col("g"), TextDedup.hash60(col("v")).as("h"))
+  }
+
+  test("kmv: exact when the group has fewer than k distinct values") {
+    val df = hashedValues("a", 0 until 37)
+    val r = Sketches.kmv(df, Seq("g"), "h", k = 256)
+      .select(col("g"), Sketches.estimate(col("kmv"), 256).as("est"))
+      .collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 37L)
+  }
+
+  test("kmv: estimate lands within the sketch's error band (k=256)") {
+    val n = 5000
+    val df = hashedValues("a", 0 until n)
+    val est = Sketches.kmv(df, Seq("g"), "h", k = 256)
+      .select(Sketches.estimate(col("kmv"), 256))
+      .collect()(0).getLong(0)
+    // relative error ~1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert(math.abs(est - n).toDouble / n < 0.25, s"est=$est for n=$n")
+  }
+
+  test("kmv: duplicates do not move the estimate (distinct semantics)") {
+    val base = hashedValues("a", 0 until 1000)
+    val dup = base.union(base).union(base)
+    val e1 = Sketches.kmv(base, Seq("g"), "h", 64)
+      .select(Sketches.estimate(col("kmv"), 64)).collect()(0).getLong(0)
+    val e2 = Sketches.kmv(dup, Seq("g"), "h", 64)
+      .select(Sketches.estimate(col("kmv"), 64)).collect()(0).getLong(0)
+    assert(e1 === e2)
+  }
+
+  test("kmv: merge of disjoint-slice sketches equals the whole-input sketch") {
+    val s = spark
+    import s.implicits._
+    val all = hashedValues("a", 0 until 2000).cache()
+    val part1 = all.where(pmod(col("h"), lit(2)) === 0)
+    val part2 = all.where(pmod(col("h"), lit(2)) === 1)
+    val whole = Sketches.kmv(all, Seq("g"), "h", 128)
+      .select(col("kmv").as("w"))
+    val merged = Sketches.kmv(part1, Seq("g"), "h", 128)
+      .select(col("g"), col("kmv").as("k1"))
+      .join(Sketches.kmv(part2, Seq("g"), "h", 128)
+        .select(col("g"), col("kmv").as("k2")), "g")
+      .select(Sketches.merge(col("k1"), col("k2"), 128).as("m"))
+    val w = whole.collect()(0).getSeq[Long](0)
+    val m = merged.collect()(0).getSeq[Long](0)
+    assert(w === m)
+    all.unpersist()
+  }
+
+  test("kmv: per-group sketches are independent") {
+    val df = hashedValues("a", 0 until 300).union(hashedValues("b", 0 until 40))
+    val r = Sketches.kmv(df, Seq("g"), "h", 256)
+      .select(col("g"), size(col("kmv")).as("n"),
+        Sketches.estimate(col("kmv"), 256).as("est"))
+      .orderBy(col("g")).collect()
+    assert(r(0).getString(0) === "a" && r(0).getInt(1) === 256)
+    assert(r(1).getString(0) === "b" && r(1).getInt(1) === 40 &&
+      r(1).getLong(2) === 40L)
+  }
+
+  test("kmv: plan uses the bounded TopKPerGroup heap, not a full sort") {
+    val df = hashedValues("a", 0 until 100)
+    val plan = Sketches.kmv(df, Seq("g"), "h", 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan.take(2000))
+  }
+}
