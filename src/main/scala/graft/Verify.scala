@@ -22,6 +22,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures are collected into errors.json, not just stderr: round 10
+    // closed with 16 queries silently ABSENT from the correctness gate
+    // because their analysis errors only existed as scrolled-away log
+    // lines. An artifact on disk makes a break a one-line diagnosis.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -29,6 +34,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +53,12 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    val ran = SparkEntry.queries.count { case (n, _) => only.forall(_.contains(n)) }
+    println(s"[verify] ${ran - errors.size}/$ran queries wrote results; " +
+      s"${errors.size} failed (see $outDir/errors.json)")
     spark.stop()
   }
 }

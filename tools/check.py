@@ -58,5 +58,15 @@ for name, sql in sorted(oracle.items()):
         fail += 1
     else:
         print(f"OK   {name} ({len(got)} rows)")
-print(f"\n{len(oracle) - fail}/{len(oracle)} passed")
-sys.exit(1 if fail else 0)
+# Surface Verify-side failures (analysis errors etc.) from errors.json:
+# a query absent from the parquet dump should be diagnosed by its actual
+# Spark error, not a DuckDB file-not-found message.
+try:
+    errs = json.load(open(f"{out}/errors.json"))
+except Exception:
+    errs = {}
+for name, msg in sorted(errs.items()):
+    print(f"ERR  {name} (verify-side): {msg}")
+print(f"\n{len(oracle) - fail}/{len(oracle)} passed" +
+      (f", {len(errs)} verify-side errors" if errs else ""))
+sys.exit(1 if fail or errs else 0)
