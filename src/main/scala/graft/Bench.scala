@@ -46,6 +46,74 @@ object Bench {
     ms
   }
 
+  /** Parallel-contention canary: a fixed-size shuffle job across every
+    * local core, timed. The single-thread spin above is blind to the
+    * contention that actually inflates shuffle-heavy queries — round 10
+    * recorded canary readings only ~15% elevated while q_dedup_minhash
+    * ran 60× its controlled value (multi-core steal + IO pressure leave a
+    * lone spinning thread untouched). This job exercises task scheduling,
+    * all-core CPU, and a real exchange, so a contention window shows up
+    * as a multiplied reading. One untimed warm-up run precedes the first
+    * measurement so shuffle-infra/JIT setup is not billed to it. */
+  def parallelCanaryMs(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, count, hash, lit, pmod}
+    def job(): Unit = spark.range(0, 4000000L, 1, 32)
+      .select(pmod(hash(col("id")), lit(1024)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .write.format("noop").mode("overwrite").save()
+    val t0 = System.nanoTime()
+    job()
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** Archived controlled per-query seconds (BENCH_NOTES.md round-10
+    * idle-canary pair, min of the two runs). A bench reading more than
+    * 5× its controlled value AND above the 2 s floor is re-run once at
+    * bench end and both numbers are emitted — so a transient host-load
+    * window is classified by the artifact itself instead of burning a
+    * judge/builder round on "is it code or is it the host?". Queries
+    * without an archived value (this round's additions) never retry;
+    * they gain entries once the round-close controlled pair lands. */
+  val controlledSec: Map[String, Double] = Map(
+    "q1_agg" -> 1.01, "q_ann_ivf" -> 1.76, "q_ann_ivf_probe" -> 0.88,
+    "q_ann_lsh" -> 0.66, "q_ann_topk" -> 0.45, "q_anti_join" -> 0.41,
+    "q_children_counts" -> 0.42, "q_citations" -> 0.34,
+    "q_corrections" -> 2.04, "q_corrections_geo" -> 1.94,
+    "q_count" -> 0.22, "q_datum" -> 1.34, "q_decontaminate" -> 0.60,
+    "q_dedup_apply" -> 3.88, "q_dedup_clusters" -> 2.38,
+    "q_dedup_embed" -> 0.52, "q_dedup_exact" -> 0.52,
+    "q_dedup_jaccard" -> 4.93, "q_dedup_minhash" -> 1.68,
+    "q_dedup_passages" -> 1.23, "q_dedup_passages_apply" -> 1.52,
+    "q_dedup_simhash" -> 1.51, "q_dq_report" -> 0.47,
+    "q_dq_stats" -> 0.57, "q_dsl_compound" -> 0.28,
+    "q_dsl_exists_missing" -> 0.19, "q_dsl_fulltext" -> 0.39,
+    "q_dsl_geo_bbox" -> 0.18, "q_dsl_geo_distance" -> 0.18,
+    "q_dsl_geo_polygon" -> 0.20, "q_dsl_geo_shape" -> 0.17,
+    "q_dsl_prefix" -> 0.16, "q_dsl_range" -> 0.19, "q_dsl_term" -> 0.15,
+    "q_dsl_terms" -> 0.25, "q_dup_detect" -> 0.60, "q_enrich" -> 1.94,
+    "q_enrich_media" -> 1.48, "q_enrich_publisher" -> 0.23,
+    "q_enrich_recordset" -> 0.48, "q_etag_dedup" -> 0.75,
+    "q_except" -> 0.35, "q_export_csv" -> 0.51, "q_export_dwca" -> 0.25,
+    "q_fulltext_rank" -> 0.48, "q_geo_correct" -> 2.03,
+    "q_has_child" -> 0.95, "q_identifiers_agg" -> 0.39,
+    "q_incremental" -> 0.77, "q_ingest_identity" -> 0.50,
+    "q_ingest_summary" -> 0.82, "q_ingest_suspects" -> 0.30,
+    "q_join_broadcast" -> 0.46, "q_join_equi" -> 0.33,
+    "q_join_salted" -> 0.58, "q_lang_id" -> 0.31,
+    "q_latest_version" -> 0.35, "q_len_quantiles" -> 0.35,
+    "q_max_watermark" -> 0.13, "q_media_derivative" -> 1.50,
+    "q_media_resolution" -> 0.58, "q_pack_chunks" -> 0.21,
+    "q_pack_chunks_sharded" -> 0.43, "q_paging" -> 0.10,
+    "q_pii_scrub" -> 0.72, "q_quality_filter" -> 1.06,
+    "q_quality_rep" -> 0.40, "q_resume_actions" -> 0.88,
+    "q_sample_quota" -> 0.27, "q_sci_authors" -> 0.30,
+    "q_semdedup" -> 1.45, "q_semi_join" -> 0.52,
+    "q_sibling_closure" -> 0.26, "q_split_hash" -> 0.18,
+    "q_stats_rollup" -> 0.61, "q_store_view" -> 1.92,
+    "q_suffix_match" -> 0.82, "q_terms_agg" -> 0.24,
+    "q_text_stats" -> 0.53, "q_topk" -> 0.24, "q_union" -> 0.24,
+    "q_uniquevals" -> 0.23, "q_version_assign" -> 0.64)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val canaryStart = canaryMs()
@@ -69,8 +137,12 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
 
     // Warm-up: one agg-shaped and one join-shaped job (JIT, codegen cache,
-    // shuffle service, parquet footers for the big tables).
+    // shuffle service, parquet footers for the big tables), plus one
+    // untimed parallel-canary job so its first timed reading isn't billed
+    // shuffle-infra setup.
     try { run("q1_agg"); run("q_join_equi") } catch { case _: Throwable => }
+    parallelCanaryMs(spark) // warm-up, discarded
+    val parCanaryStart = parallelCanaryMs(spark)
 
     // per-query (elapsed, succeeded): a failed run keeps its elapsed in
     // the per-query table (the driver should see the cost) but must
@@ -80,7 +152,21 @@ object Bench {
       val ok = try { run(name); true } catch { case _: Throwable => false }
       name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // Outlier-retry pass: any query >5× its archived controlled value
+    // (and above a 2 s floor — sub-2 s inflations don't distort totals)
+    // re-runs ONCE at bench end. Both numbers are emitted: if the retry
+    // returns to normal the first reading was a host-contention window,
+    // classified by the artifact itself; if it repeats, it's code.
+    val retries = results.collect {
+      case (name, (t, true)) if t > 2.0 &&
+        controlledSec.get(name).exists(c => t > 5 * c) =>
+        val t0 = System.nanoTime()
+        try { run(name) } catch { case _: Throwable => }
+        name -> (System.nanoTime() - t0) / 1e9
+    }
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val retryJson = retries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     // enrich throughput vs the reference's only published perf number
@@ -105,15 +191,19 @@ object Bench {
     val enrichCold = results.toMap.get("q_enrich")
       .collect { case (t, true) if t > 0 => n / t / effCores }
       .getOrElse(0.0)
+    val parCanaryEnd = parallelCanaryMs(spark)
     val canaryEnd = canaryMs()
-    val canaries = f""""canary_ms_start":$canaryStart%.0f,"canary_ms_end":$canaryEnd%.0f"""
-    // compact summary line FIRST: the driver's output-tail capture once
-    // truncated mid-way through the long per-query line (BENCH_r09
-    // closed with parsed:null) — a short self-contained object up front
-    // guarantees any tail window contains something parseable. The full
-    // per-query object follows; both carry the same totals.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","enrich_rec_s_core":$enrichWarm%.0f,"enrich_rec_s_core_cold":$enrichCold%.0f,"enrich_cores":$effCores%.0f,$canaries,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"enrich_rec_s_core":$enrichWarm%.0f,"enrich_rec_s_core_cold":$enrichCold%.0f,"enrich_cores":$effCores%.0f,$canaries,"sf":"$sfDir"}""")
+    val canaries = f""""canary_ms_start":$canaryStart%.0f,"canary_ms_end":$canaryEnd%.0f,"par_canary_ms_start":$parCanaryStart%.0f,"par_canary_ms_end":$parCanaryEnd%.0f"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","enrich_rec_s_core":$enrichWarm%.0f,"enrich_rec_s_core_cold":$enrichCold%.0f,"enrich_cores":$effCores%.0f,$canaries,"retries":$retryJson,"sf":"$sfDir"}"""
+    // Compact summary line FIRST **and** LAST, long per-query line in the
+    // middle: the driver captures the TAIL of stdout, and round 10 proved
+    // a compact line printed only first gets pushed out of the capture
+    // window by the ~2.3 KB per-query line (BENCH_r10 parsed:null). A
+    // head capture still sees the leading copy; a tail capture of any
+    // size ends with the trailing copy. All three carry the same totals.
+    println(compact)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"enrich_rec_s_core":$enrichWarm%.0f,"enrich_rec_s_core_cold":$enrichCold%.0f,"enrich_cores":$effCores%.0f,$canaries,"retries":$retryJson,"sf":"$sfDir"}""")
+    println(compact)
     spark.stop()
   }
 }
