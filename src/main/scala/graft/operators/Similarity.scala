@@ -168,18 +168,42 @@ object Similarity {
     * the surviving corpus via [[graft.operators.Graph.dropDuplicates]].
     * Cross-cell near-dup pairs are never compared — the paper accepts
     * exactly that miss in exchange for the n²/k bound. */
+  /** A cell holding more than this many vectors is deterministically
+    * SPLIT into ⌈n/cap⌉ id-hashed sub-shards before the within-cell pair
+    * join — the board's only quadratic-in-a-cell cost otherwise rides one
+    * degenerate cell (an all-boilerplate corpus cluster) into one O(n²)
+    * reducer at 100 TB. Splitting (not dropping, as the LSH hot-bucket
+    * cap does) is the right guard here: a band bucket's docs still pair
+    * through 15 other bands, but a SemDeDup cell is the ONLY place its
+    * pairs can form. Sub-shards bound per-task pair work at ~cap² while
+    * keeping within-shard dedup; cross-shard pairs inside a split cell
+    * are accepted misses — the same trade the paper already makes for
+    * cross-CELL pairs (SemDeDup quantizes precisely to bound pair work).
+    * 1000 is far above any honest cell at tested scales: the cap must
+    * not fire at sf0.01, and doesn't (LlmOpsSpec pins sub ≡ 0 there). */
+  val MaxCellSize = 1000
+
   def semDedupLabels(vecs: DataFrame, centroids: DataFrame,
-      threshold: Double): DataFrame = {
-    val assigned = ivfAssign(vecs, centroids)
-    val a1 = assigned.toDF("d1", "e1", "cell")
+      threshold: Double, maxCellSize: Int = MaxCellSize): DataFrame = {
+    // per-cell count via a window over the SAME cell key the pair join
+    // shuffles on — the quantizer subtree is computed once, and the two
+    // self-join inputs are identical subplans over one exchange
+    // (ReuseExchange dedupes them; the lshCandidates discipline)
+    val sharded = ivfAssign(vecs, centroids)
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .withColumn("sub", when(col("_n") <= maxCellSize, lit(0L))
+        .otherwise(pmod(xxhash64(col("vid")),
+          ceil(col("_n") / maxCellSize).cast("long"))))
+      .select(col("vid"), col("v"), col("cell"), col("sub"))
+    val a1 = sharded.toDF("d1", "e1", "cell", "sub")
       .withColumn("n1", norm(col("e1")))
-    val a2 = assigned.toDF("d2", "e2", "cell")
+    val a2 = sharded.toDF("d2", "e2", "cell", "sub")
       .withColumn("n2", norm(col("e2")))
     // n1*n2 > 0: zero-norm embeddings would yield cos = 0/0 = NaN, which
     // Spark's NaN ordering treats as >= threshold — one zero vector would
     // link its entire cell into a single component and dropDuplicates
     // would then erase the cell. Zero-norm rows simply never pair.
-    val pairs = a1.join(a2, Seq("cell"))
+    val pairs = a1.join(a2, Seq("cell", "sub"))
       .where(col("d1") < col("d2") && col("n1") * col("n2") > 0)
       .select(col("d1"), col("d2"),
         (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))

@@ -120,6 +120,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(survivors === Set(0L, 2L, 3L))
   }
 
+  test("semDedup hot-cell guard: default cap is invisible at test scale; " +
+      "a tiny cap splits the cell but still dedups within shards") {
+    val s = spark
+    import s.implicits._
+    // one hot cell: 20 exact clones of the centroid direction, plus a
+    // second cell with a lone dissimilar vector
+    val clones = (0L until 20L).map(i => (i, Array(1.0f, 0.0f, 0.0f)))
+    val vecs = (clones :+ (100L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq((0L, Array(1.0f, 0.0f, 0.0f)),
+      (100L, Array(0.0f, 1.0f, 0.0f))).toDF("cid", "c")
+    // cap far above the cell size: identical labels to an unbounded run
+    // (the production default must not change results at honest scales)
+    val unbounded = Similarity.semDedupLabels(vecs, centroids, 0.95,
+        maxCellSize = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val default = Similarity.semDedupLabels(vecs, centroids, 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(default === unbounded)
+    assert(unbounded.keySet === (0L until 20L).toSet) // one 20-clone component
+    assert(unbounded.values.toSet === Set(0L))
+    // cap=5 splits the 20-clone cell into ⌈20/5⌉=4 id-hashed shards:
+    // pair work per task is bounded, and by pigeonhole some shard holds
+    // ≥2 clones, so within-shard dedup still fires. Every component must
+    // remain a subset of the true clone set (no false links), and the
+    // lone dissimilar vector must stay unlabeled.
+    val capped = Similarity.semDedupLabels(vecs, centroids, 0.95,
+        maxCellSize = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.nonEmpty)
+    assert(capped.keySet.subsetOf((0L until 20L).toSet))
+    assert(!capped.contains(100L))
+    // labels stay canonical-min within each shard component
+    capped.groupBy(_._2).foreach { case (canon, members) =>
+      assert(members.keys.min === canon)
+    }
+  }
+
   test("spanHashes kernel matches the hash60 Column spec (parity fuzz)") {
     val s = spark
     import s.implicits._
