@@ -96,6 +96,7 @@ object SparkEntry {
     "q_dedup_apply"   -> (LlmQueries.qDedupApply _),
     "q_ann_ivf" -> (LlmQueries.qAnnIvf _),
     "q_ann_ivf_probe" -> (LlmQueries.qAnnIvfProbe _),
+    "q_kmeans" -> (LlmQueries.qKmeans _),
     "q_dedup_embed" -> (LlmQueries.qDedupEmbed _),
     "q_semdedup" -> (LlmQueries.qSemdedup _),
     "q_dedup_simhash" -> (LlmQueries.qDedupSimhash _),
@@ -208,6 +209,7 @@ object SparkEntry {
     "q_chunk_overlap" -> LlmQueries.qChunkOverlapSql,
     "q_shuffle_order" -> LlmQueries.qShuffleOrderSql,
     "q_distinct_kmv"  -> LlmQueries.qDistinctKmvSql,
+    "q_kmeans"        -> LlmQueries.qKmeansSql,
     "q_decontaminate" -> LlmQueries.qDecontaminateSql,
     "q_lang_id"       -> LlmQueries.qLangIdSql,
     "q_ann_topk"      -> LlmQueries.qAnnTopkSql,

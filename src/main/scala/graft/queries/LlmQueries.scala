@@ -975,6 +975,55 @@ object LlmQueries {
        |      FROM s)
        |SELECT qid, nid, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** Lloyd k-means, oracle-gated (the IVF index BUILD path promoted to
+    * the driver gate — previously spec-only): two deterministic sweeps
+    * from the sampled-centroid init, emitted as the exploded per-dim
+    * centroid table (cid, pos, m). The oracle replays both sweeps with
+    * the same assignment CTE the IVF queries use (|c|²−2x·c argmin,
+    * (score, cid) tie order) and a per-dim AVG; per-pair dot products
+    * fold sequentially (bit-identical on both engines, the q_ann_ivf
+    * precedent), and the only cross-engine wobble — double-sum order
+    * inside AVG across Spark partitions — is ~1 ulp, absorbed by the
+    * round-to-6 emit (the q_dedup_embed precedent). Assignment argmin
+    * is robust to that wobble: best-vs-runner-up score gaps are O(0.1),
+    * fourteen orders above it. */
+  def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    Similarity.kmeansCentroids(corpus, initMod = CentroidMod, iters = 2)
+      .select(col("cid"), posexplode(col("c")))
+      .select(col("cid"), col("pos"), round(col("col"), 6).as("m"))
+      .orderBy(col("cid"), col("pos"))
+  }
+
+  val qKmeansSql: String =
+    s"""WITH v AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings),
+       |c0 AS (SELECT vid AS cid, e AS c FROM v WHERE vid % $CentroidMod = 0),
+       |s1 AS (SELECT v.vid, v.e, c0.cid,
+       |         list_inner_product(c, c) - 2.0 * list_inner_product(e, c) AS score
+       |       FROM v, c0),
+       |a1 AS (SELECT vid, e, cid AS cell FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vid ORDER BY score, cid) AS rn
+       |         FROM s1) WHERE rn = 1),
+       |m1 AS (SELECT cell, pos, avg(e[pos + 1]) AS m
+       |       FROM a1, range(0, $Dim) t(pos) GROUP BY cell, pos),
+       |mc1 AS (SELECT cell AS cid, list(m ORDER BY pos) AS c FROM m1 GROUP BY cell),
+       |c1 AS (SELECT c0.cid, coalesce(mc1.c, c0.c) AS c
+       |       FROM c0 LEFT JOIN mc1 ON c0.cid = mc1.cid),
+       |s2 AS (SELECT v.vid, v.e, c1.cid,
+       |         list_inner_product(c, c) - 2.0 * list_inner_product(e, c) AS score
+       |       FROM v, c1),
+       |a2 AS (SELECT vid, e, cid AS cell FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vid ORDER BY score, cid) AS rn
+       |         FROM s2) WHERE rn = 1),
+       |m2 AS (SELECT cell, pos, avg(e[pos + 1]) AS m
+       |       FROM a2, range(0, $Dim) t(pos) GROUP BY cell, pos),
+       |mc2 AS (SELECT cell AS cid, list(m ORDER BY pos) AS c FROM m2 GROUP BY cell),
+       |c2 AS (SELECT c1.cid, coalesce(mc2.c, c1.c) AS c
+       |       FROM c1 LEFT JOIN mc2 ON c1.cid = mc2.cid)
+       |SELECT cid, CAST(pos AS INT) AS pos, round(c[pos + 1], 6) AS m
+       |FROM c2, range(0, $Dim) t(pos)
+       |ORDER BY cid, pos""".stripMargin
+
   /** LSH-bucketed top-3: each probe searches only its sign-pattern
     * bucket (the 100 TB path — bucket equi-join instead of crossJoin).
     * The oracle replays the identical deterministic bucketing. */
