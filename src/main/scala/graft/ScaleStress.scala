@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * near-dup pair counts scale LINEARLY by construction. (Verbatim
   * clones would make every document a 10-way near-dup and explode the
   * pair count quadratically — a clone-attack stress, not a bigger
-  * corpus.) `events` keeps `ts` as the raw nanos long exactly as the
-  * driver's files carry it, so Tables.events reads the output
-  * unchanged.
+  * corpus.) `events` copies `ts` verbatim in whatever physical type the
+  * driver's files carry (nanos-long or TIMESTAMP_NTZ micros after the
+  * round-10 regen) — Tables.events adapts on read either way.
   *
   * Results are recorded in BENCH_NOTES.md per round. */
 object ScaleStress {
@@ -121,7 +121,14 @@ object ScaleStress {
       "q_semdedup", "q_quality_filter",
       // round 10: the KMV sketch's cost model is one dedup shuffle +
       // bounded heaps — stress confirms it stays ~scan-bound
-      "q_distinct_kmv")
+      "q_distinct_kmv",
+      // round 11: the remaining r10 newcomers' scale claims — two-level
+      // bucket rank (shuffle_order), per-shard cumsum + broadcast base
+      // offsets (pack_chunks_sharded), broadcast-dim explode (remix) —
+      // plus q_kmeans, whose per-sweep cost is one broadcast + one scan
+      // + a (cell × dim) reduced exchange
+      "q_shuffle_order", "q_pack_chunks_sharded", "q_remix_weights",
+      "q_kmeans")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
