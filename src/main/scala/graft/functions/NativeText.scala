@@ -781,9 +781,20 @@ object MinhashKernel {
     // a clock-bearing prefix for the zone/meridiem/offset suffixes: an
     // ISO datetime with a clock, or a BARE clock (dateutil's default
     // fills the missing date with year-1 Jan 1 — "12:30:15 EST" is
-    // 0001-01-01T12:30:15, probed)
+    // 0001-01-01T12:30:15, probed). A bare clock may carry a leading
+    // ISO 'T' ("T12:30" — dateutil parses it as the same default-date
+    // clock, probed; without this claim the string would fall through
+    // to Spark's cast, which anchors time-only strings to the CURRENT
+    // date — a nondeterministic result, r11).
     def clockPrefix(pe: Int): Boolean =
-      isoDateTime(0, pe) || timeIsoTail(0, pe)
+      isoDateTime(0, pe) || timeIsoTail(0, pe) ||
+        (pe > 1 && b(0) == 'T' && timeIsoTail(1, pe))
+    // the date+clock shapes whose values can stand before a zone /
+    // meridiem / offset suffix (12/14/16 legacy; 24/25/26 the r11
+    // compact-T and flex-permutation families — "05 JAN 1999 12:30:15
+    // GMT", "01-05-1999 12:30:15 EST", "19990105T1230 EST", probed)
+    def clockSub(i: Int): Boolean =
+      i == 12 || i == 14 || i == 16 || i == 24 || i == 25 || i == 26
     def tzNameSuffix(): Boolean = {
       var st = n
       while (st > 0 && b(st - 1) >= 'A' && b(st - 1) <= 'Z') st -= 1
@@ -797,8 +808,7 @@ object MinhashKernel {
       val pe = if (spaced) st - 1 else st
       if (pe <= 0) return false
       if (clockPrefix(pe)) return true
-      val sub = dateShape(UTF8String.fromBytes(b, 0, pe))
-      sub == 12 || sub == 14 || sub == 16
+      clockSub(dateShape(UTF8String.fromBytes(b, 0, pe)))
     }
     // 16: clock-bearing value + a meridiem token (A/P/AM/PM, spaced or
     // attached): dateutil applies the token to the hour (12 AM → 00,
@@ -849,8 +859,7 @@ object MinhashKernel {
       val pe = if (spaced) st - 1 else st
       if (pe <= 0) return false
       if (clockPrefix(pe)) return true
-      val sub = dateShape(UTF8String.fromBytes(b, 0, pe))
-      sub == 12 || sub == 14 || sub == 16
+      clockSub(dateShape(UTF8String.fromBytes(b, 0, pe)))
     }
 
     // 19: clock-bearing value + zone NAME + SPACE-separated signed
@@ -890,8 +899,7 @@ object MinhashKernel {
       val pe = if (spaced) st - 1 else st
       if (pe <= 0) return false
       if (clockPrefix(pe)) return true
-      val sub = dateShape(UTF8String.fromBytes(b, 0, pe))
-      sub == 12 || sub == 14 || sub == 16
+      clockSub(dateShape(UTF8String.fromBytes(b, 0, pe)))
     }
 
     // ISO+UTC/GMT first (13 claims it before the generic zone-name
@@ -930,8 +938,7 @@ object MinhashKernel {
       val pe = if (b(sp - 1) == ' ') sp - 1 else sp
       if (pe <= 0) return false
       if (clockPrefix(pe)) return true
-      val sub = dateShape(UTF8String.fromBytes(b, 0, pe))
-      sub == 12 || sub == 14 || sub == 16
+      clockSub(dateShape(UTF8String.fromBytes(b, 0, pe)))
     }
 
     if (isoZoneSuffix()) return 13
@@ -940,7 +947,11 @@ object MinhashKernel {
     if (bareOffsetSuffix()) return 20
     if (tzNameSuffix()) return 15
     if (meridiemSuffix()) return 16
+    // a bare clock, optionally with ISO's leading 'T' ("T12:30" —
+    // dateutil default-date parse; Spark's cast would anchor it to the
+    // CURRENT date, nondeterministically, so the kernel must claim it)
     if (timeIsoTail(0, n)) return 17
+    if (n > 1 && b(0) == 'T' && timeIsoTail(1, n)) return 17
     // ISO datetime whose clock carries a MINUTE fraction ("2014-01-10
     // 9:30.5"): plain ISO stays shape 0 (Spark's cast parses it
     // directly), but the cast rejects minute fractions, so exactly
@@ -977,13 +988,17 @@ object MinhashKernel {
         if (slash(5) - ys > 5 && allDigits(b, ys, ye) && b(ye) == ' ' &&
           timeTail(ye + 1, n)) return 14
       }
-      return 0
+      // slash leftovers (3-digit years "1/2/345", Y/M/D + clock
+      // "1999/1/5 12:30", 2-digit-year + clock "13/5/99 12:30", and
+      // slash-separated month names "5/MAR/2001" — all dateutil-parsed,
+      // probed r11) fall through to the flex classifier
     }
     val dot = split3('.')
     if (dot != null) {
       if (dig(dot(0), dot(1), 4, 4) && dig(dot(2), dot(3), 1, 2) &&
         dig(dot(4), dot(5), 1, 2)) return 3
-      return 0
+      // dotted leftovers (M.D.Y "10.01.1999", d.MONTH.y "10.JAN.1999",
+      // clock tails "1999.01.05 12:30") fall through to flex
     }
     // space forms: the patterns use literal single spaces
     var sp1 = -1; var sp2 = -1; var spMore = false
@@ -1014,20 +1029,19 @@ object MinhashKernel {
     if (sp1 >= 0 && !spMore) {
       if (sp2 < 0) { // "^[A-Z]{3,9} \d{4}$"
         if (up(0, sp1, 3, 9) && dig(sp1 + 1, n, 4, 4)) return 6
-        return 0
+      } else {
+        // "^[A-Z]{3,9} \d{1,2},? \d{4}$" (8 with an ordinal day: "JAN 1ST, 1999")
+        if (up(0, sp1, 3, 9) && dig(sp2 + 1, n, 4, 4)) {
+          val e = if (sp2 > sp1 + 1 && b(sp2 - 1) == ',') sp2 - 1 else sp2
+          if (dig(sp1 + 1, e, 1, 2)) return 4
+          if (ordDay(sp1 + 1, e)) return 8
+        }
+        // "^\d{1,2} [A-Z]{3,9} \d{4}$" (9 with an ordinal day: "1ST MARCH 2001")
+        if (up(sp1 + 1, sp2, 3, 9) && dig(sp2 + 1, n, 4, 4)) {
+          if (dig(0, sp1, 1, 2)) return 5
+          if (ordDay(0, sp1)) return 9
+        }
       }
-      // "^[A-Z]{3,9} \d{1,2},? \d{4}$" (8 with an ordinal day: "JAN 1ST, 1999")
-      if (up(0, sp1, 3, 9) && dig(sp2 + 1, n, 4, 4)) {
-        val e = if (sp2 > sp1 + 1 && b(sp2 - 1) == ',') sp2 - 1 else sp2
-        if (dig(sp1 + 1, e, 1, 2)) return 4
-        if (ordDay(sp1 + 1, e)) return 8
-      }
-      // "^\d{1,2} [A-Z]{3,9} \d{4}$" (9 with an ordinal day: "1ST MARCH 2001")
-      if (up(sp1 + 1, sp2, 3, 9) && dig(sp2 + 1, n, 4, 4)) {
-        if (dig(0, sp1, 1, 2)) return 5
-        if (ordDay(0, sp1)) return 9
-      }
-      return 0
     }
     if (sp1 < 0) {
       // "^\d{1,2}-[A-Z]{3,9}-\d{4}$"
@@ -1037,7 +1051,139 @@ object MinhashKernel {
       // "^\d{8}$" — compact yyyyMMdd (dateutil accepts "20140110")
       if (dash == null && dig(0, n, 8, 8)) return 10
     }
-    0
+
+    // --- r11 flex families (everything the legacy anchors above did
+    // --- not claim; each rule probed against dateutil 2.9) -----------
+
+    // 24: compact yyyyMMdd + ISO 'T' clock — "19990105T123015",
+    // "19990105T1230", "19990105T12", the bare "19990105T", a spaced
+    // "19990105 T12", a seconds fraction (6-digit clocks only:
+    // "…T1230.5" is a ParserError), and an optional meridiem
+    // ("19990105T1230 PM"); trailing zone names/offsets are claimed by
+    // the suffix shapes through clockSub
+    def compactT(): Boolean = {
+      if (n < 9 || !allDigits(b, 0, 8)) return false
+      var i = 8
+      if (b(i) == ' ') i += 1
+      if (i >= n || b(i) != 'T') return false
+      i += 1
+      var cs = i
+      while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+      val cd = i - cs
+      if (cd != 0 && cd != 2 && cd != 4 && cd != 6) return false
+      if (i < n && b(i) == '.') { // seconds fraction: 6-digit clock only
+        if (cd != 6) return false
+        i += 1
+        val fs = i
+        while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+        if (i == fs) return false
+      }
+      if (i == n) return true
+      // optional meridiem (clock digits required)
+      if (cd < 2) return false
+      if (b(i) == ' ') i += 1
+      if (i < n && (b(i) == 'A' || b(i) == 'P')) {
+        i += 1
+        if (i < n && b(i) == 'M') i += 1
+      }
+      i == n
+    }
+    if (compactT()) return 24
+
+    // clock tail of the flex shapes: H:M[:S][.frac] with an optional
+    // spaced-or-attached meridiem (fraction and meridiem compose:
+    // "9:30.5 PM" — the shape-16 rules)
+    def flexClock(s: Int, e0: Int): Boolean = {
+      var e = e0
+      if (e - s >= 2 && b(e - 1) == 'M' && (b(e - 2) == 'A' || b(e - 2) == 'P')) {
+        e -= 2
+        if (e > s && b(e - 1) == ' ') e -= 1
+      } else if (e - s >= 2 && (b(e - 1) == 'A' || b(e - 1) == 'P')) {
+        e -= 1
+        if (e > s && b(e - 1) == ' ') e -= 1
+      }
+      s < e && timeIsoTail(s, e)
+    }
+    // rightmost ' ' or 'T' whose suffix is a clock → packed
+    // (dateEnd << 1 | 1); no clock → n << 1
+    def flexSplit(): Int = {
+      var i = n - 2
+      while (i >= 1) {
+        if ((b(i) == ' ' || b(i) == 'T') && flexClock(i + 1, n))
+          return (i << 1) | 1
+        i -= 1
+      }
+      n << 1
+    }
+    def isSep(c: Byte): Boolean =
+      c == ' ' || c == ',' || c == '.' || c == '-' || c == '/'
+    // 22/23/25/26: permutation date families. Tokens over [0, de)
+    // separated by runs holding AT MOST one punctuation char (",  " and
+    // ". " are fine; "--" and ",," are dateutil ParserErrors — probed).
+    // Exactly one 3-9-letter token + up to two 1-4-digit tokens
+    // (ordinal days allowed) → month family; exactly three digit
+    // tokens over a UNIFORM separator ("01-05.1999" is a ParserError)
+    // → numeric family, except leading-4-digit DASH dates, which are
+    // Spark-cast ISO territory ("1999-1-5[ 12:30]").
+    def flex(de: Int, hasClock: Boolean): Int = {
+      var letters = 0; var digits = 0; var bad = false
+      var firstLen = -1; var sepChar: Byte = 0; var uniform = true
+      var i = 0
+      var punct = 0
+      while (i < de && isSep(b(i))) { // leading run (",JAN 5 1999" parses)
+        if (b(i) != ' ') punct += 1
+        i += 1
+      }
+      if (punct > 1) bad = true
+      while (i < de && !bad) {
+        val ts = i
+        if (b(i) >= '0' && b(i) <= '9') {
+          while (i < de && b(i) >= '0' && b(i) <= '9') i += 1
+          val dl = i - ts
+          // ordinal suffix on a 1-2-digit token ("21ST")
+          if (i < de && dl <= 2 && ordDay(ts, math.min(i + 2, de)) &&
+            i + 2 <= de) i += 2
+          if (dl < 1 || dl > 4) bad = true
+          else digits += 1
+          if (firstLen < 0) firstLen = dl
+        } else if (b(i) >= 'A' && b(i) <= 'Z') {
+          while (i < de && b(i) >= 'A' && b(i) <= 'Z') i += 1
+          if (i - ts < 3 || i - ts > 9) bad = true
+          else letters += 1
+          if (firstLen < 0) firstLen = 0
+        } else bad = true
+        // tokens must be separator-delimited ("JAN5" is a single
+        // mixed token here, not JAN + 5 — dateutil's letter/digit
+        // lexer split is lunacy this family leaves unparsed)
+        if (i < de && !isSep(b(i))) bad = true
+        // separator run after the token
+        punct = 0
+        var sc: Byte = ' '
+        var any = false
+        while (i < de && isSep(b(i))) {
+          if (b(i) != ' ') { punct += 1; sc = b(i) }
+          any = true
+          i += 1
+        }
+        if (punct > 1) bad = true
+        if (any && i < de) { // internal separator
+          if (sepChar == 0) sepChar = sc
+          else if (sepChar != sc) uniform = false
+        }
+      }
+      if (bad) return 0
+      if (letters == 1 && digits <= 2 && letters + digits >= 1)
+        return if (hasClock) 25 else 22
+      // comma-separated numeric triples are EXCLUDED: dateutil reads
+      // "01,05,1999" through its decimal-comma tokenizer (→ Jan 1, not
+      // Jan 5) — that lunacy stays unparsed here (null), documented
+      if (letters == 0 && digits == 3 && uniform &&
+        sepChar != ',' && !(sepChar == '-' && firstLen == 4))
+        return if (hasClock) 26 else 23
+      0
+    }
+    val fs = flexSplit()
+    flex(fs >> 1, (fs & 1) == 1)
   }
 
   // --- decimal-exponent count (DecimalExponentExpr) ---------------------
@@ -1098,12 +1244,12 @@ object MinhashKernel {
   // date defaults to year-1 Jan 1 (dateutil default=datetime(1,1,1));
   // minutes/seconds may be 1-digit (dateutil's tokenizer, probed)
   private val P15 = java.util.regex.Pattern.compile(
-    "^(?:(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ])?(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?" +
+    "^(?:(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ]|T)?(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?" +
       "(?:\\.(\\d+))?$")
   // clock core + meridiem token (shape 16): the token may be bare A/P
   // and may attach directly to the clock
   private val P16 = java.util.regex.Pattern.compile(
-    "^(?:(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ])?(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?" +
+    "^(?:(\\d{4})-(\\d{1,2})-(\\d{1,2})[T ]|T)?(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?" +
       "(?:\\.(\\d+))? ?([AP])M?$")
   // trailing zone-name + POSIX offset of shape 18: " GMT+5", ":30"
   // minute part optional, name attached or spaced
@@ -1125,7 +1271,12 @@ object MinhashKernel {
   // shape is a documented divergence (dateutil misreads the trailing
   // "5." as a DAY token; here it stays unparsed → null).
   private val ClockDot = java.util.regex.Pattern.compile(
-    "(\\d{1,2}:\\d{1,2}(?::\\d{1,2})?)\\.(?!\\d)")
+    "(\\d{1,2}:\\d{1,2}(?::\\d{1,2})?)[.,](?!\\d)")
+  // a ',' between a clock and digits is dateutil's decimal comma
+  // ("12:30:15,123" = .123, "12:30,5" = minute fraction — probed r11);
+  // rewritten to '.' so every downstream fraction rule applies
+  private val ClockComma = java.util.regex.Pattern.compile(
+    "(\\d{1,2}:\\d{1,2}(?::\\d{1,2})?),(?=\\d)")
 
   /** Strip empty clock fractions before shape classification — TWO
     * replaceAll passes, exactly mirroring the Column spec's two
@@ -1141,11 +1292,13 @@ object MinhashKernel {
     while (i < n && !hit) {
       if (b(i) == '.' && (i + 1 == n || b(i + 1) < '0' || b(i + 1) > '9'))
         hit = true
+      else if (b(i) == ',') hit = true
       i += 1
     }
     if (!hit) return c
     val s0 = c.toString
-    var s = ClockDot.matcher(s0).replaceAll("$1")
+    var s = ClockComma.matcher(s0).replaceAll("$1.")
+    s = ClockDot.matcher(s).replaceAll("$1")
     s = ClockDot.matcher(s).replaceAll("$1")
     if (s == s0) c else UTF8String.fromString(s)
   }
@@ -1189,7 +1342,8 @@ object MinhashKernel {
       zone: java.time.ZoneId): java.lang.Long = {
     val bu = UTF8String.fromString(base)
     val sub = dateShape(bu)
-    if (sub == 12 || sub == 14 || sub == 16 || sub == 17)
+    if (sub == 12 || sub == 14 || sub == 16 || sub == 17 ||
+      sub == 24 || sub == 25 || sub == 26)
       return parseShapedDate(bu, runYear, zone)
     val m = P15.matcher(base)
     if (!m.matches()) return null
@@ -1220,35 +1374,309 @@ object MinhashKernel {
       tok.substring(0, tok.length - 2)
     else tok
 
+  // --- r11 flex-family parsing (shapes 22-26, weekday prefixes) ------
+
+  private val WeekdayNum: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    val ab = Array("MON", "TUE", "WED", "THU", "FRI", "SAT", "SUN")
+    val full = Array("MONDAY", "TUESDAY", "WEDNESDAY", "THURSDAY", "FRIDAY",
+      "SATURDAY", "SUNDAY")
+    var i = 0
+    while (i < 7) { m.put(ab(i), i); m.put(full(i), i); i += 1 }
+    m
+  }
+
+  /** Leading weekday tokens: dateutil SKIPS them when other content
+    * follows ("SUN, 05 JAN 1999" → Jan 5; "MON TUE 5 JAN 1999" parses
+    * too — probed), and they adjust a day-less parse (see
+    * parseShapedDate). The name must be followed by a comma and/or
+    * spaces or end-of-string — "SUNJAN" is a single unknown token, a
+    * ParserError. Returns -1 when none, else (firstWeekday << 24 |
+    * remainderOffset). Only the exact 3-letter abbreviations and full
+    * names resolve ("TUES"/"THURS" are dateutil ParserErrors, probed). */
+  private def weekdayPrefix(b: Array[Byte]): Int = {
+    var off = 0
+    var wd = -1
+    var advanced = true
+    while (advanced) {
+      advanced = false
+      var i = off
+      while (i < b.length && b(i) >= 'A' && b(i) <= 'Z') i += 1
+      val len = i - off
+      if (len >= 3 && len <= 9) {
+        val w = WeekdayNum.get(
+          new String(b, off, len, java.nio.charset.StandardCharsets.US_ASCII))
+        if (w != null) {
+          var j = i
+          var ok = j == b.length
+          if (j < b.length && b(j) == ',') { j += 1; ok = true }
+          while (j < b.length && b(j) == ' ') { j += 1; ok = true }
+          if (ok) {
+            if (wd < 0) wd = w.intValue()
+            off = j
+            advanced = off < b.length
+            if (off >= b.length) advanced = false
+          }
+        }
+      }
+    }
+    if (wd < 0) -1 else (wd << 24) | off
+  }
+
+  /** dateutil's convertyear (parser.py): an explicit year below 100
+    * lands in the run year's century, then shifts a century toward the
+    * run year when >= 50 away ("5 JAN 25" → 2025, "JAN 5, 0000" → 2000
+    * — probed); 3+-digit years are literal ("MAY 999" → 0999). */
+  private def windowYear(y0: Int, runYear: Int): Int =
+    if (y0 >= 100) y0
+    else {
+      val y = y0 + (runYear / 100) * 100
+      if (math.abs(y - runYear) >= 50) {
+        if (y < runYear) y + 100 else y - 100
+      } else y
+    }
+
+  /** month/day with dateutil's auto-swap: (m, d) when valid, else
+    * (d, m) ("13/5/1999" → May 13, probed); both invalid throws to the
+    * caller's catch → null ("13/13/1999" is a ParserError). */
+  private def mdLocalDate(y: Int, m: Int, d: Int): java.time.LocalDate =
+    try java.time.LocalDate.of(y, m, d)
+    catch { case _: RuntimeException => java.time.LocalDate.of(y, d, m) }
+
+  // the flex clock tail: H:M[:S][.frac] + optional spaced-or-attached
+  // meridiem (fraction and meridiem compose — the shape-16 rules)
+  private val PFlexClock = java.util.regex.Pattern.compile(
+    "^(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?(?:\\.(\\d+))?(?: ?([AP])M?)?$")
+  private val FlexSep = java.util.regex.Pattern.compile("[ ,.\\-/]+")
+  private val FlexLead = java.util.regex.Pattern.compile("^[ ,.\\-/]+")
+
+  /** Split a flex value at the rightmost ' '/'T' whose suffix is a
+    * clock tail (mirrors the classifier's flexSplit). */
+  private def splitFlexClock(s: String): (String, String) = {
+    var i = s.length - 2
+    while (i >= 1) {
+      val ch = s.charAt(i)
+      if ((ch == ' ' || ch == 'T') &&
+        PFlexClock.matcher(s.substring(i + 1)).matches())
+        return (s.substring(0, i), s.substring(i + 1))
+      i -= 1
+    }
+    (s, null)
+  }
+
+  /** Apply a flex clock tail to a resolved date; the fraction rules
+    * are clockCoreOf's (minute fraction → second = int(60·frac);
+    * seconds fraction ≤ 9 digits → micros truncation). */
+  private def withFlexClock(ld: java.time.LocalDate, clock: String,
+      zone: java.time.ZoneId): java.lang.Long = {
+    if (clock == null) return microsOf(ld.atStartOfDay, zone)
+    val m = PFlexClock.matcher(clock)
+    if (!m.matches()) return null
+    val hh = meridiemHour(m.group(1).toInt, m.group(5))
+    if (hh < 0) return null
+    val mm = m.group(2).toInt
+    val frac = m.group(4)
+    if (frac != null && m.group(3) == null)
+      return microsOf(java.time.LocalDateTime.of(ld,
+        java.time.LocalTime.of(hh, mm, (("0." + frac).toDouble * 60).toInt)),
+        zone)
+    if (frac != null && frac.length > 9) return null
+    val nanos = if (frac == null) 0 else (frac + "0" * (9 - frac.length)).toInt
+    val ss = if (m.group(3) == null) 0 else m.group(3).toInt
+    microsOf(java.time.LocalDateTime.of(ld,
+      java.time.LocalTime.of(hh, mm, ss, nanos)), zone)
+  }
+
+  /** Shapes 22/25: month-name permutation dates ("1999 JAN 5",
+    * "10.JAN.1999", "JAN-5-1999", "5 JAN 99", "5/MAR/2001", "JAN 5",
+    * "MAY 99", bare "JAN", with optional clock tails — all probed).
+    * Token resolution (probed against dateutil's _ymd): a numeric of
+    * 3+ digits or value > 31 is the YEAR; two small numerics assign
+    * (year, day) when the month is LAST ("5 6 JAN" → 2005-01-06) and
+    * (day, year) otherwise ("JAN 5 6" → 2006-01-05); two year-like
+    * numerics are a ParserError ("JAN 32 1999"). daylessOut reports
+    * whether a day token was resolved (weekday adjustment). */
+  private def parseMonthFlex(s0: String, hasClock: Boolean, runYear: Int,
+      zone: java.time.ZoneId, daylessOut: Array[Boolean]): java.lang.Long = {
+    val (dp, clock) = if (hasClock) splitFlexClock(s0) else (s0, null)
+    val toks = FlexSep.split(FlexLead.matcher(dp).replaceFirst(""))
+    var mVal = 0; var mIdx = -1
+    val nums = new Array[Int](2); val numLen = new Array[Int](2); var nn = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.isEmpty) return null
+      if (Character.isDigit(t.charAt(0))) {
+        if (nn >= 2) return null
+        val core = stripOrdinal(t)
+        nums(nn) = core.toInt; numLen(nn) = core.length; nn += 1
+      } else {
+        val mv = MonthNum.get(t)
+        if (mv == null || mIdx >= 0) return null
+        mVal = mv.intValue(); mIdx = i
+      }
+      i += 1
+    }
+    if (mIdx < 0) return null
+    def yearish(k: Int): Boolean = numLen(k) >= 3 || nums(k) > 31
+    var y = 1; var d = 1; var dayExplicit = false; var yExplicit = false
+    if (nn == 1) {
+      if (yearish(0)) { y = nums(0); yExplicit = true }
+      else { d = nums(0); dayExplicit = true }
+    } else if (nn == 2) {
+      if (yearish(0) && yearish(1)) return null
+      dayExplicit = true; yExplicit = true
+      if (yearish(0)) { y = nums(0); d = nums(1) }
+      else if (yearish(1)) { d = nums(0); y = nums(1) }
+      else if (mIdx == toks.length - 1) { y = nums(0); d = nums(1) }
+      else { d = nums(0); y = nums(1) }
+    }
+    if (yExplicit) y = windowYear(y, runYear)
+    daylessOut(0) = !dayExplicit
+    withFlexClock(java.time.LocalDate.of(y, mVal, d), clock, zone)
+  }
+
+  /** Shapes 23/26: numeric permutation dates over a uniform separator
+    * ("01-05-1999", "13.05.1999" with the m/d swap, "1999 01 05",
+    * "1/2/345", 2-digit years, optional clock tails — all probed).
+    * A leading year-like field is Y-M-D with NO swap ("1999.13.5" is a
+    * ParserError); a trailing year-like field is M-D-Y with the swap;
+    * all-small fields are M-D-Y with a windowed year ("5 6 7" →
+    * 2007-05-06). */
+  private def parseNumFlex(s0: String, hasClock: Boolean, runYear: Int,
+      zone: java.time.ZoneId): java.lang.Long = {
+    val (dp, clock) = if (hasClock) splitFlexClock(s0) else (s0, null)
+    val toks = FlexSep.split(FlexLead.matcher(dp).replaceFirst(""))
+      .map(stripOrdinal) // "1ST 2 1999" is Jan 2 1999 (probed)
+    if (toks.length != 3) return null
+    val v0 = toks(0).toInt; val v1 = toks(1).toInt; val v2 = toks(2).toInt
+    def yearish(k: Int, v: Int): Boolean = toks(k).length >= 3 || v > 31
+    val ld =
+      if (yearish(0, v0) && !yearish(2, v2))
+        java.time.LocalDate.of(windowYear(v0, runYear), v1, v2)
+      else if (yearish(2, v2))
+        mdLocalDate(windowYear(v2, runYear), v0, v1)
+      else if (yearish(1, v1)) return null
+      else mdLocalDate(windowYear(v2, runYear), v0, v1)
+    withFlexClock(ld, clock, zone)
+  }
+
+  // shape 24: compact yyyyMMdd + 'T' clock (see the classifier)
+  private val P24 = java.util.regex.Pattern.compile(
+    "^(\\d{4})(\\d{2})(\\d{2}) ?T(?:(\\d{2})(\\d{2})?(\\d{2})?)?" +
+      "(?:\\.(\\d+))?(?: ?([AP])M?)?$")
+  private def parseCompactT(s: String, zone: java.time.ZoneId): java.lang.Long = {
+    val m = P24.matcher(s)
+    if (!m.matches()) return null
+    if (m.group(8) != null && m.group(4) == null) return null
+    val hh = meridiemHour(
+      if (m.group(4) == null) 0 else m.group(4).toInt, m.group(8))
+    if (hh < 0) return null
+    val frac = m.group(7)
+    if (frac != null && (m.group(6) == null || frac.length > 9)) return null
+    val nanos = if (frac == null) 0 else (frac + "0" * (9 - frac.length)).toInt
+    microsOf(java.time.LocalDateTime.of(
+      m.group(1).toInt, m.group(2).toInt, m.group(3).toInt, hh,
+      if (m.group(5) == null) 0 else m.group(5).toInt,
+      if (m.group(6) == null) 0 else m.group(6).toInt, nanos), zone)
+  }
+
+  /** Does a month-flex value resolve WITHOUT a day token ("JAN 1999",
+    * "MAY 99", bare "JAN")? Drives the weekday adjustment. */
+  private def monthFlexDayless(s: String, hasClock: Boolean): Boolean = {
+    val flag = new Array[Boolean](1)
+    try {
+      if (parseMonthFlex(s, hasClock, 2000, java.time.ZoneOffset.UTC,
+        flag) == null) return false
+    } catch { case _: RuntimeException => return false }
+    flag(0)
+  }
+
+  // day-less ISO remainders after a weekday ("SUN 1999" → the first
+  // Sunday of 1999; "SUN 1999-01" likewise — probed)
+  private val PIsoYm = java.util.regex.Pattern.compile(
+    "^\\d{4}(-\\d{1,2})?$")
+
   /** Parse a string already classified by [[dateShape]]; null when it is
     * shape 0 or fails its family's calendar/clock validation. Semantics
     * are pinned to Grabbers.permissiveTimestampSpec (the original
-    * try_to_timestamp cascade) by EnrichSpec's parity sweep. */
+    * try_to_timestamp cascade) by EnrichSpec's parity sweep.
+    *
+    * Weekday prefixes (r11) are stripped BEFORE classification; when
+    * the remainder parses WITHOUT an explicit day, dateutil moves the
+    * date to the first matching weekday on or after the base ("SUN" →
+    * 0001-01-07, "SUN 1999" → 1999-01-03, "SUN 12:30" →
+    * 0001-01-07T12:30 — probed). Default-date clock parses land in
+    * year 1, so "result before year 2" detects them; a weekday before
+    * an EXPLICIT year-1 date would mis-shift, which dateutil-parity
+    * tolerates (no real value carries one). */
   def parseShapedDate(c0: UTF8String, runYear: Int,
       zone: java.time.ZoneId): java.lang.Long = {
-    val c = stripClockDots(c0)
+    val c1 = stripClockDots(c0)
+    val wp = weekdayPrefix(c1.getBytes)
+    var wd = -1
+    var c = c1
+    if (wp >= 0) {
+      wd = wp >>> 24
+      val bb = c1.getBytes
+      val off = wp & 0xffffff
+      c = UTF8String.fromBytes(bb, off, bb.length - off)
+      if (c.numBytes == 0) return dateMicros(zone, 1, 1, 1 + wd)
+    }
     val sh = dateShape(c)
+    val dayless = new Array[Boolean](1)
+    var v: java.lang.Long = null
     if (sh == 0) {
-      // a dot-strip can reduce to a PLAIN ISO datetime (shape 0, the
-      // cast's territory) — but the cast upstream sees the original
-      // dotted string and rejects it, so the clock core parses here
-      if (c eq c0) return null
-      val m = P15.matcher(c.toString)
-      if (!m.matches()) return null
-      return try {
-        val ldt = clockCoreOf(m)
-        if (ldt == null) null else microsOf(ldt, zone)
-      } catch { case _: RuntimeException => null }
+      if (wd >= 0) {
+        // a bare numeric remainder takes dateutil's single-token _ymd
+        // rule: > 31 or 3+ digits is a windowed YEAR and stays day-less
+        // ("SUN 99" → the first Sunday of 1999); a small value is a DAY
+        // of the default date — explicit, so no weekday shift ("SUN 5"
+        // → 0001-01-05)
+        val bs = c.toString
+        if (bs.length <= 4 && bs.nonEmpty && bs.forall(Character.isDigit)) {
+          val bv = bs.toInt
+          return try {
+            if (bv > 31 || bs.length >= 3)
+              microsOf(java.time.LocalDate.of(windowYear(bv, runYear), 1, 1)
+                .`with`(java.time.temporal.TemporalAdjusters.nextOrSame(
+                  java.time.DayOfWeek.of(wd + 1))).atStartOfDay, zone)
+            else dateMicros(zone, 1, 1, bv)
+          } catch { case _: RuntimeException => null }
+        }
+        // the weekday strip exposes an ISO remainder the upstream cast
+        // never sees ("SUN, 2014-01-10 12:30") — parse it with Spark's
+        // own cast kernel so every cast-accepted ISO form keeps parity
+        val o = org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToTimestamp(c, zone)
+        if (o.isEmpty) return null
+        v = java.lang.Long.valueOf(o.get)
+      } else if (c1 ne c0) {
+        // a dot-strip can reduce to a PLAIN ISO datetime (shape 0, the
+        // cast's territory) — but the cast upstream sees the original
+        // dotted string and rejects it, so the clock core parses here
+        val m = P15.matcher(c.toString)
+        if (!m.matches()) return null
+        v = try {
+          val ldt = clockCoreOf(m)
+          if (ldt == null) null else microsOf(ldt, zone)
+        } catch { case _: RuntimeException => null }
+      } else return null
+      if (v == null) return null
+      return applyWeekday(v, wd, c, sh, dayless(0), zone)
     }
     val s = c.toString
-    try {
+    val parsed: java.lang.Long = try {
       sh match {
         case 1 =>
           val p = s.split("/")
           dateMicros(zone, p(0).toInt, p(1).toInt, p(2).toInt)
         case 2 =>
+          // M/d/y with dateutil's month/day auto-swap ("13/5/1999" →
+          // May 13, probed r11)
           val p = s.split("/")
-          dateMicros(zone, p(2).toInt, p(0).toInt, p(1).toInt)
+          microsOf(mdLocalDate(p(2).toInt, p(0).toInt, p(1).toInt)
+            .atStartOfDay, zone)
         case 3 =>
           val p = s.split("\\.")
           dateMicros(zone, p(0).toInt, p(1).toInt, p(2).toInt)
@@ -1268,12 +1696,10 @@ object MinhashKernel {
           dateMicros(zone, s.substring(0, 4).toInt,
             s.substring(4, 6).toInt, s.substring(6, 8).toInt)
         case 11 =>
+          // two-digit year + the same auto-swap ("31/12/99", probed)
           val p = s.split("/")
-          val y0 = p(2).toInt + (runYear / 100) * 100
-          val y = if (math.abs(y0 - runYear) >= 50) {
-            if (y0 < runYear) y0 + 100 else y0 - 100
-          } else y0
-          dateMicros(zone, y, p(0).toInt, p(1).toInt)
+          microsOf(mdLocalDate(windowYear(p(2).toInt, runYear),
+            p(0).toInt, p(1).toInt).atStartOfDay, zone)
         case 12 =>
           val m = P12.matcher(s)
           if (!m.matches()) return null
@@ -1297,8 +1723,9 @@ object MinhashKernel {
           val ss = if (m.group(6) == null) 0 else m.group(6).toInt
           val hh = meridiemHour(hh0, m.group(7))
           if (hh < 0) return null
-          microsOf(java.time.LocalDateTime.of(m.group(3).toInt,
-            m.group(1).toInt, m.group(2).toInt, hh, mm, ss), zone)
+          microsOf(java.time.LocalDateTime.of(
+            mdLocalDate(m.group(3).toInt, m.group(1).toInt, m.group(2).toInt),
+            java.time.LocalTime.of(hh, mm, ss)), zone)
         case 13 =>
           // "… UTC"/"… GMT": both resolve to +00:00 and the engine
           // runs in UTC, so strip the 4-char suffix and parse the ISO
@@ -1410,9 +1837,45 @@ object MinhashKernel {
             val sign = if (m.group(1) == "+") 1L else -1L
             java.lang.Long.valueOf(v.longValue() - sign * offSec * 1000000L)
           }
+        case 22 | 25 =>
+          // month-name permutation dates (+ clock for 25)
+          parseMonthFlex(s, sh == 25, runYear, zone, dayless)
+        case 23 | 26 =>
+          // numeric permutation dates (+ clock for 26)
+          parseNumFlex(s, sh == 26, runYear, zone)
+        case 24 =>
+          // compact yyyyMMdd + 'T' clock
+          parseCompactT(s, zone)
         case _ => null
       }
     } catch { case _: RuntimeException => null }
+    if (parsed == null) null
+    else applyWeekday(parsed, wd, c, sh, dayless(0), zone)
+  }
+
+  /** The weekday adjustment (see parseShapedDate's scaladoc): day-less
+    * remainders move to the first matching weekday on or after the
+    * base (clock preserved); default-date clock parses (year 1) shift
+    * by the weekday's offset from Monday — 0001-01-01 IS a Monday, so
+    * that reproduces dateutil's same-week replacement exactly. */
+  private def applyWeekday(v: java.lang.Long, wd: Int, c: UTF8String,
+      sh: Int, daylessFlex: Boolean, zone: java.time.ZoneId): java.lang.Long = {
+    if (wd < 0) return v
+    val s = c.toString
+    val isDayless = sh == 6 || PIsoYm.matcher(s).matches() ||
+      ((sh == 22 || sh == 25) && daylessFlex)
+    if (isDayless) {
+      val ldt = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(v.longValue(), 1000000L),
+          Math.floorMod(v.longValue(), 1000000L) * 1000L), zone)
+      val adj = ldt.`with`(java.time.temporal.TemporalAdjusters.nextOrSame(
+        java.time.DayOfWeek.of(wd + 1)))
+      microsOf(adj, zone)
+    } else if (v.longValue() < microsOf(
+      java.time.LocalDateTime.of(2, 1, 1, 0, 0), zone).longValue()) {
+      java.lang.Long.valueOf(v.longValue() + wd * 86400000000L)
+    } else v
   }
 
   private val md5 = new ThreadLocal[java.security.MessageDigest] {

@@ -346,9 +346,33 @@ class EnrichSpec extends SparkSpec {
       "9:30.", "9:30..", "9:30...", "9:30. PM", "1:2:3.", "2014-01-10 9:30.",
       "12:3. AM", "9:30. EST", "9:30. GMT+5", "2014-01-10 12:30. UTC",
       "9:30.+5", "9:30.5.", "2014-01-10.", "+5", "12:30+", "9:30 +",
-      "2014-01-10 12:30:15 +5.5", ".5", ":30.", "9:30. 5")
+      "2014-01-10 12:30:15 +5.5", ".5", ":30.", "9:30. 5",
+      // r11 flex families: weekday prefixes, month/numeric
+      // permutations, compact-T, clock commas, bare-T clocks, and
+      // their near-misses
+      "T12:30", "T12:30 EST", "T12:30 PM", "T1230", "SUNDAY", "SUN,",
+      "SUN, 05 JAN 1999", "WED, 05 JAN 1999 12:30:15 EST",
+      "MON TUE 5 JAN 1999", "SUN 12:30:15", "SUN 1999", "SUN 99",
+      "SUN 5", "SUN JAN", "SAT JAN 1999", "SUN 1999-01", "SUNJAN",
+      "TUES 5 JAN 1999", "SUN, 2014-01-10T12:30:15+05:00",
+      "1999 JAN 5", "1999 5 JAN", "5 JAN 99", "10.JAN.1999",
+      "JAN-5-1999", "5/MAR/2001", "JAN 5", "MAY 99", "JAN",
+      "5 6 JAN", "JAN 5 6", "JAN 32 1999", "JAN--5--1999",
+      "1999 JAN 5 9:30 PM", "10.JAN.1999 12:30 EST",
+      "JAN-5-1999 9:30PM+5", "1999 MARCH 21ST", ",JAN 5 1999",
+      "01-05-1999", "13-05-1999", "13.05.1999", "13.5.99",
+      "1999 01 05", "5 6 7", "1/2/345", "13/5/1999", "31/12/99",
+      "13/5/99 12:30", "01-05-1999 9:30.5 PM", "01-05-1999T12:30",
+      "1999.01.05 12:30", "01-05.1999", "01,05,1999", "1ST 2 1999",
+      "13.05", "01-05", "00-00-1999", "JAN5 1999", "5 JAN 1999 SUN",
+      "19990105T123015", "19990105T1230", "19990105T12", "19990105T",
+      "19990105 T12", "19990105T123015.5", "19990105T1230.5",
+      "19990105T1230PM", "19990105T12 EST", "19990105T1230Z",
+      "19990105T1230+5", "19990105T123", "0105T12",
+      "12:30:15,123", "12:30,5", "12:30:15,", "12,30",
+      "2014-01-10 12:30:15,123 UTC", "12:30:15,123 PM")
     val rnd = new scala.util.Random(13)
-    val alphabet = "0123456789/.,- :APMUTCGJANFEBRYLOVDES+"
+    val alphabet = "0123456789/.,- :APMUTCGJANFEBRYLOVDESWHI+"
     val fuzz = (1 to 2000).map(_ =>
       (1 to (1 + rnd.nextInt(16))).map(_ =>
         alphabet(rnd.nextInt(alphabet.length))).mkString)
@@ -613,6 +637,186 @@ class EnrichSpec extends SparkSpec {
     assert(one(permissiveTimestamp(col("x")), "99999999").isNullAt(0))
     assert(one(permissiveTimestamp(col("x")), "2014-01-10").getTimestamp(0)
       .toString == "2014-01-10 00:00:00.0")
+  }
+
+  test("r11 flex date families (dateutil parity subset, all probed)") {
+    import Grabbers._
+    def firstWd(y: Int, wd: java.time.DayOfWeek): String =
+      java.time.LocalDate.of(y, 1, 1)
+        .`with`(java.time.temporal.TemporalAdjusters.nextOrSame(wd))
+        .atStartOfDay().toString.replace('T', ' ') + ":00.0"
+    import java.time.DayOfWeek.{SATURDAY, SUNDAY}
+    val cases = Seq(
+      // ISO bare-T clocks (the pre-r11 fall-through to Spark's cast
+      // anchored these to the CURRENT date — a nondeterministic value)
+      "T12:30"            -> "0001-01-01 12:30:00.0",
+      "T12:30 EST"        -> "0001-01-01 12:30:00.0",
+      "T12:30 PM"         -> "0001-01-01 12:30:00.0",
+      "T12:30:15.5"       -> "0001-01-01 12:30:15.5",
+      // weekday tokens: skipped before a dated remainder (RFC-style
+      // RSS/HTTP dates), day-adjusting otherwise
+      "SUN, 05 JAN 1999"  -> "1999-01-05 00:00:00.0",
+      "SUN, 05 JAN 1999 12:30:15" -> "1999-01-05 12:30:15.0",
+      "WED, 05 JAN 1999 12:30:15 EST" -> "1999-01-05 12:30:15.0",
+      "SUN, 05 JAN 1999 9:30 PM GMT+5" -> "1999-01-06 02:30:00.0",
+      "SUNDAY JANUARY 5 1999" -> "1999-01-05 00:00:00.0",
+      "MON 5 JAN 1999"    -> "1999-01-05 00:00:00.0",
+      "MON,5 JAN 1999"    -> "1999-01-05 00:00:00.0",
+      "MON TUE 5 JAN 1999" -> "1999-01-05 00:00:00.0",
+      "MON, JAN 5, 1999"  -> "1999-01-05 00:00:00.0",
+      "TUE JAN 5, 1999 3:15 PM" -> "1999-01-05 15:15:00.0",
+      "SUN, 1/2/2014"     -> "2014-01-02 00:00:00.0",
+      "SUN, 2014-01-10 12:30" -> "2014-01-10 12:30:00.0",
+      "SUN, 2014-01-10T12:30:15+05:00" -> "2014-01-10 07:30:15.0",
+      "SUNDAY"            -> "0001-01-07 00:00:00.0",
+      "MONDAY"            -> "0001-01-01 00:00:00.0",
+      "SATURDAY"          -> "0001-01-06 00:00:00.0",
+      "SUN"               -> "0001-01-07 00:00:00.0",
+      "SUN,"              -> "0001-01-07 00:00:00.0",
+      "SUN 12:30:15"      -> "0001-01-07 12:30:15.0",
+      "MON 0:0"           -> "0001-01-01 00:00:00.0",
+      "SUN 1999"          -> firstWd(1999, SUNDAY),
+      "SUN 99"            -> firstWd(pivotYear(99), SUNDAY),
+      "SUN 2014"          -> firstWd(2014, SUNDAY),
+      "SUN 1999-01"       -> firstWd(1999, SUNDAY),
+      "SUN JAN"           -> "0001-01-07 00:00:00.0",
+      "SAT JAN 1999"      -> firstWd(1999, SATURDAY),
+      "SUN 5"             -> "0001-01-05 00:00:00.0",
+      // month-name permutations (shape 22/25)
+      "JAN"               -> "0001-01-01 00:00:00.0",
+      "JANUARY"           -> "0001-01-01 00:00:00.0",
+      "JAN 1999"          -> "1999-01-01 00:00:00.0",
+      "1999 JAN"          -> "1999-01-01 00:00:00.0",
+      "1999 JAN 5"        -> "1999-01-05 00:00:00.0",
+      "1999 5 JAN"        -> "1999-01-05 00:00:00.0",
+      "10.JAN.1999"       -> "1999-01-10 00:00:00.0",
+      "JAN-5-1999"        -> "1999-01-05 00:00:00.0",
+      "JAN.5.1999"        -> "1999-01-05 00:00:00.0",
+      "1999-JAN-5"        -> "1999-01-05 00:00:00.0",
+      "5/MAR/2001"        -> "2001-03-05 00:00:00.0",
+      "JAN 5"             -> "0001-01-05 00:00:00.0",
+      "5 JAN"             -> "0001-01-05 00:00:00.0",
+      "JAN 5-1999"        -> "1999-01-05 00:00:00.0",
+      "JAN. 5, 1999"      -> "1999-01-05 00:00:00.0",
+      "JAN,5,1999"        -> "1999-01-05 00:00:00.0",
+      "1999, JAN, 5"      -> "1999-01-05 00:00:00.0",
+      ",JAN 5 1999"       -> "1999-01-05 00:00:00.0",
+      "JAN 5, 1999,"      -> "1999-01-05 00:00:00.0",
+      "1999 MARCH 21ST"   -> "1999-03-21 00:00:00.0",
+      "MAR  2001"         -> "2001-03-01 00:00:00.0",
+      "5   JAN   1999"    -> "1999-01-05 00:00:00.0",
+      // dateutil's _ymd single/double numeric resolution: 3+ digits or
+      // >31 = year (windowed below 100); month-LAST pairs read (year,
+      // day), others (day, year)
+      "MAY 99"            -> s"${pivotYear(99)}-05-01 00:00:00.0",
+      "MAY 999"           -> "0999-05-01 00:00:00.0",
+      "5 JAN 99"          -> s"${pivotYear(99)}-01-05 00:00:00.0",
+      "JAN 5 99"          -> s"${pivotYear(99)}-01-05 00:00:00.0",
+      "99 JAN 5"          -> s"${pivotYear(99)}-01-05 00:00:00.0",
+      "5 JAN 6"           -> s"${pivotYear(6)}-01-05 00:00:00.0",
+      "JAN 5 6"           -> s"${pivotYear(6)}-01-05 00:00:00.0",
+      "5 6 JAN"           -> s"${pivotYear(5)}-01-06 00:00:00.0",
+      "25 JAN 5"          -> s"${pivotYear(5)}-01-25 00:00:00.0",
+      "JAN 25 5"          -> s"${pivotYear(5)}-01-25 00:00:00.0",
+      "32 JAN 5"          -> s"${pivotYear(32)}-01-05 00:00:00.0",
+      // month-name + clock permutations
+      "1999 JAN 5 12:30"  -> "1999-01-05 12:30:00.0",
+      "1999 JAN 5, 12:30" -> "1999-01-05 12:30:00.0",
+      "1999 JAN 5 9:30 PM" -> "1999-01-05 21:30:00.0",
+      "1999 JAN 5 9:30.5" -> "1999-01-05 09:30:30.0",
+      "05 JAN 1999 12:30:15" -> "1999-01-05 12:30:15.0",
+      "05 JAN 1999 9:30 PM" -> "1999-01-05 21:30:00.0",
+      "10.JAN.1999 12:30" -> "1999-01-10 12:30:00.0",
+      "JAN-5-1999 12:30:15" -> "1999-01-05 12:30:15.0",
+      "5 JAN 1999 12:30:15.5" -> "1999-01-05 12:30:15.5",
+      "5 JAN 1999 3:15P"  -> "1999-01-05 15:15:00.0",
+      "JAN 5 1999 3:15 A" -> "1999-01-05 03:15:00.0",
+      "1999-JAN-5 12:30"  -> "1999-01-05 12:30:00.0",
+      "1999 JAN 5 12:30:15 GMT" -> "1999-01-05 12:30:15.0",
+      "10.JAN.1999 12:30 EST" -> "1999-01-10 12:30:00.0",
+      "JAN-5-1999 9:30PM+5" -> "1999-01-05 16:30:00.0",
+      "05 JAN 1999 12:30:15 GMT +5" -> "1999-01-05 12:30:15.0",
+      "1999 JAN 5 12:30+5" -> "1999-01-05 07:30:00.0",
+      // numeric permutations (shape 23/26): M-D-Y with dateutil's
+      // month/day auto-swap; leading 4-digit years are Y-M-D (no swap)
+      "01-05-1999"        -> "1999-01-05 00:00:00.0",
+      "13-05-1999"        -> "1999-05-13 00:00:00.0",
+      "05-13-1999"        -> "1999-05-13 00:00:00.0",
+      "31-12-1999"        -> "1999-12-31 00:00:00.0",
+      "01-05-99"          -> s"${pivotYear(99)}-01-05 00:00:00.0",
+      "10.01.1999"        -> "1999-10-01 00:00:00.0",
+      "13.05.1999"        -> "1999-05-13 00:00:00.0",
+      "13.5.99"           -> s"${pivotYear(99)}-05-13 00:00:00.0",
+      "1999.5.13"         -> "1999-05-13 00:00:00.0",
+      "1999 01 05"        -> "1999-01-05 00:00:00.0",
+      "01 05 1999"        -> "1999-01-05 00:00:00.0",
+      "1999 12 31"        -> "1999-12-31 00:00:00.0",
+      "31 12 1999"        -> "1999-12-31 00:00:00.0",
+      "12 31 1999"        -> "1999-12-31 00:00:00.0",
+      "99 01 05"          -> s"${pivotYear(99)}-01-05 00:00:00.0",
+      "5 6 7"             -> s"${pivotYear(7)}-05-06 00:00:00.0",
+      "1/2/345"           -> "0345-01-02 00:00:00.0",
+      "123/4/5"           -> "0123-04-05 00:00:00.0",
+      "1ST 2 1999"        -> "1999-01-02 00:00:00.0",
+      // numeric + clock, the slash swap, and 2-digit-year slash clocks
+      "13/5/1999"         -> "1999-05-13 00:00:00.0",
+      "31/1/1999"         -> "1999-01-31 00:00:00.0",
+      "31/12/99"          -> s"${pivotYear(99)}-12-31 00:00:00.0",
+      "13/5/1999 12:30"   -> "1999-05-13 12:30:00.0",
+      "13/5/99 12:30"     -> s"${pivotYear(99)}-05-13 12:30:00.0",
+      "1/2/34 12:30"      -> s"${pivotYear(34)}-01-02 12:30:00.0",
+      "1999/1/5 12:30"    -> "1999-01-05 12:30:00.0",
+      "13-05-1999 3:15 PM" -> "1999-05-13 15:15:00.0",
+      "05-13-99 12:30"    -> s"${pivotYear(99)}-05-13 12:30:00.0",
+      "01-05-1999 12:30:15" -> "1999-01-05 12:30:15.0",
+      "01-05-1999 9:30.5 PM" -> "1999-01-05 21:30:30.0",
+      "01-05-1999T12:30"  -> "1999-01-05 12:30:00.0",
+      "1999.01.05 12:30"  -> "1999-01-05 12:30:00.0",
+      "1999.01.05 9:30 PM" -> "1999-01-05 21:30:00.0",
+      "10.01.1999 12:30"  -> "1999-10-01 12:30:00.0",
+      "01-05-1999 12:30:15 EST" -> "1999-01-05 12:30:15.0",
+      "13/5/1999 12:30 GMT+5" -> "1999-05-13 17:30:00.0",
+      // compact yyyyMMdd + 'T' clocks (shape 24)
+      "19990105T123015"   -> "1999-01-05 12:30:15.0",
+      "19990105T1230"     -> "1999-01-05 12:30:00.0",
+      "19990105T12"       -> "1999-01-05 12:00:00.0",
+      "19990105T"         -> "1999-01-05 00:00:00.0",
+      "19990105 T12"      -> "1999-01-05 12:00:00.0",
+      "19990105T123015.5" -> "1999-01-05 12:30:15.5",
+      "19990105T1230PM"   -> "1999-01-05 12:30:00.0",
+      "19990105T1230 PM"  -> "1999-01-05 12:30:00.0",
+      "19990105T12 EST"   -> "1999-01-05 12:00:00.0",
+      "19990105T1230Z"    -> "1999-01-05 12:30:00.0",
+      "19990105T1230+5"   -> "1999-01-05 07:30:00.0",
+      // clock comma = dateutil's decimal comma
+      "12:30:15,123"      -> "0001-01-01 12:30:15.123",
+      "12:30,5"           -> "0001-01-01 12:30:30.0",
+      "12:30:15,"         -> "0001-01-01 12:30:15.0",
+      "2014-01-10 12:30:15,123" -> "2014-01-10 12:30:15.123",
+      "2014-01-10 12:30:15,123 UTC" -> "2014-01-10 12:30:15.123",
+      "12:30:15,123 PM"   -> "0001-01-01 12:30:15.123")
+    for ((in, want) <- cases) {
+      val got = one(permissiveTimestamp(upper(trim(col("x")))), in)
+      assert(!got.isNullAt(0) && got.getTimestamp(0).toString == want,
+        s"$in -> ${got}")
+    }
+    // probed dateutil ParserErrors stay null; the last group pins the
+    // r11 DOCUMENTED divergences (each null here, lunacy in dateutil):
+    // "T1230" → year 1230; 2-token numerics ("13.05" → decimal-token
+    // day); comma-separated numeric triples ("01,05,1999" → decimal
+    // comma eats the day); letter-digit adjacency ("JAN5 1999" →
+    // dateutil's lexer splits, here one bad token); weekday AFTER the
+    // date ("5 JAN 1999 SUN" — leading-position weekdays only)
+    for (in <- Seq("T1230", "JAN 32 1999", "0 JAN 1999", "JAN 0 1999",
+      "1999 JAN FEB", "JAN--5--1999", "JAN 5,, 1999", "13/13/1999",
+      "1999/13/5", "1999.13.5", "00-00-1999", "01-05.1999", "1 2 3 4",
+      "111/2/34", "19990105T1", "19990105T123", "19990105T1230.5",
+      "0105T12", "JAN 5, 1999 EST", "01-05-1999 EST", "19990105T123 EST",
+      "JAN 5 1999 25:00", "TUES 5 JAN 1999", "THURS 5 JAN 1999",
+      "SUNJAN", "12,30", "13.05", "01-05", "1/2", "12H30", "JAN5 1999",
+      "01,05,1999", "5 JAN 1999 SUN"))
+      assert(one(permissiveTimestamp(upper(trim(col("x")))), in).isNullAt(0),
+        s"$in should be null")
   }
 
   test("date fallback composes from year/month/day (test:209-221)") {

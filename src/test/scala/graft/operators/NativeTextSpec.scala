@@ -321,16 +321,63 @@ class NativeTextSpec extends SparkSpec {
       "(\\.\\d+)? (UTC|GMT)$"
     val p14 = "^\\d{1,2}/\\d{1,2}/\\d{4} \\d{1,2}:\\d{1,2}(:\\d{1,2})?( ?[AP]M?)?$"
     // the clock core: ISO datetime with a clock, or a bare clock
-    // (date optional — dateutil default-fills year-1 Jan 1);
-    // minutes/seconds may be 1-digit (r10, probed)
-    val isoClock = "^(\\d{4}-\\d{1,2}-\\d{1,2}[T ])?\\d{1,2}:\\d{1,2}(:\\d{1,2})?(\\.\\d+)?$"
+    // (date optional — dateutil default-fills year-1 Jan 1; a leading
+    // bare 'T' is ISO time-of-day, r11); minutes/seconds may be
+    // 1-digit (r10, probed)
+    val isoClock = "^(\\d{4}-\\d{1,2}-\\d{1,2}[T ]|T)?\\d{1,2}:\\d{1,2}(:\\d{1,2})?(\\.\\d+)?$"
     // 16: clock core + meridiem token, spaced or attached
-    val p16 = "^(\\d{4}-\\d{1,2}-\\d{1,2}[T ])?\\d{1,2}:\\d{1,2}(:\\d{1,2})?" +
+    val p16 = "^(\\d{4}-\\d{1,2}-\\d{1,2}[T ]|T)?\\d{1,2}:\\d{1,2}(:\\d{1,2})?" +
       "(\\.\\d+)? ?[AP]M?$"
+    // 24: compact yyyyMMdd + ISO 'T' clock (r11): bare T, 2/4/6-digit
+    // clocks, a seconds fraction on 6-digit clocks only, an optional
+    // meridiem on clock-bearing forms
+    def shape24(s: String): Boolean =
+      s.matches("^\\d{8} ?T$") ||
+      s.matches("^\\d{8} ?T(\\d{2}|\\d{4}|\\d{6})( ?[AP]M?)?$") ||
+      s.matches("^\\d{8} ?T\\d{6}\\.\\d+( ?[AP]M?)?$")
+    // 22/23/25/26 (r11): permutation date families — one month-name
+    // token + up to two numerics (ordinals allowed), or three numeric
+    // fields over a uniform non-comma separator (dash excluded when
+    // the lead field is a 4-digit year: that is ISO/cast territory);
+    // separator runs hold at most one punctuation char; an optional
+    // flex clock tail selects the clock-bearing twin
+    val flexClock = "\\d{1,2}:\\d{1,2}(:\\d{1,2})?(\\.\\d+)?( ?[AP]M?)?"
+    def flexShape(s: String): Int = {
+      var dateEnd = s.length
+      var hasClock = false
+      var i = s.length - 2
+      while (i >= 1 && !hasClock) {
+        val ch = s.charAt(i)
+        if ((ch == ' ' || ch == 'T') &&
+          s.substring(i + 1).matches(flexClock)) { dateEnd = i; hasClock = true }
+        i -= 1
+      }
+      val dp = s.substring(0, dateEnd)
+      // a separator run with two punctuation chars is a ParserError
+      if ("""[,.\-/] *[,.\-/]""".r.findFirstIn(dp).isDefined) return 0
+      val toks = dp.split("[ ,.\\-/]+").filter(_.nonEmpty)
+      if (toks.isEmpty || toks.exists(t =>
+        !t.matches("[A-Z]{3,9}") && !t.matches("\\d{1,4}") &&
+        !t.matches("\\d{1,2}(ST|ND|RD|TH)"))) return 0
+      val letters = toks.count(_.matches("[A-Z]{3,9}"))
+      val digits = toks.length - letters
+      if (letters == 1 && digits <= 2) return if (hasClock) 25 else 22
+      if (letters == 0 && digits == 3) {
+        val runs = "(?<=[A-Z0-9])[ ,.\\-/]+(?=[A-Z0-9])".r.findAllIn(dp).toList
+        val seps = runs.map(r => r.find(_ != ' ').getOrElse(' ')).distinct
+        if (seps.length > 1) return 0
+        val sep = seps.headOption.getOrElse(' ')
+        if (sep == ',') return 0
+        if (sep == '-' && toks.head.length == 4) return 0
+        return if (hasClock) 26 else 23
+      }
+      0
+    }
     // a clock-bearing prefix for the zone suffixes of 15/18
     def clockBearing(base: String): Boolean =
       base.nonEmpty && (base.matches(isoClock) || base.matches(p12) ||
-        base.matches(p14) || base.matches(p16))
+        base.matches(p14) || base.matches(p16) || shape24(base) ||
+        flexShape(base) == 25 || flexShape(base) == 26)
     // 15: clock-bearing prefix + a 1-5 letter uppercase run that is not
     // an exact AM/PM clock marker (dateutil's unresolvable-tzname
     // path), spaced or attached to a digit. Prefixes that already
@@ -396,7 +443,7 @@ class NativeTextSpec extends SparkSpec {
       15 -> shape15 _,
       16 -> ((s: String) => s.matches(p16)),
       17 -> ((s: String) =>
-        s.matches("^\\d{1,2}:\\d{1,2}(:\\d{1,2})?(\\.\\d+)?$") ||
+        s.matches("^T?\\d{1,2}:\\d{1,2}(:\\d{1,2})?(\\.\\d+)?$") ||
         // ISO datetime + MINUTE fraction also takes the clock-core
         // parse (plain ISO stays 0 for Spark's cast — r10)
         s.matches("^\\d{4}-\\d{1,2}-\\d{1,2}[T ]\\d{1,2}:\\d{1,2}\\.\\d+$")),
@@ -412,7 +459,13 @@ class NativeTextSpec extends SparkSpec {
       8 -> ((s: String) => s.matches("^[A-Z]{3,9} \\d{1,2}(ST|ND|RD|TH),? \\d{4}$")),
       9 -> ((s: String) => s.matches("^\\d{1,2}(ST|ND|RD|TH) [A-Z]{3,9} \\d{4}$")),
       10 -> ((s: String) => s.matches("^\\d{8}$")),
-      11 -> ((s: String) => s.matches("^\\d{1,2}/\\d{1,2}/\\d{2}$")))
+      11 -> ((s: String) => s.matches("^\\d{1,2}/\\d{1,2}/\\d{2}$")),
+      // r11 flex families, after every legacy anchor (kernel order)
+      24 -> shape24 _,
+      22 -> ((s: String) => flexShape(s) == 22),
+      23 -> ((s: String) => flexShape(s) == 23),
+      25 -> ((s: String) => flexShape(s) == 25),
+      26 -> ((s: String) => flexShape(s) == 26))
     def regexShape(s: String): Int =
       patterns.find { case (_, p) => p(s) }.map(_._1).getOrElse(0)
     val fixed = Seq(
@@ -489,7 +542,7 @@ class NativeTextSpec extends SparkSpec {
       "9:30 PM +5 EST", "9:30.+5", "2014-01-10+5", "+5", "12:30+",
       "2014-01-10 12:30:15 +5.5", "9:30 PM+5:30", "13:30 PM +5")
     val rnd = new scala.util.Random(7)
-    val alphabet = "0123456789/.,- ABCDEFGHIJZSTNRHUPM:+"
+    val alphabet = "0123456789/.,- ABCDEFGHIJZSTNRHUPMWO:+"
     val fuzz = (1 to 3000).map(_ =>
       (1 to (1 + rnd.nextInt(12))).map(_ =>
         alphabet(rnd.nextInt(alphabet.length))).mkString)
