@@ -974,6 +974,10 @@ object MinhashKernel {
       colons == 1 && dot
     }
     if (isoMinuteFrac()) return 17
+    // fast path: a plain ISO datetime (no minute fraction) is the
+    // overwhelmingly common real input and is the cast's territory —
+    // return before the family scans and the flex tokenizer run
+    if (isoDateTime(0, n)) return 0
 
     val slash = split3('/')
     if (slash != null) {
@@ -1048,6 +1052,11 @@ object MinhashKernel {
       val dash = split3('-')
       if (dash != null && dig(dash(0), dash(1), 1, 2) &&
         up(dash(2), dash(3), 3, 9) && dig(dash(4), dash(5), 4, 4)) return 7
+      // plain ISO date — the cast's territory (fast path, like the
+      // datetime form above; the flex classifier would also exclude
+      // it, but only after a full tokenizer run)
+      if (dash != null && dig(dash(0), dash(1), 4, 4) &&
+        dig(dash(2), dash(3), 1, 2) && dig(dash(4), dash(5), 1, 2)) return 0
       // "^\d{8}$" — compact yyyyMMdd (dateutil accepts "20140110")
       if (dash == null && dig(0, n, 8, 8)) return 10
     }
@@ -1289,10 +1298,15 @@ object MinhashKernel {
     val n = b.length
     var i = 0
     var hit = false
+    var colon = false
     while (i < n && !hit) {
-      if (b(i) == '.' && (i + 1 == n || b(i + 1) < '0' || b(i + 1) > '9'))
+      if (b(i) == ':') colon = true
+      else if (b(i) == '.' && (i + 1 == n || b(i + 1) < '0' || b(i + 1) > '9'))
         hit = true
-      else if (b(i) == ',') hit = true
+      // a comma can only be a clock comma after "H:M" — the colon
+      // gate keeps month-name dates ("JAN 5, 1999") off the regex path
+      else if (b(i) == ',' && colon && i > 0 &&
+        b(i - 1) >= '0' && b(i - 1) <= '9') hit = true
       i += 1
     }
     if (!hit) return c
@@ -1613,14 +1627,14 @@ object MinhashKernel {
   def parseShapedDate(c0: UTF8String, runYear: Int,
       zone: java.time.ZoneId): java.lang.Long = {
     val c1 = stripClockDots(c0)
-    val wp = weekdayPrefix(c1.getBytes)
+    val b1 = c1.getBytes
+    val wp = weekdayPrefix(b1)
     var wd = -1
     var c = c1
     if (wp >= 0) {
       wd = wp >>> 24
-      val bb = c1.getBytes
       val off = wp & 0xffffff
-      c = UTF8String.fromBytes(bb, off, bb.length - off)
+      c = UTF8String.fromBytes(b1, off, b1.length - off)
       if (c.numBytes == 0) return dateMicros(zone, 1, 1, 1 + wd)
     }
     val sh = dateShape(c)
