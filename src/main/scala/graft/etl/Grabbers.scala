@@ -185,15 +185,17 @@ object Grabbers {
       Seq("MON", "TUE", "WED", "THU", "FRI", "SAT", "SUN")), wd + 1)
     val bv = c.cast("int")
     val yearishBare = (length(c) >= 3) || (bv > 31)
-    val dayless = (sh === 6) || c.rlike("^\\d{4}(-\\d{1,2})?$") ||
-      (sh === 22 && monthFlexParts(c, hasClock = false)._2) ||
-      (sh === 25 && monthFlexParts(c, hasClock = true)._2)
-    val d0 = base.cast("date")
-    // a single day-shift interval added to base keeps null propagation
-    // and base references minimal (the cascade subtree is large)
-    val adjDays = when(dayless,
-        datediff(next_day(date_sub(d0, 1), wdName), d0))
-      .when(base < to_timestamp(lit("0002-01-01 00:00:00")), wd)
+    // day state (kernel dayState, probed r11): 1 = date without a day
+    // (first matching weekday on/after the NAIVE base — before any
+    // zone offset), 2 = date-less clock (+wd days from Monday),
+    // 0 = explicit day (no adjustment)
+    val st = when(c.rlike("^\\d{4}(-\\d{1,2})?$"), lit(1))
+      .otherwise(dayStateSpec(c, sh))
+    val naive = when(sh.isin(15, 18, 19, 20),
+      naivePrefix(suffixStripSpec(c, sh))).otherwise(base)
+    val mi = pmod(dayofweek(naive.cast("date")) + 5, lit(7)) // MON=0..SUN=6
+    val adjDays = when(st === 1, pmod(wd - mi, lit(7)))
+      .when(st === 2, wd)
       .otherwise(lit(0))
     when(c === "",
       concat(lit("0001-01-0"), (wd + 1).cast("string"))
@@ -208,7 +210,42 @@ object Grabbers {
         lit(0), lit(0), lit(0)))
   }
 
+  /** One-level suffix strip for shapes 15/18/19/20 (the kernel's
+    * suffixBase in regex form). */
+  private def suffixStripSpec(c: Column, sh: Column): Column =
+    when(sh === 15, regexp_replace(c, " ?[A-Z]{1,5}$", ""))
+      .when(sh === 18,
+        regexp_replace(c, " ?[A-Z]{1,5}[+-]\\d{1,2}(:\\d{1,2})?$", ""))
+      .when(sh === 19, regexp_replace(c,
+        " ?[A-Z]{1,5} [+-](\\d{1,2}(:\\d{1,2})?|\\d{4})$", ""))
+      .when(sh === 20, regexp_replace(c,
+        " ?[+-](\\d{1,2}(:\\d{1,2})?|\\d{4})$", ""))
+      .otherwise(c)
 
+  /** Column mirror of the kernel's dayState (0/1/2 — see weekdaySpec).
+    * Suffix shapes strip one level and re-classify their naive base. */
+  private def dayStateSpec(c: Column, sh: Column): Column = {
+    val isoDay = "^\\d{4}-\\d{1,2}-\\d{1,2}[T ]"
+    val base = suffixStripSpec(c, sh)
+    val sub = graft.functions.NativeText.dateShape(base)
+    val subSt = when(sub === 6, lit(1))
+      .when(sub === 16 || sub === 17 || sub === 0,
+        when(base.rlike(isoDay), lit(0)).otherwise(lit(2)))
+      .when(sub === 22,
+        when(monthFlexParts(base, hasClock = false)._2, lit(1)).otherwise(lit(0)))
+      .when(sub === 25,
+        when(monthFlexParts(base, hasClock = true)._2, lit(1)).otherwise(lit(0)))
+      .otherwise(lit(0))
+    when(sh === 6, lit(1))
+      .when(sh === 16 || sh === 17,
+        when(c.rlike(isoDay), lit(0)).otherwise(lit(2)))
+      .when(sh === 22,
+        when(monthFlexParts(c, hasClock = false)._2, lit(1)).otherwise(lit(0)))
+      .when(sh === 25,
+        when(monthFlexParts(c, hasClock = true)._2, lit(1)).otherwise(lit(0)))
+      .when(sh.isin(15, 18, 19, 20), subSt)
+      .otherwise(lit(0))
+  }
 
   /** dateutil's convertyear in Column form (kernel windowYear): an
     * explicit year below 100 lands in the run year's century, then
@@ -397,21 +434,20 @@ object Grabbers {
       // calendar years window differently, exactly as dateutil does.
       when(sh === 11, {
         val p = split(c, "/")
-        val yy = element_at(p, 3).cast("int")
-        val runYear = java.time.Year.now.getValue
-        val y0 = yy + lit((runYear / 100) * 100)
-        val yr = when(abs(y0 - runYear) >= 50,
-            when(y0 < runYear, y0 + 100).otherwise(y0 - 100))
-          .otherwise(y0)
-        // dateutil's month/day auto-swap, as in shape 2 ("31/12/99" →
-        // Dec 31, probed r11)
-        coalesce(
-          try_make_timestamp(yr,
-            element_at(p, 1).cast("int"), element_at(p, 2).cast("int"),
-            lit(0), lit(0), lit(0)),
-          try_make_timestamp(yr,
-            element_at(p, 2).cast("int"), element_at(p, 1).cast("int"),
+        val v1 = element_at(p, 1).cast("int")
+        val v2 = element_at(p, 2).cast("int")
+        val v3 = element_at(p, 3).cast("int")
+        // dateutil's month/day auto-swap ("31/12/99" → Dec 31) and the
+        // _ymd >31 lead-year rule ("80/8/29" → 1980-08-29), probed r11
+        // year-first never swaps ("32/24/12" is a ParserError)
+        when(v1 > 31,
+          try_make_timestamp(windowYearCol(v1), v2, v3,
             lit(0), lit(0), lit(0)))
+          .otherwise(coalesce(
+            try_make_timestamp(windowYearCol(v3), v1, v2,
+              lit(0), lit(0), lit(0)),
+            try_make_timestamp(windowYearCol(v3), v2, v1,
+              lit(0), lit(0), lit(0))))
       }),
       // r11 flex families: month-name permutations ("1999 JAN 5",
       // "10.JAN.1999", "JAN-5-1999", "MAY 99", bare "JAN") and numeric
@@ -467,10 +503,11 @@ object Grabbers {
           nullif(regexp_extract(c, re, 5), lit("")).cast("int"), lit(0))
         val offMin = (oh * 60 + om) *
           when(regexp_extract(c, re, 1) === "+", 1).otherwise(-1)
-        when(abs(offMin) < 24 * 60,
-          when(name.isin("UTC", "GMT", "Z"), naivePrefix(base))
-            .otherwise(naivePrefix(base) -
-              make_dt_interval(lit(0), lit(0), offMin, lit(0))))
+        // a UTC-equivalent name drops the orphan offset WITHOUT
+        // validating it ("4:10UTC -23:63" parses — probed r11)
+        when(name.isin("UTC", "GMT", "Z"), naivePrefix(base))
+          .otherwise(when(abs(offMin) < 24 * 60, naivePrefix(base) -
+            make_dt_interval(lit(0), lit(0), offMin, lit(0))))
       }),
       // bare signed offset, NO zone name ("12:30:15 +5", attached
       // "…12:30:15+5", meridiem prefixes "9:30 PM +5" / "9:30PM+5" —

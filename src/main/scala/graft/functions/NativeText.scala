@@ -795,6 +795,17 @@ object MinhashKernel {
     // GMT", "01-05-1999 12:30:15 EST", "19990105T1230 EST", probed)
     def clockSub(i: Int): Boolean =
       i == 12 || i == 14 || i == 16 || i == 24 || i == 25 || i == 26
+    // a shape-24 prefix can take a suffix only when actual clock
+    // digits follow its 'T' — "19970704T BLURG" is a dateutil
+    // ParserError (the zone needs a TIME; probed r11)
+    def subOk(sub: Int, pe: Int): Boolean =
+      if (sub != 24) clockSub(sub)
+      else {
+        var t = 8
+        if (t < pe && b(t) == ' ') t += 1
+        t < pe && b(t) == 'T' && t + 1 < pe &&
+          b(t + 1) >= '0' && b(t + 1) <= '9'
+      }
     def tzNameSuffix(): Boolean = {
       var st = n
       while (st > 0 && b(st - 1) >= 'A' && b(st - 1) <= 'Z') st -= 1
@@ -808,7 +819,7 @@ object MinhashKernel {
       val pe = if (spaced) st - 1 else st
       if (pe <= 0) return false
       if (clockPrefix(pe)) return true
-      clockSub(dateShape(UTF8String.fromBytes(b, 0, pe)))
+      subOk(dateShape(UTF8String.fromBytes(b, 0, pe)), pe)
     }
     // 16: clock-bearing value + a meridiem token (A/P/AM/PM, spaced or
     // attached): dateutil applies the token to the hour (12 AM → 00,
@@ -859,7 +870,7 @@ object MinhashKernel {
       val pe = if (spaced) st - 1 else st
       if (pe <= 0) return false
       if (clockPrefix(pe)) return true
-      clockSub(dateShape(UTF8String.fromBytes(b, 0, pe)))
+      subOk(dateShape(UTF8String.fromBytes(b, 0, pe)), pe)
     }
 
     // 19: clock-bearing value + zone NAME + SPACE-separated signed
@@ -899,7 +910,7 @@ object MinhashKernel {
       val pe = if (spaced) st - 1 else st
       if (pe <= 0) return false
       if (clockPrefix(pe)) return true
-      clockSub(dateShape(UTF8String.fromBytes(b, 0, pe)))
+      subOk(dateShape(UTF8String.fromBytes(b, 0, pe)), pe)
     }
 
     // ISO+UTC/GMT first (13 claims it before the generic zone-name
@@ -938,7 +949,7 @@ object MinhashKernel {
       val pe = if (b(sp - 1) == ' ') sp - 1 else sp
       if (pe <= 0) return false
       if (clockPrefix(pe)) return true
-      clockSub(dateShape(UTF8String.fromBytes(b, 0, pe)))
+      subOk(dateShape(UTF8String.fromBytes(b, 0, pe)), pe)
     }
 
     if (isoZoneSuffix()) return 13
@@ -1610,6 +1621,55 @@ object MinhashKernel {
   // Sunday of 1999; "SUN 1999-01" likewise — probed)
   private val PIsoYm = java.util.regex.Pattern.compile(
     "^\\d{4}(-\\d{1,2})?$")
+  private val PIsoDayPrefix = java.util.regex.Pattern.compile(
+    "^\\d{4}-\\d{1,2}-\\d{1,2}[T ]")
+
+  /** The naive base left after stripping a shape-15/18/19/20 suffix
+    * (mirrors the respective parse branches). */
+  private def suffixBase(s: String, sh: Int): String = sh match {
+    case 15 =>
+      var t = s.length - 1
+      while (t >= 0 && s.charAt(t) >= 'A' && s.charAt(t) <= 'Z') t -= 1
+      if (t >= 0 && s.charAt(t) == ' ') s.substring(0, t)
+      else s.substring(0, t + 1)
+    case 18 =>
+      val m = P18Tail.matcher(s)
+      if (m.find()) s.substring(0, m.start()) else s
+    case 19 =>
+      val m = P19Tail.matcher(s)
+      if (!m.find()) return s
+      val base0 = s.substring(0, m.start())
+      var t = base0.length - 1
+      while (t >= 0 && base0.charAt(t) >= 'A' && base0.charAt(t) <= 'Z') t -= 1
+      if (t >= 0 && base0.charAt(t) == ' ') base0.substring(0, t)
+      else base0.substring(0, t + 1)
+    case 20 =>
+      val m = P20Tail.matcher(s)
+      if (m.find()) s.substring(0, m.start()) else s
+    case _ => s
+  }
+
+  /** Day state of a classified value: 0 = explicit day, 1 = a date
+    * WITHOUT a day ("MARCH 2001" — the weekday moves to the first
+    * match on or after the base), 2 = no date at all (a default-date
+    * clock — the weekday shifts from Monday). dateutil applies a
+    * weekday token only when the day was NOT given (parser.py: the
+    * weekday replacement requires res.day is None): "THU OCT 5" stays
+    * Oct 5 while "SUN 12:30 EST" moves to the first Sunday, and
+    * "SUN DECEMBER 57 2:19X+5" anchors to the first Sunday of
+    * Dec 2057 — probed r11. */
+  private def dayState(c: String, sh: Int): Int = sh match {
+    case 6 => 1
+    case 16 | 17 => if (PIsoDayPrefix.matcher(c).find()) 0 else 2
+    case 22 => if (monthFlexDayless(c, hasClock = false)) 1 else 0
+    case 25 => if (monthFlexDayless(c, hasClock = true)) 1 else 0
+    case 15 | 18 | 19 | 20 =>
+      val base = suffixBase(c, sh)
+      val sub = dateShape(UTF8String.fromString(base))
+      if (sub == 0) { if (PIsoDayPrefix.matcher(base).find()) 0 else 2 }
+      else dayState(base, sub)
+    case _ => 0
+  }
 
   /** Parse a string already classified by [[dateShape]]; null when it is
     * shape 0 or fails its family's calendar/clock validation. Semantics
@@ -1677,7 +1737,7 @@ object MinhashKernel {
         } catch { case _: RuntimeException => null }
       } else return null
       if (v == null) return null
-      return applyWeekday(v, wd, c, sh, dayless(0), zone)
+      return applyWeekday(v, wd, c, sh, runYear, zone)
     }
     val s = c.toString
     val parsed: java.lang.Long = try {
@@ -1710,10 +1770,18 @@ object MinhashKernel {
           dateMicros(zone, s.substring(0, 4).toInt,
             s.substring(4, 6).toInt, s.substring(6, 8).toInt)
         case 11 =>
-          // two-digit year + the same auto-swap ("31/12/99", probed)
+          // two-digit year + the same auto-swap ("31/12/99", probed);
+          // a lead field over 31 is itself the YEAR ("80/8/29" →
+          // 1980-08-29 — dateutil's _ymd >31 rule, probed r11)
           val p = s.split("/")
-          microsOf(mdLocalDate(windowYear(p(2).toInt, runYear),
-            p(0).toInt, p(1).toInt).atStartOfDay, zone)
+          val v0 = p(0).toInt
+          if (v0 > 31)
+            // year-first never swaps ("32/24/12" is a ParserError)
+            microsOf(java.time.LocalDate.of(windowYear(v0, runYear),
+              p(1).toInt, p(2).toInt).atStartOfDay, zone)
+          else
+            microsOf(mdLocalDate(windowYear(p(2).toInt, runYear),
+              v0, p(1).toInt).atStartOfDay, zone)
         case 12 =>
           val m = P12.matcher(s)
           if (!m.matches()) return null
@@ -1815,7 +1883,6 @@ object MinhashKernel {
             if (m.group(3) != null) m.group(3).toInt
             else if (m.group(5) != null) m.group(5).toInt else 0
           val offSec = oh * 3600L + om * 60L
-          if (offSec >= 86400L) return null
           val base0 = s.substring(0, m.start())
           var t = base0.length - 1
           while (t >= 0 && base0.charAt(t) >= 'A' && base0.charAt(t) <= 'Z')
@@ -1826,7 +1893,10 @@ object MinhashKernel {
             else base0.substring(0, t + 1)
           val v = naivePrefixMicros(base, runYear, zone)
           if (v == null) null
+          // after a UTC-equivalent name the orphan offset is dropped
+          // WITHOUT validation ("4:10UTC -23:63" parses; probed r11)
           else if (name == "UTC" || name == "GMT" || name == "Z") v
+          else if (offSec >= 86400L) null
           else {
             val sign = if (m.group(1) == "+") 1L else -1L
             java.lang.Long.valueOf(v.longValue() - sign * offSec * 1000000L)
@@ -1864,32 +1934,37 @@ object MinhashKernel {
       }
     } catch { case _: RuntimeException => null }
     if (parsed == null) null
-    else applyWeekday(parsed, wd, c, sh, dayless(0), zone)
+    else applyWeekday(parsed, wd, c, sh, runYear, zone)
   }
 
-  /** The weekday adjustment (see parseShapedDate's scaladoc): day-less
-    * remainders move to the first matching weekday on or after the
-    * base (clock preserved); default-date clock parses (year 1) shift
-    * by the weekday's offset from Monday — 0001-01-01 IS a Monday, so
-    * that reproduces dateutil's same-week replacement exactly. */
+  /** The weekday adjustment (see dayState): a day-less DATE moves to
+    * the first matching weekday on or after the base — computed on the
+    * NAIVE base (before any zone offset: dateutil replaces the day
+    * first, then applies the offset); a date-less clock shifts by the
+    * weekday's offset from Monday (0001-01-01 IS a Monday), which
+    * commutes with any offset already applied. */
   private def applyWeekday(v: java.lang.Long, wd: Int, c: UTF8String,
-      sh: Int, daylessFlex: Boolean, zone: java.time.ZoneId): java.lang.Long = {
+      sh: Int, runYear: Int, zone: java.time.ZoneId): java.lang.Long = {
     if (wd < 0) return v
     val s = c.toString
-    val isDayless = sh == 6 || PIsoYm.matcher(s).matches() ||
-      ((sh == 22 || sh == 25) && daylessFlex)
-    if (isDayless) {
-      val ldt = java.time.LocalDateTime.ofInstant(
-        java.time.Instant.ofEpochSecond(
-          Math.floorDiv(v.longValue(), 1000000L),
-          Math.floorMod(v.longValue(), 1000000L) * 1000L), zone)
-      val adj = ldt.`with`(java.time.temporal.TemporalAdjusters.nextOrSame(
-        java.time.DayOfWeek.of(wd + 1)))
-      microsOf(adj, zone)
-    } else if (v.longValue() < microsOf(
-      java.time.LocalDateTime.of(2, 1, 1, 0, 0), zone).longValue()) {
-      java.lang.Long.valueOf(v.longValue() + wd * 86400000000L)
-    } else v
+    val state = if (PIsoYm.matcher(s).matches()) 1 else dayState(s, sh)
+    if (state == 0) return v
+    if (state == 2)
+      return java.lang.Long.valueOf(v.longValue() + wd * 86400000000L)
+    val naive: java.lang.Long = sh match {
+      case 15 | 18 | 19 | 20 =>
+        val b = parseShapedDate(UTF8String.fromString(suffixBase(s, sh)),
+          runYear, zone)
+        if (b == null) v else b
+      case _ => v
+    }
+    val dow = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(naive.longValue(), 1000000L),
+        Math.floorMod(naive.longValue(), 1000000L) * 1000L), zone)
+      .getDayOfWeek.getValue // MON=1..SUN=7
+    val delta = ((wd + 1) - dow + 7) % 7
+    java.lang.Long.valueOf(v.longValue() + delta * 86400000000L)
   }
 
   private val md5 = new ThreadLocal[java.security.MessageDigest] {

@@ -370,7 +370,10 @@ class EnrichSpec extends SparkSpec {
       "19990105T1230PM", "19990105T12 EST", "19990105T1230Z",
       "19990105T1230+5", "19990105T123", "0105T12",
       "12:30:15,123", "12:30,5", "12:30:15,", "12,30",
-      "2014-01-10 12:30:15,123 UTC", "12:30:15,123 PM")
+      "2014-01-10 12:30:15,123 UTC", "12:30:15,123 PM",
+      "THU,OCTOBER 5", "SAT 27, DECEMBER", "80/8/29", "32/24/12",
+      "4:10UTC -23:63", "4:10EST -23:63", "19970704T BLURG +12",
+      "SUN DECEMBER 57 2:19:28X+2", "FRI, AUGUST 15:1+13")
     val rnd = new scala.util.Random(13)
     val alphabet = "0123456789/.,- :APMUTCGJANFEBRYLOVDESWHI+"
     val fuzz = (1 to 2000).map(_ =>
@@ -794,7 +797,20 @@ class EnrichSpec extends SparkSpec {
       "12:30:15,"         -> "0001-01-01 12:30:15.0",
       "2014-01-10 12:30:15,123" -> "2014-01-10 12:30:15.123",
       "2014-01-10 12:30:15,123 UTC" -> "2014-01-10 12:30:15.123",
-      "12:30:15,123 PM"   -> "0001-01-01 12:30:15.123")
+      "12:30:15,123 PM"   -> "0001-01-01 12:30:15.123",
+      // differential findings (r11, 20k random vectors vs dateutil):
+      // a weekday only applies when the day was NOT given
+      "THU,OCTOBER 5"     -> "0001-10-05 00:00:00.0",
+      "FRI,MAR 12"        -> "0001-03-12 00:00:00.0",
+      "SAT 27, DECEMBER"  -> "0001-12-27 00:00:00.0",
+      "TUESDAY DECEMBER-1" -> "0001-12-01 00:00:00.0",
+      // a >31 lead slash field is a windowed YEAR, and year-first
+      // never swaps
+      "80/8/29"           -> s"${pivotYear(80)}-08-29 00:00:00.0",
+      "33/9/19"           -> s"${pivotYear(33)}-09-19 00:00:00.0",
+      "31/8/29"           -> s"${pivotYear(29)}-08-31 00:00:00.0",
+      // a UTC-equivalent name drops its orphan offset UNVALIDATED
+      "4:10UTC -23:63"    -> "0001-01-01 04:10:00.0")
     for ((in, want) <- cases) {
       val got = one(permissiveTimestamp(upper(trim(col("x")))), in)
       assert(!got.isNullAt(0) && got.getTimestamp(0).toString == want,
@@ -814,7 +830,10 @@ class EnrichSpec extends SparkSpec {
       "0105T12", "JAN 5, 1999 EST", "01-05-1999 EST", "19990105T123 EST",
       "JAN 5 1999 25:00", "TUES 5 JAN 1999", "THURS 5 JAN 1999",
       "SUNJAN", "12,30", "13.05", "01-05", "1/2", "12H30", "JAN5 1999",
-      "01,05,1999", "5 JAN 1999 SUN"))
+      "01,05,1999", "5 JAN 1999 SUN",
+      // r11 differential: year-first never swaps; a zone needs actual
+      // clock digits after a compact 'T'
+      "32/24/12", "19970704T BLURG +12", "20570803 T +14"))
       assert(one(permissiveTimestamp(upper(trim(col("x")))), in).isNullAt(0),
         s"$in should be null")
   }
