@@ -108,6 +108,14 @@ def excluded(s):
             return True
     # double zones / zone-after-offset junk the generator can compose
     if re.search(r"[+-]\d+.*[A-Z]", s): return True
+    # sub-100 years near the convertyear +-50 boundary window
+    # differently depending on the RUN year - committed vectors must
+    # stay valid across calendar rollovers, so keep a few years of
+    # margin (the engine and dateutil both window at run time)
+    ry = datetime.date.today().year
+    for tok in re.split(r"[ ,.\-/]+", s):  # clock fields keep their ':'
+        if re.fullmatch(r"\d{1,2}", tok) and abs(int(tok) + (ry // 100) * 100 - ry) in range(45, 56):
+            return True
     # digit-dot-ordinal: dateutil's decimal token eats the day
     # ("2060.27TH.SEP" -> day 1; the engine reads the ordinal day -
     # documented divergence)
