@@ -81,7 +81,10 @@ object Bench {
     "q_corrections" -> 2.04, "q_corrections_geo" -> 1.94,
     "q_count" -> 0.22, "q_datum" -> 1.34, "q_decontaminate" -> 0.60,
     "q_dedup_apply" -> 3.88, "q_dedup_clusters" -> 2.38,
-    "q_dedup_embed" -> 0.52, "q_dedup_exact" -> 0.52,
+    "q_chunk_overlap" -> 0.69, "q_dedup_embed" -> 0.52,
+    "q_dedup_exact" -> 0.52, "q_distinct_kmv" -> 5.48,
+    "q_kmeans" -> 1.58, "q_remix_weights" -> 0.50,
+    "q_shuffle_order" -> 0.65, "q_perplexity" -> 1.76,
     "q_dedup_jaccard" -> 4.93, "q_dedup_minhash" -> 1.68,
     "q_dedup_passages" -> 1.23, "q_dedup_passages_apply" -> 1.52,
     "q_dedup_simhash" -> 1.51, "q_dq_report" -> 0.47,

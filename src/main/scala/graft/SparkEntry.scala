@@ -109,6 +109,7 @@ object SparkEntry {
     "q_len_quantiles" -> (LlmQueries.qLenQuantiles _),
     "q_pack_chunks"   -> (LlmQueries.qPackChunks _),
     "q_pack_chunks_sharded" -> (LlmQueries.qPackChunksSharded _),
+    "q_perplexity" -> (LlmQueries.qPerplexity _),
     "q_remix_weights" -> (LlmQueries.qRemixWeights _),
     "q_chunk_overlap" -> (LlmQueries.qChunkOverlap _),
     "q_shuffle_order" -> (LlmQueries.qShuffleOrder _),
@@ -205,6 +206,7 @@ object SparkEntry {
     "q_len_quantiles" -> LlmQueries.qLenQuantilesSql,
     "q_pack_chunks"   -> LlmQueries.qPackChunksSql,
     "q_pack_chunks_sharded" -> LlmQueries.qPackChunksShardedSql,
+    "q_perplexity"    -> LlmQueries.qPerplexitySql,
     "q_remix_weights" -> LlmQueries.qRemixWeightsSql,
     "q_chunk_overlap" -> LlmQueries.qChunkOverlapSql,
     "q_shuffle_order" -> LlmQueries.qShuffleOrderSql,

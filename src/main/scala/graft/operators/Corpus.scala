@@ -268,4 +268,53 @@ object Corpus {
       .join(broadcast(bases), Seq("_b"))
       .select((col("_base") + col("_lr")).as("rank"), col(idCol))
   }
+
+
+  /** Corpus bigram language-model quality score — the classic
+    * in-domain perplexity filter for training-data curation (a CCNet /
+    * Gopher-style signal): train add-alpha-smoothed bigram statistics
+    * over the WHOLE corpus, then score every document by its average
+    * bigram log-probability under that model. Boilerplate, navigation
+    * lists, and noise surprise the corpus model and score low; fluent
+    * in-domain text scores high.
+    *
+    * Scale shape (the 100 TB path): the model IS two count tables —
+    * bigram contexts bounded by observed vocabulary pairs and unigram
+    * contexts by the vocabulary, both orders of magnitude smaller than
+    * the corpus — built with one hash-partitioned aggregation each
+    * (map-side partial combine), plus a single scalar vocabulary
+    * count. Scoring re-joins the bigram stream against the count
+    * tables on their own aggregation keys, so the exchanges line up,
+    * and never collects anything to the driver. Nothing is quadratic
+    * and no window spans the corpus.
+    *
+    * Output: (idCol, n_bigrams, avg_logprob rounded to 6 — the float
+    * determinism convention the DuckDB oracle hash-compares under).
+    * Documents with fewer than two tokens have no bigrams and drop
+    * out, exactly as the oracle's `range(len(w) - 1)` does. */
+  def bigramLmScore(docs: DataFrame, idCol: String, wordsCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    val pairs = docs
+      .filter(size(col(wordsCol)) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col(wordsCol), lit(1), size(col(wordsCol)) - 1),
+        slice(col(wordsCol), lit(2), size(col(wordsCol)) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val contextCounts = pairs.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = docs.select(explode(col(wordsCol)).as("w"))
+      .agg(countDistinct(col("w")).as("vs"))
+    pairs
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(contextCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab)) // 1-row corpus scalar
+      .select(col(idCol), (log(
+        (col("cb").cast("double") + lit(alpha)) /
+          (col("cu").cast("double") + lit(alpha) * col("vs").cast("double"))))
+        .as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+  }
 }

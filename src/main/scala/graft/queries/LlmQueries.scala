@@ -1051,4 +1051,30 @@ object LlmQueries {
        |      FROM s)
        |SELECT qid, nid, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
+
+  /** Corpus bigram-LM quality score (in-domain perplexity filter):
+    * the model is trained on the same corpus it scores — the standard
+    * curation setup. Tokenization is the single-space split every text
+    * query shares (the oracle's string_split). */
+  def qPerplexity(s: SparkSession, dir: String): DataFrame =
+    Corpus.bigramLmScore(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w")),
+        "doc_id", "w")
+      .orderBy(col("doc_id"))
+
+  val qPerplexitySql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+      |      FROM (SELECT doc_id, unnest(range(len(w) - 1)) AS i, w FROM d)),
+      |bc AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+      |uc AS (SELECT w1, count(*) AS cu FROM b GROUP BY 1),
+      |v AS (SELECT count(DISTINCT u.w) AS vs
+      |      FROM (SELECT unnest(w) AS w FROM d) u),
+      |lp AS (SELECT b.doc_id,
+      |         ln((bc.cb + 0.4) / (uc.cu + 0.4 * v.vs)) AS l
+      |       FROM b JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(sum(l) / count(*), 6) AS avg_logprob
+      |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin
 }

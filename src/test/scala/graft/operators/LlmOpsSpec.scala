@@ -399,4 +399,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(TextDedup.lshCandidates(twoSigs, "id", maxBucketSize = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
   }
+
+  test("bigramLmScore: fluent in-domain text outscores noise; short docs drop") {
+    val sp = spark
+    import sp.implicits._
+    // a corpus dominated by one fluent pattern + one noise doc + one
+    // 1-token doc (no bigrams -> excluded)
+    val docs = (Seq.tabulate(8)(i => (i.toLong, "the cat sat on the mat")) ++
+      Seq((100L, "zq xv qp wk jn bb"), (200L, "solo")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val rows = Corpus.bigramLmScore(docs, "doc_id", "w")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!rows.contains(200L))          // no bigrams
+    assert(rows(0L)._1 === 5)             // 6 tokens -> 5 bigrams
+    // every fluent doc shares one score; the noise doc scores lower
+    assert(rows(0L)._2 === rows(7L)._2)
+    assert(rows(100L)._2 < rows(0L)._2)
+    // smoothing keeps unseen-context mass finite: scores are negative
+    assert(rows(0L)._2 < 0.0)
+  }
 }
