@@ -128,7 +128,13 @@ object ScaleStress {
       // plus q_kmeans, whose per-sweep cost is one broadcast + one scan
       // + a (cell × dim) reduced exchange
       "q_shuffle_order", "q_pack_chunks_sharded", "q_remix_weights",
-      "q_kmeans")
+      "q_kmeans",
+      // round 11: the bigram-LM score's cost model is two vocab-bounded
+      // count aggregations + key-aligned joins; the per-copy word
+      // suffix multiplies the vocabulary by the copy count, making this
+      // a worst-case vocabulary-growth stress (real corpora grow
+      // sub-linearly in vocab)
+      "q_perplexity")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
