@@ -113,6 +113,7 @@ object Enrich {
         "_dm_in" -> upper(trim(getFieldRaw(data, "idigbio:dateModified"))),
         "_ed_in" -> upper(trim(getFieldRaw(data, "dwc:eventDate"))),
         "_as_raw" -> getFieldRaw(data, "dwc:associatedSequences"),
+        "_vn_raw" -> getFieldRaw(data, "dwc:vernacularName"),
         "_f" -> graft.functions.MapFields(data, allKeys),
       )).drop("data"))
 
@@ -150,8 +151,11 @@ object Enrich {
       // no array_compact: it rewrites to a higher-order ArrayFilter,
       // which is CodegenFallback and would knock this whole projection
       // chain out of WholeStageCodegen
-      when(fk("dwc:vernacularName").isNotNull,
-        array(fk("dwc:vernacularName")))
+      // collect_common_names (conversions.py:818-833) reads the RAW
+      // field — case and whitespace preserved, unlike the lowercased
+      // getfield path the singular `commonname` verbatim column takes
+      // (r11 full-record differential finding)
+      when(col("_vn_raw").isNotNull, array(col("_vn_raw")))
         .otherwise(array().cast("array<string>")).as("commonnames"),
       genbankFromText(col("_as_raw")).as("associatedsequences"),
       verbatimScore.as("_score_verbatim"),
