@@ -890,12 +890,21 @@ object Grabbers {
   def accessUri(data: Column): Column =
     accessUriFrom(getFieldRaw(data, _), hasAcKey(data))
 
-  /** get_accessuri over pre-extracted raw fields (`f` = raw accessor). */
-  def accessUriFrom(f: String => Column, hasAc: Column): Column =
-    coalesce(
-      f("ac:accessURI"),
-      f("ac:bestQualityAccessURI"),
-      when(!hasAc, coalesce(f("dcterms:identifier"), f("dc:identifier"))))
+  private def truthy(c: Column): Column = c.isNotNull && c =!= ""
+
+  /** get_accessuri over pre-extracted raw fields (`f` = raw accessor).
+    * The reference's `a or b` chains are Python TRUTHINESS: an empty
+    * string is skipped like a missing key EXCEPT in the last operand,
+    * which passes through verbatim — and the `url is None` guard then
+    * treats that "" as a hit, suppressing the identifier fallback
+    * (r11 full-record differential finding, all probed). */
+  def accessUriFrom(f: String => Column, hasAc: Column): Column = {
+    val ab = when(truthy(f("ac:accessURI")), f("ac:accessURI"))
+      .otherwise(f("ac:bestQualityAccessURI"))
+    val ident = when(truthy(f("dcterms:identifier")), f("dcterms:identifier"))
+      .otherwise(f("dc:identifier"))
+    when(ab.isNotNull, ab).otherwise(when(!hasAc, ident))
+  }
 
   /** get_media_type (conversions.py:725-738): format → default bucket. */
   def mediaType(data: Column): (Column, Column) =
@@ -905,8 +914,14 @@ object Grabbers {
     * a native probe (spec: the small when-chain it replaced, pinned by
     * EnrichMediaSpec's bucket cases). */
   def mediaTypeFrom(f: String => Column): (Column, Column) = {
-    val form = lower(trim(coalesce(
-      f("dcterms:format"), f("dc:format"), f("ac:bestQualityFormat"))))
+    // `a or b or c` Python truthiness (see accessUriFrom): empty
+    // strings skipped except the LAST operand, which passes verbatim;
+    // `if form:` then strips/lowers only truthy values (a
+    // whitespace-only value IS truthy and trims to the empty format)
+    val form0 = when(truthy(f("dcterms:format")), f("dcterms:format"))
+      .when(truthy(f("dc:format")), f("dc:format"))
+      .otherwise(f("ac:bestQualityFormat"))
+    val form = when(truthy(form0), lower(trim(form0))).otherwise(form0)
     val bucket = graft.functions.StaticLookup(form, "default_buckets",
       Vocab.defaultBuckets)
     (form, bucket)

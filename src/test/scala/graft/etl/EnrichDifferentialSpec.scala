@@ -45,13 +45,6 @@ class EnrichDifferentialSpec extends SparkSpec {
       array_sort(col("flags")).as("flags"),
       round(col("dqs"), 6).as("dqs")).collect()
 
-    def jnum(v: JValue): Option[Double] = v match {
-      case JDouble(d) => Some(d)
-      case JInt(i) => Some(i.toDouble)
-      case JLong(l) => Some(l.toDouble)
-      case JDecimal(d) => Some(d.toDouble)
-      case _ => None
-    }
     val fields = Seq("datecollected", "startdayofyear", "eventdate",
       "minelevation", "maxelevation", "mindepth", "maxdepth",
       "individualcount", "coordinateuncertainty", "basisofrecord",
@@ -60,18 +53,7 @@ class EnrichDifferentialSpec extends SparkSpec {
     out.foreach { r =>
       val id = r.getLong(0)
       val e = exps(id)
-      def ok(got: Any, exp: JValue): Boolean = (got, exp) match {
-        case (null, JNull) => true
-        case (null, _) | (_, JNull) => false
-        case (g: Long, j) => jnum(j).contains(g.toDouble)
-        case (g: Int, j) => jnum(j).contains(g.toDouble)
-        case (g: Double, j) => jnum(j).exists(x =>
-          math.abs(x - g) <= 1e-6 * math.max(1.0, math.abs(x)))
-        case (g: String, JString(v)) => g == v
-        case (g: scala.collection.Seq[_], JArray(a)) =>
-          g.map(_.toString) == a.map(_.asInstanceOf[JString].s)
-        case _ => false
-      }
+      def ok(got: Any, exp: JValue): Boolean = jsonAgree(got, exp)
       fields.zipWithIndex.foreach { case (f, i) =>
         val got = if (r.isNullAt(i + 1)) null else r.get(i + 1)
         assert(ok(got, e \ f), s"id=$id field=$f got=$got exp=${e \ f}")
@@ -89,6 +71,66 @@ class EnrichDifferentialSpec extends SparkSpec {
         s"id=$id flags got=${r.get(19)} exp=${e \ "flags"}")
       assert(ok(if (r.isNullAt(20)) null else r.get(20), e \ "dqs"),
         s"id=$id dqs got=${r.get(20)} exp=${e \ "dqs"}")
+    }
+  }
+
+  test("Enrich.mediarecords agrees with 500 recorded reference grabAll runs") {
+    val s = spark
+    import s.implicits._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val url = getClass.getResource("/enrich_media_vectors.jsonl")
+    val parsed = scala.io.Source.fromURL(url).getLines().toSeq
+      .map(JsonMethods.parse(_))
+    assert(parsed.length === 500)
+    val inputs = parsed.map { j =>
+      ((j \ "id").extract[Long], (j \ "data").extract[Map[String, String]])
+    }
+    val exps = parsed.map(j => ((j \ "id").extract[Long], j \ "exp")).toMap
+    val fields = Seq("modified", "type", "tag", "format", "mediatype",
+      "accessuri", "xpixels", "ypixels", "flags", "dqs")
+    val out = Enrich.mediarecords(inputs.toDF("id", "data")).select(
+      col("id"),
+      unix_micros(col("modified")).as("modified"),
+      col("type"), col("tag"), col("format"), col("mediatype"),
+      col("accessuri"), col("xpixels"), col("ypixels"),
+      array_sort(col("flags")).as("flags"),
+      round(col("dqs"), 6).as("dqs")).collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      fields.zipWithIndex.foreach { case (f, i) =>
+        val got = if (r.isNullAt(i + 1)) null else r.get(i + 1)
+        assert(jsonAgree(got, exps(id) \ f),
+          s"id=$id field=$f got=$got exp=${exps(id) \ f}")
+      }
+    }
+  }
+
+  private def jnum(v: org.json4s.JValue): Option[Double] = {
+    import org.json4s._
+    v match {
+      case JDouble(d) => Some(d)
+      case JInt(i) => Some(i.toDouble)
+      case JLong(l) => Some(l.toDouble)
+      case JDecimal(d) => Some(d.toDouble)
+      case _ => None
+    }
+  }
+
+  private def jsonAgree(got: Any, exp: org.json4s.JValue): Boolean = {
+    import org.json4s._
+    (got, exp) match {
+      case (null, JNull) => true
+      case (null, _) | (_, JNull) => false
+      case (g: Long, j) => jnum(j).contains(g.toDouble)
+      case (g: Int, j) => jnum(j).contains(g.toDouble)
+      case (g: Double, j) => jnum(j).exists(x =>
+        math.abs(x - g) <= 1e-6 * math.max(1.0, math.abs(x)))
+      case (g: String, JString(v)) => g == v
+      case (g: scala.collection.Seq[_], JArray(a)) =>
+        g.map(_.toString) == a.map(_.asInstanceOf[JString].s)
+      case _ => false
     }
   }
 }

@@ -191,11 +191,76 @@ def norm(r):
     return exp
 
 
+TYPES = ["StillImage", "Sound", "MovingImage", "InteractiveResource",
+         "dataset", "images", "junk type", ""]
+FORMATS = ["image/jpeg", "image/png", "audio/mpeg", "video/mp4",
+           "model/mesh", "text/html", "jpeg", "junk/format", ""]
+URIS = ["http://example.org/img.jpg", "https://cdn.x.io/a?b=c", "ftp://f/x",
+        "not a uri", ""]
+RIGHTS = ["CC BY-NC 4.0", "http://creativecommons.org/licenses/by/4.0/",
+          "CC0", "Public Domain", "all rights reserved", "CC BY-SA 3.0", ""]
+TAGS = ["specimen, leaf", "Herbarium Sheet", ""]
+
+
+def gen_media(i):
+    d = {}
+    if rnd.random() < 0.8:
+        d["dc:type"] = rnd.choice(TYPES)
+    if rnd.random() < 0.8:
+        d["dcterms:format"] = rnd.choice(FORMATS)
+    if rnd.random() < 0.7:
+        d["ac:accessURI"] = rnd.choice(URIS)
+    if rnd.random() < 0.3:
+        d["ac:bestQualityAccessURI"] = rnd.choice(URIS)
+    if rnd.random() < 0.4:
+        d["dc:identifier"] = rnd.choice(URIS)
+    if rnd.random() < 0.5:
+        d["dcterms:modified"] = rnd.choice(DATES)
+    if rnd.random() < 0.4:
+        d["ac:tag"] = rnd.choice(TAGS)
+    if rnd.random() < 0.5:
+        d["exif:PixelXDimension"] = rnd.choice(COUNTS + ["1024"])
+        d["exif:PixelYDimension"] = rnd.choice(COUNTS + ["768"])
+    if rnd.random() < 0.5:
+        d["dcterms:rights"] = rnd.choice(RIGHTS)
+    return d
+
+
+def norm_media(r):
+    exp = {}
+    mo = r.get("modified")
+    if mo is not None:
+        days = mo.toordinal() - datetime.date(1970, 1, 1).toordinal()
+        off = int(mo.utcoffset().total_seconds()) if isinstance(
+            mo, datetime.datetime) and mo.tzinfo else 0
+        if isinstance(mo, datetime.datetime):
+            exp["modified"] = (days * 86400 + mo.hour * 3600 + mo.minute * 60
+                               + mo.second - off) * 1000000 + mo.microsecond
+        else:
+            exp["modified"] = days * 86400 * 1000000
+    else:
+        exp["modified"] = None
+    for k in ("type", "tag", "format", "mediatype", "accessuri",
+              "xpixels", "ypixels"):
+        exp[k] = r.get(k)
+    v = r.get("dqs")
+    exp["dqs"] = round(v, 6) if isinstance(v, float) else v
+    exp["flags"] = sorted(r.get("flags") or [])
+    return exp
+
+
 import os
 os.makedirs(os.path.dirname(OUT), exist_ok=True)
+kind = sys.argv[4] if len(sys.argv) > 4 else "records"
 with open(OUT, "w") as f:
     for i in range(N):
-        d = gen_record(i)
-        r = conversions.grabAll("records", dict(d))
-        f.write(json.dumps({"id": i, "data": d, "exp": norm(r)}) + "\n")
-print(f"wrote {N} records")
+        if kind == "mediarecords":
+            d = gen_media(i)
+            r = conversions.grabAll("mediarecords", dict(d))
+            f.write(json.dumps({"id": i, "data": d,
+                                "exp": norm_media(r)}) + "\n")
+        else:
+            d = gen_record(i)
+            r = conversions.grabAll("records", dict(d))
+            f.write(json.dumps({"id": i, "data": d, "exp": norm(r)}) + "\n")
+print(f"wrote {N} {kind}")
