@@ -73,7 +73,29 @@ object EnrichDifferential {
     }
 
     val nRecords =
-      if (kind == "mediarecords") {
+      if (kind == "recordsets" || kind == "publishers") {
+        val fields =
+          if (kind == "recordsets")
+            Seq("datemodified", "uuid", "version", "rights", "archivelink",
+              "emllink", "logourl", "name", "flags", "dqs")
+          else Seq("datemodified", "uuid", "version", "name", "flags", "dqs")
+        val enriched =
+          if (kind == "recordsets") graft.etl.Enrich.recordsets(df)
+          else graft.etl.Enrich.publishers(df)
+        val out = enriched.select(Seq(col("id"),
+          unix_micros(col("datemodified")).as("datemodified")) ++
+          fields.drop(1).dropRight(2).map(col) ++ Seq(
+            array_sort(col("flags")).as("flags"),
+            round(col("dqs"), 6).as("dqs")): _*).collect()
+        out.foreach { r =>
+          val id = r.getLong(0)
+          fields.zipWithIndex.foreach { case (f, i) =>
+            cmp(id, f, if (r.isNullAt(i + 1)) null else r.get(i + 1),
+              exps(id) \ f)
+          }
+        }
+        out.length
+      } else if (kind == "mediarecords") {
         val fields = Seq("modified", "type", "tag", "format", "mediatype",
           "accessuri", "xpixels", "ypixels", "flags", "dqs")
         val out = graft.etl.Enrich.mediarecords(df).select(

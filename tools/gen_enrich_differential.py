@@ -249,12 +249,68 @@ def norm_media(r):
     return exp
 
 
+def gen_recordset(i):
+    d = {}
+    for k, pool in [("idigbio:uuid", ["f1a2-b3", ""]),
+                    ("idigbio:dateModified", DATES),
+                    ("idigbio:version", COUNTS),
+                    ("data_rights", ["CC0", "CC BY", "no rights reserved", ""]),
+                    ("link", URIS), ("eml_link", URIS), ("logo_url", URIS),
+                    ("collection_name", ["My Recordset", "BIRDS", ""])]:
+        if rnd.random() < 0.7:
+            d[k] = rnd.choice(pool)
+    return d
+
+
+def gen_publisher(i):
+    d = {}
+    for k, pool in [("idigbio:uuid", ["ab-cd", ""]),
+                    ("idigbio:dateModified", DATES),
+                    ("idigbio:version", COUNTS),
+                    ("name", ["Pub X", "VertNet", ""])]:
+        if rnd.random() < 0.7:
+            d[k] = rnd.choice(pool)
+    return d
+
+
+def norm_set(r, keys):
+    exp = {}
+    dm = r.get("datemodified")
+    if dm is not None:
+        days = dm.toordinal() - datetime.date(1970, 1, 1).toordinal()
+        if isinstance(dm, datetime.datetime):
+            off = int(dm.utcoffset().total_seconds()) if dm.tzinfo else 0
+            exp["datemodified"] = (days * 86400 + dm.hour * 3600
+                                   + dm.minute * 60 + dm.second
+                                   - off) * 1000000 + dm.microsecond
+        else:
+            exp["datemodified"] = days * 86400 * 1000000
+    else:
+        exp["datemodified"] = None
+    for k in keys:
+        v = r.get(k)
+        exp[k] = round(v, 6) if isinstance(v, float) and k == "dqs" else v
+    exp["flags"] = sorted(r.get("flags") or [])
+    return exp
+
+
 import os
 os.makedirs(os.path.dirname(OUT), exist_ok=True)
 kind = sys.argv[4] if len(sys.argv) > 4 else "records"
 with open(OUT, "w") as f:
     for i in range(N):
-        if kind == "mediarecords":
+        if kind == "recordsets":
+            d = gen_recordset(i)
+            r = conversions.grabAll("recordsets", dict(d))
+            f.write(json.dumps({"id": i, "data": d, "exp": norm_set(r,
+                ["uuid", "version", "rights", "archivelink", "emllink",
+                 "logourl", "name", "dqs"])}) + "\n")
+        elif kind == "publishers":
+            d = gen_publisher(i)
+            r = conversions.grabAll("publishers", dict(d))
+            f.write(json.dumps({"id": i, "data": d, "exp": norm_set(r,
+                ["uuid", "version", "name", "dqs"])}) + "\n")
+        elif kind == "mediarecords":
             d = gen_media(i)
             r = conversions.grabAll("mediarecords", dict(d))
             f.write(json.dumps({"id": i, "data": d,
