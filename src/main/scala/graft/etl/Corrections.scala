@@ -70,7 +70,22 @@ object Corrections {
     val byTuple = rules.groupBy(_.keyTuple).toSeq
       .sortBy { case (t, _) => (t.length, t.mkString("\u0000")) }
 
-    byTuple.foldLeft(df) { case (acc, (tuple, tupleRules)) =>
+    // get_etag prefers the ORIGINAL record value for every field the
+    // record carried (record_corrector.py:195-206: `if f in d` before
+    // the corrected_dict fallbacks) — a later key tuple hashes the
+    // pre-correction value of an originally-present field, and only
+    // fields ADDED by an earlier stage hash their corrected value
+    // (r11 corrections differential finding). Snapshot the originals
+    // once; the hash input coalesces original-first.
+    val keyFields = rules.flatMap(_.keyTuple).distinct
+    val withOrig = keyFields.foldLeft(df) { (d, f) =>
+      d.withColumn("_orig_" + fieldCol(f), col(fieldCol(f)))
+    }
+    def hashInput(f: String): Column =
+      when(col("_orig_" + fieldCol(f)).isNotNull, col("_orig_" + fieldCol(f)))
+        .otherwise(col(fieldCol(f)))
+
+    val folded = byTuple.foldLeft(withOrig) { case (acc, (tuple, tupleRules)) =>
       // rules sharing a match key resolve LAST-write-wins, like the
       // reference's etag-keyed KV store where later to_insert lines
       // overwrite earlier ones wholesale (record_corrector.py:125-151;
@@ -87,7 +102,7 @@ object Corrections {
         .filterNot(_ == "dwc:scientificname") // never overwritten (:231)
 
       val withHash = acc.withColumn("_key_hash",
-        keyHash(tuple, f => col(fieldCol(f))))
+        keyHash(tuple, hashInput))
       val joined = withHash.join(broadcast(ruleRows),
         withHash("_key_hash") === ruleRows("_rule_hash"), "left")
 
@@ -127,6 +142,7 @@ object Corrections {
       }
       applied.drop("_key_hash", "_rule_hash", "_rule_set")
     }
+    folded.drop(keyFields.map("_orig_" + fieldCol(_)).distinct: _*)
   }
 
   /** Fold `_flag_*` columns produced by [[apply]] into a flags array
