@@ -11,10 +11,21 @@ import org.apache.spark.sql.functions._
   */
 object Identify {
 
-  /** mungeid (db_check.py:60-61): strip the characters the reference's
-    * bad_char_re removes (non-printables + NULs), trim. */
+  /** Python str.strip()'s exact whitespace set (chars where
+    * `c.isspace()` is true) — WIDER than Java's `\s` and than
+    * Character.isWhitespace: includes the \x1c-\x1f separators, NEL,
+    * NBSP, NNBSP and the Unicode space block. Pinned by the
+    * identify differential (tools/gen_identify_differential.py). */
+  private val PyWs =
+    "\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\u1680\\u2000-\\u200A" +
+      "\\u2028\\u2029\\u202F\\u205F\\u3000"
+
+  /** mungeid (db_check.py:44-45,60-61): the reference's bad_char_re is
+    * ONLY U+FEFF (BOM) — other control characters survive — followed by
+    * Python `.strip()` (full Unicode whitespace, both ends). */
   def mungeId(c: Column): Column =
-    trim(regexp_replace(c, "[\\x00-\\x1f\\x7f]", ""))
+    regexp_replace(regexp_replace(c, "\\uFEFF", ""),
+      s"^[$PyWs]+|[$PyWs]+$$", "")
 
   /** Extension rowtype → ingestion type (db_check.py:89-95). */
   val ingestionTypes: Map[String, String] = Map(
