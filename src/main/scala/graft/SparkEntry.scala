@@ -118,6 +118,7 @@ object SparkEntry {
     "q_lang_id"       -> (LlmQueries.qLangId _),
     "q_ann_topk"      -> (LlmQueries.qAnnTopk _),
     "q_ann_lsh"       -> (LlmQueries.qAnnLsh _),
+    "q_ann_quantized" -> (LlmQueries.qAnnQuantized _),
     // grabAll enrichment pipeline (SURVEY §2.8)
     "q_enrich"        -> (EtlQueries.qEnrich _),
     "q_geo_correct"   -> (EtlQueries.qGeoCorrect _),
@@ -216,6 +217,7 @@ object SparkEntry {
     "q_lang_id"       -> LlmQueries.qLangIdSql,
     "q_ann_topk"      -> LlmQueries.qAnnTopkSql,
     "q_ann_lsh"       -> LlmQueries.qAnnLshSql,
+    "q_ann_quantized" -> LlmQueries.qAnnQuantizedSql,
     "q_enrich"        -> EtlQueries.qEnrichSql,
     "q_geo_correct"   -> EtlQueries.qGeoCorrectSql,
     "q_sci_authors"   -> EtlQueries.qSciAuthorsSql,

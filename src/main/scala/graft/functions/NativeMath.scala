@@ -22,6 +22,68 @@ object NativeMath {
   def dotProduct(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProductExpr(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Symmetric per-vector int8 quantization: q_i = floor(e_i/s + 0.5)
+    * with s = max|e_i|/127 (zero vector → all zeros). The 100 TB ANN
+    * memory-bandwidth path: a quantized corpus is 4× (float) / 8×
+    * (double) smaller, and its dot products are exact integers —
+    * order-independent, so the DuckDB oracle replays them bit-for-bit
+    * with no summation-order caveat at all. */
+  def int8Quantize(a: Column): Column =
+    GraftSqlBridge.column(Int8QuantizeExpr(GraftSqlBridge.expression(a)))
+
+  /** Exact integer dot product of two quantized vectors (array<byte>),
+    * accumulated in a long. */
+  def int8Dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(Int8DotExpr(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}
+
+case class Int8QuantizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"int8_quantize needs array<float|double>, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "int8_quantize"
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected override def nullSafeEval(a: Any): Any =
+    MathKernel.int8Quantize(a.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MathKernel.int8Quantize($a, $isFloat);")
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantizeExpr =
+    copy(child = newChild)
+}
+
+case class Int8DotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(ByteType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"int8_dot needs array<byte> operands, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int8_dot"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    MathKernel.int8Dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.MathKernel.int8Dot($a, $b);")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+      : Int8DotExpr = copy(left = newLeft, right = newRight)
 }
 
 case class DotProductExpr(left: Expression, right: Expression)
@@ -72,6 +134,42 @@ object MathKernel {
     } else {
       while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     }
+    acc
+  }
+
+  /** q_i = floor(e_i/s + 0.5), s = max|e_i|/127 — the exact formula the
+    * DuckDB oracle replays (floor(x+0.5), NOT Math.round/banker's: the
+    * two diverge at negative half-points). Max element maps to ±127, so
+    * every value fits a byte. Zero vector → all zeros. */
+  def int8Quantize(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val v = Math.abs(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
+      if (v > m) m = v
+      i = i + 1
+    }
+    val out = new Array[Byte](n)
+    if (m > 0.0) {
+      val s = m / 127.0
+      i = 0
+      while (i < n) {
+        val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = Math.floor(v / s + 0.5).toByte
+        i = i + 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** Exact long sum of byte products; order-independent (integer). */
+  def int8Dot(a: ArrayData, b: ArrayData): Long = {
+    val n = Math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getByte(i).toLong * b.getByte(i).toLong; i += 1 }
     acc
   }
 }

@@ -268,6 +268,35 @@ object Similarity {
       centroidMod: Int): DataFrame =
     ivfTopKProbed(corpus, queries, k, centroidMod, nprobe = 1)
 
+  /** Int8-quantized top-k — the ANN memory-bandwidth path at 100 TB:
+    * the corpus is scanned as per-vector symmetric int8
+    * ([[graft.functions.NativeMath.int8Quantize]] — 4×/8× smaller than
+    * float/double, SIMD-friendly byte lanes), and similarity is the
+    * quantized cosine q_a·q_b / (√(q_a·q_a)·√(q_b·q_b)) — the
+    * per-vector scales cancel. All three dot products are EXACT
+    * integers (long accumulator), so unlike every float variant there
+    * is no summation-order caveat anywhere: the oracle's replay is
+    * bit-identical by construction, not by matched fold order.
+    * Self-dots are hoisted to each side (computed once per vector, not
+    * per pair); zero vectors never pair (selfdot > 0 guard). */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import graft.functions.NativeMath.{int8Dot, int8Quantize}
+    val c = corpus.toDF("nid", "e")
+      .select(col("nid"), int8Quantize(col("e")).as("qe"))
+      .withColumn("se", int8Dot(col("qe"), col("qe")))
+      .where(col("se") > 0)
+    val q = queries.toDF("qid", "q")
+      .select(col("qid"), int8Quantize(col("q")).as("qq"))
+      .withColumn("sq", int8Dot(col("qq"), col("qq")))
+      .where(col("sq") > 0)
+    val joined = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (int8Dot(col("qq"), col("qe")).cast("double") /
+          (sqrt(col("sq").cast("double")) * sqrt(col("se").cast("double"))))
+          .as("sim"))
+    rankTopK(joined, k)
+  }
+
   /** IVF top-k with multi-cell probing — the recall knob: each query
     * searches its `nprobe` nearest inverted lists instead of one.
     * Corpus vectors still live in exactly one cell (assignment stays

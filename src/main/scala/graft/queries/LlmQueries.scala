@@ -1052,6 +1052,36 @@ object LlmQueries {
        |SELECT qid, nid, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Int8-quantized top-5 — the ANN memory-bandwidth path: per-vector
+    * symmetric quantization (scale = max|e|/127, q = floor(e/s + 0.5)),
+    * quantized-cosine ranking. Every dot product is an exact integer,
+    * so the oracle replay has NO summation-order caveat: the scores are
+    * bit-identical by construction. */
+  def qAnnQuantized(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizedTopK(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        queriesDf(s, dir), k = 5)
+      .orderBy(col("qid"), col("rank"))
+
+  val qAnnQuantizedSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |z AS (SELECT vec_id, e,
+      |        list_max(list_transform(e, x -> abs(x))) / 127.0 AS s FROM v),
+      |qz AS (SELECT vec_id,
+      |         CASE WHEN s > 0 THEN list_transform(e, x -> floor(x / s + 0.5))
+      |              ELSE list_transform(e, x -> 0.0) END AS q
+      |       FROM z),
+      |sd AS (SELECT vec_id, q, list_inner_product(q, q) AS sq FROM qz
+      |       WHERE list_inner_product(q, q) > 0),
+      |p AS (SELECT vec_id AS qid, q AS pq, sq AS psq FROM sd WHERE vec_id < 10),
+      |pr AS (SELECT qid, sd.vec_id AS nid,
+      |         list_inner_product(pq, sd.q) / (sqrt(psq) * sqrt(sd.sq)) AS sim
+      |       FROM p, sd WHERE sd.vec_id != qid),
+      |r AS (SELECT qid, nid,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+      |      FROM pr)
+      |SELECT qid, nid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   /** Corpus bigram-LM quality score (in-domain perplexity filter):
     * the model is trained on the same corpus it scores — the standard
     * curation setup. Tokenization is the single-space split every text

@@ -291,6 +291,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(r === Array((3L, 1), (1L, 2), (2L, 3)))
   }
 
+  test("int8 quantization: floor(x+0.5) rounding, max maps to ±127, " +
+      "zero vector to zeros; quantized dot is an exact long") {
+    val s = spark
+    import s.implicits._
+    // scale = 2.0/127; -1.0/s = -63.5 → floor(-63.0) = -63 — the
+    // negative half-point where Math.round (-63) and half-away (-64)
+    // and floor(x+0.5) (-63) separate; the oracle replays floor(x+0.5)
+    val rows = Seq(
+      (0L, Array(2.0f, -1.0f, 0.5f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+    ).toDF("id", "e")
+      .select(col("id"), graft.functions.NativeMath.int8Quantize(col("e")).as("q"))
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[Byte](1) === Seq[Byte](127, -63, 32))
+    assert(rows(1).getSeq[Byte](1) === Seq[Byte](0, 0, 0))
+    val d = Seq((Seq[Byte](127, -63, 32), Seq[Byte](1, 2, -3)))
+      .toDF("a", "b")
+      .select(graft.functions.NativeMath.int8Dot(col("a"), col("b")))
+      .collect()(0).getLong(0)
+    assert(d === 127L * 1 - 63L * 2 - 32L * 3)
+  }
+
+  test("quantizedTopK: exact duplicate ranks first (scales cancel), " +
+      "zero vectors never pair") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Array(0.5f, 0.1f)),
+      (1L, Array(5.0f, 1.0f)),   // same direction, 10× magnitude
+      (2L, Array(-0.1f, 1.0f)),
+      (3L, Array(0.0f, 0.0f)),   // zero vector: must not appear at all
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+    val r = Similarity.quantizedTopK(vecs, q, 3)
+      .orderBy("rank").collect().map(x => (x.getLong(1), x.getInt(2)))
+    assert(r === Array((1L, 1), (2L, 2)))
+  }
+
   test("lsh buckets: identical vectors share a bucket") {
     val s = spark
     import s.implicits._
