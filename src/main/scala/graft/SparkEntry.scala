@@ -90,6 +90,7 @@ object SparkEntry {
     "q_dedup_exact"   -> (LlmQueries.qDedupExact _),
     "q_dedup_minhash" -> (LlmQueries.qDedupMinhash _),
     "q_dedup_jaccard" -> (LlmQueries.qDedupJaccard _),
+    "q_dedup_contain" -> (LlmQueries.qDedupContain _),
     "q_dedup_passages" -> (LlmQueries.qDedupPassages _),
     "q_dedup_passages_apply" -> (LlmQueries.qDedupPassagesApply _),
     "q_dedup_clusters" -> (LlmQueries.qDedupClusters _),
@@ -189,6 +190,7 @@ object SparkEntry {
     "q_dedup_exact"   -> LlmQueries.qDedupExactSql,
     "q_dedup_minhash" -> LlmQueries.qDedupMinhashSql,
     "q_dedup_jaccard" -> LlmQueries.qDedupJaccardSql,
+    "q_dedup_contain" -> LlmQueries.qDedupContainSql,
     "q_dedup_passages" -> LlmQueries.qDedupPassagesSql,
     "q_dedup_passages_apply" -> LlmQueries.qDedupPassagesApplySql,
     "q_dedup_clusters" -> LlmQueries.qDedupClustersSql,

@@ -237,6 +237,83 @@ object TextDedup {
       .distinct()
   }
 
+  /** EXACT n-gram CONTAINMENT self-join — the subset-duplicate
+    * detector: C(x,y) = |x∩y| / min(|x|,|y|) ≥ τ flags a short doc
+    * embedded in a longer one (quote farms, wrapper boilerplate,
+    * truncated re-crawls) that Jaccard structurally misses — J of a
+    * doc contained in one 3× its size is ≤ 1/3 no matter how complete
+    * the containment. Same AllPairs discipline as [[jaccardSelfJoin]],
+    * adapted: containment has NO size-ratio filter (any size pair can
+    * match), so the prefix-pigeonhole applies to the SMALLER side only
+    * — o ≥ ⌈τ·n_min⌉ forces a common shingle into the smaller doc's
+    * rarest-first prefix, while the larger doc contributes its FULL
+    * shingle list to the join. Candidates = prefix(smaller) ⋈ full
+    * (larger); exact verification re-counts overlap on candidate docs
+    * only.
+    *
+    * 100 TB shape: the prefix side is rarest-first (tiny buckets); the
+    * full side carries hot shingles, but a join bucket is
+    * prefixCount(h) × df(h) and prefixCount(h) ≈ 0 for hot h — the
+    * boilerplate hazard sits on the side that is almost never probed.
+    * One shingle-keyed shuffle for df, one doc-keyed exchange shared
+    * by the rank window and size count, same as Jaccard. */
+  def containmentSelfJoin(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withWords = docs.select(col(idCol), split(col(textCol), " ").as("_w"))
+    def shingleHashes(d: DataFrame): DataFrame = d
+      .select(col(idCol),
+        explode(graft.functions.NativeText.shingleHashes(
+          col("_w"), shingleSize)).as("h"))
+    val sh = shingleHashes(withWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands =
+      try containmentCandidates(sh, idCol, threshold).localCheckpoint()
+      finally sh.unpersist(false)
+    val candDocs = cands.select(col("d1").as(idCol))
+      .union(cands.select(col("d2").as(idCol))).distinct()
+    val shCand = shingleHashes(withWords.join(candDocs, Seq(idCol), "left_semi"))
+    val sizes = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val s1 = shCand.toDF("d1", "h")
+    val s2 = shCand.toDF("d2", "h")
+    s1.join(s2, Seq("h")).where(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+      .join(cands, Seq("d1", "d2"), "left_semi")
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") / least(col("n1"), col("n2")).cast("double"))
+          .as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
+  /** Prefix(smaller) ⋈ full(larger) candidate pairs for containment ≥
+    * `threshold` — exact-recall superset (pigeonhole on the smaller
+    * doc: o ≥ ⌈τ·n_min⌉ common shingles cannot all avoid a prefix of
+    * length n_min − ⌈τ·n_min⌉ + 1). Size-equal pairs are caught from
+    * whichever side's prefix shares a shingle with the other's full
+    * list; output is normalized to d1 < d2. */
+  def containmentCandidates(sh: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col(idCol))
+    val ranked = sh.join(dfreq, "h")
+      .select(col(idCol), col("h"),
+        row_number().over(byDoc.orderBy(col("df"), col("h"))).as("pos"),
+        count(lit(1)).over(byDoc).as("n"))
+    val prefix = ranked.where(
+      col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+    val p1 = prefix.select(col(idCol).as("da"), col("h"), col("n").as("na"))
+    val f2 = ranked.select(col(idCol).as("db"), col("h"), col("n").as("nb"))
+    p1.join(f2, Seq("h"))
+      .where(col("na") < col("nb") ||
+        (col("na") === col("nb") && col("da") =!= col("db")))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"))
+      .distinct()
+  }
+
   /** EXACT duplicated-passage detection — word-window-granularity
     * ExactSubstr (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", ACL'22, §4.1, re-expressed relationally):

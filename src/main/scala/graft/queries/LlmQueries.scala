@@ -104,6 +104,35 @@ object LlmQueries {
     s"""WITH ${jaccardPairsCte("0.4")}
        |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin
 
+  /** EXACT n-gram CONTAINMENT near-dup (TextDedup.containmentSelfJoin)
+    * at τ = 0.6: flags subset-duplicates — a short doc embedded in a
+    * 3×-longer one has J ≤ 1/3 (invisible to every Jaccard-family
+    * gate) but containment ≈ 1. The oracle is brute-force ground
+    * truth, so the hash match proves exactness of the
+    * prefix(smaller) ⋈ full(larger) pruning. */
+  def qDedupContain(s: SparkSession, dir: String): DataFrame =
+    TextDedup.containmentSelfJoin(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.6)
+      .orderBy(col("d1"), col("d2"))
+
+  val qDedupContainSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d),
+      |sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s FROM g),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2,
+      |    CAST(c AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE) AS containment
+      |  FROM inter
+      |  JOIN sizes s1 ON d1 = s1.doc_id
+      |  JOIN sizes s2 ON d2 = s2.doc_id
+      |  WHERE CAST(c AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE) >= 0.6)
+      |SELECT d1, d2, containment FROM pairs ORDER BY d1, d2""".stripMargin
+
   /** EXACT duplicated-PASSAGE detection (TextDedup.duplicatedSpans):
     * every 10-word window appearing in ≥ 2 distinct documents —
     * sub-document granularity the whole-doc dedups cannot see. The

@@ -73,6 +73,45 @@ class LlmOpsSpec extends SparkSpec {
       s"only the checkpointed pair list may stay cached, found $leaked")
   }
 
+  test("containmentSelfJoin catches the subset-dup Jaccard misses; " +
+      "unrelated pairs stay out") {
+    val s = spark
+    import s.implicits._
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " " + (1 to 30).map(i => s"filler$i word$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),                      // contained in 2 completely
+      (2L, big),
+      (3L, "totally different words here about other topics entirely"),
+    ).toDF("doc_id", "text")
+    // Jaccard is blind: |small 3-shingles| = 4, |big| = 64+, J ≈ 0.06
+    val jac = TextDedup.jaccardSelfJoin(docs, "doc_id", "text", 3, 0.5)
+      .collect()
+    assert(jac.isEmpty)
+    val cont = TextDedup.containmentSelfJoin(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("containmentCandidates is an exact-recall superset, normalized d1<d2") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (10L, "a b c d e f g h"),
+      (2L, "a b c d e f g h extra words beyond the small doc here now"),
+      (3L, "unrelated text entirely different from everything else here"),
+    ).toDF("doc_id", "text")
+    val sh = docs
+      .select(col("doc_id"), explode(graft.functions.NativeText.shingleHashes(
+        split(col("text"), " "), 3)).as("h"))
+    val cands = TextDedup.containmentCandidates(sh, "doc_id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the true pair (2,10) — smaller id first after normalization —
+    // must be present even though the ids order opposite to the sizes
+    assert(cands.contains((2L, 10L)))
+    assert(cands.forall { case (a, b) => a < b })
+  }
+
   test("duplicatedSpans finds cross-doc passages; hash twin agrees") {
     val s = spark
     import s.implicits._
