@@ -120,6 +120,7 @@ object SparkEntry {
     "q_ann_topk"      -> (LlmQueries.qAnnTopk _),
     "q_ann_lsh"       -> (LlmQueries.qAnnLsh _),
     "q_ann_quantized" -> (LlmQueries.qAnnQuantized _),
+    "q_ann_pq"        -> (LlmQueries.qAnnPq _),
     // grabAll enrichment pipeline (SURVEY §2.8)
     "q_enrich"        -> (EtlQueries.qEnrich _),
     "q_geo_correct"   -> (EtlQueries.qGeoCorrect _),
@@ -220,6 +221,7 @@ object SparkEntry {
     "q_ann_topk"      -> LlmQueries.qAnnTopkSql,
     "q_ann_lsh"       -> LlmQueries.qAnnLshSql,
     "q_ann_quantized" -> LlmQueries.qAnnQuantizedSql,
+    "q_ann_pq"        -> LlmQueries.qAnnPqSql,
     "q_enrich"        -> EtlQueries.qEnrichSql,
     "q_geo_correct"   -> EtlQueries.qGeoCorrectSql,
     "q_sci_authors"   -> EtlQueries.qSciAuthorsSql,

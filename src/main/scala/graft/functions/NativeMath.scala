@@ -37,6 +37,103 @@ object NativeMath {
   def int8Dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(Int8DotExpr(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Product-quantization encode: the vector is split into `m`
+    * contiguous subspaces and each is assigned its nearest codebook
+    * centroid by the same |c|²−2x·c argmin (with (score, k) ties) the
+    * IVF family uses — the |x|² term drops out of the argmin. Output is
+    * `m` code bytes: a 64-dim float vector compresses 32× (256→8 B).
+    * `codebook` is a flattened array<double> literal laid out
+    * [m][k][sub] (size m·k·sub). */
+  def pqEncode(vec: Column, codebook: Column, m: Int, k: Int): Column =
+    GraftSqlBridge.column(PqEncodeExpr(
+      GraftSqlBridge.expression(vec), GraftSqlBridge.expression(codebook), m, k))
+
+  /** Per-query asymmetric-distance table: t[i·k + j] = |c_ij|² − 2·q_i·c_ij
+    * for subspace i, code j — the constant-per-query lookup table ADC
+    * scoring reads. Same layout and fold order as [[pqEncode]]. */
+  def pqDistTable(vec: Column, codebook: Column, m: Int, k: Int): Column =
+    GraftSqlBridge.column(PqDistTableExpr(
+      GraftSqlBridge.expression(vec), GraftSqlBridge.expression(codebook), m, k))
+
+  /** ADC score: Σ over subspaces of table[i·k + code_i], folded in
+    * subspace order (the DuckDB oracle replays the same explicit
+    * left-to-right sum). */
+  def pqAdc(codes: Column, table: Column, k: Int): Column =
+    GraftSqlBridge.column(PqAdcExpr(
+      GraftSqlBridge.expression(codes), GraftSqlBridge.expression(table), k))
+}
+
+case class PqEncodeExpr(left: Expression, right: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+  private def vecOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecOk(left.dataType) && right.dataType.isInstanceOf[ArrayType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("pq_encode needs (array<float|double>, array<double>)")
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    MathKernel.pqEncode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      m, k, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.MathKernel.pqEncode($a, $b, $m, $k, $isFloat);")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+      : PqEncodeExpr = copy(left = newLeft, right = newRight)
+}
+
+case class PqDistTableExpr(left: Expression, right: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+  private def vecOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecOk(left.dataType) && right.dataType.isInstanceOf[ArrayType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("pq_dist_table needs (array<float|double>, array<double>)")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_dist_table"
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    MathKernel.pqDistTable(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      m, k, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.MathKernel.pqDistTable($a, $b, $m, $k, $isFloat);")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+      : PqDistTableExpr = copy(left = newLeft, right = newRight)
+}
+
+case class PqAdcExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "pq_adc needs (array<byte>, array<double>)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    MathKernel.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.MathKernel.pqAdc($a, $b, $k);")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+      : PqAdcExpr = copy(left = newLeft, right = newRight)
 }
 
 case class Int8QuantizeExpr(child: Expression)
@@ -170,6 +267,76 @@ object MathKernel {
     var acc = 0L
     var i = 0
     while (i < n) { acc += a.getByte(i).toLong * b.getByte(i).toLong; i += 1 }
+    acc
+  }
+
+  private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** score(sub-vector x, centroid c) = |c|² − 2·x·c, both dot products
+    * ascending-index folds — the ivfAssign formulation, per subspace. */
+  private def pqScore(vec: ArrayData, cb: ArrayData, sub: Int,
+      base: Int, cbBase: Int, isFloat: Boolean): Double = {
+    var cc = 0.0
+    var xc = 0.0
+    var j = 0
+    while (j < sub) {
+      val c = cb.getDouble(cbBase + j)
+      cc += c * c
+      xc += elem(vec, base + j, isFloat) * c
+      j += 1
+    }
+    cc - 2.0 * xc
+  }
+
+  def pqEncode(vec: ArrayData, cb: ArrayData, m: Int, k: Int,
+      isFloat: Boolean): ArrayData = {
+    val sub = vec.numElements() / m
+    val out = new Array[Byte](m)
+    var i = 0
+    while (i < m) {
+      var best = 0
+      var bestScore = Double.PositiveInfinity
+      var kk = 0
+      while (kk < k) {
+        val s = pqScore(vec, cb, sub, i * sub, (i * k + kk) * sub, isFloat)
+        if (s < bestScore) { bestScore = s; best = kk } // strict <: ties to low k
+        kk += 1
+      }
+      out(i) = best.toByte
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  def pqDistTable(vec: ArrayData, cb: ArrayData, m: Int, k: Int,
+      isFloat: Boolean): ArrayData = {
+    val sub = vec.numElements() / m
+    val out = new Array[Double](m * k)
+    var i = 0
+    while (i < m) {
+      var kk = 0
+      while (kk < k) {
+        out(i * k + kk) = pqScore(vec, cb, sub, i * sub, (i * k + kk) * sub, isFloat)
+        kk += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** Σ_i table[i·k + code_i], ascending-subspace fold (0.0 seed is
+    * exact: 0+x == x in IEEE754). */
+  def pqAdc(codes: ArrayData, table: ArrayData, k: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      acc += table.getDouble(i * k + (codes.getByte(i).toInt & 0xff))
+      i += 1
+    }
     acc
   }
 }

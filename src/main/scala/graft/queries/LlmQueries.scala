@@ -1081,6 +1081,41 @@ object LlmQueries {
        |SELECT qid, nid, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Product-quantization top-3 (8 subspaces × 16 codes — vectors scan
+    * as 8 bytes, 32× compression): deterministic sampled codebook, ADC
+    * table scoring. The oracle replays encode and scoring with the same
+    * |c|²−2x·c dot-product formulation as the IVF family (sequential
+    * folds, bit-identical) and sums the 8 ADC terms in explicit
+    * left-to-right order. */
+  def qAnnPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        queriesDf(s, dir), kNeighbors = 3, codebookMod = 17)
+      .orderBy(col("qid"), col("rank"))
+
+  val qAnnPqSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |don AS (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS kk
+      |        FROM v WHERE vec_id % 17 = 0 QUALIFY kk < 16),
+      |cb AS (SELECT kk, i, e[i*8+1 : i*8+8] AS c FROM don, range(0, 8) t(i)),
+      |cbs AS (SELECT kk, i, c, list_inner_product(c, c) AS cc FROM cb),
+      |sc AS (SELECT v.vec_id AS vid, i, kk,
+      |         cc - 2.0 * list_inner_product(e[i*8+1 : i*8+8], c) AS s
+      |       FROM v, cbs),
+      |enc AS (SELECT vid, i, kk AS code FROM (
+      |          SELECT *, row_number() OVER (PARTITION BY vid, i ORDER BY s, kk) AS rn
+      |          FROM sc) WHERE rn = 1),
+      |term AS (SELECT q.vid AS qid, enc.vid AS nid, enc.i, q.s AS t
+      |         FROM enc JOIN sc q ON q.i = enc.i AND q.kk = enc.code
+      |         WHERE q.vid < 10 AND enc.vid != q.vid),
+      |lt AS (SELECT qid, nid, list(t ORDER BY i) AS l FROM term GROUP BY qid, nid),
+      |score AS (SELECT qid, nid,
+      |            l[1]+l[2]+l[3]+l[4]+l[5]+l[6]+l[7]+l[8] AS s FROM lt),
+      |r AS (SELECT qid, nid,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY s, nid) AS INT) AS rank
+      |      FROM score)
+      |SELECT qid, nid, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   /** Int8-quantized top-5 — the ANN memory-bandwidth path: per-vector
     * symmetric quantization (scale = max|e|/127, q = floor(e/s + 0.5)),
     * quantized-cosine ranking. Every dot product is an exact integer,

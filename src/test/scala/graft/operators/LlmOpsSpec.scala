@@ -368,6 +368,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(r === Array((1L, 1), (2L, 2)))
   }
 
+  test("pq: codebook donors encode to their own codes; ADC ranks a " +
+      "near-clone of the probe first") {
+    val s = spark
+    import s.implicits._
+    // dim 4, m=2 subspaces of 2, k=2 codes; codebook = vectors 0 and 17
+    // (codebookMod 17 → donors are ids 0 and 17, in id order)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (17L, Array(-1.0f, 0.0f, 0.0f, -1.0f)),
+      (2L, Array(0.9f, 0.1f, 0.1f, 0.9f)),   // near vector 0
+      (3L, Array(-0.9f, -0.1f, 0.0f, -1.1f)), // near vector 17
+    ).toDF("vec_id", "embedding")
+    val probe = vecs.filter(col("vec_id") === 0)
+    val r = Similarity.pqTopK(vecs, probe, 3, codebookMod = 17,
+        m = 2, numCodes = 2)
+      .orderBy("rank").collect().map(x => (x.getLong(1), x.getInt(2)))
+    // 2 shares probe's codes in both subspaces (ADC score = probe's own
+    // cell distance, minimal); 17 and 3 land in the far cell
+    assert(r.head._1 === 2L)
+    assert(r.map(_._1).toSet === Set(2L, 17L, 3L))
+    // encode check: each donor's nearest centroid is itself
+    import graft.functions.NativeMath.pqEncode
+    val flat = Array(1.0, 0.0, -1.0, 0.0, 0.0, 1.0, 0.0, -1.0)
+    val codes = vecs.filter(col("vec_id").isin(0L, 17L))
+      .select(col("vec_id"), pqEncode(col("embedding"), lit(flat), 2, 2).as("c"))
+      .orderBy("vec_id").collect().map(_.getSeq[Byte](1))
+    assert(codes(0) === Seq[Byte](0, 0))
+    assert(codes(1) === Seq[Byte](1, 1))
+  }
+
   test("lsh buckets: identical vectors share a bucket") {
     val s = spark
     import s.implicits._
