@@ -134,7 +134,13 @@ object ScaleStress {
       // suffix multiplies the vocabulary by the copy count, making this
       // a worst-case vocabulary-growth stress (real corpora grow
       // sub-linearly in vocab)
-      "q_perplexity")
+      "q_perplexity",
+      // round 11 session 2: containment's prefix(smaller) ⋈ full(larger)
+      // claim (cross-copy containment is zero by the word-suffix
+      // construction, so pairs scale linearly); the two compressed-ANN
+      // scans (int8 brute, PQ/ADC) whose cost model is corpus-linear
+      // scan × broadcast probes
+      "q_dedup_contain", "q_ann_quantized", "q_ann_pq")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)

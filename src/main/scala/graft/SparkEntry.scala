@@ -115,6 +115,7 @@ object SparkEntry {
     "q_chunk_overlap" -> (LlmQueries.qChunkOverlap _),
     "q_shuffle_order" -> (LlmQueries.qShuffleOrder _),
     "q_distinct_kmv"  -> (LlmQueries.qDistinctKmv _),
+    "q_heavy_hitters" -> (LlmQueries.qHeavyHitters _),
     "q_decontaminate" -> (LlmQueries.qDecontaminate _),
     "q_lang_id"       -> (LlmQueries.qLangId _),
     "q_ann_topk"      -> (LlmQueries.qAnnTopk _),
@@ -215,6 +216,7 @@ object SparkEntry {
     "q_chunk_overlap" -> LlmQueries.qChunkOverlapSql,
     "q_shuffle_order" -> LlmQueries.qShuffleOrderSql,
     "q_distinct_kmv"  -> LlmQueries.qDistinctKmvSql,
+    "q_heavy_hitters" -> LlmQueries.qHeavyHittersSql,
     "q_kmeans"        -> LlmQueries.qKmeansSql,
     "q_decontaminate" -> LlmQueries.qDecontaminateSql,
     "q_lang_id"       -> LlmQueries.qLangIdSql,

@@ -65,4 +65,38 @@ object Sketches {
       .otherwise(floor(
         lit((k - 1).toDouble * HashSpace) /
           element_at(kmvCol, k).cast("double")).cast("long"))
+
+  /** Exact global top-k over an unbounded key domain via a
+    * Misra-Gries candidate pass — the heavy-hitters shape for 100 TB:
+    *
+    *  1. CANDIDATES: one scan folds each partition into a bounded
+    *     ≤`capacity`-entry counter summary
+    *     ([[graft.functions.MisraGriesAgg]], a custom
+    *     TypedImperativeAggregate); only summaries cross the wire —
+    *     the full key domain is NEVER shuffled, unlike a groupBy
+    *     whose exchange carries one row per distinct key.
+    *  2. EXACT RECOUNT: the candidate keys (≤ capacity — broadcast)
+    *     semi-filter a second scan; only candidate rows reach the
+    *     count exchange; top-k by (cnt desc, key) plans as
+    *     TakeOrderedAndProject.
+    *
+    * The two-pass shape is what makes the answer EXACT and
+    * partition-layout-independent (and therefore oracle-checkable):
+    * MG guarantees every key with true count > n/(capacity+1) survives
+    * pass 1 no matter how rows were split, so with capacity sized
+    * above the top-k frequency floor the recounted top-k is the true
+    * top-k. Size `capacity` ≫ k·skew⁻¹; a capacity at or above the
+    * distinct-key count degenerates to exact counting with zero
+    * decrements (the regime the driver gate runs in at test scale —
+    * the spec exercises the lossy regime adversarially). */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int,
+      capacity: Int): DataFrame = {
+    val cand = df
+      .agg(graft.functions.MisraGries.misraGries(col(keyCol), capacity).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.key").as(keyCol))
+    df.join(broadcast(cand), Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(keyCol)).limit(k)
+  }
 }

@@ -1146,6 +1146,24 @@ object LlmQueries {
       |      FROM pr)
       |SELECT qid, nid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Exact corpus-word top-20 via the Misra-Gries candidate pass
+    * (custom TypedImperativeAggregate, two-pass exactification): the
+    * scale path for heavy hitters over unbounded vocabularies — no
+    * full-vocabulary shuffle, summaries merge map-side. The oracle is
+    * the plain exact top-20, which the two-pass answer equals by the
+    * MG retention guarantee. */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    Sketches.heavyHitters(
+        Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("word")),
+        "word", k = 20, capacity = 512)
+      .orderBy(col("cnt").desc, col("word"))
+
+  val qHeavyHittersSql: String =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |SELECT word, count(*) AS cnt FROM w
+      |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin
+
   /** Corpus bigram-LM quality score (in-domain perplexity filter):
     * the model is trained on the same corpus it scores — the standard
     * curation setup. Tokenization is the single-space split every text

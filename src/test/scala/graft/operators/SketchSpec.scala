@@ -77,4 +77,58 @@ class SketchSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerGroup"), plan.take(2000))
   }
+
+  test("misra-gries: majority key survives the LOSSY regime (capacity " +
+      "2 over 41 distinct keys, multiple partitions)") {
+    val s = spark
+    import s.implicits._
+    // 60 copies of the heavy key + 40 singleton keys, shuffled across
+    // 7 partitions: n=100, cap=2 → every key with count > 33 must be
+    // in the summary no matter how rows were split or merged
+    val rows = scala.util.Random.shuffle(
+      List.fill(60)("heavy") ++ (1 to 40).map(i => s"s$i"))
+    val df = rows.toDF("word").repartition(7)
+    val summary = df
+      .agg(graft.functions.MisraGries.misraGries(col("word"), 2).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.key"), col("e.cnt")).collect()
+    assert(summary.length <= 2)
+    val heavy = summary.find(_.getString(0) == "heavy")
+    assert(heavy.isDefined, s"majority key lost: ${summary.mkString(",")}")
+    // undercount bound: reported >= true − n/(cap+1)
+    assert(heavy.get.getLong(1) >= 60L - 100L / 3)
+  }
+
+  test("misra-gries: exact regime (capacity >= distinct keys) reports " +
+      "exact counts; heavyHitters equals the exact top-k") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 30).flatMap(i => List.fill(i)(s"w$i"))
+    val df = scala.util.Random.shuffle(rows.toList).toDF("word")
+      .repartition(5)
+    val summary = df
+      .agg(graft.functions.MisraGries.misraGries(col("word"), 64).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.key"), col("e.cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(summary === (1 to 30).map(i => s"w$i" -> i.toLong).toMap)
+    val hh = Sketches.heavyHitters(df, "word", 5, 64)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.toSeq === (30 to 26 by -1).map(i => (s"w$i", i.toLong)))
+  }
+
+  test("misra-gries: two-pass heavyHitters is exact in the lossy " +
+      "regime when the top-k clears the retention floor") {
+    val s = spark
+    import s.implicits._
+    // top-3 keys at 400/300/200 over n≈1500 with cap 15: floor is
+    // n/16 ≈ 94 — the tail (100 keys × 6) sits below it, the top-3
+    // far above; answers must be exact despite heavy decrements
+    val rows = List.fill(400)("a") ++ List.fill(300)("b") ++
+      List.fill(200)("c") ++ (1 to 100).flatMap(i => List.fill(6)(s"t$i"))
+    val df = scala.util.Random.shuffle(rows).toDF("word").repartition(6)
+    val hh = Sketches.heavyHitters(df, "word", 3, 15)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.toSeq === Seq(("a", 400L), ("b", 300L), ("c", 200L)))
+  }
 }
