@@ -62,6 +62,7 @@ object SparkEntry {
     "q_stats_rollup"    -> (Relational.qStatsRollup _),
     "q_dup_detect"      -> (Relational.qDupDetect _),
     "q_join_equi"       -> (Relational.qJoinEqui _),
+    "q_asof_join"       -> (Relational.qAsofJoin _),
     "q_join_broadcast"  -> (Relational.qJoinBroadcast _),
     "q_join_salted"     -> (Relational.qJoinSalted _),
     "q_semi_join"       -> (Relational.qSemiJoin _),
@@ -166,6 +167,7 @@ object SparkEntry {
     "q_stats_rollup"    -> Relational.qStatsRollupSql,
     "q_dup_detect"      -> Relational.qDupDetectSql,
     "q_join_equi"       -> Relational.qJoinEquiSql,
+    "q_asof_join"       -> Relational.qAsofJoinSql,
     "q_join_broadcast"  -> Relational.qJoinBroadcastSql,
     "q_join_salted"     -> Relational.qJoinSaltedSql,
     "q_semi_join"       -> Relational.qSemiJoinSql,

@@ -131,6 +131,34 @@ object Relational {
 
   /** Plain equi-join + agg: stats ⋈ queries analog (collect.py:116-119).
     * customer joins nation (small dim → broadcast). */
+  /** As-of join ([[graft.operators.AsOf]]): each purchase matched to
+    * the user's latest view at or before the purchase time — the
+    * point-in-time join, executed as union + carry-forward window (one
+    * key shuffle, no range-candidate explosion). The view side is
+    * pre-aggregated to one row per (user, ts) so the oracle's ASOF
+    * tie behavior never engages. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    graft.operators.AsOf.asofJoin(purchases, views, "user_id", "ts",
+        Seq("view_id"))
+      .select(col("event_id"), col("user_id"), col("view_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts, max(event_id) AS view_id FROM events
+      |      WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, v.view_id
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
+
   def qJoinEqui(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
