@@ -63,6 +63,7 @@ object SparkEntry {
     "q_dup_detect"      -> (Relational.qDupDetect _),
     "q_join_equi"       -> (Relational.qJoinEqui _),
     "q_asof_join"       -> (Relational.qAsofJoin _),
+    "q_range_join"      -> (Relational.qRangeJoin _),
     "q_join_broadcast"  -> (Relational.qJoinBroadcast _),
     "q_join_salted"     -> (Relational.qJoinSalted _),
     "q_semi_join"       -> (Relational.qSemiJoin _),
@@ -168,6 +169,7 @@ object SparkEntry {
     "q_dup_detect"      -> Relational.qDupDetectSql,
     "q_join_equi"       -> Relational.qJoinEquiSql,
     "q_asof_join"       -> Relational.qAsofJoinSql,
+    "q_range_join"      -> Relational.qRangeJoinSql,
     "q_join_broadcast"  -> Relational.qJoinBroadcastSql,
     "q_join_salted"     -> Relational.qJoinSaltedSql,
     "q_semi_join"       -> Relational.qSemiJoinSql,

@@ -50,4 +50,29 @@ object AsOf {
     last(payload, ignoreNulls = true).over(
       Window.partitionBy(key).orderBy(ts, tag)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** Interval (range) join for NON-OVERLAPPING intervals per key: each
+    * probe row matched to the interval with `start <= ts < end` on the
+    * same key — session attribution, validity-window lookup. Executed
+    * as the same union + carry-forward shape as [[asofJoin]] (carry the
+    * latest interval whose start precedes the probe, then apply the
+    * `ts < end` residual as a post-filter), so the plan is one key
+    * exchange + one window — no range-bucketing, no non-equi join, and
+    * a probe inside no interval gets nulls. Intervals that overlap per
+    * key would need the interval-tree/bucketing form instead; callers
+    * assert disjointness (lead()-derived session windows are disjoint
+    * by construction). */
+  def rangeJoin(probes: DataFrame, intervals: DataFrame, keyCol: String,
+      tsCol: String, startCol: String, endCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val probeCols = probes.columns.toSeq
+    val carried = endCol +: payloadCols
+    val matched = asofJoin(
+      probes,
+      intervals.withColumnRenamed(startCol, tsCol),
+      keyCol, tsCol, carried)
+    val inWindow = col(endCol).isNotNull && col(tsCol) < col(endCol)
+    matched.select(probeCols.map(col) ++
+      payloadCols.map(c => when(inWindow, col(c)).otherwise(lit(null)).as(c)): _*)
+  }
 }

@@ -159,6 +159,43 @@ object Relational {
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Range (interval) join ([[graft.operators.AsOf.rangeJoin]]): each
+    * click attributed to the signup session window containing it —
+    * sessions are lead()-derived per user (disjoint by construction),
+    * so the interval join runs as carry-forward + residual: one key
+    * exchange, no non-equi join. Oracle is the plain containment
+    * LEFT JOIN. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val sessions = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("session_id"))
+      .withColumn("fin", lead(col("ts"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"))))
+      .select(col("user_id"), col("ts").as("start"), col("fin"),
+        col("session_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsOf.rangeJoin(clicks, sessions, "user_id", "ts",
+        "start", "fin", Seq("session_id"))
+      .select(col("event_id"), col("user_id"), col("session_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val qRangeJoinSql: String =
+    """WITH sg AS (SELECT user_id, ts, max(event_id) AS session_id
+      |            FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+      |s AS (SELECT user_id, ts AS start, session_id,
+      |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS fin
+      |      FROM sg),
+      |c AS (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, s.session_id
+      |FROM c LEFT JOIN s ON c.user_id = s.user_id
+      |  AND s.start <= c.ts AND c.ts < s.fin
+      |ORDER BY c.event_id""".stripMargin
+
   def qJoinEqui(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
