@@ -118,6 +118,7 @@ object SparkEntry {
     "q_shuffle_order" -> (LlmQueries.qShuffleOrder _),
     "q_distinct_kmv"  -> (LlmQueries.qDistinctKmv _),
     "q_heavy_hitters" -> (LlmQueries.qHeavyHitters _),
+    "q_feature_hash"  -> (LlmQueries.qFeatureHash _),
     "q_decontaminate" -> (LlmQueries.qDecontaminate _),
     "q_lang_id"       -> (LlmQueries.qLangId _),
     "q_ann_topk"      -> (LlmQueries.qAnnTopk _),
@@ -221,6 +222,7 @@ object SparkEntry {
     "q_shuffle_order" -> LlmQueries.qShuffleOrderSql,
     "q_distinct_kmv"  -> LlmQueries.qDistinctKmvSql,
     "q_heavy_hitters" -> LlmQueries.qHeavyHittersSql,
+    "q_feature_hash"  -> LlmQueries.qFeatureHashSql,
     "q_kmeans"        -> LlmQueries.qKmeansSql,
     "q_decontaminate" -> LlmQueries.qDecontaminateSql,
     "q_lang_id"       -> LlmQueries.qLangIdSql,

@@ -47,6 +47,16 @@ object NativeText {
   def simhash60(words: Column): Column =
     GraftSqlBridge.column(Simhash60Expr(GraftSqlBridge.expression(words)))
 
+  /** Feature-hashed document vector (the hashing trick, Weinberger et
+    * al., ICML'09): token counts folded into a fixed `dim`-bucket
+    * signed-count vector — bucket = md5Hash60(w) mod dim, sign = bit 59
+    * of the hash. One pass per row, scan speed, no vocabulary table and
+    * no shuffle; all entries are exact integers so the DuckDB replay is
+    * order-independent-exact. The fixed-dim output plugs directly into
+    * the embedding operators (cosine near-dup, ANN). */
+  def featureHash(words: Column, dim: Int): Column =
+    GraftSqlBridge.column(FeatureHashExpr(GraftSqlBridge.expression(words), dim))
+
   /** Distinct n-word shingle hashes of `words` — the join key column
     * for shingle-overlap operators (Jaccard verify, decontamination).
     * The hash is the same rolling xxhash64 combine the MinHash kernel
@@ -150,6 +160,25 @@ case class Simhash60Expr(child: Expression)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.MinhashKernel.simhash60($c);")
   override protected def withNewChildInternal(newChild: Expression): Simhash60Expr =
+    copy(child = newChild)
+}
+
+case class FeatureHashExpr(child: Expression, dim: Int)
+    extends UnaryExpression {
+  require(dim >= 1, "dim >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"feature_hash needs array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "feature_hash"
+  protected override def nullSafeEval(words: Any): Any =
+    MinhashKernel.featureHash(words.asInstanceOf[ArrayData], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashKernel.featureHash($c, $dim);")
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashExpr =
     copy(child = newChild)
 }
 
@@ -2094,5 +2123,23 @@ object MinhashKernel {
     var j = 0
     while (j < 60) { if (counts(j) > 0) out |= 1L << j; j += 1 }
     out
+  }
+
+  /** Signed token counts in `dim` hash buckets: bucket = h mod dim
+    * (h is a non-negative 60-bit value, so % is already non-negative),
+    * sign = bit 59 of h. Counts ALL tokens (term frequency), unlike
+    * simhash's distinct-word vote. */
+  def featureHash(words: ArrayData, dim: Int): ArrayData = {
+    val out = new Array[Long](dim)
+    val m = words.numElements()
+    var i = 0
+    while (i < m) {
+      val h = md5Hash60(words.getUTF8String(i))
+      val b = (h % dim).toInt
+      out(b) += (if (((h >>> 59) & 1L) == 1L) 1L else -1L)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 }

@@ -1146,6 +1146,33 @@ object LlmQueries {
       |      FROM pr)
       |SELECT qid, nid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Feature-hashed 64-dim document vectors (the hashing trick) —
+    * text → fixed-dim representation at scan speed, no vocabulary
+    * table, no shuffle; every entry is an exact signed token count, so
+    * the oracle replay is order-independent. Emitted exploded
+    * (doc_id, pos, s) so the gate checks all 64 dims of every doc. */
+  def qFeatureHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.NativeText.featureHash(
+          split(col("text"), " "), 64)))
+      .select(col("doc_id"), col("pos"), col("col").as("s"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  val qFeatureHashSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |           FROM documents),
+      |h AS (SELECT doc_id,
+      |        try_cast('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM w),
+      |b AS (SELECT doc_id, h % 64 AS b,
+      |        CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END AS sgn FROM h),
+      |sums AS (SELECT doc_id, b, sum(sgn) AS s FROM b GROUP BY 1, 2),
+      |g AS (SELECT d.doc_id, t.i FROM (SELECT DISTINCT doc_id FROM documents) d,
+      |      range(0, 64) t(i))
+      |SELECT g.doc_id, CAST(g.i AS INT) AS pos, coalesce(sums.s, 0) AS s
+      |FROM g LEFT JOIN sums ON g.doc_id = sums.doc_id AND g.i = sums.b
+      |ORDER BY g.doc_id, pos""".stripMargin
+
   /** Exact corpus-word top-20 via the Misra-Gries candidate pass
     * (custom TypedImperativeAggregate, two-pass exactification): the
     * scale path for heavy hitters over unbounded vocabularies — no

@@ -398,6 +398,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(codes(1) === Seq[Byte](1, 1))
   }
 
+  test("featureHash kernel matches the hash60 Column formulation; " +
+      "clones collide, repeated tokens accumulate") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha alpha"),
+      (2L, "alpha beta gamma alpha alpha"), // exact clone → same vector
+      (3L, "totally different words entirely"),
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val dim = 16
+    val kernel = docs.select(col("doc_id"),
+        posexplode(graft.functions.NativeText.featureHash(
+          split(col("text"), " "), dim)))
+      .select(col("doc_id"), col("pos"), col("col").as("s"))
+    // Column-formulation replay of the same bucket/sign derivation
+    val h = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), TextDedup.hash60(col("w")).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(dim)).as("pos"),
+        when(shiftright(col("h"), 59) % 2 === 1, lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+      .groupBy(col("doc_id"), col("pos")).agg(sum(col("sgn")).as("s"))
+    val dense = docs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(dim - 1))).as("pos"))
+      .join(h, Seq("doc_id", "pos"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("s"), lit(0L)).as("s"))
+    assert(kernel.except(dense).isEmpty && dense.except(kernel).isEmpty)
+    val v = kernel.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("v"))
+      .orderBy("doc_id").collect().map(_.getSeq[Any](1))
+    assert(v(0) === v(1))    // clones share the vector
+    assert(v(0) !== v(2))
+  }
+
   test("lsh buckets: identical vectors share a bucket") {
     val s = spark
     import s.implicits._
