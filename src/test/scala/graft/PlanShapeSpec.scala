@@ -113,6 +113,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"stats must broadcast, never shuffle-join:\n$p")
   }
 
+  test("heavy hitters: candidates broadcast into the recount, final " +
+      "top-k is TakeOrderedAndProject, no cartesian anywhere") {
+    val words = (1 to 200).map(i => s"w${i % 12}").toDF("word")
+    val df = graft.operators.Sketches.heavyHitters(words, "word", 3, 64)
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), s"candidates must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the MG pass runs as an object-buffer aggregate (partial per task)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("pq ANN: corpus side is a scan + broadcast probes — no corpus " +
+      "exchange before scoring") {
+    val vecs = (1L to 40L)
+      .map(i => (i, Array.tabulate(8)(d => (i * d % 7 + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val df = graft.operators.Similarity.pqTopK(
+      vecs, vecs.filter(col("vec_id") < 3), 2, codebookMod = 7,
+      m = 2, numCodes = 4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"probes must broadcast, the corpus must never shuffle-join:\n$p")
+  }
+
   test("ivf assignment aggregates without a window sort") {
     val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
