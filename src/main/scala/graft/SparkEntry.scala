@@ -119,6 +119,8 @@ object SparkEntry {
     "q_distinct_kmv"  -> (LlmQueries.qDistinctKmv _),
     "q_heavy_hitters" -> (LlmQueries.qHeavyHitters _),
     "q_feature_hash"  -> (LlmQueries.qFeatureHash _),
+    "q_quality_trim"  -> (LlmQueries.qQualityTrim _),
+    "q_token_budget"  -> (LlmQueries.qTokenBudget _),
     "q_decontaminate" -> (LlmQueries.qDecontaminate _),
     "q_lang_id"       -> (LlmQueries.qLangId _),
     "q_ann_topk"      -> (LlmQueries.qAnnTopk _),
@@ -223,6 +225,8 @@ object SparkEntry {
     "q_distinct_kmv"  -> LlmQueries.qDistinctKmvSql,
     "q_heavy_hitters" -> LlmQueries.qHeavyHittersSql,
     "q_feature_hash"  -> LlmQueries.qFeatureHashSql,
+    "q_quality_trim"  -> LlmQueries.qQualityTrimSql,
+    "q_token_budget"  -> LlmQueries.qTokenBudgetSql,
     "q_kmeans"        -> LlmQueries.qKmeansSql,
     "q_decontaminate" -> LlmQueries.qDecontaminateSql,
     "q_lang_id"       -> LlmQueries.qLangIdSql,

@@ -270,6 +270,42 @@ object Corpus {
   }
 
 
+  /** Per-group quality-percentile trim: keep each group's best
+    * `keepFrac` of rows by `scoreCol` (descending; ties broken by id
+    * for determinism) — the "top X% per domain" curation cut applied
+    * after any quality scorer. One window per group key (never a
+    * global window); percent_rank is the standard SQL definition, so
+    * the oracle replays it verbatim. */
+  def percentileTrim(docs: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, keepFrac: Double): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    docs.withColumn("_pr", percent_rank().over(w))
+      .where(col("_pr") <= keepFrac)
+      .drop("_pr")
+  }
+
+  /** Deterministic token-budget draw per group: rows taken in
+    * content-hash order (the seeded md5 hash60 every shuffle/sample op
+    * shares — replayable, uncorrelated with ingest order) until the
+    * group's cumulative token count reaches `budget`. The row that
+    * crosses the budget is the last one kept (standard budgeted-draw
+    * semantics: the draw stops AFTER the budget is hit, so the output
+    * is never empty for a non-empty group). One per-group window, no
+    * global funnel. */
+  def tokenBudgetSample(docs: DataFrame, groupCol: String, idCol: String,
+      tokensCol: String, budget: Long, seed: String): DataFrame = {
+    val keyed = docs.withColumn("_k",
+      TextDedup.hash60(concat(col(idCol).cast("string"),
+        lit(":budget:" + seed))))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_k"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.withColumn("_cum", sum(col(tokensCol)).over(w))
+      .where(col("_cum") - col(tokensCol) < budget)
+      .drop("_k", "_cum")
+  }
+
   /** Corpus bigram language-model quality score — the classic
     * in-domain perplexity filter for training-data curation (a CCNet /
     * Gopher-style signal): train add-alpha-smoothed bigram statistics

@@ -1146,6 +1146,49 @@ object LlmQueries {
       |      FROM pr)
       |SELECT qid, nid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Per-source quality-percentile trim: keep the longest 40% of each
+    * source (score stand-in: n_chars; any scorer column drops in).
+    * percent_rank is the standard SQL definition — verbatim oracle. */
+  def qQualityTrim(s: SparkSession, dir: String): DataFrame =
+    Corpus.percentileTrim(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars", "doc_id", keepFrac = 0.4)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val qQualityTrimSql: String =
+    """WITH r AS (SELECT doc_id, source, n_chars,
+      |        percent_rank() OVER (PARTITION BY source
+      |          ORDER BY n_chars DESC, doc_id) AS pr
+      |      FROM documents)
+      |SELECT doc_id, source, n_chars FROM r WHERE pr <= 0.4
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic token-budget draw: per source, take documents in
+    * seeded content-hash order until 5k chars are drawn (the
+    * crossing row is kept). The oracle replays the same md5-derived
+    * order and running sum. */
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame =
+    Corpus.tokenBudgetSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "doc_id", "n_chars", budget = 5000L, seed = "r11")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val qTokenBudgetSql: String =
+    """WITH k AS (SELECT doc_id, source, n_chars,
+      |        try_cast('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+      |          || ':budget:r11'), 1, 15) AS BIGINT) AS k
+      |      FROM documents),
+      |c AS (SELECT doc_id, source, n_chars,
+      |        sum(n_chars) OVER (PARTITION BY source ORDER BY k, doc_id
+      |          ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM k)
+      |SELECT doc_id, source, n_chars FROM c
+      |WHERE cum - n_chars < 5000 ORDER BY doc_id""".stripMargin
+
   /** Feature-hashed 64-dim document vectors (the hashing trick) —
     * text → fixed-dim representation at scan speed, no vocabulary
     * table, no shuffle; every entry is an exact signed token count, so

@@ -271,4 +271,39 @@ class CorpusSpec extends SparkSpec {
     assert(wins.filterNot(_.child.output.exists(_.name == "id"))
       .forall(_.partitionSpec.isEmpty))
   }
+
+  test("percentileTrim keeps each group's top fraction, deterministic ties") {
+    val s = spark
+    import s.implicits._
+    // group a: scores 10..1 over ids 1..10 — percent_rank of rank r
+    // over n rows = (r-1)/(n-1), so pr <= 0.4 keeps ranks 1..4
+    // ((4-1)/9 = 0.333; rank 5 is 0.444)
+    val docs = (1 to 10).map(i => (i.toLong, "a", 11 - i)) ++
+      Seq((11L, "b", 7), (12L, "b", 7))  // tie broken by id: pr 0, 1
+    val r = Corpus.percentileTrim(docs.toDF("id", "g", "score"),
+        "g", "score", "id", 0.4)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(r.toSeq === Seq(1L, 2L, 3L, 4L, 11L))
+  }
+
+  test("tokenBudgetSample: hash-order draw stops after crossing the " +
+      "budget; every group non-empty; deterministic") {
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 20).map(i => (i.toLong, s"g${i % 2}", 300L))
+      .toDF("id", "g", "toks")
+    val r = Corpus.tokenBudgetSample(docs, "g", "id", "toks", 1000L, "x")
+      .collect().map(x => (x.getString(1), x.getLong(0)))
+    // 300-token docs against a 1000 budget: cum 300,600,900,1200 — the
+    // 1200 row crosses and is kept, the next is not → exactly 4 per group
+    val byG = r.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byG === Map("g0" -> 4, "g1" -> 4))
+    val again = Corpus.tokenBudgetSample(docs, "g", "id", "toks", 1000L, "x")
+      .collect().map(x => (x.getString(1), x.getLong(0)))
+    assert(again.sorted.toSeq === r.sorted.toSeq)
+    // a different seed draws a different prefix (hash-order, not id-order)
+    val other = Corpus.tokenBudgetSample(docs, "g", "id", "toks", 1000L, "y")
+      .collect().map(x => (x.getString(1), x.getLong(0)))
+    assert(other.sorted.toSeq !== r.sorted.toSeq)
+  }
 }
