@@ -39,6 +39,16 @@ object GraftSqlBridge {
       exp.extraStrategies = exp.extraStrategies :+ s
   }
 
+  /** An uncorrelated scalar subquery over `df`'s single-row result —
+    * the mechanism Spark's own InjectRuntimeFilter uses to hand a
+    * build-side aggregate (e.g. Bloom filter bytes) to a probe-side
+    * Filter: the subquery plans and executes as its own stage before
+    * the outer filter evaluates, and the probe stays a plain Filter on
+    * the outer scan instead of a join Catalyst could reorder above the
+    * very Exchange the filter exists to shrink (Skew.bloomSemiJoin). */
+  def scalarSubquery(df: DataFrame): Expression =
+    catalyst.expressions.ScalarSubquery(df.queryExecution.analyzed)
+
   /** Idempotent per-session optimizer-rule registration (same dual path
     * as [[addStrategy]]). */
   def addOptimization(spark: SparkSession,

@@ -252,6 +252,31 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Bloom-prefiltered semi-join under the driver gate: orders of a
+    * filtered customer subset, executed through
+    * [[graft.operators.Skew.bloomSemiJoin]] — the dimension's keys
+    * aggregate into one 64 KiB Bloom filter, the single-row filter
+    * broadcasts, and the orders scan drops non-candidates at codegen
+    * speed before any Exchange; the exact-verify semi-join then makes
+    * the result identical to the plain semi-join (the oracle). Pins
+    * the explicit runtime-filter path to exact equality on real data;
+    * the plan shape (probe below the Exchange) is pinned in BloomSpec. */
+  def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000)
+      .select(col("c_custkey"))
+    graft.operators.Skew.bloomSemiJoin(o, c, "o_custkey", "c_custkey",
+        numBits = 1 << 19, numHashes = 5)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qBloomJoinSql: String =
+    """SELECT o_orderkey, o_custkey FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** has_child semi-join (download.py:407-412): orders that have a
     * returned lineitem — left_semi keeps only the parent side. */
   def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
