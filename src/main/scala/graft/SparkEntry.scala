@@ -118,6 +118,7 @@ object SparkEntry {
     "q_chunk_overlap" -> (LlmQueries.qChunkOverlap _),
     "q_shuffle_order" -> (LlmQueries.qShuffleOrder _),
     "q_distinct_kmv"  -> (LlmQueries.qDistinctKmv _),
+    "q_quantile_sketch" -> (LlmQueries.qQuantileSketch _),
     "q_heavy_hitters" -> (LlmQueries.qHeavyHitters _),
     "q_feature_hash"  -> (LlmQueries.qFeatureHash _),
     "q_quality_trim"  -> (LlmQueries.qQualityTrim _),
@@ -225,6 +226,7 @@ object SparkEntry {
     "q_chunk_overlap" -> LlmQueries.qChunkOverlapSql,
     "q_shuffle_order" -> LlmQueries.qShuffleOrderSql,
     "q_distinct_kmv"  -> LlmQueries.qDistinctKmvSql,
+    "q_quantile_sketch" -> LlmQueries.qQuantileSketchSql,
     "q_heavy_hitters" -> LlmQueries.qHeavyHittersSql,
     "q_feature_hash"  -> LlmQueries.qFeatureHashSql,
     "q_quality_trim"  -> LlmQueries.qQualityTrimSql,

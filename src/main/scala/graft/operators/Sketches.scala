@@ -66,6 +66,46 @@ object Sketches {
         lit((k - 1).toDouble * HashSpace) /
           element_at(kmvCol, k).cast("double")).cast("long"))
 
+  /** Quantile sketch by bottom-k uniform sampling — the third leg of
+    * the mergeable-summary family (KMV = distinct count, Misra-Gries =
+    * heavy hitters, this = quantiles): per group, keep the k rows
+    * whose content hash ([[TextDedup.hash60]] of the id) is smallest —
+    * a uniform random sample that is DETERMINISTIC in the data (no
+    * rand(), no partition order), then read type-1 sample quantiles
+    * off the sorted sample: value at index floor((n-1)·q) (0-based).
+    *
+    * Mergeable like KMV: the union's bottom-k by hash is the bottom-k
+    * of the concatenated per-part samples (SketchSpec pins the
+    * property), so per-shard / per-day samples roll up in any tree
+    * without rescanning. Expected rank error of a k-sample quantile is
+    * ~sqrt(q(1-q)/k); k=64 puts p50 within ±6 rank points with high
+    * probability — the "is this column's p99 about X?" pass a 100 TB
+    * pipeline runs before sizing partitions or caps. Every step (md5
+    * hash order, k-th order statistics, floor index) replays
+    * bit-for-bit in SQL, so unlike t-digest/GK the ESTIMATE itself is
+    * oracle-checkable.
+    *
+    * Scale shape: one [[graft.plans.TopKPerGroup]] heap pass (single
+    * hash-partition shuffle, O(groups·k) memory, no full sort), then a
+    * groups-sized aggregation of k-length arrays. Output: group,
+    * `n_sample`, one long column per requested quantile. */
+  def quantileSketch(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: Int, qs: Seq[(String, Double)]): DataFrame = {
+    val hashed = df.select(col(groupCol), col(valueCol),
+      TextDedup.hash60(col(idCol).cast("string")).as("_h"),
+      col(idCol).as("_id"))
+    val sampled = graft.plans.TopKPerGroup.topK(
+      hashed, Seq(groupCol), Seq("_h", "_id"), k, "_r")
+    sampled.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col(valueCol))).as("_vals"),
+        count(lit(1)).as("n_sample"))
+      .select(col(groupCol) +: col("n_sample") +: qs.map { case (name, q) =>
+        element_at(col("_vals"),
+          (floor((col("n_sample") - 1) * q) + 1).cast("int"))
+          .cast("long").as(name)
+      }: _*)
+  }
+
   /** Exact global top-k over an unbounded key domain via a
     * Misra-Gries candidate pass — the heavy-hitters shape for 100 TB:
     *

@@ -862,6 +862,38 @@ object LlmQueries {
       |FROM tot LEFT JOIN kth ON tot.source = kth.source
       |ORDER BY tot.source""".stripMargin
 
+  /** Bottom-k quantile sketch ([[Sketches.quantileSketch]]): per
+    * source, p50/p90 of `n_chars` read off the 64-document bottom-k
+    * hash sample — the mergeable-summary quantile pass, next to its
+    * exact counterpart q_length_quantiles the way q_distinct_kmv sits
+    * next to its exact count. Deterministic sample (md5 hash order) +
+    * type-1 index rule ⇒ the estimate replays bit-for-bit in SQL. */
+  def qQuantileSketch(s: SparkSession, dir: String): DataFrame =
+    Sketches.quantileSketch(Tables.documents(s, dir),
+        "source", "n_chars", "doc_id", k = 64,
+        qs = Seq("p50_est" -> 0.5, "p90_est" -> 0.9))
+      .orderBy(col("source"))
+
+  val qQuantileSketchSql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY
+      |      try_cast('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |        AS BIGINT),
+      |      doc_id) AS rn
+      |  FROM documents),
+      |a AS (
+      |  SELECT source,
+      |    array_agg(n_chars ORDER BY n_chars) AS vals,
+      |    COUNT(*) AS n_sample
+      |  FROM r WHERE rn <= 64 GROUP BY source)
+      |SELECT source, n_sample,
+      |  CAST(vals[CAST(FLOOR((n_sample - 1) * 0.5) AS INT) + 1] AS BIGINT)
+      |    AS p50_est,
+      |  CAST(vals[CAST(FLOOR((n_sample - 1) * 0.9) AS INT) + 1] AS BIGINT)
+      |    AS p90_est
+      |FROM a ORDER BY source""".stripMargin
+
   def qLangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("_w"))

@@ -131,4 +131,64 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(hh.toSeq === Seq(("a", 400L), ("b", 300L), ("c", 200L)))
   }
+
+  private def skewedDocs(n: Int) = {
+    val s = spark
+    import s.implicits._
+    // value = i² — a right-skewed length-like distribution with known
+    // exact quantiles (sorted order is just i ascending)
+    (1 to n).map(i => ("g", i.toLong, i.toLong * i)).toDF("g", "id", "len")
+  }
+
+  test("quantileSketch: exact when the group is smaller than k") {
+    val r = Sketches.quantileSketch(skewedDocs(41), "g", "len", "id",
+        k = 64, qs = Seq("p50" -> 0.5, "p90" -> 0.9))
+      .collect()(0)
+    // n=41: p50 index floor(40*.5)=20 → value 21², p90 floor(40*.9)=36 → 37²
+    assert(r.getAs[Long]("n_sample") === 41L)
+    assert(r.getAs[Long]("p50") === 21L * 21L)
+    assert(r.getAs[Long]("p90") === 37L * 37L)
+  }
+
+  test("quantileSketch: k=256 sample quantiles land within the rank-error band") {
+    val n = 20000
+    val r = Sketches.quantileSketch(skewedDocs(n), "g", "len", "id",
+        k = 256, qs = Seq("p50" -> 0.5, "p90" -> 0.9))
+      .collect()(0)
+    // recover the sampled value's true rank: value i² → rank i/n
+    def rank(v: Long): Double = math.sqrt(v.toDouble) / n
+    // rank se = sqrt(q(1-q)/k): p50 ±3.1%, p90 ±1.9%; allow 4 sigma
+    assert(math.abs(rank(r.getAs[Long]("p50")) - 0.5) < 0.125)
+    assert(math.abs(rank(r.getAs[Long]("p90")) - 0.9) < 0.075)
+  }
+
+  test("quantileSketch: deterministic under repartitioning") {
+    val a = Sketches.quantileSketch(skewedDocs(5000).repartition(1),
+      "g", "len", "id", 128, Seq("p50" -> 0.5)).collect()(0)
+    val b = Sketches.quantileSketch(skewedDocs(5000).repartition(7),
+      "g", "len", "id", 128, Seq("p50" -> 0.5)).collect()(0)
+    assert(a === b)
+  }
+
+  test("quantileSketch: bottom-k samples merge (union's sample = " +
+      "bottom-k of concatenated samples)") {
+    val s = spark
+    import s.implicits._
+    val docs = skewedDocs(4000)
+    val (partA, partB) = (docs.filter(col("id") % 2 === 0),
+      docs.filter(col("id") % 2 === 1))
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      graft.plans.TopKPerGroup.topK(
+        d.select(col("g"), col("len"),
+          TextDedup.hash60(col("id").cast("string")).as("_h"),
+          col("id").as("_id")),
+        Seq("g"), Seq("_h", "_id"), 64, "_r").drop("_r")
+    val whole = sample(docs).collect().map(_.toSeq).toSet
+    // re-sampling the union of the two part-samples = the whole's sample
+    val merged = sample(
+        sample(partA).unionAll(sample(partB))
+          .select(col("g"), col("len"), col("_id").as("id")))
+      .collect().map(_.toSeq).toSet
+    assert(merged === whole)
+  }
 }
