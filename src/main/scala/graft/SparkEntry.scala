@@ -89,6 +89,8 @@ object SparkEntry {
     "q_dsl_geo_polygon"    -> (DslQueries.qDslGeoPolygon _),
     "q_dsl_geo_shape"      -> (DslQueries.qDslGeoShape _),
     "q_fulltext_rank"      -> (DslQueries.qFulltextRank _),
+    "q_inverted_index"     -> (DslQueries.qInvertedIndex _),
+    "q_index_search"       -> (DslQueries.qIndexSearch _),
     // LLM-training-data pipeline operators (documents/embeddings)
     "q_dedup_exact"   -> (LlmQueries.qDedupExact _),
     "q_dedup_minhash" -> (LlmQueries.qDedupMinhash _),
@@ -199,6 +201,8 @@ object SparkEntry {
     "q_dsl_geo_polygon"    -> DslQueries.qDslGeoPolygonSql,
     "q_dsl_geo_shape"      -> DslQueries.qDslGeoShapeSql,
     "q_fulltext_rank"      -> DslQueries.qFulltextRankSql,
+    "q_inverted_index"     -> DslQueries.qInvertedIndexSql,
+    "q_index_search"       -> DslQueries.qFulltextRankSql,
     "q_dedup_exact"   -> LlmQueries.qDedupExactSql,
     "q_dedup_minhash" -> LlmQueries.qDedupMinhashSql,
     "q_dedup_jaccard" -> LlmQueries.qDedupJaccardSql,

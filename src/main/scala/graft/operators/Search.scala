@@ -57,6 +57,20 @@ object Search {
         sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
     val stats = staged.agg(count(lit(1)).as("n_docs"), statAggs: _*)
 
+    staged.crossJoin(broadcast(stats))
+      .select(col(idCol), bm25ScoreSum(n).as("_score"))
+      .filter(col("_score") > 0.0)
+      .orderBy(col("_score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("_score"), 6).as("score_r6"))
+  }
+
+  /** The BM25 score sum over staged columns (`tf_i`, `df_i`, `dl`,
+    * `n_docs`, `sum_dl`) — shared verbatim by the scan path
+    * ([[bm25TopK]]) and the index path ([[indexSearch]]) so the two
+    * are arithmetic-identical, including the fixed left-to-right
+    * double summation order. */
+  private def bm25ScoreSum(n: Int): Column = {
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     def termScore(i: Int): Column = {
       val tfd = col(s"tf_$i").cast("double")
@@ -68,14 +82,84 @@ object Search {
           (tfd + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / avgdl)))
         .otherwise(lit(0.0))
     }
-    // fixed left-to-right addition: deterministic double summation order
-    val score = (0 until n).map(termScore).reduceLeft(_ + _)
+    (0 until n).map(termScore).reduceLeft(_ + _)
+  }
 
-    staged.crossJoin(broadcast(stats))
-      .select(col(idCol), score.as("_score"))
+  // --- materialized inverted index -----------------------------------
+
+  /** Postings relation — the build half of the reference's whole
+    * architecture (everything it ingests lands in an Elasticsearch
+    * inverted index; elasticsearch.py's bulk indexer is the sink):
+    * one row per (term, document) with the term frequency and the
+    * document length DENORMALIZED in, Lucene-norms style, so a search
+    * over the index never joins back to the corpus for lengths.
+    *
+    * Scale shape: tokenization is per-row scan work; the groupBy
+    * (term, doc_id, dl) collapses each document's repeated terms
+    * map-side (a document's tokens never leave their partition
+    * unaggregated), so the single Exchange carries one row per
+    * DISTINCT (term, doc) — the index's own size, not the token
+    * stream's. */
+  def invertedPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("_w"))
+      .select(col("doc_id"), size(col("_w")).cast("long").as("dl"),
+        explode(col("_w")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus statistics the ranker needs at query time, precomputed at
+    * build time: one row (n_docs, sum_dl). */
+  def indexStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(size(split(lower(col(textCol)), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /** Segment-sharded posting lists — the storage layout: postings of
+    * one term grouped into sorted arrays per (term, shard) where
+    * `shard = doc_id mod nShards`. The shard key is what bounds the
+    * hot-term problem at 100 TB: a stopword's corpus-wide posting
+    * list lands as nShards bounded arrays on nShards reducers instead
+    * of one reducer materializing a corpus-sized list (the same
+    * discipline as TextDedup.MaxBucketSize). Lucene's segment files
+    * are the same idea with time-of-arrival sharding. */
+  def invertedSegments(postings: DataFrame, nShards: Int): DataFrame =
+    postings
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards)).cast("int"))
+      .groupBy(col("term"), col("shard"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("tf"), col("dl")))).as("postings"))
+
+  /** BM25 top-k answered FROM the index — the "build once, query many"
+    * path: query terms prune the postings scan (an `IN` filter the
+    * parquet reader pushes down on a term-sorted/partitioned layout),
+    * candidates pivot to one row per document with the same per-term
+    * tf columns and fixed left-to-right score sum as [[bm25TopK]]
+    * (double summation order identical ⇒ SearchSpec pins exact
+    * equality), and corpus stats arrive as one broadcast row. Only
+    * documents containing ≥1 query term are touched — the scan cost
+    * is the matched postings, not the corpus. */
+  def indexSearch(postings: DataFrame, stats: DataFrame,
+      terms: Seq[String], k: Int): DataFrame = {
+    val n = terms.size
+    val matched = postings.filter(col("term").isin(terms: _*))
+    val dfRow = matched
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("df"))))
+        .as("_dfs"))
+      .select((0 until n).map(i =>
+        coalesce(element_at(col("_dfs"), lit(terms(i))), lit(0L))
+          .as(s"df_$i")): _*)
+    val tfAggs = (0 until n).map(i =>
+      coalesce(max(when(col("term") === terms(i), col("tf"))), lit(0L))
+        .as(s"tf_$i"))
+    val cand = matched
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+    cand.crossJoin(broadcast(stats.crossJoin(dfRow)))
+      .select(col("doc_id"), bm25ScoreSum(n).as("_score"))
       .filter(col("_score") > 0.0)
-      .orderBy(col("_score").desc, col(idCol))
+      .orderBy(col("_score").desc, col("doc_id"))
       .limit(k)
-      .select(col(idCol), round(col("_score"), 6).as("score_r6"))
+      .select(col("doc_id"), round(col("_score"), 6).as("score_r6"))
   }
 }

@@ -158,6 +158,42 @@ object DslQueries {
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** The inverted-index BUILD ([[graft.operators.Search.invertedPostings]])
+    * under the driver gate — the reference's entire pipeline feeds an
+    * Elasticsearch inverted index (elasticsearch.py bulk indexer);
+    * this is that index as a first-class dataset: one row per
+    * (term, doc) with tf, the Lucene-norms-style denormalized doc
+    * length, and the term's document frequency joined on. */
+  def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.operators.Search.invertedPostings(
+      Tables.documents(s, dir), "doc_id", "text")
+    val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    p.join(dfs, "term")
+      .select(col("term"), col("df"), col("doc_id"), col("tf"), col("dl"))
+      .orderBy(col("term"), col("doc_id"))
+  }
+
+  val qInvertedIndexSql: String =
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM w),
+      |p AS (SELECT term, doc_id, MAX(dl) AS dl, COUNT(*) AS tf
+      |      FROM t GROUP BY term, doc_id),
+      |d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term)
+      |SELECT p.term, df, doc_id, tf, dl FROM p JOIN d USING (term)
+      |ORDER BY term, doc_id""".stripMargin
+
+  /** BM25 answered FROM the materialized index
+    * ([[graft.operators.Search.indexSearch]]) — same terms, same
+    * oracle as q_fulltext_rank: the gate pins the "build once, query
+    * many" path to exact score equality with the scan path. */
+  def qIndexSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Search.indexSearch(
+      graft.operators.Search.invertedPostings(docs, "doc_id", "text"),
+      graft.operators.Search.indexStats(docs, "doc_id", "text"),
+      terms = Seq("hash", "merge", "scan"), k = 20)
+  }
+
   /** implicit top-level AND of mixed predicates (query_shim.py:171-179). */
   def qDslCompound(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

@@ -80,4 +80,57 @@ class SearchSpec extends SparkSpec {
       Seq("hash", "scan"), k = 10).collect().toSeq
     assert(a === b)
   }
+
+  test("inverted index: postings carry tf + denormalized dl, one row per (term, doc)") {
+    val p = Search.invertedPostings(corpus, "doc_id", "text")
+      .collect().map(r => (r.getString(r.fieldIndex("term")),
+        r.getLong(r.fieldIndex("doc_id"))) ->
+        (r.getLong(r.fieldIndex("tf")), r.getLong(r.fieldIndex("dl")))).toMap
+    assert(p(("hash", 1L)) === (2L, 6L))   // "hash" twice in the 6-token doc
+    assert(p(("scan", 5L)) === (4L, 4L))
+    assert(!p.contains(("hash", 3L)))
+    // no duplicate (term, doc) rows
+    assert(p.size === Search.invertedPostings(corpus, "doc_id", "text").count())
+  }
+
+  test("index search equals the scan-path bm25 exactly (build once, query many)") {
+    val terms = Seq("hash", "merge", "scan")
+    val scan = Search.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val viaIndex = Search.indexSearch(
+        Search.invertedPostings(corpus, "doc_id", "text"),
+        Search.indexStats(corpus, "doc_id", "text"), terms, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(viaIndex === scan)
+  }
+
+  test("index search with a term absent from the corpus still matches the scan path") {
+    val terms = Seq("hash", "nosuchterm")
+    val scan = Search.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val viaIndex = Search.indexSearch(
+        Search.invertedPostings(corpus, "doc_id", "text"),
+        Search.indexStats(corpus, "doc_id", "text"), terms, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(viaIndex === scan)
+  }
+
+  test("segment-sharded layout bounds every posting-list array by the shard count") {
+    val s = spark
+    import s.implicits._
+    // a pathological stopword: present in every one of 200 docs
+    val hot = (1L to 200L).map(i => (i, s"the filler$i words"))
+      .toDF("doc_id", "text")
+    val segs = Search.invertedSegments(
+      Search.invertedPostings(hot, "doc_id", "text"), nShards = 8)
+    val theSizes = segs.filter(col("term") === "the")
+      .select(size(col("postings"))).collect().map(_.getInt(0))
+    assert(theSizes.length === 8, "hot term must split across all shards")
+    assert(theSizes.forall(_ <= 25), s"no shard may hold the whole list: ${theSizes.toSeq}")
+    assert(theSizes.sum === 200)
+    // postings inside a segment are sorted by doc_id for merge-scans
+    val firstSeg = segs.filter(col("term") === "the" && col("shard") === 0)
+      .select(col("postings.doc_id")).collect()(0).getSeq[Long](0)
+    assert(firstSeg === firstSeg.sorted)
+  }
 }
