@@ -71,4 +71,42 @@ object StreamOps {
           FetchVerdict(url, s1.lastStatus, s1.failures, due)
       }
   }
+
+  /** Event-time sessionization: activity sessions per key, where a
+    * session is a maximal run of events with gaps below `gap` — the
+    * usage-analytics view the reference's stats collector approximates
+    * with date buckets (idb/stats/collect.py counts per day; a
+    * `session_window` is the same rollup with behavioral instead of
+    * calendar boundaries). Built-in `session_window` keeps per-key
+    * open-session state that MERGES adjacent windows as late-but-
+    * within-watermark events arrive and emits each session exactly
+    * once when the watermark passes its close — O(open sessions)
+    * state, not O(events). */
+  def sessionized(events: DataFrame, keyCol: String, gap: String,
+      lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Streaming exact dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` holds each key only until the
+    * watermark passes its arrival time, so state size tracks the
+    * lateness horizon instead of growing with the corpus — the
+    * production form of StreamingDedup's keep-first-per-etag path for
+    * feeds where re-sends cluster in time (the reference's ingest
+    * sees exactly that: harvester retries and publisher re-exports
+    * land within days, not years; db_check's etag dedup is the batch
+    * twin). Emits the first arrival per key; duplicates inside the
+    * horizon are guaranteed dropped, duplicates beyond it re-emit —
+    * the documented trade for O(horizon) state. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

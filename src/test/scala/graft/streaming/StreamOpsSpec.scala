@@ -72,4 +72,80 @@ class StreamOpsSpec extends SparkSpec {
       assert(later == 3, "failure streak must carry across micro-batches")
     } finally q.stop()
   }
+
+  test("sessionized: gap splits sessions, adjacent events merge, " +
+      "watermark closes and emits once") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamOps.sessionized(
+        mem.toDF().toDF("ts", "user"), "user",
+        gap = "30 minutes", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(
+        // u1: three events within 30-minute gaps = ONE session
+        (ts("2024-01-01 10:00:00"), "u1"),
+        (ts("2024-01-01 10:20:00"), "u1"),
+        (ts("2024-01-01 10:45:00"), "u1"),
+        // u1 again after a 2-hour gap = a SECOND session
+        (ts("2024-01-01 13:00:00"), "u1"),
+        // u2: lone event
+        (ts("2024-01-01 10:05:00"), "u2"))
+      q.processAllAvailable()
+      // advance the watermark far past every session's close
+      mem.addData((ts("2024-01-02 00:00:00"), "u3"))
+      q.processAllAvailable()
+      val got = sp.sql(
+        "SELECT user, session_start, session_end, n_events FROM sessions")
+        .collect().map(r => (r.getString(0),
+          r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+          r.getLong(3))).toSet
+      assert(got === Set(
+        // session end = last event + gap
+        ("u1", "2024-01-01 10:00:00.0", "2024-01-01 11:15:00.0", 3L),
+        ("u1", "2024-01-01 13:00:00.0", "2024-01-01 13:30:00.0", 1L),
+        ("u2", "2024-01-01 10:05:00.0", "2024-01-01 10:35:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark: duplicates inside the horizon drop, " +
+      "state expires past it") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    val q = StreamOps.dedupWithinWatermark(
+        mem.toDF().toDF("ts", "etag", "payload"), Seq("etag"),
+        lateness = "1 hour")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), "e1", "first"),
+        (ts("2024-01-01 10:10:00"), "e1", "resend"),
+        (ts("2024-01-01 10:00:00"), "e2", "only"))
+      q.processAllAvailable()
+      // a second resend in a later batch, still within the horizon
+      mem.addData((ts("2024-01-01 10:30:00"), "e1", "late-resend"))
+      q.processAllAvailable()
+      val inside = sp.sql("SELECT etag, payload FROM dedup_wm")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(inside === Set(("e1", "first"), ("e2", "only")),
+        "every in-horizon duplicate must drop, first arrival wins")
+      // push the watermark days past e1's arrival: its state expires,
+      // so a far-future re-send of e1 emits again (the documented trade)
+      mem.addData((ts("2024-01-05 00:00:00"), "advance", "wm"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-05 01:00:00"), "e1", "beyond-horizon"))
+      q.processAllAvailable()
+      val replay = sp.sql(
+        "SELECT payload FROM dedup_wm WHERE payload = 'beyond-horizon'").count()
+      assert(replay === 1L, "state must expire past the watermark horizon")
+    } finally q.stop()
+  }
 }
