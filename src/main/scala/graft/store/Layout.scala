@@ -37,4 +37,46 @@ object Layout {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Morton (Z-order) value of a lat/lon pair: each coordinate
+    * quantized to `bits` bits over its full range, bits interleaved
+    * (lon even positions, lat odd). Points close on the globe get
+    * close z-values, which is the whole trick behind [[writeZOrdered]]:
+    * pure integer Column arithmetic, no UDF. */
+  def zValue(lat: org.apache.spark.sql.Column,
+      lon: org.apache.spark.sql.Column, bits: Int = 16)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 31, "bits in [1,31]")
+    val n = (1L << bits).toDouble
+    val iy = least(floor((lat + 90.0) / 180.0 * n), lit((1L << bits) - 1)).cast("long")
+    val ix = least(floor((lon + 180.0) / 360.0 * n), lit((1L << bits) - 1)).cast("long")
+    // spread each coordinate's bit k to position 2k, then interleave
+    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until bits).map(k =>
+        shiftleft(shiftright(c, k).bitwiseAND(1L), 2 * k): org.apache.spark.sql.Column)
+        .reduceLeft(_.bitwiseOR(_))
+    spread(ix).bitwiseOR(shiftleft(spread(iy), 1))
+  }
+
+  /** Z-order-clustered parquet layout for spatial data — the scan-
+    * pruning counterpart of [[writeBucketed]]'s join locality: rows
+    * sorted globally by Morton value land in files whose lat/lon
+    * min/max footer stats cover tiny bounding boxes, so a geo_bbox /
+    * geo_distance query's pushed range predicates let the parquet
+    * reader skip whole row groups — at 100 TB the difference between
+    * scanning a region and scanning the planet. `repartitionByRange`
+    * on the z-value gives balanced files without a global sort task;
+    * within-partition sort tightens row-group stats further.
+    * (Delta/Iceberg OPTIMIZE ZORDER is this exact layout; here it is
+    * explicit and engine-free.) */
+  def writeZOrdered(df: DataFrame, path: String, latCol: String,
+      lonCol: String, numFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = df.withColumn("_z", zValue(col(latCol), col(lonCol), bits))
+    z.repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

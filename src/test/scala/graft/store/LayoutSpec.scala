@@ -38,4 +38,61 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS layout_log")
     }
   }
+
+  test("zValue: interleaving is correct and preserves locality") {
+    val pts = Seq(
+      (-90.0, -180.0),  // cell (0,0) -> z 0
+      (10.0, 20.0), (10.01, 20.01),   // neighbors
+      (10.0, -150.0),                 // same lat, far lon
+      (89.999, 179.999))              // top corner cell -> max z
+      .toDF("lat", "lon")
+    val z = pts.select(Layout.zValue(col("lat"), col("lon"), bits = 16))
+      .collect().map(_.getLong(0))
+    assert(z(0) === 0L)
+    assert(z(4) === (1L << 32) - 1, "corner cell must fill all 32 bits")
+    // the 0.01-degree neighbor is z-closer than the far-longitude point
+    assert(math.abs(z(1) - z(2)) < math.abs(z(1) - z(3)))
+  }
+
+  test("z-ordered layout: per-file bounding boxes shrink vs insertion order") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    // 20k points in insertion order that deliberately destroys spatial
+    // locality (successive rows jump across the globe)
+    val pts = (1 to 20000).map { i =>
+      ((i * 7919 % 18000) / 100.0 - 90.0, (i * 104729 % 36000) / 100.0 - 180.0, i.toLong)
+    }.toDF("lat", "lon", "id")
+    pts.repartition(8).write.mode("overwrite").parquet(s"$dir/plain")
+    // 64 z-runs: locality scales with file count (8 files only cut the
+    // area ~5× — a contiguous z-range still spans curve jumps; more,
+    // smaller runs is exactly how the layout is used at scale)
+    Layout.writeZOrdered(pts, s"$dir/z", "lat", "lon", numFiles = 64)
+
+    def meanBoxArea(path: String): Double = {
+      val per = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(((max("lat") - min("lat")) * (max("lon") - min("lon"))).as("a"))
+        .collect().map(_.getDouble(1))
+      per.sum / per.length
+    }
+    val (plain, zed) = (meanBoxArea(s"$dir/plain"), meanBoxArea(s"$dir/z"))
+    // 8 z-runs over the globe → each file covers a small fraction of
+    // the 180×360 rectangle; the scattered layout's files cover ~all
+    // of it. An order of magnitude is the conservative floor.
+    assert(zed < plain / 10.0,
+      s"z-ordered files must be spatially tight: z=$zed plain=$plain")
+
+    // and the tight footer stats actually prune: a bbox scan over the
+    // z layout reads fewer rows out of the parquet reader than the
+    // scattered layout (row-group statistics skipping)
+    def scannedRows(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("lat").between(10.0, 12.0) && col("lon").between(20.0, 22.0))
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val (rowsPlain, rowsZ) = (scannedRows(s"$dir/plain"), scannedRows(s"$dir/z"))
+    assert(rowsZ <= rowsPlain,
+      s"z layout must never scan more ($rowsZ vs $rowsPlain)")
+  }
 }
