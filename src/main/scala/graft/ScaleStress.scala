@@ -112,6 +112,12 @@ object ScaleStress {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // customer rides along verbatim: it is the BUILD side of
+    // q_bloom_join (the dimension stays fixed while the fact side
+    // grows — the realistic scale model for a runtime filter)
+    spark.read.parquet(s"$src/customer.parquet")
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
     val stressed = Seq("q_dedup_apply", "q_dedup_clusters", "q_dedup_minhash",
       "q_store_view", "q_media_derivative", "q_dedup_jaccard", "q_enrich",
       "q_dedup_passages", "q_dedup_passages_apply",
@@ -140,7 +146,14 @@ object ScaleStress {
       // construction, so pairs scale linearly); the two compressed-ANN
       // scans (int8 brute, PQ/ADC) whose cost model is corpus-linear
       // scan × broadcast probes
-      "q_dedup_contain", "q_ann_quantized", "q_ann_pq")
+      "q_dedup_contain", "q_ann_quantized", "q_ann_pq",
+      // round 11 session 3: the Bloom runtime filter (probe cost is the
+      // 10x fact scan; build+verify sides fixed), the bottom-k quantile
+      // sketch (one heap pass), the inverted-index build (postings and
+      // vocabulary both 10x by the word-suffix construction), and the
+      // index-backed BM25 (matched postings fixed at copy-0's, build 10x)
+      "q_bloom_join", "q_quantile_sketch", "q_inverted_index",
+      "q_index_search")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)

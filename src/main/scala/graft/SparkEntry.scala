@@ -56,6 +56,7 @@ object SparkEntry {
   private def rawQueries: Map[String, Q] = Map[String, Q](
     "q1_agg"            -> (Relational.q1Agg _),
     "q_terms_agg"       -> (Relational.qTermsAgg _),
+    "q_terms_nested"    -> (Relational.qTermsNested _),
     "q_max_watermark"   -> (Relational.qMaxWatermark _),
     "q_count"           -> (Relational.qCount _),
     "q_children_counts" -> (Relational.qChildrenCounts _),
@@ -169,6 +170,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg"            -> Relational.q1AggSql,
     "q_terms_agg"       -> Relational.qTermsAggSql,
+    "q_terms_nested"    -> Relational.qTermsNestedSql,
     "q_max_watermark"   -> Relational.qMaxWatermarkSql,
     "q_count"           -> Relational.qCountSql,
     "q_children_counts" -> Relational.qChildrenCountsSql,

@@ -139,6 +139,17 @@ object Media {
     StructField("width", IntegerType),
     StructField("content", BinaryType)))
 
+  /** Derivatives blacklist gate (blacklists/derivatives.py: a ~1,200-
+    * etag `NOT IN` tuple of known-broken media, applied so they stop
+    * retrying every derivative run). As a dataset op the list is a
+    * broadcast anti-join on etag — the set stays a table (updatable,
+    * auditable) instead of a literal baked into every query, and the
+    * fact side never shuffles. */
+  def filterBlacklist(blobs: DataFrame, blacklist: DataFrame): DataFrame =
+    blobs.join(
+      org.apache.spark.sql.functions.broadcast(blacklist.select("etag")),
+      Seq("etag"), "left_anti")
+
   /** Generate thumbnail/webview derivatives for fetched blobs via an
     * injectable resize kernel (derivatives.py:162-193, 293-305). The
     * fake kernel "resizes" by hashing the source bytes with the target

@@ -62,6 +62,39 @@ object Relational {
     """SELECT o_orderpriority, COUNT(*) AS n FROM orders
       |GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority""".stripMargin
 
+  /** ES nested terms aggregation (reporting/modelable_taxonids.py:12-13:
+    * terms on taxonid with min_doc_count=20, sub-terms on canonicalname,
+    * top sub-bucket taken per bucket): per event_type with ≥ the doc
+    * floor, the count plus the modal props value — one groupBy for the
+    * sub-buckets, max_by for the top sub-bucket (no window, no second
+    * shuffle of raw rows: the outer rollup aggregates sub-bucket rows,
+    * which are already vocabulary-sized). */
+  def qTermsNested(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), col("props")).agg(count(lit(1)).as("sub_n"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("sub_n")).as("n"),
+        // ES sub-terms order is (count desc, key asc): min_by over the
+        // (-count, key) struct replays it without a window
+        min_by(col("props"),
+          struct((lit(0L) - col("sub_n")).as("_neg"), col("props")))
+          .as("top_props"))
+      .filter(col("n") >= 20)
+      .orderBy(col("event_type"))
+
+  val qTermsNestedSql: String =
+    """WITH sub AS (
+      |  SELECT event_type, props, COUNT(*) AS sub_n
+      |  FROM events GROUP BY event_type, props),
+      |r AS (
+      |  SELECT event_type, props,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY sub_n DESC, props) AS rk,
+      |    CAST(SUM(sub_n) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM sub)
+      |SELECT event_type, n, props AS top_props FROM r
+      |WHERE rk = 1 AND n >= 20 ORDER BY event_type""".stripMargin
+
   /** Incremental watermark: max(modified) (index_from_postgres.py:71-89). */
   def qMaxWatermark(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).agg(max(col("o_orderdate")).as("watermark"))

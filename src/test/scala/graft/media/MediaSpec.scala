@@ -48,6 +48,18 @@ class MediaSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Array[Byte]](3).nonEmpty))
   }
 
+  test("filterBlacklist: broadcast anti-join drops listed etags, no fact shuffle") {
+    val s = spark
+    import s.implicits._
+    val blobs = Seq("e1" -> "a", "e2" -> "b", "e3" -> "c").toDF("etag", "x")
+    val bl = Seq("e2", "e999").toDF("etag")
+    val kept = Media.filterBlacklist(blobs, bl)
+    assert(kept.collect().map(_.getString(0)).sorted.toSeq === Seq("e1", "e3"))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   /** In-memory JPEG fixture: a w×h gradient encoded through the JDK
     * writer (the reference ships a test JPEG; this container builds an
     * equivalent deterministically). */
