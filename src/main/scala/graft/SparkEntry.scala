@@ -101,6 +101,7 @@ object SparkEntry {
     "q_dedup_passages_apply" -> (LlmQueries.qDedupPassagesApply _),
     "q_dedup_clusters" -> (LlmQueries.qDedupClusters _),
     "q_dedup_apply"   -> (LlmQueries.qDedupApply _),
+    "q_dedup_keep_best" -> (LlmQueries.qDedupKeepBest _),
     "q_ann_ivf" -> (LlmQueries.qAnnIvf _),
     "q_ann_ivf_probe" -> (LlmQueries.qAnnIvfProbe _),
     "q_kmeans" -> (LlmQueries.qKmeans _),
@@ -213,6 +214,7 @@ object SparkEntry {
     "q_dedup_passages_apply" -> LlmQueries.qDedupPassagesApplySql,
     "q_dedup_clusters" -> LlmQueries.qDedupClustersSql,
     "q_dedup_apply"   -> LlmQueries.qDedupApplySql,
+    "q_dedup_keep_best" -> LlmQueries.qDedupKeepBestSql,
     "q_ann_ivf" -> LlmQueries.qAnnIvfSql,
     "q_ann_ivf_probe" -> LlmQueries.qAnnIvfProbeSql,
     "q_dedup_embed" -> LlmQueries.qDedupEmbedSql,

@@ -186,4 +186,25 @@ object Graph {
       .select(col("id").as("_kill_id"))
     corpus.join(kill, corpus(idCol) === col("_kill_id"), "left_anti")
   }
+
+  /** Keep-BEST dedup apply: per duplicate cluster keep the member with
+    * the highest `scoreCol` (ties to the larger id) instead of the
+    * arbitrary min-id canonical — the policy real training pipelines
+    * use (keep the longest / highest-quality duplicate, not whichever
+    * happened to sort first). Cost shape matches [[dropDuplicates]]:
+    * the per-cluster argmax runs over the MEMBERS relation (labels ⋈
+    * corpus — duplicate-count-sized, never the corpus), and the corpus
+    * is touched only by the final planner-chosen anti-join. */
+  def keepBest(corpus: DataFrame, idCol: String, labels: DataFrame,
+      scoreCol: String): DataFrame = {
+    val members = corpus
+      .join(labels, corpus(idCol) === labels("id"))
+      .select(col("comp"), col(idCol).as("_m"), col(scoreCol).as("_s"))
+    val winners = members.groupBy(col("comp"))
+      .agg(max_by(col("_m"), struct(col("_s"), col("_m"))).as("_keep"))
+    val kill = members.join(winners, Seq("comp"))
+      .filter(col("_m") =!= col("_keep"))
+      .select(col("_m").as("_kill_id"))
+    corpus.join(kill, corpus(idCol) === col("_kill_id"), "left_anti")
+  }
 }

@@ -235,6 +235,33 @@ object LlmQueries {
        |FROM documents WHERE doc_id NOT IN (SELECT id FROM kill)
        |ORDER BY doc_id""".stripMargin
 
+  /** Keep-BEST dedup apply ([[Graph.keepBest]]): same clustering as
+    * q_dedup_apply, but each cluster keeps its longest member (ties to
+    * the larger id) — the policy real pipelines use instead of
+    * keep-min-id. Returns the surviving (doc_id, n_chars). */
+  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5)
+    val labels = Graph.connectedComponents(pairs, "d1", "d2")
+    Graph.keepBest(docs, "doc_id", labels, "n_chars")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupKeepBestSql: String =
+    s"""WITH RECURSIVE $minhashPairsCte,
+       |$ccClosureCte,
+       |comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |m AS (SELECT c.comp, d.doc_id, d.n_chars
+       |      FROM comps c JOIN documents d ON d.doc_id = c.id),
+       |rk AS (SELECT doc_id, row_number() OVER (PARTITION BY comp
+       |         ORDER BY n_chars DESC, doc_id DESC) AS rk FROM m),
+       |kill AS (SELECT doc_id FROM rk WHERE rk > 1)
+       |SELECT doc_id, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM kill)
+       |ORDER BY doc_id""".stripMargin
+
   // --- embedding-cosine near-dup ---------------------------------------
 
   /** Corpus with injected exact-duplicate vectors (every 25th vec_id

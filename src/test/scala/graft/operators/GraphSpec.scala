@@ -69,4 +69,24 @@ class GraphSpec extends SparkSpec {
       s"reliable-checkpoint path must leave no cached blocks, found $leaked")
   }
 
+  test("keepBest keeps the top-scoring cluster member, ties to larger id, " +
+      "unclustered untouched") {
+    val s = spark
+    import s.implicits._
+    // clusters {1,2,3} and {10,11}; 20 unclustered
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val labels = Graph.connectedComponents(edges, "d1", "d2")
+    val corpus = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L),   // 2 and 3 tie on score -> 3 wins
+      (10L, 7L), (11L, 4L),           // 10 wins on score
+      (20L, 1L))                      // unclustered, lowest score, kept
+      .toDF("doc_id", "score")
+    val kept = Graph.keepBest(corpus, "doc_id", labels, "score")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(3L, 10L, 20L))
+    // contrast with the min-id policy: dropDuplicates would keep 1
+    val minId = Graph.dropDuplicates(corpus, "doc_id", labels)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(minId === Seq(1L, 10L, 20L))
+  }
 }
