@@ -35,6 +35,31 @@ object DslQueries {
   private val geoOpts =
     Compile.Options(geoFields = Map("geopoint" -> ("lat", "lon")))
 
+  /** The Z-order (Morton) value under the driver gate: the spatial
+    * clustering key behind [[graft.store.Layout.writeZOrdered]],
+    * computed over the supplier geopoint view at 8 bits/coordinate and
+    * replayed bit-for-bit in SQL (quantize, spread, interleave are all
+    * integer arithmetic; the float quantization path is the same
+    * multiply-divide order on both engines). Gate = the layout's sort
+    * key itself is exact, not just "some clustering happened". */
+  def qZorder(s: SparkSession, dir: String): DataFrame =
+    geoView(s, dir)
+      .select(col("s_suppkey"),
+        graft.store.Layout.zValue(col("lat"), col("lon"), bits = 8).as("z"))
+      .orderBy(col("z"), col("s_suppkey"))
+
+  val qZorderSql: String = {
+    def spread(v: String): String =
+      (0 until 8).map(k => s"((($v >> $k) & 1) << ${2 * k})").mkString(" + ")
+    s"""WITH g AS ($geoViewSql),
+       |q AS (SELECT s_suppkey,
+       |  CAST(LEAST(FLOOR((lat + 90.0) / 180.0 * 256.0), 255) AS BIGINT) AS iy,
+       |  CAST(LEAST(FLOOR((lon + 180.0) / 360.0 * 256.0), 255) AS BIGINT) AS ix
+       |  FROM g)
+       |SELECT s_suppkey, (${spread("ix")}) + 2 * (${spread("iy")}) AS z
+       |FROM q ORDER BY z, s_suppkey""".stripMargin
+  }
+
   // --- scalar predicates ------------------------------------------------
 
   /** term: scalar string, lowercased on both sides (query_shim.py:93-105). */

@@ -150,4 +150,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin")
       || p.contains("Broadcast"), "centroid side must broadcast")
   }
+
+  test("index-backed bm25: top-k plans as TakeOrderedAndProject, stats " +
+      "broadcast, no sort-merge join") {
+    val docs = Seq((1L, "hash join probe"), (2L, "merge scan"),
+      (3L, "scan scan")).toDF("doc_id", "text")
+    val df = graft.operators.Search.indexSearch(
+      graft.operators.Search.invertedPostings(docs, "doc_id", "text"),
+      graft.operators.Search.indexStats(docs, "doc_id", "text"),
+      Seq("hash", "scan"), k = 5)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must be heap+merge, not a full sort:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"stats/dfs are 1-row broadcasts; nothing may shuffle-join:\n$p")
+  }
+
+  test("quantile sketch: the bounded heap operator, not a window sort") {
+    val docs = (1L to 100L).map(i => ("g", i, i * 3)).toDF("g", "id", "v")
+    val p = plan(graft.operators.Sketches.quantileSketch(
+      docs, "g", "v", "id", 16, Seq("p50" -> 0.5)))
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("Window"), "sampling must not be a row_number window")
+  }
+
+  test("nested terms agg: stacked aggregations, no window, no join") {
+    val ev = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("event_type", "props")
+    val df = ev.groupBy(col("event_type"), col("props"))
+      .agg(count(lit(1)).as("sub_n"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("sub_n")).as("n"),
+        min_by(col("props"),
+          struct((lit(0L) - col("sub_n")).as("_neg"), col("props")))
+          .as("top_props"))
+    val p = plan(df)
+    assert(!p.contains("Window"), "top sub-bucket must be min_by, not row_number")
+    assert(!p.contains("Join"), "the outer rollup reads sub-bucket rows directly")
+  }
+
+  test("z-value is a pure projection: no shuffle, no UDF") {
+    val pts = Seq((10.0, 20.0)).toDF("lat", "lon")
+    val p = plan(pts.select(
+      graft.store.Layout.zValue(col("lat"), col("lon"), 16)))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
 }
