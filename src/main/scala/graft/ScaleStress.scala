@@ -112,11 +112,13 @@ object ScaleStress {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    // customer rides along verbatim: it is the BUILD side of
-    // q_bloom_join (the dimension stays fixed while the fact side
-    // grows — the realistic scale model for a runtime filter)
-    spark.read.parquet(s"$src/customer.parquet")
-      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    // customer and supplier ride along verbatim: customer is the BUILD
+    // side of q_bloom_join (the dimension stays fixed while the fact
+    // side grows — the realistic scale model for a runtime filter);
+    // supplier feeds q_zorder's geopoint view
+    for (t <- Seq("customer", "supplier"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     val stressed = Seq("q_dedup_apply", "q_dedup_clusters", "q_dedup_minhash",
       "q_store_view", "q_media_derivative", "q_dedup_jaccard", "q_enrich",
@@ -153,7 +155,11 @@ object ScaleStress {
       // vocabulary both 10x by the word-suffix construction), and the
       // index-backed BM25 (matched postings fixed at copy-0's, build 10x)
       "q_bloom_join", "q_quantile_sketch", "q_inverted_index",
-      "q_index_search")
+      "q_index_search",
+      // keep-best rides the same pairs+CC pipeline as q_dedup_apply
+      // plus the members argmax; nested terms is two stacked aggs over
+      // 10x events; zorder is a projection + range sort over supplier
+      "q_dedup_keep_best", "q_terms_nested", "q_zorder")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)

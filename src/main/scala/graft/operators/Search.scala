@@ -129,6 +129,22 @@ object Search {
       .agg(sort_array(collect_list(
         struct(col("doc_id"), col("tf"), col("dl")))).as("postings"))
 
+  /** Incremental index maintenance: merge a delta batch's segments
+    * into an existing index — the streaming-ingest half of "build
+    * once": nightly/continuous harvests index only their delta and
+    * merge, never re-tokenizing the corpus (what the reference's ES
+    * bulk indexer does on every harvest). Per (term, shard) the
+    * posting arrays concatenate and re-sort — segment-local work, one
+    * vocabulary-sized shuffle of the DELTA plus the touched segments.
+    * Algebra (SearchSpec): mergeSegments(segments(A), segments(B)) ==
+    * segments(A ∪ B) for disjoint doc sets, so merge order and
+    * batching never change the index. */
+  def mergeSegments(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("term"), col("shard"))
+      .agg(sort_array(flatten(collect_list(col("postings"))))
+        .as("postings"))
+
   /** BM25 top-k answered FROM the index — the "build once, query many"
     * path: query terms prune the postings scan (an `IN` filter the
     * parquet reader pushes down on a term-sorted/partitioned layout),

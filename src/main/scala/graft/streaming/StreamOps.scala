@@ -93,6 +93,27 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Stream-stream correlation of fetch requests with their outcomes —
+    * a watermarked event-time INTERVAL join: a result matches its
+    * request iff same url and `res_ts` lands in [req_ts, req_ts +
+    * `horizon`]. LEFT OUTER semantics give timeout detection for
+    * free: once the watermark passes a request's join window with no
+    * matching result, the request emits with null outcome columns —
+    * the streaming form of the fetcher's dead-url sweep. The time
+    * bound + watermarks are what make stream-stream join state
+    * BOUNDED (each side holds only rows inside the horizon); an
+    * unbounded equi-join would buffer both streams forever. */
+  def fetchCorrelate(requests: DataFrame, results: DataFrame,
+      horizon: String, lateness: String = "10 minutes"): DataFrame = {
+    val req = requests.withWatermark("req_ts", lateness)
+    val res = results.withWatermark("res_ts", lateness)
+    req.join(res,
+      expr(s"""req_url = res_url AND
+              |res_ts >= req_ts AND
+              |res_ts <= req_ts + INTERVAL $horizon""".stripMargin),
+      "leftOuter")
+  }
+
   /** Streaming exact dedup with BOUNDED state:
     * `dropDuplicatesWithinWatermark` holds each key only until the
     * watermark passes its arrival time, so state size tracks the

@@ -115,6 +115,22 @@ class SearchSpec extends SparkSpec {
     assert(viaIndex === scan)
   }
 
+  test("segment merge: mergeSegments(segments(A), segments(B)) == segments(A ∪ B)") {
+    val s = spark
+    import s.implicits._
+    val a = (1L to 60L).map(i => (i, s"the t$i common")).toDF("doc_id", "text")
+    val b = (61L to 100L).map(i => (i, s"the t$i common extra")).toDF("doc_id", "text")
+    def segs(d: org.apache.spark.sql.DataFrame) =
+      Search.invertedSegments(Search.invertedPostings(d, "doc_id", "text"), 4)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getString(0), r.getInt(1),
+        r.getSeq[org.apache.spark.sql.Row](2).map(_.toSeq))
+    }.toSet
+    val merged = key(Search.mergeSegments(segs(a), segs(b)))
+    val whole = key(segs(a.unionAll(b)))
+    assert(merged === whole)
+  }
+
   test("segment-sharded layout bounds every posting-list array by the shard count") {
     val s = spark
     import s.implicits._

@@ -112,6 +112,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fetchCorrelate: interval join matches in-window results; " +
+      "watermark emits timed-out requests with null outcome") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val reqMem = MemoryStream[(java.sql.Timestamp, String)]
+    val resMem = MemoryStream[(java.sql.Timestamp, String, Int)]
+    val q = StreamOps.fetchCorrelate(
+        reqMem.toDF().toDF("req_ts", "req_url"),
+        resMem.toDF().toDF("res_ts", "res_url", "status"),
+        horizon = "30 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("correlate")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      reqMem.addData(
+        (ts("2024-01-01 10:00:00"), "http://a"),
+        (ts("2024-01-01 10:00:00"), "http://b"),   // will never answer
+        (ts("2024-01-01 10:05:00"), "http://c"))
+      resMem.addData(
+        (ts("2024-01-01 10:10:00"), "http://a", 200),
+        // same url but OUTSIDE http://c's 30-minute window
+        (ts("2024-01-01 11:00:00"), "http://c", 500))
+      q.processAllAvailable()
+      // advance both watermarks far past every join window
+      reqMem.addData((ts("2024-01-02 00:00:00"), "http://z"))
+      resMem.addData((ts("2024-01-02 00:00:00"), "http://z", 200))
+      q.processAllAvailable()
+      val got = sp.sql(
+        "SELECT req_url, status FROM correlate WHERE req_url != 'http://z'")
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) -1 else r.getInt(1))).toSet
+      assert(got === Set(
+        ("http://a", 200),     // matched inside the window
+        ("http://b", -1),      // no result ever: timeout row
+        ("http://c", -1)))     // result came too late: timeout row
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark: duplicates inside the horizon drop, " +
       "state expires past it") {
     val sp = spark
