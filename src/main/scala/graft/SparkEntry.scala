@@ -68,6 +68,7 @@ object SparkEntry {
     "q_join_broadcast"  -> (Relational.qJoinBroadcast _),
     "q_join_salted"     -> (Relational.qJoinSalted _),
     "q_bloom_join"      -> (Relational.qBloomJoin _),
+    "q_fuzzy_join"      -> (Relational.qFuzzyJoin _),
     "q_semi_join"       -> (Relational.qSemiJoin _),
     "q_anti_join"       -> (Relational.qAntiJoin _),
     "q_latest_version"  -> (Relational.qLatestVersion _),
@@ -184,6 +185,7 @@ object SparkEntry {
     "q_join_broadcast"  -> Relational.qJoinBroadcastSql,
     "q_join_salted"     -> Relational.qJoinSaltedSql,
     "q_bloom_join"      -> Relational.qBloomJoinSql,
+    "q_fuzzy_join"      -> Relational.qFuzzyJoinSql,
     "q_semi_join"       -> Relational.qSemiJoinSql,
     "q_anti_join"       -> Relational.qAntiJoinSql,
     "q_latest_version"  -> Relational.qLatestVersionSql,

@@ -285,6 +285,26 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Ed-Join fuzzy self-join under the driver gate: supplier-name pairs
+    * within edit distance 1, found via rare-gram prefix filtering +
+    * levenshtein verify ([[graft.operators.Fuzzy.editDistanceJoin]]).
+    * The oracle is the brute-force n² levenshtein join, so the gate
+    * hash-checks the filter theory's recall-is-1 claim on real data
+    * (names share the hot "Supplier#00000" prefix — exactly the case
+    * where naive any-shared-gram blocking degenerates). */
+  def qFuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Fuzzy.editDistanceJoin(
+        Tables.supplier(s, dir), "s_suppkey", "s_name", maxDist = 1)
+      .orderBy(col("id_1"), col("id_2"))
+
+  val qFuzzyJoinSql: String =
+    """WITH s AS (SELECT s_suppkey, s_name FROM supplier)
+      |SELECT a.s_suppkey AS id_1, b.s_suppkey AS id_2,
+      |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+      |FROM s a JOIN s b ON a.s_suppkey < b.s_suppkey
+      |WHERE levenshtein(a.s_name, b.s_name) <= 1
+      |ORDER BY id_1, id_2""".stripMargin
+
   /** Bloom-prefiltered semi-join under the driver gate: orders of a
     * filtered customer subset, executed through
     * [[graft.operators.Skew.bloomSemiJoin]] — the dimension's keys
