@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pushdown rule interleaves with the operator-optimization batch here
     ext.injectPlannerStrategy(_ => graft.plans.CodegenBarrierStrategy)
     ext.injectOptimizerRule(_ => graft.plans.BarrierPushdown)
+    // bbox → geohash partition pruning on ghash<p>-partitioned lakes
+    ext.injectOptimizerRule(_ => graft.plans.GeohashPruning)
   }
 }
 
