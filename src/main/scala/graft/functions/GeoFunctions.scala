@@ -22,10 +22,42 @@ object GeoFunctions {
     lit(2 * EarthRadiusMeters) * asin(sqrt(a))
   }
 
-  /** geo_distance: within `meters` of (lat, lon). */
+  /** geo_distance: within `meters` of (lat, lon).
+    *
+    * The haversine predicate alone is invisible to every pruning
+    * layer (trig over columns: no parquet min/max pushdown, no
+    * [[graft.plans.GeohashPruning]] bounds). So the exact circle test
+    * is CONJOINED with its sound bounding box (Matuschek, "Finding
+    * Points Within a Distance of a Latitude/Longitude"): lat extent
+    * is exactly ±ρ (ρ = angular radius), lon extent exactly
+    * ±asin(sin ρ / cos φ₀) when the circle holds no pole — plain
+    * `BETWEEN` conjuncts the parquet reader pushes into row-group
+    * stats and the geohash rule turns into partition pruning, while
+    * haversine keeps the row-level answer identical (the box is
+    * implied by the circle, so no row ever changes — the DSL oracle
+    * hash-checks exactly that). Pole-touching circles and antimeridian
+    * crossings skip the affected bound (still sound). */
   def withinDistance(latCol: Column, lonCol: Column,
-      lat: Double, lon: Double, meters: Double): Column =
-    haversineMeters(latCol, lonCol, lit(lat), lit(lon)) <= lit(meters)
+      lat: Double, lon: Double, meters: Double): Column = {
+    val eps = 1e-9 // absorb double rounding between box and haversine
+    val rho = meters / EarthRadiusMeters
+    val rhoDeg = math.toDegrees(rho)
+    val latLo = lat - rhoDeg - eps
+    val latHi = lat + rhoDeg + eps
+    val latBand: Column =
+      latCol >= lit(math.max(-90.0, latLo)) &&
+        latCol <= lit(math.min(90.0, latHi))
+    val lonBand: Column =
+      if (latLo <= -90.0 + eps || latHi >= 90.0 - eps) lit(true)
+      else {
+        val dLon = math.toDegrees(
+          math.asin(math.sin(rho) / math.cos(math.toRadians(lat)))) + eps
+        if (lon - dLon < -180.0 || lon + dLon > 180.0) lit(true)
+        else lonCol >= lit(lon - dLon) && lonCol <= lit(lon + dLon)
+      }
+    latBand && lonBand &&
+      (haversineMeters(latCol, lonCol, lit(lat), lit(lon)) <= lit(meters))
+  }
 
   /** geo_bounding_box, including the date-line wrap ES handles (west > east
     * means the box crosses the antimeridian). */
