@@ -87,7 +87,18 @@ object GeoFunctions {
         lit(xj - xi) * (latCol - lit(yi)) / lit(yj - yi) + lit(xi)
       straddles && (lonCol < intersectLon)
     }
-    edges.indices.foldLeft(lit(false)) { (acc, i) => acc =!= crossings(i) }
+    val raycast =
+      edges.indices.foldLeft(lit(false)) { (acc, i) => acc =!= crossings(i) }
+    // sound vertex bounding box, conjoined for the same reason as
+    // withinDistance's: the parity test is trig-free but still opaque
+    // to min/max pruning; plain range conjuncts reach the reader and
+    // the geohash rule. Any ray-cast-true point lies within the vertex
+    // box (odd crossings are impossible outside it), so no row changes.
+    val eps = 1e-12
+    val lats = points.map(_._1); val lons = points.map(_._2)
+    (latCol >= lit(lats.min - eps)) && (latCol <= lit(lats.max + eps)) &&
+      (lonCol >= lit(lons.min - eps)) && (lonCol <= lit(lons.max + eps)) &&
+      raycast
   }
 
   /** The ray-cast predicate as ANSI SQL over `latExpr`/`lonExpr` — used to

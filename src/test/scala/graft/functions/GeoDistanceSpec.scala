@@ -37,6 +37,40 @@ class GeoDistanceSpec extends SparkSpec {
     }
   }
 
+  test("polygon vertex box is sound and pushes into the scan") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    val poly = Seq((10.0, 20.0), (14.0, 21.0), (15.5, 26.0), (11.0, 27.5),
+      (9.0, 24.0))
+    val pts = (1 to 4000).map { _ =>
+      (8.0 + rnd.nextDouble() * 9.0, 19.0 + rnd.nextDouble() * 10.0)
+    }.toDF("lat", "lon")
+    def rawRaycast = {
+      // the pre-fix formulation: parity fold only, no box
+      val edges = poly.zip(poly.tail :+ poly.head)
+      edges.indices.foldLeft(lit(false)) { (acc, i) =>
+        val ((yi, xi), (yj, xj)) = edges(i)
+        val straddles = (lit(yi) > col("lat")) =!= (lit(yj) > col("lat"))
+        val ix = lit(xj - xi) * (col("lat") - lit(yi)) / lit(yj - yi) + lit(xi)
+        acc =!= (straddles && (col("lon") < ix))
+      }
+    }
+    assert(pts.filter(GeoFunctions.inPolygon(col("lat"), col("lon"), poly)).count() ===
+      pts.filter(rawRaycast).count())
+
+    val dir = java.nio.file.Files.createTempDirectory("geopoly").toString
+    pts.write.mode("overwrite").parquet(dir)
+    val q = s.read.parquet(dir)
+      .filter(GeoFunctions.inPolygon(col("lat"), col("lon"), poly))
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(lat"),
+      scan.metadata("PushedFilters"))
+  }
+
   test("geo_distance pushes range conjuncts into the parquet scan") {
     val s = spark
     import s.implicits._
