@@ -130,6 +130,7 @@ object SparkEntry {
     "q_quality_trim"  -> (LlmQueries.qQualityTrim _),
     "q_token_budget"  -> (LlmQueries.qTokenBudget _),
     "q_decontaminate" -> (LlmQueries.qDecontaminate _),
+    "q_decontaminate_apply" -> (LlmQueries.qDecontaminateApply _),
     "q_lang_id"       -> (LlmQueries.qLangId _),
     "q_ann_topk"      -> (LlmQueries.qAnnTopk _),
     "q_ann_lsh"       -> (LlmQueries.qAnnLsh _),
@@ -245,6 +246,7 @@ object SparkEntry {
     "q_token_budget"  -> LlmQueries.qTokenBudgetSql,
     "q_kmeans"        -> LlmQueries.qKmeansSql,
     "q_decontaminate" -> LlmQueries.qDecontaminateSql,
+    "q_decontaminate_apply" -> LlmQueries.qDecontaminateApplySql,
     "q_lang_id"       -> LlmQueries.qLangIdSql,
     "q_ann_topk"      -> LlmQueries.qAnnTopkSql,
     "q_ann_lsh"       -> LlmQueries.qAnnLshSql,

