@@ -164,6 +164,7 @@ object SparkEntry {
     // media url/etag resolution (SURVEY §2.3) + derivative kernels
     "q_media_resolution" -> (MediaQueries.qMediaResolution _),
     "q_media_derivative" -> (MediaQueries.qMediaDerivative _),
+    "q_media_phash"     -> (MediaQueries.qMediaPhash _),
     // ingestion joins + reporting (SURVEY §2.3, §2.4)
     "q_ingest_identity" -> (IngestQueries.qIngestIdentity _),
     "q_suffix_match"    -> (IngestQueries.qSuffixMatch _),
@@ -275,6 +276,7 @@ object SparkEntry {
     "q_resume_actions" -> StreamQueries.qResumeActionsSql,
     "q_media_resolution" -> MediaQueries.qMediaResolutionSql,
     "q_media_derivative" -> MediaQueries.qMediaDerivativeSql(mediaDerivativeNBytes),
+    "q_media_phash"     -> MediaQueries.qMediaPhashSql,
     "q_ingest_identity" -> IngestQueries.qIngestIdentitySql,
     "q_suffix_match"    -> IngestQueries.qSuffixMatchSql,
     "q_dq_report"       -> IngestQueries.qDqReportSql,

@@ -252,6 +252,133 @@ object Media {
     buf.toByteArray
   }
 
+  /** Synthetic image with seed-dependent LOW-frequency structure: an
+    * 8×8 grid of flat gray blocks whose values derive from the seed.
+    * [[synthImageJpeg]]'s high-frequency gradient averages to uniform
+    * mid-gray under an 8×8 downscale (every seed hashes alike — the
+    * degenerate case for average-hashing), so perceptual-hash
+    * fixtures need block images whose hash actually carries ~half the
+    * seed's bits. */
+  def synthImageBlocksJpeg(seed: Long, w: Int = 320, h: Int = 240): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val block = (y * 8 / h) * 8 + (x * 8 / w)
+        val v = (graft.functions.BloomKernel.mix(seed * 64 + block) & 0xff).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", buf)
+    buf.toByteArray
+  }
+
+  /** Re-encode with `dots` single black pixels at seed-deterministic
+    * positions — the controlled small perturbation near-dup fixtures
+    * need: a handful of dots barely moves block averages (hamming
+    * 0–2) while a different seed's block pattern moves ~32 bits. */
+  def addNoiseDots(bytes: Array[Byte], seed: Long, dots: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = (img.getWidth, img.getHeight)
+    var i = 0
+    while (i < dots) {
+      val p = graft.functions.BloomKernel.mix(seed * 1000 + i)
+      img.setRGB(((p & 0x7fffffff) % w).toInt,
+        (((p >>> 32) & 0x7fffffff) % h).toInt, 0x000000)
+      i += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", buf)
+    buf.toByteArray
+  }
+
+  /** Average perceptual hash (aHash): decode, bilinear-downscale to
+    * 8×8, gray = (r+g+b)/3, bit k set iff cell k ≥ the 64-cell mean
+    * (row-major, MSB first). The standard cheap near-duplicate signal
+    * for image corpora — re-encodes, small edits and resizes keep the
+    * hash within a few bits, so hamming-banded joins find them
+    * without pixel comparison. Pure JDK, deterministic in the bytes. */
+  def aHash64(bytes: Array[Byte]): Long = {
+    import java.awt.RenderingHints
+    import java.awt.image.BufferedImage
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    if (img == null) throw new BadImageException(
+      s"undecodable image (${bytes.length} bytes)")
+    val small = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+      RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, 8, 8, null)
+    g.dispose()
+    val gray = new Array[Int](64)
+    var mean = 0L
+    var i = 0
+    while (i < 64) {
+      val rgb = small.getRGB(i % 8, i / 8)
+      gray(i) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+      mean += gray(i)
+      i += 1
+    }
+    val m = mean / 64.0
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      hash = (hash << 1) | (if (gray(i) >= m) 1L else 0L)
+      i += 1
+    }
+    hash
+  }
+
+  /** Perceptual near-duplicate pairs over an image corpus: aHash every
+    * blob (one decode per row, partition-parallel), pigeonhole-band
+    * the 64-bit hashes into `maxHamming + 1` disjoint bands (two
+    * hashes within the hamming bound MUST agree on at least one whole
+    * band), equi-join per band, verify with bit_count(xor) — the
+    * SimHash discipline ([[graft.operators.TextDedup]]) applied to
+    * the multimodal column: never an all-pairs image comparison, and
+    * the only per-pair work is one XOR. Output (id_1, id_2, hamming),
+    * id_1 < id_2, distinct. */
+  def imageNearDups(blobs: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = blobs.sparkSession
+    val idIdx = blobs.schema.fieldIndex(idCol)
+    val bIdx = blobs.schema.fieldIndex(bytesCol)
+    val hashSchema = StructType(Seq(
+      StructField("id", StringType), StructField("h", LongType)))
+    val hashes = spark.createDataFrame(
+      blobs.rdd.map(r => Row(r.getString(idIdx),
+        aHash64(r.getAs[Array[Byte]](bIdx)))), hashSchema)
+    val nBands = maxHamming + 1
+    val bandWidth = 64 / nBands
+    val banded = hashes.select(col("id"), col("h"),
+      explode(array((0 until nBands).map { b =>
+        // band b = bits [b*w, (b+1)*w) (last band takes the remainder)
+        val lo = b * bandWidth
+        val width = if (b == nBands - 1) 64 - lo else bandWidth
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("h"), lo)
+            .bitwiseAND(lit(if (width == 64) -1L else (1L << width) - 1))
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("h"), col("bk.band"), col("bk.key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Decoded (width, height) of an image blob, or null when
     * undecodable — the metadata probe for multimodal binary columns. */
   def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {

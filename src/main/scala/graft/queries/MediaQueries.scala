@@ -97,6 +97,45 @@ object MediaQueries {
     s.createDataFrame(rows, outSchema).orderBy(col("etag"), col("kind"))
   }
 
+  /** Perceptual-hash image dedup under the driver gate: 30
+    * seed-normalized block images + a 3000-dot perturbed re-encode of
+    * every 5th, paired by [[Media.imageNearDups]] (real javax.imageio
+    * decode → aHash64 → pigeonhole banding → bit_count verify). The
+    * oracle pins the ground-truth pairs ([[graft.PhashOracleGen]]
+    * brute-forces all 630 hash pairs) — including that rank 20's
+    * perturbation drifts PAST the hamming bound and must NOT pair. */
+  def qMediaPhash(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val ids = Tables.orders(s, dir)
+      .select(col("o_orderkey")).orderBy(col("o_orderkey")).limit(30)
+      .select(row_number().over(Window.orderBy(col("o_orderkey"))).as("id"))
+    val blobSchema = StructType(Seq(
+      StructField("id", StringType), StructField("content", BinaryType)))
+    val blobs = s.createDataFrame(
+      ids.rdd.flatMap { r =>
+        val rank = r.getInt(0)
+        val base = Media.synthImageBlocksJpeg(rank.toLong)
+        Seq(Row(f"img$rank%06d", base)) ++
+          (if (rank % 5 == 0)
+            Seq(Row(f"img$rank%06dn",
+              Media.addNoiseDots(base, rank.toLong, 3000)))
+          else Nil)
+      }, blobSchema)
+    Media.imageNearDups(blobs, "id", "content", maxHamming = 3)
+      .orderBy(col("id_1"), col("id_2"))
+  }
+
+  val qMediaPhashSql: String =
+    """SELECT * FROM (VALUES
+      |  ('img000005', 'img000005n', 1),
+      |  ('img000010', 'img000010n', 3),
+      |  ('img000015', 'img000015n', 2),
+      |  ('img000025', 'img000025n', 2),
+      |  ('img000030', 'img000030n', 0)
+      |) AS t(id_1, id_2, hamming) ORDER BY id_1, id_2""".stripMargin
+
   /** Constants oracle for [[qMediaDerivative]]: dimensions derive from
     * the downscale-only rule; byte lengths are the pinned encoder
     * facts. `nBytesValues` is generated by [[graft.MediaOracleGen]]. */

@@ -48,6 +48,31 @@ class MediaSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Array[Byte]](3).nonEmpty))
   }
 
+  test("aHash: perturbed re-encode stays within a few bits, different " +
+      "images differ widely; near-dup pairs found via banding") {
+    val s = spark
+    import s.implicits._
+    val b7 = Media.synthImageBlocksJpeg(7L)
+    val base = Media.aHash64(b7)
+    val noisy = Media.aHash64(Media.addNoiseDots(b7, 7L, dots = 6))
+    val other = Media.aHash64(Media.synthImageBlocksJpeg(8L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(base, noisy) <= 3, s"perturbation moved ${ham(base, noisy)} bits")
+    assert(ham(base, other) > 10, s"distinct seeds only ${ham(base, other)} bits apart")
+
+    val blobs = ((1 to 12).map(i =>
+        (f"img$i%03d", Media.synthImageBlocksJpeg(i.toLong))) ++
+      Seq(("img001n", Media.addNoiseDots(Media.synthImageBlocksJpeg(1L), 1L, 5)),
+          ("img007n", Media.addNoiseDots(Media.synthImageBlocksJpeg(7L), 7L, 6))))
+      .toDF("id", "content")
+    val pairs = Media.imageNearDups(blobs, "id", "content", maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("img001", "img001n")))
+    assert(pairs.contains(("img007", "img007n")))
+    // no cross-seed pair may appear
+    assert(pairs.forall { case (a, b) => a.take(6) === b.take(6) }, pairs)
+  }
+
   test("filterBlacklist: broadcast anti-join drops listed etags, no fact shuffle") {
     val s = spark
     import s.implicits._
