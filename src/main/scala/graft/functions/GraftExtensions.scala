@@ -67,6 +67,20 @@ object GraftFunctions {
     ("date_shape",
       new ExpressionInfo(classOf[DateShapeExpr].getName, "date_shape"),
       (es: Seq[Expression]) => DateShapeExpr(es.head)),
+    ("geohash",
+      new ExpressionInfo(classOf[GeohashExpr].getName, "geohash"),
+      (es: Seq[Expression]) => GeohashExpr(es(0), es(1),
+        if (es.length > 2) intLit(es(2), "precision") else 9)),
+    ("might_contain",
+      new ExpressionInfo(classOf[MightContainExpr].getName, "might_contain"),
+      (es: Seq[Expression]) => MightContainExpr(es(0), es(1),
+        if (es.length > 2) intLit(es(2), "numHashes") else 5)),
+    ("int8_quantize",
+      new ExpressionInfo(classOf[Int8QuantizeExpr].getName, "int8_quantize"),
+      (es: Seq[Expression]) => Int8QuantizeExpr(es.head)),
+    ("int8_dot",
+      new ExpressionInfo(classOf[Int8DotExpr].getName, "int8_dot"),
+      (es: Seq[Expression]) => Int8DotExpr(es(0), es(1))),
   )
 
   /** Register into an existing session's function registry. */

@@ -51,4 +51,27 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getString(1) === "acer")
     assert(r.getInt(2) === 7)
   }
+
+  test("geohash / might_contain / int8 kernels answer from SQL") {
+    val s = spark
+    GraftFunctions.register(s)
+    val r = s.sql(
+      """SELECT geohash(CAST(57.64911 AS DOUBLE), CAST(10.40744 AS DOUBLE), 11) AS gh,
+        |       int8_dot(int8_quantize(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT))),
+        |                int8_quantize(array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)))) AS d
+        |""".stripMargin).collect()(0)
+    assert(r.getString(0) === "u4pruydqqvj")
+    // q([1,-2]) = [64,-127] (s=2/127); q([1,1]) = [127,127]; dot = 64*127 - 127*127
+    assert(r.getLong(1) === 64L * 127 - 127L * 127)
+    // bloom round-trip: Column-built filter probed from SQL
+    val bloomed = s.range(1, 100)
+      .agg(Bloom.bloomBuild(org.apache.spark.sql.functions.col("id"),
+        1 << 12, 5).as("b"))
+    bloomed.createOrReplaceTempView("bloom_t")
+    val probes = s.sql(
+      """SELECT might_contain(b, CAST(50 AS BIGINT), 5) AS yes,
+        |       might_contain(b, CAST(1234567 AS BIGINT), 5) AS maybe
+        |FROM bloom_t""".stripMargin).collect()(0)
+    assert(probes.getBoolean(0) === true)
+  }
 }
