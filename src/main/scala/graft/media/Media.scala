@@ -336,6 +336,29 @@ object Media {
     hash
   }
 
+  /** Energy-difference audio fingerprint: 65 RMS bars from the same
+    * real javax.sound kernel the waveform derivative uses, bit i set
+    * iff bar i+1 is louder than bar i — the classic gain-invariant
+    * acoustic signature (peaks are max-normalized, so amplitude
+    * scaling provably cannot move ANY bit; re-encodes and small edits
+    * move a few). Feeds [[audioNearDups]]. */
+  def audioFingerprint64(bytes: Array[Byte]): Long = {
+    val bars = waveformPeaks(bytes, barCount = 65)
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      h = (h << 1) | (if (bars(i + 1) > bars(i)) 1L else 0L)
+      i += 1
+    }
+    h
+  }
+
+  /** Audio near-duplicate pairs: [[audioFingerprint64]] through the
+    * same banded hamming join as [[imageNearDups]]. */
+  def audioNearDups(blobs: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDups(blobs, idCol, bytesCol, audioFingerprint64, maxHamming)
+
   /** Perceptual near-duplicate pairs over an image corpus: aHash every
     * blob (one decode per row, partition-parallel), pigeonhole-band
     * the 64-bit hashes into `maxHamming + 1` disjoint bands (two
@@ -346,7 +369,13 @@ object Media {
     * the only per-pair work is one XOR. Output (id_1, id_2, hamming),
     * id_1 < id_2, distinct. */
   def imageNearDups(blobs: DataFrame, idCol: String, bytesCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDups(blobs, idCol, bytesCol, aHash64, maxHamming)
+
+  /** The shared banded hamming join both modalities run. */
+  private def hammingNearDups(blobs: DataFrame, idCol: String,
+      bytesCol: String, hashFn: Array[Byte] => Long,
+      maxHamming: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = blobs.sparkSession
@@ -356,7 +385,7 @@ object Media {
       StructField("id", StringType), StructField("h", LongType)))
     val hashes = spark.createDataFrame(
       blobs.rdd.map(r => Row(r.getString(idIdx),
-        aHash64(r.getAs[Array[Byte]](bIdx)))), hashSchema)
+        hashFn(r.getAs[Array[Byte]](bIdx)))), hashSchema)
     val nBands = maxHamming + 1
     val bandWidth = 64 / nBands
     val banded = hashes.select(col("id"), col("h"),

@@ -164,6 +164,59 @@ class MediaSpec extends SparkSpec {
     buf.toByteArray
   }
 
+  /** Seed-structured WAV: 64 segments whose amplitudes derive from the
+    * seed — low-frequency envelope structure the energy-difference
+    * fingerprint keys on. `gain` scales every sample (fingerprint must
+    * be invariant); `flipSegs` overwrites that many segment amplitudes
+    * (controlled small edit). */
+  private def synthWav(seed: Long, gain: Double = 1.0,
+      flipSegs: Int = 0): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val rate = 8000
+    val n = rate
+    val segLen = n / 64
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val seg = math.min(63, i / segLen)
+      val mixed = graft.functions.BloomKernel.mix(
+        if (seg < flipSegs) seed * 977 + seg + 31337 else seed * 977 + seg)
+      val amp = 2000 + ((mixed & 0x7fffffff) % 18000)
+      val v = (math.sin(i * 0.9) * amp * gain).toInt.toShort
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  test("audio fingerprint: gain-invariant, small edits stay near, " +
+      "different audio far; near-dups found via banding") {
+    val s = spark
+    import s.implicits._
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = Media.audioFingerprint64(synthWav(3L))
+    assert(ham(base, Media.audioFingerprint64(synthWav(3L, gain = 0.4))) === 0,
+      "max-normalized bars make gain changes a no-op")
+    val edited = Media.audioFingerprint64(synthWav(3L, flipSegs = 2))
+    assert(ham(base, edited) <= 3, s"2-segment edit moved ${ham(base, edited)} bits")
+    val other = Media.audioFingerprint64(synthWav(4L))
+    assert(ham(base, other) > 10, s"distinct seeds ${ham(base, other)} bits apart")
+
+    val blobs = ((1 to 8).map(i => (f"au$i%03d", synthWav(i.toLong))) ++
+      Seq(("au003g", synthWav(3L, gain = 0.5)),
+          ("au005e", synthWav(5L, flipSegs = 2))))
+      .toDF("id", "content")
+    val pairs = Media.audioNearDups(blobs, "id", "content", maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("au003", "au003g")))
+    assert(pairs.contains(("au005", "au005e")))
+    assert(pairs.forall { case (a, b) => a.take(5) === b.take(5) }, pairs)
+  }
+
   test("waveformPeaks: real WAV decode, silent half ~0, loud half at ceiling") {
     val peaks = Media.waveformPeaks(wavBytes())
     assert(peaks.length == 107)
