@@ -359,6 +359,55 @@ object Media {
       maxHamming: Int = 3): DataFrame =
     hammingNearDups(blobs, idCol, bytesCol, audioFingerprint64, maxHamming)
 
+  /** Video near-duplicate pairs — the third modality on the same
+    * discipline: sample `nFrames` frames per blob with the REAL MJPEG
+    * kernel ([[mjpegFrameDecoder]]), aHash each frame, band per
+    * (frame position, band) so only same-position frames ever join,
+    * and call two videos near-duplicates when at least `minClose`
+    * sampled positions land within `maxHamming` bits — re-encodes and
+    * watermarks stay close on most frames; different content isn't
+    * close anywhere. Output (id_1, id_2, n_close), id_1 < id_2. */
+  def videoNearDups(blobs: DataFrame, idCol: String, bytesCol: String,
+      nFrames: Int = 4, maxHamming: Int = 3, minClose: Int = 3): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = blobs.sparkSession
+    val idIdx = blobs.schema.fieldIndex(idCol)
+    val bIdx = blobs.schema.fieldIndex(bytesCol)
+    val hashSchema = StructType(Seq(
+      StructField("id", StringType), StructField("fidx", IntegerType),
+      StructField("h", LongType)))
+    val hashes = spark.createDataFrame(
+      blobs.rdd.flatMap { r =>
+        mjpegFrameDecoder(r.getAs[Array[Byte]](bIdx), nFrames).zipWithIndex
+          .map { case (f, i) => Row(r.getString(idIdx), i, aHash64(f)) }
+      }, hashSchema)
+    val nBands = maxHamming + 1
+    val bandWidth = 64 / nBands
+    val banded = hashes.select(col("id"), col("fidx"), col("h"),
+      explode(array((0 until nBands).map { b =>
+        val lo = b * bandWidth
+        val width = if (b == nBands - 1) 64 - lo else bandWidth
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("h"), lo)
+            .bitwiseAND(lit(if (width == 64) -1L else (1L << width) - 1))
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("fidx"), col("h"), col("bk.band"), col("bk.key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.fidx") === col("b.fidx") &&
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
+        col("a.fidx").as("fidx"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_1"), col("id_2"))
+      .agg(count(lit(1)).as("n_close"))
+      .filter(col("n_close") >= minClose)
+  }
+
   /** Perceptual near-duplicate pairs over an image corpus: aHash every
     * blob (one decode per row, partition-parallel), pigeonhole-band
     * the 64-bit hashes into `maxHamming + 1` disjoint bands (two
@@ -586,7 +635,15 @@ object Media {
     * stream headers and one `00dc` JPEG chunk per frame) — the video
     * counterpart of [[synthImageJpeg]], so the REAL frame-sample kernel
     * is drivable with no video fixtures in the container. */
-  def synthMjpegAvi(seed: Long, nFrames: Int, w: Int = 64, h: Int = 48): Array[Byte] = {
+  def synthMjpegAvi(seed: Long, nFrames: Int, w: Int = 64, h: Int = 48): Array[Byte] =
+    mjpegAviFromJpegs((0 until nFrames).map(i => synthImageJpeg(seed + i, w, h)), w, h)
+
+  /** Assemble ANY JPEG list into a well-formed MJPEG-AVI — the fixture
+    * builder behind [[synthMjpegAvi]] and the video-fingerprint specs
+    * (which need block-structured frames; the gradient frames hash
+    * degenerately, see [[synthImageBlocksJpeg]]). */
+  def mjpegAviFromJpegs(jpegs: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    val nFrames = jpegs.size
     def le32(v: Int) = Array[Byte](
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
@@ -596,7 +653,6 @@ object Media {
     }
     def list(typ: String, children: Array[Byte]): Array[Byte] =
       chunk("LIST", typ.getBytes("US-ASCII") ++ children)
-    val jpegs = (0 until nFrames).map(i => synthImageJpeg(seed + i, w, h))
     // minimal-but-well-formed headers: avih (56 B) + strh (56 B) + strf (40 B)
     val avih = chunk("avih", le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
       le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(w) ++ le32(h) ++

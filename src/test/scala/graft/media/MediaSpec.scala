@@ -217,6 +217,29 @@ class MediaSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a.take(5) === b.take(5) }, pairs)
   }
 
+  test("video near-dups: perturbed re-encode pairs on most frames, " +
+      "different videos never pair") {
+    val s = spark
+    import s.implicits._
+    def vid(seed: Long, noisy: Boolean): Array[Byte] = {
+      val frames = (0 until 4).map { f =>
+        val base = Media.synthImageBlocksJpeg(seed * 100 + f, 64, 48)
+        if (noisy) Media.addNoiseDots(base, seed * 100 + f, 120) else base
+      }
+      Media.mjpegAviFromJpegs(frames, 64, 48)
+    }
+    val blobs = ((1 to 6).map(i => (f"v$i%03d", vid(i.toLong, noisy = false))) ++
+      Seq(("v002n", vid(2L, noisy = true)),
+          ("v004n", vid(4L, noisy = true))))
+      .toDF("id", "content")
+    val pairs = Media.videoNearDups(blobs, "id", "content",
+        nFrames = 4, maxHamming = 3, minClose = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet ===
+      Set(("v002", "v002n"), ("v004", "v004n")), pairs.toSeq)
+    assert(pairs.forall(_._3 >= 3), pairs.toSeq)
+  }
+
   test("waveformPeaks: real WAV decode, silent half ~0, loud half at ceiling") {
     val peaks = Media.waveformPeaks(wavBytes())
     assert(peaks.length == 107)
