@@ -64,4 +64,81 @@ class RandomizedParitySpec extends SparkSpec {
       assert(heap === win, s"seed $seed k=$k")
     }
   }
+
+  test("editDistanceJoin equals brute-force levenshtein on random strings") {
+    val s = spark
+    import s.implicits._
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    for (seed <- Seq(5, 23); d <- Seq(1, 2)) {
+      val rnd = new scala.util.Random(seed)
+      // tight alphabet + geometric-ish lengths: plenty of near-pairs,
+      // repeats, and strings below the count-filtering floor
+      val names = (0L until 80L).map { i =>
+        i -> Seq.fill(2 + rnd.nextInt(10))("abcd" (rnd.nextInt(4))).mkString
+      }
+      val want = (for {
+        (i1, s1) <- names; (i2, s2) <- names
+        if i1 < i2
+        dist = lev(s1, s2) if dist <= d
+      } yield (i1, i2, dist)).toSet
+      val got = Fuzzy.editDistanceJoin(names.toDF("id", "name"), "id", "name", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === want, s"seed $seed d=$d")
+    }
+  }
+
+  test("quantileSketch equals the locally-replayed bottom-k sample quantiles") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(3, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 3000).map(i =>
+        (s"g${rnd.nextInt(4)}", i.toLong, rnd.nextInt(100000).toLong))
+      val df = rows.toDF("g", "id", "v").repartition(1 + seed % 7)
+      val got = Sketches.quantileSketch(df, "g", "v", "id", 64,
+          Seq("p50" -> 0.5, "p90" -> 0.9))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      // local replay: md5-hash60 order, bottom 64, type-1 index rule
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h60(x: String): Long = {
+        val hex = md.digest(x.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val sample = rs.map { case (_, id, v) => (h60(id.toString), id, v) }
+          .sortBy(t => (t._1, t._2)).take(64).map(_._3).sorted
+        val n = sample.length
+        def q(p: Double) = sample(math.floor((n - 1) * p).toInt)
+        assert(got(g) === ((n.toLong, q(0.5), q(0.9))), s"seed $seed group $g")
+      }
+    }
+  }
+
+  test("bloomSemiJoin exact mode equals the plain semi-join on random sets") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(7, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val big = (1 to 4000).map(_ => rnd.nextLong() % 10000)
+        .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("row", "key")
+      val dim = (1 to 300).map(_ => rnd.nextLong() % 10000).toDF("k")
+      val want = big.join(dim.select(col("k").as("key")), Seq("key"), "left_semi")
+        .collect().map(_.getLong(1)).toSeq.sorted
+      // tiny filter: false positives guaranteed, exactness must survive
+      val got = Skew.bloomSemiJoin(big, dim, "key", "k",
+          numBits = 256, numHashes = 3)
+        .collect().map(_.getLong(1)).toSeq.sorted
+      assert(got === want, s"seed $seed")
+    }
+  }
 }
