@@ -159,7 +159,12 @@ object ScaleStress {
       // keep-best rides the same pairs+CC pipeline as q_dedup_apply
       // plus the members argmax; nested terms is two stacked aggs over
       // 10x events; zorder is a projection + range sort over supplier
-      "q_dedup_keep_best", "q_terms_nested", "q_zorder")
+      "q_dedup_keep_best", "q_terms_nested", "q_zorder",
+      // decontamination rides documents (scaled); its apply adds the
+      // anti-join. q_media_phash and q_fuzzy_join are fixture-bound
+      // (36 images / unscaled supplier) — constant work by design,
+      // nothing to stress
+      "q_decontaminate_apply")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
