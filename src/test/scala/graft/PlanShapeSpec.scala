@@ -195,4 +195,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
+
+  test("fuzzy join: candidates come from the rare-gram equi-join — " +
+      "never a cross join") {
+    val names = (0L until 50L).map(i => (i, f"Name#$i%04d"))
+      .toDF("id", "name")
+    val p = plan(graft.operators.Fuzzy.editDistanceJoin(
+      names, "id", "name", maxDist = 1))
+    assert(!p.contains("CartesianProduct"),
+      s"gram path must equi-join; only the bounded short-band may nest:\n$p")
+    assert(p.contains("levenshtein"), "verify stage must be present")
+  }
+
+  test("keep-best dedup: argmax aggregates the members relation, " +
+      "no corpus-wide window") {
+    val corpus = (1L to 200L).map(i => (i, i * 3)).toDF("doc_id", "score")
+    val labels = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "comp")
+    val p = plan(graft.operators.Graph.keepBest(
+      corpus, "doc_id", labels, "score"))
+    assert(!p.contains("Window"), "argmax must be max_by, not row_number")
+    assert(p.contains("LeftAnti"), "corpus is touched only by the anti-join")
+  }
 }
