@@ -50,3 +50,74 @@ object PhashOracleGen {
   def main(args: Array[String]): Unit =
     println(tuples.mkString(",\n  "))
 }
+
+/** Ground-truth pairs for the q_media_audio oracle: fingerprint the 30
+  * seed-normalized WAVs + gain-scaled copies of every 5th + 2-segment
+  * edits of every 7th, brute-force all pair hammings, keep ≤ 3. Run
+  * after any change to [[Media.synthWav]] / [[Media.waveformPeaks]] /
+  * [[Media.audioFingerprint64]] and paste into
+  * [[SparkEntry.oracleSql]]'s q_media_audio entry. */
+object AudioOracleGen {
+  def blobs: Seq[(String, Array[Byte])] =
+    (1 to 30).flatMap { rank =>
+      Seq(f"au$rank%06d" -> Media.synthWav(rank.toLong)) ++
+        (if (rank % 5 == 0)
+          Seq(f"au$rank%06dg" -> Media.synthWav(rank.toLong, gain = 0.5))
+        else Nil) ++
+        (if (rank % 7 == 0)
+          Seq(f"au$rank%06de" -> Media.synthWav(rank.toLong, flipSegs = 2))
+        else Nil)
+    }
+
+  def tuples: Seq[String] = {
+    val hs = blobs.map { case (id, b) => id -> Media.audioFingerprint64(b) }
+    for {
+      (i1, h1) <- hs; (i2, h2) <- hs
+      if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= 3
+    } yield s"('$i1', '$i2', $d)"
+  }
+
+  def main(args: Array[String]): Unit =
+    println(tuples.mkString(",\n  "))
+}
+
+/** Ground-truth pairs for the q_media_video oracle: 12 seed-normalized
+  * 4-frame MJPEG-AVIs + dot-perturbed re-encodes of every 3rd;
+  * brute-force per-position frame hammings, pair when ≥ 3 of 4
+  * positions are ≤ 3 bits. */
+object VideoOracleGen {
+  def frames(rank: Long, noisy: Boolean): Seq[Array[Byte]] =
+    (0 until 4).map { f =>
+      val base = Media.synthImageBlocksJpeg(rank * 100 + f, 64, 48)
+      // 120 dots on a 64×48 frame ≈ the same perturbation density as
+      // 3000 on the phash fixture's 320×240 canvas
+      if (noisy) Media.addNoiseDots(base, rank * 100 + f, 120) else base
+    }
+
+  def blobs: Seq[(String, Array[Byte])] =
+    (1 to 12).flatMap { rank =>
+      Seq(f"vid$rank%04d" ->
+        Media.mjpegAviFromJpegs(frames(rank.toLong, noisy = false), 64, 48)) ++
+        (if (rank % 3 == 0)
+          Seq(f"vid$rank%04dn" ->
+            Media.mjpegAviFromJpegs(frames(rank.toLong, noisy = true), 64, 48))
+        else Nil)
+    }
+
+  def tuples: Seq[String] = {
+    val hs = blobs.map { case (id, b) =>
+      id -> Media.mjpegFrameDecoder(b, 4).map(Media.aHash64)
+    }
+    for {
+      (i1, f1) <- hs; (i2, f2) <- hs
+      if i1 < i2
+      n = f1.zip(f2).count { case (a, b) =>
+        java.lang.Long.bitCount(a ^ b) <= 3 }
+      if n >= 3
+    } yield s"('$i1', '$i2', $n)"
+  }
+
+  def main(args: Array[String]): Unit =
+    println(tuples.mkString(",\n  "))
+}

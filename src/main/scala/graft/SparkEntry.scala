@@ -165,6 +165,8 @@ object SparkEntry {
     "q_media_resolution" -> (MediaQueries.qMediaResolution _),
     "q_media_derivative" -> (MediaQueries.qMediaDerivative _),
     "q_media_phash"     -> (MediaQueries.qMediaPhash _),
+    "q_media_audio"     -> (MediaQueries.qMediaAudio _),
+    "q_media_video"     -> (MediaQueries.qMediaVideo _),
     // ingestion joins + reporting (SURVEY §2.3, §2.4)
     "q_ingest_identity" -> (IngestQueries.qIngestIdentity _),
     "q_suffix_match"    -> (IngestQueries.qSuffixMatch _),
@@ -277,6 +279,8 @@ object SparkEntry {
     "q_media_resolution" -> MediaQueries.qMediaResolutionSql,
     "q_media_derivative" -> MediaQueries.qMediaDerivativeSql(mediaDerivativeNBytes),
     "q_media_phash"     -> MediaQueries.qMediaPhashSql,
+    "q_media_audio"     -> MediaQueries.qMediaAudioSql,
+    "q_media_video"     -> MediaQueries.qMediaVideoSql,
     "q_ingest_identity" -> IngestQueries.qIngestIdentitySql,
     "q_suffix_match"    -> IngestQueries.qSuffixMatchSql,
     "q_dq_report"       -> IngestQueries.qDqReportSql,

@@ -336,6 +336,37 @@ object Media {
     hash
   }
 
+  /** Seed-structured PCM-16 WAV: 64 segments whose amplitudes derive
+    * from the seed — the low-frequency envelope the energy-difference
+    * fingerprint keys on. `gain` scales every sample (the fingerprint
+    * must be invariant); `flipSegs` overwrites that many segment
+    * amplitudes (a controlled small edit). Fixture twin of
+    * [[synthImageBlocksJpeg]] for the audio modality. */
+  def synthWav(seed: Long, gain: Double = 1.0, flipSegs: Int = 0): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val rate = 8000
+    val n = rate
+    val segLen = n / 64
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val seg = math.min(63, i / segLen)
+      val mixed = graft.functions.BloomKernel.mix(
+        if (seg < flipSegs) seed * 977 + seg + 31337 else seed * 977 + seg)
+      val amp = 2000 + ((mixed & 0x7fffffff) % 18000)
+      val v = (math.sin(i * 0.9) * amp * gain).toInt.toShort
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
   /** Energy-difference audio fingerprint: 65 RMS bars from the same
     * real javax.sound kernel the waveform derivative uses, bit i set
     * iff bar i+1 is louder than bar i — the classic gain-invariant

@@ -136,6 +136,88 @@ object MediaQueries {
       |  ('img000030', 'img000030n', 0)
       |) AS t(id_1, id_2, hamming) ORDER BY id_1, id_2""".stripMargin
 
+  /** Audio-fingerprint dedup under the driver gate: 30 seed-normalized
+    * WAVs + gain-scaled copies (every 5th) + 2-segment edits (every
+    * 7th) through [[Media.audioNearDups]] — real javax.sound decode,
+    * gain-invariance visible in the oracle (every gain pair at
+    * hamming 0). Ground truth brute-forced by
+    * [[graft.AudioOracleGen]]. */
+  def qMediaAudio(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val ids = Tables.orders(s, dir)
+      .select(col("o_orderkey")).orderBy(col("o_orderkey")).limit(30)
+      .select(row_number().over(Window.orderBy(col("o_orderkey"))).as("id"))
+    val blobSchema = StructType(Seq(
+      StructField("id", StringType), StructField("content", BinaryType)))
+    val blobs = s.createDataFrame(
+      ids.rdd.flatMap { r =>
+        val rank = r.getInt(0)
+        Seq(Row(f"au$rank%06d", Media.synthWav(rank.toLong))) ++
+          (if (rank % 5 == 0)
+            Seq(Row(f"au$rank%06dg", Media.synthWav(rank.toLong, gain = 0.5)))
+          else Nil) ++
+          (if (rank % 7 == 0)
+            Seq(Row(f"au$rank%06de", Media.synthWav(rank.toLong, flipSegs = 2)))
+          else Nil)
+      }, blobSchema)
+    Media.audioNearDups(blobs, "id", "content", maxHamming = 3)
+      .orderBy(col("id_1"), col("id_2"))
+  }
+
+  val qMediaAudioSql: String =
+    """SELECT * FROM (VALUES
+      |  ('au000005', 'au000005g', 0),
+      |  ('au000007', 'au000007e', 0),
+      |  ('au000010', 'au000010g', 0),
+      |  ('au000014', 'au000014e', 2),
+      |  ('au000015', 'au000015g', 0),
+      |  ('au000020', 'au000020g', 0),
+      |  ('au000021', 'au000021e', 1),
+      |  ('au000025', 'au000025g', 0),
+      |  ('au000028', 'au000028e', 1),
+      |  ('au000030', 'au000030g', 0)
+      |) AS t(id_1, id_2, hamming) ORDER BY id_1, id_2""".stripMargin
+
+  /** Video near-dup dedup under the driver gate: 12 seed-normalized
+    * 4-frame MJPEG-AVIs + dot-perturbed re-encodes of every 3rd
+    * through [[Media.videoNearDups]] (real MJPEG frame decode).
+    * Ground truth brute-forced by [[graft.VideoOracleGen]] — note
+    * vid0006 pairs on only 3 of 4 positions, exercising the minClose
+    * floor. */
+  def qMediaVideo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val ids = Tables.orders(s, dir)
+      .select(col("o_orderkey")).orderBy(col("o_orderkey")).limit(12)
+      .select(row_number().over(Window.orderBy(col("o_orderkey"))).as("id"))
+    val blobSchema = StructType(Seq(
+      StructField("id", StringType), StructField("content", BinaryType)))
+    val blobs = s.createDataFrame(
+      ids.rdd.flatMap { r =>
+        val rank = r.getInt(0)
+        Seq(Row(f"vid$rank%04d", Media.mjpegAviFromJpegs(
+          graft.VideoOracleGen.frames(rank.toLong, noisy = false), 64, 48))) ++
+          (if (rank % 3 == 0)
+            Seq(Row(f"vid$rank%04dn", Media.mjpegAviFromJpegs(
+              graft.VideoOracleGen.frames(rank.toLong, noisy = true), 64, 48)))
+          else Nil)
+      }, blobSchema)
+    Media.videoNearDups(blobs, "id", "content",
+        nFrames = 4, maxHamming = 3, minClose = 3)
+      .orderBy(col("id_1"), col("id_2"))
+  }
+
+  val qMediaVideoSql: String =
+    """SELECT * FROM (VALUES
+      |  ('vid0003', 'vid0003n', CAST(4 AS BIGINT)),
+      |  ('vid0006', 'vid0006n', CAST(3 AS BIGINT)),
+      |  ('vid0009', 'vid0009n', CAST(4 AS BIGINT)),
+      |  ('vid0012', 'vid0012n', CAST(4 AS BIGINT))
+      |) AS t(id_1, id_2, n_close) ORDER BY id_1, id_2""".stripMargin
+
   /** Constants oracle for [[qMediaDerivative]]: dimensions derive from
     * the downscale-only rule; byte lengths are the pinned encoder
     * facts. `nBytesValues` is generated by [[graft.MediaOracleGen]]. */

@@ -164,34 +164,9 @@ class MediaSpec extends SparkSpec {
     buf.toByteArray
   }
 
-  /** Seed-structured WAV: 64 segments whose amplitudes derive from the
-    * seed — low-frequency envelope structure the energy-difference
-    * fingerprint keys on. `gain` scales every sample (fingerprint must
-    * be invariant); `flipSegs` overwrites that many segment amplitudes
-    * (controlled small edit). */
   private def synthWav(seed: Long, gain: Double = 1.0,
-      flipSegs: Int = 0): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
-    val rate = 8000
-    val n = rate
-    val segLen = n / 64
-    val pcm = new Array[Byte](n * 2)
-    for (i <- 0 until n) {
-      val seg = math.min(63, i / segLen)
-      val mixed = graft.functions.BloomKernel.mix(
-        if (seg < flipSegs) seed * 977 + seg + 31337 else seed * 977 + seg)
-      val amp = 2000 + ((mixed & 0x7fffffff) % 18000)
-      val v = (math.sin(i * 0.9) * amp * gain).toInt.toShort
-      pcm(i * 2) = (v & 0xff).toByte
-      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
-    }
-    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
-    val ais = new AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    val buf = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
-    buf.toByteArray
-  }
+      flipSegs: Int = 0): Array[Byte] =
+    Media.synthWav(seed, gain, flipSegs)
 
   test("audio fingerprint: gain-invariant, small edits stay near, " +
       "different audio far; near-dups found via banding") {
