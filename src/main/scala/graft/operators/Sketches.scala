@@ -36,8 +36,26 @@ object Sketches {
   /** KMV sketch per group: one row per group with `kmv` = the k
     * smallest distinct values of `hashCol`, sorted ascending. The
     * input's `hashCol` must already be hash60-uniform (see
-    * [[TextDedup.hash60]] / NativeText.shingleHashes). */
+    * [[TextDedup.hash60]] / NativeText.shingleHashes).
+    *
+    * Executes on [[graft.functions.KmvAgg]], a k-bounded
+    * TypedImperativeAggregate: each task folds its partition into ≤ k
+    * distinct minima and only those cross the wire — the old
+    * distinct-then-heap formulation's Exchange carried ONE ROW PER
+    * DISTINCT HASH, i.e. the very cardinality the sketch exists to
+    * avoid materializing (at sf0.1 that shuffle made q_distinct_kmv
+    * the slowest query on the board). Same deterministic bottom-k
+    * array under any partitioning; [[kmvViaDistinct]] is retained as
+    * the executable specification, spec-pinned row-equal. */
   def kmv(df: DataFrame, groupCols: Seq[String], hashCol: String,
+      k: Int): DataFrame =
+    df.select(groupCols.map(col) :+ col(hashCol).as("_h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.KmvSketch.kmvSketch(col("_h"), k).as("kmv"))
+
+  /** The distinct + bounded-heap formulation [[kmv]] replaced — kept
+    * as its executable specification (the kernel-parity pattern). */
+  def kmvViaDistinct(df: DataFrame, groupCols: Seq[String], hashCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val dedup = df

@@ -71,9 +71,43 @@ class SketchSpec extends SparkSpec {
       r(1).getLong(2) === 40L)
   }
 
-  test("kmv: plan uses the bounded TopKPerGroup heap, not a full sort") {
+  test("kmv: the aggregate form equals the distinct+heap specification " +
+      "row-for-row under any partitioning") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    // duplicates + several groups + skewed sizes
+    val rows = (1 to 4000).map(_ =>
+      (s"g${rnd.nextInt(3)}", (rnd.nextInt(500) * 2654435761L) >>> 4))
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("g", "h").repartition(parts)
+      val fast = Sketches.kmv(df, Seq("g"), "h", 64)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val specForm = Sketches.kmvViaDistinct(df, Seq("g"), "h", 64)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(fast === specForm, s"parts=$parts")
+    }
+  }
+
+  test("kmv: aggregate shuffle carries bounded sketches, no distinct exchange") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 1000).map(i => ("g", i.toLong)).toDF("g", "h")
+    val p = Sketches.kmv(df, Seq("g"), "h", 32)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_kmv_sketch"),
+      s"partial aggregation must fold per task before the exchange:\n$p")
+    // the old formulation's first stage was an aggregate KEYED on
+    // (group, hash) — the distinct whose exchange carried one row per
+    // distinct value. No aggregate may key on _h anymore.
+    assert(!p.contains("keys=[g#715, _h") && !"keys=\\[[^]]*_h#".r
+      .findFirstIn(p).isDefined,
+      s"no (group, hash) distinct stage may remain:\n$p")
+  }
+
+  test("kmv spec form: plan uses the bounded TopKPerGroup heap, not a full sort") {
     val df = hashedValues("a", 0 until 100)
-    val plan = Sketches.kmv(df, Seq("g"), "h", 16)
+    val plan = Sketches.kmvViaDistinct(df, Seq("g"), "h", 16)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerGroup"), plan.take(2000))
   }
