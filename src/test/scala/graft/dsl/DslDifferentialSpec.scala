@@ -3,7 +3,7 @@ package graft.dsl
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Randomized compound-DSL differential: 150 random Query Format JSONs
+/** Randomized compound-DSL differential: 300 random (two seeds) Query Format JSONs
   * (term/terms/prefix/range/exists/missing over distinct fields,
   * implicit AND — tools/gen_dsl_differential.py) whose expected
   * o_orderkey sets were computed by DuckDB from per-predicate SQL
@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * queries don't reach. */
 class DslDifferentialSpec extends SparkSpec {
 
-  test("compile agrees with 150 recorded compound-DSL result sets") {
+  test("compile agrees with 300 recorded compound-DSL result sets") {
     val url = getClass.getResource("/dsl_vectors.jsonl")
     val src = scala.io.Source.fromURL(url)(scala.io.Codec.UTF8)
     val vectors = try {
@@ -28,7 +28,7 @@ class DslDifferentialSpec extends SparkSpec {
         (id, dsl, expect)
       }.toList
     } finally src.close()
-    assert(vectors.size === 150)
+    assert(vectors.size === 300)
     val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
         col("o_totalprice").cast("double").as("o_totalprice"))
