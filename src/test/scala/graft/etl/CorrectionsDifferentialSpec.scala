@@ -13,12 +13,20 @@ import org.apache.spark.sql.functions._
 class CorrectionsDifferentialSpec extends SparkSpec {
 
   test("Corrections.apply agrees with 400 recorded correct_record runs") {
+    replay("/corrections_vectors.jsonl")
+  }
+
+  test("Corrections.apply agrees with a second unseen-seed batch of 400") {
+    replay("/corrections_vectors2.jsonl")
+  }
+
+  private def replay(resource: String): Unit = {
     val s = spark
     import s.implicits._
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
-    val url = getClass.getResource("/corrections_vectors.jsonl")
+    val url = getClass.getResource(resource)
     val lines = scala.io.Source.fromURL(url).getLines().toSeq
     val rules = (JsonMethods.parse(lines.head) \ "rules")
       .extract[Seq[JObject]].map { r =>
