@@ -12,9 +12,17 @@ import org.apache.spark.sql.functions._
 class DateDifferentialSpec extends SparkSpec {
 
   test("permissiveTimestamp agrees with 3000 recorded dateutil parses") {
+    replay("/dateutil_vectors.tsv")
+  }
+
+  test("permissiveTimestamp agrees with a second unseen-seed batch of 3000") {
+    replay("/dateutil_vectors2.tsv")
+  }
+
+  private def replay(resource: String): Unit = {
     val s = spark
     import s.implicits._
-    val url = getClass.getResource("/dateutil_vectors.tsv")
+    val url = getClass.getResource(resource)
     val vecs = scala.io.Source.fromURL(url).getLines().map { l =>
       val i = l.lastIndexOf('\t')
       (l.substring(0, i), l.substring(i + 1))
