@@ -87,25 +87,26 @@ class EtagsDifferentialSpec extends AnyFunSuite {
     }
   }
 
-  private lazy val vectors: Seq[Map[String, V]] = {
-    val url = getClass.getResource("/etags_vectors.jsonl")
-    val src = scala.io.Source.fromURL(url)(scala.io.Codec.UTF8)
-    try src.getLines().map { l =>
-      new P(l).value() match {
-        case V.O(kvs) => kvs.toMap
-        case other    => fail(s"bad vector line: $other")
-      }
-    }.toList
-    finally src.close()
-  }
+  private lazy val vectors: Seq[Map[String, V]] =
+    Seq("/etags_vectors.jsonl", "/etags_vectors2.jsonl").flatMap { res =>
+      val url = getClass.getResource(res)
+      val src = scala.io.Source.fromURL(url)(scala.io.Codec.UTF8)
+      try src.getLines().map { l =>
+        new P(l).value() match {
+          case V.O(kvs) => kvs.toMap
+          case other    => fail(s"bad vector line: $other")
+        }
+      }.toList
+      finally src.close()
+    }
 
   private def strOf(v: V): String = v match {
     case V.S(x) => x
     case other  => fail(s"expected string, got $other")
   }
 
-  test("calcEtag agrees with 1500 recorded reference runs") {
-    assert(vectors.size === 1500)
+  test("calcEtag agrees with 3000 recorded reference runs (two seeds)") {
+    assert(vectors.size === 3000)
     val bad = vectors.flatMap { v =>
       val V.O(kvs) = v("data"): @unchecked
       val got = Etags.calcEtag(kvs)

@@ -13,7 +13,15 @@ import org.apache.spark.sql.functions._
 class IdentifyDifferentialSpec extends SparkSpec {
 
   test("candidates agree with 500 recorded identifyRecord runs") {
-    val url = getClass.getResource("/identify_vectors.jsonl")
+    replay("/identify_vectors.jsonl")
+  }
+
+  test("candidates agree with a second unseen-seed batch of 500") {
+    replay("/identify_vectors2.jsonl")
+  }
+
+  private def replay(resource: String): Unit = {
+    val url = getClass.getResource(resource)
     val tmp = java.io.File.createTempFile("identvec", ".jsonl")
     tmp.deleteOnExit()
     val src = scala.io.Source.fromURL(url)(scala.io.Codec.UTF8)

@@ -10,7 +10,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class RssIdDifferentialSpec extends AnyFunSuite {
 
   test("recordId agrees with 1000 recorded id_func runs") {
-    val url = getClass.getResource("/rssid_vectors.jsonl")
+    replay("/rssid_vectors.jsonl")
+  }
+
+  test("recordId agrees with a second unseen-seed batch of 1000") {
+    replay("/rssid_vectors2.jsonl")
+  }
+
+  private def replay(resource: String): Unit = {
+    val url = getClass.getResource(resource)
     val src = scala.io.Source.fromURL(url)(scala.io.Codec.UTF8)
     val field = """"(\w+)": (null|"(?:[^"\\]|\\.)*")""".r
     val vectors = try src.getLines().map { l =>

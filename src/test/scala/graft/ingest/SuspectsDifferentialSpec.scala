@@ -9,9 +9,17 @@ import org.apache.spark.sql.functions._
 class SuspectsDifferentialSpec extends SparkSpec {
 
   test("suspectTag agrees with 1500 recorded is_row_suspect runs") {
+    replay("/suspects_vectors.tsv")
+  }
+
+  test("suspectTag agrees with a second unseen-seed batch of 1500") {
+    replay("/suspects_vectors2.tsv")
+  }
+
+  private def replay(resource: String): Unit = {
     val s = spark
     import s.implicits._
-    val url = getClass.getResource("/suspects_vectors.tsv")
+    val url = getClass.getResource(resource)
     val rows = scala.io.Source.fromURL(url).getLines().map { l =>
       val p = l.split("\t")
       (p(0).toLong, p(1) == "1", p(2).toLong, p(3).toLong, p(4).toLong,
