@@ -13,21 +13,25 @@ import org.apache.spark.sql.functions._
   * enrich surface grows. */
 class EnrichDifferentialSpec extends SparkSpec {
 
-  test("Enrich.records agrees with 500 recorded reference grabAll runs") {
+  test("Enrich.records agrees with 1000 recorded reference grabAll runs (two seeds)") {
     val s = spark
     import s.implicits._
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
-    val url = getClass.getResource("/enrich_vectors.jsonl")
-    val parsed = scala.io.Source.fromURL(url).getLines().toSeq
-      .map(JsonMethods.parse(_))
-    assert(parsed.length === 500)
-    val inputs = parsed.map { j =>
-      ((j \ "id").extract[Long], (j \ "data").extract[Map[String, String]])
+    // both seed batches; the second's ids offset past the first's range
+    val parsed = Seq("/enrich_vectors.jsonl" -> 0L,
+        "/enrich_vectors2.jsonl" -> 100000L).flatMap { case (res, off) =>
+      val url = getClass.getResource(res)
+      scala.io.Source.fromURL(url).getLines().toSeq
+        .map(l => off -> JsonMethods.parse(l))
     }
-    val exps = parsed.map { j =>
-      ((j \ "id").extract[Long], j \ "exp")
+    assert(parsed.length === 1000)
+    val inputs = parsed.map { case (off, j) =>
+      ((j \ "id").extract[Long] + off, (j \ "data").extract[Map[String, String]])
+    }
+    val exps = parsed.map { case (off, j) =>
+      ((j \ "id").extract[Long] + off, j \ "exp")
     }.toMap
 
     val out = Enrich.records(inputs.toDF("id", "data")).select(
@@ -74,20 +78,24 @@ class EnrichDifferentialSpec extends SparkSpec {
     }
   }
 
-  test("Enrich.mediarecords agrees with 500 recorded reference grabAll runs") {
+  test("Enrich.mediarecords agrees with 1000 recorded reference grabAll runs (two seeds)") {
     val s = spark
     import s.implicits._
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
-    val url = getClass.getResource("/enrich_media_vectors.jsonl")
-    val parsed = scala.io.Source.fromURL(url).getLines().toSeq
-      .map(JsonMethods.parse(_))
-    assert(parsed.length === 500)
-    val inputs = parsed.map { j =>
-      ((j \ "id").extract[Long], (j \ "data").extract[Map[String, String]])
+    val parsed = Seq("/enrich_media_vectors.jsonl" -> 0L,
+        "/enrich_media_vectors2.jsonl" -> 100000L).flatMap { case (res, off) =>
+      val url = getClass.getResource(res)
+      scala.io.Source.fromURL(url).getLines().toSeq
+        .map(l => off -> JsonMethods.parse(l))
     }
-    val exps = parsed.map(j => ((j \ "id").extract[Long], j \ "exp")).toMap
+    assert(parsed.length === 1000)
+    val inputs = parsed.map { case (off, j) =>
+      ((j \ "id").extract[Long] + off, (j \ "data").extract[Map[String, String]])
+    }
+    val exps = parsed.map { case (off, j) =>
+      ((j \ "id").extract[Long] + off, j \ "exp") }.toMap
     val fields = Seq("modified", "type", "tag", "format", "mediatype",
       "accessuri", "xpixels", "ypixels", "flags", "dqs")
     val out = Enrich.mediarecords(inputs.toDF("id", "data")).select(
