@@ -1303,7 +1303,8 @@ object LlmQueries {
       |sums AS (SELECT doc_id, b, sum(sgn) AS s FROM b GROUP BY 1, 2),
       |g AS (SELECT d.doc_id, t.i FROM (SELECT DISTINCT doc_id FROM documents) d,
       |      range(0, 64) t(i))
-      |SELECT g.doc_id, CAST(g.i AS INT) AS pos, coalesce(sums.s, 0) AS s
+      |SELECT g.doc_id, CAST(g.i AS INT) AS pos,
+      |  CAST(coalesce(sums.s, 0) AS BIGINT) AS s
       |FROM g LEFT JOIN sums ON g.doc_id = sums.doc_id AND g.i = sums.b
       |ORDER BY g.doc_id, pos""".stripMargin
 

@@ -43,7 +43,22 @@ for name, sql in sorted(oracle.items()):
     g = got.sort_values(by=list(got.columns), kind="mergesort").reset_index(drop=True)
     e = exp.sort_values(by=list(exp.columns), kind="mergesort").reset_index(drop=True)
     bad = None
+    # Driver-faithfulness guard #1: the driver hashes canonical STRINGS,
+    # so an int64 3 vs float64 3.0 (DuckDB HUGEINT/DECIMAL promotion
+    # rendered by pandas) hash-mismatches even though values compare
+    # equal. Fail on any dtype-CLASS divergence (integer vs float vs
+    # bool vs other) before the value compare.
+    def dclass(dt):
+        k = dt.kind  # i/u=int, f=float, b=bool, M=datetime, O=object
+        return {"i": "int", "u": "int", "f": "float", "b": "bool",
+                "M": "datetime"}.get(k, "other")
     for c in g.columns:
+        gc, ec = dclass(g[c].dtype), dclass(e[c].dtype)
+        if gc != ec:
+            bad = (f"col {c} dtype-class {gc}({g[c].dtype}) != "
+                   f"{ec}({e[c].dtype}) — driver hash would mismatch")
+            break
+    for c in (g.columns if not bad else []):
         gv, ev = g[c], e[c]
         try:
             eq = (gv == ev) | (gv.isna() & ev.isna())
@@ -52,6 +67,14 @@ for name, sql in sorted(oracle.items()):
         if not eq.all():
             i = int((~eq).idxmax())
             bad = f"col {c} row {i}: spark={gv[i]!r} oracle={ev[i]!r}"
+            break
+        # Driver-faithfulness guard #2: canonical-string equality — the
+        # same cells must RENDER identically, not just compare equal.
+        seq = gv.astype(str) == ev.astype(str)
+        if not seq.all():
+            i = int((~seq).idxmax())
+            bad = (f"col {c} row {i}: values equal but render differently: "
+                   f"spark={str(gv[i])!r} oracle={str(ev[i])!r}")
             break
     if bad:
         print(f"FAIL {name}: {bad}")
