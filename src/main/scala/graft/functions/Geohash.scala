@@ -26,9 +26,13 @@ object Geohash {
     * partition-pruning IN-list. Sound by quantization monotonicity:
     * every point inside the box hashes into one of these cells.
     * Size is (lonCells × latCells); callers cap it (a box spanning
-    * the planet at high precision is not worth an IN-list). */
+    * the planet at high precision is not worth an IN-list).
+    * Precision is capped at 12 like [[GeohashExpr]]: at 13+ the lon
+    * cell index exceeds Int and the 64-bit interleave accumulator
+    * overflows, which would yield a garbage cover. */
   def cover(minLat: Double, maxLat: Double, minLon: Double,
       maxLon: Double, precision: Int): Seq[String] = {
+    require(precision >= 1 && precision <= 12, "precision in [1,12]")
     val bits = 5 * precision
     val lonBits = (bits + 1) / 2   // lon gets the extra odd bit
     val latBits = bits / 2

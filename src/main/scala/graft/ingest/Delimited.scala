@@ -107,9 +107,15 @@ object Delimited {
       // strip NULs (db_check.py:170-179), then the reference's
       // per-field .strip() with empties dropped (delimited.py:255-268;
       // null is the DataFrame spelling of an absent dict key). Regex
-      // strip, not trim(): python strips ALL whitespace (\t\r\n...).
+      // strip, not trim(): python strips every char where isspace()
+      // holds -- exactly [\t\n\x0b\f\r\x1c-\x1f space \x85] plus the
+      // Unicode Zs/Zl/Zp categories (NBSP, en/em spaces, ideographic
+      // space), which Java \s (ASCII-only) misses. The class below is
+      // bit-exact to python's isspace set (checked against CPython).
+      val pyWs = "[\\s\\x1c-\\x1f\\x85\\p{Z}]"
       val trimmed = regexp_replace(
-        regexp_replace(col(s"_c$i"), "\u0000", ""), "^\\s+|\\s+$", "")
+        regexp_replace(col(s"_c$i"), "\u0000", ""),
+        "^" + pyWs + "+|" + pyWs + "+$", "")
       when(length(trimmed) === 0, lit(null)).otherwise(trimmed).as(name)
     }
     val parseFlag =

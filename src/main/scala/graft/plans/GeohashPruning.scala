@@ -30,28 +30,45 @@ import org.apache.spark.sql.types.{DoubleType, StringType}
   * under the fixed-point batch) and when the covering set exceeds
   * [[MaxCells]] (a planet-wide box gains nothing from a huge
   * IN-list). Bounds may be strict or non-strict — a looser box only
-  * widens the cover, never breaks soundness. */
+  * widens the cover, never breaks soundness.
+  *
+  * NAMING CONTRACT (user-facing): the rewrite assumes, by column-name
+  * convention, that every `ghash<p>` StringType column was derived as
+  * `geohash(lat, lon, p)` FROM THE SAME ROW's `lat`/`lon` DoubleType
+  * columns ([[graft.functions.Geohash.geohash]], as
+  * [[graft.store.Layout]]-partitioned lakes write it). A `ghash<p>`
+  * column that came from another source, or lat/lon transformed after
+  * hashing, breaks that invariant and the injected IN would silently
+  * drop rows. Lakes that can't honor the contract should disable the
+  * rule per session: `SET spark.graft.geohashPruning.enabled=false`.
+  * Precision is honored only up to 12 (the geohash kernel's 64-bit
+  * limit); a `ghash13+` column is left untouched. */
 object GeohashPruning extends Rule[LogicalPlan] {
 
   val MaxCells = 256
+
+  val EnabledKey = "spark.graft.geohashPruning.enabled"
 
   private val GhashName = "^ghash(\\d{1,2})$".r
 
   private case class Bounds(var lo: Option[Double] = None,
       var hi: Option[Double] = None)
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, child) =>
-      val ghash = child.output.collectFirst {
-        case a if a.dataType == StringType &&
-          GhashName.findFirstMatchIn(a.name).isDefined => a
-      }
-      ghash match {
-        case Some(g) if !cond.references.contains(g) =>
-          rewrite(f, cond, child, g)
-        case _ => f
-      }
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else plan.transform {
+      case f @ Filter(cond, child) =>
+        val ghash = child.output.collectFirst {
+          case a if a.dataType == StringType &&
+            GhashName.findFirstMatchIn(a.name)
+              .exists(_.group(1).toInt <= 12) => a
+        }
+        ghash match {
+          case Some(g) if !cond.references.contains(g) =>
+            rewrite(f, cond, child, g)
+          case _ => f
+        }
+    }
 
   private def rewrite(f: Filter, cond: Expression, child: LogicalPlan,
       g: Attribute): LogicalPlan = {

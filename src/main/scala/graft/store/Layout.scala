@@ -45,8 +45,14 @@ object Layout {
     * driver's listing. Rewrite the path into ceil(bytes/target)
     * roughly-equal files. Row-size is estimated from the existing
     * files' on-disk bytes (parquet-compressed, the figure that
-    * matters), and the rewrite goes through a two-phase tmp-dir swap
-    * so a crashed compaction never leaves the path half-written. */
+    * matters), and the rewrite swaps directories by renaming the old
+    * data ASIDE first (dst -> dst._compact_old, tmp -> dst, delete
+    * old) so a crash at any single point leaves the full dataset
+    * present at either dst or dst._compact_old — never absent. The
+    * window between the two renames is still non-atomic (a concurrent
+    * reader can catch dst missing for one metadata op), and directory
+    * rename itself is copy-based on object stores: on S3-class
+    * storage run compaction behind a table format or a writer lock. */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -55,12 +61,19 @@ object Layout {
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
       .map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp = path.stripSuffix("/") + "._compact_tmp"
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "._compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "._compact_old")
     spark.read.parquet(path).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp)
+      .write.mode("overwrite").parquet(tmp.toString)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(old, true)            // leftover from a prior crash
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compact: rename $dst -> $old failed")
+    if (!fs.rename(tmp, dst)) {     // restore the original on failure
+      fs.rename(old, dst)
+      throw new java.io.IOException(s"compact: rename $tmp -> $dst failed")
+    }
+    fs.delete(old, true)
   }
 
   /** Morton (Z-order) value of a lat/lon pair: each coordinate

@@ -86,4 +86,36 @@ class GeohashPruningSpec extends SparkSpec {
       .findAllIn(narrow.queryExecution.optimizedPlan.toString).size
     assert(cnt === 1, narrow.queryExecution.optimizedPlan.toString)
   }
+
+  test("rule honors the session kill-switch and the precision-12 cap") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ghash5").toString
+    Seq((1L, 10.05, 20.05)).toDF("id", "lat", "lon")
+      .withColumn("ghash4", Geohash.geohash(col("lat"), col("lon"), 4))
+      .write.mode("overwrite").parquet(dir)
+    def narrowPlan = s.read.parquet(dir)
+      .filter(col("lat").between(10.0, 10.1) && col("lon").between(20.0, 20.1))
+      .queryExecution.optimizedPlan.toString
+    // disabled per session: no IN injected
+    s.conf.set(GeohashPruning.EnabledKey, "false")
+    try assert(!narrowPlan.contains("ghash4 IN"), narrowPlan)
+    finally s.conf.unset(GeohashPruning.EnabledKey)
+    // re-enabled default: rewrites again
+    assert("ghash4#\\d+ IN".r.findAllIn(narrowPlan).size === 1)
+
+    // a ghash column above the kernel's precision-12 limit is ignored
+    // (cover/encodeCell would overflow 64 bits and drop every row)
+    val dir13 = java.nio.file.Files.createTempDirectory("ghash13").toString
+    Seq((1L, 10.05, 20.05, "x" * 13)).toDF("id", "lat", "lon", "ghash13")
+      .write.mode("overwrite").parquet(dir13)
+    val p13 = s.read.parquet(dir13)
+      .filter(col("lat").between(10.0, 10.1) && col("lon").between(20.0, 20.1))
+      .queryExecution.optimizedPlan.toString
+    assert(!p13.contains("ghash13 IN"), p13)
+    // and Geohash.cover itself refuses precision 13
+    intercept[IllegalArgumentException] {
+      Geohash.cover(10.0, 10.1, 20.0, 20.1, 13)
+    }
+  }
 }

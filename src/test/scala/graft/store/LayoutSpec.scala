@@ -54,6 +54,13 @@ class LayoutSpec extends SparkSpec {
     val back = spark.read.parquet(dir)
     assert(back.count() === 20000L)
     assert(back.agg(sum("id")).head().getLong(0) === 20000L * 20001L / 2)
+    // the swap's working dirs are gone: a crashed run keeps the data
+    // at either dst or dst._compact_old, a finished run leaves neither
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles.exists(f =>
+        f.getName.endsWith("._compact_tmp") ||
+        f.getName.endsWith("._compact_old")),
+      parent.listFiles.map(_.getName).mkString(","))
   }
 
   test("zValue: interleaving is correct and preserves locality") {

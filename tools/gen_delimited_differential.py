@@ -61,7 +61,13 @@ UNMAPPED = ["frobnicator", "x_custom_77", "internal notes"]
 
 VALUES = ["v", "Specimen 12", "  padded  ", "", " ", "a,b", 'say ""hi""',
           "line\nbreak", "12.5", "-81.2", "PreservedSpecimen",
-          "Gen\tTab", "tail ", "Ünïcødé"]
+          "Gen\tTab", "tail ", "Ünïcødé",
+          # Unicode whitespace padding: python str.strip() removes all
+          # of these (NBSP, figure/thin space, ideographic space, file
+          # separator, NEL) while Java's ASCII \s does not — the graft
+          # reader must match python's isspace set exactly
+          "\xa0nbsp-pad\xa0", " fig thin ", "　wide　",
+          "\x1cfs-nel\x85", "\xa0", " line-sep "]
 
 
 def quote_field(v, d, q):
