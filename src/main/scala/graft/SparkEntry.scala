@@ -106,6 +106,7 @@ object SparkEntry {
     "q_dedup_keep_best" -> (LlmQueries.qDedupKeepBest _),
     "q_ann_ivf" -> (LlmQueries.qAnnIvf _),
     "q_ann_ivf_probe" -> (LlmQueries.qAnnIvfProbe _),
+    "q_ann_ivf_trained" -> (LlmQueries.qAnnIvfTrained _),
     "q_kmeans" -> (LlmQueries.qKmeans _),
     "q_dedup_embed" -> (LlmQueries.qDedupEmbed _),
     "q_semdedup" -> (LlmQueries.qSemdedup _),
@@ -225,6 +226,7 @@ object SparkEntry {
     "q_dedup_keep_best" -> LlmQueries.qDedupKeepBestSql,
     "q_ann_ivf" -> LlmQueries.qAnnIvfSql,
     "q_ann_ivf_probe" -> LlmQueries.qAnnIvfProbeSql,
+    "q_ann_ivf_trained" -> LlmQueries.qAnnIvfTrainedSql,
     "q_dedup_embed" -> LlmQueries.qDedupEmbedSql,
     "q_semdedup" -> LlmQueries.qSemdedupSql,
     "q_dedup_simhash" -> LlmQueries.qDedupSimhashSql,

@@ -348,10 +348,21 @@ object Similarity {
     * window over the (tiny, broadcast) query × centroid table only —
     * the corpus-side plan is identical to nprobe=1 at any scale. */
   def ivfTopKProbed(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroidMod: Int, nprobe: Int): DataFrame = {
-    val centroids = corpus.toDF("cid", "c").where(col("cid") % centroidMod === 0)
-    val c = ivfAssign(corpus, centroids).toDF("nid", "e", "cell")
-    val cents = centroids.withColumn("cc", dot(col("c"), col("c")))
+      centroidMod: Int, nprobe: Int): DataFrame =
+    ivfTopKWith(corpus, queries, k,
+      corpus.toDF("cid", "c").where(col("cid") % centroidMod === 0), nprobe)
+
+  /** IVF top-k against an EXPLICIT centroid table — the production
+    * shape: [[kmeansCentroids]] (or any offline-trained quantizer)
+    * plugs in here, closing the build→search loop the sampled-centroid
+    * variants stand in for. The plan is identical to [[ivfTopKProbed]]
+    * — the quantizer only changes the (tiny, broadcast) centroid
+    * table, never the corpus-side plan. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: DataFrame, nprobe: Int = 1): DataFrame = {
+    val cents0 = centroids.toDF("cid", "c")
+    val c = ivfAssign(corpus, cents0).toDF("nid", "e", "cell")
+    val cents = cents0.withColumn("cc", dot(col("c"), col("c")))
     val qScored = queries.toDF("qid", "qv")
       .join(broadcast(cents))
       .select(col("qid"), col("qv"), col("cid"),

@@ -1115,8 +1115,12 @@ object LlmQueries {
       .orderBy(col("cid"), col("pos"))
   }
 
-  val qKmeansSql: String =
-    s"""WITH v AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings),
+  /** The two-sweep Lloyd training chain shared by qKmeansSql (which
+    * emits the centroids) and qAnnIvfTrainedSql (which searches with
+    * them) — one definition so the replayed quantizer can never drift
+    * from the gated training query. */
+  private val KmeansTrainCtes: String =
+    s"""v AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings),
        |c0 AS (SELECT vid AS cid, e AS c FROM v WHERE vid % $CentroidMod = 0),
        |s1 AS (SELECT v.vid, v.e, c0.cid,
        |         list_inner_product(c, c) - 2.0 * list_inner_product(e, c) AS score
@@ -1139,10 +1143,51 @@ object LlmQueries {
        |       FROM a2, range(0, $Dim) t(pos) GROUP BY cell, pos),
        |mc2 AS (SELECT cell AS cid, list(m ORDER BY pos) AS c FROM m2 GROUP BY cell),
        |c2 AS (SELECT c1.cid, coalesce(mc2.c, c1.c) AS c
-       |       FROM c1 LEFT JOIN mc2 ON c1.cid = mc2.cid)
+       |       FROM c1 LEFT JOIN mc2 ON c1.cid = mc2.cid)""".stripMargin
+
+  val qKmeansSql: String =
+    s"""WITH $KmeansTrainCtes
        |SELECT cid, CAST(pos AS INT) AS pos, round(c[pos + 1], 6) AS m
        |FROM c2, range(0, $Dim) t(pos)
        |ORDER BY cid, pos""".stripMargin
+
+  /** IVF search against the TRAINED quantizer — the build→search loop
+    * closed: [[qKmeans]]'s two-sweep Lloyd centroids (not a corpus
+    * sample) assign both corpus and probes, then each probe searches
+    * its inverted list. Centroids are rounded to 6 decimals on BOTH
+    * engines before any scoring, so the quantizer the oracle replays
+    * is bit-identical (the round-6 emit of q_kmeans, moved before the
+    * search instead of after) and every downstream dot product folds
+    * sequentially — the q_ann_ivf determinism argument, unchanged. */
+  def qAnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.kmeansCentroids(corpus,
+        initMod = CentroidMod, iters = 2)
+      .select(col("cid"), transform(col("c"), x => round(x, 6)).as("c"))
+    Similarity.ivfTopKWith(corpus, queriesDf(s, dir), k = 3, cents)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qAnnIvfTrainedSql: String =
+    s"""WITH $KmeansTrainCtes,
+       |cr AS (SELECT cid, list(round(c[pos + 1], 6) ORDER BY pos) AS c
+       |       FROM c2, range(0, $Dim) t(pos) GROUP BY cid),
+       |st AS (SELECT v.vid, v.e, cr.cid,
+       |         list_inner_product(c, c) - 2.0 * list_inner_product(e, c) AS score
+       |       FROM v, cr),
+       |at AS (SELECT vid, e, cid AS cell FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vid ORDER BY score, cid) AS rn
+       |         FROM st) WHERE rn = 1),
+       |q AS (SELECT vid AS qid, e AS qv, cell FROM at WHERE vid < 10),
+       |s AS (SELECT qid, a.vid AS nid,
+       |        list_inner_product(qv, a.e) /
+       |        (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(a.e, a.e))) AS sim
+       |      FROM q JOIN at a USING (cell) WHERE a.vid != qid),
+       |r AS (SELECT qid, nid,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+       |      FROM s)
+       |SELECT qid, nid, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   /** LSH-bucketed top-3: each probe searches only its sign-pattern
     * bucket (the 100 TB path — bucket equi-join instead of crossJoin).
