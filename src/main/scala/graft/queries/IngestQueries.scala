@@ -224,4 +224,52 @@ object IngestQueries {
     s"""WITH actions AS (${StreamQueries.qResumeActionsSql})
        |SELECT action, COUNT(*) AS n FROM actions
        |GROUP BY action ORDER BY action""".stripMargin
+
+  /** JSON-lines round trip through the driver gate: the documents
+    * table is dumped via [[graft.ingest.JsonLines.write]] (one
+    * {"id", "data"} object per line — the reference API's record dump
+    * format), read back via [[graft.ingest.JsonLines.read]], and
+    * reduced to per-source fidelity aggregates (row count, id sum,
+    * char sum, an md5-derived content checksum of every text, and the
+    * parse-flag count). The oracle computes the same aggregates
+    * straight from the parquet, so any loss, mangling, duplication or
+    * parse flag anywhere in dump→parse round trip goes gate-red.
+    * Scale: the dump and the re-read are both line-parallel scans
+    * (to_json/from_json are codegen expressions); the aggregate is the
+    * only exchange, moving 20 reduced rows. */
+  def qJsonl(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      .resolve("docs").toString
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id").cast("string").as("id"),
+      map(lit("source"), col("source"),
+          lit("n_chars"), col("n_chars").cast("string"),
+          lit("text"), col("text")).as("data"))
+    graft.ingest.JsonLines.write(docs, "id", "data", tmp)
+    graft.ingest.JsonLines.read(s, tmp)
+      .select(
+        col("data")("source").as("source"),
+        col("id").cast("long").as("idv"),
+        col("data")("n_chars").cast("long").as("nc"),
+        col("data")("text").as("text"),
+        size(col("flags")).as("nflags"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("idv")).as("idsum"),
+        sum(col("nc")).as("chars"),
+        sum(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+            % 1000000007L)
+          .as("checksum"),
+        sum(col("nflags")).as("bad"))
+      .orderBy(col("source"))
+  }
+
+  val qJsonlSql: String =
+    """SELECT source, count(*) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS idsum,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  CAST(sum(try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT)
+      |    % 1000000007) AS BIGINT) AS checksum,
+      |  CAST(0 AS BIGINT) AS bad
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
 }
