@@ -89,6 +89,7 @@ object SparkEntry {
     "q_dsl_geo_distance"   -> (DslQueries.qDslGeoDistance _),
     "q_dsl_geo_bbox"       -> (DslQueries.qDslGeoBbox _),
     "q_zorder"             -> (DslQueries.qZorder _),
+    "q_geohash_prune"      -> (DslQueries.qGeohashPrune _),
     "q_dsl_geo_polygon"    -> (DslQueries.qDslGeoPolygon _),
     "q_dsl_geo_shape"      -> (DslQueries.qDslGeoShape _),
     "q_fulltext_rank"      -> (DslQueries.qFulltextRank _),
@@ -211,6 +212,7 @@ object SparkEntry {
     "q_dsl_geo_distance"   -> DslQueries.qDslGeoDistanceSql,
     "q_dsl_geo_bbox"       -> DslQueries.qDslGeoBboxSql,
     "q_zorder"             -> DslQueries.qZorderSql,
+    "q_geohash_prune"      -> DslQueries.qGeohashPruneSql,
     "q_dsl_geo_polygon"    -> DslQueries.qDslGeoPolygonSql,
     "q_dsl_geo_shape"      -> DslQueries.qDslGeoShapeSql,
     "q_fulltext_rank"      -> DslQueries.qFulltextRankSql,

@@ -60,6 +60,47 @@ object DslQueries {
        |FROM q ORDER BY z, s_suppkey""".stripMargin
   }
 
+  /** The GeohashPruning optimizer rule under the driver gate, end to
+    * end over a REAL partitioned lake: an events-derived geopoint set
+    * is written `.partitionBy("ghash1")` (the
+    * [[graft.plans.GeohashPruning]] naming contract), read back, and
+    * bbox-filtered — the rule conjoins the covering-cell IN and the
+    * scan prunes to the box's partitions (the plan-shape/partition-
+    * count assertions live in GeohashPruningSpec; this row gates that
+    * the pruned read returns EXACTLY the unpruned answer). Aggregates
+    * are integer-only (count, id sum, quantized-coordinate sum) so
+    * cross-engine float summation order can't wobble the hash. */
+  def qGeohashPrune(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ghlake")
+      .resolve("lake").toString
+    Tables.events(s, dir).select(
+        col("event_id"),
+        ((col("event_id") * 7919 % 18000) / 100.0 - 90.0).as("lat"),
+        ((col("event_id") * 104729 % 36000) / 100.0 - 180.0).as("lon"))
+      .withColumn("ghash1",
+        graft.functions.Geohash.geohash(col("lat"), col("lon"), 1))
+      .repartition(col("ghash1"))   // one file per cell, not one per task
+      .write.mode("overwrite").partitionBy("ghash1").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("lat").between(10.0, 25.0) && col("lon").between(20.0, 40.0))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("idsum"),
+        sum(floor(col("lat") * 100.0).cast("long") +
+            floor(col("lon") * 100.0).cast("long")).as("cellsum"))
+  }
+
+  val qGeohashPruneSql: String =
+    """WITH g AS (SELECT event_id,
+      |  (event_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+      |  (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+      |  FROM events)
+      |SELECT count(*) AS n,
+      |  CAST(sum(event_id) AS BIGINT) AS idsum,
+      |  CAST(sum(CAST(floor(lat * 100.0) AS BIGINT)
+      |         + CAST(floor(lon * 100.0) AS BIGINT)) AS BIGINT) AS cellsum
+      |FROM g
+      |WHERE lat BETWEEN 10.0 AND 25.0 AND lon BETWEEN 20.0 AND 40.0""".stripMargin
+
   // --- scalar predicates ------------------------------------------------
 
   /** term: scalar string, lowercased on both sides (query_shim.py:93-105). */
