@@ -133,10 +133,15 @@ object ScaleStress {
       // round 11: the remaining r10 newcomers' scale claims — two-level
       // bucket rank (shuffle_order), per-shard cumsum + broadcast base
       // offsets (pack_chunks_sharded), broadcast-dim explode (remix) —
-      // plus q_kmeans, whose per-sweep cost is one broadcast + one scan
-      // + a (cell × dim) reduced exchange
+      // plus k-means, whose per-sweep cost is one broadcast + one scan
+      // + a (cell × dim) reduced exchange. Round 12: stressed as the
+      // FIXED-K variant (init sampled from copy-0 ids only) — the
+      // gated q_kmeans samples centroids across the whole scaled id
+      // space, so its per-sweep work grows ~(copies × data) ≈ N²-
+      // linear and the r11 reading of ~11 measured centroids×data,
+      // not the operator's data scaling
       "q_shuffle_order", "q_pack_chunks_sharded", "q_remix_weights",
-      "q_kmeans",
+      "q_kmeans_fixedk",
       // round 11: the bigram-LM score's cost model is two vocab-bounded
       // count aggregations + key-aligned joins; the per-copy word
       // suffix multiplies the vocabulary by the copy count, making this
@@ -165,17 +170,32 @@ object ScaleStress {
       // (36 images / unscaled supplier) — constant work by design,
       // nothing to stress
       "q_decontaminate_apply")
+    // stress-only closures that are NOT driver-gated queries: the
+    // fixed-k k-means samples its init from copy-0's id band so k is
+    // identical at 1x and Nx (see the stressed-list note above)
+    val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "q_kmeans_fixedk" -> ((s: SparkSession, d: String) => {
+        val corpus = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        graft.operators.Similarity.kmeansFrom(corpus,
+          corpus.where(col("vec_id") < 625000L && col("vec_id") % 29 === 0),
+          iters = 2)
+          .select(col("cid"), posexplode(col("c")))
+      }))
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
+      extra.getOrElse(name, SparkEntry.queries(name))(spark, dir)
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // optional 4th arg: comma-separated subset for cheap iteration
+    val subset: Seq[String] =
+      if (args.length > 3) args(3).split(",").toSeq else stressed
     // 1x pass first: it doubles as JIT warm-up so the Nx pass is not
     // charged the compilation cost the 1x pass already paid
-    val base = stressed.map(q => q -> time(src, q)).toMap
-    val scaled = stressed.map(q => q -> time(out, q)).toMap
-    stressed.foreach { q =>
+    val base = subset.map(q => q -> time(src, q)).toMap
+    val scaled = subset.map(q => q -> time(out, q)).toMap
+    subset.foreach { q =>
       println(f"[scale] $q%-20s 1x=${base(q)}%6.2fs ${copies}x=${scaled(q)}%7.2fs " +
         f"ratio=${scaled(q) / base(q)}%5.2f (linear=$copies.0)")
     }

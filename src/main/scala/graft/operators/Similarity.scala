@@ -238,8 +238,16 @@ object Similarity {
     * residue stays at the one pinned centroid table the caller
     * receives — k × dim doubles — regardless of `iters` (LlmOpsSpec
     * pins plan depth and residue at iters=10). */
-  def kmeansCentroids(corpus: DataFrame, initMod: Int, iters: Int): DataFrame = {
-    var cents = corpus.toDF("cid", "c").where(col("cid") % initMod === 0)
+  def kmeansCentroids(corpus: DataFrame, initMod: Int, iters: Int): DataFrame =
+    kmeansFrom(corpus,
+      corpus.toDF("cid", "c").where(col("cid") % initMod === 0), iters)
+
+  /** Lloyd sweeps from an EXPLICIT (cid, vector) init table — the
+    * entry point when k must not track the corpus id space (e.g.
+    * ScaleStress holds k fixed across 1×/N× so the ratio measures
+    * data scaling, not centroids×data). */
+  def kmeansFrom(corpus: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    var cents = init.toDF("cid", "c")
       .select(col("cid"), col("c").cast("array<double>").as("c"))
     var pinned: Option[org.apache.spark.rdd.RDD[_]] = None
     (1 to iters).foreach { _ =>
