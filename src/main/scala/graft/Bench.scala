@@ -149,8 +149,14 @@ object Bench {
 
     // per-query (elapsed, succeeded): a failed run keeps its elapsed in
     // the per-query table (the driver should see the cost) but must
-    // never be turned into a throughput
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+    // never be turned into a throughput. A third parallel-canary sample
+    // fires at the halfway mark: BENCH_r11 showed contention arriving in
+    // the run's final third, which a start/end pair can only bracket —
+    // start/mid/end localizes WHICH third of the run a window hit.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+    var parCanaryMid = 0.0
+    val results = names.zipWithIndex.map { case (name, i) =>
+      if (i == names.size / 2) parCanaryMid = parallelCanaryMs(spark)
       val t0 = System.nanoTime()
       val ok = try { run(name); true } catch { case _: Throwable => false }
       name -> ((System.nanoTime() - t0) / 1e9, ok)
@@ -196,7 +202,7 @@ object Bench {
       .getOrElse(0.0)
     val parCanaryEnd = parallelCanaryMs(spark)
     val canaryEnd = canaryMs()
-    val canaries = f""""canary_ms_start":$canaryStart%.0f,"canary_ms_end":$canaryEnd%.0f,"par_canary_ms_start":$parCanaryStart%.0f,"par_canary_ms_end":$parCanaryEnd%.0f"""
+    val canaries = f""""canary_ms_start":$canaryStart%.0f,"canary_ms_end":$canaryEnd%.0f,"par_canary_ms_start":$parCanaryStart%.0f,"par_canary_ms_mid":$parCanaryMid%.0f,"par_canary_ms_end":$parCanaryEnd%.0f"""
     val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","enrich_rec_s_core":$enrichWarm%.0f,"enrich_rec_s_core_cold":$enrichCold%.0f,"enrich_cores":$effCores%.0f,$canaries,"retries":$retryJson,"sf":"$sfDir"}"""
     // Compact summary line FIRST **and** LAST, long per-query line in the
     // middle: the driver captures the TAIL of stdout, and round 10 proved
