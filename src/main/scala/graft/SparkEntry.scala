@@ -137,6 +137,7 @@ object SparkEntry {
     "q_ann_topk"      -> (LlmQueries.qAnnTopk _),
     "q_ann_lsh"       -> (LlmQueries.qAnnLsh _),
     "q_ann_quantized" -> (LlmQueries.qAnnQuantized _),
+    "q_ann_pq_trained" -> (LlmQueries.qAnnPqTrained _),
     "q_ann_pq"        -> (LlmQueries.qAnnPq _),
     // grabAll enrichment pipeline (SURVEY §2.8)
     "q_enrich"        -> (EtlQueries.qEnrich _),
@@ -260,6 +261,7 @@ object SparkEntry {
     "q_ann_lsh"       -> LlmQueries.qAnnLshSql,
     "q_ann_quantized" -> LlmQueries.qAnnQuantizedSql,
     "q_ann_pq"        -> LlmQueries.qAnnPqSql,
+    "q_ann_pq_trained" -> LlmQueries.qAnnPqTrainedSql,
     "q_enrich"        -> EtlQueries.qEnrichSql,
     "q_geo_correct"   -> EtlQueries.qGeoCorrectSql,
     "q_sci_authors"   -> EtlQueries.qSciAuthorsSql,

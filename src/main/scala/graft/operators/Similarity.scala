@@ -323,20 +323,35 @@ object Similarity {
     * no shuffle of the corpus anywhere. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, kNeighbors: Int,
       codebookMod: Int, m: Int = 8, numCodes: Int = 16): DataFrame = {
-    import graft.functions.NativeMath.{pqAdc, pqDistTable, pqEncode}
-    val c0 = corpus.toDF("nid", "e")
-    val donors = c0.where(col("nid") % codebookMod === 0)
-      .orderBy(col("nid")).limit(numCodes)
-      .select(col("e").cast("array<double>")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(donors.length == numCodes,
-      s"codebook needs $numCodes donors, got ${donors.length}")
+    val donors = pqDonors(corpus, codebookMod, numCodes)
     val dim = donors.head.length
     val sub = dim / m
     // flattened [subspace][code][dim] layout shared by all three kernels
     val flat = new Array[Double](m * numCodes * sub)
     for (i <- 0 until m; kk <- 0 until numCodes; j <- 0 until sub)
       flat((i * numCodes + kk) * sub + j) = donors(kk)(i * sub + j)
+    pqSearch(corpus, queries, kNeighbors, flat, m, numCodes, sub)
+  }
+
+  private def pqDonors(corpus: DataFrame, codebookMod: Int,
+      numCodes: Int): Array[Array[Double]] = {
+    val donors = corpus.toDF("nid", "e")
+      .where(col("nid") % codebookMod === 0)
+      .orderBy(col("nid")).limit(numCodes)
+      .select(col("e").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(donors.length == numCodes,
+      s"codebook needs $numCodes donors, got ${donors.length}")
+    donors
+  }
+
+  /** ADC search against an already-built flat codebook — the shared
+    * back half of the sampled and trained PQ variants. */
+  private def pqSearch(corpus: DataFrame, queries: DataFrame,
+      kNeighbors: Int, flat: Array[Double], m: Int, numCodes: Int,
+      sub: Int): DataFrame = {
+    import graft.functions.NativeMath.{pqAdc, pqDistTable, pqEncode}
+    val c0 = corpus.toDF("nid", "e")
     val cb = lit(flat)
     val codes = c0.select(col("nid"),
       pqEncode(col("e"), cb, m, numCodes).as("code"))
@@ -346,6 +361,60 @@ object Similarity {
       .select(col("qid"), col("nid"),
         negate(pqAdc(col("code"), col("t"), numCodes)).as("sim"))
     rankTopK(joined, kNeighbors)
+  }
+
+  /** PQ with a TRAINED codebook: one joint Lloyd sweep refines the
+    * sampled donors — all m subspaces train in a single distributed
+    * pass using a composite (subspace, code) cell key, so the plan is
+    * one slice-explode scan + one broadcast join + one partial-
+    * aggregable mean, not m separate k-means jobs. The refined
+    * codebook (m × numCodes × sub doubles — ~1k values, a bounded
+    * constant like the sampled one) is rounded to 6 decimals so an
+    * oracle replaying the same sweep sees bit-identical codes, then
+    * drops into the unchanged ADC search. */
+  def pqTrainedTopK(corpus: DataFrame, queries: DataFrame,
+      kNeighbors: Int, codebookMod: Int, m: Int = 8,
+      numCodes: Int = 16): DataFrame = {
+    val donors = pqDonors(corpus, codebookMod, numCodes)
+    val dim = donors.head.length
+    val sub = dim / m
+    val c0 = corpus.toDF("nid", "e")
+    // (nid, subspace i, 8-dim slice) — posexplode's `pos` IS the
+    // subspace index because the array below lists slices in order
+    val slices = c0.select(col("nid"),
+        posexplode(array((0 until m).map(i =>
+          slice(col("e").cast("array<double>"), i * sub + 1, sub)): _*)))
+      .toDF("nid", "i", "x")
+    val initRows = for (i <- 0 until m; kk <- 0 until numCodes)
+      yield (i, kk, donors(kk).slice(i * sub, (i + 1) * sub).toSeq)
+    val init = corpus.sparkSession.createDataFrame(initRows)
+      .toDF("i", "k", "c")
+    val scored = slices.join(broadcast(init), Seq("i"))
+      .select(col("nid"), col("i"), col("k"), col("x"),
+        (dot(col("c"), col("c")) - lit(2.0) * dot(col("x"), col("c")))
+          .as("score"))
+    // same (score, code) argmin tie order as ivfAssign / the oracle
+    val assigned = scored.groupBy(col("nid"), col("i"))
+      .agg(min_by(struct(col("k"), col("x")),
+        struct(col("score"), col("k"))).as("a"))
+      .select(col("i"), col("a.k").as("k"), col("a.x").as("x"))
+    val means = assigned.select(col("i"), col("k"), posexplode(col("x")))
+      .groupBy(col("i"), col("k"), col("pos"))
+      .agg(avg(col("col")).as("mv"))
+      .collect()  // ≤ m·numCodes·sub rows — the bounded codebook itself
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // empty cells keep their donor slice (standard Lloyd practice);
+    // EVERY entry is then rounded so both engines search identical codes
+    val trained = Array.tabulate(m, numCodes, sub)((i, kk, j) =>
+      donors(kk)(i * sub + j))
+    means.foreach { r =>
+      trained(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+    }
+    val flat = new Array[Double](m * numCodes * sub)
+    for (i <- 0 until m; kk <- 0 until numCodes; j <- 0 until sub)
+      flat((i * numCodes + kk) * sub + j) = r6(trained(i)(kk)(j))
+    pqSearch(corpus, queries, kNeighbors, flat, m, numCodes, sub)
   }
 
   /** IVF top-k with multi-cell probing — the recall knob: each query

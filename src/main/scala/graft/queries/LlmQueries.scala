@@ -1252,6 +1252,57 @@ object LlmQueries {
       |      FROM score)
       |SELECT qid, nid, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** PQ with a TRAINED codebook — one joint Lloyd sweep refines the
+    * sampled donors across all 8 subspaces in a single distributed
+    * pass (composite (subspace, code) cell key), the refined codebook
+    * is rounded to 6 decimals on BOTH engines, and the unchanged ADC
+    * search runs against it. The oracle replays the sweep with the
+    * same |c|²−2x·c argmin and (score, code) tie order, per-dim AVG
+    * (round-6 absorbs cross-engine sum-order wobble — the q_kmeans
+    * argument), empty cells falling back to their donor slice. */
+  def qAnnPqTrained(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTrainedTopK(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        queriesDf(s, dir), kNeighbors = 3, codebookMod = 17)
+      .orderBy(col("qid"), col("rank"))
+
+  val qAnnPqTrainedSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |don AS (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS kk
+      |        FROM v WHERE vec_id % 17 = 0 QUALIFY kk < 16),
+      |cb0 AS (SELECT kk, i, e[i*8+1 : i*8+8] AS c FROM don, range(0, 8) t(i)),
+      |sv AS (SELECT vec_id AS vid, i, e[i*8+1 : i*8+8] AS x
+      |       FROM v, range(0, 8) t(i)),
+      |s0 AS (SELECT sv.vid, sv.i, cb0.kk, sv.x,
+      |         list_inner_product(c, c) - 2.0 * list_inner_product(x, c) AS s
+      |       FROM sv JOIN cb0 USING (i)),
+      |a0 AS (SELECT vid, i, kk, x FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY vid, i ORDER BY s, kk) AS rn
+      |         FROM s0) WHERE rn = 1),
+      |mm AS (SELECT i, kk, pos, avg(x[pos + 1]) AS mv
+      |       FROM a0, range(0, 8) t2(pos) GROUP BY i, kk, pos),
+      |mc AS (SELECT i, kk, list(mv ORDER BY pos) AS c FROM mm GROUP BY i, kk),
+      |cbt AS (SELECT cb0.kk, cb0.i,
+      |          list_transform(coalesce(mc.c, cb0.c), z -> round(z, 6)) AS c
+      |        FROM cb0 LEFT JOIN mc ON cb0.i = mc.i AND cb0.kk = mc.kk),
+      |cbs AS (SELECT kk, i, c, list_inner_product(c, c) AS cc FROM cbt),
+      |sc AS (SELECT v.vec_id AS vid, i, kk,
+      |         cc - 2.0 * list_inner_product(e[i*8+1 : i*8+8], c) AS s
+      |       FROM v, cbs),
+      |enc AS (SELECT vid, i, kk AS code FROM (
+      |          SELECT *, row_number() OVER (PARTITION BY vid, i ORDER BY s, kk) AS rn
+      |          FROM sc) WHERE rn = 1),
+      |term AS (SELECT q.vid AS qid, enc.vid AS nid, enc.i, q.s AS t
+      |         FROM enc JOIN sc q ON q.i = enc.i AND q.kk = enc.code
+      |         WHERE q.vid < 10 AND enc.vid != q.vid),
+      |lt AS (SELECT qid, nid, list(t ORDER BY i) AS l FROM term GROUP BY qid, nid),
+      |score AS (SELECT qid, nid,
+      |            l[1]+l[2]+l[3]+l[4]+l[5]+l[6]+l[7]+l[8] AS s FROM lt),
+      |r AS (SELECT qid, nid,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY s, nid) AS INT) AS rank
+      |      FROM score)
+      |SELECT qid, nid, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   /** Int8-quantized top-5 — the ANN memory-bandwidth path: per-vector
     * symmetric quantization (scale = max|e|/127, q = floor(e/s + 0.5)),
     * quantized-cosine ranking. Every dot product is an exact integer,
