@@ -169,7 +169,16 @@ object ScaleStress {
       // anti-join. q_media_phash and q_fuzzy_join are fixture-bound
       // (36 images / unscaled supplier) — constant work by design,
       // nothing to stress
-      "q_decontaminate_apply")
+      "q_decontaminate_apply",
+      // round 12: trained-PQ (fixed 8×16 codebook — training is one
+      // sweep whose pair work is corpus × 128 codes, linear in data),
+      // the JSON-lines round trip (dump + parse + agg, all scans), and
+      // the geohash-pruned lake (partitioned write + pruned read).
+      // q_ann_ivf_trained is intentionally NOT stressed: its training
+      // half is the corpus-proportional-k kmeans whose scaling is
+      // measured honestly by q_kmeans_fixedk, and its search half is
+      // the q_ann_ivf shape
+      "q_ann_pq_trained", "q_jsonl", "q_geohash_prune")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)
