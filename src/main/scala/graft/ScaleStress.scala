@@ -178,7 +178,11 @@ object ScaleStress {
       // half is the corpus-proportional-k kmeans whose scaling is
       // measured honestly by q_kmeans_fixedk, and its search half is
       // the q_ann_ivf shape
-      "q_ann_pq_trained", "q_jsonl", "q_geohash_prune")
+      "q_ann_pq_trained", "q_jsonl", "q_geohash_prune",
+      // incremental dedup: delta (1/5 of docs) signs + band-joins the
+      // precomputed base band table; cross-copy pairs are zero by the
+      // word-suffix construction, so pairs scale linearly
+      "q_dedup_incr")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)

@@ -480,6 +480,54 @@ object TextDedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** INCREMENTAL MinHash near-dup: a delta batch against an
+    * already-signed base corpus — the maintenance shape at 100 TB,
+    * where re-signing (let alone re-pairing) the full corpus per
+    * ingest batch is exactly the cost to avoid. Only the DELTA is
+    * shingled and signed; the base contributes its PRECOMPUTED
+    * signature table (built once by the native kernel and stored —
+    * 64 longs/doc; at scale its 16 (band, bucket) rows per doc are a
+    * stored index too, so the base text is touched only for the
+    * candidate docs the verify step semi-joins out). Candidates are
+    * delta×base band collisions (one equi-join of the delta's band
+    * rows against the base band table) plus delta-internal pairs;
+    * base×base pairs are never formed — that work was done when the
+    * base was built. Candidates are then EXACTLY Jaccard-verified
+    * like the batch operator, so precision is 1 and recall is the
+    * same 16×4 band curve. Base and delta ids must be disjoint.
+    * Output: (d1, d2, jaccard), d1 < d2 canonical. */
+  def incrementalNearDups(baseDocs: DataFrame, baseSigs: DataFrame,
+      deltaDocs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val deltaWords = deltaDocs
+      .select(col(idCol), split(col(textCol), " ").as("_w"))
+    val deltaSigs = deltaWords.select(col(idCol),
+        graft.functions.NativeText.minhashSig(col("_w"), shingleSize).as("sig"))
+      .where(size(col("sig")) > 0)
+    val deltaBands = bandBuckets(deltaSigs, idCol)
+    val baseBands = bandBuckets(baseSigs, idCol)
+    val cross = deltaBands.toDF("da", "band", "bucket")
+      .join(baseBands.toDF("db", "band", "bucket"), Seq("band", "bucket"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"))
+    val dd = deltaBands.toDF("d1", "band", "bucket")
+      .join(deltaBands.toDF("d2", "band", "bucket"), Seq("band", "bucket"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+    val cands = cross.union(dd).distinct()
+    val candDocs = cands.select(col("d1").as(idCol))
+      .union(cands.select(col("d2").as(idCol))).distinct()
+    val allWords = baseDocs
+      .select(col(idCol), split(col(textCol), " ").as("_w"))
+      .union(deltaWords)
+    val shCand = allWords.join(candDocs, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        explode(graft.functions.NativeText.shingleHashes(
+          col("_w"), shingleSize)).as("h"))
+    verifyJaccardOnCandidates(shCand, idCol, cands)
+      .where(col("jaccard") >= threshold)
+  }
+
   // --- SimHash ----------------------------------------------------------
 
   val SimBits = 60       // bits of the md5-derived word hash we use

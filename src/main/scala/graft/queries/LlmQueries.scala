@@ -86,6 +86,35 @@ object LlmQueries {
     s"""WITH $minhashPairsCte
        |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin
 
+  /** INCREMENTAL dedup — a delta batch (every 5th doc) deduped against
+    * the already-signed rest of the corpus: only the delta is shingled
+    * and signed, the base contributes its precomputed signature table,
+    * base×base pairs are never formed. The oracle is the SAME
+    * brute-force ground truth as the batch gate restricted to pairs
+    * touching the delta — so the gate proves the incremental path
+    * finds exactly the pairs a full re-run would have found for this
+    * batch (recall argument identical: data near-dups sit at J≈0.97
+    * where the 16×4 band miss probability is ~1e-15). */
+  def qDedupIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    // the "stored" base signature table (at scale: read, not computed)
+    val baseSigs = base.select(col("doc_id"),
+        graft.functions.NativeText.minhashSig(
+          split(col("text"), " "), 3).as("sig"))
+      .where(size(col("sig")) > 0)
+    TextDedup.incrementalNearDups(base, baseSigs, delta,
+        "doc_id", "text", shingleSize = 3, threshold = 0.5)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val qDedupIncrSql: String =
+    s"""WITH $minhashPairsCte
+       |SELECT d1, d2, jaccard FROM pairs
+       |WHERE d1 % 5 = 0 OR d2 % 5 = 0
+       |ORDER BY d1, d2""".stripMargin
+
   /** EXACT n-gram Jaccard near-dup (prefix-filtered AllPairs join,
     * TextDedup.jaccardSelfJoin) at τ = 0.4 — deliberately BELOW the LSH
     * operating point: at low thresholds the 16×4 band curve's recall
