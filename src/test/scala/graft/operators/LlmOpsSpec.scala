@@ -36,6 +36,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("incrementalNearDups == batch pairs restricted to delta-touching " +
+      "pairs; base×base pairs are never emitted") {
+    val base = docs.filter(col("doc_id") =!= 2L)        // 1, 3, 4
+    val delta = docs.filter(col("doc_id") === 2L)       // the near-dup
+    val baseSigs = base.select(col("doc_id"),
+        graft.functions.NativeText.minhashSig(
+          split(col("text"), " "), 3).as("sig"))
+      .where(size(col("sig")) > 0)
+    val incr = TextDedup.incrementalNearDups(base, baseSigs, delta,
+        "doc_id", "text", 3, 0.5)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch over the full corpus finds (1,2),(1,4),(2,4); the delta
+    // batch must find exactly the delta-touching subset — and (1,4),
+    // the base-internal pair, must NOT re-appear
+    assert(incr === Set((1L, 2L), (2L, 4L)))
+  }
+
   test("jaccardSelfJoin finds exactly the true pairs at τ=0.4 over 3-shingles") {
     val pairs = TextDedup.jaccardSelfJoin(docs, "doc_id", "text", 3, 0.4)
       .select("d1", "d2", "jaccard").collect()
