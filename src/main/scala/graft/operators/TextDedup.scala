@@ -498,14 +498,32 @@ object TextDedup {
     * Output: (d1, d2, jaccard), d1 < d2 canonical. */
   def incrementalNearDups(baseDocs: DataFrame, baseSigs: DataFrame,
       deltaDocs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
     val deltaWords = deltaDocs
       .select(col(idCol), split(col(textCol), " ").as("_w"))
     val deltaSigs = deltaWords.select(col(idCol),
         graft.functions.NativeText.minhashSig(col("_w"), shingleSize).as("sig"))
       .where(size(col("sig")) > 0)
-    val deltaBands = bandBuckets(deltaSigs, idCol)
-    val baseBands = bandBuckets(baseSigs, idCol)
+    val deltaBands0 = bandBuckets(deltaSigs, idCol)
+    val baseBands0 = bandBuckets(baseSigs, idCol)
+    // the batch path's hot-bucket guard, incremental form: bucket
+    // population is base+delta COMBINED (a boilerplate bucket is hot
+    // regardless of which side its members arrived on); the hot set is
+    // tiny, so both prunes are broadcast anti-joins. At scale the base
+    // band counts are a stored aggregate maintained with the band
+    // table — recomputing them here from baseSigs is the test-harness
+    // stand-in, not the cost model.
+    val hot = deltaBands0.unionByName(baseBands0)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    // the USING join moves the join columns first — re-select into the
+    // (id, band, bucket) order the positional toDF renames below assume
+    val deltaBands = deltaBands0.join(hot, Seq("band", "bucket"), "left_anti")
+      .select(col(idCol), col("band"), col("bucket"))
+    val baseBands = baseBands0.join(hot, Seq("band", "bucket"), "left_anti")
+      .select(col(idCol), col("band"), col("bucket"))
     val cross = deltaBands.toDF("da", "band", "bucket")
       .join(baseBands.toDF("db", "band", "bucket"), Seq("band", "bucket"))
       .select(least(col("da"), col("db")).as("d1"),

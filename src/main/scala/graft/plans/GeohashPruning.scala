@@ -61,7 +61,7 @@ object GeohashPruning extends Rule[LogicalPlan] {
         val ghash = child.output.collectFirst {
           case a if a.dataType == StringType &&
             GhashName.findFirstMatchIn(a.name)
-              .exists(_.group(1).toInt <= 12) => a
+              .exists(m => { val p = m.group(1).toInt; p >= 1 && p <= 12 }) => a
         }
         ghash match {
           case Some(g) if !cond.references.contains(g) =>

@@ -71,8 +71,11 @@ object DslQueries {
     * are integer-only (count, id sum, quantized-coordinate sum) so
     * cross-engine float summation order can't wobble the hash. */
   def qGeohashPrune(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ghlake")
-      .resolve("lake").toString
+    // FIXED per-(jvm,sf) path, overwritten each call: a fresh temp dir
+    // per invocation would leak one lake copy per Verify/Bench/stress
+    // run until the host fills
+    val tmp = sys.props("java.io.tmpdir") +
+      s"/graft_ghlake_${Integer.toHexString(dir.hashCode)}/lake"
     Tables.events(s, dir).select(
         col("event_id"),
         ((col("event_id") * 7919 % 18000) / 100.0 - 90.0).as("lat"),

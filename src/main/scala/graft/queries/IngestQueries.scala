@@ -238,8 +238,10 @@ object IngestQueries {
     * (to_json/from_json are codegen expressions); the aggregate is the
     * only exchange, moving 20 reduced rows. */
   def qJsonl(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
-      .resolve("docs").toString
+    // FIXED per-(jvm,sf) path, overwritten each call — a fresh temp
+    // dir per invocation would leak one dump per run (see qGeohashPrune)
+    val tmp = sys.props("java.io.tmpdir") +
+      s"/graft_jsonl_${Integer.toHexString(dir.hashCode)}/docs"
     val docs = Tables.documents(s, dir).select(
       col("doc_id").cast("string").as("id"),
       map(lit("source"), col("source"),

@@ -97,9 +97,11 @@ class GeohashPruningSpec extends SparkSpec {
     def narrowPlan = s.read.parquet(dir)
       .filter(col("lat").between(10.0, 10.1) && col("lon").between(20.0, 20.1))
       .queryExecution.optimizedPlan.toString
-    // disabled per session: no IN injected
+    // disabled per session: no IN injected (attributes render with
+    // expr ids — "ghash4#<id> IN" — so the negative check must use the
+    // same regex as the positive one, not a bare-substring contains)
     s.conf.set(GeohashPruning.EnabledKey, "false")
-    try assert(!narrowPlan.contains("ghash4 IN"), narrowPlan)
+    try assert("ghash4#\\d+ IN".r.findAllIn(narrowPlan).size === 0, narrowPlan)
     finally s.conf.unset(GeohashPruning.EnabledKey)
     // re-enabled default: rewrites again
     assert("ghash4#\\d+ IN".r.findAllIn(narrowPlan).size === 1)
@@ -112,10 +114,20 @@ class GeohashPruningSpec extends SparkSpec {
     val p13 = s.read.parquet(dir13)
       .filter(col("lat").between(10.0, 10.1) && col("lon").between(20.0, 20.1))
       .queryExecution.optimizedPlan.toString
-    assert(!p13.contains("ghash13 IN"), p13)
+    assert("ghash13#\\d+ IN".r.findAllIn(p13).size === 0, p13)
     // and Geohash.cover itself refuses precision 13
     intercept[IllegalArgumentException] {
       Geohash.cover(10.0, 10.1, 20.0, 20.1, 13)
     }
+
+    // ghash0 must be ignored too, NOT crash planning: cover requires
+    // precision >= 1, so the rule's name filter must exclude it
+    val dir0 = java.nio.file.Files.createTempDirectory("ghash0").toString
+    Seq((1L, 10.05, 20.05, "z")).toDF("id", "lat", "lon", "ghash0")
+      .write.mode("overwrite").parquet(dir0)
+    val p0 = s.read.parquet(dir0)
+      .filter(col("lat").between(10.0, 10.1) && col("lon").between(20.0, 20.1))
+      .queryExecution.optimizedPlan.toString  // must not throw
+    assert("ghash0#\\d+ IN".r.findAllIn(p0).size === 0, p0)
   }
 }
