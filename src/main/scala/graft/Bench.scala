@@ -115,7 +115,20 @@ object Bench {
     "q_stats_rollup" -> 0.61, "q_store_view" -> 1.92,
     "q_suffix_match" -> 0.82, "q_terms_agg" -> 0.24,
     "q_text_stats" -> 0.53, "q_topk" -> 0.24, "q_union" -> 0.24,
-    "q_uniquevals" -> 0.23, "q_version_assign" -> 0.64)
+    "q_uniquevals" -> 0.23, "q_version_assign" -> 0.64,
+    // round-12 controlled pair (min of the two runs, idle canaries):
+    "q_ann_ivf_trained" -> 2.83, "q_ann_pq" -> 0.72,
+    "q_ann_pq_trained" -> 1.48, "q_ann_quantized" -> 0.48,
+    "q_asof_join" -> 1.28, "q_bloom_join" -> 0.82,
+    "q_decontaminate_apply" -> 0.75, "q_dedup_contain" -> 4.44,
+    "q_dedup_incr" -> 3.80, "q_dedup_keep_best" -> 3.50,
+    "q_feature_hash" -> 0.48, "q_fuzzy_join" -> 1.57,
+    "q_geohash_prune" -> 1.63, "q_heavy_hitters" -> 0.46,
+    "q_index_search" -> 0.72, "q_inverted_index" -> 1.15,
+    "q_jsonl" -> 0.65, "q_media_audio" -> 0.61, "q_media_phash" -> 0.47,
+    "q_media_video" -> 0.61, "q_quality_trim" -> 0.36,
+    "q_quantile_sketch" -> 0.35, "q_range_join" -> 0.75,
+    "q_terms_nested" -> 0.32, "q_token_budget" -> 0.29, "q_zorder" -> 0.18)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
