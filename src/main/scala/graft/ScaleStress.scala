@@ -182,7 +182,10 @@ object ScaleStress {
       // incremental dedup: delta (1/5 of docs) signs + band-joins the
       // precomputed base band table; cross-copy pairs are zero by the
       // word-suffix construction, so pairs scale linearly
-      "q_dedup_incr")
+      "q_dedup_incr",
+      // embedding twin: delta (clones of every 25th copy-0 vector) vs the
+      // 10x quantized base — left side of the pair join is delta-sized
+      "q_dedup_incr_embed")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)

@@ -99,6 +99,7 @@ object SparkEntry {
     "q_dedup_exact"   -> (LlmQueries.qDedupExact _),
     "q_dedup_minhash" -> (LlmQueries.qDedupMinhash _),
     "q_dedup_incr"    -> (LlmQueries.qDedupIncr _),
+    "q_dedup_incr_embed" -> (LlmQueries.qDedupIncrEmbed _),
     "q_dedup_jaccard" -> (LlmQueries.qDedupJaccard _),
     "q_dedup_contain" -> (LlmQueries.qDedupContain _),
     "q_dedup_passages" -> (LlmQueries.qDedupPassages _),
@@ -223,6 +224,7 @@ object SparkEntry {
     "q_dedup_exact"   -> LlmQueries.qDedupExactSql,
     "q_dedup_minhash" -> LlmQueries.qDedupMinhashSql,
     "q_dedup_incr"    -> LlmQueries.qDedupIncrSql,
+    "q_dedup_incr_embed" -> LlmQueries.qDedupIncrEmbedSql,
     "q_dedup_jaccard" -> LlmQueries.qDedupJaccardSql,
     "q_dedup_contain" -> LlmQueries.qDedupContainSql,
     "q_dedup_passages" -> LlmQueries.qDedupPassagesSql,

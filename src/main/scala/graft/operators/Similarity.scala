@@ -211,6 +211,50 @@ object Similarity {
     graft.operators.Graph.connectedComponents(pairs, "d1", "d2")
   }
 
+  /** INCREMENTAL embedding near-dup: a delta batch against an
+    * already-quantized base — the SemDeDup maintenance shape. The
+    * quantizer is FIXED (the centroid table built when base was
+    * built); base cell assignments are a stored table at scale
+    * (recomputed from the input here as the test-harness stand-in).
+    * The pair join's LEFT side is the delta only, so within-cell
+    * base×base pair work — the dominant cost of a full re-run —
+    * never materializes: per cell the work is |delta_c| × n_c, not
+    * n_c². Delta×delta pairs keep the d1 < d2 canonical form;
+    * delta×base pairs are emitted once via the delta side and
+    * canonicalized with least/greatest. The same >maxCellSize
+    * id-hash split guard as [[semDedupLabels]] bounds a degenerate
+    * cell (computed over base+delta combined, so both sides shard
+    * consistently). Base and delta ids must be disjoint. */
+  def incrementalCosineNearDups(base: DataFrame, delta: DataFrame,
+      centroids: DataFrame, threshold: Double,
+      maxCellSize: Int = MaxCellSize): DataFrame = {
+    val ab = ivfAssign(base, centroids).toDF("vid", "v", "cell")
+      .withColumn("isDelta", lit(false))
+    val ad = ivfAssign(delta, centroids).toDF("vid", "v", "cell")
+      .withColumn("isDelta", lit(true))
+    val sharded = ab.unionByName(ad)
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .withColumn("sub", when(col("_n") <= maxCellSize, lit(0L))
+        .otherwise(pmod(xxhash64(col("vid")),
+          ceil(col("_n") / maxCellSize).cast("long"))))
+      .select(col("vid"), col("v"), col("cell"), col("sub"), col("isDelta"))
+    val a1 = sharded.where(col("isDelta"))
+      .toDF("d1", "e1", "cell", "sub", "_i1")
+      .withColumn("n1", norm(col("e1")))
+    val a2 = sharded.toDF("d2", "e2", "cell", "sub", "isDelta2")
+      .withColumn("n2", norm(col("e2")))
+    a1.join(a2, Seq("cell", "sub"))
+      .where((!col("isDelta2") && col("d1") =!= col("d2")) ||
+             (col("isDelta2") && col("d1") < col("d2")))
+      .where(col("n1") * col("n2") > 0)   // zero-norm NaN guard, as above
+      .select(least(col("d1"), col("d2")).as("da"),
+        greatest(col("d1"), col("d2")).as("db"),
+        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("da").as("d1"), col("db").as("d2"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** IVF top-k: both corpus and probes are quantized to their nearest
     * centroid cell; each probe searches only its own inverted list
     * (cell equi-join — the nprobe=1 scale path; more probe cells would

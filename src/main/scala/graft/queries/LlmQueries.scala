@@ -322,6 +322,40 @@ object LlmQueries {
       |SELECT d1, d2, round(cos, 6) AS cosine FROM p
       |WHERE cos >= 0.9 ORDER BY d1, d2""".stripMargin
 
+  /** INCREMENTAL embedding dedup — the SemDeDup maintenance shape: the
+    * injected-clone batch (every 25th vector, shifted ids) arrives as
+    * the DELTA against the already-quantized original corpus. The
+    * quantizer is fixed from the BASE (its % 29 sample — the table
+    * built when base was built); only delta-side pairs are formed, so
+    * base×base work never re-runs. An exact clone lands in its
+    * original's cell (identical vector → identical argmin), so cell
+    * scoping loses nothing at τ = 0.9 and the brute-force oracle
+    * restricted to delta-touching pairs is a complete ground truth —
+    * the same recall argument as q_dedup_embed. */
+  def qDedupIncrEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val delta = e.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val centroids = e.toDF("cid", "c").where(col("cid") % CentroidMod === 0)
+    Similarity.incrementalCosineNearDups(e, delta, centroids, threshold = 0.9)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val qDedupIncrEmbedSql: String =
+    """WITH all_e AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+      |p AS (
+      |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+      |    list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |    (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |     sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+      |  FROM all_e a JOIN all_e b ON a.vec_id < b.vec_id)
+      |SELECT d1, d2, round(cos, 6) AS cosine FROM p
+      |WHERE cos >= 0.9 AND (d1 >= 100000 OR d2 >= 100000)
+      |ORDER BY d1, d2""".stripMargin
+
   // --- SemDeDup (cluster-scoped semantic dedup) -------------------------
 
   /** SemDeDup (Similarity.semDedupLabels): semantic near-dup removal

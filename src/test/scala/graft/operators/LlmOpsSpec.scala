@@ -54,6 +54,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(incr === Set((1L, 2L), (2L, 4L)))
   }
 
+  test("incrementalCosineNearDups finds delta-touching pairs only; " +
+      "base pairs never re-form; delta-delta emitted once") {
+    val s = spark
+    import s.implicits._
+    val v = Seq(1.0, 0.0, 0.0, 0.0)
+    val w = Seq(0.0, 1.0, 0.0, 0.0)
+    val base = Seq((1L, v), (2L, v), (3L, w)).toDF("id", "e")   // 1≅2 in base
+    val delta = Seq((10L, v), (11L, v)).toDF("id", "e")         // both ≅ 1,2 and each other
+    val cents = Seq((0L, v), (3L, w)).toDF("cid", "c")
+    val got = Similarity.incrementalCosineNearDups(base, delta, cents, 0.9)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2) is base-internal — found when base was built, NOT here;
+    // (10,11) is the delta-internal pair, once, canonical order
+    assert(got === Set((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L), (10L, 11L)))
+  }
+
   test("jaccardSelfJoin finds exactly the true pairs at τ=0.4 over 3-shingles") {
     val pairs = TextDedup.jaccardSelfJoin(docs, "doc_id", "text", 3, 0.4)
       .select("d1", "d2", "jaccard").collect()
