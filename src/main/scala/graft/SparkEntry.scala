@@ -93,6 +93,8 @@ object SparkEntry {
     "q_dsl_geo_polygon"    -> (DslQueries.qDslGeoPolygon _),
     "q_dsl_geo_shape"      -> (DslQueries.qDslGeoShape _),
     "q_fulltext_rank"      -> (DslQueries.qFulltextRank _),
+    "q_index_merge"        -> (DslQueries.qIndexMerge _),
+    "q_bucketed_join"      -> (Relational.qBucketedJoin _),
     "q_inverted_index"     -> (DslQueries.qInvertedIndex _),
     "q_index_search"       -> (DslQueries.qIndexSearch _),
     // LLM-training-data pipeline operators (documents/embeddings)
@@ -219,6 +221,8 @@ object SparkEntry {
     "q_dsl_geo_polygon"    -> DslQueries.qDslGeoPolygonSql,
     "q_dsl_geo_shape"      -> DslQueries.qDslGeoShapeSql,
     "q_fulltext_rank"      -> DslQueries.qFulltextRankSql,
+    "q_index_merge"        -> DslQueries.qIndexMergeSql,
+    "q_bucketed_join"      -> Relational.qBucketedJoinSql,
     "q_inverted_index"     -> DslQueries.qInvertedIndexSql,
     "q_index_search"       -> DslQueries.qFulltextRankSql,
     "q_dedup_exact"   -> LlmQueries.qDedupExactSql,

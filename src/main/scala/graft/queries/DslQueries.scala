@@ -251,6 +251,38 @@ object DslQueries {
       |SELECT p.term, df, doc_id, tf, dl FROM p JOIN d USING (term)
       |ORDER BY term, doc_id""".stripMargin
 
+  /** Incremental segment merge under the driver gate — the
+    * streaming-ingest half of "build once": the corpus is indexed as
+    * two disjoint halves whose segment tables are merged per
+    * (term, shard), exactly as a nightly harvest merges its delta into
+    * the standing index. The merge algebra (SearchSpec) says the
+    * result must equal the whole-corpus index, so the oracle simply
+    * builds that index flat — any drift in concat/re-sort goes
+    * hash-red. Emitted exploded (term, shard, doc_id, tf, dl) so the
+    * gate checks every posting of every segment. */
+  def qIndexMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Search
+    val docs = Tables.documents(s, dir)
+    val half = (m: Int) => Search.invertedSegments(
+      Search.invertedPostings(
+        docs.filter(col("doc_id") % 2 === m), "doc_id", "text"),
+      nShards = 4)
+    Search.mergeSegments(half(0), half(1))
+      .select(col("term"), col("shard"), explode(col("postings")).as("p"))
+      .select(col("term"), col("shard"),
+        col("p.doc_id").as("doc_id"), col("p.tf").as("tf"),
+        col("p.dl").as("dl"))
+      .orderBy(col("term"), col("shard"), col("doc_id"))
+  }
+
+  val qIndexMergeSql: String =
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM w),
+      |p AS (SELECT term, doc_id, MAX(dl) AS dl, COUNT(*) AS tf
+      |      FROM t GROUP BY term, doc_id)
+      |SELECT term, CAST(doc_id % 4 AS INT) AS shard, doc_id, tf, dl FROM p
+      |ORDER BY term, shard, doc_id""".stripMargin
+
   /** BM25 answered FROM the materialized index
     * ([[graft.operators.Search.indexSearch]]) — same terms, same
     * oracle as q_fulltext_rank: the gate pins the "build once, query

@@ -471,4 +471,43 @@ object Relational {
       |EXCEPT
       |SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'
       |ORDER BY user_id""".stripMargin
+
+  /** The bucketed zero-Exchange store join under the driver gate —
+    * SURVEY §1.1's "parquet bucketed by uuid" made an end-to-end
+    * result check: events facts and per-user dims are WRITTEN via
+    * Layout.writeBucketed (same bucket count, same key), joined
+    * through the catalog (the scan itself reports the hash
+    * partitioning, so the planner emits no Exchange — LayoutSpec pins
+    * that plan shape), and reduced to per-type aggregates the oracle
+    * replays from the raw table. Tables land under a fixed
+    * per-(jvm,sf) path with overwrite (the q_jsonl discipline). */
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_buckets_${Integer.toHexString(dir.hashCode)}"
+    val ev = Tables.events(s, dir)
+    graft.store.Layout.writeBucketed(
+      ev.select(col("event_id"), col("user_id"), col("event_type")),
+      "graft_ev_bucketed", s"$base/ev", buckets = 8, key = "user_id")
+    graft.store.Layout.writeBucketed(
+      ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"),
+        max(col("event_id")).as("max_eid")),
+      "graft_user_bucketed", s"$base/us", buckets = 8, key = "user_id")
+    graft.store.Layout.bucketedJoin(s,
+        "graft_ev_bucketed", "graft_user_bucketed", "user_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_events")).as("sum_ne"),
+        sum(col("max_eid")).as("sum_me"))
+      .orderBy(col("event_type"))
+  }
+
+  val qBucketedJoinSql: String =
+    """WITH u AS (SELECT user_id, count(*) AS n_events,
+      |             max(event_id) AS max_eid
+      |           FROM events GROUP BY user_id)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(u.n_events) AS BIGINT) AS sum_ne,
+      |  CAST(sum(u.max_eid) AS BIGINT) AS sum_me
+      |FROM events e JOIN u USING (user_id)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 }
