@@ -163,6 +163,7 @@ object SparkEntry {
     "q_ingest_suspects" -> (IngestQueries.qIngestSuspects _),
     "q_uniquevals"  -> (ExportQueries.qUniquevals _),
     "q_export_csv"  -> (ExportQueries.qExportCsv _),
+    "q_dwca_roundtrip" -> (ExportQueries.qDwcaRoundtrip _),
     "q_jsonl"       -> (IngestQueries.qJsonl _),
     "q_export_dwca" -> (ExportQueries.qExportDwca _),
     "q_citations"   -> (ExportQueries.qCitations _),
@@ -287,6 +288,7 @@ object SparkEntry {
     "q_ingest_suspects" -> IngestQueries.qIngestSuspectsSql,
     "q_uniquevals"  -> ExportQueries.qUniquevalsSql,
     "q_export_csv"  -> ExportQueries.qExportCsvSql,
+    "q_dwca_roundtrip" -> ExportQueries.qDwcaRoundtripSql,
     "q_jsonl"       -> IngestQueries.qJsonlSql,
     "q_export_dwca" -> ExportQueries.qExportDwcaSql,
     "q_citations"   -> ExportQueries.qCitationsSql,

@@ -117,9 +117,21 @@ object Dwca {
   def joinExtension(core: DataFrame, ext: DataFrame): DataFrame =
     ext.join(core, ext("coreid") === core("id"), "left")
 
-  /** Unzip an archive to a temp dir (driver-side, like dwca.py:63-75). */
-  def unzip(zipPath: String): String = {
-    val outDir = java.nio.file.Files.createTempDirectory("dwca").toString
+  /** Unzip an archive (driver-side, like dwca.py:63-75) — to `target`
+    * when given (cleared first; repeat callers reuse one dir instead
+    * of leaking a fresh temp copy per call), else a new temp dir. */
+  def unzip(zipPath: String, target: Option[String] = None): String = {
+    val outDir = target match {
+      case Some(t) =>
+        val p = java.nio.file.Paths.get(t)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.createDirectories(p).toString
+      case None => java.nio.file.Files.createTempDirectory("dwca").toString
+    }
     val zf = new java.util.zip.ZipFile(zipPath)
     try {
       zf.entries().asIterator().forEachRemaining { e =>

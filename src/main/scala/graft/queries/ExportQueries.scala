@@ -91,6 +91,50 @@ object ExportQueries {
       .orderBy(col("location"))
   }
 
+  /** DwC-A ROUND TRIP — the export sink and the archive reader gated
+    * against each other end to end: a core table derived from
+    * `documents` is written as a real zip (meta.xml from
+    * makeMeta/makeFileBlock + CSV member), unzipped, parsed back
+    * through the full Dwca reader (meta.xml parse → CURIE field map →
+    * positional read), and reduced to per-bucket fidelity aggregates
+    * the oracle replays from the raw table — any drift in either the
+    * writer's meta/CSV emission or the reader's parse goes gate-red.
+    * The zip is assembled driver-side from collected ids (the export
+    * sink's documented bounded-export shape); temp paths are fixed
+    * per-(jvm,sf) with overwrite. */
+  def qDwcaRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+      .orderBy(col("doc_id")).collect().map(_.getLong(0))
+    val csv = new StringBuilder("id,occurrenceID,catalogNumber\n")
+    ids.foreach { id => csv.append(s"$id,occ:$id,cat-${id % 13}\n") }
+    val meta = Exports.makeMeta(Seq(Exports.makeFileBlock(
+      "occurrence.csv", Seq("dwc:occurrenceID", "dwc:catalogNumber"),
+      core = true, rowType = Exports.rowTypes("records"))))
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_dwca_${Integer.toHexString(dir.hashCode)}"
+    new java.io.File(base).mkdirs()
+    val zip = s"$base/archive.zip"
+    Exports.writeDwcaZip(zip,
+      Map("meta.xml" -> meta, "occurrence.csv" -> csv.toString))
+    val unzipped = graft.ingest.Dwca.unzip(zip, target = Some(s"$base/x"))
+    val (core, _) = graft.ingest.Dwca.read(s, unzipped)
+    core.select(col("id").cast("long").as("doc_id"),
+        col("`dwc:occurrenceID`").as("occ"))
+      .groupBy((col("doc_id") % 7).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).as("idsum"),
+        sum(conv(substring(md5(col("occ")), 1, 15), 16, 10).cast("long")
+            % 1000000007L).as("checksum"))
+      .orderBy(col("g"))
+  }
+
+  val qDwcaRoundtripSql: String =
+    """SELECT doc_id % 7 AS g, count(*) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS idsum,
+      |  CAST(sum(try_cast('0x' || substr(md5('occ:' || doc_id), 1, 15)
+      |    AS BIGINT) % 1000000007) AS BIGINT) AS checksum
+      |FROM documents GROUP BY g ORDER BY g""".stripMargin
+
   val qExportDwcaSql: String = {
     val coreXml =
       """  <core encoding="utf-8" fieldsTerminatedBy="," linesTerminatedBy="\n" fieldsEnclosedBy="&quot;" ignoreHeaderLines="1" rowType="http://rs.tdwg.org/dwc/terms/Occurrence">
