@@ -107,17 +107,35 @@ object ExportQueries {
       .orderBy(col("doc_id")).collect().map(_.getLong(0))
     val csv = new StringBuilder("id,occurrenceID,catalogNumber\n")
     ids.foreach { id => csv.append(s"$id,occ:$id,cat-${id % 13}\n") }
-    val meta = Exports.makeMeta(Seq(Exports.makeFileBlock(
-      "occurrence.csv", Seq("dwc:occurrenceID", "dwc:catalogNumber"),
-      core = true, rowType = Exports.rowTypes("records"))))
+    // multimedia extension: every 3rd doc carries one media row
+    val ext = new StringBuilder("coreid,accessURI\n")
+    ids.filter(_ % 3 == 0).foreach { id =>
+      ext.append(s"$id,http://media.example/$id.jpg\n")
+    }
+    val meta = Exports.makeMeta(Seq(
+      Exports.makeFileBlock(
+        "occurrence.csv", Seq("dwc:occurrenceID", "dwc:catalogNumber"),
+        core = true, rowType = Exports.rowTypes("records")),
+      Exports.makeFileBlock(
+        "multimedia.csv", Seq("ac:accessURI"),
+        core = false, rowType = Exports.rowTypes("mediarecords"))))
     val base = sys.props("java.io.tmpdir") +
       s"/graft_dwca_${Integer.toHexString(dir.hashCode)}"
     new java.io.File(base).mkdirs()
     val zip = s"$base/archive.zip"
-    Exports.writeDwcaZip(zip,
-      Map("meta.xml" -> meta, "occurrence.csv" -> csv.toString))
+    Exports.writeDwcaZip(zip, Map("meta.xml" -> meta,
+      "occurrence.csv" -> csv.toString, "multimedia.csv" -> ext.toString))
     val unzipped = graft.ingest.Dwca.unzip(zip, target = Some(s"$base/x"))
-    val (core, _) = graft.ingest.Dwca.read(s, unzipped)
+    val (core, exts) = graft.ingest.Dwca.read(s, unzipped)
+    // extension→core join (Dwca.joinExtension): media rows resolve to
+    // their core occurrence; unmatched would null out and shift sums
+    val media = graft.ingest.Dwca.joinExtension(core, exts("dwc:Multimedia"))
+      .select(col("id").cast("long").as("doc_id"),
+        col("`ac:accessURI`").as("uri"))
+      .groupBy((col("doc_id") % 7).as("g"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(conv(substring(md5(col("uri")), 1, 15), 16, 10).cast("long")
+            % 1000000007L).as("uri_checksum"))
     core.select(col("id").cast("long").as("doc_id"),
         col("`dwc:occurrenceID`").as("occ"))
       .groupBy((col("doc_id") % 7).as("g"))
@@ -125,15 +143,30 @@ object ExportQueries {
         sum(col("doc_id")).as("idsum"),
         sum(conv(substring(md5(col("occ")), 1, 15), 16, 10).cast("long")
             % 1000000007L).as("checksum"))
+      .join(media, Seq("g"), "left")
+      .select(col("g"), col("n"), col("idsum"), col("checksum"),
+        coalesce(col("n_media"), lit(0L)).as("n_media"),
+        coalesce(col("uri_checksum"), lit(0L)).as("uri_checksum"))
       .orderBy(col("g"))
   }
 
   val qDwcaRoundtripSql: String =
-    """SELECT doc_id % 7 AS g, count(*) AS n,
-      |  CAST(sum(doc_id) AS BIGINT) AS idsum,
-      |  CAST(sum(try_cast('0x' || substr(md5('occ:' || doc_id), 1, 15)
-      |    AS BIGINT) % 1000000007) AS BIGINT) AS checksum
-      |FROM documents GROUP BY g ORDER BY g""".stripMargin
+    """WITH m AS (
+      |  SELECT doc_id % 7 AS g, count(*) AS n_media,
+      |    CAST(sum(try_cast('0x' || substr(
+      |      md5('http://media.example/' || doc_id || '.jpg'), 1, 15)
+      |      AS BIGINT) % 1000000007) AS BIGINT) AS uri_checksum
+      |  FROM documents WHERE doc_id % 3 = 0 GROUP BY g),
+      |c AS (
+      |  SELECT doc_id % 7 AS g, count(*) AS n,
+      |    CAST(sum(doc_id) AS BIGINT) AS idsum,
+      |    CAST(sum(try_cast('0x' || substr(md5('occ:' || doc_id), 1, 15)
+      |      AS BIGINT) % 1000000007) AS BIGINT) AS checksum
+      |  FROM documents GROUP BY g)
+      |SELECT c.g, n, idsum, checksum,
+      |  coalesce(m.n_media, 0) AS n_media,
+      |  coalesce(m.uri_checksum, 0) AS uri_checksum
+      |FROM c LEFT JOIN m ON c.g = m.g ORDER BY c.g""".stripMargin
 
   val qExportDwcaSql: String = {
     val coreXml =
