@@ -165,6 +165,7 @@ object SparkEntry {
     "q_export_csv"  -> (ExportQueries.qExportCsv _),
     "q_dwca_roundtrip" -> (ExportQueries.qDwcaRoundtrip _),
     "q_jsonl"       -> (IngestQueries.qJsonl _),
+    "q_eml"         -> (IngestQueries.qEml _),
     "q_export_dwca" -> (ExportQueries.qExportDwca _),
     "q_citations"   -> (ExportQueries.qCitations _),
     // incremental / resume indexing (SURVEY §2.10)
@@ -290,6 +291,7 @@ object SparkEntry {
     "q_export_csv"  -> ExportQueries.qExportCsvSql,
     "q_dwca_roundtrip" -> ExportQueries.qDwcaRoundtripSql,
     "q_jsonl"       -> IngestQueries.qJsonlSql,
+    "q_eml"         -> IngestQueries.qEmlSql,
     "q_export_dwca" -> ExportQueries.qExportDwcaSql,
     "q_citations"   -> ExportQueries.qCitationsSql,
     "q_incremental"    -> StreamQueries.qIncrementalSql,

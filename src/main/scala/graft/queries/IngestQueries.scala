@@ -266,6 +266,47 @@ object IngestQueries {
       .orderBy(col("source"))
   }
 
+  /** EML parser under the driver gate: one synthesized collection-
+    * metadata document per `source` (title, creator with email,
+    * bare-surname contact, rights, gbif logo URL) is parsed through
+    * [[graft.ingest.Eml.parse]] and re-emitted as columns; the oracle
+    * derives the same values directly, so any field the parser drops,
+    * mangles or mis-scopes (title vs rights vs the nested logo path)
+    * goes gate-red. Parsing is driver-side over ~20 bounded docs —
+    * the recordsets-dimension shape, as in the reference. */
+  def qEml(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sources = Tables.documents(s, dir).select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val rows = sources.toSeq.map { src =>
+      val xml =
+        s"""<eml><dataset>
+           |<title>Collection $src</title>
+           |<creator><individualName><givenName>Ada</givenName><surName>$src</surName></individualName>
+           |<electronicMailAddress>$src@example.org</electronicMailAddress></creator>
+           |<contact><individualName><surName>Curator-$src</surName></individualName></contact>
+           |<intellectualRights>CC-BY $src</intellectualRights>
+           |<additionalMetadata><metadata><gbif><resourceLogoUrl>http://logo.example/$src.png</resourceLogoUrl></gbif></metadata></additionalMetadata>
+           |</dataset></eml>""".stripMargin
+      val m = graft.ingest.Eml.parse(xml)
+      (src, m.collectionName.orNull, m.rights.orNull, m.logoUrl.orNull,
+        m.contacts.size.toLong, m.contacts.flatMap(_.email).headOption.orNull)
+    }
+    rows.toDF("source", "collection_name", "rights", "logo_url",
+        "n_contacts", "first_email")
+      .orderBy(col("source"))
+  }
+
+  val qEmlSql: String =
+    """SELECT source,
+      |  'Collection ' || source AS collection_name,
+      |  'CC-BY ' || source AS rights,
+      |  'http://logo.example/' || source || '.png' AS logo_url,
+      |  CAST(2 AS BIGINT) AS n_contacts,
+      |  source || '@example.org' AS first_email
+      |FROM (SELECT DISTINCT source FROM documents)
+      |ORDER BY source""".stripMargin
+
   val qJsonlSql: String =
     """SELECT source, count(*) AS n,
       |  CAST(sum(doc_id) AS BIGINT) AS idsum,
