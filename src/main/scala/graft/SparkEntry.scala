@@ -166,6 +166,7 @@ object SparkEntry {
     "q_dwca_roundtrip" -> (ExportQueries.qDwcaRoundtrip _),
     "q_jsonl"       -> (IngestQueries.qJsonl _),
     "q_eml"         -> (IngestQueries.qEml _),
+    "q_rss"         -> (IngestQueries.qRss _),
     "q_export_dwca" -> (ExportQueries.qExportDwca _),
     "q_citations"   -> (ExportQueries.qCitations _),
     // incremental / resume indexing (SURVEY §2.10)
@@ -292,6 +293,7 @@ object SparkEntry {
     "q_dwca_roundtrip" -> ExportQueries.qDwcaRoundtripSql,
     "q_jsonl"       -> IngestQueries.qJsonlSql,
     "q_eml"         -> IngestQueries.qEmlSql,
+    "q_rss"         -> IngestQueries.qRssSql,
     "q_export_dwca" -> ExportQueries.qExportDwcaSql,
     "q_citations"   -> ExportQueries.qCitationsSql,
     "q_incremental"    -> StreamQueries.qIncrementalSql,

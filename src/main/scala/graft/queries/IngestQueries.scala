@@ -307,6 +307,63 @@ object IngestQueries {
       |FROM (SELECT DISTINCT source FROM documents)
       |ORDER BY source""".stripMargin
 
+  /** RSS harvester under the driver gate: one synthesized feed with an
+    * item per source — versioned IPT guids (recordId must strip the
+    * /v2.1 suffix and lowercase), alternating eml/emllink tag
+    * variants, rotating pubDates — parsed via Rss.parse, identified
+    * via Rss.recordId, and diffed against a known-recordsets map
+    * (even-indexed sources known at pubDate 2024-01-01). The emitted
+    * (rid, title, eml_link, is_new, is_changed) row set is derived
+    * independently by the oracle, so a parse, id-normalization or
+    * diff regression goes gate-red. Driver-side over ~20 bounded
+    * items — the harvest-loop shape. */
+  def qRss(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sources = Tables.documents(s, dir).select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val items = sources.zipWithIndex.map { case (src, i) =>
+      val emlTag =
+        if (i % 2 == 0) s"<eml>http://eml.example/$src</eml>"
+        else s"<emllink>http://eml.example/$src</emllink>"
+      s"""<item><title>Feed $src</title>
+         |<guid>http://ipt.example/resource?r=$src/v2.1</guid>
+         |$emlTag
+         |<pubDate>2024-01-0${i % 3 + 1}</pubDate></item>""".stripMargin
+    }
+    val feed = s"<rss><channel>${items.mkString("\n")}</channel></rss>"
+    val entries = graft.ingest.Rss.parse(feed)
+    val known: Map[String, String] = sources.zipWithIndex.collect {
+      case (src, i) if i % 2 == 0 =>
+        graft.ingest.Rss.recordId("http://ipt.example/",
+          Some(s"http://ipt.example/resource?r=$src/v2.1")).get -> "2024-01-01"
+    }.toMap
+    val (fresh, changed) = graft.ingest.Rss.diff(
+      entries.map(e => e.copy(
+        id = graft.ingest.Rss.recordId("http://ipt.example/", e.id))),
+      known)
+    val freshIds = fresh.flatMap(_.id).toSet
+    val changedIds = changed.flatMap(_.id).toSet
+    val rows = sources.toSeq.zip(entries).map { case (src, e) =>
+      val rid = graft.ingest.Rss.recordId("http://ipt.example/", e.id).get
+      (src, rid, e.title.orNull, e.emlLink.orNull,
+        freshIds.contains(rid), changedIds.contains(rid))
+    }
+    rows.toDF("source", "rid", "title", "eml_link", "is_new", "is_changed")
+      .orderBy(col("source"))
+  }
+
+  val qRssSql: String =
+    """WITH s AS (SELECT source,
+      |    row_number() OVER (ORDER BY source) - 1 AS i
+      |  FROM (SELECT DISTINCT source FROM documents))
+      |SELECT source,
+      |  lower('http://ipt.example/resource?r=' || source) AS rid,
+      |  'Feed ' || source AS title,
+      |  'http://eml.example/' || source AS eml_link,
+      |  i % 2 = 1 AS is_new,
+      |  i % 2 = 0 AND i % 3 != 0 AS is_changed
+      |FROM s ORDER BY source""".stripMargin
+
   val qJsonlSql: String =
     """SELECT source, count(*) AS n,
       |  CAST(sum(doc_id) AS BIGINT) AS idsum,
