@@ -95,6 +95,8 @@ object SparkEntry {
     "q_fulltext_rank"      -> (DslQueries.qFulltextRank _),
     "q_index_merge"        -> (DslQueries.qIndexMerge _),
     "q_bucketed_join"      -> (Relational.qBucketedJoin _),
+    "q_sessionize"         -> (Relational.qSessionize _),
+    "q_funnel"             -> (Relational.qFunnel _),
     "q_inverted_index"     -> (DslQueries.qInvertedIndex _),
     "q_index_search"       -> (DslQueries.qIndexSearch _),
     // LLM-training-data pipeline operators (documents/embeddings)
@@ -226,6 +228,8 @@ object SparkEntry {
     "q_fulltext_rank"      -> DslQueries.qFulltextRankSql,
     "q_index_merge"        -> DslQueries.qIndexMergeSql,
     "q_bucketed_join"      -> Relational.qBucketedJoinSql,
+    "q_sessionize"         -> Relational.qSessionizeSql,
+    "q_funnel"             -> Relational.qFunnelSql,
     "q_inverted_index"     -> DslQueries.qInvertedIndexSql,
     "q_index_search"       -> DslQueries.qFulltextRankSql,
     "q_dedup_exact"   -> LlmQueries.qDedupExactSql,

@@ -501,6 +501,57 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Gap-based sessionization (graft.operators.Events.sessionize) —
+    * 6-hour inactivity gap over the events stream, emitted as one row
+    * per (user, session) with count and exact-microsecond bounds. The
+    * oracle replays the identical lag + running-sum formulation. */
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.sessionize(
+        Tables.events(s, dir), "user_id", "ts", gapMinutes = 360)
+      .groupBy(col("user_id"), col("session"))
+      .agg(count(lit(1)).as("n"),
+        min(col("_us")).as("start_us"), max(col("_us")).as("end_us"))
+      .orderBy(col("user_id"), col("session"))
+
+  val qSessionizeSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |b AS (SELECT user_id, us,
+      |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+      |       > 21600000000 THEN 1 ELSE 0 END AS brk FROM e),
+      |s AS (SELECT user_id, us, sum(brk) OVER (PARTITION BY user_id
+      |  ORDER BY us ROWS UNBOUNDED PRECEDING) AS session FROM b)
+      |SELECT user_id, CAST(session AS BIGINT) AS session, count(*) AS n,
+      |  min(us) AS start_us, max(us) AS end_us
+      |FROM s GROUP BY user_id, session
+      |ORDER BY user_id, session""".stripMargin
+
+  /** Ordered funnel (graft.operators.Events.funnel): view → click →
+    * purchase, strictly-increasing min-ts chain per user; emitted as
+    * users per reached depth. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.funnel(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("n"))
+      .orderBy(col("depth"))
+
+  val qFunnelSql: String =
+    """WITH f1 AS (SELECT user_id, min(ts) AS t0 FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |f2 AS (SELECT f1.user_id, t0, min(e.ts) AS t1
+      |       FROM f1 LEFT JOIN events e ON e.user_id = f1.user_id
+      |         AND e.event_type = 'click' AND e.ts > f1.t0
+      |       GROUP BY f1.user_id, t0),
+      |f3 AS (SELECT f2.user_id, t0, t1, min(e.ts) AS t2
+      |       FROM f2 LEFT JOIN events e ON e.user_id = f2.user_id
+      |         AND e.event_type = 'purchase' AND e.ts > f2.t1
+      |       GROUP BY f2.user_id, t0, t1)
+      |SELECT CAST((CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS depth,
+      |  count(*) AS n
+      |FROM f3 GROUP BY depth ORDER BY depth""".stripMargin
+
   val qBucketedJoinSql: String =
     """WITH u AS (SELECT user_id, count(*) AS n_events,
       |             max(event_id) AS max_eid
