@@ -97,6 +97,8 @@ object SparkEntry {
     "q_bucketed_join"      -> (Relational.qBucketedJoin _),
     "q_sessionize"         -> (Relational.qSessionize _),
     "q_funnel"             -> (Relational.qFunnel _),
+    "q_retention"          -> (Relational.qRetention _),
+    "q_pagerank"           -> (Relational.qPagerank _),
     "q_inverted_index"     -> (DslQueries.qInvertedIndex _),
     "q_index_search"       -> (DslQueries.qIndexSearch _),
     // LLM-training-data pipeline operators (documents/embeddings)
@@ -230,6 +232,8 @@ object SparkEntry {
     "q_bucketed_join"      -> Relational.qBucketedJoinSql,
     "q_sessionize"         -> Relational.qSessionizeSql,
     "q_funnel"             -> Relational.qFunnelSql,
+    "q_retention"          -> Relational.qRetentionSql,
+    "q_pagerank"           -> Relational.qPagerankSql,
     "q_inverted_index"     -> DslQueries.qInvertedIndexSql,
     "q_index_search"       -> DslQueries.qFulltextRankSql,
     "q_dedup_exact"   -> LlmQueries.qDedupExactSql,

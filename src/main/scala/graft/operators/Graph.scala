@@ -163,6 +163,47 @@ object Graph {
     * the Tungsten representation (toRdd + internalCreateDataFrame, no
     * Row decode/encode); the per-row copy() is required because
     * codegen operators reuse row buffers. */
+  /** PageRank (Brin & Page '98, the simplified no-dangling-
+    * redistribution variant): `iters` synchronous sweeps of
+    * r' = (1-d)/n + d·Σ_{u→v} r(u)/deg(u) over DISTINCT edges.
+    * Per-sweep plan: one join of the rank table to the edge list (both
+    * keyed on src), a partial-aggregable per-dst sum, and a left join
+    * back to the node set — the same one-exchange-per-round shape as
+    * [[connectedComponents]], with the same [[localCut]] lineage
+    * discipline so plan depth stays constant in `iters`. Ranks are
+    * rounded to 9 decimals after EVERY sweep: cross-engine double-sum
+    * order wobble (~1e-16) can never accumulate across sweeps, so an
+    * oracle replaying the same rounded sweeps is bit-identical (the
+    * trained-quantizer pinning discipline). `n` is a driver-side
+    * scalar (one count — the graph's node count, not data motion). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val n = nodes.count()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var r = nodes.withColumn("r", lit(1.0 / n))
+    var pinned: Option[RDD[org.apache.spark.sql.catalyst.InternalRow]] = None
+    (1 to iters).foreach { _ =>
+      val contrib = e
+        .join(r.toDF("src", "r"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"), (col("r") / col("deg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      val next = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          round(lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("s"), lit(0.0)), 9).as("r"))
+      val (cut, rdd) = localCut(next)
+      pinned.foreach(_.unpersist(blocking = false))
+      pinned = Some(rdd)
+      r = cut
+    }
+    r
+  }
+
   def localCut(df: DataFrame): (DataFrame,
       RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
     val rdd = df.queryExecution.toRdd.map(_.copy())

@@ -552,6 +552,72 @@ object Relational {
       |  count(*) AS n
       |FROM f3 GROUP BY depth ORDER BY depth""".stripMargin
 
+  /** Retention cohorts: users bucketed by the Monday-start week of
+    * their first signup, counted per whole-week offset of any later
+    * (or earlier — negative offsets kept, they expose data problems)
+    * activity day. Two aggregations and one key join; cohort emitted
+    * as a formatted string so both engines hash identical text. */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val first = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("d0"))
+    val active = ev.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    first.join(active, "user_id")
+      .select(col("user_id"),
+        date_format(date_trunc("week", col("d0")), "yyyy-MM-dd").as("cohort"),
+        floor(datediff(col("d"), col("d0")) / lit(7.0)).cast("long").as("wk"))
+      .groupBy(col("cohort"), col("wk"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("wk"))
+  }
+
+  val qRetentionSql: String =
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events
+      |           WHERE event_type = 'signup' GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |j AS (SELECT f.user_id,
+      |        strftime(date_trunc('week', f.d0), '%Y-%m-%d') AS cohort,
+      |        CAST(floor((a.d - f.d0) / 7.0) AS BIGINT) AS wk
+      |      FROM f JOIN a USING (user_id))
+      |SELECT cohort, wk, count(DISTINCT user_id) AS n_users
+      |FROM j GROUP BY cohort, wk ORDER BY cohort, wk""".stripMargin
+
+  /** PageRank over an events-derived directed graph (user → content
+    * bucket), two sweeps ([[graft.operators.Graph.pageRank]]). Ranks
+    * round to 9 decimals per sweep on BOTH engines, so the replay is
+    * bit-identical; emit rounds to 6. */
+  def qPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRank(
+        Tables.events(s, dir)
+          .select(col("user_id").as("src"), (col("event_id") % 137).as("dst")),
+        "src", "dst", iters = 2)
+      .select(col("id"), round(col("r"), 6).as("r"))
+      .orderBy(col("id"))
+
+  val qPagerankSql: String =
+    """WITH e AS (SELECT DISTINCT user_id AS src, event_id % 137 AS dst
+      |           FROM events),
+      |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |r0 AS (SELECT id, 1.0::DOUBLE / nn.n AS r FROM nodes CROSS JOIN nn),
+      |c1 AS (SELECT e.dst AS id, sum(r0.r / deg.deg) AS s
+      |       FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
+      |       GROUP BY e.dst),
+      |r1 AS (SELECT nodes.id,
+      |         round((1.0::DOUBLE - 0.85) / nn.n
+      |               + 0.85 * coalesce(c1.s, 0.0::DOUBLE), 9) AS r
+      |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id),
+      |c2 AS (SELECT e.dst AS id, sum(r1.r / deg.deg) AS s
+      |       FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT nodes.id,
+      |         round((1.0::DOUBLE - 0.85) / nn.n
+      |               + 0.85 * coalesce(c2.s, 0.0::DOUBLE), 9) AS r
+      |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id)
+      |SELECT id, round(r, 6) AS r FROM r2 ORDER BY id""".stripMargin
+
   val qBucketedJoinSql: String =
     """WITH u AS (SELECT user_id, count(*) AS n_events,
       |             max(event_id) AS max_eid

@@ -89,4 +89,21 @@ class GraphSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(minId === Seq(1L, 10L, 20L))
   }
+
+  test("pageRank: 2-cycle is the 0.5/0.5 fixed point; dangling sink " +
+      "accumulates; mass conserved when every node has out-edges") {
+    val s2 = spark
+    import s2.implicits._
+    // A<->B cycle: r = 0.5 each is the exact fixed point of the sweep
+    val cyc = Graph.pageRank(
+      Seq((1L, 2L), (2L, 1L)).toDF("s", "d"), "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cyc(1L) === 0.5 && cyc(2L) === 0.5)
+    // A -> B only: after one sweep r(A) = 0.15/2, r(B) = 0.075 + 0.85*0.5
+    val chain = Graph.pageRank(
+      Seq((1L, 2L)).toDF("s", "d"), "s", "d", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(chain(1L) === 0.075)
+    assert(chain(2L) === 0.5)
+  }
 }
