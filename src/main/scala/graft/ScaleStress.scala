@@ -183,8 +183,11 @@ object ScaleStress {
       // precomputed base band table; cross-copy pairs are zero by the
       // word-suffix construction, so pairs scale linearly
       "q_dedup_incr",
-      // embedding twin: delta (clones of every 25th copy-0 vector) vs the
-      // 10x quantized base — left side of the pair join is delta-sized
+      // embedding twin: the %25 clone fixture repeats inside EVERY
+      // copy's id band (the 725000 shift is %25-divisible by design),
+      // so the delta grows linearly with the data — the stress measures
+      // |delta| × cell-population at matched growth, with the pair
+      // join's left side delta-sized throughout
       "q_dedup_incr_embed")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is

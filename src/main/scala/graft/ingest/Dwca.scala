@@ -126,8 +126,10 @@ object Dwca {
         val p = java.nio.file.Paths.get(t)
         if (java.nio.file.Files.exists(p)) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          val walk = java.nio.file.Files.walk(p)
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(java.nio.file.Files.delete)
+          finally walk.close()
         }
         java.nio.file.Files.createDirectories(p).toString
       case None => java.nio.file.Files.createTempDirectory("dwca").toString
@@ -136,9 +138,9 @@ object Dwca {
     try {
       zf.entries().asIterator().forEachRemaining { e =>
         if (!e.isDirectory) {
-          val target = java.nio.file.Paths.get(outDir, e.getName)
-          java.nio.file.Files.createDirectories(target.getParent)
-          java.nio.file.Files.copy(zf.getInputStream(e), target)
+          val dest = java.nio.file.Paths.get(outDir, e.getName)
+          java.nio.file.Files.createDirectories(dest.getParent)
+          java.nio.file.Files.copy(zf.getInputStream(e), dest)
         }
       }
     } finally zf.close()

@@ -163,25 +163,38 @@ object Graph {
     * the Tungsten representation (toRdd + internalCreateDataFrame, no
     * Row decode/encode); the per-row copy() is required because
     * codegen operators reuse row buffers. */
+  def localCut(df: DataFrame): (DataFrame,
+      RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count()
+    (org.apache.spark.sql.GraftSqlBridge
+      .internalCreateDataFrame(df.sparkSession, rdd, df.schema), rdd)
+  }
+
   /** PageRank (Brin & Page '98, the simplified no-dangling-
     * redistribution variant): `iters` synchronous sweeps of
     * r' = (1-d)/n + d·Σ_{u→v} r(u)/deg(u) over DISTINCT edges.
-    * Per-sweep plan: one join of the rank table to the edge list (both
-    * keyed on src), a partial-aggregable per-dst sum, and a left join
-    * back to the node set — the same one-exchange-per-round shape as
-    * [[connectedComponents]], with the same [[localCut]] lineage
-    * discipline so plan depth stays constant in `iters`. Ranks are
-    * rounded to 9 decimals after EVERY sweep: cross-engine double-sum
-    * order wobble (~1e-16) can never accumulate across sweeps, so an
-    * oracle replaying the same rounded sweeps is bit-identical (the
-    * trained-quantizer pinning discipline). `n` is a driver-side
-    * scalar (one count — the graph's node count, not data motion). */
+    * The edge list and node set are lineage-cut ONCE before the loop
+    * — an expensive upstream (an LSH pair generator, say) runs
+    * exactly once, not once per sweep (the [[connectedComponents]]
+    * `und` discipline). Per-sweep plan: one join of the rank table to
+    * the cut edge list (both keyed on src), a partial-aggregable
+    * per-dst sum, and a left join back to the cut node set; rank
+    * lineage cuts per sweep keep plan depth constant in `iters`.
+    * Ranks are rounded to 9 decimals after EVERY sweep: cross-engine
+    * double-sum order wobble (~1e-16) can never accumulate across
+    * sweeps, so an oracle replaying the same rounded sweeps is
+    * bit-identical (the trained-quantizer pinning discipline). `n` is
+    * a driver-side scalar (one count over the already-cut node set —
+    * the graph's node count, not data motion). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+    val (e, eRdd) = localCut(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val (nodes, nodesRdd) = localCut(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct())
     val n = nodes.count()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var r = nodes.withColumn("r", lit(1.0 / n))
@@ -201,16 +214,9 @@ object Graph {
       pinned = Some(rdd)
       r = cut
     }
+    eRdd.unpersist(blocking = false)
+    nodesRdd.unpersist(blocking = false)
     r
-  }
-
-  def localCut(df: DataFrame): (DataFrame,
-      RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
-    val rdd = df.queryExecution.toRdd.map(_.copy())
-    rdd.localCheckpoint()
-    rdd.count()
-    (org.apache.spark.sql.GraftSqlBridge
-      .internalCreateDataFrame(df.sparkSession, rdd, df.schema), rdd)
   }
 
   /** Materialize the deduplicated corpus: drop every non-canonical

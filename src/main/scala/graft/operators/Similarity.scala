@@ -183,17 +183,26 @@ object Similarity {
     * not fire at sf0.01, and doesn't (LlmOpsSpec pins sub ≡ 0 there). */
   val MaxCellSize = 1000
 
-  def semDedupLabels(vecs: DataFrame, centroids: DataFrame,
-      threshold: Double, maxCellSize: Int = MaxCellSize): DataFrame = {
-    // per-cell count via a window over the SAME cell key the pair join
-    // shuffles on — the quantizer subtree is computed once, and the two
-    // self-join inputs are identical subplans over one exchange
-    // (ReuseExchange dedupes them; the lshCandidates discipline)
-    val sharded = ivfAssign(vecs, centroids)
+  /** The hot-cell split, shared by [[semDedupLabels]] and
+    * [[incrementalCosineNearDups]] so the guard can never diverge
+    * between the batch and incremental paths: per-cell count via a
+    * window over the SAME cell key the pair join shuffles on (the
+    * quantizer subtree is computed once, and the self-join inputs are
+    * identical subplans over one exchange — ReuseExchange dedupes
+    * them, the lshCandidates discipline); cells above `maxCellSize`
+    * split into ⌈n/cap⌉ id-hashed `sub` shards. Keeps every input
+    * column and appends `sub`. */
+  private def shardCells(assigned: DataFrame, maxCellSize: Int): DataFrame =
+    assigned
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("cell"))))
       .withColumn("sub", when(col("_n") <= maxCellSize, lit(0L))
         .otherwise(pmod(xxhash64(col("vid")),
           ceil(col("_n") / maxCellSize).cast("long"))))
+      .drop("_n")
+
+  def semDedupLabels(vecs: DataFrame, centroids: DataFrame,
+      threshold: Double, maxCellSize: Int = MaxCellSize): DataFrame = {
+    val sharded = shardCells(ivfAssign(vecs, centroids), maxCellSize)
       .select(col("vid"), col("v"), col("cell"), col("sub"))
     val a1 = sharded.toDF("d1", "e1", "cell", "sub")
       .withColumn("n1", norm(col("e1")))
@@ -232,11 +241,7 @@ object Similarity {
       .withColumn("isDelta", lit(false))
     val ad = ivfAssign(delta, centroids).toDF("vid", "v", "cell")
       .withColumn("isDelta", lit(true))
-    val sharded = ab.unionByName(ad)
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("cell"))))
-      .withColumn("sub", when(col("_n") <= maxCellSize, lit(0L))
-        .otherwise(pmod(xxhash64(col("vid")),
-          ceil(col("_n") / maxCellSize).cast("long"))))
+    val sharded = shardCells(ab.unionByName(ad), maxCellSize)
       .select(col("vid"), col("v"), col("cell"), col("sub"), col("isDelta"))
     val a1 = sharded.where(col("isDelta"))
       .toDF("d1", "e1", "cell", "sub", "_i1")

@@ -584,19 +584,24 @@ object Relational {
       |FROM j GROUP BY cohort, wk ORDER BY cohort, wk""".stripMargin
 
   /** PageRank over an events-derived directed graph (user → content
-    * bucket), two sweeps ([[graft.operators.Graph.pageRank]]). Ranks
-    * round to 9 decimals per sweep on BOTH engines, so the replay is
-    * bit-identical; emit rounds to 6. */
+    * bucket), two sweeps ([[graft.operators.Graph.pageRank]]). Bucket
+    * node ids are offset by 1e6 so they can never collide with the
+    * user-id space — the graph is genuinely bipartite as documented,
+    * not an accidental user/bucket merge. Ranks round to 9 decimals
+    * per sweep on BOTH engines, so the replay is bit-identical; emit
+    * rounds to 6. */
   def qPagerank(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.pageRank(
         Tables.events(s, dir)
-          .select(col("user_id").as("src"), (col("event_id") % 137).as("dst")),
+          .select(col("user_id").as("src"),
+            (col("event_id") % 137 + 1000000L).as("dst")),
         "src", "dst", iters = 2)
       .select(col("id"), round(col("r"), 6).as("r"))
       .orderBy(col("id"))
 
   val qPagerankSql: String =
-    """WITH e AS (SELECT DISTINCT user_id AS src, event_id % 137 AS dst
+    """WITH e AS (SELECT DISTINCT user_id AS src,
+      |             event_id % 137 + 1000000 AS dst
       |           FROM events),
       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
