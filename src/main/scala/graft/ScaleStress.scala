@@ -188,7 +188,12 @@ object ScaleStress {
       // so the delta grows linearly with the data — the stress measures
       // |delta| × cell-population at matched growth, with the pair
       // join's left side delta-sized throughout
-      "q_dedup_incr_embed")
+      "q_dedup_incr_embed",
+      // round 12 event analytics over 10x events: sessionize is one
+      // key-window pass, funnel three frontier joins, retention two
+      // aggs + a key join, pagerank two cut sweeps over a graph whose
+      // user side is 10x (bucket side fixed at 137)
+      "q_sessionize", "q_funnel", "q_retention", "q_pagerank")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)
