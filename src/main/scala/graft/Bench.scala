@@ -128,7 +128,12 @@ object Bench {
     "q_jsonl" -> 0.65, "q_media_audio" -> 0.61, "q_media_phash" -> 0.47,
     "q_media_video" -> 0.61, "q_quality_trim" -> 0.36,
     "q_quantile_sketch" -> 0.35, "q_range_join" -> 0.75,
-    "q_terms_nested" -> 0.32, "q_token_budget" -> 0.29, "q_zorder" -> 0.18)
+    "q_terms_nested" -> 0.32, "q_token_budget" -> 0.29, "q_zorder" -> 0.18,
+    // round-12 session-2 pair (min of the two runs, idle canaries):
+    "q_bucketed_join" -> 1.94, "q_dedup_incr_embed" -> 1.06,
+    "q_dwca_roundtrip" -> 0.94, "q_eml" -> 0.32, "q_funnel" -> 0.39,
+    "q_index_merge" -> 1.01, "q_pagerank" -> 1.32, "q_retention" -> 0.66,
+    "q_rss" -> 0.28, "q_sessionize" -> 0.85)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
