@@ -99,6 +99,7 @@ object SparkEntry {
     "q_funnel"             -> (Relational.qFunnel _),
     "q_retention"          -> (Relational.qRetention _),
     "q_pagerank"           -> (Relational.qPagerank _),
+    "q_transitions"        -> (Relational.qTransitions _),
     "q_inverted_index"     -> (DslQueries.qInvertedIndex _),
     "q_index_search"       -> (DslQueries.qIndexSearch _),
     // LLM-training-data pipeline operators (documents/embeddings)
@@ -234,6 +235,7 @@ object SparkEntry {
     "q_funnel"             -> Relational.qFunnelSql,
     "q_retention"          -> Relational.qRetentionSql,
     "q_pagerank"           -> Relational.qPagerankSql,
+    "q_transitions"        -> Relational.qTransitionsSql,
     "q_inverted_index"     -> DslQueries.qInvertedIndexSql,
     "q_index_search"       -> DslQueries.qFulltextRankSql,
     "q_dedup_exact"   -> LlmQueries.qDedupExactSql,

@@ -623,6 +623,41 @@ object Relational {
       |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id)
       |SELECT id, round(r, 6) AS r FROM r2 ORDER BY id""".stripMargin
 
+  /** Event-type transition matrix (first-order Markov estimate): each
+    * user's event stream ordered by (exact microseconds, event_id —
+    * a total order, so `lead` is deterministic on both engines),
+    * transition counts and row-normalized probabilities per
+    * (from, to) pair. Double division of identical longs on both
+    * engines; round-6 emit. */
+  def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next"))
+      .where(col("next").isNotNull)
+      .groupBy(col("event_type"), col("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(
+        col("n").cast("double") /
+          sum(col("n")).over(
+            Window.partitionBy(col("event_type"))).cast("double"), 6))
+      .orderBy(col("event_type"), col("next"))
+  }
+
+  val qTransitionsSql: String =
+    """WITH o AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS next
+      |  FROM events),
+      |t AS (SELECT event_type, next, count(*) AS n FROM o
+      |      WHERE next IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, next, n,
+      |  round(CAST(n AS DOUBLE) /
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS p
+      |FROM t ORDER BY event_type, next""".stripMargin
+
   val qBucketedJoinSql: String =
     """WITH u AS (SELECT user_id, count(*) AS n_events,
       |             max(event_id) AS max_eid
