@@ -216,9 +216,17 @@ object ScaleStress {
     val subset: Seq[String] =
       if (args.length > 3) args(3).split(",").toSeq else stressed
     // 1x pass first: it doubles as JIT warm-up so the Nx pass is not
-    // charged the compilation cost the 1x pass already paid
+    // charged the compilation cost the 1x pass already paid. Parallel-
+    // canary samples before/between/after the passes make a long run
+    // self-classifying: the full-list sweep accumulates JVM/disk
+    // pressure that inflated late-list readings up to 3x their
+    // isolated values in r12 — an elevated canary says "harness
+    // pressure", an isolated warm re-run gives the honest ratio.
+    println(f"[scale-canary] pre-1x ${Bench.parallelCanaryMs(spark)}%.0f ms")
     val base = subset.map(q => q -> time(src, q)).toMap
+    println(f"[scale-canary] pre-Nx ${Bench.parallelCanaryMs(spark)}%.0f ms")
     val scaled = subset.map(q => q -> time(out, q)).toMap
+    println(f"[scale-canary] end   ${Bench.parallelCanaryMs(spark)}%.0f ms")
     subset.foreach { q =>
       println(f"[scale] $q%-20s 1x=${base(q)}%6.2fs ${copies}x=${scaled(q)}%7.2fs " +
         f"ratio=${scaled(q) / base(q)}%5.2f (linear=$copies.0)")
