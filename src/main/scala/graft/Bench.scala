@@ -133,7 +133,8 @@ object Bench {
     "q_bucketed_join" -> 1.94, "q_dedup_incr_embed" -> 1.06,
     "q_dwca_roundtrip" -> 0.94, "q_eml" -> 0.32, "q_funnel" -> 0.39,
     "q_index_merge" -> 1.01, "q_pagerank" -> 1.32, "q_retention" -> 0.66,
-    "q_rss" -> 0.28, "q_sessionize" -> 0.85)
+    "q_rss" -> 0.28, "q_sessionize" -> 0.85,
+    "q_transitions" -> 0.52)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
