@@ -55,4 +55,31 @@ class JsonLinesSpec extends SparkSpec {
       "b" -> Map("k" -> """tricky "quotes" and, commas"""),
       "c" -> Map.empty))
   }
+
+  test("roundtrip survives newlines, tabs, unicode, backslashes and " +
+      "null map values — the q_jsonl fidelity classes") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl3").toString + "/out"
+    val recs = Seq(
+      ("nl", Map("text" -> "line one\nline two\r\nline three")),
+      ("tab", Map("text" -> "col1\tcol2")),
+      ("uni", Map("text" -> "Ünïcødé — 中文 🌿")),
+      ("bs", Map("text" -> """back\slash and \" escapes""")),
+      ("nul", Map("present" -> "x", "absent" -> null)))
+      .toDF("id", "data")
+    JsonLines.write(recs, "id", "data", dir)
+    val back = JsonLines.read(spark, dir)
+    assert(back.filter(size(col("flags")) > 0).count() === 0)
+    // every record stays ONE line: the whole point of the format
+    assert(back.count() === 5)
+    val got = back.select(col("id"), col("data"))
+      .collect().map(r => r.getString(0) ->
+        r.getMap[String, String](1).toMap).toMap
+    assert(got("nl") === Map("text" -> "line one\nline two\r\nline three"))
+    assert(got("tab") === Map("text" -> "col1\tcol2"))
+    assert(got("uni") === Map("text" -> "Ünïcødé — 中文 🌿"))
+    assert(got("bs") === Map("text" -> """back\slash and \" escapes"""))
+    assert(got("nul") === Map("present" -> "x", "absent" -> null))
+  }
 }

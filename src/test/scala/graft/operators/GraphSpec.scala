@@ -106,4 +106,31 @@ class GraphSpec extends SparkSpec {
     assert(chain(1L) === 0.075)
     assert(chain(2L) === 0.5)
   }
+
+  test("pageRank: plan depth constant and bounded residue at iters=10") {
+    val s2 = spark
+    import s2.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("s", "d")
+    val before = s2.sparkContext.getPersistentRDDs.keySet
+    val at10 = Graph.pageRank(edges, "s", "d", iters = 10)
+    val depth10 = at10.queryExecution.optimizedPlan
+      .numberedTreeString.linesIterator.size
+    val at1 = Graph.pageRank(edges, "s", "d", iters = 1)
+    val depth1 = at1.queryExecution.optimizedPlan
+      .numberedTreeString.linesIterator.size
+    // per-sweep lineage cut: the returned plan is the last sweep's
+    // checkpointed leaf, not a 10-deep join nest
+    assert(depth10 === depth1, s"plan grew with iterations: $depth10 vs $depth1")
+    // residue: superseded sweeps and the pre-loop edge/node cuts are
+    // released; only the two returned rank tables may stay pinned
+    val leaked = s2.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2,
+      s"only the returned rank tables may stay cached, found $leaked")
+    // ranks still sum to ~1 (every node here has out-edges, so the
+    // simplified variant conserves mass)
+    val total = at10.agg(org.apache.spark.sql.functions.sum("r"))
+      .head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-6, s"mass not conserved: $total")
+  }
 }
