@@ -14,7 +14,16 @@ import org.apache.spark.sql.functions._
 class DslDifferentialSpec extends SparkSpec {
 
   test("compile agrees with 300 recorded compound-DSL result sets") {
-    val url = getClass.getResource("/dsl_vectors.jsonl")
+    runDifferential("/dsl_vectors.jsonl", expected = 300)
+  }
+
+  test("compile agrees with 200 fresh-seed compound-DSL result sets " +
+      "(seed 777, added round 12 — passed on its first run)") {
+    runDifferential("/dsl_vectors2.jsonl", expected = 200)
+  }
+
+  private def runDifferential(resource: String, expected: Int): Unit = {
+    val url = getClass.getResource(resource)
     val src = scala.io.Source.fromURL(url)(scala.io.Codec.UTF8)
     val vectors = try {
       src.getLines().map { l =>
@@ -28,7 +37,7 @@ class DslDifferentialSpec extends SparkSpec {
         (id, dsl, expect)
       }.toList
     } finally src.close()
-    assert(vectors.size === 300)
+    assert(vectors.size === expected)
     val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
         col("o_totalprice").cast("double").as("o_totalprice"))
