@@ -19,6 +19,11 @@ class DateDifferentialSpec extends SparkSpec {
     replay("/dateutil_vectors2.tsv")
   }
 
+  test("permissiveTimestamp agrees with a third unseen-seed batch of " +
+      "3000 (seed 4242, added round 12 — passed on its first run)") {
+    replay("/dateutil_vectors3.tsv")
+  }
+
   private def replay(resource: String): Unit = {
     val s = spark
     import s.implicits._
