@@ -100,6 +100,8 @@ object SparkEntry {
     "q_retention"          -> (Relational.qRetention _),
     "q_pagerank"           -> (Relational.qPagerank _),
     "q_transitions"        -> (Relational.qTransitions _),
+    "q_moving_avg"         -> (Relational.qMovingAvg _),
+    "q_pivot"              -> (Relational.qPivot _),
     "q_inverted_index"     -> (DslQueries.qInvertedIndex _),
     "q_index_search"       -> (DslQueries.qIndexSearch _),
     // LLM-training-data pipeline operators (documents/embeddings)
@@ -236,6 +238,8 @@ object SparkEntry {
     "q_retention"          -> Relational.qRetentionSql,
     "q_pagerank"           -> Relational.qPagerankSql,
     "q_transitions"        -> Relational.qTransitionsSql,
+    "q_moving_avg"         -> Relational.qMovingAvgSql,
+    "q_pivot"              -> Relational.qPivotSql,
     "q_inverted_index"     -> DslQueries.qInvertedIndexSql,
     "q_index_search"       -> DslQueries.qFulltextRankSql,
     "q_dedup_exact"   -> LlmQueries.qDedupExactSql,

@@ -658,6 +658,60 @@ object Relational {
       |    CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS p
       |FROM t ORDER BY event_type, next""".stripMargin
 
+  /** 7-day trailing moving average of daily event counts per type —
+    * the RANGE-frame window surface (rangeBetween over day numbers:
+    * calendar gaps are part of the window, unlike a ROWS frame which
+    * would skip missing days). Counts are exact longs; the average is
+    * one division of identical longs on both engines, round-6 emit. */
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    daily.select(col("event_type"), col("day"), col("n"),
+        round(sum(col("n")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"), 6).as("ma7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qMovingAvgSql: String =
+    """WITH d AS (SELECT event_type,
+      |    CAST(ts AS DATE) - DATE '2024-01-01' AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(day AS INT) AS day, n,
+      |  round(CAST(sum(n) OVER w AS DOUBLE) /
+      |        CAST(count(*) OVER w AS DOUBLE), 6) AS ma7
+      |FROM d
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day""".stripMargin
+
+  /** Day × event-type pivot (the `.pivot` relational surface with an
+    * explicit column list — never the implicit distinct-scan variant,
+    * which collects the pivot domain to the driver): one wide row per
+    * day, one count column per type, absent combinations as 0. */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .groupBy(datediff(to_date(col("ts")), lit("2024-01-01")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("day"))
+  }
+
+  val qPivotSql: String =
+    """SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INT) AS day,
+      |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+      |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+      |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+      |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+      |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   val qBucketedJoinSql: String =
     """WITH u AS (SELECT user_id, count(*) AS n_events,
       |             max(event_id) AS max_eid
