@@ -712,6 +712,34 @@ object Relational {
       |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** ROLLUP subtotals — the OLAP grouping-sets surface: per
+    * (event_type, week) counts plus per-type subtotals plus the grand
+    * total in ONE aggregation pass (Catalyst expands the grouping
+    * sets; no self-union of scans). NULL group markers are emitted as
+    * the literal 'ALL' so the driver's string hash is unambiguous. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+          .cast("int").as("week"))
+      .rollup(col("event_type"), col("week"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("week").cast("string"), lit("ALL")).as("week"),
+        col("n"))
+      .orderBy(col("event_type"), col("week"))
+
+  val qRollupSql: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7) AS INT)
+      |      AS week
+      |  FROM events)
+      |SELECT coalesce(event_type, 'ALL') AS event_type,
+      |  coalesce(CAST(week AS VARCHAR), 'ALL') AS week,
+      |  count(*) AS n
+      |FROM e GROUP BY ROLLUP (event_type, week)
+      |ORDER BY event_type, week""".stripMargin
+
   val qBucketedJoinSql: String =
     """WITH u AS (SELECT user_id, count(*) AS n_events,
       |             max(event_id) AS max_eid
