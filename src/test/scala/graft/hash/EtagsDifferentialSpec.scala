@@ -4,7 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Differential audit of content-address hashing against the
   * reference (idb/helpers/etags.py, run directly by
-  * tools/gen_etags_differential.py): 1,500 structured-random records —
+  * tools/gen_etags_differential.py): 4,500 structured-random records
+  * across three seeds (the third added round 12, first-run pass) —
   * nested values, control characters, quotes/backslashes, BMP and
   * ASTRAL-plane unicode in both keys and values (the code-point-vs-
   * UTF-16 key-sort trap), bools-as-ints, production-range floats —
@@ -88,7 +89,10 @@ class EtagsDifferentialSpec extends AnyFunSuite {
   }
 
   private lazy val vectors: Seq[Map[String, V]] =
-    Seq("/etags_vectors.jsonl", "/etags_vectors2.jsonl").flatMap { res =>
+    // vectors3: third unseen seed (31337), added round 12 — passed on
+    // its first run
+    Seq("/etags_vectors.jsonl", "/etags_vectors2.jsonl",
+        "/etags_vectors3.jsonl").flatMap { res =>
       val url = getClass.getResource(res)
       val src = scala.io.Source.fromURL(url)(scala.io.Codec.UTF8)
       try src.getLines().map { l =>
@@ -105,8 +109,8 @@ class EtagsDifferentialSpec extends AnyFunSuite {
     case other  => fail(s"expected string, got $other")
   }
 
-  test("calcEtag agrees with 3000 recorded reference runs (two seeds)") {
-    assert(vectors.size === 3000)
+  test("calcEtag agrees with 4500 recorded reference runs (three seeds)") {
+    assert(vectors.size === 4500)
     val bad = vectors.flatMap { v =>
       val V.O(kvs) = v("data"): @unchecked
       val got = Etags.calcEtag(kvs)
