@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * enrich surface grows. */
 class EnrichDifferentialSpec extends SparkSpec {
 
-  test("Enrich.records agrees with 1000 recorded reference grabAll runs (two seeds)") {
+  test("Enrich.records agrees with 1500 recorded reference grabAll runs (three seeds)") {
     val s = spark
     import s.implicits._
     import org.json4s._
@@ -21,12 +21,14 @@ class EnrichDifferentialSpec extends SparkSpec {
     implicit val fmts: Formats = DefaultFormats
     // both seed batches; the second's ids offset past the first's range
     val parsed = Seq("/enrich_vectors.jsonl" -> 0L,
-        "/enrich_vectors2.jsonl" -> 100000L).flatMap { case (res, off) =>
+        "/enrich_vectors2.jsonl" -> 100000L,
+        // third unseen seed (5151), added round 12 — first-run pass
+        "/enrich_vectors3.jsonl" -> 200000L).flatMap { case (res, off) =>
       val url = getClass.getResource(res)
       scala.io.Source.fromURL(url).getLines().toSeq
         .map(l => off -> JsonMethods.parse(l))
     }
-    assert(parsed.length === 1000)
+    assert(parsed.length === 1500)
     val inputs = parsed.map { case (off, j) =>
       ((j \ "id").extract[Long] + off, (j \ "data").extract[Map[String, String]])
     }
@@ -78,19 +80,21 @@ class EnrichDifferentialSpec extends SparkSpec {
     }
   }
 
-  test("Enrich.mediarecords agrees with 1000 recorded reference grabAll runs (two seeds)") {
+  test("Enrich.mediarecords agrees with 1500 recorded reference grabAll runs (three seeds)") {
     val s = spark
     import s.implicits._
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
     val parsed = Seq("/enrich_media_vectors.jsonl" -> 0L,
-        "/enrich_media_vectors2.jsonl" -> 100000L).flatMap { case (res, off) =>
+        "/enrich_media_vectors2.jsonl" -> 100000L,
+        // third unseen seed (5252), added round 12 — first-run pass
+        "/enrich_media_vectors3.jsonl" -> 200000L).flatMap { case (res, off) =>
       val url = getClass.getResource(res)
       scala.io.Source.fromURL(url).getLines().toSeq
         .map(l => off -> JsonMethods.parse(l))
     }
-    assert(parsed.length === 1000)
+    assert(parsed.length === 1500)
     val inputs = parsed.map { case (off, j) =>
       ((j \ "id").extract[Long] + off, (j \ "data").extract[Map[String, String]])
     }
