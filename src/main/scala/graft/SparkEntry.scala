@@ -103,6 +103,7 @@ object SparkEntry {
     "q_moving_avg"         -> (Relational.qMovingAvg _),
     "q_pivot"              -> (Relational.qPivot _),
     "q_rollup"             -> (Relational.qRollup _),
+    "q_compact"            -> (Relational.qCompact _),
     "q_inverted_index"     -> (DslQueries.qInvertedIndex _),
     "q_index_search"       -> (DslQueries.qIndexSearch _),
     // LLM-training-data pipeline operators (documents/embeddings)
@@ -242,6 +243,7 @@ object SparkEntry {
     "q_moving_avg"         -> Relational.qMovingAvgSql,
     "q_pivot"              -> Relational.qPivotSql,
     "q_rollup"             -> Relational.qRollupSql,
+    "q_compact"            -> Relational.qCompactSql,
     "q_inverted_index"     -> DslQueries.qInvertedIndexSql,
     "q_index_search"       -> DslQueries.qFulltextRankSql,
     "q_dedup_exact"   -> LlmQueries.qDedupExactSql,

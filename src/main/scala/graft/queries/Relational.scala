@@ -740,6 +740,35 @@ object Relational {
       |FROM e GROUP BY ROLLUP (event_type, week)
       |ORDER BY event_type, week""".stripMargin
 
+  /** Small-file compaction under the driver gate: 64 deliberately tiny
+    * files are rewritten in place by [[graft.store.Layout.compact]]
+    * (the crash-safe rename-aside swap), then the compacted path's
+    * fidelity aggregates are oracle-checked against the raw table —
+    * a row lost or duplicated anywhere in the rewrite or the swap goes
+    * gate-red. LayoutSpec pins the file-count mechanics; this row
+    * gates the data. Fixed per-(jvm,sf) path, overwritten per call. */
+  def qCompact(s: SparkSession, dir: String): DataFrame = {
+    val path = sys.props("java.io.tmpdir") +
+      s"/graft_compact_${Integer.toHexString(dir.hashCode)}/t"
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(path)
+    graft.store.Layout.compact(s, path)   // default 128 MB target → few files
+    s.read.parquet(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("idsum"),
+        sum(col("user_id")).as("usersum"))
+      .orderBy(col("event_type"))
+  }
+
+  val qCompactSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(event_id) AS BIGINT) AS idsum,
+      |  CAST(sum(user_id) AS BIGINT) AS usersum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val qBucketedJoinSql: String =
     """WITH u AS (SELECT user_id, count(*) AS n_events,
       |             max(event_id) AS max_eid
