@@ -135,7 +135,8 @@ object Bench {
     "q_index_merge" -> 1.01, "q_pagerank" -> 1.32, "q_retention" -> 0.66,
     "q_rss" -> 0.28, "q_sessionize" -> 0.85,
     "q_transitions" -> 0.52,
-    "q_moving_avg" -> 0.36, "q_pivot" -> 0.36, "q_rollup" -> 0.38)
+    "q_moving_avg" -> 0.36, "q_pivot" -> 0.36, "q_rollup" -> 0.38,
+    "q_compact" -> 1.19)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
