@@ -193,7 +193,10 @@ object ScaleStress {
       // key-window pass, funnel three frontier joins, retention two
       // aggs + a key join, pagerank two cut sweeps over a graph whose
       // user side is 10x (bucket side fixed at 137)
-      "q_sessionize", "q_funnel", "q_retention", "q_pagerank")
+      "q_sessionize", "q_funnel", "q_retention", "q_pagerank",
+      // compaction: write 64 small files of the (10x) fact slice, then
+      // one read + size-targeted rewrite + swap — IO-linear by shape
+      "q_compact")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)
