@@ -353,4 +353,67 @@ object Corpus {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
   }
+
+  /** Per-group z-score outlier detection over an INTEGER measure in
+    * EXACT integer arithmetic — the anomaly pass a curation pipeline
+    * runs per domain (absurdly long/short documents, byte-count
+    * anomalies) without the cross-engine wobble a floating
+    * mean/stddev would carry: |x − μ| > z·σ is algebraized to
+    *   (x·n − s)² > z² · (n·q − s²),      s = Σx, q = Σx², n = count
+    * — every term a BIGINT, so the flag is order-independent and the
+    * oracle replays it with the same integers. Plan: one per-group
+    * aggregation (map-side combined) joined back to the scan; no
+    * window, no second shuffle of the data (the group-stats relation
+    * is groups-sized).
+    *
+    * Exactness bound: needs (x·n)² < 2^63, i.e. per-group rows up to
+    * ~3·10^9/max(x) at BIGINT — beyond that swap the comparison
+    * operands to DECIMAL(38,0) in the same plan shape (the flag, not
+    * the estimate, is the contract; there is no precision to lose
+    * until 128 bits). */
+  def integerOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      z: Int): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("_n"),
+      sum(col(valueCol)).as("_s"),
+      sum(col(valueCol) * col(valueCol)).as("_q"))
+    val dev = col(valueCol) * col("_n") - col("_s")
+    df.join(stats, groupCol)
+      .where(dev * dev > lit(z.toLong * z) *
+        (col("_n") * col("_q") - col("_s") * col("_s")))
+      .drop("_n", "_s", "_q")
+  }
+
+  /** Rate-balanced Bernoulli downsampling: equalize group sizes by
+    * keeping each group's rows with probability target/|group|, where
+    * target is the SMALLEST group's size — the class-balancing pass
+    * before training on skewed domain mixes. The draw is the
+    * deterministic content-hash coin (hash60(id) under a per-group
+    * integer threshold floor(target/|group| · 2^60) — one double
+    * multiply of exact integers, then floor: replayable), so the
+    * sample is a function of the DATA, not of partitioning or rand()
+    * seeds.
+    *
+    * vs [[quotaSample]] (exact top-target per group on the heap
+    * operator): this is the SINGLE-SCAN form — group sizes are a
+    * groups-sized aggregate joined back broadcast-style, then one
+    * stateless filter; no per-group heap, no rank state, and the same
+    * coin keeps working in a streaming micro-batch where a rank
+    * operator would need global state. The price is binomial noise
+    * around target (±√target), the standard Bernoulli-vs-reservoir
+    * trade. */
+  def balancedSample(df: DataFrame, groupCol: String,
+      idCol: String): DataFrame = {
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_gn"))
+    val target = sizes.agg(min(col("_gn")).as("_t"))
+    val withThresh = df
+      .join(sizes, groupCol)
+      .crossJoin(broadcast(target)) // 1-row scalar
+      .withColumn("_thresh",
+        floor(col("_t").cast("double") / col("_gn").cast("double")
+          * lit(Sketches.HashSpace)).cast("long"))
+    withThresh
+      .where(TextDedup.hash60(col(idCol).cast("string")) < col("_thresh"))
+      .drop("_gn", "_t", "_thresh")
+  }
 }

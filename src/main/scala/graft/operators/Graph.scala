@@ -254,4 +254,58 @@ object Graph {
       .select(col("_m").as("_kill_id"))
     corpus.join(kill, corpus(idCol) === col("_kill_id"), "left_anti")
   }
+
+  /** Exact per-node triangle counts by DEGREE-ORDERED edge
+    * orientation (the MapReduce triangle-counting discipline of Suri &
+    * Vassilvitskii WWW'11 / Cohen's graph-join framework): each
+    * undirected edge is directed from its lower-(degree, id) endpoint
+    * to the higher, so every triangle has exactly one source / middle /
+    * sink under the induced total order and is enumerated ONCE — and,
+    * crucially for scale, the out-degree of every node is bounded by
+    * O(sqrt(|E|)) on the heavy end (a hub of degree d contributes
+    * wedges only through its ~sqrt-bounded FORWARD neighbors, never
+    * d² wedges), which is what keeps the wedge join from exploding on
+    * skewed graphs where an id-ordered orientation would.
+    *
+    * Plan shape: dedupe to canonical undirected edges (one exchange),
+    * degree aggregation (one exchange), the wedge equi-join on the
+    * middle vertex, and a semi-join closing wedges against the edge
+    * set — every step a hash join/agg on a key, nothing quadratic in
+    * nodes. The per-node counts are orientation-INDEPENDENT, so an
+    * oracle may replay the cheaper id-ordered orientation and must
+    * agree row for row. Output: (id, n_tri) for every node of the
+    * undirected graph, including triangle-free nodes at 0. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val o = und
+      .join(deg.toDF("u", "du"), "u")
+      .join(deg.toDF("v", "dv"), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("t"))
+    val wedges = o.as("e1").join(o.as("e2"), col("e1.t") === col("e2.s"))
+      .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
+    // close each wedge against the oriented edge set; semi-join keeps
+    // one row per (x,y,z) triangle (oriented edges are distinct rows)
+    val tri = wedges.join(
+      o.select(col("s").as("x"), col("t").as("z")), Seq("x", "z"), "left_semi")
+    val corners = tri.select(col("x").as("id"))
+      .union(tri.select(col("y").as("id")))
+      .union(tri.select(col("z").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("_n"))
+    deg.select(col("id"))
+      .join(corners, Seq("id"), "left")
+      .select(col("id"), coalesce(col("_n"), lit(0L)).as("n_tri"))
+  }
 }

@@ -178,4 +178,38 @@ object Search {
       .limit(k)
       .select(col("doc_id"), round(col("_score"), 6).as("score_r6"))
   }
+
+  /** Top-k characteristic terms per document by TF-IDF — the
+    * keyword-extraction pass (doc tags, index pruning, topic drift
+    * monitoring) over the same tokenization every text query shares:
+    *   score = tf · ln(N / df),  rounded to 6 decimals BEFORE ranking
+    * so both engines rank the identical rounded values (the
+    * perplexity/k-means float convention; ties inside a doc break by
+    * term — a total order).
+    *
+    * Plan shape: tf = one (doc, term) aggregation; df = one term
+    * aggregation OVER THE TF TABLE (vocabulary-sized input, not the
+    * token stream twice); N = one broadcast scalar; the per-doc top-k
+    * runs on [[graft.plans.TopKPerGroup]]'s heap — one clustered
+    * exchange, k rows of state per doc, NO per-group sort of
+    * vocabulary-sized posting lists. Nothing here is corpus-quadratic
+    * and the exchanges line up on their aggregation keys. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tfT = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tfT.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("_nd"))
+    val scored = tfT.join(dfT, "term")
+      .crossJoin(broadcast(nDocs)) // 1-row corpus scalar
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf").cast("double") *
+          log(col("_nd").cast("double") / col("df").cast("double")), 6)
+          .as("score6"))
+    graft.plans.TopKPerGroup.topKSorted(scored, Seq("doc_id"),
+        Seq("score6" -> false, "term" -> true), k, "rank")
+      .select(col("doc_id"), col("rank"), col("term"), col("score6"))
+  }
 }

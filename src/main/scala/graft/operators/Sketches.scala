@@ -84,6 +84,82 @@ object Sketches {
         lit((k - 1).toDouble * HashSpace) /
           element_at(kmvCol, k).cast("double")).cast("long"))
 
+  /** HLL register sketch per group ([[graft.functions.HllAgg]]):
+    * one row per group with `hll` = the m-register array. Input rows
+    * need NOT be distinct — duplicate updates are absorbed by the
+    * register max, which is the whole point: unlike [[kmv]] (whose
+    * update path still had to see each hash to keep the bottom-k
+    * distinct), HLL never materializes per-distinct state anywhere —
+    * the buffer is m bytes per (task, group), m bytes cross the wire,
+    * and merge is an element-wise max. KMV remains the higher-accuracy
+    * choice at equal oracle-replayability; HLL is the constant-memory
+    * one (256 bytes vs 2 KB at k=256) and the one whose merge is
+    * idempotent (re-merging a shard twice cannot skew it). */
+  def hll(df: DataFrame, groupCols: Seq[String], hashCol: String,
+      m: Int = 256): DataFrame =
+    df.select(groupCols.map(col) :+ col(hashCol).as("_h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.HyperLogLog.hllSketch(col("_h"), m).as("hll"))
+
+  /** The raw HLL estimator constant alpha_m * m^2 * 2^(wBits+1), where
+    * wBits = 60 - log2(m): the estimate is this double divided by the
+    * INTEGER register sum Z_int = sum_j 2^(wBits+1-M_j). Scaling Z by
+    * 2^(wBits+1) makes it an exact BIGINT (each term a power of two
+    * <= 2^53, at most m terms — order-independent integer addition),
+    * so the only floating-point steps are this constant (embed its
+    * `toString` in oracle SQL — shortest-round-trip repr parses to the
+    * same bits) and ONE IEEE division. */
+  def hllConstant(m: Int): Double = {
+    val wBits = 60 - java.lang.Integer.numberOfTrailingZeros(m)
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha * m * m * math.pow(2.0, wBits + 1)
+  }
+
+  /** The raw HLL estimate off a register array: floor(C / Z_int).
+    * Raw-only by design — the classic small-range linear-counting
+    * branch needs ln(), whose cross-engine determinism is weaker than
+    * one division; below ~2.5m distinct values prefer [[kmv]], which
+    * is EXACT there. The register fold is a groups-sized interpreted
+    * HOF over m elements — never on a per-row path. */
+  def hllEstimate(regs: Column, m: Int): Column = {
+    val wBits = 60 - java.lang.Integer.numberOfTrailingZeros(m)
+    val zInt = aggregate(regs, lit(0L),
+      (acc, r) => acc + floor(pow(lit(2.0), lit(wBits + 1) - r)).cast("long"))
+    floor(lit(hllConstant(m)) / zInt.cast("double")).cast("long")
+  }
+
+  /** Pairwise distinct-set OVERLAP estimation between groups off their
+    * KMV sketches (the Theta-sketch set-operation family, Dasgupta et
+    * al.): for every group pair (a < b), merge the two bottom-k
+    * sketches, count the merged sketch's hashes present in BOTH — an
+    * unbiased sample of the union weighted toward the intersection —
+    * and emit
+    *   `common`    (matches within the merged bottom-k),
+    *   `est_union` (the KMV estimator over the merged sketch),
+    *   `est_inter` = floor(common * est_union / k).
+    * "How much does source A overlap source B" for every pair of a
+    * 100 TB corpus's domains at the cost of ONE sketch pass plus a
+    * groups-sized pair join: the quadratic term is G² k-arrays (G =
+    * #groups — a dimension table), never data. All arithmetic is
+    * integer except one exact product (common·est_union < 2^53) and a
+    * division by k (a power of two — exact), so the estimates replay
+    * bit-for-bit in SQL. */
+  def kmvOverlap(df: DataFrame, groupCol: String, hashCol: String,
+      k: Int): DataFrame = {
+    val sk = kmv(df, Seq(groupCol), hashCol, k)
+    val a = sk.select(col(groupCol).as("source_a"), col("kmv").as("_ka"))
+    val b = sk.select(col(groupCol).as("source_b"), col("kmv").as("_kb"))
+    a.join(b, col("source_a") < col("source_b"))
+      .withColumn("_mg", merge(col("_ka"), col("_kb"), k))
+      .withColumn("common", size(array_intersect(
+        array_intersect(col("_mg"), col("_ka")), col("_kb"))).cast("long"))
+      .withColumn("est_union", estimate(col("_mg"), k))
+      .select(col("source_a"), col("source_b"), col("common"),
+        col("est_union"),
+        floor(col("common").cast("double") * col("est_union").cast("double")
+          / lit(k.toDouble)).cast("long").as("est_inter"))
+  }
+
   /** Quantile sketch by bottom-k uniform sampling — the third leg of
     * the mergeable-summary family (KMV = distinct count, Misra-Gries =
     * heavy hitters, this = quantiles): per group, keep the k rows
@@ -122,6 +198,45 @@ object Sketches {
           (floor((col("n_sample") - 1) * q) + 1).cast("int"))
           .cast("long").as(name)
       }: _*)
+  }
+
+  /** The depth bucket indexes of a key for [[countMinSketch]] —
+    * hash60(key || ':cm<i>') mod width, computed by codegen'd md5
+    * Column arithmetic so sketch build and probe (and the SQL oracle)
+    * share one definition. */
+  def cmBuckets(key: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(i =>
+      pmod(TextDedup.hash60(concat(key, lit(s":cm$i"))),
+        lit(width.toLong)).cast("int")): _*)
+
+  /** Global Count-Min frequency sketch over a key column: ONE row out
+    * (the depth×width counter matrix, row-major array<long>), built by
+    * [[graft.functions.CountMinAgg]] — partial matrices merge
+    * element-wise map-side, so the key domain never reaches the
+    * exchange; the shuffle carries depth·width longs per task, full
+    * stop. The pass a 100 TB pipeline runs when it needs after-the-fact
+    * point frequencies for arbitrary keys (not just retained
+    * candidates — that's [[heavyHitters]]' trade) at bounded memory. */
+  def countMinSketch(df: DataFrame, keyCol: String, depth: Int,
+      width: Int): DataFrame =
+    df.agg(graft.functions.CountMin.countMin(
+      cmBuckets(col(keyCol), depth, width), depth, width).as("cm"))
+
+  /** Point-frequency estimates for a probe-key relation off a built
+    * sketch: MIN over the key's depth counters — never under the true
+    * count, over by at most eps·N w.h.p. The sketch is a 1-row scalar
+    * (broadcast crossJoin, the repo's corpus-scalar idiom); probes
+    * stream through one scan. Integer arithmetic end to end. */
+  def countMinQuery(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val withB = probes
+      .crossJoin(broadcast(sketch)) // 1-row sketch scalar
+      .withColumn("_b", cmBuckets(col(keyCol), depth, width))
+    val ests = (0 until depth).map(i =>
+      element_at(col("cm"),
+        element_at(col("_b"), i + 1) + lit(i * width) + lit(1)))
+    val est = if (depth == 1) ests.head else least(ests: _*)
+    withB.select(col(keyCol), est.as("cnt_est"))
   }
 
   /** Exact global top-k over an unbounded key domain via a

@@ -1016,6 +1016,220 @@ object LlmQueries {
       |    AS p90_est
       |FROM a ORDER BY source""".stripMargin
 
+  /** HyperLogLog distinct-count sketch next to q_distinct_kmv's KMV:
+    * per source, estimate the distinct 3-shingle cardinality from 256
+    * one-byte registers ([[Sketches.hll]]) beside the exact count. No
+    * pre-distinct anywhere — duplicate shingles are absorbed by the
+    * register max, which is HLL's whole trade vs KMV (constant memory
+    * and idempotent merge for ~2× estimator error at equal register
+    * count). Every step — md5 hash60, integer bucket/rho splits,
+    * `bin()` bit lengths, an exact BIGINT register sum, ONE double
+    * division — replays bit-for-bit in the oracle, the determinism
+    * the engine-private approx_count_distinct (HLL++) can't offer. */
+  def qDistinctHll(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir).select(col("source"),
+      explode(TextDedup.shingles(col("text"), 3)).as("sp"))
+      .select(col("source"), TextDedup.hash60(col("sp")).as("h"))
+    val exact = sh.select("source", "h").distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    Sketches.hll(sh, Seq("source"), "h", m = 256)
+      .select(col("source"), Sketches.hllEstimate(col("hll"), 256).as("n_hll"))
+      .join(exact, "source")
+      .select(col("source"), col("n_exact"), col("n_hll"))
+      .orderBy(col("source"))
+  }
+
+  val qDistinctHllSql: String =
+    s"""WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT source,
+      |    try_cast('0x' || substr(md5(array_to_string(w[i+1:i+3], ' ')), 1, 15)
+      |      AS BIGINT) AS h
+      |  FROM d, unnest(range(len(w) - 2)) AS t(i)),
+      |b AS (SELECT source, h // 4503599627370496 AS bucket,
+      |    h % 4503599627370496 AS wr FROM sh),
+      |reg AS (SELECT source, bucket,
+      |    MAX(CASE WHEN wr = 0 THEN 53 ELSE 53 - length(bin(wr)) END) AS rho
+      |  FROM b GROUP BY source, bucket),
+      |srcs AS (SELECT DISTINCT source FROM sh),
+      |grid AS (SELECT srcs.source, r AS bucket
+      |  FROM srcs, unnest(range(256)) AS u(r)),
+      |z AS (SELECT grid.source,
+      |    CAST(SUM(CAST(power(2, 53 - coalesce(reg.rho, 0)) AS BIGINT))
+      |      AS BIGINT) AS zint
+      |  FROM grid LEFT JOIN reg
+      |    ON grid.source = reg.source AND grid.bucket = reg.bucket
+      |  GROUP BY grid.source),
+      |ex AS (SELECT source, count(*) AS n_exact FROM sh GROUP BY source)
+      |SELECT ex.source, n_exact,
+      |  CAST(FLOOR(${Sketches.hllConstant(256)} / CAST(zint AS DOUBLE))
+      |    AS BIGINT) AS n_hll
+      |FROM ex JOIN z ON ex.source = z.source
+      |ORDER BY ex.source""".stripMargin
+
+  /** Pairwise cross-source overlap estimation off KMV sketches
+    * ([[Sketches.kmvOverlap]] — the Theta-sketch set-operation move):
+    * every source pair's estimated distinct-shingle union and
+    * intersection from one sketch pass + a groups-sized pair join.
+    * "How much does domain A duplicate domain B" across a 100 TB
+    * corpus without ever joining data to data — the pair join touches
+    * G² k-arrays where G is the number of sources (a dimension), and
+    * the estimates are integer-exact replays. */
+  def qKmvOverlap(s: SparkSession, dir: String): DataFrame =
+    Sketches.kmvOverlap(
+        Tables.documents(s, dir).select(col("source"),
+            explode(TextDedup.shingles(col("text"), 3)).as("sp"))
+          .select(col("source"), TextDedup.hash60(col("sp")).as("h")),
+        "source", "h", k = 256)
+      .orderBy(col("source_a"), col("source_b"))
+
+  val qKmvOverlapSql: String =
+    """WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT source,
+      |    try_cast('0x' || substr(md5(array_to_string(w[i+1:i+3], ' ')), 1, 15)
+      |      AS BIGINT) AS h
+      |  FROM d, unnest(range(len(w) - 2)) AS t(i)),
+      |r AS (SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |  FROM sh),
+      |sk AS (SELECT source, array_agg(h ORDER BY h) AS kmv
+      |  FROM r WHERE rn <= 256 GROUP BY source),
+      |p AS (SELECT a.source AS source_a, b.source AS source_b,
+      |    a.kmv AS ka, b.kmv AS kb
+      |  FROM sk a JOIN sk b ON a.source < b.source),
+      |m AS (SELECT source_a, source_b, ka, kb,
+      |    list_sort(list_distinct(ka || kb))[1:256] AS mg FROM p),
+      |c AS (SELECT source_a, source_b, mg,
+      |    len(list_filter(mg,
+      |      x -> list_contains(ka, x) AND list_contains(kb, x))) AS common
+      |  FROM m),
+      |u AS (SELECT source_a, source_b, common,
+      |    CASE WHEN len(mg) < 256 THEN CAST(len(mg) AS BIGINT)
+      |         ELSE CAST(FLOOR(255.0 * 1152921504606846976.0
+      |                 / CAST(mg[256] AS DOUBLE)) AS BIGINT) END AS est_union
+      |  FROM c)
+      |SELECT source_a, source_b, CAST(common AS BIGINT) AS common, est_union,
+      |  CAST(FLOOR(CAST(common AS DOUBLE) * CAST(est_union AS DOUBLE)
+      |    / 256.0) AS BIGINT) AS est_inter
+      |FROM u ORDER BY source_a, source_b""".stripMargin
+
+  /** Count-Min point-frequency estimates for the exact top-20 words
+    * next to their true counts — the two frequency summaries composed:
+    * the probe set is [[Sketches.heavyHitters]]' Misra-Gries two-pass
+    * top-k (exact, bounded state), the estimates come from a 4×256
+    * [[Sketches.countMinSketch]] counter matrix built in ONE pass with
+    * nothing but 8 KB of longs per task crossing the wire. At the
+    * gate's vocabulary (≫ 256 buckets) collisions are real, so
+    * cnt_est ≥ cnt_true with deterministic integer overshoot the
+    * oracle replays by grouping the same md5 buckets. */
+  def qCountMin(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val probes = Sketches.heavyHitters(words, "word", k = 20, capacity = 512)
+    val sketch = Sketches.countMinSketch(words, "word", depth = 4, width = 256)
+    Sketches.countMinQuery(sketch, probes, "word", depth = 4, width = 256)
+      .join(probes, "word")
+      .select(col("word"), col("cnt").as("cnt_true"), col("cnt_est"))
+      .orderBy(col("cnt_true").desc, col("word"))
+  }
+
+  val qCountMinSql: String =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |tot AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+      |probes AS (SELECT word, cnt FROM tot ORDER BY cnt DESC, word LIMIT 20),
+      |rows_ AS (SELECT i FROM unnest(range(4)) AS t(i)),
+      |cm AS (SELECT rows_.i,
+      |    try_cast('0x' || substr(md5(tot.word || ':cm' || rows_.i), 1, 15)
+      |      AS BIGINT) % 256 AS bucket,
+      |    SUM(tot.cnt) AS c
+      |  FROM tot, rows_ GROUP BY rows_.i, bucket),
+      |pb AS (SELECT probes.word, probes.cnt, rows_.i,
+      |    try_cast('0x' || substr(md5(probes.word || ':cm' || rows_.i), 1, 15)
+      |      AS BIGINT) % 256 AS bucket
+      |  FROM probes, rows_)
+      |SELECT pb.word, CAST(MAX(pb.cnt) AS BIGINT) AS cnt_true,
+      |  CAST(MIN(cm.c) AS BIGINT) AS cnt_est
+      |FROM pb JOIN cm ON pb.i = cm.i AND pb.bucket = cm.bucket
+      |GROUP BY pb.word
+      |ORDER BY cnt_true DESC, word""".stripMargin
+
+  /** Per-domain length anomaly detection in EXACT integer arithmetic
+    * ([[Corpus.integerOutliers]], z = 2): the |x−μ| > 2σ flag
+    * algebraized to BIGINT products so the flag is order-independent
+    * and replays without a floating mean/stddev. One groups-sized
+    * aggregation joined back to the scan. */
+  def qOutliers(s: SparkSession, dir: String): DataFrame =
+    Corpus.integerOutliers(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars", z = 2)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val qOutliersSql: String =
+    """WITH st AS (SELECT source, count(*) AS n, sum(n_chars) AS s,
+      |    sum(n_chars * n_chars) AS q
+      |  FROM documents GROUP BY source)
+      |SELECT d.doc_id, d.source, d.n_chars
+      |FROM documents d JOIN st USING (source)
+      |WHERE (d.n_chars * st.n - st.s) * (d.n_chars * st.n - st.s)
+      |    > 4 * (st.n * st.q - st.s * st.s)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Class-balanced Bernoulli downsampling by language
+    * ([[Corpus.balancedSample]]): every language kept at the smallest
+    * language's expected size via a per-group deterministic
+    * content-hash coin — single scan, no heap state, the
+    * streaming-compatible twin of q_sample_quota's exact top-k. The
+    * kept row SET is a pure function of the data, replayed by the
+    * oracle threshold-for-threshold. */
+  def qSampleBalanced(s: SparkSession, dir: String): DataFrame =
+    Corpus.balancedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          col("source")),
+        "lang", "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val qSampleBalancedSql: String =
+    """WITH g AS (SELECT lang, count(*) AS gn FROM documents GROUP BY lang),
+      |t AS (SELECT min(gn) AS tmin FROM g)
+      |SELECT d.doc_id, d.lang, d.source
+      |FROM documents d JOIN g USING (lang) CROSS JOIN t
+      |WHERE try_cast('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+      |    AS BIGINT)
+      |  < CAST(FLOOR(CAST(tmin AS DOUBLE) / CAST(gn AS DOUBLE)
+      |      * 1152921504606846976.0) AS BIGINT)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Top-3 characteristic terms per document by TF-IDF
+    * ([[graft.operators.Search.tfidfTopTerms]]): tf·ln(N/df) rounded
+    * to 6 decimals BEFORE ranking (both engines rank identical
+    * rounded scores; in-doc ties break by term), per-doc top-k on the
+    * custom heap operator — one clustered exchange, no
+    * vocabulary-sized sorts. */
+  def qTfidf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Search.tfidfTopTerms(
+        Tables.documents(s, dir), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  val qTfidfSql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |nd AS (SELECT count(*) AS n FROM documents),
+      |sc AS (SELECT tf.doc_id, tf.term,
+      |    round(CAST(tf.tf AS DOUBLE)
+      |      * ln(CAST(nd.n AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS score6
+      |  FROM tf JOIN df USING (term) CROSS JOIN nd),
+      |r AS (SELECT doc_id, term, score6,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score6 DESC, term) AS INT) AS rank
+      |  FROM sc)
+      |SELECT doc_id, rank, term, score6 FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   def qLangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("_w"))

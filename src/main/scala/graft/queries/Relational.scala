@@ -778,4 +778,67 @@ object Relational {
       |  CAST(sum(u.max_eid) AS BIGINT) AS sum_me
       |FROM events e JOIN u USING (user_id)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** CUBE over (event_type, ISO day-of-week) — the full grouping-sets
+    * lattice next to [[qRollup]]'s hierarchy: per-cell counts, both
+    * one-dimension marginals AND the grand total in ONE aggregation
+    * pass (Catalyst expands the 4 grouping sets before the exchange;
+    * partial aggregation still combines map-side, so the shuffle
+    * carries ≤ 4× the group cardinality, never 4× the data). Money is
+    * summed as floor(value·100) cents — integer addition is
+    * order-independent, so the cross-engine hash can't wobble the way
+    * a double SUM would. NULL group markers emit as 'ALL' (the
+    * qRollup discipline); Spark's weekday()+1 == DuckDB's isodow. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        (weekday(col("ts")) + 1).as("dow"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .cube(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("dow").cast("string"), lit("ALL")).as("dow"),
+        col("n"), col("sum_cents"))
+      .orderBy(col("event_type"), col("dow"))
+
+  val qCubeSql: String =
+    """WITH e AS (SELECT event_type, isodow(ts) AS dow,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT coalesce(event_type, 'ALL') AS event_type,
+      |  coalesce(CAST(dow AS VARCHAR), 'ALL') AS dow,
+      |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM e GROUP BY CUBE (event_type, dow)
+      |ORDER BY event_type, dow""".stripMargin
+
+  /** Per-node triangle counts over a synthesized 997-node event graph
+    * ([[graft.operators.Graph.triangleCounts]] — degree-ordered
+    * orientation, wedge equi-join + closing semi-join, nothing
+    * quadratic). The oracle replays the cheaper id-ordered
+    * orientation; per-node counts are orientation-independent, so the
+    * two must agree row for row — which is exactly what makes the
+    * skew-proof orientation safe to ship. */
+  def qTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangleCounts(
+        Tables.events(s, dir)
+          .select((col("event_id") % 997).as("src"),
+            ((col("event_id") * 7919 + 13) % 997).as("dst")),
+        "src", "dst")
+      .orderBy(col("id"))
+
+  val qTrianglesSql: String =
+    """WITH raw AS (SELECT event_id % 997 AS a,
+      |    (event_id * 7919 + 13) % 997 AS b FROM events),
+      |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |  FROM raw WHERE a <> b),
+      |t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |c AS (SELECT x AS id FROM t UNION ALL SELECT y FROM t
+      |  UNION ALL SELECT z FROM t),
+      |g AS (SELECT id, count(*) AS cnt FROM c GROUP BY id),
+      |nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e)
+      |SELECT nodes.id, CAST(coalesce(g.cnt, 0) AS BIGINT) AS n_tri
+      |FROM nodes LEFT JOIN g USING (id)
+      |ORDER BY nodes.id""".stripMargin
 }
