@@ -136,13 +136,17 @@ object Sketches {
     * and emit
     *   `common`    (matches within the merged bottom-k),
     *   `est_union` (the KMV estimator over the merged sketch),
-    *   `est_inter` = floor(common * est_union / k).
+    *   `est_inter` = floor(common * est_union / |merged|), where
+    *   |merged| = min(k, |union|) is the merged sample's actual size —
+    *   k once the sketches are full, the exact union count below it
+    *   (where `common` is already the exact intersection, so the
+    *   ratio collapses to `common` itself).
     * "How much does source A overlap source B" for every pair of a
     * 100 TB corpus's domains at the cost of ONE sketch pass plus a
     * groups-sized pair join: the quadratic term is G² k-arrays (G =
     * #groups — a dimension table), never data. All arithmetic is
-    * integer except one exact product (common·est_union < 2^53) and a
-    * division by k (a power of two — exact), so the estimates replay
+    * integer except one exact product (common·est_union < 2^53) and
+    * one IEEE double division — deterministic, so the estimates replay
     * bit-for-bit in SQL. */
   def kmvOverlap(df: DataFrame, groupCol: String, hashCol: String,
       k: Int): DataFrame = {
@@ -157,7 +161,7 @@ object Sketches {
       .select(col("source_a"), col("source_b"), col("common"),
         col("est_union"),
         floor(col("common").cast("double") * col("est_union").cast("double")
-          / lit(k.toDouble)).cast("long").as("est_inter"))
+          / size(col("_mg")).cast("double")).cast("long").as("est_inter"))
   }
 
   /** Quantile sketch by bottom-k uniform sampling — the third leg of

@@ -1102,14 +1102,14 @@ object LlmQueries {
       |    len(list_filter(mg,
       |      x -> list_contains(ka, x) AND list_contains(kb, x))) AS common
       |  FROM m),
-      |u AS (SELECT source_a, source_b, common,
+      |u AS (SELECT source_a, source_b, common, len(mg) AS msz,
       |    CASE WHEN len(mg) < 256 THEN CAST(len(mg) AS BIGINT)
       |         ELSE CAST(FLOOR(255.0 * 1152921504606846976.0
       |                 / CAST(mg[256] AS DOUBLE)) AS BIGINT) END AS est_union
       |  FROM c)
       |SELECT source_a, source_b, CAST(common AS BIGINT) AS common, est_union,
       |  CAST(FLOOR(CAST(common AS DOUBLE) * CAST(est_union AS DOUBLE)
-      |    / 256.0) AS BIGINT) AS est_inter
+      |    / CAST(msz AS DOUBLE)) AS BIGINT) AS est_inter
       |FROM u ORDER BY source_a, source_b""".stripMargin
 
   /** Count-Min point-frequency estimates for the exact top-20 words

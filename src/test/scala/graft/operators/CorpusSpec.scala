@@ -306,4 +306,70 @@ class CorpusSpec extends SparkSpec {
       .collect().map(x => (x.getString(1), x.getLong(0)))
     assert(other.sorted.toSeq !== r.sorted.toSeq)
   }
+
+  test("integerOutliers: agrees with the floating z-score on clear data " +
+      "and flags nothing on a constant group") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // group a: tight cluster around 100 plus two far outliers;
+    // group b: every value identical (variance 0 — nothing may flag)
+    val rows = (1 to 200).map(i => (i.toLong, "a", 95L + rnd.nextInt(11))) ++
+      Seq((201L, "a", 100000L), (202L, "a", -50000L)) ++
+      (301 to 340).map(i => (i.toLong, "b", 42L))
+    val df = rows.toDF("id", "g", "v")
+    val flagged = Corpus.integerOutliers(df, "g", "v", z = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // brute-force float z-score over the same data
+    val byG = rows.groupBy(_._2)
+    val expect = byG.flatMap { case (_, rs) =>
+      val vs = rs.map(_._3.toDouble)
+      val n = vs.length
+      val mean = vs.sum / n
+      val varPop = vs.map(x => (x - mean) * (x - mean)).sum / n
+      rs.filter { case (_, _, v) =>
+        (v - mean) * (v - mean) > 9.0 * varPop }.map(_._1)
+    }.toSet
+    assert(flagged === expect)
+    assert(flagged === Set(201L, 202L))
+    assert(!flagged.exists(_ >= 301L), "constant group must not flag")
+  }
+
+  test("integerOutliers: strict inequality — a two-point group never " +
+      "flags at z>=1 (each point is exactly 1 sigma out)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "g", 0L), (2L, "g", 10L)).toDF("id", "g", "v")
+    assert(Corpus.integerOutliers(df, "g", "v", z = 1).count() === 0L)
+  }
+
+  test("balancedSample: smallest group survives whole; larger groups " +
+      "land near the target; deterministic under repartitioning") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 2000).map(i => (i.toLong, "big")) ++
+      (2001 to 2400).map(i => (i.toLong, "mid")) ++
+      (2401 to 2520).map(i => (i.toLong, "small"))
+    val df = rows.toDF("id", "g")
+    val kept = Corpus.balancedSample(df, "g", "id")
+    val sizes = kept.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the min group's threshold is 2^60 → every row kept, exactly
+    assert(sizes("small") === 120L)
+    // Bernoulli at target=120: ±4·sqrt(120) ≈ ±44
+    assert(math.abs(sizes("big") - 120L) <= 44, s"big=${sizes("big")}")
+    assert(math.abs(sizes("mid") - 120L) <= 44, s"mid=${sizes("mid")}")
+    val again = Corpus.balancedSample(df.repartition(7), "g", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === kept.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("balancedSample: kept set is a subset closed under the hash coin " +
+      "(same id kept in every group-size regime it qualifies for)") {
+    val s = spark
+    import s.implicits._
+    // one group only → trivially all kept (target = own size)
+    val df = (1 to 50).map(i => (i.toLong, "only")).toDF("id", "g")
+    assert(Corpus.balancedSample(df, "g", "id").count() === 50L)
+  }
 }

@@ -133,4 +133,59 @@ class GraphSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(total - 1.0) < 1e-6, s"mass not conserved: $total")
   }
+
+  test("triangleCounts: K4 — every node closes C(3,2)=3 triangles") {
+    val s2 = spark
+    import s2.implicits._
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("s", "d")
+    val r = Graph.triangleCounts(k4, "s", "d").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: duplicates, reversed edges, and self-loops " +
+      "do not inflate; triangle-free nodes emit zero") {
+    val s2 = spark
+    import s2.implicits._
+    // one triangle 1-2-3 (each edge also reversed + duplicated), a
+    // self-loop at 1, and a pendant path 3-4-5
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L),
+      (3L, 1L), (1L, 3L), (1L, 1L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val r = Graph.triangleCounts(edges, "s", "d").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+  }
+
+  test("triangleCounts: matches brute-force enumeration on a random graph") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(41)
+    val und = (for { a <- 1L to 40L; b <- 1L to 40L
+      if a < b && rnd.nextDouble() < 0.15 } yield (a, b)).toSet
+    // feed in random orientation
+    val edges = und.toSeq.map { case (a, b) =>
+      if (rnd.nextBoolean()) (a, b) else (b, a) }.toDF("s", "d")
+    val got = Graph.triangleCounts(edges, "s", "d").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def has(a: Long, b: Long) = und.contains((math.min(a, b), math.max(a, b)))
+    val nodes = und.flatMap(e => Seq(e._1, e._2))
+    val brute = nodes.map { n =>
+      val nbrs = nodes.filter(m => m != n && has(n, m)).toSeq
+      n -> (for { i <- nbrs.indices; j <- i + 1 until nbrs.size
+        if has(nbrs(i), nbrs(j)) } yield 1).size.toLong
+    }.toMap
+    assert(got === brute)
+  }
+
+  test("triangleCounts: output covers exactly the non-isolated node set") {
+    val s2 = spark
+    import s2.implicits._
+    val edges = Seq((1L, 2L), (7L, 7L)).toDF("s", "d")
+    // 7's only edge is a self-loop → dropped entirely; 1 and 2 emit 0
+    val r = Graph.triangleCounts(edges, "s", "d").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 0L, 2L -> 0L))
+  }
 }

@@ -149,4 +149,45 @@ class SearchSpec extends SparkSpec {
       .select(col("postings.doc_id")).collect()(0).getSeq[Long](0)
     assert(firstSeg === firstSeg.sorted)
   }
+
+  test("tfidfTopTerms: hand-checked scores, rank order, tie-break by term") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "banana cherry shared shared"),
+      (3L, "cherry cherry cherry shared")).toDF("doc_id", "text")
+    val r = Search.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getString(2),
+        x.getDouble(3)))
+    def idf(df: Int) = math.log(3.0 / df)
+    def s6(tf: Int, df: Int) =
+      BigDecimal(tf * idf(df)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    // doc 1: apple tf=2 df=1 → 2·ln3; banana tf=1 df=2 → ln1.5;
+    // shared df=3 → idf 0 (never outranks a positive score)
+    assert(r.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toSeq ===
+      Seq((1, "apple", s6(2, 1)), (2, "banana", s6(1, 2))))
+    // doc 3: cherry tf=3 df=2 → 3·ln1.5 tops; then banana-vs-shared:
+    // only 'shared' remains (score 0) → rank 2 = shared
+    assert(r.filter(_._1 == 3L).map(t => (t._2, t._3)).toSeq ===
+      Seq((1, "cherry"), (2, "shared")))
+    // doc 2: banana and cherry both tf=1 df=2 — identical score, the
+    // tie breaks lexicographically: banana before cherry
+    assert(r.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq ===
+      Seq((1, "banana"), (2, "cherry")))
+  }
+
+  test("tfidfTopTerms: k caps per-doc output; every doc emits") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 30L).map(i =>
+      (i, (0 until 10).map(j => s"w${(i + j) % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Search.tfidfTopTerms(docs, "doc_id", "text", k = 3)
+    val perDoc = r.groupBy("doc_id").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(perDoc.size === 30)
+    assert(perDoc.values.forall(_ <= 3))
+  }
 }

@@ -225,4 +225,166 @@ class SketchSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(merged === whole)
   }
+
+  // ---- HyperLogLog register sketch -------------------------------------
+
+  test("hll: estimate lands within the sketch's error band (m=256)") {
+    val n = 20000
+    val est = Sketches.hll(hashedValues("a", 0 until n), Seq("g"), "h", 256)
+      .select(Sketches.hllEstimate(col("hll"), 256))
+      .collect()(0).getLong(0)
+    // raw-HLL relative error ~1.04/sqrt(256) ≈ 6.5%; allow 4 sigma
+    assert(math.abs(est - n).toDouble / n < 0.26, s"est=$est for n=$n")
+  }
+
+  test("hll: duplicates never move the registers (idempotent update)") {
+    val base = hashedValues("a", 0 until 1500)
+    def regs(d: org.apache.spark.sql.DataFrame) =
+      Sketches.hll(d, Seq("g"), "h", 128).collect()(0).getSeq[Int](1)
+    assert(regs(base) === regs(base.union(base).union(base)))
+  }
+
+  test("hll: merge of disjoint-slice sketches equals the whole-input " +
+      "sketch, and re-merging a slice twice is harmless") {
+    val all = hashedValues("a", 0 until 3000).cache()
+    val p1 = all.where(pmod(col("h"), lit(2)) === 0)
+    val p2 = all.where(pmod(col("h"), lit(2)) === 1)
+    def regs(d: org.apache.spark.sql.DataFrame) =
+      Sketches.hll(d, Seq("g"), "h", 128).collect()(0).getSeq[Int](1)
+    val (w, r1, r2) = (regs(all), regs(p1), regs(p2))
+    val merged = r1.zip(r2).map { case (x, y) => math.max(x, y) }
+    assert(merged === w)
+    // idempotence: max-merging p1's registers in AGAIN changes nothing —
+    // the property KMV's k-bounded union does not have
+    val again = merged.zip(r1).map { case (x, y) => math.max(x, y) }
+    assert(again === w)
+    all.unpersist()
+  }
+
+  test("hll: registers are partition-layout independent") {
+    val d = hashedValues("a", 0 until 2000)
+    def regs(x: org.apache.spark.sql.DataFrame) =
+      Sketches.hll(x, Seq("g"), "h", 256).collect()(0).getSeq[Int](1)
+    assert(regs(d.repartition(1)) === regs(d.repartition(13)))
+  }
+
+  test("hll: estimator replays off the registers as floor(C / Z_int)") {
+    val regs = Sketches.hll(hashedValues("a", 0 until 5000), Seq("g"), "h", 256)
+    val viaColumn = regs.select(Sketches.hllEstimate(col("hll"), 256))
+      .collect()(0).getLong(0)
+    // hand fold: Z_int = sum 2^(wBits+1-M_j) as exact integers
+    val m = 256
+    val wBits = 60 - java.lang.Integer.numberOfTrailingZeros(m)
+    val rs = regs.collect()(0).getSeq[Int](1)
+    val zInt = rs.map(r => math.pow(2.0, (wBits + 1 - r).toDouble).floor.toLong).sum
+    val byHand = math.floor(Sketches.hllConstant(m) / zInt.toDouble).toLong
+    assert(viaColumn === byHand)
+  }
+
+  // ---- Count-Min frequency sketch --------------------------------------
+
+  private def keyStream(seed: Int) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    // zipfish: key k<i> appears ~ i times
+    (1 to 60).flatMap(i => Seq.fill(i)(s"k$i")).map(k => (k, rnd.nextInt()))
+      .map(_._1).toDF("k")
+  }
+
+  test("countMin: never underestimates any key, exact at generous width") {
+    val df = keyStream(7).cache()
+    val sk = Sketches.countMinSketch(df, "k", depth = 4, width = 1024)
+    val truth = df.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probes = df.select(col("k")).distinct()
+    val ests = Sketches.countMinQuery(sk, probes, "k", 4, 1024).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, n) =>
+      assert(ests(k) >= n, s"underestimate for $k")
+      // 60 keys across 1024*4 counters: collisions vanishingly likely
+      assert(ests(k) === n, s"collision inflated $k: ${ests(k)} vs $n")
+    }
+    df.unpersist()
+  }
+
+  test("countMin: estimates bounded by eps*N even at tight width") {
+    val df = keyStream(11).cache()
+    val n = df.count()
+    val width = 32 // eps = e/32 ≈ 8.5%
+    val sk = Sketches.countMinSketch(df, "k", depth = 5, width = width)
+    val truth = df.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ests = Sketches.countMinQuery(sk, df.select("k").distinct(),
+      "k", 5, width).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eps = math.E / width
+    truth.foreach { case (k, t) =>
+      assert(ests(k) >= t)
+      assert(ests(k) <= t + (3 * eps * n).toLong,
+        s"over-bound blown for $k: ${ests(k)} vs $t (N=$n)")
+    }
+    df.unpersist()
+  }
+
+  test("countMin: matrix is partition-layout independent (element-wise " +
+      "sum merge)") {
+    val df = keyStream(3)
+    def mat(d: org.apache.spark.sql.DataFrame) =
+      Sketches.countMinSketch(d, "k", 4, 64).collect()(0).getSeq[Long](0)
+    assert(mat(df.repartition(1)) === mat(df.repartition(9)))
+  }
+
+  test("countMin: matrix total row-sum per depth row equals N") {
+    val df = keyStream(5)
+    val n = df.count()
+    val m = Sketches.countMinSketch(df, "k", 3, 64).collect()(0).getSeq[Long](0)
+    (0 until 3).foreach { d =>
+      assert(m.slice(d * 64, (d + 1) * 64).sum === n)
+    }
+  }
+
+  // ---- KMV pairwise overlap --------------------------------------------
+
+  test("kmvOverlap: exact when both groups fit inside k") {
+    val s = spark
+    import s.implicits._
+    // a = {0..99}, b = {50..179}: |a∩b| = 50, |a∪b| = 180
+    val df = ((0 until 100).map(v => ("a", s"v$v")) ++
+        (50 until 180).map(v => ("b", s"v$v")))
+      .toDF("g", "v")
+      .select(col("g"), TextDedup.hash60(col("v")).as("h"))
+    val r = Sketches.kmvOverlap(df, "g", "h", k = 512).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getString(0) === "a" && row.getString(1) === "b")
+    assert(row.getAs[Long]("common") === 50L)
+    assert(row.getAs[Long]("est_union") === 180L)
+    // below k the merged sample IS the union, so the ratio estimator
+    // collapses to the exact intersection
+    assert(row.getAs[Long]("est_inter") === 50L)
+  }
+
+  test("kmvOverlap: estimates land in band at super-k cardinalities " +
+      "and only a<b pairs emit") {
+    val s = spark
+    import s.implicits._
+    val n = 4000; val overlap = 2000
+    val df = ((0 until n).map(v => ("a", s"x$v")) ++
+        ((n - overlap) until (2 * n - overlap)).map(v => ("b", s"x$v")) ++
+        (0 until 100).map(v => ("c", s"y$v")))
+      .toDF("g", "v")
+      .select(col("g"), TextDedup.hash60(col("v")).as("h"))
+    val rows = Sketches.kmvOverlap(df, "g", "h", k = 256).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = rows.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    val trueUnion = 2 * n - overlap
+    assert(math.abs(ab.getAs[Long]("est_union") - trueUnion).toDouble
+      / trueUnion < 0.3)
+    assert(math.abs(ab.getAs[Long]("est_inter") - overlap).toDouble
+      / overlap < 0.45)
+    // disjoint pair: c shares nothing with a
+    val ac = rows.find(r => r.getString(0) == "a" && r.getString(1) == "c").get
+    assert(ac.getAs[Long]("est_inter") <= 100L)
+  }
 }
