@@ -196,7 +196,22 @@ object ScaleStress {
       "q_sessionize", "q_funnel", "q_retention", "q_pagerank",
       // compaction: write 64 small files of the (10x) fact slice, then
       // one read + size-targeted rewrite + swap — IO-linear by shape
-      "q_compact")
+      "q_compact",
+      // round 13: the new sketch family. HLL = constant 256-byte
+      // buffers per (task, source); Count-Min = one 8 KB matrix + the
+      // MG candidate pass; KMV overlap = one sketch pass + a
+      // sources²-sized pair join (sources constant under copies);
+      // all three should read ~scan-bound
+      "q_distinct_hll", "q_countmin", "q_kmv_overlap",
+      // TF-IDF: tf rows and vocabulary both 10x by the word-suffix
+      // construction, the per-doc top-k heap carries k rows per doc
+      "q_tfidf",
+      // CUBE over 10x events (lattice ×4 of the base agg), integer
+      // outliers + balanced sample = two-agg scans over documents.
+      // q_triangles saturates its 997-node id-mod graph near 1x
+      // (edges cap at ~497k), so 10x measures the distinct() scan
+      // plus a denser-but-bounded wedge join — expect sub-linear
+      "q_cube", "q_outliers", "q_sample_balanced", "q_triangles")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)
