@@ -64,4 +64,63 @@ object Events {
         when(col(s"t$i").isNotNull, 1).otherwise(0)).reduce(_ + _)
         .cast("int"))
   }
+
+  /** SCD-2 state intervals: collapse a key's ordered event stream into
+    * maximal runs of equal `stateCol`, emitting one row per run with
+    * `valid_from` (the run's first event ts) and `valid_to` (the NEXT
+    * run's start, null while current) — the slowly-changing-dimension
+    * type-2 table a warehouse derives from a mutation log, and the
+    * batch twin of the streaming state tracker. Reference analogue:
+    * the version-history chain idb keeps per record etag
+    * (RecordStore's version assignment), generalized to arbitrary
+    * state columns.
+    *
+    * One exchange on the key; change detection via lag, `valid_to`
+    * via lead OVER THE CHANGE ROWS ONLY (the second window reads the
+    * runs-sized relation, not the stream). `tieCol` breaks equal-ts
+    * ordering deterministically (pass the event id). */
+  def stateIntervals(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val changes = events
+      .withColumn("_prev", lag(col(stateCol), 1).over(w))
+      .where(col("_prev").isNull || col("_prev") =!= col(stateCol))
+    val wc = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wc))
+      .select(col(keyCol), col(stateCol), col("valid_from"),
+        col("valid_to"))
+  }
+
+  /** Burst debounce: keep only the FIRST event of every burst, where a
+    * burst is a maximal run of a (key, type)'s events with inter-event
+    * gaps <= `windowSec` — the dedup a telemetry pipeline applies to
+    * retry storms and double-clicks before counting anything. The
+    * kept rows are exactly the [[sessionize]] boundary rows
+    * (partitioned by key AND type): an event survives iff its gap
+    * from the previous RAW event exceeds the window — which IS
+    * "first of each gap-session", since a session is a maximal run
+    * of sub-window gaps. (The other debounce dialect — "within w of
+    * the last KEPT event" — is a throttle: it needs iterated state
+    * and its kept set is not a pure window function; the streaming
+    * side owns that one via mapGroupsWithState.)
+    *
+    * One exchange on (key, type); boundaries via lag, kept rows =
+    * boundary rows themselves (no second window, no running sum —
+    * unlike [[sessionize]] we only need the heads). Equal-ts ties
+    * order by `tieCol` for a deterministic kept set. */
+  def debounce(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tieCol: String, windowSec: Long): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val w = Window.partitionBy(col(keyCol), col(typeCol))
+      .orderBy(us, col(tieCol))
+    events
+      .withColumn("_gap_us", us - lag(us, 1).over(w))
+      .where(col("_gap_us").isNull ||
+        col("_gap_us") > windowSec * 1000000L)
+      .drop("_gap_us")
+  }
 }

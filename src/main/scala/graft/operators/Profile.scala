@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-profiling operators — the "look before you shuffle" passes a
+  * 100 TB pipeline runs to SIZE the real work: value histograms to
+  * pick partition ranges, key-skew diagnostics to decide salting,
+  * category entropy to rank mixing columns, and sketch-based join
+  * cardinality estimates to choose broadcast-vs-shuffle before paying
+  * for either. Reference analogue: the summary/stats passes behind
+  * idb's api stats endpoints (summary counts, top values) — here
+  * generalized into reusable profiling primitives.
+  *
+  * All four are one-or-two-aggregation plans over the scan (map-side
+  * combined, groups-sized results) — nothing joins data to data, and
+  * every emitted number is either exact integer arithmetic or one
+  * deterministic IEEE double step, so the profiles replay bit-for-bit
+  * under the DuckDB oracle.
+  */
+object Profile {
+
+  /** Per-group equi-width histogram over an INTEGER measure in exact
+    * integer arithmetic: bucket of x = floor((x − lo)·B / (hi − lo + 1))
+    * over the group's own [lo, hi] — the +1 makes the divisor cover hi
+    * (bucket index stays < B) with no floating widths and no
+    * edge-epsilon: every step is a BIGINT multiply/divide both engines
+    * evaluate identically. Output one row per NON-EMPTY (group,
+    * bucket): group, bucket, lo, hi, n.
+    *
+    * Plan: one groups-sized min/max aggregation joined back to the
+    * scan (broadcast-sized), then one (group, bucket) count — two
+    * exchanges, both on aggregation keys, nothing row-expanding.
+    * Empty buckets are omitted by design (the consumer densifies
+    * against `range(B)` if it wants zeros — keeping the operator's
+    * output proportional to occupied buckets, not G·B). */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"need >= 1 bucket, got $buckets")
+    val stats = df.groupBy(col(groupCol)).agg(
+      min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+    df.join(stats, groupCol)
+      .withColumn("bucket",
+        floor((col(valueCol) - col("lo")) * lit(buckets.toLong) /
+          (col("hi") - col("lo") + lit(1L))).cast("long"))
+      .groupBy(col(groupCol), col("bucket"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(groupCol), col("bucket"), col("lo"), col("hi"), col("n"))
+  }
+
+  /** Key-skew diagnostic for a prospective shuffle/join key: ONE row —
+    *   n_rows, n_keys (exact), max_cnt (the heaviest key's count),
+    *   hot_key (deterministic: the lexicographically-last among
+    *   tied-heaviest, via max over struct(cnt, key)),
+    *   skew6 = round(max_cnt · n_keys / n_rows, 6) — 1.0 means
+    * perfectly uniform, ≥ ~8 means the hot key dominates its
+    * hash-partition and the join wants salting ([[Skew.saltedJoin]])
+    * or an AQE skew split. The decision input, computed for the cost
+    * of one per-key count (map-side combined) plus a keys-sized
+    * single-row fold — run it BEFORE the 100 TB shuffle, not after
+    * the straggler shows up. */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("_c"))
+      .agg(sum(col("_c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("_c")).as("max_cnt"),
+        max(struct(col("_c"), col(keyCol).cast("string").as("k"))).as("_m"))
+      .select(col("n_rows").cast("long").as("n_rows"), col("n_keys"),
+        col("max_cnt"), col("_m").getField("k").as("hot_key"),
+        round(col("max_cnt").cast("double") * col("n_keys").cast("double")
+          / col("n_rows").cast("double"), 6).as("skew6"))
+
+  /** Per-group Shannon entropy (nats, 6 decimals) of a categorical
+    * column — the "how mixed is this domain" score that ranks
+    * stratification columns and flags near-constant ones before a
+    * pipeline keys anything on them. Determinism: each category's
+    * term p·ln(1/p) is rounded to integer NANO-nats (one IEEE
+    * multiply+log per CATEGORY, then round — both engines see the
+    * same double), summed as exact BIGINTs (order-independent — the
+    * float-summation-order hazard is rounded away BEFORE the sum, the
+    * repo's round-before-rank convention applied to addition), and
+    * divided by 1e9 at the end.
+    *
+    * Plan: (group, category) count → groups-sized totals join →
+    * groups-sized term sum. Two aggregations, both map-side combined;
+    * the categorical domain never leaves its aggregation. */
+  def entropy(df: DataFrame, groupCol: String, catCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("_c"))
+    val totals = counts.groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("_n"), count(lit(1)).as("n_cats"))
+    val p = col("_c").cast("double") / col("_n").cast("double")
+    counts.join(totals, groupCol)
+      .withColumn("_t",
+        round(-p * log(p) * lit(1e9)).cast("long"))
+      .groupBy(col(groupCol), col("n_cats"))
+      .agg(sum(col("_t")).as("_nano"))
+      .select(col(groupCol), col("n_cats"),
+        round(col("_nano").cast("double") / lit(1e9), 6).as("entropy6"))
+  }
+
+  /** Sketch-based equi-join cardinality ESTIMATE vs the true count —
+    * the broadcast-vs-shuffle decision input, priced at two key scans
+    * instead of the join: KMV-sketch both sides' key domains
+    * ([[Sketches.kmvOverlap]] over the tagged union), estimate the
+    * matching-key count from the sketch intersection, and scale by
+    * each side's exact average multiplicity (rows/distinct — two
+    * cheap aggregates):
+    *   est_rows = floor(est_keys · (n_a/d_a) · (n_b/d_b)).
+    * Exact when both key domains fit inside k (the sketches ARE the
+    * domains); within KMV error bands above it. The multiplicative
+    * model assumes per-key multiplicities uncorrelated with matching
+    * — the standard System-R-style independence assumption, and the
+    * operator ships the TRUE count next to the estimate so its error
+    * is always visible (drop `true_rows` in production to skip the
+    * actual join). */
+  def joinCardinality(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String, k: Int): DataFrame = {
+    val tagged = a.select(lit("a").as("side"),
+        TextDedup.hash60(col(aKey).cast("string")).as("h"))
+      .unionByName(b.select(lit("b").as("side"),
+        TextDedup.hash60(col(bKey).cast("string")).as("h")))
+    val overlap = Sketches.kmvOverlap(tagged, "side", "h", k)
+      .select(col("est_inter").as("est_keys"))
+    val statsA = a.agg(count(lit(1)).as("n_a"),
+      countDistinct(col(aKey)).as("d_a"))
+    val statsB = b.agg(count(lit(1)).as("n_b"),
+      countDistinct(col(bKey)).as("d_b"))
+    val truth = a.select(col(aKey).as("_k"))
+      .join(b.select(col(bKey).as("_k")), "_k")
+      .agg(count(lit(1)).as("true_rows"))
+    overlap.crossJoin(broadcast(statsA)) // all four are 1-row scalars
+      .crossJoin(broadcast(statsB))
+      .crossJoin(broadcast(truth))
+      .select(col("est_keys"), col("n_a"), col("d_a"), col("n_b"),
+        col("d_b"),
+        floor(col("est_keys").cast("double")
+          * (col("n_a").cast("double") / col("d_a").cast("double"))
+          * (col("n_b").cast("double") / col("d_b").cast("double")))
+          .cast("long").as("est_rows"),
+        col("true_rows"))
+  }
+}

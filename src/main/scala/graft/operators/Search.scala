@@ -212,4 +212,48 @@ object Search {
         Seq("score6" -> false, "term" -> true), k, "rank")
       .select(col("doc_id"), col("rank"), col("term"), col("score6"))
   }
+
+  /** Pointwise-mutual-information collocations (Church & Hanks 1990):
+    * the corpus's top-k most-associated adjacent word pairs,
+    *   pmi = ln( N · c(w1,w2) / (c(w1,·) · c(·,w2)) ),
+    * with the marginals taken over BIGRAM SLOTS (c(w1,·) = bigrams
+    * whose left word is w1) so the three counts live in one
+    * self-consistent probability space — no end-of-document
+    * correction terms. `minCount` floors c(w1,w2) (PMI's known bias
+    * toward hapax pairs); scores round to 6 decimals BEFORE ranking
+    * (both engines rank identical numbers, ties break (w1, w2) asc)
+    * — the repo's round-before-rank convention.
+    *
+    * Plan shape: one (w1,w2) count (map-side combined), two
+    * VOCABULARY-sized marginal aggregations read off that bigram
+    * table (not the token stream twice), one broadcast 1-row N, and a
+    * global top-k that plans as TakeOrderedAndProject — k rows per
+    * partition cross to the driver-side heap, never a full sort.
+    * Nothing is corpus-quadratic; the exchanges are the aggregation
+    * keys. */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    val pairs = docs
+      .where(size(words) >= 2)
+      .select(explode(zip_with(
+        slice(words, lit(1), size(words) - 1),
+        slice(words, lit(2), size(words) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cab = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+    val left = cab.groupBy("w1").agg(sum(col("cab")).as("c1"))
+    val right = cab.groupBy("w2").agg(sum(col("cab")).as("c2"))
+    val n = cab.agg(sum(col("cab")).as("_n"))
+    cab.where(col("cab") >= minCount)
+      .join(left, "w1")
+      .join(right, "w2")
+      .crossJoin(broadcast(n)) // 1-row corpus scalar
+      .select(col("w1"), col("w2"), col("cab"),
+        round(log(col("_n").cast("double") * col("cab").cast("double")
+          / (col("c1").cast("double") * col("c2").cast("double"))), 6)
+          .as("pmi6"))
+      .orderBy(col("pmi6").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -1724,4 +1724,29 @@ object LlmQueries {
       |SELECT doc_id, count(*) AS n_bigrams,
       |  round(sum(l) / count(*), 6) AS avg_logprob
       |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Top-50 PMI collocations over the corpus
+    * ([[graft.operators.Search.pmiCollocations]], minCount 5):
+    * ln(N·c(ab)/(c(a·)·c(·b))) over bigram-slot marginals, rounded to
+    * 6 decimals before ranking, ties (w1, w2) asc. One bigram count +
+    * two vocab-sized marginal aggs + a TakeOrderedAndProject top-k. */
+  def qPmi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Search.pmiCollocations(
+      Tables.documents(s, dir), "text", minCount = 5L, k = 50)
+
+  val qPmiSql: String =
+    """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |b AS (SELECT w[i+1] AS w1, w[i+2] AS w2
+      |  FROM d, unnest(range(len(w) - 1)) AS t(i)),
+      |cab AS (SELECT w1, w2, count(*) AS cab FROM b GROUP BY w1, w2),
+      |l AS (SELECT w1, CAST(sum(cab) AS BIGINT) AS c1 FROM cab GROUP BY w1),
+      |r AS (SELECT w2, CAST(sum(cab) AS BIGINT) AS c2 FROM cab GROUP BY w2),
+      |n AS (SELECT CAST(sum(cab) AS BIGINT) AS nb FROM cab)
+      |SELECT cab.w1, cab.w2, cab.cab,
+      |  round(ln(CAST(nb AS DOUBLE) * CAST(cab AS DOUBLE)
+      |    / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi6
+      |FROM cab JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+      |WHERE cab >= 5
+      |ORDER BY pmi6 DESC, w1, w2 LIMIT 50""".stripMargin
 }

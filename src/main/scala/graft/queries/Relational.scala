@@ -841,4 +841,172 @@ object Relational {
       |SELECT nodes.id, CAST(coalesce(g.cnt, 0) AS BIGINT) AS n_tri
       |FROM nodes LEFT JOIN g USING (id)
       |ORDER BY nodes.id""".stripMargin
+
+  /** Per-event-type equi-width value histogram in exact integer
+    * arithmetic ([[graft.operators.Profile.histogram]], 16 buckets
+    * over cents): bucket = floor((x−lo)·16/(hi−lo+1)) — no floating
+    * widths, both engines see identical BIGINT division. Groups-sized
+    * min/max joined back + one (group, bucket) count. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.histogram(
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("cents")),
+        "event_type", "cents", buckets = 16)
+      .orderBy(col("event_type"), col("bucket"))
+
+  val qHistogramSql: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+      |st AS (SELECT event_type, min(cents) AS lo, max(cents) AS hi
+      |  FROM e GROUP BY event_type)
+      |SELECT e.event_type,
+      |  CAST(FLOOR((e.cents - st.lo) * 16 / (st.hi - st.lo + 1))
+      |    AS BIGINT) AS bucket,
+      |  st.lo, st.hi, count(*) AS n
+      |FROM e JOIN st USING (event_type)
+      |GROUP BY e.event_type, bucket, st.lo, st.hi
+      |ORDER BY e.event_type, bucket""".stripMargin
+
+  /** Key-skew diagnostic for the events.user_id shuffle key
+    * ([[graft.operators.Profile.keySkew]]): one row — exact row/key
+    * counts, the heaviest key's count, a deterministic hot-key pick,
+    * and skew6 = max_cnt·n_keys/n_rows. The pre-shuffle salting
+    * decision input, priced at one map-side-combined count. */
+  def qKeySkew(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.keySkew(Tables.events(s, dir), "user_id")
+
+  val qKeySkewSql: String =
+    """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS cnt
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+      |  max(cnt) AS max_cnt,
+      |  (SELECT k FROM c ORDER BY cnt DESC, k DESC LIMIT 1) AS hot_key,
+      |  round(CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+      |    / CAST(sum(cnt) AS DOUBLE), 6) AS skew6
+      |FROM c""".stripMargin
+
+  /** Per-user Shannon entropy of the event-type mix
+    * ([[graft.operators.Profile.entropy]]): each category's p·ln(1/p)
+    * term rounds to integer nano-nats BEFORE the sum (order-
+    * independent BIGINT addition — the round-before-rank convention
+    * applied to float summation), one division at the end. */
+  def qEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.entropy(Tables.events(s, dir),
+        "user_id", "event_type")
+      .orderBy(col("user_id"))
+
+  val qEntropySql: String =
+    """WITH c AS (SELECT user_id, event_type, count(*) AS c
+      |  FROM events GROUP BY user_id, event_type),
+      |t AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+      |    count(*) AS n_cats FROM c GROUP BY user_id),
+      |terms AS (SELECT c.user_id, t.n_cats,
+      |    CAST(round(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+      |      * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1e9, 0)
+      |      AS BIGINT) AS nano
+      |  FROM c JOIN t USING (user_id))
+      |SELECT user_id, n_cats,
+      |  round(CAST(CAST(sum(nano) AS BIGINT) AS DOUBLE) / 1e9, 6)
+      |    AS entropy6
+      |FROM terms GROUP BY user_id, n_cats
+      |ORDER BY user_id""".stripMargin
+
+  /** Sketch-estimated join cardinality next to the truth
+    * ([[graft.operators.Profile.joinCardinality]]): events.user_id ⋈
+    * orders.o_custkey sized from two KMV key sketches + exact
+    * multiplicity scalars — the broadcast-vs-shuffle decision priced
+    * at two key scans. The events side's 150-key domain sits inside
+    * k=256 (sketch exact); the orders side estimates. */
+  def qJoinCard(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.joinCardinality(
+      Tables.events(s, dir), "user_id",
+      Tables.load(s, dir, "orders"), "o_custkey", k = 256)
+
+  val qJoinCardSql: String =
+    """WITH ta AS (SELECT 'a' AS side, try_cast('0x' ||
+      |    substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM events),
+      |tb AS (SELECT 'b' AS side, try_cast('0x' ||
+      |    substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM orders),
+      |u AS (SELECT * FROM ta UNION ALL SELECT * FROM tb),
+      |r AS (SELECT side, h,
+      |    row_number() OVER (PARTITION BY side ORDER BY h) AS rn
+      |  FROM (SELECT DISTINCT side, h FROM u)),
+      |sk AS (SELECT side, array_agg(h ORDER BY h) AS kmv
+      |  FROM r WHERE rn <= 256 GROUP BY side),
+      |p AS (SELECT a.kmv AS ka, b.kmv AS kb
+      |  FROM sk a JOIN sk b ON a.side = 'a' AND b.side = 'b'),
+      |m AS (SELECT ka, kb, list_sort(list_distinct(ka || kb))[1:256] AS mg
+      |  FROM p),
+      |c AS (SELECT mg,
+      |    len(list_filter(mg,
+      |      x -> list_contains(ka, x) AND list_contains(kb, x))) AS common
+      |  FROM m),
+      |est AS (SELECT
+      |    CAST(FLOOR(CAST(common AS DOUBLE) * CAST(
+      |      CASE WHEN len(mg) < 256 THEN CAST(len(mg) AS BIGINT)
+      |           ELSE CAST(FLOOR(255.0 * 1152921504606846976.0
+      |                   / CAST(mg[256] AS DOUBLE)) AS BIGINT) END
+      |      AS DOUBLE) / CAST(len(mg) AS DOUBLE)) AS BIGINT) AS est_keys
+      |  FROM c),
+      |sa AS (SELECT count(*) AS n_a, count(DISTINCT user_id) AS d_a
+      |  FROM events),
+      |sb AS (SELECT count(*) AS n_b, count(DISTINCT o_custkey) AS d_b
+      |  FROM orders),
+      |tr AS (SELECT count(*) AS true_rows FROM events e
+      |  JOIN orders o ON e.user_id = o.o_custkey)
+      |SELECT est_keys, n_a, d_a, n_b, d_b,
+      |  CAST(FLOOR(CAST(est_keys AS DOUBLE)
+      |    * (CAST(n_a AS DOUBLE) / CAST(d_a AS DOUBLE))
+      |    * (CAST(n_b AS DOUBLE) / CAST(d_b AS DOUBLE))) AS BIGINT)
+      |    AS est_rows,
+      |  true_rows
+      |FROM est, sa, sb, tr""".stripMargin
+
+  /** SCD-2 state intervals off the event log
+    * ([[graft.operators.Events.stateIntervals]]): each user's
+    * event_type runs as valid_from/valid_to rows, ties broken by
+    * event_id. One exchange on the key; valid_to's lead window reads
+    * the runs-sized relation only. */
+  def qScd2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.stateIntervals(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+
+  val qScd2Sql: String =
+    """WITH o AS (SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |ch AS (SELECT user_id, event_type, ts, event_id FROM o
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |iv AS (SELECT user_id, event_type, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS valid_to
+      |  FROM ch)
+      |SELECT user_id, event_type, valid_from, valid_to
+      |FROM iv ORDER BY user_id, valid_from, event_type""".stripMargin
+
+  /** Burst debounce over the event log
+    * ([[graft.operators.Events.debounce]], 3600 s): keep each
+    * (user, type) burst's first event — the retry-storm dedup. One
+    * (key, type) exchange; kept set = the gap-session heads. */
+  def qDebounce(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.debounce(
+        Tables.events(s, dir), "user_id", "event_type", "ts", "event_id",
+        windowSec = 3600L)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .orderBy(col("event_id"))
+
+  val qDebounceSql: String =
+    """WITH g AS (SELECT event_id, user_id, event_type, ts,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events)
+      |SELECT event_id, user_id, event_type, ts
+      |FROM g WHERE gap IS NULL OR gap > 3600000000
+      |ORDER BY event_id""".stripMargin
 }

@@ -89,4 +89,83 @@ class EventsSpec extends SparkSpec {
       .select(col("depth")).head().getInt(0)
     assert(got === 3)
   }
+
+  test("stateIntervals: collapses equal-state runs; valid_to chains to " +
+      "the next run; last run open") {
+    val s2 = spark
+    import s2.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10L, "free"),
+      (1L, ts("2024-01-01 10:00:00"), 11L, "free"),
+      (1L, ts("2024-01-01 11:00:00"), 12L, "paid"),
+      (1L, ts("2024-01-01 12:00:00"), 13L, "paid"),
+      (1L, ts("2024-01-01 13:00:00"), 14L, "free"),
+      (2L, ts("2024-01-01 09:30:00"), 20L, "paid")
+    ).toDF("user_id", "ts", "event_id", "state")
+    val got = Events.stateIntervals(ev, "user_id", "ts", "event_id", "state")
+      .orderBy(col("user_id"), col("valid_from"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3))))
+    assert(got.toSeq === Seq(
+      (1L, "free", ts("2024-01-01 09:00:00"), Some(ts("2024-01-01 11:00:00"))),
+      (1L, "paid", ts("2024-01-01 11:00:00"), Some(ts("2024-01-01 13:00:00"))),
+      (1L, "free", ts("2024-01-01 13:00:00"), None),
+      (2L, "paid", ts("2024-01-01 09:30:00"), None)))
+  }
+
+  test("stateIntervals: equal-ts ties order by the tie column") {
+    val s2 = spark
+    import s2.implicits._
+    // same ts, ids 2 then 1: run order must follow event_id — state b
+    // (id 1) first, then a (id 2); a stays current
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 2L, "a"),
+      (1L, ts("2024-01-01 09:00:00"), 1L, "b")
+    ).toDF("user_id", "ts", "event_id", "state")
+    val got = Events.stateIntervals(ev, "user_id", "ts", "event_id", "state")
+      .orderBy(col("valid_from"), col("state"))
+      .collect().map(r => (r.getString(1), Option(r.getTimestamp(3))))
+    assert(got.toSet === Set(
+      ("b", Some(ts("2024-01-01 09:00:00"))), ("a", None)))
+  }
+
+  test("debounce: keeps gap-session heads per (key, type); " +
+      "independent types don't interfere; idempotent") {
+    val s2 = spark
+    import s2.implicits._
+    val ev = Seq(
+      // burst: 09:00:00, +30s, +45s (gaps 30, 15 <= 60) — one head
+      (1L, ts("2024-01-01 09:00:00"), 1L, "click"),
+      (1L, ts("2024-01-01 09:00:30"), 2L, "click"),
+      (1L, ts("2024-01-01 09:00:45"), 3L, "click"),
+      // 61s after the last → new burst
+      (1L, ts("2024-01-01 09:01:46"), 4L, "click"),
+      // a view inside the click burst is its own stream — kept
+      (1L, ts("2024-01-01 09:00:10"), 5L, "view"),
+      // another user entirely
+      (2L, ts("2024-01-01 09:00:20"), 6L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val kept = Events.debounce(ev, "user_id", "event_type", "ts",
+        "event_id", windowSec = 60L)
+    val ids = kept.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 4L, 5L, 6L))
+    // idempotent: every kept row starts its own gap-session
+    val again = Events.debounce(kept, "user_id", "event_type", "ts",
+        "event_id", windowSec = 60L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(again === ids)
+  }
+
+  test("debounce: boundary gap exactly == window is still a burst") {
+    val s2 = spark
+    import s2.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "x"),
+      (1L, ts("2024-01-01 09:01:00"), 2L, "x") // gap == 60s → same burst
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val ids = Events.debounce(ev, "user_id", "event_type", "ts",
+        "event_id", 60L).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L))
+  }
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+
+  test("histogram: buckets cover [lo, hi], hi lands in the last bucket, " +
+      "counts total to the group size, empty buckets omitted") {
+    val s = spark
+    import s.implicits._
+    // g1: 0..31 → 16 buckets of width 2; g2: constant value
+    val df = ((0 until 32).map(v => ("g1", v.toLong)) ++
+      Seq(("g2", 7L), ("g2", 7L))).toDF("g", "v")
+    val r = Profile.histogram(df, "g", "v", 16).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    val g1 = r.filter(_._1 == "g1")
+    assert(g1.length === 16)
+    assert(g1.forall(_._5 === 2L)) // width-2 buckets, 2 values each
+    assert(g1.map(_._2).sorted.toSeq === (0L until 16L))
+    assert(g1.forall(t => t._3 === 0L && t._4 === 31L))
+    // constant group: everything in bucket 0 of a degenerate [7,7] range
+    val g2 = r.filter(_._1 == "g2")
+    assert(g2.toSeq === Seq(("g2", 0L, 7L, 7L, 2L)))
+  }
+
+  test("histogram: bucket arithmetic is exact integers (negative lows, " +
+      "max value never overflows into bucket B)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", -10L), ("g", 0L), ("g", 9L)).toDF("g", "v")
+    val r = Profile.histogram(df, "g", "v", 4).collect()
+      .map(x => x.getLong(1) -> x.getLong(4)).toMap
+    // range [-10, 9], divisor 20, width 5: -10→0, 0→2, 9→3
+    assert(r === Map(0L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("keySkew: uniform keys read ~1.0; a hot key reads max_cnt*k/n; " +
+      "hot-key pick deterministic under ties") {
+    val s = spark
+    import s.implicits._
+    val uniform = (1 to 100).flatMap(k => Seq.fill(10)(s"k$k")).toDF("k")
+    val u = Profile.keySkew(uniform, "k").head()
+    assert(u.getAs[Long]("n_rows") === 1000L)
+    assert(u.getAs[Long]("n_keys") === 100L)
+    assert(u.getAs[Long]("max_cnt") === 10L)
+    assert(u.getAs[Double]("skew6") === 1.0)
+    // one key at 500 among 99 singletons
+    val hot = (Seq.fill(500)("whale") ++ (1 to 99).map(i => s"m$i")).toDF("k")
+    val h = Profile.keySkew(hot, "k").head()
+    assert(h.getAs[String]("hot_key") === "whale")
+    assert(h.getAs[Double]("skew6") ===
+      math.rint(500.0 * 100 / 599 * 1e6) / 1e6)
+    // tie on max_cnt: lexicographically-last wins, stable
+    val tied = Seq("a", "a", "z", "z", "m").toDF("k")
+    assert(Profile.keySkew(tied, "k").head().getAs[String]("hot_key") === "z")
+  }
+
+  test("entropy: uniform K categories read ln K; single category reads 0; " +
+      "partition-layout independent") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 40).map(i => ("u", s"c${i % 4}")) ++
+      Seq.fill(7)(("solo", "only"))).toDF("g", "c")
+    val r = Profile.entropy(df, "g", "c").collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r("u")._1 === 4L)
+    assert(math.abs(r("u")._2 - math.log(4.0)) < 1e-6)
+    assert(r("solo") === ((1L, 0.0)))
+    val again = Profile.entropy(df.repartition(7), "g", "c").collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(again("u") === r("u")._2 && again("solo") === 0.0)
+  }
+
+  test("entropy: skewed distribution matches the closed form") {
+    val s = spark
+    import s.implicits._
+    // p = (3/4, 1/4)
+    val df = (Seq.fill(30)(("g", "a")) ++ Seq.fill(10)(("g", "b")))
+      .toDF("g", "c")
+    val got = Profile.entropy(df, "g", "c").head().getAs[Double]("entropy6")
+    val expect = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(got - expect) < 2e-6)
+  }
+
+  test("joinCardinality: exact when both key domains fit inside k") {
+    val s = spark
+    import s.implicits._
+    // a: keys 1..30 with multiplicity 4; b: keys 21..50 with mult 2
+    // matching keys 21..30 → true = 10 * 4 * 2 = 80
+    val a = (1 to 30).flatMap(k => Seq.fill(4)(k.toLong)).toDF("ka")
+    val b = (21 to 50).flatMap(k => Seq.fill(2)(k.toLong)).toDF("kb")
+    val r = Profile.joinCardinality(a, "ka", b, "kb", k = 256).head()
+    assert(r.getAs[Long]("true_rows") === 80L)
+    assert(r.getAs[Long]("est_keys") === 10L)
+    assert(r.getAs[Long]("n_a") === 120L && r.getAs[Long]("d_a") === 30L)
+    assert(r.getAs[Long]("n_b") === 60L && r.getAs[Long]("d_b") === 30L)
+    // 10 * (120/30) * (60/30) = 80 — the independence model is exact
+    // here because multiplicities are constant per side
+    assert(r.getAs[Long]("est_rows") === 80L)
+  }
+
+  test("joinCardinality: estimate lands in band above k, and correctly " +
+      "reads zero for disjoint domains") {
+    val s = spark
+    import s.implicits._
+    val a = (1 to 3000).map(_.toLong).toDF("ka")
+    val b = (2001 to 5000).map(_.toLong).toDF("kb")
+    val r = Profile.joinCardinality(a, "ka", b, "kb", k = 256).head()
+    assert(r.getAs[Long]("true_rows") === 1000L)
+    val est = r.getAs[Long]("est_rows")
+    assert(math.abs(est - 1000L).toDouble / 1000 < 0.45, s"est=$est")
+    val d = Profile.joinCardinality(a, "ka",
+      (9001 to 9100).map(_.toLong).toDF("kb"), "kb", 256).head()
+    assert(d.getAs[Long]("true_rows") === 0L)
+    assert(d.getAs[Long]("est_rows") <= 60L)
+  }
+}

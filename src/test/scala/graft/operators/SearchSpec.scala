@@ -178,6 +178,40 @@ class SearchSpec extends SparkSpec {
       Seq((1, "banana"), (2, "cherry")))
   }
 
+  test("pmiCollocations: hand-checked scores over bigram-slot marginals, " +
+      "minCount floor, ties break (w1, w2) asc") {
+    val s = spark
+    import s.implicits._
+    // bigrams: (a b) x3, (b a) x2, (c d) x3  [from "a b a b a b" style docs]
+    val docs = Seq(
+      (1L, "a b a b a b"),   // (a,b)x3 (b,a)x2
+      (2L, "c d"), (3L, "c d"), (4L, "c d")).toDF("doc_id", "text")
+    val r = Search.pmiCollocations(docs, "text", minCount = 2L, k = 10)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getDouble(3)))
+    // N = 8 bigram slots. c(a,·)=3 c(·,b)=3 c(a,b)=3 → pmi = ln(8*3/9)
+    // c(b,·)=2 c(·,a)=2 c(b,a)=2 → ln(8*2/4)=ln4
+    // c(c,·)=3 c(·,d)=3 c(c,d)=3 → ln(8/3)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.toSeq === Seq(
+      ("b", "a", 2L, r6(math.log(4.0))),
+      ("a", "b", 3L, r6(math.log(8.0 / 3))),
+      ("c", "d", 3L, r6(math.log(8.0 / 3)))))
+  }
+
+  test("pmiCollocations: minCount filters hapax pairs; k caps output") {
+    val s = spark
+    import s.implicits._
+    val docs = ((1 to 50).map(i => (i.toLong, s"x$i y$i")) ++
+      (51 to 60).map(i => (i.toLong, "p q"))).toDF("doc_id", "text")
+    val r = Search.pmiCollocations(docs, "text", minCount = 2L, k = 10)
+      .collect()
+    // only (p,q) clears the floor — all x_i y_i are singletons
+    assert(r.length === 1)
+    assert(r(0).getString(0) === "p" && r(0).getString(1) === "q")
+  }
+
   test("tfidfTopTerms: k caps per-doc output; every doc emits") {
     val s = spark
     import s.implicits._
