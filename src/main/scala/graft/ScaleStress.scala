@@ -211,7 +211,16 @@ object ScaleStress {
       // q_triangles saturates its 997-node id-mod graph near 1x
       // (edges cap at ~497k), so 10x measures the distinct() scan
       // plus a denser-but-bounded wedge join — expect sub-linear
-      "q_cube", "q_outliers", "q_sample_balanced", "q_triangles")
+      "q_cube", "q_outliers", "q_sample_balanced", "q_triangles",
+      // round 13 batch 2: the profiling family (histogram = two keyed
+      // aggs; key-skew = per-key count + 1-row fold; entropy = two
+      // aggs + a groups-sized join; join-card = two KMV key sketches
+      // + scalar folds + the truth join on 10x events x fixed orders),
+      // PMI (bigram count + vocab-sized marginals, vocab 10x by the
+      // word-suffix construction), SCD-2 + debounce (one key-window
+      // pass each over 10x events)
+      "q_histogram", "q_key_skew", "q_entropy", "q_join_card",
+      "q_pmi", "q_scd2", "q_debounce")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)
