@@ -99,6 +99,38 @@ object Profile {
         round(col("_nano").cast("double") / lit(1e9), 6).as("entropy6"))
   }
 
+  /** One-pass per-column data-quality profile: for each requested
+    * column, one output row with
+    *   n_nulls, n_distinct (exact; counts non-null values),
+    *   min_val / max_val (native-type extrema, cast to string AFTER
+    *   the comparison — lexicographic min of "10" < "9" never leaks
+    *   into numeric columns).
+    * The first look a pipeline takes at an unknown 100 TB table —
+    * which columns are junk, which are keys, which are constants —
+    * priced at ONE scan: all metrics for all columns compute in a
+    * single aggregation (Spark evaluates the 4·C aggregate
+    * expressions in one pass, map-side combined), and the C-row
+    * unpivot is driver-free column arithmetic on a 1-row relation. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$c"),
+        countDistinct(col(c)).as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_mn_$c"),
+        max(col(c)).cast("string").as(s"_mx_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"_nn_$c").as("n_nulls"),
+        col(s"_nd_$c").as("n_distinct"),
+        col(s"_mn_$c").as("min_val"),
+        col(s"_mx_$c").as("max_val"))): _*)).as("_p"))
+      .select(col("_p.col_name"), col("_p.n_nulls"), col("_p.n_distinct"),
+        col("_p.min_val"), col("_p.max_val"))
+  }
+
   /** Sketch-based equi-join cardinality ESTIMATE vs the true count —
     * the broadcast-vs-shuffle decision input, priced at two key scans
     * instead of the join: KMV-sketch both sides' key domains

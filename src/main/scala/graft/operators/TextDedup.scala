@@ -602,4 +602,60 @@ object TextDedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo's
+    * merge/purge SNM, the third blocking discipline next to LSH
+    * banding and prefix filtering): globally order documents by a
+    * blocking key (here the text's first `keyLen` chars), compare
+    * each document only against its next `window` neighbors in that
+    * order, and keep pairs whose distinct-word Jaccard clears
+    * `threshold`. Candidate count is EXACTLY n·window regardless of
+    * data — the property that makes SNM the predictable-cost member
+    * of the family (LSH's bucket sizes are data-dependent); the price
+    * is recall limited to near-dups that sort near each other, which
+    * is why its classic use is short record linkage keys, not long
+    * free text.
+    *
+    * The global rank uses the repo's two-level form (the
+    * [[graft.operators.Corpus.shuffleOrder]] shape): range-bucket on
+    * a PREFIX of the sort key (monotone ⇒ bucket-major order = key
+    * order), row_number within buckets, cumulative bucket bases
+    * broadcast back — no unpartitioned window ever sees the corpus.
+    * Neighbor pairing is an equi-join on rank+δ (δ exploded 1..w) —
+    * shuffle on integers, no range predicate. Jaccard is exact
+    * integer set arithmetic + one IEEE division, rounded to 6. */
+  def sortedNeighborPairs(docs: DataFrame, idCol: String,
+      textCol: String, window: Int, threshold: Double,
+      keyLen: Int = 16, bucketPrefix: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col(idCol).as("_id"), col(textCol).as("_tx"),
+      substring(col(textCol), 1, keyLen).as("_k"),
+      substring(col(textCol), 1, bucketPrefix).as("_b"))
+    val wLocal = Window.partitionBy(col("_b"))
+      .orderBy(col("_k"), col("_id"))
+    val wBase = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = keyed.groupBy(col("_b")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_base", sum(col("_cnt")).over(wBase) - col("_cnt"))
+      .select(col("_b"), col("_base"))
+    val ranked = keyed
+      .withColumn("_lr", row_number().over(wLocal))
+      .join(broadcast(bases), Seq("_b"))
+      .select((col("_base") + col("_lr")).as("_rn"), col("_id"),
+        col("_tx"))
+    val right = ranked.select(col("_rn").as("_rnb"),
+      col("_id").as("_idb"), col("_tx").as("_txb"))
+    val wa = array_distinct(split(col("_tx"), " "))
+    val wb = array_distinct(split(col("_txb"), " "))
+    val inter = size(array_intersect(wa, wb)).cast("double")
+    val union = size(array_distinct(concat(wa, wb))).cast("double")
+    ranked
+      .withColumn("_d", explode(sequence(lit(1), lit(window))))
+      .withColumn("_rnb", col("_rn") + col("_d"))
+      .join(right, "_rnb")
+      .withColumn("j6", round(inter / union, 6))
+      .where(col("j6") >= threshold)
+      .select(least(col("_id"), col("_idb")).as("doc_a"),
+        greatest(col("_id"), col("_idb")).as("doc_b"), col("j6"))
+  }
 }

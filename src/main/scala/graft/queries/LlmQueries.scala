@@ -1749,4 +1749,62 @@ object LlmQueries {
       |FROM cab JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
       |WHERE cab >= 5
       |ORDER BY pmi6 DESC, w1, w2 LIMIT 50""".stripMargin
+
+  /** Weighted sampling without replacement, 20 docs per language
+    * weighted by n_chars ([[Corpus.weightedSample]] — the
+    * Efraimidis–Spiliotis exponential draw keyed on the content
+    * hash): selection probability ∝ length, kept set a pure function
+    * of the data. One heap pass on the TopKPerGroup operator. */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Corpus.weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        "lang", "doc_id", "n_chars", k = 20)
+      .orderBy(col("doc_id"))
+
+  val qWeightedSampleSql: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars,
+      |    round(-ln((try_cast('0x' ||
+      |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)
+      |        / 1152921504606846976.0)
+      |      / CAST(n_chars AS DOUBLE), 9) AS draw
+      |  FROM documents),
+      |r AS (SELECT doc_id, lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id)
+      |      AS rn
+      |  FROM d)
+      |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20
+      |ORDER BY doc_id""".stripMargin
+
+  /** Sorted-neighborhood near-dup pairs
+    * ([[TextDedup.sortedNeighborPairs]], window 10, Jaccard ≥ 0.5):
+    * the predictable-cost blocking discipline — exactly n·w candidate
+    * pairs, global order by text prefix via the two-level rank (no
+    * unpartitioned window), neighbor pairing as an integer equi-join.
+    * Complements MinHash banding (data-dependent buckets) and prefix
+    * filtering (threshold-dependent) on the dedup menu. */
+  def qDedupSnm(s: SparkSession, dir: String): DataFrame =
+    TextDedup.sortedNeighborPairs(
+        Tables.documents(s, dir), "doc_id", "text",
+        window = 10, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val qDedupSnmSql: String =
+    """WITH r AS (SELECT doc_id, text,
+      |    row_number() OVER (ORDER BY substr(text, 1, 16), doc_id)
+      |      AS rn
+      |  FROM documents),
+      |p AS (SELECT a.doc_id AS ia, a.text AS ta,
+      |    b.doc_id AS ib, b.text AS tb
+      |  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 10),
+      |j AS (SELECT ia, ib,
+      |    round(CAST(len(list_intersect(
+      |        list_distinct(string_split(ta, ' ')),
+      |        list_distinct(string_split(tb, ' ')))) AS DOUBLE)
+      |      / CAST(len(list_distinct(string_split(ta, ' ') ||
+      |        string_split(tb, ' '))) AS DOUBLE), 6) AS j6
+      |  FROM p)
+      |SELECT least(ia, ib) AS doc_a, greatest(ia, ib) AS doc_b, j6
+      |FROM j WHERE j6 >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

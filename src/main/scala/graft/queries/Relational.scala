@@ -1009,4 +1009,100 @@ object Relational {
       |SELECT event_id, user_id, event_type, ts
       |FROM g WHERE gap IS NULL OR gap > 3600000000
       |ORDER BY event_id""".stripMargin
+
+  /** Local clustering coefficients over the synthesized event graph
+    * ([[graft.operators.Graph.clusteringCoefficients]]): per node,
+    * degree, triangle count, and cc = 2·tri/(deg·(deg−1)) rounded to
+    * 6 — the neighborhood-density score next to q_triangles' counts.
+    * One extra groups-sized join on the triangle plan. */
+  def qClustering(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.clusteringCoefficients(
+        Tables.events(s, dir)
+          .select((col("event_id") % 997).as("src"),
+            ((col("event_id") * 7919 + 13) % 997).as("dst")),
+        "src", "dst")
+      .orderBy(col("id"))
+
+  val qClusteringSql: String =
+    """WITH raw AS (SELECT event_id % 997 AS a,
+      |    (event_id * 7919 + 13) % 997 AS b FROM events),
+      |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |  FROM raw WHERE a <> b),
+      |deg AS (SELECT id, count(*) AS deg FROM (
+      |    SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+      |  GROUP BY id),
+      |t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |c AS (SELECT x AS id FROM t UNION ALL SELECT y FROM t
+      |  UNION ALL SELECT z FROM t),
+      |g AS (SELECT id, count(*) AS cnt FROM c GROUP BY id)
+      |SELECT deg.id, deg.deg,
+      |  CAST(coalesce(g.cnt, 0) AS BIGINT) AS n_tri,
+      |  CASE WHEN deg.deg < 2 THEN 0.0
+      |       ELSE round(2.0 * CAST(coalesce(g.cnt, 0) AS DOUBLE)
+      |         / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6) END AS cc6
+      |FROM deg LEFT JOIN g USING (id)
+      |ORDER BY deg.id""".stripMargin
+
+  /** Per-column data-quality profile of the events table
+    * ([[graft.operators.Profile.columnProfile]] over the four
+    * string/integer columns — native-type extrema cast to string
+    * AFTER comparison; double/timestamp columns are excluded from
+    * the gate because their string RENDERINGS differ across engines
+    * even when values agree). All metrics in one scan. */
+  def qColProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.columnProfile(
+        Tables.events(s, dir),
+        Seq("event_id", "user_id", "event_type", "props"))
+      .orderBy(col("col_name"))
+
+  val qColProfileSql: String =
+    """SELECT 'event_id' AS col_name,
+      |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_nulls,
+      |  count(DISTINCT event_id) AS n_distinct,
+      |  CAST(min(event_id) AS VARCHAR) AS min_val,
+      |  CAST(max(event_id) AS VARCHAR) AS max_val
+      |FROM events
+      |UNION ALL SELECT 'user_id',
+      |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(DISTINCT user_id),
+      |  CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+      |FROM events
+      |UNION ALL SELECT 'event_type',
+      |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(DISTINCT event_type),
+      |  min(event_type), max(event_type)
+      |FROM events
+      |UNION ALL SELECT 'props',
+      |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(DISTINCT props),
+      |  min(props), max(props)
+      |FROM events
+      |ORDER BY col_name""".stripMargin
+
+  /** Recency-weighted per-user activity score
+    * ([[graft.operators.Events.decayScore]], τ = 7 days, horizon =
+    * the stream's max ts): Σ value·exp(−Δ/τ) with each term rounded
+    * to integer micro-units before the order-independent sum. One
+    * map-side-combinable aggregation — the snapshot form that
+    * reconciles incrementally across horizons. */
+  def qDecay(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.decayScore(
+        Tables.events(s, dir), "user_id", "ts", "value",
+        tauSec = 604800.0)
+      .orderBy(col("user_id"))
+
+  val qDecaySql: String =
+    """WITH h AS (SELECT max(epoch_us(ts)) AS t FROM events),
+      |terms AS (SELECT user_id,
+      |    CAST(round(value * exp(CAST(epoch_us(ts) - h.t AS DOUBLE)
+      |      / 604800000000.0) * 1e6, 0) AS BIGINT) AS u
+      |  FROM events, h)
+      |SELECT user_id, count(*) AS n_events,
+      |  round(CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) / 1e6, 6)
+      |    AS decayed6
+      |FROM terms GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
 }

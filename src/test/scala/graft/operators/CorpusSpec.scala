@@ -307,6 +307,48 @@ class CorpusSpec extends SparkSpec {
     assert(other.sorted.toSeq !== r.sorted.toSeq)
   }
 
+  test("weightedSample: matches the brute-force exponential-draw rank, " +
+      "caps per group at k, deterministic under repartitioning") {
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"g${i % 2}", (i % 10 + 1).toLong)).toDF("id", "g", "w")
+    val got = Corpus.weightedSample(docs, "g", "id", "w", k = 15)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // brute force the same draw
+    def h60(v: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val expect = (1 to 300).map { i =>
+      val u = (h60(i.toString) + 1).toDouble / (1L << 60).toDouble
+      val draw = BigDecimal(-math.log(u) / (i % 10 + 1).toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (s"g${i % 2}", draw, i.toLong)
+    }.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._2, r._3)).take(15).map(_._3)
+    }.toSet
+    assert(got === expect)
+    val again = Corpus.weightedSample(docs.repartition(7), "g", "id", "w", 15)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === got)
+  }
+
+  test("weightedSample: selection probability tracks weight (heavy rows " +
+      "oversampled vs uniform)") {
+    val s = spark
+    import s.implicits._
+    // 1000 rows, 100 with weight 50, 900 with weight 1 — a 100-row
+    // sample should contain far more heavy rows than their 10% share
+    val docs = (1 to 1000).map(i =>
+      (i.toLong, "g", if (i <= 100) 50L else 1L)).toDF("id", "g", "w")
+    val heavy = Corpus.weightedSample(docs, "g", "id", "w", k = 100)
+      .where(col("id") <= 100).count()
+    assert(heavy >= 60L, s"heavy rows undersampled: $heavy/100")
+  }
+
   test("integerOutliers: agrees with the floating z-score on clear data " +
       "and flags nothing on a constant group") {
     val s = spark

@@ -157,6 +157,30 @@ class EventsSpec extends SparkSpec {
     assert(again === ids)
   }
 
+  test("decayScore: closed form at the horizon, order-independent, " +
+      "snapshot reconciliation property") {
+    val s2 = spark
+    import s2.implicits._
+    val tau = 3600.0
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10.0), // 2h before horizon
+      (1L, ts("2024-01-01 10:00:00"), 20.0), // 1h before
+      (1L, ts("2024-01-01 11:00:00"), 40.0), // at horizon
+      (2L, ts("2024-01-01 11:00:00"), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val r = Events.decayScore(ev, "user_id", "ts", "value", tau)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1),
+        x.getDouble(2))).toMap
+    val expect1 = 10.0 * math.exp(-2.0) + 20.0 * math.exp(-1.0) + 40.0
+    assert(r(1L)._1 === 3L)
+    assert(math.abs(r(1L)._2 - expect1) < 1e-5)
+    assert(r(2L) === ((1L, 5.0)))
+    // partition-layout independence (the micro-unit integer sum)
+    val again = Events.decayScore(ev.repartition(5), "user_id", "ts",
+      "value", tau).collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(again(1L) === r(1L)._2 && again(2L) === r(2L)._2)
+  }
+
   test("debounce: boundary gap exactly == window is still a burst") {
     val s2 = spark
     import s2.implicits._

@@ -179,6 +179,27 @@ class GraphSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("clusteringCoefficients: K4 nodes read 1.0; a path node reads 0; " +
+      "pendant (deg 1) reads 0 without dividing") {
+    val s2 = spark
+    import s2.implicits._
+    // K4 on 1..4 plus a pendant 4-5 and a path 5-6
+    val edges = ((for { a <- 1L to 4L; b <- 1L to 4L if a < b }
+      yield (a, b)) ++ Seq((4L, 5L), (5L, 6L))).toDF("s", "d")
+    val r = Graph.clusteringCoefficients(edges, "s", "d").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toMap
+    // 1..3: deg 3 inside K4, all 3 neighbor pairs linked -> cc 1.0
+    assert(r(1L) === ((3L, 3L, 1.0)))
+    assert(r(2L) === ((3L, 3L, 1.0)))
+    assert(r(3L) === ((3L, 3L, 1.0)))
+    // 4: deg 4 (K4 + pendant), still 3 triangles of 6 pairs -> 0.5
+    assert(r(4L) === ((4L, 3L, 0.5)))
+    // 5: deg 2, neighbors 4 and 6 unlinked -> 0; 6: deg 1 -> 0
+    assert(r(5L) === ((2L, 0L, 0.0)))
+    assert(r(6L) === ((1L, 0L, 0.0)))
+  }
+
   test("triangleCounts: output covers exactly the non-isolated node set") {
     val s2 = spark
     import s2.implicits._

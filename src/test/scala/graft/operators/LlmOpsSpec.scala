@@ -597,4 +597,61 @@ class LlmOpsSpec extends SparkSpec {
     // smoothing keeps unseen-context mass finite: scores are negative
     assert(rows(0L)._2 < 0.0)
   }
+
+  test("sortedNeighborPairs: finds prefix-adjacent near-dups, candidate " +
+      "set bounded by rank distance, canonical pair order") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),   // near-dup of 1, adjacent
+      (3L, "omega psi chi phi"),
+      (9L, "alpha beta gamma delta epsilon") // exact dup of 1
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.sortedNeighborPairs(docs, "doc_id", "text",
+        window = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys === Set((1L, 2L), (1L, 9L), (2L, 9L)))
+    assert(pairs.forall(p => p._1 < p._2))
+    val exact = pairs.find(p => (p._1, p._2) == ((1L, 9L))).get
+    assert(exact._3 === 1.0)
+    // jaccard(1,2) = 4 shared / 6 union
+    val near = pairs.find(p => (p._1, p._2) == ((1L, 2L))).get
+    assert(math.abs(near._3 - 4.0 / 6) < 1e-6)
+  }
+
+  test("sortedNeighborPairs: window bounds candidates — a near-dup more " +
+      "than w ranks away is missed (the documented SNM recall trade)") {
+    val s2 = spark
+    import s2.implicits._
+    // 1 and its dup 9 sort adjacent... separated by 3 'aaa…' middle
+    // docs that sort between them is impossible with equal prefixes,
+    // so separate by prefix: 1=aaa…, middles=aab…, dup shares aaa
+    val docs = Seq(
+      (1L, "aaa shared words one two three"),
+      (5L, "aab filler one only"), (6L, "aab other two body"),
+      (7L, "aab third thing xyz"),
+      (9L, "aaz shared words one two three")  // similar but ranks 4 away
+    ).toDF("doc_id", "text")
+    val w1 = TextDedup.sortedNeighborPairs(docs, "doc_id", "text", 1, 0.5)
+      .count()
+    val w4 = TextDedup.sortedNeighborPairs(docs, "doc_id", "text", 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w1 === 0L)           // adjacent-only misses it
+    assert(w4 === Set((1L, 9L))) // a 4-window reaches it
+  }
+
+  test("sortedNeighborPairs: two-level rank is partition-layout " +
+      "independent") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = (1 to 60).map(i =>
+      (i.toLong, s"w${i % 7} common text body number ${i % 5}"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextDedup.sortedNeighborPairs(d, "doc_id", "text", 5, 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(docs.repartition(1)) === run(docs.repartition(11)))
+  }
 }

@@ -84,6 +84,36 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(got - expect) < 2e-6)
   }
 
+  test("columnProfile: null counts, exact distincts, native-type extrema " +
+      "(numeric min is numeric, not lexicographic)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(9L), Some("b")), (Some(10L), None),
+      (Some(100L), Some("a")), (None, Some("a"))
+    ).toDF("num", "txt")
+    val r = Profile.columnProfile(df, Seq("num", "txt")).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getString(3), x.getString(4))).toMap
+    // lexicographic min would be "10"; numeric min is 9
+    assert(r("num") === ((1L, 3L, "9", "100")))
+    assert(r("txt") === ((1L, 2L, "a", "b")))
+  }
+
+  test("columnProfile: single aggregation pass (one Aggregate over one " +
+      "scan in the optimized plan)") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("a", "b")
+    val plan = Profile.columnProfile(df, Seq("a", "b"))
+      .queryExecution.optimizedPlan.toString
+    // one base Aggregate (plus Spark's expand for multi-distinct);
+    // crucially NOT one scan per column: LocalRelation appears once
+    val scans = plan.linesIterator.count(l =>
+      l.contains("LocalRelation") || l.contains("Relation ["))
+    assert(scans === 1, s"profile must read the table once:\n$plan")
+  }
+
   test("joinCardinality: exact when both key domains fit inside k") {
     val s = spark
     import s.implicits._
