@@ -220,7 +220,14 @@ object ScaleStress {
       // word-suffix construction), SCD-2 + debounce (one key-window
       // pass each over 10x events)
       "q_histogram", "q_key_skew", "q_entropy", "q_join_card",
-      "q_pmi", "q_scd2", "q_debounce")
+      "q_pmi", "q_scd2", "q_debounce",
+      // round 13 batch 3: clustering rides the saturated triangle
+      // graph + one groups join; weighted sample = one heap pass;
+      // col-profile = one multi-agg scan; decay = one agg + broadcast
+      // horizon; SNM = two-level rank + rank equi-join with exactly
+      // n·w candidate pairs (w=10) — the predictable-cost blocking
+      "q_clustering", "q_weighted_sample", "q_col_profile", "q_decay",
+      "q_dedup_snm")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)
