@@ -146,6 +146,36 @@ object Events {
     * above that wobble for the per-term round to land identically —
     * at 1e-6 the per-term flip probability is ~1e-8. One division at
     * the end, rounded to 6 (micro-quantized by construction). */
+  /** Inter-event burstiness per key (Goh & Barabási 2008):
+    *   B = (σ − μ)/(σ + μ)  over the key's inter-event gap
+    * distribution — −1 = metronome, 0 = Poisson, →1 = heavy bursts;
+    * the signal that separates retry storms and bot traffic from
+    * organic activity. Algebraized so the only floating steps are ONE
+    * sqrt and ONE division:
+    *   B = (√(n·q − s²) − s) / (√(n·q − s²) + s),
+    * s = Σ gaps, q = Σ gaps² in integer SECONDS (micro gaps would
+    * overflow q at week-long spans; second floors lose nothing a
+    * burstiness score cares about). Keys need ≥ `minGaps` gaps. One
+    * key-window lag pass + one aggregation. */
+  def burstiness(events: DataFrame, keyCol: String, tsCol: String,
+      minGaps: Int): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(us)
+    val gaps = events
+      .withColumn("_gap", floor((us - lag(us, 1).over(w)) / lit(1000000L))
+        .cast("long"))
+      .where(col("_gap").isNotNull)
+    val radicand = col("_n") * col("_q") - col("_s") * col("_s")
+    gaps.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_n"), sum(col("_gap")).as("_s"),
+        sum(col("_gap") * col("_gap")).as("_q"))
+      .where(col("_n") >= minGaps && col("_s") > 0) // s=0 → B undefined (0/0)
+      .select(col(keyCol), col("_n").as("n_gaps"),
+        round((sqrt(radicand.cast("double")) - col("_s").cast("double")) /
+          (sqrt(radicand.cast("double")) + col("_s").cast("double")), 6)
+          .as("burst6"))
+  }
+
   def decayScore(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, tauSec: Double): DataFrame = {
     val horizon = events.agg(max(unix_micros(col(tsCol))).as("_T"))

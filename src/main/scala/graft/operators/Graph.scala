@@ -302,6 +302,51 @@ object Graph {
       .select(col("id"), coalesce(col("_n"), lit(0L)).as("n_tri"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007, the
+    * near-linear community detection baseline), `sweeps` rounds:
+    * labels start as node ids; each sweep every node adopts its
+    * neighborhood's MODE label — most frequent, ties to the smallest
+    * label (the deterministic pin replacing the paper's random
+    * tie-break, which would be irreproducible AND
+    * partition-dependent). Differs from [[connectedComponents]]'
+    * min-label propagation exactly where community structure lives:
+    * a weak bridge between two dense blobs never outvotes a blob's
+    * internal majority, so blobs keep distinct labels while min-label
+    * would flood one id over the whole component.
+    *
+    * Same scale discipline as [[pageRank]]: edge/node sets lineage-cut
+    * once before the loop, label table cut per sweep (constant plan
+    * depth, superseded sweeps unpersisted); per sweep ONE join of the
+    * label table to the bidirected edge list + a (node, label) count
+    * + a per-node argmax via min_by over the (−count, label) struct —
+    * no window, partial-agg friendly, nothing quadratic. Fixed sweep
+    * counts (not convergence polling) keep the result a pure function
+    * of the data — and the oracle replays each sweep verbatim. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      sweeps: Int): DataFrame = {
+    val (e, eRdd) = localCut(undirect(edges, srcCol, dstCol))
+    val bi = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+    var lab = bi.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var pinned: Option[RDD[org.apache.spark.sql.catalyst.InternalRow]] = None
+    (1 to sweeps).foreach { _ =>
+      val counts = bi
+        .join(lab.toDF("b", "nl"), "b")
+        .groupBy(col("a"), col("nl")).agg(count(lit(1)).as("c"))
+      val next = counts.groupBy(col("a"))
+        .agg(min_by(col("nl"),
+          struct((lit(0L) - col("c")).as("n"), col("nl"))).as("label"))
+        .select(col("a").as("id"), col("label"))
+      val (cut, rdd) = localCut(next)
+      pinned.foreach(_.unpersist(blocking = false))
+      pinned = Some(rdd)
+      lab = cut
+    }
+    eRdd.unpersist(blocking = false)
+    lab
+  }
+
   /** Canonical undirected edge set: self-loops dropped, (u, v) with
     * u < v, duplicates and reversals collapsed. One exchange. */
   private def undirect(edges: DataFrame, srcCol: String,

@@ -131,6 +131,78 @@ object Profile {
         col("_p.min_val"), col("_p.max_val"))
   }
 
+  /** Categorical distribution drift between two snapshots as EXACT
+    * total-variation distance: TV = ½·Σ_cat |p_a − p_b| computed by
+    * integer cross-multiplication —
+    *   |c_a·n_b − c_b·n_a|  summed as BIGINTs, ONE division at the
+    * end: tv6 = round(Σ / (2·n_a·n_b), 6). No per-category floating
+    * ratios, no summation-order hazard — the drift monitor a nightly
+    * pipeline runs between yesterday's and today's partition before
+    * trusting a model trained on either. Also emits the top drifted
+    * category (max |cross| — deterministic, ties to the larger
+    * category string). Plan: two per-category counts (map-side
+    * combined), a categories-sized full outer join, a 1-row fold. */
+  def categoryDrift(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    val ca = a.groupBy(col(catCol)).agg(count(lit(1)).as("_ca"))
+    val cb = b.groupBy(col(catCol)).agg(count(lit(1)).as("_cb"))
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    ca.join(cb, Seq(catCol), "full_outer")
+      .select(col(catCol).cast("string").as("_cat"),
+        coalesce(col("_ca"), lit(0L)).as("_x"),
+        coalesce(col("_cb"), lit(0L)).as("_y"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb)) // 1-row scalars
+      .withColumn("_cross",
+        abs(col("_x") * col("n_b") - col("_y") * col("n_a")))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("_cross")).as("_num"),
+        max(struct(col("_cross"), col("_cat"))).as("_top"),
+        count(lit(1)).as("n_cats"))
+      .select(col("n_a"), col("n_b"), col("n_cats"),
+        col("_top").getField("_cat").as("top_cat"),
+        round(col("_num").cast("double") /
+          (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")),
+          6).as("tv6"))
+  }
+
+  /** Robust per-group outliers by median absolute deviation — the
+    * MAD rule |x − med| > c·MAD that survives the contaminated tails
+    * a mean/σ z-score is dragged by. EXACT end to end on integer
+    * measures: both medians are type-1 order statistics (the value at
+    * 0-based index floor((n−1)/2) under the (value, id) total order —
+    * an index pick, not an interpolation), deviations and the flag
+    * are BIGINT arithmetic, so the flagged set replays with no
+    * floating step at all. MAD = 0 (a majority-constant group) flags
+    * every deviating row — the conventional degenerate reading.
+    *
+    * Plan: two window/rank passes (each one exchange on the group
+    * key: row_number under a total order + the group count joined
+    * back), never a per-group collect — group sizes are unbounded at
+    * 100 TB and this shape doesn't care. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, c: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def median(in: DataFrame, vCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(col(vCol), col(idCol))
+      val sizes = in.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      in.withColumn("_rk", row_number().over(w))
+        .join(sizes, groupCol)
+        .where(col("_rk") === (floor((col("_n") - 1) / 2) + 1))
+        .select(col(groupCol), col(vCol).as(outCol))
+    }
+    val med = median(df.select(col(groupCol), col(valueCol), col(idCol)),
+      valueCol, "med")
+    val withDev = df.join(med, groupCol)
+      .withColumn("_dev", abs(col(valueCol) - col("med")))
+    val mad = median(withDev.select(col(groupCol), col("_dev"), col(idCol)),
+      "_dev", "mad")
+    withDev.join(mad, groupCol)
+      .where(col("_dev") > lit(c.toLong) * col("mad"))
+      .select(col(idCol), col(groupCol), col(valueCol), col("med"),
+        col("mad"))
+  }
+
   /** Sketch-based equi-join cardinality ESTIMATE vs the true count —
     * the broadcast-vs-shuffle decision input, priced at two key scans
     * instead of the join: KMV-sketch both sides' key domains

@@ -502,4 +502,46 @@ object Similarity {
       .select(col("qid"), col("nid"), cosine(col("qv"), col("e")).as("sim"))
     rankTopK(joined, k)
   }
+
+  /** Nearest-centroid classification in EXACT integer arithmetic, with
+    * the confusion matrix out: embeddings quantize to integer
+    * micro-units (floor(x·1e6) — float→double is exact, one IEEE
+    * multiply, floor), per-label centroids are floor-of-mean in the
+    * same units, every squared-L2 distance is then a BIGINT sum (no
+    * float fold, no tolerance) and the argmin is total under
+    * (dist, label). The Rocchio/NCC baseline a labeling pipeline runs
+    * to sanity-check embedding quality — "do the classes even
+    * separate" — before anything learned.
+    *
+    * Plan: one posexplode aggregation for centroids (labels×dims rows
+    * — a dimension table), broadcast back over the corpus scan, L
+    * distances per vector via zip_with/aggregate column arithmetic,
+    * min_by argmin, then a (label, pred) count. The corpus is read
+    * twice (centroid pass + classify pass) and shuffled never —
+    * label-count-sized aggregates only. */
+  def nearestCentroidConfusion(emb: DataFrame, idCol: String,
+      labelCol: String, vecCol: String): DataFrame = {
+    val micro = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1e6)).cast("long"))
+    val q = emb.select(col(idCol).as("_id"), col(labelCol).as("label"),
+      micro.as("_m"))
+    val centroids = q
+      .select(col("label"), posexplode(col("_m")).as(Seq("_p", "_x")))
+      .groupBy(col("label"), col("_p"))
+      .agg(floor(sum(col("_x")) / count(lit(1))).cast("long").as("_c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("_p"), col("_c")))).as("_pc"))
+      .select(col("label").as("_cl"),
+        transform(col("_pc"), s => s.getField("_c")).as("_cv"))
+    val dist = aggregate(
+      zip_with(col("_m"), col("_cv"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, d) => acc + d)
+    q.crossJoin(broadcast(centroids)) // labels-sized dimension
+      .select(col("_id"), col("label"),
+        struct(dist.as("d"), col("_cl").as("l")).as("_dl"))
+      .groupBy(col("_id"), col("label"))
+      .agg(min(col("_dl")).as("_best"))
+      .groupBy(col("label"), col("_best").getField("l").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

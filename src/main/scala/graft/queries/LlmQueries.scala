@@ -1807,4 +1807,67 @@ object LlmQueries {
       |SELECT least(ia, ib) AS doc_a, greatest(ia, ib) AS doc_b, j6
       |FROM j WHERE j6 >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Robust length outliers by the MAD rule
+    * ([[graft.operators.Profile.madOutliers]], c=2, per source):
+    * type-1 medians under the (value, id) total order, BIGINT
+    * deviations — zero floating steps, the flag replays exactly. */
+  def qMad(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.madOutliers(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars", "doc_id", c = 2)
+      .orderBy(col("doc_id"))
+
+  val qMadSql: String =
+    """WITH r AS (SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents),
+      |med AS (SELECT source, n_chars AS med FROM r
+      |  WHERE rk = (n - 1) // 2 + 1),
+      |d AS (SELECT doc_id, documents.source, n_chars, med,
+      |    abs(n_chars - med) AS dev
+      |  FROM documents JOIN med ON documents.source = med.source),
+      |r2 AS (SELECT *, row_number() OVER (PARTITION BY source
+      |      ORDER BY dev, doc_id) AS rk2,
+      |    count(*) OVER (PARTITION BY source) AS n2
+      |  FROM d),
+      |mad AS (SELECT source, dev AS mad FROM r2
+      |  WHERE rk2 = (n2 - 1) // 2 + 1)
+      |SELECT doc_id, d.source, n_chars, med, mad
+      |FROM d JOIN mad ON d.source = mad.source
+      |WHERE dev > 2 * mad
+      |ORDER BY doc_id""".stripMargin
+
+  /** Nearest-centroid classification confusion matrix over the
+    * embeddings ([[graft.operators.Similarity.nearestCentroidConfusion]]):
+    * micro-unit quantization makes every distance a BIGINT sum and
+    * the argmin total — the "do the classes separate" sanity pass,
+    * exact end to end. */
+  def qCentroidClassify(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.nearestCentroidConfusion(
+        Tables.embeddings(s, dir), "vec_id", "label", "embedding")
+      .orderBy(col("label"), col("pred"))
+
+  val qCentroidClassifySql: String =
+    """WITH m AS (SELECT vec_id, label, i AS p,
+      |    CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1e6) AS BIGINT)
+      |      AS v
+      |  FROM embeddings, unnest(range(len(embedding))) AS t(i)),
+      |cent AS (SELECT label AS cl, p,
+      |    CAST(FLOOR(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |  FROM m GROUP BY label, p),
+      |dist AS (SELECT m.vec_id, m.label, cent.cl,
+      |    CAST(sum((m.v - cent.cv) * (m.v - cent.cv)) AS BIGINT) AS d
+      |  FROM m JOIN cent ON m.p = cent.p
+      |  GROUP BY m.vec_id, m.label, cent.cl),
+      |best AS (SELECT vec_id, label, cl,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rk
+      |  FROM dist)
+      |SELECT label, cl AS pred, count(*) AS n
+      |FROM best WHERE rk = 1
+      |GROUP BY label, cl
+      |ORDER BY label, pred""".stripMargin
 }

@@ -1105,4 +1105,98 @@ object Relational {
       |    AS decayed6
       |FROM terms GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  /** Two-sweep synchronous label propagation over the event graph
+    * ([[graft.operators.Graph.labelPropagation]]): per node, the
+    * neighborhood-mode label with (count desc, label asc) ties —
+    * deterministic LPA, fixed sweeps like q_pagerank so the oracle
+    * replays each sweep verbatim. */
+  def qCommunities(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.labelPropagation(
+        Tables.events(s, dir)
+          .select((col("event_id") % 997).as("src"),
+            ((col("event_id") * 7919 + 13) % 997).as("dst")),
+        "src", "dst", sweeps = 2)
+      .orderBy(col("id"))
+
+  val qCommunitiesSql: String =
+    """WITH raw AS (SELECT event_id % 997 AS a,
+      |    (event_id * 7919 + 13) % 997 AS b FROM events),
+      |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |  FROM raw WHERE a <> b),
+      |bi AS (SELECT u AS a, v AS b FROM e
+      |  UNION ALL SELECT v AS a, u AS b FROM e),
+      |l0 AS (SELECT DISTINCT a AS id, a AS label FROM bi),
+      |c1 AS (SELECT bi.a, l0.label, count(*) AS c
+      |  FROM bi JOIN l0 ON bi.b = l0.id GROUP BY bi.a, l0.label),
+      |r1 AS (SELECT a, label,
+      |    row_number() OVER (PARTITION BY a ORDER BY c DESC, label) AS rk
+      |  FROM c1),
+      |l1 AS (SELECT a AS id, label FROM r1 WHERE rk = 1),
+      |c2 AS (SELECT bi.a, l1.label, count(*) AS c
+      |  FROM bi JOIN l1 ON bi.b = l1.id GROUP BY bi.a, l1.label),
+      |r2 AS (SELECT a, label,
+      |    row_number() OVER (PARTITION BY a ORDER BY c DESC, label) AS rk
+      |  FROM c2)
+      |SELECT a AS id, label FROM r2 WHERE rk = 1
+      |ORDER BY id""".stripMargin
+
+  /** Categorical drift between the even- and odd-event_id halves of
+    * the stream over the 100-value props column
+    * ([[graft.operators.Profile.categoryDrift]]): exact
+    * total-variation distance by integer cross-multiplication, one
+    * division at the end; top drifted category shipped alongside. */
+  def qDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    graft.operators.Profile.categoryDrift(
+      ev.where(col("event_id") % 2 === 0),
+      ev.where(col("event_id") % 2 === 1), "props")
+  }
+
+  val qDriftSql: String =
+    """WITH a AS (SELECT props FROM events WHERE event_id % 2 = 0),
+      |b AS (SELECT props FROM events WHERE event_id % 2 = 1),
+      |ca AS (SELECT props, count(*) AS x FROM a GROUP BY props),
+      |cb AS (SELECT props, count(*) AS y FROM b GROUP BY props),
+      |na AS (SELECT count(*) AS n_a FROM a),
+      |nb AS (SELECT count(*) AS n_b FROM b),
+      |j AS (SELECT coalesce(ca.props, cb.props) AS cat,
+      |    coalesce(x, 0) AS x, coalesce(y, 0) AS y
+      |  FROM ca FULL OUTER JOIN cb ON ca.props = cb.props),
+      |t AS (SELECT cat, abs(x * n_b - y * n_a) AS cr, n_a, n_b
+      |  FROM j, na, nb)
+      |SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+      |  CAST(max(n_b) AS BIGINT) AS n_b,
+      |  count(*) AS n_cats,
+      |  (SELECT cat FROM t ORDER BY cr DESC, cat DESC LIMIT 1) AS top_cat,
+      |  round(CAST(CAST(sum(cr) AS BIGINT) AS DOUBLE)
+      |    / (2.0 * CAST(max(n_a) AS DOUBLE) * CAST(max(n_b) AS DOUBLE)), 6)
+      |    AS tv6
+      |FROM t""".stripMargin
+
+  /** Per-user inter-event burstiness
+    * ([[graft.operators.Events.burstiness]], ≥10 gaps): the Goh-
+    * Barabási (σ−μ)/(σ+μ) with the radicand exact in integer seconds
+    * — one sqrt, one division, round 6. */
+  def qBurstiness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.burstiness(
+        Tables.events(s, dir), "user_id", "ts", minGaps = 10)
+      .orderBy(col("user_id"))
+
+  val qBurstinessSql: String =
+    """WITH g AS (SELECT user_id,
+      |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts))) // 1000000
+      |      AS gap
+      |  FROM events),
+      |st AS (SELECT user_id, count(*) AS n,
+      |    CAST(sum(gap) AS BIGINT) AS s,
+      |    CAST(sum(gap * gap) AS BIGINT) AS q
+      |  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n AS n_gaps,
+      |  round((sqrt(CAST(n * q - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
+      |    / (sqrt(CAST(n * q - s * s AS DOUBLE)) + CAST(s AS DOUBLE)), 6)
+      |    AS burst6
+      |FROM st WHERE n >= 10 AND s > 0
+      |ORDER BY user_id""".stripMargin
 }

@@ -157,6 +157,31 @@ class EventsSpec extends SparkSpec {
     assert(again === ids)
   }
 
+  test("burstiness: metronome reads -1-ish negative... exactly 0 gap " +
+      "variance -> B = -1; bursty tail pushes B positive") {
+    val s2 = spark
+    import s2.implicits._
+    // user 1: perfectly regular 60s gaps (σ=0 → B = (0−μ)/(0+μ) = −1)
+    // user 2: ten 1s gaps + one huge 10000s gap → heavy burst, B > 0
+    val reg = (0 to 11).map(i =>
+      (1L, new java.sql.Timestamp(1700000000000L + i * 60000L)))
+    val bur = (0 to 10).map(i =>
+      (2L, new java.sql.Timestamp(1700000000000L + i * 1000L))) :+
+      ((2L, new java.sql.Timestamp(1700000000000L + 10000000L + 10000L)))
+    val ev = (reg ++ bur).toDF("user_id", "ts")
+    val r = Events.burstiness(ev, "user_id", "ts", minGaps = 10)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1),
+        x.getDouble(2))).toMap
+    assert(r(1L)._1 === 11L)
+    assert(r(1L)._2 === -1.0)
+    assert(r(2L)._2 > 0.4, s"bursty user read ${r(2L)._2}")
+    // closed form for user 2: gaps = ten 1s + one 10000s ->
+    // s=10010, q=100000010, B = (sqrt(11q - s^2) - s)/(sqrt + s)
+    val rad = 11.0 * 100000010.0 - 10010.0 * 10010.0
+    val expect = (math.sqrt(rad) - 10010.0) / (math.sqrt(rad) + 10010.0)
+    assert(math.abs(r(2L)._2 - expect) < 1e-6)
+  }
+
   test("decayScore: closed form at the horizon, order-independent, " +
       "snapshot reconciliation property") {
     val s2 = spark

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, countDistinct}
 
 class GraphSpec extends SparkSpec {
 
@@ -177,6 +178,47 @@ class GraphSpec extends SparkSpec {
         if has(nbrs(i), nbrs(j)) } yield 1).size.toLong
     }.toMap
     assert(got === brute)
+  }
+
+  test("labelPropagation: two dense blobs keep distinct labels across a " +
+      "bridge (where min-label CC would flood one id)") {
+    val s2 = spark
+    import s2.implicits._
+    // K4 on 1..4, K4 on 11..14, single bridge 4-11
+    val blob1 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val blob2 = for { a <- 11L to 14L; b <- 11L to 14L if a < b } yield (a, b)
+    val edges = (blob1 ++ blob2 ++ Seq((4L, 11L))).toDF("s", "d")
+    val lab = Graph.labelPropagation(edges, "s", "d", sweeps = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // blob 1 converges to label 1; blob 2's internal majority (votes
+    // from 12,13,14) holds 11's blob at its own minimum even though
+    // the bridge delivers label 1 to node 11
+    assert(lab(1L) === 1L && lab(2L) === 1L && lab(3L) === 1L)
+    assert(Set(12L, 13L, 14L).forall(n => lab(n) === 11L))
+    // CC on the same graph gives ONE component — the contrast that
+    // makes LPA a community op, not a component op
+    val cc = Graph.connectedComponents(
+      edges.select(col("s").as("a"), col("d").as("b")), "a", "b")
+    assert(cc.select(countDistinct(col("comp"))).head().getLong(0) === 1L)
+  }
+
+  test("labelPropagation: plan depth constant in sweeps; deterministic " +
+      "under repartitioning") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)).toDF("s", "d")
+    val d1 = Graph.labelPropagation(edges, "s", "d", 1)
+      .queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    val d4 = Graph.labelPropagation(edges, "s", "d", 4)
+      .queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    assert(d1 === d4, s"plan grew with sweeps: $d4 vs $d1")
+    val a = Graph.labelPropagation(edges.repartition(1), "s", "d", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.labelPropagation(edges.repartition(9), "s", "d", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
   }
 
   test("clusteringCoefficients: K4 nodes read 1.0; a path node reads 0; " +

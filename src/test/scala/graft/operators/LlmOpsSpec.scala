@@ -598,6 +598,49 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows(0L)._2 < 0.0)
   }
 
+  test("nearestCentroidConfusion: separable classes classify perfectly; " +
+      "a boundary vector goes to the nearer centroid by exact integers") {
+    val s2 = spark
+    import s2.implicits._
+    // class A around (1, 0), class B around (0, 1), 2-dim
+    val rows = Seq(
+      (1L, "A", Seq(1.0f, 0.1f)), (2L, "A", Seq(0.9f, 0.0f)),
+      (3L, "A", Seq(1.1f, -0.1f)),
+      (11L, "B", Seq(0.0f, 1.0f)), (12L, "B", Seq(0.1f, 0.9f)),
+      (13L, "B", Seq(-0.1f, 1.1f)),
+      // a mislabeled point sitting in A's blob
+      (21L, "B", Seq(1.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val conf = Similarity.nearestCentroidConfusion(df, "vec_id", "label",
+        "embedding")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(conf(("A", "A")) === 3L)
+    // B's centroid is dragged slightly by the mislabeled point, but
+    // the point itself is still far closer to A's centroid
+    assert(conf(("B", "A")) === 1L)
+    assert(conf(("B", "B")) === 3L)
+    assert(conf.values.sum === 7L)
+  }
+
+  test("nearestCentroidConfusion: deterministic under repartitioning " +
+      "(exact integer distances, no float fold)") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 200).map { i =>
+      val l = s"c${i % 4}"
+      (i.toLong, l, (0 until 8).map(d =>
+        (i % 4) * 0.3f + rnd.nextFloat() * 0.4f - 0.2f))
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.nearestCentroidConfusion(d, "vec_id", "label", "embedding")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+    assert(run(df.repartition(1)) === run(df.repartition(13)))
+  }
+
   test("sortedNeighborPairs: finds prefix-adjacent near-dups, candidate " +
       "set bounded by rank distance, canonical pair order") {
     val s2 = spark

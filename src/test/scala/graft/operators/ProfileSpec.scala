@@ -114,6 +114,74 @@ class ProfileSpec extends SparkSpec {
     assert(scans === 1, s"profile must read the table once:\n$plan")
   }
 
+  test("categoryDrift: identical snapshots read 0; disjoint read 1; a " +
+      "hand-checked shift matches the closed form") {
+    val s = spark
+    import s.implicits._
+    val x = (Seq.fill(6)("a") ++ Seq.fill(4)("b")).toDF("c")
+    val same = Profile.categoryDrift(x, x, "c").head()
+    assert(same.getAs[Double]("tv6") === 0.0)
+    val y = (Seq.fill(2)("a") ++ Seq.fill(8)("b")).toDF("c")
+    // TV = ½(|.6−.2| + |.4−.8|) = 0.4
+    val shift = Profile.categoryDrift(x, y, "c").head()
+    assert(shift.getAs[Double]("tv6") === 0.4)
+    assert(shift.getAs[Long]("n_a") === 10L)
+    assert(shift.getAs[Long]("n_cats") === 2L)
+    val z = Seq.fill(5)("zzz").toDF("c")
+    assert(Profile.categoryDrift(x, z, "c").head()
+      .getAs[Double]("tv6") === 1.0)
+  }
+
+  test("categoryDrift: top drifted category is deterministic") {
+    val s = spark
+    import s.implicits._
+    val a = (Seq.fill(10)("p") ++ Seq.fill(10)("q")).toDF("c")
+    val b = (Seq.fill(20)("p")).toDF("c")
+    // cross terms: p: |10·20 − 20·20| = 200; q: |10·20 − 0| = 200 — tie
+    // breaks to the LARGER category string: q
+    assert(Profile.categoryDrift(a, b, "c").head()
+      .getAs[String]("top_cat") === "q")
+  }
+
+  test("madOutliers: flags exactly the rows beyond c·MAD; robust to the " +
+      "contamination that drags a mean z-score") {
+    val s = spark
+    import s.implicits._
+    // 9 values near 100 + one absurd 10000: med=100, MAD small, the
+    // absurd row flags; a 2-sigma MEAN rule would be dragged by it
+    val rows = Seq((1L, "g", 98L), (2L, "g", 99L), (3L, "g", 100L),
+      (4L, "g", 100L), (5L, "g", 100L), (6L, "g", 101L), (7L, "g", 101L),
+      (8L, "g", 102L), (9L, "g", 97L), (10L, "g", 10000L))
+    val df = rows.toDF("id", "g", "v")
+    val flagged = Profile.madOutliers(df, "g", "v", "id", c = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    // sorted values: 97,98,99,100,100,100,101,101,102,10000 → type-1
+    // median = index floor(9/2)=4 (0-based) = 100; devs sorted:
+    // 0,0,0,1,1,1,2,2,3,9900 → MAD = 1; flag dev > 3
+    assert(flagged.map(_._1).toSeq === Seq(10L))
+    assert(flagged(0)._2 === 100L && flagged(0)._3 === 1L)
+    // the mean-rule contrast: integerOutliers at z=2 flags NOTHING
+    // else either way here, but the MAD med/mad pair is untouched by
+    // the contaminant while the mean (1089.8) is dragged past every
+    // clean value
+    val mean = rows.map(_._3).sum.toDouble / rows.size
+    assert(mean > 1000.0)
+  }
+
+  test("madOutliers: per-group medians independent; deterministic " +
+      "under repartitioning") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 20).map(i => (i.toLong, "a", i.toLong)) ++
+      (21 to 40).map(i => (i.toLong, "b", 5L))).toDF("id", "g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.madOutliers(d, "g", "v", "id", 2)
+        .collect().map(_.getLong(0)).toSet
+    assert(run(df.repartition(1)) === run(df.repartition(7)))
+    // constant group b: mad 0, every dev 0 → no flags from b
+    assert(!run(df).exists(_ > 20L))
+  }
+
   test("joinCardinality: exact when both key domains fit inside k") {
     val s = spark
     import s.implicits._
