@@ -227,7 +227,14 @@ object ScaleStress {
       // horizon; SNM = two-level rank + rank equi-join with exactly
       // n·w candidate pairs (w=10) — the predictable-cost blocking
       "q_clustering", "q_weighted_sample", "q_col_profile", "q_decay",
-      "q_dedup_snm")
+      "q_dedup_snm",
+      // round 13 batch 4: LPA = 2 sweeps over the saturated graph
+      // (sub-linear like triangles/clustering); centroid classify =
+      // two scans + labels-sized broadcast over 10x embeddings; drift
+      // = two category counts + a categories-sized fold; burstiness +
+      // MAD = key windows over 10x events/documents
+      "q_communities", "q_centroid_classify", "q_drift", "q_burstiness",
+      "q_mad")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)
