@@ -628,7 +628,10 @@ object TextDedup {
       textCol: String, window: Int, threshold: Double,
       keyLen: Int = 16, bucketPrefix: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keyed = docs.select(col(idCol).as("_id"), col(textCol).as("_tx"),
+    // distinct word sets computed ONCE per document here — the pair
+    // stage touches n·w rows and must not re-split texts per pair
+    val keyed = docs.select(col(idCol).as("_id"),
+      array_distinct(split(col(textCol), " ")).as("_ws"),
       substring(col(textCol), 1, keyLen).as("_k"),
       substring(col(textCol), 1, bucketPrefix).as("_b"))
     val wLocal = Window.partitionBy(col("_b"))
@@ -642,13 +645,12 @@ object TextDedup {
       .withColumn("_lr", row_number().over(wLocal))
       .join(broadcast(bases), Seq("_b"))
       .select((col("_base") + col("_lr")).as("_rn"), col("_id"),
-        col("_tx"))
+        col("_ws"))
     val right = ranked.select(col("_rn").as("_rnb"),
-      col("_id").as("_idb"), col("_tx").as("_txb"))
-    val wa = array_distinct(split(col("_tx"), " "))
-    val wb = array_distinct(split(col("_txb"), " "))
-    val inter = size(array_intersect(wa, wb)).cast("double")
-    val union = size(array_distinct(concat(wa, wb))).cast("double")
+      col("_id").as("_idb"), col("_ws").as("_wsb"))
+    val inter = size(array_intersect(col("_ws"), col("_wsb"))).cast("double")
+    val union = size(array_distinct(concat(col("_ws"), col("_wsb"))))
+      .cast("double")
     ranked
       .withColumn("_d", explode(sequence(lit(1), lit(window))))
       .withColumn("_rnb", col("_rn") + col("_d"))

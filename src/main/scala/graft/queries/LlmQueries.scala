@@ -1030,12 +1030,14 @@ object LlmQueries {
     val sh = Tables.documents(s, dir).select(col("source"),
       explode(TextDedup.shingles(col("text"), 3)).as("sp"))
       .select(col("source"), TextDedup.hash60(col("sp")).as("h"))
-    val exact = sh.select("source", "h").distinct()
-      .groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
-    Sketches.hll(sh, Seq("source"), "h", m = 256)
-      .select(col("source"), Sketches.hllEstimate(col("hll"), 256).as("n_hll"))
-      .join(exact, "source")
-      .select(col("source"), col("n_exact"), col("n_hll"))
+    // sketch and exact truth in ONE pass over the shingle stream
+    // (Spark plans the mixed distinct/sketch aggregation as a single
+    // two-phase job — the shingle explode is not paid twice)
+    sh.groupBy(col("source"))
+      .agg(countDistinct(col("h")).as("n_exact"),
+        graft.functions.HyperLogLog.hllSketch(col("h"), 256).as("_hll"))
+      .select(col("source"), col("n_exact"),
+        Sketches.hllEstimate(col("_hll"), 256).as("n_hll"))
       .orderBy(col("source"))
   }
 
