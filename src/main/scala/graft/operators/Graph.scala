@@ -302,6 +302,89 @@ object Graph {
       .select(col("id"), coalesce(col("_n"), lit(0L)).as("n_tri"))
   }
 
+  /** Personalized PageRank (the random-walk-with-restart ranking
+    * behind "related items for THIS seed set", Haveliwala 2002):
+    * identical sweep structure to [[pageRank]] but the teleport mass
+    * (1−d) returns to the SEED nodes only —
+    *   r' = (1−d)·1_{v∈seeds}/|S| + d·Σ_{u→v} r(u)/deg(u),
+    * r0 = uniform over seeds. Same scale discipline (edge/node sets
+    * lineage-cut once, rank table per sweep, round-9 pin after every
+    * sweep so cross-engine double wobble can't accumulate); the seed
+    * set is a driver-side constant (it IS the query, not data). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: Seq[Long], iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(seeds.nonEmpty, "PPR needs at least one seed")
+    val (e, eRdd) = localCut(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val (nodes, nodesRdd) = localCut(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct())
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val isSeed = col("id").isin(seeds: _*)
+    val seedMass = lit((1.0 - damping) / seeds.size)
+    var r = nodes.withColumn("r",
+      when(isSeed, lit(1.0 / seeds.size)).otherwise(lit(0.0)))
+    var pinned: Option[RDD[org.apache.spark.sql.catalyst.InternalRow]] = None
+    (1 to iters).foreach { _ =>
+      val contrib = e
+        .join(r.toDF("src", "r"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"), (col("r") / col("deg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      val next = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          round(when(isSeed, seedMass).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("s"), lit(0.0)), 9).as("r"))
+      val (cut, rdd) = localCut(next)
+      pinned.foreach(_.unpersist(blocking = false))
+      pinned = Some(rdd)
+      r = cut
+    }
+    eRdd.unpersist(blocking = false)
+    nodesRdd.unpersist(blocking = false)
+    r
+  }
+
+  /** Fixed-round k-core peel: `rounds` synchronous rounds of "drop
+    * every node whose CURRENT degree < k" over the undirected graph,
+    * emitting the survivors with their residual degrees. With enough
+    * rounds this is exactly the k-core (the maximal subgraph of
+    * min-degree ≥ k — degeneracy ordering's workhorse, the spam-farm
+    * / dense-community extractor); fixing the round count rather than
+    * polling convergence keeps the result a pure function of the
+    * data AND lets a SQL oracle replay each round verbatim (the
+    * [[pageRank]]/[[labelPropagation]] discipline — convergence is
+    * spec-territory, where KCoreSpec pins small-graph fixpoints).
+    *
+    * Per round: two semi-joins restrict the cut edge set to live
+    * endpoints, one degree aggregation, one filter — all keyed
+    * hash joins, live set lineage-cut per round (constant plan
+    * depth). Output: (id, deg) of survivors, deg = degree within the
+    * surviving subgraph after the LAST completed round's filter,
+    * recomputed on the final live set. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    val (und, undRdd) = localCut(undirect(edges, srcCol, dstCol))
+    var alive = degrees(und).where(col("deg") >= k).select(col("id"))
+    var pinned: Option[RDD[org.apache.spark.sql.catalyst.InternalRow]] = None
+    (2 to rounds).foreach { _ =>
+      val live = und
+        .join(alive.toDF("u"), Seq("u"), "left_semi")
+        .join(alive.toDF("v"), Seq("v"), "left_semi")
+      val next = degrees(live).where(col("deg") >= k).select(col("id"))
+      val (cut, rdd) = localCut(next)
+      pinned.foreach(_.unpersist(blocking = false))
+      pinned = Some(rdd)
+      alive = cut
+    }
+    val finalEdges = und
+      .join(alive.toDF("u"), Seq("u"), "left_semi")
+      .join(alive.toDF("v"), Seq("v"), "left_semi")
+    alive.join(degrees(finalEdges), Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007, the
     * near-linear community detection baseline), `sweeps` rounds:
     * labels start as node ids; each sweep every node adopts its

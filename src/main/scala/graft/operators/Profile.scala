@@ -131,6 +131,98 @@ object Profile {
         col("_p.min_val"), col("_p.max_val"))
   }
 
+  /** Chi-square independence statistic for a two-column contingency
+    * table: χ² = Σ_cells (o·N − r·c)² / (N·r·c) — "are these two
+    * categorical columns independent", the screen a feature pipeline
+    * runs before trusting a column pair (or deliberately dropping a
+    * redundant one). Determinism: the difference d = o·N − r·c is
+    * exact BIGINT; d², the division, and the per-cell term are IEEE
+    * doubles both engines compute identically from identical integer
+    * inputs, and each cell's term rounds to nano BEFORE the
+    * order-independent sum (the [[entropy]] convention). Also emits
+    * degrees of freedom (r−1)(c−1). Plan: one (x, y) cell count, two
+    * marginal aggregations OFF the cell table, broadcast scalars —
+    * the categorical domains never leave their aggregations. */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val observed = df.groupBy(col(xCol).as("_x"), col(yCol).as("_y"))
+      .agg(count(lit(1)).as("_o"))
+    // χ² sums over the FULL nx×ny grid — an unobserved cell still
+    // contributes its expectation term r·c/N (a groupBy alone would
+    // silently understate dependence); the grid cross join is
+    // categorical-domain-sized, a dimension table
+    val cells = observed.select(col("_x")).distinct()
+      .crossJoin(observed.select(col("_y")).distinct())
+      .join(observed, Seq("_x", "_y"), "left")
+      .withColumn("_o", coalesce(col("_o"), lit(0L)))
+    val rows = cells.groupBy(col("_x")).agg(sum(col("_o")).as("_r"))
+    val cols_ = cells.groupBy(col("_y")).agg(sum(col("_o")).as("_c"))
+    val n = cells.agg(sum(col("_o")).as("_n"),
+      countDistinct(col("_x")).as("_nx"), countDistinct(col("_y")).as("_ny"))
+    val d = (col("_o") * col("_n") - col("_r") * col("_c")).cast("double")
+    cells.join(rows, "_x").join(cols_, "_y")
+      .crossJoin(broadcast(n)) // 1-row scalar
+      .withColumn("_t", round(d * d /
+        (col("_n").cast("double") * col("_r").cast("double")
+          * col("_c").cast("double")) * lit(1e9)).cast("long"))
+      .groupBy(col("_nx"), col("_ny"))
+      .agg(sum(col("_t")).as("_nano"), count(lit(1)).as("n_cells"))
+      .select(col("n_cells"),
+        ((col("_nx") - 1) * (col("_ny") - 1)).as("dof"),
+        round(col("_nano").cast("double") / lit(1e9), 6).as("chi26"))
+  }
+
+  /** Per-group OLS trend slope of an integer measure against event
+    * time — "is this user's/domain's activity rising or falling",
+    * the regression a monitoring pipeline fits per key without ever
+    * collecting a group:
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),
+    * x = seconds since the stream's min timestamp (broadcast scalar —
+    * keeping x small enough that every sum term stays exact BIGINT;
+    * bound documented below), y the measure. The numerator and
+    * denominator are EXACT integers; the only floating steps are one
+    * division and one unit scale (×86400 → per-day), rounded to 6.
+    * Groups need ≥ 2 distinct x (den > 0). One aggregation.
+    *
+    * Exactness bound: n·Σx² < 2^63 needs n·(span_s)²·n ≲ 9e18 — a
+    * month-long span (2.6e6 s) allows ~1.3e6 rows per group at
+    * BIGINT; beyond that re-base x per group or widen to
+    * DECIMAL(38,0) in the same shape. */
+  def trendSlope(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val t0 = df.agg(min(unix_micros(col(tsCol))).as("_t0"))
+    val based = df.crossJoin(broadcast(t0)) // 1-row scalar
+      .withColumn("_x",
+        floor((unix_micros(col(tsCol)) - col("_t0")) / lit(1000000L))
+          .cast("long"))
+      .withColumn("_y", col(valueCol))
+    val num = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+    val den = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    based.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"),
+        sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"))
+      .where(den > 0)
+      .select(col(groupCol), col("_n").as("n"),
+        round(num.cast("double") / den.cast("double") * lit(86400.0), 6)
+          .as("slope6_per_day"))
+  }
+
+  /** Per-group quantile binning: assign every row its B-quantile
+    * bucket under the (value, id) total order — ntile, the feature
+    * discretization a training pipeline applies before bucketized
+    * embeddings / monotonic-binning models. One window per group key
+    * (never global); ties broken by id make the assignment
+    * deterministic and oracle-replayable (SQL ntile is
+    * order-sensitive, so the total order IS the contract). */
+  def quantileBins(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    df.withColumn("bin", ntile(buckets).over(w))
+  }
+
   /** Categorical distribution drift between two snapshots as EXACT
     * total-variation distance: TV = ½·Σ_cat |p_a − p_b| computed by
     * integer cross-multiplication —

@@ -1199,4 +1199,171 @@ object Relational {
       |    AS burst6
       |FROM st WHERE n >= 10 AND s > 0
       |ORDER BY user_id""".stripMargin
+
+  /** Personalized PageRank from seed users {1,2,3} over the
+    * bidirected user↔event-bucket graph
+    * ([[graft.operators.Graph.personalizedPageRank]], 2 sweeps,
+    * round-9-pinned like q_pagerank): teleport mass returns to the
+    * seeds only — "related to THESE" ranking. */
+  def qPpr(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("user_id").as("a"),
+        (col("event_id") % 137 + 1000000L).as("b"))
+    val edges = base.union(base.select(col("b").as("a"), col("a").as("b")))
+    graft.operators.Graph.personalizedPageRank(edges, "a", "b",
+        seeds = Seq(1L, 2L, 3L), iters = 2)
+      .select(col("id"), round(col("r"), 6).as("r"))
+      .orderBy(col("id"))
+  }
+
+  val qPprSql: String =
+    """WITH b AS (SELECT user_id AS a, event_id % 137 + 1000000 AS b
+      |           FROM events),
+      |e AS (SELECT DISTINCT a AS src, b AS dst FROM (
+      |        SELECT a, b FROM b UNION ALL SELECT b AS a, a AS b FROM b)),
+      |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |r0 AS (SELECT id, CASE WHEN id IN (1, 2, 3)
+      |         THEN 1.0::DOUBLE / 3 ELSE 0.0::DOUBLE END AS r FROM nodes),
+      |c1 AS (SELECT e.dst AS id, sum(r0.r / deg.deg) AS s
+      |       FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
+      |       GROUP BY e.dst),
+      |r1 AS (SELECT nodes.id,
+      |         round(CASE WHEN nodes.id IN (1, 2, 3)
+      |             THEN 0.15::DOUBLE / 3 ELSE 0.0::DOUBLE END
+      |           + 0.85 * coalesce(c1.s, 0.0::DOUBLE), 9) AS r
+      |       FROM nodes LEFT JOIN c1 ON nodes.id = c1.id),
+      |c2 AS (SELECT e.dst AS id, sum(r1.r / deg.deg) AS s
+      |       FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT nodes.id,
+      |         round(CASE WHEN nodes.id IN (1, 2, 3)
+      |             THEN 0.15::DOUBLE / 3 ELSE 0.0::DOUBLE END
+      |           + 0.85 * coalesce(c2.s, 0.0::DOUBLE), 9) AS r
+      |       FROM nodes LEFT JOIN c2 ON nodes.id = c2.id)
+      |SELECT id, round(r, 6) AS r FROM r2 ORDER BY id""".stripMargin
+
+  /** Fixed-round k-core peel (k=15, 4 rounds) over a SKEWED bipartite
+    * event graph (the right side's modulus varies per event, piling
+    * edges onto low-residue hubs — degree variance is what gives the
+    * peel a real cascade) — [[graft.operators.Graph.kCorePeel]]:
+    * survivors with residual degrees; each round replayed verbatim by
+    * the oracle. */
+  def qKcore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCorePeel(
+        Tables.events(s, dir)
+          .select((col("event_id") % 499).as("src"),
+            (col("event_id") % (col("event_id") % 359 + 2) + 500)
+              .as("dst")),
+        "src", "dst", k = 15, rounds = 4)
+      .orderBy(col("id"))
+
+  val qKcoreSql: String =
+    """WITH raw AS (SELECT event_id % 499 AS a,
+      |    event_id % (event_id % 359 + 2) + 500 AS b FROM events),
+      |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |  FROM raw WHERE a <> b),
+      |d1 AS (SELECT id, count(*) AS deg FROM (
+      |    SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id),
+      |a1 AS (SELECT id FROM d1 WHERE deg >= 15),
+      |e2 AS (SELECT u, v FROM e
+      |  WHERE u IN (SELECT id FROM a1) AND v IN (SELECT id FROM a1)),
+      |d2 AS (SELECT id, count(*) AS deg FROM (
+      |    SELECT u AS id FROM e2 UNION ALL SELECT v FROM e2) GROUP BY id),
+      |a2 AS (SELECT id FROM d2 WHERE deg >= 15),
+      |e3 AS (SELECT u, v FROM e
+      |  WHERE u IN (SELECT id FROM a2) AND v IN (SELECT id FROM a2)),
+      |d3 AS (SELECT id, count(*) AS deg FROM (
+      |    SELECT u AS id FROM e3 UNION ALL SELECT v FROM e3) GROUP BY id),
+      |a3 AS (SELECT id FROM d3 WHERE deg >= 15),
+      |e4 AS (SELECT u, v FROM e
+      |  WHERE u IN (SELECT id FROM a3) AND v IN (SELECT id FROM a3)),
+      |d4 AS (SELECT id, count(*) AS deg FROM (
+      |    SELECT u AS id FROM e4 UNION ALL SELECT v FROM e4) GROUP BY id),
+      |a4 AS (SELECT id FROM d4 WHERE deg >= 15),
+      |ef AS (SELECT u, v FROM e
+      |  WHERE u IN (SELECT id FROM a4) AND v IN (SELECT id FROM a4)),
+      |df AS (SELECT id, count(*) AS deg FROM (
+      |    SELECT u AS id FROM ef UNION ALL SELECT v FROM ef) GROUP BY id)
+      |SELECT a4.id, CAST(coalesce(df.deg, 0) AS BIGINT) AS deg
+      |FROM a4 LEFT JOIN df ON a4.id = df.id
+      |ORDER BY a4.id""".stripMargin
+
+  /** Chi-square independence of (event_type, day-of-week)
+    * ([[graft.operators.Profile.chiSquare]]): exact integer cell/
+    * marginal arithmetic, per-cell terms nano-rounded before the
+    * order-independent sum. */
+  def qChi2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.chiSquare(
+      Tables.events(s, dir)
+        .select(col("event_type"), (weekday(col("ts")) + 1).as("dow")),
+      "event_type", "dow")
+
+  val qChi2Sql: String =
+    """WITH obs AS (SELECT event_type AS x, isodow(ts) AS y, count(*) AS o
+      |  FROM events GROUP BY x, y),
+      |c AS (SELECT g.x, g.y, coalesce(obs.o, 0) AS o FROM (
+      |    SELECT xs.x, ys.y FROM (SELECT DISTINCT x FROM obs) xs,
+      |      (SELECT DISTINCT y FROM obs) ys) g
+      |  LEFT JOIN obs ON g.x = obs.x AND g.y = obs.y),
+      |r AS (SELECT x, CAST(sum(o) AS BIGINT) AS rr FROM c GROUP BY x),
+      |cc AS (SELECT y, CAST(sum(o) AS BIGINT) AS cm FROM c GROUP BY y),
+      |n AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+      |    count(DISTINCT x) AS nx, count(DISTINCT y) AS ny FROM c),
+      |t AS (SELECT
+      |    CAST(round(CAST(c.o * n.nn - r.rr * cc.cm AS DOUBLE)
+      |      * CAST(c.o * n.nn - r.rr * cc.cm AS DOUBLE)
+      |      / (CAST(n.nn AS DOUBLE) * CAST(r.rr AS DOUBLE)
+      |        * CAST(cc.cm AS DOUBLE)) * 1e9, 0) AS BIGINT) AS nano,
+      |    n.nx, n.ny
+      |  FROM c JOIN r USING (x) JOIN cc USING (y) CROSS JOIN n)
+      |SELECT count(*) AS n_cells,
+      |  CAST(max((nx - 1) * (ny - 1)) AS BIGINT) AS dof,
+      |  round(CAST(CAST(sum(nano) AS BIGINT) AS DOUBLE) / 1e9, 6) AS chi26
+      |FROM t""".stripMargin
+
+  /** Per-user activity trend ([[graft.operators.Profile.trendSlope]]):
+    * OLS slope of cents against seconds-since-stream-start — exact
+    * BIGINT sums, one division, scaled to cents/day. */
+  def qTrend(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.trendSlope(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"),
+            floor(col("value") * 100).cast("long").as("cents")),
+        "user_id", "ts", "cents")
+      .orderBy(col("user_id"))
+
+  val qTrendSql: String =
+    """WITH t0 AS (SELECT min(epoch_us(ts)) AS t FROM events),
+      |b AS (SELECT user_id,
+      |    (epoch_us(ts) - t0.t) // 1000000 AS x,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS y
+      |  FROM events, t0),
+      |st AS (SELECT user_id, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM b GROUP BY user_id)
+      |SELECT user_id, n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) * 86400.0, 6)
+      |    AS slope6_per_day
+      |FROM st WHERE n * sxx - sx * sx > 0
+      |ORDER BY user_id""".stripMargin
+
+  /** Per-source quartile binning of document lengths
+    * ([[graft.operators.Profile.quantileBins]], ntile(4) under the
+    * (n_chars, doc_id) total order) — the discretization surface. */
+  def qBinning(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.quantileBins(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars", "doc_id", buckets = 4)
+      .orderBy(col("doc_id"))
+
+  val qBinningSql: String =
+    """SELECT doc_id, source, n_chars,
+      |  CAST(ntile(4) OVER (PARTITION BY source
+      |    ORDER BY n_chars, doc_id) AS INT) AS bin
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

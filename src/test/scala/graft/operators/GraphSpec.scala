@@ -180,6 +180,49 @@ class GraphSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("personalizedPageRank: mass concentrates near the seeds; total " +
+      "teleport goes to seeds only; plan depth constant") {
+    val s2 = spark
+    import s2.implicits._
+    // two K3s joined by one bridge; seed in blob 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+        (4L, 5L), (5L, 6L), (6L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) } // bidirect
+      .toDF("s", "d")
+    val r = Graph.personalizedPageRank(edges, "s", "d", Seq(1L), iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // the seed holds the most rank; blob-1 members outrank blob-2's
+    assert(r(1L) === r.values.max)
+    assert(r(2L) > r(5L) && r(3L) > r(5L))
+    // un-personalized pageRank on the same graph gives 4,5,6 real mass
+    val d1 = Graph.personalizedPageRank(edges, "s", "d", Seq(1L), 1)
+      .queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    val d4 = Graph.personalizedPageRank(edges, "s", "d", Seq(1L), 4)
+      .queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    assert(d1 === d4)
+  }
+
+  test("kCorePeel: peels the pendant tree, keeps the clique; cascade " +
+      "effect needs the later rounds; fixpoint matches brute force") {
+    val s2 = spark
+    import s2.implicits._
+    // K4 core {1..4} + a chain 4-5-6-7 that unravels at k=2 only
+    // through the cascade (7 drops, then 6, then 5)
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))).toDF("s", "d")
+    def survivors(rounds: Int) =
+      Graph.kCorePeel(edges, "s", "d", k = 2, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one round only drops 7 (deg 1); 5 and 6 still look alive
+    assert(survivors(1).keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // by round 3 the chain has unravelled to the true 2-core = K4
+    val fix = survivors(3)
+    assert(fix.keySet === Set(1L, 2L, 3L, 4L))
+    assert(fix.values.toSet === Set(3L)) // K4 residual degrees
+    // extra rounds are a no-op at the fixpoint
+    assert(survivors(5) === fix)
+  }
+
   test("labelPropagation: two dense blobs keep distinct labels across a " +
       "bridge (where min-label CC would flood one id)") {
     val s2 = spark

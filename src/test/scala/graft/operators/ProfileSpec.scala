@@ -114,6 +114,63 @@ class ProfileSpec extends SparkSpec {
     assert(scans === 1, s"profile must read the table once:\n$plan")
   }
 
+  test("chiSquare: independent columns read ~0; a perfectly dependent " +
+      "pair reads n·(min(r,c)−1); dof correct") {
+    val s = spark
+    import s.implicits._
+    // independent: every (x, y) combination equally often
+    val ind = (for { x <- Seq("a", "b"); y <- Seq("p", "q", "r");
+      _ <- 1 to 5 } yield (x, y)).toDF("x", "y")
+    val ri = Profile.chiSquare(ind, "x", "y").head()
+    assert(ri.getAs[Double]("chi26") === 0.0)
+    assert(ri.getAs[Long]("dof") === 2L)
+    assert(ri.getAs[Long]("n_cells") === 6L)
+    // dependent: y determined by x → chi2 = n·(k−1) for k×k
+    val dep = (for { x <- Seq("a", "b"); _ <- 1 to 10 }
+      yield (x, x.toUpperCase)).toDF("x", "y")
+    val rd = Profile.chiSquare(dep, "x", "y").head()
+    assert(rd.getAs[Double]("chi26") === 20.0) // n·(2−1) = 20
+    assert(rd.getAs[Long]("dof") === 1L)
+  }
+
+  test("trendSlope: recovers an exact linear signal; constant series " +
+      "reads slope 0; single-timestamp group filtered") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // u1: y = 2·x(seconds) + 5 → slope = 2 cents/s = 172800/day
+    // u2: constant; u3: one instant only (den 0 → dropped)
+    val rows = (0L to 10L).map(i => ("u1", ts(i * 60), 2 * i * 60 + 5)) ++
+      (0L to 10L).map(i => ("u2", ts(i * 60), 42L)) ++
+      Seq(("u3", ts(0), 1L), ("u3", ts(0), 9L))
+    val df = rows.toDF("g", "ts", "y")
+    val r = Profile.trendSlope(df, "g", "ts", "y").collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r("u1") === 172800.0)
+    assert(r("u2") === 0.0)
+    assert(!r.contains("u3"))
+  }
+
+  test("quantileBins: quartiles balanced, order deterministic, every " +
+      "row assigned") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 40).map(i => (i.toLong, "g", (i % 10).toLong))
+      .toDF("id", "g", "v")
+    val r = Profile.quantileBins(df, "g", "v", "id", 4).collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getInt(3)))
+    assert(r.length === 40)
+    val sizes = r.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes === Map(1 -> 10, 2 -> 10, 3 -> 10, 4 -> 10))
+    // bins are monotone in (v, id): max v of bin b <= min v of bin b+1
+    val byBin = r.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBin(1).max <= byBin(2).min + 1) // ties may straddle by id
+    // determinism under repartitioning
+    val again = Profile.quantileBins(df.repartition(7), "g", "v", "id", 4)
+      .collect().map(x => (x.getLong(0), x.getInt(3))).toSet
+    assert(again === r.map(x => (x._1, x._3)).toSet)
+  }
+
   test("categoryDrift: identical snapshots read 0; disjoint read 1; a " +
       "hand-checked shift matches the closed form") {
     val s = spark
