@@ -234,7 +234,13 @@ object ScaleStress {
       // = two category counts + a categories-sized fold; burstiness +
       // MAD = key windows over 10x events/documents
       "q_communities", "q_centroid_classify", "q_drift", "q_burstiness",
-      "q_mad")
+      "q_mad",
+      // round 13 batch 5: PPR = 2 sweeps over the (saturating) user-
+      // bucket graph; k-core = 4 peel rounds of semi-joins + degree
+      // aggs (edge set saturates like the other id-mod graphs); chi2
+      // = grid-densified cell aggs; trend = one integer-sum agg;
+      // binning = one per-group window
+      "q_ppr", "q_kcore", "q_chi2", "q_trend", "q_binning")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)
