@@ -131,6 +131,68 @@ object Profile {
         col("_p.min_val"), col("_p.max_val"))
   }
 
+  /** Functional-dependency profile: for each candidate determinant →
+    * dependent pair, does det functionally determine dep in this
+    * data? Emits one row per pair — distinct determinant count,
+    * violating determinants (those mapping to >1 dependent value),
+    * and the holds flag. The schema-inference pass that finds real
+    * keys and denormalized copies before a pipeline trusts either.
+    * Each pair is one (det, dep) distinct + one groups-sized count —
+    * map-side combined, nothing wider than the key domain. */
+  def fdProfile(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty)
+    pairs.map { case (det, dep) =>
+      df.select(col(det).as("_d"), col(dep).as("_v")).distinct()
+        .groupBy(col("_d")).agg(count(lit(1)).as("_nv"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("_nv") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(det).as("det"), lit(dep).as("dep"),
+          col("n_keys"), col("n_violating").cast("long").as("n_violating"),
+          (col("n_violating") === 0).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Inclusion-dependency check: is every distinct value of a.aCol
+    * present in b.bCol? One row — |distinct a|, how many are missing
+    * from b, and the containment flag (the foreign-key discovery /
+    * referential-integrity audit). An anti-join of the two DISTINCT
+    * key sets: key-domain-sized, never data×data. */
+  def inclusionCheck(a: DataFrame, aCol: String, b: DataFrame,
+      bCol: String): DataFrame = {
+    val da = a.select(col(aCol).as("_k")).distinct()
+    val missing = da.join(b.select(col(bCol).as("_k")).distinct(),
+      Seq("_k"), "left_anti")
+    da.agg(count(lit(1)).as("n_distinct"))
+      .crossJoin(broadcast(missing.agg(count(lit(1)).as("n_missing"))))
+      .select(col("n_distinct"), col("n_missing"),
+        (col("n_missing") === 0).as("contained"))
+  }
+
+  /** Sampled aggregate with its exact twin: per group, the mean of an
+    * integer measure estimated from a deterministic `pct`% content-
+    * hash sample, next to the exact mean — the "is a 10% scan good
+    * enough" calibration a 100 TB pipeline runs before switching its
+    * dashboards to samples. The sample membership is a pure function
+    * of the id (hash60 mod 100 < pct): replayable, and the SAME rows
+    * sample on every run and every engine. Integer sums, one
+    * division each, round 6. */
+  def sampledMean(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 99)
+    val inSample = pmod(TextDedup.hash60(col(idCol).cast("string")),
+      lit(100L)) < pct
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("_s"),
+        sum(when(inSample, 1L).otherwise(0L)).as("n_sample"),
+        sum(when(inSample, col(valueCol)).otherwise(lit(0L))).as("_ss"))
+      .where(col("n_sample") > 0)
+      .select(col(groupCol), col("n"), col("n_sample"),
+        round(col("_s").cast("double") / col("n").cast("double"), 6)
+          .as("mean6_exact"),
+        round(col("_ss").cast("double") / col("n_sample").cast("double"), 6)
+          .as("mean6_est"))
+  }
+
   /** Chi-square independence statistic for a two-column contingency
     * table: χ² = Σ_cells (o·N − r·c)² / (N·r·c) — "are these two
     * categorical columns independent", the screen a feature pipeline

@@ -1810,6 +1810,36 @@ object LlmQueries {
       |FROM j WHERE j6 >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Jaro–Winkler vocabulary near-matches
+    * ([[graft.functions.StringSim.jaroWinkler]], a native codegen'd
+    * kernel — Spark has no built-in jaro): all distinct-word pairs
+    * scoring ≥ 0.6 (spanning both the boosted and unboosted branches),
+    * round-6 before the threshold. The pair join is vocabulary², a
+    * dimension-sized relation — the production shape blocks first
+    * (q_fuzzy_join's gram prefixes) and uses this kernel as the
+    * verifier; the gate scores the kernel itself against DuckDB's
+    * built-in `jaro_winkler_similarity`. */
+  def qJaroMatch(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+    val a = v.select(col("w").as("w1"))
+    val b = v.select(col("w").as("w2"))
+    a.join(b, col("w1") < col("w2"))
+      .withColumn("jw6", round(graft.functions.StringSim.jaroWinkler(
+        col("w1"), col("w2")), 6))
+      .where(col("jw6") >= 0.6)
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  val qJaroMatchSql: String =
+    """WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+      |  FROM documents)
+      |SELECT a.w AS w1, b.w AS w2,
+      |  round(jaro_winkler_similarity(a.w, b.w), 6) AS jw6
+      |FROM v a JOIN v b ON a.w < b.w
+      |WHERE round(jaro_winkler_similarity(a.w, b.w), 6) >= 0.6
+      |ORDER BY w1, w2""".stripMargin
+
   /** Robust length outliers by the MAD rule
     * ([[graft.operators.Profile.madOutliers]], c=2, per source):
     * type-1 medians under the (value, id) total order, BIGINT

@@ -1366,4 +1366,85 @@ object Relational {
       |  CAST(ntile(4) OVER (PARTITION BY source
       |    ORDER BY n_chars, doc_id) AS INT) AS bin
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Functional-dependency profile over events
+    * ([[graft.operators.Profile.fdProfile]]): three candidate FDs —
+    * event_id → everything (a true key), user_id → event_type and
+    * event_type → props (both expected to fail) — violating-key
+    * counts per pair. */
+  def qFdCheck(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.fdProfile(
+        Tables.events(s, dir),
+        Seq("event_id" -> "props", "user_id" -> "event_type",
+          "event_type" -> "props"))
+      .orderBy(col("det"), col("dep"))
+
+  val qFdCheckSql: String =
+    """WITH p1 AS (SELECT 'event_id' AS det, 'props' AS dep,
+      |    count(*) AS n_keys,
+      |    CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_violating
+      |  FROM (SELECT event_id, count(DISTINCT props) AS nv
+      |        FROM events GROUP BY event_id)),
+      |p2 AS (SELECT 'user_id', 'event_type', count(*),
+      |    CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM (SELECT user_id, count(DISTINCT event_type) AS nv
+      |        FROM events GROUP BY user_id)),
+      |p3 AS (SELECT 'event_type', 'props', count(*),
+      |    CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM (SELECT event_type, count(DISTINCT props) AS nv
+      |        FROM events GROUP BY event_type))
+      |SELECT det, dep, n_keys, n_violating,
+      |  n_violating = 0 AS holds
+      |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+      |      UNION ALL SELECT * FROM p3)
+      |ORDER BY det, dep""".stripMargin
+
+  /** Inclusion-dependency audit
+    * ([[graft.operators.Profile.inclusionCheck]]): is every
+    * events.user_id a customer key? (No — user 0 has no customer
+    * row; the gate pins the exact miss count.) */
+  def qInclusion(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.inclusionCheck(
+      Tables.events(s, dir), "user_id",
+      Tables.load(s, dir, "customer"), "c_custkey")
+
+  val qInclusionSql: String =
+    """WITH da AS (SELECT DISTINCT user_id AS k FROM events),
+      |m AS (SELECT count(*) AS n_missing FROM da
+      |  WHERE k NOT IN (SELECT c_custkey FROM customer))
+      |SELECT (SELECT count(*) FROM da) AS n_distinct, m.n_missing,
+      |  m.n_missing = 0 AS contained
+      |FROM m""".stripMargin
+
+  /** Sampled-vs-exact per-type mean cents
+    * ([[graft.operators.Profile.sampledMean]], 10% content-hash
+    * sample): the "is a sample scan good enough" calibration, both
+    * numbers exact-integer-derived and replayed. */
+  def qSampledAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.sampledMean(
+        Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * 100).cast("long").as("cents")),
+        "event_type", "cents", "event_id", pct = 10)
+      .orderBy(col("event_type"))
+
+  val qSampledAggSql: String =
+    """WITH b AS (SELECT event_type,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+      |    try_cast('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) % 100 < 10 AS ins
+      |  FROM events),
+      |st AS (SELECT event_type, count(*) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS s,
+      |    CAST(sum(CASE WHEN ins THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_sample,
+      |    CAST(sum(CASE WHEN ins THEN cents ELSE 0 END) AS BIGINT) AS ss
+      |  FROM b GROUP BY event_type)
+      |SELECT event_type, n, n_sample,
+      |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean6_exact,
+      |  round(CAST(ss AS DOUBLE) / CAST(n_sample AS DOUBLE), 6)
+      |    AS mean6_est
+      |FROM st WHERE n_sample > 0
+      |ORDER BY event_type""".stripMargin
 }

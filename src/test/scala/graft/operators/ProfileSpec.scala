@@ -114,6 +114,55 @@ class ProfileSpec extends SparkSpec {
     assert(scans === 1, s"profile must read the table once:\n$plan")
   }
 
+  test("fdProfile: a true key holds; a violated dependency counts its " +
+      "violating determinants exactly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "x", "p"), (2L, "x", "q"), (3L, "y", "p"),
+      (4L, "y", "p")).toDF("id", "a", "b")
+    val r = Profile.fdProfile(df, Seq("id" -> "b", "a" -> "b"))
+      .collect().map(x => (x.getString(0), x.getLong(2), x.getLong(3),
+        x.getBoolean(4))).toList
+    // id -> b: 4 keys, 0 violations (a key); a -> b: x maps to {p,q}
+    assert(r.contains(("id", 4L, 0L, true)))
+    assert(r.contains(("a", 2L, 1L, false)))
+  }
+
+  test("inclusionCheck: exact missing count and containment flag") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(1L, 2L, 3L, 3L, 99L).toDF("k")
+    val b = (1L to 50L).toDF("j")
+    val r = Profile.inclusionCheck(a, "k", b, "j").head()
+    assert(r.getLong(0) === 4L)      // distinct {1,2,3,99}
+    assert(r.getLong(1) === 1L)      // 99 missing
+    assert(!r.getBoolean(2))
+    val r2 = Profile.inclusionCheck(a.where(col("k") < 50), "k", b, "j")
+      .head()
+    assert(r2.getBoolean(2))
+  }
+
+  test("sampledMean: sample is deterministic, estimate near exact on a " +
+      "uniform group, groups with empty samples dropped") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 5000).map(i => ("g", i.toLong, (i % 100).toLong))
+      .toDF("grp", "id", "v")
+    val r = Profile.sampledMean(df, "grp", "v", "id", pct = 10).head()
+    assert(r.getLong(1) === 5000L)
+    val nSample = r.getLong(2)
+    assert(math.abs(nSample - 500L) < 120, s"sample size $nSample")
+    assert(math.abs(r.getDouble(4) - r.getDouble(3)) < 5.0)
+    val again = Profile.sampledMean(df.repartition(7), "grp", "v", "id", 10)
+      .head()
+    assert(again.getLong(2) === nSample &&
+      again.getDouble(4) === r.getDouble(4))
+    // a group whose rows all miss the sample is dropped, never NaN
+    val tiny = Seq(("t", 4L, 7L)).toDF("grp", "id", "v")
+    assert(Profile.sampledMean(df.union(tiny), "grp", "v", "id", 10)
+      .collect().forall(x => !x.getDouble(4).isNaN))
+  }
+
   test("chiSquare: independent columns read ~0; a perfectly dependent " +
       "pair reads n·(min(r,c)−1); dof correct") {
     val s = spark
