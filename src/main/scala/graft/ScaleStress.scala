@@ -240,7 +240,13 @@ object ScaleStress {
       // aggs (edge set saturates like the other id-mod graphs); chi2
       // = grid-densified cell aggs; trend = one integer-sum agg;
       // binning = one per-group window
-      "q_ppr", "q_kcore", "q_chi2", "q_trend", "q_binning")
+      "q_ppr", "q_kcore", "q_chi2", "q_trend", "q_binning",
+      // round 13 batch 6: jaro = vocab² dimension join through the
+      // codegen kernel (vocab 10x by the word-suffix construction →
+      // pairs 100x — the one deliberately super-linear gate, still
+      // dimension-sized); fd/inclusion = distinct + keyed aggs;
+      // sampled agg = one grouped scan
+      "q_jaro_match", "q_fd_check", "q_inclusion", "q_sampled_agg")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)
