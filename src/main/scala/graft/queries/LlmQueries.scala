@@ -1810,6 +1810,71 @@ object LlmQueries {
       |FROM j WHERE j6 >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** HLL sketch ROLLUP — the mergeable-summary property under the
+    * gate, not just the spec: per-(week, day) HLL sketches of the
+    * distinct active users are merged REGISTER-WISE (element-wise
+    * max) into weekly estimates without rescanning the days — the
+    * shape a 100 TB pipeline uses for every distinct-count rollup
+    * (daily sketches persist; weekly/monthly/all-time estimates fold
+    * from them in any tree). Emits per week: n_days folded, the
+    * merged-sketch estimate, and the exact weekly distinct for
+    * calibration. m=64 keeps the oracle's register grid small; the
+    * idempotent-max merge replays as a plain grouped MAX. */
+  def qHllRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      date_trunc("week", col("ts")).as("week"),
+      date_trunc("day", col("ts")).as("day"),
+      TextDedup.hash60(col("user_id").cast("string")).as("h"))
+    val daily = ev.groupBy(col("week"), col("day"))
+      .agg(graft.functions.HyperLogLog.hllSketch(col("h"), 64).as("hll"))
+    val weekly = daily
+      .select(col("week"), posexplode(col("hll")).as(Seq("_p", "_r")))
+      .groupBy(col("week"), col("_p")).agg(max(col("_r")).as("_m"))
+      .groupBy(col("week"))
+      .agg(array_sort(collect_list(struct(col("_p"), col("_m"))))
+        .as("_pm"))
+      .select(col("week"),
+        Sketches.hllEstimate(
+          transform(col("_pm"), x => x.getField("_m")), 64).as("est_hll"))
+    val exact = ev.groupBy(col("week"))
+      .agg(countDistinct(col("h")).as("n_exact"),
+        countDistinct(col("day")).as("n_days"))
+    weekly.join(exact, "week")
+      .select(col("week"), col("n_days"), col("n_exact"), col("est_hll"))
+      .orderBy(col("week"))
+  }
+
+  val qHllRollupSql: String =
+    s"""WITH ev AS (SELECT date_trunc('week', ts) AS week,
+      |    date_trunc('day', ts) AS day,
+      |    try_cast('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) AS h
+      |  FROM events),
+      |b AS (SELECT week, day, h // 18014398509481984 AS bucket,
+      |    h % 18014398509481984 AS wr FROM ev),
+      |dayreg AS (SELECT week, day, bucket,
+      |    MAX(CASE WHEN wr = 0 THEN 55 ELSE 55 - length(bin(wr)) END)
+      |      AS rho
+      |  FROM b GROUP BY week, day, bucket),
+      |weekreg AS (SELECT week, bucket, MAX(rho) AS rho
+      |  FROM dayreg GROUP BY week, bucket),
+      |wk AS (SELECT DISTINCT week FROM ev),
+      |grid AS (SELECT wk.week, r AS bucket
+      |  FROM wk, unnest(range(64)) AS u(r)),
+      |z AS (SELECT grid.week,
+      |    CAST(SUM(CAST(power(2, 55 - coalesce(weekreg.rho, 0)) AS BIGINT))
+      |      AS BIGINT) AS zint
+      |  FROM grid LEFT JOIN weekreg
+      |    ON grid.week = weekreg.week AND grid.bucket = weekreg.bucket
+      |  GROUP BY grid.week),
+      |ex AS (SELECT week, count(DISTINCT h) AS n_exact,
+      |    count(DISTINCT day) AS n_days FROM ev GROUP BY week)
+      |SELECT ex.week, ex.n_days, ex.n_exact,
+      |  CAST(FLOOR(${Sketches.hllConstant(64)} / CAST(zint AS DOUBLE))
+      |    AS BIGINT) AS est_hll
+      |FROM ex JOIN z ON ex.week = z.week
+      |ORDER BY ex.week""".stripMargin
+
   /** Jaro–Winkler vocabulary near-matches
     * ([[graft.functions.StringSim.jaroWinkler]], a native codegen'd
     * kernel — Spark has no built-in jaro): all distinct-word pairs
