@@ -245,6 +245,61 @@ class GraphSpec extends SparkSpec {
     assert(cc.select(countDistinct(col("comp"))).head().getLong(0) === 1L)
   }
 
+  test("kCorePeel: matches a brute-force fixpoint peel on random graphs") {
+    val s2 = spark
+    import s2.implicits._
+    for (seed <- Seq(5, 17, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val und = (for { a <- 1L to 30L; b <- 1L to 30L
+        if a < b && rnd.nextDouble() < 0.18 } yield (a, b)).toSet
+      val edges = und.toSeq.toDF("s", "d")
+      val got = Graph.kCorePeel(edges, "s", "d", k = 3, rounds = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force to fixpoint
+      var alive = und.flatMap(e => Seq(e._1, e._2))
+      var done = false
+      while (!done) {
+        val deg = alive.map(n => n -> und.count { case (u, v) =>
+          (u == n && alive(v)) || (v == n && alive(u)) }).toMap
+        val next = alive.filter(deg(_) >= 3)
+        done = next == alive
+        alive = next
+      }
+      val brute = alive.map(n => n -> und.count { case (u, v) =>
+        (u == n && alive(v)) || (v == n && alive(u)) }.toLong).toMap
+      assert(got === brute, s"seed $seed")
+    }
+  }
+
+  test("labelPropagation: matches a brute-force synchronous mode sweep") {
+    val s2 = spark
+    import s2.implicits._
+    for (seed <- Seq(7, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val und = (for { a <- 1L to 25L; b <- 1L to 25L
+        if a < b && rnd.nextDouble() < 0.2 } yield (a, b)).toSet
+      val got = Graph.labelPropagation(und.toSeq.toDF("s", "d"),
+          "s", "d", sweeps = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute: synchronous sweeps, mode label with (count desc, label
+      // asc) tie-break, neighbors only
+      val nodes = und.flatMap(e => Seq(e._1, e._2))
+      def nbrs(n: Long) = und.collect {
+        case (u, v) if u == n => v
+        case (u, v) if v == n => u
+      }
+      var lab = nodes.map(n => n -> n).toMap
+      (1 to 3).foreach { _ =>
+        lab = nodes.map { n =>
+          val votes = nbrs(n).toSeq.map(lab).groupBy(identity)
+            .view.mapValues(_.size).toMap
+          n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }.toMap
+      }
+      assert(got === lab, s"seed $seed")
+    }
+  }
+
   test("labelPropagation: plan depth constant in sweeps; deterministic " +
       "under repartitioning") {
     val s2 = spark

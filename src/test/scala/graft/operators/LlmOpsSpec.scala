@@ -685,6 +685,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(w4 === Set((1L, 9L))) // a 4-window reaches it
   }
 
+  test("sortedNeighborPairs: matches a brute-force rank-window sweep on " +
+      "random corpora") {
+    val s2 = spark
+    import s2.implicits._
+    for (seed <- Seq(3, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("data", "table", "spark", "query", "scan",
+        "merge", "row", "batch")
+      val docs = (1 to 80).map(i => (i.toLong,
+        (1 to rnd.nextInt(6) + 3).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")))
+      val got = TextDedup.sortedNeighborPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          window = 4, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSet
+      // brute: rank by (prefix16, id), all pairs within 4 ranks,
+      // exact jaccard, round 6
+      val ranked = docs.sortBy { case (id, t) => (t.take(16), id) }
+      val brute = (for {
+        i <- ranked.indices; d <- 1 to 4 if i + d < ranked.size
+        (ia, ta) = ranked(i); (ib, tb) = ranked(i + d)
+        wa = ta.split(" ").toSet; wb = tb.split(" ").toSet
+        j = wa.intersect(wb).size.toDouble / wa.union(wb).size
+        j6 = BigDecimal(j).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j6 >= 0.5
+      } yield (math.min(ia, ib), math.max(ia, ib), j6)).toSet
+      assert(got === brute, s"seed $seed")
+    }
+  }
+
   test("sortedNeighborPairs: two-level rank is partition-layout " +
       "independent") {
     val s2 = spark
