@@ -811,24 +811,30 @@ object Relational {
       |FROM e GROUP BY CUBE (event_type, dow)
       |ORDER BY event_type, dow""".stripMargin
 
-  /** Per-node triangle counts over a synthesized 997-node event graph
-    * ([[graft.operators.Graph.triangleCounts]] — degree-ordered
-    * orientation, wedge equi-join + closing semi-join, nothing
-    * quadratic). The oracle replays the cheaper id-ordered
-    * orientation; per-node counts are orientation-independent, so the
-    * two must agree row for row — which is exactly what makes the
-    * skew-proof orientation safe to ship. */
+  /** Per-node triangle counts over a DENSE synthesized event graph
+    * (divmod coordinates of event_id on a 97-node domain — one-in-eleven
+    * event thinning keeps it partially dense — degrees 9-28 at sf0.01; the earlier
+    * mod-997 permutation graph was 2-regular and triangle-free, a
+    * vacuous gate) — [[graft.operators.Graph.triangleCounts]]:
+    * degree-ordered orientation, wedge equi-join + closing
+    * semi-join, nothing quadratic. The oracle replays the cheaper
+    * id-ordered orientation; per-node counts are
+    * orientation-independent, so the two must agree row for row —
+    * which is exactly what makes the skew-proof orientation safe to
+    * ship. */
   def qTriangles(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.triangleCounts(
         Tables.events(s, dir)
-          .select((col("event_id") % 997).as("src"),
-            ((col("event_id") * 7919 + 13) % 997).as("dst")),
+          .where(col("event_id") % 11 === 0)
+          .select((col("event_id") % 97).as("src"),
+            (floor(col("event_id") / 97) % 97).as("dst")),
         "src", "dst")
       .orderBy(col("id"))
 
   val qTrianglesSql: String =
-    """WITH raw AS (SELECT event_id % 997 AS a,
-      |    (event_id * 7919 + 13) % 997 AS b FROM events),
+    """WITH raw AS (SELECT event_id % 97 AS a,
+      |    (event_id // 97) % 97 AS b FROM events
+      |  WHERE event_id % 11 = 0),
       |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
       |  FROM raw WHERE a <> b),
       |t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
@@ -1018,14 +1024,16 @@ object Relational {
   def qClustering(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.clusteringCoefficients(
         Tables.events(s, dir)
-          .select((col("event_id") % 997).as("src"),
-            ((col("event_id") * 7919 + 13) % 997).as("dst")),
+          .where(col("event_id") % 11 === 0)
+          .select((col("event_id") % 97).as("src"),
+            (floor(col("event_id") / 97) % 97).as("dst")),
         "src", "dst")
       .orderBy(col("id"))
 
   val qClusteringSql: String =
-    """WITH raw AS (SELECT event_id % 997 AS a,
-      |    (event_id * 7919 + 13) % 997 AS b FROM events),
+    """WITH raw AS (SELECT event_id % 97 AS a,
+      |    (event_id // 97) % 97 AS b FROM events
+      |  WHERE event_id % 11 = 0),
       |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
       |  FROM raw WHERE a <> b),
       |deg AS (SELECT id, count(*) AS deg FROM (
