@@ -124,6 +124,79 @@ object Events {
       .drop("_gap_us")
   }
 
+  /** Week-over-week user churn: for each week pair (w−1 → w), how
+    * many keys were active in both (retained), only in w−1 (churned),
+    * only in w (new) — the top-line health metric next to
+    * [[graft.queries.Relational]]'s retention cohorts (which slice by
+    * SIGNUP week; this slices by adjacent-week presence). Exact set
+    * arithmetic: one (key, week) distinct, a self-join shifted by one
+    * week interval, three counts — weeks-sized relations after the
+    * first distinct, nothing row-expanding. */
+  def weeklyChurn(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val active = events
+      .select(col(keyCol).as("_k"),
+        date_trunc("week", col(tsCol)).as("week"))
+      .distinct()
+    val prev = active.select(col("_k"),
+      (col("week") + expr("INTERVAL 7 DAYS")).as("week"))
+    val weeks = active.select(col("week")).distinct()
+    // left: this week's actives vs last week's; full outer per key
+    val joined = active.withColumn("_cur", lit(1))
+      .join(prev.withColumn("_prv", lit(1)), Seq("week", "_k"),
+        "full_outer")
+    joined.join(weeks, Seq("week"), "left_semi") // drop the phantom week after the last
+      .groupBy(col("week"))
+      .agg(
+        sum(when(col("_cur").isNotNull && col("_prv").isNotNull, 1L)
+          .otherwise(0L)).as("retained"),
+        sum(when(col("_cur").isNotNull && col("_prv").isNull, 1L)
+          .otherwise(0L)).as("fresh"),
+        sum(when(col("_cur").isNull && col("_prv").isNotNull, 1L)
+          .otherwise(0L)).as("churned"))
+      .orderBy(col("week"))
+  }
+
+  /** Daily OHLC bars per key: open/high/low/close of a measure within
+    * each (key, day) — first/last by an exact (timestamp, id) total
+    * order via min_by/max_by, extremes by plain min/max; ONE
+    * aggregation, no window, no sort (the time-series summary shape
+    * at any scale). */
+  def ohlcBars(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame =
+    events
+      .select(col(keyCol), date_trunc("day", col(tsCol)).as("day"),
+        col(valueCol).as("_v"),
+        struct(unix_micros(col(tsCol)).as("us"), col(tieCol).as("tie"))
+          .as("_ord"))
+      .groupBy(col(keyCol), col("day"))
+      .agg(min_by(col("_v"), col("_ord")).as("open"),
+        max(col("_v")).as("high"), min(col("_v")).as("low"),
+        max_by(col("_v"), col("_ord")).as("close"),
+        count(lit(1)).as("n"))
+
+  /** Calendar continuity audit: per key, the span of active days
+    * (first→last), how many of them were active, and the gap count —
+    * the "is this feed actually daily" data-quality check. Exact
+    * integer day arithmetic off one (key, day) distinct + one
+    * aggregation; nothing generates calendar rows (a sequence()
+    * explode would manufacture span-sized data — the count is
+    * span − active, no materialization needed). */
+  def calendarGaps(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame =
+    events
+      .select(col(keyCol),
+        to_date(date_trunc("day", col(tsCol))).as("_d"))
+      .distinct()
+      .groupBy(col(keyCol))
+      .agg(min(col("_d")).as("first_day"), max(col("_d")).as("last_day"),
+        count(lit(1)).as("active_days"))
+      .withColumn("span_days",
+        (datediff(col("last_day"), col("first_day")) + lit(1))
+          .cast("long"))
+      .withColumn("gap_days",
+        (col("span_days") - col("active_days")).cast("long"))
+
   /** Exponentially time-decayed score per key at a common horizon:
     *   score(key) = Σ_i value_i · exp(−(T − t_i)/τ),
     * T = the stream's max timestamp (one broadcast scalar), τ the

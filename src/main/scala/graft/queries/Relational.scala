@@ -1437,6 +1437,103 @@ object Relational {
         "event_type", "cents", "event_id", pct = 10)
       .orderBy(col("event_type"))
 
+  /** Week-over-week churn ([[graft.operators.Events.weeklyChurn]]):
+    * retained / fresh / churned user counts per week by adjacent-week
+    * presence — exact set arithmetic off one (user, week) distinct. */
+  def qChurn(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.weeklyChurn(
+        Tables.events(s, dir), "user_id", "ts")
+      .orderBy(col("week"))
+
+  val qChurnSql: String =
+    """WITH a AS (SELECT DISTINCT user_id AS k,
+      |    date_trunc('week', ts) AS week FROM events),
+      |p AS (SELECT k, week + INTERVAL 7 DAY AS week FROM a),
+      |wk AS (SELECT DISTINCT week FROM a),
+      |j AS (SELECT coalesce(a.week, p.week) AS week,
+      |    a.k IS NOT NULL AS cur, p.k IS NOT NULL AS prv
+      |  FROM a FULL OUTER JOIN p ON a.week = p.week AND a.k = p.k)
+      |SELECT j.week,
+      |  CAST(sum(CASE WHEN cur AND prv THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS retained,
+      |  CAST(sum(CASE WHEN cur AND NOT prv THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS fresh,
+      |  CAST(sum(CASE WHEN NOT cur AND prv THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS churned
+      |FROM j JOIN wk ON j.week = wk.week
+      |GROUP BY j.week ORDER BY j.week""".stripMargin
+
+  /** Daily OHLC value bars per event type
+    * ([[graft.operators.Events.ohlcBars]] on cents): open/close by
+    * the exact (ts, event_id) order, high/low by min/max — one
+    * aggregation, no window. */
+  def qOhlc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.ohlcBars(
+        Tables.events(s, dir)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            floor(col("value") * 100).cast("long").as("cents")),
+        "event_type", "ts", "event_id", "cents")
+      .orderBy(col("event_type"), col("day"))
+
+  val qOhlcSql: String =
+    """WITH b AS (SELECT event_type, date_trunc('day', ts) AS day,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS v,
+      |    epoch_us(ts) AS us, event_id FROM events),
+      |r AS (SELECT event_type, day, v,
+      |    row_number() OVER (PARTITION BY event_type, day
+      |      ORDER BY us, event_id) AS rk_a,
+      |    row_number() OVER (PARTITION BY event_type, day
+      |      ORDER BY us DESC, event_id DESC) AS rk_z
+      |  FROM b)
+      |SELECT event_type, day,
+      |  max(CASE WHEN rk_a = 1 THEN v END) AS open,
+      |  max(v) AS high, min(v) AS low,
+      |  max(CASE WHEN rk_z = 1 THEN v END) AS close,
+      |  count(*) AS n
+      |FROM r GROUP BY event_type, day
+      |ORDER BY event_type, day""".stripMargin
+
+  /** Calendar continuity audit per user
+    * ([[graft.operators.Events.calendarGaps]]): active days vs span,
+    * gap count — exact day arithmetic, no calendar materialization. */
+  def qGaps(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.calendarGaps(
+        Tables.events(s, dir), "user_id", "ts")
+      .orderBy(col("user_id"))
+
+  val qGapsSql: String =
+    """WITH d AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events)
+      |SELECT user_id, min(day) AS first_day, max(day) AS last_day,
+      |  count(*) AS active_days,
+      |  CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days,
+      |  CAST(max(day) - min(day) + 1 - count(*) AS BIGINT) AS gap_days
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** View→purchase conversion delay per user: the earliest view and
+    * the earliest strictly-later purchase ([[graft.operators.Events
+    * .funnel]] composed), emitted as whole seconds for converting
+    * users. */
+  def qConversionTime(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.funnel(Tables.events(s, dir), "user_id",
+        "ts", "event_type", Seq("view", "purchase"))
+      .where(col("depth") === 2)
+      .select(col("user_id"),
+        floor((unix_micros(col("t1")) - unix_micros(col("t0")))
+          / lit(1000000L)).cast("long").as("delay_s"))
+      .orderBy(col("user_id"))
+
+  val qConversionTimeSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |p AS (SELECT v.user_id, v.t0, min(e.ts) AS t1
+      |  FROM v JOIN events e ON e.user_id = v.user_id
+      |    AND e.event_type = 'purchase' AND e.ts > v.t0
+      |  GROUP BY v.user_id, v.t0)
+      |SELECT user_id,
+      |  (epoch_us(t1) - epoch_us(t0)) // 1000000 AS delay_s
+      |FROM p ORDER BY user_id""".stripMargin
+
   val qSampledAggSql: String =
     """WITH b AS (SELECT event_type,
       |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,

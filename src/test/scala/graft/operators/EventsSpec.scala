@@ -157,6 +157,65 @@ class EventsSpec extends SparkSpec {
     assert(again === ids)
   }
 
+  test("weeklyChurn: retained/fresh/churned partition each week's " +
+      "presence change; first week all fresh; phantom trailing week " +
+      "dropped") {
+    val s2 = spark
+    import s2.implicits._
+    // week1 (Mon 2024-01-01): users 1,2,3; week2: 2,3,4,5; week3: 5
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-02 10:00:00")),
+      (3L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-08 10:00:00")), (3L, ts("2024-01-09 10:00:00")),
+      (4L, ts("2024-01-10 10:00:00")), (5L, ts("2024-01-11 10:00:00")),
+      (5L, ts("2024-01-15 10:00:00"))
+    ).toDF("user_id", "ts")
+    val r = Events.weeklyChurn(ev, "user_id", "ts")
+      .collect().map(x => (x.getTimestamp(0), x.getLong(1), x.getLong(2),
+        x.getLong(3)))
+    assert(r.length === 3) // no phantom week after the last
+    assert(r(0) === ((ts("2024-01-01 00:00:00"), 0L, 3L, 0L)))
+    assert(r(1) === ((ts("2024-01-08 00:00:00"), 2L, 2L, 1L)))
+    assert(r(2) === ((ts("2024-01-15 00:00:00"), 1L, 0L, 3L)))
+  }
+
+  test("ohlcBars: open/close follow the (ts, id) order incl. equal-ts " +
+      "ties; high/low are extremes; one row per (key, day)") {
+    val s2 = spark
+    import s2.implicits._
+    val ev = Seq(
+      ("x", ts("2024-01-01 09:00:00"), 1L, 50L),
+      ("x", ts("2024-01-01 09:00:00"), 2L, 60L), // tie: id 1 is open
+      ("x", ts("2024-01-01 12:00:00"), 3L, 10L),
+      ("x", ts("2024-01-01 15:00:00"), 4L, 55L),
+      ("x", ts("2024-01-02 09:00:00"), 5L, 99L)
+    ).toDF("k", "ts", "id", "v")
+    val r = Events.ohlcBars(ev, "k", "ts", "id", "v")
+      .orderBy(col("day")).collect()
+      .map(x => (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5),
+        x.getLong(6)))
+    assert(r(0) === ((50L, 60L, 10L, 55L, 4L)))
+    assert(r(1) === ((99L, 99L, 99L, 99L, 1L)))
+  }
+
+  test("calendarGaps: span/active/gap arithmetic; dense key reads 0 gaps") {
+    val s2 = spark
+    import s2.implicits._
+    // u1: days 1,2,3 (dense); u2: days 1, 5 (3 gaps); u3: one day
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-03 23:00:00")), (1L, ts("2024-01-03 01:00:00")),
+      (2L, ts("2024-01-01 09:00:00")), (2L, ts("2024-01-05 09:00:00")),
+      (3L, ts("2024-02-01 12:00:00"))
+    ).toDF("user_id", "ts")
+    val r = Events.calendarGaps(ev, "user_id", "ts")
+      .collect().map(x => x.getLong(0) -> (x.getLong(3), x.getLong(4),
+        x.getLong(5))).toMap
+    assert(r(1L) === ((3L, 3L, 0L)))
+    assert(r(2L) === ((2L, 5L, 3L)))
+    assert(r(3L) === ((1L, 1L, 0L)))
+  }
+
   test("burstiness: metronome reads -1-ish negative... exactly 0 gap " +
       "variance -> B = -1; bursty tail pushes B positive") {
     val s2 = spark
