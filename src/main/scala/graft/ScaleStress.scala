@@ -246,7 +246,13 @@ object ScaleStress {
       // pairs 100x — the one deliberately super-linear gate, still
       // dimension-sized); fd/inclusion = distinct + keyed aggs;
       // sampled agg = one grouped scan
-      "q_jaro_match", "q_fd_check", "q_inclusion", "q_sampled_agg")
+      "q_jaro_match", "q_fd_check", "q_inclusion", "q_sampled_agg",
+      // round 13 batch 7: churn = (key, week) distinct + shifted
+      // self-join; OHLC = one min_by/max_by agg; gaps = distinct +
+      // agg; conversion = two funnel frontier joins; hll rollup =
+      // day sketches + register-max merge
+      "q_churn", "q_ohlc", "q_gaps", "q_conversion_time",
+      "q_hll_rollup")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)
