@@ -255,6 +255,51 @@ object Graph {
     corpus.join(kill, corpus(idCol) === col("_kill_id"), "left_anti")
   }
 
+  /** Survivorship MERGE (the record-linkage "golden record" end-cap,
+    * the third member of the apply family after [[dropDuplicates]]
+    * (keep min-id) and [[keepBest]] (keep one best member)): per
+    * duplicate cluster emit ONE synthesized row whose fields come
+    * from DIFFERENT members under per-field survivorship rules —
+    *   golden_id   = the cluster's min id (the stable key),
+    *   src_longest = the member holding the longest `lengthCol`
+    *                 (ties to the larger id — [[keepBest]]'s
+    *                 convention),
+    *   len_longest = that longest value,
+    *   modal_cat   = the most frequent `catCol` (ties to the
+    *                 smallest value),
+    *   n_members.
+    * Unclustered rows pass through as their own golden record. Plan:
+    * one members join (labels are duplicate-count-sized), two
+    * cluster-keyed aggregations (the modal needs its own (cluster,
+    * cat) count first), an anti-join for singletons — the corpus is
+    * never shuffled wider than the duplicate set. */
+  def goldenRecords(corpus: DataFrame, idCol: String, labels: DataFrame,
+      lengthCol: String, catCol: String): DataFrame = {
+    val members = corpus
+      .join(labels, corpus(idCol) === labels("id"))
+      .select(col("comp"), col(idCol).as("_m"),
+        col(lengthCol).as("_len"), col(catCol).as("_cat"))
+    val modal = members.groupBy(col("comp"), col("_cat"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("comp"))
+      .agg(min_by(col("_cat"),
+        struct((lit(0L) - col("_c")).as("n"), col("_cat"))).as("modal_cat"))
+    val merged = members.groupBy(col("comp"))
+      .agg(min(col("_m")).as("golden_id"),
+        count(lit(1)).as("n_members"),
+        max_by(col("_m"), struct(col("_len"), col("_m"))).as("src_longest"),
+        max(col("_len")).as("len_longest"))
+      .join(modal, "comp")
+      .select(col("golden_id"), col("n_members"), col("src_longest"),
+        col("len_longest"), col("modal_cat"))
+    val singles = corpus
+      .join(labels, corpus(idCol) === labels("id"), "left_anti")
+      .select(col(idCol).as("golden_id"), lit(1L).as("n_members"),
+        col(idCol).as("src_longest"), col(lengthCol).as("len_longest"),
+        col(catCol).as("modal_cat"))
+    merged.unionByName(singles)
+  }
+
   /** Exact per-node triangle counts by DEGREE-ORDERED edge
     * orientation (the MapReduce triangle-counting discipline of Suri &
     * Vassilvitskii WWW'11 / Cohen's graph-join framework): each

@@ -291,6 +291,47 @@ object LlmQueries {
        |WHERE doc_id NOT IN (SELECT doc_id FROM kill)
        |ORDER BY doc_id""".stripMargin
 
+  /** Survivorship merge over the minhash duplicate clusters
+    * ([[Graph.goldenRecords]]): one golden row per cluster with
+    * per-field rules — min-id key, longest-doc source (ties larger
+    * id), modal language (ties smaller) — plus singletons passing
+    * through; the record-linkage MERGE end-cap after detect+closure. */
+  def qGolden(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5)
+    val labels = Graph.connectedComponents(pairs, "d1", "d2")
+    Graph.goldenRecords(docs, "doc_id", labels, "n_chars", "lang")
+      .orderBy(col("golden_id"))
+  }
+
+  val qGoldenSql: String =
+    s"""WITH RECURSIVE $minhashPairsCte,
+       |$ccClosureCte,
+       |comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |m AS (SELECT c.comp, d.doc_id, d.n_chars, d.lang
+       |      FROM comps c JOIN documents d ON d.doc_id = c.id),
+       |lc AS (SELECT comp, lang, count(*) AS c FROM m GROUP BY comp, lang),
+       |modal AS (SELECT comp, lang AS modal_cat FROM (
+       |    SELECT comp, lang, row_number() OVER (PARTITION BY comp
+       |      ORDER BY c DESC, lang) AS rk FROM lc) WHERE rk = 1),
+       |src AS (SELECT comp, doc_id AS src_longest FROM (
+       |    SELECT comp, doc_id, row_number() OVER (PARTITION BY comp
+       |      ORDER BY n_chars DESC, doc_id DESC) AS rk FROM m)
+       |  WHERE rk = 1),
+       |ag AS (SELECT comp, min(doc_id) AS golden_id,
+       |    count(*) AS n_members, max(n_chars) AS len_longest
+       |  FROM m GROUP BY comp),
+       |merged AS (SELECT golden_id, n_members, src_longest, len_longest,
+       |    modal_cat
+       |  FROM ag JOIN modal USING (comp) JOIN src USING (comp)),
+       |singles AS (SELECT doc_id AS golden_id, CAST(1 AS BIGINT)
+       |    AS n_members, doc_id AS src_longest, n_chars AS len_longest,
+       |    lang AS modal_cat
+       |  FROM documents WHERE doc_id NOT IN (SELECT id FROM comps))
+       |SELECT * FROM merged UNION ALL SELECT * FROM singles
+       |ORDER BY golden_id""".stripMargin
+
   // --- embedding-cosine near-dup ---------------------------------------
 
   /** Corpus with injected exact-duplicate vectors (every 25th vec_id

@@ -1510,6 +1510,51 @@ object Relational {
       |  CAST(max(day) - min(day) + 1 - count(*) AS BIGINT) AS gap_days
       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Temporal dimension enrichment (the SCD-2 warehouse join):
+    * purchases attributed to the signup-props "plan" in force at
+    * purchase time — [[graft.operators.Events.stateIntervals]] builds
+    * the plan intervals, [[graft.operators.AsOf.asofJoin]] attaches
+    * the active one by carry-forward (one key exchange, NO non-equi
+    * interval join), then a per-plan rollup. Purchases before any
+    * signup land in the 'NONE' bucket. */
+  def qTemporalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dim = graft.operators.Events.stateIntervals(
+        ev.where(col("event_type") === "signup"),
+        "user_id", "ts", "event_id", "props")
+      .select(col("user_id"), col("valid_from").as("ts"),
+        col("props").as("plan"))
+    val fact = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    graft.operators.AsOf.asofJoin(fact, dim, "user_id", "ts",
+        Seq("plan"))
+      .groupBy(coalesce(col("plan"), lit("NONE")).as("plan"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("plan"))
+  }
+
+  val qTemporalJoinSql: String =
+    """WITH sign AS (SELECT user_id, ts, event_id, props FROM events
+      |  WHERE event_type = 'signup'),
+      |o AS (SELECT user_id, props, ts,
+      |    lag(props) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM sign),
+      |runs AS (SELECT user_id, props, ts FROM o
+      |  WHERE prev IS NULL OR prev <> props),
+      |p AS (SELECT event_id, user_id, ts,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events
+      |  WHERE event_type = 'purchase'),
+      |m AS (SELECT p.event_id, p.cents,
+      |    (SELECT r.props FROM runs r WHERE r.user_id = p.user_id
+      |       AND r.ts <= p.ts ORDER BY r.ts DESC LIMIT 1) AS plan
+      |  FROM p)
+      |SELECT coalesce(plan, 'NONE') AS plan, count(*) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM m GROUP BY coalesce(plan, 'NONE')
+      |ORDER BY plan""".stripMargin
+
   /** View→purchase conversion delay per user: the earliest view and
     * the earliest strictly-later purchase ([[graft.operators.Events
     * .funnel]] composed), emitted as whole seconds for converting

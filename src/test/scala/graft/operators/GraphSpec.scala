@@ -180,6 +180,30 @@ class GraphSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("goldenRecords: per-field survivorship — min-id key, longest " +
+      "source with larger-id ties, modal category with smaller ties; " +
+      "singletons pass through") {
+    val s2 = spark
+    import s2.implicits._
+    val corpus = Seq(
+      // cluster {1,2,3}: longest is 2 (len 90); langs en,en,de → en
+      (1L, 50L, "en"), (2L, 90L, "en"), (3L, 70L, "de"),
+      // cluster {10,11}: equal lengths → larger id 11 is the source;
+      // lang tie de/en 1-1 → smaller 'de'
+      (10L, 40L, "en"), (11L, 40L, "de"),
+      // singleton
+      (99L, 5L, "fr")).toDF("id0", "len", "lang")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L)).toDF("id", "comp")
+    val r = Graph.goldenRecords(corpus, "id0", labels, "len", "lang")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getString(4))).toSet
+    assert(r === Set(
+      (1L, 3L, 2L, 90L, "en"),
+      (10L, 2L, 11L, 40L, "de"),
+      (99L, 1L, 99L, 5L, "fr")))
+  }
+
   test("personalizedPageRank: mass concentrates near the seeds; total " +
       "teleport goes to seeds only; plan depth constant") {
     val s2 = spark
