@@ -252,7 +252,11 @@ object ScaleStress {
       // agg; conversion = two funnel frontier joins; hll rollup =
       // day sketches + register-max merge
       "q_churn", "q_ohlc", "q_gaps", "q_conversion_time",
-      "q_hll_rollup")
+      "q_hll_rollup",
+      // round 13 batch 8: golden rides the minhash pairs + CC +
+      // cluster-keyed merges (pairs linear by the word-suffix
+      // construction); temporal join = one key-window carry-forward
+      "q_golden", "q_temporal_join")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)
