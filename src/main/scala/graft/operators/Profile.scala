@@ -142,7 +142,11 @@ object Profile {
   def fdProfile(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
     require(pairs.nonEmpty)
     pairs.map { case (det, dep) =>
-      df.select(col(det).as("_d"), col(dep).as("_v")).distinct()
+      // null dependents don't witness a violation (SQL's
+      // count(DISTINCT) convention — a det mapping to {x, null} still
+      // holds); null determinants are likewise out of scope
+      df.where(col(det).isNotNull && col(dep).isNotNull)
+        .select(col(det).as("_d"), col(dep).as("_v")).distinct()
         .groupBy(col("_d")).agg(count(lit(1)).as("_nv"))
         .agg(count(lit(1)).as("n_keys"),
           sum(when(col("_nv") > 1, 1L).otherwise(0L)).as("n_violating"))
@@ -159,8 +163,14 @@ object Profile {
     * key sets: key-domain-sized, never data×data. */
   def inclusionCheck(a: DataFrame, aCol: String, b: DataFrame,
       bCol: String): DataFrame = {
-    val da = a.select(col(aCol).as("_k")).distinct()
-    val missing = da.join(b.select(col(bCol).as("_k")).distinct(),
+    // null keys are excluded on BOTH sides: SQL's NOT IN collapses to
+    // UNKNOWN the moment either side holds a null, so the only
+    // null-robust containment question is over non-null keys — pin
+    // that semantic here rather than inherit the join's null rules
+    val da = a.select(col(aCol).as("_k")).where(col("_k").isNotNull)
+      .distinct()
+    val missing = da.join(
+      b.select(col(bCol).as("_k")).where(col("_k").isNotNull).distinct(),
       Seq("_k"), "left_anti")
     da.agg(count(lit(1)).as("n_distinct"))
       .crossJoin(broadcast(missing.agg(count(lit(1)).as("n_missing"))))

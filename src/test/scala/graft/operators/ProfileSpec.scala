@@ -128,6 +128,27 @@ class ProfileSpec extends SparkSpec {
     assert(r.contains(("a", 2L, 1L, false)))
   }
 
+  test("fdProfile: null dependents do not witness violations (the " +
+      "count-DISTINCT convention)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some("p")), (1L, None), (2L, Some("q")))
+      .toDF("d", "v")
+    val r = Profile.fdProfile(df, Seq("d" -> "v")).head()
+    assert(r.getLong(2) === 2L && r.getLong(3) === 0L && r.getBoolean(4))
+  }
+
+  test("inclusionCheck: null keys excluded on both sides (NOT-IN " +
+      "collapse pinned away)") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(Some(1L), None, Some(99L)).toDF("k")
+    val b = Seq(Some(1L), None).toDF("j")
+    val r = Profile.inclusionCheck(a, "k", b, "j").head()
+    assert(r.getLong(0) === 2L) // {1, 99}: nulls out of scope
+    assert(r.getLong(1) === 1L) // 99 missing — b's null hides nothing
+  }
+
   test("inclusionCheck: exact missing count and containment flag") {
     val s = spark
     import s.implicits._
