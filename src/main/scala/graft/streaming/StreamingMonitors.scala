@@ -94,6 +94,55 @@ object StreamingMonitors {
       }
   }
 
+  final case class StateEvent(key: String, tsUs: Long, id: Long,
+      state: String)
+  final case class Interval(key: String, state: String, validFromUs: Long,
+      validToUs: Option[Long])
+
+  /** Streaming SCD-2 maintainer — the live twin of
+    * [[graft.operators.Events.stateIntervals]]: keyed state holds the
+    * OPEN interval (current state + its start); each arrival that
+    * changes the state CLOSES the old interval (emitted with
+    * valid_to) and opens a new one (emitted open-ended — downstream
+    * upserts by (key, valid_from), so the close of an interval
+    * supersedes its earlier open-ended emission; the idempotent-merge
+    * discipline of the batch twin's consumers). In-batch arrivals
+    * sort by (ts, id) — the batch operator's total order — so the
+    * emitted interval set over in-order streams EQUALS the batch
+    * operator's output row-for-row (StreamingMonitorsSpec pins it).
+    * Cross-batch late events are the streaming trade: an arrival
+    * older than the open interval's start is ignored (documented —
+    * the watermarked upstream owns reordering). State is O(1) per
+    * key: one (state, startUs) pair. */
+  def runningScd2(events: DataFrame): Dataset[Interval] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("key").cast("string"), col("tsUs").cast("long"),
+        col("id").cast("long"), col("state").cast("string"))
+      .as[StateEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, arrivals: Iterator[StateEvent],
+            state: GroupState[(String, Long)]) =>
+          var open = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Interval]
+          arrivals.toArray.sortBy(e => (e.tsUs, e.id)).foreach { e =>
+            open match {
+              case None =>
+                open = Some((e.state, e.tsUs))
+                out += Interval(key, e.state, e.tsUs, None)
+              case Some((cur, from)) if e.tsUs >= from && e.state != cur =>
+                out += Interval(key, cur, from, Some(e.tsUs))
+                open = Some((e.state, e.tsUs))
+                out += Interval(key, e.state, e.tsUs, None)
+              case _ => // same state, or a late pre-open arrival: no-op
+            }
+          }
+          open.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class CatArrival(tsUs: Long, cat: String)
   final case class WindowDrift(windowStartUs: Long, nA: Long, tv6: Double)
 

@@ -90,6 +90,48 @@ class StreamingMonitorsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningScd2: upserted interval set equals the batch " +
+      "stateIntervals over an in-order stream; state survives batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[(String, Long, Long, String)]
+    val out = StreamingMonitors.runningScd2(
+      mem.toDF.toDF("key", "tsUs", "id", "state"))
+    val q = out.writeStream.format("memory").queryName("scd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(("u", 1000000L, 1L, "free"), ("u", 2000000L, 2L, "free"),
+        ("u", 3000000L, 3L, "paid"))
+      q.processAllAvailable()
+      // next batch: change back — must close the 'paid' interval opened
+      // in the PREVIOUS batch (state carried)
+      mem.addData(("u", 5000000L, 4L, "free"), ("v", 9000000L, 5L, "pro"))
+      q.processAllAvailable()
+      // consumer upsert: latest emission per (key, validFromUs) wins
+      val rows = sp.sql(
+          "SELECT key, state, validFromUs, validToUs FROM scd").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+      val upserted = rows.groupBy(r => (r._1, r._3))
+        .map(_._2.last).toSet
+      // batch twin over the union of all rows
+      val ev = Seq(
+        ("u", new java.sql.Timestamp(1000L), 1L, "free"),
+        ("u", new java.sql.Timestamp(2000L), 2L, "free"),
+        ("u", new java.sql.Timestamp(3000L), 3L, "paid"),
+        ("u", new java.sql.Timestamp(5000L), 4L, "free"),
+        ("v", new java.sql.Timestamp(9000L), 5L, "pro")
+      ).toDF("key", "ts", "id", "state")
+      val batch = graft.operators.Events.stateIntervals(ev, "key", "ts",
+          "id", "state")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getTimestamp(2).getTime * 1000L,
+          Option(r.getTimestamp(3)).map(_.getTime * 1000L))).toSet
+      assert(upserted === batch)
+    } finally q.stop()
+  }
+
   test("runningDrift: per-window snapshots; final window tv6 equals the " +
       "batch categoryDrift on that window's rows") {
     val sp = spark
