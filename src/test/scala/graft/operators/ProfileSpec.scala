@@ -241,6 +241,78 @@ class ProfileSpec extends SparkSpec {
     assert(again === r.map(x => (x._1, x._3)).toSet)
   }
 
+  test("madOutliers + integerOutliers: fresh-seed randomized battery " +
+      "against brute-force float formulations") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(47, 83)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 400).map { i =>
+        val g = s"g${i % 3}"
+        val v = if (rnd.nextDouble() < 0.03) rnd.nextInt(100000).toLong
+          else 500L + rnd.nextInt(50)
+        (i.toLong, g, v)
+      }
+      val df = rows.toDF("id", "g", "v")
+      // MAD brute
+      val madFlag = Profile.madOutliers(df, "g", "v", "id", 3)
+        .collect().map(_.getLong(0)).toSet
+      val madBrute = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(r => (r._3, r._1))
+        val med = sorted((sorted.size - 1) / 2)._3
+        val devSorted = rs.map(r => (r._1, math.abs(r._3 - med)))
+          .sortBy(r => (r._2, r._1))
+        val mad = devSorted((devSorted.size - 1) / 2)._2
+        rs.filter(r => math.abs(r._3 - med) > 3 * mad).map(_._1)
+      }.toSet
+      assert(madFlag === madBrute, s"seed=$seed")
+      // integer z-score brute
+      val zFlag = Corpus.integerOutliers(df, "g", "v", 3)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val zBrute = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val vs = rs.map(_._3.toDouble)
+        val mean = vs.sum / vs.size
+        val varP = vs.map(x => (x - mean) * (x - mean)).sum / vs.size
+        rs.filter { case (_, _, v) =>
+          (v - mean) * (v - mean) > 9.0 * varP }.map(_._1)
+      }.toSet
+      assert(zFlag === zBrute, s"seed=$seed z")
+    }
+  }
+
+  test("trendSlope + quantileBins: fresh-seed battery against brute " +
+      "formulations") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(59)
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val rows = (1 to 300).map { i =>
+      val g = s"u${i % 4}"
+      val x = rnd.nextInt(100000).toLong
+      (g, ts(x), x, (3 * x + rnd.nextInt(1000)).toLong)
+    }
+    val got = Profile.trendSlope(rows.map(r => (r._1, r._2, r._4))
+        .toDF("g", "ts", "y"), "g", "ts", "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val t0 = rows.map(_._3).min
+      val xs = rs.map(r => (r._3 - t0).toDouble)
+      val ys = rs.map(_._4.toDouble)
+      val n = xs.size
+      val slope = (n * xs.zip(ys).map(p => p._1 * p._2).sum -
+        xs.sum * ys.sum) / (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+      // y = 3x + noise: slope ~3 cents/s = 259200/day
+      assert(math.abs(got(g) - slope * 86400) < 1.0, s"$g")
+      assert(math.abs(got(g) - 259200.0) < 26000.0, s"$g far from signal")
+    }
+    // ntile balance on a random column
+    val b = Profile.quantileBins(rows.map(r => (r._3, r._1, r._4))
+      .toDF("id", "g", "v"), "g", "v", "id", 5)
+    val sizes = b.groupBy("g", "bin").count().collect().map(_.getLong(2))
+    assert(sizes.max - sizes.min <= 1,
+      "ntile bins must stay balanced within 1 per group")
+  }
+
   test("categoryDrift: identical snapshots read 0; disjoint read 1; a " +
       "hand-checked shift matches the closed form") {
     val s = spark

@@ -343,6 +343,31 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hll + countMin: fresh-seed randomized battery — estimates in " +
+      "band and never-underestimate hold across regimes") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(101, 202)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 3000 + rnd.nextInt(5000)
+      val est = Sketches.hll(hashedValues("g", 0 until n), Seq("g"), "h", 256)
+        .select(Sketches.hllEstimate(col("hll"), 256))
+        .collect()(0).getLong(0)
+      assert(math.abs(est - n).toDouble / n < 0.26, s"seed=$seed n=$n est=$est")
+      // count-min on a random multiset
+      val keys = (1 to 1500).map(_ => s"k${rnd.nextInt(80)}")
+      val df = keys.toDF("k").cache()
+      val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sk = Sketches.countMinSketch(df, "k", 4, 512)
+      val ests = Sketches.countMinQuery(sk, df.select("k").distinct(),
+          "k", 4, 512)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      truth.foreach { case (k, t) =>
+        assert(ests(k) >= t, s"seed=$seed underestimate $k") }
+      df.unpersist()
+    }
+  }
+
   // ---- KMV pairwise overlap --------------------------------------------
 
   test("kmvOverlap: exact when both groups fit inside k") {
