@@ -216,6 +216,57 @@ class EventsSpec extends SparkSpec {
     assert(r(3L) === ((1L, 1L, 0L)))
   }
 
+  test("weeklyChurn + calendarGaps + ohlcBars: fresh-seed randomized " +
+      "battery against brute-force set arithmetic") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(67)
+    // random events over 5 weeks x 12 users
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = (1 to 600).map { i =>
+      val u = rnd.nextInt(12).toLong
+      val t = new java.sql.Timestamp(base +
+        rnd.nextInt(35) * 86400000L + rnd.nextInt(86400000))
+      (u, t, i.toLong, rnd.nextInt(1000).toLong)
+    }
+    val df = rows.toDF("user_id", "ts", "id", "v")
+    // churn brute
+    def week(t: java.sql.Timestamp): Long =
+      (t.getTime - base) / (7 * 86400000L) // base is a Monday
+    val active = rows.map(r => (r._1, week(r._2))).toSet
+    val weeks = active.map(_._2)
+    val churnGot = Events.weeklyChurn(df, "user_id", "ts")
+      .collect().map(x => week(x.getTimestamp(0)) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    weeks.foreach { w =>
+      val cur = active.filter(_._2 == w).map(_._1)
+      val prv = active.filter(_._2 == w - 1).map(_._1)
+      assert(churnGot(w) === ((cur.intersect(prv).size.toLong,
+        (cur -- prv).size.toLong, (prv -- cur).size.toLong)), s"week $w")
+    }
+    // gaps brute
+    val gapsGot = Events.calendarGaps(df, "user_id", "ts")
+      .collect().map(x => x.getLong(0) -> (x.getLong(3), x.getLong(4),
+        x.getLong(5))).toMap
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val days = rs.map(r => (r._2.getTime - base) / 86400000L).toSet
+      val span = days.max - days.min + 1
+      assert(gapsGot(u) === ((days.size.toLong, span, span - days.size)),
+        s"user $u")
+    }
+    // ohlc brute per (user, day)
+    val ohlcGot = Events.ohlcBars(df, "user_id", "ts", "id", "v")
+      .collect().map(x => (x.getLong(0),
+        (x.getTimestamp(1).getTime - base) / 86400000L) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    rows.groupBy(r => (r._1, (r._2.getTime - base) / 86400000L))
+      .foreach { case (k, rs) =>
+        val ord = rs.sortBy(r => (r._2.getTime, r._3))
+        assert(ohlcGot(k) === ((ord.head._4, rs.map(_._4).max,
+          rs.map(_._4).min, ord.last._4)), s"cell $k")
+      }
+  }
+
   test("burstiness: metronome reads -1-ish negative... exactly 0 gap " +
       "variance -> B = -1; bursty tail pushes B positive") {
     val s2 = spark
