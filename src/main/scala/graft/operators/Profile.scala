@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-profiling operators — the "look before you shuffle" passes a
@@ -293,6 +293,51 @@ object Profile {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(valueCol), col(idCol))
     df.withColumn("bin", ntile(buckets).over(w))
+  }
+
+  /** EXACT global ntile WITHOUT an unpartitioned window — the
+    * scale-correct form of `ntile(n) OVER (ORDER BY v, id)`: range-
+    * bucket rows by a MONOTONE function of the sort value (caller-
+    * supplied — the identity for small-domain ints, a high-bits shift
+    * for wide ones), rank within buckets, add broadcast cumulative
+    * bucket bases (the [[graft.operators.Corpus.shuffleOrder]]
+    * two-level discipline), then map the exact global rank through
+    * SQL ntile's floor arithmetic: with N rows, q = N/n, r = N%n,
+    * tiles 1..r get q+1 rows. Bit-identical to the window form
+    * (ProfileSpec pins it) at any partitioning, with no single-task
+    * sort anywhere. */
+  def globalNtile(df: DataFrame, valueCol: String, idCol: String,
+      n: Int, bucketOf: Column => Column, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("_b", bucketOf(col(valueCol)))
+    val wLocal = Window.partitionBy(col("_b"))
+      .orderBy(col(valueCol), col(idCol))
+    val wBase = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = keyed.groupBy(col("_b")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_base", sum(col("_cnt")).over(wBase) - col("_cnt"))
+      .select(col("_b"), col("_base"))
+    val total = keyed.agg(count(lit(1)).as("_N"))
+    // SQL ntile: with N rows, q = N div n, r = N mod n; rank rk
+    // (1-based) lands in tile
+    //   rk <= r*(q+1)  ->  1 + (rk-1) div (q+1)
+    //   else          ->  r + 1 + (rk - r*(q+1) - 1) div q
+    // (N < n never divides by q=0: the first branch covers rk <= N)
+    keyed
+      .withColumn("_lr", row_number().over(wLocal))
+      .join(broadcast(bases), Seq("_b"))
+      .crossJoin(broadcast(total)) // 1-row scalar
+      .withColumn("_rk", col("_base") + col("_lr"))
+      .withColumn("_q", floor(col("_N") / lit(n.toLong)).cast("long"))
+      .withColumn("_r", (col("_N") % lit(n.toLong)).cast("long"))
+      .withColumn(outCol,
+        when(col("_rk") <= col("_r") * (col("_q") + 1),
+          lit(1L) + floor((col("_rk") - 1) / (col("_q") + 1)).cast("long"))
+        .otherwise(col("_r") + 1 +
+          floor((col("_rk") - col("_r") * (col("_q") + 1) - 1) /
+            col("_q")).cast("long"))
+        .cast("int"))
+      .drop("_b", "_lr", "_base", "_N", "_rk", "_q", "_r")
   }
 
   /** Categorical distribution drift between two snapshots as EXACT

@@ -1510,6 +1510,59 @@ object Relational {
       |  CAST(max(day) - min(day) + 1 - count(*) AS BIGINT) AS gap_days
       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** RFM customer segmentation (recency / frequency / monetary — the
+    * classic marketing-analytics cut) over purchases: per user,
+    * days-since-last-purchase, purchase count, cents total, and
+    * quintile scores per dimension (5 = best) combined into the RFM
+    * cell. The scores use [[graft.operators.Profile.globalNtile]] —
+    * the EXACT global quintile via two-level ranking, bit-identical
+    * to `ntile(5) OVER (ORDER BY v, id)` (which the oracle replays)
+    * but with no unpartitioned window anywhere: at a billion users
+    * the plain window form is a single-task sort; this form is three
+    * bucketed rank passes. */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).where(col("event_type") === "purchase")
+    val horizon = ev.agg(max(unix_micros(col("ts"))).as("_T"))
+    val base = ev.crossJoin(broadcast(horizon)) // 1-row scalar
+      .groupBy(col("user_id"))
+      .agg(floor((max(col("_T")) - max(unix_micros(col("ts"))))
+          / lit(86400000000L)).cast("long").as("r_days"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("value") * 100).cast("long")).as("money"))
+    val withR = graft.operators.Profile.globalNtile(base, "r_days",
+      "user_id", 5, v => v, "_rnt")
+    val withF = graft.operators.Profile.globalNtile(withR, "freq",
+      "user_id", 5, v => v, "_fnt")
+    val withM = graft.operators.Profile.globalNtile(withF, "money",
+      "user_id", 5, v => floor(v / lit(1024L)), "_mnt")
+    withM.select(col("user_id"), col("r_days"), col("freq"), col("money"),
+        (lit(6) - col("_rnt")).as("r_score"),
+        col("_fnt").as("f_score"), col("_mnt").as("m_score"))
+      .withColumn("rfm", (col("r_score") * 100 + col("f_score") * 10 +
+        col("m_score")).cast("int"))
+      .orderBy(col("user_id"))
+  }
+
+  val qRfmSql: String =
+    """WITH p AS (SELECT user_id, ts,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events
+      |  WHERE event_type = 'purchase'),
+      |h AS (SELECT max(epoch_us(ts)) AS t FROM p),
+      |b AS (SELECT user_id,
+      |    CAST((h.t - max(epoch_us(ts))) // 86400000000 AS BIGINT)
+      |      AS r_days,
+      |    count(*) AS freq, CAST(sum(cents) AS BIGINT) AS money
+      |  FROM p, h GROUP BY user_id, h.t),
+      |sc AS (SELECT user_id, r_days, freq, money,
+      |    CAST(6 - ntile(5) OVER (ORDER BY r_days, user_id) AS INT)
+      |      AS r_score,
+      |    CAST(ntile(5) OVER (ORDER BY freq, user_id) AS INT) AS f_score,
+      |    CAST(ntile(5) OVER (ORDER BY money, user_id) AS INT) AS m_score
+      |  FROM b)
+      |SELECT user_id, r_days, freq, money, r_score, f_score, m_score,
+      |  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+      |FROM sc ORDER BY user_id""".stripMargin
+
   /** Temporal dimension enrichment (the SCD-2 warehouse join):
     * purchases attributed to the signup-props "plan" in force at
     * purchase time — [[graft.operators.Events.stateIntervals]] builds

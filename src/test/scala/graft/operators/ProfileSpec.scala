@@ -128,6 +128,39 @@ class ProfileSpec extends SparkSpec {
     assert(r.contains(("a", 2L, 1L, false)))
   }
 
+  test("globalNtile: bit-identical to the window ntile on random data " +
+      "(remainder tiles included), any partitioning, no unpartitioned " +
+      "window over the data") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(13, 31); n <- Seq(4, 5, 7)) {
+      val rnd = new scala.util.Random(seed)
+      // 103 rows: prime -> every tile count hits the remainder logic
+      val df = (1 to 103).map(i => (i.toLong, rnd.nextInt(40).toLong))
+        .toDF("id", "v").repartition(7)
+      val got = Profile.globalNtile(df, "v", "id", n, c => c, "t")
+        .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+      val expect = df.withColumn("t",
+          ntile(n).over(Window.orderBy(col("v"), col("id"))))
+        .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+      assert(got === expect, s"seed=$seed n=$n")
+    }
+    // plan property: the only window in the two-level form partitions
+    // by the bucket column — never a global window over the rows
+    val df = (1 to 50).map(i => (i.toLong, (i % 9).toLong)).toDF("id", "v")
+    val plan = Profile.globalNtile(df, "v", "id", 5, c => c, "t")
+      .queryExecution.optimizedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window")).toList
+    assert(windows.exists(_.contains("_b")),
+      s"expected bucket-partitioned window:\n$plan")
+    // the row-level window must carry the _b partition spec; the only
+    // unpartitioned one runs on the buckets-sized base relation
+    val rowWin = windows.filter(_.contains("row_number"))
+    assert(rowWin.nonEmpty && rowWin.forall(_.contains("_b")),
+      s"row rank must be bucket-partitioned:\n$plan")
+  }
+
   test("fdProfile: null dependents do not witness violations (the " +
       "count-DISTINCT convention)") {
     val s = spark
