@@ -256,7 +256,10 @@ object ScaleStress {
       // round 13 batch 8: golden rides the minhash pairs + CC +
       // cluster-keyed merges (pairs linear by the word-suffix
       // construction); temporal join = one key-window carry-forward
-      "q_golden", "q_temporal_join")
+      "q_golden", "q_temporal_join",
+      // RFM: one purchase agg + three bucketed global-ntile rank
+      // passes over the users-sized relation
+      "q_rfm")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)
