@@ -269,6 +269,40 @@ class GraphSpec extends SparkSpec {
     assert(cc.select(countDistinct(col("comp"))).head().getLong(0) === 1L)
   }
 
+  test("personalizedPageRank: matches a brute-force sweep computation " +
+      "on random graphs (round-9 pins included)") {
+    val s2 = spark
+    import s2.implicits._
+    for (seed <- Seq(11, 37)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 80).map(_ =>
+        (rnd.nextInt(20).toLong + 1, rnd.nextInt(20).toLong + 1))
+        .filter(e => e._1 != e._2).distinct
+      val seeds = Seq(1L, 2L)
+      val got = Graph.personalizedPageRank(edges.toDF("s", "d"), "s", "d",
+          seeds, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // brute: identical sweep structure with the same round-9 pin
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val outDeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      def r9(x: Double) = BigDecimal(x).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      var rank = nodes.map(n =>
+        n -> (if (seeds.contains(n)) 1.0 / seeds.size else 0.0)).toMap
+      (1 to 2).foreach { _ =>
+        val contrib = edges.groupBy(_._2).view.mapValues(_.map(e =>
+          rank(e._1) / outDeg(e._1)).sum).toMap
+        rank = nodes.map { n =>
+          val tele = if (seeds.contains(n)) 0.15 / seeds.size else 0.0
+          n -> r9(tele + 0.85 * contrib.getOrElse(n, 0.0))
+        }.toMap
+      }
+      nodes.foreach { n =>
+        assert(math.abs(got(n) - rank(n)) < 2e-9, s"seed=$seed node $n")
+      }
+    }
+  }
+
   test("kCorePeel: matches a brute-force fixpoint peel on random graphs") {
     val s2 = spark
     import s2.implicits._

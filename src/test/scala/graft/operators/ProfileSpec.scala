@@ -128,6 +128,38 @@ class ProfileSpec extends SparkSpec {
     assert(r.contains(("a", 2L, 1L, false)))
   }
 
+  test("chiSquare: matches brute-force full-grid chi2 on random " +
+      "contingency tables (zero cells included)") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(7, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 500).map { _ =>
+        val x = s"x${rnd.nextInt(4)}"
+        // correlated: y biased by x index → real dependence + some
+        // (x, y) combinations may never occur
+        val y = s"y${(rnd.nextInt(3) + x.last.toString.toInt) % 4}"
+        (x, y)
+      }
+      val got = Profile.chiSquare(rows.toDF("x", "y"), "x", "y").head()
+      val xs = rows.map(_._1).distinct.sorted
+      val ys = rows.map(_._2).distinct.sorted
+      val n = rows.size.toDouble
+      val cnt = rows.groupBy(identity).view.mapValues(_.size).toMap
+      val rm = rows.groupBy(_._1).view.mapValues(_.size).toMap
+      val cm = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val chi = (for { x <- xs; y <- ys } yield {
+        val o = cnt.getOrElse((x, y), 0).toDouble
+        val e = rm(x) * cm(y) / n
+        (o - e) * (o - e) / e
+      }).sum
+      assert(math.abs(got.getAs[Double]("chi26") - chi) < 1e-4,
+        s"seed=$seed got=${got.getAs[Double]("chi26")} brute=$chi")
+      assert(got.getAs[Long]("n_cells") === xs.size.toLong * ys.size)
+      assert(got.getAs[Long]("dof") === (xs.size - 1L) * (ys.size - 1L))
+    }
+  }
+
   test("globalNtile: bit-identical to the window ntile on random data " +
       "(remainder tiles included), any partitioning, no unpartitioned " +
       "window over the data") {
