@@ -292,6 +292,76 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r(2L)._2 - expect) < 1e-6)
   }
 
+  test("stateIntervals + debounce: randomized battery vs brute-force " +
+      "run/gap-session sweeps") {
+    val s2 = spark
+    import s2.implicits._
+    for (seed <- Seq(21, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 300).map { i =>
+        (rnd.nextInt(5).toLong,
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(200) * 30000L),
+          i.toLong, s"s${rnd.nextInt(3)}")
+      }
+      val df = rows.toDF("k", "ts", "id", "st")
+      // SCD2 brute
+      val gotIv = Events.stateIntervals(df, "k", "ts", "id", "st")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2).getTime,
+          Option(r.getTimestamp(3)).map(_.getTime))).toSet
+      val bruteIv = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val ord = rs.sortBy(r => (r._2.getTime, r._3))
+        val runs = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long)]
+        ord.foreach { r =>
+          if (runs.isEmpty || runs.last._1 != r._4)
+            runs += ((r._4, r._2.getTime))
+        }
+        runs.zipWithIndex.map { case ((st, from), i) =>
+          (k, st, from,
+            if (i + 1 < runs.size) Some(runs(i + 1)._2) else None)
+        }
+      }.toSet
+      assert(gotIv === bruteIv, s"seed=$seed scd2")
+      // debounce brute: gap-session heads per (k, st)
+      val gotDb = Events.debounce(df, "k", "st", "ts", "id", 60L)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val bruteDb = rows.groupBy(r => (r._1, r._4)).flatMap {
+        case (_, rs) =>
+          val ord = rs.sortBy(r => (r._2.getTime, r._3))
+          ord.zipWithIndex.collect { case (r, i)
+            if i == 0 ||
+              r._2.getTime - ord(i - 1)._2.getTime > 60000L => r._3 }
+      }.toSet
+      assert(gotDb === bruteDb, s"seed=$seed debounce")
+    }
+  }
+
+  test("decayScore: snapshot reconciliation in batch form — score over " +
+      "all rows equals aged(first-half score) + second-half delta") {
+    val s2 = spark
+    import s2.implicits._
+    val tau = 1800.0
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 200).map(i => (1L,
+      new java.sql.Timestamp(1700000000000L + rnd.nextInt(7200) * 1000L),
+      rnd.nextInt(50).toDouble))
+    val df = rows.toDF("k", "ts", "v")
+    val all = Events.decayScore(df, "k", "ts", "v", tau)
+      .head().getAs[Double]("decayed6")
+    val cut = 1700000000000L + 3600 * 1000L
+    val (h1, h2) = rows.partition(_._2.getTime < cut)
+    val s1 = Events.decayScore(h1.toDF("k", "ts", "v"), "k", "ts", "v",
+      tau).head().getAs[Double]("decayed6")
+    val t1 = h1.map(_._2.getTime).max
+    val t2 = rows.map(_._2.getTime).max
+    val aged = s1 * math.exp((t1 - t2) / 1000.0 / tau)
+    val delta = h2.map(r =>
+      r._3 * math.exp((r._2.getTime - t2) / 1000.0 / tau)).sum
+    assert(math.abs(all - (aged + delta)) < 1e-3,
+      s"$all vs ${aged + delta}")
+  }
+
   test("decayScore: closed form at the horizon, order-independent, " +
       "snapshot reconciliation property") {
     val s2 = spark
