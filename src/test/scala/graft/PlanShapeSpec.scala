@@ -217,4 +217,66 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "argmax must be max_by, not row_number")
     assert(p.contains("LeftAnti"), "corpus is touched only by the anti-join")
   }
+
+  test("pmi collocations: global top-k plans as TakeOrderedAndProject, " +
+      "corpus scalar broadcast") {
+    val docs = (1 to 30).map(i => (i.toLong, s"w${i % 5} w${i % 7} body"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.operators.Search.pmiCollocations(docs, "text", 2, 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be the bounded form:\n$p")
+    assert(p.contains("BroadcastExchange"), "the 1-row N must broadcast")
+  }
+
+  test("decay score: one aggregation over the scan, horizon broadcast, " +
+      "no window") {
+    val ev = (1 to 40).map(i => (i.toLong % 5,
+      new java.sql.Timestamp(1700000000000L + i * 1000L), i.toDouble))
+      .toDF("user_id", "ts", "value")
+    val p = plan(graft.operators.Events.decayScore(ev, "user_id", "ts",
+      "value", 3600.0))
+    assert(!p.contains("Window"), "decay must not use a window")
+    assert(p.contains("BroadcastExchange"), "horizon must broadcast")
+    assert(!p.toLowerCase.contains("scalaudf"), "no UDFs")
+  }
+
+  test("ohlc bars: single aggregation, no window, no sort below the agg") {
+    val ev = (1 to 40).map(i => (i.toLong % 3,
+      new java.sql.Timestamp(1700000000000L + i * 1000L), i.toLong,
+      (i * 7 % 100).toLong)).toDF("k", "ts", "id", "v")
+    val p = plan(graft.operators.Events.ohlcBars(ev, "k", "ts", "id", "v"))
+    assert(!p.contains("Window"), "open/close must be min_by/max_by")
+    // min_by over a struct ordering plans as SortAggregate (struct agg
+    // buffers aren't hash-aggregable) — still ONE partial-aggregated
+    // pass with exactly one exchange on the group key
+    assert(p.contains("Aggregate"), "one aggregation")
+    assert("Exchange".r.findAllIn(p).size == 1, "exactly one exchange")
+  }
+
+  test("centroid classify: labels-sized broadcast over the corpus scan, " +
+      "no corpus self-join, no window") {
+    val emb = (1 to 60).map(i => (i.toLong, s"c${i % 3}",
+      Seq.fill(4)(i.toFloat / 60))).toDF("vec_id", "label", "embedding")
+    val p = plan(graft.operators.Similarity.nearestCentroidConfusion(
+      emb, "vec_id", "label", "embedding"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), "centroids must broadcast")
+    assert(!p.contains("Window"), "argmin must be struct min, not a window")
+    assert(!p.contains("SortMergeJoin"), "the corpus must never self-join")
+  }
+
+  test("sorted-neighborhood pairs: rank windows are bucket-partitioned; " +
+      "neighbor pairing is an integer equi-join") {
+    val docs = (1 to 50).map(i => (i.toLong, s"t${i % 9} body text $i"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.operators.TextDedup.sortedNeighborPairs(
+      docs, "doc_id", "text", 3, 0.5))
+    // the data-sized row_number window must carry the _b partition key
+    val winLines = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("row_number")).toList
+    assert(winLines.nonEmpty && winLines.forall(_.contains("_b")),
+      s"rank must be bucket-partitioned:\n${winLines.mkString}")
+    assert(!p.contains("CartesianProduct"),
+      "pairing must be the rank equi-join, never a cross product")
+  }
 }
