@@ -305,7 +305,12 @@ object Profile {
     * SQL ntile's floor arithmetic: with N rows, q = N/n, r = N%n,
     * tiles 1..r get q+1 rows. Bit-identical to the window form
     * (ProfileSpec pins it) at any partitioning, with no single-task
-    * sort anywhere. */
+    * sort anywhere.
+    *
+    * Null contract: `valueCol` must be non-null (Spark's default
+    * window order is NULLS FIRST where DuckDB's is NULLS LAST, so a
+    * null-tolerant form would silently diverge from a SQL oracle —
+    * filter or coalesce nulls before calling). */
   def globalNtile(df: DataFrame, valueCol: String, idCol: String,
       n: Int, bucketOf: Column => Column, outCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
