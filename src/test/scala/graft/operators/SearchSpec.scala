@@ -212,6 +212,41 @@ class SearchSpec extends SparkSpec {
     assert(r(0).getString(0) === "p" && r(0).getString(1) === "q")
   }
 
+  test("tfidfTopTerms: randomized battery vs brute-force scoring with " +
+      "the round-6-before-rank convention") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(5, 55)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+        "zeta", "eta", "theta")
+      val docs = (1 to 60).map(i => (i.toLong,
+        (1 to rnd.nextInt(8) + 2).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")))
+      val got = Search.tfidfTopTerms(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getString(2), r.getDouble(3))).toMap
+      // brute
+      val tf = docs.flatMap { case (id, t) =>
+        t.split(" ").groupBy(identity).map { case (w, ws) =>
+          (id, w, ws.length) } }
+      val dfm = tf.groupBy(_._2).view.mapValues(_.size).toMap
+      val nd = docs.size.toDouble
+      def r6(x: Double) = BigDecimal(x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      docs.foreach { case (id, _) =>
+        val scored = tf.filter(_._1 == id).map { case (_, w, f) =>
+          (w, r6(f * math.log(nd / dfm(w)))) }
+          .sortBy { case (w, sc) => (-sc, w) }
+        scored.take(2).zipWithIndex.foreach { case ((w, sc), i) =>
+          assert(got((id, i + 1)) === ((w, sc)),
+            s"seed=$seed doc $id rank ${i + 1}")
+        }
+      }
+    }
+  }
+
   test("tfidfTopTerms: k caps per-doc output; every doc emits") {
     val s = spark
     import s.implicits._
