@@ -60,12 +60,23 @@ case class CountMinAgg(
       val arr = v.asInstanceOf[ArrayData]
       require(arr.numElements() == depth,
         s"bucket array has ${arr.numElements()} entries, expected $depth")
+      // A null KEY hashes to an all-null bucket array (each depth row's
+      // hash of null is null); skip the whole row rather than letting
+      // getInt read null slots as 0 — null keys don't count, the same
+      // null-drop contract as COUNT(key).
+      var anyNull = false
       var i = 0
-      while (i < depth) {
-        val b = arr.getInt(i)
-        require(b >= 0 && b < width, s"bucket $b out of [0,$width)")
-        buf(i * width + b) += 1L
-        i += 1
+      while (i < depth && !anyNull) {
+        anyNull = arr.isNullAt(i); i += 1
+      }
+      if (!anyNull) {
+        i = 0
+        while (i < depth) {
+          val b = arr.getInt(i)
+          require(b >= 0 && b < width, s"bucket $b out of [0,$width)")
+          buf(i * width + b) += 1L
+          i += 1
+        }
       }
     }
     buf

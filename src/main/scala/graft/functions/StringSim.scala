@@ -19,12 +19,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * matching, transpositions = half the mismatched matched-sequence
   * positions, and the Winkler prefix boost l·0.1·(1−j) (l ≤ 4)
   * applied only when jaro > 0.7.
+  *
+  * Unit of comparison: UTF-8 BYTES, not chars or code points —
+  * probed empirically, DuckDB scores 'café' vs 'cafe' as 5-vs-4
+  * units (0.78333…, the byte lengths), not 4-vs-4 (0.83333…, the
+  * code-point lengths). Operating directly on `UTF8String.getBytes`
+  * gives exact DuckDB parity on ALL inputs including non-ASCII
+  * (pinned by the non-ASCII vectors in StringSimSpec) and skips the
+  * UTF-16 String materialization the hot loop would otherwise pay.
   */
 object StringSimKernel {
 
   def jaro(u1: UTF8String, u2: UTF8String): Double = {
-    val a = u1.toString
-    val b = u2.toString
+    val a = u1.getBytes
+    val b = u2.getBytes
     val la = a.length
     val lb = b.length
     if (la == 0 && lb == 0) return 1.0
@@ -40,7 +48,7 @@ object StringSimKernel {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!matchedB(j) && b.charAt(j) == a.charAt(i)) {
+        if (!matchedB(j) && b(j) == a(i)) {
           matchedA(i) = true
           matchedB(j) = true
           m += 1
@@ -58,7 +66,7 @@ object StringSimKernel {
     while (i < la) {
       if (matchedA(i)) {
         while (!matchedB(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -70,11 +78,11 @@ object StringSimKernel {
   def jaroWinkler(u1: UTF8String, u2: UTF8String): Double = {
     val j = jaro(u1, u2)
     if (j <= 0.7) return j
-    val a = u1.toString
-    val b = u2.toString
+    val a = u1.getBytes
+    val b = u2.getBytes
     val max = math.min(4, math.min(a.length, b.length))
     var l = 0
-    while (l < max && a.charAt(l) == b.charAt(l)) l += 1
+    while (l < max && a(l) == b(l)) l += 1
     j + l * 0.1 * (1.0 - j)
   }
 }

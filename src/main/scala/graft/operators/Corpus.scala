@@ -384,6 +384,41 @@ object Corpus {
       .drop("_n", "_s", "_q")
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spiliotis
+    * 2006, the exponential-jumps/A-ES family): per group, keep the k
+    * rows with the SMALLEST exponential draw e_i = −ln(u_i)/w_i,
+    * where u_i ∈ (0, 1] is the row's deterministic content-hash coin
+    * ((hash60(id)+1)/2^60) and w_i its weight — each row's selection
+    * probability is proportional to its weight, exactly the
+    * "sample by token count / quality score" draw a training-data
+    * mixer needs, and unlike rand()-keyed sampling the kept set is a
+    * pure function of the data (replayable, partition-independent,
+    * incremental-friendly).
+    *
+    * Determinism: u is exact integer arithmetic; −ln(u)/w is two IEEE
+    * steps both engines evaluate identically; ranking uses the draw
+    * rounded to 9 decimals with ties broken by id (round-before-rank).
+    * Plan: one [[graft.plans.TopKPerGroup]] heap pass — k rows of
+    * state per group, single clustered exchange, no per-group sort.
+    *
+    * Weight contract: the A-ES draw −ln(u)/w assumes w > 0 (w = 0
+    * divides to Infinity, w < 0 flips the draw's sign and guarantees
+    * selection). Rows with NULL or non-positive weight are treated as
+    * unsampleable and filtered out before the draw — zero-weight
+    * rows having zero selection probability is exactly what
+    * "probability proportional to weight" prescribes. */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val u = (TextDedup.hash60(col(idCol).cast("string")) + lit(1L))
+      .cast("double") / lit(Sketches.HashSpace)
+    val keyed = df.where(col(weightCol).cast("double") > 0.0)
+      .withColumn("_draw",
+        round(-log(u) / col(weightCol).cast("double"), 9))
+    graft.plans.TopKPerGroup.topK(keyed, Seq(groupCol),
+        Seq("_draw", idCol), k, "_r")
+      .drop("_draw", "_r")
+  }
+
   /** Rate-balanced Bernoulli downsampling: equalize group sizes by
     * keeping each group's rows with probability target/|group|, where
     * target is the SMALLEST group's size — the class-balancing pass
@@ -402,33 +437,6 @@ object Corpus {
     * operator would need global state. The price is binomial noise
     * around target (±√target), the standard Bernoulli-vs-reservoir
     * trade. */
-  /** Weighted sampling without replacement (Efraimidis & Spiliotis
-    * 2006, the exponential-jumps/A-ES family): per group, keep the k
-    * rows with the SMALLEST exponential draw e_i = −ln(u_i)/w_i,
-    * where u_i ∈ (0, 1] is the row's deterministic content-hash coin
-    * ((hash60(id)+1)/2^60) and w_i its weight — each row's selection
-    * probability is proportional to its weight, exactly the
-    * "sample by token count / quality score" draw a training-data
-    * mixer needs, and unlike rand()-keyed sampling the kept set is a
-    * pure function of the data (replayable, partition-independent,
-    * incremental-friendly).
-    *
-    * Determinism: u is exact integer arithmetic; −ln(u)/w is two IEEE
-    * steps both engines evaluate identically; ranking uses the draw
-    * rounded to 9 decimals with ties broken by id (round-before-rank).
-    * Plan: one [[graft.plans.TopKPerGroup]] heap pass — k rows of
-    * state per group, single clustered exchange, no per-group sort. */
-  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
-      weightCol: String, k: Int): DataFrame = {
-    val u = (TextDedup.hash60(col(idCol).cast("string")) + lit(1L))
-      .cast("double") / lit(Sketches.HashSpace)
-    val keyed = df.withColumn("_draw",
-      round(-log(u) / col(weightCol).cast("double"), 9))
-    graft.plans.TopKPerGroup.topK(keyed, Seq(groupCol),
-        Seq("_draw", idCol), k, "_r")
-      .drop("_draw", "_r")
-  }
-
   def balancedSample(df: DataFrame, groupCol: String,
       idCol: String): DataFrame = {
     val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_gn"))

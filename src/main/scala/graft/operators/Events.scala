@@ -197,28 +197,6 @@ object Events {
       .withColumn("gap_days",
         (col("span_days") - col("active_days")).cast("long"))
 
-  /** Exponentially time-decayed score per key at a common horizon:
-    *   score(key) = Σ_i value_i · exp(−(T − t_i)/τ),
-    * T = the stream's max timestamp (one broadcast scalar), τ the
-    * half-life scale in seconds — the recency-weighted activity
-    * score a ranking/engagement pipeline reads instead of a raw
-    * count. Evaluating every event against the SAME horizon (not a
-    * per-event running EWMA) is what makes this one aggregation
-    * instead of an ordered scan: each term is independent, so the
-    * whole thing is a map-side-combinable sum, and two snapshots at
-    * horizons T1 < T2 reconcile by score·exp(−(T2−T1)/τ) + delta —
-    * the incremental-maintenance property a running formulation
-    * loses.
-    *
-    * Determinism: each term (one exp, one multiply) rounds to integer
-    * MICRO-units BEFORE the sum — order-independent BIGINT addition,
-    * the same convention as [[graft.operators.Profile.entropy]]. The
-    * micro (not nano) grid is deliberate: exp() may differ by 1 ulp
-    * across engines (relative ~1e-16, absolute ~1e-14 on these
-    * magnitudes), so the rounding grid must sit orders of magnitude
-    * above that wobble for the per-term round to land identically —
-    * at 1e-6 the per-term flip probability is ~1e-8. One division at
-    * the end, rounded to 6 (micro-quantized by construction). */
   /** Inter-event burstiness per key (Goh & Barabási 2008):
     *   B = (σ − μ)/(σ + μ)  over the key's inter-event gap
     * distribution — −1 = metronome, 0 = Poisson, →1 = heavy bursts;
@@ -249,6 +227,28 @@ object Events {
           .as("burst6"))
   }
 
+  /** Exponentially time-decayed score per key at a common horizon:
+    *   score(key) = Σ_i value_i · exp(−(T − t_i)/τ),
+    * T = the stream's max timestamp (one broadcast scalar), τ the
+    * half-life scale in seconds — the recency-weighted activity
+    * score a ranking/engagement pipeline reads instead of a raw
+    * count. Evaluating every event against the SAME horizon (not a
+    * per-event running EWMA) is what makes this one aggregation
+    * instead of an ordered scan: each term is independent, so the
+    * whole thing is a map-side-combinable sum, and two snapshots at
+    * horizons T1 < T2 reconcile by score·exp(−(T2−T1)/τ) + delta —
+    * the incremental-maintenance property a running formulation
+    * loses.
+    *
+    * Determinism: each term (one exp, one multiply) rounds to integer
+    * MICRO-units BEFORE the sum — order-independent BIGINT addition,
+    * the same convention as [[graft.operators.Profile.entropy]]. The
+    * micro (not nano) grid is deliberate: exp() may differ by 1 ulp
+    * across engines (relative ~1e-16, absolute ~1e-14 on these
+    * magnitudes), so the rounding grid must sit orders of magnitude
+    * above that wobble for the per-term round to land identically —
+    * at 1e-6 the per-term flip probability is ~1e-8. One division at
+    * the end, rounded to 6 (micro-quantized by construction). */
   def decayScore(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, tauSec: Double): DataFrame = {
     val horizon = events.agg(max(unix_micros(col(tsCol))).as("_T"))

@@ -1569,12 +1569,21 @@ object Relational {
     * the plan intervals, [[graft.operators.AsOf.asofJoin]] attaches
     * the active one by carry-forward (one key exchange, NO non-equi
     * interval join), then a per-plan rollup. Purchases before any
-    * signup land in the 'NONE' bucket. */
+    * signup land in the 'NONE' bucket.
+    *
+    * Two signups at the SAME (user_id, ts) would violate asofJoin's
+    * unique-(key, ts) precondition and make the carried plan
+    * partition-dependent, so the dim is first deterministically
+    * collapsed to one row per (user_id, ts) — highest event_id wins
+    * (max_by), mirrored by arg_max in the oracle. */
   def qTemporalJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
+    val sign = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"),
+        max_by(col("props"), col("event_id")).as("props"))
     val dim = graft.operators.Events.stateIntervals(
-        ev.where(col("event_type") === "signup"),
-        "user_id", "ts", "event_id", "props")
+        sign, "user_id", "ts", "event_id", "props")
       .select(col("user_id"), col("valid_from").as("ts"),
         col("props").as("plan"))
     val fact = ev.where(col("event_type") === "purchase")
@@ -1588,8 +1597,11 @@ object Relational {
   }
 
   val qTemporalJoinSql: String =
-    """WITH sign AS (SELECT user_id, ts, event_id, props FROM events
+    """WITH sign0 AS (SELECT user_id, ts, event_id, props FROM events
       |  WHERE event_type = 'signup'),
+      |sign AS (SELECT user_id, ts, max(event_id) AS event_id,
+      |    arg_max(props, event_id) AS props
+      |  FROM sign0 GROUP BY user_id, ts),
       |o AS (SELECT user_id, props, ts,
       |    lag(props) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |      AS prev

@@ -29,6 +29,22 @@ class StringSimSpec extends SparkSpec {
     }
   }
 
+  test("jaroWinkler: non-ASCII parity — UTF-8 BYTE semantics, pinned " +
+      "against recorded DuckDB outputs (café/cafe is 5-vs-4 units)") {
+    // vectors recorded from duckdb 1.x jaro_winkler_similarity: these
+    // values are only reachable when lengths/positions are UTF-8 bytes
+    // (code-point semantics would score café/cafe 0.8833…, not 0.8483…)
+    val pinned = Seq(
+      ("café", "cafe", 0.8483333333333334),
+      ("naïve", "naive", 0.8577777777777779),
+      ("straße", "strasse", 0.8857142857142858),
+      ("日本語", "日本", 0.9333333333333333))
+    pinned.foreach { case (a, b, expect) =>
+      assert(jw(a, b) === expect, s"jw($a, $b)")
+      assert(jw(b, a) === expect, s"symmetric jw($b, $a)")
+    }
+  }
+
   test("jaroWinkler: algebraic properties — identity 1, range [0,1], " +
       "prefix boost capped at l=4") {
     val rnd = new scala.util.Random(3)
