@@ -99,12 +99,43 @@ object Profile {
         round(col("_nano").cast("double") / lit(1e9), 6).as("entropy6"))
   }
 
+  /** Canonical cross-engine string rendering of a profiled extremum —
+    * the helper that lets double/timestamp columns under the oracle
+    * gate (integers and strings render identically everywhere, but
+    * Spark prints small doubles in scientific notation where DuckDB
+    * prints positional — "1.0E-4" vs "0.0001" — and timestamp
+    * fractional-second trailing-zero conventions differ):
+    *   - float/double → DECIMAL(38,6) → string: fixed positional form
+    *     with exactly 6 fractional digits ("0.000100"), the DuckDB
+    *     replay being CAST(CAST(x AS DECIMAL(38,6)) AS VARCHAR). The
+    *     1e-6 grid follows the repo-wide micro-unit convention; a
+    *     value within half an ULP of a grid midpoint may round
+    *     differently across engines (shortest-repr vs full binary
+    *     expansion), the same documented wobble class as every other
+    *     micro-quantized gate. |x| ≥ 10^32 overflows the decimal and
+    *     renders NULL — profiling extrema at that magnitude are
+    *     sentinel junk anyway, and both engines null identically.
+    *   - timestamp → date_format 'yyyy-MM-dd HH:mm:ss.SSSSSS': fixed
+    *     6-digit microseconds, DuckDB's strftime '%f' replaying it.
+    *   - everything else → plain string cast (unchanged behavior). */
+  def canonicalRender(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType | FloatType =>
+        c.cast(DecimalType(38, 6)).cast("string")
+      case TimestampType | TimestampNTZType =>
+        date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      case _ => c.cast("string")
+    }
+  }
+
   /** One-pass per-column data-quality profile: for each requested
     * column, one output row with
     *   n_nulls, n_distinct (exact; counts non-null values),
     *   min_val / max_val (native-type extrema, cast to string AFTER
     *   the comparison — lexicographic min of "10" < "9" never leaks
-    *   into numeric columns).
+    *   into numeric columns; double/timestamp extrema go through
+    *   [[canonicalRender]] so both engines print the same string).
     * The first look a pipeline takes at an unknown 100 TB table —
     * which columns are junk, which are keys, which are constants —
     * priced at ONE scan: all metrics for all columns compute in a
@@ -113,12 +144,13 @@ object Profile {
     * unpivot is driver-free column arithmetic on a 1-row relation. */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    val dtypes = cols.map(c => c -> df.schema(c).dataType).toMap
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$c"),
         countDistinct(col(c)).as(s"_nd_$c"),
-        min(col(c)).cast("string").as(s"_mn_$c"),
-        max(col(c)).cast("string").as(s"_mx_$c"))
+        canonicalRender(min(col(c)), dtypes(c)).as(s"_mn_$c"),
+        canonicalRender(max(col(c)), dtypes(c)).as(s"_mx_$c"))
     }
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(cols.map(c => struct(

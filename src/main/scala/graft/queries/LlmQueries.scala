@@ -62,10 +62,12 @@ object LlmQueries {
 
   /** Shared CTE chain: brute-force shingle-Jaccard pair ground truth at
     * the given threshold (used by the minhash oracle directly, closed
-    * over recursively by the cluster oracle, and — at a lower τ — as
-    * the EXACT expected output of the prefix-filtered Jaccard join). */
-  private def jaccardPairsCte(tau: String): String =
-    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    * over recursively by the cluster oracle, at a lower τ as the EXACT
+    * expected output of the prefix-filtered Jaccard join, and — over a
+    * non-`documents` relation — by the composed pipeline oracle). */
+  private[queries] def jaccardPairsCte(tau: String,
+      rel: String = "documents"): String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM $rel),
       |g AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d),
       |sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s FROM g),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -227,7 +229,7 @@ object LlmQueries {
 
   /** Shared recursive-closure block over `pairs` (used by the cluster
     * oracle and the dedup-apply oracle — one source, no drift). */
-  private val ccClosureCte: String =
+  private[queries] val ccClosureCte: String =
     """und AS (SELECT d1 AS a, d2 AS b FROM pairs
       |        UNION SELECT d2, d1 FROM pairs),
       |reach(id, r) AS (
@@ -478,7 +480,7 @@ object LlmQueries {
 
   // --- text analysis ----------------------------------------------------
 
-  private val enStops = TextStats.stopwordProfiles("en")
+  private[queries] val enStops = TextStats.stopwordProfiles("en")
 
   def qTextStats(s: SparkSession, dir: String): DataFrame = {
     // tokenize once; every fold-shaped stat comes out of the one-pass
@@ -546,7 +548,18 @@ object LlmQueries {
     * pipeline actually ships. One scan, all native kernels, no
     * shuffle; each signal reuses the exact formulation its own gated
     * query proves. */
-  def qQualityFilter(s: SparkSession, dir: String): DataFrame = {
+  def qQualityFilter(s: SparkSession, dir: String): DataFrame =
+    qualitySurvivors(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_tokens"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** The quality-filter keep decision as a reusable stage: input rows
+    * that survive the C4/Gopher signals, with every INPUT column
+    * passed through plus `n_tokens` and `lang_pred` — so a composed
+    * pipeline ([[PipelineQueries.qPipeline]]) gets the surviving
+    * corpus without a self-join back onto the scan. One scan, all
+    * native kernels, zero shuffle. */
+  private[queries] def qualitySurvivors(docs: DataFrame): DataFrame = {
     // sorted: the kernel breaks score ties first-profile-wins and the
     // oracle's CASE chain is alphabetical — unsorted Map order would
     // diverge on tied documents
@@ -554,17 +567,14 @@ object LlmQueries {
     // ONE tokenization (single-space split, the oracle's string_split)
     // for every signal in the keep decision — mixing \s+ and ' ' splits
     // would disagree on tabs/double spaces
-    val staged = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        split(col("text"), " ").as("_w"),
-        split(col("text"), " ").as("_rw"),
-        split(lower(col("text")), " ").as("_lw"))
-      .select(col("doc_id"),
-        size(col("_w")).as("n_tokens"),
-        graft.functions.NativeTextStats.textStats(col("_w"), enStops).as("_t"),
-        graft.functions.NativeText.repetitionStats(col("_rw")).as("_r"),
-        graft.functions.NativeTextStats.langId(col("_lw"), profiles)
-          .as("lang_pred"))
+    val staged = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("_t", graft.functions.NativeTextStats.textStats(
+        split(col("text"), " "), enStops))
+      .withColumn("_r", graft.functions.NativeText.repetitionStats(
+        split(col("text"), " ")))
+      .withColumn("lang_pred", graft.functions.NativeTextStats.langId(
+        split(lower(col("text")), " "), profiles))
     val tooShort = col("n_tokens") < 20
     val lowDiv = col("_t.n_distinct").cast("double") /
       greatest(col("n_tokens"), lit(1)).cast("double") < 0.3
@@ -576,14 +586,13 @@ object LlmQueries {
     val wrongLang = col("lang_pred") =!= "en"
     staged
       .filter(!tooShort && !lowDiv && !longTok && !repetitive && !wrongLang)
-      .select(col("doc_id"), col("n_tokens"), col("lang_pred"))
-      .orderBy(col("doc_id"))
+      .drop("_t", "_r")
   }
 
   /** Shared bigram-duplication CTEs over a `t(doc_id, w)` word-list CTE
     * — dup2 = bigram occurrences belonging to repeated bigrams (used by
     * the repetition oracle and the quality-filter oracle). */
-  private val bigramDupCte: String =
+  private[queries] val bigramDupCte: String =
     """g2 AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] AS g
       |       FROM (SELECT doc_id, unnest(range(len(w) - 1)) AS i, w FROM t)),
       |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
@@ -1288,14 +1297,14 @@ object LlmQueries {
     * CASE — ONE builder for every oracle that replays the langId kernel
     * (the kernel receives the same alphabetically-sorted profiles, so
     * tie-breaking agrees by construction). */
-  private def langScoreColsSql: String = {
+  private[queries] def langScoreColsSql: String = {
     val profiles = TextStats.stopwordProfiles.toSeq.sortBy(_._1)
     profiles.map { case (lang, ws) =>
       val in = ws.map(w => s"'$w'").mkString(", ")
       s"CAST(list_sum(list_transform(w, x -> CASE WHEN lower(x) IN ($in) THEN 1 ELSE 0 END)) AS BIGINT) AS s_$lang"
     }.mkString(",\n  ")
   }
-  private def langArgmaxSql: String = {
+  private[queries] def langArgmaxSql: String = {
     val langs = TextStats.stopwordProfiles.keys.toSeq.sorted
     val caseChain = langs.init.map { l =>
       val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")

@@ -1059,10 +1059,14 @@ object Relational {
     * AFTER comparison; double/timestamp columns are excluded from
     * the gate because their string RENDERINGS differ across engines
     * even when values agree). All metrics in one scan. */
+  /** Profiles ALL SIX events columns — including the double (`value`)
+    * and timestamp (`ts`) columns, whose extrema ride through
+    * [[graft.operators.Profile.canonicalRender]] so both engines
+    * print the identical string (the r13 hand-off gap). */
   def qColProfile(s: SparkSession, dir: String): DataFrame =
     graft.operators.Profile.columnProfile(
         Tables.events(s, dir),
-        Seq("event_id", "user_id", "event_type", "props"))
+        Seq("event_id", "user_id", "event_type", "props", "value", "ts"))
       .orderBy(col("col_name"))
 
   val qColProfileSql: String =
@@ -1087,6 +1091,18 @@ object Relational {
       |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
       |  count(DISTINCT props),
       |  min(props), max(props)
+      |FROM events
+      |UNION ALL SELECT 'value',
+      |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(DISTINCT value),
+      |  CAST(CAST(min(value) AS DECIMAL(38,6)) AS VARCHAR),
+      |  CAST(CAST(max(value) AS DECIMAL(38,6)) AS VARCHAR)
+      |FROM events
+      |UNION ALL SELECT 'ts',
+      |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(DISTINCT ts),
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f'),
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f')
       |FROM events
       |ORDER BY col_name""".stripMargin
 
