@@ -90,11 +90,12 @@ object TextDedup {
     * splits into `Bands` bands of `RowsPerBand` rows, hashed to a
     * bucket id. Shared by the batch self-join candidates below and the
     * streaming stateful dedup (streaming/StreamingDedup.scala). */
-  def bandBuckets(sigs: DataFrame, idCol: String): DataFrame =
-    sigs.select(col(idCol), posexplode(
+  def bandBuckets(sigs: DataFrame, idCol: String,
+      passthroughCols: Seq[String] = Nil): DataFrame =
+    sigs.select(col(idCol) +: passthroughCols.map(col) :+ posexplode(
       transform(sequence(lit(0), lit(Bands - 1)),
-        b => hash(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
-      .toDF(idCol, "band", "bucket")
+        b => hash(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))): _*)
+      .toDF(idCol +: passthroughCols :+ "band" :+ "bucket": _*)
 
   def lshCandidates(sigs: DataFrame, idCol: String,
       maxBucketSize: Int = MaxBucketSize): DataFrame = {

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming operators beyond the incremental-index loop: the
   * event-time windowed usage-stats rollup and the per-url stateful
@@ -49,26 +49,55 @@ object StreamOps {
     * attempt — the streaming form of the reference's fetch predicate
     * `last_status IS NULL OR (last_status >= 400 AND last_check <
     * now() - interval)` (fetcher.py:213-218), with the failure streak
-    * carried as state the batch query cannot express. */
+    * carried as state the batch query cannot express.
+    *
+    * Retention (opt-in): with `idleTtlMs = Some(ttl)`, a url with no
+    * fetch activity for ttl (by event time `at`, watermark-driven) has
+    * its state evicted; when it reappears it reads as never-checked —
+    * lastStatus −1, due = true — which IS the reference's NULL
+    * last_status semantics, so pick ttl ≥ the recheck interval and
+    * eviction only ever turns "due later" into "due now" for urls
+    * already idle longer than the recheck window. None = state lives
+    * forever (the pre-TTL contract). */
   def fetchGate(events: Dataset[FetchEvent],
-      recheckAfterMs: Long = RecheckAfterMs)
+      recheckAfterMs: Long = RecheckAfterMs,
+      idleTtlMs: Option[Long] = None,
+      lateness: String = "0 seconds")
       : Dataset[FetchVerdict] = {
     import events.sparkSession.implicits._
-    events
+    val streaming = events.isStreaming
+    val src = if (idleTtlMs.isDefined)
+      events.withWatermark("at", lateness) else events
+    val timeoutConf =
+      if (idleTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.url)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf) {
         (url: String, evs: Iterator[FetchEvent], state: GroupState[UrlState]) =>
-          val ordered = evs.toSeq.sortBy(_.at.getTime)
-          val s0 = state.getOption.getOrElse(UrlState(-1, 0L, 0))
-          val s1 = ordered.foldLeft(s0) { (s, e) =>
-            val failures = if (e.status >= 400) s.failures + 1 else 0
-            UrlState(e.status, e.at.getTime, failures)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val ordered = evs.toSeq.sortBy(_.at.getTime)
+            if (ordered.isEmpty) Iterator.empty
+            else {
+              val s0 = state.getOption.getOrElse(UrlState(-1, 0L, 0))
+              val s1 = ordered.foldLeft(s0) { (s, e) =>
+                val failures = if (e.status >= 400) s.failures + 1 else 0
+                UrlState(e.status, e.at.getTime, failures)
+              }
+              state.update(s1)
+              idleTtlMs.foreach { ttl =>
+                if (streaming)
+                  state.setTimeoutTimestamp(math.max(s1.lastCheckMs + ttl,
+                    state.getCurrentWatermarkMs() + 1))
+              }
+              val due = s1.lastStatus < 0 ||
+                (s1.lastStatus >= 400 &&
+                  s1.lastCheckMs < System.currentTimeMillis() - recheckAfterMs)
+              Iterator.single(
+                FetchVerdict(url, s1.lastStatus, s1.failures, due))
+            }
           }
-          state.update(s1)
-          val due = s1.lastStatus < 0 ||
-            (s1.lastStatus >= 400 &&
-              s1.lastCheckMs < System.currentTimeMillis() - recheckAfterMs)
-          FetchVerdict(url, s1.lastStatus, s1.failures, due)
       }
   }
 

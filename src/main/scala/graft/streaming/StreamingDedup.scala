@@ -35,8 +35,10 @@ object StreamingDedup {
     docs.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(Seq(etagCol))
 
-  /** One LSH band-bucket hit for a document. */
-  final case class BandHit(docId: Long, band: Int, bucket: Long)
+  /** One LSH band-bucket hit for a document (tsUs/eventTs carry the
+    * document's event time in retention mode; 0/null otherwise). */
+  final case class BandHit(docId: Long, band: Int, bucket: Long,
+      tsUs: Long, eventTs: java.sql.Timestamp)
 
   /** A near-dup candidate: `docId` collided with earlier-admitted
     * `matchedDocId` in some band. A pair sharing several bands emits
@@ -58,38 +60,81 @@ object StreamingDedup {
     * earlier docs of the same micro-batch, processed in arrival
     * order). Runs identically on a batch Dataset (state starts empty),
     * which is how the spec cross-checks it against the batch
-    * lshCandidates operator. */
+    * lshCandidates operator.
+    *
+    * Retention (opt-in, the round-14 state-TTL hardening): with
+    * `tsCol = Some(t)` and `retentionSec = r`, new arrivals only pair
+    * against occupants whose event time is within `r` of the
+    * watermark (older occupants are pruned on access), and a bucket
+    * idle past its newest occupant + r is evicted wholesale by
+    * event-time timeout — "dedup against the last r seconds of
+    * corpus", the bounded-index contract a forever stream needs.
+    * Without tsCol the index is lifetime (the batch-equivalent form,
+    * unchanged). */
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3,
-      maxBucketOccupants: Int = MaxBucketOccupants): Dataset[DupCandidate] = {
+      maxBucketOccupants: Int = MaxBucketOccupants,
+      tsCol: Option[String] = None,
+      retentionSec: Long = 0L,
+      lateness: String = "0 seconds"): Dataset[DupCandidate] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.select(col(idCol).cast("long").as("id"),
+    val streaming = docs.isStreaming
+    val sigs = docs.select(col(idCol).cast("long").as("id") +:
         graft.functions.NativeText.minhashSig(
-          split(col(textCol), " "), shingleSize).as("sig"))
+          split(col(textCol), " "), shingleSize).as("sig") +:
+        tsCol.toSeq.map(t => col(t).cast("timestamp").as("eventTs")): _*)
       .where(size(col("sig")) > 0)
-    val hits = TextDedup.bandBuckets(sigs, "id")
-      .select(col("id").as("docId"), col("band"), col("bucket"))
-      .as[BandHit]
+    val hits0 = TextDedup.bandBuckets(sigs, "id",
+      passthroughCols = tsCol.toSeq.map(_ => "eventTs"))
+    val hits = (tsCol match {
+      case Some(_) => hits0
+        .select(col("id").as("docId"), col("band"), col("bucket"),
+          unix_micros(col("eventTs")).as("tsUs"), col("eventTs"))
+        .withWatermark("eventTs", lateness)
+      case None => hits0
+        .select(col("id").as("docId"), col("band"), col("bucket"),
+          lit(0L).as("tsUs"),
+          lit(null).cast("timestamp").as("eventTs"))
+    }).as[BandHit]
+    val timeoutConf =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     hits.groupByKey(h => (h.band, h.bucket))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        emitAgainstState(maxBucketOccupants))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        emitAgainstState(maxBucketOccupants,
+          if (tsCol.isDefined && streaming) Some(retentionSec) else None))
   }
 
-  private def emitAgainstState(cap: Int)(
+  private def emitAgainstState(cap: Int, retention: Option[Long])(
       key: (Int, Long), hits: Iterator[BandHit],
-      state: GroupState[List[Long]]): Iterator[DupCandidate] = {
+      state: GroupState[List[(Long, Long)]]): Iterator[DupCandidate] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     // deterministic in-batch order: ascending doc id
-    val arrived = hits.map(_.docId).toArray.sorted
+    val arrived = hits.map(h => (h.docId, h.tsUs)).toArray.sortBy(_._1)
     var occupants = state.getOption.getOrElse(Nil)
+    // retention mode: prune occupants older than watermark − retention
+    // BEFORE pairing — expired corpus never yields candidates
+    retention.foreach { r =>
+      val cutUs = (state.getCurrentWatermarkMs() - r * 1000L) * 1000L
+      occupants = occupants.filter(_._2 >= cutUs)
+    }
     val out = Seq.newBuilder[DupCandidate]
-    arrived.foreach { d =>
-      if (occupants.length < cap && !occupants.contains(d)) {
-        occupants.foreach(prev => out += DupCandidate(d, prev, key._1))
-        occupants = d :: occupants
+    arrived.foreach { case (d, ts) =>
+      if (occupants.length < cap && !occupants.exists(_._1 == d)) {
+        occupants.foreach { case (prev, _) =>
+          out += DupCandidate(d, prev, key._1) }
+        occupants = (d, ts) :: occupants
       }
     }
-    state.update(occupants)
+    if (occupants.isEmpty) state.remove() else state.update(occupants)
+    retention.foreach { r =>
+      if (state.exists) {
+        val newestMs = occupants.iterator.map(_._2).max / 1000L
+        state.setTimeoutTimestamp(math.max(newestMs + r * 1000L,
+          state.getCurrentWatermarkMs() + 1))
+      }
+    }
     out.result().iterator
   }
 }

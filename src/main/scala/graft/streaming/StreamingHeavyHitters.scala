@@ -23,27 +23,53 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * TypedImperativeAggregate on the same rows. */
 object StreamingHeavyHitters {
 
-  final case class Arrival(group: String, key: String)
+  final case class Arrival(group: String, key: String, tsUs: Long,
+      eventTs: java.sql.Timestamp)
   final case class Summary(group: String, key: String, cnt: Long)
 
-  def runningHeavyHitters(rows: DataFrame, capacity: Int): Dataset[Summary] = {
+  /** @param tsCol      opt-in event-time column: with `idleTtlSec`,
+    *                   groups idle past the TTL are evicted once the
+    *                   watermark passes lastSeen + ttl (the dropped
+    *                   summary restarts from zero on revival — the
+    *                   standard sketch-retention trade); None = state
+    *                   lives forever (the pre-TTL contract). */
+  def runningHeavyHitters(rows: DataFrame, capacity: Int,
+      tsCol: Option[String] = None, idleTtlSec: Long = 0L,
+      lateness: String = "0 seconds"): Dataset[Summary] = {
     val spark = rows.sparkSession
     import spark.implicits._
-    rows.select(col("group").cast("string"), col("key").cast("string"))
-      .as[Arrival]
+    val streaming = rows.isStreaming
+    val src0 = tsCol match {
+      case Some(t) => rows.select(col("group").cast("string"),
+          col("key").cast("string"),
+          unix_micros(col(t).cast("timestamp")).as("tsUs"),
+          col(t).cast("timestamp").as("eventTs"))
+        .withWatermark("eventTs", lateness)
+      case None => rows.select(col("group").cast("string"),
+        col("key").cast("string"), lit(0L).as("tsUs"),
+        lit(null).cast("timestamp").as("eventTs"))
+    }
+    val timeoutConf =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src0.as[Arrival]
       .groupByKey(_.group)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        mergeAndEmit(capacity))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        mergeAndEmit(capacity,
+          if (tsCol.isDefined && streaming) Some(idleTtlSec) else None))
   }
 
-  private def mergeAndEmit(capacity: Int)(
+  private def mergeAndEmit(capacity: Int, idleTtl: Option[Long])(
       group: String, arrivals: Iterator[Arrival],
       state: GroupState[Map[String, Long]]): Iterator[Summary] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var lastSeenUs = Long.MinValue
     val buf = scala.collection.mutable.HashMap.empty[String, Long]
     state.getOption.foreach(m => buf ++= m)
     var changed = false
     arrivals.foreach { a =>
       changed = true
+      lastSeenUs = math.max(lastSeenUs, a.tsUs)
       buf.get(a.key) match {
         case Some(c) => buf(a.key) = c + 1
         case None if buf.size < capacity => buf(a.key) = 1L
@@ -58,6 +84,12 @@ object StreamingHeavyHitters {
     if (!changed) Iterator.empty
     else {
       state.update(buf.toMap)
+      idleTtl.foreach { ttl =>
+        if (lastSeenUs != Long.MinValue)
+          state.setTimeoutTimestamp(math.max(
+            lastSeenUs / 1000L + ttl * 1000L,
+            state.getCurrentWatermarkMs() + 1))
+      }
       buf.toArray.sortBy { case (k, c) => (-c, k) }
         .iterator.map { case (k, c) => Summary(group, k, c) }
     }
