@@ -81,4 +81,54 @@ object Fuzzy {
       .filter(col("dist") <= maxDist)
       .select(col("id_1"), col("id_2"), col("dist"))
   }
+
+  /** Record-linkage pipeline: sorted-neighborhood BLOCKING + Jaro-
+    * Winkler VERIFICATION (Winkler's census-matching recipe — block on
+    * a cheap sort key, score only the neighbors): records are globally
+    * ordered by the name's first `keyLen` chars (ties by id), each
+    * record pairs with exactly its next `window` neighbors, and pairs
+    * scoring ≥ `threshold` under the codegen'd
+    * [[graft.functions.StringSim.jaroWinkler]] kernel survive.
+    *
+    * Cost shape: candidate count is EXACTLY n·window by construction
+    * (never n²) and the JW kernel runs inside WholeStageCodegen over
+    * the joined pairs — the global rank reuses
+    * [[TextDedup.sortedNeighborPairs]]'s two-level form (range-bucket
+    * on a 1-char prefix of the sort key, row_number within buckets,
+    * broadcast cumulative bases), so no unpartitioned window ever
+    * sees the record table. Output: (rec_a, rec_b, jw6), jw rounded
+    * to 6 before the threshold on BOTH engines (the oracle replays
+    * with DuckDB's native jaro_winkler_similarity — byte-exact per
+    * the kernel's UTF-8 contract). */
+  def snmLinkage(recs: DataFrame, idCol: String, nameCol: String,
+      window: Int, threshold: Double,
+      keyLen: Int = 16, bucketPrefix: Int = 1): DataFrame = {
+    val keyed = recs.select(col(idCol).as("_id"),
+      col(nameCol).as("_nm"),
+      substring(col(nameCol), 1, keyLen).as("_k"),
+      substring(col(nameCol), 1, bucketPrefix).as("_b"))
+    val wLocal = Window.partitionBy(col("_b"))
+      .orderBy(col("_k"), col("_id"))
+    val wBase = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = keyed.groupBy(col("_b")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_base", sum(col("_cnt")).over(wBase) - col("_cnt"))
+      .select(col("_b"), col("_base"))
+    val ranked = keyed
+      .withColumn("_lr", row_number().over(wLocal))
+      .join(broadcast(bases), Seq("_b"))
+      .select((col("_base") + col("_lr")).as("_rn"), col("_id"),
+        col("_nm"))
+    val right = ranked.select(col("_rn").as("_rnb"),
+      col("_id").as("_idb"), col("_nm").as("_nmb"))
+    val jw = graft.functions.StringSim.jaroWinkler(col("_nm"), col("_nmb"))
+    ranked
+      .withColumn("_d", explode(sequence(lit(1), lit(window))))
+      .withColumn("_rnb", col("_rn") + col("_d"))
+      .join(right, "_rnb")
+      .withColumn("jw6", round(jw, 6))
+      .where(col("jw6") >= threshold)
+      .select(least(col("_id"), col("_idb")).as("rec_a"),
+        greatest(col("_id"), col("_idb")).as("rec_b"), col("jw6"))
+  }
 }

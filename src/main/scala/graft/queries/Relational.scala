@@ -305,6 +305,46 @@ object Relational {
       |WHERE levenshtein(a.s_name, b.s_name) <= 1
       |ORDER BY id_1, id_2""".stripMargin
 
+  /** Record-linkage at volume for the Jaro-Winkler kernel (the r13
+    * hand-off item): a name-rich table built from `part.p_name` plus
+    * a deterministic "dirty" copy (4th character deleted, id shifted)
+    * is linked via sorted-neighborhood blocking + JW verification
+    * ([[graft.operators.Fuzzy.snmLinkage]]) at τ = 0.92. The
+    * candidate set is exactly n·window by construction (plan-pinned
+    * in FuzzySpec — never n²); the oracle replays the same rank
+    * window and scores the same pairs with DuckDB's NATIVE
+    * jaro_winkler_similarity, so the gate cross-checks the kernel
+    * against an independent implementation over every candidate. */
+  def qLinkage(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(
+      col("p_partkey").cast("long").as("rec_id"),
+      col("p_name").as("name"))
+    val dirty = p.select((col("rec_id") + lit(1000000L)).as("rec_id"),
+      concat(substring(col("name"), 1, 3),
+        substring(col("name"), 5, 1000000)).as("name"))
+    graft.operators.Fuzzy.snmLinkage(p.unionByName(dirty), "rec_id",
+        "name", window = 10, threshold = 0.92)
+      .orderBy(col("rec_a"), col("rec_b"))
+  }
+
+  val qLinkageSql: String =
+    """WITH recs AS (
+      |  SELECT p_partkey AS rec_id, p_name AS name FROM part
+      |  UNION ALL
+      |  SELECT p_partkey + 1000000, substr(p_name, 1, 3) || substr(p_name, 5)
+      |  FROM part),
+      |r AS (SELECT rec_id, name,
+      |        row_number() OVER (ORDER BY substr(name, 1, 16), rec_id) AS rn
+      |      FROM recs),
+      |cand AS (SELECT a.rec_id AS ra, a.name AS na,
+      |               b.rec_id AS rb, b.name AS nb
+      |         FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 10)
+      |SELECT least(ra, rb) AS rec_a, greatest(ra, rb) AS rec_b,
+      |  round(jaro_winkler_similarity(na, nb), 6) AS jw6
+      |FROM cand
+      |WHERE round(jaro_winkler_similarity(na, nb), 6) >= 0.92
+      |ORDER BY rec_a, rec_b""".stripMargin
+
   /** Bloom-prefiltered semi-join under the driver gate: orders of a
     * filtered customer subset, executed through
     * [[graft.operators.Skew.bloomSemiJoin]] — the dimension's keys

@@ -53,4 +53,52 @@ class FuzzySpec extends SparkSpec {
     val names = Seq(1L -> "ab", 2L -> "abcdefgh")
     assert(run(names, 2) === Set.empty)
   }
+
+  test("snmLinkage: candidate set is exactly the n·w rank window " +
+      "(threshold 0 keeps every candidate) and matches a brute-force " +
+      "rank-window JW sweep") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val names = (1L to 60L).map { i =>
+      i -> (1 to 3).map(_ =>
+        "abcdef".charAt(rnd.nextInt(6)).toString * (rnd.nextInt(3) + 2))
+        .mkString(" ")
+    }
+    val df = names.toDF("rec_id", "name")
+    val w = 5
+    val got = Fuzzy.snmLinkage(df, "rec_id", "name", window = w,
+        threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // brute force: global (key16, id) order, each row pairs with its
+    // next w neighbors, scored by the same kernel
+    val ordered = names.sortBy { case (id, n) => (n.take(16), id) }
+    val expect = (for {
+      i <- ordered.indices
+      j <- (i + 1) to math.min(i + w, ordered.size - 1)
+    } yield {
+      val (ia, na) = ordered(i); val (ib, nb) = ordered(j)
+      val jw = graft.functions.StringSimKernel.jaroWinkler(
+        org.apache.spark.unsafe.types.UTF8String.fromString(na),
+        org.apache.spark.unsafe.types.UTF8String.fromString(nb))
+      (math.min(ia, ib), math.max(ia, ib),
+        BigDecimal(jw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }).toSet
+    assert(got.size === expect.size, "candidate count must be the full rank window")
+    assert(got === expect)
+  }
+
+  test("snmLinkage: plan is blocking-bounded — rank equi-join, no " +
+      "cartesian/nested-loop, bases broadcast") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1L to 20L).map(i => i -> s"name$i").toDF("rec_id", "name")
+    val p = Fuzzy.snmLinkage(df, "rec_id", "name", 4, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), "bucket bases must broadcast:\n" + p)
+  }
 }
