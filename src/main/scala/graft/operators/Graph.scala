@@ -430,6 +430,55 @@ object Graph {
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
   }
 
+  /** Exact core NUMBER per node (the degeneracy order — the r13
+    * hand-off item that [[kCorePeel]]'s single-k survivors don't
+    * give) via the H-INDEX ITERATION (Lü, Zhou, Zhang & Stanley 2016,
+    * "The H-index of a network node and its relation to degree and
+    * coreness"): start every node at its degree and repeatedly set
+    *   c(v) ← H({c(u) : u ∼ v}),
+    * the H-index of its neighbors' current values (the largest h with
+    * ≥ h neighbors at c ≥ h). The sequence is monotone non-increasing
+    * and its fixpoint is exactly coreness — and it converges in a
+    * handful of sweeps (diameter-ish), where per-k peeling would need
+    * Σ_k rounds(k) stages.
+    *
+    * Fixed `iters` budget (not convergence polling) keeps the result
+    * a pure function of the data and lets the oracle replay every
+    * sweep verbatim — the [[pageRank]]/[[kCorePeel]] discipline;
+    * KCoreSpec pins the exact-coreness fixpoint against brute-force
+    * peeling. Per sweep: ONE keyed join of the value table to the cut
+    * bidirected edge list, one per-node rank window, one max
+    * aggregation — the window partitions on the SAME id key the
+    * aggregation groups on, so the sweep is one exchange; value table
+    * lineage-cut per sweep (constant plan depth). H via ranks:
+    * h = max over neighbors of min(rank_desc, c). */
+  def kCoreNumbers(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (e, eRdd) = localCut(undirect(edges, srcCol, dstCol))
+    val (bi, biRdd) = localCut(
+      e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b"))))
+    var c = bi.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("c"))
+    var pinned: Option[RDD[org.apache.spark.sql.catalyst.InternalRow]] = None
+    (1 to iters).foreach { _ =>
+      val nb = bi.join(c.toDF("b", "cb"), "b")
+        .select(col("a").as("id"), col("cb"))
+      val w = Window.partitionBy(col("id")).orderBy(col("cb").desc)
+      val next = nb.withColumn("_rn", row_number().over(w))
+        .groupBy(col("id"))
+        .agg(max(least(col("_rn").cast("long"), col("cb"))).as("c"))
+      val (cut, rdd) = localCut(next)
+      pinned.foreach(_.unpersist(blocking = false))
+      pinned = Some(rdd)
+      c = cut
+    }
+    eRdd.unpersist(blocking = false)
+    biRdd.unpersist(blocking = false)
+    c.select(col("id"), col("c").as("core"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007, the
     * near-linear community detection baseline), `sweeps` rounds:
     * labels start as node ids; each sweep every node adopts its

@@ -1322,6 +1322,43 @@ object Relational {
         "src", "dst", k = 15, rounds = 4)
       .orderBy(col("id"))
 
+  /** Exact coreness for every node of the q_kcore event graph via the
+    * fixed-budget H-index iteration
+    * ([[graft.operators.Graph.kCoreNumbers]], 20 sweeps — the
+    * iteration converges by sweep 16 at sf0.1 / 7 at sf0.01, measured;
+    * a converged sweep is idempotent, so the extra budget changes
+    * nothing). The oracle replays all 20 sweeps verbatim as generated
+    * CTE stages; KCoreSpec pins the exact-coreness fixpoint against
+    * brute-force peeling. */
+  def qKcoreOrder(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCoreNumbers(
+        Tables.events(s, dir)
+          .select((col("event_id") % 499).as("src"),
+            (col("event_id") % (col("event_id") % 359 + 2) + 500)
+              .as("dst")),
+        "src", "dst", iters = 20)
+      .orderBy(col("id"))
+
+  val qKcoreOrderSql: String = {
+    val sweeps = (1 to 20).map { i =>
+      s"""n$i AS (SELECT bi.a AS id, c${i - 1}.c AS cb
+         |  FROM bi JOIN c${i - 1} ON bi.b = c${i - 1}.id),
+         |c$i AS (SELECT id, max(least(rn, cb)) AS c FROM (
+         |    SELECT id, cb, row_number() OVER (PARTITION BY id
+         |      ORDER BY cb DESC) AS rn FROM n$i)
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (SELECT event_id % 499 AS a,
+       |    event_id % (event_id % 359 + 2) + 500 AS b FROM events),
+       |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |  FROM raw WHERE a <> b),
+       |bi AS (SELECT u AS a, v AS b FROM e
+       |  UNION ALL SELECT v, u FROM e),
+       |c0 AS (SELECT a AS id, count(*) AS c FROM bi GROUP BY a),
+       |$sweeps
+       |SELECT id, c AS core FROM c20 ORDER BY id""".stripMargin
+  }
+
   val qKcoreSql: String =
     """WITH raw AS (SELECT event_id % 499 AS a,
       |    event_id % (event_id % 359 + 2) + 500 AS b FROM events),

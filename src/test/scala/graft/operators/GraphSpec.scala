@@ -329,6 +329,50 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("kCoreNumbers: H-index iteration reaches the exact coreness " +
+      "fixpoint (brute-force peeling) on random graphs; clique+pendant " +
+      "reads the textbook values") {
+    val s2 = spark
+    import s2.implicits._
+    // K5 (core 4) with a pendant chain (core 1) and a triangle (core 2)
+    val fixed = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (2L, 4L),
+      (2L, 5L), (3L, 4L), (3L, 5L), (4L, 5L), // K5
+      (5L, 6L), (6L, 7L),                     // pendant chain
+      (8L, 9L), (9L, 10L), (8L, 10L))         // triangle
+    val gotFixed = Graph.kCoreNumbers(fixed.toDF("s", "d"), "s", "d", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotFixed === Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L,
+      5L -> 4L, 6L -> 1L, 7L -> 1L, 8L -> 2L, 9L -> 2L, 10L -> 2L))
+    for (seed <- Seq(5, 17, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val und = (for { a <- 1L to 30L; b <- 1L to 30L
+        if a < b && rnd.nextDouble() < 0.18 } yield (a, b)).toSet
+      val edges = und.toSeq.toDF("s", "d")
+      val got = Graph.kCoreNumbers(edges, "s", "d", iters = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute-force coreness: for k = 1.. peel to fixpoint; a node's
+      // core is the largest k whose k-core contains it
+      val nodes = und.flatMap(e => Seq(e._1, e._2))
+      def kcore(k: Int): Set[Long] = {
+        var alive = nodes
+        var done = false
+        while (!done) {
+          val deg = alive.map(n => n -> und.count { case (u, v) =>
+            (u == n && alive(v)) || (v == n && alive(u)) }).toMap
+          val next = alive.filter(deg(_) >= k)
+          done = next == alive
+          alive = next
+        }
+        alive
+      }
+      val brute = nodes.map { n =>
+        n -> (1 to 30).filter(k => kcore(k)(n)).max.toLong
+      }.toMap
+      assert(got === brute, s"seed $seed")
+    }
+  }
+
   test("labelPropagation: matches a brute-force synchronous mode sweep") {
     val s2 = spark
     import s2.implicits._
