@@ -227,15 +227,17 @@ object LlmQueries {
       .orderBy(col("id"))
   }
 
-  /** Shared recursive-closure block over `pairs` (used by the cluster
-    * oracle and the dedup-apply oracle — one source, no drift). */
-  private[queries] val ccClosureCte: String =
-    """und AS (SELECT d1 AS a, d2 AS b FROM pairs
-      |        UNION SELECT d2, d1 FROM pairs),
+  /** Shared recursive-closure block over a pair relation (used by the
+    * cluster oracle, the dedup-apply oracle and the composed pipeline
+    * oracles — one source, no drift). */
+  private[queries] def ccClosureCteOver(rel: String): String =
+    s"""und AS (SELECT d1 AS a, d2 AS b FROM $rel
+      |        UNION SELECT d2, d1 FROM $rel),
       |reach(id, r) AS (
       |  SELECT DISTINCT a, a FROM und
       |  UNION
       |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id)""".stripMargin
+  private[queries] val ccClosureCte: String = ccClosureCteOver("pairs")
 
   val qDedupClustersSql: String =
     s"""WITH RECURSIVE $minhashPairsCte,

@@ -77,6 +77,120 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The MAINTENANCE form of the composed pipeline — the shape a
+    * 100 TB corpus actually runs every day: the base corpus is already
+    * processed (its quality survivors admitted, its MinHash signature
+    * table stored), and a DELTA batch flows through
+    *
+    *  1. QUALITY FILTER (delta rows only),
+    *  2. INCREMENTAL NEAR-DUP ([[TextDedup.incrementalNearDups]]):
+    *     delta signatures probe the base's STORED signature table —
+    *     base×base pairs are never re-formed, the base text is only
+    *     touched for candidate verification;
+    *  3. ADMISSION POLICY: a delta doc near-dupping an admitted base
+    *     doc is dropped (base wins — the incremental discipline);
+    *     delta-internal duplicate clusters keep their min id. The CC
+    *     runs over ALL delta-delta pairs, so a cluster whose canonical
+    *     was itself base-matched still kills its other members — both
+    *     engines replay the same two kill sets in the same order;
+    *  4. DECONTAMINATE the admitted increment against the benchmark.
+    *
+    * Output: the increment to append — (doc_id, source, lang_pred,
+    * n_tokens, n_chars). Delta = doc_id % 5 == 0 within the corpus
+    * (benchmark docs % 50 == 0 excluded as in [[qPipeline]]). The
+    * oracle's ground truth is the FULL-corpus pair set restricted to
+    * pairs touching the delta — so the gate proves the incremental
+    * path admits exactly what a full re-run would have admitted for
+    * this batch (the q_dedup_incr recall argument, composed). */
+  def qPipelineIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus0 = docs.where(col("doc_id") % 50 =!= 0)
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val qdocs = LlmQueries.qualitySurvivors(corpus0)
+    val qbase = qdocs.where(col("doc_id") % 5 =!= 0)
+    val qdelta = qdocs.where(col("doc_id") % 5 === 0)
+    // the base's "stored" signature table (at scale: read, not computed)
+    val baseSigs = qbase.select(col("doc_id"),
+        graft.functions.NativeText.minhashSig(
+          split(col("text"), " "), 3).as("sig"))
+      .where(size(col("sig")) > 0)
+    val pairs = TextDedup.incrementalNearDups(qbase, baseSigs, qdelta,
+      "doc_id", "text", shingleSize = 3, threshold = 0.5)
+    val mixed = pairs.where((col("d1") % 5 === 0) =!= (col("d2") % 5 === 0))
+    val baseMatched = mixed
+      .select(when(col("d1") % 5 === 0, col("d1")).otherwise(col("d2"))
+        .as("_kill"))
+      .distinct()
+    val dd = pairs.where(col("d1") % 5 === 0 && col("d2") % 5 === 0)
+    val labels = Graph.connectedComponents(dd, "d1", "d2")
+    val afterBase = qdelta.join(baseMatched,
+      qdelta("doc_id") === col("_kill"), "left_anti")
+    val deduped = Graph.dropDuplicates(afterBase, "doc_id", labels)
+    val flagged = Corpus.decontaminate(deduped, bench, "doc_id", "text")
+    deduped.join(flagged.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang_pred"),
+        col("n_tokens"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qPipelineIncrSql: String =
+    s"""WITH RECURSIVE
+       |corpus0 AS (SELECT doc_id, text, source, n_chars FROM documents
+       |  WHERE doc_id % 50 != 0),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus0),
+       |m AS (SELECT doc_id, len(w) AS n_tokens,
+       |  len(list_distinct(w)) AS n_distinct,
+       |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len
+       |  FROM t),
+       |${LlmQueries.bigramDupCte},
+       |sc AS (SELECT doc_id,
+       |  ${LlmQueries.langScoreColsSql}
+       |  FROM t),
+       |lang AS (SELECT doc_id,
+       |  ${LlmQueries.langArgmaxSql} AS lang_pred
+       |  FROM sc),
+       |keepq AS (SELECT m.doc_id, m.n_tokens, lang.lang_pred
+       |  FROM m JOIN lang ON m.doc_id = lang.doc_id
+       |    LEFT JOIN a2 ON m.doc_id = a2.doc_id
+       |  WHERE NOT (m.n_tokens < 20)
+       |    AND NOT (CAST(n_distinct AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) < 0.3)
+       |    AND NOT (CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 12.0)
+       |    AND NOT (n_tokens >= 3 AND
+       |      CAST(COALESCE(dup2, 0) AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE) > 0.3)
+       |    AND lang_pred = 'en'),
+       |qdocs AS (SELECT c.doc_id, c.text, c.source, c.n_chars,
+       |    k.n_tokens, k.lang_pred
+       |  FROM corpus0 c JOIN keepq k ON c.doc_id = k.doc_id),
+       |${LlmQueries.jaccardPairsCte("0.5", "qdocs")},
+       |dpairs AS (SELECT d1, d2 FROM pairs
+       |  WHERE d1 % 5 = 0 AND d2 % 5 = 0),
+       |mixedkill AS (SELECT DISTINCT
+       |    CASE WHEN d1 % 5 = 0 THEN d1 ELSE d2 END AS id
+       |  FROM pairs WHERE (d1 % 5 = 0) <> (d2 % 5 = 0)),
+       |${LlmQueries.ccClosureCteOver("dpairs")},
+       |comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |cckill AS (SELECT id FROM comps WHERE comp <> id),
+       |surv AS (SELECT * FROM qdocs WHERE doc_id % 5 = 0
+       |  AND doc_id NOT IN (SELECT id FROM mixedkill)
+       |  AND doc_id NOT IN (SELECT id FROM cckill)),
+       |dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM surv),
+       |dg AS (SELECT DISTINCT doc_id,
+       |         w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+       |         w[i+4] || ' ' || w[i+5] AS s5
+       |       FROM (SELECT doc_id, unnest(range(len(w) - 4)) AS i, w FROM dw)),
+       |bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |       WHERE doc_id % 50 = 0),
+       |bg AS (SELECT DISTINCT doc_id AS bench_id,
+       |         w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+       |         w[i+4] || ' ' || w[i+5] AS s5
+       |       FROM (SELECT doc_id, unnest(range(len(w) - 4)) AS i, w FROM bw)),
+       |flagged AS (SELECT dg.doc_id FROM dg JOIN bg USING (s5)
+       |  GROUP BY dg.doc_id, bg.bench_id HAVING count(*) >= 3)
+       |SELECT doc_id, source, lang_pred, n_tokens, n_chars FROM surv
+       |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM flagged)
+       |ORDER BY doc_id""".stripMargin
+
   /** The whole chain replayed as one DuckDB CTE program. Every stage
     * reuses the per-stage oracle's own SQL fragment
     * ([[LlmQueries.bigramDupCte]], [[LlmQueries.langScoreColsSql]],

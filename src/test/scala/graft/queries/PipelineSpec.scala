@@ -94,4 +94,46 @@ class PipelineSpec extends SparkSpec {
     assert(got.nonEmpty, "pipeline must keep documents at sf0.001")
     assert(got === expected)
   }
+
+  test("incremental pipeline: the admitted increment equals what the " +
+      "FULL batch near-dup pass (independent operator) restricted to " +
+      "delta-touching pairs would admit") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus0 = docs.where(col("doc_id") % 50 =!= 0)
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val qdocs = LlmQueries.qualitySurvivors(corpus0)
+    // ground truth via the BATCH pair operator over all survivors
+    val fullPairs = graft.operators.TextDedup.minhashNearDups(
+        qdocs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val isDelta = (id: Long) => id % 5 == 0
+    val baseMatched = fullPairs.collect {
+      case (a, b) if isDelta(a) != isDelta(b) => if (isDelta(a)) a else b
+    }
+    // delta-internal CC by union-find, keep min id
+    val dd = fullPairs.filter { case (a, b) => isDelta(a) && isDelta(b) }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    dd.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ccKill = dd.flatMap { case (a, b) => Seq(a, b) }
+      .filter(x => find(x) != x)
+    val deltaIds = qdocs.where(col("doc_id") % 5 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val admittedPreDecon = deltaIds -- baseMatched -- ccKill
+    val contaminated = graft.operators.Corpus.decontaminate(
+        qdocs.where(col("doc_id").isin(admittedPreDecon.toSeq: _*)),
+        bench, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = admittedPreDecon -- contaminated
+    val got = PipelineQueries.qPipelineIncr(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty, "increment must be non-empty at sf0.001")
+    assert(got === expected)
+  }
 }
