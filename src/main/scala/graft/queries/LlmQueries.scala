@@ -1937,6 +1937,112 @@ object LlmQueries {
       |FROM ex JOIN z ON ex.week = z.week
       |ORDER BY ex.week""".stripMargin
 
+  /** Daily→weekly QUANTILE-sketch rollup — the mergeable-summary
+    * maintenance shape next to [[qHllRollup]], for the quantile
+    * family: per (week, day) keep the bottom-64 events by content
+    * hash (the [[Sketches.quantileSketch]] sample), then fold the
+    * daily sketches into a weekly one by re-taking the bottom 64 of
+    * their union. A bottom-k hash sample is EXACTLY mergeable —
+    * bottom-k(∪ bottom-k(parts)) = bottom-k(whole) — so the weekly
+    * estimate from stored daily sketches equals the direct weekly
+    * sketch bit-for-bit (SketchSpec pins the identity); no day is
+    * ever rescanned. Emits per week: n_days folded, the merged
+    * sample's p50/p90 (type-1 index rule on cents), and the EXACT
+    * weekly p50/p90 for calibration (one per-week rank window —
+    * value-at-rank is deterministic under ties because the VALUE at
+    * a (cents, event_id)-ordered rank depends only on the cents
+    * multiset). */
+  def qQuantileRollup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).select(
+      date_trunc("week", col("ts")).as("week"),
+      date_trunc("day", col("ts")).as("day"),
+      col("event_id"),
+      floor(col("value") * 100).cast("long").as("cents"),
+      TextDedup.hash60(col("event_id").cast("string")).as("h"))
+    val wDay = Window.partitionBy(col("week"), col("day"))
+      .orderBy(col("h"), col("event_id"))
+    val daily = ev.withColumn("_rn", row_number().over(wDay))
+      .where(col("_rn") <= 64)
+      .select(col("week"), col("h"), col("event_id"), col("cents"))
+    val wWeek = Window.partitionBy(col("week"))
+      .orderBy(col("h"), col("event_id"))
+    val weeklySample = daily.withColumn("_rn", row_number().over(wWeek))
+      .where(col("_rn") <= 64)
+    def typed1(vals: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column, q: Double): org.apache.spark.sql.Column =
+      element_at(vals,
+        (floor((n - lit(1)).cast("double") * lit(q)) + lit(1)).cast("int"))
+    val est = weeklySample.groupBy(col("week"))
+      .agg(sort_array(collect_list(col("cents"))).as("_v"),
+        count(lit(1)).as("n_sample"))
+      .select(col("week"), col("n_sample"),
+        typed1(col("_v"), col("n_sample"), 0.5).as("p50_est"),
+        typed1(col("_v"), col("n_sample"), 0.9).as("p90_est"))
+    val wRank = Window.partitionBy(col("week"))
+      .orderBy(col("cents"), col("event_id"))
+    val ranked = ev
+      .withColumn("_r", row_number().over(wRank))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("week"))))
+    val exact = ranked
+      .withColumn("_i50",
+        (floor((col("_n") - lit(1)).cast("double") * lit(0.5)) + lit(1)))
+      .withColumn("_i90",
+        (floor((col("_n") - lit(1)).cast("double") * lit(0.9)) + lit(1)))
+      .groupBy(col("week"))
+      .agg(max(when(col("_r") === col("_i50"), col("cents"))).as("p50_exact"),
+        max(when(col("_r") === col("_i90"), col("cents"))).as("p90_exact"),
+        countDistinct(col("day")).as("n_days"))
+    est.join(exact, "week")
+      .select(col("week"), col("n_days"), col("n_sample"),
+        col("p50_est"), col("p90_est"), col("p50_exact"), col("p90_exact"))
+      .orderBy(col("week"))
+  }
+
+  val qQuantileRollupSql: String =
+    """WITH ev AS (SELECT date_trunc('week', ts) AS week,
+      |    date_trunc('day', ts) AS day, event_id,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+      |    try_cast('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) AS h
+      |  FROM events),
+      |daily AS (SELECT week, h, event_id, cents FROM (
+      |    SELECT week, day, h, event_id, cents,
+      |      row_number() OVER (PARTITION BY week, day
+      |        ORDER BY h, event_id) AS rn
+      |    FROM ev) WHERE rn <= 64),
+      |wk AS (SELECT week, h, event_id, cents FROM (
+      |    SELECT week, h, event_id, cents,
+      |      row_number() OVER (PARTITION BY week
+      |        ORDER BY h, event_id) AS rn
+      |    FROM daily) WHERE rn <= 64),
+      |est AS (SELECT week,
+      |    array_agg(cents ORDER BY cents) AS vals,
+      |    COUNT(*) AS n_sample
+      |  FROM wk GROUP BY week),
+      |rk AS (SELECT week, cents,
+      |    row_number() OVER (PARTITION BY week
+      |      ORDER BY cents, event_id) AS r,
+      |    count(*) OVER (PARTITION BY week) AS n
+      |  FROM ev),
+      |ex AS (SELECT week,
+      |    MAX(CASE WHEN r = CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 1
+      |      THEN cents END) AS p50_exact,
+      |    MAX(CASE WHEN r = CAST(FLOOR((n - 1) * 0.9) AS BIGINT) + 1
+      |      THEN cents END) AS p90_exact
+      |  FROM rk GROUP BY week),
+      |nd AS (SELECT week, count(DISTINCT day) AS n_days
+      |  FROM ev GROUP BY week)
+      |SELECT est.week, nd.n_days, est.n_sample,
+      |  CAST(vals[CAST(FLOOR((n_sample - 1) * 0.5) AS INT) + 1] AS BIGINT)
+      |    AS p50_est,
+      |  CAST(vals[CAST(FLOOR((n_sample - 1) * 0.9) AS INT) + 1] AS BIGINT)
+      |    AS p90_est,
+      |  ex.p50_exact, ex.p90_exact
+      |FROM est JOIN ex ON est.week = ex.week
+      |  JOIN nd ON est.week = nd.week
+      |ORDER BY est.week""".stripMargin
+
   /** Jaro–Winkler vocabulary near-matches
     * ([[graft.functions.StringSim.jaroWinkler]], a native codegen'd
     * kernel — Spark has no built-in jaro): all distinct-word pairs

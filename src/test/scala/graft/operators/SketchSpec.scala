@@ -226,6 +226,35 @@ class SketchSpec extends SparkSpec {
     assert(merged === whole)
   }
 
+  test("qQuantileRollup: weekly estimate folded from daily sketches " +
+      "equals the DIRECT weekly sketch — mergeability identity on the " +
+      "events fixture") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.LlmQueries.qQuantileRollup(spark, dir)
+      .select("week", "n_sample", "p50_est", "p90_est")
+      .collect().map(_.toSeq).toSet
+    // direct: bottom-64 of the whole week's stream, no daily stage
+    val ev = graft.Tables.events(spark, dir).select(
+      date_trunc("week", col("ts")).as("week"),
+      col("event_id"),
+      floor(col("value") * 100).cast("long").as("cents"),
+      TextDedup.hash60(col("event_id").cast("string")).as("h"))
+    val w = Window.partitionBy(col("week")).orderBy(col("h"), col("event_id"))
+    val direct = ev.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= 64)
+      .groupBy(col("week"))
+      .agg(sort_array(collect_list(col("cents"))).as("_v"),
+        count(lit(1)).as("n_sample"))
+      .select(col("week"), col("n_sample"),
+        element_at(col("_v"), (floor((col("n_sample") - lit(1))
+          .cast("double") * lit(0.5)) + lit(1)).cast("int")).as("p50_est"),
+        element_at(col("_v"), (floor((col("n_sample") - lit(1))
+          .cast("double") * lit(0.9)) + lit(1)).cast("int")).as("p90_est"))
+      .collect().map(_.toSeq).toSet
+    assert(got === direct)
+  }
+
   // ---- HyperLogLog register sketch -------------------------------------
 
   test("hll: estimate lands within the sketch's error band (m=256)") {
