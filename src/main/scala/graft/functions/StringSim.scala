@@ -16,9 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * algorithm DuckDB's `jaro_winkler_similarity` implements (verified
   * against its outputs in StringSimSpec — the oracle replays the
   * scores): match window floor(max/2)−1, greedy left-to-right
-  * matching, transpositions = half the mismatched matched-sequence
-  * positions, and the Winkler prefix boost l·0.1·(1−j) (l ≤ 4)
-  * applied only when jaro > 0.7.
+  * matching, transpositions = FLOOR of half the mismatched
+  * matched-sequence positions (an 8,000-vector fuzz against DuckDB
+  * pinned the floor — the fractional-t textbook variant diverges on
+  * repeated-character strings where greedy alignment yields an odd
+  * mismatch count, e.g. digit-heavy ids), both-empty = 0.0 (DuckDB's
+  * convention, not the textbook 1.0), and the Winkler prefix boost
+  * l·0.1·(1−j) (l ≤ 4) applied only when jaro > 0.7.
   *
   * Unit of comparison: UTF-8 BYTES, not chars or code points —
   * probed empirically, DuckDB scores 'café' vs 'cafe' as 5-vs-4
@@ -35,7 +39,6 @@ object StringSimKernel {
     val b = u2.getBytes
     val la = a.length
     val lb = b.length
-    if (la == 0 && lb == 0) return 1.0
     if (la == 0 || lb == 0) return 0.0
     val window = math.max(0, math.max(la, lb) / 2 - 1)
     val matchedA = new Array[Boolean](la)
@@ -72,7 +75,8 @@ object StringSimKernel {
       i += 1
     }
     val md = m.toDouble
-    (md / la + md / lb + (md - t / 2.0) / md) / 3.0
+    // t/2 in INTEGER division: DuckDB floors the transposition count
+    (md / la + md / lb + (md - t / 2) / md) / 3.0
   }
 
   def jaroWinkler(u1: UTF8String, u2: UTF8String): Double = {

@@ -99,14 +99,24 @@ object Fuzzy {
     * sees the record table. Output: (rec_a, rec_b, jw6), jw rounded
     * to 6 before the threshold on BOTH engines (the oracle replays
     * with DuckDB's native jaro_winkler_similarity — byte-exact per
-    * the kernel's UTF-8 contract). */
+    * the kernel's UTF-8 contract).
+    *
+    * `sortKey` chooses the blocking key expression (default: the name
+    * itself). SNM only finds matches whose corruption leaves the
+    * first `keyLen` key chars intact, so pick a key that puts the
+    * STABLE, high-entropy part of the name first — e.g.
+    * `reverse(name)` for id-suffixed names like "Customer#000000042",
+    * the classic multi-pass-SNM key trick (a uniform prefix otherwise
+    * makes the whole table one tie block and recall collapses). */
   def snmLinkage(recs: DataFrame, idCol: String, nameCol: String,
       window: Int, threshold: Double,
-      keyLen: Int = 16, bucketPrefix: Int = 1): DataFrame = {
+      keyLen: Int = 16, bucketPrefix: Int = 1,
+      sortKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val keySrc = sortKey.getOrElse(col(nameCol))
     val keyed = recs.select(col(idCol).as("_id"),
       col(nameCol).as("_nm"),
-      substring(col(nameCol), 1, keyLen).as("_k"),
-      substring(col(nameCol), 1, bucketPrefix).as("_b"))
+      substring(keySrc, 1, keyLen).as("_k"),
+      substring(keySrc, 1, bucketPrefix).as("_b"))
     val wLocal = Window.partitionBy(col("_b"))
       .orderBy(col("_k"), col("_id"))
     val wBase = Window.orderBy(col("_b"))

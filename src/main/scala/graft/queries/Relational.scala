@@ -306,35 +306,40 @@ object Relational {
       |ORDER BY id_1, id_2""".stripMargin
 
   /** Record-linkage at volume for the Jaro-Winkler kernel (the r13
-    * hand-off item): a name-rich table built from `part.p_name` plus
-    * a deterministic "dirty" copy (4th character deleted, id shifted)
-    * is linked via sorted-neighborhood blocking + JW verification
-    * ([[graft.operators.Fuzzy.snmLinkage]]) at τ = 0.92. The
-    * candidate set is exactly n·window by construction (plan-pinned
-    * in FuzzySpec — never n²); the oracle replays the same rank
-    * window and scores the same pairs with DuckDB's NATIVE
-    * jaro_winkler_similarity, so the gate cross-checks the kernel
-    * against an independent implementation over every candidate. */
+    * hand-off item): `customer.c_name` plus a deterministic "dirty"
+    * copy (a leading zero of the digit block deleted, id shifted) is
+    * linked via sorted-neighborhood blocking + JW verification
+    * ([[graft.operators.Fuzzy.snmLinkage]]) at τ = 0.95. The blocking
+    * key is the REVERSED name (the classic SNM key trick: c_name's
+    * uniform "Customer#0…" prefix would otherwise make the table one
+    * tie block) — measured recall on the planted twins is 1500/1500
+    * at sf0.01. The candidate set is exactly n·window by construction
+    * (plan-pinned in FuzzySpec — never n²); the oracle replays the
+    * same rank window and scores the same ~30k candidates with
+    * DuckDB's NATIVE jaro_winkler_similarity, cross-checking the
+    * kernel against an independent implementation at volume. */
   def qLinkage(s: SparkSession, dir: String): DataFrame = {
-    val p = Tables.part(s, dir).select(
-      col("p_partkey").cast("long").as("rec_id"),
-      col("p_name").as("name"))
-    val dirty = p.select((col("rec_id") + lit(1000000L)).as("rec_id"),
-      concat(substring(col("name"), 1, 3),
-        substring(col("name"), 5, 1000000)).as("name"))
-    graft.operators.Fuzzy.snmLinkage(p.unionByName(dirty), "rec_id",
-        "name", window = 10, threshold = 0.92)
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey").cast("long").as("rec_id"),
+      col("c_name").as("name"))
+    val dirty = c.select((col("rec_id") + lit(1000000L)).as("rec_id"),
+      concat(substring(col("name"), 1, 9),
+        substring(col("name"), 11, 1000000)).as("name"))
+    graft.operators.Fuzzy.snmLinkage(c.unionByName(dirty), "rec_id",
+        "name", window = 10, threshold = 0.95,
+        sortKey = Some(reverse(col("name"))))
       .orderBy(col("rec_a"), col("rec_b"))
   }
 
   val qLinkageSql: String =
     """WITH recs AS (
-      |  SELECT p_partkey AS rec_id, p_name AS name FROM part
+      |  SELECT c_custkey AS rec_id, c_name AS name FROM customer
       |  UNION ALL
-      |  SELECT p_partkey + 1000000, substr(p_name, 1, 3) || substr(p_name, 5)
-      |  FROM part),
+      |  SELECT c_custkey + 1000000, substr(c_name, 1, 9) || substr(c_name, 11)
+      |  FROM customer),
       |r AS (SELECT rec_id, name,
-      |        row_number() OVER (ORDER BY substr(name, 1, 16), rec_id) AS rn
+      |        row_number() OVER (ORDER BY substr(reverse(name), 1, 16),
+      |          rec_id) AS rn
       |      FROM recs),
       |cand AS (SELECT a.rec_id AS ra, a.name AS na,
       |               b.rec_id AS rb, b.name AS nb
@@ -342,7 +347,7 @@ object Relational {
       |SELECT least(ra, rb) AS rec_a, greatest(ra, rb) AS rec_b,
       |  round(jaro_winkler_similarity(na, nb), 6) AS jw6
       |FROM cand
-      |WHERE round(jaro_winkler_similarity(na, nb), 6) >= 0.92
+      |WHERE round(jaro_winkler_similarity(na, nb), 6) >= 0.95
       |ORDER BY rec_a, rec_b""".stripMargin
 
   /** Bloom-prefiltered semi-join under the driver gate: orders of a

@@ -19,6 +19,11 @@ class StringSimSpec extends SparkSpec {
       ("abc", "xyz", 0.0),
       ("dixon", "dicksonx", 0.8133333333333332),  // boost, l=2
       ("", "abc", 0.0),
+      ("", "", 0.0),                              // DuckDB's both-empty
+      // odd greedy mismatch count → t FLOORS (duckdb semantics; the
+      // fractional-t textbook variant would read 0.7833… here)
+      ("0bab", "ba0a0b", 0.8055555555555555),
+      ("Customer#000000717", "Customer#00001027", 0.9535130718954248),
       ("abqqqq", "abzzzz", 0.5555555555555555),   // j<=0.7: NO boost
       ("aq", "az", 0.6666666666666666),           // j<=0.7 boundary-ish
       ("ab", "a", 0.8500000000000001),            // boost, l=1
