@@ -1,0 +1,124 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped staged-table registry — the "compute once, read many"
+  * seam shared by every query family whose members consume a common
+  * expensive prefix (the sketch family's shingle-hash stream, the
+  * composed pipeline's quality-survivor corpus and MinHash signature
+  * table). At 100 TB each staged frame IS a persisted table maintained
+  * by the platform (the reference's own lifecycle stores its enrichment
+  * products between pipeline stages rather than recomputing them,
+  * idb/postgres_backend/db.py to_indexes flow); in this single-process
+  * harness the moral equivalent is a persisted DataFrame keyed by
+  * (session, key) so Verify/Bench driving many queries through one
+  * session pay each staging exactly once.
+  *
+  * LIFECYCLE (the round-14 hygiene gap): entries previously lived in ad
+  * hoc static maps for the life of the process — stopped sessions
+  * stayed strongly referenced and executor storage grew without bound
+  * across sfDirs. This registry closes that:
+  *   - [[evict]] / [[evictSession]] unpersist and drop entries on
+  *     demand (the harness/spec hook);
+  *   - an application-end listener installed per session drops every
+  *     entry of a stopping session (no unpersist call — the storage
+  *     dies with the context; the point is releasing the strong refs);
+  *   - re-staging after evict rebuilds from scratch, so a regenerated
+  *     fixture at the same dir is served fresh by `evict` + re-run.
+  *
+  * Iterative operators ([[operators.Graph.kCoreNumbers]] and kin) have
+  * the same lifetime problem in RDD form: their result frame reads a
+  * localCheckpointed RDD that must stay pinned until the caller is done
+  * with the result — [[registerPinned]] tracks those so
+  * [[releasePinned]] (or session end) can free them instead of leaking
+  * one pinned RDD per invocation forever.
+  */
+object Staging {
+
+  private val cache =
+    new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val pinned =
+    new ConcurrentHashMap[SparkSession, java.util.List[RDD[_]]]()
+  private val hooked =
+    ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Get-or-build the staged frame for `key` in session `s`. The
+    * builder runs at most once per (session, key) until evicted; its
+    * result is persisted MEMORY_AND_DISK. The builder must NOT call
+    * back into [[stage]] for the same session from inside itself with
+    * a dependent key — resolve prerequisite stages BEFORE entering
+    * (ConcurrentHashMap forbids recursive computeIfAbsent). */
+  def stage(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    installHook(s)
+    cache.computeIfAbsent((s, key),
+      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Unpersist and drop one staged entry; true iff it existed. */
+  def evict(s: SparkSession, key: String): Boolean = {
+    val df = cache.remove((s, key))
+    if (df != null) { df.unpersist(blocking = false); true } else false
+  }
+
+  /** Unpersist and drop every staged entry and pinned RDD of `s`
+    * (harness hook for long-lived multi-tenant sessions; also what a
+    * fixture regeneration at the same dir should call). Returns the
+    * number of staged entries dropped. */
+  def evictSession(s: SparkSession): Int = {
+    var n = 0
+    cache.keySet.forEach { k =>
+      if (k._1 eq s) { if (evict(s, k._2)) n += 1 }
+    }
+    releasePinned(s)
+    n
+  }
+
+  /** Track a localCheckpointed RDD backing a returned result frame so
+    * its pinned storage can be freed once the caller is done
+    * ([[releasePinned]]) instead of living for the process. */
+  def registerPinned(s: SparkSession, rdd: RDD[_]): Unit = {
+    installHook(s)
+    pinned.computeIfAbsent(s,
+      _ => java.util.Collections.synchronizedList(
+        new java.util.ArrayList[RDD[_]]())).add(rdd)
+  }
+
+  /** Unpersist every pinned RDD registered for `s`. Result frames
+    * returned by the iterative operators become unreadable after this
+    * — call only once their consumers have materialized. Returns the
+    * number of RDDs released. */
+  def releasePinned(s: SparkSession): Int = {
+    val list = pinned.remove(s)
+    if (list == null) 0
+    else {
+      var n = 0
+      list.forEach { r => r.unpersist(blocking = false); n += 1 }
+      n
+    }
+  }
+
+  /** Entries currently staged for `s` (spec/introspection hook). */
+  def stagedKeys(s: SparkSession): Set[String] = {
+    val b = Set.newBuilder[String]
+    cache.keySet.forEach { k => if (k._1 eq s) b += k._2 }
+    b.result()
+  }
+
+  private def installHook(s: SparkSession): Unit =
+    if (hooked.add(s))
+      // On application end the storage dies with the context; dropping
+      // the strong references is the cleanup that matters here.
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            e: SparkListenerApplicationEnd): Unit = {
+          cache.keySet.forEach { k => if (k._1 eq s) cache.remove(k) }
+          pinned.remove(s)
+          hooked.remove(s)
+        }
+      })
+}

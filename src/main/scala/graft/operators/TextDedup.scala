@@ -464,6 +464,28 @@ object TextDedup {
       .select(col(idCol),
         graft.functions.NativeText.minhashSig(col("_w"), shingleSize).as("sig"))
       .where(size(col("sig")) > 0)
+    nearDupsFromSigs(withWords, sigs, idCol, shingleSize, threshold)
+  }
+
+  /** [[minhashNearDups]] over a PRECOMPUTED signature table — the form
+    * a composed pipeline uses when the signature build is a staged/
+    * stored product shared with its incremental-maintenance twin
+    * ([[graft.queries.PipelineQueries]] stages it once per session via
+    * [[graft.Staging]]; at 100 TB it is THE stored signature table).
+    * `sigs` must be (idCol, sig) rows exactly as the batch operator
+    * would compute them ([[graft.functions.NativeText.minhashSig]]
+    * over the single-space word split, empty signatures dropped) —
+    * candidate generation and the exact-Jaccard verify are then
+    * identical to the self-computing form. */
+  def minhashNearDupsFromSigs(docs: DataFrame, sigs: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val withWords = docs.select(col(idCol), split(col(textCol), " ").as("_w"))
+    nearDupsFromSigs(withWords, sigs, idCol, shingleSize, threshold)
+  }
+
+  private def nearDupsFromSigs(withWords: DataFrame, sigs: DataFrame,
+      idCol: String, shingleSize: Int, threshold: Double): DataFrame = {
     val cands = lshCandidates(sigs, idCol)
     def shingleHashes(d: DataFrame): DataFrame = d
       .select(col(idCol),
@@ -506,6 +528,28 @@ object TextDedup {
     val deltaSigs = deltaWords.select(col(idCol),
         graft.functions.NativeText.minhashSig(col("_w"), shingleSize).as("sig"))
       .where(size(col("sig")) > 0)
+    incrementalFromSigs(baseDocs, baseSigs, deltaDocs, deltaSigs, idCol,
+      textCol, shingleSize, threshold, maxBucketSize)
+  }
+
+  /** [[incrementalNearDups]] with the DELTA's signatures also
+    * precomputed — the staged-pipeline form where one signature build
+    * covers base and delta (filtered apart by the caller) and the
+    * streaming-maintainer form where the batch's signatures are
+    * computed once and both probed AND appended to the store. */
+  def incrementalNearDupsFromSigs(baseDocs: DataFrame, baseSigs: DataFrame,
+      deltaDocs: DataFrame, deltaSigs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, threshold: Double = 0.5,
+      maxBucketSize: Int = MaxBucketSize): DataFrame =
+    incrementalFromSigs(baseDocs, baseSigs, deltaDocs, deltaSigs, idCol,
+      textCol, shingleSize, threshold, maxBucketSize)
+
+  private def incrementalFromSigs(baseDocs: DataFrame, baseSigs: DataFrame,
+      deltaDocs: DataFrame, deltaSigs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, threshold: Double,
+      maxBucketSize: Int): DataFrame = {
+    val deltaWords = deltaDocs
+      .select(col(idCol), split(col(textCol), " ").as("_w"))
     val deltaBands0 = bandBuckets(deltaSigs, idCol)
     val baseBands0 = bandBuckets(baseSigs, idCol)
     // the batch path's hot-bucket guard, incremental form: bucket

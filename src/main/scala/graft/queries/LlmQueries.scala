@@ -1011,17 +1011,18 @@ object LlmQueries {
     * column (the r13 verdict's "What's wrong #2"). md5-hash60 over
     * shingle STRINGS (not the xx64 shingleHashes kernel): the
     * sketches' whole point is an oracle-replayable estimate, so the
-    * hash must be the replayable one. The cache lives for the
-    * process (Verify/Bench drive many queries through one session);
-    * at 100 TB this staging is a persisted table, not a cache. */
-  private val stagedShingleHashes =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    * hash must be the replayable one. Staged through the
+    * session-scoped [[graft.Staging]] registry (evictable, dropped on
+    * session end — the round-15 lifecycle hygiene) so Verify/Bench
+    * driving many queries through one session pay the tokenize+hash
+    * scan once; at 100 TB this staging is a persisted table, not a
+    * cache. */
   private[queries] def shingleHashStream(s: SparkSession, dir: String): DataFrame =
-    stagedShingleHashes.computeIfAbsent((s, dir), _ =>
+    graft.Staging.stage(s, s"sketch:shingles:$dir") {
       Tables.documents(s, dir).select(col("source"),
           explode(TextDedup.shingles(col("text"), 3)).as("sp"))
         .select(col("source"), TextDedup.hash60(col("sp")).as("h"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   def qDistinctKmv(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashStream(s, dir)
@@ -1826,13 +1827,17 @@ object LlmQueries {
         "lang", "doc_id", "n_chars", k = 20)
       .orderBy(col("doc_id"))
 
+  // WHERE n_chars > 0 mirrors Corpus.weightedSample's weight contract
+  // (NULL/non-positive weights are unsampleable) so the null/zero-weight
+  // rule lives in BOTH engines — without it a group with fewer than k
+  // positive-weight docs would diverge on the Infinity/NULL draws.
   val qWeightedSampleSql: String =
     """WITH d AS (SELECT doc_id, lang, n_chars,
       |    round(-ln((try_cast('0x' ||
       |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)
       |        / 1152921504606846976.0)
       |      / CAST(n_chars AS DOUBLE), 9) AS draw
-      |  FROM documents),
+      |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
       |r AS (SELECT doc_id, lang, n_chars,
       |    row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id)
       |      AS rn

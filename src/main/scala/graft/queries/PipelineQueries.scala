@@ -51,14 +51,44 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** The family's SHARED PREFIX, staged once per (session, dir) via
+    * [[graft.Staging]] — [[qPipeline]] and [[qPipelineIncr]] both
+    * consume the quality-surviving corpus and its MinHash signature
+    * table, and previously each recomputed them independently (the
+    * r14 verdict's most expensive family, 20.4s controlled). In
+    * production these ARE stored tables — the survivors a quality run
+    * materialized, the signature index the dedup service maintains —
+    * so staging models the real read path, exactly as
+    * [[LlmQueries.shingleHashStream]] does for the sketch family. */
+  private[queries] def stagedQdocs(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.stage(s, s"pipeline:qdocs:$dir") {
+      LlmQueries.qualitySurvivors(
+        Tables.documents(s, dir).where(col("doc_id") % 50 =!= 0))
+    }
+
+  /** (doc_id, sig) over [[stagedQdocs]] — empty signatures dropped,
+    * exactly what [[TextDedup.minhashNearDups]] computes internally
+    * (PipelineSpec pins the equivalence). Prerequisite stage resolved
+    * OUTSIDE the builder per the [[graft.Staging.stage]] contract. */
+  private[queries] def stagedSigs(s: SparkSession, dir: String): DataFrame = {
+    val qdocs = stagedQdocs(s, dir)
+    graft.Staging.stage(s, s"pipeline:sigs:$dir") {
+      qdocs.select(col("doc_id"),
+          graft.functions.NativeText.minhashSig(
+            split(col("text"), " "), 3).as("sig"))
+        .where(size(col("sig")) > 0)
+    }
+  }
+
   def qPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val corpus0 = docs.where(col("doc_id") % 50 =!= 0)
     val bench = docs.where(col("doc_id") % 50 === 0)
     // 1. quality filter (adds n_tokens, lang_pred; keeps input cols)
-    val qdocs = LlmQueries.qualitySurvivors(corpus0)
-    // 2-3. near-dup pairs → components → keep the longest member
-    val pairs = TextDedup.minhashNearDups(qdocs, "doc_id", "text",
+    val qdocs = stagedQdocs(s, dir)
+    // 2-3. near-dup pairs → components → keep the longest member;
+    // candidates read the STAGED signature table
+    val pairs = TextDedup.minhashNearDupsFromSigs(qdocs,
+      stagedSigs(s, dir), "doc_id", "text",
       shingleSize = 3, threshold = 0.5)
     val labels = Graph.connectedComponents(pairs, "d1", "d2")
     val deduped = Graph.keepBest(qdocs, "doc_id", labels, "n_chars")
@@ -104,18 +134,19 @@ object PipelineQueries {
     * this batch (the q_dedup_incr recall argument, composed). */
   def qPipelineIncr(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val corpus0 = docs.where(col("doc_id") % 50 =!= 0)
     val bench = docs.where(col("doc_id") % 50 === 0)
-    val qdocs = LlmQueries.qualitySurvivors(corpus0)
+    val qdocs = stagedQdocs(s, dir)
     val qbase = qdocs.where(col("doc_id") % 5 =!= 0)
     val qdelta = qdocs.where(col("doc_id") % 5 === 0)
-    // the base's "stored" signature table (at scale: read, not computed)
-    val baseSigs = qbase.select(col("doc_id"),
-        graft.functions.NativeText.minhashSig(
-          split(col("text"), " "), 3).as("sig"))
-      .where(size(col("sig")) > 0)
-    val pairs = TextDedup.incrementalNearDups(qbase, baseSigs, qdelta,
-      "doc_id", "text", shingleSize = 3, threshold = 0.5)
+    // base AND delta signatures are filters of the ONE staged signature
+    // table — the base's slice is the "stored" table production reads,
+    // the delta's slice is what the maintenance batch would compute
+    // once and both probe and append
+    val sigs = stagedSigs(s, dir)
+    val baseSigs = sigs.where(col("doc_id") % 5 =!= 0)
+    val deltaSigs = sigs.where(col("doc_id") % 5 === 0)
+    val pairs = TextDedup.incrementalNearDupsFromSigs(qbase, baseSigs,
+      qdelta, deltaSigs, "doc_id", "text", shingleSize = 3, threshold = 0.5)
     val mixed = pairs.where((col("d1") % 5 === 0) =!= (col("d2") % 5 === 0))
     val baseMatched = mixed
       .select(when(col("d1") % 5 === 0, col("d1")).otherwise(col("d2"))

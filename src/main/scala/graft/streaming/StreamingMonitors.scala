@@ -60,7 +60,16 @@ object StreamingMonitors {
     * watermark passes lastKept + windowSec — at that point every
     * in-horizon future event satisfies the keep condition whether the
     * state exists or not, so dropping it cannot change any result
-    * within the `lateness` horizon. */
+    * within the `lateness` horizon.
+    *
+    * LATENESS CONTRACT: the watermark is always applied, and the
+    * default `lateness` of "0 seconds" means any event arriving in a
+    * LATER micro-batch with an event time at-or-below the stream's
+    * max-so-far is discarded as late (the standard watermark rule).
+    * An out-of-order stream MUST pass an explicit `lateness` covering
+    * its disorder bound, or those events silently vanish — in-batch
+    * disorder is fine (arrivals sort by (tsUs, id) before the state
+    * update), the horizon only governs CROSS-batch stragglers. */
   def throttle(events: DataFrame, windowSec: Long,
       lateness: String = "0 seconds"): Dataset[Kept] = {
     val spark = events.sparkSession
@@ -263,7 +272,14 @@ object StreamingMonitors {
     * horizon restarts its window from zero — the watermark contract,
     * same as every windowed agg. The reference is a driver-side map:
     * it IS a constant dimension (a fixed training distribution), not
-    * data. */
+    * data.
+    *
+    * LATENESS CONTRACT: as with [[throttle]], the watermark is always
+    * applied and the "0 seconds" default drops any CROSS-micro-batch
+    * event older than the max event time seen — a window's counts then
+    * miss those stragglers (and a window fully behind the watermark is
+    * evicted and would restart from zero). Out-of-order streams must
+    * pass a `lateness` covering their disorder bound explicitly. */
   def runningDrift(events: DataFrame, windowSec: Long,
       reference: Map[String, Long],
       lateness: String = "0 seconds",
