@@ -453,30 +453,94 @@ object Graph {
     * lineage-cut per sweep (constant plan depth). H via ranks:
     * h = max over neighbors of min(rank_desc, c). */
   def kCoreNumbers(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    kCoreNumbersConverged(edges, srcCol, dstCol, iters)._1
+
+  /** [[kCoreNumbers]] with convergence telemetry: (result, sweeps
+    * actually run, converged). The round-15 DELTA-WORKLIST form —
+    * sweep 1 recomputes every node (it must: all values are newly
+    * initialized), but sweep t ≥ 2 recomputes ONLY nodes with a
+    * neighbor whose value changed in sweep t−1. This is EXACT, not an
+    * approximation: c(v) ← H({c(u) : u ∼ v}) reads nothing but the
+    * neighbors' values, so a node with no changed neighbor would
+    * recompute its own current value verbatim (the idempotence the
+    * fixed-sweep oracle relies on) — after sweep ~3 most of the graph
+    * is fixed and the full re-sweeps were pure waste. When a sweep
+    * changes NOTHING the remaining budget is skipped outright: every
+    * further sweep is the identity, so the early exit returns exactly
+    * the `iters`-sweep result the oracle replays.
+    *
+    * CONVERGENCE CONTRACT: the returned values are exact coreness iff
+    * `converged` is true (equivalently: a sweep ran with an empty
+    * worklist inside the budget). On path/tree-like graphs the
+    * H-iteration can need far more than a handful of sweeps (its
+    * round count is diameter-bounded), so a caller pinning "exact per
+    * node" semantics at a given scale must either check the flag or
+    * spec it at that scale (GraphSpec asserts it on q_kcore_order's
+    * own graph construction at the gate fixture).
+    *
+    * Per active sweep: a frontier scan over the (cut) value table, a
+    * semi-join restricting the bidirected edge list to frontier
+    * sources (broadcast once the frontier is small), ONE keyed join
+    * to the value table, the per-id rank window + keyed max (same-key,
+    * so together one exchange), and a keyed merge back onto the value
+    * table; the value table lineage-cuts per sweep (constant plan
+    * depth), superseded cuts unpersist immediately, and the FINAL cut
+    * — which the returned frame reads — registers with
+    * [[graft.Staging.registerPinned]] so the session can release it
+    * once consumers are done instead of pinning it for the process
+    * (the r14 ADVICE leak). */
+  private[graft] def kCoreNumbersConverged(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int): (DataFrame, Int, Boolean) = {
     import org.apache.spark.sql.expressions.Window
+    val spark = edges.sparkSession
     val (e, eRdd) = localCut(undirect(edges, srcCol, dstCol))
     val (bi, biRdd) = localCut(
       e.select(col("u").as("a"), col("v").as("b"))
         .union(e.select(col("v").as("a"), col("u").as("b"))))
-    var c = bi.groupBy(col("a").as("id"))
-      .agg(count(lit(1)).as("c"))
     var pinned: Option[RDD[org.apache.spark.sql.catalyst.InternalRow]] = None
-    (1 to iters).foreach { _ =>
-      val nb = bi.join(c.toDF("b", "cb"), "b")
-        .select(col("a").as("id"), col("cb"))
-      val w = Window.partitionBy(col("id")).orderBy(col("cb").desc)
-      val next = nb.withColumn("_rn", row_number().over(w))
-        .groupBy(col("id"))
-        .agg(max(least(col("_rn").cast("long"), col("cb"))).as("c"))
-      val (cut, rdd) = localCut(next)
+    def cutReplacing(df: DataFrame): DataFrame = {
+      val (cut, rdd) = localCut(df)
       pinned.foreach(_.unpersist(blocking = false))
       pinned = Some(rdd)
-      c = cut
+      cut
+    }
+    // value table (id, c, chg): chg marks values changed by the LAST
+    // completed sweep; everything starts "changed" (freshly initialized
+    // to the degree), so sweep 1's worklist is the whole graph
+    var cur = cutReplacing(bi.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("chg", lit(true)))
+    var sweeps = 0
+    var converged = cur.isEmpty // an edgeless graph is trivially done
+    while (sweeps < iters && !converged) {
+      sweeps += 1
+      val nbEdges =
+        if (sweeps == 1) bi
+        else {
+          val changedIds = cur.where(col("chg")).select(col("id").as("b"))
+          val frontier = bi.join(changedIds, Seq("b"), "left_semi")
+            .select(col("a")).distinct()
+          bi.join(frontier, Seq("a"), "left_semi")
+        }
+      val nb = nbEdges
+        .join(cur.select(col("id").as("b"), col("c").as("cb")), "b")
+        .select(col("a").as("id"), col("cb"))
+      val w = Window.partitionBy(col("id")).orderBy(col("cb").desc)
+      val upd = nb.withColumn("_rn", row_number().over(w))
+        .groupBy(col("id"))
+        .agg(max(least(col("_rn").cast("long"), col("cb"))).as("_cn"))
+      cur = cutReplacing(cur.select(col("id"), col("c"))
+        .join(upd, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("_cn"), col("c")).as("c"),
+          (col("_cn").isNotNull && col("_cn") =!= col("c")).as("chg")))
+      converged = cur.where(col("chg")).isEmpty
     }
     eRdd.unpersist(blocking = false)
     biRdd.unpersist(blocking = false)
-    c.select(col("id"), col("c").as("core"))
+    pinned.foreach(graft.Staging.registerPinned(spark, _))
+    (cur.select(col("id"), col("c").as("core")), sweeps, converged)
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007, the

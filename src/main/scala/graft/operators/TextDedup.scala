@@ -486,7 +486,11 @@ object TextDedup {
 
   private def nearDupsFromSigs(withWords: DataFrame, sigs: DataFrame,
       idCol: String, shingleSize: Int, threshold: Double): DataFrame = {
-    val cands = lshCandidates(sigs, idCol)
+    // eager localCheckpoint on the (small) candidate pair list: its
+    // THREE consumers below (the two candDocs projections and the
+    // verify semi-join) would each re-run the full band self-join —
+    // the jaccardSelfJoin discipline (duplicate-sized residue only)
+    val cands = lshCandidates(sigs, idCol).localCheckpoint()
     def shingleHashes(d: DataFrame): DataFrame = d
       .select(col(idCol),
         explode(graft.functions.NativeText.shingleHashes(
@@ -577,7 +581,9 @@ object TextDedup {
       .join(deltaBands.toDF("d2", "band", "bucket"), Seq("band", "bucket"))
       .where(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
-    val cands = cross.union(dd).distinct()
+    // same candidate-list cut as the batch path: three consumers,
+    // band joins run once
+    val cands = cross.union(dd).distinct().localCheckpoint()
     val candDocs = cands.select(col("d1").as(idCol))
       .union(cands.select(col("d2").as(idCol))).distinct()
     val allWords = baseDocs

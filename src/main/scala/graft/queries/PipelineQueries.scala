@@ -145,8 +145,14 @@ object PipelineQueries {
     val sigs = stagedSigs(s, dir)
     val baseSigs = sigs.where(col("doc_id") % 5 =!= 0)
     val deltaSigs = sigs.where(col("doc_id") % 5 === 0)
+    // the verified pair list is duplicate-sized and fans out to THREE
+    // consumers (baseMatched, the delta-delta filter, and the CC's own
+    // lineage cut) — without this cut each re-ran the whole
+    // probe+verify subtree, tripling the query (measured r15)
     val pairs = TextDedup.incrementalNearDupsFromSigs(qbase, baseSigs,
-      qdelta, deltaSigs, "doc_id", "text", shingleSize = 3, threshold = 0.5)
+        qdelta, deltaSigs, "doc_id", "text", shingleSize = 3,
+        threshold = 0.5)
+      .localCheckpoint()
     val mixed = pairs.where((col("d1") % 5 === 0) =!= (col("d2") % 5 === 0))
     val baseMatched = mixed
       .select(when(col("d1") % 5 === 0, col("d1")).otherwise(col("d2"))

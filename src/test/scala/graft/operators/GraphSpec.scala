@@ -373,6 +373,27 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("kCoreNumbers: the delta-worklist iteration CONVERGES inside the " +
+      "gate budget on q_kcore_order's own graph construction, and the " +
+      "early-exited result equals running the full budget") {
+    import org.apache.spark.sql.functions.{col => f}
+    val edges = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select((f("event_id") % 499).as("src"),
+        (f("event_id") % (f("event_id") % 359 + 2) + 500).as("dst"))
+    val (res, sweeps, converged) =
+      Graph.kCoreNumbersConverged(edges, "src", "dst", iters = 20)
+    assert(converged,
+      s"q_kcore_order's graph must converge within 20 sweeps (ran $sweeps)" +
+        " — the 'exact per-node core numbers' claim depends on it")
+    assert(sweeps < 20, "early exit should fire before the budget")
+    val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a LARGER budget must return the identical fixpoint (idempotence)
+    val more = Graph.kCoreNumbers(edges, "src", "dst", iters = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === more)
+    graft.Staging.releasePinned(spark)
+  }
+
   test("labelPropagation: matches a brute-force synchronous mode sweep") {
     val s2 = spark
     import s2.implicits._
