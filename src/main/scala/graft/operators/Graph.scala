@@ -479,63 +479,163 @@ object Graph {
     * spec it at that scale (GraphSpec asserts it on q_kcore_order's
     * own graph construction at the gate fixture).
     *
-    * Per active sweep: a frontier scan over the (cut) value table, a
-    * semi-join restricting the bidirected edge list to frontier
-    * sources (broadcast once the frontier is small), ONE keyed join
-    * to the value table, the per-id rank window + keyed max (same-key,
-    * so together one exchange), and a keyed merge back onto the value
-    * table; the value table lineage-cuts per sweep (constant plan
-    * depth), superseded cuts unpersist immediately, and the FINAL cut
-    * — which the returned frame reads — registers with
+    * Sweeps come in two plans, chosen by the measured changed-count of
+    * the previous sweep (tallied by accumulator inside the lineage-cut
+    * job — the convergence check costs zero extra jobs):
+    *   - FULL (frontier above the broadcast budget): one keyed join of
+    *     the value table to the cut edge list + the per-id rank window
+    *     and keyed max (same key — one exchange) + a keyed merge, the
+    *     r14 shape;
+    *   - WORKLIST (frontier fits ~8 MB): the changed set, the frontier,
+    *     the frontier-incident edges, and the update all broadcast, so
+    *     the edge list and the node-value table are only STREAMED —
+    *     the sweep's one exchange moves frontier-incident edge rows
+    *     into the rank window. Late sweeps (the vast majority) touch a
+    *     handful of nodes and cost broadcast-probe time, not
+    *     graph-shuffle time.
+    * The value table lineage-cuts per sweep (constant plan depth),
+    * superseded cuts unpersist immediately, and the FINAL cut — which
+    * the returned frame reads — registers with
     * [[graft.Staging.registerPinned]] so the session can release it
     * once consumers are done instead of pinning it for the process
     * (the r14 ADVICE leak). */
+  /** Frontier size (ids) under which a worklist sweep switches to the
+    * broadcast form — 1M longs ≈ 8 MB, the standard broadcast budget.
+    * Above it a FULL synchronous sweep is the right plan anyway: a
+    * frontier that big touches most of the graph, and the plain keyed
+    * join beats three semi-join stages of bookkeeping. */
+  private val KCoreBroadcastFrontier = 1000000L
+
+  /** Bidirected-edge row count under which the whole H-iteration runs
+    * IN-PROCESS off the already-materialized edge cut (≈ 32 MB of long
+    * pairs at the default): per-sweep Spark latency (a lineage-cut job
+    * plus broadcast builds, ~0.3 s each however small the data) is the
+    * entire cost of a dimension-sized graph, and 16 sweeps of driver
+    * arithmetic on 65k edges take microseconds. The bound is MEASURED
+    * (the cut's own count), never assumed — graphs above it take the
+    * distributed worklist sweeps unchanged, and the local loop runs
+    * the identical integer H-update, so results are bit-equal
+    * (GraphSpec pins local ≡ distributed on the same graphs). */
+  private val KCoreLocalEdgeRows = 2000000L
+
   private[graft] def kCoreNumbersConverged(edges: DataFrame, srcCol: String,
-      dstCol: String, iters: Int): (DataFrame, Int, Boolean) = {
+      dstCol: String, iters: Int): (DataFrame, Int, Boolean) =
+    kCoreNumbersConverged(edges, srcCol, dstCol, iters, KCoreLocalEdgeRows)
+
+  private[graft] def kCoreNumbersConverged(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int,
+      localEdgeRows: Long): (DataFrame, Int, Boolean) = {
     import org.apache.spark.sql.expressions.Window
     val spark = edges.sparkSession
     val (e, eRdd) = localCut(undirect(edges, srcCol, dstCol))
     val (bi, biRdd) = localCut(
       e.select(col("u").as("a"), col("v").as("b"))
         .union(e.select(col("v").as("a"), col("u").as("b"))))
+    // small-graph fast path: the count is already materialized by the
+    // cut, so the bound costs one cached-RDD count
+    if (bi.schema("a").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        biRdd.count() <= localEdgeRows) {
+      val sq = spark
+      import sq.implicits._
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      bi.collect().foreach { r =>
+        adj.getOrElseUpdate(r.getLong(0),
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+      }
+      eRdd.unpersist(blocking = false)
+      biRdd.unpersist(blocking = false)
+      var c: Map[Long, Long] = adj.iterator
+        .map { case (k, v) => k -> v.length.toLong }.toMap
+      var sweeps = 0
+      var changedAny = c.nonEmpty
+      while (sweeps < iters && changedAny) {
+        sweeps += 1
+        val next = adj.iterator.map { case (v, nbrs) =>
+          val vals = nbrs.map(c).toArray
+          java.util.Arrays.sort(vals)
+          // descending rank i+1 vs value: H = max_i min(i+1, vals_i)
+          var h = 0L
+          var i = 0
+          val n = vals.length
+          while (i < n) {
+            val m = math.min(i + 1L, vals(n - 1 - i))
+            if (m > h) h = m
+            i += 1
+          }
+          v -> h
+        }.toMap
+        changedAny = next.exists { case (k, v) => c(k) != v }
+        c = next
+      }
+      return (c.toSeq.sortBy(_._1).toDF("id", "core"), sweeps, !changedAny)
+    }
     var pinned: Option[RDD[org.apache.spark.sql.catalyst.InternalRow]] = None
-    def cutReplacing(df: DataFrame): DataFrame = {
-      val (cut, rdd) = localCut(df)
+    // lineage cut with the sweep's changed-count tallied by accumulator
+    // DURING the materialization job — the convergence check costs zero
+    // extra jobs (schema is (id, c, chg); chg at ordinal 2)
+    def cutCounting(df: DataFrame): (DataFrame, Long) = {
+      val acc = spark.sparkContext.longAccumulator
+      val rdd = df.queryExecution.toRdd.map { r =>
+        val c = r.copy()
+        if (c.getBoolean(2)) acc.add(1L)
+        c
+      }
+      rdd.localCheckpoint()
+      rdd.count()
       pinned.foreach(_.unpersist(blocking = false))
       pinned = Some(rdd)
-      cut
+      (org.apache.spark.sql.GraftSqlBridge
+        .internalCreateDataFrame(spark, rdd, df.schema), acc.value)
     }
     // value table (id, c, chg): chg marks values changed by the LAST
     // completed sweep; everything starts "changed" (freshly initialized
-    // to the degree), so sweep 1's worklist is the whole graph
-    var cur = cutReplacing(bi.groupBy(col("a").as("id"))
+    // to the degree), so sweep 1 recomputes the whole graph
+    var (cur, nChanged) = cutCounting(bi.groupBy(col("a").as("id"))
       .agg(count(lit(1)).as("c"))
       .withColumn("chg", lit(true)))
     var sweeps = 0
-    var converged = cur.isEmpty // an edgeless graph is trivially done
+    var converged = nChanged == 0L // an edgeless graph is trivially done
     while (sweeps < iters && !converged) {
       sweeps += 1
-      val nbEdges =
-        if (sweeps == 1) bi
-        else {
+      val nb =
+        if (nChanged > KCoreBroadcastFrontier) {
+          // FULL synchronous sweep (the frontier is most of the graph):
+          // one keyed join of the value table to the cut edge list
+          bi.join(cur.select(col("id").as("b"), col("c").as("cb")), "b")
+            .select(col("a").as("id"), col("cb"))
+        } else {
+          // WORKLIST sweep: only nodes with a changed neighbor can move
+          // (c(v) ← H(neighbor values) reads nothing else, so skipping
+          // the rest is exact). The changed set and the frontier both
+          // fit the broadcast budget, so the big relations — the edge
+          // list and the value table — are only ever STREAMED against
+          // broadcast builds: no node-table or edge-table exchange in
+          // the whole sweep; the one remaining exchange moves the
+          // frontier-incident edge rows into the per-id window below.
           val changedIds = cur.where(col("chg")).select(col("id").as("b"))
-          val frontier = bi.join(changedIds, Seq("b"), "left_semi")
+          val frontier = bi
+            .join(broadcast(changedIds), Seq("b"), "left_semi")
             .select(col("a")).distinct()
-          bi.join(frontier, Seq("a"), "left_semi")
+          val nbEdges = bi.join(broadcast(frontier), Seq("a"), "left_semi")
+          cur.join(broadcast(nbEdges), cur("id") === nbEdges("b"))
+            .select(nbEdges("a").as("id"), col("c").as("cb"))
         }
-      val nb = nbEdges
-        .join(cur.select(col("id").as("b"), col("c").as("cb")), "b")
-        .select(col("a").as("id"), col("cb"))
       val w = Window.partitionBy(col("id")).orderBy(col("cb").desc)
       val upd = nb.withColumn("_rn", row_number().over(w))
         .groupBy(col("id"))
         .agg(max(least(col("_rn").cast("long"), col("cb"))).as("_cn"))
-      cur = cutReplacing(cur.select(col("id"), col("c"))
-        .join(upd, Seq("id"), "left")
+      val updSide =
+        if (nChanged > KCoreBroadcastFrontier) upd else broadcast(upd)
+      val step = cutCounting(cur.select(col("id"), col("c"))
+        .join(updSide, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("_cn"), col("c")).as("c"),
           (col("_cn").isNotNull && col("_cn") =!= col("c")).as("chg")))
-      converged = cur.where(col("chg")).isEmpty
+      cur = step._1
+      nChanged = step._2
+      converged = nChanged == 0L
     }
     eRdd.unpersist(blocking = false)
     biRdd.unpersist(blocking = false)

@@ -351,6 +351,12 @@ class GraphSpec extends SparkSpec {
       val edges = und.toSeq.toDF("s", "d")
       val got = Graph.kCoreNumbers(edges, "s", "d", iters = 30)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the small-graph local path (taken above) must be bit-equal to
+      // the distributed worklist sweeps forced via localEdgeRows = 0
+      val distributed = Graph.kCoreNumbersConverged(edges, "s", "d",
+          iters = 30, localEdgeRows = 0L)
+        ._1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(distributed === got, s"local vs distributed, seed $seed")
       // brute-force coreness: for k = 1.. peel to fixpoint; a node's
       // core is the largest k whose k-core contains it
       val nodes = und.flatMap(e => Seq(e._1, e._2))
@@ -391,6 +397,14 @@ class GraphSpec extends SparkSpec {
     val more = Graph.kCoreNumbers(edges, "src", "dst", iters = 25)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === more)
+    // the DISTRIBUTED worklist sweeps (forced past the local fast
+    // path) must also converge early and agree bit-for-bit
+    val (dRes, dSweeps, dConverged) =
+      Graph.kCoreNumbersConverged(edges, "src", "dst", iters = 20,
+        localEdgeRows = 0L)
+    assert(dConverged && dSweeps == sweeps)
+    assert(dRes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === got)
     graft.Staging.releasePinned(spark)
   }
 
