@@ -317,26 +317,45 @@ object Relational {
     * (plan-pinned in FuzzySpec — never n²); the oracle replays the
     * same rank window and scores the same ~30k candidates with
     * DuckDB's NATIVE jaro_winkler_similarity, cross-checking the
-    * kernel against an independent implementation at volume. */
+    * kernel against an independent implementation at volume.
+    *
+    * Round-15 hardening: (1) every 7th name gets a MULTI-BYTE prefix
+    * ("Cüstömer#") before twinning, so the kernel's UTF-8 byte-parity
+    * contract is exercised under the driver gate too (both engines
+    * apply the identical accenting, char-based substr, byte-order
+    * sort, and byte-based JW); (2) the dirty-id offset is max(custkey)
+    * — a broadcast one-row scalar — instead of a constant 1e6 that
+    * real custkeys would collide with at sf ≥ ~7. */
   def qLinkage(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(s, dir).select(
+    val base = Tables.customer(s, dir).select(
       col("c_custkey").cast("long").as("rec_id"),
-      col("c_name").as("name"))
-    val dirty = c.select((col("rec_id") + lit(1000000L)).as("rec_id"),
-      concat(substring(col("name"), 1, 9),
-        substring(col("name"), 11, 1000000)).as("name"))
-    graft.operators.Fuzzy.snmLinkage(c.unionByName(dirty), "rec_id",
+      when(col("c_custkey") % 7 === 0,
+        concat(lit("Cüstömer#"), substring(col("c_name"), 10, 1000000)))
+        .otherwise(col("c_name")).as("name"))
+    val mx = base.agg(max(col("rec_id")).as("_mx"))
+    val dirty = base.crossJoin(broadcast(mx)) // 1-row scalar
+      .select((col("rec_id") + col("_mx")).as("rec_id"),
+        concat(substring(col("name"), 1, 9),
+          substring(col("name"), 11, 1000000)).as("name"))
+    graft.operators.Fuzzy.snmLinkage(base.unionByName(dirty), "rec_id",
         "name", window = 10, threshold = 0.95,
         sortKey = Some(reverse(col("name"))))
       .orderBy(col("rec_a"), col("rec_b"))
   }
 
   val qLinkageSql: String =
-    """WITH recs AS (
-      |  SELECT c_custkey AS rec_id, c_name AS name FROM customer
-      |  UNION ALL
-      |  SELECT c_custkey + 1000000, substr(c_name, 1, 9) || substr(c_name, 11)
+    """WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+      |base AS (
+      |  SELECT c_custkey AS rec_id,
+      |    CASE WHEN c_custkey % 7 = 0
+      |         THEN 'Cüstömer#' || substr(c_name, 10)
+      |         ELSE c_name END AS name
       |  FROM customer),
+      |recs AS (
+      |  SELECT rec_id, name FROM base
+      |  UNION ALL
+      |  SELECT rec_id + m, substr(name, 1, 9) || substr(name, 11)
+      |  FROM base, mx),
       |r AS (SELECT rec_id, name,
       |        row_number() OVER (ORDER BY substr(reverse(name), 1, 16),
       |          rec_id) AS rn

@@ -90,6 +90,29 @@ class FuzzySpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q_linkage gate corpus: non-ASCII (multi-byte) twins are present " +
+      "in the matched pairs and dirty ids never collide with real keys") {
+    val rows = graft.queries.Relational
+      .qLinkage(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // every 7th custkey carries the "Cüstömer#" multi-byte prefix; its
+    // twin pair surviving proves the byte-parity JW contract is under
+    // the gate, not just the unit fuzz
+    assert(rows.exists { case (a, _) => a % 7 == 0 },
+      "accented twins must appear in the matched set")
+    // full twin recall under the dynamic max(custkey) offset — the
+    // accenting must not break the reversed-key blocking, and every
+    // planted twin (k, k + max) must be matched, accented or not
+    val keys = graft.Tables.customer(spark, "/root/testdata/sf0.001")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val mx = keys.max
+    val pairSet = rows.toSet
+    keys.foreach { k =>
+      assert(pairSet.contains((k, k + mx)), s"missing twin for custkey $k")
+    }
+  }
+
   test("snmLinkage: plan is blocking-bounded — rank equi-join, no " +
       "cartesian/nested-loop, bases broadcast") {
     val sp = spark
