@@ -561,7 +561,7 @@ object LlmQueries {
     * pipeline ([[PipelineQueries.qPipeline]]) gets the surviving
     * corpus without a self-join back onto the scan. One scan, all
     * native kernels, zero shuffle. */
-  private[queries] def qualitySurvivors(docs: DataFrame): DataFrame = {
+  private[graft] def qualitySurvivors(docs: DataFrame): DataFrame = {
     // sorted: the kernel breaks score ties first-profile-wins and the
     // oracle's CASE chain is alphabetical — unsorted Map order would
     // diverge on tied documents

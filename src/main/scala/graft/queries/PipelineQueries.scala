@@ -60,7 +60,7 @@ object PipelineQueries {
     * materialized, the signature index the dedup service maintains —
     * so staging models the real read path, exactly as
     * [[LlmQueries.shingleHashStream]] does for the sketch family. */
-  private[queries] def stagedQdocs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def stagedQdocs(s: SparkSession, dir: String): DataFrame =
     graft.Staging.stage(s, s"pipeline:qdocs:$dir") {
       LlmQueries.qualitySurvivors(
         Tables.documents(s, dir).where(col("doc_id") % 50 =!= 0))
@@ -70,7 +70,7 @@ object PipelineQueries {
     * exactly what [[TextDedup.minhashNearDups]] computes internally
     * (PipelineSpec pins the equivalence). Prerequisite stage resolved
     * OUTSIDE the builder per the [[graft.Staging.stage]] contract. */
-  private[queries] def stagedSigs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def stagedSigs(s: SparkSession, dir: String): DataFrame = {
     val qdocs = stagedQdocs(s, dir)
     graft.Staging.stage(s, s"pipeline:sigs:$dir") {
       qdocs.select(col("doc_id"),
