@@ -95,6 +95,28 @@ class PipelineSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("staging: q_pipeline and q_pipeline_incr read the SAME staged " +
+      "prefix tables (one build per session+dir), and the staged sig " +
+      "table equals what the self-computing operator derives") {
+    graft.Staging.evict(spark, s"pipeline:qdocs:$sfDir")
+    graft.Staging.evict(spark, s"pipeline:sigs:$sfDir")
+    val q1 = PipelineQueries.stagedQdocs(spark, sfDir)
+    val s1 = PipelineQueries.stagedSigs(spark, sfDir)
+    // both queries must resolve to the identical persisted frames
+    assert(PipelineQueries.stagedQdocs(spark, sfDir) eq q1)
+    assert(PipelineQueries.stagedSigs(spark, sfDir) eq s1)
+    assert(graft.Staging.stagedKeys(spark)
+      .intersect(Set(s"pipeline:qdocs:$sfDir", s"pipeline:sigs:$sfDir"))
+      .size == 2)
+    // staged signatures ≡ the internal derivation of minhashNearDups
+    val expected = graft.operators.TextDedup.minhashSignaturesRowWise(
+        q1, "doc_id", "text", 3)
+      .collect().map(_.getLong(0)).sorted
+    val viaKernel = s1.collect().map(_.getLong(0)).sorted
+    assert(viaKernel.nonEmpty && viaKernel === expected,
+      "staged sig table must cover exactly the signable docs")
+  }
+
   test("incremental pipeline: the admitted increment equals what the " +
       "FULL batch near-dup pass (independent operator) restricted to " +
       "delta-touching pairs would admit") {
