@@ -62,6 +62,29 @@ object ScaleStress {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // round 15: pipeline-family fixture — the every-word suffix above
+    // breaks the QUALITY stage (suffixed stopwords zero the language-ID
+    // hits, so every doc reads non-en and the composed pipeline's 10×
+    // pass ran a near-empty survivor set). The pipeline stress gets its
+    // own documents table: copy 0 verbatim; copies k>0 suffix only
+    // NON-stopwords, so stopword hits, token counts, distinct ratios
+    // and bigram structure survive (each copy's quality verdict ≈ copy
+    // 0's) while every shingle containing a non-stopword is
+    // copy-unique — cross-copy Jaccard collapses to the pure-stopword-
+    // trigram fraction ≪ τ = 0.5 and near-dup pairs scale linearly.
+    val stopLit = array(graft.operators.TextStats
+      .stopwordProfiles("en").sorted.map(lit): _*)
+    (0 until copies).map { k =>
+      val text = if (k == 0) col("text") else
+        array_join(transform(split(col("text"), " "),
+          w => when(array_contains(stopLit, lower(w)), w)
+            .otherwise(concat(w, lit(s"_$k")))), " ")
+      docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"))
+    }.reduce(_ unionByName _)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$out-pipeline/documents.parquet")
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$src/events.parquet")
     assertShiftClears(ev, "events",
@@ -259,7 +282,12 @@ object ScaleStress {
       "q_golden", "q_temporal_join",
       // RFM: one purchase agg + three bucketed global-ntile rank
       // passes over the users-sized relation
-      "q_rfm")
+      "q_rfm",
+      // round 15: the composed pipeline and its maintenance form, over
+      // the quality-preserving pipeline fixture (see the documents
+      // write above) — stages 1–4 shuffle only their own keys, the one
+      // global window runs over the budget-bounded sample
+      "q_pipeline", "q_pipeline_incr")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)
@@ -272,9 +300,13 @@ object ScaleStress {
           iters = 2)
           .select(col("cid"), posexplode(col("c")))
       }))
+    // the pipeline family reads its quality-preserving fixture at Nx
+    // (copy 0 of it is verbatim src, so the 1x pass stays on src)
+    val pipelineQs = Set("q_pipeline", "q_pipeline_incr")
     def time(dir: String, name: String): Double = {
+      val d = if (pipelineQs(name) && dir == out) s"$out-pipeline" else dir
       val t0 = System.nanoTime()
-      extra.getOrElse(name, SparkEntry.queries(name))(spark, dir)
+      extra.getOrElse(name, SparkEntry.queries(name))(spark, d)
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
