@@ -1019,9 +1019,18 @@ object LlmQueries {
     * cache. */
   private[queries] def shingleHashStream(s: SparkSession, dir: String): DataFrame =
     graft.Staging.stage(s, s"sketch:shingles:$dir") {
+      // NativeText.spanHashes == md5Hash60 of each space-joined 3-word
+      // window, digest-streamed in ONE codegen'd pass (its scaladoc
+      // pins byte-equality with TextDedup.hash60's SQL form) — the
+      // prior shape exploded interpreted shingle STRINGS and md5'd
+      // them post-explode. spanHashes is positional where shingles()
+      // was per-doc-distinct: every consumer is a min/max-based sketch
+      // or a (source, h) DISTINCT, so duplicate window rows are
+      // value-neutral (KmvAgg's TreeSet, HLL register max), and the
+      // oracles' DISTINCT replays are untouched.
       Tables.documents(s, dir).select(col("source"),
-          explode(TextDedup.shingles(col("text"), 3)).as("sp"))
-        .select(col("source"), TextDedup.hash60(col("sp")).as("h"))
+        explode(graft.functions.NativeText.spanHashes(
+          split(col("text"), " "), 3)).as("h"))
     }
 
   def qDistinctKmv(s: SparkSession, dir: String): DataFrame = {
