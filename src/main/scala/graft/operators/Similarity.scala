@@ -33,6 +33,37 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Johnson–Lindenstrauss SIGN random projection: compress dim-`dim`
+    * embeddings to `outDim` coordinates y_j = ⟨x, r_j⟩ / √outDim with
+    * r_j ∈ {±1}^dim — the cheap pre-ANN/pre-clustering compression
+    * pass a 100 TB embedding corpus runs before its expensive pairwise
+    * stages (Achlioptas 2003: ±1 entries satisfy the JL distance-
+    * preservation lemma with the same distortion bounds as Gaussian
+    * matrices, at integer-multiply cost). Spark-first shape: ONE
+    * codegen'd scan — each coordinate is the native [[dot]] kernel
+    * against a LITERAL sign column, no shuffle, no UDF, no RNG (the
+    * matrix derives from the repo md5-hash60 of "seed:i:j", so the
+    * kept values are a pure function of the data and the oracle
+    * replays the identical matrix; the kernel's left-to-right double
+    * fold matches DuckDB's list_inner_product — the q_ann_topk
+    * discipline). Choose a perfect-square `outDim` when gate-exact
+    * replay matters (√outDim is then IEEE-exact on both engines).
+    * Output: (idCol, j, v) exploded coordinates, v rounded to 6. */
+  def randomProject(vecs: DataFrame, idCol: String, embCol: String,
+      dim: Int, outDim: Int, seed: String): DataFrame = {
+    val coords = (0 until outDim).map { j =>
+      val sgn = (0 until dim).map { i =>
+        if (graft.functions.MinhashKernel.md5Hash60(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              s"$seed:$i:$j")) % 2 == 0L) 1.0 else -1.0
+      }
+      round(dot(col(embCol), array(sgn.map(lit): _*)) /
+        lit(math.sqrt(outDim.toDouble)), 6)
+    }
+    vecs.select(col(idCol), posexplode(array(coords: _*)).as(Seq("j", "v")))
+      .select(col(idCol), col("j").cast("long").as("j"), col("v"))
+  }
+
   /** Per-query rank step shared by every top-k variant: row_number
     * semantics over (sim desc, nid) — executed on the custom heap
     * operator ([[graft.plans.TopKPerGroup]]), so each probe's

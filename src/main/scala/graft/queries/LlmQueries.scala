@@ -1374,6 +1374,31 @@ object LlmQueries {
       |      FROM s)
       |SELECT qid, nid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Johnson–Lindenstrauss sign projection under the gate
+    * ([[Similarity.randomProject]]): every embedding compressed 64→16
+    * against the seeded md5-derived ±1 matrix, all 16 coordinates of
+    * every vector oracle-checked — the pre-ANN compression pass, one
+    * codegen'd scan, zero shuffle. √16 = 4 is IEEE-exact on both
+    * engines, and the dot kernel's left-to-right double fold matches
+    * list_inner_product, so the comparison is exact after round-6. */
+  def qRandomProj(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.randomProject(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dim = 64, outDim = 16, seed = "rp15")
+      .orderBy(col("vec_id"), col("j"))
+
+  val qRandomProjSql: String =
+    """WITH r AS (SELECT j, list(CASE WHEN try_cast('0x' ||
+      |      substr(md5('rp15:' || i || ':' || j), 1, 15) AS BIGINT) % 2 = 0
+      |      THEN 1.0 ELSE -1.0 END ORDER BY i) AS sgn
+      |    FROM unnest(range(16)) AS tj(j), unnest(range(64)) AS ti(i)
+      |    GROUP BY j),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)
+      |SELECT vec_id, j,
+      |  round(list_inner_product(x, sgn) / sqrt(16.0), 6) AS v
+      |FROM e, r
+      |ORDER BY vec_id, j""".stripMargin
+
   private val NumPlanes = 6
   private val Dim = 64
   private val CentroidMod = 29

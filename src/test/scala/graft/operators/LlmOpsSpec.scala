@@ -729,4 +729,35 @@ class LlmOpsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(run(docs.repartition(1)) === run(docs.repartition(11)))
   }
+
+  test("randomProject: deterministic seeded sign matrix, zero maps to " +
+      "zero, and squared norms are preserved in expectation (JL)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 200L).map { i =>
+      i -> Array.fill(64)((rnd.nextGaussian() * (1 + i % 3)).toFloat)
+    }
+    val df = (vecs :+ (999L -> Array.fill(64)(0f))).toDF("vec_id", "embedding")
+    def proj(seed: String) = Similarity.randomProject(
+        df, "vec_id", "embedding", 64, 16, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val a = proj("s1")
+    // deterministic: identical on re-run; seed-sensitive: differs
+    assert(proj("s1") === a)
+    assert(proj("s2") !== a)
+    // shape: 16 coordinates per vector
+    assert(a.size === (vecs.size + 1) * 16)
+    // zero vector projects to exactly zero
+    (0L until 16L).foreach(j => assert(a((999L, j)) === 0.0))
+    // E[||y||^2] = ||x||^2 for JL sign projections: the MEAN ratio over
+    // 200 vectors concentrates near 1 (per-vector variance ~2/16)
+    val ratios = vecs.map { case (id, x) =>
+      val y2 = (0L until 16L).map(j => a((id, j))).map(v => v * v).sum
+      val x2 = x.map(v => v.toDouble * v).sum
+      y2 / x2
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.85 && mean < 1.15, s"mean norm ratio $mean")
+  }
 }
