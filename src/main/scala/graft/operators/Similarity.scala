@@ -50,19 +50,10 @@ object Similarity {
     * replay matters (√outDim is then IEEE-exact on both engines).
     * Output: (idCol, j, v) exploded coordinates, v rounded to 6. */
   def randomProject(vecs: DataFrame, idCol: String, embCol: String,
-      dim: Int, outDim: Int, seed: String): DataFrame = {
-    val coords = (0 until outDim).map { j =>
-      val sgn = (0 until dim).map { i =>
-        if (graft.functions.MinhashKernel.md5Hash60(
-            org.apache.spark.unsafe.types.UTF8String.fromString(
-              s"$seed:$i:$j")) % 2 == 0L) 1.0 else -1.0
-      }
-      round(dot(col(embCol), array(sgn.map(lit): _*)) /
-        lit(math.sqrt(outDim.toDouble)), 6)
-    }
-    vecs.select(col(idCol), posexplode(array(coords: _*)).as(Seq("j", "v")))
+      dim: Int, outDim: Int, seed: String): DataFrame =
+    randomProjectVec(vecs, idCol, embCol, dim, outDim, seed)
+      .select(col(idCol), posexplode(col("proj")).as(Seq("j", "v")))
       .select(col(idCol), col("j").cast("long").as("j"), col("v"))
-  }
 
   /** Per-query rank step shared by every top-k variant: row_number
     * semantics over (sim desc, nid) — executed on the custom heap
@@ -86,6 +77,56 @@ object Similarity {
       .select(col("qid"), col("nid"),
         (dot(col("q"), col("e")) / (col("nq") * col("ne"))).as("sim"))
     rankTopK(joined, k)
+  }
+
+  /** [[randomProject]] in unexploded form: (idCol, proj) with `proj`
+    * the array of `outDim` round-6 coordinates — the shape the
+    * two-stage retrieval composes on. */
+  def randomProjectVec(vecs: DataFrame, idCol: String, embCol: String,
+      dim: Int, outDim: Int, seed: String): DataFrame = {
+    val coords = (0 until outDim).map { j =>
+      val sgn = (0 until dim).map { i =>
+        if (graft.functions.MinhashKernel.md5Hash60(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              s"$seed:$i:$j")) % 2 == 0L) 1.0 else -1.0
+      }
+      round(dot(col(embCol), array(sgn.map(lit): _*)) /
+        lit(math.sqrt(outDim.toDouble)), 6)
+    }
+    vecs.select(col(idCol), array(coords: _*).as("proj"))
+  }
+
+  /** TWO-STAGE retrieval: shortlist in PROJECTED space, re-rank
+    * exactly in the original space — the standard compression
+    * composition at corpus scale (JL coordinates are 4× smaller here
+    * and 64/outDim-times cheaper per comparison; the exact cosine only
+    * ever touches the m-element shortlist, so the expensive kernel
+    * runs m·|queries| times instead of n·|queries|). Both stages are
+    * deterministic — projected sims fold over round-6 coordinates,
+    * ranks tie on nid — so an oracle replays shortlist AND re-rank
+    * verbatim; recall vs the exact top-k is the JL distortion trade,
+    * measured in LlmOpsSpec, not hidden. Output: (qid, nid, rank ≤ k),
+    * ranked by (exact sim desc, nid) within the shortlist. */
+  def projectedRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int, dim: Int, outDim: Int, seed: String): DataFrame = {
+    val pc = randomProjectVec(corpus.toDF("nid", "e"), "nid", "e",
+      dim, outDim, seed).toDF("nid", "pe")
+      .withColumn("npe", norm(col("pe")))
+    val pq = randomProjectVec(queries.toDF("qid", "q"), "qid", "q",
+      dim, outDim, seed).toDF("qid", "pq")
+      .withColumn("npq", norm(col("pq")))
+    val projSim = pc.join(broadcast(pq), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("pq"), col("pe")) / (col("npq") * col("npe"))).as("sim"))
+    val shortlist = rankTopK(projSim, m).select(col("qid"), col("nid"))
+    val c = corpus.toDF("nid", "e").withColumn("ne", norm(col("e")))
+    val q = queries.toDF("qid", "q").withColumn("nq", norm(col("q")))
+    val exact = shortlist
+      .join(c, "nid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("nid"),
+        (dot(col("q"), col("e")) / (col("nq") * col("ne"))).as("sim"))
+    rankTopK(exact, k)
   }
 
   /** Deterministic ±1 hyperplanes: planes(j)(d) ∈ {-1, 1}. */

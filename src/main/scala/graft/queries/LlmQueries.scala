@@ -1399,6 +1399,54 @@ object LlmQueries {
       |FROM e, r
       |ORDER BY vec_id, j""".stripMargin
 
+  /** Two-stage retrieval under the gate
+    * ([[Similarity.projectedRerankTopK]]): shortlist of 20 by cosine
+    * in the 16-dim JL-projected space, exact 64-dim cosine re-rank to
+    * top-5 — the compression composition a corpus-scale ANN deploys
+    * (projected comparisons are 4× cheaper; the exact kernel touches
+    * only shortlists). The oracle replays projection, shortlist and
+    * re-rank verbatim, so the gate hash-checks the full two-stage
+    * algorithm; recall vs exact top-k is spec-measured. */
+  def qAnnProj(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.projectedRerankTopK(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        queriesDf(s, dir), k = 5, m = 20, dim = 64, outDim = 16,
+        seed = "rp15")
+      .orderBy(col("qid"), col("rank"))
+
+  val qAnnProjSql: String =
+    """WITH r AS (SELECT j, list(CASE WHEN try_cast('0x' ||
+      |      substr(md5('rp15:' || i || ':' || j), 1, 15) AS BIGINT) % 2 = 0
+      |      THEN 1.0 ELSE -1.0 END ORDER BY i) AS sgn
+      |    FROM unnest(range(16)) AS tj(j), unnest(range(64)) AS ti(i)
+      |    GROUP BY j),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+      |p AS (SELECT e.vec_id,
+      |        list(round(list_inner_product(e.x, r.sgn) / sqrt(16.0), 6)
+      |          ORDER BY r.j) AS px
+      |      FROM e, r GROUP BY e.vec_id),
+      |pq AS (SELECT vec_id AS qid, px AS qpx FROM p WHERE vec_id < 10),
+      |s1 AS (SELECT qid, p.vec_id AS nid,
+      |        list_inner_product(qpx, p.px) /
+      |        (sqrt(list_inner_product(qpx, qpx)) *
+      |         sqrt(list_inner_product(p.px, p.px))) AS sim
+      |      FROM pq, p WHERE p.vec_id != qid),
+      |short AS (SELECT qid, nid FROM (
+      |        SELECT qid, nid, row_number() OVER (PARTITION BY qid
+      |          ORDER BY sim DESC, nid) AS rk FROM s1) WHERE rk <= 20),
+      |qe AS (SELECT vec_id AS qid, x AS qx FROM e WHERE vec_id < 10),
+      |s2 AS (SELECT short.qid, short.nid,
+      |        list_inner_product(qx, e.x) /
+      |        (sqrt(list_inner_product(qx, qx)) *
+      |         sqrt(list_inner_product(e.x, e.x))) AS sim
+      |      FROM short JOIN e ON e.vec_id = short.nid
+      |        JOIN qe ON qe.qid = short.qid),
+      |rr AS (SELECT qid, nid,
+      |        CAST(row_number() OVER (PARTITION BY qid
+      |          ORDER BY sim DESC, nid) AS INT) AS rank FROM s2)
+      |SELECT qid, nid, rank FROM rr WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
   private val NumPlanes = 6
   private val Dim = 64
   private val CentroidMod = 29
