@@ -279,4 +279,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "pairing must be the rank equi-join, never a cross product")
   }
+
+  test("randomProject: one codegen'd scan — no shuffle, no UDF; " +
+      "projectedRerankTopK: probes broadcast, corpus never cartesians") {
+    val vecs = Seq((1L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    val pp = plan(graft.operators.Similarity.randomProject(
+      vecs, "vec_id", "embedding", 64, 16, "s"))
+    assert(!pp.contains("Exchange"), "projection must not shuffle:\n" + pp)
+    assert(!pp.toLowerCase.contains("scalaudf"))
+    val qs = vecs.filter(col("vec_id") < 10)
+    val p2 = plan(graft.operators.Similarity.projectedRerankTopK(
+      vecs, qs, 5, 20, 64, 16, "s"))
+    assert(!p2.contains("CartesianProduct"), p2)
+    assert(p2.contains("BroadcastNestedLoopJoin") ||
+      p2.contains("BroadcastHashJoin"),
+      "the probe side must broadcast:\n" + p2)
+    assert(!p2.toLowerCase.contains("scalaudf"))
+  }
 }
