@@ -90,8 +90,11 @@ object Similarity {
             org.apache.spark.unsafe.types.UTF8String.fromString(
               s"$seed:$i:$j")) % 2 == 0L) 1.0 else -1.0
       }
+      // + 0.0 collapses IEEE negative zero: round can land on -0.0,
+      // which compares equal but RENDERS differently across engines
+      // (the sf0.1 gate caught exactly one such coordinate)
       round(dot(col(embCol), array(sgn.map(lit): _*)) /
-        lit(math.sqrt(outDim.toDouble)), 6)
+        lit(math.sqrt(outDim.toDouble)), 6) + lit(0.0)
     }
     vecs.select(col(idCol), array(coords: _*).as("proj"))
   }

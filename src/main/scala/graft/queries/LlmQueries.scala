@@ -1395,7 +1395,7 @@ object LlmQueries {
       |    GROUP BY j),
       |e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)
       |SELECT vec_id, j,
-      |  round(list_inner_product(x, sgn) / sqrt(16.0), 6) AS v
+      |  round(list_inner_product(x, sgn) / sqrt(16.0), 6) + 0.0 AS v
       |FROM e, r
       |ORDER BY vec_id, j""".stripMargin
 
@@ -1422,7 +1422,7 @@ object LlmQueries {
       |    GROUP BY j),
       |e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
       |p AS (SELECT e.vec_id,
-      |        list(round(list_inner_product(e.x, r.sgn) / sqrt(16.0), 6)
+      |        list(round(list_inner_product(e.x, r.sgn) / sqrt(16.0), 6) + 0.0
       |          ORDER BY r.j) AS px
       |      FROM e, r GROUP BY e.vec_id),
       |pq AS (SELECT vec_id AS qid, px AS qpx FROM p WHERE vec_id < 10),
