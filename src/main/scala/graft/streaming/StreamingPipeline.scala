@@ -82,9 +82,14 @@ class StreamingPipeline(bench: DataFrame,
   /** The foreachBatch sink: `stream.writeStream.foreachBatch(
     * maintainer.processBatch _)`. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+    // the batch's quality survivors fan out to every stage below
+    // (signatures, probe, kill-set joins, decontaminate, store append)
+    // — cut once so the quality kernels run once per batch, the same
+    // single-derivation discipline as the pipeline gate's staged tables
     val q = graft.queries.LlmQueries.qualitySurvivors(
-      batch.select(col("doc_id"), col("text"), col("source"),
-        col("n_chars")))
+        batch.select(col("doc_id"), col("text"), col("source"),
+          col("n_chars")))
+      .localCheckpoint()
     val deltaSigs = q.select(col("doc_id"),
         graft.functions.NativeText.minhashSig(
           split(col("text"), " "), 3).as("sig"))
