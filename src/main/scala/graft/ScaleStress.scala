@@ -287,7 +287,12 @@ object ScaleStress {
       // the quality-preserving pipeline fixture (see the documents
       // write above) — stages 1–4 shuffle only their own keys, the one
       // global window runs over the budget-bounded sample
-      "q_pipeline", "q_pipeline_incr")
+      "q_pipeline", "q_pipeline_incr",
+      // round 15: JL projection (one codegen scan — trivially linear)
+      // and its two-stage retrieval (fixed probes × 10x corpus: the
+      // projected-shortlist join is the linear term, the exact re-rank
+      // touches m·|queries| rows at any scale)
+      "q_random_proj", "q_ann_proj")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)
