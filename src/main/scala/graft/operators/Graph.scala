@@ -486,13 +486,14 @@ object Graph {
     *     the value table to the cut edge list + the per-id rank window
     *     and keyed max (same key — one exchange) + a keyed merge, the
     *     r14 shape;
-    *   - WORKLIST (frontier fits ~8 MB): the changed set, the frontier,
-    *     the frontier-incident edges, and the update all broadcast, so
-    *     the edge list and the node-value table are only STREAMED —
-    *     the sweep's one exchange moves frontier-incident edge rows
-    *     into the rank window. Late sweeps (the vast majority) touch a
-    *     handful of nodes and cost broadcast-probe time, not
-    *     graph-shuffle time.
+    *   - WORKLIST (sweep ≥ 2 and changed set under the ~8 MB budget):
+    *     only the changed-id set carries a broadcast HINT (it alone is
+    *     bounded by the measured count); the frontier and its incident
+    *     edges are degree-dependent, so their joins are hint-free and
+    *     AQE broadcasts them exactly when their measured size allows —
+    *     the common late-sweep case costs broadcast-probe time, a hub
+    *     frontier degrades to keyed exchanges instead of an oversized
+    *     forced broadcast.
     * The value table lineage-cuts per sweep (constant plan depth),
     * superseded cuts unpersist immediately, and the FINAL cut — which
     * the returned frame reads — registers with
@@ -540,7 +541,11 @@ object Graph {
       import sq.implicits._
       val adj = scala.collection.mutable.HashMap
         .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
-      bi.collect().foreach { r =>
+      // collect off the already-materialized InternalRow cut (two
+      // primitive longs per row) — a Row-decoding bi.collect() would
+      // box every edge and cost ~10× the "~32 MB of long pairs" the
+      // bound budgets
+      biRdd.collect().foreach { r =>
         adj.getOrElseUpdate(r.getLong(0),
           scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
       }
@@ -599,37 +604,40 @@ object Graph {
     var converged = nChanged == 0L // an edgeless graph is trivially done
     while (sweeps < iters && !converged) {
       sweeps += 1
+      val worklist = sweeps > 1 && nChanged <= KCoreBroadcastFrontier
       val nb =
-        if (nChanged > KCoreBroadcastFrontier) {
-          // FULL synchronous sweep (the frontier is most of the graph):
-          // one keyed join of the value table to the cut edge list
+        if (!worklist) {
+          // FULL synchronous sweep — always for sweep 1 (every value is
+          // freshly initialized, the "frontier" is the whole graph) and
+          // whenever the changed set outgrows the broadcast budget: one
+          // keyed join of the value table to the cut edge list
           bi.join(cur.select(col("id").as("b"), col("c").as("cb")), "b")
             .select(col("a").as("id"), col("cb"))
         } else {
           // WORKLIST sweep: only nodes with a changed neighbor can move
           // (c(v) ← H(neighbor values) reads nothing else, so skipping
-          // the rest is exact). The changed set and the frontier both
-          // fit the broadcast budget, so the big relations — the edge
-          // list and the value table — are only ever STREAMED against
-          // broadcast builds: no node-table or edge-table exchange in
-          // the whole sweep; the one remaining exchange moves the
-          // frontier-incident edge rows into the per-id window below.
+          // the rest is exact). Only changedIds carries an explicit
+          // broadcast hint — it alone is bounded by the measured
+          // nChanged (≤ 1M ids ≈ 8 MB). The frontier and its incident
+          // edge set are degree-dependent and NOT bounded by nChanged,
+          // so their joins stay hint-free: AQE picks broadcast when
+          // their MEASURED size allows (the common late-sweep case) and
+          // falls back to keyed exchanges when a hub frontier blows
+          // them up — never a forced oversized broadcast.
           val changedIds = cur.where(col("chg")).select(col("id").as("b"))
           val frontier = bi
             .join(broadcast(changedIds), Seq("b"), "left_semi")
             .select(col("a")).distinct()
-          val nbEdges = bi.join(broadcast(frontier), Seq("a"), "left_semi")
-          cur.join(broadcast(nbEdges), cur("id") === nbEdges("b"))
+          val nbEdges = bi.join(frontier, Seq("a"), "left_semi")
+          cur.join(nbEdges, cur("id") === nbEdges("b"))
             .select(nbEdges("a").as("id"), col("c").as("cb"))
         }
       val w = Window.partitionBy(col("id")).orderBy(col("cb").desc)
       val upd = nb.withColumn("_rn", row_number().over(w))
         .groupBy(col("id"))
         .agg(max(least(col("_rn").cast("long"), col("cb"))).as("_cn"))
-      val updSide =
-        if (nChanged > KCoreBroadcastFrontier) upd else broadcast(upd)
       val step = cutCounting(cur.select(col("id"), col("c"))
-        .join(updSide, Seq("id"), "left")
+        .join(upd, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("_cn"), col("c")).as("c"),
           (col("_cn").isNotNull && col("_cn") =!= col("c")).as("chg")))

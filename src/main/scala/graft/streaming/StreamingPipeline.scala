@@ -71,6 +71,7 @@ class StreamingPipeline(bench: DataFrame,
   private var pinnedDocs: Option[RDD[InternalRow]] = None
   private var pinnedSigs: Option[RDD[InternalRow]] = None
   private var pinnedAdm: Option[RDD[InternalRow]] = None
+  private var lastBatchId: Long = Long.MinValue
 
   private def cut(df: DataFrame,
       prev: Option[RDD[InternalRow]]): (DataFrame, Option[RDD[InternalRow]]) = {
@@ -80,24 +81,32 @@ class StreamingPipeline(bench: DataFrame,
   }
 
   /** The foreachBatch sink: `stream.writeStream.foreachBatch(
-    * maintainer.processBatch _)`. */
+    * maintainer.processBatch _)`. Idempotent under Structured
+    * Streaming's at-least-once replay: a batchId at or below the last
+    * processed one is a replay of work whose effects are already in
+    * the store, and is skipped — without this, a replayed survivor
+    * would be admitted AGAIN (its own stored copy forms only the
+    * self-pair (X, X), which the d1 < d2 canonicalization drops, so no
+    * store-match kill would fire). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+    if (batchId <= lastBatchId) return
+    lastBatchId = batchId
     // the batch's quality survivors fan out to every stage below
     // (signatures, probe, kill-set joins, decontaminate, store append)
     // — cut once so the quality kernels run once per batch, the same
     // single-derivation discipline as the pipeline gate's staged tables
-    val q = graft.queries.LlmQueries.qualitySurvivors(
+    val (q, qRdd) = Graph.localCut(
+      graft.queries.LlmQueries.qualitySurvivors(
         batch.select(col("doc_id"), col("text"), col("source"),
-          col("n_chars")))
-      .localCheckpoint()
+          col("n_chars"))))
     val deltaSigs = q.select(col("doc_id"),
         graft.functions.NativeText.minhashSig(
           split(col("text"), " "), 3).as("sig"))
       .where(size(col("sig")) > 0)
-    val pairs = TextDedup.incrementalNearDupsFromSigs(
+    val (pairs, pairsRdd) = Graph.localCut(
+      TextDedup.incrementalNearDupsFromSigs(
         storeDocs, storeSigs, q, deltaSigs, "doc_id", "text",
-        shingleSize = 3, threshold = 0.5)
-      .localCheckpoint()
+        shingleSize = 3, threshold = 0.5))
     // classify endpoints: store ids and batch ids are disjoint, so a
     // pair is batch-internal iff BOTH endpoints are batch docs
     val batchIds = q.select(col("doc_id"))
@@ -137,6 +146,13 @@ class StreamingPipeline(bench: DataFrame,
       admittedAcc.map(_.unionByName(admittedBatch)).getOrElse(admittedBatch),
       pinnedAdm)
     admittedAcc = Some(a); pinnedAdm = pa
+    // every downstream cut above is already materialized, so the
+    // batch's transient blocks (survivors + pair list) are dead weight
+    // — release them NOW rather than accumulating one block set per
+    // micro-batch for the life of the stream (driver GC is not a
+    // retention policy)
+    qRdd.unpersist(blocking = false)
+    pairsRdd.unpersist(blocking = false)
   }
 
   /** Union of all admitted increments so far. */

@@ -108,13 +108,20 @@ class PipelineSpec extends SparkSpec {
     assert(graft.Staging.stagedKeys(spark)
       .intersect(Set(s"pipeline:qdocs:$sfDir", s"pipeline:sigs:$sfDir"))
       .size == 2)
-    // staged signatures ≡ the internal derivation of minhashNearDups
-    val expected = graft.operators.TextDedup.minhashSignaturesRowWise(
-        q1, "doc_id", "text", 3)
-      .collect().map(_.getLong(0)).sorted
-    val viaKernel = s1.collect().map(_.getLong(0)).sorted
-    assert(viaKernel.nonEmpty && viaKernel === expected,
-      "staged sig table must cover exactly the signable docs")
+    // the seam that matters, pinned END TO END: near-dups computed
+    // FROM the staged signature table must equal the self-computing
+    // operator's output row-for-row — id-set coverage alone would let
+    // a drifted signature derivation (shingle size, word split) pass
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP))).toSet
+    val viaStaged = pairSet(graft.operators.TextDedup
+      .minhashNearDupsFromSigs(q1, s1, "doc_id", "text", 3, 0.5))
+    val selfComputed = pairSet(graft.operators.TextDedup
+      .minhashNearDups(q1, "doc_id", "text", 3, 0.5))
+    assert(viaStaged.nonEmpty && viaStaged === selfComputed,
+      "staged-signature near-dups must equal the self-computing operator")
   }
 
   test("incremental pipeline: the admitted increment equals what the " +
