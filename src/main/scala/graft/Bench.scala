@@ -136,6 +136,26 @@ object Bench {
     "q_rss" -> 0.28, "q_sessionize" -> 0.85,
     "q_transitions" -> 0.52,
     "q_moving_avg" -> 0.36, "q_pivot" -> 0.36, "q_rollup" -> 0.38,
+    // round-15 controlled close (contended-host readings from the
+    // archived per-query close run — upper bounds, which only loosens
+    // the 5x retry trigger, never tightens it):
+    "q_ann_proj" -> 1.03, "q_binning" -> 0.45, "q_burstiness" -> 0.81,
+    "q_centroid_classify" -> 1.42, "q_chi2" -> 1.53, "q_churn" -> 0.93,
+    "q_clustering" -> 2.67, "q_col_profile" -> 3.13, "q_communities" -> 1.21,
+    "q_conversion_time" -> 0.46, "q_countmin" -> 1.74, "q_cube" -> 0.42,
+    "q_debounce" -> 0.65, "q_decay" -> 0.52, "q_dedup_snm" -> 2.87,
+    "q_distinct_hll" -> 1.4, "q_drift" -> 0.49, "q_entropy" -> 0.44,
+    "q_fd_check" -> 0.81, "q_gaps" -> 0.47, "q_golden" -> 2.64,
+    "q_histogram" -> 0.51, "q_hll_rollup" -> 0.71, "q_inclusion" -> 0.5,
+    "q_jaro_match" -> 0.41, "q_join_card" -> 0.67, "q_kcore" -> 1.44,
+    "q_kcore_order" -> 0.79, "q_key_skew" -> 0.24, "q_kmv_overlap" -> 0.51,
+    "q_linkage" -> 2.05, "q_mad" -> 0.6, "q_ohlc" -> 0.51,
+    "q_outliers" -> 0.26, "q_pipeline" -> 3.9, "q_pipeline_incr" -> 3.07,
+    "q_pmi" -> 1.02, "q_ppr" -> 1.57, "q_quantile_rollup" -> 1.46,
+    "q_random_proj" -> 0.38, "q_rfm" -> 1.99, "q_sample_balanced" -> 0.41,
+    "q_sampled_agg" -> 0.41, "q_scd2" -> 0.83, "q_temporal_join" -> 0.9,
+    "q_tfidf" -> 1.23, "q_trend" -> 0.47, "q_triangles" -> 1.8,
+    "q_weighted_sample" -> 0.25,
     "q_compact" -> 1.19)
 
   def main(args: Array[String]): Unit = {
