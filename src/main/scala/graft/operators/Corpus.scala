@@ -451,4 +451,69 @@ object Corpus {
       .where(TextDedup.hash60(col(idCol).cast("string")) < col("_thresh"))
       .drop("_gn", "_t", "_thresh")
   }
+
+  /** CCNet-style quality bucketing (Wenzek et al. 2020): within each
+    * language, rank documents by in-domain LM score and cut into
+    * `buckets` equal tiles — head (best), middle, tail. The head/tail
+    * split is the knob web-scale curation uses to trade volume for
+    * quality per language, and the per-language partitioning is what
+    * keeps low-resource languages from being drowned by the
+    * high-resource score distribution.
+    *
+    * Scores come from [[bigramLmScore]] (already round-6, so the
+    * ordering is reproducible); ties break on the id. Documents with
+    * fewer than two tokens carry no bigram evidence and are excluded
+    * (both engines derive the population from the same bigram
+    * relation). Plan: the scoring aggregation + ONE per-language
+    * ntile window over (id, score) pairs — the window input is two
+    * columns per document, not the text, so the sort spills cheaply
+    * at corpus scale. Output: (id, lang, avg_logprob, bucket) with
+    * bucket ∈ head | middle | tail (or tile_N beyond 3). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, langCol: String,
+      wordsCol: String, buckets: Int = 3): DataFrame = {
+    val scores = bigramLmScore(docs, idCol, wordsCol)
+    val langs = docs.select(col(idCol), col(langCol))
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("avg_logprob").desc, col(idCol))
+    val names = Seq("head", "middle", "tail")
+    scores.join(langs, idCol)
+      .withColumn("_tile", ntile(buckets).over(w))
+      .select(col(idCol), col(langCol), col("avg_logprob"),
+        (if (buckets == 3)
+          when(col("_tile") === 1, names(0))
+            .when(col("_tile") === 2, names(1))
+            .otherwise(names(2))
+        else concat(lit("tile_"), col("_tile"))).as("bucket"))
+  }
+
+  /** One induction step of byte-pair-encoding tokenizer training
+    * (Sennrich et al. 2016): corpus-weighted frequencies of adjacent
+    * symbol pairs, the argmax of which is the next merge. BPE
+    * training is a loop of exactly this kernel; at corpus scale the
+    * pair count — not the merge bookkeeping — is the distributed
+    * cost, and it reduces to vocab-sized work:
+    *
+    * Plan: one corpus scan aggregates the word-frequency table
+    * (vocab-sized, the only shuffle that sees corpus rows), then
+    * pairs explode from DISTINCT words only — a word contributes its
+    * character pairs once, weighted by its count, so the explode and
+    * second aggregation are vocab×len-sized regardless of corpus
+    * row count. Output: top `k` (p1, p2, pair_count) by
+    * (count desc, p1, p2). */
+  def bpeMergeCandidates(docs: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    val wordCounts = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val pairs = wordCounts.select(col("wc"), explode(
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => struct(col("w").substr(i, lit(1)).as("p1"),
+            col("w").substr(i + 1, lit(1)).as("p2")))).as("p"))
+      .select(col("p.p1").as("p1"), col("p.p2").as("p2"), col("wc"))
+    pairs.groupBy(col("p1"), col("p2"))
+      .agg(sum(col("wc")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("p1"), col("p2"))
+      .limit(k)
+  }
 }

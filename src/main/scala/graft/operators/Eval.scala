@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval / clustering EVALUATION and diversified-selection
+  * operators — the measurement half of the embedding shelf. An index
+  * you can't score is an index you can't tune: recall@k is the knob
+  * every ANN deployment (nlist/nprobe, projection width, PQ bits)
+  * is tuned against, silhouette is the standard internal quality
+  * score for a clustering, and MMR is the selection pass that turns
+  * a similarity shortlist into a *diverse* training set.
+  *
+  * Scale discipline shared by all three: query/selection relations
+  * are probe-sized and broadcast; the corpus is touched by scans and
+  * bucket joins only; cluster statistics are k-row sufficient
+  * aggregates. Nothing here is all-pairs over the corpus.
+  */
+object Eval {
+
+  /** Recall@k of an approximate retrieval against exact truth: the
+    * fraction of the true top-k that the approximate top-k found,
+    * per query. Both inputs are (qid, nid, rank) relations (the
+    * shape every `Similarity` retrieval emits). Queries the
+    * approximate side missed entirely still appear (hits = 0) via
+    * the left join from the truth side's query set.
+    *
+    * Plan: both sides are (queries × k)-sized, so the join is a
+    * broadcast hash join regardless of corpus size — evaluation
+    * cost is independent of the index size being evaluated. */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val t = truth.select(col("qid"), col("nid")).filter(col("rank") <= k)
+    val a = approx.select(col("qid").as("aqid"), col("nid").as("anid"))
+      .filter(col("rank") <= k)
+    t.join(broadcast(a),
+        col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("anid")).as("hits"))
+      .select(col("qid"), col("hits"),
+        (round(col("hits") / lit(k.toDouble), 6) + lit(0.0)).as("recall"))
+  }
+
+  /** Simplified silhouette over an existing cluster assignment, via
+    * per-cluster SUFFICIENT STATISTICS in exact integer arithmetic.
+    *
+    * The textbook silhouette needs all-pairs distances — dead at any
+    * scale. With squared Euclidean distance the per-point mean
+    * distance to a cluster collapses to three sufficient statistics
+    * (Hruschka et al. 2004's simplified form, taken one step
+    * further to the exact mean):
+    *   Σ_{y∈C} ‖x−y‖² = n_C·‖x‖² − 2·x·S_C + Q_C,
+    *   S_C = Σ_{y∈C} y,   Q_C = Σ_{y∈C} ‖y‖²
+    * so a(i) and b(i) come from ONE corpus scan + a k-row broadcast.
+    * Coordinates are quantized to ⌊x·10⁶⌋ BIGINTs first (the
+    * q_centroid_classify discipline): every sum is order-free exact
+    * integer arithmetic, so the score is reproducible across engines
+    * and partitionings — no floating accumulation wobble.
+    *
+    * a(i) divides by (n−1) (x's own zero self-distance excluded);
+    * singleton clusters get s = 0 by the standard convention.
+    * s(i) = (b−a)/max(a,b), rounded to 6.
+    *
+    * Overflow headroom: terms are bounded by n_C·(dim·(10⁶·max|x|)²);
+    * at |x|≤1, dim=64 that allows n_C up to ~10⁵ per cluster in
+    * int64 — beyond that, promote the three statistics to
+    * DECIMAL(38,0) in the same plan shape (the flag changes type,
+    * not shape).
+    *
+    * Plan: quantize scan → posexplode grouped (cluster, pos) sum for
+    * S (N×dim compact rows, one shuffle) → k-row stats broadcast →
+    * one scan computing a, b per point. No all-pairs anywhere. */
+  def silhouette(points: DataFrame, idCol: String, clusterCol: String,
+      embCol: String): DataFrame = {
+    val q = points.select(col(idCol).as("pid"),
+      col(clusterCol).as("cl"),
+      transform(col(embCol),
+        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("u"))
+    val withSq = q.withColumn("usq",
+      aggregate(col("u"), lit(0L), (acc, x) => acc + x * x))
+
+    // per-cluster S (element-wise sum) via posexplode: compact
+    // (cluster, pos) keys, one shuffle, map-side combined
+    val sVec = withSq.select(col("cl"), posexplode(col("u")))
+      .groupBy(col("cl"), col("pos"))
+      .agg(sum(col("col")).as("sp"))
+      .groupBy(col("cl"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("sp")))).as("ps"))
+      .select(col("cl"), transform(col("ps"), p => p("sp")).as("s"))
+    val nq = withSq.groupBy(col("cl"))
+      .agg(count(lit(1)).as("n"), sum(col("usq")).as("qsum"))
+    val stats = nq.join(sVec, Seq("cl"))
+      .select(col("cl").as("scl"), col("n"), col("qsum"), col("s"))
+
+    // one scan over points × k broadcast clusters: exact integer
+    // numerators, the only doubles are the final two divisions
+    val dotUS = aggregate(
+      zip_with(col("u"), col("s"), (a, b) => a * b), lit(0L), _ + _)
+    val num = col("n") * col("usq") - lit(2L) * dotUS + col("qsum")
+    val scored = withSq.crossJoin(broadcast(stats)) // k-row stats grid
+      .select(col("pid"), col("cl"), col("scl"), col("n"),
+        num.as("num"))
+    val perPoint = scored.groupBy(col("pid"), col("cl"))
+      .agg(
+        max(when(col("cl") === col("scl"),
+          when(col("n") > 1,
+            col("num").cast("double") / (col("n") - lit(1L)).cast("double"))
+            .otherwise(lit(null)))).as("a"),
+        min(when(col("cl") =!= col("scl"),
+          col("num").cast("double") / col("n").cast("double"))).as("b"))
+    perPoint.select(col("pid"), col("cl"),
+      (round(
+        when(col("a").isNull || greatest(col("a"), col("b")) <= lit(0.0),
+          lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))),
+        6) + lit(0.0)).as("sil"))
+  }
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998):
+    * greedily pick k results per query maximizing
+    *   λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s)
+    * — the diversified-selection pass between "top-k most similar"
+    * and "k examples worth keeping" (dedup-aware retrieval, diverse
+    * few-shot mining, seed selection for semdedup).
+    *
+    * Two-stage at scale: an m-candidate shortlist per query comes
+    * from the cheap retrieval ([[Similarity.bruteForceTopK]] here;
+    * any (qid, nid, rank) retrieval composes), then the greedy loop
+    * runs k rounds over (queries × m)-sized relations ONLY — the
+    * corpus is never touched after the shortlist join, so each
+    * round is a broadcast-sized join + one per-query argmax window,
+    * and plan depth is the constant k.
+    *
+    * Round 1 has an empty selected set: its MMR score is λ·cos(q,d)
+    * (penalty 0 by convention). Ties break on nid ascending. All
+    * arithmetic is sequential-fold doubles on both engines (the
+    * q_ann_topk discipline), so selection is oracle-exact.
+    * Output: (qid, nid, pick ∈ 1..k, mmr round-6). */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, k: Int, m: Int,
+      lambda: Double): DataFrame = {
+    // shortlist ranks come from the heap operator (which emits ranks,
+    // not scores); sim is recomputed on the (queries × m)-sized
+    // shortlist only — the corpus is scanned exactly once, inside
+    // bruteForceTopK
+    val c = corpus.toDF("cnid", "ce")
+    val qv = queries.toDF("qqid", "qe")
+    val short = Similarity.bruteForceTopK(corpus, queries, m)
+      .join(c, col("nid") === col("cnid"))
+      .join(broadcast(qv), col("qid") === col("qqid"))
+      .select(col("qid"), col("nid"),
+        Similarity.cosine(col("qe"), col("ce")).as("sim"),
+        col("ce").as("e"))
+
+    val lam = lit(lambda)
+    val byScore = Window.partitionBy(col("qid"))
+      .orderBy(col("mmr").desc, col("nid"))
+
+    var selected = short
+      .withColumn("mmr", lam * col("sim"))
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nid"), col("e"), lit(1).as("pick"),
+        col("mmr"))
+
+    for (t <- 2 to k) {
+      val sel = selected.select(col("qid").as("sqid"), col("nid").as("snid"),
+        col("e").as("se"))
+      val cand = short.join(sel,
+          col("qid") === col("sqid") && col("nid") === col("snid"),
+          "left_anti")
+      val pen = cand.join(sel, col("qid") === col("sqid"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(max(Similarity.cosine(col("e"), col("se"))).as("pen"))
+      val next = cand.join(pen, Seq("qid", "nid"))
+        .withColumn("mmr", lam * col("sim") - (lit(1.0) - lam) * col("pen"))
+        .withColumn("rn", row_number().over(byScore))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), col("e"), lit(t).as("pick"),
+          col("mmr"))
+      selected = selected.unionAll(next)
+    }
+    selected.select(col("qid"), col("nid"), col("pick"),
+      (round(col("mmr"), 6) + lit(0.0)).as("mmr"))
+  }
+}

@@ -2222,4 +2222,192 @@ object LlmQueries {
       |FROM best WHERE rk = 1
       |GROUP BY label, cl
       |ORDER BY label, pred""".stripMargin
+
+  // --- retrieval / clustering evaluation + diversified selection --------
+
+  /** Recall@3 of the IVF index (nprobe=1) against exact brute-force
+    * truth ([[graft.operators.Eval.recallAtK]]) — the eval gate every
+    * ANN knob is tuned against. Both retrievals are the gated
+    * q_ann_topk / q_ann_ivf algorithms verbatim; the oracle replays
+    * them and scores the intersection, so the gate hash-checks the
+    * MEASUREMENT, not just the retrievals. Evaluation cost is
+    * (probes × k)-sized regardless of index size. */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val truth = Similarity.bruteForceTopK(corpus, queriesDf(s, dir), k = 3)
+    val approx = Similarity.ivfTopK(corpus, queriesDf(s, dir), k = 3,
+      centroidMod = CentroidMod)
+    graft.operators.Eval.recallAtK(truth, approx, k = 3)
+      .orderBy(col("qid"))
+  }
+
+  val qAnnRecallSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+       |ts AS (SELECT qid, v.vec_id AS nid,
+       |    list_inner_product(qe, v.e) /
+       |    (sqrt(list_inner_product(qe, qe)) *
+       |     sqrt(list_inner_product(v.e, v.e))) AS sim
+       |  FROM q, v WHERE v.vec_id != qid),
+       |truth AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid) AS rk FROM ts) WHERE rk <= 3),
+       |cent AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id % $CentroidMod = 0),
+       |scored AS (SELECT v.vec_id AS vid, v.e, cent.cid,
+       |    list_inner_product(c, c) - 2.0 * list_inner_product(v.e, c) AS score
+       |  FROM v, cent),
+       |assigned AS (SELECT vid, e, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY score, cid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |iq AS (SELECT vid AS qid, e AS qv, cell FROM assigned WHERE vid < 10),
+       |ivs AS (SELECT qid, a.vid AS nid,
+       |    list_inner_product(qv, a.e) /
+       |    (sqrt(list_inner_product(qv, qv)) *
+       |     sqrt(list_inner_product(a.e, a.e))) AS sim
+       |  FROM iq JOIN assigned a USING (cell) WHERE a.vid != qid),
+       |approx AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid) AS rk FROM ivs) WHERE rk <= 3)
+       |SELECT t.qid, count(a.nid) AS hits,
+       |  round(count(a.nid) / 3.0, 6) + 0.0 AS recall
+       |FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.nid = t.nid
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
+
+  /** MMR diversified top-5 over a 20-candidate shortlist
+    * ([[graft.operators.Eval.mmrSelect]], λ = 0.75 — exact in binary,
+    * so (1−λ) is too): the selection pass that turns "most similar"
+    * into "similar AND diverse". The oracle replays shortlist and all
+    * five greedy rounds verbatim — every pick and its round-6 MMR
+    * score is hash-checked. */
+  def qMmr(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.mmrSelect(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        queriesDf(s, dir), k = 5, m = 20, lambda = 0.75)
+      .orderBy(col("qid"), col("pick"))
+
+  val qMmrSql: String = {
+    val cos = (x: String, y: String) =>
+      s"""list_inner_product($x, $y) /
+         |      (sqrt(list_inner_product($x, $x)) *
+         |       sqrt(list_inner_product($y, $y)))""".stripMargin
+    val rounds = (2 to 5).map { t =>
+      val prev = s"sel${t - 1}"
+      s"""c$t AS (SELECT c.* FROM short c WHERE NOT EXISTS (
+         |    SELECT 1 FROM $prev s WHERE s.qid = c.qid AND s.nid = c.nid)),
+         |p$t AS (SELECT c.qid, c.nid, max(${cos("c.e", "s.e")}) AS pen
+         |  FROM c$t c JOIN $prev s ON s.qid = c.qid GROUP BY c.qid, c.nid),
+         |m$t AS (SELECT c.qid, c.nid, c.e,
+         |    0.75 * c.sim - 0.25 * p.pen AS mmr
+         |  FROM c$t c JOIN p$t p ON p.qid = c.qid AND p.nid = c.nid),
+         |pk$t AS (SELECT qid, nid, e, CAST($t AS INT) AS pick, mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY mmr DESC, nid) AS rk FROM m$t) WHERE rk = 1),
+         |sel$t AS (SELECT * FROM $prev UNION ALL SELECT * FROM pk$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+       |s0 AS (SELECT qid, v.vec_id AS nid,
+       |    ${cos("qe", "v.e")} AS sim, v.e AS e
+       |  FROM q, v WHERE v.vec_id != qid),
+       |short AS (SELECT qid, nid, sim, e FROM (
+       |    SELECT qid, nid, sim, e, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid) AS rk FROM s0) WHERE rk <= 20),
+       |sel1 AS (SELECT qid, nid, e, CAST(1 AS INT) AS pick,
+       |    0.75 * sim AS mmr FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY 0.75 * sim DESC, nid) AS rk FROM short) WHERE rk = 1),
+       |$rounds
+       |SELECT qid, nid, pick, round(mmr, 6) + 0.0 AS mmr FROM sel5
+       |ORDER BY qid, pick""".stripMargin
+  }
+
+  /** Per-point simplified silhouette of the labeled clustering
+    * ([[graft.operators.Eval.silhouette]]): micro-unit quantization
+    * makes every numerator an order-free exact BIGINT, so a(i), b(i),
+    * s(i) are reproducible to the bit on both engines — the internal
+    * clustering-quality score, from ONE scan + a k-row broadcast
+    * instead of all-pairs distances. */
+  def qSilhouette(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.silhouette(
+        Tables.embeddings(s, dir), "vec_id", "label", "embedding")
+      .orderBy(col("pid"))
+
+  val qSilhouetteSql: String =
+    """WITH m AS (SELECT vec_id, label, i AS p,
+      |    CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1e6) AS BIGINT) AS v
+      |  FROM embeddings, unnest(range(len(embedding))) AS t(i)),
+      |usq AS (SELECT vec_id, label, CAST(sum(v * v) AS BIGINT) AS usq
+      |  FROM m GROUP BY 1, 2),
+      |sstat AS (SELECT label AS cl, p, CAST(sum(v) AS BIGINT) AS sp
+      |  FROM m GROUP BY 1, 2),
+      |cn AS (SELECT label AS cl, count(*) AS n, CAST(sum(usq) AS BIGINT) AS qsum
+      |  FROM usq GROUP BY 1),
+      |dus AS (SELECT u.vec_id, s.cl, CAST(sum(u.v * s.sp) AS BIGINT) AS dus
+      |  FROM m u JOIN sstat s ON s.p = u.p GROUP BY 1, 2),
+      |num AS (SELECT q.vec_id, q.label, d.cl, c.n,
+      |    c.n * q.usq - 2 * d.dus + c.qsum AS num
+      |  FROM usq q JOIN dus d ON d.vec_id = q.vec_id JOIN cn c ON c.cl = d.cl),
+      |ab AS (SELECT vec_id, label,
+      |    max(CASE WHEN cl = label AND n > 1
+      |        THEN CAST(num AS DOUBLE) / CAST(n - 1 AS DOUBLE) END) AS a,
+      |    min(CASE WHEN cl != label
+      |        THEN CAST(num AS DOUBLE) / CAST(n AS DOUBLE) END) AS b
+      |  FROM num GROUP BY 1, 2)
+      |SELECT vec_id AS pid, label AS cl,
+      |  round(CASE WHEN a IS NULL OR greatest(a, b) <= 0.0 THEN 0.0
+      |    ELSE (b - a) / greatest(a, b) END, 6) + 0.0 AS sil
+      |FROM ab ORDER BY pid""".stripMargin
+
+  /** CCNet-style per-language head/middle/tail quality buckets
+    * ([[Corpus.perplexityBuckets]], Wenzek et al. 2020): the gated
+    * bigram-LM score ranked within each language and cut into
+    * terciles — the volume-for-quality knob of web-scale curation.
+    * The oracle replays the q_perplexity scoring chain + the same
+    * ntile window. */
+  def qCcnetBuckets(s: SparkSession, dir: String): DataFrame =
+    Corpus.perplexityBuckets(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          split(col("text"), " ").as("w")),
+        "doc_id", "lang", "w", buckets = 3)
+      .orderBy(col("doc_id"))
+
+  val qCcnetBucketsSql: String =
+    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |b AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+      |      FROM (SELECT doc_id, unnest(range(len(w) - 1)) AS i, w FROM d)),
+      |bc AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+      |uc AS (SELECT w1, count(*) AS cu FROM b GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT u.w) AS vs
+      |      FROM (SELECT unnest(w) AS w FROM d) u),
+      |lp AS (SELECT b.doc_id,
+      |         ln((bc.cb + 0.4) / (uc.cu + 0.4 * vv.vs)) AS l
+      |       FROM b JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vv),
+      |sc AS (SELECT doc_id, round(sum(l) / count(*), 6) AS avg_logprob
+      |       FROM lp GROUP BY 1),
+      |j AS (SELECT sc.doc_id, d.lang, sc.avg_logprob
+      |      FROM sc JOIN d USING (doc_id)),
+      |t AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+      |        ORDER BY avg_logprob DESC, doc_id) AS tile FROM j)
+      |SELECT doc_id, lang, avg_logprob,
+      |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+      |    ELSE 'tail' END AS bucket
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** One BPE merge-induction step over the corpus
+    * ([[Corpus.bpeMergeCandidates]], Sennrich et al. 2016): top-20
+    * corpus-weighted adjacent character pairs — the distributed
+    * kernel of tokenizer training (pair counting reduces to
+    * vocab-sized work; only the word-frequency aggregation sees
+    * corpus rows). */
+  def qBpePairs(s: SparkSession, dir: String): DataFrame =
+    Corpus.bpeMergeCandidates(Tables.documents(s, dir), "text", k = 20)
+
+  val qBpePairsSql: String =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT w, count(*) AS wc FROM w WHERE len(w) >= 2 GROUP BY w),
+      |p AS (SELECT substr(w, i, 1) AS p1, substr(w, i + 1, 1) AS p2, wc
+      |      FROM wc, unnest(range(1, len(w))) AS t(i))
+      |SELECT p1, p2, CAST(sum(wc) AS BIGINT) AS pair_count
+      |FROM p GROUP BY 1, 2
+      |ORDER BY pair_count DESC, p1, p2 LIMIT 20""".stripMargin
 }

@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Evaluation + diversified-selection operators ([[Eval]]):
+  * recall@k scoring, sufficient-statistics silhouette (cross-checked
+  * against an all-pairs brute force on the same quantized integers),
+  * and greedy MMR selection — plus the plan shapes that keep them
+  * corpus-scale (broadcast-sized joins, no all-pairs).
+  */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- recallAtK ---------------------------------------------------------
+
+  test("recallAtK: per-query hit fractions, misses kept at zero") {
+    val truth = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3)).toDF("qid", "nid", "rank")
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 12L, 2), (1L, 99L, 3), // 2 of 3
+      (2L, 98L, 1), (2L, 97L, 2), (2L, 96L, 3)) // 0 of 3
+      .toDF("qid", "nid", "rank")
+    val r = Eval.recallAtK(truth, approx, k = 3)
+      .orderBy("qid").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ===
+      Seq((1L, 2L), (2L, 0L)))
+    assert(r(0).getDouble(2) === 0.666667)
+    assert(r(1).getDouble(2) === 0.0)
+  }
+
+  test("recallAtK: rank filter restricts both sides to top-k") {
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("qid", "nid", "rank")
+    // approx found nid=11 but only at rank 3 — with k=2 it must not count
+    val approx = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3))
+      .toDF("qid", "nid", "rank")
+    val r = Eval.recallAtK(truth, approx, k = 2).collect()
+    assert(r.head.getLong(1) === 1L)
+    assert(r.head.getDouble(2) === 0.5)
+  }
+
+  // --- silhouette --------------------------------------------------------
+
+  /** All-pairs reference silhouette over the SAME ⌊x·10⁶⌋ quantized
+    * integers and squared Euclidean distance the operator uses. */
+  private def bruteSilhouette(pts: Seq[(Long, Int, Seq[Double])])
+      : Map[Long, Double] = {
+    val q = pts.map { case (id, cl, v) =>
+      (id, cl, v.map(x => math.floor(x * 1e6).toLong)) }
+    def d2(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).map { case (x, y) => ((x - y) * (x - y)).toDouble }.sum
+    q.map { case (id, cl, u) =>
+      val own = q.filter(p => p._2 == cl && p._1 != id)
+      val s = if (own.isEmpty) 0.0 else {
+        val a = own.map(p => d2(u, p._3)).sum / own.size
+        val b = q.map(_._2).distinct.filter(_ != cl).map { c =>
+          val m = q.filter(_._2 == c)
+          m.map(p => d2(u, p._3)).sum / m.size
+        }.min
+        if (math.max(a, b) <= 0.0) 0.0 else (b - a) / math.max(a, b)
+      }
+      id -> (math.rint(s * 1e6) / 1e6 + 0.0)
+    }.toMap
+  }
+
+  test("silhouette matches the all-pairs brute force on quantized ints") {
+    val pts = Seq(
+      (1L, 0, Seq(0.10, 0.20)), (2L, 0, Seq(0.12, 0.21)),
+      (3L, 0, Seq(0.09, 0.18)),
+      (4L, 1, Seq(0.90, 0.80)), (5L, 1, Seq(0.88, 0.83)),
+      (6L, 2, Seq(0.50, 0.52)), (7L, 2, Seq(0.47, 0.50)),
+      (8L, 2, Seq(0.51, 0.49)))
+    val df = pts.toDF("id", "cl", "v")
+      .select(col("id"), col("cl"), col("v").cast("array<float>").as("v"))
+    val got = Eval.silhouette(df, "id", "cl", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val want = bruteSilhouette(pts)
+    for ((id, w) <- want)
+      assert(math.abs(got(id) - w) < 2e-6, s"point $id: got ${got(id)}, want $w")
+  }
+
+  test("silhouette: singleton cluster scores 0; separated clusters near 1") {
+    val pts = Seq(
+      (1L, 0, Seq(0.0, 0.0)), (2L, 0, Seq(0.001, 0.0)),
+      (3L, 1, Seq(1.0, 1.0)), (4L, 1, Seq(0.999, 1.0)),
+      (5L, 2, Seq(0.5, 0.5))) // singleton
+    val df = pts.toDF("id", "cl", "v")
+      .select(col("id"), col("cl"), col("v").cast("array<float>").as("v"))
+    val got = Eval.silhouette(df, "id", "cl", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(5L) === 0.0)
+    for (id <- Seq(1L, 2L, 3L, 4L))
+      assert(got(id) > 0.99, s"tight separated point $id: ${got(id)}")
+  }
+
+  test("silhouette plan: corpus joins only the broadcast k-row stats grid") {
+    val df = Seq((1L, 0, Seq(0.1, 0.2)), (2L, 1, Seq(0.9, 0.8)))
+      .toDF("id", "cl", "v")
+      .select(col("id"), col("cl"), col("v").cast("array<float>").as("v"))
+    val p = Eval.silhouette(df, "id", "cl", "v")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "stats grid must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-sized shuffle join anywhere in silhouette")
+  }
+
+  // --- mmrSelect ---------------------------------------------------------
+
+  test("mmrSelect diversifies: near-duplicate of pick 1 is deferred") {
+    // q is closest to a and a2 (near-identical); plain top-3 would pick
+    // a, a2, b — MMR must interleave the diverse b before the near-dup a2.
+    val corpus = Seq(
+      (100L, Seq(1.0, 0.0)),          // a
+      (101L, Seq(0.9999, 0.0001)),    // a2 ~ a
+      (102L, Seq(0.72, 0.70)),        // b: diverse, still similar to q
+      (103L, Seq(-1.0, 0.2)))         // far
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val queries = Seq((1L, Seq(0.98, 0.05))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    // λ=0.5: a2 wins round 1 (cos 0.998711 vs a's 0.998706), then the
+    // ~1.0 penalty on a (0.5·0.99871−0.5·0.99995 < 0) defers it behind
+    // the diverse b (0.5·0.75157−0.5·0.71707 > 0); a returns at pick 3.
+    val picks = Eval.mmrSelect(corpus, queries, k = 3, m = 4, lambda = 0.5)
+      .orderBy("pick").collect().map(_.getLong(1)).toSeq
+    assert(picks === Seq(101L, 102L, 100L))
+  }
+
+  test("mmrSelect: pick 1 is the plain argmax, scores weakly decrease") {
+    val corpus = Seq(
+      (10L, Seq(0.3, 0.7)), (11L, Seq(0.5, 0.5)), (12L, Seq(0.9, 0.1)),
+      (13L, Seq(0.2, 0.2)), (14L, Seq(0.6, 0.35)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val queries = Seq((1L, Seq(0.55, 0.45))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val rows = Eval.mmrSelect(corpus, queries, k = 3, m = 5, lambda = 0.75)
+      .orderBy("pick").collect()
+    assert(rows.head.getLong(1) === 11L, "pick 1 = cosine argmax")
+    // λ·sim − (1−λ)·pen can only shrink as the selected set grows
+    val scores = rows.map(_.getDouble(3)).toSeq
+    assert(scores === scores.sorted.reverse, s"non-increasing: $scores")
+  }
+
+  // --- perplexityBuckets / bpeMergeCandidates ----------------------------
+
+  test("perplexityBuckets: per-language terciles, head outscores tail") {
+    val docs = (0 until 30).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      // vary repetitiveness so LM scores spread: low i → common bigrams
+      val w = (0 to 5).map(j => s"w${(i * (j + 1)) % (3 + i / 3)}")
+      (i.toLong, lang, w)
+    }.toDF("doc_id", "lang", "w")
+    val b = Corpus.perplexityBuckets(docs, "doc_id", "lang", "w")
+    val byLang = b.groupBy("lang", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (l <- Seq("en", "de"); bk <- Seq("head", "middle", "tail"))
+      assert(byLang((l, bk)) === 5L, s"$l/$bk tercile of 15")
+    val stats = b.groupBy("lang", "bucket").agg(avg("avg_logprob").as("m"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for (l <- Seq("en", "de"))
+      assert(stats((l, "head")) > stats((l, "tail")),
+        s"$l: head mean logprob must exceed tail")
+  }
+
+  test("bpeMergeCandidates: corpus-weighted pair counts, hand-checked") {
+    val docs = Seq("aab aab ab", "aab x").toDF("text")
+    // words: aab ×3, ab ×1, x ×1 (len<2 dropped)
+    // pairs: aa ← 3 (from aab), ab ← 3 (aab) + 1 (ab) = 4
+    val r = Corpus.bpeMergeCandidates(docs, "text", k = 10).collect()
+    val m = r.map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(m(("a", "b")) === 4L)
+    assert(m(("a", "a")) === 3L)
+    assert(r.head.getString(0) === "a" && r.head.getString(1) === "b",
+      "most frequent pair ranks first")
+  }
+
+  test("bpeMergeCandidates plan: explode runs over the vocab, not the corpus") {
+    val docs = Seq("aa bb", "aa cc").toDF("text")
+    val p = Corpus.bpeMergeCandidates(docs, "text", k = 5)
+      .queryExecution.optimizedPlan.toString
+    // the pair explode must sit ABOVE the word-frequency aggregate
+    // (vocab-sized input), not directly over the corpus scan
+    val genIdx = p.indexOf("Generate explode(transform(sequence")
+    val aggIdx = p.lastIndexOf("Aggregate")
+    assert(genIdx >= 0, s"pair explode present:\n$p")
+    assert(aggIdx > genIdx,
+      s"word-count aggregate must feed the pair explode:\n$p")
+  }
+}
