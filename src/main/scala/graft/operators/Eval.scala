@@ -116,6 +116,38 @@ object Eval {
         6) + lit(0.0)).as("sil"))
   }
 
+  /** Per-class precision / recall / F1 from a confusion-count
+    * relation (label, pred, n) — the classifier scorecard over
+    * [[Similarity.nearestCentroidConfusion]]'s exact integer counts.
+    * Classes come from the LABEL domain (support > 0 by
+    * construction); a class never predicted scores precision 0 by
+    * the usual convention, and F1 guards the 0/0 case to 0. The
+    * three integer marginals are class-count-sized aggregations of
+    * the (already tiny) confusion relation, so the report costs
+    * nothing at any corpus scale; the only doubles are the final
+    * divisions, reproducible to the bit. */
+  def classificationReport(conf: DataFrame): DataFrame = {
+    val support = conf.groupBy(col("label")).agg(sum(col("n")).as("support"))
+    val predTot = conf.groupBy(col("pred").as("label"))
+      .agg(sum(col("n")).as("predicted"))
+    val tp = conf.filter(col("label") === col("pred"))
+      .groupBy(col("label")).agg(sum(col("n")).as("tp"))
+    val p = col("tp").cast("double") / col("predicted").cast("double")
+    val r = col("tp").cast("double") / col("support").cast("double")
+    support
+      .join(predTot, Seq("label"), "left")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"), col("support"),
+        coalesce(col("predicted"), lit(0L)).as("predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("label"), col("support"), col("predicted"), col("tp"),
+        (round(when(col("predicted") === 0, lit(0.0)).otherwise(p), 6)
+          + lit(0.0)).as("precision"),
+        (round(r, 6) + lit(0.0)).as("recall"),
+        (round(when(col("predicted") === 0 || col("tp") === 0, lit(0.0))
+          .otherwise(lit(2.0) * p * r / (p + r)), 6) + lit(0.0)).as("f1"))
+  }
+
   /** Maximal Marginal Relevance (Carbonell & Goldstein 1998):
     * greedily pick k results per query maximizing
     *   λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s)

@@ -696,6 +696,51 @@ object Graph {
     lab
   }
 
+  /** Newman modularity of a community assignment, per community —
+    * the quality score for [[labelPropagation]] (is this partition
+    * better than random?):
+    *   Q_c = L_c/m − (d_c / 2m)²,   Q = Σ_c Q_c
+    * with m the undirected edge count, L_c the intra-community edge
+    * count and d_c the community's total degree. Every statistic is
+    * an exact integer from TWO community-keyed aggregations (the
+    * edge relation tagged with both endpoint labels); the only
+    * doubles are the two final divisions, so the score is
+    * reproducible to the bit across engines and partitionings —
+    * never an all-pairs or per-node iteration.
+    *
+    * Output: (comm, n_nodes, l_intra, d_tot, q6) sorted by comm;
+    * Σ q6 is the graph's modularity (≈0 random, >0.3 strong). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame): DataFrame = {
+    val e = undirect(edges, srcCol, dstCol)
+    val tagged = e
+      .join(labels.toDF("u", "cu"), "u")
+      .join(labels.toDF("v", "cv"), "v")
+    val m = e.agg(count(lit(1)).as("m"))
+    val intra = tagged.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("comm")).agg(count(lit(1)).as("l_intra"))
+    // each edge adds 1 to each ENDPOINT's community degree mass
+    val deg = tagged.select(col("cu").as("comm"))
+      .unionAll(tagged.select(col("cv").as("comm")))
+      .groupBy(col("comm")).agg(count(lit(1)).as("d_tot"))
+    val nodes = labels.groupBy(col("label").as("comm"))
+      .agg(count(lit(1)).as("n_nodes"))
+    nodes
+      .join(deg, Seq("comm"), "left")
+      .join(intra, Seq("comm"), "left")
+      .crossJoin(broadcast(m)) // 1-row scalar
+      .select(col("comm"), col("n_nodes"),
+        coalesce(col("l_intra"), lit(0L)).as("l_intra"),
+        coalesce(col("d_tot"), lit(0L)).as("d_tot"),
+        (round(
+          coalesce(col("l_intra"), lit(0L)).cast("double") /
+            col("m").cast("double") -
+          (coalesce(col("d_tot"), lit(0L)).cast("double") /
+            (lit(2L) * col("m")).cast("double")) *
+          (coalesce(col("d_tot"), lit(0L)).cast("double") /
+            (lit(2L) * col("m")).cast("double")), 6) + lit(0.0)).as("q6"))
+  }
+
   /** Canonical undirected edge set: self-loops dropped, (u, v) with
     * u < v, duplicates and reversals collapsed. One exchange. */
   private def undirect(edges: DataFrame, srcCol: String,

@@ -213,6 +213,42 @@ object Search {
       .select(col("doc_id"), col("rank"), col("term"), col("score6"))
   }
 
+  /** Class-based TF-IDF (Grootendorst 2022's c-TF-IDF, the BERTopic
+    * topic-description kernel): treat each CLASS as one concatenated
+    * document and score term t in class c by
+    *   tf(t, c) · ln(1 + A / f(t)),
+    * A = average token count per class, f(t) = corpus frequency of t
+    * — the "which words characterize this source/cluster" pass a
+    * curation pipeline runs per domain or per dedup cluster. All
+    * counts are exact integers; A/f and the ln are the only doubles,
+    * and scores round to 6 BEFORE ranking (the round-before-rank
+    * convention; ties break on the term).
+    *
+    * Plan shape: one (class, term) aggregation over the token stream
+    * (map-side combined), a vocabulary-sized marginal read off that
+    * table, two broadcast 1-row scalars, and the per-class top-k on
+    * the TopKPerGroup heap. Nothing corpus-quadratic. */
+  def cTfIdfTopTerms(docs: DataFrame, classCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = docs
+      .select(col(classCol).as("class"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("class"), col("term")).agg(count(lit(1)).as("tf"))
+    val ft = tf.groupBy(col("term")).agg(sum(col("tf")).as("ft"))
+    val avgA = tf.agg((sum(col("tf")).cast("double") /
+      countDistinct(col("class")).cast("double")).as("_a"))
+    val scored = tf.join(ft, "term")
+      .crossJoin(broadcast(avgA)) // 1-row corpus scalar
+      .select(col("class"), col("term"), col("tf"),
+        round(col("tf").cast("double") *
+          log(lit(1.0) + col("_a") / col("ft").cast("double")), 6)
+          .as("score6"))
+    graft.plans.TopKPerGroup.topKSorted(scored, Seq("class"),
+        Seq("score6" -> false, "term" -> true), k, "rank")
+      .select(col("class"), col("rank"), col("term"), col("tf"),
+        col("score6"))
+  }
+
   /** Pointwise-mutual-information collocations (Church & Hanks 1990):
     * the corpus's top-k most-associated adjacent word pairs,
     *   pmi = ln( N · c(w1,w2) / (c(w1,·) · c(·,w2)) ),

@@ -2410,4 +2410,86 @@ object LlmQueries {
       |SELECT p1, p2, CAST(sum(wc) AS BIGINT) AS pair_count
       |FROM p GROUP BY 1, 2
       |ORDER BY pair_count DESC, p1, p2 LIMIT 20""".stripMargin
+
+  /** c-TF-IDF top-5 distinctive terms per source
+    * ([[graft.operators.Search.cTfIdfTopTerms]], the BERTopic
+    * topic-description kernel): which words characterize each
+    * source's documents, from one (class, term) aggregation + a
+    * vocabulary marginal — the per-domain corpus-understanding pass.
+    * Scores round to 6 before ranking; ties break on the term. */
+  def qCtfidf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Search.cTfIdfTopTerms(
+        Tables.documents(s, dir), "source", "text", k = 5)
+      .orderBy(col("class"), col("rank"))
+
+  val qCtfidfSql: String =
+    """WITH w AS (SELECT source AS class,
+      |    unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT class, term, count(*) AS tf FROM w GROUP BY 1, 2),
+      |ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1),
+      |aa AS (SELECT CAST(sum(tf) AS DOUBLE)
+      |    / count(DISTINCT class) AS a FROM tf),
+      |sc AS (SELECT tf.class, tf.term, tf.tf,
+      |    round(CAST(tf.tf AS DOUBLE) * ln(1.0 + a / CAST(ft AS DOUBLE)),
+      |      6) AS score6
+      |  FROM tf JOIN ft USING (term) CROSS JOIN aa),
+      |r AS (SELECT class, term, tf, score6,
+      |    CAST(row_number() OVER (PARTITION BY class
+      |      ORDER BY score6 DESC, term) AS INT) AS rank
+      |  FROM sc)
+      |SELECT class, rank, term, tf, score6 FROM r WHERE rank <= 5
+      |ORDER BY class, rank""".stripMargin
+
+  /** Per-label precision / recall / F1 of the nearest-centroid
+    * classifier ([[graft.operators.Eval.classificationReport]] over
+    * the gated q_centroid_classify confusion counts): the scorecard
+    * derived entirely from exact integers — only the final divisions
+    * are doubles, so the gate hash-checks every metric. */
+  def qClassifyF1(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.classificationReport(
+        graft.operators.Similarity.nearestCentroidConfusion(
+          Tables.embeddings(s, dir), "vec_id", "label", "embedding"))
+      .orderBy(col("label"))
+
+  val qClassifyF1Sql: String =
+    """WITH m AS (SELECT vec_id, label, i AS p,
+      |    CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1e6) AS BIGINT)
+      |      AS v
+      |  FROM embeddings, unnest(range(len(embedding))) AS t(i)),
+      |cent AS (SELECT label AS cl, p,
+      |    CAST(FLOOR(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |  FROM m GROUP BY label, p),
+      |dist AS (SELECT m.vec_id, m.label, cent.cl,
+      |    CAST(sum((m.v - cent.cv) * (m.v - cent.cv)) AS BIGINT) AS d
+      |  FROM m JOIN cent ON m.p = cent.p
+      |  GROUP BY m.vec_id, m.label, cent.cl),
+      |best AS (SELECT vec_id, label, cl,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rk
+      |  FROM dist),
+      |conf AS (SELECT label, cl AS pred, count(*) AS n
+      |  FROM best WHERE rk = 1 GROUP BY label, cl),
+      |sup AS (SELECT label, CAST(sum(n) AS BIGINT) AS support
+      |  FROM conf GROUP BY 1),
+      |pt AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS predicted
+      |  FROM conf GROUP BY 1),
+      |tp AS (SELECT label, CAST(sum(n) AS BIGINT) AS tp
+      |  FROM conf WHERE label = pred GROUP BY 1),
+      |j AS (SELECT s.label, s.support,
+      |    coalesce(pt.predicted, 0) AS predicted,
+      |    coalesce(tp.tp, 0) AS tp
+      |  FROM sup s LEFT JOIN pt ON pt.label = s.label
+      |    LEFT JOIN tp ON tp.label = s.label)
+      |SELECT label, support, predicted, tp,
+      |  round(CASE WHEN predicted = 0 THEN 0.0
+      |    ELSE CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE) END, 6)
+      |    + 0.0 AS precision,
+      |  round(CAST(tp AS DOUBLE) / CAST(support AS DOUBLE), 6)
+      |    + 0.0 AS recall,
+      |  round(CASE WHEN predicted = 0 OR tp = 0 THEN 0.0
+      |    ELSE 2.0 * (CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE))
+      |      * (CAST(tp AS DOUBLE) / CAST(support AS DOUBLE))
+      |      / (CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE)
+      |        + CAST(tp AS DOUBLE) / CAST(support AS DOUBLE)) END, 6)
+      |    + 0.0 AS f1
+      |FROM j ORDER BY label""".stripMargin
 }

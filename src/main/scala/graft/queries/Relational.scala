@@ -1229,6 +1229,64 @@ object Relational {
       |SELECT a AS id, label FROM r2 WHERE rk = 1
       |ORDER BY id""".stripMargin
 
+  /** Newman modularity of the gated label-propagation communities
+    * ([[graft.operators.Graph.modularity]]): per-community
+    * (n_nodes, l_intra, d_tot, q6) from exact integer sufficient
+    * statistics — the "was that clustering any good" score, gated on
+    * the same events graph as q_communities. The oracle replays the
+    * two propagation sweeps verbatim, then the same two
+    * community-keyed aggregations. */
+  def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.events(s, dir)
+      .select((col("event_id") % 997).as("src"),
+        ((col("event_id") * 7919 + 13) % 997).as("dst"))
+    val labels = graft.operators.Graph.labelPropagation(
+      edges, "src", "dst", sweeps = 2)
+    graft.operators.Graph.modularity(edges, "src", "dst", labels)
+      .orderBy(col("comm"))
+  }
+
+  val qModularitySql: String =
+    """WITH raw AS (SELECT event_id % 997 AS a,
+      |    (event_id * 7919 + 13) % 997 AS b FROM events),
+      |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |  FROM raw WHERE a <> b),
+      |bi AS (SELECT u AS a, v AS b FROM e
+      |  UNION ALL SELECT v AS a, u AS b FROM e),
+      |l0 AS (SELECT DISTINCT a AS id, a AS label FROM bi),
+      |c1 AS (SELECT bi.a, l0.label, count(*) AS c
+      |  FROM bi JOIN l0 ON bi.b = l0.id GROUP BY bi.a, l0.label),
+      |r1 AS (SELECT a, label,
+      |    row_number() OVER (PARTITION BY a ORDER BY c DESC, label) AS rk
+      |  FROM c1),
+      |l1 AS (SELECT a AS id, label FROM r1 WHERE rk = 1),
+      |c2 AS (SELECT bi.a, l1.label, count(*) AS c
+      |  FROM bi JOIN l1 ON bi.b = l1.id GROUP BY bi.a, l1.label),
+      |r2 AS (SELECT a, label,
+      |    row_number() OVER (PARTITION BY a ORDER BY c DESC, label) AS rk
+      |  FROM c2),
+      |lab AS (SELECT a AS id, label FROM r2 WHERE rk = 1),
+      |ec AS (SELECT e.u, e.v, lu.label AS cu, lv.label AS cv
+      |  FROM e JOIN lab lu ON lu.id = e.u JOIN lab lv ON lv.id = e.v),
+      |mm AS (SELECT count(*) AS m FROM e),
+      |intra AS (SELECT cu AS comm, count(*) AS l_intra FROM ec
+      |  WHERE cu = cv GROUP BY 1),
+      |deg AS (SELECT comm, count(*) AS d_tot FROM (
+      |    SELECT cu AS comm FROM ec UNION ALL SELECT cv FROM ec)
+      |  GROUP BY 1),
+      |nodes AS (SELECT label AS comm, count(*) AS n_nodes FROM lab
+      |  GROUP BY 1)
+      |SELECT n.comm, n.n_nodes,
+      |  coalesce(i.l_intra, 0) AS l_intra,
+      |  coalesce(d.d_tot, 0) AS d_tot,
+      |  round(CAST(coalesce(i.l_intra, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+      |    - (CAST(coalesce(d.d_tot, 0) AS DOUBLE) / CAST(2 * m AS DOUBLE))
+      |    * (CAST(coalesce(d.d_tot, 0) AS DOUBLE) / CAST(2 * m AS DOUBLE)),
+      |    6) + 0.0 AS q6
+      |FROM nodes n LEFT JOIN deg d ON d.comm = n.comm
+      |  LEFT JOIN intra i ON i.comm = n.comm CROSS JOIN mm
+      |ORDER BY n.comm""".stripMargin
+
   /** Categorical drift between the even- and odd-event_id halves of
     * the stream over the 100-value props column
     * ([[graft.operators.Profile.categoryDrift]]): exact

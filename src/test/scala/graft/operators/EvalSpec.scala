@@ -41,6 +41,32 @@ class EvalSpec extends SparkSpec {
     assert(r.head.getDouble(2) === 0.5)
   }
 
+  // --- classificationReport ----------------------------------------------
+
+  test("classificationReport: hand-checked precision/recall/F1") {
+    val conf = Seq((0, 0, 8L), (0, 1, 2L), (1, 1, 9L), (1, 0, 1L),
+      (2, 2, 5L)).toDF("label", "pred", "n")
+    val r = Eval.classificationReport(conf).orderBy("label").collect()
+    // label 0: support 10, predicted 9, tp 8
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) ===
+      ((10L, 9L, 8L)))
+    assert(r(0).getDouble(4) === 0.888889) // 8/9
+    assert(r(0).getDouble(5) === 0.8)
+    assert(r(0).getDouble(6) === 0.842105) // 2pr/(p+r)
+    // label 2: perfect
+    assert((r(2).getDouble(4), r(2).getDouble(5), r(2).getDouble(6)) ===
+      ((1.0, 1.0, 1.0)))
+  }
+
+  test("classificationReport: never-predicted class scores 0 without NaN") {
+    val conf = Seq((0, 1, 5L), (1, 1, 5L)).toDF("label", "pred", "n")
+    val r = Eval.classificationReport(conf).orderBy("label").collect()
+    assert((r(0).getLong(2), r(0).getDouble(4), r(0).getDouble(5),
+      r(0).getDouble(6)) === ((0L, 0.0, 0.0, 0.0)))
+    assert((r(1).getDouble(4), r(1).getDouble(5)) === ((0.5, 1.0)))
+    assert(r(1).getDouble(6) === 0.666667)
+  }
+
   // --- silhouette --------------------------------------------------------
 
   /** All-pairs reference silhouette over the SAME ⌊x·10⁶⌋ quantized

@@ -486,4 +486,47 @@ class GraphSpec extends SparkSpec {
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r === Map(1L -> 0L, 2L -> 0L))
   }
+
+  test("modularity: two bridged triangles, hand-computed Q per community") {
+    val s = spark
+    import s.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by the bridge 3–4; m = 7
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("s", "d")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("id", "label")
+    val r = Graph.modularity(edges, "s", "d", labels)
+      .orderBy("comm").collect()
+    // each triangle: L_c = 3, d_c = 7 (six triangle ends + one bridge end)
+    // Q_c = 3/7 − (7/14)² = 0.428571 − 0.25 = 0.178571
+    for (row <- r) {
+      assert(row.getLong(1) === 3L)          // n_nodes
+      assert(row.getLong(2) === 3L)          // l_intra
+      assert(row.getLong(3) === 7L)          // d_tot
+      assert(row.getDouble(4) === 0.178571)  // q6
+    }
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 4L))
+  }
+
+  test("modularity: the whole graph as one community scores exactly 0") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d")
+    val labels = Seq(1L, 2L, 3L, 4L).map(i => (i, 0L)).toDF("id", "label")
+    val r = Graph.modularity(edges, "s", "d", labels).collect()
+    assert(r.length === 1)
+    assert(r.head.getDouble(4) === 0.0) // L/m = 1, (d/2m)² = 1
+  }
+
+  test("modularity: duplicate/reversed edges collapse before the stats") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)).toDF("s", "d")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "label")
+    val r = Graph.modularity(edges, "s", "d", labels)
+      .orderBy("comm").collect()
+    // canonical edges: (1,2), (2,3) → m = 2; comm 1: L=1, d=3
+    assert(r.map(x => (x.getLong(0), x.getLong(2), x.getLong(3))).toSeq ===
+      Seq((1L, 1L, 3L), (3L, 0L, 1L)))
+  }
 }

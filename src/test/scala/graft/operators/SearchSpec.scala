@@ -259,4 +259,32 @@ class SearchSpec extends SparkSpec {
     assert(perDoc.size === 30)
     assert(perDoc.values.forall(_ <= 3))
   }
+
+  test("cTfIdfTopTerms: hand-checked score, distinctive terms rank first") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(("A", "x x y"), ("B", "y z")).toDF("cls", "text")
+    val r = Search.cTfIdfTopTerms(docs, "cls", "text", k = 3)
+      .collect()
+      .map(x => (x.getString(0), x.getString(2)) ->
+        (x.getInt(1), x.getLong(3), x.getDouble(4))).toMap
+    // totals: 5 tokens, 2 classes → A = 2.5; f: x=2, y=2, z=1
+    // score(A, x) = 2·ln(1 + 2.5/2) = 2·ln(2.25) = 1.62186
+    assert(r(("A", "x")) === ((1, 2L, 1.62186)))
+    // score(B, z) = 1·ln(1 + 2.5) = 1.252763
+    assert(r(("B", "z")) === ((1, 1L, 1.252763)))
+    // the shared term y scores ln(2.25) ≈ 0.810930 in both classes
+    assert(r(("A", "y"))._3 === 0.81093)
+    assert(r(("B", "y"))._1 === 2)
+  }
+
+  test("cTfIdfTopTerms: k bounds the per-class list, rank dense from 1") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(("A", "a b c d e"), ("B", "f g")).toDF("cls", "text")
+    val rows = Search.cTfIdfTopTerms(docs, "cls", "text", k = 2).collect()
+    val byClass = rows.groupBy(_.getString(0))
+    assert(byClass("A").map(_.getInt(1)).sorted.toSeq === Seq(1, 2))
+    assert(byClass("B").map(_.getInt(1)).sorted.toSeq === Seq(1, 2))
+  }
 }
