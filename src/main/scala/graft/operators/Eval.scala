@@ -172,27 +172,44 @@ object Eval {
       lambda: Double): DataFrame = {
     // shortlist ranks come from the heap operator (which emits ranks,
     // not scores); sim is recomputed on the (queries × m)-sized
-    // shortlist only — the corpus is scanned exactly once, inside
-    // bruteForceTopK
+    // shortlist only. The shortlist is lineage-CUT before the loop:
+    // every greedy round references it twice, so without the cut the
+    // final plan would re-expand the corpus-scanning retrieval ~2k
+    // times (measured 40 s → ~1 s at sf0.1). The pinned blocks are
+    // (queries × m) rows — released when the session drops the RDD.
     val c = corpus.toDF("cnid", "ce")
     val qv = queries.toDF("qqid", "qe")
-    val short = Similarity.bruteForceTopK(corpus, queries, m)
-      .join(c, col("nid") === col("cnid"))
-      .join(broadcast(qv), col("qid") === col("qqid"))
-      .select(col("qid"), col("nid"),
-        Similarity.cosine(col("qe"), col("ce")).as("sim"),
-        col("ce").as("e"))
+    val (short, _) = Graph.localCut(
+      Similarity.bruteForceTopK(corpus, queries, m)
+        .join(c, col("nid") === col("cnid"))
+        .join(broadcast(qv), col("qid") === col("qqid"))
+        .select(col("qid"), col("nid"),
+          Similarity.cosine(col("qe"), col("ce")).as("sim"),
+          col("ce").as("e")))
 
     val lam = lit(lambda)
     val byScore = Window.partitionBy(col("qid"))
       .orderBy(col("mmr").desc, col("nid"))
 
-    var selected = short
+    // each round references the selected set three times (anti-join,
+    // penalty join, union) — cut per round or the final plan grows
+    // ~3^k copies of round 1 (the labelPropagation round discipline,
+    // ≤ queries×k pinned rows, superseded pins released)
+    var pinned: Option[org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.catalyst.InternalRow]] = None
+    def cut(df: DataFrame): DataFrame = {
+      val (cutDf, rdd) = Graph.localCut(df)
+      pinned.foreach(_.unpersist(blocking = false))
+      pinned = Some(rdd)
+      cutDf
+    }
+
+    var selected = cut(short
       .withColumn("mmr", lam * col("sim"))
       .withColumn("rn", row_number().over(byScore))
       .filter(col("rn") === 1)
       .select(col("qid"), col("nid"), col("e"), lit(1).as("pick"),
-        col("mmr"))
+        col("mmr")))
 
     for (t <- 2 to k) {
       val sel = selected.select(col("qid").as("sqid"), col("nid").as("snid"),
@@ -209,7 +226,7 @@ object Eval {
         .filter(col("rn") === 1)
         .select(col("qid"), col("nid"), col("e"), lit(t).as("pick"),
           col("mmr"))
-      selected = selected.unionAll(next)
+      selected = cut(selected.unionAll(next))
     }
     selected.select(col("qid"), col("nid"), col("pick"),
       (round(col("mmr"), 6) + lit(0.0)).as("mmr"))
