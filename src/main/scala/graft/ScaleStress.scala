@@ -292,7 +292,23 @@ object ScaleStress {
       // and its two-stage retrieval (fixed probes × 10x corpus: the
       // projected-shortlist join is the linear term, the exact re-rank
       // touches m·|queries| rows at any scale)
-      "q_random_proj", "q_ann_proj")
+      "q_random_proj", "q_ann_proj",
+      // round 15 session 2 — the evaluation shelf: recall@3 composes
+      // the exact + IVF retrievals (fixed probes × 10x corpus, both
+      // corpus-linear scans); MMR adds k=5 greedy rounds over the
+      // lineage-cut (probes × m) shortlist — constant after the
+      // shortlist retrieval; silhouette = one quantize scan + a
+      // (cluster, pos) agg + k-row broadcast (linear); classify-F1
+      // rides the centroid-classify scans + a classes-sized report;
+      // modularity = 2 LPA sweeps + two community-keyed aggs over the
+      // saturated 997-node id-mod graph (sub-linear like communities)
+      "q_ann_recall", "q_mmr", "q_silhouette", "q_classify_f1",
+      "q_modularity",
+      // ccnet buckets = the perplexity chain (vocab 10x worst-case by
+      // the word-suffix construction) + ONE per-lang two-column ntile
+      // window; bpe pairs / c-tf-idf = token-stream agg + vocab-sized
+      // explode/marginal (vocab 10x)
+      "q_ccnet_buckets", "q_bpe_pairs", "q_ctfidf")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)
