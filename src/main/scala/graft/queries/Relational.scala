@@ -369,6 +369,88 @@ object Relational {
       |WHERE round(jaro_winkler_similarity(na, nb), 6) >= 0.95
       |ORDER BY rec_a, rec_b""".stripMargin
 
+  /** Record-linkage scorecard: precision / recall / F1 of the gated
+    * SNM + Jaro-Winkler pipeline against the PLANTED twin truth (every
+    * base record has exactly one dirty copy at rec_id + max_key, so
+    * ground truth is replayable SQL, not annotation). tp = predicted
+    * pairs that are twins; the scorecard is one row of exact integers
+    * + three final divisions — the linkage-threshold tuning loop,
+    * gated end to end. Eval cost: the linkage itself plus a
+    * pairs-sized aggregation.
+    *
+    * The scorecard on this corpus (sf0.1: recall 1.0, precision
+    * 0.086) is itself the lesson the gate teaches: on low-entropy
+    * keys like "Customer#000000xxx", JW ≥ 0.95 accepts thousands of
+    * near-identical NON-twins — the fixture where threshold tuning
+    * (or a second blocking feature) earns its keep. */
+  def qLinkageEval(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select(
+      col("c_custkey").cast("long").as("rec_id"),
+      when(col("c_custkey") % 7 === 0,
+        concat(lit("Cüstömer#"), substring(col("c_name"), 10, 1000000)))
+        .otherwise(col("c_name")).as("name"))
+    val mx = base.agg(max(col("rec_id")).as("_mx"),
+      count(lit(1)).as("n_truth"))
+    val dirty = base.crossJoin(broadcast(mx)) // 1-row scalar
+      .select((col("rec_id") + col("_mx")).as("rec_id"),
+        concat(substring(col("name"), 1, 9),
+          substring(col("name"), 11, 1000000)).as("name"))
+    val pred = graft.operators.Fuzzy.snmLinkage(base.unionByName(dirty),
+      "rec_id", "name", window = 10, threshold = 0.95,
+      sortKey = Some(reverse(col("name"))))
+    val p = col("tp").cast("double") / col("n_pred").cast("double")
+    val r = col("tp").cast("double") / col("n_truth").cast("double")
+    pred.crossJoin(broadcast(mx)) // 1-row scalar
+      .agg(count(lit(1)).as("n_pred"),
+        sum(when(col("rec_b") === col("rec_a") + col("_mx"), 1L)
+          .otherwise(0L)).as("tp"),
+        max(col("n_truth")).as("n_truth"))
+      .select(col("n_truth"), col("n_pred"), col("tp"),
+        (round(p, 6) + lit(0.0)).as("precision"),
+        (round(r, 6) + lit(0.0)).as("recall"),
+        (round(lit(2.0) * p * r / (p + r), 6) + lit(0.0)).as("f1"))
+  }
+
+  val qLinkageEvalSql: String =
+    """WITH mx AS (SELECT max(c_custkey) AS m,
+      |    CAST(count(*) AS BIGINT) AS n_truth FROM customer),
+      |base AS (
+      |  SELECT c_custkey AS rec_id,
+      |    CASE WHEN c_custkey % 7 = 0
+      |         THEN 'Cüstömer#' || substr(c_name, 10)
+      |         ELSE c_name END AS name
+      |  FROM customer),
+      |recs AS (
+      |  SELECT rec_id, name FROM base
+      |  UNION ALL
+      |  SELECT rec_id + m, substr(name, 1, 9) || substr(name, 11)
+      |  FROM base, mx),
+      |r AS (SELECT rec_id, name,
+      |        row_number() OVER (ORDER BY substr(reverse(name), 1, 16),
+      |          rec_id) AS rn
+      |      FROM recs),
+      |cand AS (SELECT a.rec_id AS ra, a.name AS na,
+      |               b.rec_id AS rb, b.name AS nb
+      |         FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 10),
+      |pred AS (SELECT least(ra, rb) AS rec_a, greatest(ra, rb) AS rec_b
+      |  FROM cand
+      |  WHERE round(jaro_winkler_similarity(na, nb), 6) >= 0.95),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pred,
+      |    CAST(sum(CASE WHEN rec_b = rec_a + m THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tp,
+      |    max(n_truth) AS n_truth
+      |  FROM pred, mx)
+      |SELECT n_truth, n_pred, tp,
+      |  round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) + 0.0
+      |    AS precision,
+      |  round(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) + 0.0
+      |    AS recall,
+      |  round(2.0 * (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+      |    * (CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE))
+      |    / (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+      |      + CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)), 6) + 0.0 AS f1
+      |FROM agg""".stripMargin
+
   /** Bloom-prefiltered semi-join under the driver gate: orders of a
     * filtered customer subset, executed through
     * [[graft.operators.Skew.bloomSemiJoin]] — the dimension's keys

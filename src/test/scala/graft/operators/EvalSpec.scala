@@ -133,6 +133,59 @@ class EvalSpec extends SparkSpec {
       "no corpus-sized shuffle join anywhere in silhouette")
   }
 
+  // --- LSH banding S-curve -------------------------------------------------
+
+  test("LSH banding: empirical candidate recall tracks 1-(1-J^4)^16") {
+    // planted pairs at controlled shingle-Jaccard: doc and twin share
+    // the first s of 42 words (tails pair-unique), so both have 40
+    // trigram shingles of which s-2 are shared → J = (s-2)/(82-s)
+    val n = 42
+    val sVals = Seq(10, 20, 28, 34, 38, 40)
+    val pairsPerS = 25
+    val docs = (for {
+      s <- sVals; i <- 0 until pairsPerS
+      side <- Seq("a", "b")
+    } yield {
+      val pid = s * 1000 + i
+      val shared = (0 until s).map(j => s"w${pid}_$j")
+      val tail = (s until n).map(j => s"$side${pid}_$j")
+      val id = pid.toLong * 10 + (if (side == "a") 0 else 1)
+      (id, (shared ++ tail).mkString(" "))
+    }).toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"),
+        graft.functions.NativeText.minhashSig(
+          split(col("text"), " "), 3).as("sig"))
+      .where(size(col("sig")) > 0)
+    val cands = TextDedup.lshCandidates(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hitRate(s: Int): Double = {
+      val hits = (0 until pairsPerS).count { i =>
+        val a = (s * 1000 + i).toLong * 10
+        cands.contains((a, a + 1))
+      }
+      hits.toDouble / pairsPerS
+    }
+    def analytic(s: Int): Double = {
+      val j = (s - 2).toDouble / (82 - s)
+      1.0 - math.pow(1.0 - math.pow(j, 4), 16)
+    }
+    // high end: J≈0.90/0.82 → analytic ≈ 1.0 — must be found
+    assert(hitRate(40) >= 0.95, s"J=0.905: ${hitRate(40)}")
+    assert(hitRate(38) >= 0.9, s"J=0.818: ${hitRate(38)}")
+    // low end: J≈0.11 → analytic ≈ 0.002 — must (almost) never collide
+    assert(hitRate(10) <= 0.2, s"J=0.111: ${hitRate(10)}")
+    // the curve is monotone in J (allow one-step sampling wiggle)
+    val rates = sVals.map(hitRate)
+    rates.sliding(2).zip(sVals.sliding(2)).foreach { case (Seq(lo, hi), Seq(sl, sh)) =>
+      assert(hi >= lo - 0.2, s"s=$sl→$sh: $lo → $hi not ~monotone")
+    }
+    // mid-curve agreement with the analytic band curve within binomial
+    // noise (25 pairs → σ ≈ 0.1)
+    for (s <- Seq(28, 34))
+      assert(math.abs(hitRate(s) - analytic(s)) <= 0.3,
+        s"s=$s: empirical ${hitRate(s)} vs analytic ${analytic(s)}")
+  }
+
   // --- mmrSelect ---------------------------------------------------------
 
   test("mmrSelect diversifies: near-duplicate of pick 1 is deferred") {
