@@ -148,6 +148,65 @@ object Eval {
           .otherwise(lit(2.0) * p * r / (p + r)), 6) + lit(0.0)).as("f1"))
   }
 
+  /** Multinomial Naive Bayes text classifier, trained and scored on
+    * the labeled corpus, reported as a confusion matrix — the trained
+    * counterpart of the stopword-profile language ID and the text
+    * twin of [[Similarity.nearestCentroidConfusion]] (in-sample, the
+    * standard separability smoke eval). Add-one smoothing:
+    *   score(d, c) = ln P(c) + Σ_{w∈d} ln (n_{w,c}+1)/(n_c+|V|)
+    * with every log term quantized to integer NANO-NATS before the
+    * sum (the q_entropy discipline) — sums are order-free exact
+    * BIGINTs, so the argmax and the whole confusion matrix are
+    * reproducible across engines and partitionings.
+    *
+    * Plan: (class, word) counts (one token-stream aggregation,
+    * map-side combined), a DENSE vocab × classes log-prob table
+    * (vocab-sized — classes is a small broadcast grid), the scoring
+    * join keyed on the word (tokens × |C| rows, the inherent NB
+    * scoring cost), one (doc, class) sum and a per-doc argmax
+    * window. Nothing corpus-quadratic. */
+  def naiveBayesConfusion(docs: DataFrame, idCol: String,
+      classCol: String, wordsCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol).as("_id"),
+      col(classCol).as("_true"), explode(col(wordsCol)).as("_w"))
+    val wc = tokens.groupBy(col("_true").as("_cl"), col("_w"))
+      .agg(count(lit(1)).as("_cnt"))
+    val tot = wc.groupBy(col("_cl")).agg(sum(col("_cnt")).as("_tot"))
+    val vocab = tokens.select(col("_w")).distinct()
+    val vs = vocab.agg(count(lit(1)).as("_v"))
+    val cls = docs.groupBy(col(classCol).as("_cl"))
+      .agg(count(lit(1)).as("_dc"))
+    val dn = docs.agg(count(lit(1)).as("_dn"))
+
+    val lp = vocab
+      .crossJoin(broadcast(cls.select(col("_cl"))))
+      .join(wc, Seq("_w", "_cl"), "left")
+      .join(broadcast(tot), Seq("_cl"))
+      .crossJoin(broadcast(vs)) // 1-row scalar
+      .select(col("_w"), col("_cl"),
+        round(log(
+          (coalesce(col("_cnt"), lit(0L)) + lit(1L)).cast("double") /
+            (col("_tot") + col("_v")).cast("double")) * lit(1e9))
+          .cast("long").as("_t9"))
+    val pri = cls.crossJoin(broadcast(dn))
+      .select(col("_cl"),
+        round(log(col("_dc").cast("double") / col("_dn").cast("double"))
+          * lit(1e9)).cast("long").as("_p9"))
+
+    val scored = tokens.join(lp, Seq("_w"))
+      .groupBy(col("_id"), col("_true"), col("_cl"))
+      .agg(sum(col("_t9")).as("_s9"))
+      .join(broadcast(pri), Seq("_cl"))
+      .select(col("_id"), col("_true"), col("_cl"),
+        (col("_s9") + col("_p9")).as("_score"))
+    val best = scored
+      .withColumn("_rk", row_number().over(Window.partitionBy(col("_id"))
+        .orderBy(col("_score").desc, col("_cl"))))
+      .filter(col("_rk") === 1)
+    best.groupBy(col("_true").as("label"), col("_cl").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Maximal Marginal Relevance (Carbonell & Goldstein 1998):
     * greedily pick k results per query maximizing
     *   λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s)

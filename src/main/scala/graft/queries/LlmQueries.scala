@@ -2411,6 +2411,52 @@ object LlmQueries {
       |FROM p GROUP BY 1, 2
       |ORDER BY pair_count DESC, p1, p2 LIMIT 20""".stripMargin
 
+  /** Trained multinomial Naive Bayes language classifier
+    * ([[graft.operators.Eval.naiveBayesConfusion]]) — train-on-corpus,
+    * add-one smoothing, every log term quantized to integer nano-nats
+    * before the order-free exact sum: the TRAINED counterpart of the
+    * heuristic q_lang_id, reported as the lang × pred confusion
+    * matrix, fully hash-gated. */
+  def qNbLang(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.naiveBayesConfusion(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            split(col("text"), " ").as("w")),
+        "doc_id", "lang", "w")
+      .orderBy(col("label"), col("pred"))
+
+  val qNbLangSql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |    unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT lang AS cl, w, count(*) AS cnt FROM t GROUP BY 1, 2),
+      |tot AS (SELECT cl, CAST(sum(cnt) AS BIGINT) AS tot FROM wc
+      |  GROUP BY 1),
+      |vocab AS (SELECT DISTINCT w FROM t),
+      |vs AS (SELECT count(*) AS v FROM vocab),
+      |cls AS (SELECT lang AS cl, count(*) AS dc FROM documents
+      |  GROUP BY 1),
+      |dn AS (SELECT count(*) AS dn FROM documents),
+      |lp AS (SELECT vocab.w, cls.cl,
+      |    CAST(round(ln(
+      |      CAST(coalesce(wc.cnt, 0) + 1 AS DOUBLE)
+      |      / CAST(tot.tot + vs.v AS DOUBLE)) * 1e9) AS BIGINT) AS t9
+      |  FROM vocab CROSS JOIN cls
+      |  LEFT JOIN wc ON wc.w = vocab.w AND wc.cl = cls.cl
+      |  JOIN tot ON tot.cl = cls.cl CROSS JOIN vs),
+      |pri AS (SELECT cl, CAST(round(ln(CAST(dc AS DOUBLE)
+      |    / CAST(dn AS DOUBLE)) * 1e9) AS BIGINT) AS p9 FROM cls, dn),
+      |sc AS (SELECT t.doc_id, t.lang, lp.cl,
+      |    CAST(sum(lp.t9) AS BIGINT) AS s9
+      |  FROM t JOIN lp ON lp.w = t.w GROUP BY 1, 2, 3),
+      |fin AS (SELECT doc_id, lang, cl, s9 + p9 AS score
+      |  FROM sc JOIN pri USING (cl)),
+      |best AS (SELECT doc_id, lang, cl,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, cl) AS rk FROM fin)
+      |SELECT lang AS label, cl AS pred, count(*) AS n
+      |FROM best WHERE rk = 1 GROUP BY 1, 2
+      |ORDER BY label, pred""".stripMargin
+
   /** c-TF-IDF top-5 distinctive terms per source
     * ([[graft.operators.Search.cTfIdfTopTerms]], the BERTopic
     * topic-description kernel): which words characterize each

@@ -369,14 +369,15 @@ object Relational {
       |WHERE round(jaro_winkler_similarity(na, nb), 6) >= 0.95
       |ORDER BY rec_a, rec_b""".stripMargin
 
-  /** Record-linkage scorecard: precision / recall / F1 of the gated
-    * SNM + Jaro-Winkler pipeline against the PLANTED twin truth (every
-    * base record has exactly one dirty copy at rec_id + max_key, so
-    * ground truth is replayable SQL, not annotation). tp = predicted
-    * pairs that are twins; the scorecard is one row of exact integers
-    * + three final divisions — the linkage-threshold tuning loop,
-    * gated end to end. Eval cost: the linkage itself plus a
-    * pairs-sized aggregation.
+  /** Record-linkage scorecard: the precision / recall / F1 TUNING
+    * CURVE of the gated SNM + Jaro-Winkler pipeline against the
+    * PLANTED twin truth (every base record has exactly one dirty copy
+    * at rec_id + max_key, so ground truth is replayable SQL, not
+    * annotation) — one row per threshold τ ∈ {0.95, 0.97, 0.99},
+    * scored from ONE linkage pass (jw6 is computed once at the lowest
+    * τ; each sweep row re-thresholds it). tp = predicted pairs that
+    * are twins; every count is an exact integer, the metrics are the
+    * final divisions.
     *
     * The scorecard on this corpus (sf0.1: recall 1.0, precision
     * 0.086) is itself the lesson the gate teaches: on low-entropy
@@ -400,15 +401,23 @@ object Relational {
       sortKey = Some(reverse(col("name"))))
     val p = col("tp").cast("double") / col("n_pred").cast("double")
     val r = col("tp").cast("double") / col("n_truth").cast("double")
+    // one linkage pass, the whole tuning curve: scores are computed
+    // once at the lowest τ, each sweep row just re-thresholds jw6
     pred.crossJoin(broadcast(mx)) // 1-row scalar
+      .select(col("*"),
+        explode(array(lit(0.95), lit(0.97), lit(0.99))).as("tau"))
+      .where(col("jw6") >= col("tau"))
+      .groupBy(col("tau"))
       .agg(count(lit(1)).as("n_pred"),
         sum(when(col("rec_b") === col("rec_a") + col("_mx"), 1L)
           .otherwise(0L)).as("tp"),
         max(col("n_truth")).as("n_truth"))
-      .select(col("n_truth"), col("n_pred"), col("tp"),
+      .select(col("tau"), col("n_truth"), col("n_pred"), col("tp"),
         (round(p, 6) + lit(0.0)).as("precision"),
         (round(r, 6) + lit(0.0)).as("recall"),
-        (round(lit(2.0) * p * r / (p + r), 6) + lit(0.0)).as("f1"))
+        (round(when(col("tp") === 0, lit(0.0))
+          .otherwise(lit(2.0) * p * r / (p + r)), 6) + lit(0.0)).as("f1"))
+      .orderBy(col("tau"))
   }
 
   val qLinkageEvalSql: String =
@@ -432,24 +441,30 @@ object Relational {
       |cand AS (SELECT a.rec_id AS ra, a.name AS na,
       |               b.rec_id AS rb, b.name AS nb
       |         FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 10),
-      |pred AS (SELECT least(ra, rb) AS rec_a, greatest(ra, rb) AS rec_b
+      |pred AS (SELECT least(ra, rb) AS rec_a, greatest(ra, rb) AS rec_b,
+      |    round(jaro_winkler_similarity(na, nb), 6) AS jw6
       |  FROM cand
       |  WHERE round(jaro_winkler_similarity(na, nb), 6) >= 0.95),
-      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pred,
+      |taus AS (SELECT unnest([0.95::DOUBLE, 0.97::DOUBLE,
+      |    0.99::DOUBLE]) AS tau),
+      |agg AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_pred,
       |    CAST(sum(CASE WHEN rec_b = rec_a + m THEN 1 ELSE 0 END)
       |      AS BIGINT) AS tp,
       |    max(n_truth) AS n_truth
-      |  FROM pred, mx)
-      |SELECT n_truth, n_pred, tp,
+      |  FROM pred, mx, taus WHERE jw6 >= tau
+      |  GROUP BY tau)
+      |SELECT tau, n_truth, n_pred, tp,
       |  round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) + 0.0
       |    AS precision,
       |  round(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) + 0.0
       |    AS recall,
-      |  round(2.0 * (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+      |  round(CASE WHEN tp = 0 THEN 0.0
+      |    ELSE 2.0 * (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
       |    * (CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE))
       |    / (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
-      |      + CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)), 6) + 0.0 AS f1
-      |FROM agg""".stripMargin
+      |      + CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)) END, 6)
+      |    + 0.0 AS f1
+      |FROM agg ORDER BY tau""".stripMargin
 
   /** Bloom-prefiltered semi-join under the driver gate: orders of a
     * filtered customer subset, executed through

@@ -133,6 +133,37 @@ class EvalSpec extends SparkSpec {
       "no corpus-sized shuffle join anywhere in silhouette")
   }
 
+  // --- naiveBayesConfusion -------------------------------------------------
+
+  test("naiveBayesConfusion: disjoint vocabularies classify perfectly") {
+    val docs = Seq(
+      (1L, "sport", Seq("goal", "match", "team")),
+      (2L, "sport", Seq("team", "goal", "win")),
+      (3L, "tech", Seq("code", "spark", "shuffle")),
+      (4L, "tech", Seq("spark", "plan", "code"))).toDF("id", "cls", "w")
+    val conf = Eval.naiveBayesConfusion(docs, "id", "cls", "w")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(conf === Map(("sport", "sport") -> 2L, ("tech", "tech") -> 2L))
+  }
+
+  test("naiveBayesConfusion: priors break symmetric likelihoods") {
+    // doc 5's words appear once in each class; the majority class wins
+    // on the prior (and smoothing over the larger class total)
+    val docs = Seq(
+      (1L, "a", Seq("x", "p")), (2L, "a", Seq("x", "q")),
+      (3L, "a", Seq("x", "r")),
+      (4L, "b", Seq("y", "s")),
+      (5L, "b", Seq("x", "x"))).toDF("id", "cls", "w")
+    val conf = Eval.naiveBayesConfusion(docs, "id", "cls", "w")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // class a holds 3 of 4 'x' occurrences + the 3/5 prior: doc 5
+    // (all-x) must be pulled to a — a misclassification the confusion
+    // matrix reports off-diagonal
+    assert(conf(("b", "a")) >= 1L)
+  }
+
   // --- LSH banding S-curve -------------------------------------------------
 
   test("LSH banding: empirical candidate recall tracks 1-(1-J^4)^16") {
