@@ -308,7 +308,13 @@ object ScaleStress {
       // the word-suffix construction) + ONE per-lang two-column ntile
       // window; bpe pairs / c-tf-idf = token-stream agg + vocab-sized
       // explode/marginal (vocab 10x)
-      "q_ccnet_buckets", "q_bpe_pairs", "q_ctfidf")
+      "q_ccnet_buckets", "q_bpe_pairs", "q_ctfidf",
+      // linkage tuning curve = the SNM candidate join (n·w by
+      // construction — customer rides verbatim so this measures the
+      // fixed-dimension cost) + a pairs-sized threshold sweep; NB =
+      // token-stream aggs + the tokens × |C| scoring join (vocab 10x
+      // worst-case by the word-suffix construction)
+      "q_linkage_eval", "q_nb_lang")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)
