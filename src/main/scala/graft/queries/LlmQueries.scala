@@ -2411,6 +2411,33 @@ object LlmQueries {
       |FROM p GROUP BY 1, 2
       |ORDER BY pair_count DESC, p1, p2 LIMIT 20""".stripMargin
 
+  /** Confusion matrix of the HEURISTIC stopword-profile language ID
+    * against the true labels — the evaluation twin of q_lang_id and
+    * the head-to-head comparison row for q_nb_lang (heuristic vs
+    * trained on the same corpus, same gate shape): per (lang, pred)
+    * counts from one kernel scan + a classes²-bounded aggregation. */
+  def qLangIdConf(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        graft.functions.NativeTextStats.langId(
+          split(lower(col("text")), "\\s+"),
+          TextStats.stopwordProfiles.toSeq.sortBy(_._1)).as("pred"))
+      .groupBy(col("lang").as("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pred"))
+
+  val qLangIdConfSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+       |  FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |  $langScoreColsSql
+       |  FROM t),
+       |p AS (SELECT doc_id, lang,
+       |  $langArgmaxSql AS pred
+       |FROM sc)
+       |SELECT lang AS label, pred, count(*) AS n FROM p
+       |GROUP BY 1, 2 ORDER BY label, pred""".stripMargin
+
   /** Trained multinomial Naive Bayes language classifier
     * ([[graft.operators.Eval.naiveBayesConfusion]]) — train-on-corpus,
     * add-one smoothing, every log term quantized to integer nano-nats
