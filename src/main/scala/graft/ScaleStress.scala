@@ -314,7 +314,11 @@ object ScaleStress {
       // fixed-dimension cost) + a pairs-sized threshold sweep; NB =
       // token-stream aggs + the tokens × |C| scoring join (vocab 10x
       // worst-case by the word-suffix construction)
-      "q_linkage_eval", "q_nb_lang")
+      "q_linkage_eval", "q_nb_lang",
+      // lang-ID confusion = one kernel scan + classes²-bounded agg;
+      // the ANN scoreboard = exact + IVF + projected retrievals over
+      // the 10x corpus (all corpus-linear scans; truth lineage-cut)
+      "q_lang_id_conf", "q_ann_scoreboard")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)

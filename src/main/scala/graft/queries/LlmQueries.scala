@@ -2273,6 +2273,126 @@ object LlmQueries {
        |FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.nid = t.nid
        |GROUP BY t.qid ORDER BY t.qid""".stripMargin
 
+  /** ANN index SCOREBOARD: recall@3 of three gated retrieval variants
+    * — IVF nprobe=1, IVF nprobe=2, JL-projected two-stage rerank —
+    * against the exact brute-force truth, one row per method from ONE
+    * truth computation (lineage-cut, 30 rows). The index-selection
+    * gate: which approximation is worth its speed on THIS corpus.
+    * recall = Σ hits / Σ truth rows (exact integers, one division);
+    * the oracle replays all three retrievals + the truth + the
+    * scoring. The nprobe=2 row dominating nprobe=1 is the knob's
+    * value, measured. */
+  def qAnnScoreboard(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val qs = queriesDf(s, dir)
+    val (truth, _) = graft.operators.Graph.localCut(
+      Similarity.bruteForceTopK(corpus, qs, k = 3)
+        .select(col("qid"), col("nid")))
+    def score(name: String, approx: DataFrame): DataFrame = {
+      val hits = truth.join(
+        approx.filter(col("rank") <= 3).select(col("qid"), col("nid")),
+        Seq("qid", "nid"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(hits.agg(count(lit(1)).as("hits")))
+        .select(lit(name).as("method"), col("n_truth"), col("hits"),
+          (round(col("hits").cast("double") / col("n_truth").cast("double"),
+            6) + lit(0.0)).as("recall"))
+    }
+    score("ivf_nprobe1",
+        Similarity.ivfTopK(corpus, qs, k = 3, centroidMod = CentroidMod))
+      .unionAll(score("ivf_nprobe2",
+        Similarity.ivfTopKProbed(corpus, qs, k = 3,
+          centroidMod = CentroidMod, nprobe = 2)))
+      .unionAll(score("proj_rerank",
+        Similarity.projectedRerankTopK(corpus, qs, k = 3, m = 20,
+          dim = 64, outDim = 16, seed = "rp15")))
+      .orderBy(col("method"))
+  }
+
+  val qAnnScoreboardSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+       |ts AS (SELECT qid, v.vec_id AS nid,
+       |    list_inner_product(qe, v.e) /
+       |    (sqrt(list_inner_product(qe, qe)) *
+       |     sqrt(list_inner_product(v.e, v.e))) AS sim
+       |  FROM q, v WHERE v.vec_id != qid),
+       |truth AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid) AS rk FROM ts) WHERE rk <= 3),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |cent AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id % $CentroidMod = 0),
+       |scored AS (SELECT v.vec_id AS vid, v.e, cent.cid,
+       |    list_inner_product(c, c) - 2.0 * list_inner_product(v.e, c) AS score
+       |  FROM v, cent),
+       |assigned AS (SELECT vid, e, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY score, cid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |iq1 AS (SELECT vid AS qid, e AS qv, cell FROM assigned WHERE vid < 10),
+       |ivs1 AS (SELECT qid, a.vid AS nid,
+       |    list_inner_product(qv, a.e) /
+       |    (sqrt(list_inner_product(qv, qv)) *
+       |     sqrt(list_inner_product(a.e, a.e))) AS sim
+       |  FROM iq1 JOIN assigned a USING (cell) WHERE a.vid != qid),
+       |ap1 AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid) AS rk FROM ivs1) WHERE rk <= 3),
+       |iq2 AS (SELECT vid AS qid, e AS qv, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY score, cid) AS rn
+       |    FROM scored WHERE vid < 10) WHERE rn <= 2),
+       |ivs2 AS (SELECT qid, a.vid AS nid,
+       |    list_inner_product(qv, a.e) /
+       |    (sqrt(list_inner_product(qv, qv)) *
+       |     sqrt(list_inner_product(a.e, a.e))) AS sim
+       |  FROM iq2 JOIN assigned a USING (cell) WHERE a.vid != qid),
+       |ap2 AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid) AS rk FROM ivs2) WHERE rk <= 3),
+       |pr AS (SELECT j, list(CASE WHEN try_cast('0x' ||
+       |      substr(md5('rp15:' || i || ':' || j), 1, 15) AS BIGINT) % 2 = 0
+       |      THEN 1.0 ELSE -1.0 END ORDER BY i) AS sgn
+       |    FROM unnest(range(16)) AS tj(j), unnest(range(64)) AS ti(i)
+       |    GROUP BY j),
+       |p AS (SELECT v.vec_id,
+       |        list(round(list_inner_product(v.e, pr.sgn) / sqrt(16.0), 6) + 0.0
+       |          ORDER BY pr.j) AS px
+       |      FROM v, pr GROUP BY v.vec_id),
+       |ppq AS (SELECT vec_id AS qid, px AS qpx FROM p WHERE vec_id < 10),
+       |ps1 AS (SELECT qid, p.vec_id AS nid,
+       |        list_inner_product(qpx, p.px) /
+       |        (sqrt(list_inner_product(qpx, qpx)) *
+       |         sqrt(list_inner_product(p.px, p.px))) AS sim
+       |      FROM ppq, p WHERE p.vec_id != qid),
+       |pshort AS (SELECT qid, nid FROM (
+       |        SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |          ORDER BY sim DESC, nid) AS rk FROM ps1) WHERE rk <= 20),
+       |pqe AS (SELECT vec_id AS qid, e AS qx FROM v WHERE vec_id < 10),
+       |ps2 AS (SELECT pshort.qid, pshort.nid,
+       |        list_inner_product(qx, v.e) /
+       |        (sqrt(list_inner_product(qx, qx)) *
+       |         sqrt(list_inner_product(v.e, v.e))) AS sim
+       |      FROM pshort JOIN v ON v.vec_id = pshort.nid
+       |        JOIN pqe ON pqe.qid = pshort.qid),
+       |ap3 AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid) AS rk FROM ps2) WHERE rk <= 3),
+       |sb AS (
+       |  SELECT 'ivf_nprobe1' AS method,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+       |      JOIN ap1 a ON a.qid = t.qid AND a.nid = t.nid) AS hits
+       |  UNION ALL
+       |  SELECT 'ivf_nprobe2',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+       |      JOIN ap2 a ON a.qid = t.qid AND a.nid = t.nid)
+       |  UNION ALL
+       |  SELECT 'proj_rerank',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+       |      JOIN ap3 a ON a.qid = t.qid AND a.nid = t.nid))
+       |SELECT method, n_truth, hits,
+       |  round(CAST(hits AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) + 0.0
+       |    AS recall
+       |FROM sb, nt ORDER BY method""".stripMargin
+
   /** MMR diversified top-5 over a 20-candidate shortlist
     * ([[graft.operators.Eval.mmrSelect]], λ = 0.75 — exact in binary,
     * so (1−λ) is too): the selection pass that turns "most similar"
