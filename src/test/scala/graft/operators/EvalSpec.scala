@@ -107,6 +107,22 @@ class EvalSpec extends SparkSpec {
       assert(math.abs(got(id) - w) < 2e-6, s"point $id: got ${got(id)}, want $w")
   }
 
+  test("silhouette randomized differential: 60 seeded points, 5 clusters") {
+    val rnd = new scala.util.Random(20260815L)
+    val pts = (1L to 60L).map { id =>
+      (id, rnd.nextInt(5), Seq.fill(8)(rnd.nextDouble() * 2 - 1)) }
+    val df = pts.toDF("id", "cl", "v")
+      .select(col("id"), col("cl"), col("v").cast("array<float>").as("v"))
+    // quantization sees the FLOAT-rounded values the operator reads
+    val ptsF = pts.map { case (id, cl, v) =>
+      (id, cl, v.map(_.toFloat.toDouble)) }
+    val got = Eval.silhouette(df, "id", "cl", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val want = bruteSilhouette(ptsF)
+    for ((id, w) <- want)
+      assert(math.abs(got(id) - w) < 2e-6, s"point $id: got ${got(id)}, want $w")
+  }
+
   test("silhouette: singleton cluster scores 0; separated clusters near 1") {
     val pts = Seq(
       (1L, 0, Seq(0.0, 0.0)), (2L, 0, Seq(0.001, 0.0)),
