@@ -560,9 +560,22 @@ object Similarity {
     * — the quantizer only changes the (tiny, broadcast) centroid
     * table, never the corpus-side plan. */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: DataFrame, nprobe: Int = 1): DataFrame =
+    ivfTopKAssigned(
+      ivfAssign(corpus, centroids.toDF("cid", "c")).toDF("nid", "e", "cell"),
+      queries, k, centroids, nprobe)
+
+  /** [[ivfTopKWith]] over a PRECOMPUTED (nid, e, cell) assignment —
+    * the form a query family uses when the inverted-list assignment is
+    * a staged/stored product shared across searches (the
+    * minhashNearDupsFromSigs pattern: at 100 TB the assignment IS the
+    * stored index; in the harness it stages once per session via
+    * [[graft.Staging]]). Plan identical to the self-assigning form
+    * from the probe selection down. */
+  def ivfTopKAssigned(assigned: DataFrame, queries: DataFrame, k: Int,
       centroids: DataFrame, nprobe: Int = 1): DataFrame = {
     val cents0 = centroids.toDF("cid", "c")
-    val c = ivfAssign(corpus, cents0).toDF("nid", "e", "cell")
+    val c = assigned.toDF("nid", "e", "cell")
     val cents = cents0.withColumn("cc", dot(col("c"), col("c")))
     val qScored = queries.toDF("qid", "qv")
       .join(broadcast(cents))

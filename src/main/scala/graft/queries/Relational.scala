@@ -326,22 +326,38 @@ object Relational {
     * sort, and byte-based JW); (2) the dirty-id offset is max(custkey)
     * — a broadcast one-row scalar — instead of a constant 1e6 that
     * real custkeys would collide with at sf ≥ ~7. */
-  def qLinkage(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.customer(s, dir).select(
+  /** The salted-twin linkage corpus shared by [[qLinkage]] and
+    * [[qLinkageEval]]: every base customer gets one dirty copy (char
+    * 10 deleted) at rec_id + max_key; every 7th name carries
+    * multi-byte characters so the UTF-8-byte JW parity is exercised
+    * under the gate. */
+  private def linkageBase(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
       col("c_custkey").cast("long").as("rec_id"),
       when(col("c_custkey") % 7 === 0,
         concat(lit("Cüstömer#"), substring(col("c_name"), 10, 1000000)))
         .otherwise(col("c_name")).as("name"))
-    val mx = base.agg(max(col("rec_id")).as("_mx"))
-    val dirty = base.crossJoin(broadcast(mx)) // 1-row scalar
-      .select((col("rec_id") + col("_mx")).as("rec_id"),
-        concat(substring(col("name"), 1, 9),
-          substring(col("name"), 11, 1000000)).as("name"))
-    graft.operators.Fuzzy.snmLinkage(base.unionByName(dirty), "rec_id",
+
+  /** The SNM + JW pass at the lowest gated τ, staged once per
+    * (session, dir) ([[graft.Staging]]) — q_linkage emits it,
+    * q_linkage_eval sweeps thresholds over it; at scale the scored
+    * pair list IS the stored product the review queue reads. */
+  private def linkagePairsStaged(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.stage(s, s"linkage:pairs:$dir") {
+      val base = linkageBase(s, dir)
+      val mx = base.agg(max(col("rec_id")).as("_mx"))
+      val dirty = base.crossJoin(broadcast(mx)) // 1-row scalar
+        .select((col("rec_id") + col("_mx")).as("rec_id"),
+          concat(substring(col("name"), 1, 9),
+            substring(col("name"), 11, 1000000)).as("name"))
+      graft.operators.Fuzzy.snmLinkage(base.unionByName(dirty), "rec_id",
         "name", window = 10, threshold = 0.95,
         sortKey = Some(reverse(col("name"))))
+    }
+
+  def qLinkage(s: SparkSession, dir: String): DataFrame =
+    linkagePairsStaged(s, dir)
       .orderBy(col("rec_a"), col("rec_b"))
-  }
 
   val qLinkageSql: String =
     """WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
@@ -385,20 +401,9 @@ object Relational {
     * near-identical NON-twins — the fixture where threshold tuning
     * (or a second blocking feature) earns its keep. */
   def qLinkageEval(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.customer(s, dir).select(
-      col("c_custkey").cast("long").as("rec_id"),
-      when(col("c_custkey") % 7 === 0,
-        concat(lit("Cüstömer#"), substring(col("c_name"), 10, 1000000)))
-        .otherwise(col("c_name")).as("name"))
-    val mx = base.agg(max(col("rec_id")).as("_mx"),
+    val mx = linkageBase(s, dir).agg(max(col("rec_id")).as("_mx"),
       count(lit(1)).as("n_truth"))
-    val dirty = base.crossJoin(broadcast(mx)) // 1-row scalar
-      .select((col("rec_id") + col("_mx")).as("rec_id"),
-        concat(substring(col("name"), 1, 9),
-          substring(col("name"), 11, 1000000)).as("name"))
-    val pred = graft.operators.Fuzzy.snmLinkage(base.unionByName(dirty),
-      "rec_id", "name", window = 10, threshold = 0.95,
-      sortKey = Some(reverse(col("name"))))
+    val pred = linkagePairsStaged(s, dir)
     val p = col("tp").cast("double") / col("n_pred").cast("double")
     val r = col("tp").cast("double") / col("n_truth").cast("double")
     // one linkage pass, the whole tuning curve: scores are computed
