@@ -22,6 +22,23 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(o.diff(q).isEmpty, s"oracles without query: ${o.diff(q)}")
   }
 
+  test("staged ANN family gates READ the session cache, not recompute") {
+    val spark = SparkSpec.session
+    val dir = "/root/testdata/sf0.001"
+    // first call stages; the gate's own plan must then read the
+    // persisted table (InMemoryTableScan), proving the compute-once
+    // claim the family's scaladocs make
+    val plan = graft.queries.LlmQueries.qAnnTopk(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"q_ann_topk must read the staged truth table:\n$plan")
+    val plan2 = graft.queries.LlmQueries.qAnnScoreboard(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains("InMemoryTableScan"),
+      "q_ann_scoreboard must read staged prefixes")
+    graft.Staging.evictSession(spark)
+  }
+
   test("oracle SQL is non-empty and single-statement") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(sql.trim.nonEmpty, s"$k oracle empty")
