@@ -318,7 +318,11 @@ object ScaleStress {
       // lang-ID confusion = one kernel scan + classes²-bounded agg;
       // the ANN scoreboard = exact + IVF + projected retrievals over
       // the 10x corpus (all corpus-linear scans; truth lineage-cut)
-      "q_lang_id_conf", "q_ann_scoreboard")
+      "q_lang_id_conf", "q_ann_scoreboard",
+      // ILD head-to-head: both selections are (probes x k)-sized over
+      // staged prefixes; the pair join is k^2 per probe — constant
+      // beyond the staged retrievals
+      "q_ild")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)

@@ -148,6 +148,35 @@ object Eval {
           .otherwise(lit(2.0) * p * r / (p + r)), 6) + lit(0.0)).as("f1"))
   }
 
+  /** Intra-list diversity (ILD): per-query mean pairwise cosine
+    * DISTANCE 1 − cos(a, b) among a selection's picks — the
+    * measurement that justifies a diversifier (MMR's ILD must beat
+    * plain top-k's on the same queries, or the λ knob is mis-set).
+    * Pair terms quantize to nano-unit BIGINTs before the sum (the
+    * q_entropy discipline), so the score is order-free exact.
+    * `picks` is any (qid, nid) selection; vectors come from the
+    * corpus join. Cost: selections are (queries × k)-sized, so the
+    * pair join is k²-per-query over a broadcast-scale relation —
+    * independent of corpus size. */
+  def intraListDiversity(picks: DataFrame, corpus: DataFrame): DataFrame = {
+    val c = corpus.toDF("_pid", "_pe")
+    val p = picks.select(col("qid"), col("nid"))
+      .join(c, col("nid") === col("_pid"))
+      .select(col("qid"), col("nid"), col("_pe").as("e"))
+    val a = p.toDF("qid", "na", "ea")
+    val b = p.toDF("qid", "nb", "eb")
+    a.join(b, Seq("qid"))
+      .where(col("na") < col("nb"))
+      .select(col("qid"),
+        round((lit(1.0) - Similarity.cosine(col("ea"), col("eb")))
+          * lit(1e9)).cast("long").as("t9"))
+      .groupBy(col("qid"))
+      .agg(sum(col("t9")).as("s9"), count(lit(1)).as("np"))
+      .select(col("qid"),
+        (round(col("s9").cast("double") /
+          (col("np").cast("double") * lit(1e9)), 6) + lit(0.0)).as("ild6"))
+  }
+
   /** Multinomial Naive Bayes text classifier, trained and scored on
     * the labeled corpus, reported as a confusion matrix — the trained
     * counterpart of the stopword-profile language ID and the text

@@ -2437,16 +2437,20 @@ object LlmQueries {
         queriesDf(s, dir), k = 5, m = 20, lambda = 0.75)
       .orderBy(col("qid"), col("pick"))
 
-  val qMmrSql: String = {
-    val cos = (x: String, y: String) =>
-      s"""list_inner_product($x, $y) /
-         |      (sqrt(list_inner_product($x, $x)) *
-         |       sqrt(list_inner_product($y, $y)))""".stripMargin
+  private def cosSql(x: String, y: String): String =
+    s"""list_inner_product($x, $y) /
+       |      (sqrt(list_inner_product($x, $x)) *
+       |       sqrt(list_inner_product($y, $y)))""".stripMargin
+
+  /** The greedy-MMR CTE chain through sel5 — shared by the selection
+    * gate and the diversity-measurement gate so the replayed
+    * algorithm can never drift between them. */
+  private val mmrCtes: String = {
     val rounds = (2 to 5).map { t =>
       val prev = s"sel${t - 1}"
       s"""c$t AS (SELECT c.* FROM short c WHERE NOT EXISTS (
          |    SELECT 1 FROM $prev s WHERE s.qid = c.qid AND s.nid = c.nid)),
-         |p$t AS (SELECT c.qid, c.nid, max(${cos("c.e", "s.e")}) AS pen
+         |p$t AS (SELECT c.qid, c.nid, max(${cosSql("c.e", "s.e")}) AS pen
          |  FROM c$t c JOIN $prev s ON s.qid = c.qid GROUP BY c.qid, c.nid),
          |m$t AS (SELECT c.qid, c.nid, c.e,
          |    0.75 * c.sim - 0.25 * p.pen AS mmr
@@ -2456,10 +2460,10 @@ object LlmQueries {
          |      ORDER BY mmr DESC, nid) AS rk FROM m$t) WHERE rk = 1),
          |sel$t AS (SELECT * FROM $prev UNION ALL SELECT * FROM pk$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
        |s0 AS (SELECT qid, v.vec_id AS nid,
-       |    ${cos("qe", "v.e")} AS sim, v.e AS e
+       |    ${cosSql("qe", "v.e")} AS sim, v.e AS e
        |  FROM q, v WHERE v.vec_id != qid),
        |short AS (SELECT qid, nid, sim, e FROM (
        |    SELECT qid, nid, sim, e, row_number() OVER (PARTITION BY qid
@@ -2468,10 +2472,60 @@ object LlmQueries {
        |    0.75 * sim AS mmr FROM (
        |    SELECT *, row_number() OVER (PARTITION BY qid
        |      ORDER BY 0.75 * sim DESC, nid) AS rk FROM short) WHERE rk = 1),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val qMmrSql: String =
+    s"""WITH $mmrCtes
        |SELECT qid, nid, pick, round(mmr, 6) + 0.0 AS mmr FROM sel5
        |ORDER BY qid, pick""".stripMargin
+
+  /** Intra-list diversity head-to-head
+    * ([[graft.operators.Eval.intraListDiversity]]): per-query mean
+    * pairwise cosine distance among the MMR picks vs the plain exact
+    * top-5 — the measurement that justifies the diversifier (MMR's
+    * rows must dominate). Both selections read staged tables; pair
+    * terms are nano-unit exact. */
+  def qIld(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val topk = graft.operators.Eval.intraListDiversity(
+        truth5Staged(s, dir).select(col("qid"), col("nid")), corpus)
+      .select(lit("topk").as("method"), col("qid"), col("ild6"))
+    val mmr = graft.operators.Eval.intraListDiversity(
+        graft.operators.Eval.mmrSelect(corpus, queriesDf(s, dir),
+          k = 5, m = 20, lambda = 0.75).select(col("qid"), col("nid")),
+        corpus)
+      .select(lit("mmr").as("method"), col("qid"), col("ild6"))
+    topk.unionAll(mmr).orderBy(col("method"), col("qid"))
   }
+
+  val qIldSql: String =
+    s"""WITH $mmrCtes,
+       |tsx AS (SELECT qid, v.vec_id AS nid,
+       |    ${cosSql("qe", "v.e")} AS sim
+       |  FROM q, v WHERE v.vec_id != qid),
+       |t5 AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid) AS rk FROM tsx) WHERE rk <= 5),
+       |tv AS (SELECT t5.qid, t5.nid, v.e FROM t5
+       |  JOIN v ON v.vec_id = t5.nid),
+       |tp AS (SELECT a.qid,
+       |    CAST(round((1.0 - ${cosSql("a.e", "b.e")}) * 1e9) AS BIGINT) AS t9
+       |  FROM tv a JOIN tv b ON a.qid = b.qid AND a.nid < b.nid),
+       |ti AS (SELECT 'topk' AS method, qid,
+       |    round(CAST(sum(t9) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9),
+       |      6) + 0.0 AS ild6
+       |  FROM tp GROUP BY qid),
+       |mp AS (SELECT a.qid,
+       |    CAST(round((1.0 - ${cosSql("a.e", "b.e")}) * 1e9) AS BIGINT) AS t9
+       |  FROM sel5 a JOIN sel5 b ON a.qid = b.qid AND a.nid < b.nid),
+       |mi AS (SELECT 'mmr' AS method, qid,
+       |    round(CAST(sum(t9) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9),
+       |      6) + 0.0 AS ild6
+       |  FROM mp GROUP BY qid)
+       |SELECT method, qid, ild6 FROM ti
+       |UNION ALL SELECT method, qid, ild6 FROM mi
+       |ORDER BY method, qid""".stripMargin
 
   /** Per-point simplified silhouette of the labeled clustering
     * ([[graft.operators.Eval.silhouette]]): micro-unit quantization

@@ -255,6 +255,32 @@ class EvalSpec extends SparkSpec {
     assert(picks === Seq(101L, 102L, 100L))
   }
 
+  test("intraListDiversity: MMR picks beat same-k plain top-k ILD") {
+    val corpus = Seq(
+      (100L, Seq(1.0, 0.0)), (101L, Seq(0.9999, 0.0001)),
+      (102L, Seq(0.72, 0.70)), (103L, Seq(-1.0, 0.2)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val queries = Seq((1L, Seq(0.98, 0.05))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val mmr = Eval.mmrSelect(corpus, queries, k = 3, m = 4, lambda = 0.5)
+      .select(col("qid"), col("nid"))
+    val topk = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .select(col("qid"), col("nid"))
+    def ild(p: org.apache.spark.sql.DataFrame): Double =
+      Eval.intraListDiversity(p, corpus).collect().head.getDouble(1)
+    // topk = {a, a2, b} (two near-identical picks); mmr = {a2, b, a}…
+    // same set here, so construct the contrast via k=2: mmr {a2, b}
+    // vs topk {a, a2}
+    val mmr2 = Eval.mmrSelect(corpus, queries, k = 2, m = 4, lambda = 0.5)
+      .select(col("qid"), col("nid"))
+    val topk2 = Similarity.bruteForceTopK(corpus, queries, k = 2)
+      .select(col("qid"), col("nid"))
+    assert(ild(mmr2) > ild(topk2),
+      s"mmr ILD ${ild(mmr2)} must beat topk ILD ${ild(topk2)}")
+    assert(ild(mmr) === ild(topk), "same 3-element set → same ILD")
+  }
+
   test("mmrSelect: pick 1 is the plain argmax, scores weakly decrease") {
     val corpus = Seq(
       (10L, Seq(0.3, 0.7)), (11L, Seq(0.5, 0.5)), (12L, Seq(0.9, 0.1)),
