@@ -322,7 +322,11 @@ object ScaleStress {
       // ILD head-to-head: both selections are (probes x k)-sized over
       // staged prefixes; the pair join is k^2 per probe — constant
       // beyond the staged retrievals
-      "q_ild")
+      "q_ild",
+      // datasheet = one stats scan + the gated minhash pair pipeline
+      // + the quality scan — each term's scaling is the underlying
+      // gate's, composed
+      "q_datasheet")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)

@@ -2644,6 +2644,93 @@ object LlmQueries {
        |SELECT lang AS label, pred, count(*) AS n FROM p
        |GROUP BY 1, 2 ORDER BY label, pred""".stripMargin
 
+  /** Corpus DATASHEET (Gebru et al. 2021's "datasheets for datasets",
+    * the quantitative rows): seven headline statistics a corpus ships
+    * with — sizes, vocabulary, language mix, near-duplicate pair
+    * count at τ = 0.5, quality-filter pass rate — in ONE gate whose
+    * every row reuses the exact formulation its own gated query
+    * proves (the composed-oracle discipline of q_pipeline). All
+    * metrics are exact integers or single divisions of them, emitted
+    * as round-6 doubles under a (metric, value) schema. */
+  def qDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.agg(count(lit(1)).as("nd"),
+      sum(size(split(col("text"), " "))).as("nt"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nen"))
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("nv"))
+    val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      .agg(count(lit(1)).as("npair"))
+    val surv = qualitySurvivors(docs).agg(count(lit(1)).as("ns"))
+    base.crossJoin(vocab).crossJoin(pairs).crossJoin(surv) // 1-row scalars
+      .select(explode(array(
+        struct(lit("n_docs").as("metric"),
+          col("nd").cast("double").as("value")),
+        struct(lit("n_tokens").as("metric"),
+          col("nt").cast("double").as("value")),
+        struct(lit("vocab_size").as("metric"),
+          col("nv").cast("double").as("value")),
+        struct(lit("mean_doc_tokens").as("metric"),
+          (round(col("nt").cast("double") / col("nd").cast("double"), 6)
+            + lit(0.0)).as("value")),
+        struct(lit("pct_lang_en").as("metric"),
+          (round(col("nen").cast("double") / col("nd").cast("double"), 6)
+            + lit(0.0)).as("value")),
+        struct(lit("near_dup_pairs").as("metric"),
+          col("npair").cast("double").as("value")),
+        struct(lit("quality_pass_rate").as("metric"),
+          (round(col("ns").cast("double") / col("nd").cast("double"), 6)
+            + lit(0.0)).as("value")))).as("r"))
+      .select(col("r.metric").as("metric"), col("r.value").as("value"))
+      .orderBy(col("metric"))
+  }
+
+  val qDatasheetSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+       |  FROM documents),
+       |base AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(sum(len(w)) AS BIGINT) AS nt,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nen
+       |  FROM t),
+       |vocab AS (SELECT CAST(count(DISTINCT u.w) AS BIGINT) AS nv
+       |  FROM (SELECT unnest(w) AS w FROM t) u),
+       |${jaccardPairsCte("0.5")},
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS npair FROM pairs),
+       |m AS (SELECT doc_id, len(w) AS n_tokens,
+       |  len(list_distinct(w)) AS n_distinct,
+       |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len
+       |  FROM t),
+       |$bigramDupCte,
+       |sc AS (SELECT doc_id,
+       |  $langScoreColsSql
+       |  FROM t),
+       |lang AS (SELECT doc_id,
+       |  $langArgmaxSql AS lang_pred
+       |  FROM sc),
+       |surv AS (SELECT CAST(count(*) AS BIGINT) AS ns
+       |  FROM m JOIN lang ON m.doc_id = lang.doc_id
+       |    LEFT JOIN a2 ON m.doc_id = a2.doc_id
+       |  WHERE NOT (m.n_tokens < 20)
+       |    AND NOT (CAST(n_distinct AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) < 0.3)
+       |    AND NOT (CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 12.0)
+       |    AND NOT (n_tokens >= 3 AND
+       |      CAST(COALESCE(dup2, 0) AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE) > 0.3)
+       |    AND lang_pred = 'en')
+       |SELECT 'n_docs' AS metric, CAST(nd AS DOUBLE) + 0.0 AS value FROM base
+       |UNION ALL SELECT 'n_tokens', CAST(nt AS DOUBLE) + 0.0 FROM base
+       |UNION ALL SELECT 'vocab_size', CAST(nv AS DOUBLE) + 0.0 FROM vocab
+       |UNION ALL SELECT 'mean_doc_tokens',
+       |  round(CAST(nt AS DOUBLE) / CAST(nd AS DOUBLE), 6) + 0.0 FROM base
+       |UNION ALL SELECT 'pct_lang_en',
+       |  round(CAST(nen AS DOUBLE) / CAST(nd AS DOUBLE), 6) + 0.0 FROM base
+       |UNION ALL SELECT 'near_dup_pairs', CAST(npair AS DOUBLE) + 0.0 FROM np
+       |UNION ALL SELECT 'quality_pass_rate',
+       |  round(CAST(ns AS DOUBLE) / CAST(nd AS DOUBLE), 6) + 0.0
+       |  FROM surv, base
+       |ORDER BY metric""".stripMargin
+
   /** Trained multinomial Naive Bayes language classifier
     * ([[graft.operators.Eval.naiveBayesConfusion]]) — train-on-corpus,
     * add-one smoothing, every log term quantized to integer nano-nats
