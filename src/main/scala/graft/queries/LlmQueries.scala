@@ -2651,7 +2651,14 @@ object LlmQueries {
     * every row reuses the exact formulation its own gated query
     * proves (the composed-oracle discipline of q_pipeline). All
     * metrics are exact integers or single divisions of them, emitted
-    * as round-6 doubles under a (metric, value) schema. */
+    * as round-6 doubles under a (metric, value) schema.
+    *
+    * near_dup_pairs is the MINHASH-verified pair count while the
+    * oracle counts the brute-force exact pairs — equal exactly
+    * because q_dedup_minhash's own gate proves set equality at
+    * τ = 0.5 on this corpus (the 16×4 band-curve argument); a corpus
+    * whose true pairs sat near the threshold would need the exact
+    * jaccardSelfJoin here instead. */
   def qDatasheet(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val base = docs.agg(count(lit(1)).as("nd"),
