@@ -267,13 +267,14 @@ object Eval {
     // (queries × m) rows — released when the session drops the RDD.
     val c = corpus.toDF("cnid", "ce")
     val qv = queries.toDF("qqid", "qe")
-    val (short, _) = Graph.localCut(
+    val (short, shortRdd) = Graph.localCut(
       Similarity.bruteForceTopK(corpus, queries, m)
         .join(c, col("nid") === col("cnid"))
         .join(broadcast(qv), col("qid") === col("qqid"))
         .select(col("qid"), col("nid"),
           Similarity.cosine(col("qe"), col("ce")).as("sim"),
           col("ce").as("e")))
+    graft.Staging.registerPinned(corpus.sparkSession, shortRdd)
 
     val lam = lit(lambda)
     val byScore = Window.partitionBy(col("qid"))
@@ -316,6 +317,11 @@ object Eval {
           col("mmr"))
       selected = cut(selected.unionAll(next))
     }
+    // the FINAL cut's blocks back the returned frame — register them
+    // with the session registry so Staging.releasePinned/session-end
+    // frees them instead of leaking one pinned RDD per invocation
+    // (the kCoreNumbers discipline)
+    pinned.foreach(graft.Staging.registerPinned(corpus.sparkSession, _))
     selected.select(col("qid"), col("nid"), col("pick"),
       (round(col("mmr"), 6) + lit(0.0)).as("mmr"))
   }
