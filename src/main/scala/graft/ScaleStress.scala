@@ -326,7 +326,10 @@ object ScaleStress {
       // datasheet = one stats scan + the gated minhash pair pipeline
       // + the quality scan — each term's scaling is the underlying
       // gate's, composed
-      "q_datasheet")
+      "q_datasheet",
+      // sweep = the gated minhash pair pipeline + a pairs-sized
+      // threshold grid; source profile = two keyed token-stream aggs
+      "q_dedup_sweep", "q_source_profile")
     // stress-only closures that are NOT driver-gated queries: the
     // fixed-k k-means samples its init from copy-0's id band so k is
     // identical at 1x and Nx (see the stressed-list note above)

@@ -117,6 +117,40 @@ object LlmQueries {
        |WHERE d1 % 5 = 0 OR d2 % 5 = 0
        |ORDER BY d1, d2""".stripMargin
 
+  /** Dedup THRESHOLD SWEEP: near-dup pair count and docs-involved
+    * count at τ ∈ {0.5, 0.7, 0.9} from ONE verified pair list (the
+    * q_linkage_eval discipline applied to dedup): exact Jaccard is
+    * computed once at the lowest τ, each sweep row re-thresholds it —
+    * the dup-rate-vs-threshold curve a curation run reads before
+    * committing to a τ. Counts are exact integers; a τ with zero
+    * pairs yields no row on either engine. */
+  def qDedupSweep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.minhashNearDups(Tables.documents(s, dir),
+      "doc_id", "text", shingleSize = 3, threshold = 0.5)
+    val sel = pairs
+      .select(col("d1"), col("d2"), col("jaccard"),
+        explode(array(lit(0.5), lit(0.7), lit(0.9))).as("tau"))
+      .where(col("jaccard") >= col("tau"))
+    val np = sel.groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
+    val inv = sel
+      .select(col("tau"), explode(array(col("d1"), col("d2"))).as("d"))
+      .groupBy(col("tau")).agg(countDistinct(col("d")).as("n_docs"))
+    np.join(inv, Seq("tau")).orderBy(col("tau"))
+  }
+
+  val qDedupSweepSql: String =
+    s"""WITH ${jaccardPairsCte("0.5")},
+       |taus AS (SELECT unnest([0.5::DOUBLE, 0.7::DOUBLE,
+       |    0.9::DOUBLE]) AS tau),
+       |sel AS (SELECT tau, d1, d2 FROM pairs, taus WHERE jaccard >= tau),
+       |np AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM sel GROUP BY 1),
+       |inv AS (SELECT tau, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+       |  FROM (SELECT tau, d1 AS d FROM sel
+       |        UNION ALL SELECT tau, d2 FROM sel) GROUP BY 1)
+       |SELECT np.tau, n_pairs, n_docs FROM np JOIN inv USING (tau)
+       |ORDER BY tau""".stripMargin
+
   /** EXACT n-gram Jaccard near-dup (prefix-filtered AllPairs join,
     * TextDedup.jaccardSelfJoin) at τ = 0.4 — deliberately BELOW the LSH
     * operating point: at low thresholds the 16×4 band curve's recall
@@ -2737,6 +2771,49 @@ object LlmQueries {
        |  round(CAST(ns AS DOUBLE) / CAST(nd AS DOUBLE), 6) + 0.0
        |  FROM surv, base
        |ORDER BY metric""".stripMargin
+
+  /** Per-SOURCE datasheet — the q_datasheet rows grouped by domain,
+    * the table a remix/quota decision actually reads (which sources
+    * are long-form, which are English-heavy, how big is each
+    * vocabulary): one token-stream aggregation + one per-source doc
+    * aggregation, exact integers + round-6 divisions. */
+  def qSourceProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val perDoc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nen"))
+    val vocab = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("w")).as("n_vocab"))
+    perDoc.join(vocab, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_vocab"),
+        (round(col("n_tokens").cast("double") / col("n_docs").cast("double"),
+          6) + lit(0.0)).as("mean_tokens"),
+        (round(col("nen").cast("double") / col("n_docs").cast("double"), 6)
+          + lit(0.0)).as("pct_en"))
+      .orderBy(col("source"))
+  }
+
+  val qSourceProfileSql: String =
+    """WITH t AS (SELECT source, lang, string_split(text, ' ') AS w
+      |  FROM documents),
+      |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(w)) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS nen
+      |  FROM t GROUP BY 1),
+      |v AS (SELECT source, CAST(count(DISTINCT u.w) AS BIGINT) AS n_vocab
+      |  FROM (SELECT source, unnest(w) AS w FROM t) u GROUP BY 1)
+      |SELECT d.source, n_docs, n_tokens, n_vocab,
+      |  round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) + 0.0
+      |    AS mean_tokens,
+      |  round(CAST(nen AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) + 0.0
+      |    AS pct_en
+      |FROM d JOIN v ON v.source = d.source
+      |ORDER BY d.source""".stripMargin
 
   /** Trained multinomial Naive Bayes language classifier
     * ([[graft.operators.Eval.naiveBayesConfusion]]) — train-on-corpus,
