@@ -54,10 +54,30 @@ object LlmQueries {
 
   // --- MinHash + LSH near-dup ------------------------------------------
 
+  /** The verified τ = 0.5 MinHash pair list, staged once per
+    * (session, dir) ([[graft.Staging]]) — SEVEN gates consume it
+    * (minhash, clusters, apply, keep_best, golden, sweep, datasheet);
+    * at 100 TB it is THE stored near-dup pair table every downstream
+    * dedup product reads. */
+  private def dedupPairs05Staged(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.stage(s, s"dedup:pairs05:$dir") {
+      TextDedup.minhashNearDups(Tables.documents(s, dir), "doc_id",
+        "text", shingleSize = 3, threshold = 0.5)
+    }
+
+  /** The pair list's connected components (cluster labels), staged —
+    * four gates consume them (clusters, apply, keep_best, golden). */
+  private def dedupCc05Staged(s: SparkSession, dir: String): DataFrame = {
+    // prerequisite stage resolved BEFORE entering (the Staging.stage
+    // contract: no recursive computeIfAbsent)
+    val pairs = dedupPairs05Staged(s, dir)
+    graft.Staging.stage(s, s"dedup:cc05:$dir") {
+      Graph.connectedComponents(pairs, "d1", "d2")
+    }
+  }
+
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
-    TextDedup.minhashNearDups(
-        Tables.documents(s, dir), "doc_id", "text",
-        shingleSize = 3, threshold = 0.5)
+    dedupPairs05Staged(s, dir)
       .orderBy(col("d1"), col("d2"))
 
   /** Shared CTE chain: brute-force shingle-Jaccard pair ground truth at
@@ -125,8 +145,7 @@ object LlmQueries {
     * committing to a τ. Counts are exact integers; a τ with zero
     * pairs yields no row on either engine. */
   def qDedupSweep(s: SparkSession, dir: String): DataFrame = {
-    val pairs = TextDedup.minhashNearDups(Tables.documents(s, dir),
-      "doc_id", "text", shingleSize = 3, threshold = 0.5)
+    val pairs = dedupPairs05Staged(s, dir)
     val sel = pairs
       .select(col("d1"), col("d2"), col("jaccard"),
         explode(array(lit(0.5), lit(0.7), lit(0.9))).as("tau"))
@@ -253,13 +272,9 @@ object LlmQueries {
     * a canonical (minimum) id per set — [[Graph.connectedComponents]]
     * min-label propagation, whose fixpoint the oracle replays as a
     * recursive CTE (min reachable id). */
-  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = TextDedup.minhashNearDups(
-      Tables.documents(s, dir), "doc_id", "text",
-      shingleSize = 3, threshold = 0.5)
-    Graph.connectedComponents(pairs, "d1", "d2")
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupCc05Staged(s, dir)
       .orderBy(col("id"))
-  }
 
   /** Shared recursive-closure block over a pair relation (used by the
     * cluster oracle, the dedup-apply oracle and the composed pipeline
@@ -285,9 +300,7 @@ object LlmQueries {
     * documents survive untouched. Returns (doc_id, n_tokens). */
   def qDedupApply(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
-      shingleSize = 3, threshold = 0.5)
-    val labels = Graph.connectedComponents(pairs, "d1", "d2")
+    val labels = dedupCc05Staged(s, dir)
     Graph.dropDuplicates(docs, "doc_id", labels)
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
       .orderBy(col("doc_id"))
@@ -308,9 +321,7 @@ object LlmQueries {
     * keep-min-id. Returns the surviving (doc_id, n_chars). */
   def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
-      shingleSize = 3, threshold = 0.5)
-    val labels = Graph.connectedComponents(pairs, "d1", "d2")
+    val labels = dedupCc05Staged(s, dir)
     Graph.keepBest(docs, "doc_id", labels, "n_chars")
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
@@ -336,9 +347,7 @@ object LlmQueries {
     * through; the record-linkage MERGE end-cap after detect+closure. */
   def qGolden(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
-      shingleSize = 3, threshold = 0.5)
-    val labels = Graph.connectedComponents(pairs, "d1", "d2")
+    val labels = dedupCc05Staged(s, dir)
     Graph.goldenRecords(docs, "doc_id", labels, "n_chars", "lang")
       .orderBy(col("golden_id"))
   }
@@ -2700,9 +2709,7 @@ object LlmQueries {
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nen"))
     val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
       .agg(countDistinct(col("w")).as("nv"))
-    val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
-        shingleSize = 3, threshold = 0.5)
-      .agg(count(lit(1)).as("npair"))
+    val pairs = dedupPairs05Staged(s, dir).agg(count(lit(1)).as("npair"))
     val surv = qualitySurvivors(docs).agg(count(lit(1)).as("ns"))
     base.crossJoin(vocab).crossJoin(pairs).crossJoin(surv) // 1-row scalars
       .select(explode(array(
