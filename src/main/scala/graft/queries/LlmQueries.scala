@@ -1606,13 +1606,22 @@ object LlmQueries {
     * round-to-6 emit (the q_dedup_embed precedent). Assignment argmin
     * is robust to that wobble: best-vs-runner-up score gaps are O(0.1),
     * fourteen orders above it. */
-  def qKmeans(s: SparkSession, dir: String): DataFrame = {
-    val corpus = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    Similarity.kmeansCentroids(corpus, initMod = CentroidMod, iters = 2)
+  /** The two-sweep Lloyd training, staged once per (session, dir) —
+    * consumed by q_kmeans (emits the centroids) and q_ann_ivf_trained
+    * (searches with them); staging also pins ONE realization of the
+    * ~1-ulp AVG partition wobble for both consumers. */
+  private def kmeans2Staged(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.stage(s, s"ann:kmeans2:$dir") {
+      Similarity.kmeansCentroids(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        initMod = CentroidMod, iters = 2)
+    }
+
+  def qKmeans(s: SparkSession, dir: String): DataFrame =
+    kmeans2Staged(s, dir)
       .select(col("cid"), posexplode(col("c")))
       .select(col("cid"), col("pos"), round(col("col"), 6).as("m"))
       .orderBy(col("cid"), col("pos"))
-  }
 
   /** The two-sweep Lloyd training chain shared by qKmeansSql (which
     * emits the centroids) and qAnnIvfTrainedSql (which searches with
@@ -1661,8 +1670,7 @@ object LlmQueries {
   def qAnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
-    val cents = Similarity.kmeansCentroids(corpus,
-        initMod = CentroidMod, iters = 2)
+    val cents = kmeans2Staged(s, dir)
       .select(col("cid"), transform(col("c"), x => round(x, 6)).as("c"))
     Similarity.ivfTopKWith(corpus, queriesDf(s, dir), k = 3, cents)
       .orderBy(col("qid"), col("rank"))
