@@ -40,29 +40,65 @@ import org.apache.spark.storage.StorageLevel
   */
 object Staging {
 
+  /** Lazily-built staged entry. The map's computeIfAbsent only ever
+    * CREATES holders (cheap, no Spark jobs inside the map's bucket
+    * lock); the builder itself runs under the holder's own lazy-val
+    * monitor, so a builder that stages a DIFFERENT key re-enters the
+    * map safely — the ConcurrentHashMap recursive-update hazard the
+    * previous build-inside-computeIfAbsent shape only avoided by
+    * caller convention. */
+  private final class Holder(build: () => DataFrame) {
+    @volatile private var built: DataFrame = _
+    lazy val df: DataFrame = { val d = build(); built = d; d }
+    /** The frame iff the builder has completed (evict must not force
+      * a half-staged entry just to unpersist it). */
+    def builtOrNull: DataFrame = built
+  }
+
   private val cache =
-    new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new ConcurrentHashMap[(SparkSession, String), Holder]()
   private val pinned =
     new ConcurrentHashMap[SparkSession, java.util.List[RDD[_]]]()
   private val hooked =
     ConcurrentHashMap.newKeySet[SparkSession]()
+  /** Keys whose builder is running on THIS thread — same-thread
+    * re-entry on the same key would recurse through the holder's lazy
+    * val forever; fail it with a message naming the cycle instead. */
+  private val inFlight =
+    ThreadLocal.withInitial[java.util.HashSet[(SparkSession, String)]](
+      () => new java.util.HashSet[(SparkSession, String)]())
 
   /** Get-or-build the staged frame for `key` in session `s`. The
     * builder runs at most once per (session, key) until evicted; its
-    * result is persisted MEMORY_AND_DISK. The builder must NOT call
-    * back into [[stage]] for the same session from inside itself with
-    * a dependent key — resolve prerequisite stages BEFORE entering
-    * (ConcurrentHashMap forbids recursive computeIfAbsent). */
+    * result is persisted MEMORY_AND_DISK. Builders MAY stage other
+    * (acyclic) prerequisite keys — the build runs outside the map's
+    * lock; a self-cycle (a builder transitively staging its own key)
+    * fails fast with the key named. Cross-thread same-key callers
+    * block on the holder until the one running builder finishes. */
   def stage(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     installHook(s)
-    cache.computeIfAbsent((s, key),
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+    val k = (s, key)
+    if (inFlight.get.contains(k))
+      throw new IllegalStateException(
+        s"Staging.stage('$key') re-entered from inside its own builder " +
+          "— stage cycles are not allowed; resolve the prerequisite " +
+          "under a different key or hoist it out of the builder")
+    val holder = cache.computeIfAbsent(k, _ => new Holder(() => {
+      inFlight.get.add(k)
+      try build.persist(StorageLevel.MEMORY_AND_DISK)
+      finally inFlight.get.remove(k)
+    }))
+    holder.df
   }
 
   /** Unpersist and drop one staged entry; true iff it existed. */
   def evict(s: SparkSession, key: String): Boolean = {
-    val df = cache.remove((s, key))
-    if (df != null) { df.unpersist(blocking = false); true } else false
+    val h = cache.remove((s, key))
+    if (h != null) {
+      val df = h.builtOrNull
+      if (df != null) df.unpersist(blocking = false)
+      true
+    } else false
   }
 
   /** Unpersist and drop every staged entry and pinned RDD of `s`

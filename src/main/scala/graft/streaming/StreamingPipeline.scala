@@ -73,13 +73,6 @@ class StreamingPipeline(bench: DataFrame,
   private var pinnedAdm: Option[RDD[InternalRow]] = None
   private var lastBatchId: Long = Long.MinValue
 
-  private def cut(df: DataFrame,
-      prev: Option[RDD[InternalRow]]): (DataFrame, Option[RDD[InternalRow]]) = {
-    val (out, rdd) = Graph.localCut(df)
-    prev.foreach(_.unpersist(blocking = false))
-    (out, Some(rdd))
-  }
-
   /** The foreachBatch sink: `stream.writeStream.foreachBatch(
     * maintainer.processBatch _)`. Idempotent under Structured
     * Streaming's at-least-once replay: a batchId at or below the last
@@ -90,7 +83,6 @@ class StreamingPipeline(bench: DataFrame,
     * store-match kill would fire). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
     if (batchId <= lastBatchId) return
-    lastBatchId = batchId
     // the batch's quality survivors fan out to every stage below
     // (signatures, probe, kill-set joins, decontaminate, store append)
     // — cut once so the quality kernels run once per batch, the same
@@ -136,16 +128,25 @@ class StreamingPipeline(bench: DataFrame,
       .select(col("doc_id"), col("source"), col("lang_pred"),
         col("n_tokens"), col("n_chars"))
     // append EVERY quality survivor (and its signature) to the store;
-    // cut per batch so plan depth stays constant across the stream
-    val (d, pd) = cut(
-      storeDocs.unionByName(q.select(docCols.map(col): _*)), pinnedDocs)
-    storeDocs = d; pinnedDocs = pd
-    val (g, pg) = cut(storeSigs.unionByName(deltaSigs), pinnedSigs)
-    storeSigs = g; pinnedSigs = pg
-    val (a, pa) = cut(
-      admittedAcc.map(_.unionByName(admittedBatch)).getOrElse(admittedBatch),
-      pinnedAdm)
-    admittedAcc = Some(a); pinnedAdm = pa
+    // cut per batch so plan depth stays constant across the stream.
+    // ALL three cuts materialize BEFORE any store ref is swapped or
+    // any superseded block released: a cut that fails mid-batch then
+    // leaves the maintainer exactly as it was (old refs still valid,
+    // old blocks still pinned, lastBatchId unadvanced), so the
+    // at-least-once replay of the same batchId re-runs it cleanly
+    // instead of being skipped against a half-updated store
+    val (d, pd) = Graph.localCut(
+      storeDocs.unionByName(q.select(docCols.map(col): _*)))
+    val (g, pg) = Graph.localCut(storeSigs.unionByName(deltaSigs))
+    val (a, pa) = Graph.localCut(
+      admittedAcc.map(_.unionByName(admittedBatch)).getOrElse(admittedBatch))
+    // commit point — nothing below throws
+    pinnedDocs.foreach(_.unpersist(blocking = false))
+    storeDocs = d; pinnedDocs = Some(pd)
+    pinnedSigs.foreach(_.unpersist(blocking = false))
+    storeSigs = g; pinnedSigs = Some(pg)
+    pinnedAdm.foreach(_.unpersist(blocking = false))
+    admittedAcc = Some(a); pinnedAdm = Some(pa)
     // every downstream cut above is already materialized, so the
     // batch's transient blocks (survivors + pair list) are dead weight
     // — release them NOW rather than accumulating one block set per
@@ -153,6 +154,9 @@ class StreamingPipeline(bench: DataFrame,
     // retention policy)
     qRdd.unpersist(blocking = false)
     pairsRdd.unpersist(blocking = false)
+    // recorded LAST, inside the commit section: a batch remembered as
+    // processed before its effects land would be dropped on replay
+    lastBatchId = batchId
   }
 
   /** Union of all admitted increments so far. */
