@@ -1,0 +1,301 @@
+package graft.queries
+
+import graft.Tables
+import graft.dsl.{Compile, Query}
+import graft.export.{Download, Exports}
+import graft.store.RecordStore
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The §3.2 bulk-download path composed as ONE gate — the reference's
+  * #1 user flow (idigbio_workers/lib/download.py:360-577) end to end:
+  *
+  *   1. two DSL queries (records + media) parse through [[Query]] and
+  *      compile through [[Compile]];
+  *   2. [[Download.generateQueries]] cross-injects them — the record
+  *      side gains has_child{mediarecords}, the media side gains
+  *      has_parent{records} with the inner_hits parent carry;
+  *   3. the record core resolves via a semi-join, the media extension
+  *      via [[RecordStore.innerHits]] (first-matching-parent carry);
+  *   4. the raw core member reads each record's LATEST stored body
+  *      (the store's max_by read path, db.py:37-44);
+  *   5. the multimedia member's coreid is the media doc's first indexed
+  *      parent (download.py:235 `_source["records"][0]`);
+  *   6. citation files count recordsets of both composed result sets
+  *      (download.py:49-79, :134-147);
+  *   7. meta.xml assembles from [[Exports.makeFileBlock]] with the
+  *      reference's field-list split and long-name conversion
+  *      (download.py:536-556, :303-310).
+  *
+  * The gate's output is the archive MANIFEST: one row per member with
+  * its row count and a content checksum over the member's formatted
+  * rows, plus the meta.xml row hashing the full XML string — the
+  * oracle replays the entire composition as a single CTE program built
+  * from the same fragments the per-stage gates use (the q_pipeline
+  * discipline), so drift in ANY stage (DSL compile, either relational
+  * injection, the carry, the latest-body read, citations, meta
+  * emission) goes hash-red.
+  *
+  * Entity model: derived from `events` exactly as
+  * [[StoreQueries.storeFrom]] derives the store tables — each user is
+  * a record whose index terms (genus / scientificname / locality) are
+  * deterministic functions of user_id; each event_id % 200 is a
+  * mediarecord; sibling edges link them; version bodies are event
+  * props.
+  *
+  * Scale shape: every member is a scan + hash-join/aggregate
+  * projection — the corpus shuffles only on its own keys (record uuid,
+  * media uuid, recordset); the parent side of the carry join is the
+  * FILTERED record query (broadcast-eligible); checksums are
+  * partial-aggregable sums. Nothing iterates rows on the driver — in
+  * production each member is a distributed CSV write
+  * ([[Exports.csvFormat]]) and the zip is the bounded driver tail the
+  * reference's worker also runs.
+  */
+object DownloadQueries {
+
+  /** The two user queries, as DSL JSON (terms-OR + prefix on the record
+    * side, term on the media side — three predicate families through
+    * the real parser/compiler). */
+  val recordQueryJson: String =
+    """{"genus": ["genus1", "genus3", "genus5"],
+      | "locality": {"type": "prefix", "value": "locality 1"}}""".stripMargin
+  val mediaQueryJson: String = """{"format": "image/jpeg"}"""
+
+  /** The download's field lists (download.py record_fields /
+    * mediarecord_fields): the record list mixes index terms with a raw
+    * `data.*` field, exercising the split at :536-556. */
+  val recordFields: Seq[String] =
+    Seq("genus", "scientificname", "locality", "data.props")
+  val mediaFields: Seq[String] = Seq("format", "accessuri")
+
+  // --- the indexed entity views (events-derived, one per download run) --
+
+  /** records view: one row per user; index terms are deterministic
+    * functions of user_id. */
+  def recordsView(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("user_id")).distinct()
+      .select(
+        concat(lit("u"), col("user_id")).as("uuid"),
+        concat(lit("rs"), col("user_id") % 5).as("recordset"),
+        (col("user_id") % 97 === 0).as("deleted"),
+        concat(lit("genus"), col("user_id") % 7).as("genus"),
+        concat(lit("Genus"), col("user_id") % 7,
+          lit(" epithet "), col("user_id") % 13).as("scientificname"),
+        concat(lit("Locality "), col("user_id") % 11).as("locality"))
+
+  /** mediarecords view: one row per event_id % 200. */
+  def mediaView(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select((col("event_id") % 200).as("mid")).distinct()
+      .select(
+        concat(lit("m"), col("mid")).as("media_uuid"),
+        concat(lit("rs"), col("mid") % 5).as("recordset"),
+        when(col("mid") % 2 === 0, lit("image/jpeg"))
+          .otherwise(lit("audio/mpeg")).as("format"),
+        concat(lit("http://media.example/"), col("mid")).as("accessuri"))
+
+  /** record ⇄ media sibling edges. */
+  def sibEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      concat(lit("u"), col("user_id")).as("r1"),
+      concat(lit("m"), col("event_id") % 200).as("r2")).distinct()
+
+  private val oracleModel: String =
+    """ru AS (SELECT DISTINCT 'u'||user_id AS uuid,
+      |         'rs'||(user_id%5) AS recordset,
+      |         (user_id%97 = 0) AS deleted,
+      |         'genus'||(user_id%7) AS genus,
+      |         'Genus'||(user_id%7)||' epithet '||(user_id%13) AS scientificname,
+      |         'Locality '||(user_id%11) AS locality
+      |       FROM events),
+      |mu AS (SELECT DISTINCT 'm'||(event_id%200) AS media_uuid,
+      |         'rs'||((event_id%200)%5) AS recordset,
+      |         CASE WHEN (event_id%200)%2 = 0 THEN 'image/jpeg'
+      |              ELSE 'audio/mpeg' END AS format,
+      |         'http://media.example/'||(event_id%200) AS accessuri
+      |       FROM events),
+      |sib AS (SELECT DISTINCT 'u'||user_id AS r1,
+      |          'm'||(event_id%200) AS r2 FROM events),
+      |recs_rq AS (SELECT * FROM ru WHERE NOT deleted
+      |  AND lower(genus) IN ('genus1','genus3','genus5')
+      |  AND lower(locality) LIKE 'locality 1%'),
+      |media_mq AS (SELECT * FROM mu WHERE lower(format) = 'image/jpeg'),
+      |hit AS (SELECT sib.r2 AS media_uuid, min(sib.r1) AS parent_uuid
+      |        FROM sib JOIN recs_rq r ON r.uuid = sib.r1 GROUP BY sib.r2)""".stripMargin
+
+  /** The composed queries + filtered sides, shared by both gates. */
+  private def composedSides(s: SparkSession, dir: String)
+      : (Download.ComposedQueries, DataFrame, DataFrame) = {
+    val cq = Download.generateQueries(
+      Some(Query.parse(recordQueryJson)), Some(Query.parse(mediaQueryJson)))
+    val recsRq = recordsView(s, dir)
+      .where(!col("deleted") && Compile.query(Query(cq.rq)))
+    val mediaMq = mediaView(s, dir).where(Compile.query(Query(cq.mq)))
+    (cq, recsRq, mediaMq)
+  }
+
+  /** has_parent + inner_hits carry, row-level (the §3.2 media-side
+    * injection made visible): media matching mq whose parent matches
+    * rq, each row carrying the first matching parent's scientificname
+    * and locality (download.py:244-253's `hits[0]["_source"]`). */
+  def qInnerHits(s: SparkSession, dir: String): DataFrame = {
+    val (cq, recsRq, mediaMq) = composedSides(s, dir)
+    require(cq.mqHasParent && cq.innerHits.nonEmpty)
+    RecordStore.innerHits(
+        mediaMq, "media_uuid", recsRq, "uuid",
+        sibEdges(s, dir), "r2", "r1",
+        carry = Seq("scientificname" -> "scientificname",
+          "locality" -> "locality"),
+        hitKeyName = "parent_uuid")
+      .select(col("media_uuid"), col("parent_uuid"),
+        col("scientificname"), col("locality"), col("format"))
+      .orderBy(col("media_uuid"))
+  }
+
+  val qInnerHitsSql: String =
+    s"""WITH $oracleModel
+       |SELECT m.media_uuid, h.parent_uuid, r.scientificname, r.locality,
+       |  m.format
+       |FROM media_mq m
+       |JOIN hit h USING (media_uuid)
+       |JOIN recs_rq r ON r.uuid = h.parent_uuid
+       |ORDER BY m.media_uuid""".stripMargin
+
+  // --- the composed manifest gate --------------------------------------
+
+  /** Row-content hash: 60-bit md5 prefix mod a prime, summed per member
+    * (the qDwcaRoundtrip checksum idiom — order-free, overflow-free). */
+  private def h(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % 1000000007L
+
+  private def member(s: SparkSession, loc: String, rows: DataFrame,
+      content: Column): DataFrame =
+    rows.agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(h(content)), lit(0L)).as("checksum"))
+      .select(lit(loc).as("location"), col("n_rows"), col("checksum"))
+
+  /** The meta.xml string for this download, built with the reference's
+    * field-list split + long-name conversion. Core block first
+    * (download.py:558 "core must be first"), then the raw-records and
+    * multimedia extensions in the reference's member order. */
+  def metaXml: String = {
+    val (recIdx, recRaw) = Download.splitFields(recordFields)
+    val (medIdx, _) = Download.splitFields(mediaFields)
+    Exports.makeMeta(Seq(
+      Exports.makeFileBlock("occurrence.csv",
+        Download.convertFields("records", recIdx),
+        core = true, rowType = Exports.rowTypes("records")),
+      Exports.makeFileBlock("occurrence_raw.csv",
+        Download.rawFieldNames(recRaw),
+        core = false, rowType = Exports.rowTypes("records")),
+      Exports.makeFileBlock("multimedia.csv",
+        Download.convertFields("mediarecords", medIdx),
+        core = false, rowType = Exports.rowTypes("mediarecords"))))
+  }
+
+  /** The composed download manifest: one row per archive member with
+    * row count + content checksum. See the object doc for the stages
+    * each member makes load-bearing. */
+  def qDownload(s: SparkSession, dir: String): DataFrame = {
+    val (cq, recsRq, mediaMq) = composedSides(s, dir)
+    val edges = sibEdges(s, dir)
+    // core: records matching rq AND has_child{mediarecords: mq}
+    val core =
+      if (cq.rqHasChild)
+        recsRq.join(
+          edges.join(mediaMq.select(col("media_uuid").as("r2")), "r2")
+            .select(col("r1").as("uuid")),
+          Seq("uuid"), "left_semi")
+      else recsRq
+    // extension: media matching mq AND has_parent{records: rq}, with
+    // the inner-hits carry (locality rides along into q_inner_hits's
+    // row-level gate; here the membership itself is load-bearing)
+    val ext = RecordStore.innerHits(
+      mediaMq, "media_uuid", recsRq, "uuid", edges, "r2", "r1",
+      carry = Seq("locality" -> "_carry_locality"),
+      hitKeyName = "parent_uuid")
+    // multimedia coreid = the media doc's first indexed parent
+    // (download.py:235) — min over ALL non-deleted parents, not just
+    // rq-matching ones
+    val coreids = edges
+      .join(recordsView(s, dir).where(!col("deleted"))
+        .select(col("uuid").as("r1")), "r1")
+      .groupBy(col("r2").as("media_uuid"))
+      .agg(min(col("r1")).as("coreid"))
+    // raw core member: each core record's LATEST stored body
+    val latestProps = Tables.events(s, dir)
+      .groupBy(concat(lit("u"), col("user_id")).as("uuid"))
+      .agg(max(struct(col("ts"), col("event_id"), col("props"))).as("_t"))
+      .select(col("uuid"), col("_t.props").as("props"))
+    val members = Seq(
+      member(s, "occurrence.csv", core,
+        concat_ws("|", col("uuid"), col("genus"),
+          col("scientificname"), col("locality"))),
+      member(s, "occurrence_raw.csv", core.join(latestProps, Seq("uuid")),
+        concat_ws("|", col("uuid"), col("props"))),
+      member(s, "multimedia.csv", ext.join(coreids, Seq("media_uuid")),
+        concat_ws("|", coalesce(col("coreid"), lit("")),
+          col("accessuri"), col("format"))),
+      member(s, "records.citation.csv",
+        Exports.citationCounts(core, "recordset"),
+        concat_ws("|", col("recordset"), col("itemCount"))),
+      member(s, "mediarecords.citation.csv",
+        Exports.citationCounts(ext, "recordset"),
+        concat_ws("|", col("recordset"), col("itemCount"))),
+      s.range(1).select(lit("meta.xml").as("location"),
+        lit(3L).as("n_rows"), h(lit(metaXml)).as("checksum")))
+    members.reduce(_.unionByName(_)).orderBy(col("location"))
+  }
+
+  val qDownloadSql: String = {
+    val metaLit = metaXml.replace("'", "''")
+    s"""WITH $oracleModel,
+       |core AS (SELECT r.* FROM recs_rq r WHERE EXISTS (
+       |  SELECT 1 FROM sib JOIN media_mq m ON m.media_uuid = sib.r2
+       |  WHERE sib.r1 = r.uuid)),
+       |ext AS (SELECT m.*, h.parent_uuid
+       |        FROM media_mq m JOIN hit h USING (media_uuid)),
+       |coreid AS (SELECT sib.r2 AS media_uuid, min(sib.r1) AS coreid
+       |           FROM sib JOIN ru ON ru.uuid = sib.r1 AND NOT ru.deleted
+       |           GROUP BY sib.r2),
+       |lp AS (SELECT uuid, props FROM (
+       |  SELECT 'u'||user_id AS uuid, props,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events) WHERE rn = 1),
+       |rc AS (SELECT recordset, count(*) AS n FROM core GROUP BY 1),
+       |mc AS (SELECT recordset, count(*) AS n FROM ext GROUP BY 1)
+       |SELECT location, n_rows, checksum FROM (
+       |SELECT 'occurrence.csv' AS location, count(*) AS n_rows,
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    uuid||'|'||genus||'|'||scientificname||'|'||locality
+       |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT) AS checksum
+       |FROM core
+       |UNION ALL
+       |SELECT 'occurrence_raw.csv', count(*),
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    uuid||'|'||props),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |FROM core JOIN lp USING (uuid)
+       |UNION ALL
+       |SELECT 'multimedia.csv', count(*),
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    coalesce(coreid,'')||'|'||accessuri||'|'||format
+       |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |FROM ext JOIN coreid USING (media_uuid)
+       |UNION ALL
+       |SELECT 'records.citation.csv', count(*),
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    recordset||'|'||n),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |FROM rc
+       |UNION ALL
+       |SELECT 'mediarecords.citation.csv', count(*),
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    recordset||'|'||n),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |FROM mc
+       |UNION ALL
+       |SELECT 'meta.xml', 3,
+       |  CAST(try_cast('0x'||substr(md5('$metaLit'),1,15) AS BIGINT)
+       |    % 1000000007 AS BIGINT)
+       |) ORDER BY location""".stripMargin
+  }
+}

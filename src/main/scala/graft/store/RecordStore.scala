@@ -111,3 +111,54 @@ final case class RecordStore(
       children.select(explode(col(childArrayCol)).as(parentKey)),
       Seq(parentKey), "left_semi")
 }
+
+object RecordStore {
+
+  /** `has_parent` + `inner_hits` parent-column carry — the missing half
+    * of the reference's bulk-download composition (the query side at
+    * idigbio_workers/lib/download.py:381-389 injects the record query
+    * into the media query as `has_parent{records, inner_hits:{_source:
+    * [scientificname, locality, ...]}}`; the hits are consumed at
+    * :244-253, where each media row's id function reads
+    * `inner_hits["records"]["hits"]["hits"][0]["_source"]` — the FIRST
+    * matching parent's projected fields).
+    *
+    * Semantics: children having at least one parent matching the
+    * parent-side query, each child row carrying the first matching
+    * parent's `carry` columns. ES orders inner hits by score, which for
+    * the reference's constant-score filtered queries is not meaningful —
+    * the deterministic re-expression takes the smallest parent key.
+    *
+    * Plan shape (the 100 TB story): the edge relation joins the
+    * FILTERED parent side (broadcast-eligible when the parent query is
+    * selective — the planner/AQE decides), then ONE partial-aggregable
+    * `min(struct(parentKey, carry...))` reduction keyed by child
+    * collapses multi-parent children map-side, then one equi-join hangs
+    * the hit off each child row. The child corpus is never shuffled on
+    * anything but its own key; no window, no per-child sort.
+    *
+    * @param edges (childEdge, parentEdge) link relation (sibling pairs)
+    * @param carry (parent column → output column) projection; output
+    *   names must not collide with child columns
+    * @param hitKeyName output column for the carried parent key
+    */
+  def innerHits(children: DataFrame, childKey: String,
+      parents: DataFrame, parentKey: String,
+      edges: DataFrame, childEdge: String, parentEdge: String,
+      carry: Seq[(String, String)],
+      hitKeyName: String = "parent_id"): DataFrame = {
+    val parentSide = parents.select(
+      (col(parentKey).as("_pk") +: carry.map { case (c, _) => col(c) }): _*)
+    val firstHit = edges
+      .select(col(childEdge).as("_ck"), col(parentEdge).as("_pk"))
+      .join(parentSide, "_pk")
+      .groupBy(col("_ck"))
+      .agg(min(struct(
+        (col("_pk") +: carry.map { case (c, _) => col(c) }): _*)).as("_hit"))
+      .select(
+        (col("_ck").as(childKey) +:
+          col("_hit._pk").as(hitKeyName) +:
+          carry.map { case (c, out) => col(s"_hit.$c").as(out) }): _*)
+    children.join(firstHit, Seq(childKey))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.export
+
+import graft.SparkSpec
+import graft.dsl.{Prefix, QValue, Query, Term, Terms}
+import graft.store.RecordStore
+import org.apache.spark.sql.functions._
+
+/** The §3.2 bulk-download composition contract
+  * (idigbio_workers/lib/download.py:360-430, :536-556, :244-253):
+  * query cross-injection flags, field-list splitting, and the
+  * has_parent + inner_hits first-matching-parent carry. */
+class DownloadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rq = Query.parse(
+    """{"genus": ["a", "b"], "locality": {"type": "prefix", "value": "x"}}""")
+  private val mq = Query.parse("""{"format": "image/jpeg"}""")
+
+  test("generateQueries: both sides present cross-inject — record side " +
+      "gains has_child, media side gains has_parent with the inner_hits " +
+      "_source list (download.py:381-412)") {
+    val cq = Download.generateQueries(Some(rq), Some(mq))
+    assert(cq.rqHasChild && cq.mqHasParent)
+    assert(cq.innerHits == Seq("scientificname", "locality",
+      "data.dwc:scientificName", "data.dwc:locality"))
+    assert(cq.rq == rq.predicates && cq.mq == mq.predicates)
+  }
+
+  test("generateQueries: absent or EMPTY queries normalize to no " +
+      "injection (download.py:373-376), and a mediarecords core adds " +
+      "hasImage:true to the RECORD side (:366-371)") {
+    val none = Download.generateQueries(None, None)
+    assert(!none.rqHasChild && !none.mqHasParent && none.innerHits.isEmpty)
+    assert(none.rq.isEmpty && none.mq.isEmpty)
+    val empty = Download.generateQueries(Some(Query(Nil)), Some(Query(Nil)))
+    assert(!empty.rqHasChild && !empty.mqHasParent,
+      "the empty query is match-all — no relational injection")
+    val mediaCore = Download.generateQueries(None, Some(mq), "mediarecords")
+    assert(mediaCore.rq == Seq(Term("hasImage", QValue.B(true))),
+      "media core constrains records to hasImage")
+    assert(mediaCore.rqHasChild && !mediaCore.mqHasParent)
+  }
+
+  test("splitFields: quoted names dropped, data.* to raw, rest to " +
+      "indexterms, order preserved (download.py:536-556); raw header " +
+      "names strip the data. prefix (:301-302)") {
+    val (idx, raw) = Download.splitFields(
+      Seq("genus", "data.dwc:locality", "\"bad", "locality", "data.props"))
+    assert(idx == Seq("genus", "locality"))
+    assert(raw == Seq("data.dwc:locality", "data.props"))
+    assert(Download.rawFieldNames(raw) == Seq("dwc:locality", "props"))
+  }
+
+  test("convertFields: long-name conversion DROPS fields with no long " +
+      "name instead of passing them through (download.py:303-310)") {
+    val out = Download.convertFields("records",
+      Seq("genus", "nosuchfield", "scientificname"))
+    assert(out == Seq("dwc:genus", "dwc:scientificName"))
+  }
+
+  test("innerHits: each child carries the FIRST (smallest-key) matching " +
+      "parent's columns; children with no matching parent drop out; " +
+      "non-matching parents never contribute a hit (download.py:244-253)") {
+    val parents = Seq(
+      ("u10", "Genus one", "Loc A", true),
+      ("u2", "Genus two", "Loc B", true),
+      ("u3", "Genus three", "Loc C", false)) // does not match the query
+      .toDF("uuid", "sci", "loc", "matches")
+    val children = Seq(("m1", "image/jpeg"), ("m2", "image/jpeg"),
+      ("m3", "image/jpeg")).toDF("media_uuid", "format")
+    val edges = Seq(
+      ("m1", "u10"), ("m1", "u2"), // two matching parents
+      ("m2", "u3"),                // only a non-matching parent
+      ("m3", "u2")).toDF("r2", "r1")
+    val out = RecordStore.innerHits(
+        children, "media_uuid",
+        parents.where(col("matches")), "uuid",
+        edges, "r2", "r1",
+        carry = Seq("sci" -> "sci", "loc" -> "loc"),
+        hitKeyName = "parent_uuid")
+      .select("media_uuid", "parent_uuid", "sci", "loc")
+      .as[(String, String, String, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      // "u10" < "u2" lexicographically — the deterministic first hit
+      ("m1", "u10", "Genus one", "Loc A"),
+      ("m3", "u2", "Genus two", "Loc B")))
+  }
+
+  test("metaXml member blocks: core first with expanded term URIs; " +
+      "extensions carry coreid index 0 (download.py:558, meta_xml.py)") {
+    val meta = graft.queries.DownloadQueries.metaXml
+    val coreAt = meta.indexOf("<core ")
+    val extAt = meta.indexOf("<extension ")
+    assert(coreAt >= 0 && extAt > coreAt, "core block must come first")
+    assert(meta.contains(
+      """term="http://rs.tdwg.org/dwc/terms/scientificName""""))
+    assert(meta.contains("""term="http://rs.tdwg.org/ac/terms/accessURI""""))
+    assert(meta.contains("""<id index="0" />"""))
+    assert(meta.contains("""<coreid index="0" />"""))
+    // the raw member's field survives un-prefixed (no namespace)
+    assert(meta.contains("""term="props""""))
+  }
+}
