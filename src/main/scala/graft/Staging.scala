@@ -46,13 +46,34 @@ object Staging {
     * monitor, so a builder that stages a DIFFERENT key re-enters the
     * map safely — the ConcurrentHashMap recursive-update hazard the
     * previous build-inside-computeIfAbsent shape only avoided by
-    * caller convention. */
+    * caller convention.
+    *
+    * Evict-during-build: [[markEvicted]] and the builder's completion
+    * step coordinate on a SEPARATE small lock (not the lazy-val
+    * monitor, so evict never blocks behind a running build): whichever
+    * runs second unpersists the frame, so an entry evicted while its
+    * builder is in flight is unpersisted the moment the build lands
+    * instead of becoming an untracked persisted frame nothing can ever
+    * release. */
   private final class Holder(build: () => DataFrame) {
-    @volatile private var built: DataFrame = _
-    lazy val df: DataFrame = { val d = build(); built = d; d }
+    private val lock = new Object
+    private var built: DataFrame = _
+    private var evicted = false
+    lazy val df: DataFrame = {
+      val d = build()
+      lock.synchronized {
+        built = d
+        if (evicted) d.unpersist(blocking = false)
+      }
+      d
+    }
     /** The frame iff the builder has completed (evict must not force
       * a half-staged entry just to unpersist it). */
-    def builtOrNull: DataFrame = built
+    def builtOrNull: DataFrame = lock.synchronized(built)
+    def markEvicted(): Unit = lock.synchronized {
+      evicted = true
+      if (built != null) built.unpersist(blocking = false)
+    }
   }
 
   private val cache =
@@ -67,14 +88,49 @@ object Staging {
   private val inFlight =
     ThreadLocal.withInitial[java.util.HashSet[(SparkSession, String)]](
       () => new java.util.HashSet[(SparkSession, String)]())
+  /** Key → the thread currently RUNNING its builder, and thread → the
+    * key it is currently blocked staging: together the wait-for graph
+    * that makes CROSS-THREAD stage cycles fail fast (an
+    * IllegalStateException naming the cycle) instead of deadlocking on
+    * the holders' lazy-val monitors. Every participant publishes its
+    * `waitingFor` edge BEFORE walking the graph, so for any genuine
+    * cycle the last thread to publish sees the complete chain —
+    * detection is sound for cycles whose members all come through
+    * [[stage]]. */
+  private val building =
+    new ConcurrentHashMap[(SparkSession, String), Thread]()
+  private val waitingFor =
+    new ConcurrentHashMap[Thread, (SparkSession, String)]()
+
+  /** Walk builder-of(k) → waiting-on → builder-of(...) looking for
+    * `me`; throws naming the cycle if found. */
+  private def failOnCycle(k: (SparkSession, String), me: Thread): Unit = {
+    var cur = building.get(k)
+    val seen = new java.util.HashSet[Thread]()
+    val chain = new StringBuilder(s"'${k._2}'")
+    while (cur != null && seen.add(cur)) {
+      if (cur eq me)
+        throw new IllegalStateException(
+          s"Staging.stage detected a cross-thread stage CYCLE: " +
+            s"waiting for ${chain.result()} would deadlock " +
+            "— stage prerequisites acyclically or hoist them out of " +
+            "the builders")
+      val wk = waitingFor.get(cur)
+      if (wk == null) return
+      chain.append(s" -> '${wk._2}'")
+      cur = building.get(wk)
+    }
+  }
 
   /** Get-or-build the staged frame for `key` in session `s`. The
     * builder runs at most once per (session, key) until evicted; its
     * result is persisted MEMORY_AND_DISK. Builders MAY stage other
     * (acyclic) prerequisite keys — the build runs outside the map's
-    * lock; a self-cycle (a builder transitively staging its own key)
-    * fails fast with the key named. Cross-thread same-key callers
-    * block on the holder until the one running builder finishes. */
+    * lock; a same-thread self-cycle (a builder transitively staging
+    * its own key) and a cross-thread cycle (two threads' builders
+    * staging each other's keys) both fail fast with the cycle named.
+    * Cross-thread same-key callers block on the holder until the one
+    * running builder finishes. */
   def stage(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     installHook(s)
     val k = (s, key)
@@ -84,21 +140,33 @@ object Staging {
           "— stage cycles are not allowed; resolve the prerequisite " +
           "under a different key or hoist it out of the builder")
     val holder = cache.computeIfAbsent(k, _ => new Holder(() => {
+      building.put(k, Thread.currentThread())
       inFlight.get.add(k)
       try build.persist(StorageLevel.MEMORY_AND_DISK)
-      finally inFlight.get.remove(k)
+      finally {
+        inFlight.get.remove(k)
+        building.remove(k)
+      }
     }))
-    holder.df
+    val me = Thread.currentThread()
+    // nested stage calls (a builder staging a prerequisite) restore the
+    // outer edge on return so the wait-for graph stays accurate for the
+    // remainder of the outer build
+    val prev = waitingFor.put(me, k)
+    try {
+      failOnCycle(k, me)
+      holder.df
+    } finally {
+      if (prev != null) waitingFor.put(me, prev) else waitingFor.remove(me)
+    }
   }
 
-  /** Unpersist and drop one staged entry; true iff it existed. */
+  /** Unpersist and drop one staged entry; true iff it existed. An
+    * entry whose builder is still in flight is marked: the builder
+    * unpersists its own result on completion (see [[Holder]]). */
   def evict(s: SparkSession, key: String): Boolean = {
     val h = cache.remove((s, key))
-    if (h != null) {
-      val df = h.builtOrNull
-      if (df != null) df.unpersist(blocking = false)
-      true
-    } else false
+    if (h != null) { h.markEvicted(); true } else false
   }
 
   /** Unpersist and drop every staged entry and pinned RDD of `s`

@@ -26,6 +26,13 @@ object Eval {
     * approximate side missed entirely still appear (hits = 0) via
     * the left join from the truth side's query set.
     *
+    * The denominator is the PER-QUERY truth-set size (≤ k), not the
+    * constant k: a query whose exact result list has fewer than k
+    * members — a sparse corpus, a filtered candidate set — can still
+    * score 1.0 when the approximation finds everything there is to
+    * find; a fixed-k denominator would cap such queries below 1.0
+    * forever and understate aggregate recall.
+    *
     * Plan: both sides are (queries × k)-sized, so the join is a
     * broadcast hash join regardless of corpus size — evaluation
     * cost is independent of the index size being evaluated. */
@@ -36,9 +43,9 @@ object Eval {
     t.join(broadcast(a),
         col("qid") === col("aqid") && col("nid") === col("anid"), "left")
       .groupBy(col("qid"))
-      .agg(count(col("anid")).as("hits"))
+      .agg(count(col("anid")).as("hits"), count(lit(1)).as("n_truth"))
       .select(col("qid"), col("hits"),
-        (round(col("hits") / lit(k.toDouble), 6) + lit(0.0)).as("recall"))
+        (round(col("hits") / col("n_truth"), 6) + lit(0.0)).as("recall"))
   }
 
   /** Simplified silhouette over an existing cluster assignment, via

@@ -167,7 +167,12 @@ object Graph {
       RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
     val rdd = df.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    rdd.count()
+    // a failed materialization must drop its own checkpoint marking
+    // (localCheckpoint registers the RDD persisted BEFORE the count),
+    // or every failed cut leaks an entry in the context's persistent
+    // registry for the life of the session
+    try rdd.count()
+    catch { case t: Throwable => rdd.unpersist(blocking = false); throw t }
     (org.apache.spark.sql.GraftSqlBridge
       .internalCreateDataFrame(df.sparkSession, rdd, df.schema), rdd)
   }

@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Eager lineage cut with pinned-block REGISTRATION for the small
+    * intermediates this module materializes (candidate pair lists,
+    * coverage sets): [[Graph.localCut]] for the cut, with the pinned
+    * RDD registered via [[graft.Staging.registerPinned]] so a
+    * long-lived session can release the blocks on demand
+    * ([[graft.Staging.releasePinned]] / session end) instead of
+    * leaving them to driver GC — the same lifecycle hygiene the
+    * iterative Graph/Eval operators follow. */
+  private def cutRegistered(df: DataFrame): DataFrame = {
+    val (cut, rdd) = Graph.localCut(df)
+    graft.Staging.registerPinned(df.sparkSession, rdd)
+    cut
+  }
+
   /** 60-bit integer hash shared with the DuckDB oracle:
     * parse the first 15 hex chars of md5. Codegen'd built-ins only.
     * Used where the oracle must replay the exact hash (SimHash); the
@@ -197,7 +211,7 @@ object TextDedup {
     val sh = shingleHashes(withWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands =
-      try jaccardCandidates(sh, idCol, threshold).localCheckpoint()
+      try cutRegistered(jaccardCandidates(sh, idCol, threshold))
       finally sh.unpersist(false)
     // re-shingle only candidate docs for the exact verify (same
     // semi-join-first discipline as minhashNearDups)
@@ -268,7 +282,7 @@ object TextDedup {
     val sh = shingleHashes(withWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands =
-      try containmentCandidates(sh, idCol, threshold).localCheckpoint()
+      try cutRegistered(containmentCandidates(sh, idCol, threshold))
       finally sh.unpersist(false)
     val candDocs = cands.select(col("d1").as(idCol))
       .union(cands.select(col("d2").as(idCol))).distinct()
@@ -398,12 +412,11 @@ object TextDedup {
       val dups = wins.groupBy(col("_h"))
         .agg(countDistinct(col(idCol)).as("_nd"), min(col(idCol)).as("_keeper"))
         .where(col("_nd") >= 2)
-      wins.join(dups, "_h")
+      cutRegistered(wins.join(dups, "_h")
         .where(col(idCol) =!= col("_keeper"))
         .select(col(idCol),
           explode(sequence(col("_pos"), col("_pos") + (k - 1))).as("_ix"))
-        .groupBy(col(idCol)).agg(collect_set(col("_ix")).as("_cov"))
-        .localCheckpoint()
+        .groupBy(col(idCol)).agg(collect_set(col("_ix")).as("_cov")))
     } finally wins.unpersist(false)
     withW.join(covered, Seq(idCol), "left")
       .select(others :+
@@ -490,7 +503,7 @@ object TextDedup {
     // THREE consumers below (the two candDocs projections and the
     // verify semi-join) would each re-run the full band self-join —
     // the jaccardSelfJoin discipline (duplicate-sized residue only)
-    val cands = lshCandidates(sigs, idCol).localCheckpoint()
+    val cands = cutRegistered(lshCandidates(sigs, idCol))
     def shingleHashes(d: DataFrame): DataFrame = d
       .select(col(idCol),
         explode(graft.functions.NativeText.shingleHashes(
@@ -583,7 +596,7 @@ object TextDedup {
       .select(col("d1"), col("d2"))
     // same candidate-list cut as the batch path: three consumers,
     // band joins run once
-    val cands = cross.union(dd).distinct().localCheckpoint()
+    val cands = cutRegistered(cross.union(dd).distinct())
     val candDocs = cands.select(col("d1").as(idCol))
       .union(cands.select(col("d2").as(idCol))).distinct()
     val allWords = baseDocs

@@ -2353,7 +2353,7 @@ object LlmQueries {
        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
        |      ORDER BY sim DESC, nid) AS rk FROM ivs) WHERE rk <= 3)
        |SELECT t.qid, count(a.nid) AS hits,
-       |  round(count(a.nid) / 3.0, 6) + 0.0 AS recall
+       |  round(count(a.nid) / count(*), 6) + 0.0 AS recall
        |FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.nid = t.nid
        |GROUP BY t.qid ORDER BY t.qid""".stripMargin
 

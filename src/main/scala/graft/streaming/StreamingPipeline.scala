@@ -83,11 +83,32 @@ class StreamingPipeline(bench: DataFrame,
     * store-match kill would fire). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
     if (batchId <= lastBatchId) return
+    // every lineage cut this batch materializes, in order — a cut that
+    // THROWS mid-batch must not orphan the blocks of the cuts before
+    // it (each failed/replayed batch would otherwise leak one or two
+    // pinned block sets for the life of the stream), so the whole
+    // pre-commit section unwinds through the catch below, which
+    // unpersists everything staged so far and rethrows: the maintainer
+    // state is untouched AND no transient block survives the failure
+    val staged = scala.collection.mutable.ListBuffer.empty[RDD[InternalRow]]
+    def cut(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+      val r = Graph.localCut(df); staged += r._2; r
+    }
+    try processBatchStaged(batch, batchId, cut)
+    catch {
+      case t: Throwable =>
+        staged.foreach(_.unpersist(blocking = false))
+        throw t
+    }
+  }
+
+  private def processBatchStaged(batch: DataFrame, batchId: Long,
+      cut: DataFrame => (DataFrame, RDD[InternalRow])): Unit = {
     // the batch's quality survivors fan out to every stage below
     // (signatures, probe, kill-set joins, decontaminate, store append)
     // — cut once so the quality kernels run once per batch, the same
     // single-derivation discipline as the pipeline gate's staged tables
-    val (q, qRdd) = Graph.localCut(
+    val (q, qRdd) = cut(
       graft.queries.LlmQueries.qualitySurvivors(
         batch.select(col("doc_id"), col("text"), col("source"),
           col("n_chars"))))
@@ -95,7 +116,7 @@ class StreamingPipeline(bench: DataFrame,
         graft.functions.NativeText.minhashSig(
           split(col("text"), " "), 3).as("sig"))
       .where(size(col("sig")) > 0)
-    val (pairs, pairsRdd) = Graph.localCut(
+    val (pairs, pairsRdd) = cut(
       TextDedup.incrementalNearDupsFromSigs(
         storeDocs, storeSigs, q, deltaSigs, "doc_id", "text",
         shingleSize = 3, threshold = 0.5))
@@ -135,10 +156,10 @@ class StreamingPipeline(bench: DataFrame,
     // old blocks still pinned, lastBatchId unadvanced), so the
     // at-least-once replay of the same batchId re-runs it cleanly
     // instead of being skipped against a half-updated store
-    val (d, pd) = Graph.localCut(
+    val (d, pd) = cut(
       storeDocs.unionByName(q.select(docCols.map(col): _*)))
-    val (g, pg) = Graph.localCut(storeSigs.unionByName(deltaSigs))
-    val (a, pa) = Graph.localCut(
+    val (g, pg) = cut(storeSigs.unionByName(deltaSigs))
+    val (a, pa) = cut(
       admittedAcc.map(_.unionByName(admittedBatch)).getOrElse(admittedBatch))
     // commit point — nothing below throws
     pinnedDocs.foreach(_.unpersist(blocking = false))

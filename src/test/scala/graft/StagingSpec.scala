@@ -45,6 +45,95 @@ class StagingSpec extends SparkSpec {
     assert(Staging.stagedKeys(spark).isEmpty)
   }
 
+  test("a builder MAY stage a prerequisite key — nested acyclic " +
+      "staging builds both and caches both") {
+    var preBuilds = 0
+    val out = Staging.stage(spark, "spec:nested:outer") {
+      val pre = Staging.stage(spark, "spec:nested:pre") {
+        preBuilds += 1; Seq(1, 2).toDF("x")
+      }
+      pre.withColumn("y", org.apache.spark.sql.functions.col("x") * 2)
+    }
+    assert(out.count() == 2)
+    assert(preBuilds == 1)
+    assert(Staging.stagedKeys(spark).contains("spec:nested:pre"))
+    assert(Staging.stagedKeys(spark).contains("spec:nested:outer"))
+    // the prerequisite serves later callers from cache
+    Staging.stage(spark, "spec:nested:pre") { fail("must hit cache") }
+    assert(preBuilds == 1)
+    assert(Staging.evict(spark, "spec:nested:outer"))
+    assert(Staging.evict(spark, "spec:nested:pre"))
+  }
+
+  test("a builder transitively staging its OWN key fails fast with " +
+      "the key named (same-thread self-cycle)") {
+    val e = intercept[IllegalStateException] {
+      Staging.stage(spark, "spec:selfcycle") {
+        Staging.stage(spark, "spec:selfcycle") { Seq(1).toDF("x") }
+      }
+    }
+    assert(e.getMessage.contains("spec:selfcycle"))
+    Staging.evict(spark, "spec:selfcycle")
+  }
+
+  test("evict racing an in-flight build does not orphan the built " +
+      "frame: the evicted holder unpersists its own result on " +
+      "completion") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val started = new CountDownLatch(1)
+    val evicted = new CountDownLatch(1)
+    @volatile var result: org.apache.spark.sql.DataFrame = null
+    val t = new Thread(() => {
+      result = Staging.stage(spark, "spec:evict-race") {
+        started.countDown()
+        assert(evicted.await(20, TimeUnit.SECONDS))
+        Seq(1, 2, 3).toDF("x")
+      }
+    })
+    t.start()
+    assert(started.await(20, TimeUnit.SECONDS))
+    // the entry exists (and is evictable) while its builder runs
+    assert(Staging.evict(spark, "spec:evict-race"))
+    assert(!Staging.stagedKeys(spark).contains("spec:evict-race"))
+    evicted.countDown()
+    t.join(60000)
+    assert(!t.isAlive)
+    assert(result != null, "the racing caller still gets its frame")
+    assert(result.storageLevel == StorageLevel.NONE,
+      "the frame persisted by a build that lost an evict race must be " +
+        "unpersisted, not left as untracked storage")
+  }
+
+  test("cross-thread stage CYCLE fails fast (IllegalStateException) " +
+      "instead of deadlocking on the holders' monitors") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val aIn = new CountDownLatch(1)
+    val bIn = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def worker(own: String, other: String,
+        mine: CountDownLatch, theirs: CountDownLatch): Thread =
+      new Thread(() => {
+        try Staging.stage(spark, own) {
+          mine.countDown()
+          assert(theirs.await(20, TimeUnit.SECONDS))
+          Staging.stage(spark, other) { Seq(1).toDF("x") }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    val ta = worker("spec:cycle:A", "spec:cycle:B", aIn, bIn)
+    val tb = worker("spec:cycle:B", "spec:cycle:A", bIn, aIn)
+    ta.setDaemon(true); tb.setDaemon(true)
+    ta.start(); tb.start()
+    ta.join(60000); tb.join(60000)
+    assert(!ta.isAlive && !tb.isAlive, "both threads must terminate")
+    def cyclic(t: Throwable): Boolean =
+      t.isInstanceOf[IllegalStateException] ||
+        (t.getCause != null && cyclic(t.getCause))
+    assert(!errs.isEmpty && errs.toArray(Array.empty[Throwable]).forall(cyclic),
+      s"every failure must be the named cycle fail-fast, got: $errs")
+    Staging.evict(spark, "spec:cycle:A")
+    Staging.evict(spark, "spec:cycle:B")
+  }
+
   test("registerPinned/releasePinned free localCheckpointed storage") {
     val rdd = sc.parallelize(1 to 100, 2)
     rdd.localCheckpoint()

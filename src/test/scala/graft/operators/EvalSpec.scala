@@ -41,6 +41,23 @@ class EvalSpec extends SparkSpec {
     assert(r.head.getDouble(2) === 0.5)
   }
 
+  test("recallAtK: the denominator is the PER-QUERY truth-set size — a " +
+      "query with fewer than k true neighbors reaches recall 1.0 when " +
+      "the approximation finds them all") {
+    val truth = Seq(
+      (1L, 10L, 1), (1L, 11L, 2),          // only 2 true neighbors
+      (2L, 20L, 1))                        // only 1 true neighbor
+      .toDF("qid", "nid", "rank")
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 99L, 3), // found both
+      (2L, 98L, 1), (2L, 20L, 2), (2L, 97L, 3)) // found the one
+      .toDF("qid", "nid", "rank")
+    val r = Eval.recallAtK(truth, approx, k = 3)
+      .orderBy("qid").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+      === Seq((1L, 2L, 1.0), (2L, 1L, 1.0)))
+  }
+
   // --- classificationReport ----------------------------------------------
 
   test("classificationReport: hand-checked precision/recall/F1") {
