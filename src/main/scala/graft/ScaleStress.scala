@@ -329,19 +329,13 @@ object ScaleStress {
       "q_datasheet",
       // sweep = the gated minhash pair pipeline + a pairs-sized
       // threshold grid; source profile = two keyed token-stream aggs
-      "q_dedup_sweep", "q_source_profile")
-    // stress-only closures that are NOT driver-gated queries: the
-    // fixed-k k-means samples its init from copy-0's id band so k is
-    // identical at 1x and Nx (see the stressed-list note above)
-    val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
-      "q_kmeans_fixedk" -> ((s: SparkSession, d: String) => {
-        val corpus = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"))
-        graft.operators.Similarity.kmeansFrom(corpus,
-          corpus.where(col("vec_id") < 625000L && col("vec_id") % 29 === 0),
-          iters = 2)
-          .select(col("cid"), posexplode(col("c")))
-      }))
+      "q_dedup_sweep", "q_source_profile",
+      // round 17: fixed-k Lloyd is now the DRIVER GATE q_kmeans_fixedk
+      // (init = the vec_id<500 band of copy 0, verbatim at 1x and Nx,
+      // so k=18 at every scale and the ratio measures DATA, unlike
+      // q_kmeans whose initMod-sampled k tracks the corpus)
+      "q_kmeans_fixedk")
+    val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map()
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr")

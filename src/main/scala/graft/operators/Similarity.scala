@@ -393,6 +393,10 @@ object Similarity {
       pinned = Some(nextRdd)
       cents = next
     }
+    // the surviving sweep's cut backs the returned centroid table —
+    // register it so the session can release it (TextDedup/Graph
+    // discipline) instead of leaving it pinned for the process
+    pinned.foreach(graft.Staging.registerPinned(corpus.sparkSession, _))
     cents
   }
 

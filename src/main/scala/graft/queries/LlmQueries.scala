@@ -1627,9 +1627,9 @@ object LlmQueries {
     * emits the centroids) and qAnnIvfTrainedSql (which searches with
     * them) — one definition so the replayed quantizer can never drift
     * from the gated training query. */
-  private val KmeansTrainCtes: String =
+  private def kmeansTrainCtes(initWhere: String): String =
     s"""v AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings),
-       |c0 AS (SELECT vid AS cid, e AS c FROM v WHERE vid % $CentroidMod = 0),
+       |c0 AS (SELECT vid AS cid, e AS c FROM v WHERE $initWhere),
        |s1 AS (SELECT v.vid, v.e, c0.cid,
        |         list_inner_product(c, c) - 2.0 * list_inner_product(e, c) AS score
        |       FROM v, c0),
@@ -1653,9 +1653,45 @@ object LlmQueries {
        |c2 AS (SELECT c1.cid, coalesce(mc2.c, c1.c) AS c
        |       FROM c1 LEFT JOIN mc2 ON c1.cid = mc2.cid)""".stripMargin
 
+  private val KmeansTrainCtes: String =
+    kmeansTrainCtes(s"vid % $CentroidMod = 0")
+
+  /** The fixed-k init band: present IDENTICALLY at every sf (vec_id
+    * 0..499 exist at sf0.001/0.01/0.1 alike), so k = 18 regardless of
+    * corpus size. */
+  private val FixedKInitWhere = "vid < 500 AND vid % 29 = 0"
+
   val qKmeansSql: String =
     s"""WITH $KmeansTrainCtes
        |SELECT cid, CAST(pos AS INT) AS pos, round(c[pos + 1], 6) AS m
+       |FROM c2, range(0, $Dim) t(pos)
+       |ORDER BY cid, pos""".stripMargin
+
+  /** Lloyd training with k FIXED by an explicit init id band (18
+    * centroids) — the honest DATA-scaling measurement: [[qKmeans]]'s
+    * `initMod` sampling makes k track the corpus, so its 10× reading
+    * measures construction (centroids × data), not data; this gate
+    * holds k constant across scales (the ScaleStress fixed-k
+    * discipline, promoted to a driver gate). Same two sweeps, same
+    * assignment/mean formulation, same round-6 emit; the oracle
+    * replays both sweeps from the same fixed init. */
+  def qKmeansFixedK(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.kmeansFrom(corpus,
+        corpus.where(col("vec_id") < 500L && col("vec_id") % 29 === 0),
+        iters = 2)
+      .select(col("cid"), posexplode(col("c")))
+      // + 0.0 folds IEEE −0.0 into 0.0 on both engines (a near-zero
+      // mean rounding to signed zero renders differently otherwise)
+      .select(col("cid"), col("pos"),
+        (round(col("col"), 6) + lit(0.0)).as("m"))
+      .orderBy(col("cid"), col("pos"))
+  }
+
+  val qKmeansFixedKSql: String =
+    s"""WITH ${kmeansTrainCtes(FixedKInitWhere)}
+       |SELECT cid, CAST(pos AS INT) AS pos, round(c[pos + 1], 6) + 0.0 AS m
        |FROM c2, range(0, $Dim) t(pos)
        |ORDER BY cid, pos""".stripMargin
 
