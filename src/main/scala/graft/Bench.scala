@@ -243,8 +243,14 @@ object Bench {
       .getOrElse(0.0)
     val parCanaryEnd = parallelCanaryMs(spark)
     val canaryEnd = canaryMs()
+    // per-staging-key build seconds (stage() bills the build to the
+    // registry, not to the first consumer): a staged-prefix regression
+    // is attributable to its key straight from this artifact
+    val stagingJson = Staging.buildSeconds(spark).toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val canaries = f""""canary_ms_start":$canaryStart%.0f,"canary_ms_end":$canaryEnd%.0f,"par_canary_ms_start":$parCanaryStart%.0f,"par_canary_ms_mid":$parCanaryMid%.0f,"par_canary_ms_end":$parCanaryEnd%.0f"""
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","enrich_rec_s_core":$enrichWarm%.0f,"enrich_rec_s_core_cold":$enrichCold%.0f,"enrich_cores":$effCores%.0f,$canaries,"retries":$retryJson,"sf":"$sfDir"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","enrich_rec_s_core":$enrichWarm%.0f,"enrich_rec_s_core_cold":$enrichCold%.0f,"enrich_cores":$effCores%.0f,$canaries,"retries":$retryJson,"staging":$stagingJson,"sf":"$sfDir"}"""
     // Compact summary line FIRST **and** LAST, long per-query line in the
     // middle: the driver captures the TAIL of stdout, and round 10 proved
     // a compact line printed only first gets pushed out of the capture

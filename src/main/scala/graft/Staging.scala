@@ -101,6 +101,19 @@ object Staging {
     new ConcurrentHashMap[(SparkSession, String), Thread]()
   private val waitingFor =
     new ConcurrentHashMap[Thread, (SparkSession, String)]()
+  /** Wall seconds each staged key's build+materialize took (kept past
+    * eviction within the session — the record is the point). */
+  private val timings =
+    new ConcurrentHashMap[(SparkSession, String), Double]()
+
+  /** Build seconds per staged key for `s` — Bench emits this as the
+    * JSON "staging" map so a staged-prefix regression is attributable
+    * to its key without a BenchSubset bisect. */
+  def buildSeconds(s: SparkSession): Map[String, Double] = {
+    val b = Map.newBuilder[String, Double]
+    timings.forEach { (k, v) => if (k._1 eq s) b += k._2 -> v }
+    b.result()
+  }
 
   /** Walk builder-of(k) → waiting-on → builder-of(...) looking for
     * `me`; throws naming the cycle if found. */
@@ -142,8 +155,19 @@ object Staging {
     val holder = cache.computeIfAbsent(k, _ => new Holder(() => {
       building.put(k, Thread.currentThread())
       inFlight.get.add(k)
-      try build.persist(StorageLevel.MEMORY_AND_DISK)
-      finally {
+      try {
+        val t0 = System.nanoTime()
+        val d = build.persist(StorageLevel.MEMORY_AND_DISK)
+        // materialize NOW and bill the build to the registry: left
+        // lazy, the whole staging cost lands on whichever consumer
+        // happens to run first (alphabetical in a Verify/Bench sweep),
+        // making staged-prefix regressions unattributable without a
+        // bisect — the per-key timings surface in Bench's "staging"
+        // map instead
+        d.count()
+        timings.put(k, (System.nanoTime() - t0) / 1e9)
+        d
+      } finally {
         inFlight.get.remove(k)
         building.remove(k)
       }
@@ -221,6 +245,7 @@ object Staging {
         override def onApplicationEnd(
             e: SparkListenerApplicationEnd): Unit = {
           cache.keySet.forEach { k => if (k._1 eq s) cache.remove(k) }
+          timings.keySet.forEach { k => if (k._1 eq s) timings.remove(k) }
           pinned.remove(s)
           hooked.remove(s)
         }

@@ -151,6 +151,12 @@ object Graph {
       s"connectedComponents did not converge in $maxIter rounds; " +
         "raise maxIter for graphs with diameter beyond the label-" +
         "propagation budget")
+    // the final round's cut backs the returned label table — REGISTER
+    // it (round-17: the streaming maintainer's failure spec caught this
+    // as the one pin neither the caller nor the session could release;
+    // every CC invocation previously left its label blocks pinned until
+    // session end with no handle)
+    pinned.foreach(graft.Staging.registerPinned(spark, _))
     labels
   }
 

@@ -129,38 +129,38 @@ object Profile {
     }
   }
 
-  /** One-pass per-column data-quality profile: for each requested
-    * column, one output row with
+  /** Per-column data-quality profile: for each requested column, one
+    * output row with
     *   n_nulls, n_distinct (exact; counts non-null values),
     *   min_val / max_val (native-type extrema, cast to string AFTER
     *   the comparison — lexicographic min of "10" < "9" never leaks
     *   into numeric columns; double/timestamp extrema go through
     *   [[canonicalRender]] so both engines print the same string).
     * The first look a pipeline takes at an unknown 100 TB table —
-    * which columns are junk, which are keys, which are constants —
-    * priced at ONE scan: all metrics for all columns compute in a
-    * single aggregation (Spark evaluates the 4·C aggregate
-    * expressions in one pass, map-side combined), and the C-row
-    * unpivot is driver-free column arithmetic on a 1-row relation. */
+    * which columns are junk, which are keys, which are constants.
+    *
+    * Shape: one SINGLE-COLUMN pass per profiled column, unioned. The
+    * previous all-in-one formulation (every metric in one `df.agg`)
+    * paid Spark's multi-distinct rewrite — an Expand multiplying every
+    * scan row ×(C+1) before the aggregate, the board's most expensive
+    * non-staged plan. Per-column passes each read ONE column off the
+    * columnar scan (pruned — total bytes equal the single wide scan)
+    * and plan as the no-Expand single-distinct two-phase aggregate;
+    * the C result rows union driver-free. Adjudicated round 17:
+    * 2.42 s → 0.80 s warm on the sf0.1 gate (BENCH_NOTES.md). */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val dtypes = cols.map(c => c -> df.schema(c).dataType).toMap
-    val aggs = cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$c"),
-        countDistinct(col(c)).as(s"_nd_$c"),
-        canonicalRender(min(col(c)), dtypes(c)).as(s"_mn_$c"),
-        canonicalRender(max(col(c)), dtypes(c)).as(s"_mx_$c"))
-    }
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(cols.map(c => struct(
-        lit(c).as("col_name"),
-        col(s"_nn_$c").as("n_nulls"),
-        col(s"_nd_$c").as("n_distinct"),
-        col(s"_mn_$c").as("min_val"),
-        col(s"_mx_$c").as("max_val"))): _*)).as("_p"))
-      .select(col("_p.col_name"), col("_p.n_nulls"), col("_p.n_distinct"),
-        col("_p.min_val"), col("_p.max_val"))
+    cols.map { c =>
+      val dt = df.schema(c).dataType
+      df.select(col(c))
+        .agg(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          canonicalRender(min(col(c)), dt).as("min_val"),
+          canonicalRender(max(col(c)), dt).as("max_val"))
+        .select(lit(c).as("col_name"), col("n_nulls"), col("n_distinct"),
+          col("min_val"), col("max_val"))
+    }.reduce(_ unionByName _)
   }
 
   /** Functional-dependency profile: for each candidate determinant →

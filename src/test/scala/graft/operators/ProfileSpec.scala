@@ -100,18 +100,21 @@ class ProfileSpec extends SparkSpec {
     assert(r("txt") === ((1L, 2L, "a", "b")))
   }
 
-  test("columnProfile: single aggregation pass (one Aggregate over one " +
-      "scan in the optimized plan)") {
+  test("columnProfile plan shape: one single-column pass per profiled " +
+      "column, NO multi-distinct Expand (the round-17 adjudication — " +
+      "the all-in-one agg multiplied every scan row x(C+1))") {
     val s = spark
     import s.implicits._
     val df = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("a", "b")
     val plan = Profile.columnProfile(df, Seq("a", "b"))
       .queryExecution.optimizedPlan.toString
-    // one base Aggregate (plus Spark's expand for multi-distinct);
-    // crucially NOT one scan per column: LocalRelation appears once
+    assert(!plan.contains("Expand"),
+      s"per-column single-distinct passes must not plan an Expand:\n$plan")
+    // one pruned pass per column (C scans of one column each — total
+    // bytes equal the old single wide scan, rows not multiplied)
     val scans = plan.linesIterator.count(l =>
       l.contains("LocalRelation") || l.contains("Relation ["))
-    assert(scans === 1, s"profile must read the table once:\n$plan")
+    assert(scans === 2, s"one pruned scan per profiled column:\n$plan")
   }
 
   test("fdProfile: a true key holds; a violated dependency counts its " +

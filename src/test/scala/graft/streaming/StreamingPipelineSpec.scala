@@ -108,7 +108,7 @@ class StreamingPipelineSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
 
     graft.Staging.releasePinned(spark)
-    val persistedBefore = sc.getPersistentRDDs.size
+    val persistedBefore = sc.getPersistentRDDs.keySet
     StreamingPipelineSpec.poisonOn = true
     val e = intercept[Exception] {
       maintainer.processBatch(df(chunks(1).toIndexedSeq), 2L)
@@ -116,10 +116,18 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(e.getMessage != null)
     StreamingPipelineSpec.poisonOn = false
     // no maintainer state moved, and the failed batch's transient cuts
-    // (survivors, pair list, the two landed store cuts) all unpersisted
+    // (survivors, pair list, the two landed store cuts) all unpersisted.
+    // Set-difference, not count equality: the ContextCleaner may drop
+    // UNRELATED stale entries concurrently (GC-driven), which must not
+    // flake the orphan check
     graft.Staging.releasePinned(spark)
-    assert(sc.getPersistentRDDs.size == persistedBefore,
-      "a failed batch must not orphan pinned blocks")
+    val newlyPersisted = sc.getPersistentRDDs.keySet -- persistedBefore
+    val detail = newlyPersisted.toSeq.sorted.map { id =>
+      val r = sc.getPersistentRDDs(id)
+      s"$id:${r.getClass.getSimpleName}:${r.name}:${r.toString}"
+    }
+    assert(newlyPersisted.isEmpty,
+      s"a failed batch must not orphan pinned blocks, left: $detail")
     assert(maintainer.admitted.select("doc_id")
       .as[Long].collect().sorted.toSeq === afterB1,
       "a failed batch must not change the admitted set")

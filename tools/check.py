@@ -18,7 +18,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 con = duckdb.connect()
 for t in TABLES:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    # partial fixtures (e.g. the ScaleStress 10x dir) carry only the
+    # tables their gated subset reads — skip the rest. Spark-written
+    # fixtures are DIRECTORIES of part files; glob those.
+    try:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    except duckdb.IOException:
+        try:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet/*.parquet'")
+        except duckdb.IOException:
+            pass
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fail = 0
