@@ -247,6 +247,130 @@ object DownloadQueries {
     members.reduce(_.unionByName(_)).orderBy(col("location"))
   }
 
+  // --- the unique-core (uniquelocality) download variant ---------------
+
+  /** meta.xml for the uniquelocality-core run: the locality uniquevals
+    * file is the CORE (rowType Location, fields = long-named value +
+    * idigbio:itemCount, make_file's unique branch at
+    * download.py:318-345), the occurrence and multimedia members ride
+    * as extensions. The record field list carries no data.* field, so
+    * the raw member's field list is empty and the member is NOT
+    * emitted (make_file returns None on empty fields, :297-298) — the
+    * drop mechanism itself is part of the contract. */
+  def metaXmlUnique: String = {
+    val (recIdx, recRaw) = Download.splitFields(
+      recordFields.filterNot(_.startsWith("data.")))
+    require(recRaw.isEmpty)
+    val (medIdx, _) = Download.splitFields(mediaFields)
+    Exports.makeMeta(Seq(
+      Exports.makeFileBlock("locality.csv",
+        Download.convertFields("records", Seq("locality")) :+
+          "idigbio:itemCount",
+        core = true, rowType = Exports.rowTypes("uniquelocality")),
+      Exports.makeFileBlock("occurrence.csv",
+        Download.convertFields("records", recIdx),
+        core = false, rowType = Exports.rowTypes("records")),
+      Exports.makeFileBlock("multimedia.csv",
+        Download.convertFields("mediarecords", medIdx),
+        core = false, rowType = Exports.rowTypes("mediarecords"))))
+  }
+
+  /** The uniquelocality-core download (download.py:558-568 + the
+    * unique* rows of type_core_type_ids at :243-253): the core member
+    * is the locality uniquevals of the composed record set, and every
+    * member's id function derives from a LOCALITY — for the multimedia
+    * extension, the locality of the media row's FIRST MATCHING PARENT
+    * (`inner_hits...hits[0]._source.locality`), so the inner-hits
+    * carry is load-bearing INSIDE this manifest's checksums, not just
+    * in q_inner_hits's row-level gate. Divergence note: the reference
+    * ids these members as uuid5(locality) (identification.py:1-20);
+    * the uuid5 column itself is golden-tested in ScalaTest (DuckDB has
+    * no sha1), so the oracle checksums hash the pre-uuid5 locality
+    * VALUE — same membership, same carry, same ordering. */
+  def qDownloadUnique(s: SparkSession, dir: String): DataFrame = {
+    val (cq, recsRq, mediaMq) = composedSides(s, dir)
+    val edges = sibEdges(s, dir)
+    val core =
+      if (cq.rqHasChild)
+        recsRq.join(
+          edges.join(mediaMq.select(col("media_uuid").as("r2")), "r2")
+            .select(col("r1").as("uuid")),
+          Seq("uuid"), "left_semi")
+      else recsRq
+    val uv = Exports.uniquevals(core, "records", "locality",
+      Exports.identifyLocality)
+    val ext = RecordStore.innerHits(
+      mediaMq, "media_uuid", recsRq, "uuid", edges, "r2", "r1",
+      carry = Seq("locality" -> "parent_locality"),
+      hitKeyName = "parent_uuid")
+    val members = Seq(
+      member(s, "locality.csv", uv,
+        concat_ws("|", col("value"), col("itemCount"))),
+      member(s, "occurrence.csv", core,
+        concat_ws("|", col("locality"), col("genus"),
+          col("scientificname"), col("locality"))),
+      member(s, "multimedia.csv", ext,
+        concat_ws("|", col("parent_locality"), col("accessuri"),
+          col("format"))),
+      member(s, "records.citation.csv",
+        Exports.citationCounts(core, "recordset"),
+        concat_ws("|", col("recordset"), col("itemCount"))),
+      member(s, "mediarecords.citation.csv",
+        Exports.citationCounts(ext, "recordset"),
+        concat_ws("|", col("recordset"), col("itemCount"))),
+      s.range(1).select(lit("meta.xml").as("location"),
+        lit(3L).as("n_rows"), h(lit(metaXmlUnique)).as("checksum")))
+    members.reduce(_.unionByName(_)).orderBy(col("location"))
+  }
+
+  val qDownloadUniqueSql: String = {
+    val metaLit = metaXmlUnique.replace("'", "''")
+    s"""WITH $oracleModel,
+       |core AS (SELECT r.* FROM recs_rq r WHERE EXISTS (
+       |  SELECT 1 FROM sib JOIN media_mq m ON m.media_uuid = sib.r2
+       |  WHERE sib.r1 = r.uuid)),
+       |uv AS (SELECT locality AS value, count(*) AS n
+       |       FROM core GROUP BY 1),
+       |ext AS (SELECT m.*, h.parent_uuid, r.locality AS parent_locality
+       |        FROM media_mq m JOIN hit h USING (media_uuid)
+       |        JOIN recs_rq r ON r.uuid = h.parent_uuid),
+       |rc AS (SELECT recordset, count(*) AS n FROM core GROUP BY 1),
+       |mc AS (SELECT recordset, count(*) AS n FROM ext GROUP BY 1)
+       |SELECT location, n_rows, checksum FROM (
+       |SELECT 'locality.csv' AS location, count(*) AS n_rows,
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    value||'|'||n),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |    AS checksum
+       |FROM uv
+       |UNION ALL
+       |SELECT 'occurrence.csv', count(*),
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    locality||'|'||genus||'|'||scientificname||'|'||locality
+       |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |FROM core
+       |UNION ALL
+       |SELECT 'multimedia.csv', count(*),
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    parent_locality||'|'||accessuri||'|'||format
+       |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |FROM ext
+       |UNION ALL
+       |SELECT 'records.citation.csv', count(*),
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    recordset||'|'||n),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |FROM rc
+       |UNION ALL
+       |SELECT 'mediarecords.citation.csv', count(*),
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    recordset||'|'||n),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |FROM mc
+       |UNION ALL
+       |SELECT 'meta.xml', 3,
+       |  CAST(try_cast('0x'||substr(md5('$metaLit'),1,15) AS BIGINT)
+       |    % 1000000007 AS BIGINT)
+       |) ORDER BY location""".stripMargin
+  }
+
   val qDownloadSql: String = {
     val metaLit = metaXml.replace("'", "''")
     s"""WITH $oracleModel,

@@ -86,6 +86,35 @@ class DownloadSpec extends SparkSpec {
       ("m3", "u2", "Genus two", "Loc B")))
   }
 
+  test("unique-core meta: the locality uniquevals file IS the core " +
+      "(rowType Location, value + idigbio:itemCount fields); occurrence " +
+      "and multimedia ride as extensions; the raw member is dropped on " +
+      "its empty field list (download.py:297-298, :318-345, :558-568)") {
+    val meta = graft.queries.DownloadQueries.metaXmlUnique
+    val coreAt = meta.indexOf("<core ")
+    assert(coreAt >= 0 && meta.indexOf("<core ", coreAt + 1) < 0,
+      "exactly one core block")
+    assert(meta.contains("<location>locality.csv</location>"))
+    assert(meta.contains(
+      """rowType="http://rs.tdwg.org/dwc/terms/Location""""))
+    assert(meta.contains(
+      """term="http://portal.idigbio.org/terms/itemCount""""))
+    assert(!meta.contains("occurrence_raw"),
+      "empty raw field list must drop the member")
+    // the media extension's id under a unique core is
+    // uuid5(locality-namespace, FIRST matching parent's locality) —
+    // carry value and id function composed (download.py:244-253):
+    // column and driver implementations must agree on the carry
+    val s2 = spark
+    import s2.implicits._
+    val ids = Seq("Locality 1", "Locality 10", "")
+      .toDF("parent_locality")
+      .select(Exports.identifyLocality(col("parent_locality")))
+      .as[String].collect().toSeq
+    assert(ids == Seq("Locality 1", "Locality 10", "")
+      .map(Exports.uuid5(Exports.localityNamespace, _)))
+  }
+
   test("metaXml member blocks: core first with expanded term URIs; " +
       "extensions carry coreid index 0 (download.py:558, meta_xml.py)") {
     val meta = graft.queries.DownloadQueries.metaXml
