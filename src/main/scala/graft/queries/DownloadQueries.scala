@@ -72,33 +72,45 @@ object DownloadQueries {
   // --- the indexed entity views (events-derived, one per download run) --
 
   /** records view: one row per user; index terms are deterministic
-    * functions of user_id. */
+    * functions of user_id. The three entity views are STAGED per
+    * (session, dir): the download family's four gates derive them
+    * repeatedly (each manifest member re-reads its entity set, as the
+    * reference's per-member ES scans do) — at scale these ARE the
+    * indexed store tables, read not recomputed, and staging bills
+    * their one materialization to the registry's "staging" map. */
   def recordsView(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select(col("user_id")).distinct()
-      .select(
-        concat(lit("u"), col("user_id")).as("uuid"),
-        concat(lit("rs"), col("user_id") % 5).as("recordset"),
-        (col("user_id") % 97 === 0).as("deleted"),
-        concat(lit("genus"), col("user_id") % 7).as("genus"),
-        concat(lit("Genus"), col("user_id") % 7,
-          lit(" epithet "), col("user_id") % 13).as("scientificname"),
-        concat(lit("Locality "), col("user_id") % 11).as("locality"))
+    graft.Staging.stage(s, s"download:records:$dir") {
+      Tables.events(s, dir).select(col("user_id")).distinct()
+        .select(
+          concat(lit("u"), col("user_id")).as("uuid"),
+          concat(lit("rs"), col("user_id") % 5).as("recordset"),
+          (col("user_id") % 97 === 0).as("deleted"),
+          concat(lit("genus"), col("user_id") % 7).as("genus"),
+          concat(lit("Genus"), col("user_id") % 7,
+            lit(" epithet "), col("user_id") % 13).as("scientificname"),
+          concat(lit("Locality "), col("user_id") % 11).as("locality"))
+    }
 
   /** mediarecords view: one row per event_id % 200. */
   def mediaView(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select((col("event_id") % 200).as("mid")).distinct()
-      .select(
-        concat(lit("m"), col("mid")).as("media_uuid"),
-        concat(lit("rs"), col("mid") % 5).as("recordset"),
-        when(col("mid") % 2 === 0, lit("image/jpeg"))
-          .otherwise(lit("audio/mpeg")).as("format"),
-        concat(lit("http://media.example/"), col("mid")).as("accessuri"))
+    graft.Staging.stage(s, s"download:media:$dir") {
+      Tables.events(s, dir).select((col("event_id") % 200).as("mid"))
+        .distinct()
+        .select(
+          concat(lit("m"), col("mid")).as("media_uuid"),
+          concat(lit("rs"), col("mid") % 5).as("recordset"),
+          when(col("mid") % 2 === 0, lit("image/jpeg"))
+            .otherwise(lit("audio/mpeg")).as("format"),
+          concat(lit("http://media.example/"), col("mid")).as("accessuri"))
+    }
 
   /** record ⇄ media sibling edges. */
   def sibEdges(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select(
-      concat(lit("u"), col("user_id")).as("r1"),
-      concat(lit("m"), col("event_id") % 200).as("r2")).distinct()
+    graft.Staging.stage(s, s"download:edges:$dir") {
+      Tables.events(s, dir).select(
+        concat(lit("u"), col("user_id")).as("r1"),
+        concat(lit("m"), col("event_id") % 200).as("r2")).distinct()
+    }
 
   private val oracleModel: String =
     """ru AS (SELECT DISTINCT 'u'||user_id AS uuid,
@@ -245,6 +257,127 @@ object DownloadQueries {
       s.range(1).select(lit("meta.xml").as("location"),
         lit(3L).as("n_rows"), h(lit(metaXml)).as("checksum")))
     members.reduce(_.unionByName(_)).orderBy(col("location"))
+  }
+
+  // --- the media-core download variant ----------------------------------
+
+  /** records view with the `hasImage` index flag (conversions.py sets
+    * it at index time when a record has image media; here derived as
+    * an exists-semi against the image-media siblings — the flag IS a
+    * precomputed join in the reference's index too). */
+  def recordsViewWithImage(s: SparkSession, dir: String): DataFrame = {
+    val imaged = sibEdges(s, dir)
+      .join(mediaView(s, dir)
+        .where(lower(col("format")) === "image/jpeg")
+        .select(col("media_uuid").as("r2")), "r2")
+      .select(col("r1").as("uuid")).distinct()
+      .withColumn("hasImage", lit(true))
+    recordsView(s, dir).join(imaged, Seq("uuid"), "left")
+      .withColumn("hasImage", coalesce(col("hasImage"), lit(false)))
+  }
+
+  /** meta.xml for the mediarecords-core run: multimedia.csv is the
+    * core, occurrence.csv rides as the extension whose coreid is the
+    * record's FIRST indexed media sibling (type_core_type_ids
+    * ("mediarecords","records",...) at download.py:239 —
+    * `_source["mediarecords"][0]`, the mirror image of the
+    * records-core coreid). */
+  def metaXmlMedia: String = {
+    val (recIdx, _) = Download.splitFields(
+      recordFields.filterNot(_.startsWith("data.")))
+    val (medIdx, _) = Download.splitFields(mediaFields)
+    Exports.makeMeta(Seq(
+      Exports.makeFileBlock("multimedia.csv",
+        Download.convertFields("mediarecords", medIdx),
+        core = true, rowType = Exports.rowTypes("mediarecords")),
+      Exports.makeFileBlock("occurrence.csv",
+        Download.convertFields("records", recIdx),
+        core = false, rowType = Exports.rowTypes("records"))))
+  }
+
+  /** The mediarecords-core download with NO record query
+    * (download.py:366-371): generate_queries injects
+    * `{"hasImage": true}` into the RECORD side — a boolean term
+    * through the real DSL compiler over the derived index flag — and,
+    * with the media query present, `has_child{mediarecords: mq}`; no
+    * has_parent/inner_hits (record_query is None, :381 guard). The
+    * media core is mq's matches keyed by their own uuid; the
+    * occurrence extension is the hasImage ∧ has_child record set,
+    * coreid = first indexed media sibling. */
+  def qDownloadMedia(s: SparkSession, dir: String): DataFrame = {
+    val cq = Download.generateQueries(
+      None, Some(Query.parse(mediaQueryJson)), coreType = "mediarecords")
+    require(!cq.mqHasParent && cq.rqHasChild && cq.innerHits.isEmpty)
+    val edges = sibEdges(s, dir)
+    val mediaMq = mediaView(s, dir).where(Compile.query(Query(cq.mq)))
+    val recsRq = recordsViewWithImage(s, dir)
+      .where(!col("deleted") && Compile.query(Query(cq.rq)))
+    val occExt = recsRq.join(
+      edges.join(mediaMq.select(col("media_uuid").as("r2")), "r2")
+        .select(col("r1").as("uuid")),
+      Seq("uuid"), "left_semi")
+    // the record's indexed media array's first element: min sibling
+    val mediaIds = edges
+      .groupBy(col("r1").as("uuid"))
+      .agg(min(col("r2")).as("coreid"))
+    val members = Seq(
+      member(s, "multimedia.csv", mediaMq,
+        concat_ws("|", col("media_uuid"), col("accessuri"), col("format"))),
+      member(s, "occurrence.csv", occExt.join(mediaIds, Seq("uuid")),
+        concat_ws("|", coalesce(col("coreid"), lit("")), col("genus"),
+          col("scientificname"), col("locality"))),
+      member(s, "records.citation.csv",
+        Exports.citationCounts(occExt, "recordset"),
+        concat_ws("|", col("recordset"), col("itemCount"))),
+      member(s, "mediarecords.citation.csv",
+        Exports.citationCounts(mediaMq, "recordset"),
+        concat_ws("|", col("recordset"), col("itemCount"))),
+      s.range(1).select(lit("meta.xml").as("location"),
+        lit(2L).as("n_rows"), h(lit(metaXmlMedia)).as("checksum")))
+    members.reduce(_.unionByName(_)).orderBy(col("location"))
+  }
+
+  val qDownloadMediaSql: String = {
+    val metaLit = metaXmlMedia.replace("'", "''")
+    s"""WITH $oracleModel,
+       |hi AS (SELECT DISTINCT sib.r1 AS uuid FROM sib
+       |       JOIN media_mq m ON m.media_uuid = sib.r2),
+       |recs_hi AS (SELECT ru.* FROM ru JOIN hi USING (uuid)
+       |            WHERE NOT ru.deleted),
+       |occ_ext AS (SELECT r.* FROM recs_hi r WHERE EXISTS (
+       |  SELECT 1 FROM sib JOIN media_mq m ON m.media_uuid = sib.r2
+       |  WHERE sib.r1 = r.uuid)),
+       |mediaid AS (SELECT sib.r1 AS uuid, min(sib.r2) AS coreid
+       |            FROM sib GROUP BY sib.r1),
+       |rc AS (SELECT recordset, count(*) AS n FROM occ_ext GROUP BY 1),
+       |mc AS (SELECT recordset, count(*) AS n FROM media_mq GROUP BY 1)
+       |SELECT location, n_rows, checksum FROM (
+       |SELECT 'multimedia.csv' AS location, count(*) AS n_rows,
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    media_uuid||'|'||accessuri||'|'||format
+       |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT) AS checksum
+       |FROM media_mq
+       |UNION ALL
+       |SELECT 'occurrence.csv', count(*),
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    coalesce(coreid,'')||'|'||genus||'|'||scientificname||'|'||locality
+       |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |FROM occ_ext JOIN mediaid USING (uuid)
+       |UNION ALL
+       |SELECT 'records.citation.csv', count(*),
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    recordset||'|'||n),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |FROM rc
+       |UNION ALL
+       |SELECT 'mediarecords.citation.csv', count(*),
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    recordset||'|'||n),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |FROM mc
+       |UNION ALL
+       |SELECT 'meta.xml', 2,
+       |  CAST(try_cast('0x'||substr(md5('$metaLit'),1,15) AS BIGINT)
+       |    % 1000000007 AS BIGINT)
+       |) ORDER BY location""".stripMargin
   }
 
   // --- the unique-core (uniquelocality) download variant ---------------
