@@ -192,6 +192,23 @@ object TextDedup {
     * shuffles once. Reference behavior context: the reference dedups
     * via content etags only (data_identifiers.py); this generalizes
     * its exact-dup semantics to exact set-similarity. */
+  /** [[jaccardSelfJoin]] over a PRECOMPUTED/staged (id, h) distinct
+    * shingle table — the form the gate family uses when several exact
+    * operators share one corpus shingling ([[graft.Staging]]; at
+    * 100 TB the shingle table is a stored index). Candidate
+    * verification semi-joins the SAME table instead of re-shingling
+    * candidate docs, so the corpus is tokenized exactly once across
+    * the whole family. */
+  def jaccardSelfJoinFromShingles(sh: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val cands = cutRegistered(jaccardCandidates(sh, idCol, threshold))
+    val candDocs = cands.select(col("d1").as(idCol))
+      .union(cands.select(col("d2").as(idCol))).distinct()
+    val shCand = sh.join(candDocs, Seq(idCol), "left_semi")
+    verifyJaccardOnCandidates(shCand, idCol, cands)
+      .where(col("jaccard") >= threshold)
+  }
+
   def jaccardSelfJoin(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     val withWords = docs.select(col(idCol), split(col(textCol), " ").as("_w"))
@@ -272,6 +289,33 @@ object TextDedup {
     * boilerplate hazard sits on the side that is almost never probed.
     * One shingle-keyed shuffle for df, one doc-keyed exchange shared
     * by the rank window and size count, same as Jaccard. */
+  /** [[containmentSelfJoin]] over a PRECOMPUTED/staged (id, h)
+    * distinct shingle table (see [[jaccardSelfJoinFromShingles]]). */
+  def containmentSelfJoinFromShingles(sh: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val cands = cutRegistered(containmentCandidates(sh, idCol, threshold))
+    val candDocs = cands.select(col("d1").as(idCol))
+      .union(cands.select(col("d2").as(idCol))).distinct()
+    val shCand = sh.join(candDocs, Seq(idCol), "left_semi")
+    containmentVerify(shCand, idCol, cands, threshold)
+  }
+
+  private def containmentVerify(shCand: DataFrame, idCol: String,
+      cands: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val s1 = shCand.toDF("d1", "h")
+    val s2 = shCand.toDF("d2", "h")
+    s1.join(s2, Seq("h")).where(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+      .join(cands, Seq("d1", "d2"), "left_semi")
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") / least(col("n1"), col("n2")).cast("double"))
+          .as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   def containmentSelfJoin(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     val withWords = docs.select(col(idCol), split(col(textCol), " ").as("_w"))
@@ -286,19 +330,11 @@ object TextDedup {
       finally sh.unpersist(false)
     val candDocs = cands.select(col("d1").as(idCol))
       .union(cands.select(col("d2").as(idCol))).distinct()
+    // self-contained form: re-shingle the candidate docs (semi-join
+    // BEFORE the explode — the corpus is shingled once in the
+    // signature pass above, candidates only here)
     val shCand = shingleHashes(withWords.join(candDocs, Seq(idCol), "left_semi"))
-    val sizes = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val s1 = shCand.toDF("d1", "h")
-    val s2 = shCand.toDF("d2", "h")
-    s1.join(s2, Seq("h")).where(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
-      .join(cands, Seq("d1", "d2"), "left_semi")
-      .join(sizes.toDF("d1", "n1"), "d1")
-      .join(sizes.toDF("d2", "n2"), "d2")
-      .select(col("d1"), col("d2"),
-        (col("c").cast("double") / least(col("n1"), col("n2")).cast("double"))
-          .as("containment"))
-      .where(col("containment") >= threshold)
+    containmentVerify(shCand, idCol, cands, threshold)
   }
 
   /** Prefix(smaller) ⋈ full(larger) candidate pairs for containment ≥

@@ -178,10 +178,22 @@ object LlmQueries {
     * brute-force ground truth as the minhash gate, so the hash match
     * proves EXACTNESS (recall = precision = 1), not just recall at a
     * forgiving threshold. */
+  /** The (doc_id, h) per-doc-distinct 3-shingle table over
+    * `documents`, staged once per (session, dir) — the shared prefix
+    * of the two EXACT set-similarity gates (Jaccard τ=0.4 and
+    * containment τ=0.6, threshold-independent by construction): each
+    * previously exploded the full corpus independently and re-shingled
+    * its candidates. At 100 TB this is a stored shingle index. */
+  private def dedupShingles3(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.stage(s, s"dedup:shingles3:$dir") {
+      Tables.documents(s, dir).select(col("doc_id"),
+        explode(graft.functions.NativeText.shingleHashes(
+          split(col("text"), " "), 3)).as("h"))
+    }
+
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame =
-    TextDedup.jaccardSelfJoin(
-        Tables.documents(s, dir), "doc_id", "text",
-        shingleSize = 3, threshold = 0.4)
+    TextDedup.jaccardSelfJoinFromShingles(
+        dedupShingles3(s, dir), "doc_id", threshold = 0.4)
       .orderBy(col("d1"), col("d2"))
 
   val qDedupJaccardSql: String =
@@ -195,9 +207,8 @@ object LlmQueries {
     * truth, so the hash match proves exactness of the
     * prefix(smaller) ⋈ full(larger) pruning. */
   def qDedupContain(s: SparkSession, dir: String): DataFrame =
-    TextDedup.containmentSelfJoin(
-        Tables.documents(s, dir), "doc_id", "text",
-        shingleSize = 3, threshold = 0.6)
+    TextDedup.containmentSelfJoinFromShingles(
+        dedupShingles3(s, dir), "doc_id", threshold = 0.6)
       .orderBy(col("d1"), col("d2"))
 
   val qDedupContainSql: String =
