@@ -173,6 +173,32 @@ object Exports {
       .agg(count(lit(1)).as("itemCount"))
       .orderBy(col("itemCount").desc, col("recordset"))
 
+  /** Render `df` as ONE RFC4180 CSV text via the Spark csv writer
+    * (coalesced single part, doubled-quote escaping — the encoding
+    * [[graft.ingest.Dwca.readFile]] parses back). The driver-side
+    * collection is the export worker's bounded tail; an unbounded
+    * export ships the written directory instead (see
+    * [[writeDwcaZip]]). */
+  def csvText(df: DataFrame, tabs: Boolean = false): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
+    try {
+      df.coalesce(1).write.mode("overwrite")
+        .option("header", "true")
+        .option("delimiter", if (tabs) "\t" else ",")
+        .option("escape", "\"")
+        .csv(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".csv")).head
+      new String(java.nio.file.Files.readAllBytes(part.toPath), "UTF-8")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** Assemble a DwC-A zip on the driver from per-file CSV text already
     * collected (export sizes are bounded by the query, as in the
     * reference's worker); big exports should instead ship the Spark-

@@ -205,10 +205,12 @@ object DownloadQueries {
         core = false, rowType = Exports.rowTypes("mediarecords"))))
   }
 
-  /** The composed download manifest: one row per archive member with
-    * row count + content checksum. See the object doc for the stages
-    * each member makes load-bearing. */
-  def qDownload(s: SparkSession, dir: String): DataFrame = {
+  /** The records-core artifact relations — ONE definition shared by
+    * the [[qDownload]] manifest gate and the physical
+    * [[writeArchive]] writer, so the zip a user receives and the
+    * relations the oracle gates can never drift. */
+  private def recordArtifacts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val (cq, recsRq, mediaMq) = composedSides(s, dir)
     val edges = sibEdges(s, dir)
     // core: records matching rq AND has_child{mediarecords: mq}
@@ -221,12 +223,8 @@ object DownloadQueries {
       else recsRq
     // extension: media matching mq AND has_parent{records: rq}, with
     // the inner-hits carry (locality rides along into q_inner_hits's
-    // row-level gate; here the membership itself is load-bearing)
-    val ext = RecordStore.innerHits(
-      mediaMq, "media_uuid", recsRq, "uuid", edges, "r2", "r1",
-      carry = Seq("locality" -> "_carry_locality"),
-      hitKeyName = "parent_uuid")
-    // multimedia coreid = the media doc's first indexed parent
+    // row-level gate; here the membership itself is load-bearing),
+    // plus coreid = the media doc's first indexed parent
     // (download.py:235) — min over ALL non-deleted parents, not just
     // rq-matching ones
     val coreids = edges
@@ -234,18 +232,31 @@ object DownloadQueries {
         .select(col("uuid").as("r1")), "r1")
       .groupBy(col("r2").as("media_uuid"))
       .agg(min(col("r1")).as("coreid"))
-    // raw core member: each core record's LATEST stored body
+    val ext = RecordStore.innerHits(
+        mediaMq, "media_uuid", recsRq, "uuid", edges, "r2", "r1",
+        carry = Seq("locality" -> "_carry_locality"),
+        hitKeyName = "parent_uuid")
+      .join(coreids, Seq("media_uuid"))
+    // raw core member source: each core record's LATEST stored body
     val latestProps = Tables.events(s, dir)
       .groupBy(concat(lit("u"), col("user_id")).as("uuid"))
       .agg(max(struct(col("ts"), col("event_id"), col("props"))).as("_t"))
       .select(col("uuid"), col("_t.props").as("props"))
+    (core, ext, latestProps)
+  }
+
+  /** The composed download manifest: one row per archive member with
+    * row count + content checksum. See the object doc for the stages
+    * each member makes load-bearing. */
+  def qDownload(s: SparkSession, dir: String): DataFrame = {
+    val (core, ext, latestProps) = recordArtifacts(s, dir)
     val members = Seq(
       member(s, "occurrence.csv", core,
         concat_ws("|", col("uuid"), col("genus"),
           col("scientificname"), col("locality"))),
       member(s, "occurrence_raw.csv", core.join(latestProps, Seq("uuid")),
         concat_ws("|", col("uuid"), col("props"))),
-      member(s, "multimedia.csv", ext.join(coreids, Seq("media_uuid")),
+      member(s, "multimedia.csv", ext,
         concat_ws("|", coalesce(col("coreid"), lit("")),
           col("accessuri"), col("format"))),
       member(s, "records.citation.csv",
@@ -257,6 +268,43 @@ object DownloadQueries {
       s.range(1).select(lit("meta.xml").as("location"),
         lit(3L).as("n_rows"), h(lit(metaXml)).as("checksum")))
     members.reduce(_.unionByName(_)).orderBy(col("location"))
+  }
+
+  /** Physically materialize the records-core download as a REAL DwC-A
+    * zip — the worker's `generate_files(form="dwca")` tail
+    * (download.py:474-490): the SAME artifact relations [[qDownload]]
+    * hashes, encoded through [[Exports.csvFormat]] (id/coreid first,
+    * long-named headers, non-scalars JSON), written as RFC4180 CSV
+    * members, plus both citation files and the meta.xml manifest.
+    * Returns the zip path; DownloadArchiveSpec round-trips it through
+    * the full [[graft.ingest.Dwca]] reader. */
+  def writeArchive(s: SparkSession, dir: String, outZip: String): String = {
+    val (core, ext, latestProps) = recordArtifacts(s, dir)
+    val (recIdx, recRaw) = Download.splitFields(recordFields)
+    val (medIdx, _) = Download.splitFields(mediaFields)
+    val coreCsv = Exports.csvText(Exports.csvFormat(
+      core.orderBy(col("uuid")).withColumnRenamed("uuid", "id"),
+      "records", "id", recIdx))
+    val rawCsv = Exports.csvText(
+      core.join(latestProps, Seq("uuid")).orderBy(col("uuid"))
+        .select(col("uuid").as("coreid"),
+          col("props").as(Download.rawFieldNames(recRaw).head)))
+    val mediaCsv = Exports.csvText(Exports.csvFormat(
+      ext.orderBy(col("media_uuid"))
+        .withColumn("coreid", coalesce(col("coreid"), lit(""))),
+      "mediarecords", "coreid", medIdx))
+    val recCit = Exports.csvText(
+      Exports.citationCounts(core, "recordset"))
+    val medCit = Exports.csvText(
+      Exports.citationCounts(ext, "recordset"))
+    Exports.writeDwcaZip(outZip, Map(
+      "meta.xml" -> metaXml,
+      "occurrence.csv" -> coreCsv,
+      "occurrence_raw.csv" -> rawCsv,
+      "multimedia.csv" -> mediaCsv,
+      "records.citation.csv" -> recCit,
+      "mediarecords.citation.csv" -> medCit))
+    outZip
   }
 
   // --- the media-core download variant ----------------------------------
