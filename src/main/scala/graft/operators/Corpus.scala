@@ -46,6 +46,48 @@ object Corpus {
       .where(col("n_shared") >= minShared)
   }
 
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS selection): over each doc's positional
+    * k-word rolling-hash sequence, every window of `window` consecutive
+    * hashes contributes its MINIMUM; the doc's fingerprint set is the
+    * distinct selected values. Guarantees: any shared substring of at
+    * least `window + shingleSize - 1` words between two docs yields at
+    * least one shared fingerprint, while storing only ~2/(window+1) of
+    * the hash stream — the standard plagiarism / near-copy index key.
+    * A doc shorter than one full window contributes the min of its
+    * whole (non-empty) hash sequence, matching the paper's "at least
+    * one fingerprint per document" convention; docs shorter than one
+    * shingle contribute nothing.
+    *
+    * Plan shape: one codegen'd digest pass per doc
+    * ([[graft.functions.NativeText.spanHashes]] — md5-based hash60,
+    * byte-replayable in the DuckDB oracle), a posexplode, and ONE
+    * per-doc ordered window (rows frame, no shuffle beyond the doc
+    * key); distinct collapses map-side. Selection is by VALUE, which
+    * is tie-rule-independent (robust vs leftmost winnowing differ only
+    * in selected positions, never in the value set).
+    *
+    * Output: (idCol, fp) distinct. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, window: Int = 5): DataFrame = {
+    require(window >= 1, "window >= 1")
+    val spans = docs.select(col(idCol),
+      posexplode(graft.functions.NativeText.spanHashes(
+        split(col(textCol), " "), shingleSize)).as(Seq("pos", "h")))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    val all = Window.partitionBy(col(idCol))
+    spans
+      .select(col(idCol), col("pos"),
+        min(col("h")).over(byDoc).as("fp"),
+        count(lit(1)).over(all).as("_m"))
+      // full windows only (a trailing partial window's min can exceed
+      // every full-window min and would add spurious fingerprints);
+      // short docs (no full window) keep pos 0 = min of everything
+      .where(col("pos") <= greatest(col("_m") - window, lit(0L)))
+      .select(col(idCol), col("fp")).distinct()
+  }
+
   /** Per-group quota sampling — the corpus-mixing primitive: keep at
     * most `k` documents per `groupCol` (source, domain, language …),
     * chosen in content-hash order so the sample is uniform-ish yet

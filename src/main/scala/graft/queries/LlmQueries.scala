@@ -236,6 +236,42 @@ object LlmQueries {
     TextDedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", 10)
       .orderBy(col("span"))
 
+  /** Winnowing fingerprint profile ([[Corpus.winnowFingerprints]] —
+    * the MOSS rolling-hash selection, SIGMOD 2003): per document, the
+    * count/extrema/mod-sum of its winnowed fingerprint set (bounded
+    * emit; the fingerprint INDEX at scale is the (fp, doc) relation
+    * itself). The oracle replays the k-word window hash60s, the
+    * w-window running min, the full-window cut and the distinct-value
+    * selection — the entire selection algorithm, hash-checked. */
+  def qWinnow(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.winnowFingerprints(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, window = 5)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        min(col("fp")).as("fp_min"),
+        max(col("fp")).as("fp_max"),
+        (sum(col("fp") % 1000000007L) % 1000000007L).as("fp_sum"))
+      .orderBy(col("doc_id"))
+
+  val qWinnowSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(range(len(w) - 2)) AS pos, w FROM d),
+      |s AS (SELECT doc_id, pos,
+      |        try_cast('0x'||substr(md5(
+      |          w[pos+1]||' '||w[pos+2]||' '||w[pos+3]),1,15) AS BIGINT) AS h
+      |      FROM g),
+      |m AS (SELECT doc_id, pos,
+      |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+      |        count(*) OVER (PARTITION BY doc_id) AS n FROM s),
+      |f AS (SELECT DISTINCT doc_id, fp FROM m
+      |      WHERE pos <= greatest(n - 5, 0))
+      |SELECT doc_id, count(*) AS n_fp,
+      |  min(fp) AS fp_min, max(fp) AS fp_max,
+      |  CAST(sum(fp % 1000000007) % 1000000007 AS BIGINT) AS fp_sum
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val qDedupPassagesSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT doc_id, unnest(range(len(w) - 9)) AS i, w FROM d),

@@ -5,6 +5,37 @@ import org.apache.spark.sql.functions._
 
 class CorpusSpec extends SparkSpec {
 
+  test("winnowFingerprints: the winnowing guarantee — docs sharing a " +
+      "substring of >= window+k-1 words share a fingerprint; selection " +
+      "is a subset of the doc's own window mins; a short doc still " +
+      "contributes one fingerprint; sub-shingle docs contribute none") {
+    val s = spark
+    import s.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three four five six $shared x y z"),
+      (2L, s"$shared p q r s t u v w"),
+      (3L, "tiny doc here"),        // 3 words = 1 shingle < window
+      (4L, "ab cd"))                // < shingleSize: no shingles at all
+      .toDF("doc_id", "text")
+    val fps = Corpus.winnowFingerprints(docs, "doc_id", "text",
+        shingleSize = 3, window = 5)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    // 8 shared words = 6 shared shingles > window ⇒ at least one full
+    // shared window ⇒ a common fingerprint (the MOSS guarantee)
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "docs sharing >= w+k-1 words must share a fingerprint")
+    assert(fps(1L) != fps(2L), "differing docs keep distinct sets")
+    assert(fps(3L).size == 1, "a short doc emits exactly its min hash")
+    assert(!fps.contains(4L), "no shingles -> no fingerprints")
+    // density: far fewer fingerprints than shingles
+    val nShingles1 = docs.where($"doc_id" === 1L)
+      .select(explode(graft.functions.NativeText.spanHashes(
+        split($"text", " "), 3))).count()
+    assert(fps(1L).size < nShingles1)
+  }
+
   test("packChunks: spans are contiguous, offsets bounded, totals consistent") {
     val s = spark
     import s.implicits._
