@@ -334,7 +334,13 @@ object ScaleStress {
       // (init = the vec_id<500 band of copy 0, verbatim at 1x and Nx,
       // so k=18 at every scale and the ratio measures DATA, unlike
       // q_kmeans whose initMod-sampled k tracks the corpus)
-      "q_kmeans_fixedk")
+      "q_kmeans_fixedk",
+      // round 17: the composed §3.2 download — entity-view distincts +
+      // semi/inner joins keyed on record/media uuid, all corpus-linear;
+      // the carry join's parent side is the FILTERED record query;
+      // winnowing = one digest scan + a per-doc rows window, the match
+      // join is fp-keyed with the df<=100 boilerplate prune
+      "q_download", "q_inner_hits", "q_winnow", "q_winnow_match")
     val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map()
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)

@@ -88,6 +88,27 @@ object Corpus {
       .select(col(idCol), col("fp")).distinct()
   }
 
+  /** Fingerprint-overlap candidate pairs — winnowing's purpose (the
+    * plagiarism / near-copy detector): docs sharing at least
+    * `minShared` winnowed fingerprints, from ONE fp-keyed equi-join of
+    * the [[winnowFingerprints]] relation with itself. Fingerprints
+    * shared by more than `maxDocFreq` docs are dropped first — the
+    * boilerplate guard every hash-keyed candidate join here carries (a
+    * license-header fingerprint in n docs would otherwise form an n²
+    * join bucket); dropping them loses only ties that common, exactly
+    * the hot-bucket trade [[TextDedup]] documents. Output
+    * (d1, d2, n_shared), d1 < d2. */
+  def winnowMatches(fps: DataFrame, idCol: String,
+      minShared: Long = 2, maxDocFreq: Long = 100): DataFrame = {
+    val rare = fps.select(col(idCol), col("fp"))
+      .join(fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+        .where(col("_df") <= maxDocFreq).select(col("fp")), "fp")
+    rare.toDF("fp", "d1").join(rare.toDF("fp", "d2"), Seq("fp"))
+      .where(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Per-group quota sampling — the corpus-mixing primitive: keep at
     * most `k` documents per `groupCol` (source, domain, language …),
     * chosen in content-hash order so the sample is uniform-ish yet

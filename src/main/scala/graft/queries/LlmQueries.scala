@@ -243,10 +243,18 @@ object LlmQueries {
     * itself). The oracle replays the k-word window hash60s, the
     * w-window running min, the full-window cut and the distinct-value
     * selection — the entire selection algorithm, hash-checked. */
-  def qWinnow(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Corpus.winnowFingerprints(
+  /** The winnowed (doc_id, fp) index, staged once per (session, dir)
+    * — shared by the profile and match gates; at scale it IS the
+    * stored fingerprint index. */
+  private def winnowFpsStaged(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.stage(s, s"winnow:fps:$dir") {
+      graft.operators.Corpus.winnowFingerprints(
         Tables.documents(s, dir), "doc_id", "text",
         shingleSize = 3, window = 5)
+    }
+
+  def qWinnow(s: SparkSession, dir: String): DataFrame =
+    winnowFpsStaged(s, dir)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fp"),
         min(col("fp")).as("fp_min"),
@@ -271,6 +279,37 @@ object LlmQueries {
       |  min(fp) AS fp_min, max(fp) AS fp_max,
       |  CAST(sum(fp % 1000000007) % 1000000007 AS BIGINT) AS fp_sum
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Fingerprint-overlap pairs over the winnowed index
+    * ([[Corpus.winnowMatches]]): docs sharing >= 2 rare winnowed
+    * fingerprints — the near-copy detector the fingerprint index
+    * exists for. The oracle replays selection + df-prune + self-join. */
+  def qWinnowMatch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.winnowMatches(
+        winnowFpsStaged(s, dir),
+        "doc_id", minShared = 2, maxDocFreq = 100)
+      .orderBy(col("d1"), col("d2"))
+
+  val qWinnowMatchSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(range(len(w) - 2)) AS pos, w FROM d),
+      |s AS (SELECT doc_id, pos,
+      |        try_cast('0x'||substr(md5(
+      |          w[pos+1]||' '||w[pos+2]||' '||w[pos+3]),1,15) AS BIGINT) AS h
+      |      FROM g),
+      |m AS (SELECT doc_id, pos,
+      |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+      |        count(*) OVER (PARTITION BY doc_id) AS n FROM s),
+      |f AS (SELECT DISTINCT doc_id, fp FROM m
+      |      WHERE pos <= greatest(n - 5, 0)),
+      |rare AS (SELECT f.doc_id, f.fp FROM f
+      |         JOIN (SELECT fp FROM f GROUP BY fp
+      |               HAVING count(*) <= 100) r USING (fp))
+      |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+      |FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY d1, d2""".stripMargin
 
   val qDedupPassagesSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
