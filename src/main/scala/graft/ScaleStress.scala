@@ -341,14 +341,13 @@ object ScaleStress {
       // winnowing = one digest scan + a per-doc rows window, the match
       // join is fp-keyed with the df<=100 boilerplate prune
       "q_download", "q_inner_hits", "q_winnow", "q_winnow_match")
-    val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map()
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr")
     def time(dir: String, name: String): Double = {
       val d = if (pipelineQs(name) && dir == out) s"$out-pipeline" else dir
       val t0 = System.nanoTime()
-      extra.getOrElse(name, SparkEntry.queries(name))(spark, d)
+      SparkEntry.queries(name)(spark, d)
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }

@@ -163,13 +163,20 @@ object Staging {
         // happens to run first (alphabetical in a Verify/Bench sweep),
         // making staged-prefix regressions unattributable without a
         // bisect — the per-key timings surface in Bench's "staging"
-        // map instead
-        d.count()
+        // map instead. A failed materialization must drop its own
+        // persist marking (the Graph.localCut discipline) — evict can
+        // free nothing for a holder whose `built` never landed.
+        try d.count()
+        catch { case t: Throwable => d.unpersist(blocking = false); throw t }
         timings.put(k, (System.nanoTime() - t0) / 1e9)
         d
       } finally {
         inFlight.get.remove(k)
-        building.remove(k)
+        // two-arg remove: an evicted-during-build key may already be
+        // re-staged with a NEW builder thread owning the entry — this
+        // builder must only clear its own registration, or cycle
+        // detection goes blind to the live builder
+        building.remove(k, Thread.currentThread())
       }
     }))
     val me = Thread.currentThread()
@@ -206,14 +213,44 @@ object Staging {
     n
   }
 
+  /** Pins registered while a [[pinScope]] is open on this thread land
+    * in the scope instead of the session list. */
+  private val scopePins =
+    ThreadLocal.withInitial[java.util.ArrayDeque[java.util.ArrayList[RDD[_]]]](
+      () => new java.util.ArrayDeque[java.util.ArrayList[RDD[_]]]())
+
   /** Track a localCheckpointed RDD backing a returned result frame so
     * its pinned storage can be freed once the caller is done
-    * ([[releasePinned]]) instead of living for the process. */
+    * ([[releasePinned]]) instead of living for the process. Inside an
+    * open [[pinScope]] on the calling thread, the pin is scope-local
+    * and released when the scope closes. */
   def registerPinned(s: SparkSession, rdd: RDD[_]): Unit = {
-    installHook(s)
-    pinned.computeIfAbsent(s,
-      _ => java.util.Collections.synchronizedList(
-        new java.util.ArrayList[RDD[_]]())).add(rdd)
+    val scope = scopePins.get.peek()
+    if (scope != null) { scope.add(rdd); () }
+    else {
+      installHook(s)
+      pinned.computeIfAbsent(s,
+        _ => java.util.Collections.synchronizedList(
+          new java.util.ArrayList[RDD[_]]())).add(rdd)
+    }
+  }
+
+  /** Run `body` with a pin SCOPE on this thread: every
+    * [[registerPinned]] issued inside (same thread) is released when
+    * the scope closes, success or failure — the shape a per-batch
+    * driver loop needs, where iterative operators' result pins are
+    * transient (consumed into the batch's own lineage cuts) and would
+    * otherwise accumulate one block set per batch in the session
+    * registry for the life of the stream. Nested scopes release to
+    * the innermost open scope. */
+  def pinScope[T](body: => T): T = {
+    val scope = new java.util.ArrayList[RDD[_]]()
+    scopePins.get.push(scope)
+    try body
+    finally {
+      scopePins.get.pop()
+      scope.forEach(r => r.unpersist(blocking = false))
+    }
   }
 
   /** Unpersist every pinned RDD registered for `s`. Result frames

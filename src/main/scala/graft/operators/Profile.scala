@@ -147,7 +147,13 @@ object Profile {
     * columnar scan (pruned — total bytes equal the single wide scan)
     * and plan as the no-Expand single-distinct two-phase aggregate;
     * the C result rows union driver-free. Adjudicated round 17:
-    * 2.42 s → 0.80 s warm on the sf0.1 gate (BENCH_NOTES.md). */
+    * 2.42 s → 0.80 s warm on the sf0.1 gate (BENCH_NOTES.md).
+    *
+    * CONSTRAINT: the per-column trade assumes a column-prunable source
+    * (parquet/ORC/cached) — the lake's storage contract here. Against
+    * a row-based, non-prunable input (CSV/JSON/RDD-backed), the C
+    * branches each re-read the whole file; profile such inputs through
+    * a `.cache()` or a columnar staging copy first. */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     cols.map { c =>

@@ -209,18 +209,23 @@ object DownloadQueries {
     * the [[qDownload]] manifest gate and the physical
     * [[writeArchive]] writer, so the zip a user receives and the
     * relations the oracle gates can never drift. */
+  /** core membership: records matching rq AND (when the media query
+    * exists) has_child{mediarecords: mq} — ONE definition for every
+    * variant's core. */
+  private def composedCore(cq: Download.ComposedQueries, recsRq: DataFrame,
+      mediaMq: DataFrame, edges: DataFrame): DataFrame =
+    if (cq.rqHasChild)
+      recsRq.join(
+        edges.join(mediaMq.select(col("media_uuid").as("r2")), "r2")
+          .select(col("r1").as("uuid")),
+        Seq("uuid"), "left_semi")
+    else recsRq
+
   private def recordArtifacts(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val (cq, recsRq, mediaMq) = composedSides(s, dir)
     val edges = sibEdges(s, dir)
-    // core: records matching rq AND has_child{mediarecords: mq}
-    val core =
-      if (cq.rqHasChild)
-        recsRq.join(
-          edges.join(mediaMq.select(col("media_uuid").as("r2")), "r2")
-            .select(col("r1").as("uuid")),
-          Seq("uuid"), "left_semi")
-      else recsRq
+    val core = composedCore(cq, recsRq, mediaMq, edges)
     // extension: media matching mq AND has_parent{records: rq}, with
     // the inner-hits carry (locality rides along into q_inner_hits's
     // row-level gate; here the membership itself is load-bearing),
@@ -471,13 +476,7 @@ object DownloadQueries {
   def qDownloadUnique(s: SparkSession, dir: String): DataFrame = {
     val (cq, recsRq, mediaMq) = composedSides(s, dir)
     val edges = sibEdges(s, dir)
-    val core =
-      if (cq.rqHasChild)
-        recsRq.join(
-          edges.join(mediaMq.select(col("media_uuid").as("r2")), "r2")
-            .select(col("r1").as("uuid")),
-          Seq("uuid"), "left_semi")
-      else recsRq
+    val core = composedCore(cq, recsRq, mediaMq, edges)
     val uv = Exports.uniquevals(core, "records", "locality",
       Exports.identifyLocality)
     val ext = RecordStore.innerHits(

@@ -94,7 +94,13 @@ class StreamingPipeline(bench: DataFrame,
     def cut(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
       val r = Graph.localCut(df); staged += r._2; r
     }
-    try processBatchStaged(batch, batchId, cut)
+    // pin SCOPE around the whole batch: the iterative operators the
+    // batch drives (connectedComponents' label cut, the incremental
+    // near-dup candidate cut) register their transient result pins,
+    // which are consumed into this batch's own cuts by the commit
+    // point — without the scope each batch would park one or two dead
+    // block sets in the session registry for the life of the stream
+    try graft.Staging.pinScope { processBatchStaged(batch, batchId, cut) }
     catch {
       case t: Throwable =>
         staged.foreach(_.unpersist(blocking = false))

@@ -116,11 +116,12 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(e.getMessage != null)
     StreamingPipelineSpec.poisonOn = false
     // no maintainer state moved, and the failed batch's transient cuts
-    // (survivors, pair list, the two landed store cuts) all unpersisted.
-    // Set-difference, not count equality: the ContextCleaner may drop
-    // UNRELATED stale entries concurrently (GC-driven), which must not
-    // flake the orphan check
-    graft.Staging.releasePinned(spark)
+    // (survivors, pair list, the two landed store cuts) all unpersisted
+    // BY THE BATCH ITSELF — no manual releasePinned here: the pin
+    // scope inside processBatch must have released the iterative
+    // operators' transient pins too. Set-difference, not count
+    // equality: the ContextCleaner may drop UNRELATED stale entries
+    // concurrently (GC-driven), which must not flake the orphan check
     val newlyPersisted = sc.getPersistentRDDs.keySet -- persistedBefore
     val detail = newlyPersisted.toSeq.sorted.map { id =>
       val r = sc.getPersistentRDDs(id)
@@ -134,6 +135,12 @@ class StreamingPipelineSpec extends SparkSpec {
 
     // REPLAY of the same batchId runs cleanly (lastBatchId unadvanced)…
     maintainer.processBatch(df(chunks(1).toIndexedSeq), 2L)
+    // …and a SUCCESSFUL batch's only surviving pins are its three
+    // store cuts (the superseded trio was released at the commit
+    // point; the in-batch iterative pins died with the pin scope)
+    val afterReplay = sc.getPersistentRDDs.keySet -- persistedBefore
+    assert(afterReplay.size <= 3,
+      s"a successful batch leaves only its store cuts pinned: $afterReplay")
     val replayed = maintainer.admitted.select("doc_id")
       .as[Long].collect().sorted.toSeq
     maintainer.close()
