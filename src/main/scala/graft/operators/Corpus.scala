@@ -109,6 +109,44 @@ object Corpus {
       .where(col("n_shared") >= minShared)
   }
 
+  /** INCREMENTAL fingerprint matching — the maintenance form of
+    * [[winnowMatches]] at 100 TB: the base corpus's winnowed index is
+    * STORED ([[winnowFingerprints]] output, `baseFps`); a delta batch
+    * is fingerprinted (winnowing is per-doc, so delta fps are exactly
+    * what a full re-run would produce) and PROBES the stored index —
+    * delta×base plus delta-internal pairs; base×base pairs are never
+    * re-formed. The document-frequency prune sees the COMBINED
+    * base+delta population, so the admitted pair set equals the batch
+    * operator's restricted to pairs touching the delta (the
+    * q_dedup_incr equivalence argument, fingerprint edition).
+    * Output (d1, d2, n_shared), d1 < d2, at least one end a delta
+    * doc. */
+  def incrementalWinnowMatches(baseFps: DataFrame, deltaDocs: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      window: Int = 5, minShared: Long = 2,
+      maxDocFreq: Long = 100): DataFrame = {
+    val deltaFps = winnowFingerprints(deltaDocs, idCol, textCol,
+      shingleSize, window)
+    val allFps = baseFps.select(col(idCol), col("fp"))
+      .unionByName(deltaFps.select(col(idCol), col("fp")))
+    val rareKeys = allFps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDocFreq).select(col("fp"))
+    val rareDelta = deltaFps.join(rareKeys, "fp")
+    val rareBase = baseFps.select(col(idCol), col("fp")).join(rareKeys, "fp")
+    val cross = rareDelta.toDF("fp", "da")
+      .join(rareBase.toDF("fp", "db"), Seq("fp"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"))
+    val dd = rareDelta.toDF("fp", "d1")
+      .join(rareDelta.toDF("fp", "d2"), Seq("fp"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+    cross.unionByName(dd)
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Per-group quota sampling — the corpus-mixing primitive: keep at
     * most `k` documents per `groupCol` (source, domain, language …),
     * chosen in content-hash order so the sample is uniform-ish yet

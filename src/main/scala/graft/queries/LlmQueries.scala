@@ -311,6 +311,45 @@ object LlmQueries {
       |GROUP BY 1, 2 HAVING count(*) >= 2
       |ORDER BY d1, d2""".stripMargin
 
+  /** Incremental fingerprint matching
+    * ([[Corpus.incrementalWinnowMatches]]): the base corpus's winnowed
+    * index is read from the STAGED store (winnowing is per-doc, so the
+    * staged full index filtered to base ids IS the stored base index);
+    * only the delta is fingerprinted, and base×base pairs are never
+    * re-formed. The oracle replays the full-batch operator and
+    * restricts to pairs touching the delta — the recall-equivalence
+    * the incremental form must honor. */
+  def qWinnowIncr(s: SparkSession, dir: String): DataFrame = {
+    val baseFps = winnowFpsStaged(s, dir).where(col("doc_id") % 5 =!= 0)
+    val deltaDocs = Tables.documents(s, dir).where(col("doc_id") % 5 === 0)
+    graft.operators.Corpus.incrementalWinnowMatches(
+        baseFps, deltaDocs, "doc_id", "text",
+        shingleSize = 3, window = 5, minShared = 2, maxDocFreq = 100)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val qWinnowIncrSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(range(len(w) - 2)) AS pos, w FROM d),
+      |s AS (SELECT doc_id, pos,
+      |        try_cast('0x'||substr(md5(
+      |          w[pos+1]||' '||w[pos+2]||' '||w[pos+3]),1,15) AS BIGINT) AS h
+      |      FROM g),
+      |m AS (SELECT doc_id, pos,
+      |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+      |        count(*) OVER (PARTITION BY doc_id) AS n FROM s),
+      |f AS (SELECT DISTINCT doc_id, fp FROM m
+      |      WHERE pos <= greatest(n - 5, 0)),
+      |rare AS (SELECT f.doc_id, f.fp FROM f
+      |         JOIN (SELECT fp FROM f GROUP BY fp
+      |               HAVING count(*) <= 100) r USING (fp))
+      |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+      |FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY d1, d2""".stripMargin
+
   val qDedupPassagesSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT doc_id, unnest(range(len(w) - 9)) AS i, w FROM d),

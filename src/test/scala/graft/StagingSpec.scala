@@ -134,6 +134,41 @@ class StagingSpec extends SparkSpec {
     Staging.evict(spark, "spec:cycle:B")
   }
 
+  test("pinScope: pins registered inside the scope release when it " +
+      "closes (success AND failure); pins outside go to the session " +
+      "registry as before") {
+    def pinnedRdd() = {
+      val r = sc.parallelize(1 to 10, 1)
+      r.localCheckpoint(); r.count(); r
+    }
+    Staging.releasePinned(spark) // drain pins earlier suites registered
+    val inScope = Staging.pinScope {
+      val r = pinnedRdd()
+      Staging.registerPinned(spark, r)
+      assert(r.getStorageLevel != StorageLevel.NONE)
+      r
+    }
+    assert(inScope.getStorageLevel == StorageLevel.NONE,
+      "scope close must release the scope's pins")
+    assert(Staging.releasePinned(spark) == 0,
+      "scope pins must never land in the session registry")
+
+    val failed = pinnedRdd()
+    intercept[RuntimeException] {
+      Staging.pinScope {
+        Staging.registerPinned(spark, failed)
+        sys.error("body fails")
+      }
+    }
+    assert(failed.getStorageLevel == StorageLevel.NONE,
+      "a failing scope still releases its pins")
+
+    val outside = pinnedRdd()
+    Staging.registerPinned(spark, outside)
+    assert(Staging.releasePinned(spark) == 1,
+      "outside a scope, registration reaches the session registry")
+  }
+
   test("registerPinned/releasePinned free localCheckpointed storage") {
     val rdd = sc.parallelize(1 to 100, 2)
     rdd.localCheckpoint()
