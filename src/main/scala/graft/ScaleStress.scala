@@ -340,7 +340,13 @@ object ScaleStress {
       // the carry join's parent side is the FILTERED record query;
       // winnowing = one digest scan + a per-doc rows window, the match
       // join is fp-keyed with the df<=100 boilerplate prune
-      "q_download", "q_inner_hits", "q_winnow", "q_winnow_match")
+      "q_download", "q_inner_hits", "q_winnow", "q_winnow_match",
+      // round 17: hybrid RRF = the two top-20 legs (BM25 scan +
+      // broadcast probe cosine scan, both corpus-linear) + a 20-row
+      // fusion join (constant); DSIR = one token-stream agg collapsing
+      // map-side to 256 buckets + ONE codegen'd scoring scan against
+      // the broadcast llr array — zero shuffle past the bucket agg
+      "q_hybrid_rrf", "q_dsir")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr")

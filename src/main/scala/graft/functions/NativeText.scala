@@ -124,6 +124,17 @@ object NativeText {
     * DuckDB oracle can replay the exact arithmetic. */
   def repetitionStats(words: Column): Column =
     GraftSqlBridge.column(RepetitionStatsExpr(GraftSqlBridge.expression(words)))
+
+  /** DSIR importance score (Xie et al., NeurIPS'23 "Data Selection
+    * for Language Models via Importance Resampling"): the document's
+    * hashed-token counts dotted with a `dim`-bucket log-likelihood-
+    * ratio table, computed in one pass over the words array without
+    * materializing the count vector. `llr` is nano-nat-quantized
+    * BIGINTs (the q_entropy discipline), so the score is an exact
+    * integer and the oracle replay is order-independent. */
+  def dsirScore(words: Column, llr: Column, dim: Int): Column =
+    GraftSqlBridge.column(DsirScoreExpr(
+      GraftSqlBridge.expression(words), GraftSqlBridge.expression(llr), dim))
 }
 
 case class MinhashSigExpr(child: Expression, shingleN: Int)
@@ -180,6 +191,30 @@ case class FeatureHashExpr(child: Expression, dim: Int)
       s"${ev.value} = graft.functions.MinhashKernel.featureHash($c, $dim);")
   override protected def withNewChildInternal(newChild: Expression): FeatureHashExpr =
     copy(child = newChild)
+}
+
+case class DsirScoreExpr(left: Expression, right: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(dim >= 1, "dim >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dsir_score needs (array<string>, array<bigint>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dsir_score"
+  protected override def nullSafeEval(words: Any, llr: Any): Any =
+    MinhashKernel.dsirScore(words.asInstanceOf[ArrayData],
+      llr.asInstanceOf[ArrayData], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, l) =>
+      s"${ev.value} = graft.functions.MinhashKernel.dsirScore($w, $l, $dim);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DsirScoreExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 case class SciParseExpr(child: Expression)
@@ -2141,5 +2176,27 @@ object MinhashKernel {
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(out)
+  }
+
+  /** DSIR importance score of one document against a per-bucket
+    * log-likelihood-ratio table: Σ over tokens of llr[h(w) mod dim].
+    * Equal by definition to Σ_b count_b(doc) · llr_b — the
+    * bucket-count form the DuckDB oracle replays — because summing a
+    * bucket's llr once per token IS multiplying it by the token count.
+    * All-integer arithmetic (the llr table is pre-quantized to
+    * nano-nats), so the sum is order-free exact across engines. */
+  def dsirScore(words: ArrayData, llr: ArrayData, dim: Int): Long = {
+    if (llr.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"dsir_score: llr table has ${llr.numElements()} entries, expected $dim")
+    val m = words.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < m) {
+      val b = (md5Hash60(words.getUTF8String(i)) % dim).toInt
+      acc += llr.getLong(b)
+      i += 1
+    }
+    acc
   }
 }

@@ -617,4 +617,61 @@ object Corpus {
       .orderBy(col("pair_count").desc, col("p1"), col("p2"))
       .limit(k)
   }
+
+  /** DSIR importance weights (Xie et al., NeurIPS'23 "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its hashed-token bag is under
+    * the TARGET distribution (rows where `isTarget`) than under the
+    * raw corpus. weight(d) = Σ_b count_b(d) · (ln p̂_t(b) − ln p̂_r(b))
+    * over `buckets` md5-hash buckets, with add-one smoothing
+    * p̂(b) = (count(b) + 1) / (N + buckets). Resampling the corpus by
+    * this weight shifts it toward the target domain without a trained
+    * classifier.
+    *
+    * Cross-engine exactness: each ln term is quantized to nano-nat
+    * BIGINTs BEFORE any summation (the q_entropy discipline), so
+    * per-document weights are exact integer sums — order-free — and
+    * the DuckDB oracle's explode-join formulation matches
+    * bit-for-bit. The token hash is [[TextDedup.hash60]] (md5), the
+    * same hash the oracle replays.
+    *
+    * Shape at 100 TB: the token stream collapses map-side to
+    * ≤ `buckets` rows (groupBy on the bucket id), the totals are one
+    * scalar row, and the llr table folds into a single `buckets`-long
+    * array broadcast to every scoring task — per-document scoring is
+    * then ONE codegen'd pass over the words array
+    * ([[graft.functions.NativeText.dsirScore]]) with zero shuffle; no
+    * (doc × bucket) intermediate ever forms. Selection downstream is
+    * a global top-k heap (TakeOrderedAndProject), never a full sort.
+    *
+    * @return (idCol, weight_nano) — nano-nat importance weight. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int): DataFrame = {
+    val bkt = docs
+      .select(isTarget.as("_t"), explode(split(col(textCol), " ")).as("_w"))
+      .select(col("_t"), (TextDedup.hash60(col("_w")) % buckets).as("_b"))
+    val perBucket = bkt.groupBy(col("_b")).agg(
+      count(lit(1)).as("_cr"),
+      sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"))
+    val totals = perBucket.agg(
+      sum(col("_cr")).as("_nr"), sum(col("_ct")).as("_nt"))
+    def lnNano(cnt: Column, n: Column): Column =
+      round(log((cnt.cast("double") + lit(1.0)) /
+        (n.cast("double") + lit(buckets.toDouble))) * lit(1e9), 0).cast("long")
+    val llr = perBucket.crossJoin(broadcast(totals)).select(
+      col("_b").cast("int").as("_b"),
+      (lnNano(col("_ct"), col("_nt")) - lnNano(col("_cr"), col("_nr"))).as("_llr"))
+    // Buckets no raw token hashes to can't be referenced by any
+    // document, so the dense table fills them with 0.
+    val llrRow = llr
+      .agg(map_from_entries(collect_list(
+        struct(col("_b"), col("_llr")))).as("_m"))
+      .select(transform(sequence(lit(0), lit(buckets - 1)),
+        i => coalesce(element_at(col("_m"), i), lit(0L))).as("_llr_arr"))
+    docs.select(col(idCol), split(col(textCol), " ").as("_w"))
+      .crossJoin(broadcast(llrRow))
+      .select(col(idCol),
+        graft.functions.NativeText.dsirScore(
+          col("_w"), col("_llr_arr"), buckets).as("weight_nano"))
+  }
 }

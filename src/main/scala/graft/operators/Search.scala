@@ -292,4 +292,47 @@ object Search {
       .orderBy(col("pmi6").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09) —
+    * the standard hybrid-retrieval combiner: given N ranked legs
+    * (e.g. lexical BM25 and dense cosine), each document scores
+    * Σ over legs of 1/(k0 + rank_leg(d)), with absent legs
+    * contributing 0, and the fused list is the top `topK` by that
+    * score. RRF needs only ranks — never the legs' incomparable raw
+    * scores — which is what makes it robust across scoring scales.
+    *
+    * Determinism: contributions are summed left-to-right in the
+    * given leg order as one fixed expression tree, so the double
+    * summation order is engine-identical; ties on the exact fused
+    * score break by id ascending; the emitted score is rounded to 6
+    * decimals (+0.0 to normalize −0.0).
+    *
+    * Shape at 100 TB: each leg is already a top-k ranked list — a
+    * k-row relation — so the fusion itself is a chain of broadcast-
+    * sized full-outer joins; all the scan cost lives in producing
+    * the legs.
+    *
+    * @return (idCol, rrf_r6, rank_0 … rank_{N−1}) with per-leg ranks
+    *   coalesced to 0 for ids the leg did not return. */
+  def rrfFuse(legs: Seq[DataFrame], idCol: String, rankCol: String,
+      k0: Int, topK: Int): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    val joined = legs.zipWithIndex
+      .map { case (l, i) =>
+        l.select(col(idCol), col(rankCol).cast("long").as(s"rank_$i")) }
+      .reduceLeft((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val fused = legs.indices
+      .map(i => coalesce(
+        lit(1.0) / (lit(k0.toDouble) + col(s"rank_$i").cast("double")),
+        lit(0.0)))
+      .reduceLeft(_ + _)
+    joined
+      .select(col(idCol) +: fused.as("_rrf") +:
+        legs.indices.map(i =>
+          coalesce(col(s"rank_$i"), lit(0L)).as(s"rank_$i")): _*)
+      .orderBy(col("_rrf").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol) +: (round(col("_rrf"), 6) + lit(0.0)).as("rrf_r6") +:
+        legs.indices.map(i => col(s"rank_$i")): _*)
+  }
 }

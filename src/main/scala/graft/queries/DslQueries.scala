@@ -194,9 +194,12 @@ object DslQueries {
       Tables.documents(s, dir), "doc_id", "text",
       terms = Seq("hash", "merge", "scan"), k = 20)
 
-  val qFulltextRankSql: String = {
+  /** The BM25 oracle's WITH-body (staged/stats/scored CTEs) for
+    * `terms` — factored out so the hybrid-RRF gate's composed oracle
+    * reuses the lexical leg's exact fragments (the q_pipeline
+    * composed-oracle discipline). */
+  private[queries] def bm25OracleCtes(terms: Seq[String]): String = {
     val (k1, b) = (graft.operators.Search.K1, graft.operators.Search.B)
-    val terms = Seq("hash", "merge", "scan")
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(w) - len(list_filter(w, x -> x != '$t')) AS BIGINT) AS tf_$i"
     }.mkString(",\n  ")
@@ -210,7 +213,7 @@ object DslQueries {
          |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
          |  ELSE 0.0 END)""".stripMargin
     }.mkString(" +\n  ")
-    s"""WITH staged AS (
+    s"""staged AS (
        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
        |  $tfCols
        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
@@ -221,11 +224,14 @@ object DslQueries {
        |scored AS (
        |  SELECT doc_id,
        |  $scoreTerms AS score
-       |  FROM staged, stats)
+       |  FROM staged, stats)""".stripMargin
+  }
+
+  val qFulltextRankSql: String =
+    s"""WITH ${bm25OracleCtes(Seq("hash", "merge", "scan"))}
        |SELECT doc_id, round(score, 6) AS score_r6 FROM scored
        |WHERE score > 0.0
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-  }
 
   /** The inverted-index BUILD ([[graft.operators.Search.invertedPostings]])
     * under the driver gate — the reference's entire pipeline feeds an

@@ -3118,4 +3118,100 @@ object LlmQueries {
       |        + CAST(tp AS DOUBLE) / CAST(support AS DOUBLE)) END, 6)
       |    + 0.0 AS f1
       |FROM j ORDER BY label""".stripMargin
+
+  // --- hybrid retrieval + importance resampling ----------------------
+
+  /** Hybrid retrieval under the gate: a lexical BM25 leg
+    * ([[graft.operators.Search.bm25TopK]], the q_fulltext_rank terms)
+    * and a dense cosine leg (exact top-20 neighbors of vector 0 via
+    * [[Similarity.bruteForceTopK]], the q_ann_topk kernel) fused by
+    * reciprocal rank ([[graft.operators.Search.rrfFuse]], k0 = 60) —
+    * the standard two-tower retrieval stack over one corpus whose
+    * documents and embeddings share ids. Each leg keeps its own plan
+    * shape (BM25: one scan + broadcast stats + top-k heap; cosine:
+    * broadcast probe + top-k heap); fusion joins two 20-row lists.
+    * Per-leg ranks ride along (0 = absent from that leg). */
+  def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    // Rank the 20-row lexical list on the TopKPerGroup heap (constant
+    // group) rather than an unpartitioned Window — same row_number
+    // semantics, k rows of state, no global-window operator.
+    val lex = graft.plans.TopKPerGroup.topKSorted(
+        graft.operators.Search.bm25TopK(
+            Tables.documents(s, dir), "doc_id", "text",
+            terms = Seq("hash", "merge", "scan"), k = 20)
+          .withColumn("_g", lit(1)),
+        Seq("_g"), Seq("score_r6" -> false, "doc_id" -> true), 20,
+        rankName = "rank")
+      .select(col("doc_id"), col("rank"))
+    val den = Similarity.bruteForceTopK(embCorpus(s, dir),
+        Tables.embeddings(s, dir).where(col("vec_id") === 0)
+          .select(col("vec_id"), col("embedding")), k = 20)
+      .select(col("nid").as("doc_id"), col("rank"))
+    graft.operators.Search.rrfFuse(Seq(lex, den), "doc_id", "rank",
+        k0 = 60, topK = 10)
+      .withColumnRenamed("rank_0", "bm25_rank")
+      .withColumnRenamed("rank_1", "cos_rank")
+  }
+
+  val qHybridRrfSql: String =
+    s"""WITH ${DslQueries.bm25OracleCtes(Seq("hash", "merge", "scan"))},
+       |lex0 AS (SELECT doc_id, round(score, 6) AS sr FROM scored
+       |  WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT 20),
+       |lex AS (SELECT doc_id, CAST(row_number() OVER
+       |    (ORDER BY sr DESC, doc_id) AS BIGINT) AS lr FROM lex0),
+       |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |sden AS (SELECT e.vec_id AS doc_id,
+       |    list_inner_product(qe, e.embedding::DOUBLE[]) /
+       |    (sqrt(list_inner_product(qe, qe)) *
+       |     sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
+       |  FROM q, embeddings e WHERE e.vec_id != 0),
+       |den AS (SELECT doc_id, dr FROM (
+       |    SELECT doc_id, CAST(row_number() OVER
+       |      (ORDER BY sim DESC, doc_id) AS BIGINT) AS dr FROM sden)
+       |  WHERE dr <= 20),
+       |f AS (SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id, lr, dr
+       |  FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
+       |SELECT doc_id,
+       |  round(coalesce(1.0 / (60.0 + lr), 0.0)
+       |      + coalesce(1.0 / (60.0 + dr), 0.0), 6) + 0.0 AS rrf_r6,
+       |  CAST(coalesce(lr, 0) AS BIGINT) AS bm25_rank,
+       |  CAST(coalesce(dr, 0) AS BIGINT) AS cos_rank
+       |FROM f
+       |ORDER BY coalesce(1.0 / (60.0 + lr), 0.0)
+       |       + coalesce(1.0 / (60.0 + dr), 0.0) DESC, doc_id
+       |LIMIT 10""".stripMargin
+
+  /** DSIR importance resampling under the gate
+    * ([[Corpus.dsirWeights]]): target = the English documents; every
+    * document's hashed-token bag (256 md5 buckets) is scored by the
+    * smoothed target-vs-corpus log-likelihood ratio and the 100
+    * highest-weight documents form the resampled subset. Weights are
+    * exact nano-nat integers (each ln quantized BEFORE summation —
+    * the q_entropy discipline), so the oracle's explode-join replay
+    * matches bit-for-bit while the engine side never materializes
+    * the (doc × bucket) table: scoring is one codegen'd pass per
+    * document against the broadcast 256-entry llr array. */
+  def qDsir(s: SparkSession, dir: String): DataFrame =
+    Corpus.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 256)
+      .orderBy(col("weight_nano").desc, col("doc_id"))
+      .limit(100)
+
+  val qDsirSql: String =
+    """WITH w AS (SELECT doc_id, lang = 'en' AS t,
+      |    unnest(string_split(text, ' ')) AS w FROM documents),
+      |b AS (SELECT doc_id, t,
+      |    try_cast('0x' || substr(md5(w), 1, 15) AS BIGINT) % 256 AS b FROM w),
+      |pb AS (SELECT b, count(*) AS cr,
+      |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct FROM b GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+      |    CAST(sum(ct) AS BIGINT) AS nt FROM pb),
+      |g AS (SELECT b,
+      |    CAST(round(ln((ct + 1.0) / (nt + 256.0)) * 1e9) AS BIGINT)
+      |  - CAST(round(ln((cr + 1.0) / (nr + 256.0)) * 1e9) AS BIGINT) AS llr
+      |  FROM pb, tot),
+      |ws AS (SELECT b.doc_id, CAST(sum(g.llr) AS BIGINT) AS weight_nano
+      |  FROM b JOIN g USING (b) GROUP BY 1)
+      |SELECT doc_id, weight_nano FROM ws
+      |ORDER BY weight_nano DESC, doc_id LIMIT 100""".stripMargin
 }

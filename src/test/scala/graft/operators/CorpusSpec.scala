@@ -445,4 +445,56 @@ class CorpusSpec extends SparkSpec {
     val df = (1 to 50).map(i => (i.toLong, "only")).toDF("id", "g")
     assert(Corpus.balancedSample(df, "g", "id").count() === 50L)
   }
+
+  test("dsirWeights: equals an independent driver-side implementation " +
+      "exactly (integer nano-nat weights, order-free)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha", true),
+      (2L, "alpha beta delta", true),
+      (3L, "delta epsilon zeta zeta", false),
+      (4L, "epsilon zeta eta theta", false),
+      (5L, "alpha gamma epsilon", false))
+    val dim = 64
+    val got = Corpus.dsirWeights(
+        docs.toDF("doc_id", "text", "t"), "doc_id", "text",
+        isTarget = col("t"), buckets = dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // independent local implementation (plain Scala, same formulas)
+    def bkt(w: String): Int =
+      (graft.functions.MinhashKernel.md5Hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w)) % dim).toInt
+    val toks = docs.flatMap { case (_, text, t) =>
+      text.split(" ").map(w => (bkt(w), t)) }
+    val cr = toks.groupBy(_._1).map { case (b, g) => b -> g.size.toLong }
+    val ct = toks.filter(_._2).groupBy(_._1)
+      .map { case (b, g) => b -> g.size.toLong }
+    val (nr, nt) = (toks.size.toLong, toks.count(_._2).toLong)
+    def lnNano(c: Long, n: Long): Long =
+      BigDecimal(math.log((c + 1.0) / (n + dim.toDouble)) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def llr(b: Int): Long =
+      lnNano(ct.getOrElse(b, 0L), nt) - lnNano(cr(b), nr)
+    val want = docs.map { case (id, text, _) =>
+      id -> text.split(" ").map(w => llr(bkt(w))).sum }.toMap
+    assert(got === want)
+  }
+
+  test("dsirWeights: target-heavy documents outweigh off-target ones, " +
+      "deterministically under repartitioning") {
+    val s = spark
+    import s.implicits._
+    val docs = ((1 to 10).map(i => (i.toLong, "alpha beta gamma", true)) ++
+      (11 to 20).map(i => (i.toLong, "delta epsilon zeta", false)))
+      .toDF("doc_id", "text", "t")
+    val w = Corpus.dsirWeights(docs, "doc_id", "text", col("t"), 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(1L) > w(11L))
+    val w2 = Corpus.dsirWeights(docs.repartition(7), "doc_id", "text",
+        col("t"), 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w2 === w)
+  }
 }

@@ -567,6 +567,26 @@ class NativeTextSpec extends SparkSpec {
     }
   }
 
+  test("dsirScore kernel: token-sum equals count·llr by bucket; llr " +
+      "table length must equal dim") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val dim = 8
+    val words = new GenericArrayData(
+      Array("a", "b", "a", "c").map(w => UTF8String.fromString(w): Any))
+    val llr = UnsafeArrayData.fromPrimitiveArray(
+      (0 until dim).map(i => (i + 1).toLong * 10L).toArray)
+    def bkt(w: String): Int =
+      (MinhashKernel.md5Hash60(UTF8String.fromString(w)) % dim).toInt
+    val want = Seq("a", "b", "a", "c").map(w => (bkt(w) + 1).toLong * 10L).sum
+    assert(MinhashKernel.dsirScore(words, llr, dim) === want)
+    val short = UnsafeArrayData.fromPrimitiveArray(Array(1L, 2L))
+    intercept[IllegalArgumentException] {
+      MinhashKernel.dsirScore(words, short, dim)
+    }
+  }
+
   private def withConf(k: String, v: String)(body: => Unit): Unit = {
     val prev = spark.conf.getOption(k)
     spark.conf.set(k, v)

@@ -278,6 +278,56 @@ class SearchSpec extends SparkSpec {
     assert(r(("B", "y"))._1 === 2)
   }
 
+  test("rrfFuse: fused score is the exact reciprocal-rank sum; " +
+      "absent legs contribute 0 and surface rank 0") {
+    val s = spark
+    import s.implicits._
+    val legA = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val legB = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
+    val out = Search.rrfFuse(Seq(legA, legB), "id", "rank", k0 = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    def c(r: Long): Double = 1.0 / (60.0 + r)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // both-leg doc first, then the single-leg docs by their rank's
+    // reciprocal: 1/61 > 1/62 > 1/63
+    assert(out.map(_._1) === Seq(2L, 1L, 4L, 3L))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m(2L)._2 === r6(c(2L) + c(1L)))
+    assert(m(1L)._2 === r6(c(1L)))
+    assert((m(2L)._3, m(2L)._4) === ((2L, 1L)))
+    // absent from legB → cos-side rank 0, contribution exactly 0
+    assert((m(1L)._3, m(1L)._4) === ((1L, 0L)))
+    assert((m(4L)._3, m(4L)._4) === ((0L, 2L)))
+  }
+
+  test("rrfFuse: leg order permutes the rank columns but neither " +
+      "membership nor fused scores; topK bounds the output") {
+    val s = spark
+    import s.implicits._
+    val legA = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val legB = Seq((2L, 1L), (4L, 2L), (5L, 3L)).toDF("id", "rank")
+    val ab = Search.rrfFuse(Seq(legA, legB), "id", "rank", 60, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ba = Search.rrfFuse(Seq(legB, legA), "id", "rank", 60, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ab === ba)
+    val top2 = Search.rrfFuse(Seq(legA, legB), "id", "rank", 60, 2).collect()
+    assert(top2.map(_.getLong(0)).toSeq === ab.map(_._1).take(2))
+  }
+
+  test("rrfFuse: ties on the exact fused score break by id ascending") {
+    val s = spark
+    import s.implicits._
+    // ids 5 and 3 each hold rank 1 in exactly one leg → identical score
+    val legA = Seq((5L, 1L)).toDF("id", "rank")
+    val legB = Seq((3L, 1L)).toDF("id", "rank")
+    val out = Search.rrfFuse(Seq(legA, legB), "id", "rank", 60, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(3L, 5L))
+  }
+
   test("cTfIdfTopTerms: k bounds the per-class list, rank dense from 1") {
     val s = spark
     import s.implicits._
