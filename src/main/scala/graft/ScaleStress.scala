@@ -125,7 +125,7 @@ object ScaleStress {
     // (the embedding analogue of the documents word-suffix trick).
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     assertShiftClears(emb, "embeddings", "vec_id" -> 625000L) // 725000 − 100000 injected-dup headroom
-    (0 until copies).map { k =>
+    val embScaled = (0 until copies).map { k =>
       val flipped = if (k == 0) col("embedding") else
         transform(col("embedding"), (x, i) =>
           x * when(pmod(xxhash64(lit(k), i), lit(2)) === 0, lit(1.0f))
@@ -133,7 +133,13 @@ object ScaleStress {
       emb.select((col("vec_id") + lit(k * 725000L)).as("vec_id"),
         flipped.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    embScaled.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // the hybrid-RRF gate reads documents AND embeddings from the
+    // quality-preserving fixture (the every-word suffix would zero its
+    // BM25 leg — same rationale as the pipeline family), so that
+    // fixture carries the scaled embeddings too
+    embScaled.write.mode("overwrite")
+      .parquet(s"$out-pipeline/embeddings.parquet")
 
     // customer and supplier ride along verbatim: customer is the BUILD
     // side of q_bloom_join (the dimension stays fixed while the fact
@@ -343,13 +349,18 @@ object ScaleStress {
       "q_download", "q_inner_hits", "q_winnow", "q_winnow_match",
       // round 17: hybrid RRF = the two top-20 legs (BM25 scan +
       // broadcast probe cosine scan, both corpus-linear) + a 20-row
-      // fusion join (constant); DSIR = one token-stream agg collapsing
-      // map-side to 256 buckets + ONE codegen'd scoring scan against
-      // the broadcast llr array — zero shuffle past the bucket agg
+      // fusion join (constant). Reads the QUALITY-PRESERVING fixture
+      // (pipelineQs): the every-word suffix would zero the BM25
+      // terms' tf and reduce the 10x pass to the dense leg alone;
+      // with copy 0 verbatim the lexical leg stays real while the
+      // scans still cover all Nx rows. DSIR = one token-stream agg
+      // collapsing map-side to 256 buckets + ONE codegen'd scoring
+      // scan against the broadcast llr array — zero shuffle past the
+      // bucket agg
       "q_hybrid_rrf", "q_dsir")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
-    val pipelineQs = Set("q_pipeline", "q_pipeline_incr")
+    val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")
     def time(dir: String, name: String): Double = {
       val d = if (pipelineQs(name) && dir == out) s"$out-pipeline" else dir
       val t0 = System.nanoTime()

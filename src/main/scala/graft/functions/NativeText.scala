@@ -2193,8 +2193,12 @@ object MinhashKernel {
     var acc = 0L
     var i = 0
     while (i < m) {
-      val b = (md5Hash60(words.getUTF8String(i)) % dim).toInt
-      acc += llr.getLong(b)
+      // null tokens contribute 0 (the relational twin's explode drops
+      // them) instead of NPEing inside md5Hash60
+      if (!words.isNullAt(i)) {
+        val b = (md5Hash60(words.getUTF8String(i)) % dim).toInt
+        acc += llr.getLong(b)
+      }
       i += 1
     }
     acc

@@ -647,8 +647,13 @@ object Corpus {
     * @return (idCol, weight_nano) — nano-nat importance weight. */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int): DataFrame = {
+    // NULL text scores like empty text (one empty token on both
+    // engines: split/string_split of '' is ['']) — the weight stays
+    // total over the corpus instead of going NULL on the engine side
+    // while the oracle's unnest silently drops the document.
+    val text = coalesce(col(textCol), lit(""))
     val bkt = docs
-      .select(isTarget.as("_t"), explode(split(col(textCol), " ")).as("_w"))
+      .select(isTarget.as("_t"), explode(split(text, " ")).as("_w"))
       .select(col("_t"), (TextDedup.hash60(col("_w")) % buckets).as("_b"))
     val perBucket = bkt.groupBy(col("_b")).agg(
       count(lit(1)).as("_cr"),
@@ -668,7 +673,7 @@ object Corpus {
         struct(col("_b"), col("_llr")))).as("_m"))
       .select(transform(sequence(lit(0), lit(buckets - 1)),
         i => coalesce(element_at(col("_m"), i), lit(0L))).as("_llr_arr"))
-    docs.select(col(idCol), split(col(textCol), " ").as("_w"))
+    docs.select(col(idCol), split(text, " ").as("_w"))
       .crossJoin(broadcast(llrRow))
       .select(col(idCol),
         graft.functions.NativeText.dsirScore(

@@ -3199,7 +3199,7 @@ object LlmQueries {
 
   val qDsirSql: String =
     """WITH w AS (SELECT doc_id, lang = 'en' AS t,
-      |    unnest(string_split(text, ' ')) AS w FROM documents),
+      |    unnest(string_split(coalesce(text, ''), ' ')) AS w FROM documents),
       |b AS (SELECT doc_id, t,
       |    try_cast('0x' || substr(md5(w), 1, 15) AS BIGINT) % 256 AS b FROM w),
       |pb AS (SELECT b, count(*) AS cr,

@@ -497,4 +497,20 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(w2 === w)
   }
+
+  test("dsirWeights: NULL text scores like empty text (total function, " +
+      "never a NULL weight)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, Some("alpha beta"), true),
+      (2L, None: Option[String], false),
+      (3L, Some(""), false)).toDF("doc_id", "text", "t")
+    val w = Corpus.dsirWeights(docs, "doc_id", "text", col("t"), 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size === 3)
+    // split('') yields [''] on both engines: null and empty text share
+    // the one-empty-token weight
+    assert(w(2L) === w(3L))
+  }
 }

@@ -581,6 +581,11 @@ class NativeTextSpec extends SparkSpec {
       (MinhashKernel.md5Hash60(UTF8String.fromString(w)) % dim).toInt
     val want = Seq("a", "b", "a", "c").map(w => (bkt(w) + 1).toLong * 10L).sum
     assert(MinhashKernel.dsirScore(words, llr, dim) === want)
+    // a null token contributes 0, not an NPE
+    val withNull = new GenericArrayData(
+      Array(UTF8String.fromString("a"), null, UTF8String.fromString("c")))
+    assert(MinhashKernel.dsirScore(withNull, llr, dim) ===
+      Seq("a", "c").map(w => (bkt(w) + 1).toLong * 10L).sum)
     val short = UnsafeArrayData.fromPrimitiveArray(Array(1L, 2L))
     intercept[IllegalArgumentException] {
       MinhashKernel.dsirScore(words, short, dim)
