@@ -357,7 +357,13 @@ object ScaleStress {
       // collapsing map-side to 256 buckets + ONE codegen'd scoring
       // scan against the broadcast llr array — zero shuffle past the
       // bucket agg
-      "q_hybrid_rrf", "q_dsir")
+      "q_hybrid_rrf", "q_dsir",
+      // dsir_incr = the same two token-stream bucket aggs (base +
+      // delta partitions of the one scan) + the 256-row merge +
+      // the scoring scan — same shape as q_dsir; cluster_balance =
+      // the staged Lloyd training + one broadcast-argmin scan + a
+      // clusters-sized aggregate + a stateless coin filter
+      "q_dsir_incr", "q_cluster_balance")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

@@ -646,24 +646,56 @@ object Corpus {
     *
     * @return (idCol, weight_nano) — nano-nat importance weight. */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, buckets: Int): DataFrame = {
-    // NULL text scores like empty text (one empty token on both
-    // engines: split/string_split of '' is ['']) — the weight stays
-    // total over the corpus instead of going NULL on the engine side
-    // while the oracle's unnest silently drops the document.
-    val text = coalesce(col(textCol), lit(""))
-    val bkt = docs
-      .select(isTarget.as("_t"), explode(split(text, " ")).as("_w"))
+      isTarget: Column, buckets: Int): DataFrame =
+    dsirWeightsFromStats(docs, idCol, textCol,
+      dsirStats(docs, textCol, isTarget, buckets), buckets)
+
+  /** NULL text scores like empty text (one empty token on both
+    * engines: split/string_split of '' is ['']) — the weight stays
+    * total over the corpus instead of going NULL on the engine side
+    * while the oracle's unnest silently drops the document. */
+  private def dsirText(textCol: String): Column =
+    coalesce(col(textCol), lit(""))
+
+  /** DSIR sufficient statistics of one corpus slice: per hash bucket
+    * the raw token count `_cr` and the target-slice token count `_ct`.
+    * Counts are EXACT mergeable sufficient statistics — the stats of
+    * a union are the per-bucket SUMS of the parts' stats — which is
+    * what makes the incremental maintenance form exact: a stored
+    * base table plus each delta batch's own stats, merged by
+    * addition, yields bit-identical weights to a full recompute
+    * (unlike sketch-backed maintenance there is no approximation to
+    * bound). Token stream collapses map-side to ≤ `buckets` rows. */
+  def dsirStats(docs: DataFrame, textCol: String,
+      isTarget: Column, buckets: Int): DataFrame =
+    docs
+      .select(isTarget.as("_t"),
+        explode(split(dsirText(textCol), " ")).as("_w"))
       .select(col("_t"), (TextDedup.hash60(col("_w")) % buckets).as("_b"))
-    val perBucket = bkt.groupBy(col("_b")).agg(
-      count(lit(1)).as("_cr"),
-      sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"))
-    val totals = perBucket.agg(
+      .groupBy(col("_b")).agg(
+        count(lit(1)).as("_cr"),
+        sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"))
+
+  /** Merge DSIR stats slices by per-bucket addition (the exactness
+    * argument in [[dsirStats]]). */
+  def dsirMergeStats(slices: DataFrame*): DataFrame =
+    slices.reduceLeft(_ unionByName _)
+      .groupBy(col("_b")).agg(
+        sum(col("_cr")).as("_cr"), sum(col("_ct")).as("_ct"))
+
+  /** Score `docs` against a (possibly merged) stats table: derive the
+    * smoothed nano-nat llr per bucket, fold it into one broadcast
+    * `buckets`-long array, and score each document in a single
+    * codegen'd pass ([[graft.functions.NativeText.dsirScore]]) —
+    * zero shuffle past the stats aggregate. */
+  def dsirWeightsFromStats(docs: DataFrame, idCol: String,
+      textCol: String, stats: DataFrame, buckets: Int): DataFrame = {
+    val totals = stats.agg(
       sum(col("_cr")).as("_nr"), sum(col("_ct")).as("_nt"))
     def lnNano(cnt: Column, n: Column): Column =
       round(log((cnt.cast("double") + lit(1.0)) /
         (n.cast("double") + lit(buckets.toDouble))) * lit(1e9), 0).cast("long")
-    val llr = perBucket.crossJoin(broadcast(totals)).select(
+    val llr = stats.crossJoin(broadcast(totals)).select(
       col("_b").cast("int").as("_b"),
       (lnNano(col("_ct"), col("_nt")) - lnNano(col("_cr"), col("_nr"))).as("_llr"))
     // Buckets no raw token hashes to can't be referenced by any
@@ -673,7 +705,7 @@ object Corpus {
         struct(col("_b"), col("_llr")))).as("_m"))
       .select(transform(sequence(lit(0), lit(buckets - 1)),
         i => coalesce(element_at(col("_m"), i), lit(0L))).as("_llr_arr"))
-    docs.select(col(idCol), split(text, " ").as("_w"))
+    docs.select(col(idCol), split(dsirText(textCol), " ").as("_w"))
       .crossJoin(broadcast(llrRow))
       .select(col(idCol),
         graft.functions.NativeText.dsirScore(

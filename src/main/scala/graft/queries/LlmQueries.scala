@@ -1837,8 +1837,12 @@ object LlmQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val qAnnIvfTrainedSql: String =
-    s"""WITH $KmeansTrainCtes,
+  /** The trained-quantizer corpus assignment (round-6 centroids `cr`,
+    * |c|²−2x·c scores `st`, argmin assignment `at`) — the replayed
+    * chain shared by qAnnIvfTrainedSql and the cluster-balance gate,
+    * one definition so the two can never drift. */
+  private lazy val TrainedAssignCtes: String =
+    s"""$KmeansTrainCtes,
        |cr AS (SELECT cid, list(round(c[pos + 1], 6) ORDER BY pos) AS c
        |       FROM c2, range(0, $Dim) t(pos) GROUP BY cid),
        |st AS (SELECT v.vid, v.e, cr.cid,
@@ -1846,7 +1850,10 @@ object LlmQueries {
        |       FROM v, cr),
        |at AS (SELECT vid, e, cid AS cell FROM (
        |         SELECT *, row_number() OVER (PARTITION BY vid ORDER BY score, cid) AS rn
-       |         FROM st) WHERE rn = 1),
+       |         FROM st) WHERE rn = 1)""".stripMargin
+
+  val qAnnIvfTrainedSql: String =
+    s"""WITH $TrainedAssignCtes,
        |q AS (SELECT vid AS qid, e AS qv, cell FROM at WHERE vid < 10),
        |s AS (SELECT qid, a.vid AS nid,
        |        list_inner_product(qv, a.e) /
@@ -1856,6 +1863,42 @@ object LlmQueries {
        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
        |      FROM s)
        |SELECT qid, nid, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** Cluster-balanced subsampling under the gate — the topic-balance
+    * pass of a curation pipeline (the cluster-proportional cousin of
+    * SemDeDup's cluster prune): every embedding is assigned to its
+    * TRAINED round-6 Lloyd centroid (the staged q_kmeans quantizer,
+    * [[Similarity.ivfAssign]]'s broadcast argmin — the exact chain
+    * q_ann_ivf_trained replays) and each cluster is Bernoulli-
+    * downsampled to the smallest cluster's size with the
+    * deterministic content-hash coin ([[Corpus.balancedSample]]).
+    * Composition of two already-gated formulations; the oracle
+    * reuses both gates' own CTE fragments verbatim. Plan: one
+    * broadcast-argmin scan + a clusters-sized aggregate joined back
+    * + a stateless filter — no per-cluster heap, no extra shuffle
+    * beyond the argmin combine. */
+  def qClusterBalance(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = kmeans2Staged(s, dir)
+      .select(col("cid"), transform(col("c"), x => round(x, 6)).as("c"))
+    val assigned = Similarity.ivfAssign(corpus, cents)
+      .select(col("vid").as("vec_id"), col("cell"))
+    Corpus.balancedSample(assigned, "cell", "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
+  val qClusterBalanceSql: String =
+    s"""WITH $TrainedAssignCtes,
+       |g AS (SELECT cell, count(*) AS gn FROM at GROUP BY cell),
+       |t AS (SELECT min(gn) AS tmin FROM g)
+       |SELECT at.vid AS vec_id, at.cell
+       |FROM at JOIN g USING (cell) CROSS JOIN t
+       |WHERE try_cast('0x' || substr(md5(CAST(at.vid AS VARCHAR)), 1, 15)
+       |    AS BIGINT)
+       |  < CAST(FLOOR(CAST(tmin AS DOUBLE) / CAST(gn AS DOUBLE)
+       |      * 1152921504606846976.0) AS BIGINT)
+       |ORDER BY vec_id""".stripMargin
 
   /** LSH-bucketed top-3: each probe searches only its sign-pattern
     * bucket (the 100 TB path — bucket equi-join instead of crossJoin).
@@ -3214,4 +3257,32 @@ object LlmQueries {
       |  FROM b JOIN g USING (b) GROUP BY 1)
       |SELECT doc_id, weight_nano FROM ws
       |ORDER BY weight_nano DESC, doc_id LIMIT 100""".stripMargin
+
+  /** INCREMENTAL DSIR maintenance under the gate: the corpus splits
+    * into a stored base (doc_id % 5 ≠ 0, at scale: a persisted stats
+    * table, never re-tokenized) and a delta batch; each side
+    * contributes only its own per-bucket sufficient statistics
+    * ([[Corpus.dsirStats]]) and the store merges them by addition
+    * ([[Corpus.dsirMergeStats]]). Because counts are exact
+    * sufficient statistics, the merged llr table — and every
+    * document weight scored against it — is BIT-IDENTICAL to the
+    * batch recompute, so the oracle is [[qDsirSql]] itself (the
+    * q_dedup_incr equality-to-batch discipline). What the gate pins:
+    * arriving data shifts every existing document's weight through
+    * the shared llr table, and the maintenance form tracks that
+    * exactly while touching only the delta's tokens. */
+  def qDsirIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val isTarget = col("lang") === "en"
+    val merged = Corpus.dsirMergeStats(
+      Corpus.dsirStats(base, "text", isTarget, 256),
+      Corpus.dsirStats(delta, "text", isTarget, 256))
+    Corpus.dsirWeightsFromStats(docs, "doc_id", "text", merged, 256)
+      .orderBy(col("weight_nano").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val qDsirIncrSql: String = qDsirSql
 }

@@ -498,6 +498,34 @@ class CorpusSpec extends SparkSpec {
     assert(w2 === w)
   }
 
+  test("dsirStats merge algebra: stats(A) ⊕ stats(B) == stats(A ∪ B) " +
+      "exactly, so incremental weights are bit-identical to batch") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha", true),
+      (2L, "alpha beta delta", true),
+      (3L, "delta epsilon zeta zeta", false),
+      (4L, "epsilon zeta eta theta", false),
+      (5L, "alpha gamma epsilon", false),
+      (6L, "beta beta theta", true)).toDF("doc_id", "text", "t")
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 =!= 0)
+    val dim = 64
+    def statsMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val merged = Corpus.dsirMergeStats(
+      Corpus.dsirStats(base, "text", col("t"), dim),
+      Corpus.dsirStats(delta, "text", col("t"), dim))
+    assert(statsMap(merged) ===
+      statsMap(Corpus.dsirStats(docs, "text", col("t"), dim)))
+    val incr = Corpus.dsirWeightsFromStats(docs, "doc_id", "text", merged, dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Corpus.dsirWeights(docs, "doc_id", "text", col("t"), dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr === batch)
+  }
+
   test("dsirWeights: NULL text scores like empty text (total function, " +
       "never a NULL weight)") {
     val s = spark
