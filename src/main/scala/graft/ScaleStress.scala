@@ -363,7 +363,11 @@ object ScaleStress {
       // the scoring scan — same shape as q_dsir; cluster_balance =
       // the staged Lloyd training + one broadcast-argmin scan + a
       // clusters-sized aggregate + a stateless coin filter
-      "q_dsir_incr", "q_cluster_balance")
+      "q_dsir_incr", "q_cluster_balance",
+      // temperature remix = one groups-sized count agg + a 1-row
+      // normalizer + the broadcast-weight remix draw over the corpus
+      // (output rows ≈ input rows at α=0.3: size-preserving mixture)
+      "q_temperature_remix")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

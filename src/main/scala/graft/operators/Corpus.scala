@@ -298,6 +298,36 @@ object Corpus {
       .drop("_copies", "wt_bp")
   }
 
+  /** Temperature-scaled mixture weights — the multilingual α-sampling
+    * discipline (Conneau & Lample 2019; α < 1 flattens the source
+    * distribution toward uniform, α = 1 keeps it natural): for source
+    * s with n_s documents the corpus-size-preserving expected copy
+    * count is
+    *   w_s = N · n_s^(α−1) / Σ_t n_t^α
+    * emitted as integer basis points (`wt_bp`), the weight contract
+    * [[remixByWeights]] consumes, so temperature remixing is this
+    * groups-sized weight table composed with the gated remix draw.
+    *
+    * Cross-engine determinism: each pow term of the normalizer is
+    * quantized to micro-units BEFORE summation (the q_entropy
+    * discipline — double sum order never matters), and the final
+    * weight rounds to integer basis points, absorbing pow's ≤1-ulp
+    * engine wobble. Plan: one groups-sized aggregate + a 1-row
+    * broadcast scalar — nothing corpus-sized leaves its scan. */
+  def temperatureWeights(docs: DataFrame, keyCol: String,
+      alpha: Double): DataFrame = {
+    val sizes = docs.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+    val z = sizes.agg(
+      sum(round(pow(col("_n").cast("double"), lit(alpha)) * lit(1e6), 0)
+        .cast("long")).as("_zq"),
+      sum(col("_n")).as("_tot"))
+    sizes.crossJoin(broadcast(z)).select(col(keyCol),
+      round(lit(1e4) * col("_tot").cast("double")
+          * pow(col("_n").cast("double"), lit(alpha - 1.0))
+          / (col("_zq").cast("double") / lit(1e6)), 0)
+        .cast("int").as("wt_bp"))
+  }
+
   /** Sliding-window chunking — split each long document into
     * fixed-length token windows with overlap (the context-window prep
     * step for documents longer than the training sequence): windows

@@ -1117,6 +1117,46 @@ object LlmQueries {
       |FROM d WHERE copies >= 1
       |ORDER BY doc_id, epoch""".stripMargin
 
+  /** Temperature-scaled remixing under the gate: α = 0.3 weights
+    * ([[Corpus.temperatureWeights]] — small sources up-sampled toward
+    * uniform, large sources trimmed, corpus size preserved in
+    * expectation) composed with the gated [[Corpus.remixByWeights]]
+    * draw. The oracle replays the quantized normalizer, the
+    * basis-point weight table, and the md5 fractional draw; pow's
+    * engine wobble is absorbed by the micro-unit/basis-point
+    * quantization (both constants are interpolated from the SAME
+    * Scala doubles so the engines parse identical literals). */
+  def qTemperatureRemix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    Corpus.remixByWeights(docs,
+        Corpus.temperatureWeights(docs, "source", alpha = TempAlpha),
+        keyCol = "source", idCol = "doc_id")
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  private val TempAlpha = 0.3
+
+  val qTemperatureRemixSql: String =
+    s"""WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+       |z AS (SELECT CAST(sum(CAST(round(pow(CAST(n AS DOUBLE), $TempAlpha) * 1e6)
+       |          AS BIGINT)) AS BIGINT) AS zq,
+       |        CAST(sum(n) AS BIGINT) AS tot FROM n),
+       |wt AS (SELECT source,
+       |        CAST(round(1e4 * CAST(tot AS DOUBLE)
+       |            * pow(CAST(n AS DOUBLE), ${TempAlpha - 1.0})
+       |            / (CAST(zq AS DOUBLE) / 1e6)) AS INT) AS wt_bp
+       |      FROM n, z),
+       |d AS (SELECT doc_id, documents.source, wt_bp // 10000 +
+       |        CASE WHEN try_cast('0x' ||
+       |            substr(md5(CAST(doc_id AS VARCHAR) || ':remix'), 1, 15)
+       |            AS BIGINT) % 10000 < wt_bp % 10000
+       |          THEN 1 ELSE 0 END AS copies
+       |      FROM documents JOIN wt USING (source))
+       |SELECT doc_id, source,
+       |  CAST(unnest(generate_series(0, copies - 1)) AS INT) AS epoch
+       |FROM d WHERE copies >= 1
+       |ORDER BY doc_id, epoch""".stripMargin
+
   /** Sliding-window chunking at maxLen=40, stride=30 over the documents
     * table (10-99 tokens/doc → 1-3 windows each, tail-clamp exercised
     * whenever (n − 40) is not a stride multiple). The oracle replays

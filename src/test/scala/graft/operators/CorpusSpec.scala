@@ -498,6 +498,24 @@ class CorpusSpec extends SparkSpec {
     assert(w2 === w)
   }
 
+  test("temperatureWeights: α=1 is the natural mixture (10000 bp " +
+      "everywhere); α<1 up-weights small sources; expected corpus size " +
+      "is preserved within quantization") {
+    val s = spark
+    import s.implicits._
+    val docs = ((1 to 80).map(i => (i.toLong, "big")) ++
+      (81 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val natural = Corpus.temperatureWeights(docs, "source", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(natural === Map("big" -> 10000, "small" -> 10000))
+    val flat = Corpus.temperatureWeights(docs, "source", alpha = 0.3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(flat("small") > 10000 && flat("big") < 10000)
+    // Σ_s n_s · w_s ≈ N (corpus-size preserving in expectation)
+    val expected = 80.0 * flat("big") / 1e4 + 20.0 * flat("small") / 1e4
+    assert(math.abs(expected - 100.0) < 1.0, s"expected size $expected")
+  }
+
   test("dsirStats merge algebra: stats(A) ⊕ stats(B) == stats(A ∪ B) " +
       "exactly, so incremental weights are bit-identical to batch") {
     val s = spark
