@@ -720,12 +720,20 @@ object Corpus {
     * zero shuffle past the stats aggregate. */
   def dsirWeightsFromStats(docs: DataFrame, idCol: String,
       textCol: String, stats: DataFrame, buckets: Int): DataFrame = {
-    val totals = stats.agg(
+    // the stats table feeds two consumers (the llr projection and the
+    // totals scalar); without a cut each re-evaluates the whole stats
+    // plan — for the batch gates that is the corpus token stream
+    // scanned TWICE (static plans show no exchange reuse). The cut is
+    // ≤ `buckets` rows by construction; its pin lands in the session
+    // registry, or in the enclosing pinScope for streaming callers.
+    val (statsCut, statsRdd) = graft.operators.Graph.localCut(stats)
+    graft.Staging.registerPinned(docs.sparkSession, statsRdd)
+    val totals = statsCut.agg(
       sum(col("_cr")).as("_nr"), sum(col("_ct")).as("_nt"))
     def lnNano(cnt: Column, n: Column): Column =
       round(log((cnt.cast("double") + lit(1.0)) /
         (n.cast("double") + lit(buckets.toDouble))) * lit(1e9), 0).cast("long")
-    val llr = stats.crossJoin(broadcast(totals)).select(
+    val llr = statsCut.crossJoin(broadcast(totals)).select(
       col("_b").cast("int").as("_b"),
       (lnNano(col("_ct"), col("_nt")) - lnNano(col("_cr"), col("_nr"))).as("_llr"))
     // Buckets no raw token hashes to can't be referenced by any

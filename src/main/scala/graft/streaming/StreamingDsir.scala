@@ -71,14 +71,19 @@ class StreamingDsir(spark: SparkSession, idCol: String, textCol: String,
       val (ocr, oct) = m.getOrElse(b, (0L, 0L))
       m.updated(b, (ocr + cr, oct + ct))
     }
-    // 2. score the batch against the stats so far (its own included)
-    val scored = Corpus.dsirWeightsFromStats(batch, idCol, textCol,
-        statsDf(merged), buckets)
-      .withColumn("batch_id", lit(batchId))
-    // 3. commit point: the cut materializes FIRST; only then do the
-    //    store refs advance (a failed cut unwinds itself and leaves
-    //    the maintainer replayable)
-    val (cutDf, rdd) = graft.operators.Graph.localCut(scored)
+    // 2.+3. score the batch against the stats so far (its own
+    //    included) and materialize the cut — the commit point: only
+    //    after the cut exists do the store refs advance (a failed cut
+    //    unwinds itself and leaves the maintainer replayable). The
+    //    pinScope releases the transient stats-table cut
+    //    dsirWeightsFromStats registers, so a long stream parks no
+    //    dead per-batch blocks in the session registry.
+    val (cutDf, rdd) = graft.Staging.pinScope {
+      graft.operators.Graph.localCut(
+        Corpus.dsirWeightsFromStats(batch, idCol, textCol,
+            statsDf(merged), buckets)
+          .withColumn("batch_id", lit(batchId)))
+    }
     pinned += rdd
     scoredAcc = Some(scoredAcc.map(_.unionByName(cutDf)).getOrElse(cutDf))
     stats = merged
