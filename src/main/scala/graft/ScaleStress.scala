@@ -367,7 +367,11 @@ object ScaleStress {
       // temperature remix = one groups-sized count agg + a 1-row
       // normalizer + the broadcast-weight remix draw over the corpus
       // (output rows ≈ input rows at α=0.3: size-preserving mixture)
-      "q_temperature_remix")
+      "q_temperature_remix",
+      // leakage-safe split = the staged pairs+CC prefix + one left
+      // join + the stateless hash classify (the dedup family's
+      // scaling, composed)
+      "q_split_safe")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

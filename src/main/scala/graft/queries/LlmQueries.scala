@@ -965,6 +965,44 @@ object LlmQueries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** LEAKAGE-SAFE dataset split under the gate: near-dup clusters must
+    * never straddle the train/test boundary (a test document with a
+    * training near-twin is leaked evaluation — the split-level cousin
+    * of decontamination), so the deterministic content-hash split
+    * keys on each document's CLUSTER CANONICAL — the staged τ=0.5
+    * minhash CC label; unclustered documents are their own canonical —
+    * instead of the document id: every cluster member inherits its
+    * representative's assignment BY CONSTRUCTION (SplitSafeSpec pins
+    * it against the gated pair list). Composition of the gated
+    * clustering and the gated hashSplit; the oracle reuses both
+    * gates' own fragments. Plan cost beyond the staged labels: one
+    * left join + the stateless hash classify. */
+  def qSplitSafe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val labels = dedupCc05Staged(s, dir)
+    docs.join(labels, docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("rep"))
+      .select(col("doc_id"), col("rep"),
+        Corpus.hashSplit(col("rep"), trainPct = 90, valPct = 5).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSplitSafeSql: String =
+    s"""WITH RECURSIVE $minhashPairsCte,
+       |$ccClosureCte,
+       |comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |rep AS (SELECT d.doc_id, coalesce(comps.comp, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN comps ON comps.id = d.doc_id)
+       |SELECT doc_id, rep,
+       |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, rep,
+       |        try_cast('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15)
+       |          AS BIGINT) % 100 AS h
+       |      FROM rep)
+       |ORDER BY doc_id""".stripMargin
+
   /** Benchmark decontamination over the documents table: every 50th
     * document plays the held-out benchmark; corpus documents sharing
     * ≥3 distinct 5-grams with any benchmark doc are flagged. The
