@@ -708,10 +708,12 @@ object Corpus {
 
   /** Merge DSIR stats slices by per-bucket addition (the exactness
     * argument in [[dsirStats]]). */
-  def dsirMergeStats(slices: DataFrame*): DataFrame =
+  def dsirMergeStats(slices: DataFrame*): DataFrame = {
+    require(slices.nonEmpty, "dsirMergeStats needs at least one slice")
     slices.reduceLeft(_ unionByName _)
       .groupBy(col("_b")).agg(
         sum(col("_cr")).as("_cr"), sum(col("_ct")).as("_ct"))
+  }
 
   /** Score `docs` against a (possibly merged) stats table: derive the
     * smoothed nano-nat llr per bucket, fold it into one broadcast
@@ -726,8 +728,20 @@ object Corpus {
     // scanned TWICE (static plans show no exchange reuse). The cut is
     // ≤ `buckets` rows by construction; its pin lands in the session
     // registry, or in the enclosing pinScope for streaming callers.
-    val (statsCut, statsRdd) = graft.operators.Graph.localCut(stats)
-    graft.Staging.registerPinned(docs.sparkSession, statsRdd)
+    // A stats plan that is ALREADY a leaf (the streaming maintainer's
+    // driver-local table, a stored parquet stats table) re-evaluates
+    // for free — skip the cut's job + block churn there.
+    // (optimizedPlan, not analyzed: ConvertToLocalRelation folds the
+    // toDF-rename Project over a driver-local table into the leaf)
+    val statsCut =
+      if (stats.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode])
+        stats
+      else {
+        val (cutDf, statsRdd) = graft.operators.Graph.localCut(stats)
+        graft.Staging.registerPinned(docs.sparkSession, statsRdd)
+        cutDf
+      }
     val totals = statsCut.agg(
       sum(col("_cr")).as("_nr"), sum(col("_ct")).as("_nt"))
     def lnNano(cnt: Column, n: Column): Column =

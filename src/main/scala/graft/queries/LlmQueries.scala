@@ -413,6 +413,12 @@ object LlmQueries {
       |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id)""".stripMargin
   private[queries] val ccClosureCte: String = ccClosureCteOver("pairs")
 
+  /** The min-reachable canonical per node — the CTE every CC-consuming
+    * oracle chains after [[ccClosureCte]]; one definition so the
+    * replayed canonicalization can never drift between gates. */
+  private[queries] val ccCompsCte: String =
+    "comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)"
+
   val qDedupClustersSql: String =
     s"""WITH RECURSIVE $minhashPairsCte,
        |$ccClosureCte
@@ -434,7 +440,7 @@ object LlmQueries {
   val qDedupApplySql: String =
     s"""WITH RECURSIVE $minhashPairsCte,
        |$ccClosureCte,
-       |comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |$ccCompsCte,
        |kill AS (SELECT id FROM comps WHERE comp <> id)
        |SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
        |FROM documents WHERE doc_id NOT IN (SELECT id FROM kill)
@@ -455,7 +461,7 @@ object LlmQueries {
   val qDedupKeepBestSql: String =
     s"""WITH RECURSIVE $minhashPairsCte,
        |$ccClosureCte,
-       |comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |$ccCompsCte,
        |m AS (SELECT c.comp, d.doc_id, d.n_chars
        |      FROM comps c JOIN documents d ON d.doc_id = c.id),
        |rk AS (SELECT doc_id, row_number() OVER (PARTITION BY comp
@@ -480,7 +486,7 @@ object LlmQueries {
   val qGoldenSql: String =
     s"""WITH RECURSIVE $minhashPairsCte,
        |$ccClosureCte,
-       |comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |$ccCompsCte,
        |m AS (SELECT c.comp, d.doc_id, d.n_chars, d.lang
        |      FROM comps c JOIN documents d ON d.doc_id = c.id),
        |lc AS (SELECT comp, lang, count(*) AS c FROM m GROUP BY comp, lang),
@@ -955,15 +961,22 @@ object LlmQueries {
         Corpus.hashSplit(col("doc_id"), trainPct = 90, valPct = 5).as("split"))
       .orderBy(col("doc_id"))
 
+  /** The 90/5/5 md5 hash-classify block shared by q_split_hash and
+    * q_split_safe — one definition of the thresholds and the hash60
+    * replay so the two split oracles can never drift. */
+  private def hashSplitClassifySql(cols: String, keyExpr: String,
+      from: String): String =
+    s"""SELECT $cols,
+       |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT $cols,
+       |        try_cast('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 15)
+       |          AS BIGINT) % 100 AS h
+       |      FROM $from)
+       |ORDER BY doc_id""".stripMargin
+
   val qSplitHashSql: String =
-    """SELECT doc_id,
-      |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
-      |       ELSE 'test' END AS split
-      |FROM (SELECT doc_id,
-      |        try_cast('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-      |          AS BIGINT) % 100 AS h
-      |      FROM documents)
-      |ORDER BY doc_id""".stripMargin
+    hashSplitClassifySql("doc_id", "doc_id", "documents")
 
   /** LEAKAGE-SAFE dataset split under the gate: near-dup clusters must
     * never straddle the train/test boundary (a test document with a
@@ -991,17 +1004,10 @@ object LlmQueries {
   val qSplitSafeSql: String =
     s"""WITH RECURSIVE $minhashPairsCte,
        |$ccClosureCte,
-       |comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |$ccCompsCte,
        |rep AS (SELECT d.doc_id, coalesce(comps.comp, d.doc_id) AS rep
        |  FROM documents d LEFT JOIN comps ON comps.id = d.doc_id)
-       |SELECT doc_id, rep,
-       |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
-       |       ELSE 'test' END AS split
-       |FROM (SELECT doc_id, rep,
-       |        try_cast('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15)
-       |          AS BIGINT) % 100 AS h
-       |      FROM rep)
-       |ORDER BY doc_id""".stripMargin
+       |${hashSplitClassifySql("doc_id, rep", "rep", "rep")}""".stripMargin
 
   /** Benchmark decontamination over the documents table: every 50th
     * document plays the held-out benchmark; corpus documents sharing
@@ -1140,11 +1146,14 @@ object LlmQueries {
       .orderBy(col("doc_id"), col("epoch"))
   }
 
-  val qRemixWeightsSql: String =
-    """WITH wt AS (SELECT source,
-      |        2500 + (CAST(substr(source, 4) AS INT) % 7) * 5000 AS wt_bp
-      |      FROM (SELECT DISTINCT source FROM documents)),
-      |d AS (SELECT doc_id, documents.source, wt_bp // 10000 +
+  /** The remix-draw tail shared by every weighted-mixture oracle
+    * (q_remix_weights, q_temperature_remix): whole copies + the md5
+    * fractional draw from a `wt(source, wt_bp)` CTE in scope, then the
+    * epoch replication — one definition so the replayed draw can never
+    * drift between the gates that differ only in how weights are
+    * DERIVED. */
+  private val remixDrawTailSql: String =
+    """d AS (SELECT doc_id, documents.source, wt_bp // 10000 +
       |        CASE WHEN try_cast('0x' ||
       |            substr(md5(CAST(doc_id AS VARCHAR) || ':remix'), 1, 15)
       |            AS BIGINT) % 10000 < wt_bp % 10000
@@ -1154,6 +1163,12 @@ object LlmQueries {
       |  CAST(unnest(generate_series(0, copies - 1)) AS INT) AS epoch
       |FROM d WHERE copies >= 1
       |ORDER BY doc_id, epoch""".stripMargin
+
+  val qRemixWeightsSql: String =
+    s"""WITH wt AS (SELECT source,
+       |        2500 + (CAST(substr(source, 4) AS INT) % 7) * 5000 AS wt_bp
+       |      FROM (SELECT DISTINCT source FROM documents)),
+       |$remixDrawTailSql""".stripMargin
 
   /** Temperature-scaled remixing under the gate: α = 0.3 weights
     * ([[Corpus.temperatureWeights]] — small sources up-sampled toward
@@ -1184,16 +1199,7 @@ object LlmQueries {
        |            * pow(CAST(n AS DOUBLE), ${TempAlpha - 1.0})
        |            / (CAST(zq AS DOUBLE) / 1e6)) AS INT) AS wt_bp
        |      FROM n, z),
-       |d AS (SELECT doc_id, documents.source, wt_bp // 10000 +
-       |        CASE WHEN try_cast('0x' ||
-       |            substr(md5(CAST(doc_id AS VARCHAR) || ':remix'), 1, 15)
-       |            AS BIGINT) % 10000 < wt_bp % 10000
-       |          THEN 1 ELSE 0 END AS copies
-       |      FROM documents JOIN wt USING (source))
-       |SELECT doc_id, source,
-       |  CAST(unnest(generate_series(0, copies - 1)) AS INT) AS epoch
-       |FROM d WHERE copies >= 1
-       |ORDER BY doc_id, epoch""".stripMargin
+       |$remixDrawTailSql""".stripMargin
 
   /** Sliding-window chunking at maxLen=40, stride=30 over the documents
     * table (10-99 tokens/doc → 1-3 windows each, tail-clamp exercised

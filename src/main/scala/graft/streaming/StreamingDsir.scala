@@ -11,12 +11,16 @@ import graft.operators.Corpus
   * weight a production ingest attaches to a document the moment it
   * lands, using the target-vs-corpus distribution observed SO FAR.
   *
-  * Store shape: the whole maintainer state is the per-bucket
+  * Store shape: the maintainer's DECISION state is the per-bucket
   * sufficient-statistics table — (raw token count, target token count)
   * per hash bucket — which is BOUNDED AT `buckets` ENTRIES BY
   * CONSTRUCTION: like the PQ codebook, this is the rare driver-side
   * state a 100 TB corpus cannot grow, so it lives as a plain map and
-  * merges by exact integer addition. Per batch the distributed work is
+  * merges by exact integer addition. The scored ADMISSION LOG, by
+  * contrast, grows with ingested volume; consumers drain it and
+  * release the drained prefix ([[releaseScored]]) exactly like
+  * committing a sink offset — replay protection and future scoring
+  * depend only on the bounded stats store. Per batch the distributed work is
   * one token-stream aggregate of THE BATCH (map-side-combined to
   * ≤ `buckets` rows) and one codegen'd scoring scan of the batch
   * against the merged llr array ([[Corpus.dsirWeightsFromStats]]) —
@@ -45,18 +49,21 @@ import graft.operators.Corpus
   *    [[StreamingPipeline]] commit-point ordering).
   */
 class StreamingDsir(spark: SparkSession, idCol: String, textCol: String,
-    isTarget: Column, buckets: Int) {
+    isTarget: Column, buckets: Int,
+    idType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType) {
 
   import org.apache.spark.rdd.RDD
   import org.apache.spark.sql.catalyst.InternalRow
 
   private var stats: Map[Long, (Long, Long)] = Map.empty
-  private var scoredAcc: Option[DataFrame] = None
-  // the scored log is append-only: every batch's cut stays pinned for
-  // the stream's lifetime (nothing is ever superseded), held here so
-  // the blocks cannot be GC-released under the accumulated union
-  private val pinned = scala.collection.mutable.ListBuffer
-    .empty[RDD[InternalRow]]
+  // the admission log: one materialized cut per committed batch. The
+  // STATS store is bounded; the LOG is not — it grows with ingested
+  // volume (each batch's (id, weight, batch_id) rows stay pinned in
+  // block storage), which is why consumers that have drained a prefix
+  // must release it via [[releaseScored]]. A caller that only needs
+  // the stats store should release after every drain.
+  private var log: Vector[(Long, DataFrame, RDD[InternalRow])] = Vector.empty
   private var lastBatchId: Long = Long.MinValue
 
   /** The foreachBatch sink: `stream.writeStream.foreachBatch(
@@ -84,10 +91,20 @@ class StreamingDsir(spark: SparkSession, idCol: String, textCol: String,
             statsDf(merged), buckets)
           .withColumn("batch_id", lit(batchId)))
     }
-    pinned += rdd
-    scoredAcc = Some(scoredAcc.map(_.unionByName(cutDf)).getOrElse(cutDf))
+    log :+= ((batchId, cutDf, rdd))
     stats = merged
     lastBatchId = batchId
+  }
+
+  /** Release the admission-log entries of batches `<= upToBatchId`
+    * (their blocks unpersist; [[scored]] no longer returns them). The
+    * STATS store is untouched — replay protection and future scoring
+    * never depend on the log, so a consumer drains the log and
+    * releases exactly like committing a sink offset. */
+  def releaseScored(upToBatchId: Long): Unit = synchronized {
+    val (drop, keep) = log.partition(_._1 <= upToBatchId)
+    drop.foreach(_._3.unpersist(blocking = false))
+    log = keep
   }
 
   private def statsDf(m: Map[Long, (Long, Long)]): DataFrame = {
@@ -105,16 +122,19 @@ class StreamingDsir(spark: SparkSession, idCol: String, textCol: String,
     * against the CURRENT store with it. */
   def statsTable: DataFrame = synchronized(statsDf(stats))
 
-  /** The append-only (id, weight_nano, batch_id) admission log. */
+  /** The (id, weight_nano, batch_id) admission log of every committed,
+    * not-yet-[[releaseScored released]] batch. The empty-log frame
+    * types the id column as `idType` (a constructor default of
+    * LongType) so it unions cleanly with the scored schema. */
   def scored: DataFrame = synchronized {
-    scoredAcc.getOrElse(spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(idCol,
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("weight_nano",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("batch_id",
-          org.apache.spark.sql.types.LongType, nullable = false)))))
+    log.map(_._2).reduceLeftOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol, idType),
+          org.apache.spark.sql.types.StructField("weight_nano",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType, nullable = false)))))
   }
 }

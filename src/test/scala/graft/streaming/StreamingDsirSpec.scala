@@ -106,12 +106,15 @@ class StreamingDsirSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang")
     m.processBatch(good, 0L)
     val statsAfter0 = m.statsStore
-    // a batch whose evaluation throws mid-cut: a UDF fault injected
-    // into the text column fails the scoring scan's materialization
-    val fault = org.apache.spark.sql.functions.udf { (s: String) =>
-      sys.error("injected dsir fault"): String }
-    val bad = Seq((3L, "epsilon zeta", "en")).toDF("doc_id", "raw", "lang")
-      .select(col("doc_id"), fault(col("raw")).as("text"), col("lang"))
+    // the fault is on the ID column, which only the SCORING scan
+    // touches — dsirStats (the text explode) succeeds, so the failure
+    // fires exactly at the commit point: the batch's counts are
+    // already merged into a local value when the cut throws, and the
+    // contract is that NONE of that reaches the store
+    val fault = org.apache.spark.sql.functions.udf { (id: Long) =>
+      sys.error("injected dsir fault"): java.lang.Long }
+    val bad = Seq((3L, "epsilon zeta", "en")).toDF("raw_id", "text", "lang")
+      .select(fault(col("raw_id")).as("doc_id"), col("text"), col("lang"))
     intercept[Throwable] { m.processBatch(bad, 1L) }
     assert(m.statsStore === statsAfter0)
     assert(m.scored.count() === 2L)
@@ -120,5 +123,13 @@ class StreamingDsirSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang"), 1L)
     assert(m.scored.count() === 3L)
     assert(m.statsStore !== statsAfter0)
+    // draining consumers release the log prefix; the stats store —
+    // the decision state — is untouched
+    val statsFinal = m.statsStore
+    m.releaseScored(upToBatchId = 0L)
+    assert(m.scored.collect().map(_.getLong(2)).toSet === Set(1L))
+    assert(m.statsStore === statsFinal)
+    m.releaseScored(upToBatchId = 1L)
+    assert(m.scored.count() === 0L)
   }
 }
