@@ -516,6 +516,31 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(expected - 100.0) < 1.0, s"expected size $expected")
   }
 
+  test("temperatureWeights: randomized differential against driver-side " +
+      "math over random group-size profiles and alphas") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(2203)
+    (1 to 10).foreach { _ =>
+      val alpha = Seq(0.2, 0.3, 0.5, 0.7, 1.0)(rnd.nextInt(5))
+      val sizes = (0 until (2 + rnd.nextInt(5)))
+        .map(g => s"g$g" -> (1 + rnd.nextInt(200))).toMap
+      val docs = sizes.toSeq.flatMap { case (g, n) =>
+        (1 to n).map(i => (s"$g:$i", g)) }.toDF("id", "src")
+      val got = Corpus.temperatureWeights(docs, "src", alpha)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val zq = sizes.values.map(n => BigDecimal(math.pow(n.toDouble, alpha) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      val tot = sizes.values.sum.toDouble
+      val want = sizes.map { case (g, n) =>
+        g -> BigDecimal(1e4 * tot * math.pow(n.toDouble, alpha - 1.0)
+            / (zq.toDouble / 1e6))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+      }
+      assert(got === want, s"alpha=$alpha sizes=$sizes")
+    }
+  }
+
   test("dsirStats merge algebra: stats(A) ⊕ stats(B) == stats(A ∪ B) " +
       "exactly, so incremental weights are bit-identical to batch") {
     val s = spark

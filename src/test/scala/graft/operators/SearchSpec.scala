@@ -317,6 +317,37 @@ class SearchSpec extends SparkSpec {
     assert(top2.map(_.getLong(0)).toSeq === ab.map(_._1).take(2))
   }
 
+  test("rrfFuse: randomized differential against a local fold (2-4 " +
+      "legs, shared-and-disjoint ids, k0 sweep)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1709)
+    (1 to 15).foreach { _ =>
+      val nLegs = 2 + rnd.nextInt(3)
+      val k0 = Seq(10, 60, 100)(rnd.nextInt(3))
+      val legs = (0 until nLegs).map { _ =>
+        val ids = rnd.shuffle((1L to 30L).toList).take(5 + rnd.nextInt(10))
+        ids.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
+      }
+      val got = Search.rrfFuse(legs.map(_.toDF("id", "rank")), "id",
+          "rank", k0, topK = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // local fold: same left-to-right contribution order
+      val byId = legs.zipWithIndex.flatMap { case (l, li) =>
+        l.map { case (id, r) => id -> (li, r) } }.groupBy(_._1)
+      // order on the EXACT score (what rrfFuse sorts on), round after
+      val want = byId.map { case (id, rs) =>
+        val perLeg = rs.map(_._2).toMap
+        val score = (0 until nLegs).foldLeft(0.0) { (acc, li) =>
+          acc + perLeg.get(li).map(r => 1.0 / (k0 + r.toDouble)).getOrElse(0.0) }
+        (id, score)
+      }.toSeq.sortBy { case (id, sc) => (-sc, id) }
+        .map { case (id, sc) => (id, BigDecimal(sc)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      assert(got === want)
+    }
+  }
+
   test("rrfFuse: ties on the exact fused score break by id ascending") {
     val s = spark
     import s.implicits._
