@@ -315,8 +315,17 @@ object Corpus {
     * engine wobble. Plan: one groups-sized aggregate + a 1-row
     * broadcast scalar — nothing corpus-sized leaves its scan. */
   def temperatureWeights(docs: DataFrame, keyCol: String,
+      alpha: Double): DataFrame =
+    temperatureWeightsFromSizes(
+      docs.groupBy(col(keyCol)).agg(count(lit(1)).as("_n")), keyCol, alpha)
+
+  /** [[temperatureWeights]] from an already-aggregated (keyCol, _n)
+    * size table — the incremental/streaming form: group sizes are
+    * exact mergeable sufficient statistics (add them), so a
+    * maintained count store yields weights bit-identical to the
+    * batch recompute. */
+  def temperatureWeightsFromSizes(sizes: DataFrame, keyCol: String,
       alpha: Double): DataFrame = {
-    val sizes = docs.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
     val z = sizes.agg(
       sum(round(pow(col("_n").cast("double"), lit(alpha)) * lit(1e6), 0)
         .cast("long")).as("_zq"),
