@@ -330,11 +330,15 @@ object Corpus {
       sum(round(pow(col("_n").cast("double"), lit(alpha)) * lit(1e6), 0)
         .cast("long")).as("_zq"),
       sum(col("_n")).as("_tot"))
+    // wt_bp is LONG: under strong flattening a rare source in a huge
+    // corpus can exceed Int.MaxValue basis points (α=0.3, n_s=1,
+    // N≈1e9 → wt≈2e10 bp), and a silent int-cast clamp would diverge
+    // from the oracle's arithmetic exactly at the scale that matters
     sizes.crossJoin(broadcast(z)).select(col(keyCol),
       round(lit(1e4) * col("_tot").cast("double")
           * pow(col("_n").cast("double"), lit(alpha - 1.0))
           / (col("_zq").cast("double") / lit(1e6)), 0)
-        .cast("int").as("wt_bp"))
+        .cast("long").as("wt_bp"))
   }
 
   /** Sliding-window chunking — split each long document into

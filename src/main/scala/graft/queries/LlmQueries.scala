@@ -1197,7 +1197,7 @@ object LlmQueries {
        |wt AS (SELECT source,
        |        CAST(round(1e4 * CAST(tot AS DOUBLE)
        |            * pow(CAST(n AS DOUBLE), ${TempAlpha - 1.0})
-       |            / (CAST(zq AS DOUBLE) / 1e6)) AS INT) AS wt_bp
+       |            / (CAST(zq AS DOUBLE) / 1e6)) AS BIGINT) AS wt_bp
        |      FROM n, z),
        |$remixDrawTailSql""".stripMargin
 

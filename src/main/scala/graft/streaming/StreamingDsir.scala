@@ -51,49 +51,37 @@ import graft.operators.Corpus
 class StreamingDsir(spark: SparkSession, idCol: String, textCol: String,
     isTarget: Column, buckets: Int,
     idType: org.apache.spark.sql.types.DataType =
-      org.apache.spark.sql.types.LongType) {
-
-  import org.apache.spark.rdd.RDD
-  import org.apache.spark.sql.catalyst.InternalRow
+      org.apache.spark.sql.types.LongType)
+    extends AdmissionLogMaintainer {
 
   private var stats: Map[Long, (Long, Long)] = Map.empty
-  // the admission log: one materialized cut per committed batch. The
-  // STATS store is bounded; the LOG is not — it grows with ingested
-  // volume (each batch's (id, weight, batch_id) rows stay pinned in
-  // block storage), which is why consumers that have drained a prefix
-  // must release it via [[releaseScored]]. A caller that only needs
-  // the stats store should release after every drain.
-  private var log: Vector[(Long, DataFrame, RDD[InternalRow])] = Vector.empty
-  private var lastBatchId: Long = Long.MinValue
 
   /** The foreachBatch sink: `stream.writeStream.foreachBatch(
-    * maintainer.processBatch _)`. */
+    * maintainer.processBatch _)`. The commit-point protocol (replay
+    * guard, cut-then-swap ordering, log lifecycle) lives in
+    * [[AdmissionLogMaintainer]]. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
-    if (batchId <= lastBatchId) return
-    // 1. the batch's own sufficient statistics — a bounded collect
-    //    (≤ buckets rows by construction)
-    val bStats = Corpus.dsirStats(batch, textCol, isTarget, buckets)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
-    val merged = bStats.foldLeft(stats) { case (m, (b, (cr, ct))) =>
-      val (ocr, oct) = m.getOrElse(b, (0L, 0L))
-      m.updated(b, (ocr + cr, oct + ct))
-    }
-    // 2.+3. score the batch against the stats so far (its own
-    //    included) and materialize the cut — the commit point: only
-    //    after the cut exists do the store refs advance (a failed cut
-    //    unwinds itself and leaves the maintainer replayable). The
-    //    pinScope releases the transient stats-table cut
-    //    dsirWeightsFromStats registers, so a long stream parks no
-    //    dead per-batch blocks in the session registry.
-    val (cutDf, rdd) = graft.Staging.pinScope {
-      graft.operators.Graph.localCut(
-        Corpus.dsirWeightsFromStats(batch, idCol, textCol,
+    withPersisted(batch) { b =>
+      // 1. the batch's own sufficient statistics — a bounded collect
+      //    (≤ buckets rows by construction)
+      val bStats = Corpus.dsirStats(b, textCol, isTarget, buckets)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      val merged = bStats.foldLeft(stats) { case (m, (bk, (cr, ct))) =>
+        val (ocr, oct) = m.getOrElse(bk, (0L, 0L))
+        m.updated(bk, (ocr + cr, oct + ct))
+      }
+      // 2. score the batch against the stats so far (its own
+      //    included). No pinScope: the stats table here is a
+      //    driver-local leaf, so dsirWeightsFromStats skips its
+      //    transient cut and registers nothing to release.
+      commit(batchId) {
+        Corpus.dsirWeightsFromStats(b, idCol, textCol,
             statsDf(merged), buckets)
-          .withColumn("batch_id", lit(batchId)))
+          .withColumn("batch_id", lit(batchId))
+      } {
+        stats = merged
+      }
     }
-    log :+= ((batchId, cutDf, rdd))
-    stats = merged
-    lastBatchId = batchId
   }
 
   /** Release the admission-log entries of batches `<= upToBatchId`
@@ -101,11 +89,7 @@ class StreamingDsir(spark: SparkSession, idCol: String, textCol: String,
     * STATS store is untouched — replay protection and future scoring
     * never depend on the log, so a consumer drains the log and
     * releases exactly like committing a sink offset. */
-  def releaseScored(upToBatchId: Long): Unit = synchronized {
-    val (drop, keep) = log.partition(_._1 <= upToBatchId)
-    drop.foreach(_._3.unpersist(blocking = false))
-    log = keep
-  }
+  def releaseScored(upToBatchId: Long): Unit = releaseLog(upToBatchId)
 
   private def statsDf(m: Map[Long, (Long, Long)]): DataFrame = {
     val sp = spark
@@ -127,7 +111,7 @@ class StreamingDsir(spark: SparkSession, idCol: String, textCol: String,
     * types the id column as `idType` (a constructor default of
     * LongType) so it unions cleanly with the scored schema. */
   def scored: DataFrame = synchronized {
-    log.map(_._2).reduceLeftOption(_ unionByName _)
+    logFrames.reduceLeftOption(_ unionByName _)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(

@@ -39,39 +39,38 @@ import graft.operators.Corpus
   *    ordering).
   */
 class StreamingMixture(spark: SparkSession, idCol: String,
-    keyCol: String, alpha: Double) {
-
-  import org.apache.spark.rdd.RDD
-  import org.apache.spark.sql.catalyst.InternalRow
+    keyCol: String, alpha: Double) extends AdmissionLogMaintainer {
 
   private var counts: Map[String, Long] = Map.empty
-  private var log: Vector[(Long, DataFrame, RDD[InternalRow])] = Vector.empty
-  private var lastBatchId: Long = Long.MinValue
 
   /** The foreachBatch sink: `stream.writeStream.foreachBatch(
-    * maintainer.processBatch _)`. */
+    * maintainer.processBatch _)`. The commit-point protocol (replay
+    * guard, cut-then-swap ordering, log lifecycle) lives in
+    * [[AdmissionLogMaintainer]]. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
-    if (batchId <= lastBatchId) return
-    // 1. the batch's own per-source counts — a bounded collect
-    //    (domain-sized: one row per source present in the batch)
-    val bCounts = batch.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val merged = bCounts.foldLeft(counts) { case (m, (k, n)) =>
-      m.updated(k, m.getOrElse(k, 0L) + n)
-    }
-    // 2.+3. replicate the batch under the weights of the counts so
-    //    far and materialize the cut — the commit point
-    val (cutDf, rdd) = graft.Staging.pinScope {
-      graft.operators.Graph.localCut(
-        Corpus.remixByWeights(batch,
+    require(batch.schema(keyCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"StreamingMixture keys on a string column; $keyCol is " +
+        batch.schema(keyCol).dataType.catalogString)
+    withPersisted(batch) { b =>
+      // 1. the batch's own per-source counts — a bounded collect
+      //    (domain-sized: one row per source present in the batch)
+      val bCounts = b.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val merged = bCounts.foldLeft(counts) { case (m, (k, n)) =>
+        m.updated(k, m.getOrElse(k, 0L) + n)
+      }
+      // 2. replicate the batch under the weights of the counts so far
+      commit(batchId) {
+        Corpus.remixByWeights(b,
             Corpus.temperatureWeightsFromSizes(
               sizesDf(merged), keyCol, alpha),
             keyCol, idCol)
-          .withColumn("batch_id", lit(batchId)))
+          .withColumn("batch_id", lit(batchId))
+      } {
+        counts = merged
+      }
     }
-    log :+= ((batchId, cutDf, rdd))
-    counts = merged
-    lastBatchId = batchId
   }
 
   private def sizesDf(m: Map[String, Long]): DataFrame = {
@@ -89,16 +88,15 @@ class StreamingMixture(spark: SparkSession, idCol: String,
 
   /** Release emitted-log entries of batches `<= upToBatchId` (their
     * blocks unpersist); the count store is untouched. */
-  def releaseEmitted(upToBatchId: Long): Unit = synchronized {
-    val (drop, keep) = log.partition(_._1 <= upToBatchId)
-    drop.foreach(_._3.unpersist(blocking = false))
-    log = keep
-  }
+  def releaseEmitted(upToBatchId: Long): Unit = releaseLog(upToBatchId)
 
   /** The emitted mixture of every committed, not-yet-released batch
-    * (batch columns + epoch + batch_id). Empty before the first
-    * commit. */
+    * (batch columns + epoch + batch_id) — None before the first
+    * commit AND after a full release (the emitted schema carries the
+    * batch's own columns, unknowable before one arrives; consumers
+    * following the drain-then-release discipline should pattern-match
+    * rather than `.get`). */
   def emitted: Option[DataFrame] = synchronized {
-    log.map(_._2).reduceLeftOption(_ unionByName _)
+    logFrames.reduceLeftOption(_ unionByName _)
   }
 }

@@ -506,11 +506,11 @@ class CorpusSpec extends SparkSpec {
     val docs = ((1 to 80).map(i => (i.toLong, "big")) ++
       (81 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
     val natural = Corpus.temperatureWeights(docs, "source", alpha = 1.0)
-      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-    assert(natural === Map("big" -> 10000, "small" -> 10000))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(natural === Map("big" -> 10000L, "small" -> 10000L))
     val flat = Corpus.temperatureWeights(docs, "source", alpha = 0.3)
-      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-    assert(flat("small") > 10000 && flat("big") < 10000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flat("small") > 10000L && flat("big") < 10000L)
     // Σ_s n_s · w_s ≈ N (corpus-size preserving in expectation)
     val expected = 80.0 * flat("big") / 1e4 + 20.0 * flat("small") / 1e4
     assert(math.abs(expected - 100.0) < 1.0, s"expected size $expected")
@@ -528,14 +528,14 @@ class CorpusSpec extends SparkSpec {
       val docs = sizes.toSeq.flatMap { case (g, n) =>
         (1 to n).map(i => (s"$g:$i", g)) }.toDF("id", "src")
       val got = Corpus.temperatureWeights(docs, "src", alpha)
-        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val zq = sizes.values.map(n => BigDecimal(math.pow(n.toDouble, alpha) * 1e6)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
       val tot = sizes.values.sum.toDouble
       val want = sizes.map { case (g, n) =>
         g -> BigDecimal(1e4 * tot * math.pow(n.toDouble, alpha - 1.0)
             / (zq.toDouble / 1e6))
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       }
       assert(got === want, s"alpha=$alpha sizes=$sizes")
     }

@@ -19,7 +19,7 @@ class StreamingMixtureSpec extends SparkSpec {
     .select(col("doc_id"), col("source"))
 
   private def wtsMap(df: org.apache.spark.sql.DataFrame) =
-    df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   private def runStream(m: StreamingMixture,
       chunks: Seq[Array[(Long, String)]]): Unit = {
