@@ -189,8 +189,22 @@ object Exports {
         .csv(tmp.toString)
       val part = tmp.toFile.listFiles()
         .filter(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".csv")).head
-      new String(java.nio.file.Files.readAllBytes(part.toPath), "UTF-8")
+          f.getName.endsWith(".csv")).headOption
+      part match {
+        case Some(f) =>
+          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        case None =>
+          // a zero-partition result (a download whose queries match
+          // nothing) writes NO part file after coalesce(1) — the member
+          // is still a valid header-only CSV, not a crash
+          val delim = if (tabs) "\t" else ","
+          df.columns.map { c =>
+            if (c.exists(ch => ch == delim.head || ch == '"' ||
+                ch == '\n' || ch == '\r'))
+              "\"" + c.replace("\"", "\"\"") + "\""
+            else c
+          }.mkString(delim) + "\n"
+      }
     } finally {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(tmp)

@@ -109,30 +109,82 @@ object Corpus {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Document-frequency sufficient statistics of a fingerprint-index
+    * slice ([[winnowFingerprints]] output): (fp, _df). Like
+    * [[dsirStats]], the counts are EXACT MERGEABLE sufficient
+    * statistics — the df of a union of disjoint doc sets is the
+    * per-fp SUM of the parts' dfs ([[winnowMergeDfStats]]) — which is
+    * what makes maintained-form matching exact: a STORED (fp, df)
+    * table plus each delta batch's own delta-sized aggregate, merged
+    * by addition, equals a full base+delta recompute bit-for-bit
+    * (no sketch, no approximation to bound). At 100 TB the stats
+    * table lives NEXT TO the stored fingerprint index (distinct-fp-
+    * sized, far smaller than the (doc, fp) index itself) and each
+    * maintenance batch touches it by key, never by re-aggregation. */
+  def winnowDfStats(fps: DataFrame): DataFrame =
+    fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+
+  /** Merge winnow df-stats slices by per-fp addition (the exactness
+    * argument in [[winnowDfStats]]; slices must come from DISJOINT
+    * doc sets, which base/delta are by contract). */
+  def winnowMergeDfStats(slices: DataFrame*): DataFrame = {
+    require(slices.nonEmpty, "winnowMergeDfStats needs at least one slice")
+    slices.reduceLeft(_ unionByName _)
+      .groupBy(col("fp")).agg(sum(col("_df")).as("_df"))
+  }
+
   /** INCREMENTAL fingerprint matching — the maintenance form of
     * [[winnowMatches]] at 100 TB: the base corpus's winnowed index is
-    * STORED ([[winnowFingerprints]] output, `baseFps`); a delta batch
-    * is fingerprinted (winnowing is per-doc, so delta fps are exactly
-    * what a full re-run would produce) and PROBES the stored index —
-    * delta×base plus delta-internal pairs; base×base pairs are never
-    * re-formed. The document-frequency prune sees the COMBINED
-    * base+delta population, so the admitted pair set equals the batch
-    * operator's restricted to pairs touching the delta (the
-    * q_dedup_incr equivalence argument, fingerprint edition).
+    * STORED ([[winnowFingerprints]] output, `baseFps`) along with its
+    * df-stats table ([[winnowDfStats]], `baseDfStats` — maintained by
+    * addition-merge, never recomputed); a delta batch is fingerprinted
+    * (winnowing is per-doc, so delta fps are exactly what a full
+    * re-run would produce) and PROBES the stored index — delta×base
+    * plus delta-internal pairs; base×base pairs are never re-formed.
+    * The document-frequency prune sees the COMBINED base+delta
+    * population, so the admitted pair set equals the batch operator's
+    * restricted to pairs touching the delta (the q_dedup_incr
+    * equivalence argument, fingerprint edition).
     * Output (d1, d2, n_shared), d1 < d2, at least one end a delta
     * doc. */
+  def incrementalWinnowMatches(baseFps: DataFrame, baseDfStats: DataFrame,
+      deltaDocs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, window: Int, minShared: Long,
+      maxDocFreq: Long): DataFrame =
+    incrementalWinnowMatchesFromFps(baseFps, baseDfStats,
+      winnowFingerprints(deltaDocs, idCol, textCol, shingleSize, window),
+      idCol, minShared, maxDocFreq)
+
+  /** Convenience form computing the base df stats inline — ONE base
+    * aggregate per call, so the streaming/incremental paths should
+    * pass a maintained `baseDfStats` via the primary overload
+    * instead. */
   def incrementalWinnowMatches(baseFps: DataFrame, deltaDocs: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 3,
       window: Int = 5, minShared: Long = 2,
-      maxDocFreq: Long = 100): DataFrame = {
-    val deltaFps = winnowFingerprints(deltaDocs, idCol, textCol,
-      shingleSize, window)
-    val allFps = baseFps.select(col(idCol), col("fp"))
-      .unionByName(deltaFps.select(col(idCol), col("fp")))
-    val rareKeys = allFps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("_df"))
-      .where(col("_df") <= maxDocFreq).select(col("fp"))
-    val rareDelta = deltaFps.join(rareKeys, "fp")
+      maxDocFreq: Long = 100): DataFrame =
+    incrementalWinnowMatches(baseFps, winnowDfStats(baseFps), deltaDocs,
+      idCol, textCol, shingleSize, window, minShared, maxDocFreq)
+
+  /** The probe step shared by the gate and the streaming maintainer,
+    * over ALREADY-fingerprinted delta rows. The df contract is over
+    * the combined base+delta population, but only fps PRESENT IN THE
+    * DELTA can form an emitted pair (every pair shares a delta fp) —
+    * so the merged df evaluates for the delta's fps only: one
+    * delta-sized aggregate LEFT-joined against the stored stats
+    * table. Per batch that is an O(delta) aggregate + a delta-keyed
+    * lookup into the stats store + the fp-keyed index probe — the
+    * r17 shape (re-aggregating the full base+delta (doc, fp)
+    * population every batch) never happens. */
+  private[graft] def incrementalWinnowMatchesFromFps(baseFps: DataFrame,
+      baseDfStats: DataFrame, deltaFps: DataFrame, idCol: String,
+      minShared: Long, maxDocFreq: Long): DataFrame = {
+    val rareKeys = winnowDfStats(deltaFps)
+      .join(baseDfStats.withColumnRenamed("_df", "_df_base"),
+        Seq("fp"), "left")
+      .where(col("_df") + coalesce(col("_df_base"), lit(0L)) <= maxDocFreq)
+      .select(col("fp"))
+    val rareDelta = deltaFps.select(col(idCol), col("fp")).join(rareKeys, "fp")
     val rareBase = baseFps.select(col(idCol), col("fp")).join(rareKeys, "fp")
     val cross = rareDelta.toDF("fp", "da")
       .join(rareBase.toDF("fp", "db"), Seq("fp"))

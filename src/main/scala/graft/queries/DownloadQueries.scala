@@ -180,6 +180,16 @@ object DownloadQueries {
   private def h(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long") % 1000000007L
 
+  /** ONE NULL convention on both engines for member checksums: every
+    * hashed column is coalesced to '' BEFORE the '|' join. Without it
+    * Spark's concat_ws silently SKIPS a NULL column (no separator)
+    * while the oracle's '||' nulls the whole row out of the sum — a
+    * nullable hashed column (e.g. a raw props body) would diverge
+    * SILENTLY instead of going hash-red. The oracle fragments wrap
+    * each column in coalesce(x, '') to match. */
+  private def hashCols(cols: Column*): Column =
+    concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit(""))): _*)
+
   private def member(s: SparkSession, loc: String, rows: DataFrame,
       content: Column): DataFrame =
     rows.agg(count(lit(1)).as("n_rows"),
@@ -257,19 +267,18 @@ object DownloadQueries {
     val (core, ext, latestProps) = recordArtifacts(s, dir)
     val members = Seq(
       member(s, "occurrence.csv", core,
-        concat_ws("|", col("uuid"), col("genus"),
+        hashCols(col("uuid"), col("genus"),
           col("scientificname"), col("locality"))),
       member(s, "occurrence_raw.csv", core.join(latestProps, Seq("uuid")),
-        concat_ws("|", col("uuid"), col("props"))),
+        hashCols(col("uuid"), col("props"))),
       member(s, "multimedia.csv", ext,
-        concat_ws("|", coalesce(col("coreid"), lit("")),
-          col("accessuri"), col("format"))),
+        hashCols(col("coreid"), col("accessuri"), col("format"))),
       member(s, "records.citation.csv",
         Exports.citationCounts(core, "recordset"),
-        concat_ws("|", col("recordset"), col("itemCount"))),
+        hashCols(col("recordset"), col("itemCount"))),
       member(s, "mediarecords.citation.csv",
         Exports.citationCounts(ext, "recordset"),
-        concat_ws("|", col("recordset"), col("itemCount"))),
+        hashCols(col("recordset"), col("itemCount"))),
       s.range(1).select(lit("meta.xml").as("location"),
         lit(3L).as("n_rows"), h(lit(metaXml)).as("checksum")))
     members.reduce(_.unionByName(_)).orderBy(col("location"))
@@ -375,16 +384,16 @@ object DownloadQueries {
       .agg(min(col("r2")).as("coreid"))
     val members = Seq(
       member(s, "multimedia.csv", mediaMq,
-        concat_ws("|", col("media_uuid"), col("accessuri"), col("format"))),
+        hashCols(col("media_uuid"), col("accessuri"), col("format"))),
       member(s, "occurrence.csv", occExt.join(mediaIds, Seq("uuid")),
-        concat_ws("|", coalesce(col("coreid"), lit("")), col("genus"),
+        hashCols(col("coreid"), col("genus"),
           col("scientificname"), col("locality"))),
       member(s, "records.citation.csv",
         Exports.citationCounts(occExt, "recordset"),
-        concat_ws("|", col("recordset"), col("itemCount"))),
+        hashCols(col("recordset"), col("itemCount"))),
       member(s, "mediarecords.citation.csv",
         Exports.citationCounts(mediaMq, "recordset"),
-        concat_ws("|", col("recordset"), col("itemCount"))),
+        hashCols(col("recordset"), col("itemCount"))),
       s.range(1).select(lit("meta.xml").as("location"),
         lit(2L).as("n_rows"), h(lit(metaXmlMedia)).as("checksum")))
     members.reduce(_.unionByName(_)).orderBy(col("location"))
@@ -407,24 +416,24 @@ object DownloadQueries {
        |SELECT location, n_rows, checksum FROM (
        |SELECT 'multimedia.csv' AS location, count(*) AS n_rows,
        |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    media_uuid||'|'||accessuri||'|'||format
+       |    coalesce(media_uuid,'')||'|'||coalesce(accessuri,'')||'|'||coalesce(format,'')
        |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT) AS checksum
        |FROM media_mq
        |UNION ALL
        |SELECT 'occurrence.csv', count(*),
        |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    coalesce(coreid,'')||'|'||genus||'|'||scientificname||'|'||locality
+       |    coalesce(coreid,'')||'|'||coalesce(genus,'')||'|'||coalesce(scientificname,'')||'|'||coalesce(locality,'')
        |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
        |FROM occ_ext JOIN mediaid USING (uuid)
        |UNION ALL
        |SELECT 'records.citation.csv', count(*),
        |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    recordset||'|'||n),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |    coalesce(recordset,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
        |FROM rc
        |UNION ALL
        |SELECT 'mediarecords.citation.csv', count(*),
        |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    recordset||'|'||n),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |    coalesce(recordset,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
        |FROM mc
        |UNION ALL
        |SELECT 'meta.xml', 2,
@@ -485,19 +494,19 @@ object DownloadQueries {
       hitKeyName = "parent_uuid")
     val members = Seq(
       member(s, "locality.csv", uv,
-        concat_ws("|", col("value"), col("itemCount"))),
+        hashCols(col("value"), col("itemCount"))),
       member(s, "occurrence.csv", core,
-        concat_ws("|", col("locality"), col("genus"),
+        hashCols(col("locality"), col("genus"),
           col("scientificname"), col("locality"))),
       member(s, "multimedia.csv", ext,
-        concat_ws("|", col("parent_locality"), col("accessuri"),
+        hashCols(col("parent_locality"), col("accessuri"),
           col("format"))),
       member(s, "records.citation.csv",
         Exports.citationCounts(core, "recordset"),
-        concat_ws("|", col("recordset"), col("itemCount"))),
+        hashCols(col("recordset"), col("itemCount"))),
       member(s, "mediarecords.citation.csv",
         Exports.citationCounts(ext, "recordset"),
-        concat_ws("|", col("recordset"), col("itemCount"))),
+        hashCols(col("recordset"), col("itemCount"))),
       s.range(1).select(lit("meta.xml").as("location"),
         lit(3L).as("n_rows"), h(lit(metaXmlUnique)).as("checksum")))
     members.reduce(_.unionByName(_)).orderBy(col("location"))
@@ -519,30 +528,30 @@ object DownloadQueries {
        |SELECT location, n_rows, checksum FROM (
        |SELECT 'locality.csv' AS location, count(*) AS n_rows,
        |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    value||'|'||n),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |    coalesce(value,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
        |    AS checksum
        |FROM uv
        |UNION ALL
        |SELECT 'occurrence.csv', count(*),
        |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    locality||'|'||genus||'|'||scientificname||'|'||locality
+       |    coalesce(locality,'')||'|'||coalesce(genus,'')||'|'||coalesce(scientificname,'')||'|'||coalesce(locality,'')
        |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
        |FROM core
        |UNION ALL
        |SELECT 'multimedia.csv', count(*),
        |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    parent_locality||'|'||accessuri||'|'||format
+       |    coalesce(parent_locality,'')||'|'||coalesce(accessuri,'')||'|'||coalesce(format,'')
        |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
        |FROM ext
        |UNION ALL
        |SELECT 'records.citation.csv', count(*),
        |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    recordset||'|'||n),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |    coalesce(recordset,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
        |FROM rc
        |UNION ALL
        |SELECT 'mediarecords.citation.csv', count(*),
        |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    recordset||'|'||n),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |    coalesce(recordset,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
        |FROM mc
        |UNION ALL
        |SELECT 'meta.xml', 3,
@@ -572,29 +581,29 @@ object DownloadQueries {
        |SELECT location, n_rows, checksum FROM (
        |SELECT 'occurrence.csv' AS location, count(*) AS n_rows,
        |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    uuid||'|'||genus||'|'||scientificname||'|'||locality
+       |    coalesce(uuid,'')||'|'||coalesce(genus,'')||'|'||coalesce(scientificname,'')||'|'||coalesce(locality,'')
        |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT) AS checksum
        |FROM core
        |UNION ALL
        |SELECT 'occurrence_raw.csv', count(*),
        |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    uuid||'|'||props),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |    coalesce(uuid,'')||'|'||coalesce(props,'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
        |FROM core JOIN lp USING (uuid)
        |UNION ALL
        |SELECT 'multimedia.csv', count(*),
        |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    coalesce(coreid,'')||'|'||accessuri||'|'||format
+       |    coalesce(coreid,'')||'|'||coalesce(accessuri,'')||'|'||coalesce(format,'')
        |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
        |FROM ext JOIN coreid USING (media_uuid)
        |UNION ALL
        |SELECT 'records.citation.csv', count(*),
        |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    recordset||'|'||n),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |    coalesce(recordset,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
        |FROM rc
        |UNION ALL
        |SELECT 'mediarecords.citation.csv', count(*),
        |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    recordset||'|'||n),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |    coalesce(recordset,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
        |FROM mc
        |UNION ALL
        |SELECT 'meta.xml', 3,

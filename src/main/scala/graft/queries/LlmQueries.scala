@@ -314,16 +314,25 @@ object LlmQueries {
   /** Incremental fingerprint matching
     * ([[Corpus.incrementalWinnowMatches]]): the base corpus's winnowed
     * index is read from the STAGED store (winnowing is per-doc, so the
-    * staged full index filtered to base ids IS the stored base index);
-    * only the delta is fingerprinted, and base×base pairs are never
+    * staged full index filtered to base ids IS the stored base index),
+    * and the document-frequency prune reads the STAGED (fp, df) stats
+    * table — at scale both are maintained tables ([[Corpus
+    * .winnowDfStats]] merged by addition per batch), so a maintenance
+    * batch costs one delta-sized aggregate + fp-keyed probes, never a
+    * re-aggregation of the base population (the r17 O(base) debt).
+    * Only the delta is fingerprinted; base×base pairs are never
     * re-formed. The oracle replays the full-batch operator and
     * restricts to pairs touching the delta — the recall-equivalence
     * the incremental form must honor. */
   def qWinnowIncr(s: SparkSession, dir: String): DataFrame = {
     val baseFps = winnowFpsStaged(s, dir).where(col("doc_id") % 5 =!= 0)
+    val baseStats = graft.Staging.stage(s, s"winnow:dfstats:$dir") {
+      graft.operators.Corpus.winnowDfStats(
+        winnowFpsStaged(s, dir).where(col("doc_id") % 5 =!= 0))
+    }
     val deltaDocs = Tables.documents(s, dir).where(col("doc_id") % 5 === 0)
     graft.operators.Corpus.incrementalWinnowMatches(
-        baseFps, deltaDocs, "doc_id", "text",
+        baseFps, baseStats, deltaDocs, "doc_id", "text",
         shingleSize = 3, window = 5, minShared = 2, maxDocFreq = 100)
       .orderBy(col("d1"), col("d2"))
   }

@@ -23,18 +23,29 @@ private[streaming] abstract class AdmissionLogMaintainer {
   private var log: Vector[(Long, DataFrame, RDD[InternalRow])] = Vector.empty
   private var lastBatchId: Long = Long.MinValue
 
+  /** True iff `batchId` is an at-least-once replay of a batch already
+    * committed — maintainers whose per-batch work is expensive (state-
+    * frame cuts) check this FIRST and skip the build entirely. */
+  protected final def committed(batchId: Long): Boolean =
+    synchronized(batchId <= lastBatchId)
+
   /** Commit `batchId` unless it is an at-least-once replay of a batch
     * already in the store. `build` produces the batch's output frame;
-    * its lineage cut materializes FIRST, and only then does `swap`
-    * advance the maintainer's decision state — a failure anywhere in
-    * build/cut leaves the log, the state, and the replay guard
-    * untouched, so the replay re-runs the batch cleanly. */
+    * its lineage cut materializes FIRST, then `swap` advances the
+    * maintainer's decision state, and only after swap succeeds do the
+    * log entry and the replay guard land TOGETHER — a failure anywhere
+    * in build/cut/swap leaves the log, the state, and the replay guard
+    * untouched (the cut's blocks are released on a swap failure), so
+    * the replay re-runs the batch cleanly with no duplicate log rows. */
   protected final def commit(batchId: Long)(build: => DataFrame)(
       swap: => Unit): Unit = synchronized {
     if (batchId <= lastBatchId) return
     val (cutDf, rdd) = graft.operators.Graph.localCut(build)
+    try swap
+    catch {
+      case t: Throwable => rdd.unpersist(blocking = false); throw t
+    }
     log :+= ((batchId, cutDf, rdd))
-    swap
     lastBatchId = batchId
   }
 

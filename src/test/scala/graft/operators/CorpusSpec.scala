@@ -36,6 +36,67 @@ class CorpusSpec extends SparkSpec {
     assert(fps(1L).size < nShingles1)
   }
 
+  test("winnow df stats: merged base+delta stats equal a recomputed " +
+      "union aggregate, and the maintained-stats incremental matcher " +
+      "equals both the inline-stats form and the batch operator " +
+      "restricted to delta-touching pairs") {
+    val s = spark
+    import s.implicits._
+    // grpX (2 base + 2 delta docs) shares a rare 20-word block → real
+    // cross AND delta-internal pairs below any sane df threshold;
+    // boiler rides in EVERY doc (df = 40) → the license-header case
+    // the prune exists for
+    val sharedX = (1 to 20).map(j => s"blockx$j").mkString(" ")
+    val boiler = (1 to 20).map(j => s"boiler$j").mkString(" ")
+    val grpX = Set(5L, 10L, 13L, 27L)
+    val docs = (1L to 40L).map { i =>
+      val mid = if (grpX(i)) sharedX
+        else s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h"
+      (i, s"one$i two$i three$i $mid $boiler")
+    }.toDF("doc_id", "text")
+    val base = docs.where($"doc_id" % 5 =!= 0)
+    val delta = docs.where($"doc_id" % 5 === 0)
+    val baseFps = Corpus.winnowFingerprints(base, "doc_id", "text", 3, 5)
+    val deltaFps = Corpus.winnowFingerprints(delta, "doc_id", "text", 3, 5)
+    val allFps = Corpus.winnowFingerprints(docs, "doc_id", "text", 3, 5)
+
+    // 1. merged-df ≡ recomputed-df: the stored stats table plus the
+    //    delta's own aggregate, merged by addition, equals the full
+    //    recompute bit-for-bit (exact mergeable sufficient statistics)
+    val merged = Corpus.winnowMergeDfStats(
+        Corpus.winnowDfStats(baseFps), Corpus.winnowDfStats(deltaFps))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recomputed = Corpus.winnowDfStats(allFps)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === recomputed)
+
+    // 2. the maintained-stats form equals the inline-stats convenience
+    //    form (same admitted pair set) under a df threshold LOW enough
+    //    to actually prune (the shared block lands in 10 docs)
+    def pairsL(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val maintained = pairsL(Corpus.incrementalWinnowMatches(
+      baseFps, Corpus.winnowDfStats(baseFps), delta, "doc_id", "text",
+      3, 5, 2L, 8L))
+    val inline = pairsL(Corpus.incrementalWinnowMatches(
+      baseFps, delta, "doc_id", "text", 3, 5, minShared = 2L,
+      maxDocFreq = 8L))
+    assert(maintained === inline)
+
+    // 3. recall equivalence vs the batch operator: maintained-form
+    //    pairs = winnowMatches(all) restricted to delta-touching pairs
+    val batch = pairsL(Corpus.winnowMatches(allFps, "doc_id", 2L, 8L)
+      .where($"d1" % 5 === 0 || $"d2" % 5 === 0))
+    assert(maintained === batch)
+    assert(maintained.nonEmpty, "fixture must exercise real pairs")
+    // and the prune has teeth: with the threshold above the shared
+    // block's df the pair set grows
+    val unpruned = pairsL(Corpus.incrementalWinnowMatches(
+      baseFps, Corpus.winnowDfStats(baseFps), delta, "doc_id", "text",
+      3, 5, 2L, 100L))
+    assert(unpruned.size > maintained.size)
+  }
+
   test("packChunks: spans are contiguous, offsets bounded, totals consistent") {
     val s = spark
     import s.implicits._
