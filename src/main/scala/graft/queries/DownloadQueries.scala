@@ -135,11 +135,17 @@ object DownloadQueries {
       |hit AS (SELECT sib.r2 AS media_uuid, min(sib.r1) AS parent_uuid
       |        FROM sib JOIN recs_rq r ON r.uuid = sib.r1 GROUP BY sib.r2)""".stripMargin
 
-  /** The composed queries + filtered sides, shared by both gates. */
-  private def composedSides(s: SparkSession, dir: String)
+  /** The composed queries + filtered sides, shared by the gates. An
+    * ABSENT media query ([[qDownloadRqOnly]]) composes to mq =
+    * match_all ∧ has_parent{records: rq} (generate_queries' else
+    * branch at download.py:413-425 + the :381-389 injection) — the
+    * media side filter is `lit(true)` and the parent restriction is
+    * the inner-hits join itself. */
+  private def composedSides(s: SparkSession, dir: String,
+      mediaQuery: Option[Query] = Some(Query.parse(mediaQueryJson)))
       : (Download.ComposedQueries, DataFrame, DataFrame) = {
     val cq = Download.generateQueries(
-      Some(Query.parse(recordQueryJson)), Some(Query.parse(mediaQueryJson)))
+      Some(Query.parse(recordQueryJson)), mediaQuery)
     val recsRq = recordsView(s, dir)
       .where(!col("deleted") && Compile.query(Query(cq.rq)))
     val mediaMq = mediaView(s, dir).where(Compile.query(Query(cq.mq)))
@@ -231,9 +237,10 @@ object DownloadQueries {
         Seq("uuid"), "left_semi")
     else recsRq
 
-  private def recordArtifacts(s: SparkSession, dir: String)
+  private def recordArtifacts(s: SparkSession, dir: String,
+      mediaQuery: Option[Query] = Some(Query.parse(mediaQueryJson)))
       : (DataFrame, DataFrame, DataFrame) = {
-    val (cq, recsRq, mediaMq) = composedSides(s, dir)
+    val (cq, recsRq, mediaMq) = composedSides(s, dir, mediaQuery)
     val edges = sibEdges(s, dir)
     val core = composedCore(cq, recsRq, mediaMq, edges)
     // extension: media matching mq AND has_parent{records: rq}, with
@@ -319,6 +326,100 @@ object DownloadQueries {
       "records.citation.csv" -> recCit,
       "mediarecords.citation.csv" -> medCit))
     outZip
+  }
+
+  // --- the rq-only download variant (record query, NO media query) -----
+
+  /** The records-core download with a record query and NO media query
+    * — the fourth generate_queries combination (download.py:373-379
+    * normalizes an empty media query to None; :400-412's has_child
+    * injection then never fires, and :413-425 composes the media side
+    * as match_all ∧ has_parent{records: rq} with the inner_hits
+    * carry). Member consequences, each oracle-checked:
+    *  - the core is recs_rq ALONE (no has_child semi-join — records
+    *    without any media still export);
+    *  - the multimedia extension is EVERY media doc with an
+    *    rq-matching parent (the has_parent join is the only media
+    *    filter);
+    *  - citation members follow the reference's member-drop rule
+    *    (write_citation_file returns None at zero records,
+    *    download.py:58-59) — expressed relationally as
+    *    `WHERE n_rows > 0`;
+    *  - meta.xml is [[metaXml]] verbatim (field lists don't depend on
+    *    the query matrix). */
+  def qDownloadRqOnly(s: SparkSession, dir: String): DataFrame = {
+    val (core, ext, latestProps) = recordArtifacts(s, dir, mediaQuery = None)
+    val members = Seq(
+      member(s, "occurrence.csv", core,
+        hashCols(col("uuid"), col("genus"),
+          col("scientificname"), col("locality"))),
+      member(s, "occurrence_raw.csv", core.join(latestProps, Seq("uuid")),
+        hashCols(col("uuid"), col("props"))),
+      member(s, "multimedia.csv", ext,
+        hashCols(col("coreid"), col("accessuri"), col("format"))),
+      member(s, "records.citation.csv",
+        Exports.citationCounts(core, "recordset"),
+        hashCols(col("recordset"), col("itemCount")))
+        .where(col("n_rows") > 0),
+      member(s, "mediarecords.citation.csv",
+        Exports.citationCounts(ext, "recordset"),
+        hashCols(col("recordset"), col("itemCount")))
+        .where(col("n_rows") > 0),
+      s.range(1).select(lit("meta.xml").as("location"),
+        lit(3L).as("n_rows"), h(lit(metaXml)).as("checksum")))
+    members.reduce(_.unionByName(_)).orderBy(col("location"))
+  }
+
+  val qDownloadRqOnlySql: String = {
+    val metaLit = metaXml.replace("'", "''")
+    s"""WITH $oracleModel,
+       |ext AS (SELECT m.*, h2.parent_uuid FROM mu m
+       |        JOIN (SELECT sib.r2 AS media_uuid, min(sib.r1) AS parent_uuid
+       |              FROM sib JOIN recs_rq r ON r.uuid = sib.r1
+       |              GROUP BY sib.r2) h2 USING (media_uuid)),
+       |coreid AS (SELECT sib.r2 AS media_uuid, min(sib.r1) AS coreid
+       |           FROM sib JOIN ru ON ru.uuid = sib.r1 AND NOT ru.deleted
+       |           GROUP BY sib.r2),
+       |lp AS (SELECT uuid, props FROM (
+       |  SELECT 'u'||user_id AS uuid, props,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events) WHERE rn = 1),
+       |rc AS (SELECT recordset, count(*) AS n FROM recs_rq GROUP BY 1),
+       |mc AS (SELECT recordset, count(*) AS n FROM ext GROUP BY 1)
+       |SELECT location, n_rows, checksum FROM (
+       |SELECT 'occurrence.csv' AS location, count(*) AS n_rows,
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    coalesce(uuid,'')||'|'||coalesce(genus,'')||'|'||coalesce(scientificname,'')||'|'||coalesce(locality,'')
+       |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT) AS checksum
+       |FROM recs_rq
+       |UNION ALL
+       |SELECT 'occurrence_raw.csv', count(*),
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    coalesce(uuid,'')||'|'||coalesce(props,'')),1,15) AS BIGINT)
+       |    % 1000000007), 0) AS BIGINT)
+       |FROM recs_rq JOIN lp USING (uuid)
+       |UNION ALL
+       |SELECT 'multimedia.csv', count(*),
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    coalesce(coreid,'')||'|'||coalesce(accessuri,'')||'|'||coalesce(format,'')
+       |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |FROM ext JOIN coreid USING (media_uuid)
+       |UNION ALL
+       |SELECT 'records.citation.csv', count(*),
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    coalesce(recordset,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |FROM rc HAVING count(*) > 0
+       |UNION ALL
+       |SELECT 'mediarecords.citation.csv', count(*),
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    coalesce(recordset,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |FROM mc HAVING count(*) > 0
+       |UNION ALL
+       |SELECT 'meta.xml', 3,
+       |  CAST(try_cast('0x'||substr(md5('$metaLit'),1,15) AS BIGINT)
+       |    % 1000000007 AS BIGINT)
+       |) ORDER BY location""".stripMargin
   }
 
   // --- the media-core download variant ----------------------------------

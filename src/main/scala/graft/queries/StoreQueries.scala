@@ -102,6 +102,104 @@ object StoreQueries {
        |WHERE NOT ru.deleted
        |ORDER BY ru.uuid""".stripMargin
 
+  /** The §3.1 ITEM-VIEW envelope — the reference's most-called read
+    * path (`GET /v2/view/<type>/<uuid>` → `format_item`,
+    * idb/data_api/v2.py:101-123 assembling :17-55; store read
+    * `get_item`, idb/postgres_backend/db.py:318-346) — composed as ONE
+    * gate over a uuid slice, in all three version modes:
+    *
+    *  - `latest` (version=None): the master query's latest-version
+    *    lateral, `WHERE deleted=false` (db.py:344-346) — a deleted
+    *    record 404s here;
+    *  - `v0` (version=N): the all-versions join filtered to the
+    *    requested version, which IGNORES the deleted flag
+    *    (db.py:334-341 "Fetch by version ignores the deleted flag");
+    *  - `all` (version=all): one row PER VERSION, ordered version ASC
+    *    (db.py:321-332), deleted included.
+    *
+    * Envelope fields per format_item: the parent link (PARENT_MAP —
+    * a record's parent is its recordset; the gate carries the linked
+    * uuid, the url_for wrapper being server config), the sibling
+    * links map's mediarecords list (sorted, as csv), the recordIds
+    * list (sorted, as csv), and the version body. Every relational
+    * piece is the store's own view ([[RecordStore.latestVersions]] /
+    * identifiersView / siblingsView) — the gate makes the ASSEMBLY
+    * and the version-mode asymmetry oracle-checked, not just the
+    * pieces. One aggregate per view + uuid-keyed joins; at scale the
+    * slice filter pushes to the uuid-bucketed store scan. */
+  def qItemView(s: SparkSession, dir: String): DataFrame = {
+    val st = storeFrom(s, dir)
+    val requested = st.uuids
+      .filter(col("type") === "records" &&
+        expr("CAST(substr(uuid, 2) AS BIGINT) % 10 = 0"))
+    val env = requested
+      .join(st.identifiersView.withColumnRenamed("uuids_id", "uuid"),
+        Seq("uuid"), "left")
+      .join(st.siblingsView.withColumnRenamed("uuids_id", "uuid"),
+        Seq("uuid"), "left")
+      .select(col("uuid"), col("parent"), col("deleted"),
+        array_join(col("recordids"), ",").as("recordids_csv"),
+        array_join(element_at(col("siblings"), "mediarecords"), ",")
+          .as("media_links_csv"))
+    val vers = st.uuidsData.withColumnRenamed("uuids_id", "uuid")
+      .join(st.data.withColumnRenamed("etag", "_e"),
+        col("data_etag") === col("_e"), "left")
+      .select(col("uuid"), col("version"), col("data_etag").as("etag"),
+        col("modified"), col("data").as("body"))
+    val latest = st.latestVersions.withColumnRenamed("uuids_id", "uuid")
+      .join(st.data.withColumnRenamed("etag", "_e"),
+        col("etag") === col("_e"), "left")
+      .select(col("uuid"), col("version"), col("etag"),
+        col("modified"), col("data").as("body"))
+    def shape(rows: DataFrame, variant: String) = rows
+      .select(col("uuid"), lit(variant).as("variant"), col("version"),
+        col("etag"), col("modified"), col("parent"),
+        col("recordids_csv"), col("media_links_csv"), col("body"))
+    shape(env.filter(!col("deleted")).join(latest, Seq("uuid")), "latest")
+      .unionByName(shape(env.join(vers, Seq("uuid")), "all"))
+      .unionByName(shape(env.join(vers.filter(col("version") === 0L),
+        Seq("uuid")), "v0"))
+      .orderBy(col("uuid"), col("variant"), col("version"))
+  }
+
+  val qItemViewSql: String =
+    s"""WITH $modelSql,
+       |req AS (SELECT uuid, parent, deleted FROM ru
+       |        WHERE CAST(substr(uuid, 2) AS BIGINT) % 10 = 0),
+       |ids AS (SELECT 'u' || user_id AS uuid,
+       |          array_to_string(list_sort(list('ev:' || event_id)), ',')
+       |            AS recordids_csv
+       |        FROM events GROUP BY 1),
+       |sib AS (SELECT 'u' || user_id AS uuid,
+       |          array_to_string(list_sort(
+       |            list(DISTINCT 'm' || (event_id % 200))), ',')
+       |            AS media_links_csv
+       |        FROM events GROUP BY 1),
+       |env AS (SELECT req.uuid, req.parent, req.deleted,
+       |          ids.recordids_csv, sib.media_links_csv
+       |        FROM req JOIN ids USING (uuid) JOIN sib USING (uuid)),
+       |vers AS (SELECT uuids_id AS uuid, version, data_etag AS etag,
+       |           modified, props AS body FROM vlog),
+       |latest AS (SELECT uuid, version, etag, modified, body FROM (
+       |  SELECT v.*, row_number() OVER (PARTITION BY uuid
+       |    ORDER BY modified DESC, version DESC) AS rn FROM vers v)
+       |  WHERE rn = 1)
+       |SELECT uuid, variant, version, etag, modified, parent,
+       |  recordids_csv, media_links_csv, body FROM (
+       |  SELECT e.uuid, 'latest' AS variant, l.version, l.etag,
+       |    l.modified, e.parent, e.recordids_csv, e.media_links_csv,
+       |    l.body
+       |  FROM env e JOIN latest l USING (uuid) WHERE NOT e.deleted
+       |  UNION ALL
+       |  SELECT e.uuid, 'all', v.version, v.etag, v.modified, e.parent,
+       |    e.recordids_csv, e.media_links_csv, v.body
+       |  FROM env e JOIN vers v USING (uuid)
+       |  UNION ALL
+       |  SELECT e.uuid, 'v0', v.version, v.etag, v.modified, e.parent,
+       |    e.recordids_csv, e.media_links_csv, v.body
+       |  FROM env e JOIN vers v USING (uuid) WHERE v.version = 0
+       |) ORDER BY uuid, variant, version""".stripMargin
+
   /** has_child semi-join over the sibling-derived child arrays
     * (download.py:407-412): records with at least one even-numbered
     * mediarecord child. */
