@@ -371,7 +371,24 @@ object ScaleStress {
       // leakage-safe split = the staged pairs+CC prefix + one left
       // join + the stateless hash classify (the dedup family's
       // scaling, composed)
-      "q_split_safe")
+      "q_split_safe",
+      // round 18: winnow-incr = delta-only fingerprinting (1/5 of
+      // docs) + a delta-sized df aggregate LEFT-joined on the staged
+      // (fp, df) stats store + fp-keyed probes of the staged base
+      // index — with the maintained-stats form the base population is
+      // never re-aggregated, so the ratio should track the index
+      // probe (linear), not the old O(base) df recompute
+      "q_winnow_incr",
+      // round 18: the two download variants the r17 close left
+      // unstressed — media-core (hasImage exists-semi + has_child
+      // semi + member aggregates, all uuid-keyed corpus-linear) and
+      // unique-core (adds the uniquevals agg + the inner-hits carry
+      // inside the checksums); rq_only drops the has_child semi (the
+      // cheapest member set); item_view = three view aggregates +
+      // uuid-keyed joins over the store slice (the q_store_view shape
+      // with the per-version expansion)
+      "q_download_media", "q_download_unique", "q_download_rq_only",
+      "q_item_view")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")
@@ -400,6 +417,14 @@ object ScaleStress {
     subset.foreach { q =>
       println(f"[scale] $q%-20s 1x=${base(q)}%6.2fs ${copies}x=${scaled(q)}%7.2fs " +
         f"ratio=${scaled(q) / base(q)}%5.2f (linear=$copies.0)")
+    }
+    // staged-prefix build seconds, mirrored from Bench's "staging" map
+    // (VERDICT r17 #6): keys embed the fixture dir, so 1x vs Nx builds
+    // attribute themselves — a ratio that "bears a staged build" (the
+    // r17 q_cluster_balance 2.77 adjudication) is readable straight
+    // off these lines instead of needing a prose note
+    Staging.buildSeconds(spark).toSeq.sortBy(_._1).foreach { case (k, v) =>
+      println(f"[scale-staging] $v%7.2fs  $k")
     }
     spark.stop()
   }
