@@ -308,19 +308,29 @@ object Search {
     * decimals (+0.0 to normalize −0.0).
     *
     * Shape at 100 TB: each leg is already a top-k ranked list — a
-    * k-row relation — so the fusion itself is a chain of broadcast-
-    * sized full-outer joins; all the scan cost lives in producing
-    * the legs.
+    * k-row relation — so the legs UNION (tagged by leg index) and
+    * pivot back to per-leg rank columns in ONE hash aggregate keyed
+    * on the id: linear plan growth in the leg count (the r17 review
+    * noted the previous full-outer-join chain grew quadratic-ish past
+    * a few legs), and each pivot cell aggregates at most one row (a
+    * leg ranks an id once), so the per-leg ranks — and therefore the
+    * fused expression tree — are exactly the join formulation's. All
+    * the scan cost lives in producing the legs.
     *
     * @return (idCol, rrf_r6, rank_0 … rank_{N−1}) with per-leg ranks
     *   coalesced to 0 for ids the leg did not return. */
   def rrfFuse(legs: Seq[DataFrame], idCol: String, rankCol: String,
       k0: Int, topK: Int): DataFrame = {
     require(legs.nonEmpty, "rrfFuse needs at least one leg")
-    val joined = legs.zipWithIndex
+    val tagged = legs.zipWithIndex
       .map { case (l, i) =>
-        l.select(col(idCol), col(rankCol).cast("long").as(s"rank_$i")) }
-      .reduceLeft((a, b) => a.join(b, Seq(idCol), "full_outer"))
+        l.select(col(idCol), lit(i).as("_leg"),
+          col(rankCol).cast("long").as("_rank")) }
+      .reduceLeft(_ unionByName _)
+    def legRank(i: Int) =
+      max(when(col("_leg") === i, col("_rank"))).as(s"rank_$i")
+    val joined = tagged.groupBy(col(idCol))
+      .agg(legRank(0), legs.indices.tail.map(legRank): _*)
     val fused = legs.indices
       .map(i => coalesce(
         lit(1.0) / (lit(k0.toDouble) + col(s"rank_$i").cast("double")),

@@ -28,4 +28,8 @@ echo "== [4/4] controlled double bench sf0.1"
 for i in 1 2; do
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     sbt -batch "runMain graft.Bench" 2>&1 | grep -F '"metric"' | tail -1
+  # Bench writes the COMPLETE artifact (full per-query map + staging +
+  # canaries + contended flag) to BENCH_FULL.json — keep both close
+  # runs so the archive is adjudicable without a re-run
+  cp BENCH_FULL.json "BENCH_FULL_close_run$i.json"
 done
