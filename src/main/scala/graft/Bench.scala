@@ -156,7 +156,21 @@ object Bench {
     "q_sampled_agg" -> 0.41, "q_scd2" -> 0.83, "q_temporal_join" -> 0.9,
     "q_tfidf" -> 1.23, "q_trend" -> 0.47, "q_triangles" -> 1.8,
     "q_weighted_sample" -> 0.25,
-    "q_compact" -> 1.19)
+    "q_compact" -> 1.19,
+    // round-18 controlled run (idle canaries 621/627 serial,
+    // 252/483/449 parallel, contended:false, 156.3 s total at 211
+    // queries) — the r15-r18 additions gain retry protection:
+    "q_ann_recall" -> 1.13, "q_ann_scoreboard" -> 1.41, "q_bpe_pairs" -> 0.39,
+    "q_ccnet_buckets" -> 1.38, "q_classify_f1" -> 1.28, "q_cluster_balance" -> 0.96,
+    "q_ctfidf" -> 0.51, "q_datasheet" -> 2.25, "q_dedup_sweep" -> 0.43,
+    "q_download" -> 2.74, "q_download_media" -> 1.27, "q_download_rq_only" -> 1.18,
+    "q_download_unique" -> 1.20, "q_dsir" -> 0.70, "q_dsir_incr" -> 0.67,
+    "q_hybrid_rrf" -> 0.69, "q_ild" -> 1.54, "q_inner_hits" -> 0.47,
+    "q_item_view" -> 2.48, "q_kmeans_fixedk" -> 0.85, "q_lang_id_conf" -> 0.25,
+    "q_linkage_eval" -> 0.48, "q_mmr" -> 1.26, "q_modularity" -> 1.29,
+    "q_nb_lang" -> 1.83, "q_silhouette" -> 0.77, "q_source_profile" -> 0.33,
+    "q_split_safe" -> 0.22, "q_temperature_remix" -> 0.40, "q_winnow" -> 0.97,
+    "q_winnow_incr" -> 1.62, "q_winnow_match" -> 1.11)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -388,7 +388,11 @@ object ScaleStress {
       // uuid-keyed joins over the store slice (the q_store_view shape
       // with the per-version expansion)
       "q_download_media", "q_download_unique", "q_download_rq_only",
-      "q_item_view")
+      "q_item_view",
+      // subitem = the per-parent paged children list on the bounded
+      // TopKPerGroup heap (k = offset+limit per parent) + one counts
+      // aggregate — the latest-version agg is the linear term
+      "q_subitem_view")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

@@ -200,6 +200,64 @@ object StoreQueries {
        |  FROM env e JOIN vers v USING (uuid) WHERE v.version = 0
        |) ORDER BY uuid, variant, version""".stripMargin
 
+  /** The §3.1 SUBITEM endpoint — `GET /v2/view/<t>/<uuid>/<subtype>`
+    * (idb/data_api/v2.py:57-90): the paged children list of a parent
+    * entity, each child in the `format_list_item` envelope (uuid,
+    * etag, modified, version, parent — v2.py:17-35), plus `itemCount`
+    * = the parent's TOTAL child count regardless of the page
+    * (get_children_list / get_children_count,
+    * idb/postgres_backend/db.py:387-425: `WHERE deleted=false AND
+    * type=%s AND parent=%s ORDER BY uuid LIMIT %s OFFSET %s`).
+    *
+    * The gate drives every recordset parent through one page
+    * (limit 7, offset 3) in a single frame. Paging executes on the
+    * custom heap operator ([[graft.plans.TopKPerGroup]]) with
+    * k = offset+limit per parent — bounded heaps on the one
+    * parent-keyed shuffle, no full per-parent sort (the q_paging
+    * discipline applied per group); the count is one aggregate joined
+    * back on the parent key. */
+  def qSubitemView(s: SparkSession, dir: String): DataFrame = {
+    val limit = 7
+    val offset = 3
+    val st = storeFrom(s, dir)
+    val children = st.uuids
+      .filter(col("type") === "records" && !col("deleted"))
+      .join(st.latestVersions.withColumnRenamed("uuids_id", "uuid"),
+        Seq("uuid"))
+    val page = graft.plans.TopKPerGroup.topKSorted(
+        children, Seq("parent"), Seq("uuid" -> true),
+        k = offset + limit, rankName = "rank")
+      .where(col("rank") > offset)
+    val counts = st.uuids
+      .filter(col("type") === "records" && !col("deleted"))
+      .groupBy(col("parent")).agg(count(lit(1)).as("item_count"))
+    page.join(counts, Seq("parent"))
+      .select(col("parent"), col("rank").cast("long").as("rank"),
+        col("uuid"), col("etag"), col("version"), col("modified"),
+        col("item_count"))
+      .orderBy(col("parent"), col("rank"))
+  }
+
+  val qSubitemViewSql: String =
+    s"""WITH $modelSql,
+       |latest AS (SELECT uuids_id, data_etag, modified, version FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY uuids_id
+       |    ORDER BY modified DESC, version DESC) AS rn FROM vlog)
+       |  WHERE rn = 1),
+       |kids AS (SELECT ru.uuid, ru.parent, l.data_etag AS etag,
+       |    l.version, l.modified,
+       |    CAST(row_number() OVER (PARTITION BY ru.parent
+       |      ORDER BY ru.uuid) AS BIGINT) AS rank
+       |  FROM ru JOIN latest l ON l.uuids_id = ru.uuid
+       |  WHERE NOT ru.deleted),
+       |cnt AS (SELECT parent, count(*) AS item_count FROM ru
+       |        WHERE NOT deleted GROUP BY 1)
+       |SELECT k.parent, k.rank, k.uuid, k.etag, k.version, k.modified,
+       |  CAST(c.item_count AS BIGINT) AS item_count
+       |FROM kids k JOIN cnt c USING (parent)
+       |WHERE k.rank > 3 AND k.rank <= 10
+       |ORDER BY k.parent, k.rank""".stripMargin
+
   /** has_child semi-join over the sibling-derived child arrays
     * (download.py:407-412): records with at least one even-numbered
     * mediarecord child. */
