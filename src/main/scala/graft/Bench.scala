@@ -170,9 +170,18 @@ object Bench {
     "q_linkage_eval" -> 0.48, "q_mmr" -> 1.26, "q_modularity" -> 1.29,
     "q_nb_lang" -> 1.83, "q_silhouette" -> 0.77, "q_source_profile" -> 0.33,
     "q_split_safe" -> 0.22, "q_temperature_remix" -> 0.40, "q_winnow" -> 0.97,
-    "q_winnow_incr" -> 1.62, "q_winnow_match" -> 1.11)
+    "q_winnow_incr" -> 1.62, "q_winnow_match" -> 1.11,
+    // round-18 late addition (isolated 1x reading, idle canaries):
+    "q_subitem_view" -> 1.92)
 
   def main(args: Array[String]): Unit = {
+    // drop any previous run's artifact FIRST: if this run's write fails
+    // (swallowed below — stdout stays the primary channel), a consumer
+    // cp'ing BENCH_FULL.json must fail loudly rather than silently
+    // archive another run's numbers
+    try java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get("BENCH_FULL.json"))
+    catch { case _: Throwable => }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val canaryStart = canaryMs()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

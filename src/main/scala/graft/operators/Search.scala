@@ -317,6 +317,12 @@ object Search {
     * fused expression tree — are exactly the join formulation's. All
     * the scan cost lives in producing the legs.
     *
+    * PRECONDITION (load-bearing for the pivot): each leg is a ranked
+    * top-k LIST — at most one row per id, ids non-null (a duplicated
+    * id would collapse to its max rank; null ids would merge across
+    * legs). Both [[graft.plans.TopKPerGroup]] and a row_number leg
+    * satisfy it by construction.
+    *
     * @return (idCol, rrf_r6, rank_0 … rank_{N−1}) with per-leg ranks
     *   coalesced to 0 for ids the leg did not return. */
   def rrfFuse(legs: Seq[DataFrame], idCol: String, rankCol: String,

@@ -135,6 +135,29 @@ object DownloadQueries {
       |hit AS (SELECT sib.r2 AS media_uuid, min(sib.r1) AS parent_uuid
       |        FROM sib JOIN recs_rq r ON r.uuid = sib.r1 GROUP BY sib.r2)""".stripMargin
 
+  /** Shared oracle CTE fragments (the copy-pasted-fragment hygiene
+    * rule): the coreid (first indexed NON-DELETED parent,
+    * download.py:235) and latest-props tails used by both records-core
+    * variants' oracles. */
+  private val coreidLpCtes: String =
+    """coreid AS (SELECT sib.r2 AS media_uuid, min(sib.r1) AS coreid
+      |           FROM sib JOIN ru ON ru.uuid = sib.r1 AND NOT ru.deleted
+      |           GROUP BY sib.r2),
+      |lp AS (SELECT uuid, props FROM (
+      |  SELECT 'u'||user_id AS uuid, props,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1)""".stripMargin
+
+  /** ONE oracle rendering of a citation member (mirrors
+    * [[citationMember]]: the checksum shape + the zero-records drop as
+    * HAVING over the aggregate). `cte` must expose (recordset, n). */
+  private def citationSelectSql(loc: String, cte: String): String =
+    s"""SELECT '$loc', count(*),
+       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |    coalesce(recordset,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |FROM $cte HAVING count(*) > 0""".stripMargin
+
   /** The composed queries + filtered sides, shared by the gates. An
     * ABSENT media query ([[qDownloadRqOnly]]) composes to mq =
     * match_all ∧ has_parent{records: rq} (generate_queries' else
@@ -201,6 +224,35 @@ object DownloadQueries {
     rows.agg(count(lit(1)).as("n_rows"),
         coalesce(sum(h(content)), lit(0L)).as("checksum"))
       .select(lit(loc).as("location"), col("n_rows"), col("checksum"))
+
+  /** Citation member with the reference's zero-records drop rule
+    * (write_citation_file returns None when no records matched,
+    * download.py:58-59) expressed relationally: the member row exists
+    * only when the counted set is non-empty. ONE definition for every
+    * download variant's citation files. */
+  private def citationMember(s: SparkSession, loc: String,
+      rows: DataFrame): DataFrame =
+    member(s, loc, Exports.citationCounts(rows, "recordset"),
+        hashCols(col("recordset"), col("itemCount")))
+      .where(col("n_rows") > 0)
+
+  /** The records-core manifest member list — ONE definition shared by
+    * [[qDownload]] (rq+mq) and [[qDownloadRqOnly]] (rq alone): the six
+    * members differ between the two variants ONLY through the artifact
+    * relations they aggregate. */
+  private def recordsCoreMembers(s: SparkSession, core: DataFrame,
+      ext: DataFrame, latestProps: DataFrame): Seq[DataFrame] = Seq(
+    member(s, "occurrence.csv", core,
+      hashCols(col("uuid"), col("genus"),
+        col("scientificname"), col("locality"))),
+    member(s, "occurrence_raw.csv", core.join(latestProps, Seq("uuid")),
+      hashCols(col("uuid"), col("props"))),
+    member(s, "multimedia.csv", ext,
+      hashCols(col("coreid"), col("accessuri"), col("format"))),
+    citationMember(s, "records.citation.csv", core),
+    citationMember(s, "mediarecords.citation.csv", ext),
+    s.range(1).select(lit("meta.xml").as("location"),
+      lit(3L).as("n_rows"), h(lit(metaXml)).as("checksum")))
 
   /** The meta.xml string for this download, built with the reference's
     * field-list split + long-name conversion. Core block first
@@ -272,23 +324,8 @@ object DownloadQueries {
     * each member makes load-bearing. */
   def qDownload(s: SparkSession, dir: String): DataFrame = {
     val (core, ext, latestProps) = recordArtifacts(s, dir)
-    val members = Seq(
-      member(s, "occurrence.csv", core,
-        hashCols(col("uuid"), col("genus"),
-          col("scientificname"), col("locality"))),
-      member(s, "occurrence_raw.csv", core.join(latestProps, Seq("uuid")),
-        hashCols(col("uuid"), col("props"))),
-      member(s, "multimedia.csv", ext,
-        hashCols(col("coreid"), col("accessuri"), col("format"))),
-      member(s, "records.citation.csv",
-        Exports.citationCounts(core, "recordset"),
-        hashCols(col("recordset"), col("itemCount"))),
-      member(s, "mediarecords.citation.csv",
-        Exports.citationCounts(ext, "recordset"),
-        hashCols(col("recordset"), col("itemCount"))),
-      s.range(1).select(lit("meta.xml").as("location"),
-        lit(3L).as("n_rows"), h(lit(metaXml)).as("checksum")))
-    members.reduce(_.unionByName(_)).orderBy(col("location"))
+    recordsCoreMembers(s, core, ext, latestProps)
+      .reduce(_.unionByName(_)).orderBy(col("location"))
   }
 
   /** Physically materialize the records-core download as a REAL DwC-A
@@ -349,42 +386,16 @@ object DownloadQueries {
     *    the query matrix). */
   def qDownloadRqOnly(s: SparkSession, dir: String): DataFrame = {
     val (core, ext, latestProps) = recordArtifacts(s, dir, mediaQuery = None)
-    val members = Seq(
-      member(s, "occurrence.csv", core,
-        hashCols(col("uuid"), col("genus"),
-          col("scientificname"), col("locality"))),
-      member(s, "occurrence_raw.csv", core.join(latestProps, Seq("uuid")),
-        hashCols(col("uuid"), col("props"))),
-      member(s, "multimedia.csv", ext,
-        hashCols(col("coreid"), col("accessuri"), col("format"))),
-      member(s, "records.citation.csv",
-        Exports.citationCounts(core, "recordset"),
-        hashCols(col("recordset"), col("itemCount")))
-        .where(col("n_rows") > 0),
-      member(s, "mediarecords.citation.csv",
-        Exports.citationCounts(ext, "recordset"),
-        hashCols(col("recordset"), col("itemCount")))
-        .where(col("n_rows") > 0),
-      s.range(1).select(lit("meta.xml").as("location"),
-        lit(3L).as("n_rows"), h(lit(metaXml)).as("checksum")))
-    members.reduce(_.unionByName(_)).orderBy(col("location"))
+    recordsCoreMembers(s, core, ext, latestProps)
+      .reduce(_.unionByName(_)).orderBy(col("location"))
   }
 
   val qDownloadRqOnlySql: String = {
     val metaLit = metaXml.replace("'", "''")
     s"""WITH $oracleModel,
-       |ext AS (SELECT m.*, h2.parent_uuid FROM mu m
-       |        JOIN (SELECT sib.r2 AS media_uuid, min(sib.r1) AS parent_uuid
-       |              FROM sib JOIN recs_rq r ON r.uuid = sib.r1
-       |              GROUP BY sib.r2) h2 USING (media_uuid)),
-       |coreid AS (SELECT sib.r2 AS media_uuid, min(sib.r1) AS coreid
-       |           FROM sib JOIN ru ON ru.uuid = sib.r1 AND NOT ru.deleted
-       |           GROUP BY sib.r2),
-       |lp AS (SELECT uuid, props FROM (
-       |  SELECT 'u'||user_id AS uuid, props,
-       |    row_number() OVER (PARTITION BY user_id
-       |      ORDER BY ts DESC, event_id DESC) AS rn
-       |  FROM events) WHERE rn = 1),
+       |ext AS (SELECT m.*, h.parent_uuid FROM mu m
+       |        JOIN hit h USING (media_uuid)),
+       |$coreidLpCtes,
        |rc AS (SELECT recordset, count(*) AS n FROM recs_rq GROUP BY 1),
        |mc AS (SELECT recordset, count(*) AS n FROM ext GROUP BY 1)
        |SELECT location, n_rows, checksum FROM (
@@ -406,15 +417,9 @@ object DownloadQueries {
        |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
        |FROM ext JOIN coreid USING (media_uuid)
        |UNION ALL
-       |SELECT 'records.citation.csv', count(*),
-       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    coalesce(recordset,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
-       |FROM rc HAVING count(*) > 0
+       |${citationSelectSql("records.citation.csv", "rc")}
        |UNION ALL
-       |SELECT 'mediarecords.citation.csv', count(*),
-       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    coalesce(recordset,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
-       |FROM mc HAVING count(*) > 0
+       |${citationSelectSql("mediarecords.citation.csv", "mc")}
        |UNION ALL
        |SELECT 'meta.xml', 3,
        |  CAST(try_cast('0x'||substr(md5('$metaLit'),1,15) AS BIGINT)
@@ -489,12 +494,8 @@ object DownloadQueries {
       member(s, "occurrence.csv", occExt.join(mediaIds, Seq("uuid")),
         hashCols(col("coreid"), col("genus"),
           col("scientificname"), col("locality"))),
-      member(s, "records.citation.csv",
-        Exports.citationCounts(occExt, "recordset"),
-        hashCols(col("recordset"), col("itemCount"))),
-      member(s, "mediarecords.citation.csv",
-        Exports.citationCounts(mediaMq, "recordset"),
-        hashCols(col("recordset"), col("itemCount"))),
+      citationMember(s, "records.citation.csv", occExt),
+      citationMember(s, "mediarecords.citation.csv", mediaMq),
       s.range(1).select(lit("meta.xml").as("location"),
         lit(2L).as("n_rows"), h(lit(metaXmlMedia)).as("checksum")))
     members.reduce(_.unionByName(_)).orderBy(col("location"))
@@ -527,15 +528,9 @@ object DownloadQueries {
        |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
        |FROM occ_ext JOIN mediaid USING (uuid)
        |UNION ALL
-       |SELECT 'records.citation.csv', count(*),
-       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    coalesce(recordset,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
-       |FROM rc
+       |${citationSelectSql("records.citation.csv", "rc")}
        |UNION ALL
-       |SELECT 'mediarecords.citation.csv', count(*),
-       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    coalesce(recordset,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
-       |FROM mc
+       |${citationSelectSql("mediarecords.citation.csv", "mc")}
        |UNION ALL
        |SELECT 'meta.xml', 2,
        |  CAST(try_cast('0x'||substr(md5('$metaLit'),1,15) AS BIGINT)
@@ -602,12 +597,8 @@ object DownloadQueries {
       member(s, "multimedia.csv", ext,
         hashCols(col("parent_locality"), col("accessuri"),
           col("format"))),
-      member(s, "records.citation.csv",
-        Exports.citationCounts(core, "recordset"),
-        hashCols(col("recordset"), col("itemCount"))),
-      member(s, "mediarecords.citation.csv",
-        Exports.citationCounts(ext, "recordset"),
-        hashCols(col("recordset"), col("itemCount"))),
+      citationMember(s, "records.citation.csv", core),
+      citationMember(s, "mediarecords.citation.csv", ext),
       s.range(1).select(lit("meta.xml").as("location"),
         lit(3L).as("n_rows"), h(lit(metaXmlUnique)).as("checksum")))
     members.reduce(_.unionByName(_)).orderBy(col("location"))
@@ -645,15 +636,9 @@ object DownloadQueries {
        |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
        |FROM ext
        |UNION ALL
-       |SELECT 'records.citation.csv', count(*),
-       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    coalesce(recordset,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
-       |FROM rc
+       |${citationSelectSql("records.citation.csv", "rc")}
        |UNION ALL
-       |SELECT 'mediarecords.citation.csv', count(*),
-       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    coalesce(recordset,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
-       |FROM mc
+       |${citationSelectSql("mediarecords.citation.csv", "mc")}
        |UNION ALL
        |SELECT 'meta.xml', 3,
        |  CAST(try_cast('0x'||substr(md5('$metaLit'),1,15) AS BIGINT)
@@ -697,15 +682,9 @@ object DownloadQueries {
        |  ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
        |FROM ext JOIN coreid USING (media_uuid)
        |UNION ALL
-       |SELECT 'records.citation.csv', count(*),
-       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    coalesce(recordset,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
-       |FROM rc
+       |${citationSelectSql("records.citation.csv", "rc")}
        |UNION ALL
-       |SELECT 'mediarecords.citation.csv', count(*),
-       |  CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |    coalesce(recordset,'')||'|'||coalesce(CAST(n AS VARCHAR),'')),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
-       |FROM mc
+       |${citationSelectSql("mediarecords.citation.csv", "mc")}
        |UNION ALL
        |SELECT 'meta.xml', 3,
        |  CAST(try_cast('0x'||substr(md5('$metaLit'),1,15) AS BIGINT)
