@@ -171,8 +171,8 @@ object Bench {
     "q_nb_lang" -> 1.83, "q_silhouette" -> 0.77, "q_source_profile" -> 0.33,
     "q_split_safe" -> 0.22, "q_temperature_remix" -> 0.40, "q_winnow" -> 0.97,
     "q_winnow_incr" -> 1.62, "q_winnow_match" -> 1.11,
-    // round-18 late addition (isolated 1x reading, idle canaries):
-    "q_subitem_view" -> 1.92)
+    // round-18 late additions (isolated 1x readings, idle canaries):
+    "q_subitem_view" -> 1.92, "q_index_run" -> 4.81)
 
   def main(args: Array[String]): Unit = {
     // drop any previous run's artifact FIRST: if this run's write fails

@@ -392,7 +392,11 @@ object ScaleStress {
       // subitem = the per-parent paged children list on the bounded
       // TopKPerGroup heap (k = offset+limit per parent) + one counts
       // aggregate — the latest-version agg is the linear term
-      "q_subitem_view")
+      "q_subitem_view",
+      // index run = the tombstone-dispatch filter + the q_enrich
+      // codegen projection + a key-aligned envelope join over 10x
+      // orders — expect the q_enrich shape
+      "q_index_run")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

@@ -17,7 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object EtlQueries {
 
-  def qEnrich(s: SparkSession, dir: String): DataFrame = {
+  def qEnrich(s: SparkSession, dir: String): DataFrame =
+    enrichedProjection(s, dir)
+
+  /** The synthesized-raw → [[Enrich.records]] → projected-fields body
+    * of [[qEnrich]], factored so the composed §3.3 index-run gate
+    * ([[qIndexRun]]) enriches through ONE definition. */
+  private def enrichedProjection(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val latStr = concat(
       (col("o_orderkey") % 170 - 85).cast("string"), lit("."),
@@ -108,6 +114,93 @@ object EtlQueries {
        |  / $maxScore AS dqs
        |FROM raw ORDER BY id""".stripMargin
   }
+
+  /** The §3.3 INDEXING RUN composed as ONE gate — `index_record`
+    * (idb/indexing/index_helper.py:30-115), the per-entity dispatch of
+    * the reference's `idb index full` path (SURVEY §3.3), over an
+    * orders-derived store slice:
+    *
+    *  - a TOMBSTONED entity (etag == the fixed tombstone etag,
+    *    db.py:33) becomes a DELETE action carrying the uuid alone
+    *    (index_helper.py:45-54) — no correction, no enrichment, no
+    *    envelope;
+    *  - every other entity runs the REAL correct+grabAll pipeline
+    *    ([[Enrich.records]], the exact [[qEnrich]] body via
+    *    [[enrichedProjection]] — one definition) and merges the store
+    *    envelope (idigbio:uuid/etag/parent/recordIds/dateModified
+    *    isoformat, index_helper.py:58-66), then serializes through the
+    *    REAL [[graft.etl.Serialize.prepForEs]] (timestamps →
+    *    ISO-8601 strings, indexer.py:50-89) — this gate makes
+    *    prepForEs load-bearing under the oracle, not just spec'd.
+    *
+    * The oracle embeds [[qEnrichSql]] VERBATIM as a CTE (one
+    * definition of the enrichment semantics) and replays the
+    * dispatch + envelope + serialization around it. Scale shape: the
+    * dispatch is a filter, the enrichment one codegen projection, the
+    * envelope a key-aligned join — no shuffle beyond the store's own
+    * keys (in production this feeds the bulk sink, §2.1's streaming
+    * foreachBatch merge). */
+  def qIndexRun(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val reg = o.select(
+      col("o_orderkey").as("id"),
+      concat(lit("u"), col("o_orderkey")).as("uuid"),
+      concat(lit("rs"), col("o_custkey") % 5).as("parent"),
+      (col("o_orderkey") % 97 === 0).as("_tomb"),
+      col("o_orderdate").cast("timestamp").as("modified"))
+    def iso(c: Column): Column =
+      date_format(c, "yyyy-MM-dd'T'HH:mm:ssXXX")
+    val indexRows = graft.etl.Serialize.prepForEs(
+      reg.where(!col("_tomb"))
+        .join(enrichedProjection(s, dir), Seq("id"))
+        .select(
+          col("uuid"), lit("index").as("op"), col("parent"),
+          md5(concat(lit("body:"), col("id"))).as("etag"),
+          iso(col("modified")).as("modified_iso"),
+          concat(lit("order:"), col("id")).as("recordids_csv"),
+          col("scientificname"), col("genus"), col("basisofrecord"),
+          col("lat"), col("lon"),
+          // TimestampType — prepForEs serializes it (the load-bearing
+          // bit); renamed to its serialized name after
+          col("datecollected"),
+          col("flags"), col("dqs")))
+      .withColumnRenamed("datecollected", "datecollected_iso")
+    def nullS = lit(null).cast("string")
+    def nullD = lit(null).cast("double")
+    val deleteRows = reg.where(col("_tomb")).select(
+      col("uuid"), lit("delete").as("op"), nullS.as("parent"),
+      lit(graft.store.RecordStore.TombstoneEtag).as("etag"),
+      nullS.as("modified_iso"), nullS.as("recordids_csv"),
+      nullS.as("scientificname"), nullS.as("genus"),
+      nullS.as("basisofrecord"), nullD.as("lat"), nullD.as("lon"),
+      nullS.as("datecollected_iso"), nullS.as("flags"),
+      nullD.as("dqs"))
+    indexRows.unionByName(deleteRows).orderBy(col("uuid"))
+  }
+
+  val qIndexRunSql: String =
+    s"""WITH enr AS ($qEnrichSql),
+       |reg AS (SELECT o_orderkey AS id, 'u'||o_orderkey AS uuid,
+       |  'rs'||(o_custkey%5) AS parent, (o_orderkey%97 = 0) AS tomb,
+       |  CAST(o_orderdate AS TIMESTAMP) AS modified FROM orders)
+       |SELECT uuid, op, parent, etag, modified_iso, recordids_csv,
+       |  scientificname, genus, basisofrecord, lat, lon,
+       |  datecollected_iso, flags, dqs FROM (
+       |SELECT r.uuid, 'index' AS op, r.parent,
+       |  md5('body:'||r.id) AS etag,
+       |  strftime(r.modified, '%Y-%m-%dT%H:%M:%SZ') AS modified_iso,
+       |  'order:'||r.id AS recordids_csv,
+       |  e.scientificname, e.genus, e.basisofrecord, e.lat, e.lon,
+       |  strftime(e.datecollected, '%Y-%m-%dT%H:%M:%SZ')
+       |    AS datecollected_iso,
+       |  e.flags, e.dqs
+       |FROM reg r JOIN enr e ON e.id = r.id WHERE NOT r.tomb
+       |UNION ALL
+       |SELECT uuid, 'delete', NULL,
+       |  '${graft.store.RecordStore.TombstoneEtag}',
+       |  NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+       |FROM reg WHERE tomb
+       |) ORDER BY uuid""".stripMargin
 
   // ---------------------------------------------------------------------
   // q_geo_correct: the reverse-geocode correction stage

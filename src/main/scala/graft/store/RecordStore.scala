@@ -28,7 +28,7 @@ final case class RecordStore(
     siblings: DataFrame) {
 
   /** db.py:33 — etag of the fixed tombstone body `{"deleted": true}`. */
-  val tombstoneEtag = "9a4e35834eb80d9af64bcd07ed996b9ec0e60d92"
+  val tombstoneEtag = RecordStore.TombstoneEtag
 
   /** Latest version per uuid (db.py:37-44). `max_by(struct)` with a
     * (modified, version) key: one hash aggregation, no per-group sort,
@@ -113,6 +113,10 @@ final case class RecordStore(
 }
 
 object RecordStore {
+
+  /** db.py:33 — etag of the fixed tombstone body `{"deleted": true}`;
+    * the index run dispatches on it (index_helper.py:45-54). */
+  val TombstoneEtag = "9a4e35834eb80d9af64bcd07ed996b9ec0e60d92"
 
   /** `has_parent` + `inner_hits` parent-column carry — the missing half
     * of the reference's bulk-download composition (the query side at
