@@ -395,8 +395,9 @@ object ScaleStress {
       "q_subitem_view",
       // index run = the tombstone-dispatch filter + the q_enrich
       // codegen projection + a key-aligned envelope join over 10x
-      // orders — expect the q_enrich shape
-      "q_index_run")
+      // orders — expect the q_enrich shape; the media half adds the
+      // sibling-lookup join (routing) over the staged edges
+      "q_index_run", "q_index_run_media")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

@@ -365,6 +365,81 @@ object DownloadQueries {
     outZip
   }
 
+  // --- the §3.3 media index run (parent routing + deletes) -------------
+
+  /** The mediarecords half of the §3.3 indexing run — the BULK-ACTION
+    * formatting the records-side gate (q_index_run) can't exercise
+    * (indexer.py:291-301 + index_helper.py:45-54):
+    *
+    *  - a media INDEX action routes to `records[0]` — the FIRST
+    *    (sorted) non-deleted record sibling — or to the literal '0'
+    *    when the doc has no record siblings;
+    *  - a media DELETE action looks its routing parent up from the
+    *    live index (query_for_one; here the store view IS the live
+    *    index) and is DROPPED entirely when the doc isn't indexed
+    *    (indexer.py:294-296 `continue`) — expressed relationally as
+    *    the inner join on the sibling lookup;
+    *  - both action kinds carry the records sibling list
+    *    (index_helper.py:48-53 for deletes; the indexed doc's
+    *    `records` array otherwise).
+    *
+    * Tombstoned media (mid % 13 = 0 — the gate's dispatch driver) take
+    * the delete branch with the tombstone etag; everything else
+    * indexes with a content etag. The media FIELD enrichment is
+    * q_enrich_media's gate; here the membership, dispatch, routing,
+    * and sibling carry are the load-bearing composition. */
+  def qIndexRunMedia(s: SparkSession, dir: String): DataFrame = {
+    val media = mediaView(s, dir)
+      .withColumn("_tomb",
+        expr("CAST(substr(media_uuid, 2) AS BIGINT) % 13 = 0"))
+    val sibs = sibEdges(s, dir)
+      .join(recordsView(s, dir).where(!col("deleted"))
+        .select(col("uuid").as("r1")), "r1")
+      .groupBy(col("r2").as("media_uuid"))
+      .agg(sort_array(collect_list(col("r1"))).as("_recs"))
+      .select(col("media_uuid"),
+        array_join(col("_recs"), ",").as("records_csv"),
+        element_at(col("_recs"), 1).as("_first"))
+    val indexRows = media.where(!col("_tomb"))
+      .join(sibs, Seq("media_uuid"), "left")
+      .select(col("media_uuid"), lit("index").as("op"),
+        coalesce(col("_first"), lit("0")).as("routing"),
+        coalesce(col("records_csv"), lit("")).as("records_csv"),
+        md5(concat(lit("media:"), col("media_uuid"))).as("etag"),
+        col("format"), col("accessuri"))
+    val deleteRows = media.where(col("_tomb"))
+      .join(sibs, Seq("media_uuid")) // inner: unindexed deletes DROP
+      .select(col("media_uuid"), lit("delete").as("op"),
+        col("_first").as("routing"), col("records_csv"),
+        lit(graft.store.RecordStore.TombstoneEtag).as("etag"),
+        lit(null).cast("string").as("format"),
+        lit(null).cast("string").as("accessuri"))
+    indexRows.unionByName(deleteRows).orderBy(col("media_uuid"))
+  }
+
+  val qIndexRunMediaSql: String =
+    s"""WITH $oracleModel,
+       |sibs AS (SELECT sib.r2 AS media_uuid,
+       |    array_to_string(list_sort(list(sib.r1)), ',') AS records_csv,
+       |    min(sib.r1) AS first_rec
+       |  FROM sib JOIN ru ON ru.uuid = sib.r1 AND NOT ru.deleted
+       |  GROUP BY sib.r2),
+       |m AS (SELECT mu.*,
+       |    (CAST(substr(media_uuid, 2) AS BIGINT) % 13 = 0) AS tomb
+       |  FROM mu)
+       |SELECT media_uuid, op, routing, records_csv, etag, format,
+       |  accessuri FROM (
+       |SELECT m.media_uuid, 'index' AS op,
+       |  coalesce(s.first_rec, '0') AS routing,
+       |  coalesce(s.records_csv, '') AS records_csv,
+       |  md5('media:'||m.media_uuid) AS etag, m.format, m.accessuri
+       |FROM m LEFT JOIN sibs s USING (media_uuid) WHERE NOT m.tomb
+       |UNION ALL
+       |SELECT m.media_uuid, 'delete', s.first_rec, s.records_csv,
+       |  '${graft.store.RecordStore.TombstoneEtag}', NULL, NULL
+       |FROM m JOIN sibs s USING (media_uuid) WHERE m.tomb
+       |) ORDER BY media_uuid""".stripMargin
+
   // --- the rq-only download variant (record query, NO media query) -----
 
   /** The records-core download with a record query and NO media query
