@@ -397,7 +397,11 @@ object ScaleStress {
       // codegen projection + a key-aligned envelope join over 10x
       // orders — expect the q_enrich shape; the media half adds the
       // sibling-lookup join (routing) over the staged edges
-      "q_index_run", "q_index_run_media")
+      "q_index_run", "q_index_run_media",
+      // static datasets = per-recordset grouped manifests (two
+      // recordset-keyed aggregates + the edges join) — ONE grouped
+      // pass where the reference pays a query per recordset
+      "q_static_datasets")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

@@ -365,6 +365,75 @@ object DownloadQueries {
     outZip
   }
 
+  // --- the static-datasets worker (per-recordset downloads) ------------
+
+  /** The static-datasets worker
+    * (idigbio_workers/generate_static_datasets.py): the reference
+    * loops the recordset terms-agg and runs ONE records-core download
+    * per recordset (record_query = {"recordset": id}, no media query —
+    * the rq-only composition, per recordset). The Spark-first
+    * re-expression is ONE GROUPED PASS, not N queries: every
+    * recordset's occurrence member (count + checksum over its
+    * non-deleted records) and multimedia member (media with ≥1 parent
+    * in THAT recordset, coreid = the first such parent — the
+    * per-recordset has_parent/inner-hits composition; a media doc
+    * with parents in k recordsets legitimately appears in k
+    * manifests) computed by recordset-keyed aggregation — two
+    * shuffles total where the reference pays a full query per
+    * recordset. EML emission rides [[graft.ingest.Eml]]'s gate; the
+    * zip tail is [[writeArchive]]'s. */
+  def qStaticDatasets(s: SparkSession, dir: String): DataFrame = {
+    val recs = recordsView(s, dir).where(!col("deleted"))
+    val occ = recs.groupBy(col("recordset"))
+      .agg(count(lit(1)).as("n_records"),
+        coalesce(sum(h(hashCols(col("uuid"), col("genus"),
+          col("scientificname"), col("locality")))), lit(0L))
+          .as("records_checksum"))
+    val mediaPerRs = sibEdges(s, dir)
+      .join(recs.select(col("uuid").as("r1"), col("recordset")), "r1")
+      .groupBy(col("recordset"), col("r2").as("media_uuid"))
+      .agg(min(col("r1")).as("coreid"))
+      // project away mediaView's own recordset — the manifest groups
+      // by the PARENT record's recordset (the download's rq side)
+      .join(mediaView(s, dir)
+        .select(col("media_uuid"), col("format"), col("accessuri")),
+        Seq("media_uuid"))
+      .groupBy(col("recordset"))
+      .agg(count(lit(1)).as("n_media"),
+        coalesce(sum(h(hashCols(col("coreid"), col("accessuri"),
+          col("format")))), lit(0L)).as("media_checksum"))
+    occ.join(mediaPerRs, Seq("recordset"), "left")
+      .select(col("recordset"), col("n_records"), col("records_checksum"),
+        coalesce(col("n_media"), lit(0L)).as("n_media"),
+        coalesce(col("media_checksum"), lit(0L)).as("media_checksum"))
+      .orderBy(col("recordset"))
+  }
+
+  val qStaticDatasetsSql: String =
+    s"""WITH $oracleModel,
+       |recs AS (SELECT * FROM ru WHERE NOT deleted),
+       |occ AS (SELECT recordset, count(*) AS n_records,
+       |    CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |      coalesce(uuid,'')||'|'||coalesce(genus,'')||'|'||coalesce(scientificname,'')||'|'||coalesce(locality,'')
+       |    ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |      AS records_checksum
+       |  FROM recs GROUP BY 1),
+       |mpr AS (SELECT r.recordset, sib.r2 AS media_uuid,
+       |    min(sib.r1) AS coreid
+       |  FROM sib JOIN recs r ON r.uuid = sib.r1
+       |  GROUP BY 1, 2),
+       |med AS (SELECT mpr.recordset, count(*) AS n_media,
+       |    CAST(coalesce(sum(try_cast('0x'||substr(md5(
+       |      coalesce(coreid,'')||'|'||coalesce(accessuri,'')||'|'||coalesce(format,'')
+       |    ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |      AS media_checksum
+       |  FROM mpr JOIN mu USING (media_uuid) GROUP BY 1)
+       |SELECT occ.recordset, occ.n_records, occ.records_checksum,
+       |  CAST(coalesce(med.n_media, 0) AS BIGINT) AS n_media,
+       |  CAST(coalesce(med.media_checksum, 0) AS BIGINT) AS media_checksum
+       |FROM occ LEFT JOIN med USING (recordset)
+       |ORDER BY occ.recordset""".stripMargin
+
   // --- the §3.3 media index run (parent routing + deletes) -------------
 
   /** The mediarecords half of the §3.3 indexing run — the BULK-ACTION
