@@ -401,7 +401,11 @@ object ScaleStress {
       // static datasets = per-recordset grouped manifests (two
       // recordset-keyed aggregates + the edges join) — ONE grouped
       // pass where the reference pays a query per recordset
-      "q_static_datasets")
+      "q_static_datasets",
+      // media API = the serving decision table over the media view:
+      // one DISTINCT-ON latest-assoc agg + two key joins + a 4-way
+      // derivative explode, all url/etag-keyed
+      "q_media_api")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

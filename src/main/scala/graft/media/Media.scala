@@ -705,4 +705,42 @@ object Media {
   def bucketFor(mime: Column): Column =
     graft.etl.Vocab.defaultBuckets.foldLeft(when(lit(false), lit("")))(
       (acc, kv) => acc.when(mime === kv._1, kv._2))
+
+  /** get_media_url (idb/data_api/v2_media.py:28-39): the storage URL
+    * for the base object, or for a derivative ONLY once derivatives
+    * were generated and only for the three known sizes (DERIVATIONS,
+    * :26). `deriv` null means the base object. bucketname pins
+    * config.ENV to 'prod' (db.py:727-729 formats the env in). */
+  def mediaUrl(bucket: Column, etag: Column, derivatives: Column,
+      deriv: Column): Column = {
+    val bucketname = concat(lit("idigbio-"), bucket, lit("-prod"))
+    when(bucket.isNotNull && etag.isNotNull,
+      when(deriv.isNull,
+        concat(lit("https://s.idigbio.org/"), bucketname, lit("/"), etag))
+      .when(deriv.isin("thumbnail", "webview", "fullsize") && derivatives,
+        concat(lit("https://s.idigbio.org/"), bucketname, lit("-"), deriv,
+          lit("/"), etag, lit(".jpg"))))
+  }
+
+  /** respond_to_record's decision table (v2_media.py:59-103) as three
+    * columns over (mediaUrl, mime, typeOrBucket, lastStatus):
+    * (response kind: redirect | svg, placeholder text, cache max-age
+    * seconds). A resolvable URL redirects (4-day cache); otherwise an
+    * SVG placeholder: "No Preview" when the mime or bucket is unknown
+    * (1-day), "Preview Pending" when the object was never fetched
+    * (last_status null, 10-minute), "No Preview" after a failed fetch
+    * (1-day). */
+  def respondToRecord(mediaUrl: Column, mime: Column,
+      typeOrBucket: Column, lastStatus: Column): (Column, Column, Column) = {
+    val text = when(mediaUrl.isNotNull, lit(null).cast("string"))
+      .when(mime.isNull || typeOrBucket.isNull, lit("No Preview"))
+      .when(lastStatus.isNull, lit("Preview Pending"))
+      .otherwise(lit("No Preview"))
+    val cache = when(mediaUrl.isNotNull, lit(4 * 24 * 60 * 60))
+      .when(mime.isNull || typeOrBucket.isNull, lit(24 * 60 * 60))
+      .when(lastStatus.isNull, lit(600))
+      .otherwise(lit(24 * 60 * 60))
+    val kind = when(mediaUrl.isNotNull, lit("redirect")).otherwise(lit("svg"))
+    (kind, text, cache.cast("long"))
+  }
 }

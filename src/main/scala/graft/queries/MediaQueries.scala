@@ -52,6 +52,118 @@ object MediaQueries {
       |FROM latest LEFT JOIN objs USING (etag)
       |ORDER BY url""".stripMargin
 
+  /** The media API's serving decision — `GET /v2/media/<uuid>[.json]`
+    * (idb/data_api/v2_media.py:28-103: get_media_url +
+    * respond_to_record) — composed over the media view for every
+    * (url × derivative) combination the routes serve (base +
+    * thumbnail/webview/fullsize):
+    *
+    *  - a resolvable storage URL (bucket+etag known; derivative URLs
+    *    only once derivatives were generated) → redirect, 4-day cache;
+    *  - unknown mime or bucket → "No Preview" SVG, 1-day;
+    *  - never fetched (last_status null) → "Preview Pending", 600 s;
+    *  - fetched but failed → "No Preview", 1-day.
+    *
+    * The fixture varies every input the table dispatches on: urls
+    * without any object association (%13 — unresolvable), media rows
+    * with unknown mime (%7) / type (%11), unfetched (%5) and failed
+    * (%3) statuses, and a derivatives flag split by etag prefix. */
+  def qMediaApi(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val urlId = col("event_id") % 300
+    val media = ev.select(
+        concat(lit("http://media.example/"), urlId).as("url"),
+        when(urlId % 11 === 0, lit(null).cast("string"))
+          .otherwise(lit("images")).as("type"),
+        when(urlId % 7 === 0, lit(null).cast("string"))
+          .otherwise(lit("image/jpeg")).as("mime"),
+        when(urlId % 5 === 0, lit(null).cast("int"))
+          .when(urlId % 3 === 0, lit(500)).otherwise(lit(200))
+          .as("last_status"))
+      .distinct()
+    val mediaObjects = ev.where(urlId % 13 =!= 0).select(
+      concat(lit("http://media.example/"), urlId).as("url"),
+      md5(col("props")).as("etag"), col("ts").as("modified"))
+    val objects = ev.select(
+        md5(col("props")).as("etag"),
+        when(col("event_type") === "click", "image/jpeg")
+          .otherwise("video/mp4").as("detected_mime"))
+      .groupBy(col("etag"))
+      .agg(min(col("detected_mime")).as("detected_mime"))
+      .withColumn("derivatives", substring(col("etag"), 1, 1) <= "7")
+      .withColumn("bucket", Media.bucketFor(col("detected_mime")))
+    val exploded = Media.mediaView(media, mediaObjects, objects)
+      .select(col("*"), explode(array(lit(null).cast("string"),
+        lit("thumbnail"), lit("webview"), lit("fullsize"))).as("deriv"))
+    val mu = Media.mediaUrl(col("bucket"), col("etag"),
+      col("derivatives"), col("deriv"))
+    val (kind, text, cache) = Media.respondToRecord(mu,
+      coalesce(col("detected_mime"), col("mime")),
+      coalesce(col("type"), col("bucket")), col("last_status"))
+    exploded.select(col("url"),
+        coalesce(col("deriv"), lit("full")).as("deriv"),
+        kind.as("response"), mu.as("media_url"), text.as("text"),
+        cache.as("cache_s"))
+      .orderBy(col("url"), col("deriv"))
+  }
+
+  val qMediaApiSql: String =
+    """WITH m AS (SELECT DISTINCT
+      |    'http://media.example/' || (event_id % 300) AS url,
+      |    CASE WHEN (event_id % 300) % 11 = 0 THEN NULL
+      |         ELSE 'images' END AS type,
+      |    CASE WHEN (event_id % 300) % 7 = 0 THEN NULL
+      |         ELSE 'image/jpeg' END AS mime,
+      |    CASE WHEN (event_id % 300) % 5 = 0 THEN NULL
+      |         WHEN (event_id % 300) % 3 = 0 THEN 500
+      |         ELSE 200 END AS last_status
+      |  FROM events),
+      |mo AS (SELECT 'http://media.example/' || (event_id % 300) AS url,
+      |    md5(props) AS etag, ts AS modified FROM events
+      |  WHERE (event_id % 300) % 13 != 0),
+      |latest AS (SELECT url, etag FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY url
+      |    ORDER BY modified DESC, etag DESC) AS rn FROM mo) WHERE rn = 1),
+      |objs AS (SELECT md5(props) AS etag,
+      |    min(CASE WHEN event_type = 'click' THEN 'image/jpeg'
+      |             ELSE 'video/mp4' END) AS detected_mime
+      |  FROM events GROUP BY 1),
+      |v AS (SELECT m.url, m.type, m.mime, m.last_status, latest.etag,
+      |    objs.detected_mime,
+      |    (substr(latest.etag, 1, 1) <= '7') AS derivatives,
+      |    CASE objs.detected_mime WHEN 'image/jpeg' THEN 'images'
+      |         WHEN 'video/mp4' THEN 'video' END AS bucket
+      |  FROM m LEFT JOIN latest USING (url)
+      |  LEFT JOIN objs ON objs.etag = latest.etag),
+      |x AS (SELECT v.*, d.deriv FROM v CROSS JOIN (SELECT unnest([
+      |    CAST(NULL AS VARCHAR), 'thumbnail', 'webview', 'fullsize'])
+      |    AS deriv) d),
+      |r AS (SELECT url, deriv, last_status,
+      |    coalesce(detected_mime, mime) AS eff_mime,
+      |    coalesce(type, bucket) AS eff_tb,
+      |    CASE WHEN bucket IS NOT NULL AND etag IS NOT NULL THEN
+      |      CASE WHEN deriv IS NULL THEN
+      |        'https://s.idigbio.org/idigbio-'||bucket||'-prod/'||etag
+      |      WHEN deriv IN ('thumbnail','webview','fullsize')
+      |          AND derivatives THEN
+      |        'https://s.idigbio.org/idigbio-'||bucket||'-prod-'||deriv
+      |          ||'/'||etag||'.jpg'
+      |      END END AS media_url
+      |  FROM x)
+      |SELECT url, coalesce(deriv, 'full') AS deriv,
+      |  CASE WHEN media_url IS NOT NULL THEN 'redirect'
+      |       ELSE 'svg' END AS response,
+      |  media_url,
+      |  CASE WHEN media_url IS NOT NULL THEN NULL
+      |       WHEN eff_mime IS NULL OR eff_tb IS NULL THEN 'No Preview'
+      |       WHEN last_status IS NULL THEN 'Preview Pending'
+      |       ELSE 'No Preview' END AS text,
+      |  CAST(CASE WHEN media_url IS NOT NULL THEN 345600
+      |       WHEN eff_mime IS NULL OR eff_tb IS NULL THEN 86400
+      |       WHEN last_status IS NULL THEN 600
+      |       ELSE 86400 END AS BIGINT) AS cache_s
+      |FROM r ORDER BY url, coalesce(deriv, 'full')""".stripMargin
+
   /** Image-derivative generation (derivatives.py:162-193) through the
     * REAL javax.imageio resize kernel, driven end-to-end from table
     * rows via deterministic synthesized JPEGs (this environment has no
