@@ -405,7 +405,11 @@ object ScaleStress {
       // media API = the serving decision table over the media view:
       // one DISTINCT-ON latest-assoc agg + two key joins + a 4-way
       // derivative explode, all url/etag-keyed
-      "q_media_api")
+      "q_media_api",
+      // stats digest = one payload explode + ONE grouped aggregate
+      // over 10x events (3 conditional distincts on the grouped
+      // stream; group domain day x 5 recordsets x 2 x 3)
+      "q_stats_digest")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

@@ -148,6 +148,105 @@ object Relational {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  /** The daily search-stats DIGEST (idb/stats/collect.py:97-221) — the
+    * reference's per-recordset usage digest, composed as ONE gate: raw
+    * stats rows (record_type, stat_type, query_hash, geocode, payload)
+    * contribute per PAYLOAD ENTRY under the type-dependent rules the
+    * two driver loops encode:
+    *
+    *  - `view`: each payload entry (record_key → recordset) adds 1 to
+    *    count/total, the record key to items, the geocode to geocodes
+    *    — NO query tracking (:143-149);
+    *  - `seen`: as view PLUS the query hash into queries (:150-157);
+    *  - everything else (search/download...): payload maps recordset →
+    *    record_count; count +1 per entry but total/queries/geocodes
+    *    weight by the record COUNT (:158-164).
+    *
+    * The digest emits one row per (harvest day, recordset,
+    * record_type, stat_type) with the rolled-up count/total and the
+    * distinct item/query/geocode cardinalities (the reference's
+    * term-count arrays, summarized — their full contents are the
+    * groupBy keys of the same stream). Shape: one explode of the
+    * two-entry payloads + ONE grouped aggregate; the three distincts
+    * ride the same grouped stream. Stats rows synthesize from events
+    * (day = ts day — collect.py's date_trunc window, :88-95). */
+  def qStatsDigest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val rows = ev.select(
+      to_date(col("ts")).as("day"),
+      when(col("event_type") === "click", "records")
+        .otherwise("mediarecords").as("record_type"),
+      when(col("event_id") % 3 === 0, "view")
+        .when(col("event_id") % 3 === 1, "seen")
+        .otherwise("search").as("stat_type"),
+      md5(concat(lit("q"), col("event_id") % 11)).as("query_hash"),
+      concat(lit("geo"), col("user_id") % 4).as("geocode"),
+      col("event_id"), col("user_id"))
+    val entries = rows.select(col("day"), col("record_type"),
+        col("stat_type"), col("query_hash"), col("geocode"),
+        explode(array(
+          struct(
+            concat(lit("ra"), col("event_id") % 100).as("rkey"),
+            concat(lit("rs"), col("event_id") % 5).as("recordset"),
+            (col("event_id") % 7 + 1).as("n")),
+          struct(
+            concat(lit("rb"), col("event_id") % 90).as("rkey"),
+            concat(lit("rs"), col("user_id") % 5).as("recordset"),
+            (col("user_id") % 3 + 1).as("n")))).as("e"))
+      .select(col("day"), col("record_type"), col("stat_type"),
+        col("query_hash"), col("geocode"),
+        col("e.rkey").as("rkey"), col("e.recordset").as("recordset"),
+        col("e.n").as("n"))
+    entries
+      .groupBy(col("day"), col("recordset"), col("record_type"),
+        col("stat_type"))
+      .agg(
+        count(lit(1)).as("count"),
+        sum(when(col("stat_type") === "search", col("n"))
+          .otherwise(1L)).as("total"),
+        countDistinct(when(col("stat_type") =!= "search", col("rkey")))
+          .as("n_items"),
+        countDistinct(when(col("stat_type") =!= "view", col("query_hash")))
+          .as("n_queries"),
+        countDistinct(col("geocode")).as("n_geocodes"))
+      .orderBy(col("day"), col("recordset"), col("record_type"),
+        col("stat_type"))
+  }
+
+  val qStatsDigestSql: String =
+    """WITH rows0 AS (SELECT CAST(ts AS DATE) AS day,
+      |    CASE WHEN event_type = 'click' THEN 'records'
+      |         ELSE 'mediarecords' END AS record_type,
+      |    CASE WHEN event_id % 3 = 0 THEN 'view'
+      |         WHEN event_id % 3 = 1 THEN 'seen'
+      |         ELSE 'search' END AS stat_type,
+      |    md5('q' || (event_id % 11)) AS query_hash,
+      |    'geo' || (user_id % 4) AS geocode,
+      |    event_id, user_id FROM events),
+      |entries AS (
+      |  SELECT day, record_type, stat_type, query_hash, geocode,
+      |    'ra' || (event_id % 100) AS rkey,
+      |    'rs' || (event_id % 5) AS recordset,
+      |    (event_id % 7 + 1) AS n
+      |  FROM rows0
+      |  UNION ALL
+      |  SELECT day, record_type, stat_type, query_hash, geocode,
+      |    'rb' || (event_id % 90) AS rkey,
+      |    'rs' || (user_id % 5) AS recordset,
+      |    (user_id % 3 + 1) AS n
+      |  FROM rows0)
+      |SELECT day, recordset, record_type, stat_type,
+      |  count(*) AS count,
+      |  CAST(sum(CASE WHEN stat_type = 'search' THEN n ELSE 1 END)
+      |    AS BIGINT) AS total,
+      |  count(DISTINCT CASE WHEN stat_type != 'search' THEN rkey END)
+      |    AS n_items,
+      |  count(DISTINCT CASE WHEN stat_type != 'view' THEN query_hash END)
+      |    AS n_queries,
+      |  count(DISTINCT geocode) AS n_geocodes
+      |FROM entries GROUP BY 1, 2, 3, 4
+      |ORDER BY day, recordset, record_type, stat_type""".stripMargin
+
   /** Duplicate detection by content key (db_check.py:271-297):
     * groupBy(key).count().filter(>1). */
   def qDupDetect(s: SparkSession, dir: String): DataFrame =
