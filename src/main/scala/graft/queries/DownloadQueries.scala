@@ -149,6 +149,13 @@ object DownloadQueries {
       |      ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events) WHERE rn = 1)""".stripMargin
 
+  /** ONE oracle rendering of the member checksum idiom (mirrors the
+    * engine's h(): 60-bit md5 prefix mod prime, summed, 0 when empty).
+    * `colsExpr` must already carry the coalesce-to-'' NULL convention. */
+  private def checksumSql(colsExpr: String): String =
+    s"CAST(coalesce(sum(try_cast('0x'||substr(md5($colsExpr),1,15) " +
+      "AS BIGINT) % 1000000007), 0) AS BIGINT)"
+
   /** ONE oracle rendering of a citation member (mirrors
     * [[citationMember]]: the checksum shape + the zero-records drop as
     * HAVING over the aggregate). `cte` must expose (recordset, n). */
@@ -413,9 +420,8 @@ object DownloadQueries {
     s"""WITH $oracleModel,
        |recs AS (SELECT * FROM ru WHERE NOT deleted),
        |occ AS (SELECT recordset, count(*) AS n_records,
-       |    CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |      coalesce(uuid,'')||'|'||coalesce(genus,'')||'|'||coalesce(scientificname,'')||'|'||coalesce(locality,'')
-       |    ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |    ${checksumSql("coalesce(uuid,'')||'|'||coalesce(genus,'')" +
+            "||'|'||coalesce(scientificname,'')||'|'||coalesce(locality,'')")}
        |      AS records_checksum
        |  FROM recs GROUP BY 1),
        |mpr AS (SELECT r.recordset, sib.r2 AS media_uuid,
@@ -423,9 +429,8 @@ object DownloadQueries {
        |  FROM sib JOIN recs r ON r.uuid = sib.r1
        |  GROUP BY 1, 2),
        |med AS (SELECT mpr.recordset, count(*) AS n_media,
-       |    CAST(coalesce(sum(try_cast('0x'||substr(md5(
-       |      coalesce(coreid,'')||'|'||coalesce(accessuri,'')||'|'||coalesce(format,'')
-       |    ),1,15) AS BIGINT) % 1000000007), 0) AS BIGINT)
+       |    ${checksumSql("coalesce(coreid,'')||'|'||coalesce(accessuri,'')" +
+            "||'|'||coalesce(format,'')")}
        |      AS media_checksum
        |  FROM mpr JOIN mu USING (media_uuid) GROUP BY 1)
        |SELECT occ.recordset, occ.n_records, occ.records_checksum,
@@ -458,7 +463,19 @@ object DownloadQueries {
     * q_enrich_media's gate; here the membership, dispatch, routing,
     * and sibling carry are the load-bearing composition. */
   def qIndexRunMedia(s: SparkSession, dir: String): DataFrame = {
-    val media = mediaView(s, dir)
+    // orphan media (mid 200-219, derived from events so they exist at
+    // every scale) have NO sibling edges by construction — they are
+    // what makes the '0'-routing branch and the unindexed-delete DROP
+    // fire instead of being fixture-dead (every mid%200 doc has a
+    // live sibling at any realistic scale)
+    val orphans = Tables.events(s, dir)
+      .select((col("event_id") % 20 + 200).as("mid")).distinct()
+      .select(concat(lit("m"), col("mid")).as("media_uuid"),
+        concat(lit("rs"), col("mid") % 5).as("recordset"),
+        when(col("mid") % 2 === 0, lit("image/jpeg"))
+          .otherwise(lit("audio/mpeg")).as("format"),
+        concat(lit("http://media.example/"), col("mid")).as("accessuri"))
+    val media = mediaView(s, dir).unionByName(orphans)
       .withColumn("_tomb",
         expr("CAST(substr(media_uuid, 2) AS BIGINT) % 13 = 0"))
     val sibs = sibEdges(s, dir)
@@ -493,9 +510,15 @@ object DownloadQueries {
        |    min(sib.r1) AS first_rec
        |  FROM sib JOIN ru ON ru.uuid = sib.r1 AND NOT ru.deleted
        |  GROUP BY sib.r2),
-       |m AS (SELECT mu.*,
+       |orph AS (SELECT DISTINCT 'm'||(event_id%20 + 200) AS media_uuid,
+       |    'rs'||((event_id%20 + 200)%5) AS recordset,
+       |    CASE WHEN (event_id%20 + 200)%2 = 0 THEN 'image/jpeg'
+       |         ELSE 'audio/mpeg' END AS format,
+       |    'http://media.example/'||(event_id%20 + 200) AS accessuri
+       |  FROM events),
+       |m AS (SELECT mu2.*,
        |    (CAST(substr(media_uuid, 2) AS BIGINT) % 13 = 0) AS tomb
-       |  FROM mu)
+       |  FROM (SELECT * FROM mu UNION ALL SELECT * FROM orph) mu2)
        |SELECT media_uuid, op, routing, records_csv, etag, format,
        |  accessuri FROM (
        |SELECT m.media_uuid, 'index' AS op,

@@ -18,12 +18,17 @@ import org.apache.spark.sql.functions._
 object EtlQueries {
 
   def qEnrich(s: SparkSession, dir: String): DataFrame =
-    enrichedProjection(s, dir)
+    enrichedProjection(s, dir, sortedSource = true)
 
   /** The synthesized-raw → [[Enrich.records]] → projected-fields body
     * of [[qEnrich]], factored so the composed §3.3 index-run gate
-    * ([[qIndexRun]]) enriches through ONE definition. */
-  private def enrichedProjection(s: SparkSession, dir: String): DataFrame = {
+    * ([[qIndexRun]]) enriches through ONE definition. `sortedSource`
+    * applies qEnrich's sort-at-the-scan (its output contract is
+    * id-ordered); the composed gate passes false — its join and final
+    * uuid sort would discard the ordering, so the range-sampling job
+    * + global sort would be pure waste on its hot path. */
+  private def enrichedProjection(s: SparkSession, dir: String,
+      sortedSource: Boolean): DataFrame = {
     val o = Tables.orders(s, dir)
     val latStr = concat(
       (col("o_orderkey") % 170 - 85).cast("string"), lit("."),
@@ -47,7 +52,8 @@ object EtlQueries {
     // the scan first means the sampling job reads only the pruned orders
     // columns, and the enrich projection (order-preserving, narrow) runs
     // once, in parallel, over already-ranged partitions.
-    val raw = o.orderBy(col("o_orderkey")).select(
+    val src = if (sortedSource) o.orderBy(col("o_orderkey")) else o
+    val raw = src.select(
       col("o_orderkey").as("id"),
       map(
         lit("dwc:scientificName"), sciname,
@@ -148,22 +154,23 @@ object EtlQueries {
       concat(lit("rs"), col("o_custkey") % 5).as("parent"),
       (col("o_orderkey") % 97 === 0).as("_tomb"),
       col("o_orderdate").cast("timestamp").as("modified"))
-    def iso(c: Column): Column =
-      date_format(c, "yyyy-MM-dd'T'HH:mm:ssXXX")
+    // BOTH timestamps (the envelope's dateModified and the enriched
+    // datecollected) stay TimestampType into prepForEs — the ONE
+    // definition of the ES ISO serialization — and take their
+    // serialized names after
     val indexRows = graft.etl.Serialize.prepForEs(
       reg.where(!col("_tomb"))
-        .join(enrichedProjection(s, dir), Seq("id"))
+        .join(enrichedProjection(s, dir, sortedSource = false), Seq("id"))
         .select(
           col("uuid"), lit("index").as("op"), col("parent"),
           md5(concat(lit("body:"), col("id"))).as("etag"),
-          iso(col("modified")).as("modified_iso"),
+          col("modified"),
           concat(lit("order:"), col("id")).as("recordids_csv"),
           col("scientificname"), col("genus"), col("basisofrecord"),
           col("lat"), col("lon"),
-          // TimestampType — prepForEs serializes it (the load-bearing
-          // bit); renamed to its serialized name after
           col("datecollected"),
           col("flags"), col("dqs")))
+      .withColumnRenamed("modified", "modified_iso")
       .withColumnRenamed("datecollected", "datecollected_iso")
     def nullS = lit(null).cast("string")
     def nullD = lit(null).cast("double")

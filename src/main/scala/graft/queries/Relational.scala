@@ -208,7 +208,15 @@ object Relational {
           .as("n_items"),
         countDistinct(when(col("stat_type") =!= "view", col("query_hash")))
           .as("n_queries"),
-        countDistinct(col("geocode")).as("n_geocodes"))
+        countDistinct(col("geocode")).as("n_geocodes"),
+        // the WEIGHTED accumulation totals (collect.py's queries[qh] /
+        // geocodes[g] increments summed over the maps): view tracks no
+        // queries, seen adds 1 per entry, search adds the record count
+        sum(when(col("stat_type") === "view", 0L)
+          .when(col("stat_type") === "seen", 1L)
+          .otherwise(col("n"))).as("queries_weight"),
+        sum(when(col("stat_type") === "search", col("n"))
+          .otherwise(1L)).as("geocodes_weight"))
       .orderBy(col("day"), col("recordset"), col("record_type"),
         col("stat_type"))
   }
@@ -243,7 +251,12 @@ object Relational {
       |    AS n_items,
       |  count(DISTINCT CASE WHEN stat_type != 'view' THEN query_hash END)
       |    AS n_queries,
-      |  count(DISTINCT geocode) AS n_geocodes
+      |  count(DISTINCT geocode) AS n_geocodes,
+      |  CAST(sum(CASE WHEN stat_type = 'view' THEN 0
+      |    WHEN stat_type = 'seen' THEN 1 ELSE n END) AS BIGINT)
+      |    AS queries_weight,
+      |  CAST(sum(CASE WHEN stat_type = 'search' THEN n ELSE 1 END)
+      |    AS BIGINT) AS geocodes_weight
       |FROM entries GROUP BY 1, 2, 3, 4
       |ORDER BY day, recordset, record_type, stat_type""".stripMargin
 
