@@ -182,7 +182,15 @@ object EtlQueries {
       nullS.as("basisofrecord"), nullD.as("lat"), nullD.as("lon"),
       nullS.as("datecollected_iso"), nullS.as("flags"),
       nullD.as("dqs"))
-    indexRows.unionByName(deleteRows).orderBy(col("uuid"))
+    // the top-level sort's range-sampling pass would re-evaluate the
+    // whole correct+enrich+join composition a SECOND time (the close
+    // bench read 4.35 s ≈ 2× q_enrich — exactly double evaluation;
+    // qEnrich's sort-at-the-source trick doesn't survive a join) —
+    // cut the lineage once, sort the materialized cut
+    val (cut, rdd) = graft.operators.Graph.localCut(
+      indexRows.unionByName(deleteRows))
+    graft.Staging.registerPinned(s, rdd)
+    cut.orderBy(col("uuid"))
   }
 
   val qIndexRunSql: String =
