@@ -174,7 +174,8 @@ object Bench {
     // round-18 late additions (isolated 1x readings, idle canaries):
     "q_subitem_view" -> 1.92, "q_index_run" -> 4.81,
     "q_index_run_media" -> 1.5, "q_static_datasets" -> 1.5,
-    "q_media_api" -> 1.5, "q_stats_digest" -> 1.4)
+    "q_media_api" -> 1.5, "q_stats_digest" -> 1.4,
+    "q_index_run_incr" -> 1.5)
 
   def main(args: Array[String]): Unit = {
     // drop any previous run's artifact FIRST: if this run's write fails

@@ -406,6 +406,10 @@ object ScaleStress {
       // one DISTINCT-ON latest-assoc agg + two key joins + a 4-way
       // derivative explode, all url/etag-keyed
       "q_media_api",
+      // incremental index run = one scalar watermark agg broadcast
+      // into a version-log predicate + key-aligned joins over the
+      // 10x delta
+      "q_index_run_incr",
       // stats digest = one payload explode + ONE grouped aggregate
       // over 10x events (3 conditional distincts on the grouped
       // stream; group domain day x 5 recordsets x 2 x 3)

@@ -258,6 +258,70 @@ object StoreQueries {
        |WHERE k.rank > 3 AND k.rank <= 10
        |ORDER BY k.parent, k.rank""".stripMargin
 
+  /** The §3.3 INCREMENTAL index run — `idb index incremental` →
+    * `type_yield_modified` (idb/indexing/index_from_postgres.py:68-160,
+    * :323-325) composed as one gate:
+    *
+    *  - the WATERMARK is the index's own max datemodified, rounded UP
+    *    to whole seconds (`utcfromtimestamp(ceil(ms/1000))`, :88-89 —
+    *    the quirk is observable here because the fixture carries
+    *    sub-second timestamps); the "already-indexed" prefix is
+    *    modeled as every version before Jan 20;
+    *  - the delta is EVERY VERSION of every record with
+    *    modified > watermark (:92-96 — not just the latest; ES
+    *    convergence depends on processing them in ascending modified
+    *    order, which is the gate's output ordering);
+    *  - each delta version runs the index_record dispatch: a
+    *    tombstoned entity's post-watermark versions present the
+    *    tombstone etag (delete_item's upsert, db.py:348-351) and
+    *    become uuid-only DELETE actions; the rest carry the VERSION's
+    *    body (not the entity's latest).
+    *
+    * Scale shape: one scalar watermark aggregate broadcast into a
+    * predicate on the version log (at scale a modified-partitioned
+    * log prunes to the delta's partitions), then key-aligned joins —
+    * the full-run composition (q_index_run) restricted to the delta. */
+  def qIndexRunIncr(s: SparkSession, dir: String): DataFrame = {
+    val st = storeFrom(s, dir)
+    val wm = st.uuidsData
+      .where(col("modified") < lit("2024-01-20").cast("timestamp"))
+      .agg(timestamp_seconds(
+        ceil(unix_millis(max(col("modified")).cast("timestamp")) /
+          lit(1000.0)).cast("long")).as("wm"))
+    val reg = st.uuids.where(col("type") === "records")
+    st.uuidsData.crossJoin(broadcast(wm))
+      .where(col("modified") > col("wm"))
+      .join(reg, col("uuids_id") === reg("uuid"))
+      .join(st.data.withColumnRenamed("etag", "_e"),
+        col("data_etag") === col("_e"), "left")
+      .select(col("uuid"), col("version"), col("modified"),
+        when(col("deleted"), "delete").otherwise("index").as("op"),
+        when(col("deleted"),
+            lit(graft.store.RecordStore.TombstoneEtag))
+          .otherwise(col("data_etag")).as("etag"),
+        when(col("deleted"), lit(null).cast("string"))
+          .otherwise(col("data")).as("body"),
+        when(col("deleted"), lit(null).cast("string"))
+          .otherwise(col("parent")).as("parent"))
+      .orderBy(col("modified"), col("uuid"), col("version"))
+  }
+
+  val qIndexRunIncrSql: String =
+    s"""WITH $modelSql,
+       |wm AS (SELECT make_timestamp(CAST(ceil(
+       |    epoch_ms(max(modified))/1000.0) AS BIGINT) * 1000000) AS wm
+       |  FROM vlog WHERE modified < TIMESTAMP '2024-01-20'),
+       |delta AS (SELECT v.* FROM vlog v, wm WHERE v.modified > wm.wm)
+       |SELECT v.uuids_id AS uuid, v.version, v.modified,
+       |  CASE WHEN ru.deleted THEN 'delete' ELSE 'index' END AS op,
+       |  CASE WHEN ru.deleted
+       |    THEN '${graft.store.RecordStore.TombstoneEtag}'
+       |    ELSE v.data_etag END AS etag,
+       |  CASE WHEN ru.deleted THEN NULL ELSE v.props END AS body,
+       |  CASE WHEN ru.deleted THEN NULL ELSE ru.parent END AS parent
+       |FROM delta v JOIN ru ON ru.uuid = v.uuids_id
+       |ORDER BY modified, uuid, version""".stripMargin
+
   /** has_child semi-join over the sibling-derived child arrays
     * (download.py:407-412): records with at least one even-numbered
     * mediarecord child. */
