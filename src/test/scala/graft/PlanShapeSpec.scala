@@ -296,4 +296,39 @@ class PlanShapeSpec extends SparkSpec {
       "the probe side must broadcast:\n" + p2)
     assert(!p2.toLowerCase.contains("scalaudf"))
   }
+
+  test("maintained winnow form: the df prune never re-aggregates the " +
+      "base population (the r17 O(base) debt, pinned structurally)") {
+    // distinguishable leaves: base index/stats vs the delta's fps
+    val baseFps = (1L to 50L).map(i => (i, i * 7L)).toDF("doc_id", "fp")
+      .as("base_fps_leaf")
+    val baseStats = (1L to 50L).map(i => (i * 7L, 1L)).toDF("fp", "_df")
+    val deltaFps = (100L to 110L).map(i => (i, i * 3L)).toDF("doc_id", "fp")
+    val out = graft.operators.Corpus.incrementalWinnowMatchesFromFps(
+      baseFps, baseStats, deltaFps, "doc_id", 2L, 100L)
+    val lp = out.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation}
+    // identify each in-memory leaf by its materialized row count
+    def leafSizes(
+        n: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[Int] =
+      n.collect { case l: LocalRelation => l.data.size }
+    val aggs = lp.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty)
+    // every fp-keyed aggregate (the df prune) must see ONLY delta-sized
+    // leaves (11 rows) — a regression to the r17 shape would pull the
+    // 50-row base index or stats under a df aggregate
+    val dfPrunes = aggs.filter(a => a.groupingExpressions.size == 1 &&
+      a.groupingExpressions.head.references.map(_.name).toSeq == Seq("fp"))
+    assert(dfPrunes.nonEmpty, lp.toString)
+    dfPrunes.foreach { a =>
+      assert(leafSizes(a.child).forall(_ == 11),
+        s"df prune must aggregate the DELTA only:\n$a")
+    }
+    // the base leaves are consumed by JOINS only (probe/lookup), never
+    // under any aggregate except the final pair count, whose grouping
+    // is (d1, d2)
+    aggs.filterNot(dfPrunes.contains).foreach { a =>
+      assert(a.groupingExpressions.size == 2, a.toString)
+    }
+  }
 }
