@@ -550,6 +550,134 @@ object Corpus {
         round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** The per-occurrence bigram stream of a tokenized corpus:
+    * (idCol, w1, w2), one row per adjacent word pair, docs shorter
+    * than two tokens dropped — the shared front of every bigram-LM
+    * operator here ([[bigramLmScore]], [[knCounts]],
+    * [[knScoreFromCounts]]). */
+  private def bigramPairs(docs: DataFrame, idCol: String,
+      wordsCol: String): DataFrame = docs
+    .filter(size(col(wordsCol)) >= 2)
+    .select(col(idCol), explode(zip_with(
+      slice(col(wordsCol), lit(1), size(col(wordsCol)) - 1),
+      slice(col(wordsCol), lit(2), size(col(wordsCol)) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+    .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** Bigram occurrence counts — the EXACT MERGEABLE sufficient
+    * statistics of the interpolated Kneser-Ney model ([[knModel]]):
+    * every derived quantity (context totals, continuation counts,
+    * count-of-counts, the discount itself) is a pure function of this
+    * one (w1, w2, cb) table, and the cb of a union of corpora is the
+    * per-bigram SUM of the parts' cbs ([[knMergeCounts]]) — the
+    * [[dsirStats]]/[[winnowDfStats]] maintenance discipline: at 100 TB
+    * the stored counts table (observed-bigram-type-sized, orders of
+    * magnitude below the corpus) is merged by addition per ingest
+    * batch; the model is re-DERIVED from it in vocabulary-sized
+    * aggregates, never re-counted from text. */
+  def knCounts(docs: DataFrame, idCol: String, wordsCol: String): DataFrame =
+    bigramPairs(docs, idCol, wordsCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+
+  /** Merge bigram-count slices by per-(w1, w2) addition (the exactness
+    * argument in [[knCounts]]; slices must come from disjoint document
+    * sets, which base/delta are by contract). */
+  def knMergeCounts(slices: DataFrame*): DataFrame = {
+    require(slices.nonEmpty, "knMergeCounts needs at least one slice")
+    slices.reduceLeft(_ unionByName _)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cb")).as("cb"))
+  }
+
+  /** Interpolated Kneser-Ney bigram model (Kneser & Ney, ICASSP 1995;
+    * the estimator behind KenLM and therefore behind CCNet's
+    * perplexity filter — Heafield WMT 2011, Wenzek et al. LREC 2020),
+    * derived ENTIRELY from a [[knCounts]] table:
+    *
+    *   D        = n1 / (n1 + 2·n2)        (absolute discount from the
+    *                                       count-of-counts n1, n2)
+    *   Pcont(w2)= N1+(·w2) / B            (continuation probability:
+    *                                       distinct left-contexts of w2
+    *                                       over distinct bigram types)
+    *   P(w2|w1) = (cb − D + D · N1+(w1·) · Pcont(w2)) / c(w1·)
+    *
+    * (cb ≥ 1 on every observed bigram and D < 1, so the max(cb−D, 0)
+    * clamp of the general form is vacuous here.) Output one row per
+    * observed bigram type: (w1, w2, cb, c1, nf, nb, p_kn), p_kn
+    * rounded to 6 decimals — the float-determinism convention the
+    * DuckDB oracle hash-compares under; every input to the formula is
+    * an exact integer, so the doubles agree bit-for-bit before the
+    * round on both engines.
+    *
+    * Plan shape: two vocabulary-sized aggregates (contexts, rights)
+    * and one 3-integer scalar off the counts table, joined back on
+    * their own aggregation keys; the corpus text is never touched. */
+  def knModel(counts: DataFrame): DataFrame =
+    knJoined(counts, counts)
+      .select(col("w1"), col("w2"), col("cb"), col("c1"), col("nf"), col("nb"),
+        round(knLogTermInput, 6).as("p_kn"))
+
+  /** The derived-relation join shared by [[knModel]] and
+    * [[knScoreFromCounts]]: `stream` (any relation carrying w1/w2)
+    * joined with the counts table, the w1-keyed context aggregate, the
+    * w2-keyed continuation aggregate, and the broadcast 3-integer
+    * scalar. `stream eq counts` (the model form) skips the redundant
+    * self-join. */
+  private def knJoined(stream: DataFrame, counts: DataFrame): DataFrame = {
+    val contexts = counts.groupBy(col("w1")).agg(
+      sum(col("cb")).as("c1"), count(lit(1)).as("nf"))
+    val rights = counts.groupBy(col("w2")).agg(count(lit(1)).as("nb"))
+    val scalars = counts.agg(
+      count(lit(1)).as("bt"),
+      sum(when(col("cb") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("cb") === 2, 1L).otherwise(0L)).as("n2"))
+    (if (stream eq counts) counts else stream.join(counts, Seq("w1", "w2")))
+      .join(contexts, Seq("w1"))
+      .join(rights, Seq("w2"))
+      .crossJoin(broadcast(scalars)) // 1-row corpus scalar
+  }
+
+  /** The KN probability of a joined row ([[knJoined]] output), BEFORE
+    * any round/log — kept as one shared expression so the model gate,
+    * the scoring gate, and the DuckDB oracle all evaluate the same
+    * operation order (the 6-decimal float-determinism contract).
+    * A corpus whose every bigram type repeats ≥ 3 times has
+    * n1 = n2 = 0 and the Ney estimate D = n1/(n1+2·n2) is 0/0 —
+    * KenLM's --discount_fallback convention applies: D = 0.5. */
+  private def knLogTermInput: Column = {
+    val d = when(col("n1") + lit(2L) * col("n2") > 0L,
+      col("n1").cast("double") /
+        (col("n1") + lit(2L) * col("n2")).cast("double"))
+      .otherwise(lit(0.5))
+    (col("cb").cast("double") - d + d * col("nf").cast("double") *
+      (col("nb").cast("double") / col("bt").cast("double"))) /
+      col("c1").cast("double")
+  }
+
+  /** Score a tokenized corpus under the Kneser-Ney model derived from
+    * `counts` — the CCNet quality signal with the real KenLM-family
+    * estimator instead of [[bigramLmScore]]'s add-alpha fallback:
+    * per document, the average bigram log-probability and the
+    * perplexity exp(−avg). Self-scoring (counts built over a superset
+    * of `docs`) keeps every bigram observed, so no OOV path fires;
+    * scoring a FOREIGN corpus would left-join and floor unseen mass,
+    * which callers opt into by pre-filtering.
+    *
+    * Plan: the occurrence stream joins the model relations on their
+    * own aggregation keys (w1-keyed context join, w2-keyed rights
+    * join, broadcast scalar), then one per-doc aggregate — the
+    * [[bigramLmScore]] exchange layout with the KN formula in the
+    * projection. The un-rounded log term evaluates in the same
+    * operation order as the oracle's SQL, so sum/count/exp agree to
+    * the 6-decimal round. */
+  def knScoreFromCounts(docs: DataFrame, idCol: String, wordsCol: String,
+      counts: DataFrame): DataFrame =
+    knJoined(bigramPairs(docs, idCol, wordsCol), counts)
+      .select(col(idCol), log(knLogTermInput).as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"),
+        round(exp(-(sum(col("lp")) / count(lit(1)))), 6).as("ppl"))
+
   /** Per-group z-score outlier detection over an INTEGER measure in
     * EXACT integer arithmetic — the anomaly pass a curation pipeline
     * runs per domain (absurdly long/short documents, byte-count

@@ -389,4 +389,74 @@ object DslQueries {
        |SELECT s_suppkey FROM g
        |WHERE ${GeoFunctions.haversineSql("lat", "lon", -20.0, -40.0)} <= 4000000.0
        |ORDER BY s_suppkey""".stripMargin
+
+  // --- composed reporting query ------------------------------------------
+
+  /** The modelable-taxa report (idb/reporting/modelable_taxonids.py:11-25)
+    * — the reference's "which taxa have enough clean occurrence data to
+    * model" extract: an AND-of-exists DSL filter (geopoint, taxonid,
+    * canonicalname all present), a terms aggregation on taxonid with
+    * min_doc_count = 20, and per bucket the TOP canonicalname sub-bucket
+    * in ES terms order (count desc, key asc — replayed with min_by over
+    * the (−count, key) struct, the [[Relational.qTermsNested]] device,
+    * no window). The exists triple goes through [[Compile.fromJson]] —
+    * the DSL compiler is load-bearing, not decorative.
+    *
+    * The occurrence view derives from `lineitem` with independent NULL
+    * injection per field (7∤partkey keeps geopoint, 5∤suppkey keeps
+    * taxonid, 11∤orderkey keeps canonicalname; every 4th named row is a
+    * 'syn'-prefixed synonym so the top-name election is non-trivial).
+    *
+    * Scale shape: scan-with-pushed-filter → one (taxonid, name)
+    * aggregate → one taxonid-sized aggregate; min_doc_count prunes
+    * after the partial-combined count, exactly like the ES terms
+    * collector. */
+  def qTaxonModel(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.lineitem(s, dir).select(
+      when(col("l_partkey") % 7 =!= 0,
+        (col("l_partkey") * 7919 % 18000) / 100.0 - 90.0).as("geopoint"),
+      when(col("l_suppkey") % 5 =!= 0, col("l_partkey") % 300).as("taxonid"),
+      when(col("l_orderkey") % 11 =!= 0,
+        concat(when(col("l_orderkey") % 4 === 0, lit("syn")).otherwise(lit("name")),
+          (col("l_partkey") % 300).cast("string"))).as("canonicalname"))
+    occ
+      .filter(Compile.fromJson(
+        """{"geopoint": {"type": "exists"},
+          | "taxonid": {"type": "exists"},
+          | "canonicalname": {"type": "exists"}}""".stripMargin))
+      .groupBy(col("taxonid"), col("canonicalname"))
+      .agg(count(lit(1)).as("sub_n"))
+      .groupBy(col("taxonid"))
+      .agg(sum(col("sub_n")).as("doc_count"),
+        min_by(col("canonicalname"),
+          struct((lit(0L) - col("sub_n")).as("_neg"), col("canonicalname")))
+          .as("top_name"))
+      .filter(col("doc_count") >= 20)
+      .orderBy(col("doc_count").desc, col("taxonid"))
+  }
+
+  val qTaxonModelSql: String =
+    """WITH occ AS (
+      |  SELECT
+      |    CASE WHEN l_partkey % 7 <> 0
+      |      THEN (l_partkey * 7919 % 18000) / 100.0 - 90.0 END AS geopoint,
+      |    CASE WHEN l_suppkey % 5 <> 0 THEN l_partkey % 300 END AS taxonid,
+      |    CASE WHEN l_orderkey % 11 <> 0
+      |      THEN (CASE WHEN l_orderkey % 4 = 0 THEN 'syn' ELSE 'name' END)
+      |        || CAST(l_partkey % 300 AS VARCHAR) END AS canonicalname
+      |  FROM lineitem),
+      |sub AS (
+      |  SELECT taxonid, canonicalname, COUNT(*) AS sub_n FROM occ
+      |  WHERE geopoint IS NOT NULL AND taxonid IS NOT NULL
+      |    AND canonicalname IS NOT NULL
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT taxonid, canonicalname,
+      |    row_number() OVER (PARTITION BY taxonid
+      |      ORDER BY sub_n DESC, canonicalname) AS rk,
+      |    CAST(SUM(sub_n) OVER (PARTITION BY taxonid) AS BIGINT) AS doc_count
+      |  FROM sub)
+      |SELECT taxonid, doc_count, canonicalname AS top_name FROM r
+      |WHERE rk = 1 AND doc_count >= 20
+      |ORDER BY doc_count DESC, taxonid""".stripMargin
 }

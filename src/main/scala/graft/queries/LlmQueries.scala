@@ -2252,6 +2252,119 @@ object LlmQueries {
       |  round(sum(l) / count(*), 6) AS avg_logprob
       |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The shared CTE front of the Kneser-Ney oracles: bigram stream,
+    * counts, context/continuation aggregates, and the 3-integer scalar
+    * — the SQL transliteration of [[Corpus.knCounts]] + the derived
+    * relations of [[Corpus.knModel]]. */
+  private val knCtes: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+      |      FROM (SELECT doc_id, unnest(range(len(w) - 1)) AS i, w FROM d)),
+      |c AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+      |ctx AS (SELECT w1, sum(cb) AS c1, count(*) AS nf FROM c GROUP BY 1),
+      |rts AS (SELECT w2, count(*) AS nb FROM c GROUP BY 1),
+      |s AS (SELECT count(*) AS bt,
+      |        sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS n1,
+      |        sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS n2 FROM c)""".stripMargin
+
+  /** The KN probability term in the exact operation order
+    * [[Corpus]].knLogTermInput evaluates (the 6-decimal determinism
+    * contract): ((cb − D) + ((D·nf)·(nb/bt))) / c1, D = n1/(n1+2·n2)
+    * with KenLM's 0.5 fallback when the count-of-counts degenerate. */
+  private val knDiscountSql: String =
+    "(CASE WHEN n1 + 2 * n2 > 0" +
+      " THEN CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE)" +
+      " ELSE 0.5 END)"
+
+  private val knTermSql: String =
+    s"(CAST(cb AS DOUBLE) - $knDiscountSql" +
+      s" + $knDiscountSql" +
+      " * CAST(nf AS DOUBLE) * (CAST(nb AS DOUBLE) / CAST(bt AS DOUBLE)))" +
+      " / CAST(c1 AS DOUBLE)"
+
+  /** Interpolated Kneser-Ney bigram model over the corpus
+    * ([[Corpus.knModel]] — the KenLM-family estimator behind CCNet's
+    * perplexity filter), restricted to bigram types seen ≥ 3 times
+    * (the emit bound; the full model at scale is the counts table
+    * itself plus two vocabulary-sized aggregates). Every formula
+    * input (cb, c1, nf, nb, n1, n2, bt) is an exact integer in both
+    * engines, so p_kn agrees bit-for-bit before the 6-decimal
+    * round. */
+  def qKnLm(s: SparkSession, dir: String): DataFrame =
+    Corpus.knModel(knCountsStaged(s, dir))
+      .where(col("cb") >= 3)
+      .orderBy(col("w1"), col("w2"))
+
+  val qKnLmSql: String =
+    s"""WITH $knCtes
+       |SELECT w1, w2, cb, CAST(c1 AS BIGINT) AS c1, nf, nb,
+       |  round($knTermSql, 6) AS p_kn
+       |FROM c JOIN ctx USING (w1) JOIN rts USING (w2) CROSS JOIN s
+       |WHERE cb >= 3 ORDER BY w1, w2""".stripMargin
+
+  /** The bigram count table — [[Corpus.knCounts]] — staged once per
+    * (session, dir): it is the model's whole sufficient statistic and
+    * feeds both KN gates (and, at scale, IS the stored table the
+    * incremental form maintains by addition). */
+  private def knCountsStaged(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.stage(s, s"kn:counts:$dir") {
+      Corpus.knCounts(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w")),
+        "doc_id", "w")
+    }
+
+  /** Per-document Kneser-Ney perplexity ([[Corpus.knScoreFromCounts]])
+    * — the CCNet curation signal with the real KN estimator: average
+    * bigram log-probability (round 6) and perplexity exp(−avg)
+    * (round 3 — the exp magnifies last-ulp sum wobble by the ppl
+    * value itself, so the determinism contract loosens three
+    * decimals; avg_logprob stays the 6-decimal witness). */
+  def qKnScore(s: SparkSession, dir: String): DataFrame =
+    knScoreOrdered(
+      Corpus.knScoreFromCounts(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w")),
+        "doc_id", "w", knCountsStaged(s, dir)))
+
+  private def knScoreOrdered(scored: DataFrame): DataFrame =
+    scored
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
+        round(col("ppl"), 3).as("ppl"))
+      .orderBy(col("doc_id"))
+
+  val qKnScoreSql: String =
+    s"""WITH $knCtes,
+       |lp AS (SELECT b.doc_id, ln($knTermSql) AS l
+       |       FROM b JOIN c USING (w1, w2) JOIN ctx USING (w1)
+       |       JOIN rts USING (w2) CROSS JOIN s)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(sum(l) / count(*), 6) AS avg_logprob,
+       |  round(round(exp(-(sum(l) / count(*))), 6), 3) AS ppl
+       |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** INCREMENTAL maintenance of the KN model — the [[Corpus.dsirStats]]
+    * discipline applied to the LM: the corpus splits into a stored
+    * base (doc_id % 10 ≠ 0) and a delta batch, each side aggregates
+    * its OWN bigram counts, and the stored table is maintained by
+    * per-bigram ADDITION ([[Corpus.knMergeCounts]]) — never re-counted
+    * from base text. The gate scores the full corpus from the MERGED
+    * table while the oracle recomputes from scratch, so the hash match
+    * IS the merge-exactness proof (counts are exact mergeable
+    * sufficient statistics; every derived quantity — discount,
+    * continuation counts, count-of-counts — re-derives from the merged
+    * table bit-for-bit). */
+  def qKnIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val merged = Corpus.knMergeCounts(
+      Corpus.knCounts(docs.where(col("doc_id") % 10 =!= 0), "doc_id", "w"),
+      Corpus.knCounts(docs.where(col("doc_id") % 10 === 0), "doc_id", "w"))
+    knScoreOrdered(Corpus.knScoreFromCounts(docs, "doc_id", "w", merged))
+  }
+
+  val qKnIncrSql: String = qKnScoreSql
+
   /** Top-50 PMI collocations over the corpus
     * ([[graft.operators.Search.pmiCollocations]], minCount 5):
     * ln(N·c(ab)/(c(a·)·c(·b))) over bigram-slot marginals, rounded to

@@ -393,4 +393,68 @@ object StoreQueries {
       |SELECT etag FROM incoming
       |WHERE etag NOT IN (SELECT etag FROM store_etags)
       |ORDER BY etag""".stripMargin
+
+  /** The ANNOTATIONS store (idb/annotations/loader.py:20-50 +
+    * apply.py:34-45): community/ePANDDA corrections submitted against
+    * a record, upserted by source_id —
+    * `INSERT ... ON CONFLICT (source_id) DO UPDATE SET v, updated_at`.
+    * The conflict clause is the whole semantic: a re-submission
+    * replaces ONLY the annotation body and timestamp; the row's
+    * identity (the annotated record `uuids_id`, the submitting
+    * `source`, the moderation `approved` flag) keeps its FIRST-insert
+    * value — loader.py's DO UPDATE lists exactly v and updated_at, so
+    * a resubmitted annotation never re-targets, re-attributes, or
+    * self-approves. Replayed relationally as one aggregate over the
+    * submission log: min_by(·, arrival) for the insert-only columns,
+    * max_by(·, arrival) for the upserted ones, count(*) as the
+    * submission tally (get_annotations' per-record fetch is then a
+    * uuids_id-keyed read of this view).
+    *
+    * The submission stream derives from `events` (the harness append
+    * log): event_id % 200 forms the source_id conflict key (~heavy
+    * multi-submission traffic), arrival order is event_id — the
+    * executemany iteration order of the reference loader.
+    *
+    * Scale shape: ONE hash aggregation keyed by source_id with
+    * map-side combine (min_by/max_by/count are all mergeable); at
+    * 100 TB the store is maintained per ingest batch by the same
+    * merge, never re-scanned. */
+  def qAnnotations(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        concat(lit("ann"), col("event_id") % 200).as("source_id"),
+        concat(lit("u"), col("user_id") % 50).as("uuids_id"),
+        lower(col("props")).as("v"), // loader.py json.dumps(v).lower()
+        col("event_type").as("source"),
+        (col("value") > 0.5).as("approved"),
+        col("ts").as("updated_at"),
+        col("event_id").as("arr"))
+      .groupBy(col("source_id"))
+      .agg(
+        min_by(col("uuids_id"), col("arr")).as("uuids_id"),
+        max_by(col("v"), col("arr")).as("v"),
+        min_by(col("source"), col("arr")).as("source"),
+        min_by(col("approved"), col("arr")).as("approved"),
+        max_by(col("updated_at"), col("arr")).as("updated_at"),
+        count(lit(1)).as("n_submits"))
+      .orderBy(col("source_id"))
+
+  val qAnnotationsSql: String =
+    """WITH sub AS (
+      |  SELECT 'ann' || (event_id % 200) AS source_id,
+      |    'u' || (user_id % 50) AS uuids_id,
+      |    lower(props) AS v,
+      |    event_type AS source,
+      |    value > 0.5 AS approved,
+      |    ts AS updated_at,
+      |    event_id AS arr
+      |  FROM events)
+      |SELECT source_id,
+      |  min_by(uuids_id, arr) AS uuids_id,
+      |  max_by(v, arr) AS v,
+      |  min_by(source, arr) AS source,
+      |  min_by(approved, arr) AS approved,
+      |  max_by(updated_at, arr) AS updated_at,
+      |  count(*) AS n_submits
+      |FROM sub GROUP BY 1 ORDER BY source_id""".stripMargin
 }

@@ -645,4 +645,82 @@ class CorpusSpec extends SparkSpec {
     // the one-empty-token weight
     assert(w(2L) === w(3L))
   }
+
+  test("knModel: hand-computed interpolated Kneser-Ney probabilities " +
+      "on the textbook corpus; observed-mass sums stay below one") {
+    val s = spark
+    import s.implicits._
+    // one doc "a b a b c": bigrams ab×2, ba×1, bc×1 → n1=2, n2=1,
+    // D = 2/4 = 0.5; B = 3 types; every w2 has one left-context so
+    // Pcont = 1/3 each; contexts: a→(c1=2, nf=1), b→(c1=2, nf=2)
+    val docs = Seq((1L, Seq("a", "b", "a", "b", "c"))).toDF("doc_id", "w")
+    val m = Corpus.knModel(Corpus.knCounts(docs, "doc_id", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(6))
+      .toMap // keyed (w1, w2) — knModel's select pins the column order
+    assert(m.size === 3)
+    assert(m(("a", "b")) === 0.833333) // (2 − .5 + .5·1·(1/3)) / 2
+    assert(m(("b", "a")) === 0.416667) // (1 − .5 + .5·2·(1/3)) / 2
+    assert(m(("b", "c")) === 0.416667)
+    // interpolated KN: per-context observed mass < 1 (the remainder is
+    // the smoothing mass spread over unseen continuations)
+    assert(m(("b", "a")) + m(("b", "c")) < 1.0)
+  }
+
+  test("knModel: degenerate count-of-counts (no singleton or doubleton " +
+      "bigrams) takes KenLM's 0.5 fallback discount instead of 0/0") {
+    val s = spark
+    import s.implicits._
+    // "x y x y x y x y": xy×4, yx×3 → n1 = n2 = 0 → D = 0.5
+    val docs = Seq((1L, Seq("x", "y", "x", "y", "x", "y", "x", "y")))
+      .toDF("doc_id", "w")
+    val m = Corpus.knModel(Corpus.knCounts(docs, "doc_id", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(6))
+      .toMap
+    assert(m(("x", "y")) === 0.9375)   // (4 − .5 + .5·1·(1/2)) / 4
+    assert(m(("y", "x")) === 0.916667) // (3 − .5 + .5·1·(1/2)) / 3
+  }
+
+  test("knMergeCounts: merged base+delta counts equal the recomputed " +
+      "union table, and the model derived from the merged table equals " +
+      "the recomputed model bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 30L).map { i =>
+      val rep = if (i % 3 == 0) "common phrase here" else s"rare$i words$i"
+      (i, s"start$i $rep tail${i % 5}".split(" ").toSeq)
+    }.toDF("doc_id", "w")
+    val base = docs.where($"doc_id" % 10 =!= 0)
+    val delta = docs.where($"doc_id" % 10 === 0)
+    def cmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val merged = Corpus.knMergeCounts(
+      Corpus.knCounts(base, "doc_id", "w"),
+      Corpus.knCounts(delta, "doc_id", "w"))
+    val recomputed = Corpus.knCounts(docs, "doc_id", "w")
+    assert(cmap(merged) === cmap(recomputed))
+    def mmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(6)).toMap
+    assert(mmap(Corpus.knModel(merged)) === mmap(Corpus.knModel(recomputed)))
+  }
+
+  test("knScoreFromCounts: a document of one repeated high-probability " +
+      "bigram scores higher (lower ppl) than a singleton-bigram doc; " +
+      "sub-2-token docs drop") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, Seq("x", "y", "x", "y", "x", "y")), // xy dominates
+      (2L, Seq("p", "q")),                     // one singleton bigram
+      (3L, Seq("solo"))                        // no bigrams → drops
+    ).toDF("doc_id", "w")
+    val scored = Corpus.knScoreFromCounts(docs, "doc_id", "w",
+        Corpus.knCounts(docs, "doc_id", "w"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(scored.keySet === Set(1L, 2L))
+    assert(scored(1L)._1 === 5L)
+    assert(scored(1L)._2 > scored(2L)._2)   // higher avg logprob
+    assert(scored(1L)._3 < scored(2L)._3)   // lower perplexity
+    assert(scored.values.forall(v => v._3 > 0.0))
+  }
 }
