@@ -149,6 +149,20 @@ object ScaleStress {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
+    // lineitem scales by orderkey-shifted copies (round 18:
+    // q_taxon_model's occurrence view derives from it): the part/supp
+    // keys stay verbatim so the % derivations (taxonid = partkey % 300,
+    // the ic/null-injection mods) keep their distributions — each copy
+    // adds ~1x doc_count to every taxonid bucket, the right scale model
+    // for a terms aggregation; (orderkey, linenumber) stays unique
+    // because only the orderkey shifts
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    assertShiftClears(li, "lineitem", "l_orderkey" -> 100000000L)
+    (0 until copies).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
     val stressed = Seq("q_dedup_apply", "q_dedup_clusters", "q_dedup_minhash",
       "q_store_view", "q_media_derivative", "q_dedup_jaccard", "q_enrich",
       "q_dedup_passages", "q_dedup_passages_apply",
@@ -413,7 +427,26 @@ object ScaleStress {
       // stats digest = one payload explode + ONE grouped aggregate
       // over 10x events (3 conditional distincts on the grouped
       // stream; group domain day x 5 recordsets x 2 x 3)
-      "q_stats_digest")
+      "q_stats_digest",
+      // round 18 session 2: KN model = one bigram explode collapsing
+      // map-side into the staged (w1,w2,cb) counts table + two
+      // vocab-sized derived aggregates + a 3-integer scalar — the
+      // table is vocab²-observed-sized, far below the corpus, so the
+      // ratio should track the bigram scan; scoring re-joins the
+      // occurrence stream against the derived relations on their own
+      // aggregation keys (the q_perplexity exchange layout); incr =
+      // the same plus the base/delta split's two counts aggs + the
+      // by-key merge (merge ≡ recompute, so the Nx shape is identical)
+      "q_kn_lm", "q_kn_score", "q_kn_incr",
+      // annotations = ONE source_id-keyed aggregate with map-side
+      // min_by/max_by combine; taxon model = pushed exists-filter →
+      // (taxonid, name) agg → taxonid-sized agg, the q_terms_nested
+      // shape over 10x lineitem
+      "q_annotations", "q_taxon_model",
+      // dataset index = one (rs, ic) aggregate carrying the cc
+      // sub-stats + an rs-sized min_by election + the totals join —
+      // two shuffles over 10x orders, output fixed at 40 recordsets
+      "q_dataset_index")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

@@ -416,6 +416,118 @@ object DownloadQueries {
       .orderBy(col("recordset"))
   }
 
+  /** The static-datasets INDEX builder
+    * (idigbio_workers/generate_static_datasets_index.py:37-100): per
+    * recordset, elect the institution/collection codes the index.txt
+    * row advertises — a nested terms aggregation with a DOMINANCE
+    * rule:
+    *  - no institutioncode buckets → ic = cc = ""
+    *  - exactly one bucket, OR the top bucket holds > 0.9 of the
+    *    recordset's TOTAL doc_count (missing-ic docs included in the
+    *    denominator — the reference divides by rs doc_count) → ic =
+    *    get_true_ic(top key); cc from the top bucket's collectioncode
+    *    sub-buckets (0 → "", 1 → that key, else "MULTIPLE")
+    *  - otherwise ic = cc = "MULTIPLE"
+    * get_true_ic (:28-35) canonicalizes the WINNING key only: the
+    * trailing parenthesized pure-letter code if present, else the raw
+    * key, lowercased and stripped. The > 0.9 float test is algebraized
+    * to the exact integer comparison icn·10 > n·9 so both engines
+    * decide borderline recordsets identically.
+    *
+    * The occurrence view derives from `orders` with per-recordset
+    * regime variety: rsn % 3 = 0 recordsets are genuinely mixed (five
+    * ~equal codes → MULTIPLE), = 1 carry one paren-coded museum label
+    * (single-bucket election + the get_true_ic extraction), = 2 are
+    * dominant-with-minority (the > 0.9 arithmetic decides); rs39 has
+    * NO codes (the empty election) and rs1 no collection codes (the
+    * empty sub-election); odd dominant recordsets carry two cc values
+    * (the sub-MULTIPLE case).
+    *
+    * Scale shape: one (rs, ic) aggregate carrying the cc sub-stats
+    * (count distinct + the single key), one rs-sized election
+    * aggregate via min_by over the (−count, key) struct — the ES
+    * terms order without a window — and one rs-sized totals join.
+    * The reference pays an ES agg per page of 1000 recordsets; this
+    * is two shuffles regardless of recordset count. */
+  def qDatasetIndex(s: SparkSession, dir: String): DataFrame = {
+    val rsn = col("o_custkey") % 40
+    val ok = col("o_orderkey")
+    val v = Tables.orders(s, dir).select(
+      concat(lit("rs"), rsn).as("rs"),
+      when(rsn === 39 || ok % 13 === 0, lit(null).cast("string"))
+        .when(rsn % 3 === 0, concat(lit("IC"), ok % 5))
+        .when(rsn % 3 === 1, concat(lit("Museum "), rsn, lit(" (MUSA)")))
+        .when(ok % 100 === 0, lit("ICB")).otherwise(lit("ICA")).as("ic"),
+      when(rsn === 1 || ok % 7 === 0, lit(null).cast("string"))
+        .when(rsn % 2 === 0, concat(lit("CC"), rsn))
+        .otherwise(concat(lit("CC"), ok % 2)).as("cc"))
+    val totals = v.groupBy(col("rs")).agg(count(lit(1)).as("n"))
+    val perIc = v.where(col("ic").isNotNull)
+      .groupBy(col("rs"), col("ic"))
+      .agg(count(lit(1)).as("icn"),
+        countDistinct(col("cc")).as("n_cc"), min(col("cc")).as("cc_one"))
+    val elect = perIc.groupBy(col("rs")).agg(
+      count(lit(1)).as("n_ic"),
+      min_by(struct(col("ic"), col("icn"), col("n_cc"), col("cc_one")),
+        struct((lit(0L) - col("icn")).as("_neg"), col("ic"))).as("tp"))
+    def getTrueIc(c: Column): Column = {
+      val ex = regexp_extract(c, "^.*\\(([a-zA-Z]+)\\)$", 1)
+      lower(trim(when(ex =!= "", ex).otherwise(c)))
+    }
+    val dominant = col("n_ic") === 1 ||
+      col("tp.icn") * 10 > col("n") * 9
+    totals.join(elect, Seq("rs"), "left")
+      .select(col("rs").as("recordset_id"), col("n").as("n_records"),
+        when(col("n_ic").isNull, lit(""))
+          .when(dominant, getTrueIc(col("tp.ic")))
+          .otherwise(lit("MULTIPLE")).as("institutioncode"),
+        when(col("n_ic").isNull, lit(""))
+          .when(dominant,
+            when(col("tp.n_cc") === 0, lit(""))
+              .when(col("tp.n_cc") === 1, col("tp.cc_one"))
+              .otherwise(lit("MULTIPLE")))
+          .otherwise(lit("MULTIPLE")).as("collectioncode"))
+      .orderBy(col("recordset_id"))
+  }
+
+  val qDatasetIndexSql: String =
+    """WITH v AS (
+      |  SELECT 'rs' || (o_custkey % 40) AS rs,
+      |    CASE WHEN (o_custkey % 40) = 39 OR o_orderkey % 13 = 0 THEN NULL
+      |         WHEN (o_custkey % 40) % 3 = 0 THEN 'IC' || (o_orderkey % 5)
+      |         WHEN (o_custkey % 40) % 3 = 1
+      |           THEN 'Museum ' || (o_custkey % 40) || ' (MUSA)'
+      |         WHEN o_orderkey % 100 = 0 THEN 'ICB' ELSE 'ICA' END AS ic,
+      |    CASE WHEN (o_custkey % 40) = 1 OR o_orderkey % 7 = 0 THEN NULL
+      |         WHEN (o_custkey % 40) % 2 = 0 THEN 'CC' || (o_custkey % 40)
+      |         ELSE 'CC' || (o_orderkey % 2) END AS cc
+      |  FROM orders),
+      |tot AS (SELECT rs, count(*) AS n FROM v GROUP BY 1),
+      |pi AS (SELECT rs, ic, count(*) AS icn,
+      |    count(DISTINCT cc) AS n_cc, min(cc) AS cc_one
+      |  FROM v WHERE ic IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT rs, ic, icn, n_cc, cc_one,
+      |    row_number() OVER (PARTITION BY rs ORDER BY icn DESC, ic) AS rk,
+      |    count(*) OVER (PARTITION BY rs) AS n_ic
+      |  FROM pi),
+      |tp AS (SELECT * FROM r WHERE rk = 1)
+      |SELECT tot.rs AS recordset_id, CAST(tot.n AS BIGINT) AS n_records,
+      |  CASE WHEN tp.rs IS NULL THEN ''
+      |       WHEN tp.n_ic = 1 OR tp.icn * 10 > tot.n * 9 THEN
+      |         lower(trim(CASE
+      |           WHEN regexp_extract(tp.ic, '^.*\(([a-zA-Z]+)\)$', 1) <> ''
+      |           THEN regexp_extract(tp.ic, '^.*\(([a-zA-Z]+)\)$', 1)
+      |           ELSE tp.ic END))
+      |       ELSE 'MULTIPLE' END AS institutioncode,
+      |  CASE WHEN tp.rs IS NULL THEN ''
+      |       WHEN tp.n_ic = 1 OR tp.icn * 10 > tot.n * 9 THEN
+      |         CASE WHEN tp.n_cc = 0 THEN ''
+      |              WHEN tp.n_cc = 1 THEN tp.cc_one
+      |              ELSE 'MULTIPLE' END
+      |       ELSE 'MULTIPLE' END AS collectioncode
+      |FROM tot LEFT JOIN tp USING (rs)
+      |ORDER BY recordset_id""".stripMargin
+
   val qStaticDatasetsSql: String =
     s"""WITH $oracleModel,
        |recs AS (SELECT * FROM ru WHERE NOT deleted),
