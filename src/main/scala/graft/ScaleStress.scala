@@ -446,7 +446,13 @@ object ScaleStress {
       // dataset index = one (rs, ic) aggregate carrying the cc
       // sub-stats + an rs-sized min_by election + the totals join —
       // two shuffles over 10x orders, output fixed at 40 recordsets
-      "q_dataset_index")
+      "q_dataset_index",
+      // hard negatives = the brute-force cosine shape (broadcast
+      // anchors x one corpus scan, label + dup-guard filters inside
+      // the scan projection, TopKPerGroup heap) — expect the
+      // q_ann_topk scaling; at 100 TB the same mining runs against
+      // the IVF/projected shortlist instead of the full scan
+      "q_hard_negatives")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

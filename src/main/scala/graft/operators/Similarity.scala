@@ -79,6 +79,40 @@ object Similarity {
     rankTopK(joined, k)
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training curation step
+    * (the in-batch-negatives supplement of DPR, Karpukhin et al.
+    * EMNLP 2020 §3.2; standard in embedding-model data pipelines):
+    * for each anchor, the top-k most-SIMILAR corpus vectors carrying a
+    * DIFFERENT label — "looks like the anchor, isn't" — excluding
+    * near-identical vectors (sim ≥ `dupCos`, the false-negative
+    * guard: an off-label near-copy is far more likely a labeling
+    * error or un-caught duplicate than a useful negative, and
+    * training against it teaches the model to separate copies).
+    *
+    * Inputs are (id, embedding, label) on both sides. Output
+    * (qid, nid, rank ≤ k); scores are intentionally not emitted —
+    * ranks are stable across float ulp differences, raw floats are
+    * not (the [[bruteForceTopK]] convention).
+    *
+    * Plan: anchors broadcast against one corpus scan (label
+    * inequality and the dup guard filter INSIDE the scan projection),
+    * ranked on the [[graft.plans.TopKPerGroup]] heap — k buffered
+    * rows per anchor, no corpus shuffle. At 100 TB the same operator
+    * runs against an IVF/projected SHORTLIST instead of the full scan
+    * (the [[projectedRerankTopK]] composition) — the mining semantics
+    * (label filter, dup guard, rank) are unchanged. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      dupCos: Double): DataFrame = {
+    val c = corpus.toDF("nid", "e", "nlabel").withColumn("ne", norm(col("e")))
+    val q = anchors.toDF("qid", "q", "qlabel").withColumn("nq", norm(col("q")))
+    val joined = c.join(broadcast(q),
+        col("nid") =!= col("qid") && col("nlabel") =!= col("qlabel"))
+      .select(col("qid"), col("nid"),
+        (dot(col("q"), col("e")) / (col("nq") * col("ne"))).as("sim"))
+      .where(col("sim") < dupCos)
+    rankTopK(joined, k)
+  }
+
   /** [[randomProject]] in unexploded form: (idCol, proj) with `proj`
     * the array of `outDim` round-6 coordinates — the shape the
     * two-stage retrieval composes on. */

@@ -1672,6 +1672,36 @@ object LlmQueries {
       |      FROM s)
       |SELECT qid, nid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Hard-negative mining under the gate
+    * ([[graft.operators.Similarity.hardNegatives]]): top-5 off-label
+    * near-misses per anchor with the 0.95 duplicate guard — the
+    * contrastive-training curation step over the labeled embedding
+    * corpus. The oracle replays scoring, both filters, and the
+    * (sim desc, nid) rank; the engine side runs the TopKPerGroup heap
+    * against the broadcast anchors, no corpus shuffle. */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.hardNegatives(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"), col("label")),
+        Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding"), col("label")),
+        k = 5, dupCos = 0.95)
+      .orderBy(col("qid"), col("rank"))
+
+  val qHardNegativesSql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label AS ql
+      |           FROM embeddings WHERE vec_id < 10),
+      |s AS (SELECT qid, e.vec_id AS nid,
+      |        list_inner_product(qe, e.embedding::DOUBLE[]) /
+      |        (sqrt(list_inner_product(qe, qe)) *
+      |         sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
+      |      FROM q, embeddings e WHERE e.vec_id != qid AND e.label != ql),
+      |f AS (SELECT qid, nid, sim FROM s WHERE sim < 0.95),
+      |r AS (SELECT qid, nid,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+      |      FROM f)
+      |SELECT qid, nid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   /** Johnson–Lindenstrauss sign projection under the gate
     * ([[Similarity.randomProject]]): every embedding compressed 64→16
     * against the seeded md5-derived ±1 matrix, all 16 coordinates of

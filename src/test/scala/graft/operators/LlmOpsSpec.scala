@@ -799,4 +799,25 @@ class LlmOpsSpec extends SparkSpec {
       exact.size
     assert(recall >= 0.3, s"recall@5 collapsed to $recall")
   }
+
+  test("hardNegatives: off-label near-misses ranked by similarity; " +
+      "same-label vectors and >= dupCos near-copies are excluded") {
+    val s = spark
+    import s.implicits._
+    // anchor 1: (1,0) label 0. Corpus: 2 = near-copy with WRONG label
+    // (sim ~0.9999995 — the dup guard case), 3 = the true hard negative
+    // (sim ~0.914), 4 = same-label close vector (label filter case),
+    // 5 = easy negative (sim 0)
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.001f), 1),
+      (3L, Seq(0.9f, 0.4f), 1),
+      (4L, Seq(0.8f, 0.6f), 0),
+      (5L, Seq(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val anchors = corpus.where($"vec_id" === 1)
+    val got = Similarity.hardNegatives(corpus, anchors, k = 5,
+        dupCos = 0.95)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((3L, 1), (5L, 2)))
+  }
 }
