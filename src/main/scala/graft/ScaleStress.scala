@@ -438,6 +438,12 @@ object ScaleStress {
       // the same plus the base/delta split's two counts aggs + the
       // by-key merge (merge ≡ recompute, so the Nx shape is identical)
       "q_kn_lm", "q_kn_score", "q_kn_incr",
+      // order-3 KN = the same shape one order up: one trigram explode
+      // into the staged (w1,w2,w3,c3) table + FOUR derived vocab-sized
+      // aggregates (ctx12, bigram types, their contexts, continuation)
+      // + a 6-integer scalar; scoring joins the trigram stream on the
+      // derived relations' own keys
+      "q_kn3_lm", "q_kn3_score",
       // annotations = ONE source_id-keyed aggregate with map-side
       // min_by/max_by combine; taxon model = pushed exists-filter →
       // (taxonid, name) agg → taxonid-sized agg, the q_terms_nested

@@ -671,12 +671,142 @@ object Corpus {
     * the 6-decimal round. */
   def knScoreFromCounts(docs: DataFrame, idCol: String, wordsCol: String,
       counts: DataFrame): DataFrame =
-    knJoined(bigramPairs(docs, idCol, wordsCol), counts)
-      .select(col(idCol), log(knLogTermInput).as("lp"))
+    bigramPairs(docs, idCol, wordsCol)
+      // fold the per-TYPE probability first (one derived-relation join
+      // over the types-sized counts table), then hit the occurrence
+      // stream with ONE bigram-keyed join — the model relation is
+      // vocab²-observed-sized and broadcast-eligible, so the corpus
+      // stream flows scan → join → per-doc aggregate with no shuffle
+      // per derived relation. The per-occurrence log of a per-type
+      // value is the same double either way, so oracle parity holds.
+      .join(knJoined(counts, counts)
+        .select(col("w1"), col("w2"), log(knLogTermInput).as("lp")),
+        Seq("w1", "w2"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"),
         round(exp(-(sum(col("lp")) / count(lit(1)))), 6).as("ppl"))
+
+  /** Trigram occurrence counts — the single maintained table of the
+    * order-3 Kneser-Ney model ([[kn3Model]]): like [[knCounts]], EXACT
+    * MERGEABLE sufficient statistics (per-trigram addition,
+    * [[kn3MergeCounts]]), and — the point of the KN design — every
+    * LOWER-ORDER quantity the interpolation needs (bigram-type
+    * continuation counts, their context totals, both levels'
+    * count-of-counts, the unigram continuation distribution) is a pure
+    * relational aggregate OF THIS TABLE, so maintenance never touches
+    * a second store. Docs shorter than three tokens contribute
+    * nothing. */
+  def kn3Counts(docs: DataFrame, idCol: String, wordsCol: String): DataFrame =
+    trigramStream(docs, idCol, wordsCol)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+
+  /** Merge trigram-count slices by per-key addition (disjoint doc
+    * sets by contract — the [[knMergeCounts]] argument, order 3). */
+  def kn3MergeCounts(slices: DataFrame*): DataFrame = {
+    require(slices.nonEmpty, "kn3MergeCounts needs at least one slice")
+    slices.reduceLeft(_ unionByName _)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("c3")).as("c3"))
+  }
+
+  /** The per-occurrence trigram stream: (idCol, w1, w2, w3). */
+  private def trigramStream(docs: DataFrame, idCol: String,
+      wordsCol: String): DataFrame = docs
+    .filter(size(col(wordsCol)) >= 3)
+    .select(col(idCol), explode(transform(
+      sequence(lit(1), size(col(wordsCol)) - 2),
+      i => struct(element_at(col(wordsCol), i).as("w1"),
+        element_at(col(wordsCol), i + 1).as("w2"),
+        element_at(col(wordsCol), i + 2).as("w3")))).as("t"))
+    .select(col(idCol), col("t.w1").as("w1"), col("t.w2").as("w2"),
+      col("t.w3").as("w3"))
+
+  /** Order-3 interpolated Kneser-Ney (Chen & Goodman 1999 §2.7 —
+    * the recursion KenLM runs at order 5, shown here at order 3):
+    *
+    *   P3(w3|w1w2) = (c123 − D3 + D3·N1+(w1w2·)·P2(w3|w2)) / c(w1w2·)
+    *   P2(w3|w2)   = (b23 − D2 + D2·N1+(w2··)·Pcont(w3)) / Σw3 b23
+    *   Pcont(w3)   = N1+(·,·w3) / |bigram types|
+    *
+    * where b23 = N1+(·w2w3) is the bigram-TYPE count (distinct left
+    * contexts — the Kneser-Ney insight: lower orders model CONTEXT
+    * DIVERSITY, not frequency), and each level's discount is the Ney
+    * estimate over ITS OWN count-of-counts with KenLM's 0.5 fallback.
+    * Every input is an exact integer derived from the one [[kn3Counts]]
+    * table; p_kn3 rounds to 6 decimals under the shared-operation-order
+    * contract. Output: one row per observed trigram type —
+    * (w1, w2, w3, c3, p_kn3). */
+  def kn3Model(counts: DataFrame): DataFrame =
+    kn3Joined(counts, counts)
+      .select(col("w1"), col("w2"), col("w3"), col("c3"),
+        round(kn3TermInput, 6).as("p_kn3"))
+
+  /** Score a tokenized corpus under the order-3 model derived from
+    * `counts` — per document, average trigram log-probability and
+    * perplexity (the [[knScoreFromCounts]] contract, order 3;
+    * self-scoring keeps every trigram observed). Docs with fewer than
+    * three tokens drop. */
+  def kn3ScoreFromCounts(docs: DataFrame, idCol: String, wordsCol: String,
+      counts: DataFrame): DataFrame =
+    trigramStream(docs, idCol, wordsCol)
+      // per-TYPE fold first, ONE stream join after — the
+      // [[knScoreFromCounts]] plan rationale, order 3
+      .join(kn3Joined(counts, counts)
+        .select(col("w1"), col("w2"), col("w3"),
+          log(kn3TermInput).as("lp")),
+        Seq("w1", "w2", "w3"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"),
+        round(exp(-(sum(col("lp")) / count(lit(1)))), 6).as("ppl"))
+
+  /** The derived-relation join shared by [[kn3Model]] and
+    * [[kn3ScoreFromCounts]]: `stream` (any relation carrying
+    * w1/w2/w3) joined with the trigram counts, the (w1,w2) context
+    * aggregate, the (w2,w3) bigram-type count, the w2 context
+    * aggregate of THOSE types, the w3 continuation count, and the
+    * broadcast 6-integer scalar. `stream eq counts` skips the
+    * redundant self-join. */
+  private def kn3Joined(stream: DataFrame, counts: DataFrame): DataFrame = {
+    val ctx12 = counts.groupBy(col("w1"), col("w2")).agg(
+      sum(col("c3")).as("c12"), count(lit(1)).as("nf12"))
+    val b23 = counts.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("b23"))
+    val ctx2 = b23.groupBy(col("w2")).agg(
+      sum(col("b23")).as("s2"), count(lit(1)).as("nf2"))
+    val nb = b23.groupBy(col("w3")).agg(count(lit(1)).as("nb3"))
+    val scalars = counts.agg(
+      sum(when(col("c3") === 1, 1L).otherwise(0L)).as("n1_3"),
+      sum(when(col("c3") === 2, 1L).otherwise(0L)).as("n2_3"))
+      .crossJoin(b23.agg(
+        count(lit(1)).as("bt2"),
+        sum(when(col("b23") === 1, 1L).otherwise(0L)).as("n1_2"),
+        sum(when(col("b23") === 2, 1L).otherwise(0L)).as("n2_2")))
+    (if (stream eq counts) counts
+     else stream.join(counts, Seq("w1", "w2", "w3")))
+      .join(ctx12, Seq("w1", "w2"))
+      .join(b23, Seq("w2", "w3"))
+      .join(ctx2, Seq("w2"))
+      .join(nb, Seq("w3"))
+      .crossJoin(broadcast(scalars)) // 1-row corpus scalar
+  }
+
+  /** The order-3 KN probability of a joined row ([[kn3Joined]]
+    * output), before round/log — one shared expression so both gates
+    * and the DuckDB oracle evaluate the same operation order. */
+  private def kn3TermInput: Column = {
+    def discount(n1: Column, n2: Column): Column =
+      when(n1 + lit(2L) * n2 > 0L,
+        n1.cast("double") / (n1 + lit(2L) * n2).cast("double"))
+        .otherwise(lit(0.5))
+    val d3 = discount(col("n1_3"), col("n2_3"))
+    val d2 = discount(col("n1_2"), col("n2_2"))
+    val p2 = (col("b23").cast("double") - d2 + d2 * col("nf2").cast("double") *
+      (col("nb3").cast("double") / col("bt2").cast("double"))) /
+      col("s2").cast("double")
+    (col("c3").cast("double") - d3 + d3 * col("nf12").cast("double") * p2) /
+      col("c12").cast("double")
+  }
 
   /** Per-group z-score outlier detection over an INTEGER measure in
     * EXACT integer arithmetic — the anomaly pass a curation pipeline

@@ -2288,9 +2288,11 @@ object LlmQueries {
     * relations of [[Corpus.knModel]]. */
   private val knCtes: String =
     """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |b AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+      |b AS MATERIALIZED (
+      |      SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
       |      FROM (SELECT doc_id, unnest(range(len(w) - 1)) AS i, w FROM d)),
-      |c AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+      |c AS MATERIALIZED (
+      |      SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
       |ctx AS (SELECT w1, sum(cb) AS c1, count(*) AS nf FROM c GROUP BY 1),
       |rts AS (SELECT w2, count(*) AS nb FROM c GROUP BY 1),
       |s AS (SELECT count(*) AS bt,
@@ -2357,9 +2359,13 @@ object LlmQueries {
           .select(col("doc_id"), split(col("text"), " ").as("w")),
         "doc_id", "w", knCountsStaged(s, dir)))
 
+  /** The score-gate output shaping shared across orders: doc_id, the
+    * order's own count column (n_bigrams / n_trigrams — position 1 of
+    * both scoring operators), avg_logprob (round 6), ppl loosened to
+    * round 3. */
   private def knScoreOrdered(scored: DataFrame): DataFrame =
     scored
-      .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
+      .select(col("doc_id"), col(scored.columns(1)), col("avg_logprob"),
         round(col("ppl"), 3).as("ppl"))
       .orderBy(col("doc_id"))
 
@@ -2394,6 +2400,95 @@ object LlmQueries {
   }
 
   val qKnIncrSql: String = qKnScoreSql
+
+  /** The shared CTE front of the order-3 KN oracles: trigram stream,
+    * counts, and every derived relation of [[Corpus]].kn3Joined. */
+  private val kn3Ctes: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |t AS MATERIALIZED (
+      |      SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2, w[i+3] AS w3
+      |      FROM (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM d)),
+      |c AS MATERIALIZED (
+      |      SELECT w1, w2, w3, count(*) AS c3 FROM t GROUP BY 1, 2, 3),
+      |x12 AS (SELECT w1, w2, sum(c3) AS c12, count(*) AS nf12
+      |        FROM c GROUP BY 1, 2),
+      |b AS MATERIALIZED (
+      |      SELECT w2, w3, count(*) AS b23 FROM c GROUP BY 1, 2),
+      |x2 AS (SELECT w2, sum(b23) AS s2, count(*) AS nf2 FROM b GROUP BY 1),
+      |nb AS (SELECT w3, count(*) AS nb3 FROM b GROUP BY 1),
+      |s3 AS (SELECT sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS n1_3,
+      |         sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS n2_3 FROM c),
+      |s2 AS (SELECT count(*) AS bt2,
+      |         sum(CASE WHEN b23 = 1 THEN 1 ELSE 0 END) AS n1_2,
+      |         sum(CASE WHEN b23 = 2 THEN 1 ELSE 0 END) AS n2_2 FROM b),
+      |s AS (SELECT * FROM s3 CROSS JOIN s2)""".stripMargin
+
+  /** The order-3 KN term in [[Corpus]].kn3TermInput's exact operation
+    * order: the level-2 interpolation nested inside the level-3 one,
+    * each level's discount from its own count-of-counts with the 0.5
+    * fallback. */
+  private val kn3TermSql: String = {
+    def disc(n1: String, n2: String): String =
+      s"(CASE WHEN $n1 + 2 * $n2 > 0" +
+        s" THEN CAST($n1 AS DOUBLE) / CAST($n1 + 2 * $n2 AS DOUBLE)" +
+        " ELSE 0.5 END)"
+    val d3 = disc("n1_3", "n2_3")
+    val d2 = disc("n1_2", "n2_2")
+    val p2 = s"(CAST(b23 AS DOUBLE) - $d2 + $d2 * CAST(nf2 AS DOUBLE)" +
+      " * (CAST(nb3 AS DOUBLE) / CAST(bt2 AS DOUBLE)))" +
+      " / CAST(s2 AS DOUBLE)"
+    s"(CAST(c3 AS DOUBLE) - $d3 + $d3 * CAST(nf12 AS DOUBLE) * $p2)" +
+      " / CAST(c12 AS DOUBLE)"
+  }
+
+  /** The trigram count table ([[Corpus.kn3Counts]]) staged once per
+    * (session, dir) — the order-3 model's single maintained store,
+    * shared by both order-3 gates. */
+  private def kn3CountsStaged(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.stage(s, s"kn3:counts:$dir") {
+      Corpus.kn3Counts(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w")),
+        "doc_id", "w")
+    }
+
+  /** Order-3 interpolated Kneser-Ney model ([[Corpus.kn3Model]] — the
+    * Chen & Goodman recursion KenLM runs at order 5), restricted to
+    * trigram types seen ≥ 3 times. The oracle replays BOTH
+    * interpolation levels, both discounts, and the continuation
+    * distribution from the same single counts table. */
+  def qKn3Lm(s: SparkSession, dir: String): DataFrame =
+    Corpus.kn3Model(kn3CountsStaged(s, dir))
+      .where(col("c3") >= 3)
+      .orderBy(col("w1"), col("w2"), col("w3"))
+
+  val qKn3LmSql: String =
+    s"""WITH $kn3Ctes
+       |SELECT w1, w2, w3, c3, round($kn3TermSql, 6) AS p_kn3
+       |FROM c JOIN x12 USING (w1, w2) JOIN b USING (w2, w3)
+       |JOIN x2 USING (w2) JOIN nb USING (w3) CROSS JOIN s
+       |WHERE c3 >= 3 ORDER BY w1, w2, w3""".stripMargin
+
+  /** Per-document order-3 KN perplexity
+    * ([[Corpus.kn3ScoreFromCounts]]) — the [[qKnScore]] contract one
+    * order up: docs under three tokens drop, ppl loosens to round 3. */
+  def qKn3Score(s: SparkSession, dir: String): DataFrame =
+    knScoreOrdered(
+      Corpus.kn3ScoreFromCounts(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w")),
+        "doc_id", "w", kn3CountsStaged(s, dir)))
+
+  val qKn3ScoreSql: String =
+    s"""WITH $kn3Ctes,
+       |lp AS (SELECT t.doc_id, ln($kn3TermSql) AS l
+       |       FROM t JOIN c USING (w1, w2, w3) JOIN x12 USING (w1, w2)
+       |       JOIN b USING (w2, w3) JOIN x2 USING (w2) JOIN nb USING (w3)
+       |       CROSS JOIN s)
+       |SELECT doc_id, count(*) AS n_trigrams,
+       |  round(sum(l) / count(*), 6) AS avg_logprob,
+       |  round(round(exp(-(sum(l) / count(*))), 6), 3) AS ppl
+       |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Top-50 PMI collocations over the corpus
     * ([[graft.operators.Search.pmiCollocations]], minCount 5):

@@ -703,6 +703,57 @@ class CorpusSpec extends SparkSpec {
     assert(mmap(Corpus.knModel(merged)) === mmap(Corpus.knModel(recomputed)))
   }
 
+  test("kn3Model: hand-computed order-3 interpolated KN on the " +
+      "textbook corpus — both discounts, the type-count (not frequency) " +
+      "lower order, and the continuation base all verified") {
+    val s = spark
+    import s.implicits._
+    // "a b a b a": trigrams aba×2, bab×1 → n1_3 = n2_3 = 1, D3 = 1/3;
+    // bigram TYPES from the trigram table: (b,a) and (a,b), both
+    // b23 = 1 → n1_2 = 2, n2_2 = 0, D2 = 1; bt2 = 2, Pcont = 1/2 each;
+    // P2(a|b) = (1−1 + 1·1·(1/2))/1 = 0.5 = P2(b|a)
+    // P3(a|ab) = (2 − 1/3 + (1/3)·1·0.5)/2 = 0.916667
+    // P3(b|ba) = (1 − 1/3 + (1/3)·1·0.5)/1 = 0.833333
+    val docs = Seq((1L, Seq("a", "b", "a", "b", "a"))).toDF("doc_id", "w")
+    val m = Corpus.kn3Model(Corpus.kn3Counts(docs, "doc_id", "w"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getDouble(4)).toMap
+    assert(m.size === 2)
+    assert(m(("a", "b", "a")) === 0.916667)
+    assert(m(("b", "a", "b")) === 0.833333)
+  }
+
+  test("kn3MergeCounts: merged ≡ recomputed, and the derived order-3 " +
+      "model re-derives identically from the merged table; sub-3-token " +
+      "docs contribute nothing") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 24L).map { i =>
+      val mid = if (i % 3 == 0) "the quick brown fox jumps" else s"r$i s$i t$i"
+      (i, s"h${i % 4} $mid z${i % 5}".split(" ").toSeq)
+    }.toDF("doc_id", "w") unionByName
+      Seq((100L, Seq("two", "words")), (101L, Seq("one"))).toDF("doc_id", "w")
+    val base = docs.where($"doc_id" % 10 =!= 0)
+    val delta = docs.where($"doc_id" % 10 === 0)
+    def cmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    val merged = Corpus.kn3MergeCounts(
+      Corpus.kn3Counts(base, "doc_id", "w"),
+      Corpus.kn3Counts(delta, "doc_id", "w"))
+    val recomputed = Corpus.kn3Counts(docs, "doc_id", "w")
+    assert(cmap(merged) === cmap(recomputed))
+    def mmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getDouble(4)).toMap
+    assert(mmap(Corpus.kn3Model(merged)) === mmap(Corpus.kn3Model(recomputed)))
+    // the 2-token and 1-token docs never reach the stream
+    val scored = Corpus.kn3ScoreFromCounts(docs, "doc_id", "w", recomputed)
+      .collect().map(_.getLong(0)).toSet
+    assert(!scored.contains(100L) && !scored.contains(101L))
+  }
+
   test("knScoreFromCounts: a document of one repeated high-probability " +
       "bigram scores higher (lower ppl) than a singleton-bigram doc; " +
       "sub-2-token docs drop") {
