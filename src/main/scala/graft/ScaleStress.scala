@@ -458,7 +458,12 @@ object ScaleStress {
       // the scan projection, TopKPerGroup heap) — expect the
       // q_ann_topk scaling; at 100 TB the same mining runs against
       // the IVF/projected shortlist instead of the full scan
-      "q_hard_negatives")
+      "q_hard_negatives",
+      // bitext mining = broadcast copy-0 anchors x one odd-label scan,
+      // two TopKPerGroup directions over the SAME scored relation,
+      // k-NN-list-sized margin joins, two rank-1 heaps for the mutual
+      // check — scan-linear in the growing side
+      "q_bitext_mine")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

@@ -113,6 +113,67 @@ object Similarity {
     rankTopK(joined, k)
   }
 
+  /** BITEXT MINING by margin scoring (Artetxe & Schwenk, ACL 2019
+    * §3; the CCMatrix/WikiMatrix parallel-corpus curation step): mine
+    * aligned pairs across two embedding spaces by the DISTANCE margin
+    * (the paper's §3.1 "distance" variant)
+    *
+    *   margin(x, y) = cos(x, y) − (avgNNk(x→Y) + avgNNk(y→X)) / 2
+    *
+    * — similarity normalized by each side's local density, which
+    * kills the hubness failure of raw-cosine mining (a generic hub
+    * sentence is near everything; its margin collapses because its
+    * k-NN average is high). The difference form rather than the
+    * paper's ratio: the ratio's denominator can cross zero on
+    * general-position embeddings (a mostly-anti-aligned neighborhood),
+    * where it rewards ANTI-aligned pairs with huge positive margins —
+    * the difference is monotone in the same signal and total. A pair
+    * is MINED when it is each side's mutual best by margin AND the
+    * margin clears `threshold`.
+    *
+    * Candidates are the union of both directions' k-NN lists (the
+    * paper's practice); margins round to 6 BEFORE ranking (the qPmi
+    * convention) so selection never hinges on summation-order ulp in
+    * the k-NN averages. Output: (xid, yid, margin), mutual best,
+    * margin ≥ threshold.
+    *
+    * Plan: the anchor side broadcasts against one scan of the other
+    * (the [[bruteForceTopK]] layout), both k-NN directions rank on the
+    * [[graft.plans.TopKPerGroup]] heap over the SAME scored relation,
+    * the margin join's dimensions are k-NN-list-sized, and the mutual
+    * check is two rank-1 heaps joined. At 100 TB the scored relation
+    * is the ANN shortlist (IVF/projected) instead of the exact cross —
+    * the mining semantics are unchanged. */
+  def bitextMine(xs: DataFrame, ys: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
+    val x = xs.toDF("xid", "xe").withColumn("nx", norm(col("xe")))
+    val y = ys.toDF("yid", "ye").withColumn("ny", norm(col("ye")))
+    val sims = y.join(broadcast(x))
+      .select(col("xid"), col("yid"),
+        (dot(col("xe"), col("ye")) / (col("nx") * col("ny"))).as("sim"))
+    def knn(side: String, other: String): DataFrame =
+      graft.plans.TopKPerGroup.topKSorted(sims, Seq(side),
+        Seq("sim" -> false, other -> true), k, rankName = "r")
+        .select(col("xid"), col("yid"), col("sim"))
+    val kx = knn("xid", "yid")
+    val ky = knn("yid", "xid")
+    val avgX = kx.groupBy(col("xid")).agg(avg(col("sim")).as("ax"))
+    val avgY = ky.groupBy(col("yid")).agg(avg(col("sim")).as("ay"))
+    val m = kx.unionByName(ky).distinct()
+      .join(avgX, "xid").join(avgY, "yid")
+      .select(col("xid"), col("yid"),
+        round(col("sim") - (col("ax") + col("ay")) / lit(2.0), 6)
+          .as("margin"))
+    val bestX = graft.plans.TopKPerGroup.topKSorted(m, Seq("xid"),
+      Seq("margin" -> false, "yid" -> true), 1, rankName = "r")
+      .select(col("xid"), col("yid"), col("margin"))
+    val bestY = graft.plans.TopKPerGroup.topKSorted(m, Seq("yid"),
+      Seq("margin" -> false, "xid" -> true), 1, rankName = "r")
+      .select(col("xid"), col("yid"))
+    bestX.join(bestY, Seq("xid", "yid"))
+      .where(col("margin") >= threshold)
+  }
+
   /** [[randomProject]] in unexploded form: (idCol, proj) with `proj`
     * the array of `outDim` round-6 coordinates — the shape the
     * two-stage retrieval composes on. */

@@ -1702,6 +1702,56 @@ object LlmQueries {
       |      FROM f)
       |SELECT qid, nid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Margin-based bitext mining under the gate
+    * ([[graft.operators.Similarity.bitextMine]]): even-label anchors
+    * (vec_id < 200) mined against the odd-label corpus — mutual best
+    * by the distance margin over k = 4 NN averages, threshold 0.05
+    * (48 of 87 mutual-best pairs clear it at sf0.01 — the threshold
+    * discriminates, the gate is not vacuous). The oracle replays
+    * scoring, both k-NN directions, the round-6 margins, and the
+    * mutual-best join. */
+  def qBitextMine(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.bitextMine(
+        Tables.embeddings(s, dir)
+          .filter(col("label") % 2 === 0 && col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding")),
+        Tables.embeddings(s, dir).filter(col("label") % 2 === 1)
+          .select(col("vec_id"), col("embedding")),
+        k = 4, threshold = 0.05)
+      .orderBy(col("xid"))
+
+  val qBitextMineSql: String =
+    """WITH xs AS (SELECT vec_id AS xid, embedding::DOUBLE[] AS xe
+      |            FROM embeddings WHERE label % 2 = 0 AND vec_id < 200),
+      |ys AS (SELECT vec_id AS yid, embedding::DOUBLE[] AS ye
+      |       FROM embeddings WHERE label % 2 = 1),
+      |sims AS MATERIALIZED (
+      |  SELECT xid, yid,
+      |    list_inner_product(xe, ye) /
+      |    (sqrt(list_inner_product(xe, xe)) *
+      |     sqrt(list_inner_product(ye, ye))) AS sim
+      |  FROM xs, ys),
+      |kx AS (SELECT xid, yid, sim, row_number() OVER (PARTITION BY xid
+      |         ORDER BY sim DESC, yid) AS r FROM sims),
+      |ky AS (SELECT xid, yid, sim, row_number() OVER (PARTITION BY yid
+      |         ORDER BY sim DESC, xid) AS r FROM sims),
+      |ax AS (SELECT xid, avg(sim) AS ax FROM kx WHERE r <= 4 GROUP BY 1),
+      |ay AS (SELECT yid, avg(sim) AS ay FROM ky WHERE r <= 4 GROUP BY 1),
+      |cand AS (SELECT DISTINCT xid, yid, sim FROM (
+      |  SELECT xid, yid, sim FROM kx WHERE r <= 4
+      |  UNION ALL SELECT xid, yid, sim FROM ky WHERE r <= 4)),
+      |m AS (SELECT xid, yid,
+      |    round(sim - (ax + ay) / 2.0, 6) AS margin
+      |  FROM cand JOIN ax USING (xid) JOIN ay USING (yid)),
+      |bx AS (SELECT xid, yid, margin, row_number() OVER (PARTITION BY xid
+      |         ORDER BY margin DESC, yid) AS r FROM m),
+      |byy AS (SELECT xid, yid, row_number() OVER (PARTITION BY yid
+      |         ORDER BY margin DESC, xid) AS r FROM m)
+      |SELECT b1.xid, b1.yid, b1.margin
+      |FROM (SELECT xid, yid, margin FROM bx WHERE r = 1) b1
+      |JOIN (SELECT xid, yid FROM byy WHERE r = 1) b2 USING (xid, yid)
+      |WHERE b1.margin >= 0.05 ORDER BY xid""".stripMargin
+
   /** Johnson–Lindenstrauss sign projection under the gate
     * ([[Similarity.randomProject]]): every embedding compressed 64→16
     * against the seeded md5-derived ±1 matrix, all 16 coordinates of

@@ -820,4 +820,31 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
     assert(got === Set((3L, 1), (5L, 2)))
   }
+
+  test("bitextMine: the planted aligned pair is mined mutual-best with " +
+      "margin above threshold; every side appears at most once") {
+    val s = spark
+    import s.implicits._
+    val xs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.7f, 0.714f))).toDF("vec_id", "embedding")
+    val ys = Seq(
+      (11L, Seq(0.995f, 0.1f)),  // aligned with x1
+      (12L, Seq(0.0f, 1.0f)),
+      (13L, Seq(-1.0f, 0.0f)),
+      (14L, Seq(0.0f, -1.0f)),
+      (15L, Seq(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val mined = Similarity.bitextMine(xs, ys, k = 2, threshold = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byX = mined.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byX.contains(1L) && byX(1L)._1 === 11L)
+    assert(byX(1L)._2 > 0.05)
+    // the anti-aligned side (13, 14) never mines: the distance margin
+    // stays negative there — the ratio form's zero-crossing pathology
+    // this operator deliberately avoids
+    assert(!mined.map(_._2).contains(13L) && !mined.map(_._2).contains(14L))
+    // mutual-best is one-to-one: no xid or yid repeats
+    assert(mined.map(_._1).distinct.length === mined.length)
+    assert(mined.map(_._2).distinct.length === mined.length)
+  }
 }
