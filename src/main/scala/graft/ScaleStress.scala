@@ -444,6 +444,11 @@ object ScaleStress {
       // + a 6-integer scalar; scoring joins the trigram stream on the
       // derived relations' own keys
       "q_kn3_lm", "q_kn3_score",
+      // held-out scoring = one train-split counts agg + three
+      // left-joins of the held-out stream on vocab-sized relations
+      // (OOV fallbacks in the projection); prune = the kn3 derived
+      // join over the staged trigram table, zero stream work
+      "q_kn_heldout", "q_kn_prune",
       // annotations = ONE source_id-keyed aggregate with map-side
       // min_by/max_by combine; taxon model = pushed exists-filter →
       // (taxonid, name) agg → taxonid-sized agg, the q_terms_nested

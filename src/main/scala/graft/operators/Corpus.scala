@@ -687,6 +687,60 @@ object Corpus {
         round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"),
         round(exp(-(sum(col("lp")) / count(lit(1)))), 6).as("ppl"))
 
+  /** Score a FOREIGN corpus (text the model was not trained on) under
+    * the bigram KN model derived from `counts` — the actual CCNet
+    * deployment shape: a Wikipedia-trained LM scoring web text, where
+    * unseen events are the signal, not an error. The full interpolated
+    * backoff chain fires per bigram:
+    *
+    *  - bigram seen:      the [[knScoreFromCounts]] interpolated term
+    *  - context seen only: λ(w1)·Pcont(w2), λ(w1) = D·N1+(w1·)/c(w1·)
+    *    (exactly the interpolation mass the seen-bigram term reserves)
+    *  - context unseen:    Pcont(w2)
+    *  - w2 never seen as a continuation: Pcont floors at 0.5/B —
+    *    half a continuation type, the documented <unk> convention
+    *    (KenLM assigns <unk> an explicit probability; any fixed
+    *    deterministic floor serves, and this one is SQL-replayable).
+    *
+    * Output per doc: (idCol, n_bigrams, n_oov — bigrams unseen in
+    * training, avg_logprob round 6, ppl round 6). Held-out perplexity
+    * under a train-split model is the honest LM-quality measurement;
+    * q_kn_heldout gates exactly that split. */
+  def knScoreForeign(docs: DataFrame, idCol: String, wordsCol: String,
+      counts: DataFrame): DataFrame = {
+    val contexts = counts.groupBy(col("w1")).agg(
+      sum(col("cb")).as("c1"), count(lit(1)).as("nf"))
+    val rights = counts.groupBy(col("w2")).agg(count(lit(1)).as("nb"))
+    val scalars = counts.agg(
+      count(lit(1)).as("bt"),
+      sum(when(col("cb") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("cb") === 2, 1L).otherwise(0L)).as("n2"))
+    val d = when(col("n1") + lit(2L) * col("n2") > 0L,
+      col("n1").cast("double") /
+        (col("n1") + lit(2L) * col("n2")).cast("double"))
+      .otherwise(lit(0.5))
+    val pcont = when(col("nb").isNull, lit(0.5))
+      .otherwise(col("nb").cast("double")) / col("bt").cast("double")
+    val p = when(col("cb").isNotNull,
+        (col("cb").cast("double") - d + d * col("nf").cast("double") * pcont) /
+          col("c1").cast("double"))
+      .when(col("c1").isNotNull,
+        d * col("nf").cast("double") * pcont / col("c1").cast("double"))
+      .otherwise(pcont)
+    bigramPairs(docs, idCol, wordsCol)
+      .join(counts, Seq("w1", "w2"), "left")
+      .join(contexts, Seq("w1"), "left")
+      .join(rights, Seq("w2"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col(idCol), log(p).as("lp"),
+        when(col("cb").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("n_oov"),
+        round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"),
+        round(exp(-(sum(col("lp")) / count(lit(1)))), 6).as("ppl"))
+  }
+
   /** Trigram occurrence counts — the single maintained table of the
     * order-3 Kneser-Ney model ([[kn3Model]]): like [[knCounts]], EXACT
     * MERGEABLE sufficient statistics (per-trigram addition,
@@ -791,22 +845,51 @@ object Corpus {
       .crossJoin(broadcast(scalars)) // 1-row corpus scalar
   }
 
+  private def kn3Discount(n1: Column, n2: Column): Column =
+    when(n1 + lit(2L) * n2 > 0L,
+      n1.cast("double") / (n1 + lit(2L) * n2).cast("double"))
+      .otherwise(lit(0.5))
+
+  /** The level-2 (backoff) probability of a joined row — the
+    * interpolation's inner term, also the comparison base of
+    * [[kn3PruneGains]]. */
+  private def kn3P2Input: Column = {
+    val d2 = kn3Discount(col("n1_2"), col("n2_2"))
+    (col("b23").cast("double") - d2 + d2 * col("nf2").cast("double") *
+      (col("nb3").cast("double") / col("bt2").cast("double"))) /
+      col("s2").cast("double")
+  }
+
   /** The order-3 KN probability of a joined row ([[kn3Joined]]
     * output), before round/log — one shared expression so both gates
     * and the DuckDB oracle evaluate the same operation order. */
   private def kn3TermInput: Column = {
-    def discount(n1: Column, n2: Column): Column =
-      when(n1 + lit(2L) * n2 > 0L,
-        n1.cast("double") / (n1 + lit(2L) * n2).cast("double"))
-        .otherwise(lit(0.5))
-    val d3 = discount(col("n1_3"), col("n2_3"))
-    val d2 = discount(col("n1_2"), col("n2_2"))
-    val p2 = (col("b23").cast("double") - d2 + d2 * col("nf2").cast("double") *
-      (col("nb3").cast("double") / col("bt2").cast("double"))) /
-      col("s2").cast("double")
-    (col("c3").cast("double") - d3 + d3 * col("nf12").cast("double") * p2) /
-      col("c12").cast("double")
+    val d3 = kn3Discount(col("n1_3"), col("n2_3"))
+    (col("c3").cast("double") - d3 + d3 * col("nf12").cast("double") *
+      kn3P2Input) / col("c12").cast("double")
   }
+
+  /** LIKELIHOOD-GAIN pruning scores for the order-3 model — the
+    * count-weighted log-ratio of each trigram's full probability over
+    * its backoff (the KL term Stolcke pruning (DARPA BNTUW 1998)
+    * thresholds; the count weighting stands in for the context
+    * probability, the standard corpus-side simplification):
+    *
+    *   gain(w1w2w3) = c123 · (ln P3(w3|w1w2) − ln P2(w3|w2))
+    *
+    * A trigram whose full-order probability barely beats its backoff
+    * buys almost no training-corpus likelihood for its storage; at
+    * 100 TB the (gain ≥ τ) filter IS the model-shipping step — the
+    * kept table is what a perplexity-filter deployment broadcasts.
+    * Negative gains are real (the interpolation can UNDERSHOOT the
+    * backoff for rare trigrams in diverse contexts), which is exactly
+    * why pruning thresholds on this quantity. Output: one row per
+    * trigram type — (w1, w2, w3, c3, gain round 6). */
+  def kn3PruneGains(counts: DataFrame): DataFrame =
+    kn3Joined(counts, counts)
+      .select(col("w1"), col("w2"), col("w3"), col("c3"),
+        round(col("c3").cast("double") *
+          (log(kn3TermInput) - log(kn3P2Input)), 6).as("gain"))
 
   /** Per-group z-score outlier detection over an INTEGER measure in
     * EXACT integer arithmetic — the anomaly pass a curation pipeline

@@ -1702,6 +1702,78 @@ object LlmQueries {
       |      FROM f)
       |SELECT qid, nid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Held-out perplexity under the gate ([[Corpus.knScoreForeign]]):
+    * the bigram KN model trains on the doc_id % 5 ≠ 0 split and scores
+    * the HELD-OUT fifth — the honest LM-quality measurement, with the
+    * full backoff chain live (seen bigram / seen-context-only / unseen
+    * context / unseen continuation at the 0.5/B floor) and the OOV
+    * count surfaced per document. */
+  def qKnHeldout(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    Corpus.knScoreForeign(docs.where(col("doc_id") % 5 === 0), "doc_id", "w",
+        Corpus.knCounts(docs.where(col("doc_id") % 5 =!= 0), "doc_id", "w"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        col("avg_logprob"), round(col("ppl"), 3).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qKnHeldoutSql: String = {
+    val pcont = "((CASE WHEN nb IS NULL THEN 0.5 ELSE CAST(nb AS DOUBLE) END)" +
+      " / CAST(bt AS DOUBLE))"
+    val d = knDiscountSql
+    val p = s"""CASE
+       |      WHEN cb IS NOT NULL THEN
+       |        (CAST(cb AS DOUBLE) - $d + $d * CAST(nf AS DOUBLE) * $pcont)
+       |          / CAST(c1 AS DOUBLE)
+       |      WHEN c1 IS NOT NULL THEN
+       |        $d * CAST(nf AS DOUBLE) * $pcont / CAST(c1 AS DOUBLE)
+       |      ELSE $pcont END""".stripMargin
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |b AS MATERIALIZED (
+       |      SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+       |      FROM (SELECT doc_id, unnest(range(len(w) - 1)) AS i, w FROM d)),
+       |trn AS MATERIALIZED (
+       |      SELECT w1, w2, count(*) AS cb FROM b
+       |      WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+       |ctx AS (SELECT w1, sum(cb) AS c1, count(*) AS nf FROM trn GROUP BY 1),
+       |rts AS (SELECT w2, count(*) AS nb FROM trn GROUP BY 1),
+       |s AS (SELECT count(*) AS bt,
+       |        sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS n1,
+       |        sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS n2 FROM trn),
+       |lp AS (SELECT b.doc_id, ln($p) AS l,
+       |        CASE WHEN cb IS NULL THEN 1 ELSE 0 END AS oov
+       |       FROM b LEFT JOIN trn USING (w1, w2) LEFT JOIN ctx USING (w1)
+       |       LEFT JOIN rts USING (w2) CROSS JOIN s
+       |       WHERE b.doc_id % 5 = 0)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(oov) AS BIGINT) AS n_oov,
+       |  round(sum(l) / count(*), 6) AS avg_logprob,
+       |  round(round(exp(-(sum(l) / count(*))), 6), 3) AS ppl
+       |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Likelihood-gain pruning under the gate ([[Corpus.kn3PruneGains]]
+    * — the Stolcke-pruning KL term, count-weighted): the trigrams
+    * worth SHIPPING, gain ≥ 1 nat of training-corpus likelihood over
+    * their bigram backoff. The oracle replays both interpolation
+    * levels and the weighted log-ratio. */
+  def qKnPrune(s: SparkSession, dir: String): DataFrame =
+    Corpus.kn3PruneGains(kn3CountsStaged(s, dir))
+      .where(col("gain") >= 1.0)
+      .orderBy(col("w1"), col("w2"), col("w3"))
+
+  val qKnPruneSql: String =
+    s"""WITH $kn3Ctes
+       |SELECT w1, w2, w3, c3,
+       |  round(CAST(c3 AS DOUBLE) * (ln($kn3TermSql) - ln($kn3P2Sql)), 6)
+       |    AS gain
+       |FROM c JOIN x12 USING (w1, w2) JOIN b USING (w2, w3)
+       |JOIN x2 USING (w2) JOIN nb USING (w3) CROSS JOIN s
+       |WHERE round(CAST(c3 AS DOUBLE) * (ln($kn3TermSql) - ln($kn3P2Sql)), 6)
+       |  >= 1.0
+       |ORDER BY w1, w2, w3""".stripMargin
+
   /** Margin-based bitext mining under the gate
     * ([[graft.operators.Similarity.bitextMine]]): even-label anchors
     * (vec_id < 200) mined against the odd-label corpus — mutual best
@@ -2336,7 +2408,7 @@ object LlmQueries {
     * counts, context/continuation aggregates, and the 3-integer scalar
     * — the SQL transliteration of [[Corpus.knCounts]] + the derived
     * relations of [[Corpus.knModel]]. */
-  private val knCtes: String =
+  private def knCtes: String =
     """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |b AS MATERIALIZED (
       |      SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
@@ -2353,12 +2425,12 @@ object LlmQueries {
     * [[Corpus]].knLogTermInput evaluates (the 6-decimal determinism
     * contract): ((cb − D) + ((D·nf)·(nb/bt))) / c1, D = n1/(n1+2·n2)
     * with KenLM's 0.5 fallback when the count-of-counts degenerate. */
-  private val knDiscountSql: String =
+  private def knDiscountSql: String =
     "(CASE WHEN n1 + 2 * n2 > 0" +
       " THEN CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE)" +
       " ELSE 0.5 END)"
 
-  private val knTermSql: String =
+  private def knTermSql: String =
     s"(CAST(cb AS DOUBLE) - $knDiscountSql" +
       s" + $knDiscountSql" +
       " * CAST(nf AS DOUBLE) * (CAST(nb AS DOUBLE) / CAST(bt AS DOUBLE)))" +
@@ -2453,7 +2525,7 @@ object LlmQueries {
 
   /** The shared CTE front of the order-3 KN oracles: trigram stream,
     * counts, and every derived relation of [[Corpus]].kn3Joined. */
-  private val kn3Ctes: String =
+  private def kn3Ctes: String =
     """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |t AS MATERIALIZED (
       |      SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2, w[i+3] AS w3
@@ -2477,17 +2549,23 @@ object LlmQueries {
     * order: the level-2 interpolation nested inside the level-3 one,
     * each level's discount from its own count-of-counts with the 0.5
     * fallback. */
-  private val kn3TermSql: String = {
-    def disc(n1: String, n2: String): String =
-      s"(CASE WHEN $n1 + 2 * $n2 > 0" +
-        s" THEN CAST($n1 AS DOUBLE) / CAST($n1 + 2 * $n2 AS DOUBLE)" +
-        " ELSE 0.5 END)"
-    val d3 = disc("n1_3", "n2_3")
-    val d2 = disc("n1_2", "n2_2")
-    val p2 = s"(CAST(b23 AS DOUBLE) - $d2 + $d2 * CAST(nf2 AS DOUBLE)" +
+  private def knDiscSql(n1: String, n2: String): String =
+    s"(CASE WHEN $n1 + 2 * $n2 > 0" +
+      s" THEN CAST($n1 AS DOUBLE) / CAST($n1 + 2 * $n2 AS DOUBLE)" +
+      " ELSE 0.5 END)"
+
+  /** The level-2 (backoff) term — also the comparison base of the
+    * pruning oracle. */
+  private def kn3P2Sql: String = {
+    val d2 = knDiscSql("n1_2", "n2_2")
+    s"(CAST(b23 AS DOUBLE) - $d2 + $d2 * CAST(nf2 AS DOUBLE)" +
       " * (CAST(nb3 AS DOUBLE) / CAST(bt2 AS DOUBLE)))" +
       " / CAST(s2 AS DOUBLE)"
-    s"(CAST(c3 AS DOUBLE) - $d3 + $d3 * CAST(nf12 AS DOUBLE) * $p2)" +
+  }
+
+  private def kn3TermSql: String = {
+    val d3 = knDiscSql("n1_3", "n2_3")
+    s"(CAST(c3 AS DOUBLE) - $d3 + $d3 * CAST(nf12 AS DOUBLE) * ($kn3P2Sql))" +
       " / CAST(c12 AS DOUBLE)"
   }
 

@@ -703,6 +703,48 @@ class CorpusSpec extends SparkSpec {
     assert(mmap(Corpus.knModel(merged)) === mmap(Corpus.knModel(recomputed)))
   }
 
+  test("knScoreForeign: all four backoff branches hand-verified — seen " +
+      "bigram, seen-context-only, unseen context, and the 0.5/B unseen-" +
+      "continuation floor; OOV bigrams counted") {
+    val s = spark
+    import s.implicits._
+    // train "a b c": counts ab=1, bc=1 → D = 2/2 = 1 (all singletons),
+    // bt = 2, Pcont(b) = Pcont(c) = 1/2, unseen-continuation floor 1/4
+    val train = Seq((1L, Seq("a", "b", "c"))).toDF("doc_id", "w")
+    // foreign "a b x a q c": (a,b) seen → Pcont(b) = .5 after the full
+    // discount; (b,x) seen context, unseen cont → 1·1·.25/1 = .25;
+    // (x,a) unseen context, a unseen cont → .25; (a,q) → .25;
+    // (q,c) unseen context → Pcont(c) = .5
+    val foreign = Seq((9L, Seq("a", "b", "x", "a", "q", "c")))
+      .toDF("doc_id", "w")
+    val r = Corpus.knScoreForeign(foreign, "doc_id", "w",
+        Corpus.knCounts(train, "doc_id", "w"))
+      .collect().head
+    assert(r.getLong(1) === 5L)         // n_bigrams
+    assert(r.getLong(2) === 4L)         // n_oov (only (a,b) was trained)
+    // (2·ln .5 + 3·ln .25) / 5 = −1.109035
+    assert(r.getDouble(3) === -1.109035)
+  }
+
+  test("kn3PruneGains: a trigram whose full-order probability beats its " +
+      "backoff carries positive count-weighted gain; gains are finite " +
+      "everywhere") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 12L).map { i =>
+      val mid = if (i % 2 == 0) "x y z" else s"a$i b$i c$i"
+      (i, s"s$i $mid e$i".split(" ").toSeq)
+    }.toDF("doc_id", "w")
+    val gains = Corpus.kn3PruneGains(Corpus.kn3Counts(docs, "doc_id", "w"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getDouble(4)).toMap
+    // (x,y,z) occurs 6 times and its backoff (y,z) has one context —
+    // the repeated phrase is worth keeping
+    assert(gains(("x", "y", "z")) > 0.0)
+    assert(gains.values.forall(g => !g.isNaN && !g.isInfinite))
+  }
+
   test("kn3Model: hand-computed order-3 interpolated KN on the " +
       "textbook corpus — both discounts, the type-count (not frequency) " +
       "lower order, and the continuation base all verified") {
