@@ -449,6 +449,10 @@ object ScaleStress {
       // (OOV fallbacks in the projection); prune = the kn3 derived
       // join over the staged trigram table, zero stream work
       "q_kn_heldout", "q_kn_prune",
+      // CDC chunking = one digest scan + a 1/32 boundary filter + a
+      // per-doc lag window over BOUNDARY rows only (never the token
+      // stream) — expect scan-linear
+      "q_cdc_chunks",
       // annotations = ONE source_id-keyed aggregate with map-side
       // min_by/max_by combine; taxon model = pushed exists-filter →
       // (taxonid, name) agg → taxonid-sized agg, the q_terms_nested

@@ -687,6 +687,50 @@ object Corpus {
         round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"),
         round(exp(-(sum(col("lp")) / count(lit(1)))), 6).as("ppl"))
 
+  /** CONTENT-DEFINED CHUNKING (the Rabin-fingerprint boundary
+    * technique of LBFS — Muthitacharoen et al., SOSP 2001 — applied at
+    * word granularity): a chunk boundary closes wherever the k-word
+    * rolling window hash ≡ 0 (mod `divisor`), so boundaries move WITH
+    * content — an insertion early in a document shifts every
+    * fixed-grid chunk after it ([[chunkWithOverlap]]'s failure mode
+    * for dedup), but CDC boundaries downstream of an edit stay put,
+    * and chunk-level dedup keeps matching the unedited tail. Expected
+    * chunk length ≈ `divisor` words (geometric); no min/max clamps —
+    * clamping re-introduces the shift coupling this chunker exists to
+    * remove, so degenerate short/long chunks are the stated trade.
+    *
+    * A window [p, p+k−1] (0-based words) with h % divisor = 0 closes
+    * its chunk at word p+k (1-based end); the document tail always
+    * closes at n. Docs shorter than k words form one whole-doc chunk.
+    * Output: (idCol, chunk_ix, start_word, end_word, n_words), 1-based
+    * inclusive word coordinates.
+    *
+    * Plan: one digest scan ([[graft.functions.NativeText.spanHashes]]
+    * — md5-based, byte-replayable by the oracle), a boundary filter
+    * (≈ n/divisor survivors), and a per-doc lag window over BOUNDARY
+    * rows only — the window never spans the corpus token stream. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, divisor: Int = 32): DataFrame = {
+    val withW = docs.select(col(idCol), split(col(textCol), " ").as("_w"))
+    val boundaries = withW
+      .select(col(idCol), posexplode(
+        graft.functions.NativeText.spanHashes(col("_w"), k))
+        .as(Seq("_pos", "_h")))
+      .where(pmod(col("_h"), lit(divisor.toLong)) === 0L)
+      .select(col(idCol), (col("_pos") + k).cast("long").as("e"))
+    val ends = boundaries
+      .unionByName(withW.select(col(idCol), size(col("_w")).cast("long").as("e")))
+      .distinct()
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("e"))
+    ends
+      .select(col(idCol),
+        row_number().over(byDoc).as("chunk_ix"),
+        (coalesce(lag(col("e"), 1).over(byDoc), lit(0L)) + 1L)
+          .as("start_word"),
+        col("e").as("end_word"))
+      .withColumn("n_words", col("end_word") - col("start_word") + 1L)
+  }
+
   /** Score a FOREIGN corpus (text the model was not trained on) under
     * the bigram KN model derived from `counts` — the actual CCNet
     * deployment shape: a Wikipedia-trained LM scoring web text, where

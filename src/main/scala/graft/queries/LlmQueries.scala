@@ -1702,6 +1702,37 @@ object LlmQueries {
       |      FROM f)
       |SELECT qid, nid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Content-defined chunking under the gate ([[Corpus.cdcChunks]],
+    * k = 3, divisor = 32): every document's shift-resistant chunk
+    * table in 1-based word coordinates. The oracle replays the window
+    * hashes, the mod-divisor boundary rule, the tail close, and the
+    * lag reconstruction. */
+  def qCdcChunks(s: SparkSession, dir: String): DataFrame =
+    Corpus.cdcChunks(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, divisor = 32)
+      .orderBy(col("doc_id"), col("chunk_ix"))
+
+  val qCdcChunksSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(range(len(w) - 2)) AS pos, w FROM d),
+      |s AS (SELECT doc_id, pos,
+      |        try_cast('0x'||substr(md5(
+      |          w[pos+1]||' '||w[pos+2]||' '||w[pos+3]),1,15) AS BIGINT) AS h
+      |      FROM g),
+      |bd AS (SELECT doc_id, pos + 3 AS e FROM s WHERE h % 32 = 0),
+      |ends AS (SELECT DISTINCT doc_id, e FROM (
+      |  SELECT doc_id, e FROM bd
+      |  UNION ALL SELECT doc_id, len(w) AS e FROM d)),
+      |r AS (SELECT doc_id, e,
+      |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY e)
+      |          AS INT) AS chunk_ix,
+      |        coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1
+      |          AS start_word
+      |      FROM ends)
+      |SELECT doc_id, chunk_ix, start_word, e AS end_word,
+      |  e - start_word + 1 AS n_words
+      |FROM r ORDER BY doc_id, chunk_ix""".stripMargin
+
   /** Held-out perplexity under the gate ([[Corpus.knScoreForeign]]):
     * the bigram KN model trains on the doc_id % 5 ≠ 0 split and scores
     * the HELD-OUT fifth — the honest LM-quality measurement, with the

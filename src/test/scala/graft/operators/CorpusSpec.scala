@@ -703,6 +703,40 @@ class CorpusSpec extends SparkSpec {
     assert(mmap(Corpus.knModel(merged)) === mmap(Corpus.knModel(recomputed)))
   }
 
+  test("cdcChunks: chunks partition the word range exactly; boundaries " +
+      "are SHIFT-RESISTANT — a front insertion leaves every downstream " +
+      "chunk's content identical (the fixed-grid chunker's failure mode)") {
+    val s = spark
+    import s.implicits._
+    val words = (1 to 400).map(i => s"tok${i * 7919 % 997}")
+    val a = words.mkString(" ")
+    val b = ("INSERTED " + a)
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val chunks = Corpus.cdcChunks(docs, "doc_id", "text", k = 3, divisor = 32)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._2) }
+    // partition: starts chain, last end = doc length
+    for ((id, n) <- Seq(1L -> 400, 2L -> 401)) {
+      val cs = chunks(id)
+      assert(cs.head._3 === 1L)
+      assert(cs.last._4 === n.toLong)
+      cs.sliding(2).foreach { case Array(p, q) => assert(q._3 === p._4 + 1) }
+    }
+    // shift resistance: chunk CONTENT downstream of the edit is
+    // unchanged — compare the chunk word-strings of both docs
+    def texts(id: Long, ws: IndexedSeq[String]): Seq[String] =
+      chunks(id).map { case (_, _, st, en) =>
+        ws.slice(st.toInt - 1, en.toInt).mkString(" ") }
+    val ta = texts(1L, words.toIndexedSeq)
+    val tb = texts(2L, ("INSERTED" +: words).toIndexedSeq)
+    assert(ta.size >= 5, s"fixture too smooth: ${ta.size} chunks")
+    // every chunk of A except at most the first survives verbatim in B
+    val common = ta.toSet intersect tb.toSet
+    assert(common.size >= ta.size - 1,
+      s"shift broke ${ta.size - common.size} chunks")
+  }
+
   test("knScoreForeign: all four backoff branches hand-verified — seen " +
       "bigram, seen-context-only, unseen context, and the 0.5/B unseen-" +
       "continuation floor; OOV bigrams counted") {
