@@ -468,6 +468,10 @@ object ScaleStress {
       // q_ann_topk scaling; at 100 TB the same mining runs against
       // the IVF/projected shortlist instead of the full scan
       "q_hard_negatives",
+      // NDCG/MRR = the staged truth + assignment tables joined on
+      // their own keys + a 50-row metric aggregate — the q_ann_recall
+      // shape with graded weights
+      "q_ndcg",
       // bitext mining = broadcast copy-0 anchors x one odd-label scan,
       // two TopKPerGroup directions over the SAME scored relation,
       // k-NN-list-sized margin joins, two rank-1 heaps for the mutual

@@ -3009,6 +3009,76 @@ object LlmQueries {
     * them and scores the intersection, so the gate hash-checks the
     * MEASUREMENT, not just the retrievals. Evaluation cost is
     * (probes × k)-sized regardless of index size. */
+  /** NDCG@5 + MRR of the IVF (nprobe = 1) retrieval against the exact
+    * top-5 truth — the standard GRADED retrieval metrics the eval
+    * shelf's recall@k cannot express (recall is blind to ORDER within
+    * the cut; NDCG discounts each hit by its position, MRR scores the
+    * first hit alone). Graded relevance = 6 − truth_rank (5…1), 0 for
+    * non-truth; discount weights use the natural log (the base cancels
+    * in DCG/IDCG, and ln is the proven cross-engine-parity kernel
+    * here — log2 would route through a different libm entry point on
+    * each engine). IDCG is the perfect-ordering constant, computed as
+    * the same expression on both engines. Both sides read the staged
+    * truth/assignment tables. */
+  def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    val truth = truth5Staged(s, dir)
+      .select(col("qid"), col("nid"),
+        (lit(6) - col("rank")).cast("double").as("rel"))
+    val retr = Similarity.ivfTopKAssigned(ivfAssignedStaged(s, dir),
+      queriesDf(s, dir), k = 5, ivfCentroids(s, dir), nprobe = 1)
+    val idcg = (1 to 5).map(i =>
+      lit(6.0 - i) / log(lit(i + 1.0))).reduce(_ + _)
+    retr.join(truth, Seq("qid", "nid"), "left")
+      .select(col("qid"),
+        (coalesce(col("rel"), lit(0.0)) /
+          log(col("rank").cast("double") + lit(1.0))).as("g"),
+        when(col("rel").isNotNull,
+          lit(1.0) / col("rank").cast("double")).as("rr_i"))
+      .groupBy(col("qid"))
+      .agg(round(sum(col("g")) / idcg, 6).as("ndcg"),
+        round(coalesce(max(col("rr_i")), lit(0.0)), 6).as("mrr"))
+      .orderBy(col("qid"))
+  }
+
+  val qNdcgSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+       |ts AS (SELECT qid, v.vec_id AS nid,
+       |    list_inner_product(qe, v.e) /
+       |    (sqrt(list_inner_product(qe, qe)) *
+       |     sqrt(list_inner_product(v.e, v.e))) AS sim
+       |  FROM q, v WHERE v.vec_id != qid),
+       |truth AS (SELECT qid, nid, CAST(6 - rk AS DOUBLE) AS rel FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid) AS rk FROM ts) WHERE rk <= 5),
+       |cent AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id % $CentroidMod = 0),
+       |scored AS (SELECT v.vec_id AS vid, v.e, cent.cid,
+       |    list_inner_product(c, c) - 2.0 * list_inner_product(v.e, c) AS score
+       |  FROM v, cent),
+       |assigned AS (SELECT vid, e, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY score, cid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |iq AS (SELECT vid AS qid, e AS qv, cell FROM assigned WHERE vid < 10),
+       |ivs AS (SELECT qid, a.vid AS nid,
+       |    list_inner_product(qv, a.e) /
+       |    (sqrt(list_inner_product(qv, qv)) *
+       |     sqrt(list_inner_product(a.e, a.e))) AS sim
+       |  FROM iq JOIN assigned a USING (cell) WHERE a.vid != qid),
+       |retr AS (SELECT qid, nid, rk AS rank FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid) AS rk FROM ivs) WHERE rk <= 5),
+       |g AS (SELECT retr.qid,
+       |    coalesce(truth.rel, 0.0) / ln(CAST(rank AS DOUBLE) + 1.0) AS g,
+       |    CASE WHEN truth.rel IS NOT NULL
+       |         THEN 1.0 / CAST(rank AS DOUBLE) END AS rr_i
+       |  FROM retr LEFT JOIN truth ON truth.qid = retr.qid
+       |    AND truth.nid = retr.nid)
+       |SELECT qid,
+       |  round(sum(g) / (5.0 / ln(2.0) + 4.0 / ln(3.0) + 3.0 / ln(4.0)
+       |    + 2.0 / ln(5.0) + 1.0 / ln(6.0)), 6) AS ndcg,
+       |  round(coalesce(max(rr_i), 0.0), 6) AS mrr
+       |FROM g GROUP BY qid ORDER BY qid""".stripMargin
+
   def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
     // both sides read staged tables (truth5 rank ≤ 3 IS the exact
     // top-3; recallAtK filters both sides to k)
