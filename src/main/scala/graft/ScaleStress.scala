@@ -476,7 +476,19 @@ object ScaleStress {
       // two TopKPerGroup directions over the SAME scored relation,
       // k-NN-list-sized margin joins, two rank-1 heaps for the mutual
       // check — scan-linear in the growing side
-      "q_bitext_mine")
+      "q_bitext_mine",
+      // round 18 session 3: BLEU = per-source lead pairing + per-row
+      // lambda-fold clipped counts (no explode, no pair shuffle) + one
+      // source-keyed 6-integer agg — expect scan-linear; kappa /
+      // calibration = one keyed count agg + item/cat- or bin-sized
+      // rollups (integer sufficient stats, map-side combined); zipf =
+      // one token-stream count agg (vocab-sized out) + a limit-bounded
+      // rank + a 1-row OLS rollup
+      "q_bleu", "q_kappa", "q_calibration", "q_zipf",
+      // heaps = one token scan → per-term min(doc_id) (vocab-sized,
+      // map-side combined) + one doc-sized token-count agg; all
+      // windows are over the 10-row curve
+      "q_heaps")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

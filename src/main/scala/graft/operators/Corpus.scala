@@ -731,6 +731,114 @@ object Corpus {
       .withColumn("n_words", col("end_word") - col("start_word") + 1L)
   }
 
+  /** Zipf rank–frequency fit over the corpus unigram distribution:
+    * log–log OLS of ln(freq) on ln(rank) over the top `maxRanks`
+    * types — the one-row corpus-health summary every pretraining
+    * datasheet carries (natural text sits near slope −1; heavy
+    * boilerplate/dedup failures flatten the head, templated spam
+    * steepens it; r² says whether a power law describes the corpus at
+    * all). Closed-form OLS from five sufficient sums:
+    *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²),  x = ln rank, y = ln f
+    *   r²    = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    * Ranks are dense by (freq desc, term asc) so the fit is
+    * reproducible under frequency ties.
+    *
+    * Plan: one token-stream count aggregation (map-side combined,
+    * vocab-sized output), a top-`maxRanks` cut + rank via ONE
+    * vocab-sized sort bounded by the limit, then a 1-row sum rollup.
+    * The corpus is touched exactly once; everything after the tf agg
+    * is vocab-bounded, and the limit keeps the ranked relation
+    * constant-sized even if the vocabulary explodes at 100 TB. */
+  def zipfFit(docs: DataFrame, textCol: String,
+      maxRanks: Int = 1000): DataFrame = {
+    val tf = docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("term")).limit(maxRanks)
+    val ranked = tf.select(
+      row_number().over(Window.orderBy(col("f").desc, col("term")))
+        .cast("double").as("rk"),
+      col("f").cast("double").as("fd"))
+    val sums = ranked.select(log(col("rk")).as("x"), log(col("fd")).as("y"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = covN / varX
+    sums.select(col("n").cast("long").as("n_types"),
+      (round(slope, 6) + lit(0.0)).as("slope"),
+      (round((col("sy") - slope * col("sx")) / col("n"), 6) + lit(0.0))
+        .as("intercept"),
+      (round(covN * covN / (varX * varY), 6) + lit(0.0)).as("r2"))
+  }
+
+  /** Heaps' law vocabulary-growth curve: cumulative (docs, tokens,
+    * vocabulary) at id-space decile checkpoints, plus the log–log OLS
+    * fit V = K·N^β over the checkpoints — q_zipf's companion curve
+    * (Zipf describes the frequency head at one corpus size; Heaps
+    * says how the vocabulary GROWS as the corpus does — the curve
+    * that decides tokenizer vocab sizing and flags boilerplate
+    * floods, which bend β toward 0, or id-spaced template churn,
+    * which bends it toward 1).
+    *
+    * Checkpoints are id-SPACE deciles (cut c_b = ⌊(max_id+1)·b/10⌋),
+    * not doc-count deciles: a doc's bucket is a pure function of its
+    * own id and one broadcast scalar, so NO corpus-sized ordering or
+    * window exists anywhere in the plan — the inherent "prefix"
+    * semantics ride the id space the corpus is already keyed by.
+    *
+    * Plan: one token scan → per-term min(doc_id) (vocab-sized,
+    * map-side combined) → 10-row bucket rollup; one doc-sized token
+    * count → 10-row bucket rollup; cumulative sums + the OLS fit run
+    * over the 10-row curve only. Exact integer curve; the only
+    * doubles are the fit. */
+  def heapsCurve(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val maxId = docs.agg((max(col(idCol)) + 1L).as("_span"))
+    def bucketOf(id: Column): Column =
+      (id * 10L / col("_span")).cast("int") + 1
+    val perDoc = docs.select(col(idCol).as("_id"),
+        size(split(col(textCol), " ")).cast("long").as("_nt"))
+      .crossJoin(broadcast(maxId))
+      .groupBy(bucketOf(col("_id")).as("b"))
+      .agg(count(lit(1)).as("nd"), sum(col("_nt")).as("nt"))
+    val firstSeen = docs
+      .select(col(idCol).as("_id"), explode(split(col(textCol), " ")).as("_t"))
+      .groupBy(col("_t")).agg(min(col("_id")).as("_fd"))
+      .crossJoin(broadcast(maxId))
+      .groupBy(bucketOf(col("_fd")).as("b"))
+      .agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy(col("b")) // 10-row curve, not the corpus
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = perDoc.join(firstSeen, Seq("b"), "left")
+      .select(col("b").as("decile"),
+        sum(col("nd")).over(w).as("docs_cum"),
+        sum(col("nt")).over(w).as("tokens_cum"),
+        sum(coalesce(col("nv"), lit(0L))).over(w).as("vocab_cum"))
+      .withColumn("x", log(col("tokens_cum").cast("double")))
+      .withColumn("y", log(col("vocab_cum").cast("double")))
+    // the OLS sums ride frame-wide window aggregates over the SAME
+    // 10-row relation — a second reference to `curve` would re-expand
+    // its two corpus scans into the plan
+    val wAll = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val n = count(lit(1)).over(wAll).cast("double")
+    val sx = sum(col("x")).over(wAll)
+    val sy = sum(col("y")).over(wAll)
+    val sxx = sum(col("x") * col("x")).over(wAll)
+    val sxy = sum(col("x") * col("y")).over(wAll)
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    curve.select(col("decile"), col("docs_cum"), col("tokens_cum"),
+        col("vocab_cum"),
+        (round(beta, 6) + lit(0.0)).as("beta"),
+        (round(exp((sy - beta * sx) / n), 6) + lit(0.0)).as("k"))
+      .orderBy(col("decile"))
+  }
+
   /** Score a FOREIGN corpus (text the model was not trained on) under
     * the bigram KN model derived from `counts` — the actual CCNet
     * deployment shape: a Wikipedia-trained LM scoring web text, where

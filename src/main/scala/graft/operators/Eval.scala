@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -241,6 +241,146 @@ object Eval {
       .filter(col("_rk") === 1)
     best.groupBy(col("_true").as("label"), col("_cl").as("pred"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Corpus-level BLEU-2 (Papineni et al. 2002) per group over a
+    * (group, candidate, reference) pair relation — the standard
+    * machine-translation surface metric, here the measurement the
+    * bitext-mining shelf is tuned against (mined pairs that score
+    * near-zero corpus BLEU against their aligned references are
+    * noise, whatever their embedding margin said).
+    *
+    * Corpus (not sentence) form: clipped n-gram matches and candidate
+    * n-gram totals are summed over ALL pairs in a group BEFORE the
+    * precision division, and the brevity penalty compares the summed
+    * lengths — short sentences cannot dominate via 0/0 smoothing.
+    *   p_n = Σ_pairs Σ_g min(cnt_cand(g), cnt_ref(g)) / Σ_pairs |cand n-grams|
+    *   BP  = min(1, exp(1 − ref_len/cand_len)),  BLEU = BP·√(p₁·p₂)
+    * (the n=2 geometric mean is √ — no log/exp round trip for the
+    * mean itself).
+    *
+    * Plan shape: per-pair clipped counts are computed INSIDE one
+    * projection over the pair row — distinct-gram lambda folds over
+    * the two token arrays, no explode, no shuffle — then one
+    * group-keyed aggregation of six integer sufficient statistics
+    * (map-side combined). Per-row cost is O(distinct·len) on bounded
+    * documents; nothing is corpus-quadratic, and the group agg is the
+    * only exchange. */
+  def corpusBleu(pairs: DataFrame, groupCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    def grams2(a: Column): Column =
+      when(size(a) >= 2,
+        transform(sequence(lit(0), size(a) - 2),
+          i => concat_ws(" ", element_at(a, i + 1), element_at(a, i + 2))))
+        .otherwise(array().cast("array<string>"))
+    def clipped(c: Column, r: Column): Column =
+      aggregate(
+        transform(array_distinct(c), g =>
+          least(size(filter(c, x => x === g)),
+            size(filter(r, x => x === g))).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+
+    val tok = pairs.select(col(groupCol).as("grp"),
+      split(col(candCol), " ").as("ca"), split(col(refCol), " ").as("ra"))
+    val perPair = tok.select(col("grp"),
+      clipped(col("ca"), col("ra")).as("c1"),
+      size(col("ca")).cast("long").as("t1"),
+      clipped(grams2(col("ca")), grams2(col("ra"))).as("c2"),
+      greatest(size(col("ca")) - 1, lit(0)).cast("long").as("t2"),
+      size(col("ca")).cast("long").as("clen"),
+      size(col("ra")).cast("long").as("rlen"))
+    val agg = perPair.groupBy(col("grp"))
+      .agg(sum("c1").as("c1"), sum("t1").as("t1"),
+        sum("c2").as("c2"), sum("t2").as("t2"),
+        sum("clen").as("clen"), sum("rlen").as("rlen"))
+    val p1 = col("c1").cast("double") / col("t1").cast("double")
+    val p2 = col("c2").cast("double") / col("t2").cast("double")
+    val bp = when(col("clen") >= col("rlen"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("rlen").cast("double") / col("clen").cast("double")))
+    agg.select(col("grp"),
+      (round(p1, 6) + lit(0.0)).as("p1"),
+      (round(p2, 6) + lit(0.0)).as("p2"),
+      (round(bp, 6) + lit(0.0)).as("bp"),
+      (round(bp * sqrt(p1 * p2), 6) + lit(0.0)).as("bleu"))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971) over a rating log (item, category) —
+    * the chance-corrected inter-annotator agreement behind every
+    * labeled-data quality review: raw percent agreement flatters a
+    * skewed label distribution, kappa subtracts the agreement raters
+    * would reach voting blindly from the marginals. The variable-n
+    * generalization (each item i with n_i ≥ 2 ratings):
+    *   P_i = Σ_j n_ij(n_ij−1) / (n_i(n_i−1)),   P̄ = mean_i P_i
+    *   p_j = Σ_i n_ij / Σ_i n_i,                P̄_e = Σ_j p_j²
+    *   κ   = (P̄ − P̄_e) / (1 − P̄_e)
+    * Items with a single rating carry no pairwise information and are
+    * excluded from P̄ (the standard convention) but still feed the
+    * marginals.
+    *
+    * Plan shape: one (item, category) count aggregation (map-side
+    * combined), one item-sized rollup, one category-sized rollup —
+    * all integer sufficient statistics until the three final
+    * divisions; output is ONE row. Nothing is rater-pair-quadratic
+    * (Cohen's pairwise form is; Fleiss' is the scale-safe one). */
+  def fleissKappa(ratings: DataFrame, itemCol: String,
+      catCol: String): DataFrame = {
+    val nij = ratings.groupBy(col(itemCol).as("it"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("n"))
+    val perItem = nij.groupBy(col("it"))
+      .agg(sum(col("n")).as("ni"),
+        sum(col("n") * (col("n") - 1)).as("agr"))
+    val pbar = perItem.filter(col("ni") >= 2)
+      .select((col("agr").cast("double") /
+        (col("ni") * (col("ni") - lit(1L))).cast("double")).as("pi"))
+      .agg(count(lit(1)).as("n_items"), avg(col("pi")).as("pbar"))
+    val pe = nij.groupBy(col("cat")).agg(sum(col("n")).as("nj"))
+      .agg(sum(col("nj")).as("n_ratings"),
+        sum(col("nj") * col("nj")).as("sq"))
+      .select(col("n_ratings"),
+        (col("sq").cast("double") /
+          (col("n_ratings") * col("n_ratings")).cast("double")).as("pe"))
+    pbar.crossJoin(pe) // two 1-row scalars
+      .select(col("n_items"), col("n_ratings"),
+        (round(col("pbar"), 6) + lit(0.0)).as("p_bar"),
+        (round(col("pe"), 6) + lit(0.0)).as("p_e"),
+        (round((col("pbar") - col("pe")) / (lit(1.0) - col("pe")), 6)
+          + lit(0.0)).as("kappa"))
+  }
+
+  /** Reliability table for classifier calibration (Naeini et al.
+    * 2015's ECE binning): bucket predictions by confidence into
+    * `bins` equal-width bins and report per-bin size, mean
+    * confidence, empirical accuracy, and the bin's weighted ECE
+    * contribution (n_b/N)·|acc_b − conf_b| — the table a quality- or
+    * domain-classifier gate reads before its scores are trusted as
+    * sampling weights (an over-confident filter silently skews the
+    * mixture). ECE = Σ contrib.
+    *
+    * Input: (conf ∈ [0,1], hit ∈ {true,false}). The top edge folds
+    * into the last bin (conf = 1.0 is bin bins−1).
+    *
+    * Plan shape: one bin-keyed integer/double aggregation (map-side
+    * combined) + a broadcast 1-row total — a single exchange of
+    * `bins` rows regardless of corpus size. */
+  def calibrationBins(scored: DataFrame, confCol: String, hitCol: String,
+      bins: Int): DataFrame = {
+    val b = least(floor(col(confCol) * lit(bins)).cast("int"),
+      lit(bins - 1))
+    val agg = scored.select(b.as("bin"), col(confCol).as("c"),
+        col(hitCol).cast("int").as("h"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("csum"),
+        sum(col("h")).as("hits"))
+    val total = agg.agg(sum(col("n")).as("_nt"))
+    val conf = col("csum") / col("n").cast("double")
+    val acc = col("hits").cast("double") / col("n").cast("double")
+    agg.crossJoin(broadcast(total)) // 1-row corpus scalar
+      .select(col("bin"), col("n"),
+        (round(conf, 6) + lit(0.0)).as("conf"),
+        (round(acc, 6) + lit(0.0)).as("acc"),
+        (round(col("n").cast("double") / col("_nt").cast("double") *
+          abs(acc - conf), 6) + lit(0.0)).as("contrib"))
   }
 
   /** Maximal Marginal Relevance (Carbonell & Goldstein 1998):

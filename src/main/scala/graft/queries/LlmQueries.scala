@@ -3845,4 +3845,208 @@ object LlmQueries {
   }
 
   val qDsirIncrSql: String = qDsirSql
+
+  // --- corpus-health + annotation-quality measurement gates ------------
+
+  /** Corpus BLEU-2 per source ([[graft.operators.Eval.corpusBleu]]):
+    * every document scored as a candidate against the NEXT document of
+    * its source (lead over (source, doc_id) — a deterministic aligned
+    * pairing both engines replay), clipped matches and lengths summed
+    * per source before the precision divisions. The fixture's shared
+    * 31-term vocabulary gives real n-gram overlap (p1 ≈ 0.5–0.7,
+    * p2 well below p1 — clipping and the bigram order sensitivity both
+    * discriminate), and per-source length imbalance makes the brevity
+    * penalty fire on some sources and not others. */
+  def qBleu(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val pairs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("text"),
+        lead(col("text"), 1).over(bySrc).as("ref"))
+      .where(col("ref").isNotNull)
+    graft.operators.Eval.corpusBleu(pairs, "source", "text", "ref")
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+  }
+
+  val qBleuSql: String =
+    """WITH p AS (SELECT source, text AS cand,
+      |    lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+      |  FROM documents),
+      |t AS (SELECT source, string_split(cand, ' ') AS ca,
+      |    string_split(ref, ' ') AS ra
+      |  FROM p WHERE ref IS NOT NULL),
+      |g AS (SELECT source, ca, ra,
+      |    CASE WHEN len(ca) >= 2 THEN list_transform(range(1, len(ca)),
+      |      i -> ca[i] || ' ' || ca[i+1]) ELSE [] END AS cb,
+      |    CASE WHEN len(ra) >= 2 THEN list_transform(range(1, len(ra)),
+      |      i -> ra[i] || ' ' || ra[i+1]) ELSE [] END AS rb
+      |  FROM t),
+      |pp AS (SELECT source,
+      |    coalesce(list_sum(list_transform(list_distinct(ca), w ->
+      |      least(len(list_filter(ca, x -> x = w)),
+      |            len(list_filter(ra, x -> x = w))))), 0) AS c1,
+      |    len(ca) AS t1,
+      |    coalesce(list_sum(list_transform(list_distinct(cb), w ->
+      |      least(len(list_filter(cb, x -> x = w)),
+      |            len(list_filter(rb, x -> x = w))))), 0) AS c2,
+      |    greatest(len(ca) - 1, 0) AS t2,
+      |    len(ca) AS clen, len(ra) AS rlen
+      |  FROM g),
+      |a AS (SELECT source, sum(c1) AS c1, sum(t1) AS t1, sum(c2) AS c2,
+      |    sum(t2) AS t2, sum(clen) AS clen, sum(rlen) AS rlen
+      |  FROM pp GROUP BY source)
+      |SELECT source,
+      |  round(c1 / CAST(t1 AS DOUBLE), 6) + 0.0 AS p1,
+      |  round(c2 / CAST(t2 AS DOUBLE), 6) + 0.0 AS p2,
+      |  round(CASE WHEN clen >= rlen THEN 1.0
+      |    ELSE exp(1.0 - rlen / CAST(clen AS DOUBLE)) END, 6) + 0.0 AS bp,
+      |  round(CASE WHEN clen >= rlen THEN 1.0
+      |      ELSE exp(1.0 - rlen / CAST(clen AS DOUBLE)) END
+      |    * sqrt((c1 / CAST(t1 AS DOUBLE)) * (c2 / CAST(t2 AS DOUBLE))),
+      |    6) + 0.0 AS bleu
+      |FROM a ORDER BY source""".stripMargin
+
+  /** Fleiss' kappa over a rating log derived from `events`
+    * ([[graft.operators.Eval.fleissKappa]]): item = user_id % 50,
+    * category 80% item-determined consensus / 20% event-determined
+    * noise — kappa lands mid-range (≈ 0.55 at sf0.01), well off both
+    * the 0 (chance) and 1 (unanimity) degeneracies, so the
+    * chance-correction arithmetic is load-bearing, not decorative. */
+  def qKappa(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.fleissKappa(
+      Tables.events(s, dir).select(
+        concat(lit("u"), col("user_id") % 50).as("item"),
+        concat(lit("c"),
+          when(col("event_id") % 10 < 8, (col("user_id") % 50) % 3)
+            .otherwise(col("event_id") % 3)).as("cat")),
+      "item", "cat")
+
+  val qKappaSql: String =
+    """WITH r AS (SELECT 'u' || (user_id % 50) AS it,
+      |    'c' || (CASE WHEN event_id % 10 < 8 THEN (user_id % 50) % 3
+      |                 ELSE event_id % 3 END) AS cat
+      |  FROM events),
+      |nij AS (SELECT it, cat, count(*) AS n FROM r GROUP BY it, cat),
+      |pi AS (SELECT it, sum(n) AS ni, sum(n * (n - 1)) AS agr
+      |  FROM nij GROUP BY it),
+      |pb AS (SELECT count(*) AS n_items,
+      |    avg(CAST(agr AS DOUBLE) / CAST(ni * (ni - 1) AS DOUBLE)) AS pbar
+      |  FROM pi WHERE ni >= 2),
+      |pj AS (SELECT cat, sum(n) AS nj FROM nij GROUP BY cat),
+      |pe AS (SELECT CAST(sum(nj) AS BIGINT) AS n_ratings,
+      |    CAST(sum(nj * nj) AS DOUBLE)
+      |      / CAST(sum(nj) * sum(nj) AS DOUBLE) AS pe
+      |  FROM pj)
+      |SELECT n_items, n_ratings,
+      |  round(pbar, 6) + 0.0 AS p_bar,
+      |  round(pe, 6) + 0.0 AS p_e,
+      |  round((pbar - pe) / (1.0 - pe), 6) + 0.0 AS kappa
+      |FROM pb CROSS JOIN pe""".stripMargin
+
+  /** Calibration reliability table
+    * ([[graft.operators.Eval.calibrationBins]]) of a synthetic scorer
+    * whose accuracy tracks ≈ 0.8·conf + 0.1 — systematically
+    * UNDER-confident below 0.5 and OVER-confident above it, so every
+    * bin's |acc − conf| gap (and the summed ECE) is non-trivial and
+    * sign-varying. Confidence and hit are exact integer-derived
+    * expressions both engines replay; the threshold division is true
+    * division on both sides (no floor-boundary coupling). */
+  def qCalibration(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.calibrationBins(
+      Tables.events(s, dir).select(
+        ((col("event_id") % 100).cast("double") / lit(100.0) + lit(0.005))
+          .as("conf"),
+        ((col("event_id") * 31 + col("user_id") * 17) % 100 <
+          (lit(8) * (col("event_id") % 100) + lit(104)) / lit(10.0))
+          .as("hit")),
+      "conf", "hit", bins = 10)
+      .orderBy(col("bin"))
+
+  val qCalibrationSql: String =
+    """WITH s AS (SELECT (event_id % 100) / 100.0 + 0.005 AS conf,
+      |    CASE WHEN (event_id * 31 + user_id * 17) % 100 <
+      |      (8 * (event_id % 100) + 104) / 10.0 THEN 1 ELSE 0 END AS h
+      |  FROM events),
+      |b AS (SELECT least(CAST(floor(conf * 10) AS INT), 9) AS bin,
+      |    conf, h FROM s),
+      |a AS (SELECT bin, count(*) AS n, sum(conf) AS csum, sum(h) AS hits
+      |  FROM b GROUP BY bin),
+      |t AS (SELECT sum(n) AS nt FROM a)
+      |SELECT bin, CAST(n AS BIGINT) AS n,
+      |  round(csum / n, 6) + 0.0 AS conf,
+      |  round(CAST(hits AS DOUBLE) / n, 6) + 0.0 AS acc,
+      |  round(CAST(n AS DOUBLE) / nt
+      |    * abs(CAST(hits AS DOUBLE) / n - csum / n), 6) + 0.0 AS contrib
+      |FROM a CROSS JOIN t ORDER BY bin""".stripMargin
+
+  /** Zipf rank–frequency fit over the corpus
+    * ([[graft.operators.Corpus.zipfFit]]): all 31 vocabulary types
+    * ranked by frequency, log–log OLS slope/intercept/r² in one row.
+    * The synthetic corpus is near-uniform (slope ≈ −0.05, r² ≈ 0.5)
+    * — far from natural text's −1, which is exactly what the gate
+    * should report; the fixture exercises the estimator, the verdict
+    * belongs to real corpora. */
+  def qZipf(s: SparkSession, dir: String): DataFrame =
+    Corpus.zipfFit(Tables.documents(s, dir), "text", maxRanks = 1000)
+
+  /** Heaps' law vocabulary-growth curve
+    * ([[graft.operators.Corpus.heapsCurve]]): cumulative docs /
+    * tokens / vocabulary at id-space decile checkpoints plus the
+    * V = K·N^β fit. The fixture's closed 31-type vocabulary saturates
+    * in the first decile — β ≈ 0, exactly what a curve gate should
+    * say about a corpus that stopped growing its vocabulary (natural
+    * web text runs β ≈ 0.5). The integer curve is exact on both
+    * engines; the id→bucket map is one broadcast scalar away from a
+    * pure per-row function, so no corpus-sized ordering exists. */
+  def qHeaps(s: SparkSession, dir: String): DataFrame =
+    Corpus.heapsCurve(Tables.documents(s, dir), "doc_id", "text")
+
+  val qZipfSql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, count(*) AS f FROM t GROUP BY term
+      |  ORDER BY f DESC, term LIMIT 1000),
+      |rk AS (SELECT row_number() OVER (ORDER BY f DESC, term) AS r, f
+      |  FROM tf),
+      |xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x,
+      |    ln(CAST(f AS DOUBLE)) AS y FROM rk),
+      |sm AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+      |    sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+      |    sum(x * y) AS sxy FROM xy)
+      |SELECT CAST(n AS BIGINT) AS n_types,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
+      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+      |    + 0.0 AS intercept,
+      |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS r2
+      |FROM sm""".stripMargin
+
+  val qHeapsSql: String =
+    """WITH sp AS (SELECT max(doc_id) + 1 AS span FROM documents),
+      |pd AS (SELECT CAST(floor(doc_id * 10 / span) AS INT) + 1 AS b,
+      |    count(*) AS nd, sum(len(string_split(text, ' '))) AS nt
+      |  FROM documents CROSS JOIN sp GROUP BY 1),
+      |fs AS (SELECT term, min(doc_id) AS fd FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents) GROUP BY term),
+      |fv AS (SELECT CAST(floor(fd * 10 / span) AS INT) + 1 AS b,
+      |    count(*) AS nv
+      |  FROM fs CROSS JOIN sp GROUP BY 1),
+      |cv AS (SELECT pd.b AS decile,
+      |    CAST(sum(pd.nd) OVER wc AS BIGINT) AS docs_cum,
+      |    CAST(sum(pd.nt) OVER wc AS BIGINT) AS tokens_cum,
+      |    CAST(sum(coalesce(fv.nv, 0)) OVER wc AS BIGINT) AS vocab_cum
+      |  FROM pd LEFT JOIN fv USING (b)
+      |  WINDOW wc AS (ORDER BY pd.b ROWS UNBOUNDED PRECEDING)),
+      |xy AS (SELECT decile, docs_cum, tokens_cum, vocab_cum,
+      |    ln(CAST(tokens_cum AS DOUBLE)) AS x,
+      |    ln(CAST(vocab_cum AS DOUBLE)) AS y FROM cv),
+      |f AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+      |    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy FROM xy)
+      |SELECT decile, docs_cum, tokens_cum, vocab_cum,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS beta,
+      |  round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+      |    / n), 6) + 0.0 AS k
+      |FROM xy CROSS JOIN f ORDER BY decile""".stripMargin
 }

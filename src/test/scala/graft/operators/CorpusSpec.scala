@@ -850,4 +850,73 @@ class CorpusSpec extends SparkSpec {
     assert(scored(1L)._3 < scored(2L)._3)   // lower perplexity
     assert(scored.values.forall(v => v._3 > 0.0))
   }
+
+  test("zipfFit: OLS sums match a plain-Scala replay; frequency ties " +
+      "rank by term; maxRanks cuts the head") {
+    val s = spark
+    import s.implicits._
+    // freqs: a=8, b=4, c=2, d=2 (c/d tie → ranks 3/4 by term)
+    val docs = Seq("a a a a b b c d", "a a a a b b c d").toDF("text")
+    def ols(fs: Seq[Long]) = {
+      val xy = fs.zipWithIndex.map { case (f, i) =>
+        (math.log(i + 1.0), math.log(f.toDouble)) }
+      val n = xy.size.toDouble
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val syy = xy.map(p => p._2 * p._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      def r6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r6(slope), r6((sy - slope * sx) / n),
+        r6((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+          ((n * sxx - sx * sx) * (n * syy - sy * sy))))
+    }
+    val full = Corpus.zipfFit(docs, "text").collect().head
+    val (sl, ic, r2) = ols(Seq(8L, 4L, 2L, 2L))
+    assert(full.getLong(0) === 4L)
+    assert(full.getDouble(1) === sl && full.getDouble(2) === ic &&
+      full.getDouble(3) === r2)
+    assert(sl < -0.5 && r2 > 0.9, "a Zipf-ish head fits steep and tight")
+
+    val cut = Corpus.zipfFit(docs, "text", maxRanks = 2).collect().head
+    val (sl2, _, r22) = ols(Seq(8L, 4L))
+    assert(cut.getLong(0) === 2L && cut.getDouble(1) === sl2)
+    assert(r22 === 1.0, "two points fit exactly")
+  }
+
+  test("heapsCurve: exact cumulative curve, first-occurrence vocab " +
+      "attribution, and empty-vocab buckets carried forward") {
+    val s = spark
+    import s.implicits._
+    // span = 10 → doc_id d lands in bucket d+1, one doc per decile
+    val docs = Seq(
+      (0L, "a b"), (1L, "a c"), (2L, "a a"), (3L, "b c"), (4L, "d d"),
+      (5L, "a b"), (6L, "e f"), (7L, "a a"), (8L, "b b"), (9L, "g a"))
+      .toDF("doc_id", "text")
+    val r = Corpus.heapsCurve(docs, "doc_id", "text")
+      .orderBy("decile").collect()
+    assert(r.map(_.getInt(0)).toSeq === (1 to 10))
+    assert(r.map(_.getLong(1)).toSeq === (1L to 10L), "docs_cum")
+    assert(r.map(_.getLong(2)).toSeq ===
+      Seq(2L, 4L, 6L, 8L, 10L, 12L, 14L, 16L, 18L, 20L))
+    // first occurrences: a,b @d0; c @d1; d @d4; e,f @d6; g @d9 —
+    // deciles 3,4,6,8,9 add nothing and must carry the running total
+    assert(r.map(_.getLong(3)).toSeq ===
+      Seq(2L, 3L, 3L, 3L, 4L, 4L, 6L, 6L, 6L, 7L))
+    // the fit replays the plain-Scala OLS over the 10 curve points
+    val xy = r.map(x => (math.log(x.getLong(2).toDouble),
+      math.log(x.getLong(3).toDouble)))
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.head.getDouble(4) === r6(beta))
+    assert(r.head.getDouble(5) === r6(math.exp((sy - beta * sx) / n)))
+    assert(r.forall(_.getDouble(4) === r.head.getDouble(4)),
+      "fit constant across the curve rows")
+  }
 }

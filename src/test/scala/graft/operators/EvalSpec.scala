@@ -359,4 +359,102 @@ class EvalSpec extends SparkSpec {
     assert(aggIdx > genIdx,
       s"word-count aggregate must feed the pair explode:\n$p")
   }
+
+  // --- corpusBleu --------------------------------------------------------
+
+  test("corpusBleu: clipping, bigram order sensitivity, and the " +
+      "hand-checked textbook pair") {
+    val pairs = Seq(
+      // p1 = 5/6 (the×2 clipped at 2, sat misses), p2 = 3/5, bp = 1
+      ("g1", "the cat sat on the mat", "the cat is on the mat"),
+      // repetition clipped hard: p1 = 1/4, p2 = 0 → bleu 0
+      ("g2", "a a a a", "a b")).toDF("grp", "cand", "ref")
+    val r = Eval.corpusBleu(pairs, "grp", "cand", "ref")
+      .orderBy("grp").collect()
+    assert(r(0).getDouble(1) === 0.833333) // p1
+    assert(r(0).getDouble(2) === 0.6)      // p2
+    assert(r(0).getDouble(3) === 1.0)      // bp
+    assert(r(0).getDouble(4) === 0.707107) // sqrt(5/6 * 3/5) = sqrt(.5)
+    assert(r(1).getDouble(1) === 0.25 && r(1).getDouble(4) === 0.0)
+  }
+
+  test("corpusBleu: brevity penalty fires on short candidates, and " +
+      "corpus-level sums pool pairs before dividing") {
+    val short = Seq(("g", "x y", "x y z w")).toDF("grp", "cand", "ref")
+    val r1 = Eval.corpusBleu(short, "grp", "cand", "ref").collect().head
+    assert(r1.getDouble(3) === 0.367879) // exp(1 - 4/2)
+    assert(r1.getDouble(4) === 0.367879) // p1 = p2 = 1
+
+    // two pairs pooled: clipped 2+0 over totals 2+2 → p1 = 0.5, NOT the
+    // mean of per-pair precisions (1.0 and 0.0) — the corpus-BLEU
+    // distinction this operator exists for
+    val pooled = Seq(("g", "x y", "x y"), ("g", "p q", "a b"))
+      .toDF("grp", "cand", "ref")
+    val r2 = Eval.corpusBleu(pooled, "grp", "cand", "ref").collect().head
+    assert(r2.getDouble(1) === 0.5)
+  }
+
+  // --- fleissKappa -------------------------------------------------------
+
+  test("fleissKappa: the Fleiss (1971) worked example — 10 subjects, " +
+      "14 raters, 5 categories") {
+    val nij = Seq(
+      (1, Seq(0, 0, 0, 0, 14)), (2, Seq(0, 2, 6, 4, 2)),
+      (3, Seq(0, 0, 3, 5, 6)), (4, Seq(0, 3, 9, 2, 0)),
+      (5, Seq(2, 2, 8, 1, 1)), (6, Seq(7, 7, 0, 0, 0)),
+      (7, Seq(3, 2, 6, 3, 0)), (8, Seq(2, 5, 3, 2, 2)),
+      (9, Seq(6, 5, 2, 1, 0)), (10, Seq(0, 2, 2, 3, 7)))
+    val ratings = nij.flatMap { case (it, cs) =>
+      cs.zipWithIndex.flatMap { case (n, j) => Seq.fill(n)((it, s"c$j")) }
+    }.toDF("item", "cat")
+    // independent plain-Scala replay of the definition
+    val pbar = nij.map { case (_, cs) =>
+      cs.map(n => n * (n - 1)).sum.toDouble / (14 * 13)
+    }.sum / 10
+    val tot = nij.flatMap(_._2).sum.toDouble
+    val pe = (0 until 5)
+      .map(j => nij.map(_._2(j)).sum / tot).map(p => p * p).sum
+    val exp = BigDecimal((pbar - pe) / (1 - pe))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Eval.fleissKappa(ratings, "item", "cat").collect().head
+    assert(r.getLong(0) === 10L && r.getLong(1) === 140L)
+    assert(r.getDouble(4) === exp)
+    assert(math.abs(r.getDouble(4) - 0.210) < 0.001) // the published value
+  }
+
+  test("fleissKappa: single-rating items are excluded from agreement " +
+      "but still feed the marginals") {
+    val ratings = Seq(
+      (1, "a"), (1, "a"), (2, "b"), (2, "b"), // two unanimous items
+      (3, "c"))                               // one single-rating item
+      .toDF("item", "cat")
+    val r = Eval.fleissKappa(ratings, "item", "cat").collect().head
+    assert(r.getLong(0) === 2L, "items with ni >= 2")
+    assert(r.getLong(1) === 5L, "all ratings count in the marginals")
+    assert(r.getDouble(2) === 1.0, "unanimous pairs: p_bar = 1")
+    // pe = (2/5)^2 + (2/5)^2 + (1/5)^2 = 0.36; kappa = (1-.36)/(1-.36)
+    assert(r.getDouble(3) === 0.36 && r.getDouble(4) === 1.0)
+  }
+
+  // --- calibrationBins ---------------------------------------------------
+
+  test("calibrationBins: binning, top-edge fold, and the weighted " +
+      "ECE contributions, hand-checked") {
+    val scored = Seq(
+      (0.05, true), (0.08, false),   // bin 0: conf .065, acc .5
+      (0.95, true), (1.0, true),     // bin 9 (1.0 folds in): acc 1
+      (0.55, false))                 // bin 5: acc 0
+      .toDF("conf", "hit")
+    val r = Eval.calibrationBins(scored, "conf", "hit", bins = 10)
+      .orderBy("bin").collect()
+    assert(r.map(_.getInt(0)).toSeq === Seq(0, 5, 9))
+    val b0 = r(0)
+    assert(b0.getLong(1) === 2L && b0.getDouble(2) === 0.065 &&
+      b0.getDouble(3) === 0.5)
+    assert(b0.getDouble(4) === 0.174) // 2/5 * |.5 - .065|
+    val b9 = r(2)
+    assert(b9.getLong(1) === 2L && b9.getDouble(2) === 0.975 &&
+      b9.getDouble(3) === 1.0)
+    assert(b9.getDouble(4) === 0.01) // 2/5 * |1 - .975|
+  }
 }
