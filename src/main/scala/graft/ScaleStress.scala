@@ -488,7 +488,13 @@ object ScaleStress {
       // heaps = one token scan → per-term min(doc_id) (vocab-sized,
       // map-side combined) + one doc-sized token-count agg; all
       // windows are over the 10-row curve
-      "q_heaps")
+      "q_heaps",
+      // BPE = ONE corpus scan into the word-frequency vocab, then 8
+      // vocab-sized training rounds (pair explode + 1-row argmax +
+      // fold) — expect the ratio to track the vocab growth (10x
+      // fixture: 31 → 311 types), NOT the corpus; encode re-applies
+      // the staged merges in one vocab-sized projection
+      "q_bpe_train", "q_bpe_encode")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

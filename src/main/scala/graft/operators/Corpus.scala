@@ -776,6 +776,103 @@ object Corpus {
       (round(covN * covN / (varX * varY), 6) + lit(0.0)).as("r2"))
   }
 
+  /** Byte-pair-encoding TRAINER (Sennrich et al. 2016) over the
+    * word-frequency table: nMerges rounds of count-all-adjacent-
+    * symbol-pairs → merge the most frequent pair everywhere. Returns
+    * the learned merge table (rank, left, right, merged, pair_count)
+    * — the tokenizer artifact a pretraining pipeline ships. The
+    * q_bpe_pairs gate counts ONE round's candidates; this runs the
+    * actual training loop.
+    *
+    * Merge semantics (pinned by spec and replayed symbol-for-symbol
+    * by the oracle): one round replaces occurrences of (l, r)
+    * leftmost-first non-overlapping — expressed as a left fold over
+    * the symbol array whose accumulator tail merges with the incoming
+    * symbol (a run like a,a,a under (a,a) folds to [aa, a], exactly
+    * the reference implementation's behavior). Pair counts include
+    * overlapping occurrences (Sennrich's get_stats does).
+    *
+    * Scale shape: the corpus is scanned ONCE into the word-frequency
+    * vocab; every training round is vocab-sized (pair explode ≤
+    * symbols-per-word × vocab, one heap-bounded argmax, one fold
+    * scan). Driver state is nMerges rows (the argmax collect — the
+    * PQ-codebook boundedness discipline); per-round lineage is cut
+    * (the mmrSelect discipline) so plans stay flat. Words must not
+    * contain the '|' the ORACLE uses as its seam — the operator
+    * itself never serializes. */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val session = docs.sparkSession
+    var vocab = bpeVocab(docs, textCol)
+    var pinned: Option[org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.catalyst.InternalRow]] = None
+    def cut(df: DataFrame): DataFrame = {
+      val (cutDf, rdd) = Graph.localCut(df)
+      pinned.foreach(_.unpersist(blocking = false))
+      pinned = Some(rdd)
+      cutDf
+    }
+    vocab = cut(vocab)
+    val merges = scala.collection.mutable.ArrayBuffer[
+      (Int, String, String, String, Long)]()
+    for (i <- 1 to nMerges) {
+      val top = vocab
+        .select(col("wc"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect() // 1 row × nMerges — bounded driver state
+      if (top.nonEmpty) {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i, l, r, l + r, c))
+        vocab = cut(vocab.withColumn("syms",
+          mergeFold(col("syms"), lit(l), lit(r))))
+      }
+    }
+    pinned.foreach(_.unpersist(blocking = false))
+    import session.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** Final segmentation of every vocabulary word under an ordered
+    * merge list — the ENCODE half of BPE (the merge table is tiny and
+    * rides the plan as literals; applying it is nMerges folds inside
+    * one vocab-sized projection, so encoding any corpus is one scan).
+    * Output: (w, wc, tokens — space-joined symbols). */
+  def bpeSegment(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val seg = merges.foldLeft(col("syms")) { case (acc, (l, r)) =>
+      mergeFold(acc, lit(l), lit(r))
+    }
+    bpeVocab(docs, textCol)
+      .select(col("w"), col("wc"), array_join(seg, " ").as("tokens"))
+  }
+
+  /** Word-frequency table with initial character segmentation — the
+    * one corpus scan both BPE halves start from. */
+  private def bpeVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .withColumn("syms", split(col("w"), ""))
+
+  private def adjacentPairs(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(0), size(syms) - 2), j =>
+        struct(element_at(syms, j + 1).as("l"),
+          element_at(syms, j + 2).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+
+  /** One leftmost-first non-overlapping merge round as a left fold:
+    * merge when the accumulator tail is `l` and the incoming symbol
+    * is `r`; the freshly merged tail (l‖r ≠ l) cannot re-trigger, so
+    * a run folds exactly like the reference's replace loop. */
+  private def mergeFold(syms: Column, l: Column, r: Column): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === l && x === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(l, r))))
+        .otherwise(concat(acc, array(x))))
+
   /** Heaps' law vocabulary-growth curve: cumulative (docs, tokens,
     * vocabulary) at id-space decile checkpoints, plus the log–log OLS
     * fit V = K·N^β over the checkpoints — q_zipf's companion curve

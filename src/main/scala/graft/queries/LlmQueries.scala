@@ -3864,7 +3864,7 @@ object LlmQueries {
       .select(col("source"), col("doc_id"), col("text"),
         lead(col("text"), 1).over(bySrc).as("ref"))
       .where(col("ref").isNotNull)
-    graft.operators.Eval.corpusBleu(pairs, "source", "text", "ref")
+    graft.operators.Eval.corpusBleu(pairs, "source", "doc_id", "text", "ref")
       .withColumnRenamed("grp", "source")
       .orderBy(col("source"))
   }
@@ -4021,6 +4021,84 @@ object LlmQueries {
       |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
       |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS r2
       |FROM sm""".stripMargin
+
+  /** The staged BPE merge table (8 rounds over the corpus vocabulary)
+    * — one training run per (session, dir), shared by the train and
+    * encode gates; at 100 TB this IS the shipped tokenizer artifact. */
+  private def bpeMergesStaged(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.stage(s, s"bpe:merges:$dir") {
+      Corpus.bpeTrain(Tables.documents(s, dir), "text", nMerges = 8)
+    }
+
+  /** BPE training under the gate ([[Corpus.bpeTrain]]): 8 merge
+    * rounds over the word-frequency table. The oracle replays every
+    * round — pair counting (overlaps included), the (count desc,
+    * left, right) argmax, and the leftmost-first fold — as 8 unrolled
+    * CTE stages whose fold is a list_reduce with a string
+    * accumulator, so the merge TABLE (not just counts) is
+    * hash-checked. */
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeMergesStaged(s, dir).orderBy(col("rank"))
+
+  /** BPE encoding under the gate ([[Corpus.bpeSegment]]): every
+    * vocabulary word segmented under the staged merge list (applied
+    * in rank order as literals inside ONE vocab-sized projection —
+    * encoding a corpus is one scan). The 8-row collect is the
+    * PQ-codebook boundedness discipline. */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val ms = bpeMergesStaged(s, dir).orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    Corpus.bpeSegment(Tables.documents(s, dir), "text", ms)
+      .orderBy(col("w"))
+  }
+
+  /** The shared BPE CTE chain: v0/s0 (vocab + char segmentation, a
+    * chr(1) seam no token carries), then per round i: p_i (pair
+    * counts from the segmentation), m_i (the argmax merge), s_i (the
+    * fold applying it) — the exact [[Corpus.bpeTrain]] loop unrolled. */
+  private def bpeStagesSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH v0 AS (SELECT w, count(*) AS wc FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  WHERE len(w) > 0 GROUP BY w),
+             |s0 AS (SELECT w, wc,
+             |    array_to_string(list_transform(range(1, len(w) + 1),
+             |      i -> w[i]), chr(1)) AS seg FROM v0)""".stripMargin
+    for (i <- 1 to n) {
+      sb ++= s""",
+                |p$i AS (SELECT u.l AS l, u.r AS r, sum(wc) AS c FROM (
+                |    SELECT wc, unnest(list_transform(range(1, len(parts)),
+                |      j -> {'l': parts[j], 'r': parts[j + 1]})) AS u
+                |    FROM (SELECT wc, string_split(seg, chr(1)) AS parts
+                |          FROM s${i - 1})) GROUP BY u.l, u.r),
+                |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+                |s$i AS (SELECT w, wc,
+                |    list_reduce(string_split(seg, chr(1)), (acc, x) ->
+                |      CASE WHEN (acc = l OR ends_with(acc, chr(1) || l))
+                |                AND x = r
+                |           THEN CASE WHEN acc = l THEN l || r
+                |                ELSE substr(acc, 1, len(acc) - len(l) - 1)
+                |                  || chr(1) || l || r END
+                |           ELSE acc || chr(1) || x END) AS seg
+                |  FROM s${i - 1} CROSS JOIN m$i)""".stripMargin
+    }
+    sb.toString
+  }
+
+  val qBpeTrainSql: String = {
+    val members = (1 to 8).map(i =>
+      s"""SELECT $i AS rank, l AS "left", r AS "right", l || r AS merged,
+         |  CAST(c AS BIGINT) AS pair_count FROM m$i""".stripMargin)
+    bpeStagesSql(8) + "\n" +
+      members.mkString("\nUNION ALL\n") + "\nORDER BY rank"
+  }
+
+  val qBpeEncodeSql: String =
+    bpeStagesSql(8) +
+      """
+        |SELECT w, CAST(wc AS BIGINT) AS wc,
+        |  replace(seg, chr(1), ' ') AS tokens
+        |FROM s8 ORDER BY w""".stripMargin
 
   val qHeapsSql: String =
     """WITH sp AS (SELECT max(doc_id) + 1 AS span FROM documents),

@@ -885,6 +885,48 @@ class CorpusSpec extends SparkSpec {
     assert(r22 === 1.0, "two points fit exactly")
   }
 
+  test("bpeTrain: merge order hand-checked; training stops when no " +
+      "pairs remain; segmentation follows the learned merges") {
+    val s = spark
+    import s.implicits._
+    // words: aab ×3, ab ×1, x ×1 — round 1 counts (a,a)=3, (a,b)=4
+    val docs = Seq("aab aab ab", "aab x").toDF("text")
+    val m = Corpus.bpeTrain(docs, "text", nMerges = 3)
+      .orderBy("rank").collect()
+    // round 1: (a,b)→ab @4; aab→[a,ab], ab→[ab]
+    // round 2: (a,ab)→aab @3; aab→[aab]
+    // round 3: no adjacent pairs left anywhere → trains only 2 merges
+    assert(m.map(r => (r.getInt(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSeq ===
+      Seq((1, "a", "b", "ab", 4L), (2, "a", "ab", "aab", 3L)))
+
+    val seg = Corpus.bpeSegment(docs, "text",
+        Seq(("a", "b"), ("a", "ab")))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(seg === Map("aab" -> "aab", "ab" -> "ab", "x" -> "x"))
+  }
+
+  test("bpeSegment: a run merges leftmost-first non-overlapping — " +
+      "aaaa → [aa,aa], aaa → [aa,a] under (a,a)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("aaaa aaa").toDF("text")
+    val seg = Corpus.bpeSegment(docs, "text", Seq(("a", "a")))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(seg === Map("aaaa" -> "aa aa", "aaa" -> "aa a"))
+  }
+
+  test("bpeTrain: pair counts include overlapping occurrences and " +
+      "weight by word frequency (Sennrich get_stats semantics)") {
+    val s = spark
+    import s.implicits._
+    // "aaa" ×2 → (a,a) counted 2 per word = 4; "bc" ×3 → (b,c) = 3
+    val docs = Seq("aaa bc bc", "aaa bc").toDF("text")
+    val m = Corpus.bpeTrain(docs, "text", nMerges = 1).collect()
+    assert(m.map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+      .toSeq === Seq(("a", "a", 4L)))
+  }
+
   test("heapsCurve: exact cumulative curve, first-occurrence vocab " +
       "attribution, and empty-vocab buckets carried forward") {
     val s = spark

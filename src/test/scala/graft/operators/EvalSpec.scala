@@ -366,10 +366,10 @@ class EvalSpec extends SparkSpec {
       "hand-checked textbook pair") {
     val pairs = Seq(
       // p1 = 5/6 (the×2 clipped at 2, sat misses), p2 = 3/5, bp = 1
-      ("g1", "the cat sat on the mat", "the cat is on the mat"),
+      ("g1", 1L, "the cat sat on the mat", "the cat is on the mat"),
       // repetition clipped hard: p1 = 1/4, p2 = 0 → bleu 0
-      ("g2", "a a a a", "a b")).toDF("grp", "cand", "ref")
-    val r = Eval.corpusBleu(pairs, "grp", "cand", "ref")
+      ("g2", 2L, "a a a a", "a b")).toDF("grp", "pid", "cand", "ref")
+    val r = Eval.corpusBleu(pairs, "grp", "pid", "cand", "ref")
       .orderBy("grp").collect()
     assert(r(0).getDouble(1) === 0.833333) // p1
     assert(r(0).getDouble(2) === 0.6)      // p2
@@ -380,18 +380,28 @@ class EvalSpec extends SparkSpec {
 
   test("corpusBleu: brevity penalty fires on short candidates, and " +
       "corpus-level sums pool pairs before dividing") {
-    val short = Seq(("g", "x y", "x y z w")).toDF("grp", "cand", "ref")
-    val r1 = Eval.corpusBleu(short, "grp", "cand", "ref").collect().head
+    val short = Seq(("g", 1L, "x y", "x y z w")).toDF("grp", "pid", "cand", "ref")
+    val r1 = Eval.corpusBleu(short, "grp", "pid", "cand", "ref")
+      .collect().head
     assert(r1.getDouble(3) === 0.367879) // exp(1 - 4/2)
     assert(r1.getDouble(4) === 0.367879) // p1 = p2 = 1
 
     // two pairs pooled: clipped 2+0 over totals 2+2 → p1 = 0.5, NOT the
     // mean of per-pair precisions (1.0 and 0.0) — the corpus-BLEU
-    // distinction this operator exists for
-    val pooled = Seq(("g", "x y", "x y"), ("g", "p q", "a b"))
-      .toDF("grp", "cand", "ref")
-    val r2 = Eval.corpusBleu(pooled, "grp", "cand", "ref").collect().head
+    // distinction this operator exists for; per-pair keying means the
+    // duplicate-free id space is load-bearing, so ids differ
+    val pooled = Seq(("g", 1L, "x y", "x y"), ("g", 2L, "p q", "a b"))
+      .toDF("grp", "pid", "cand", "ref")
+    val r2 = Eval.corpusBleu(pooled, "grp", "pid", "cand", "ref")
+      .collect().head
     assert(r2.getDouble(1) === 0.5)
+
+    // disjoint vocabularies: the clip side is EMPTY after the inner
+    // join — the left join + fill keeps the group with p = 0
+    val none = Seq(("g", 1L, "p q", "a b")).toDF("grp", "pid", "cand", "ref")
+    val r3 = Eval.corpusBleu(none, "grp", "pid", "cand", "ref")
+      .collect().head
+    assert(r3.getDouble(1) === 0.0 && r3.getDouble(4) === 0.0)
   }
 
   // --- fleissKappa -------------------------------------------------------
