@@ -800,9 +800,18 @@ object Corpus {
     * (the mmrSelect discipline) so plans stay flat. Words must not
     * contain the '|' the ORACLE uses as its seam — the operator
     * itself never serializes. */
-  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    val session = docs.sparkSession
-    var vocab = bpeVocab(docs, textCol)
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame =
+    bpeTrainFromVocab(bpeWordCounts(docs, textCol), nMerges)
+
+  /** Train from a word-frequency table directly — the (w, wc) vocab
+    * is the trainer's COMPLETE sufficient statistic, additively
+    * mergeable ([[bpeMergeVocab]]), so an incremental or streaming
+    * maintainer stores the vocab and retrains merges without ever
+    * re-tokenizing the corpus ([[graft.streaming.StreamingBpe]]). */
+  def bpeTrainFromVocab(wordCounts: DataFrame, nMerges: Int): DataFrame = {
+    val session = wordCounts.sparkSession
+    var vocab = wordCounts.select(col("w"), col("wc"))
+      .withColumn("syms", split(col("w"), ""))
     var pinned: Option[org.apache.spark.rdd.RDD[
       org.apache.spark.sql.catalyst.InternalRow]] = None
     def cut(df: DataFrame): DataFrame = {
@@ -848,12 +857,22 @@ object Corpus {
       .select(col("w"), col("wc"), array_join(seg, " ").as("tokens"))
   }
 
-  /** Word-frequency table with initial character segmentation — the
-    * one corpus scan both BPE halves start from. */
-  private def bpeVocab(docs: DataFrame, textCol: String): DataFrame =
+  /** The (w, wc) word-frequency table — one corpus scan, map-side
+    * combined; everything BPE needs. */
+  def bpeWordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(split(col(textCol), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+
+  /** Additive merge of two word-frequency tables — exact mergeable
+    * sufficient statistics (the knMergeCounts discipline). */
+  def bpeMergeVocab(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("w")).agg(sum(col("wc")).as("wc"))
+
+  /** Word-frequency table with initial character segmentation — the
+    * one corpus scan both BPE halves start from. */
+  private def bpeVocab(docs: DataFrame, textCol: String): DataFrame =
+    bpeWordCounts(docs, textCol)
       .withColumn("syms", split(col("w"), ""))
 
   private def adjacentPairs(syms: Column): Column =
