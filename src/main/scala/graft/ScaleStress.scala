@@ -494,7 +494,10 @@ object ScaleStress {
       // fold) — expect the ratio to track the vocab growth (10x
       // fixture: 31 → 311 types), NOT the corpus; encode re-applies
       // the staged merges in one vocab-sized projection
-      "q_bpe_train", "q_bpe_encode")
+      "q_bpe_train", "q_bpe_encode",
+      // fertility = one token scan into (group, word) counts, folds
+      // per word TYPE, group-sized rollup
+      "q_bpe_fertility")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

@@ -857,6 +857,40 @@ object Corpus {
       .select(col("w"), col("wc"), array_join(seg, " ").as("tokens"))
   }
 
+  /** Tokenizer fertility / compression per group under an ordered
+    * merge list: tokens-per-word and characters-per-token — the
+    * numbers that say whether a trained tokenizer actually fits a
+    * domain (a domain whose fertility stays near characters-per-word
+    * is one the merges never learned). Integer sufficient sums; the
+    * only doubles are the two final divisions.
+    *
+    * Plan: one token scan → (group, word) counts (map-side combined),
+    * then the merge folds run on that vocab-×-groups-sized relation —
+    * per WORD TYPE, never per token — and one group-sized rollup. */
+  def bpeFertility(docs: DataFrame, groupCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val seg = merges.foldLeft(split(col("w"), "")) { case (a, (l, r)) =>
+      mergeFold(a, lit(l), lit(r))
+    }
+    docs.select(col(groupCol).as("grp"),
+        explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("c"))
+      .select(col("grp"), col("c"),
+        size(seg).cast("long").as("ntok"),
+        length(col("w")).cast("long").as("nchr"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("ntok")).as("n_tokens"),
+        sum(col("c") * col("nchr")).as("nch"))
+      .select(col("grp"), col("n_words"), col("n_tokens"),
+        (round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 6) + lit(0.0)).as("fertility"),
+        (round(col("nch").cast("double") /
+          col("n_tokens").cast("double"), 6) + lit(0.0))
+          .as("chars_per_token"))
+  }
+
   /** The (w, wc) word-frequency table — one corpus scan, map-side
     * combined; everything BPE needs. */
   def bpeWordCounts(docs: DataFrame, textCol: String): DataFrame =

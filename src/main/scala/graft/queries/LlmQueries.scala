@@ -4052,6 +4052,20 @@ object LlmQueries {
       .orderBy(col("w"))
   }
 
+  /** Tokenizer fertility per source under the staged merges
+    * ([[Corpus.bpeFertility]]): tokens-per-word and chars-per-token —
+    * the compression scorecard of the trained tokenizer, per domain.
+    * At the fixture's 8 merges fertility sits between 1 (everything
+    * merged) and chars-per-word (nothing merged), with real
+    * per-source spread from the source-skewed word mix. */
+  def qBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val ms = bpeMergesStaged(s, dir).orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    Corpus.bpeFertility(Tables.documents(s, dir), "source", "text", ms)
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+  }
+
   /** The shared BPE CTE chain: v0/s0 (vocab + char segmentation, a
     * chr(1) seam no token carries), then per round i: p_i (pair
     * counts from the segmentation), m_i (the argmax merge), s_i (the
@@ -4099,6 +4113,24 @@ object LlmQueries {
         |SELECT w, CAST(wc AS BIGINT) AS wc,
         |  replace(seg, chr(1), ' ') AS tokens
         |FROM s8 ORDER BY w""".stripMargin
+
+  val qBpeFertilitySql: String =
+    bpeStagesSql(8) +
+      """,
+        |gw AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |gc AS (SELECT source, w, count(*) AS c FROM gw
+        |  WHERE len(w) > 0 GROUP BY source, w),
+        |j AS (SELECT source, c,
+        |    len(string_split(seg, chr(1))) AS ntok, len(w) AS nchr
+        |  FROM gc JOIN s8 USING (w))
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_words,
+        |  CAST(sum(c * ntok) AS BIGINT) AS n_tokens,
+        |  round(sum(c * ntok) / CAST(sum(c) AS DOUBLE), 6) + 0.0
+        |    AS fertility,
+        |  round(sum(c * nchr) / CAST(sum(c * ntok) AS DOUBLE), 6) + 0.0
+        |    AS chars_per_token
+        |FROM j GROUP BY source ORDER BY source""".stripMargin
 
   val qHeapsSql: String =
     """WITH sp AS (SELECT max(doc_id) + 1 AS span FROM documents),

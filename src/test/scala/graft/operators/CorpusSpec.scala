@@ -927,6 +927,23 @@ class CorpusSpec extends SparkSpec {
       .toSeq === Seq(("a", "a", 4L)))
   }
 
+  test("bpeFertility: tokens-per-word and chars-per-token, hand-checked " +
+      "against a known segmentation") {
+    val s = spark
+    import s.implicits._
+    // under merge (a,a): "aaaa"→[aa,aa] (2 tok, 4 chr), "aab"→[aa,b]
+    // (2 tok, 3 chr), "b"→[b] (1 tok, 1 chr)
+    val docs = Seq(("g1", "aaaa aab"), ("g2", "b b")).toDF("src", "text")
+    val r = Corpus.bpeFertility(docs, "src", "text", Seq(("a", "a")))
+      .orderBy("grp").collect()
+    // g1: words 2, tokens 2+2=4, fertility 2.0, cpt (4+3)/4 = 1.75
+    assert(r(0).getLong(1) === 2L && r(0).getLong(2) === 4L)
+    assert(r(0).getDouble(3) === 2.0 && r(0).getDouble(4) === 1.75)
+    // g2: 2 words ("b" ×2), 2 tokens, fertility 1, cpt 1
+    assert(r(1).getLong(1) === 2L && r(1).getLong(2) === 2L)
+    assert(r(1).getDouble(3) === 1.0 && r(1).getDouble(4) === 1.0)
+  }
+
   test("heapsCurve: exact cumulative curve, first-occurrence vocab " +
       "attribution, and empty-vocab buckets carried forward") {
     val s = spark
