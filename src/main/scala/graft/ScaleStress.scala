@@ -477,13 +477,14 @@ object ScaleStress {
       // k-NN-list-sized margin joins, two rank-1 heaps for the mutual
       // check — scan-linear in the growing side
       "q_bitext_mine",
-      // round 18 session 3: BLEU = per-source lead pairing + per-row
-      // lambda-fold clipped counts (no explode, no pair shuffle) + one
-      // source-keyed 6-integer agg — expect scan-linear; kappa /
-      // calibration = one keyed count agg + item/cat- or bin-sized
-      // rollups (integer sufficient stats, map-side combined); zipf =
-      // one token-stream count agg (vocab-sized out) + a limit-bounded
-      // rank + a 1-row OLS rollup
+      // round 18 session 3: BLEU = per-source lead pairing + ONE
+      // tagged-ngram explode per side into (pair, gram) hash counts,
+      // an equi-join, and a source-keyed rollup — token-stream-linear,
+      // all codegen (the zero-shuffle lambda form it replaced ran
+      // interpreted at ~6x this cost); kappa / calibration = one keyed
+      // count agg + item/cat- or bin-sized rollups (integer sufficient
+      // stats, map-side combined); zipf = one token-stream count agg
+      // (vocab-sized out) + a limit-bounded rank + a 1-row OLS rollup
       "q_bleu", "q_kappa", "q_calibration", "q_zipf",
       // heaps = one token scan → per-term min(doc_id) (vocab-sized,
       // map-side combined) + one doc-sized token-count agg; all

@@ -768,12 +768,17 @@ object Corpus {
     val covN = col("n") * col("sxy") - col("sx") * col("sy")
     val varX = col("n") * col("sxx") - col("sx") * col("sx")
     val varY = col("n") * col("syy") - col("sy") * col("sy")
-    val slope = covN / varX
+    // degenerate fits report NULL, not an engine-dependent 0/0: a
+    // single type zeroes varX; a perfectly uniform head (every top
+    // frequency equal — the boilerplate case this gate exists to
+    // flag) zeroes varY (the Profile trend-slope guard)
+    val slope = when(varX > 0, covN / varX)
     sums.select(col("n").cast("long").as("n_types"),
       (round(slope, 6) + lit(0.0)).as("slope"),
       (round((col("sy") - slope * col("sx")) / col("n"), 6) + lit(0.0))
         .as("intercept"),
-      (round(covN * covN / (varX * varY), 6) + lit(0.0)).as("r2"))
+      (round(when(varX > 0 && varY > 0, covN * covN / (varX * varY)), 6)
+        + lit(0.0)).as("r2"))
   }
 
   /** Byte-pair-encoding TRAINER (Sennrich et al. 2016) over the
@@ -798,8 +803,9 @@ object Corpus {
     * scan). Driver state is nMerges rows (the argmax collect — the
     * PQ-codebook boundedness discipline); per-round lineage is cut
     * (the mmrSelect discipline) so plans stay flat. Words must not
-    * contain the '|' the ORACLE uses as its seam — the operator
-    * itself never serializes. */
+    * contain the u+0001 control character — the chr(1) seam the
+    * ORACLE's string serialization uses; the operator itself never
+    * serializes. */
   def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame =
     bpeTrainFromVocab(bpeWordCounts(docs, textCol), nMerges)
 
@@ -820,25 +826,35 @@ object Corpus {
       pinned = Some(rdd)
       cutDf
     }
-    vocab = cut(vocab)
     val merges = scala.collection.mutable.ArrayBuffer[
       (Int, String, String, String, Long)]()
-    for (i <- 1 to nMerges) {
-      val top = vocab
-        .select(col("wc"), explode(adjacentPairs(col("syms"))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("wc")).as("c"))
-        .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).collect() // 1 row × nMerges — bounded driver state
-      if (top.nonEmpty) {
-        val (l, r, c) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((i, l, r, l + r, c))
-        vocab = cut(vocab.withColumn("syms",
-          mergeFold(col("syms"), lit(l), lit(r))))
+    // the finally releases the CURRENT pin whether training completes
+    // or a round's job throws — a failed cut must not leak its blocks
+    // for the session's life (Graph.localCut's own warning)
+    try {
+      vocab = cut(vocab)
+      var i = 1
+      var exhausted = false
+      // merging only ever SHRINKS the pair population: the first
+      // empty argmax ends training (no later round can be non-empty)
+      while (i <= nMerges && !exhausted) {
+        val top = vocab
+          .select(col("wc"), explode(adjacentPairs(col("syms"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("wc")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect() // 1 row × nMerges — bounded driver state
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, c) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((i, l, r, l + r, c))
+          vocab = cut(vocab.withColumn("syms",
+            mergeFold(col("syms"), lit(l), lit(r))))
+        }
+        i += 1
       }
-    }
-    pinned.foreach(_.unpersist(blocking = false))
+    } finally pinned.foreach(_.unpersist(blocking = false))
     import session.implicits._
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
@@ -981,7 +997,9 @@ object Corpus {
     val sy = sum(col("y")).over(wAll)
     val sxx = sum(col("x") * col("x")).over(wAll)
     val sxy = sum(col("x") * col("y")).over(wAll)
-    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val varX = n * sxx - sx * sx
+    // a single-checkpoint curve has no fit — NULL beta/k, not 0/0
+    val beta = when(varX > 0, (n * sxy - sx * sy) / varX)
     curve.select(col("decile"), col("docs_cum"), col("tokens_cum"),
         col("vocab_cum"),
         (round(beta, 6) + lit(0.0)).as("beta"),

@@ -307,7 +307,11 @@ object Eval {
       .join(clip, Seq("grp"), "left") // a group may share no grams at all
       .na.fill(0L, Seq("c1", "c2"))
     val p1 = col("c1").cast("double") / col("t1").cast("double")
-    val p2 = col("c2").cast("double") / col("t2").cast("double")
+    // a group of single-token candidates has zero bigram slots — p2 is
+    // 0 by convention, not 0/0 (engines disagree on NaN vs NULL there)
+    val p2 = when(col("t2") > 0,
+      col("c2").cast("double") / col("t2").cast("double"))
+      .otherwise(lit(0.0))
     val bp = when(col("clen") >= col("rlen"), lit(1.0))
       .otherwise(exp(lit(1.0) -
         col("rlen").cast("double") / col("clen").cast("double")))
@@ -338,21 +342,28 @@ object Eval {
     * (Cohen's pairwise form is; Fleiss' is the scale-safe one). */
   def fleissKappa(ratings: DataFrame, itemCol: String,
       catCol: String): DataFrame = {
+    // products are taken in DOUBLE (each factor cast first): counts at
+    // corpus scale overflow n·(n−1) and N² in int64 long before they
+    // lose double precision, and Spark's non-ANSI mode would WRAP, not
+    // error. The oracle multiplies the same way, so both engines share
+    // one rounding below 2^53 and one saturation story above it.
+    def dsq(c: Column): Column = c.cast("double") * c.cast("double")
     val nij = ratings.groupBy(col(itemCol).as("it"), col(catCol).as("cat"))
       .agg(count(lit(1)).as("n"))
     val perItem = nij.groupBy(col("it"))
       .agg(sum(col("n")).as("ni"),
-        sum(col("n") * (col("n") - 1)).as("agr"))
+        sum(col("n").cast("double") * (col("n") - 1).cast("double"))
+          .as("agr"))
     val pbar = perItem.filter(col("ni") >= 2)
-      .select((col("agr").cast("double") /
-        (col("ni") * (col("ni") - lit(1L))).cast("double")).as("pi"))
+      .select((col("agr") /
+        (col("ni").cast("double") * (col("ni") - lit(1L)).cast("double")))
+        .as("pi"))
       .agg(count(lit(1)).as("n_items"), avg(col("pi")).as("pbar"))
     val pe = nij.groupBy(col("cat")).agg(sum(col("n")).as("nj"))
       .agg(sum(col("nj")).as("n_ratings"),
-        sum(col("nj") * col("nj")).as("sq"))
+        sum(dsq(col("nj"))).as("sq"))
       .select(col("n_ratings"),
-        (col("sq").cast("double") /
-          (col("n_ratings") * col("n_ratings")).cast("double")).as("pe"))
+        (col("sq") / dsq(col("n_ratings"))).as("pe"))
     pbar.crossJoin(pe) // two 1-row scalars
       .select(col("n_items"), col("n_ratings"),
         (round(col("pbar"), 6) + lit(0.0)).as("p_bar"),

@@ -3898,12 +3898,15 @@ object LlmQueries {
       |  FROM pp GROUP BY source)
       |SELECT source,
       |  round(c1 / CAST(t1 AS DOUBLE), 6) + 0.0 AS p1,
-      |  round(c2 / CAST(t2 AS DOUBLE), 6) + 0.0 AS p2,
+      |  round(CASE WHEN t2 > 0 THEN c2 / CAST(t2 AS DOUBLE)
+      |    ELSE 0.0 END, 6) + 0.0 AS p2,
       |  round(CASE WHEN clen >= rlen THEN 1.0
       |    ELSE exp(1.0 - rlen / CAST(clen AS DOUBLE)) END, 6) + 0.0 AS bp,
       |  round(CASE WHEN clen >= rlen THEN 1.0
       |      ELSE exp(1.0 - rlen / CAST(clen AS DOUBLE)) END
-      |    * sqrt((c1 / CAST(t1 AS DOUBLE)) * (c2 / CAST(t2 AS DOUBLE))),
+      |    * sqrt((c1 / CAST(t1 AS DOUBLE))
+      |      * (CASE WHEN t2 > 0 THEN c2 / CAST(t2 AS DOUBLE)
+      |         ELSE 0.0 END)),
       |    6) + 0.0 AS bleu
       |FROM a ORDER BY source""".stripMargin
 
@@ -3928,15 +3931,16 @@ object LlmQueries {
       |                 ELSE event_id % 3 END) AS cat
       |  FROM events),
       |nij AS (SELECT it, cat, count(*) AS n FROM r GROUP BY it, cat),
-      |pi AS (SELECT it, sum(n) AS ni, sum(n * (n - 1)) AS agr
+      |pi AS (SELECT it, sum(n) AS ni,
+      |    sum(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS agr
       |  FROM nij GROUP BY it),
       |pb AS (SELECT count(*) AS n_items,
-      |    avg(CAST(agr AS DOUBLE) / CAST(ni * (ni - 1) AS DOUBLE)) AS pbar
+      |    avg(agr / (CAST(ni AS DOUBLE) * CAST(ni - 1 AS DOUBLE))) AS pbar
       |  FROM pi WHERE ni >= 2),
       |pj AS (SELECT cat, sum(n) AS nj FROM nij GROUP BY cat),
       |pe AS (SELECT CAST(sum(nj) AS BIGINT) AS n_ratings,
-      |    CAST(sum(nj * nj) AS DOUBLE)
-      |      / CAST(sum(nj) * sum(nj) AS DOUBLE) AS pe
+      |    sum(CAST(nj AS DOUBLE) * CAST(nj AS DOUBLE))
+      |      / (CAST(sum(nj) AS DOUBLE) * CAST(sum(nj) AS DOUBLE)) AS pe
       |  FROM pj)
       |SELECT n_items, n_ratings,
       |  round(pbar, 6) + 0.0 AS p_bar,
@@ -4015,11 +4019,16 @@ object LlmQueries {
       |    sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
       |    sum(x * y) AS sxy FROM xy)
       |SELECT CAST(n AS BIGINT) AS n_types,
-      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
-      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+      |  round(CASE WHEN n * sxx - sx * sx > 0
+      |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+      |    + 0.0 AS slope,
+      |  round(CASE WHEN n * sxx - sx * sx > 0 THEN
+      |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n END, 6)
       |    + 0.0 AS intercept,
-      |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS r2
+      |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |    THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+      |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+      |    + 0.0 AS r2
       |FROM sm""".stripMargin
 
   /** The staged BPE merge table (8 rounds over the corpus vocabulary)
@@ -4069,7 +4078,11 @@ object LlmQueries {
   /** The shared BPE CTE chain: v0/s0 (vocab + char segmentation, a
     * chr(1) seam no token carries), then per round i: p_i (pair
     * counts from the segmentation), m_i (the argmax merge), s_i (the
-    * fold applying it) — the exact [[Corpus.bpeTrain]] loop unrolled. */
+    * fold applying it) — the exact [[Corpus.bpeTrain]] loop unrolled.
+    * s_i joins its merge with LEFT JOIN ON true: a round past merge
+    * exhaustion (empty m_i) passes the segmentation through unchanged
+    * instead of emptying every later stage — mirroring the trainer's
+    * early stop. */
   private def bpeStagesSql(n: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH v0 AS (SELECT w, count(*) AS wc FROM (
@@ -4087,14 +4100,15 @@ object LlmQueries {
                 |          FROM s${i - 1})) GROUP BY u.l, u.r),
                 |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
                 |s$i AS (SELECT w, wc,
+                |    CASE WHEN l IS NULL THEN seg ELSE
                 |    list_reduce(string_split(seg, chr(1)), (acc, x) ->
                 |      CASE WHEN (acc = l OR ends_with(acc, chr(1) || l))
                 |                AND x = r
                 |           THEN CASE WHEN acc = l THEN l || r
                 |                ELSE substr(acc, 1, len(acc) - len(l) - 1)
                 |                  || chr(1) || l || r END
-                |           ELSE acc || chr(1) || x END) AS seg
-                |  FROM s${i - 1} CROSS JOIN m$i)""".stripMargin
+                |           ELSE acc || chr(1) || x END) END AS seg
+                |  FROM s${i - 1} LEFT JOIN m$i ON true)""".stripMargin
     }
     sb.toString
   }
@@ -4155,8 +4169,11 @@ object LlmQueries {
       |f AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
       |    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy FROM xy)
       |SELECT decile, docs_cum, tokens_cum, vocab_cum,
-      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS beta,
-      |  round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
-      |    / n), 6) + 0.0 AS k
+      |  round(CASE WHEN n * sxx - sx * sx > 0
+      |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+      |    + 0.0 AS beta,
+      |  round(CASE WHEN n * sxx - sx * sx > 0 THEN
+      |    exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
+      |    END, 6) + 0.0 AS k
       |FROM xy CROSS JOIN f ORDER BY decile""".stripMargin
 }

@@ -883,6 +883,16 @@ class CorpusSpec extends SparkSpec {
     val (sl2, _, r22) = ols(Seq(8L, 4L))
     assert(cut.getLong(0) === 2L && cut.getDouble(1) === sl2)
     assert(r22 === 1.0, "two points fit exactly")
+
+    // degenerate fits report NULL, never an engine-dependent 0/0:
+    // a single type zeroes varX; a perfectly uniform head zeroes varY
+    val one = Corpus.zipfFit(Seq("a a a").toDF("text"), "text")
+      .collect().head
+    assert(one.getLong(0) === 1L && one.isNullAt(1) && one.isNullAt(3))
+    val flat = Corpus.zipfFit(Seq("a b c").toDF("text"), "text")
+      .collect().head
+    assert(flat.getDouble(1) === 0.0, "uniform head: slope 0 is defined")
+    assert(flat.isNullAt(3), "uniform head: r2 is 0/0 - reported NULL")
   }
 
   test("bpeTrain: merge order hand-checked; training stops when no " +

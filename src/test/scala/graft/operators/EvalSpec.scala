@@ -402,6 +402,14 @@ class EvalSpec extends SparkSpec {
     val r3 = Eval.corpusBleu(none, "grp", "pid", "cand", "ref")
       .collect().head
     assert(r3.getDouble(1) === 0.0 && r3.getDouble(4) === 0.0)
+
+    // a group of single-token candidates has zero bigram slots:
+    // p2 and bleu are 0 by convention, never NaN
+    val mono = Seq(("g", 1L, "x", "x")).toDF("grp", "pid", "cand", "ref")
+    val r4 = Eval.corpusBleu(mono, "grp", "pid", "cand", "ref")
+      .collect().head
+    assert(r4.getDouble(1) === 1.0)
+    assert(r4.getDouble(2) === 0.0 && r4.getDouble(4) === 0.0)
   }
 
   // --- fleissKappa -------------------------------------------------------
