@@ -498,7 +498,11 @@ object ScaleStress {
       "q_bpe_train", "q_bpe_encode",
       // fertility = one token scan into (group, word) counts, folds
       // per word TYPE, group-sized rollup
-      "q_bpe_fertility")
+      "q_bpe_fertility",
+      // RBO = the staged truth + one IVF probe leg + a (queries x k)
+      // broadcast join with closed-form per-item coefficients — the
+      // q_ann_recall shape with prefix weights
+      "q_rbo")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

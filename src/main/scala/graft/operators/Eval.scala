@@ -372,6 +372,46 @@ object Eval {
           + lit(0.0)).as("kappa"))
   }
 
+  /** Truncated rank-biased overlap (Webber et al. 2010) between two
+    * retrievals at depth k: RBO@k = c·Σ_{d=1..k} (A_d/d)·p^{d−1},
+    * A_d = |top-d(a) ∩ top-d(b)|, c = (1−p)/(1−p^k) so identical
+    * rankings score exactly 1 — the eval-shelf measurement for
+    * COMPARING two rankers (recall@k is set-blind, NDCG needs graded
+    * truth; RBO weights agreement by prefix depth, which is what a
+    * user of a top-k system experiences).
+    *
+    * The depth sum collapses per common item: an item at ranks
+    * (ra, rb) joins every prefix d ≥ max(ra, rb), so its total
+    * contribution is the CLOSED-FORM coefficient
+    *   coef(m) = c·Σ_{d=m..k} p^{d−1}/d,  m = max(ra, rb) ≤ k
+    * — k Scala-side literals, no depth explode anywhere. Both sides
+    * are (queries × k)-sized, so the join broadcasts and evaluation
+    * cost is independent of the corpora behind the rankings. Queries
+    * with no common items still appear (rbo = 0) via the left join
+    * from a's query set. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, k: Int,
+      p: Double): DataFrame = {
+    val c = (1 - p) / (1 - math.pow(p, k))
+    val coef = (1 to k).map(m =>
+      c * (m to k).map(d => math.pow(p, d - 1) / d).sum)
+    val av = a.select(col("qid"), col("nid"), col("rank").as("ra"))
+      .filter(col("rank") <= k)
+    val bv = b.select(col("qid").as("bqid"), col("nid").as("bnid"),
+      col("rank").as("rb")).filter(col("rank") <= k)
+    val contrib = av.join(broadcast(bv),
+        col("qid") === col("bqid") && col("nid") === col("bnid"))
+      .select(col("qid"),
+        element_at(array(coef.map(lit): _*),
+          greatest(col("ra"), col("rb")).cast("int")).as("w"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w")).as("s"))
+    av.select(col("qid")).distinct()
+      .join(contrib, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (round(coalesce(col("s"), lit(0.0)), 6) + lit(0.0)).as("rbo"))
+  }
+
   /** Reliability table for classifier calibration (Naeini et al.
     * 2015's ECE binning): bucket predictions by confidence into
     * `bins` equal-width bins and report per-bin size, mean

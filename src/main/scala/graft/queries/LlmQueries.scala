@@ -3079,6 +3079,68 @@ object LlmQueries {
        |  round(coalesce(max(rr_i), 0.0), 6) AS mrr
        |FROM g GROUP BY qid ORDER BY qid""".stripMargin
 
+  /** RBO@5 (p = 0.9) of the IVF (nprobe = 1) retrieval against the
+    * exact top-5 — the prefix-weighted rank-agreement measurement
+    * ([[graft.operators.Eval.rankBiasedOverlap]]) between the two
+    * rankings the recall and NDCG gates already compare as sets and
+    * graded lists. The per-item closed-form coefficients are k
+    * Scala-side doubles interpolated into the oracle verbatim
+    * (shortest-round-trip repr parses back to the identical double),
+    * so both engines weigh each common item bit-identically. */
+  def qRbo(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.rankBiasedOverlap(
+        truth5Staged(s, dir).select(col("qid"), col("nid"), col("rank")),
+        Similarity.ivfTopKAssigned(ivfAssignedStaged(s, dir),
+          queriesDf(s, dir), k = 5, ivfCentroids(s, dir), nprobe = 1),
+        k = 5, p = 0.9)
+      .orderBy(col("qid"))
+
+  val qRboSql: String = {
+    val k = 5; val p = 0.9
+    val c = (1 - p) / (1 - math.pow(p, k))
+    val cases = (1 to k).map(m =>
+      s"WHEN $m THEN ${c * (m to k).map(d => math.pow(p, d - 1) / d).sum}")
+      .mkString(" ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+       |ts AS (SELECT qid, v.vec_id AS nid,
+       |    list_inner_product(qe, v.e) /
+       |    (sqrt(list_inner_product(qe, qe)) *
+       |     sqrt(list_inner_product(v.e, v.e))) AS sim
+       |  FROM q, v WHERE v.vec_id != qid),
+       |truth AS (SELECT qid, nid, rk FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid) AS rk FROM ts) WHERE rk <= 5),
+       |cent AS (SELECT vec_id AS cid, e AS c FROM v
+       |  WHERE vec_id % $CentroidMod = 0),
+       |scored AS (SELECT v.vec_id AS vid, v.e, cent.cid,
+       |    list_inner_product(c, c) - 2.0 * list_inner_product(v.e, c)
+       |      AS score
+       |  FROM v, cent),
+       |assigned AS (SELECT vid, e, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid
+       |      ORDER BY score, cid) AS rn FROM scored) WHERE rn = 1),
+       |iq AS (SELECT vid AS qid, e AS qv, cell FROM assigned
+       |  WHERE vid < 10),
+       |ivs AS (SELECT qid, a.vid AS nid,
+       |    list_inner_product(qv, a.e) /
+       |    (sqrt(list_inner_product(qv, qv)) *
+       |     sqrt(list_inner_product(a.e, a.e))) AS sim
+       |  FROM iq JOIN assigned a USING (cell) WHERE a.vid != qid),
+       |retr AS (SELECT qid, nid, rk AS rank FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid) AS rk FROM ivs) WHERE rk <= 5),
+       |j AS (SELECT truth.qid, greatest(truth.rk, retr.rank) AS m
+       |  FROM truth JOIN retr ON truth.qid = retr.qid
+       |    AND truth.nid = retr.nid),
+       |co AS (SELECT qid, count(*) AS n_common,
+       |    sum(CASE m $cases END) AS s FROM j GROUP BY qid)
+       |SELECT tq.qid, CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+       |  round(coalesce(s, 0.0), 6) + 0.0 AS rbo
+       |FROM (SELECT DISTINCT qid FROM truth) tq LEFT JOIN co USING (qid)
+       |ORDER BY tq.qid""".stripMargin
+  }
+
   def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
     // both sides read staged tables (truth5 rank ≤ 3 IS the exact
     // top-3; recallAtK filters both sides to k)

@@ -412,6 +412,45 @@ class EvalSpec extends SparkSpec {
     assert(r4.getDouble(2) === 0.0 && r4.getDouble(4) === 0.0)
   }
 
+  // --- rankBiasedOverlap -------------------------------------------------
+
+  test("rankBiasedOverlap: identical rankings score exactly 1, disjoint " +
+      "score 0 (query kept), partial agreement matches a plain replay") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
+      (3L, 30L, 1), (3L, 31L, 2), (3L, 32L, 3)).toDF("qid", "nid", "rank")
+    val b = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),   // identical
+      (2L, 98L, 1), (2L, 97L, 2), (2L, 96L, 3),   // disjoint
+      (3L, 31L, 1), (3L, 30L, 2), (3L, 99L, 3))   // top-2 swapped
+      .toDF("qid", "nid", "rank")
+    val r = Eval.rankBiasedOverlap(a, b, k = 3, p = 0.9)
+      .orderBy("qid").collect()
+    assert(r(0).getLong(1) === 3L && r(0).getDouble(2) === 1.0)
+    assert(r(1).getLong(1) === 0L && r(1).getDouble(2) === 0.0)
+    // q3: items 30 and 31 both have max(ra, rb) = 2 → A_1 = 0,
+    // A_2 = A_3 = 2; replay the definition directly
+    val p = 0.9; val c = (1 - p) / (1 - math.pow(p, 3))
+    val exp = c * Seq(0.0 / 1, 2.0 / 2 * p, 2.0 / 3 * p * p).sum
+    assert(r(2).getLong(1) === 2L)
+    assert(r(2).getDouble(2) === BigDecimal(exp)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("rankBiasedOverlap: ranks beyond k on either side do not " +
+      "contribute") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "nid", "rank")
+    val b = Seq((1L, 10L, 1), (1L, 11L, 5)).toDF("qid", "nid", "rank")
+    // with k = 2, item 11 sits at rank 5 on b's side — excluded
+    val r = Eval.rankBiasedOverlap(a, b, k = 2, p = 0.9)
+      .collect().head
+    assert(r.getLong(1) === 1L)
+    val p = 0.9; val c = (1 - p) / (1 - p * p)
+    val exp = c * (1.0 / 1 + 1.0 / 2 * p) // item 10 from depth 1
+    assert(r.getDouble(2) === BigDecimal(exp)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   // --- fleissKappa -------------------------------------------------------
 
   test("fleissKappa: the Fleiss (1971) worked example — 10 subjects, " +
