@@ -502,7 +502,10 @@ object ScaleStress {
       // RBO = the staged truth + one IVF probe leg + a (queries x k)
       // broadcast join with closed-form per-item coefficients — the
       // q_ann_recall shape with prefix weights
-      "q_rbo")
+      "q_rbo",
+      // AUC = one level-keyed integer agg (map-side combined) + a
+      // levels-bounded cumulative window + a 1-row rollup
+      "q_auc")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

@@ -447,6 +447,45 @@ object Eval {
           abs(acc - conf), 6) + lit(0.0)).as("contrib"))
   }
 
+  /** Exact ROC AUC over INTEGER-QUANTIZED scores, by the
+    * Mann–Whitney identity with tie correction:
+    *   AUC = [Σ_ℓ pos_ℓ·(neg below ℓ) + ½·pos_ℓ·neg_ℓ] / (P·N)
+    * — the ranking quality of a quality/domain classifier, the number
+    * that says whether its scores can ORDER documents at all (ECE
+    * says whether to trust them as probabilities; both gates read the
+    * same scorer). Quantization is the caller's contract (a score
+    * used at corpus scale is bucketed anyway); within the quantized
+    * levels the value is exact, ties handled by the ½ term.
+    *
+    * Plan: one level-keyed integer aggregation of the corpus
+    * (map-side combined) → a cumulative window over the LEVELS-sized
+    * relation (bounded by the quantization, never the corpus) → a
+    * 1-row rollup. The pairwise products are taken in double (the
+    * fleissKappa overflow discipline): P·N wraps int64 at ~3e9 rows
+    * and Spark's non-ANSI mode would wrap silently. */
+  def aucFromLevels(scored: DataFrame, levelCol: String,
+      hitCol: String): DataFrame = {
+    val perLevel = scored
+      .select(col(levelCol).as("lv"), col(hitCol).cast("int").as("h"))
+      .groupBy(col("lv"))
+      .agg(sum(col("h")).cast("long").as("np"),
+        sum(lit(1) - col("h")).cast("long").as("nn"))
+    val byLv = Window.orderBy(col("lv")) // levels-sized, not the corpus
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val contrib = perLevel
+      .withColumn("below", coalesce(sum(col("nn")).over(byLv), lit(0L)))
+      .select(col("np"), col("nn"),
+        (col("np").cast("double") * col("below").cast("double") +
+          lit(0.5) * col("np").cast("double") * col("nn").cast("double"))
+          .as("u"))
+    contrib.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("u")).as("u"))
+      .select(col("n_pos"), col("n_neg"),
+        (round(col("u") /
+          (col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+          + lit(0.0)).as("auc"))
+  }
+
   /** Maximal Marginal Relevance (Carbonell & Goldstein 1998):
     * greedily pick k results per query maximizing
     *   λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s)

@@ -4046,6 +4046,45 @@ object LlmQueries {
       |    * abs(CAST(hits AS DOUBLE) / n - csum / n), 6) + 0.0 AS contrib
       |FROM a CROSS JOIN t ORDER BY bin""".stripMargin
 
+  /** Exact quantized-score ROC AUC ([[graft.operators.Eval
+    * .aucFromLevels]]) of the calibration fixture's scorer against its
+    * own outcomes — the ranking-quality companion to q_calibration's
+    * probability-quality table (same scorer, same outcome derivation,
+    * the two halves of "can I trust this classifier's scores"). The
+    * fixture's acc ≈ 0.8·conf + 0.1 design makes the scorer genuinely
+    * discriminative but far from perfect (AUC lands mid 0.7s), so the
+    * tie-corrected Mann–Whitney arithmetic is load-bearing across all
+    * 100 score levels. */
+  def qAuc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.aucFromLevels(
+      Tables.events(s, dir).select(
+        (col("event_id") % 100).as("level"),
+        ((col("event_id") * 31 + col("user_id") * 17) % 100 <
+          (lit(8) * (col("event_id") % 100) + lit(104)) / lit(10.0))
+          .as("hit")),
+      "level", "hit")
+
+  val qAucSql: String =
+    """WITH s AS (SELECT event_id % 100 AS lv,
+      |    CASE WHEN (event_id * 31 + user_id * 17) % 100 <
+      |      (8 * (event_id % 100) + 104) / 10.0 THEN 1 ELSE 0 END AS h
+      |  FROM events),
+      |pl AS (SELECT lv, CAST(sum(h) AS BIGINT) AS np,
+      |    CAST(sum(1 - h) AS BIGINT) AS nn
+      |  FROM s GROUP BY lv),
+      |cb AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY lv
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM pl),
+      |u AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+      |    CAST(sum(nn) AS BIGINT) AS n_neg,
+      |    sum(CAST(np AS DOUBLE) * CAST(below AS DOUBLE)
+      |      + 0.5 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) AS u
+      |  FROM cb)
+      |SELECT n_pos, n_neg,
+      |  round(u / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+      |    + 0.0 AS auc
+      |FROM u""".stripMargin
+
   /** Zipf rank–frequency fit over the corpus
     * ([[graft.operators.Corpus.zipfFit]]): all 31 vocabulary types
     * ranked by frequency, log–log OLS slope/intercept/r² in one row.

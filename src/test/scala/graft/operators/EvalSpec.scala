@@ -493,6 +493,27 @@ class EvalSpec extends SparkSpec {
     assert(r.getDouble(3) === 0.36 && r.getDouble(4) === 1.0)
   }
 
+  // --- aucFromLevels -----------------------------------------------------
+
+  test("aucFromLevels: perfect separation scores 1, inverted scores 0, " +
+      "an uninformative scorer (all one level) scores 0.5 by the tie " +
+      "term, and a mixed case matches the hand pair count") {
+    def auc(rows: Seq[(Int, Boolean)]): (Long, Long, Double) = {
+      val r = Eval.aucFromLevels(rows.toDF("level", "hit"), "level", "hit")
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    assert(auc(Seq((1, false), (2, false), (3, true), (4, true))) ===
+      ((2L, 2L, 1.0)))
+    assert(auc(Seq((4, false), (3, false), (2, true), (1, true)))._3 === 0.0)
+    assert(auc(Seq((7, true), (7, false), (7, true), (7, false)))._3 === 0.5)
+    // mixed with ties: pos at {3, 2}, neg at {2, 1}
+    //   pairs won: (3>2), (3>1), (2>1) = 3; tied: (2,2) = 1 → ½
+    //   AUC = 3.5 / 4
+    assert(auc(Seq((3, true), (2, true), (2, false), (1, false)))._3
+      === 0.875)
+  }
+
   // --- calibrationBins ---------------------------------------------------
 
   test("calibrationBins: binning, top-edge fold, and the weighted " +
