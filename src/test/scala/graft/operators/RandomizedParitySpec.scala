@@ -124,6 +124,102 @@ class RandomizedParitySpec extends SparkSpec {
     }
   }
 
+  private def r6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("corpusBleu equals a local reference implementation on random " +
+      "pair sets (clipping, pooling, brevity penalty, t2=0 groups)") {
+    val s = spark
+    import s.implicits._
+    val vocab = ('a' to 'f').map(_.toString)
+    for (seed <- Seq(3, 21, 84)) {
+      val rnd = new scala.util.Random(seed)
+      def sent(): String =
+        // length 1 included: single-token candidates exercise t2 = 0
+        Seq.fill(1 + rnd.nextInt(11))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      val pairs = (1 to 60).map(i =>
+        (s"g${rnd.nextInt(4)}", i.toLong, sent(), sent()))
+      // local reference: same definition, plain Scala
+      def grams(t: Seq[String], n: Int): Seq[String] =
+        if (t.size < n) Seq.empty else t.sliding(n).map(_.mkString(" ")).toSeq
+      def clip(c: Seq[String], r: Seq[String]): Long = {
+        val rc = r.groupBy(identity).map { case (g, x) => g -> x.size }
+        c.groupBy(identity).map { case (g, x) =>
+          math.min(x.size, rc.getOrElse(g, 0)) }.sum
+      }
+      val expected = pairs.groupBy(_._1).map { case (g, ps) =>
+        val toks = ps.map(p => (p._3.split(" ").toSeq, p._4.split(" ").toSeq))
+        val (c1, t1) = (toks.map(p => clip(grams(p._1, 1), grams(p._2, 1))).sum,
+          toks.map(_._1.size).sum)
+        val (c2, t2) = (toks.map(p => clip(grams(p._1, 2), grams(p._2, 2))).sum,
+          toks.map(p => math.max(p._1.size - 1, 0)).sum)
+        val (cl, rl) = (toks.map(_._1.size).sum, toks.map(_._2.size).sum)
+        val p1 = c1.toDouble / t1
+        val p2 = if (t2 > 0) c2.toDouble / t2 else 0.0
+        val bp = if (cl >= rl) 1.0 else math.exp(1.0 - rl.toDouble / cl)
+        g -> ((r6(p1), r6(p2), r6(bp), r6(bp * math.sqrt(p1 * p2))))
+      }
+      val got = Eval.corpusBleu(pairs.toDF("grp", "pid", "cand", "ref"),
+          "grp", "pid", "cand", "ref")
+        .collect().map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4)))).toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("fleissKappa equals a local reference implementation on random " +
+      "rating logs") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(9, 55)) {
+      val rnd = new scala.util.Random(seed)
+      val ratings = (1 to 300).map(_ =>
+        (s"i${rnd.nextInt(15)}", s"c${rnd.nextInt(3)}")) ++
+        Seq(("solo", "c0")) // one single-rating item: marginals only
+      val byItem = ratings.groupBy(_._1)
+      val multi = byItem.filter(_._2.size >= 2)
+      val pbar = multi.values.map { rs =>
+        val nij = rs.groupBy(_._2).values.map(_.size)
+        nij.map(n => n.toDouble * (n - 1)).sum /
+          (rs.size.toDouble * (rs.size - 1))
+      }.sum / multi.size
+      val tot = ratings.size.toDouble
+      val pe = ratings.groupBy(_._2).values
+        .map(c => (c.size / tot) * (c.size / tot)).sum
+      val r = Eval.fleissKappa(ratings.toDF("item", "cat"), "item", "cat")
+        .collect().head
+      assert(r.getLong(0) === multi.size.toLong, s"seed $seed")
+      assert(r.getLong(1) === ratings.size.toLong, s"seed $seed")
+      assert(r.getDouble(2) === r6(pbar), s"seed $seed")
+      assert(r.getDouble(3) === r6(pe), s"seed $seed")
+      assert(r.getDouble(4) === r6((pbar - pe) / (1 - pe)), s"seed $seed")
+    }
+  }
+
+  test("aucFromLevels equals the brute-force pairwise count on random " +
+      "scored sets") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(13, 67)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 200).map(_ =>
+        (rnd.nextInt(10), rnd.nextBoolean())) ++
+        Seq((0, true), (9, false)) // both classes guaranteed present
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      val u = (for (p <- pos; n <- neg) yield
+        if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      val r = Eval.aucFromLevels(rows.toDF("level", "hit"), "level", "hit")
+        .collect().head
+      assert(r.getLong(0) === pos.size.toLong, s"seed $seed")
+      assert(r.getLong(1) === neg.size.toLong, s"seed $seed")
+      assert(r.getDouble(2) === r6(u / (pos.size.toDouble * neg.size)),
+        s"seed $seed")
+    }
+  }
+
   test("bloomSemiJoin exact mode equals the plain semi-join on random sets") {
     val s = spark
     import s.implicits._
