@@ -505,7 +505,11 @@ object ScaleStress {
       "q_rbo",
       // AUC = one level-keyed integer agg (map-side combined) + a
       // levels-bounded cumulative window + a 1-row rollup
-      "q_auc")
+      "q_auc",
+      // align/uniform = pair-linear positive joins + a CONSTANT
+      // 50-vector all-pairs uniformity sample — expect the positives
+      // join to track the corpus, the quadratic term to stay fixed
+      "q_align_uniform")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

@@ -447,6 +447,45 @@ object Eval {
           abs(acc - conf), 6) + lit(0.0)).as("contrib"))
   }
 
+  /** Alignment and uniformity (Wang & Isola 2020) — the two-number
+    * health check of an embedding space:
+    *   alignment  = E_{(a,b)∈pos} ‖za − zb‖²      (smaller = positives
+    *                close; on unit vectors ‖za−zb‖² = 2 − 2·cos)
+    *   uniformity = ln E_{(a,b)∈pairs} e^{−2‖za−zb‖²}  (more negative =
+    *                mass spread over the sphere; collapsed spaces → 0)
+    * A representation that scores well on retrieval today but has
+    * poor uniformity is one nudge from collapse — this is the gate an
+    * embedding column passes before ANN indexes, semdedup thresholds
+    * or hard-negative mining are tuned on it.
+    *
+    * `positives` supplies (aid, bid) pairs (label neighbors, mined
+    * bitext, augmentation twins — caller's notion of "same thing");
+    * `sample` is the UNIFORMITY side's vector subset, whose all-pairs
+    * term is m(m−1)/2 — the caller bounds m (a fixed id-prefix or
+    * hash sample), so the quadratic piece is CONSTANT-sized at any
+    * corpus scale while alignment joins stay pair-linear. Cosines use
+    * the sequential-fold [[Similarity.cosine]] kernel (oracle-parity
+    * proven); output is one row, both metrics round-6. */
+  def alignmentUniformity(corpus: DataFrame, positives: DataFrame,
+      sample: DataFrame): DataFrame = {
+    val c1 = corpus.toDF("_aid", "_ae")
+    val c2 = corpus.toDF("_bid", "_be")
+    val d2 = lit(2.0) - lit(2.0) * Similarity.cosine(col("_ae"), col("_be"))
+    val align = positives
+      .join(c1, col("aid") === col("_aid"))
+      .join(c2, col("bid") === col("_bid"))
+      .agg(count(lit(1)).as("n_pos"), avg(d2).as("alignment"))
+    val sv = sample.toDF("sid", "se")
+    val unif = sv.toDF("_aid", "_ae")
+      .join(sv.toDF("_bid", "_be"), col("_aid") < col("_bid"))
+      .agg(count(lit(1)).as("n_unif"),
+        log(avg(exp(lit(-2.0) * d2))).as("uniformity"))
+    align.crossJoin(unif) // two 1-row scalars
+      .select(col("n_pos"), col("n_unif"),
+        (round(col("alignment"), 6) + lit(0.0)).as("alignment"),
+        (round(col("uniformity"), 6) + lit(0.0)).as("uniformity"))
+  }
+
   /** Exact ROC AUC over INTEGER-QUANTIZED scores, by the
     * Mann–Whitney identity with tie correction:
     *   AUC = [Σ_ℓ pos_ℓ·(neg below ℓ) + ½·pos_ℓ·neg_ℓ] / (P·N)

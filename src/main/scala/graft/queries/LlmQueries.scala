@@ -4046,6 +4046,54 @@ object LlmQueries {
       |    * abs(CAST(hits AS DOUBLE) / n - csum / n), 6) + 0.0 AS contrib
       |FROM a CROSS JOIN t ORDER BY bin""".stripMargin
 
+  /** Alignment + uniformity of the embedding column
+    * ([[graft.operators.Eval.alignmentUniformity]]): positives =
+    * same-label id-consecutive pairs (the label structure IS the
+    * fixture's notion of "same thing"), uniformity over the fixed
+    * vec_id < 50 prefix — a CONSTANT-sized sample at any corpus
+    * scale, so the quadratic term never grows. The fixture reads
+    * alignment ≈ uniformity-scale distances (labels are not tight
+    * clusters), which is exactly what the gate should say about
+    * near-random embeddings. */
+  def qAlignUniform(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val byLabel = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val pos = emb.select(col("vec_id").as("aid"),
+        lead(col("vec_id"), 1).over(byLabel).as("bid"))
+      .where(col("bid").isNotNull)
+    graft.operators.Eval.alignmentUniformity(
+      emb.select(col("vec_id"), col("embedding")),
+      pos,
+      emb.filter(col("vec_id") < 50)
+        .select(col("vec_id"), col("embedding")))
+  }
+
+  val qAlignUniformSql: String =
+    """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+      |  FROM embeddings),
+      |pos AS (SELECT aid, bid FROM (
+      |    SELECT vec_id AS aid, lead(vec_id) OVER (PARTITION BY label
+      |      ORDER BY vec_id) AS bid FROM v) WHERE bid IS NOT NULL),
+      |pj AS (SELECT 2.0 - 2.0 * (list_inner_product(a.e, b.e) /
+      |    (sqrt(list_inner_product(a.e, a.e)) *
+      |     sqrt(list_inner_product(b.e, b.e)))) AS d2
+      |  FROM pos JOIN v a ON pos.aid = a.vec_id
+      |    JOIN v b ON pos.bid = b.vec_id),
+      |al AS (SELECT CAST(count(*) AS BIGINT) AS n_pos,
+      |    avg(d2) AS alignment FROM pj),
+      |sv AS (SELECT vec_id, e FROM v WHERE vec_id < 50),
+      |up AS (SELECT 2.0 - 2.0 * (list_inner_product(a.e, b.e) /
+      |    (sqrt(list_inner_product(a.e, a.e)) *
+      |     sqrt(list_inner_product(b.e, b.e)))) AS d2
+      |  FROM sv a JOIN sv b ON a.vec_id < b.vec_id),
+      |un AS (SELECT CAST(count(*) AS BIGINT) AS n_unif,
+      |    ln(avg(exp(-2.0 * d2))) AS uniformity FROM up)
+      |SELECT n_pos, n_unif,
+      |  round(alignment, 6) + 0.0 AS alignment,
+      |  round(uniformity, 6) + 0.0 AS uniformity
+      |FROM al CROSS JOIN un""".stripMargin
+
   /** Exact quantized-score ROC AUC ([[graft.operators.Eval
     * .aucFromLevels]]) of the calibration fixture's scorer against its
     * own outcomes — the ranking-quality companion to q_calibration's

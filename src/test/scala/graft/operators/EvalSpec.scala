@@ -493,6 +493,30 @@ class EvalSpec extends SparkSpec {
     assert(r.getDouble(3) === 0.36 && r.getDouble(4) === 1.0)
   }
 
+  // --- alignmentUniformity -----------------------------------------------
+
+  test("alignmentUniformity: hand-checked on axis vectors — aligned " +
+      "positives score 0, the uniformity term matches the closed form") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("id", "e")
+    val pos = Seq((1L, 2L), (1L, 3L)).toDF("aid", "bid")
+    val r = Eval.alignmentUniformity(corpus, pos, corpus).collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 3L)
+    // alignment: d2(1,2) = 0, d2(1,3) = 2 → mean 1
+    assert(r.getDouble(2) === 1.0)
+    // uniformity over all 3 pairs: exp(0), exp(-4), exp(-4)
+    val exp = math.log((1.0 + 2 * math.exp(-4.0)) / 3.0)
+    assert(r.getDouble(3) === BigDecimal(exp)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a collapsed space scores uniformity 0 — the degeneracy signal
+    val flat = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)))
+      .toDF("id", "e")
+    val r2 = Eval.alignmentUniformity(flat,
+      Seq((1L, 2L)).toDF("aid", "bid"), flat).collect().head
+    assert(r2.getDouble(3) === 0.0)
+  }
+
   // --- aucFromLevels -----------------------------------------------------
 
   test("aucFromLevels: perfect separation scores 1, inverted scores 0, " +
