@@ -220,6 +220,68 @@ class RandomizedParitySpec extends SparkSpec {
     }
   }
 
+  test("rankBiasedOverlap equals the brute-force prefix-agreement " +
+      "definition on random rankings") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(17, 73)) {
+      val rnd = new scala.util.Random(seed)
+      val k = 2 + rnd.nextInt(5)
+      val p = 0.7 + rnd.nextInt(3) * 0.1
+      def ranking(qid: Long): Seq[(Long, Long, Int)] = {
+        // items drawn from a small pool so overlap is common, ranks
+        // sometimes deeper than k so the cut is exercised
+        val items = rnd.shuffle((0L to 11L).toList).take(k + 2)
+        items.zipWithIndex.map { case (n, i) => (qid, n, i + 1) }
+      }
+      val a = (1L to 8L).flatMap(ranking)
+      val b = (1L to 8L).flatMap(ranking)
+      // brute force: A_d = |top-d(a) ∩ top-d(b)| summed with weights
+      val c = (1 - p) / (1 - math.pow(p, k))
+      val expected = (1L to 8L).map { q =>
+        val ta = a.filter(_._1 == q).sortBy(_._3).map(_._2)
+        val tb = b.filter(_._1 == q).sortBy(_._3).map(_._2)
+        val rbo = (1 to k).map { d =>
+          val ad = ta.take(d).toSet.intersect(tb.take(d).toSet).size
+          c * math.pow(p, d - 1) * ad / d
+        }.sum
+        q -> BigDecimal(rbo).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      val got = Eval.rankBiasedOverlap(a.toDF("qid", "nid", "rank"),
+          b.toDF("qid", "nid", "rank"), k, p)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(got === expected, s"seed $seed k=$k p=$p")
+    }
+  }
+
+  test("calibrationBins equals a local reference implementation on " +
+      "random scored sets") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(29, 61)) {
+      val rnd = new scala.util.Random(seed)
+      val bins = 4 + rnd.nextInt(8)
+      val rows = (1 to 400).map(_ => (rnd.nextInt(101) / 100.0,
+        rnd.nextBoolean())) :+ ((1.0, true)) // the top-edge fold
+      val n = rows.size.toDouble
+      val expected = rows.groupBy { case (cf, _) =>
+        math.min(math.floor(cf * bins).toInt, bins - 1)
+      }.map { case (b, rs) =>
+        val conf = rs.map(_._1).sum / rs.size
+        val acc = rs.count(_._2).toDouble / rs.size
+        b -> ((rs.size.toLong, r6(conf), r6(acc),
+          r6(rs.size / n * math.abs(acc - conf))))
+      }
+      val got = Eval.calibrationBins(rows.toDF("conf", "hit"),
+          "conf", "hit", bins)
+        .collect().map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4)))).toMap
+      assert(got === expected, s"seed $seed bins=$bins")
+    }
+  }
+
   test("bloomSemiJoin exact mode equals the plain semi-join on random sets") {
     val s = spark
     import s.implicits._
