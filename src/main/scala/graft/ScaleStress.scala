@@ -509,7 +509,10 @@ object ScaleStress {
       // align/uniform = pair-linear positive joins + a CONSTANT
       // 50-vector all-pairs uniformity sample — expect the positives
       // join to track the corpus, the quadratic term to stay fixed
-      "q_align_uniform")
+      "q_align_uniform",
+      // mixture entropy = two source-keyed count aggs (one over the
+      // remix draw's copies) + 1-row rollups
+      "q_mixture_entropy")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

@@ -731,6 +731,23 @@ object Corpus {
       .withColumn("n_words", col("end_word") - col("start_word") + 1L)
   }
 
+  /** Shannon entropy + effective domain count of a mixture
+    * distribution (key, n): H = ln N − Σ n·ln n / N, eff = e^H — the
+    * one-row scorecard that says how concentrated a training mix IS
+    * (e^H ≈ "number of equally-sized domains this behaves like"; the
+    * number a temperature remix exists to raise). One aggregation
+    * over the domain-sized relation; the corpus was already reduced
+    * to counts upstream. */
+  def mixtureEntropy(dist: DataFrame, nCol: String): DataFrame = {
+    val nd = col(nCol).cast("double")
+    val h = log(col("_N").cast("double")) -
+      col("_s") / col("_N").cast("double")
+    dist.agg(sum(col(nCol)).as("_N"), sum(nd * log(nd)).as("_s"))
+      .select(col("_N").cast("long").as("n_rows"),
+        (round(h, 6) + lit(0.0)).as("entropy"),
+        (round(exp(h), 6) + lit(0.0)).as("eff_domains"))
+  }
+
   /** Zipf rank–frequency fit over the corpus unigram distribution:
     * log–log OLS of ln(freq) on ln(rank) over the top `maxRanks`
     * types — the one-row corpus-health summary every pretraining

@@ -1198,6 +1198,73 @@ object LlmQueries {
 
   private val TempAlpha = 0.3
 
+  /** Mixture entropy before/after the α = 0.3 temperature remix
+    * ([[Corpus.mixtureEntropy]] over [[Corpus.temperatureWeights]] +
+    * [[Corpus.remixByWeights]]): the fixture's sources are
+    * near-uniform, so the gate first SKEWS the mixture — source k
+    * keeps every (1 + k mod 5)-th doc of its OWN stripe (doc ids are
+    * striped mod 20 across sources, so the keep-modulus runs over
+    * doc_id div 20, the position within the source; filtering on raw
+    * doc_id would alias against the stripe and empty some sources
+    * entirely). Sizes spread 5x; the remix must move the effective
+    * domain count back toward 20 — the scorecard that says the
+    * temperature knob DID something, measured on the same physical
+    * draw the q_temperature_remix gate pins. */
+  def qMixtureEntropy(s: SparkSession, dir: String): DataFrame = {
+    val skewed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .filter(expr("doc_id div 20") %
+        (lit(1) + substring(col("source"), 4, 10).cast("int") % 5) === 0)
+    val before = skewed.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val after = Corpus.remixByWeights(skewed,
+        Corpus.temperatureWeights(skewed, "source", alpha = TempAlpha),
+        keyCol = "source", idCol = "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    Corpus.mixtureEntropy(before, "n")
+      .select(lit("1_raw").as("phase"), col("*"))
+      .unionByName(Corpus.mixtureEntropy(after, "n")
+        .select(lit("2_remixed").as("phase"), col("*")))
+      .orderBy(col("phase"))
+  }
+
+  val qMixtureEntropySql: String =
+    s"""WITH sk AS (SELECT doc_id, source FROM documents
+       |  WHERE (doc_id // 20) % (1 + CAST(substr(source, 4) AS INT) % 5)
+       |    = 0),
+       |bef AS (SELECT source, count(*) AS n FROM sk GROUP BY source),
+       |n AS (SELECT source, count(*) AS n FROM sk GROUP BY source),
+       |z AS (SELECT CAST(sum(CAST(round(pow(CAST(n AS DOUBLE), $TempAlpha) * 1e6)
+       |          AS BIGINT)) AS BIGINT) AS zq,
+       |        CAST(sum(n) AS BIGINT) AS tot FROM n),
+       |wt AS (SELECT source,
+       |        CAST(round(1e4 * CAST(tot AS DOUBLE)
+       |            * pow(CAST(n AS DOUBLE), ${TempAlpha - 1.0})
+       |            / (CAST(zq AS DOUBLE) / 1e6)) AS BIGINT) AS wt_bp
+       |      FROM n, z),
+       |d AS (SELECT sk.source, wt_bp // 10000 +
+       |        CASE WHEN try_cast('0x' ||
+       |            substr(md5(CAST(doc_id AS VARCHAR) || ':remix'), 1, 15)
+       |            AS BIGINT) % 10000 < wt_bp % 10000
+       |          THEN 1 ELSE 0 END AS copies
+       |      FROM sk JOIN wt USING (source)),
+       |aft AS (SELECT source, CAST(sum(copies) AS BIGINT) AS n
+       |  FROM d GROUP BY source HAVING sum(copies) >= 1),
+       |st AS (
+       |  SELECT '1_raw' AS phase, CAST(sum(n) AS BIGINT) AS n_rows,
+       |    ln(CAST(sum(n) AS DOUBLE))
+       |      - sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+       |        / CAST(sum(n) AS DOUBLE) AS h
+       |  FROM bef
+       |  UNION ALL
+       |  SELECT '2_remixed', CAST(sum(n) AS BIGINT),
+       |    ln(CAST(sum(n) AS DOUBLE))
+       |      - sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+       |        / CAST(sum(n) AS DOUBLE)
+       |  FROM aft)
+       |SELECT phase, n_rows, round(h, 6) + 0.0 AS entropy,
+       |  round(exp(h), 6) + 0.0 AS eff_domains
+       |FROM st ORDER BY phase""".stripMargin
+
   val qTemperatureRemixSql: String =
     s"""WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
        |z AS (SELECT CAST(sum(CAST(round(pow(CAST(n AS DOUBLE), $TempAlpha) * 1e6)

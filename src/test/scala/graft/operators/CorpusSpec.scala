@@ -937,6 +937,28 @@ class CorpusSpec extends SparkSpec {
       .toSeq === Seq(("a", "a", 4L)))
   }
 
+  test("mixtureEntropy: uniform mixtures score ln(k) and eff = k; a " +
+      "concentrated mixture scores near 0; hand-checked skew between") {
+    val s = spark
+    import s.implicits._
+    def ent(ns: Seq[Long]): (Long, Double, Double) = {
+      val r = Corpus.mixtureEntropy(
+        ns.zipWithIndex.map { case (n, i) => (s"d$i", n) }.toDF("k", "n"),
+        "n").collect().head
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ent(Seq(5L, 5L, 5L, 5L)) ===
+      ((20L, r6(math.log(4.0)), 4.0)))
+    val (_, h1, e1) = ent(Seq(97L, 1L, 1L, 1L))
+    assert(h1 < 0.2 && e1 < 1.25, "concentrated mixture → eff ≈ 1")
+    // hand case: (3, 1): H = ln 4 − (3 ln 3)/4
+    val h = math.log(4.0) - 3.0 * math.log(3.0) / 4.0
+    val (_, h2, e2) = ent(Seq(3L, 1L))
+    assert(h2 === r6(h) && e2 === r6(math.exp(h)))
+  }
+
   test("bpeFertility: tokens-per-word and chars-per-token, hand-checked " +
       "against a known segmentation") {
     val s = spark
