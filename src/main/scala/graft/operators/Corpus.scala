@@ -737,13 +737,20 @@ object Corpus {
     * (e^H ≈ "number of equally-sized domains this behaves like"; the
     * number a temperature remix exists to raise). One aggregation
     * over the domain-sized relation; the corpus was already reduced
-    * to counts upstream. */
+    * to counts upstream.
+    *
+    * Zero-count keys are FILTERED first (the 0·ln 0 = 0 limit —
+    * relying on null-propagation accidents or the oracle's
+    * 0 × −inf = NaN would diverge across engines on a maintained
+    * count store after deletions); an EMPTY distribution returns
+    * n_rows = 0 with NULL entropy (no mixture has no entropy). */
   def mixtureEntropy(dist: DataFrame, nCol: String): DataFrame = {
     val nd = col(nCol).cast("double")
     val h = log(col("_N").cast("double")) -
       col("_s") / col("_N").cast("double")
-    dist.agg(sum(col(nCol)).as("_N"), sum(nd * log(nd)).as("_s"))
-      .select(col("_N").cast("long").as("n_rows"),
+    dist.filter(col(nCol) > 0)
+      .agg(sum(col(nCol)).as("_N"), sum(nd * log(nd)).as("_s"))
+      .select(coalesce(col("_N"), lit(0L)).cast("long").as("n_rows"),
         (round(h, 6) + lit(0.0)).as("entropy"),
         (round(exp(h), 6) + lit(0.0)).as("eff_domains"))
   }

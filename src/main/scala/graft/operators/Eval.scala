@@ -463,21 +463,32 @@ object Eval {
     * `sample` is the UNIFORMITY side's vector subset, whose all-pairs
     * term is m(m−1)/2 — the caller bounds m (a fixed id-prefix or
     * hash sample), so the quadratic piece is CONSTANT-sized at any
-    * corpus scale while alignment joins stay pair-linear. Cosines use
-    * the sequential-fold [[Similarity.cosine]] kernel (oracle-parity
-    * proven); output is one row, both metrics round-6. */
+    * corpus scale while alignment joins stay pair-linear.
+    *
+    * Distances are taken ON THE UNIT SPHERE: ‖ẑa − ẑb‖² = 2 − 2·cos,
+    * i.e. inputs are treated as direction-only (the convention every
+    * cosine-retrieval pipeline already lives under). A caller whose
+    * vector NORMS carry signal must state so and pre-scale — the
+    * literature's raw-‖za−zb‖² numbers differ on non-unit vectors.
+    * Per-vector norms are hoisted to the join sides (the
+    * bruteForceTopK discipline — recomputing them inside the pair
+    * projection would triple the kernel work); the fold kernels are
+    * [[Similarity.dot]]/[[Similarity.norm]], oracle-parity proven.
+    * Output is one row, both metrics round-6. */
   def alignmentUniformity(corpus: DataFrame, positives: DataFrame,
       sample: DataFrame): DataFrame = {
-    val c1 = corpus.toDF("_aid", "_ae")
-    val c2 = corpus.toDF("_bid", "_be")
-    val d2 = lit(2.0) - lit(2.0) * Similarity.cosine(col("_ae"), col("_be"))
+    def sided(df: DataFrame, id: String, e: String, n: String): DataFrame =
+      df.toDF(id, e).withColumn(n, Similarity.norm(col(e)))
+    val d2 = lit(2.0) - lit(2.0) *
+      Similarity.dot(col("_ae"), col("_be")) / (col("_an") * col("_bn"))
     val align = positives
-      .join(c1, col("aid") === col("_aid"))
-      .join(c2, col("bid") === col("_bid"))
+      .join(sided(corpus, "_aid", "_ae", "_an"), col("aid") === col("_aid"))
+      .join(sided(corpus, "_bid", "_be", "_bn"), col("bid") === col("_bid"))
       .agg(count(lit(1)).as("n_pos"), avg(d2).as("alignment"))
     val sv = sample.toDF("sid", "se")
-    val unif = sv.toDF("_aid", "_ae")
-      .join(sv.toDF("_bid", "_be"), col("_aid") < col("_bid"))
+    val unif = sided(sv.select(col("sid"), col("se")), "_aid", "_ae", "_an")
+      .join(sided(sv.select(col("sid"), col("se")), "_bid", "_be", "_bn"),
+        col("_aid") < col("_bid"))
       .agg(count(lit(1)).as("n_unif"),
         log(avg(exp(lit(-2.0) * d2))).as("uniformity"))
     align.crossJoin(unif) // two 1-row scalars

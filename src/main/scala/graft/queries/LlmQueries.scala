@@ -1231,7 +1231,6 @@ object LlmQueries {
     s"""WITH sk AS (SELECT doc_id, source FROM documents
        |  WHERE (doc_id // 20) % (1 + CAST(substr(source, 4) AS INT) % 5)
        |    = 0),
-       |bef AS (SELECT source, count(*) AS n FROM sk GROUP BY source),
        |n AS (SELECT source, count(*) AS n FROM sk GROUP BY source),
        |z AS (SELECT CAST(sum(CAST(round(pow(CAST(n AS DOUBLE), $TempAlpha) * 1e6)
        |          AS BIGINT)) AS BIGINT) AS zq,
@@ -1254,7 +1253,7 @@ object LlmQueries {
        |    ln(CAST(sum(n) AS DOUBLE))
        |      - sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
        |        / CAST(sum(n) AS DOUBLE) AS h
-       |  FROM bef
+       |  FROM n
        |  UNION ALL
        |  SELECT '2_remixed', CAST(sum(n) AS BIGINT),
        |    ln(CAST(sum(n) AS DOUBLE))

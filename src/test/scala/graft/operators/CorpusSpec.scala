@@ -957,6 +957,12 @@ class CorpusSpec extends SparkSpec {
     val h = math.log(4.0) - 3.0 * math.log(3.0) / 4.0
     val (_, h2, e2) = ent(Seq(3L, 1L))
     assert(h2 === r6(h) && e2 === r6(math.exp(h)))
+    // zero-count keys drop by the 0·ln0 = 0 limit; empty input is a
+    // defined 0-row mixture with NULL entropy, not an NPE
+    assert(ent(Seq(3L, 1L, 0L)) === ((4L, r6(h), r6(math.exp(h)))))
+    val empty = Corpus.mixtureEntropy(
+      Seq.empty[(String, Long)].toDF("k", "n"), "n").collect().head
+    assert(empty.getLong(0) === 0L && empty.isNullAt(1))
   }
 
   test("bpeFertility: tokens-per-word and chars-per-token, hand-checked " +
