@@ -420,23 +420,18 @@ object StoreQueries {
     * 100 TB the store is maintained per ingest batch by the same
     * merge, never re-scanned. */
   def qAnnotations(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .select(
-        concat(lit("ann"), col("event_id") % 200).as("source_id"),
-        concat(lit("u"), col("user_id") % 50).as("uuids_id"),
-        lower(col("props")).as("v"), // loader.py json.dumps(v).lower()
-        col("event_type").as("source"),
-        (col("value") > 0.5).as("approved"),
-        col("ts").as("updated_at"),
-        col("event_id").as("arr"))
-      .groupBy(col("source_id"))
-      .agg(
-        min_by(col("uuids_id"), col("arr")).as("uuids_id"),
-        max_by(col("v"), col("arr")).as("v"),
-        min_by(col("source"), col("arr")).as("source"),
-        min_by(col("approved"), col("arr")).as("approved"),
-        max_by(col("updated_at"), col("arr")).as("updated_at"),
-        count(lit(1)).as("n_submits"))
+    graft.store.RecordStore.annotationsUpsert(
+      Tables.events(s, dir)
+        .select(
+          concat(lit("ann"), col("event_id") % 200).as("source_id"),
+          concat(lit("u"), col("user_id") % 50).as("uuids_id"),
+          lower(col("props")).as("v"), // loader.py json.dumps(v).lower()
+          col("event_type").as("source"),
+          (col("value") > 0.5).as("approved"),
+          col("ts").as("updated_at"),
+          col("event_id").as("arr")))
+      .select(col("source_id"), col("uuids_id"), col("v"), col("source"),
+        col("approved"), col("updated_at"), col("n_submits"))
       .orderBy(col("source_id"))
 
   val qAnnotationsSql: String =

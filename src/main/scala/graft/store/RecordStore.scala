@@ -146,6 +146,46 @@ object RecordStore {
     *   names must not collide with child columns
     * @param hitKeyName output column for the carried parent key
     */
+  /** The annotations ON CONFLICT upsert (idb/annotations loader.py:
+    * 20-50) as ONE mergeable aggregate over a submission log with a
+    * strictly-ordered arrival key: first-insert identity columns
+    * (uuids_id, source, approved) via min_by(·, arrival), last-write
+    * body/timestamp (v, updated_at) via max_by, count(*) as the
+    * submission tally. The first/last arrival keys ride the output so
+    * two stores (or a store and a batch) MERGE by re-running the same
+    * aggregate over their union — exact mergeable sufficient
+    * statistics, which is what makes the streaming twin
+    * ([[graft.streaming.StreamingAnnotations]]) equal the batch gate.
+    * Input: (source_id, uuids_id, v, source, approved, updated_at,
+    * arr); arrival keys must be unique per submission. */
+  def annotationsUpsert(subs: DataFrame): DataFrame =
+    subs.groupBy(col("source_id"))
+      .agg(
+        min_by(col("uuids_id"), col("arr")).as("uuids_id"),
+        max_by(col("v"), col("arr")).as("v"),
+        min_by(col("source"), col("arr")).as("source"),
+        min_by(col("approved"), col("arr")).as("approved"),
+        max_by(col("updated_at"), col("arr")).as("updated_at"),
+        count(lit(1)).as("n_submits"),
+        min(col("arr")).as("first_arr"),
+        max(col("arr")).as("last_arr"))
+
+  /** Merge two upsert stores by the min_by/max_by algebra: min_by
+    * picks across the carried first_arr keys, max_by across last_arr,
+    * tallies add. `annotationsUpsert(a ∪ b)` over raw logs and
+    * `annotationsMerge(upsert(a), upsert(b))` agree exactly. */
+  def annotationsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("source_id"))
+      .agg(
+        min_by(col("uuids_id"), col("first_arr")).as("uuids_id"),
+        max_by(col("v"), col("last_arr")).as("v"),
+        min_by(col("source"), col("first_arr")).as("source"),
+        min_by(col("approved"), col("first_arr")).as("approved"),
+        max_by(col("updated_at"), col("last_arr")).as("updated_at"),
+        sum(col("n_submits")).as("n_submits"),
+        min(col("first_arr")).as("first_arr"),
+        max(col("last_arr")).as("last_arr"))
+
   def innerHits(children: DataFrame, childKey: String,
       parents: DataFrame, parentKey: String,
       edges: DataFrame, childEdge: String, parentEdge: String,
