@@ -512,7 +512,10 @@ object ScaleStress {
       "q_align_uniform",
       // mixture entropy = two source-keyed count aggs (one over the
       // remix draw's copies) + 1-row rollups
-      "q_mixture_entropy")
+      "q_mixture_entropy",
+      // dedup report = two count aggs over the staged CC labels + a
+      // size-keyed histogram — rides the dedup:cc05 staging
+      "q_dedup_report")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

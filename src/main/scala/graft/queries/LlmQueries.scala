@@ -433,6 +433,47 @@ object LlmQueries {
        |$ccClosureCte
        |SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** The duplication REPORT over the staged τ = 0.5 clusters: cluster-
+    * size histogram with per-size document and removable counts,
+    * singletons (docs in no near-dup pair) included as size-1 rows —
+    * the first table a curation review reads (total dup rate, and
+    * whether duplication is a few giant templates or a long tail of
+    * pairs, which decide scrub-vs-drop strategy). All integer
+    * arithmetic; cluster sizes and the corpus total are one aggregate
+    * each over already-staged relations. */
+  def qDedupReport(s: SparkSession, dir: String): DataFrame = {
+    val cc = dedupCc05Staged(s, dir)
+    val hist = cc.groupBy(col("comp")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+    val singles = Tables.documents(s, dir).agg(count(lit(1)).as("_n"))
+      .crossJoin(cc.agg(count(lit(1)).as("_m")))
+      .select(lit(1L).as("size"), (col("_n") - col("_m")).as("n_clusters"))
+    hist.unionByName(singles)
+      .groupBy(col("size")) // defensive: CC cannot emit size-1 rows
+      .agg(sum(col("n_clusters")).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"),
+        ((col("size") - 1) * col("n_clusters")).as("removable"))
+      .orderBy(col("size"))
+  }
+
+  val qDedupReportSql: String =
+    s"""WITH RECURSIVE $minhashPairsCte,
+       |$ccClosureCte,
+       |$ccCompsCte,
+       |sz AS (SELECT comp, count(*) AS size FROM comps GROUP BY comp),
+       |hist AS (SELECT size, count(*) AS n_clusters FROM sz GROUP BY size),
+       |tot AS (SELECT count(*) AS n FROM documents),
+       |m AS (SELECT count(*) AS m FROM comps),
+       |uni AS (SELECT size, n_clusters FROM hist
+       |        UNION ALL SELECT 1, n - m FROM tot, m),
+       |h2 AS (SELECT size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+       |  FROM uni GROUP BY size)
+       |SELECT CAST(size AS BIGINT) AS size, n_clusters,
+       |  CAST(size * n_clusters AS BIGINT) AS n_docs,
+       |  CAST((size - 1) * n_clusters AS BIGINT) AS removable
+       |FROM h2 ORDER BY size""".stripMargin
+
   /** The dedup end-cap: materialize the surviving corpus after near-dup
     * clustering — every non-canonical cluster member (comp ≠ id) is
     * dropped via a planner-chosen anti-join (Graph.dropDuplicates
