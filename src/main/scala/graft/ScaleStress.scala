@@ -515,7 +515,10 @@ object ScaleStress {
       "q_mixture_entropy",
       // dedup report = two count aggs over the staged CC labels + a
       // size-keyed histogram — rides the dedup:cc05 staging
-      "q_dedup_report")
+      "q_dedup_report",
+      // coverage = one token-stream count agg + a 20-row TakeOrdered
+      // head + constant-sized cumulative window
+      "q_coverage")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

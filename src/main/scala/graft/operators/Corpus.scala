@@ -966,6 +966,38 @@ object Corpus {
         concat(slice(acc, lit(1), size(acc) - 1), array(concat(l, r))))
         .otherwise(concat(acc, array(x))))
 
+  /** Token-mass coverage of the top-k vocabulary types at the given
+    * checkpoints — the "top 10 types cover X% of all tokens"
+    * datasheet line, q_zipf's head-heaviness complement (Zipf fits
+    * the shape; coverage states the consequence a stopword list or
+    * truncated vocab actually faces). Output per checkpoint:
+    * (k, mass, share round-6).
+    *
+    * Plan: one token-stream count aggregation (map-side combined) →
+    * a max(ks)-bounded TakeOrdered cut → a cumulative window over
+    * that constant-sized head → checkpoint filter; the 1-row total
+    * rides a broadcast. Nothing after the tf agg scales with the
+    * corpus or the vocabulary. */
+  def coverageCurve(docs: DataFrame, textCol: String,
+      ks: Seq[Int]): DataFrame = {
+    val tf = docs.select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+    val total = tf.agg(sum(col("f")).as("_tot"))
+    val head = tf.orderBy(col("f").desc, col("term")).limit(ks.max)
+    val byRank = Window.orderBy(col("f").desc, col("term")) // head-sized
+    head
+      .select(row_number().over(byRank).as("k"), col("f"))
+      .withColumn("mass", sum(col("f")).over(
+        Window.orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("k").isin(ks.map(Integer.valueOf): _*))
+      .crossJoin(broadcast(total)) // 1-row corpus scalar
+      .select(col("k"), col("mass"),
+        (round(col("mass").cast("double") / col("_tot").cast("double"), 6)
+          + lit(0.0)).as("share"))
+      .orderBy(col("k"))
+  }
+
   /** Heaps' law vocabulary-growth curve: cumulative (docs, tokens,
     * vocabulary) at id-space decile checkpoints, plus the log–log OLS
     * fit V = K·N^β over the checkpoints — q_zipf's companion curve

@@ -4402,6 +4402,30 @@ object LlmQueries {
         |    AS chars_per_token
         |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  /** Token-mass coverage at k ∈ {1, 2, 5, 10, 20}
+    * ([[Corpus.coverageCurve]]) — on the near-uniform fixture the
+    * top type covers ~4% and the top 20 ~70%, real spread for the
+    * cumulative arithmetic; natural text's 40-50%-at-10 signature is
+    * what the gate reports on real corpora. */
+  def qCoverage(s: SparkSession, dir: String): DataFrame =
+    Corpus.coverageCurve(Tables.documents(s, dir), "text",
+      ks = Seq(1, 2, 5, 10, 20))
+
+  val qCoverageSql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, count(*) AS f FROM t GROUP BY term),
+      |tot AS (SELECT CAST(sum(f) AS BIGINT) AS tt FROM tf),
+      |head AS (SELECT term, f FROM tf ORDER BY f DESC, term LIMIT 20),
+      |rk AS (SELECT CAST(row_number() OVER (ORDER BY f DESC, term) AS INT)
+      |    AS k, f FROM head),
+      |cm AS (SELECT k, CAST(sum(f) OVER (ORDER BY k
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mass FROM rk)
+      |SELECT k, mass,
+      |  round(CAST(mass AS DOUBLE) / CAST(tt AS DOUBLE), 6) + 0.0 AS share
+      |FROM cm CROSS JOIN tot
+      |WHERE k IN (1, 2, 5, 10, 20) ORDER BY k""".stripMargin
+
   val qHeapsSql: String =
     """WITH sp AS (SELECT max(doc_id) + 1 AS span FROM documents),
       |pd AS (SELECT CAST(floor(doc_id * 10 / span) AS INT) + 1 AS b,

@@ -937,6 +937,19 @@ class CorpusSpec extends SparkSpec {
       .toSeq === Seq(("a", "a", 4L)))
   }
 
+  test("coverageCurve: cumulative shares hand-checked; frequency ties " +
+      "rank by term; checkpoints beyond the vocab drop") {
+    val s = spark
+    import s.implicits._
+    // freqs: a=5, b=3, c=2 (10 tokens)
+    val docs = Seq("a a a b b c", "a a b c").toDF("text")
+    val r = Corpus.coverageCurve(docs, "text", ks = Seq(1, 2, 5))
+      .collect()
+    assert(r.map(x => (x.getInt(0), x.getLong(1), x.getDouble(2))).toSeq
+      === Seq((1, 5L, 0.5), (2, 8L, 0.8)),
+      "k=5 exceeds the 3-type vocab and must drop, not pad")
+  }
+
   test("mixtureEntropy: uniform mixtures score ln(k) and eff = k; a " +
       "concentrated mixture scores near 0; hand-checked skew between") {
     val s = spark
