@@ -66,14 +66,19 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
-  /** Archived controlled per-query seconds (BENCH_NOTES.md round-10
-    * idle-canary pair, min of the two runs). A bench reading more than
-    * 5× its controlled value AND above the 2 s floor is re-run once at
-    * bench end and both numbers are emitted — so a transient host-load
-    * window is classified by the artifact itself instead of burning a
-    * judge/builder round on "is it code or is it the host?". Queries
-    * without an archived value (this round's additions) never retry;
-    * they gain entries once the round-close controlled pair lands. */
+  /** Archived controlled per-query seconds (BENCH_NOTES.md controlled
+    * close pairs, min of the two runs). A bench reading more than
+    * 2× its archived value AND above a 0.5 s floor is re-run once at
+    * bench end and both numbers are emitted, plus a `suspects` list of
+    * queries whose re-run halved — so a transient host-load window is
+    * classified by the artifact itself instead of burning a
+    * judge/builder round on "is it code or is it the host?". (The r18
+    * triggers — 5× and a 2 s floor — let eight 2-5.6× inflations
+    * through an officially `contended:false` artifact because the
+    * start/mid/end canaries can't see transients between probes; the
+    * per-query re-run can.) Queries without an archived value (this
+    * round's additions) never retry; they gain entries once the
+    * round-close controlled pair lands. */
   val controlledSec: Map[String, Double] = Map(
     "q1_agg" -> 1.01, "q_ann_ivf" -> 1.76, "q_ann_ivf_probe" -> 0.88,
     "q_ann_lsh" -> 0.66, "q_ann_topk" -> 0.45, "q_anti_join" -> 0.41,
@@ -175,7 +180,21 @@ object Bench {
     "q_subitem_view" -> 1.92, "q_index_run" -> 4.81,
     "q_index_run_media" -> 1.5, "q_static_datasets" -> 1.5,
     "q_media_api" -> 1.5, "q_stats_digest" -> 1.4,
-    "q_index_run_incr" -> 1.5)
+    "q_index_run_incr" -> 1.5,
+    // round-18 controlled close pair (min of close_run1/close_run2,
+    // idle canaries) — the r18 additions gain retry protection:
+    "q_align_uniform" -> 1.16, "q_annotations" -> 1.94, "q_auc" -> 0.46,
+    "q_bitext_mine" -> 1.15, "q_bleu" -> 4.70, "q_bpe_encode" -> 2.07,
+    "q_bpe_fertility" -> 0.61, "q_bpe_train" -> 0.05,
+    "q_calibration" -> 0.46, "q_cdc_chunks" -> 0.66,
+    "q_dataset_index" -> 1.02, "q_hard_negatives" -> 0.48,
+    "q_heaps" -> 0.69, "q_kappa" -> 0.41, "q_kn3_lm" -> 2.60,
+    "q_kn3_score" -> 2.51, "q_kn_heldout" -> 1.24, "q_kn_incr" -> 1.69,
+    "q_kn_lm" -> 1.09, "q_kn_prune" -> 1.90, "q_kn_score" -> 1.32,
+    "q_mixture_entropy" -> 0.70, "q_ndcg" -> 0.62, "q_rbo" -> 0.99,
+    "q_taxon_model" -> 0.77, "q_zipf" -> 0.48,
+    // round-18 final-tree driver readings (uncontended single samples):
+    "q_dedup_report" -> 0.44, "q_coverage" -> 0.66)
 
   def main(args: Array[String]): Unit = {
     // drop any previous run's artifact FIRST: if this run's write fails
@@ -228,23 +247,37 @@ object Bench {
       val ok = try { run(name); true } catch { case _: Throwable => false }
       name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // Outlier-retry pass: any query >5× its archived controlled value
-    // (and above a 2 s floor — sub-2 s inflations don't distort totals)
-    // re-runs ONCE at bench end. Both numbers are emitted: if the retry
-    // returns to normal the first reading was a host-contention window,
-    // classified by the artifact itself; if it repeats, it's code.
+    // Outlier-retry pass: any query >2× its archived controlled value
+    // (and above a 0.5 s floor — sub-half-second readings jitter 2×
+    // from scheduling noise alone) re-runs ONCE at bench end. Both
+    // numbers are emitted: if the retry returns to normal the first
+    // reading was a host-contention window, classified by the artifact
+    // itself (the `suspects` list below); if it repeats, it's code.
     val retries = results.collect {
-      case (name, (t, true)) if t > 2.0 &&
-        controlledSec.get(name).exists(c => t > 5 * c) =>
+      case (name, (t, true)) if t > 0.5 &&
+        controlledSec.get(name).exists(c => t > 2 * c) =>
         val t0 = System.nanoTime()
         try { run(name) } catch { case _: Throwable => }
         name -> (System.nanoTime() - t0) / 1e9
     }
+    // a reading whose same-session re-run halved was transient host
+    // load, not code — machine-checkable from the artifact alone
+    val resultMap = results.toMap
+    val suspects = retries.collect {
+      case (name, rt) if rt * 2 <= resultMap(name)._1 => name }
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val retryJson = retries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val suspectsJson = suspects.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val total = results.map(_._2._1).sum
+    // the headline total with each suspect's transient reading replaced
+    // by its same-session re-run — the number comparable across rounds
+    // without a judge adjudication pass
+    val retryMap = retries.toMap
+    val totalAdj = results.map { case (k, (v, _)) =>
+      if (suspects.contains(k)) retryMap(k) else v }.sum
     // enrich throughput vs the reference's only published perf number
     // (750 rec/s/core, conversions.py:915-930): q_enrich records/sec/core.
     // Steady-state is the comparable axis — the reference's number is a
@@ -291,8 +324,8 @@ object Bench {
     val contended = Seq(parCanaryStart, parCanaryMid, parCanaryEnd,
       canaryStart, canaryEnd).exists(_ > 1000.0)
     val canaries = f""""canary_ms_start":$canaryStart%.0f,"canary_ms_end":$canaryEnd%.0f,"par_canary_ms_start":$parCanaryStart%.0f,"par_canary_ms_mid":$parCanaryMid%.0f,"par_canary_ms_end":$parCanaryEnd%.0f,"contended":$contended"""
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","enrich_rec_s_core":$enrichWarm%.0f,"enrich_rec_s_core_cold":$enrichCold%.0f,"enrich_cores":$effCores%.0f,$canaries,"retries":$retryJson,"staging":$stagingJsonShort,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"enrich_rec_s_core":$enrichWarm%.0f,"enrich_rec_s_core_cold":$enrichCold%.0f,"enrich_cores":$effCores%.0f,$canaries,"retries":$retryJson,"staging":$stagingJson,"sf":"$sfDir"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"value_adjudicated":$totalAdj%.3f,"unit":"sec","enrich_rec_s_core":$enrichWarm%.0f,"enrich_rec_s_core_cold":$enrichCold%.0f,"enrich_cores":$effCores%.0f,$canaries,"retries":$retryJson,"suspects":$suspectsJson,"staging":$stagingJsonShort,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"value_adjudicated":$totalAdj%.3f,"unit":"sec","queries":$qs,"enrich_rec_s_core":$enrichWarm%.0f,"enrich_rec_s_core_cold":$enrichCold%.0f,"enrich_cores":$effCores%.0f,$canaries,"retries":$retryJson,"suspects":$suspectsJson,"staging":$stagingJson,"sf":"$sfDir"}"""
     // ONE COMPLETE JSON OBJECT per run as a FILE artifact: the driver's
     // stdout capture keeps only a ~2 KB tail, which truncated the r17
     // archive's per-query map to the alphabetical tail — the file keeps

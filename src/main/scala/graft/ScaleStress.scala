@@ -518,7 +518,18 @@ object ScaleStress {
       "q_dedup_report",
       // coverage = one token-stream count agg + a 20-row TakeOrdered
       // head + constant-sized cumulative window
-      "q_coverage")
+      "q_coverage",
+      // round 19: download dedup window = one codegen'd hash projection
+      // over 10x events + ONE query_hash equi-join (requests x the
+      // 1/53-sparse enqueue log) + a per-request max_by (map-side
+      // combined) + a broadcast-size join back — the candidate set is
+      // requests x tasks-per-hash, both sides corpus-linear
+      "q_download_dedup",
+      // round 19: media fetch decisions = one scan into the DISTINCT
+      // over the fixed 400-url space (map-side combined — the 10x pass
+      // measures the distinct scan) + a constant-sized decision table
+      // with a per-prefix window over <=67 selected rows
+      "q_media_fetch")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

@@ -94,4 +94,77 @@ object Download {
     * the `data.` prefix, keep the raw term. */
   def rawFieldNames(fields: Seq[String]): Seq[String] =
     fields.map(_.stripPrefix("data."))
+
+  /** Distributed download query-hash over a FLAT `map<string,string>`
+    * params column — [[graft.hash.Etags.objectHasher]]'s recursion for
+    * a dict of scalars (etags.py:41-79): each value hashes alone, the
+    * dict hashes the concatenation of sorted `key ++ digest(value)`
+    * pairs, None hashes as the empty string. md5 where the reference
+    * passes "sha1" (v2_download.py:77) so the DuckDB oracle — which
+    * has no sha1 — can replay the identical bytes; the recursion, the
+    * key sort, and therefore the DEDUP EQUALITY the hash exists for
+    * are digest-independent. Pure built-ins, stays in codegen. */
+  def queryHashColumn(params: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val entries = array_sort(map_entries(params))
+    md5(array_join(transform(entries,
+      e => concat(e.getField("key"),
+        md5(coalesce(e.getField("value"), lit(""))))), ""))
+  }
+
+  /** The download task dedup window (v2_download.py:77-99): a request's
+    * params hash to a query key; unless `force`, the key's live redis
+    * entry — the task most recently enqueued for that hash, valid for
+    * `validHours` (QUERY_VALID_TIME = 23 h, :20) from its creation — is
+    * REUSED, except when its task status reads FAILURE/UNKNOWN (:85-87);
+    * every other path enqueues a fresh task. (The 30-day task-data TTL
+    * is unreachable through this window: the 23 h hash key always dies
+    * first, so a live hash implies live task data.)
+    *
+    * `requests`: (req_id, query_hash, req_time, force);
+    * `tasks`: (query_hash, tid, created timestamp, task_status) — the
+    * enqueue log. Decision per request:
+    *   forced | no_task | expired | failed_status → enqueue;
+    *   valid_task → reuse (with the reused tid).
+    *
+    * Shape: ONE equi-join on query_hash (the hash key IS the shard
+    * key — no range join; tasks-per-hash is the handful of re-enqueues
+    * inside the window), a per-request max_by for "most recently set",
+    * and a broadcast-size join back. Output:
+    * (req_id, query_hash, decision, reason, reused_tid). */
+  def dedupDecisions(requests: org.apache.spark.sql.DataFrame,
+      tasks: org.apache.spark.sql.DataFrame,
+      validHours: Int = 23): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val latest = requests
+      .select(col("req_id"), col("query_hash"), col("req_time"))
+      .join(tasks, Seq("query_hash"))
+      .where(col("created") <= col("req_time"))
+      .groupBy(col("req_id"))
+      .agg(max_by(
+        struct(col("tid"), col("created"), col("task_status")),
+        struct(col("created"), col("tid"))).as("_t"))
+      .select(col("req_id"), col("_t.tid").as("_tid"),
+        col("_t.created").as("_created"),
+        col("_t.task_status").as("_status"))
+    val valid = col("req_time") <
+      col("_created") + expr(s"INTERVAL $validHours HOURS")
+    requests.join(latest, Seq("req_id"), "left")
+      .select(col("req_id"), col("query_hash"),
+        when(col("force"), lit("enqueue"))
+          .when(col("_tid").isNull, lit("enqueue"))
+          .when(!valid, lit("enqueue"))
+          .when(col("_status").isin("FAILURE", "UNKNOWN"), lit("enqueue"))
+          .otherwise(lit("reuse")).as("decision"),
+        when(col("force"), lit("forced"))
+          .when(col("_tid").isNull, lit("no_task"))
+          .when(!valid, lit("expired"))
+          .when(col("_status").isin("FAILURE", "UNKNOWN"),
+            lit("failed_status"))
+          .otherwise(lit("valid_task")).as("reason"),
+        when(!col("force") && col("_tid").isNotNull && valid &&
+            !col("_status").isin("FAILURE", "UNKNOWN"), col("_tid"))
+          .as("reused_tid"))
+  }
 }

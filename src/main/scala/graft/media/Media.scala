@@ -51,6 +51,80 @@ object Media {
   def urlPrefix(url: Column): Column =
     regexp_extract(url, "^(https?://[^/]+)", 1)
 
+  /** The reference's hardcoded never-fetch URL prefixes
+    * (idigbio_ingestion/mediaing/__init__.py:5-13). */
+  val IgnorePrefixes: Seq[String] = Seq(
+    "http://media.idigbio.org/",
+    "http://api.idigbio.org/v1/recordsets/",
+    "https://api.idigbio.org/v2/media/",
+    "http://api.idigbio.org/v2/media/",
+    "http://www.tropicos.org/",
+    "http://n2t.net/ark:/65665/",
+    "http://arctos.database.museum/")
+
+  /** The media FETCH DECISION TABLE (fetcher.py:116-151 acquisition
+    * side — q_media_api covers serving): which media rows need a
+    * fetch, how they group into per-prefix work queues, and the
+    * post-fetch status MERGE.
+    *
+    * Selection (get_items, fetcher.py:203-233): `type IS NOT NULL AND
+    * (last_status IS NULL OR (last_status >= 400 AND last_check <
+    * now − LAST_CHECK_INTERVAL))`, minus the hardcoded
+    * [[IgnorePrefixes]] (`url NOT LIKE p || '%'`), ordered by url.
+    * `reason` reports the FIRST failing conjunct in that order
+    * (no_type / ignored_prefix / ok_status / recent_failure), or
+    * `selected`. Grouping (PREFIX_RE + group_by_prefix,
+    * fetcher.py:113,234-242): the work key is the
+    * `^https?://[^/]*[/?]` match (NULL when the url has no such
+    * prefix — those still fetch, in the prefixless queue), and
+    * `fetch_seq` is the row's position in its queue (the reference
+    * sorts by url, so per-prefix groups are the contiguous runs of
+    * that sort). The MERGE (update_db_status, fetcher.py:258-273):
+    * fetched rows take `outcome` as new_status and a refreshed
+    * last_check (`check_updated`); skipped rows keep last_status.
+    *
+    * `media`: (url, type, last_status, last_check); `now` a fixed
+    * instant (the gate pins it so both engines replay the same
+    * interval arithmetic); `outcome` the per-row fetch result column
+    * (production: the real fetcher's status; the gate injects a
+    * deterministic fake). One scan + one per-prefix window over the
+    * selected subset — no joins, no global window. */
+  def fetchDecisions(media: DataFrame, now: Column, outcome: Column,
+      ignorePrefixes: Seq[String] = IgnorePrefixes,
+      lastCheckMonths: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cutoff = now - expr(s"INTERVAL $lastCheckMonths MONTHS")
+    val ignored = ignorePrefixes.map(p => col("url").startsWith(p))
+      .reduce(_ || _)
+    val pfx = regexp_extract(col("url"), "^https?://[^/]*[/?]", 0)
+    val reason = when(col("type").isNull, "no_type")
+      .when(ignored, "ignored_prefix")
+      .when(col("last_status").isNotNull && col("last_status") < 400,
+        "ok_status")
+      .when(col("last_check") >= cutoff, "recent_failure")
+      .otherwise("selected")
+    val base = media.select(col("url"),
+      when(length(pfx) > 0, pfx).as("prefix"),
+      reason.as("reason"), col("last_status"), outcome.as("_out"))
+    // the per-queue position counts SELECTED rows only — the window
+    // runs over the filtered subset (a skip must not occupy a slot)
+    val seqW = Window.partitionBy(col("prefix")).orderBy(col("url"))
+    val sel = base.filter(col("reason") === "selected")
+      .withColumn("fetch_seq", row_number().over(seqW))
+    val skip = base.filter(col("reason") =!= "selected")
+      .withColumn("fetch_seq", lit(null).cast("int"))
+    sel.unionByName(skip)
+      .select(col("url"), col("prefix"),
+        when(col("reason") === "selected", "fetch").otherwise("skip")
+          .as("decision"),
+        col("reason"),
+        col("last_status"),
+        when(col("reason") === "selected", col("_out"))
+          .otherwise(col("last_status")).as("new_status"),
+        (col("reason") === "selected").as("check_updated"),
+        col("fetch_seq"))
+  }
+
   /** The fetched-blob row produced by [[fetchBatch]]. */
   val fetchResultSchema: StructType = StructType(Seq(
     StructField("url", StringType),

@@ -743,14 +743,17 @@ object Corpus {
     * relying on null-propagation accidents or the oracle's
     * 0 × −inf = NaN would diverge across engines on a maintained
     * count store after deletions); an EMPTY distribution returns
-    * n_rows = 0 with NULL entropy (no mixture has no entropy). */
+    * n_total = 0 with NULL entropy (no mixture has no entropy).
+    * Output: (n_total, entropy, eff_domains) — n_total is the SUMMED
+    * count mass Σ n (the number of items in the mixture), not the
+    * number of distribution keys. */
   def mixtureEntropy(dist: DataFrame, nCol: String): DataFrame = {
     val nd = col(nCol).cast("double")
     val h = log(col("_N").cast("double")) -
       col("_s") / col("_N").cast("double")
     dist.filter(col(nCol) > 0)
       .agg(sum(col(nCol)).as("_N"), sum(nd * log(nd)).as("_s"))
-      .select(coalesce(col("_N"), lit(0L)).cast("long").as("n_rows"),
+      .select(coalesce(col("_N"), lit(0L)).cast("long").as("n_total"),
         (round(h, 6) + lit(0.0)).as("entropy"),
         (round(exp(h), 6) + lit(0.0)).as("eff_domains"))
   }

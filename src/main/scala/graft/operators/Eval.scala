@@ -266,7 +266,7 @@ object Eval {
     * group-keyed rollup. Everything is token-stream-linear and
     * whole-stage-codegen; an earlier per-row distinct×filter lambda
     * formulation avoided the shuffle but ran INTERPRETED (higher-
-    * order functions don't codegen) at ~20× this cost — measured,
+    * order functions don't codegen) at ~6× this cost — measured,
     * not guessed. `idCol` keys the pair (duplicate pairs in a group
     * count independently). */
   def corpusBleu(pairs: DataFrame, groupCol: String, idCol: String,
@@ -368,8 +368,13 @@ object Eval {
       .select(col("n_items"), col("n_ratings"),
         (round(col("pbar"), 6) + lit(0.0)).as("p_bar"),
         (round(col("pe"), 6) + lit(0.0)).as("p_e"),
-        (round((col("pbar") - col("pe")) / (lit(1.0) - col("pe")), 6)
-          + lit(0.0)).as("kappa"))
+        // pe = 1 (a unanimous single-category log) makes kappa 0/0 —
+        // undefined, and the engines disagree on how to render it
+        // (Spark NULL vs IEEE NaN). Pin the degenerate case to NULL
+        // on both engines, the zipfFit degenerate-fit convention.
+        when(col("pe") < 1.0,
+          round((col("pbar") - col("pe")) / (lit(1.0) - col("pe")), 6)
+            + lit(0.0)).as("kappa"))
   }
 
   /** Truncated rank-biased overlap (Webber et al. 2010) between two
@@ -394,10 +399,11 @@ object Eval {
     val c = (1 - p) / (1 - math.pow(p, k))
     val coef = (1 to k).map(m =>
       c * (m to k).map(d => math.pow(p, d - 1) / d).sum)
-    val av = a.select(col("qid"), col("nid"), col("rank").as("ra"))
-      .filter(col("rank") <= k)
-    val bv = b.select(col("qid").as("bqid"), col("nid").as("bnid"),
-      col("rank").as("rb")).filter(col("rank") <= k)
+    val av = a.filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").as("ra"))
+    val bv = b.filter(col("rank") <= k)
+      .select(col("qid").as("bqid"), col("nid").as("bnid"),
+        col("rank").as("rb"))
     val contrib = av.join(broadcast(bv),
         col("qid") === col("bqid") && col("nid") === col("bnid"))
       .select(col("qid"),
@@ -531,9 +537,14 @@ object Eval {
     contrib.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         sum(col("u")).as("u"))
       .select(col("n_pos"), col("n_neg"),
-        (round(col("u") /
-          (col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
-          + lit(0.0)).as("auc"))
+        // a single-class input (P = 0 or N = 0) makes AUC 0/0 —
+        // undefined, rendered NULL by Spark but NaN/inf by IEEE
+        // engines. Pin it to NULL on both (the fleissKappa pe = 1
+        // discipline).
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("u") /
+            (col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+            + lit(0.0)).as("auc"))
   }
 
   /** Maximal Marginal Relevance (Carbonell & Goldstein 1998):

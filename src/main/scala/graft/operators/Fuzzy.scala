@@ -93,10 +93,13 @@ object Fuzzy {
     * Cost shape: candidate count is EXACTLY n·window by construction
     * (never n²) and the JW kernel runs inside WholeStageCodegen over
     * the joined pairs — the global rank reuses
-    * [[TextDedup.sortedNeighborPairs]]'s two-level form (range-bucket
-    * on a 1-char prefix of the sort key, row_number within buckets,
+    * [[TextDedup.sortedNeighborPairs]]'s two-level form (sampled
+    * quantile range-buckets over the (key, id) sort tuple via
+    * [[TextDedup.rangeBucketExpr]], row_number within buckets,
     * broadcast cumulative bases), so no unpartitioned window ever
-    * sees the record table. Output: (rec_a, rec_b, jw6), jw rounded
+    * sees the record table and a skewed key prefix cannot collapse
+    * the rank into one partition's sort (boundaries split mid-tie on
+    * the id). Output: (rec_a, rec_b, jw6), jw rounded
     * to 6 before the threshold on BOTH engines (the oracle replays
     * with DuckDB's native jaro_winkler_similarity — byte-exact per
     * the kernel's UTF-8 contract).
@@ -110,13 +113,15 @@ object Fuzzy {
     * makes the whole table one tie block and recall collapses). */
   def snmLinkage(recs: DataFrame, idCol: String, nameCol: String,
       window: Int, threshold: Double,
-      keyLen: Int = 16, bucketPrefix: Int = 1,
+      keyLen: Int = 16, numBuckets: Int = 32,
       sortKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val keySrc = sortKey.getOrElse(col(nameCol))
+    val slim = recs.select(substring(keySrc, 1, keyLen).as("_k"),
+      col(idCol).as("_id"))
     val keyed = recs.select(col(idCol).as("_id"),
       col(nameCol).as("_nm"),
-      substring(keySrc, 1, keyLen).as("_k"),
-      substring(keySrc, 1, bucketPrefix).as("_b"))
+      substring(keySrc, 1, keyLen).as("_k"))
+      .withColumn("_b", TextDedup.rangeBucketExpr(slim, numBuckets))
     val wLocal = Window.partitionBy(col("_b"))
       .orderBy(col("_k"), col("_id"))
     val wBase = Window.orderBy(col("_b"))

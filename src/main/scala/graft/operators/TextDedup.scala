@@ -717,23 +717,28 @@ object TextDedup {
     * free text.
     *
     * The global rank uses the repo's two-level form (the
-    * [[graft.operators.Corpus.shuffleOrder]] shape): range-bucket on
-    * a PREFIX of the sort key (monotone ⇒ bucket-major order = key
-    * order), row_number within buckets, cumulative bucket bases
+    * [[graft.operators.Corpus.shuffleOrder]] shape): range-bucket the
+    * corpus, row_number within buckets, cumulative bucket bases
     * broadcast back — no unpartitioned window ever sees the corpus.
+    * Bucket boundaries are SAMPLED QUANTILES of the full sort tuple
+    * (key, id), not a fixed key prefix: a value-hash sample
+    * (~64·buckets rows, one bounded staged collect — the IVF-codebook
+    * discipline) is sorted and cut at even ranks, and because the id
+    * tie-break participates, a boundary can fall MID-TIE — a corpus
+    * where most documents share one leading prefix ("the …") still
+    * splits into balanced buckets instead of collapsing into one
+    * window partition's sort. Boundaries become struct literals, so
+    * the bucket id is a pure row function (every plan branch agrees;
+    * recomputation cannot skew it) and monotone in the sort order
+    * (bucket-major order = key order, the rank invariant).
     * Neighbor pairing is an equi-join on rank+δ (δ exploded 1..w) —
     * shuffle on integers, no range predicate. Jaccard is exact
     * integer set arithmetic + one IEEE division, rounded to 6. */
   def sortedNeighborPairs(docs: DataFrame, idCol: String,
       textCol: String, window: Int, threshold: Double,
-      keyLen: Int = 16, bucketPrefix: Int = 1): DataFrame = {
+      keyLen: Int = 16, numBuckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // distinct word sets computed ONCE per document here — the pair
-    // stage touches n·w rows and must not re-split texts per pair
-    val keyed = docs.select(col(idCol).as("_id"),
-      array_distinct(split(col(textCol), " ")).as("_ws"),
-      substring(col(textCol), 1, keyLen).as("_k"),
-      substring(col(textCol), 1, bucketPrefix).as("_b"))
+    val keyed = snmKeyed(docs, idCol, textCol, keyLen, numBuckets)
     val wLocal = Window.partitionBy(col("_b"))
       .orderBy(col("_k"), col("_id"))
     val wBase = Window.orderBy(col("_b"))
@@ -759,5 +764,71 @@ object TextDedup {
       .where(col("j6") >= threshold)
       .select(least(col("_id"), col("_idb")).as("doc_a"),
         greatest(col("_id"), col("_idb")).as("doc_b"), col("j6"))
+  }
+
+  /** The keyed + range-bucketed relation behind
+    * [[sortedNeighborPairs]]: (_id, _ws distinct word set, _k sort
+    * key, _b bucket). Exposed inside the package so the skew spec can
+    * assert bucket balance directly on a shared-prefix corpus.
+    *
+    * Staged build: one count + one bounded deterministic sample
+    * collect (value-hash filtered, so re-runs draw the same rows).
+    * The sampled (key, id) tuples are sorted IN Spark (no driver
+    * comparator has to understand the id type) and cut at even ranks
+    * into `numBuckets − 1` boundary literals; `_b` = number of
+    * boundaries strictly below the row's own (key, id) struct —
+    * a monotone pure-row function, ≤ 63 codegen'd struct compares. */
+  private[graft] def snmKeyed(docs: DataFrame, idCol: String,
+      textCol: String, keyLen: Int, numBuckets: Int): DataFrame = {
+    val keyed = docs.select(col(idCol).as("_id"),
+      array_distinct(split(col(textCol), " ")).as("_ws"),
+      substring(col(textCol), 1, keyLen).as("_k"))
+    // boundary estimation never touches the word sets — a slim
+    // (key, id) projection off the raw input
+    val slim = docs.select(substring(col(textCol), 1, keyLen).as("_k"),
+      col(idCol).as("_id"))
+    keyed.withColumn("_b", rangeBucketExpr(slim, numBuckets))
+  }
+
+  /** Bucket-id expression for a two-level global rank: sampled
+    * quantile boundaries of the (`_k`, `_id`) sort tuple, returned as
+    * a monotone pure-row `Column` (a sum of ≤ `numBuckets − 1`
+    * codegen'd struct compares against collected boundary literals).
+    * `slim` must expose exactly the sort columns `_k` and `_id`; the
+    * boundaries are drawn by ONE bounded deterministic staged collect
+    * (value-hash filtered sample of ~64·buckets rows, sorted in
+    * Spark, cut at even ranks), so every plan branch — the count-
+    * per-bucket bases and the row_number window — agrees on the same
+    * bucketing and recomputation cannot skew it. Shared by
+    * [[sortedNeighborPairs]] and [[graft.operators.Fuzzy.snmLinkage]]. */
+  private[graft] def rangeBucketExpr(slim: DataFrame,
+      numBuckets: Int): Column = {
+    require(numBuckets >= 1 && numBuckets <= 4096, "1 <= numBuckets <= 4096")
+    val n = if (numBuckets == 1) 0L else slim.count()
+    val target = math.max(numBuckets * 64, 1024)
+    val boundaries: Seq[(Any, Any)] =
+      if (n == 0) Nil
+      else {
+        val mod = 1000000L
+        val keep = math.max(1L,
+          math.min(mod, (target.toDouble / n * mod).toLong))
+        val sample = slim
+          .filter(pmod(xxhash64(col("_id")), lit(mod)) < lit(keep))
+          .orderBy(col("_k"), col("_id"))
+          .collect()
+        if (sample.isEmpty) Nil
+        else {
+          val step = sample.length.toDouble / numBuckets
+          (1 until numBuckets)
+            .map(i => sample(math.min((i * step).toInt, sample.length - 1)))
+            .map(r => (r.get(0), r.get(1)))
+            .distinct
+        }
+      }
+    val keyS = struct(col("_k"), col("_id"))
+    boundaries
+      .map { case (k, id) =>
+        when(keyS > struct(lit(k), lit(id)), 1).otherwise(0) }
+      .reduceOption(_ + _).getOrElse(lit(0))
   }
 }

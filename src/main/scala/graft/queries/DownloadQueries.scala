@@ -970,4 +970,86 @@ object DownloadQueries {
        |    % 1000000007 AS BIGINT)
        |) ORDER BY location""".stripMargin
   }
+
+  /** The download task DEDUP WINDOW decision table
+    * ([[Download.dedupDecisions]] over [[Download.queryHashColumn]] —
+    * v2_download.py:77-99): requests and the enqueue log both derive
+    * from `events` (40 distinct query-param dicts keyed by
+    * event_id % 40, hashed through the objectHasher recursion; every
+    * 53rd event is a prior enqueue with a status cycling through
+    * FAILURE/UNKNOWN/PENDING/SUCCESS, the rest are requests, every
+    * 23rd forced) — the 30-day fixture span makes all five decision
+    * reasons live at sf0.01: forced, no_task, expired (the 23 h
+    * QUERY_VALID_TIME arithmetic), failed_status, valid_task. The
+    * oracle replays the hash recursion, the most-recently-set-wins
+    * pick (created desc, tid desc) and the validity interval. */
+  def qDownloadDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("ts"),
+      concat(lit("q"), col("event_id") % 40).as("qid"))
+    val params = map(
+      lit("core_source"), lit("indexterms"),
+      lit("core_type"), lit("records"),
+      lit("form"), lit("dwca-csv"),
+      lit("rq"), concat(lit("genus:"), col("qid")))
+    val hashed = ev.withColumn("query_hash",
+      Download.queryHashColumn(params))
+    val tasks = hashed.filter(col("event_id") % 53 === 0)
+      .select(col("query_hash"),
+        concat(lit("t"), col("event_id")).as("tid"),
+        col("ts").as("created"),
+        when(expr("event_id div 53") % 9 === 0, "FAILURE")
+          .when(expr("event_id div 53") % 9 === 1, "UNKNOWN")
+          .when(expr("event_id div 53") % 9 === 2, "PENDING")
+          .otherwise("SUCCESS").as("task_status"))
+    val requests = hashed.filter(col("event_id") % 53 =!= 0)
+      .select(concat(lit("r"), col("event_id")).as("req_id"),
+        col("query_hash"), col("ts").as("req_time"),
+        (col("event_id") % 23 === 0).as("force"))
+    Download.dedupDecisions(requests, tasks).orderBy(col("req_id"))
+  }
+
+  val qDownloadDedupSql: String =
+    """WITH ev AS (SELECT event_id, ts, 'q' || (event_id % 40) AS qid
+      |    FROM events),
+      |h AS (SELECT event_id, ts, md5(
+      |    'core_source' || md5('indexterms') ||
+      |    'core_type'   || md5('records') ||
+      |    'form'        || md5('dwca-csv') ||
+      |    'rq'          || md5('genus:' || qid)) AS query_hash
+      |  FROM ev),
+      |tasks AS (SELECT query_hash, 't' || event_id AS tid, ts AS created,
+      |    CASE (event_id // 53) % 9 WHEN 0 THEN 'FAILURE'
+      |      WHEN 1 THEN 'UNKNOWN' WHEN 2 THEN 'PENDING'
+      |      ELSE 'SUCCESS' END AS task_status
+      |  FROM h WHERE event_id % 53 = 0),
+      |req AS (SELECT 'r' || event_id AS req_id, query_hash,
+      |    ts AS req_time, (event_id % 23 = 0) AS force
+      |  FROM h WHERE event_id % 53 <> 0),
+      |cand AS (SELECT r.req_id, t.tid, t.created, t.task_status,
+      |    row_number() OVER (PARTITION BY r.req_id
+      |      ORDER BY t.created DESC, t.tid DESC) AS rn
+      |  FROM req r JOIN tasks t ON r.query_hash = t.query_hash
+      |    AND t.created <= r.req_time),
+      |latest AS (SELECT req_id, tid, created, task_status
+      |  FROM cand WHERE rn = 1)
+      |SELECT r.req_id, r.query_hash,
+      |  CASE WHEN r.force THEN 'enqueue'
+      |    WHEN l.tid IS NULL THEN 'enqueue'
+      |    WHEN NOT (r.req_time < l.created + INTERVAL 23 HOUR)
+      |      THEN 'enqueue'
+      |    WHEN l.task_status IN ('FAILURE', 'UNKNOWN') THEN 'enqueue'
+      |    ELSE 'reuse' END AS decision,
+      |  CASE WHEN r.force THEN 'forced'
+      |    WHEN l.tid IS NULL THEN 'no_task'
+      |    WHEN NOT (r.req_time < l.created + INTERVAL 23 HOUR)
+      |      THEN 'expired'
+      |    WHEN l.task_status IN ('FAILURE', 'UNKNOWN')
+      |      THEN 'failed_status'
+      |    ELSE 'valid_task' END AS reason,
+      |  CASE WHEN NOT r.force AND l.tid IS NOT NULL
+      |      AND r.req_time < l.created + INTERVAL 23 HOUR
+      |      AND l.task_status NOT IN ('FAILURE', 'UNKNOWN')
+      |    THEN l.tid END AS reused_tid
+      |FROM req r LEFT JOIN latest l USING (req_id)
+      |ORDER BY req_id""".stripMargin
 }

@@ -1290,7 +1290,7 @@ object LlmQueries {
        |aft AS (SELECT source, CAST(sum(copies) AS BIGINT) AS n
        |  FROM d GROUP BY source HAVING sum(copies) >= 1),
        |st AS (
-       |  SELECT '1_raw' AS phase, CAST(sum(n) AS BIGINT) AS n_rows,
+       |  SELECT '1_raw' AS phase, CAST(sum(n) AS BIGINT) AS n_total,
        |    ln(CAST(sum(n) AS DOUBLE))
        |      - sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
        |        / CAST(sum(n) AS DOUBLE) AS h
@@ -1301,7 +1301,7 @@ object LlmQueries {
        |      - sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
        |        / CAST(sum(n) AS DOUBLE)
        |  FROM aft)
-       |SELECT phase, n_rows, round(h, 6) + 0.0 AS entropy,
+       |SELECT phase, n_total, round(h, 6) + 0.0 AS entropy,
        |  round(exp(h), 6) + 0.0 AS eff_domains
        |FROM st ORDER BY phase""".stripMargin
 
@@ -4114,7 +4114,8 @@ object LlmQueries {
       |SELECT n_items, n_ratings,
       |  round(pbar, 6) + 0.0 AS p_bar,
       |  round(pe, 6) + 0.0 AS p_e,
-      |  round((pbar - pe) / (1.0 - pe), 6) + 0.0 AS kappa
+      |  CASE WHEN pe < 1.0
+      |    THEN round((pbar - pe) / (1.0 - pe), 6) + 0.0 END AS kappa
       |FROM pb CROSS JOIN pe""".stripMargin
 
   /** Calibration reliability table
@@ -4236,8 +4237,9 @@ object LlmQueries {
       |      + 0.5 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) AS u
       |  FROM cb)
       |SELECT n_pos, n_neg,
-      |  round(u / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
-      |    + 0.0 AS auc
+      |  CASE WHEN n_pos > 0 AND n_neg > 0
+      |    THEN round(u / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+      |      + 0.0 END AS auc
       |FROM u""".stripMargin
 
   /** Zipf rank–frequency fit over the corpus

@@ -347,4 +347,97 @@ object MediaQueries {
        |SELECT etag, kind, tgt AS width, out_w, out_h, n_bytes
        |FROM base JOIN nb ON id = id2 AND kind = kind2
        |ORDER BY etag, kind""".stripMargin
+
+  /** The media fetch decision table ([[Media.fetchDecisions]] —
+    * fetcher.py:116-151 acquisition: q_media_api covers serving, this
+    * covers WHICH urls get fetched, in what per-prefix queue order,
+    * and the post-fetch status MERGE). The fixture's 400-url space
+    * (event_id % 400) varies every selection input: two hardcoded
+    * ignore prefixes, a prefixless url (PREFIX_RE no-match → the
+    * NULL-prefix queue), missing type (%11), never-fetched (%5 null
+    * status), OK (200), and failed statuses (404/500) whose
+    * last_check — a deterministic per-url day offset — lands both
+    * sides of the 1-month staleness cutoff from the pinned `now`
+    * (2024-02-20). The simulated fetch outcome cycles 404/500/
+    * VALIDATION_FAILURE(1001)/200 over %10. The oracle replays the
+    * full conjunctive selection, the PREFIX_RE grouping, the
+    * per-queue row numbering, and the MERGE arithmetic. */
+  def qMediaFetch(s: SparkSession, dir: String): DataFrame = {
+    val uid = col("event_id") % 400
+    val url = when(uid % 17 === 0,
+        concat(lit("http://media.idigbio.org/x"), uid))
+      .when(uid % 17 === 1,
+        concat(lit("http://www.tropicos.org/img/"), uid))
+      .when(uid % 17 === 2, concat(lit("notaurl-"), uid))
+      .when(uid % 17 <= 9, concat(lit("http://media.example/f/"), uid))
+      .otherwise(concat(lit("https://cdn.other.org?id="), uid))
+    val media = Tables.events(s, dir).select(
+        url.as("url"),
+        when(uid % 11 === 0, lit(null).cast("string"))
+          .otherwise(lit("images")).as("type"),
+        when(uid % 5 === 0, lit(null).cast("int"))
+          .when(uid % 3 === 0, lit(404))
+          .when(uid % 7 === 0, lit(500))
+          .otherwise(lit(200)).as("last_status"),
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          (uid % 50).cast("int")).cast("timestamp").as("last_check"),
+        when(uid % 10 === 0, lit(404))
+          .when(uid % 10 === 1, lit(500))
+          .when(uid % 10 === 2, lit(1001))
+          .otherwise(lit(200)).as("outcome"))
+      .distinct()
+    Media.fetchDecisions(media,
+        now = lit(java.sql.Timestamp.valueOf("2024-02-20 00:00:00")),
+        outcome = col("outcome"))
+      .orderBy(col("url"))
+  }
+
+  val qMediaFetchSql: String =
+    """WITH ids AS (SELECT DISTINCT (event_id % 400) AS uid FROM events),
+      |m AS (SELECT
+      |    CASE WHEN uid % 17 = 0 THEN 'http://media.idigbio.org/x' || uid
+      |         WHEN uid % 17 = 1 THEN 'http://www.tropicos.org/img/' || uid
+      |         WHEN uid % 17 = 2 THEN 'notaurl-' || uid
+      |         WHEN uid % 17 <= 9 THEN 'http://media.example/f/' || uid
+      |         ELSE 'https://cdn.other.org?id=' || uid END AS url,
+      |    CASE WHEN uid % 11 = 0 THEN NULL ELSE 'images' END AS type,
+      |    CASE WHEN uid % 5 = 0 THEN NULL WHEN uid % 3 = 0 THEN 404
+      |         WHEN uid % 7 = 0 THEN 500 ELSE 200 END AS last_status,
+      |    CAST(DATE '2024-01-01' + CAST(uid % 50 AS INT) AS TIMESTAMP)
+      |      AS last_check,
+      |    CASE WHEN uid % 10 = 0 THEN 404 WHEN uid % 10 = 1 THEN 500
+      |         WHEN uid % 10 = 2 THEN 1001 ELSE 200 END AS outcome
+      |  FROM ids),
+      |d AS (SELECT url,
+      |    CASE WHEN regexp_matches(url, '^https?://[^/]*[/?]')
+      |         THEN regexp_extract(url, '^https?://[^/]*[/?]')
+      |         END AS prefix,
+      |    CASE WHEN type IS NULL THEN 'no_type'
+      |         WHEN url LIKE 'http://media.idigbio.org/%'
+      |           OR url LIKE 'http://api.idigbio.org/v1/recordsets/%'
+      |           OR url LIKE 'https://api.idigbio.org/v2/media/%'
+      |           OR url LIKE 'http://api.idigbio.org/v2/media/%'
+      |           OR url LIKE 'http://www.tropicos.org/%'
+      |           OR url LIKE 'http://n2t.net/ark:/65665/%'
+      |           OR url LIKE 'http://arctos.database.museum/%'
+      |           THEN 'ignored_prefix'
+      |         WHEN last_status IS NOT NULL AND last_status < 400
+      |           THEN 'ok_status'
+      |         WHEN last_check >= TIMESTAMP '2024-02-20 00:00:00'
+      |             - INTERVAL 1 MONTH THEN 'recent_failure'
+      |         ELSE 'selected' END AS reason,
+      |    last_status, outcome FROM m),
+      |seq AS (SELECT url, CAST(row_number() OVER (PARTITION BY prefix
+      |      ORDER BY url) AS INT) AS fetch_seq
+      |  FROM d WHERE reason = 'selected')
+      |SELECT d.url, d.prefix,
+      |  CASE WHEN d.reason = 'selected' THEN 'fetch'
+      |       ELSE 'skip' END AS decision,
+      |  d.reason, d.last_status,
+      |  CASE WHEN d.reason = 'selected' THEN d.outcome
+      |       ELSE d.last_status END AS new_status,
+      |  (d.reason = 'selected') AS check_updated,
+      |  seq.fetch_seq
+      |FROM d LEFT JOIN seq USING (url)
+      |ORDER BY url""".stripMargin
 }

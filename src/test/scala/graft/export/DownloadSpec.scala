@@ -129,4 +129,78 @@ class DownloadSpec extends SparkSpec {
     // the raw member's field survives un-prefixed (no namespace)
     assert(meta.contains("""term="props""""))
   }
+
+  test("queryHashColumn: matches the driver-side objectHasher recursion " +
+      "for a flat string dict (etags.py:41-79 — md5 variant), and key " +
+      "order does not matter") {
+    import graft.hash.Etags
+    import graft.hash.Etags.V
+    val expect = Etags.objectHasher("md5", V.O(Seq(
+      "rq" -> V.S("genus:q7"), "form" -> V.S("dwca-csv"),
+      "core_type" -> V.S("records"))))
+    val got = Seq(1).toDF("x").select(
+      Download.queryHashColumn(map(
+        lit("core_type"), lit("records"),
+        lit("rq"), lit("genus:q7"),
+        lit("form"), lit("dwca-csv"))).as("h"))
+      .collect().head.getString(0)
+    assert(got === expect)
+  }
+
+  test("dedupDecisions: the v2_download dedup window (77-99) — forced, " +
+      "missing, expired, failed-status enqueue; a valid most-recently-" +
+      "set task is reused; most-recent wins among candidates") {
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(hours: Double) = new java.sql.Timestamp(
+      t0.getTime + (hours * 3600 * 1000).toLong)
+    val tasks = Seq(
+      // hash A: an old SUCCESS (expired for late requests) and a
+      // fresh SUCCESS — most-recently-set wins
+      ("A", "t1", ts(0), "SUCCESS"),
+      ("A", "t2", ts(30), "SUCCESS"),
+      // hash B: latest is FAILURE (an older SUCCESS must NOT rescue it
+      // — redis holds only the last-set tid)
+      ("B", "t3", ts(0), "SUCCESS"),
+      ("B", "t4", ts(1), "FAILURE"),
+      // hash C: valid but created AFTER the request (not yet set)
+      ("C", "t5", ts(50), "SUCCESS"))
+      .toDF("query_hash", "tid", "created", "task_status")
+    val requests = Seq(
+      ("r1", "A", ts(31), false),  // fresh t2 valid → reuse t2
+      ("r2", "A", ts(31), true),   // forced → enqueue
+      ("r3", "A", ts(54), false),  // t2 + 23h = 53h < 54h → expired
+      ("r4", "B", ts(2), false),   // latest is FAILURE → enqueue
+      ("r5", "C", ts(10), false),  // only future task → no_task
+      ("r6", "D", ts(10), false))  // unseen hash → no_task
+      .toDF("req_id", "query_hash", "req_time", "force")
+    val got = Download.dedupDecisions(requests, tasks)
+      .orderBy("req_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(3),
+        Option(r.getString(4))))
+    assert(got.toSeq === Seq(
+      ("r1", "reuse", "valid_task", Some("t2")),
+      ("r2", "enqueue", "forced", None),
+      ("r3", "enqueue", "expired", None),
+      ("r4", "enqueue", "failed_status", None),
+      ("r5", "enqueue", "no_task", None),
+      ("r6", "enqueue", "no_task", None)))
+  }
+
+  test("dedupDecisions: the boundary is exact — a request exactly " +
+      "23 h after creation is expired (redis TTL), one ms before is " +
+      "valid") {
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ms(m: Long) = new java.sql.Timestamp(t0.getTime + m)
+    val tasks = Seq(("A", "t1", ms(0), "SUCCESS"))
+      .toDF("query_hash", "tid", "created", "task_status")
+    val edge = 23L * 3600 * 1000
+    val requests = Seq(
+      ("r1", "A", ms(edge - 1), false),
+      ("r2", "A", ms(edge), false))
+      .toDF("req_id", "query_hash", "req_time", "force")
+    val got = Download.dedupDecisions(requests, tasks)
+      .orderBy("req_id").collect().map(r => (r.getString(0), r.getString(3)))
+    assert(got.toSeq === Seq(("r1", "valid_task"), ("r2", "expired")))
+  }
 }

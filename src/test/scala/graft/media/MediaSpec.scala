@@ -336,4 +336,55 @@ class MediaSpec extends SparkSpec {
     assert(r.getAs[String]("etag") === "e_new")
     assert(r.getAs[String]("bucket") === "video")
   }
+
+  test("fetchDecisions: the get_items conjunction (fetcher.py:203-233) — " +
+      "every skip reason, the stale-failure re-fetch, the prefixless " +
+      "queue, per-prefix fetch_seq over selected rows only, and the " +
+      "post-fetch status MERGE") {
+    val s = spark
+    import s.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 00:00:00")
+    val now = ts("2024-02-20")
+    val media = Seq(
+      // (url, type, last_status, last_check, outcome)
+      ("http://a.example/1", Some("images"), None, ts("2024-01-01"), 200),
+      ("http://a.example/2", Some("images"), Some(404), ts("2024-01-05"), 500),
+      ("http://a.example/3", Some("images"), Some(404), ts("2024-02-19"), 200),
+      ("http://a.example/4", Some("images"), Some(200), ts("2024-01-01"), 200),
+      ("http://b.example/1", None, None, ts("2024-01-01"), 200),
+      ("http://media.idigbio.org/z", Some("images"), None, ts("2024-01-01"), 200),
+      ("weird-no-prefix", Some("images"), None, ts("2024-01-01"), 404))
+      .map { case (u, t, st, lc, o) =>
+        (u, t, st: Option[Int], lc, o) }
+      .toDF("url", "type", "last_status", "last_check", "outcome")
+    val got = Media.fetchDecisions(media, lit(now), col("outcome"))
+      .orderBy("url").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        r.getString(2), r.getString(3),
+        Option(r.get(5)).map(_.asInstanceOf[Int]),
+        r.getBoolean(6),
+        Option(r.get(7)).map(_.asInstanceOf[Int])))
+    assert(got.toSeq === Seq(
+      // never fetched → fetch, queue position 1 of prefix a.example
+      ("http://a.example/1", Some("http://a.example/"), "fetch",
+        "selected", Some(200), true, Some(1)),
+      // stale 404 (checked Jan 5 < Jan 20 cutoff) → re-fetch, seq 2
+      ("http://a.example/2", Some("http://a.example/"), "fetch",
+        "selected", Some(500), true, Some(2)),
+      // fresh 404 → wait out the month; status keeps
+      ("http://a.example/3", Some("http://a.example/"), "skip",
+        "recent_failure", Some(404), false, None),
+      // 200 never re-fetches regardless of age
+      ("http://a.example/4", Some("http://a.example/"), "skip",
+        "ok_status", Some(200), false, None),
+      // type null is excluded before anything else
+      ("http://b.example/1", Some("http://b.example/"), "skip",
+        "no_type", None, false, None),
+      // hardcoded ignore prefix
+      ("http://media.idigbio.org/z", Some("http://media.idigbio.org/"),
+        "skip", "ignored_prefix", None, false, None),
+      // PREFIX_RE no-match → NULL-prefix queue, still fetched
+      ("weird-no-prefix", None, "fetch", "selected", Some(404), true,
+        Some(1))))
+  }
 }

@@ -493,6 +493,15 @@ class EvalSpec extends SparkSpec {
     assert(r.getDouble(3) === 0.36 && r.getDouble(4) === 1.0)
   }
 
+  test("fleissKappa: a unanimous single-category log (pe = 1) has " +
+      "undefined kappa — NULL, not NaN") {
+    val ratings = Seq((1, "a"), (1, "a"), (2, "a"), (2, "a"))
+      .toDF("item", "cat")
+    val r = Eval.fleissKappa(ratings, "item", "cat").collect().head
+    assert(r.getDouble(3) === 1.0, "pe = 1 with one category")
+    assert(r.isNullAt(4), "kappa is 0/0 — pinned to NULL on both engines")
+  }
+
   // --- alignmentUniformity -----------------------------------------------
 
   test("alignmentUniformity: hand-checked on axis vectors — aligned " +
@@ -536,6 +545,19 @@ class EvalSpec extends SparkSpec {
     //   AUC = 3.5 / 4
     assert(auc(Seq((3, true), (2, true), (2, false), (1, false)))._3
       === 0.875)
+  }
+
+  test("aucFromLevels: a single-class input (P = 0 or N = 0) has " +
+      "undefined AUC — NULL, not NaN/inf") {
+    def row(rows: Seq[(Int, Boolean)]) =
+      Eval.aucFromLevels(rows.toDF("level", "hit"), "level", "hit")
+        .collect().head
+    val allPos = row(Seq((1, true), (2, true)))
+    assert(allPos.getLong(0) === 2L && allPos.getLong(1) === 0L &&
+      allPos.isNullAt(2))
+    val allNeg = row(Seq((1, false), (2, false)))
+    assert(allNeg.getLong(0) === 0L && allNeg.getLong(1) === 2L &&
+      allNeg.isNullAt(2))
   }
 
   // --- calibrationBins ---------------------------------------------------

@@ -717,6 +717,42 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("sortedNeighborPairs: a skewed leading prefix (every doc opens " +
+      "with the same words) still range-buckets into balanced windows " +
+      "— boundaries split mid-tie on the id — and the pair set still " +
+      "matches brute force") {
+    val s2 = spark
+    import s2.implicits._
+    // all 240 docs share the FULL 16-char sort key prefix: the old
+    // first-char bucketing would put 100% of the corpus in one
+    // window partition's sort
+    val docs = (1 to 240).map(i =>
+      (i.toLong, s"the quick brown doc w${i % 7} body number ${i % 5}"))
+    val df = docs.toDF("doc_id", "text")
+    val keyed = TextDedup.snmKeyed(df, "doc_id", "text",
+      keyLen = 16, numBuckets = 8)
+    val sizes = keyed.groupBy("_b").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length >= 6,
+      s"shared-prefix corpus must still split (got ${sizes.length} buckets)")
+    assert(sizes.max <= 3L * (240 / 8),
+      s"no bucket may absorb the skewed mass: ${sizes.mkString(",")}")
+    val got = TextDedup.sortedNeighborPairs(df, "doc_id", "text",
+        window = 3, threshold = 0.5, numBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ranked = docs.sortBy { case (id, t) => (t.take(16), id) }
+    val brute = (for {
+      i <- ranked.indices; d <- 1 to 3 if i + d < ranked.size
+      (ia, ta) = ranked(i); (ib, tb) = ranked(i + d)
+      wa = ta.split(" ").toSet; wb = tb.split(" ").toSet
+      j = wa.intersect(wb).size.toDouble / wa.union(wb).size
+      j6 = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      if j6 >= 0.5
+    } yield (math.min(ia, ib), math.max(ia, ib), j6)).toSet
+    assert(got === brute)
+  }
+
   test("sortedNeighborPairs: two-level rank is partition-layout " +
       "independent") {
     val s2 = spark
