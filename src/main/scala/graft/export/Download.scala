@@ -128,29 +128,57 @@ object Download {
     *   forced | no_task | expired | failed_status → enqueue;
     *   valid_task → reuse (with the reused tid).
     *
-    * Shape: ONE equi-join on query_hash (the hash key IS the shard
-    * key — no range join; tasks-per-hash is the handful of re-enqueues
-    * inside the window), a per-request max_by for "most recently set",
-    * and a broadcast-size join back. Output:
+    * Shape: "latest task created ≤ req_time per request" is an AS-OF
+    * join, executed as the union-and-window form: both streams union
+    * with a row-kind tag, ONE window per query_hash ordered by
+    * (time, kind, tid) carries each request the last preceding task
+    * row via last(·, ignoreNulls) — cost is one shuffle + per-hash
+    * sort, LINEAR in requests + tasks. (The naive equi-join on
+    * query_hash then max_by is requests × tasks-per-hash — measured
+    * quadratic death at the 100× stress: 40 hashes × 100× both sides
+    * ≈ 47 B candidate pairs before the filter.) At equal timestamps
+    * the task sorts before the request (a SET at t is visible to a
+    * GET at t), and among same-instant re-enqueues the max tid wins
+    * (the most-recently-SET convention the oracle replays). Output:
     * (req_id, query_hash, decision, reason, reused_tid). */
   def dedupDecisions(requests: org.apache.spark.sql.DataFrame,
       tasks: org.apache.spark.sql.DataFrame,
       validHours: Int = 23): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val latest = requests
-      .select(col("req_id"), col("query_hash"), col("req_time"))
-      .join(tasks, Seq("query_hash"))
-      .where(col("created") <= col("req_time"))
-      .groupBy(col("req_id"))
-      .agg(max_by(
-        struct(col("tid"), col("created"), col("task_status")),
-        struct(col("created"), col("tid"))).as("_t"))
-      .select(col("req_id"), col("_t.tid").as("_tid"),
-        col("_t.created").as("_created"),
-        col("_t.task_status").as("_status"))
+    import org.apache.spark.sql.expressions.Window
+    val createdType = tasks.schema("created").dataType
+    val tRows = tasks.select(col("query_hash"),
+      col("created").as("_t"), lit(1).as("_is_req"),
+      col("tid").as("_tid"), col("created").as("_created"),
+      col("task_status").as("_status"),
+      lit(null).cast(requests.schema("req_id").dataType).as("req_id"),
+      lit(null).cast("boolean").as("force"),
+      lit(null).cast(requests.schema("req_time").dataType).as("req_time"))
+    val rRows = requests.select(col("query_hash"),
+      col("req_time").as("_t"), lit(2).as("_is_req"),
+      lit(null).cast("string").as("_tid"),
+      lit(null).cast(createdType).as("_created"),
+      lit(null).cast("string").as("_status"),
+      col("req_id"), col("force"), col("req_time"))
+    // tasks (kind 1) sort before requests (kind 2) at equal _t; among
+    // tasks at one instant the LAST in (tid asc) order — max tid — is
+    // what last() picks up
+    val w = Window.partitionBy(col("query_hash"))
+      .orderBy(col("_t"), col("_is_req"), col("_tid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = tRows.unionByName(rRows)
+      .withColumn("_ltid", last(col("_tid"), ignoreNulls = true).over(w))
+      .withColumn("_lcreated",
+        last(col("_created"), ignoreNulls = true).over(w))
+      .withColumn("_lstatus",
+        last(col("_status"), ignoreNulls = true).over(w))
+      .where(col("_is_req") === 2)
+      .select(col("req_id"), col("query_hash"), col("req_time"),
+        col("force"), col("_ltid").as("_tid"),
+        col("_lcreated").as("_created"), col("_lstatus").as("_status"))
     val valid = col("req_time") <
       col("_created") + expr(s"INTERVAL $validHours HOURS")
-    requests.join(latest, Seq("req_id"), "left")
+    carried
       .select(col("req_id"), col("query_hash"),
         when(col("force"), lit("enqueue"))
           .when(col("_tid").isNull, lit("enqueue"))
