@@ -194,7 +194,9 @@ object Bench {
     "q_mixture_entropy" -> 0.70, "q_ndcg" -> 0.62, "q_rbo" -> 0.99,
     "q_taxon_model" -> 0.77, "q_zipf" -> 0.48,
     // round-18 final-tree driver readings (uncontended single samples):
-    "q_dedup_report" -> 0.44, "q_coverage" -> 0.66)
+    "q_dedup_report" -> 0.44, "q_coverage" -> 0.66,
+    // round-19 additions (isolated sf0.1 readings, idle end canaries):
+    "q_download_dedup" -> 2.69, "q_media_fetch" -> 1.64)
 
   def main(args: Array[String]): Unit = {
     // drop any previous run's artifact FIRST: if this run's write fails

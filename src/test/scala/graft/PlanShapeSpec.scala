@@ -265,6 +265,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "the corpus must never self-join")
   }
 
+  test("download dedup decisions: the latest-prior-task pick is the " +
+      "as-of union-and-window — ONE hash-partitioned window, ZERO " +
+      "joins (the equi-join + max_by form was requests × tasks-per-" +
+      "hash and died quadratically at the 100x stress)") {
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 00:00:00")
+    val tasks = Seq(("A", "t1", ts("2024-03-01"), "SUCCESS"))
+      .toDF("query_hash", "tid", "created", "task_status")
+    val reqs = Seq(("r1", "A", ts("2024-03-02"), false))
+      .toDF("req_id", "query_hash", "req_time", "force")
+    val p = plan(graft.export.Download.dedupDecisions(reqs, tasks))
+    assert(!p.contains("Join"),
+      s"no join of any kind — the pick must ride the window:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toList
+    assert(winLines.nonEmpty && winLines.forall(_.contains("query_hash")),
+      s"the carry window must partition on query_hash:\n${winLines.mkString}")
+  }
+
   test("sorted-neighborhood pairs: rank windows are bucket-partitioned; " +
       "neighbor pairing is an integer equi-join") {
     val docs = (1 to 50).map(i => (i.toLong, s"t${i % 9} body text $i"))
