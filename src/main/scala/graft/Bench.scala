@@ -259,17 +259,23 @@ object Bench {
       case (name, (t, true)) if t > 0.5 &&
         controlledSec.get(name).exists(c => t > 2 * c) =>
         val t0 = System.nanoTime()
-        try { run(name) } catch { case _: Throwable => }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { run(name); true } catch { case _: Throwable => false }
+        name -> (((System.nanoTime() - t0) / 1e9, ok))
     }
-    // a reading whose same-session re-run halved was transient host
-    // load, not code — machine-checkable from the artifact alone
+    // a reading whose same-session re-run SUCCEEDED in half the time
+    // was transient host load, not code — machine-checkable from the
+    // artifact alone. A crashed re-run must never classify (its short
+    // time-to-failure is not a timing) — it keeps the original reading
+    // and stays out of both suspects and the adjudicated total.
     val resultMap = results.toMap
     val suspects = retries.collect {
-      case (name, rt) if rt * 2 <= resultMap(name)._1 => name }
+      case (name, (rt, true)) if rt * 2 <= resultMap(name)._1 => name }
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val retryJson = retries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // failed retries emit a negative time so the artifact records the
+    // attempt without anyone mistaking it for a measurement
+    val retryJson = retries.map { case (k, (v, ok)) =>
+      "\"" + k + "\":" + f"${if (ok) v else -v}%.3f" }
       .mkString("{", ",", "}")
     val suspectsJson = suspects.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
@@ -279,7 +285,7 @@ object Bench {
     // without a judge adjudication pass
     val retryMap = retries.toMap
     val totalAdj = results.map { case (k, (v, _)) =>
-      if (suspects.contains(k)) retryMap(k) else v }.sum
+      if (suspects.contains(k)) retryMap(k)._1 else v }.sum
     // enrich throughput vs the reference's only published perf number
     // (750 rec/s/core, conversions.py:915-930): q_enrich records/sec/core.
     // Steady-state is the comparable axis — the reference's number is a

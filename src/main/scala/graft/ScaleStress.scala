@@ -58,8 +58,11 @@ object ScaleStress {
     // dir already exists (a chunked 100x sweep re-enters once per query
     // group — rebuilding the multi-GB copies per chunk would dominate
     // the run and re-dirty the page cache between timings)
+    // _SUCCESS of the LAST-written table, not the directory: a crashed
+    // build leaves the dir (with _temporary) on disk, and reusing a
+    // truncated fixture would silently understate every Nx ratio
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
-      new java.io.File(s"$out/lineitem.parquet").exists()
+      new java.io.File(s"$out/lineitem.parquet/_SUCCESS").exists()
     if (reuse) println(s"[scale] reusing existing fixture at $out")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (!reuse) {
@@ -98,7 +101,6 @@ object ScaleStress {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$out-pipeline/documents.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$src/events.parquet")
     assertShiftClears(ev, "events",
       "event_id" -> 100000000L, "user_id" -> 10000000L)

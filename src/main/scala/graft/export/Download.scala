@@ -147,18 +147,27 @@ object Download {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val createdType = tasks.schema("created").dataType
+    val taskStruct = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tid",
+        tasks.schema("tid").dataType),
+      org.apache.spark.sql.types.StructField("created", createdType),
+      org.apache.spark.sql.types.StructField("task_status",
+        tasks.schema("task_status").dataType)))
+    // the task fields ride ONE struct through the window: three
+    // independent last(ignoreNulls) calls would desynchronize on a task
+    // row with a NULL field (tid from the newest task, status from an
+    // older one)
     val tRows = tasks.select(col("query_hash"),
       col("created").as("_t"), lit(1).as("_is_req"),
-      col("tid").as("_tid"), col("created").as("_created"),
-      col("task_status").as("_status"),
+      col("tid").as("_tid"),
+      struct(col("tid"), col("created"), col("task_status")).as("_task"),
       lit(null).cast(requests.schema("req_id").dataType).as("req_id"),
       lit(null).cast("boolean").as("force"),
       lit(null).cast(requests.schema("req_time").dataType).as("req_time"))
     val rRows = requests.select(col("query_hash"),
       col("req_time").as("_t"), lit(2).as("_is_req"),
-      lit(null).cast("string").as("_tid"),
-      lit(null).cast(createdType).as("_created"),
-      lit(null).cast("string").as("_status"),
+      lit(null).cast(tasks.schema("tid").dataType).as("_tid"),
+      lit(null).cast(taskStruct).as("_task"),
       col("req_id"), col("force"), col("req_time"))
     // tasks (kind 1) sort before requests (kind 2) at equal _t; among
     // tasks at one instant the LAST in (tid asc) order — max tid — is
@@ -167,15 +176,12 @@ object Download {
       .orderBy(col("_t"), col("_is_req"), col("_tid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = tRows.unionByName(rRows)
-      .withColumn("_ltid", last(col("_tid"), ignoreNulls = true).over(w))
-      .withColumn("_lcreated",
-        last(col("_created"), ignoreNulls = true).over(w))
-      .withColumn("_lstatus",
-        last(col("_status"), ignoreNulls = true).over(w))
+      .withColumn("_lt", last(col("_task"), ignoreNulls = true).over(w))
       .where(col("_is_req") === 2)
       .select(col("req_id"), col("query_hash"), col("req_time"),
-        col("force"), col("_ltid").as("_tid"),
-        col("_lcreated").as("_created"), col("_lstatus").as("_status"))
+        col("force"), col("_lt.tid").as("_tid"),
+        col("_lt.created").as("_created"),
+        col("_lt.task_status").as("_status"))
     val valid = col("req_time") <
       col("_created") + expr(s"INTERVAL $validHours HOURS")
     carried

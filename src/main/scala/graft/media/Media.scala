@@ -73,7 +73,10 @@ object Media {
     * [[IgnorePrefixes]] (`url NOT LIKE p || '%'`), ordered by url.
     * `reason` reports the FIRST failing conjunct in that order
     * (no_type / ignored_prefix / ok_status / recent_failure), or
-    * `selected`. Grouping (PREFIX_RE + group_by_prefix,
+    * `selected`; a NULL last_status selects unconditionally, and a
+    * failed status with a NULL last_check is excluded (the reference
+    * predicate's three-valued `last_check < now − interval`).
+    * Grouping (PREFIX_RE + group_by_prefix,
     * fetcher.py:113,234-242): the work key is the
     * `^https?://[^/]*[/?]` match (NULL when the url has no such
     * prefix — those still fetch, in the prefixless queue), and
@@ -95,14 +98,20 @@ object Media {
     import org.apache.spark.sql.expressions.Window
     val cutoff = now - expr(s"INTERVAL $lastCheckMonths MONTHS")
     val ignored = ignorePrefixes.map(p => col("url").startsWith(p))
-      .reduce(_ || _)
+      .reduceOption(_ || _).getOrElse(lit(false))
     val pfx = regexp_extract(col("url"), "^https?://[^/]*[/?]", 0)
+    // the selection disjunction verbatim (get_items, fetcher.py:212-214):
+    // NULL last_status selects UNCONDITIONALLY (never-fetched rows fetch
+    // regardless of last_check), and the stale-failure arm requires a
+    // NON-NULL last_check < cutoff — SQL three-valued logic excludes a
+    // failed row that was never check-stamped, so the chain must too
     val reason = when(col("type").isNull, "no_type")
       .when(ignored, "ignored_prefix")
-      .when(col("last_status").isNotNull && col("last_status") < 400,
-        "ok_status")
-      .when(col("last_check") >= cutoff, "recent_failure")
-      .otherwise("selected")
+      .when(col("last_status").isNull, "selected")
+      .when(col("last_status") < 400, "ok_status")
+      .when(col("last_check").isNotNull && col("last_check") < cutoff,
+        "selected")
+      .otherwise("recent_failure")
     val base = media.select(col("url"),
       when(length(pfx) > 0, pfx).as("prefix"),
       reason.as("reason"), col("last_status"), outcome.as("_out"))

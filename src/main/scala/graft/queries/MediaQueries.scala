@@ -358,12 +358,17 @@ object MediaQueries {
     * status), OK (200), and failed statuses (404/500) whose
     * last_check — a deterministic per-url day offset — lands both
     * sides of the 1-month staleness cutoff from the pinned `now`
-    * (2024-02-20). The simulated fetch outcome cycles 404/500/
+    * (2024-02-20); sf0.01 mix: ignored 43 / no_type 37 / ok 148 /
+    * recent_failure 68 / selected 104 (never-fetched rows select
+    * regardless of check age). The simulated fetch outcome cycles 404/500/
     * VALIDATION_FAILURE(1001)/200 over %10. The oracle replays the
     * full conjunctive selection, the PREFIX_RE grouping, the
     * per-queue row numbering, and the MERGE arithmetic. */
   def qMediaFetch(s: SparkSession, dir: String): DataFrame = {
-    val uid = col("event_id") % 400
+    // distinct on the 400-value uid FIRST, then derive the wide row —
+    // the corpus-sized scan aggregates one integer, not the url CASE /
+    // timestamp derivations (the oracle does the same)
+    val uid = col("uid")
     val url = when(uid % 17 === 0,
         concat(lit("http://media.idigbio.org/x"), uid))
       .when(uid % 17 === 1,
@@ -371,7 +376,9 @@ object MediaQueries {
       .when(uid % 17 === 2, concat(lit("notaurl-"), uid))
       .when(uid % 17 <= 9, concat(lit("http://media.example/f/"), uid))
       .otherwise(concat(lit("https://cdn.other.org?id="), uid))
-    val media = Tables.events(s, dir).select(
+    val media = Tables.events(s, dir)
+      .select((col("event_id") % 400).as("uid")).distinct()
+      .select(
         url.as("url"),
         when(uid % 11 === 0, lit(null).cast("string"))
           .otherwise(lit("images")).as("type"),
@@ -385,7 +392,6 @@ object MediaQueries {
           .when(uid % 10 === 1, lit(500))
           .when(uid % 10 === 2, lit(1001))
           .otherwise(lit(200)).as("outcome"))
-      .distinct()
     Media.fetchDecisions(media,
         now = lit(java.sql.Timestamp.valueOf("2024-02-20 00:00:00")),
         outcome = col("outcome"))
@@ -421,11 +427,12 @@ object MediaQueries {
       |           OR url LIKE 'http://n2t.net/ark:/65665/%'
       |           OR url LIKE 'http://arctos.database.museum/%'
       |           THEN 'ignored_prefix'
-      |         WHEN last_status IS NOT NULL AND last_status < 400
-      |           THEN 'ok_status'
-      |         WHEN last_check >= TIMESTAMP '2024-02-20 00:00:00'
-      |             - INTERVAL 1 MONTH THEN 'recent_failure'
-      |         ELSE 'selected' END AS reason,
+      |         WHEN last_status IS NULL THEN 'selected'
+      |         WHEN last_status < 400 THEN 'ok_status'
+      |         WHEN last_check IS NOT NULL AND last_check <
+      |             TIMESTAMP '2024-02-20 00:00:00' - INTERVAL 1 MONTH
+      |           THEN 'selected'
+      |         ELSE 'recent_failure' END AS reason,
       |    last_status, outcome FROM m),
       |seq AS (SELECT url, CAST(row_number() OVER (PARTITION BY prefix
       |      ORDER BY url) AS INT) AS fetch_seq

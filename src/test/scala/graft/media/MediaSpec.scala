@@ -347,15 +347,22 @@ class MediaSpec extends SparkSpec {
     val now = ts("2024-02-20")
     val media = Seq(
       // (url, type, last_status, last_check, outcome)
-      ("http://a.example/1", Some("images"), None, ts("2024-01-01"), 200),
-      ("http://a.example/2", Some("images"), Some(404), ts("2024-01-05"), 500),
-      ("http://a.example/3", Some("images"), Some(404), ts("2024-02-19"), 200),
-      ("http://a.example/4", Some("images"), Some(200), ts("2024-01-01"), 200),
-      ("http://b.example/1", None, None, ts("2024-01-01"), 200),
-      ("http://media.idigbio.org/z", Some("images"), None, ts("2024-01-01"), 200),
-      ("weird-no-prefix", Some("images"), None, ts("2024-01-01"), 404))
+      ("http://a.example/1", Some("images"), None, Some(ts("2024-01-01")), 200),
+      ("http://a.example/2", Some("images"), Some(404), Some(ts("2024-01-05")), 500),
+      ("http://a.example/3", Some("images"), Some(404), Some(ts("2024-02-19")), 200),
+      ("http://a.example/4", Some("images"), Some(200), Some(ts("2024-01-01")), 200),
+      // never fetched + RECENT last_check: NULL status selects
+      // unconditionally (the reference's OR short-circuits before the
+      // staleness conjunct)
+      ("http://a.example/5", Some("images"), None, Some(ts("2024-02-19")), 200),
+      // failed status but NO check stamp: the three-valued
+      // `last_check < cutoff` is NULL → excluded, like the reference SQL
+      ("http://a.example/6", Some("images"), Some(500), None, 200),
+      ("http://b.example/1", None, None, Some(ts("2024-01-01")), 200),
+      ("http://media.idigbio.org/z", Some("images"), None, Some(ts("2024-01-01")), 200),
+      ("weird-no-prefix", Some("images"), None, Some(ts("2024-01-01")), 404))
       .map { case (u, t, st, lc, o) =>
-        (u, t, st: Option[Int], lc, o) }
+        (u, t, st: Option[Int], lc: Option[java.sql.Timestamp], o) }
       .toDF("url", "type", "last_status", "last_check", "outcome")
     val got = Media.fetchDecisions(media, lit(now), col("outcome"))
       .orderBy("url").collect()
@@ -377,6 +384,12 @@ class MediaSpec extends SparkSpec {
       // 200 never re-fetches regardless of age
       ("http://a.example/4", Some("http://a.example/"), "skip",
         "ok_status", Some(200), false, None),
+      // never fetched with a FRESH check stamp still fetches, seq 3
+      ("http://a.example/5", Some("http://a.example/"), "fetch",
+        "selected", Some(200), true, Some(3)),
+      // failed but never check-stamped: excluded (three-valued <)
+      ("http://a.example/6", Some("http://a.example/"), "skip",
+        "recent_failure", Some(500), false, None),
       // type null is excluded before anything else
       ("http://b.example/1", Some("http://b.example/"), "skip",
         "no_type", None, false, None),
