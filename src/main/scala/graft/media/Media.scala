@@ -115,14 +115,16 @@ object Media {
     val base = media.select(col("url"),
       when(length(pfx) > 0, pfx).as("prefix"),
       reason.as("reason"), col("last_status"), outcome.as("_out"))
-    // the per-queue position counts SELECTED rows only — the window
-    // runs over the filtered subset (a skip must not occupy a slot)
+    // the per-queue position counts SELECTED rows only (a skip must
+    // not occupy a slot): a running conditional count over ONE window
+    // — a filter + row_number + union would scan the input twice
     val seqW = Window.partitionBy(col("prefix")).orderBy(col("url"))
-    val sel = base.filter(col("reason") === "selected")
-      .withColumn("fetch_seq", row_number().over(seqW))
-    val skip = base.filter(col("reason") =!= "selected")
-      .withColumn("fetch_seq", lit(null).cast("int"))
-    sel.unionByName(skip)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("fetch_seq",
+        when(col("reason") === "selected",
+          sum(when(col("reason") === "selected", 1)).over(seqW)
+            .cast("int")))
       .select(col("url"), col("prefix"),
         when(col("reason") === "selected", "fetch").otherwise("skip")
           .as("decision"),
