@@ -273,9 +273,12 @@ object Bench {
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // failed retries emit a negative time so the artifact records the
-    // attempt without anyone mistaking it for a measurement
+    // attempt without anyone mistaking it for a measurement; the
+    // magnitude floors at 1 ms so a sub-millisecond crash can't
+    // serialize as "-0.000" (which JSON-parses to -0.0 and reads
+    // non-negative to a `value < 0` consumer)
     val retryJson = retries.map { case (k, (v, ok)) =>
-      "\"" + k + "\":" + f"${if (ok) v else -v}%.3f" }
+      "\"" + k + "\":" + f"${if (ok) v else -math.max(v, 0.001)}%.3f" }
       .mkString("{", ",", "}")
     val suspectsJson = suspects.map("\"" + _ + "\"")
       .mkString("[", ",", "]")

@@ -58,14 +58,19 @@ object ScaleStress {
     // dir already exists (a chunked 100x sweep re-enters once per query
     // group — rebuilding the multi-GB copies per chunk would dominate
     // the run and re-dirty the page cache between timings)
-    // _SUCCESS of the LAST-written table, not the directory: a crashed
-    // build leaves the dir (with _temporary) on disk, and reusing a
-    // truncated fixture would silently understate every Nx ratio
+    // gate reuse on an explicit whole-build marker, written after the
+    // final table and DELETED before any rebuild starts: a per-table
+    // _SUCCESS can survive a crashed REBUILD over an older complete
+    // fixture (overwrite deletes each table only at its own write), so
+    // it would reuse a fixture whose tables mix two builds — silently
+    // wrong Nx ratios
+    val marker = new java.io.File(s"$out/_GRAFT_BUILD_COMPLETE")
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
-      new java.io.File(s"$out/lineitem.parquet/_SUCCESS").exists()
+      marker.exists()
     if (reuse) println(s"[scale] reusing existing fixture at $out")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (!reuse) {
+    marker.delete()
     val docs = spark.read.parquet(s"$src/documents.parquet")
     assertShiftClears(docs, "documents", "doc_id" -> 10000000L)
     (0 until copies).map { k =>
@@ -177,6 +182,8 @@ object ScaleStress {
       li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
     } // !reuse — fixture build ends here
 
     val stressed = Seq("q_dedup_apply", "q_dedup_clusters", "q_dedup_minhash",
