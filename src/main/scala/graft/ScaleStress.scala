@@ -65,8 +65,22 @@ object ScaleStress {
     // it would reuse a fixture whose tables mix two builds — silently
     // wrong Nx ratios
     val marker = new java.io.File(s"$out/_GRAFT_BUILD_COMPLETE")
+    // the marker RECORDS what was built (src|copies): a reuse request
+    // pointed at an out dir built from a different source or scale
+    // (e.g. the default target/sf_scaled after a 10x build, then a
+    // 100x invocation) must rebuild, not silently report wrong-Nx
+    // ratios — existence alone cannot distinguish the builds
+    val buildId = s"$src|$copies"
+    val markerOk = marker.exists() && {
+      val recorded = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
+      if (recorded != buildId)
+        println(s"[scale] marker at $out records '$recorded' but this " +
+          s"run needs '$buildId' — rebuilding")
+      recorded == buildId
+    }
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
-      marker.exists()
+      markerOk
     if (reuse) println(s"[scale] reusing existing fixture at $out")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (!reuse) {
@@ -183,7 +197,8 @@ object ScaleStress {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     marker.getParentFile.mkdirs()
-    marker.createNewFile()
+    java.nio.file.Files.write(marker.toPath,
+      buildId.getBytes("UTF-8"))
     } // !reuse — fixture build ends here
 
     val stressed = Seq("q_dedup_apply", "q_dedup_clusters", "q_dedup_minhash",

@@ -157,7 +157,13 @@ object Download {
     // independent last(ignoreNulls) calls would desynchronize on a task
     // row with a NULL field (tid from the newest task, status from an
     // older one)
-    val tRows = tasks.select(col("query_hash"),
+    // a task with NULL `created` can never be the as-of pick: the
+    // reference's redis entry always carries its SET time, so a NULL
+    // stamp is corrupt input, and letting it through diverges the
+    // engines (Spark's window sorts NULL _t first and carries the
+    // task — the three-valued !valid then falls through to reuse —
+    // while an oracle's `created <= req_time` join excludes it)
+    val tRows = tasks.where(col("created").isNotNull).select(col("query_hash"),
       col("created").as("_t"), lit(1).as("_is_req"),
       col("tid").as("_tid"),
       struct(col("tid"), col("created"), col("task_status")).as("_task"),

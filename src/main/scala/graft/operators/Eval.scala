@@ -37,9 +37,13 @@ object Eval {
     * broadcast hash join regardless of corpus size — evaluation
     * cost is independent of the index size being evaluated. */
   def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
-    val t = truth.select(col("qid"), col("nid")).filter(col("rank") <= k)
-    val a = approx.select(col("qid").as("aqid"), col("nid").as("anid"))
-      .filter(col("rank") <= k)
+    // filter BEFORE projecting rank away (and before renames): the
+    // analyzer happens to resolve a filter on a just-dropped column
+    // through the projection, but the idiom reads as a missing-column
+    // bug — same cleanup as rankBiasedOverlap below
+    val t = truth.filter(col("rank") <= k).select(col("qid"), col("nid"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("qid").as("aqid"), col("nid").as("anid"))
     t.join(broadcast(a),
         col("qid") === col("aqid") && col("nid") === col("anid"), "left")
       .groupBy(col("qid"))

@@ -114,14 +114,15 @@ object Fuzzy {
   def snmLinkage(recs: DataFrame, idCol: String, nameCol: String,
       window: Int, threshold: Double,
       keyLen: Int = 16, numBuckets: Int = 32,
-      sortKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      sortKey: Option[org.apache.spark.sql.Column] = None,
+      stageKey: Option[String] = None): DataFrame = {
     val keySrc = sortKey.getOrElse(col(nameCol))
     val slim = recs.select(substring(keySrc, 1, keyLen).as("_k"),
       col(idCol).as("_id"))
     val keyed = recs.select(col(idCol).as("_id"),
       col(nameCol).as("_nm"),
       substring(keySrc, 1, keyLen).as("_k"))
-      .withColumn("_b", TextDedup.rangeBucketExpr(slim, numBuckets))
+      .withColumn("_b", TextDedup.rangeBucketExpr(slim, numBuckets, stageKey))
     val wLocal = Window.partitionBy(col("_b"))
       .orderBy(col("_k"), col("_id"))
     val wBase = Window.orderBy(col("_b"))

