@@ -204,9 +204,15 @@ object ScaleStress {
     val stressed = Seq("q_dedup_apply", "q_dedup_clusters", "q_dedup_minhash",
       "q_store_view", "q_media_derivative", "q_dedup_jaccard", "q_enrich",
       "q_dedup_passages", "q_dedup_passages_apply",
-      // round 10: SemDeDup's within-cell pair term (~Σ n_c²) is the one
-      // quadratic-in-a-cell cost on the board; q_quality_filter earns
-      // its row as the top line of the r9 driver snapshot
+      // round 10 (re-modeled round 20): SemDeDup = the two-level
+      // quantizer (n·2√k — the flat n·k argmin was quadratic here
+      // because this gate's k = n/29 tracks the corpus; it measured
+      // 79.5× at 100×, ~all assignment) + within-cell pairs (linear:
+      // cells ×N at constant size under the per-copy centroid-pattern
+      // construction, and shardCells caps any hot cell) + CC over the
+      // pair set. Expect ~n^1.5 in the quantizer term with small
+      // constants; q_quality_filter earns its row as the top line of
+      // the r9 driver snapshot
       "q_semdedup", "q_quality_filter",
       // round 10: the KMV sketch's cost model is one dedup shuffle +
       // bounded heaps — stress confirms it stays ~scan-bound

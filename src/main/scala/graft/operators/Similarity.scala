@@ -323,6 +323,69 @@ object Similarity {
       .select(col("vid"), col("v"), col("cell"))
   }
 
+  /** Two-level (coarse-then-fine) centroid assignment — the flat
+    * [[ivfAssign]]'s n·k scored broadcast join is the honest cost of
+    * an EXACT argmin, and it is quadratic whenever the centroid count
+    * tracks the corpus (k ∝ n makes assignment n²/29 dot products —
+    * the measured 79.5× two-decade ratio on q_semdedup was ~all
+    * quantizer, the within-cell pair mass stayed linear). This is the
+    * standard IVF/hierarchical-k-means answer: pick g = ⌈√k⌉ COARSE
+    * supers from the centroid table itself (every ⌈k/g⌉-th centroid
+    * in cid order — deterministic, oracle-replayable), route every
+    * centroid and every vector to its nearest super under the same
+    * (score, cid) lexicographic argmin as the flat path, then argmin
+    * only over the routed group's centroids. Per-vector work drops
+    * k → g + k/g ≈ 2√k; both layers stay broadcast hash joins with
+    * map-side-combining min_by, so the exchange still moves one
+    * reduced row per vector per layer and nothing shuffles the
+    * (vector × centroid) product.
+    *
+    * APPROXIMATE by the paper's own trade: a vector whose true
+    * nearest centroid lives in a different coarse group quantizes to
+    * its group's best — the same accepted-miss currency SemDeDup
+    * already spends on cross-cell pairs. Deterministic: identical
+    * vectors route identically at both layers, so the exact-clone
+    * guarantee (a clone lands in its original's cell) survives.
+    * The bounded driver-side `count()` mirrors the IVF-codebook
+    * staged-collect discipline — centroids are broadcast-small by
+    * this module's contract. */
+  def ivfAssignHierarchical(vecs: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids.toDF("cid", "c")
+    val k = cents.count()
+    if (k == 0) return vecs.toDF("vid", "v")
+      .withColumn("cell", lit(null).cast(cents.schema("cid").dataType))
+      .select(col("vid"), col("v"), col("cell"))
+    val g = math.ceil(math.sqrt(k.toDouble)).toLong
+    val step = (k + g - 1) / g
+    // the unpartitioned window ranks the CENTROID table — broadcast-
+    // sized by contract, never the corpus
+    val supers = cents
+      .withColumn("_rn", row_number().over(Window.orderBy(col("cid"))))
+      .where((col("_rn") - 1) % step === 0)
+      .select(col("cid").as("scid"), col("c").as("sc"))
+      .withColumn("scc", dot(col("sc"), col("sc")))
+    def coarse(xs: DataFrame): DataFrame =
+      xs.join(broadcast(supers))
+        .select(col("vid"), col("v"), col("scid"),
+          (col("scc") - lit(2.0) * dot(col("v"), col("sc"))).as("_s"))
+        .groupBy(col("vid"))
+        .agg(min_by(col("scid"), struct(col("_s"), col("scid"))).as("grp"),
+          first(col("v")).as("v"))
+    val centGroups = coarse(cents.toDF("vid", "v"))
+      .select(col("vid").as("cid"), col("v").as("c"), col("grp"))
+      .withColumn("cc", dot(col("c"), col("c")))
+    coarse(vecs.toDF("vid", "v"))
+      .join(broadcast(centGroups), "grp")
+      .select(col("vid"), col("v"), col("cid"),
+        (col("cc") - lit(2.0) * dot(col("v"), col("c"))).as("score"))
+      .groupBy(col("vid"))
+      .agg(min_by(col("cid"), struct(col("score"), col("cid"))).as("cell"),
+        first(col("v")).as("v"))
+      .select(col("vid"), col("v"), col("cell"))
+  }
+
   /** SemDeDup (Abbas et al., arXiv:2303.09540 §3): semantic near-dup
     * labels scoped to embedding-space clusters — candidate pairs are
     * compared only WITHIN a cluster cell, the paper's key trick: with
@@ -371,8 +434,12 @@ object Similarity {
       .drop("_n")
 
   def semDedupLabels(vecs: DataFrame, centroids: DataFrame,
-      threshold: Double, maxCellSize: Int = MaxCellSize): DataFrame = {
-    val sharded = shardCells(ivfAssign(vecs, centroids), maxCellSize)
+      threshold: Double, maxCellSize: Int = MaxCellSize,
+      // the quantizer is pluggable: [[ivfAssign]] (exact argmin, n·k)
+      // by default; [[ivfAssignHierarchical]] (n·2√k) when the
+      // centroid count tracks the corpus — the k ∝ n deployment shape
+      assign: (DataFrame, DataFrame) => DataFrame = ivfAssign): DataFrame = {
+    val sharded = shardCells(assign(vecs, centroids), maxCellSize)
       .select(col("vid"), col("v"), col("cell"), col("sub"))
     val a1 = sharded.toDF("d1", "e1", "cell", "sub")
       .withColumn("n1", norm(col("e1")))

