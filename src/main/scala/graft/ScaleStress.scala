@@ -574,7 +574,14 @@ object ScaleStress {
       // over the fixed 400-url space (map-side combined — the 10x pass
       // measures the distinct scan) + a constant-sized decision table
       // with a per-prefix window over <=67 selected rows
-      "q_media_fetch")
+      "q_media_fetch",
+      // round 20: simhash near-dups = one signature scan (per-doc
+      // distinct-word fold, constant per doc) + a 4-band bucket
+      // explode + band-bucket equi-join; cross-copy signatures differ
+      // under the word-suffix construction so candidate pairs scale
+      // linearly, and the hamming filter is a bit_count on joined
+      // 60-bit longs
+      "q_dedup_simhash")
     // the pipeline family reads its quality-preserving fixture at Nx
     // (copy 0 of it is verbatim src, so the 1x pass stays on src)
     val pipelineQs = Set("q_pipeline", "q_pipeline_incr", "q_hybrid_rrf")

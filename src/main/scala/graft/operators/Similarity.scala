@@ -425,7 +425,7 @@ object Similarity {
     * them, the lshCandidates discipline); cells above `maxCellSize`
     * split into ⌈n/cap⌉ id-hashed `sub` shards. Keeps every input
     * column and appends `sub`. */
-  private def shardCells(assigned: DataFrame, maxCellSize: Int): DataFrame =
+  private[graft] def shardCells(assigned: DataFrame, maxCellSize: Int): DataFrame =
     assigned
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("cell"))))
       .withColumn("sub", when(col("_n") <= maxCellSize, lit(0L))

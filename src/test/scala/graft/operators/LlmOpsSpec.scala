@@ -232,6 +232,36 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("shardCells bounds per-shard pair mass when one cell holds " +
+      "~the whole corpus (the 100 TB hot-cell scenario)") {
+    val s = spark
+    import s.implicits._
+    // 200 vectors, 199 of them quantizing to ONE cell (a boilerplate
+    // cluster) — the degenerate shape where unsplit SemDeDup goes
+    // quadratic in a single reducer
+    val vecs = (0L until 199L).map(i => (i, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq((999L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding"))
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (999L, Array(0.0f, 1.0f)))
+      .toDF("cid", "c")
+    val sharded = Similarity.shardCells(
+        Similarity.ivfAssign(vecs, cents), maxCellSize = 20)
+      .groupBy(col("cell"), col("sub")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the hot cell splits into ceil(199/20) = 10 id-hashed shards
+    val hot = sharded.filter(_._1 == 0L)
+    assert(hot.map(_._2).distinct.length === 10)
+    // pair mass is BOUNDED: the unsplit cell forms 199*198/2 = 19,701
+    // pairs in one task; the id-hash split's per-shard pair sum must
+    // sit near n*cap/2 (~2k) — assert an order-of-magnitude cut, loose
+    // enough for hash imbalance, tight enough to catch a no-op split
+    val pairMass = hot.map(t => t._3 * (t._3 - 1) / 2).sum
+    assert(pairMass < 19701L / 4,
+      s"per-shard pair mass $pairMass not bounded by the split")
+    // the cold cell stays whole
+    assert(sharded.filter(_._1 == 999L).map(_._3).sum === 1L)
+  }
+
   test("ivfAssignHierarchical: two-level routing is deterministic — " +
       "every centroid self-assigns, identical vectors land together, " +
       "and semDedup clones still die under it") {
