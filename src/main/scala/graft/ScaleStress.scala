@@ -575,6 +575,14 @@ object ScaleStress {
       // measures the distinct scan) + a constant-sized decision table
       // with a per-prefix window over <=67 selected rows
       "q_media_fetch",
+      // round 20: geo-correct = the q_enrich codegen shape — one
+      // projection scan over orders-synthesized coords against the
+      // broadcast country index; corrections_geo = the ordered
+      // key-tuple correction application (broadcast corrections dims,
+      // one scan over orders-derived records); bucketed_join = two
+      // bucketed table writes (IO-linear) + the exchange-free catalog
+      // join + a per-type aggregate
+      "q_geo_correct", "q_corrections_geo", "q_bucketed_join",
       // round 20: simhash near-dups = one signature scan (per-doc
       // distinct-word fold, constant per doc) + a 4-band bucket
       // explode + band-bucket equi-join; cross-copy signatures differ
