@@ -80,123 +80,110 @@ object Bench {
     * round's additions) never retry; they gain entries once the
     * round-close controlled pair lands. */
   val controlledSec: Map[String, Double] = Map(
-    "q1_agg" -> 1.01, "q_ann_ivf" -> 1.76, "q_ann_ivf_probe" -> 0.88,
-    "q_ann_lsh" -> 0.66, "q_ann_topk" -> 0.45, "q_anti_join" -> 0.41,
-    "q_children_counts" -> 0.42, "q_citations" -> 0.34,
-    "q_corrections" -> 2.04, "q_corrections_geo" -> 1.94,
-    "q_count" -> 0.22, "q_datum" -> 1.34, "q_decontaminate" -> 0.60,
-    "q_dedup_apply" -> 3.88, "q_dedup_clusters" -> 2.38,
-    "q_chunk_overlap" -> 0.69, "q_dedup_embed" -> 0.52,
-    "q_dedup_exact" -> 0.52, "q_distinct_kmv" -> 5.48,
-    "q_kmeans" -> 1.58, "q_remix_weights" -> 0.50,
-    "q_shuffle_order" -> 0.65, "q_perplexity" -> 1.76,
-    "q_dedup_jaccard" -> 4.93, "q_dedup_minhash" -> 1.68,
-    "q_dedup_passages" -> 1.23, "q_dedup_passages_apply" -> 1.52,
-    "q_dedup_simhash" -> 1.51, "q_dq_report" -> 0.47,
-    "q_dq_stats" -> 0.57, "q_dsl_compound" -> 0.28,
-    "q_dsl_exists_missing" -> 0.19, "q_dsl_fulltext" -> 0.39,
-    "q_dsl_geo_bbox" -> 0.18, "q_dsl_geo_distance" -> 0.18,
-    "q_dsl_geo_polygon" -> 0.20, "q_dsl_geo_shape" -> 0.17,
-    "q_dsl_prefix" -> 0.16, "q_dsl_range" -> 0.19, "q_dsl_term" -> 0.15,
-    "q_dsl_terms" -> 0.25, "q_dup_detect" -> 0.60, "q_enrich" -> 1.94,
-    "q_enrich_media" -> 1.48, "q_enrich_publisher" -> 0.23,
-    "q_enrich_recordset" -> 0.48, "q_etag_dedup" -> 0.75,
-    "q_except" -> 0.35, "q_export_csv" -> 0.51, "q_export_dwca" -> 0.25,
-    "q_fulltext_rank" -> 0.48, "q_geo_correct" -> 2.03,
-    "q_has_child" -> 0.95, "q_identifiers_agg" -> 0.39,
-    "q_incremental" -> 0.77, "q_ingest_identity" -> 0.50,
-    "q_ingest_summary" -> 0.82, "q_ingest_suspects" -> 0.30,
-    "q_join_broadcast" -> 0.46, "q_join_equi" -> 0.33,
-    "q_join_salted" -> 0.58, "q_lang_id" -> 0.31,
-    "q_latest_version" -> 0.35, "q_len_quantiles" -> 0.35,
-    "q_max_watermark" -> 0.13, "q_media_derivative" -> 1.50,
-    "q_media_resolution" -> 0.58, "q_pack_chunks" -> 0.21,
-    "q_pack_chunks_sharded" -> 0.43, "q_paging" -> 0.10,
-    "q_pii_scrub" -> 0.72, "q_quality_filter" -> 1.06,
-    "q_quality_rep" -> 0.40, "q_resume_actions" -> 0.88,
-    "q_sample_quota" -> 0.27, "q_sci_authors" -> 0.30,
-    "q_semdedup" -> 1.45, "q_semi_join" -> 0.52,
-    "q_sibling_closure" -> 0.26, "q_split_hash" -> 0.18,
-    "q_stats_rollup" -> 0.61, "q_store_view" -> 1.92,
-    "q_suffix_match" -> 0.82, "q_terms_agg" -> 0.24,
-    "q_text_stats" -> 0.53, "q_topk" -> 0.24, "q_union" -> 0.24,
-    "q_uniquevals" -> 0.23, "q_version_assign" -> 0.64,
-    // round-12 controlled pair (min of the two runs, idle canaries):
-    "q_ann_ivf_trained" -> 2.83, "q_ann_pq" -> 0.72,
-    "q_ann_pq_trained" -> 1.48, "q_ann_quantized" -> 0.48,
-    "q_asof_join" -> 1.28, "q_bloom_join" -> 0.82,
-    "q_decontaminate_apply" -> 0.75, "q_dedup_contain" -> 4.44,
-    "q_dedup_incr" -> 3.80, "q_dedup_keep_best" -> 3.50,
-    "q_feature_hash" -> 0.48, "q_fuzzy_join" -> 1.57,
-    "q_geohash_prune" -> 1.63, "q_heavy_hitters" -> 0.46,
-    "q_index_search" -> 0.72, "q_inverted_index" -> 1.15,
-    "q_jsonl" -> 0.65, "q_media_audio" -> 0.61, "q_media_phash" -> 0.47,
-    "q_media_video" -> 0.61, "q_quality_trim" -> 0.36,
-    "q_quantile_sketch" -> 0.35, "q_range_join" -> 0.75,
-    "q_terms_nested" -> 0.32, "q_token_budget" -> 0.29, "q_zorder" -> 0.18,
-    // round-12 session-2 pair (min of the two runs, idle canaries):
-    "q_bucketed_join" -> 1.94, "q_dedup_incr_embed" -> 1.06,
-    "q_dwca_roundtrip" -> 0.94, "q_eml" -> 0.32, "q_funnel" -> 0.39,
-    "q_index_merge" -> 1.01, "q_pagerank" -> 1.32, "q_retention" -> 0.66,
-    "q_rss" -> 0.28, "q_sessionize" -> 0.85,
-    "q_transitions" -> 0.52,
-    "q_moving_avg" -> 0.36, "q_pivot" -> 0.36, "q_rollup" -> 0.38,
-    // round-15 controlled close (contended-host readings from the
-    // archived per-query close run — upper bounds, which only loosens
-    // the 5x retry trigger, never tightens it):
-    "q_ann_proj" -> 1.03, "q_binning" -> 0.45, "q_burstiness" -> 0.81,
-    "q_centroid_classify" -> 1.42, "q_chi2" -> 1.53, "q_churn" -> 0.93,
-    "q_clustering" -> 2.67, "q_col_profile" -> 3.13, "q_communities" -> 1.21,
-    "q_conversion_time" -> 0.46, "q_countmin" -> 1.74, "q_cube" -> 0.42,
-    "q_debounce" -> 0.65, "q_decay" -> 0.52, "q_dedup_snm" -> 2.87,
-    "q_distinct_hll" -> 1.4, "q_drift" -> 0.49, "q_entropy" -> 0.44,
-    "q_fd_check" -> 0.81, "q_gaps" -> 0.47, "q_golden" -> 2.64,
-    "q_histogram" -> 0.51, "q_hll_rollup" -> 0.71, "q_inclusion" -> 0.5,
-    "q_jaro_match" -> 0.41, "q_join_card" -> 0.67, "q_kcore" -> 1.44,
-    "q_kcore_order" -> 0.79, "q_key_skew" -> 0.24, "q_kmv_overlap" -> 0.51,
-    "q_linkage" -> 2.05, "q_mad" -> 0.6, "q_ohlc" -> 0.51,
-    "q_outliers" -> 0.26, "q_pipeline" -> 3.9, "q_pipeline_incr" -> 3.07,
-    "q_pmi" -> 1.02, "q_ppr" -> 1.57, "q_quantile_rollup" -> 1.46,
-    "q_random_proj" -> 0.38, "q_rfm" -> 1.99, "q_sample_balanced" -> 0.41,
-    "q_sampled_agg" -> 0.41, "q_scd2" -> 0.83, "q_temporal_join" -> 0.9,
-    "q_tfidf" -> 1.23, "q_trend" -> 0.47, "q_triangles" -> 1.8,
-    "q_weighted_sample" -> 0.25,
-    "q_compact" -> 1.19,
-    // round-18 controlled run (idle canaries 621/627 serial,
-    // 252/483/449 parallel, contended:false, 156.3 s total at 211
-    // queries) — the r15-r18 additions gain retry protection:
-    "q_ann_recall" -> 1.13, "q_ann_scoreboard" -> 1.41, "q_bpe_pairs" -> 0.39,
-    "q_ccnet_buckets" -> 1.38, "q_classify_f1" -> 1.28, "q_cluster_balance" -> 0.96,
-    "q_ctfidf" -> 0.51, "q_datasheet" -> 2.25, "q_dedup_sweep" -> 0.43,
-    "q_download" -> 2.74, "q_download_media" -> 1.27, "q_download_rq_only" -> 1.18,
-    "q_download_unique" -> 1.20, "q_dsir" -> 0.70, "q_dsir_incr" -> 0.67,
-    "q_hybrid_rrf" -> 0.69, "q_ild" -> 1.54, "q_inner_hits" -> 0.47,
-    "q_item_view" -> 2.48, "q_kmeans_fixedk" -> 0.85, "q_lang_id_conf" -> 0.25,
-    "q_linkage_eval" -> 0.48, "q_mmr" -> 1.26, "q_modularity" -> 1.29,
-    "q_nb_lang" -> 1.83, "q_silhouette" -> 0.77, "q_source_profile" -> 0.33,
-    "q_split_safe" -> 0.22, "q_temperature_remix" -> 0.40, "q_winnow" -> 0.97,
-    "q_winnow_incr" -> 1.62, "q_winnow_match" -> 1.11,
-    // round-18 late additions (isolated 1x readings, idle canaries):
-    "q_subitem_view" -> 1.92, "q_index_run" -> 4.81,
-    "q_index_run_media" -> 1.5, "q_static_datasets" -> 1.5,
-    "q_media_api" -> 1.5, "q_stats_digest" -> 1.4,
-    "q_index_run_incr" -> 1.5,
-    // round-18 controlled close pair (min of close_run1/close_run2,
-    // idle canaries) — the r18 additions gain retry protection:
-    "q_align_uniform" -> 1.16, "q_annotations" -> 1.94, "q_auc" -> 0.46,
-    "q_bitext_mine" -> 1.15, "q_bleu" -> 4.70, "q_bpe_encode" -> 2.07,
-    "q_bpe_fertility" -> 0.61, "q_bpe_train" -> 0.05,
-    "q_calibration" -> 0.46, "q_cdc_chunks" -> 0.66,
-    "q_dataset_index" -> 1.02, "q_hard_negatives" -> 0.48,
-    "q_heaps" -> 0.69, "q_kappa" -> 0.41, "q_kn3_lm" -> 2.60,
-    "q_kn3_score" -> 2.51, "q_kn_heldout" -> 1.24, "q_kn_incr" -> 1.69,
-    "q_kn_lm" -> 1.09, "q_kn_prune" -> 1.90, "q_kn_score" -> 1.32,
-    "q_mixture_entropy" -> 0.70, "q_ndcg" -> 0.62, "q_rbo" -> 0.99,
-    "q_taxon_model" -> 0.77, "q_zipf" -> 0.48,
-    // round-18 final-tree driver readings (uncontended single samples):
-    "q_dedup_report" -> 0.44, "q_coverage" -> 0.66,
-    // round-19 additions (isolated sf0.1 readings, idle end canaries):
-    "q_download_dedup" -> 2.69, "q_media_fetch" -> 1.64)
+    "q1_agg" -> 1.11, "q_align_uniform" -> 1.13, "q_ann_ivf" -> 2.73,
+    "q_ann_ivf_probe" -> 0.81, "q_ann_ivf_trained" -> 3.61,
+    "q_ann_lsh" -> 0.7, "q_ann_pq" -> 0.76, "q_ann_pq_trained" -> 1.68,
+    "q_ann_proj" -> 1.05, "q_ann_quantized" -> 0.48,
+    "q_ann_recall" -> 1.55, "q_ann_scoreboard" -> 1.68,
+    "q_ann_topk" -> 0.13, "q_annotations" -> 1.91, "q_anti_join" -> 0.41,
+    "q_asof_join" -> 0.97, "q_auc" -> 0.46, "q_binning" -> 0.34,
+    "q_bitext_mine" -> 1.32, "q_bleu" -> 4.87, "q_bloom_join" -> 0.68,
+    "q_bpe_encode" -> 2.14, "q_bpe_fertility" -> 0.65,
+    "q_bpe_pairs" -> 0.39, "q_bpe_train" -> 0.05,
+    "q_bucketed_join" -> 1.78, "q_burstiness" -> 0.61,
+    "q_calibration" -> 0.41, "q_ccnet_buckets" -> 1.44,
+    "q_cdc_chunks" -> 0.62, "q_centroid_classify" -> 1.24,
+    "q_chi2" -> 1.17, "q_children_counts" -> 0.33,
+    "q_chunk_overlap" -> 0.45, "q_churn" -> 0.81, "q_citations" -> 0.24,
+    "q_classify_f1" -> 1.7, "q_cluster_balance" -> 1.19,
+    "q_clustering" -> 2.14, "q_col_profile" -> 0.91,
+    "q_communities" -> 0.91, "q_compact" -> 1.28,
+    "q_conversion_time" -> 0.35, "q_corrections" -> 0.79,
+    "q_corrections_geo" -> 2.23, "q_count" -> 0.19, "q_countmin" -> 1.7,
+    "q_coverage" -> 0.44, "q_ctfidf" -> 0.59, "q_cube" -> 0.44,
+    "q_dataset_index" -> 1.1, "q_datasheet" -> 2.71, "q_datum" -> 1.2,
+    "q_debounce" -> 0.7, "q_decay" -> 0.58, "q_decontaminate" -> 0.44,
+    "q_decontaminate_apply" -> 0.6, "q_dedup_apply" -> 1.14,
+    "q_dedup_clusters" -> 0.07, "q_dedup_contain" -> 3.67,
+    "q_dedup_embed" -> 0.45, "q_dedup_exact" -> 0.53,
+    "q_dedup_incr" -> 1.86, "q_dedup_incr_embed" -> 1.0,
+    "q_dedup_jaccard" -> 3.57, "q_dedup_keep_best" -> 0.38,
+    "q_dedup_minhash" -> 0.15, "q_dedup_passages" -> 1.44,
+    "q_dedup_passages_apply" -> 1.34, "q_dedup_report" -> 0.43,
+    "q_dedup_simhash" -> 1.41, "q_dedup_snm" -> 2.94,
+    "q_dedup_sweep" -> 0.57, "q_distinct_hll" -> 1.3,
+    "q_distinct_kmv" -> 0.61, "q_download" -> 3.7,
+    "q_download_dedup" -> 1.58, "q_download_media" -> 1.7,
+    "q_download_rq_only" -> 1.66, "q_download_unique" -> 1.63,
+    "q_dq_report" -> 0.45, "q_dq_stats" -> 0.53, "q_drift" -> 0.52,
+    "q_dsir" -> 0.81, "q_dsir_incr" -> 0.82, "q_dsl_compound" -> 0.32,
+    "q_dsl_exists_missing" -> 0.2, "q_dsl_fulltext" -> 0.44,
+    "q_dsl_geo_bbox" -> 0.2, "q_dsl_geo_distance" -> 0.2,
+    "q_dsl_geo_polygon" -> 0.25, "q_dsl_geo_shape" -> 0.2,
+    "q_dsl_prefix" -> 0.16, "q_dsl_range" -> 0.21, "q_dsl_term" -> 0.15,
+    "q_dsl_terms" -> 0.27, "q_dup_detect" -> 0.7,
+    "q_dwca_roundtrip" -> 0.94, "q_eml" -> 0.36, "q_enrich" -> 2.49,
+    "q_enrich_media" -> 1.76, "q_enrich_publisher" -> 0.27,
+    "q_enrich_recordset" -> 0.51, "q_entropy" -> 0.46,
+    "q_etag_dedup" -> 0.81, "q_except" -> 0.37, "q_export_csv" -> 0.57,
+    "q_export_dwca" -> 0.24, "q_fd_check" -> 0.74,
+    "q_feature_hash" -> 0.52, "q_fulltext_rank" -> 0.55,
+    "q_funnel" -> 0.43, "q_fuzzy_join" -> 1.77, "q_gaps" -> 0.48,
+    "q_geo_correct" -> 2.35, "q_geohash_prune" -> 1.35, "q_golden" -> 0.55,
+    "q_hard_negatives" -> 0.53, "q_has_child" -> 1.04, "q_heaps" -> 0.71,
+    "q_heavy_hitters" -> 0.43, "q_histogram" -> 0.47,
+    "q_hll_rollup" -> 0.77, "q_hybrid_rrf" -> 0.83,
+    "q_identifiers_agg" -> 0.55, "q_ild" -> 1.85, "q_inclusion" -> 0.5,
+    "q_incremental" -> 0.87, "q_index_merge" -> 1.17,
+    "q_index_run" -> 3.62, "q_index_run_incr" -> 0.87,
+    "q_index_run_media" -> 0.92, "q_index_search" -> 0.7,
+    "q_ingest_identity" -> 0.5, "q_ingest_summary" -> 0.97,
+    "q_ingest_suspects" -> 0.29, "q_inner_hits" -> 0.59,
+    "q_inverted_index" -> 1.07, "q_item_view" -> 3.54,
+    "q_jaro_match" -> 0.47, "q_join_broadcast" -> 0.51,
+    "q_join_card" -> 0.66, "q_join_equi" -> 0.34, "q_join_salted" -> 0.6,
+    "q_jsonl" -> 0.61, "q_kappa" -> 0.42, "q_kcore" -> 1.34,
+    "q_kcore_order" -> 0.73, "q_key_skew" -> 0.24, "q_kmeans" -> 0.11,
+    "q_kmeans_fixedk" -> 0.9, "q_kmv_overlap" -> 0.48, "q_kn3_lm" -> 2.58,
+    "q_kn3_score" -> 1.98, "q_kn_heldout" -> 1.09, "q_kn_incr" -> 1.33,
+    "q_kn_lm" -> 1.15, "q_kn_prune" -> 1.53, "q_kn_score" -> 1.26,
+    "q_lang_id" -> 0.31, "q_lang_id_conf" -> 0.28,
+    "q_latest_version" -> 0.48, "q_len_quantiles" -> 0.33,
+    "q_linkage" -> 3.19, "q_linkage_eval" -> 0.57, "q_mad" -> 0.55,
+    "q_max_watermark" -> 0.12, "q_media_api" -> 0.66,
+    "q_media_audio" -> 0.51, "q_media_derivative" -> 1.54,
+    "q_media_fetch" -> 0.39, "q_media_phash" -> 0.42,
+    "q_media_resolution" -> 0.56, "q_media_video" -> 0.51,
+    "q_mixture_entropy" -> 0.58, "q_mmr" -> 1.19, "q_modularity" -> 1.2,
+    "q_moving_avg" -> 0.4, "q_nb_lang" -> 1.93, "q_ndcg" -> 0.64,
+    "q_ohlc" -> 0.56, "q_outliers" -> 0.22, "q_pack_chunks" -> 0.19,
+    "q_pack_chunks_sharded" -> 0.38, "q_pagerank" -> 1.16,
+    "q_paging" -> 0.09, "q_perplexity" -> 1.09, "q_pii_scrub" -> 0.91,
+    "q_pipeline" -> 3.81, "q_pipeline_incr" -> 2.46, "q_pivot" -> 0.42,
+    "q_pmi" -> 0.85, "q_ppr" -> 1.39, "q_quality_filter" -> 1.17,
+    "q_quality_rep" -> 0.4, "q_quality_trim" -> 0.29,
+    "q_quantile_rollup" -> 1.23, "q_quantile_sketch" -> 0.27,
+    "q_random_proj" -> 0.39, "q_range_join" -> 0.68, "q_rbo" -> 0.83,
+    "q_remix_weights" -> 0.34, "q_resume_actions" -> 0.8,
+    "q_retention" -> 0.6, "q_rfm" -> 2.17, "q_rollup" -> 0.34,
+    "q_rss" -> 0.25, "q_sample_balanced" -> 0.38, "q_sample_quota" -> 0.25,
+    "q_sampled_agg" -> 0.37, "q_scd2" -> 0.68, "q_sci_authors" -> 0.32,
+    "q_semdedup" -> 1.95, "q_semi_join" -> 0.49, "q_sessionize" -> 0.82,
+    "q_shuffle_order" -> 0.45, "q_sibling_closure" -> 0.2,
+    "q_silhouette" -> 0.94, "q_source_profile" -> 0.41,
+    "q_split_hash" -> 0.16, "q_split_safe" -> 0.23,
+    "q_static_datasets" -> 0.88, "q_stats_digest" -> 0.98,
+    "q_stats_rollup" -> 0.64, "q_store_view" -> 1.69,
+    "q_subitem_view" -> 0.69, "q_suffix_match" -> 1.0,
+    "q_taxon_model" -> 0.65, "q_temperature_remix" -> 0.48,
+    "q_temporal_join" -> 0.74, "q_terms_agg" -> 0.21,
+    "q_terms_nested" -> 0.29, "q_text_stats" -> 0.58, "q_tfidf" -> 1.08,
+    "q_token_budget" -> 0.26, "q_topk" -> 0.21, "q_transitions" -> 0.55,
+    "q_trend" -> 0.43, "q_triangles" -> 1.53, "q_union" -> 0.25,
+    "q_uniquevals" -> 0.22, "q_version_assign" -> 0.75,
+    "q_weighted_sample" -> 0.21, "q_winnow" -> 1.19,
+    "q_winnow_incr" -> 1.77, "q_winnow_match" -> 1.26, "q_zipf" -> 0.31,
+    "q_zorder" -> 0.23)
 
   def main(args: Array[String]): Unit = {
     // drop any previous run's artifact FIRST: if this run's write fails

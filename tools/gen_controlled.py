@@ -1,0 +1,40 @@
+#!/usr/bin/env python3
+"""Regenerate Bench.controlledSec from controlled close pairs.
+
+Usage: gen_controlled.py r20_run1.json r20_run2.json [r19_run1.json r19_run2.json]
+
+Value per query = min over the r20 close pair; for queries NOT touched
+this round (plan unchanged), the min additionally folds in the r19
+close pair when that is lower (more controlled runs = a tighter
+controlled floor). Touched queries take the r20 pair alone — their r19
+readings measured a different plan. Prints the Scala Map literal body
+to splice into Bench.scala.
+"""
+import json, sys
+
+# plan/staging changed in round 20 — r19 readings not comparable
+TOUCHED = {"q_semdedup", "q_dedup_snm", "q_linkage", "q_linkage_eval",
+           "q_download_dedup", "q_media_fetch", "q_ann_recall"}
+
+runs = [json.load(open(p))["queries"] for p in sys.argv[1:]]
+r20 = runs[:2]
+r19 = runs[2:]
+
+names = sorted(r20[0])
+vals = {}
+for n in names:
+    v = min(r[n] for r in r20 if n in r)
+    if n not in TOUCHED and r19:
+        v = min([v] + [r[n] for r in r19 if n in r])
+    vals[n] = round(v, 2)
+
+# emit Scala pairs, 2 per line like the existing literal
+items = [f'"{n}" -> {vals[n]}' for n in names]
+lines, cur = [], "    "
+for it in items:
+    if len(cur) + len(it) + 2 > 76 and cur.strip():
+        lines.append(cur.rstrip())
+        cur = "    "
+    cur += it + ", "
+lines.append(cur.rstrip().rstrip(","))
+print("\n".join(lines))
