@@ -575,6 +575,11 @@ object ScaleStress {
       // measures the distinct scan) + a constant-sized decision table
       // with a per-prefix window over <=67 selected rows
       "q_media_fetch",
+      // round 20: quantile rollup = daily bottom-64 sketches over Nx
+      // events + a sketch-sized weekly merge fold; index merge = the
+      // inverted-index segment union + per-term postings merge agg
+      // (postings and vocab both Nx under the word-suffix construction)
+      "q_quantile_rollup", "q_index_merge",
       // round 20: geo-correct = the q_enrich codegen shape — one
       // projection scan over orders-synthesized coords against the
       // broadcast country index; corrections_geo = the ordered
