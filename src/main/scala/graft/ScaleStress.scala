@@ -575,6 +575,11 @@ object ScaleStress {
       // measures the distinct scan) + a constant-sized decision table
       // with a per-prefix window over <=67 selected rows
       "q_media_fetch",
+      // round 20: two-level IVF — index build is n·2√k scores (the
+      // variant that stays stressable when k ∝ n; q_ann_ivf's flat
+      // n·k build is the documented exclusion), search is the fixed
+      // probes' cell lists
+      "q_ann_ivf2",
       // round 20: quantile rollup = daily bottom-64 sketches over Nx
       // events + a sketch-sized weekly merge fold; index merge = the
       // inverted-index segment union + per-term postings merge agg

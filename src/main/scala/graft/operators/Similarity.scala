@@ -757,6 +757,30 @@ object Similarity {
     rankTopK(joined, k)
   }
 
+  /** Two-level IVF top-k search over a HIERARCHICALLY-assigned index
+    * (nprobe = 1): `assigned` is [[ivfAssignHierarchical]]'s
+    * (vid, v, cell) output — the stored inverted-list index at scale —
+    * and each probe (rows of `assigned` matching `probeFilter`, so
+    * probes route through the IDENTICAL two-level expression and can
+    * never disagree with the index about their own cell) searches only
+    * its own cell's list via a cell equi-join with the probe side
+    * broadcast. This is the IVF whose INDEX BUILD stays 100×-stressable
+    * when the centroid count tracks the corpus: per-vector quantize
+    * work is g + k/g ≈ 2√k scores vs the flat n·k (the reason
+    * q_ann_ivf's build is deliberately absent from the two-decade
+    * stress while this gate carries one). Search cost per probe is its
+    * cell list, same as the flat IVF. Output (qid, nid, rank) on the
+    * bounded [[graft.plans.TopKPerGroup]] heap. */
+  def ivf2TopK(assigned: DataFrame, probeFilter: Column,
+      k: Int): DataFrame = {
+    val q = assigned.where(probeFilter).toDF("qid", "qv", "cell")
+    val c = assigned.toDF("nid", "e", "cell")
+    val joined = c.join(broadcast(q), Seq("cell"))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("e")).as("sim"))
+    rankTopK(joined, k)
+  }
+
   /** Nearest-centroid classification in EXACT integer arithmetic, with
     * the confusion matrix out: embeddings quantize to integer
     * micro-units (floor(x·1e6) — float→double is exact, one IEEE

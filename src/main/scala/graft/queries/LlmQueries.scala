@@ -656,6 +656,44 @@ object LlmQueries {
       .select(col("vec_id")).orderBy(col("vec_id"))
   }
 
+  /** The TWO-LEVEL (coarse-then-fine) assignment CTE chain — the SQL
+    * replay of [[graft.operators.Similarity.ivfAssignHierarchical]]:
+    * g = ⌈√k⌉ supers cut every ⌈k/g⌉-th centroid in cid order, both
+    * centroids and vectors route to their nearest super under the
+    * (score, cid) argmin, then the fine argmin runs within the routed
+    * group. Expects CTEs `v (vec_id, e)` and `cent (cid, c)` upstream;
+    * emits `assigned (vid, e, cell)`. ONE definition shared by
+    * qSemdedupSql and qAnnIvf2Sql so the two oracles can never drift. */
+  private val twoLevelAssignCtes: String =
+    """prm AS (SELECT k, g, (k + g - 1) // g AS step FROM (
+      |  SELECT count(*) AS k, CAST(ceil(sqrt(count(*))) AS BIGINT) AS g
+      |  FROM cent)),
+      |sup AS (SELECT cid AS scid, c AS sc FROM (
+      |    SELECT cid, c, row_number() OVER (ORDER BY cid) AS rn FROM cent) t, prm
+      |  WHERE (rn - 1) % step = 0),
+      |cgrp AS (
+      |  SELECT cid, c, scid AS grp FROM (
+      |    SELECT cent.cid, cent.c, sup.scid,
+      |      row_number() OVER (PARTITION BY cent.cid ORDER BY
+      |        list_inner_product(sc, sc) - 2.0 * list_inner_product(cent.c, sc),
+      |        scid) AS rn
+      |    FROM cent, sup) WHERE rn = 1),
+      |vgrp AS (
+      |  SELECT vid, e, scid AS grp FROM (
+      |    SELECT v.vec_id AS vid, v.e, sup.scid,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_inner_product(sc, sc) - 2.0 * list_inner_product(v.e, sc),
+      |        scid) AS rn
+      |    FROM v, sup) WHERE rn = 1),
+      |assigned AS (
+      |  SELECT vid, e, cid AS cell FROM (
+      |    SELECT vgrp.vid, vgrp.e, cgrp.cid,
+      |      row_number() OVER (PARTITION BY vgrp.vid ORDER BY
+      |        list_inner_product(cgrp.c, cgrp.c)
+      |          - 2.0 * list_inner_product(vgrp.e, cgrp.c),
+      |        cid) AS rn
+      |    FROM vgrp JOIN cgrp ON vgrp.grp = cgrp.grp) WHERE rn = 1)""".stripMargin
+
   // def, not val: CentroidMod is declared further down the object body
   // and a forward VAL reference would interpolate its default (0) at
   // object init
@@ -666,34 +704,7 @@ object LlmQueries {
        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0),
        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM all_e),
        |cent AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id % $CentroidMod = 0),
-       |prm AS (SELECT k, g, (k + g - 1) // g AS step FROM (
-       |  SELECT count(*) AS k, CAST(ceil(sqrt(count(*))) AS BIGINT) AS g
-       |  FROM cent)),
-       |sup AS (SELECT cid AS scid, c AS sc FROM (
-       |    SELECT cid, c, row_number() OVER (ORDER BY cid) AS rn FROM cent) t, prm
-       |  WHERE (rn - 1) % step = 0),
-       |cgrp AS (
-       |  SELECT cid, c, scid AS grp FROM (
-       |    SELECT cent.cid, cent.c, sup.scid,
-       |      row_number() OVER (PARTITION BY cent.cid ORDER BY
-       |        list_inner_product(sc, sc) - 2.0 * list_inner_product(cent.c, sc),
-       |        scid) AS rn
-       |    FROM cent, sup) WHERE rn = 1),
-       |vgrp AS (
-       |  SELECT vid, e, scid AS grp FROM (
-       |    SELECT v.vec_id AS vid, v.e, sup.scid,
-       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-       |        list_inner_product(sc, sc) - 2.0 * list_inner_product(v.e, sc),
-       |        scid) AS rn
-       |    FROM v, sup) WHERE rn = 1),
-       |assigned AS (
-       |  SELECT vid, e, cid AS cell FROM (
-       |    SELECT vgrp.vid, vgrp.e, cgrp.cid,
-       |      row_number() OVER (PARTITION BY vgrp.vid ORDER BY
-       |        list_inner_product(cgrp.c, cgrp.c)
-       |          - 2.0 * list_inner_product(vgrp.e, cgrp.c),
-       |        cid) AS rn
-       |    FROM vgrp JOIN cgrp ON vgrp.grp = cgrp.grp) WHERE rn = 1),
+       |$twoLevelAssignCtes,
        |pairs AS (
        |  SELECT a.vid AS d1, b.vid AS d2
        |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vid < b.vid
@@ -2125,6 +2136,40 @@ object LlmQueries {
        |    list_inner_product(qv, a.e) /
        |    (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(a.e, a.e))) AS sim
        |  FROM probes q JOIN assigned a USING (cell) WHERE a.vid != qid),
+       |r AS (SELECT qid, nid,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+       |      FROM s)
+       |SELECT qid, nid, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** Two-level IVF top-3 (Similarity.ivf2TopK over the HIERARCHICAL
+    * index): the same retrieval contract as q_ann_ivf, but the
+    * inverted-list index is built by the coarse-then-fine quantizer —
+    * per-vector build work is 2√k scores instead of k, which is the
+    * variant that stays stressable at 100× when the centroid count
+    * tracks the corpus (q_ann_ivf's flat build is the documented
+    * k ∝ n exclusion). Probes are rows of the SAME assigned table
+    * (vid < 10), so index and probes can never disagree about a
+    * probe's cell. The oracle replays the shared twoLevelAssignCtes
+    * chain, then the identical cell-scoped cosine top-3. */
+  def qAnnIvf2(s: SparkSession, dir: String): DataFrame = {
+    val assigned = graft.Staging.stage(s, s"ann:assigned2:$dir") {
+      Similarity.ivfAssignHierarchical(embCorpus(s, dir),
+        ivfCentroids(s, dir))
+    }
+    Similarity.ivf2TopK(assigned, col("vid") < 10, k = 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def qAnnIvf2Sql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id % $CentroidMod = 0),
+       |$twoLevelAssignCtes,
+       |q AS (SELECT vid AS qid, e AS qv, cell FROM assigned WHERE vid < 10),
+       |s AS (
+       |  SELECT qid, a.vid AS nid,
+       |    list_inner_product(qv, a.e) /
+       |    (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(a.e, a.e))) AS sim
+       |  FROM q JOIN assigned a USING (cell) WHERE a.vid != qid),
        |r AS (SELECT qid, nid,
        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
        |      FROM s)

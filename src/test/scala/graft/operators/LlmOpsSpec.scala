@@ -299,6 +299,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("ivf2TopK: probes search their own two-level cell — a planted " +
+      "near-twin is rank 1, the probe never returns itself") {
+    val s = spark
+    import s.implicits._
+    val cents = (0L until 9L).map { i =>
+      val v = Array.fill(3)(0.0f); v((i % 3).toInt) = 1.0f + i / 3
+      (i, v)
+    }.toDF("cid", "c")
+    // corpus: the 9 centroid directions as ids 0-8, plus a near-twin
+    // of vector 4 (same direction, slightly scaled — cosine 1.0 with
+    // it, lands in the same cell because argmin is scale-sensitive on
+    // these well-separated directions)
+    val corpus = (0L until 9L).map { i =>
+      val v = Array.fill(3)(0.0f); v((i % 3).toInt) = 1.0f + i / 3
+      (i, v)
+    } :+ (40L, Array(0.0f, 2.03f, 0.0f))   // near-twin of centroid 4 (0,2,0)
+    val assigned = Similarity.ivfAssignHierarchical(
+      corpus.toDF("vid", "v"), cents)
+    val top = Similarity.ivf2TopK(assigned, col("vid") === 4L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(top.forall(_._1 == 4L))
+    assert(top.forall(_._2 != 4L))            // self excluded
+    assert(top.head === ((4L, 40L, 1)))       // the twin wins rank 1
+  }
+
   test("spanHashes kernel matches the hash60 Column spec (parity fuzz)") {
     val s = spark
     import s.implicits._
