@@ -82,6 +82,7 @@ object Bench {
   val controlledSec: Map[String, Double] = Map(
     "q1_agg" -> 1.11, "q_align_uniform" -> 1.13, "q_ann_ivf" -> 2.73,
     "q_ann_ivf_probe" -> 0.81, "q_ann_ivf_trained" -> 3.61,
+    "q_ann_ivf2" -> 1.65,
     "q_ann_lsh" -> 0.7, "q_ann_pq" -> 0.76, "q_ann_pq_trained" -> 1.68,
     "q_ann_proj" -> 1.05, "q_ann_quantized" -> 0.48,
     "q_ann_recall" -> 1.55, "q_ann_scoreboard" -> 1.68,
