@@ -151,6 +151,28 @@ class PlanShapeSpec extends SparkSpec {
       || p.contains("Broadcast"), "centroid side must broadcast")
   }
 
+  test("two-level ivf: both quantizer layers broadcast and min_by-combine " +
+      "(no window sort over the corpus), search side never shuffle-joins") {
+    val vecs = (0L until 12L).map(i => (i, Array(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = (0L until 9L).map(i => (i, Array(i.toFloat, 1.0f)))
+      .toDF("cid", "c")
+    val assigned = graft.operators.Similarity.ivfAssignHierarchical(vecs, cents)
+    val pa = plan(assigned)
+    // the ONLY window is the centroid-table rank (broadcast-sized by
+    // contract); the corpus-side argmins must be min_by aggregates
+    assert(pa.contains("min_by") || pa.contains("MinBy") ||
+      pa.contains("partial_min_by") || !pa.contains("row_number() windowspecdefinition(vid"),
+      s"corpus argmin must be the partial-aggregable min_by:\n$pa")
+    assert(pa.contains("Broadcast"), "super/centroid sides must broadcast")
+    assert(!pa.contains("SortMergeJoin"),
+      s"the corpus must never shuffle-join against centroid tables:\n$pa")
+    val ps = plan(graft.operators.Similarity.ivf2TopK(
+      assigned, col("vid") < 2, k = 3))
+    assert(ps.contains("Broadcast"), "probe side must broadcast")
+    assert(!ps.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+
   test("index-backed bm25: top-k plans as TakeOrderedAndProject, stats " +
       "broadcast, no sort-merge join") {
     val docs = Seq((1L, "hash join probe"), (2L, "merge scan"),
