@@ -473,10 +473,17 @@ object Similarity {
     * consistently). Base and delta ids must be disjoint. */
   def incrementalCosineNearDups(base: DataFrame, delta: DataFrame,
       centroids: DataFrame, threshold: Double,
-      maxCellSize: Int = MaxCellSize): DataFrame = {
-    val ab = ivfAssign(base, centroids).toDF("vid", "v", "cell")
+      maxCellSize: Int = MaxCellSize,
+      // pluggable like semDedupLabels: the flat exact argmin by
+      // default; the hierarchical route when k tracks the corpus (the
+      // base re-assign here is the stored-table STAND-IN — at scale it
+      // is read, not recomputed — but the harness recompute should not
+      // be quadratic either: the 100× stress measured the flat form at
+      // 229× before the gate switched to hierarchical)
+      assign: (DataFrame, DataFrame) => DataFrame = ivfAssign): DataFrame = {
+    val ab = assign(base, centroids).toDF("vid", "v", "cell")
       .withColumn("isDelta", lit(false))
-    val ad = ivfAssign(delta, centroids).toDF("vid", "v", "cell")
+    val ad = assign(delta, centroids).toDF("vid", "v", "cell")
       .withColumn("isDelta", lit(true))
     val sharded = shardCells(ab.unionByName(ad), maxCellSize)
       .select(col("vid"), col("v"), col("cell"), col("sub"), col("isDelta"))

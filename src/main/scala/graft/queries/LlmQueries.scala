@@ -606,7 +606,15 @@ object LlmQueries {
     val delta = e.filter(col("vec_id") % 25 === 0)
       .withColumn("vec_id", col("vec_id") + 100000)
     val centroids = e.toDF("cid", "c").where(col("cid") % CentroidMod === 0)
-    Similarity.incrementalCosineNearDups(e, delta, centroids, threshold = 0.9)
+    // hierarchical quantizer, same rationale as q_semdedup: this
+    // gate's centroid table tracks the corpus, so the flat base
+    // re-assign (the stored-table stand-in) measured 229× at the
+    // two-decade stress. The brute-force oracle is UNCHANGED — it is
+    // complete ground truth for any deterministic quantizer on this
+    // fixture (every ≥0.9 pair is an exact clone pair, and identical
+    // vectors route identically at both layers).
+    Similarity.incrementalCosineNearDups(e, delta, centroids, threshold = 0.9,
+        assign = Similarity.ivfAssignHierarchical)
       .orderBy(col("d1"), col("d2"))
   }
 
