@@ -125,6 +125,20 @@ object NativeText {
   def repetitionStats(words: Column): Column =
     GraftSqlBridge.column(RepetitionStatsExpr(GraftSqlBridge.expression(words)))
 
+  /** Clipped BLEU n-gram match counts of one (candidate, reference)
+    * pair in a single pass: c1 = Σ over distinct unigrams of
+    * min(count_cand, count_ref), c2 = the same over the space-joined
+    * adjacent bigrams — the per-pair modified-precision numerators of
+    * corpus BLEU-2 (Papineni et al., ACL'02). Counting keys on the
+    * token STRINGS (bigrams on the exact "w1 w2" concatenation the
+    * relational formulation joined on), so the result is byte-equal to
+    * the explode → count → join → least() pipeline it replaces — while
+    * never materializing the corpus × grams stream, its two shuffles,
+    * or the gram-keyed join. */
+  def bleuClip(cand: Column, ref: Column): Column =
+    GraftSqlBridge.column(BleuClipExpr(
+      GraftSqlBridge.expression(cand), GraftSqlBridge.expression(ref)))
+
   /** DSIR importance score (Xie et al., NeurIPS'23 "Data Selection
     * for Language Models via Importance Resampling"): the document's
     * hashed-token counts dotted with a `dim`-bucket log-likelihood-
@@ -214,6 +228,31 @@ case class DsirScoreExpr(left: Expression, right: Expression, dim: Int)
       s"${ev.value} = graft.functions.MinhashKernel.dsirScore($w, $l, $dim);")
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DsirScoreExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+case class BleuClipExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bleu_clip needs (array<string>, array<string>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("c1", LongType, nullable = false),
+    StructField("c2", LongType, nullable = false)))
+  override def prettyName: String = "bleu_clip"
+  protected override def nullSafeEval(ca: Any, ra: Any): Any =
+    MinhashKernel.bleuClip(ca.asInstanceOf[ArrayData],
+      ra.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, r) =>
+      s"${ev.value} = graft.functions.MinhashKernel.bleuClip($c, $r);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BleuClipExpr =
     copy(left = newLeft, right = newRight)
 }
 
@@ -2177,6 +2216,59 @@ object MinhashKernel {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(out)
   }
+
+  /** Clipped BLEU-2 match counts of one (cand, ref) token-array pair;
+    * see [[NativeText.bleuClip]]. Exact STRING counting (no hashes):
+    * a reference-side multiset count per gram, decremented as candidate
+    * grams consume it — Σ min(count_cand, count_ref) by construction.
+    * Bigram identity is the space-joined word pair, byte-identical to
+    * the `concat_ws(" ", w1, w2)` key of the relational formulation it
+    * replaces (tokens come from a space split, so the join is
+    * collision-free). */
+  def bleuClip(ca: ArrayData, ra: ArrayData)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val m = ca.numElements()
+    val n = ra.numElements()
+    // unigrams: ref counts, then clip candidate draws against them
+    val u = new java.util.HashMap[UTF8String, Array[Int]](
+      Math.max(16, n * 2))
+    var i = 0
+    while (i < n) {
+      val c = u.computeIfAbsent(ra.getUTF8String(i), _ => new Array[Int](1))
+      c(0) += 1
+      i += 1
+    }
+    var c1 = 0L
+    i = 0
+    while (i < m) {
+      val c = u.get(ca.getUTF8String(i))
+      if (c != null && c(0) > 0) { c(0) -= 1; c1 += 1 }
+      i += 1
+    }
+    // bigrams: same discipline over the space-joined adjacent pairs
+    val sp = BleuSpace
+    val b = new java.util.HashMap[UTF8String, Array[Int]](
+      Math.max(16, n * 2))
+    i = 0
+    while (i + 1 < n) {
+      val k = UTF8String.concat(ra.getUTF8String(i), sp, ra.getUTF8String(i + 1))
+      val c = b.computeIfAbsent(k, _ => new Array[Int](1))
+      c(0) += 1
+      i += 1
+    }
+    var c2 = 0L
+    i = 0
+    while (i + 1 < m) {
+      val k = UTF8String.concat(ca.getUTF8String(i), sp, ca.getUTF8String(i + 1))
+      val c = b.get(k)
+      if (c != null && c(0) > 0) { c(0) -= 1; c2 += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](c1, c2))
+  }
+
+  private val BleuSpace = UTF8String.fromString(" ")
 
   /** DSIR importance score of one document against a per-bucket
     * log-likelihood-ratio table: Σ over tokens of llr[h(w) mod dim].

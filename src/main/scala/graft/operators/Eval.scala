@@ -263,53 +263,34 @@ object Eval {
     * (the n=2 geometric mean is √ — no log/exp round trip for the
     * mean itself).
     *
-    * Plan shape: ONE tagged n-gram stream per side (unigrams and
-    * bigrams share the explode, disambiguated by an order-prefix) →
-    * per-(pair, gram) hash counts with map-side combine → an
-    * equi-join on (group, pair, gram) → the clipped least() → one
-    * group-keyed rollup. Everything is token-stream-linear and
-    * whole-stage-codegen; an earlier per-row distinct×filter lambda
-    * formulation avoided the shuffle but ran INTERPRETED (higher-
-    * order functions don't codegen) at ~6× this cost — measured,
-    * not guessed. `idCol` keys the pair (duplicate pairs in a group
-    * count independently). */
+    * Plan shape (r21): ONE scan — a per-row native kernel
+    * ([[graft.functions.NativeText.bleuClip]]) computes each pair's
+    * clipped unigram/bigram match counts in a single pass over the two
+    * token arrays, then one group-keyed hash rollup (map-side combined)
+    * sums the six integer sufficient statistics. This replaces the
+    * previous two tagged-gram explode → (pair, gram) count → equi-join
+    * → least() legs: the corpus × grams stream, both of its gram-keyed
+    * exchanges and the join are gone (guide §2.3/§2.4 — aggregate
+    * before the shuffle, then remove it outright). The even earlier
+    * per-row distinct×filter LAMBDA formulation was ~6× slower because
+    * higher-order functions run interpreted; the kernel is plain JVM
+    * code behind a codegen-compatible expression, so the scan keeps
+    * whole-stage fusion. `idCol` keys the pair (each row clips
+    * independently; callers keep ids unique within a group —
+    * spec-pinned contract). */
   def corpusBleu(pairs: DataFrame, groupCol: String, idCol: String,
       candCol: String, refCol: String): DataFrame = {
-    def grams2(a: Column): Column =
-      when(size(a) >= 2,
-        transform(sequence(lit(0), size(a) - 2),
-          i => concat_ws(" ", element_at(a, i + 1), element_at(a, i + 2))))
-        .otherwise(array().cast("array<string>"))
-    // unigrams and bigrams ride one exploded stream, disambiguated by
-    // an order prefix + a control-char seam no token carries
-    def tagged(a: Column): Column = concat(
-      transform(a, g => concat(lit("1\u0001"), g)),
-      transform(grams2(a), g => concat(lit("2\u0001"), g)))
-
     val base = pairs.select(col(groupCol).as("grp"), col(idCol).as("pid"),
       split(col(candCol), " ").as("ca"), split(col(refCol), " ").as("ra"))
-    val cg = base
-      .select(col("grp"), col("pid"), explode(tagged(col("ca"))).as("g"))
-      .groupBy(col("grp"), col("pid"), col("g"))
-      .agg(count(lit(1)).as("cn"))
-    val rg = base
-      .select(col("grp"), col("pid"), explode(tagged(col("ra"))).as("g"))
-      .groupBy(col("grp"), col("pid"), col("g"))
-      .agg(count(lit(1)).as("rn"))
-    // inner join: grams absent from either side clip to zero anyway
-    val clip = cg.join(rg, Seq("grp", "pid", "g"))
-      .select(col("grp"), substring(col("g"), 1, 1).as("n"),
-        least(col("cn"), col("rn")).as("cl"))
-      .groupBy(col("grp"))
-      .agg(sum(when(col("n") === "1", col("cl")).otherwise(0L)).as("c1"),
-        sum(when(col("n") === "2", col("cl")).otherwise(0L)).as("c2"))
-    val agg = base.groupBy(col("grp"))
-      .agg(sum(size(col("ca"))).cast("long").as("t1"),
-        sum(greatest(size(col("ca")) - 1, lit(0))).cast("long").as("t2"),
-        sum(size(col("ca"))).cast("long").as("clen"),
-        sum(size(col("ra"))).cast("long").as("rlen"))
-      .join(clip, Seq("grp"), "left") // a group may share no grams at all
-      .na.fill(0L, Seq("c1", "c2"))
+    val perPair = base.select(col("grp"),
+      graft.functions.NativeText.bleuClip(col("ca"), col("ra")).as("k"),
+      size(col("ca")).as("cs"), size(col("ra")).as("rs"))
+    val agg = perPair.groupBy(col("grp"))
+      .agg(sum(col("k.c1")).as("c1"), sum(col("k.c2")).as("c2"),
+        sum(col("cs")).cast("long").as("t1"),
+        sum(greatest(col("cs") - 1, lit(0))).cast("long").as("t2"),
+        sum(col("cs")).cast("long").as("clen"),
+        sum(col("rs")).cast("long").as("rlen"))
     val p1 = col("c1").cast("double") / col("t1").cast("double")
     // a group of single-token candidates has zero bigram slots — p2 is
     // 0 by convention, not 0/0 (engines disagree on NaN vs NULL there)
