@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
 object CorrectionQueries {
 
   def qCorrections(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(s, dir)
+    // sort at the SOURCE (the qEnrich discipline): the output contract
+    // is id-ordered, and a top-level orderBy would range-sample its
+    // child — re-running the whole corrections pipeline a second time
+    // just to pick partition boundaries. The broadcast join and the
+    // per-row correction maps are order-preserving, so sorting the
+    // pruned customer scan once gives the same ordered output.
+    val c = Tables.customer(s, dir).orderBy(col("c_custkey"))
     val n = Tables.nation(s, dir)
     val records = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .select(
@@ -54,7 +60,6 @@ object CorrectionQueries {
       .select(col("id"), col("country"), col("countrycode"), col("kingdom"),
         col("phylum"), col("scientificname"),
         array_join(col("flags"), ",").as("flags"))
-      .orderBy(col("id"))
   }
 
   // ---------------------------------------------------------------------
@@ -70,7 +75,10 @@ object CorrectionQueries {
   // ---------------------------------------------------------------------
 
   def qCorrectionsGeo(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
+    // sort at the SOURCE — see qCorrections: the rule pipeline is
+    // order-preserving per-row maps, so the id-ordered contract comes
+    // from the pruned orders scan, not a result-resampling orderBy
+    val o = Tables.orders(s, dir).orderBy(col("o_orderkey"))
     val k = col("o_orderkey") % 12
     val records = o.select(
       col("o_orderkey").as("id"),
@@ -100,7 +108,6 @@ object CorrectionQueries {
       .select(col("id"), col("stateprovince"), col("country"),
         col("continent"), col("countrycode"),
         array_join(col("flags"), ",").as("flags"))
-      .orderBy(col("id"))
   }
 
   val qCorrectionsGeoSql: String =

@@ -743,7 +743,10 @@ object EtlQueries {
   // ---------------------------------------------------------------------
 
   def qSciAuthors(s: SparkSession, dir: String): DataFrame = {
-    val p = Tables.part(s, dir)
+    // sort at the SOURCE (the qEnrich discipline) — the parse is a
+    // per-row map, so the id-ordered contract rides the pruned scan
+    // instead of a result-resampling top-level orderBy
+    val p = Tables.part(s, dir).orderBy(col("p_partkey"))
     val w = split(col("p_name"), " ")
     val w1 = element_at(w, 1)
     val w2 = element_at(w, 2)
@@ -766,7 +769,6 @@ object EtlQueries {
         col("_p.year").as("year"),
         array_join(col("_p.basionym_authors"), " ").as("basionym"),
         array_join(col("_p.combination_authors"), " ").as("combination"))
-      .orderBy(col("id"))
   }
 
   val qSciAuthorsSql: String =
