@@ -199,9 +199,29 @@ object TextDedup {
     * verification semi-joins the SAME table instead of re-shingling
     * candidate docs, so the corpus is tokenized exactly once across
     * the whole family. */
+  /** The rarest-first ranked shingle relation (id, h, pos, n) both
+    * AllPairs candidate generators read: per-shingle document
+    * frequency joined back and ranked per doc by (df, h), plus the
+    * doc's shingle count. THRESHOLD-INDEPENDENT — the Jaccard and
+    * containment gates differ only in the prefix cut they apply on
+    * top, so callers running several set-similarity operators over one
+    * corpus stage THIS relation once (at 100 TB it is the stored
+    * rarest-first posting index) instead of re-paying the df
+    * aggregation and the per-doc rank window per operator. */
+  def rankedShingles(sh: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col(idCol))
+    sh.join(dfreq, "h")
+      .select(col(idCol), col("h"),
+        row_number().over(byDoc.orderBy(col("df"), col("h"))).as("pos"),
+        count(lit(1)).over(byDoc).as("n"))
+  }
+
   def jaccardSelfJoinFromShingles(sh: DataFrame, idCol: String,
-      threshold: Double): DataFrame = {
-    val cands = cutRegistered(jaccardCandidates(sh, idCol, threshold))
+      threshold: Double, ranked: Option[DataFrame] = None): DataFrame = {
+    val cands = cutRegistered(jaccardCandidatesFromRanked(
+      ranked.getOrElse(rankedShingles(sh, idCol)), idCol, threshold))
     val candDocs = cands.select(col("d1").as(idCol))
       .union(cands.select(col("d2").as(idCol))).distinct()
     val shCand = sh.join(candDocs, Seq(idCol), "left_semi")
@@ -245,18 +265,17 @@ object TextDedup {
     * Exposed separately so the pruning claim is testable: a spec
     * asserts candidates ⊇ true pairs AND ≪ the all-pairs count. */
   def jaccardCandidates(sh: DataFrame, idCol: String,
+      threshold: Double): DataFrame =
+    jaccardCandidatesFromRanked(rankedShingles(sh, idCol), idCol, threshold)
+
+  /** [[jaccardCandidates]] over a PRECOMPUTED/staged
+    * [[rankedShingles]] relation (the rank and the whole-doc size use
+    * one doc-id partitioning — one exchange, two Window operators —
+    * and are threshold-independent, so several set-similarity gates
+    * share one build). */
+  def jaccardCandidatesFromRanked(ranked: DataFrame, idCol: String,
       threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
-    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // rank each doc's shingles rarest-first; the ordered rank and the
-    // whole-doc size use the SAME doc-id partitioning (one exchange,
-    // two Window operators)
-    val byDoc = Window.partitionBy(col(idCol))
-    val ranked = sh.join(dfreq, "h")
-      .select(col(idCol), col("h"),
-        row_number().over(byDoc.orderBy(col("df"), col("h"))).as("pos"),
-        count(lit(1)).over(byDoc).as("n"))
     val prefix = ranked.where(
       col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
     val p1 = prefix.select(col(idCol).as("d1"), col("h"), col("n").as("n1"))
@@ -292,8 +311,9 @@ object TextDedup {
   /** [[containmentSelfJoin]] over a PRECOMPUTED/staged (id, h)
     * distinct shingle table (see [[jaccardSelfJoinFromShingles]]). */
   def containmentSelfJoinFromShingles(sh: DataFrame, idCol: String,
-      threshold: Double): DataFrame = {
-    val cands = cutRegistered(containmentCandidates(sh, idCol, threshold))
+      threshold: Double, ranked: Option[DataFrame] = None): DataFrame = {
+    val cands = cutRegistered(containmentCandidatesFromRanked(
+      ranked.getOrElse(rankedShingles(sh, idCol)), idCol, threshold))
     val candDocs = cands.select(col("d1").as(idCol))
       .union(cands.select(col("d2").as(idCol))).distinct()
     val shCand = sh.join(candDocs, Seq(idCol), "left_semi")
@@ -344,15 +364,16 @@ object TextDedup {
     * whichever side's prefix shares a shingle with the other's full
     * list; output is normalized to d1 < d2. */
   def containmentCandidates(sh: DataFrame, idCol: String,
+      threshold: Double): DataFrame =
+    containmentCandidatesFromRanked(rankedShingles(sh, idCol), idCol,
+      threshold)
+
+  /** [[containmentCandidates]] over a PRECOMPUTED/staged
+    * [[rankedShingles]] relation — see
+    * [[jaccardCandidatesFromRanked]]. */
+  def containmentCandidatesFromRanked(ranked: DataFrame, idCol: String,
       threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
-    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy(col(idCol))
-    val ranked = sh.join(dfreq, "h")
-      .select(col(idCol), col("h"),
-        row_number().over(byDoc.orderBy(col("df"), col("h"))).as("pos"),
-        count(lit(1)).over(byDoc).as("n"))
     val prefix = ranked.where(
       col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
     val p1 = prefix.select(col(idCol).as("da"), col("h"), col("n").as("na"))

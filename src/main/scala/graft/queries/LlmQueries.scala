@@ -191,9 +191,22 @@ object LlmQueries {
           split(col("text"), " "), 3)).as("h"))
     }
 
+  /** The rarest-first ranked posting relation over [[dedupShingles3]],
+    * staged once per (session, dir) — the df aggregation + per-doc rank
+    * window is THRESHOLD-INDEPENDENT and was rebuilt by both exact
+    * set-similarity gates (Jaccard τ=0.4 and containment τ=0.6); at
+    * 100 TB it is the stored posting index the prefix filters read. */
+  private def dedupRanked3(s: SparkSession, dir: String): DataFrame = {
+    val sh = dedupShingles3(s, dir)
+    graft.Staging.stage(s, s"dedup:ranked3:$dir") {
+      TextDedup.rankedShingles(sh, "doc_id")
+    }
+  }
+
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame =
     TextDedup.jaccardSelfJoinFromShingles(
-        dedupShingles3(s, dir), "doc_id", threshold = 0.4)
+        dedupShingles3(s, dir), "doc_id", threshold = 0.4,
+        ranked = Some(dedupRanked3(s, dir)))
       .orderBy(col("d1"), col("d2"))
 
   val qDedupJaccardSql: String =
@@ -208,7 +221,8 @@ object LlmQueries {
     * prefix(smaller) ⋈ full(larger) pruning. */
   def qDedupContain(s: SparkSession, dir: String): DataFrame =
     TextDedup.containmentSelfJoinFromShingles(
-        dedupShingles3(s, dir), "doc_id", threshold = 0.6)
+        dedupShingles3(s, dir), "doc_id", threshold = 0.6,
+        ranked = Some(dedupRanked3(s, dir)))
       .orderBy(col("d1"), col("d2"))
 
   val qDedupContainSql: String =
