@@ -779,13 +779,19 @@ object Graph {
     * nodes emit 0 by convention — no division). Output: (id, deg,
     * n_tri, cc6). */
   def clusteringCoefficients(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
-    val und = undirect(edges, srcCol, dstCol)
-    triangleCounts(edges, srcCol, dstCol)
-      .join(degrees(und), "id")
+      dstCol: String): DataFrame =
+    clusteringCoefficientsFromTriangles(
+      triangleCounts(edges, srcCol, dstCol), edges, srcCol, dstCol)
+
+  /** [[clusteringCoefficients]] over a PRECOMPUTED/staged
+    * [[triangleCounts]] relation — callers gating both the counts and
+    * the coefficients over one graph share the wedge join (the
+    * expensive half; the degree aggregation here is one groupBy). */
+  def clusteringCoefficientsFromTriangles(tri: DataFrame, edges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame =
+    tri.join(degrees(undirect(edges, srcCol, dstCol)), "id")
       .select(col("id"), col("deg"), col("n_tri"),
         when(col("deg") < 2, lit(0.0)).otherwise(
           round(lit(2.0) * col("n_tri").cast("double") /
             (col("deg") * (col("deg") - 1)).cast("double"), 6)).as("cc6"))
-  }
 }

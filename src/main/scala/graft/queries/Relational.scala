@@ -1105,13 +1105,25 @@ object Relational {
     * orientation-independent, so the two must agree row for row —
     * which is exactly what makes the skew-proof orientation safe to
     * ship. */
+  /** The shared mod-97 event graph of the triangle/clustering pair. */
+  private def edges97(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .where(col("event_id") % 11 === 0)
+      .select((col("event_id") % 97).as("src"),
+        (floor(col("event_id") / 97) % 97).as("dst"))
+
+  /** Per-node triangle counts over [[edges97]], staged once per
+    * (session, dir): the wedge equi-join + closing semi-join is the
+    * expensive half of BOTH q_triangles and q_clustering (which only
+    * adds a degrees join on top) — at scale the counts are a stored
+    * graph-metrics table, recomputed when the edge set changes. */
+  private def tri97Staged(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.stage(s, s"graph:tri97:$dir") {
+      graft.operators.Graph.triangleCounts(edges97(s, dir), "src", "dst")
+    }
+
   def qTriangles(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Graph.triangleCounts(
-        Tables.events(s, dir)
-          .where(col("event_id") % 11 === 0)
-          .select((col("event_id") % 97).as("src"),
-            (floor(col("event_id") / 97) % 97).as("dst")),
-        "src", "dst")
+    tri97Staged(s, dir)
       .orderBy(col("id"))
 
   val qTrianglesSql: String =
@@ -1305,12 +1317,8 @@ object Relational {
     * 6 — the neighborhood-density score next to q_triangles' counts.
     * One extra groups-sized join on the triangle plan. */
   def qClustering(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Graph.clusteringCoefficients(
-        Tables.events(s, dir)
-          .where(col("event_id") % 11 === 0)
-          .select((col("event_id") % 97).as("src"),
-            (floor(col("event_id") / 97) % 97).as("dst")),
-        "src", "dst")
+    graft.operators.Graph.clusteringCoefficientsFromTriangles(
+        tri97Staged(s, dir), edges97(s, dir), "src", "dst")
       .orderBy(col("id"))
 
   val qClusteringSql: String =
@@ -1923,12 +1931,28 @@ object Relational {
           / lit(86400000000L)).cast("long").as("r_days"),
         count(lit(1)).as("freq"),
         sum(floor(col("value") * 100).cast("long")).as("money"))
-    val withR = graft.operators.Profile.globalNtile(base, "r_days",
-      "user_id", 5, v => v, "_rnt")
-    val withF = graft.operators.Profile.globalNtile(withR, "freq",
-      "user_id", 5, v => v, "_fnt")
-    val withM = graft.operators.Profile.globalNtile(withF, "money",
-      "user_id", 5, v => floor(v / lit(1024L)), "_mnt")
+    // cut base once, then score the three ntiles INDEPENDENTLY and
+    // join: globalNtile references its input three times (bucket
+    // bases, total, the ranked stream), so the previous chained form
+    // re-expanded the purchase aggregation 3^3 = 27 times in one plan
+    // (measured r21: 4.7 s execution for a users-sized input). Each
+    // rank only reads base's own columns — the chain never fed one
+    // ntile's output into another's ordering — so the independent
+    // form is value-identical (ntile output is also partitioning-
+    // independent, ProfileSpec), with one users-sized materialization
+    // and three users-sized join legs instead of the blowup.
+    val b = {
+      val (c, rdd) = graft.operators.Graph.localCut(base)
+      graft.Staging.registerPinned(s, rdd)
+      c
+    }
+    def nt(valueCol: String, bucketOf: Column => Column, out: String) =
+      graft.operators.Profile.globalNtile(b, valueCol, "user_id", 5,
+        bucketOf, out).select(col("user_id"), col(out))
+    val withM = b
+      .join(nt("r_days", v => v, "_rnt"), Seq("user_id"))
+      .join(nt("freq", v => v, "_fnt"), Seq("user_id"))
+      .join(nt("money", v => floor(v / lit(1024L)), "_mnt"), Seq("user_id"))
     withM.select(col("user_id"), col("r_days"), col("freq"), col("money"),
         (lit(6) - col("_rnt")).as("r_score"),
         col("_fnt").as("f_score"), col("_mnt").as("m_score"))
