@@ -159,11 +159,16 @@ class PlanShapeSpec extends SparkSpec {
       .toDF("cid", "c")
     val assigned = graft.operators.Similarity.ivfAssignHierarchical(vecs, cents)
     val pa = plan(assigned)
-    // the ONLY window is the centroid-table rank (broadcast-sized by
-    // contract); the corpus-side argmins must be min_by aggregates
-    assert(pa.contains("min_by") || pa.contains("MinBy") ||
-      pa.contains("partial_min_by") || !pa.contains("row_number() windowspecdefinition(vid"),
+    // the corpus-side argmins must be min_by aggregates, asserted
+    // DIRECTLY (the r20 ADVICE finding: the old negated-contains arm
+    // was true under any plan-string drift, so a regression back to a
+    // window argmin could slip through)
+    assert(pa.contains("min_by"),
       s"corpus argmin must be the partial-aggregable min_by:\n$pa")
+    // and the ONLY window in the plan is the centroid-table rank
+    // (broadcast-sized by contract) — never a corpus-keyed spec
+    assert(!pa.contains("windowspecdefinition(vid"),
+      s"no corpus-keyed window allowed in the quantizer plan:\n$pa")
     assert(pa.contains("Broadcast"), "super/centroid sides must broadcast")
     assert(!pa.contains("SortMergeJoin"),
       s"the corpus must never shuffle-join against centroid tables:\n$pa")

@@ -12,15 +12,28 @@ to splice into Bench.scala.
 """
 import json, sys
 
-# plan/staging changed in round 20 — r19 readings not comparable
+# plan/staging changed THIS round — prior-round readings not comparable
+# (r21 set: the r20 ADVICE fix added q_dedup_incr_embed, whose plan
+# changed in r20; the rest are the r21 optimization targets)
 TOUCHED = {"q_semdedup", "q_dedup_snm", "q_linkage", "q_linkage_eval",
-           "q_download_dedup", "q_media_fetch", "q_ann_recall"}
+           "q_download_dedup", "q_media_fetch", "q_ann_recall",
+           "q_dedup_incr_embed",
+           # r21 optimization round
+           "q_bleu", "q_store_view", "q_item_view", "q_subitem_view",
+           "q_has_child", "q_version_assign", "q_etag_dedup",
+           "q_annotations", "q_index_run_incr", "q_incremental",
+           "q_resume_actions", "q_download", "q_download_unique",
+           "q_download_media", "q_download_rq_only", "q_corrections",
+           "q_corrections_geo", "q_sci_authors", "q_dedup_jaccard",
+           "q_dedup_contain", "q_rfm", "q_triangles", "q_clustering"}
 
 runs = [json.load(open(p))["queries"] for p in sys.argv[1:]]
 r20 = runs[:2]
 r19 = runs[2:]
 
-names = sorted(r20[0])
+# union of BOTH current-round runs (the r20 ADVICE fix: sorted(r20[0])
+# silently dropped any query present only in the second run)
+names = sorted(set().union(*[set(r) for r in r20]))
 vals = {}
 for n in names:
     v = min(r[n] for r in r20 if n in r)
