@@ -80,111 +80,110 @@ object Bench {
     * round's additions) never retry; they gain entries once the
     * round-close controlled pair lands. */
   val controlledSec: Map[String, Double] = Map(
-    "q1_agg" -> 1.11, "q_align_uniform" -> 1.13, "q_ann_ivf" -> 2.73,
-    "q_ann_ivf_probe" -> 0.81, "q_ann_ivf_trained" -> 3.61,
-    "q_ann_ivf2" -> 1.65,
-    "q_ann_lsh" -> 0.7, "q_ann_pq" -> 0.76, "q_ann_pq_trained" -> 1.68,
-    "q_ann_proj" -> 1.05, "q_ann_quantized" -> 0.48,
-    "q_ann_recall" -> 1.55, "q_ann_scoreboard" -> 1.68,
-    "q_ann_topk" -> 0.13, "q_annotations" -> 1.91, "q_anti_join" -> 0.41,
-    "q_asof_join" -> 0.97, "q_auc" -> 0.46, "q_binning" -> 0.34,
-    "q_bitext_mine" -> 1.32, "q_bleu" -> 4.87, "q_bloom_join" -> 0.68,
-    "q_bpe_encode" -> 2.14, "q_bpe_fertility" -> 0.65,
-    "q_bpe_pairs" -> 0.39, "q_bpe_train" -> 0.05,
-    "q_bucketed_join" -> 1.78, "q_burstiness" -> 0.61,
-    "q_calibration" -> 0.41, "q_ccnet_buckets" -> 1.44,
-    "q_cdc_chunks" -> 0.62, "q_centroid_classify" -> 1.24,
-    "q_chi2" -> 1.17, "q_children_counts" -> 0.33,
-    "q_chunk_overlap" -> 0.45, "q_churn" -> 0.81, "q_citations" -> 0.24,
-    "q_classify_f1" -> 1.7, "q_cluster_balance" -> 1.19,
-    "q_clustering" -> 2.14, "q_col_profile" -> 0.91,
-    "q_communities" -> 0.91, "q_compact" -> 1.28,
-    "q_conversion_time" -> 0.35, "q_corrections" -> 0.79,
-    "q_corrections_geo" -> 2.23, "q_count" -> 0.19, "q_countmin" -> 1.7,
-    "q_coverage" -> 0.44, "q_ctfidf" -> 0.59, "q_cube" -> 0.44,
-    "q_dataset_index" -> 1.1, "q_datasheet" -> 2.71, "q_datum" -> 1.2,
-    "q_debounce" -> 0.7, "q_decay" -> 0.58, "q_decontaminate" -> 0.44,
-    "q_decontaminate_apply" -> 0.6, "q_dedup_apply" -> 1.14,
-    "q_dedup_clusters" -> 0.07, "q_dedup_contain" -> 3.67,
-    "q_dedup_embed" -> 0.45, "q_dedup_exact" -> 0.53,
-    "q_dedup_incr" -> 1.86, "q_dedup_incr_embed" -> 1.0,
-    "q_dedup_jaccard" -> 3.57, "q_dedup_keep_best" -> 0.38,
-    "q_dedup_minhash" -> 0.15, "q_dedup_passages" -> 1.44,
-    "q_dedup_passages_apply" -> 1.34, "q_dedup_report" -> 0.43,
-    "q_dedup_simhash" -> 1.41, "q_dedup_snm" -> 2.94,
-    "q_dedup_sweep" -> 0.57, "q_distinct_hll" -> 1.3,
-    "q_distinct_kmv" -> 0.61, "q_download" -> 3.7,
-    "q_download_dedup" -> 1.58, "q_download_media" -> 1.7,
-    "q_download_rq_only" -> 1.66, "q_download_unique" -> 1.63,
-    "q_dq_report" -> 0.45, "q_dq_stats" -> 0.53, "q_drift" -> 0.52,
-    "q_dsir" -> 0.81, "q_dsir_incr" -> 0.82, "q_dsl_compound" -> 0.32,
-    "q_dsl_exists_missing" -> 0.2, "q_dsl_fulltext" -> 0.44,
-    "q_dsl_geo_bbox" -> 0.2, "q_dsl_geo_distance" -> 0.2,
-    "q_dsl_geo_polygon" -> 0.25, "q_dsl_geo_shape" -> 0.2,
-    "q_dsl_prefix" -> 0.16, "q_dsl_range" -> 0.21, "q_dsl_term" -> 0.15,
-    "q_dsl_terms" -> 0.27, "q_dup_detect" -> 0.7,
-    "q_dwca_roundtrip" -> 0.94, "q_eml" -> 0.36, "q_enrich" -> 2.49,
-    "q_enrich_media" -> 1.76, "q_enrich_publisher" -> 0.27,
-    "q_enrich_recordset" -> 0.51, "q_entropy" -> 0.46,
-    "q_etag_dedup" -> 0.81, "q_except" -> 0.37, "q_export_csv" -> 0.57,
-    "q_export_dwca" -> 0.24, "q_fd_check" -> 0.74,
-    "q_feature_hash" -> 0.52, "q_fulltext_rank" -> 0.55,
-    "q_funnel" -> 0.43, "q_fuzzy_join" -> 1.77, "q_gaps" -> 0.48,
-    "q_geo_correct" -> 2.35, "q_geohash_prune" -> 1.35, "q_golden" -> 0.55,
-    "q_hard_negatives" -> 0.53, "q_has_child" -> 1.04, "q_heaps" -> 0.71,
-    "q_heavy_hitters" -> 0.43, "q_histogram" -> 0.47,
-    "q_hll_rollup" -> 0.77, "q_hybrid_rrf" -> 0.83,
-    "q_identifiers_agg" -> 0.55, "q_ild" -> 1.85, "q_inclusion" -> 0.5,
-    "q_incremental" -> 0.87, "q_index_merge" -> 1.17,
-    "q_index_run" -> 3.62, "q_index_run_incr" -> 0.87,
-    "q_index_run_media" -> 0.92, "q_index_search" -> 0.7,
-    "q_ingest_identity" -> 0.5, "q_ingest_summary" -> 0.97,
-    "q_ingest_suspects" -> 0.29, "q_inner_hits" -> 0.59,
-    "q_inverted_index" -> 1.07, "q_item_view" -> 3.54,
-    "q_jaro_match" -> 0.47, "q_join_broadcast" -> 0.51,
-    "q_join_card" -> 0.66, "q_join_equi" -> 0.34, "q_join_salted" -> 0.6,
-    "q_jsonl" -> 0.61, "q_kappa" -> 0.42, "q_kcore" -> 1.34,
-    "q_kcore_order" -> 0.73, "q_key_skew" -> 0.24, "q_kmeans" -> 0.11,
-    "q_kmeans_fixedk" -> 0.9, "q_kmv_overlap" -> 0.48, "q_kn3_lm" -> 2.58,
-    "q_kn3_score" -> 1.98, "q_kn_heldout" -> 1.09, "q_kn_incr" -> 1.33,
-    "q_kn_lm" -> 1.15, "q_kn_prune" -> 1.53, "q_kn_score" -> 1.26,
-    "q_lang_id" -> 0.31, "q_lang_id_conf" -> 0.28,
-    "q_latest_version" -> 0.48, "q_len_quantiles" -> 0.33,
-    "q_linkage" -> 3.19, "q_linkage_eval" -> 0.57, "q_mad" -> 0.55,
-    "q_max_watermark" -> 0.12, "q_media_api" -> 0.66,
-    "q_media_audio" -> 0.51, "q_media_derivative" -> 1.54,
-    "q_media_fetch" -> 0.39, "q_media_phash" -> 0.42,
-    "q_media_resolution" -> 0.56, "q_media_video" -> 0.51,
-    "q_mixture_entropy" -> 0.58, "q_mmr" -> 1.19, "q_modularity" -> 1.2,
-    "q_moving_avg" -> 0.4, "q_nb_lang" -> 1.93, "q_ndcg" -> 0.64,
-    "q_ohlc" -> 0.56, "q_outliers" -> 0.22, "q_pack_chunks" -> 0.19,
-    "q_pack_chunks_sharded" -> 0.38, "q_pagerank" -> 1.16,
-    "q_paging" -> 0.09, "q_perplexity" -> 1.09, "q_pii_scrub" -> 0.91,
-    "q_pipeline" -> 3.81, "q_pipeline_incr" -> 2.46, "q_pivot" -> 0.42,
-    "q_pmi" -> 0.85, "q_ppr" -> 1.39, "q_quality_filter" -> 1.17,
-    "q_quality_rep" -> 0.4, "q_quality_trim" -> 0.29,
-    "q_quantile_rollup" -> 1.23, "q_quantile_sketch" -> 0.27,
-    "q_random_proj" -> 0.39, "q_range_join" -> 0.68, "q_rbo" -> 0.83,
-    "q_remix_weights" -> 0.34, "q_resume_actions" -> 0.8,
-    "q_retention" -> 0.6, "q_rfm" -> 2.17, "q_rollup" -> 0.34,
-    "q_rss" -> 0.25, "q_sample_balanced" -> 0.38, "q_sample_quota" -> 0.25,
-    "q_sampled_agg" -> 0.37, "q_scd2" -> 0.68, "q_sci_authors" -> 0.32,
-    "q_semdedup" -> 1.95, "q_semi_join" -> 0.49, "q_sessionize" -> 0.82,
-    "q_shuffle_order" -> 0.45, "q_sibling_closure" -> 0.2,
-    "q_silhouette" -> 0.94, "q_source_profile" -> 0.41,
-    "q_split_hash" -> 0.16, "q_split_safe" -> 0.23,
-    "q_static_datasets" -> 0.88, "q_stats_digest" -> 0.98,
-    "q_stats_rollup" -> 0.64, "q_store_view" -> 1.69,
-    "q_subitem_view" -> 0.69, "q_suffix_match" -> 1.0,
-    "q_taxon_model" -> 0.65, "q_temperature_remix" -> 0.48,
-    "q_temporal_join" -> 0.74, "q_terms_agg" -> 0.21,
-    "q_terms_nested" -> 0.29, "q_text_stats" -> 0.58, "q_tfidf" -> 1.08,
-    "q_token_budget" -> 0.26, "q_topk" -> 0.21, "q_transitions" -> 0.55,
-    "q_trend" -> 0.43, "q_triangles" -> 1.53, "q_union" -> 0.25,
-    "q_uniquevals" -> 0.22, "q_version_assign" -> 0.75,
-    "q_weighted_sample" -> 0.21, "q_winnow" -> 1.19,
-    "q_winnow_incr" -> 1.77, "q_winnow_match" -> 1.26, "q_zipf" -> 0.31,
-    "q_zorder" -> 0.23)
+    "q1_agg" -> 1.19, "q_align_uniform" -> 1.1, "q_ann_ivf" -> 0.74,
+    "q_ann_ivf2" -> 0.4, "q_ann_ivf_probe" -> 0.57,
+    "q_ann_ivf_trained" -> 0.92, "q_ann_lsh" -> 0.51, "q_ann_pq" -> 0.65,
+    "q_ann_pq_trained" -> 1.4, "q_ann_proj" -> 0.15,
+    "q_ann_quantized" -> 0.43, "q_ann_recall" -> 0.7,
+    "q_ann_scoreboard" -> 1.47, "q_ann_topk" -> 0.12,
+    "q_annotations" -> 0.83, "q_anti_join" -> 0.35, "q_asof_join" -> 0.79,
+    "q_auc" -> 0.44, "q_binning" -> 0.28, "q_bitext_mine" -> 1.1,
+    "q_bleu" -> 1.64, "q_bloom_join" -> 0.66, "q_bpe_encode" -> 0.62,
+    "q_bpe_fertility" -> 0.65, "q_bpe_pairs" -> 0.4, "q_bpe_train" -> 0.05,
+    "q_bucketed_join" -> 1.59, "q_burstiness" -> 0.61,
+    "q_calibration" -> 0.45, "q_ccnet_buckets" -> 1.58,
+    "q_cdc_chunks" -> 0.65, "q_centroid_classify" -> 1.14,
+    "q_chi2" -> 1.09, "q_children_counts" -> 0.29,
+    "q_chunk_overlap" -> 0.41, "q_churn" -> 0.69, "q_citations" -> 0.22,
+    "q_classify_f1" -> 1.4, "q_cluster_balance" -> 1.04,
+    "q_clustering" -> 0.79, "q_col_profile" -> 0.9,
+    "q_communities" -> 0.98, "q_compact" -> 1.47,
+    "q_conversion_time" -> 0.38, "q_corrections" -> 0.53,
+    "q_corrections_geo" -> 1.99, "q_count" -> 0.21, "q_countmin" -> 1.77,
+    "q_coverage" -> 0.48, "q_ctfidf" -> 0.6, "q_cube" -> 0.44,
+    "q_dataset_index" -> 1.03, "q_datasheet" -> 0.98, "q_datum" -> 0.97,
+    "q_debounce" -> 0.67, "q_decay" -> 0.49, "q_decontaminate" -> 0.42,
+    "q_decontaminate_apply" -> 0.57, "q_dedup_apply" -> 1.17,
+    "q_dedup_clusters" -> 0.08, "q_dedup_contain" -> 6.0,
+    "q_dedup_embed" -> 0.55, "q_dedup_exact" -> 0.54,
+    "q_dedup_incr" -> 2.03, "q_dedup_incr_embed" -> 1.85,
+    "q_dedup_jaccard" -> 4.89, "q_dedup_keep_best" -> 0.42,
+    "q_dedup_minhash" -> 0.18, "q_dedup_passages" -> 1.38,
+    "q_dedup_passages_apply" -> 1.42, "q_dedup_report" -> 0.35,
+    "q_dedup_simhash" -> 1.48, "q_dedup_snm" -> 3.91,
+    "q_dedup_sweep" -> 0.61, "q_distinct_hll" -> 1.4,
+    "q_distinct_kmv" -> 0.68, "q_download" -> 4.79,
+    "q_download_dedup" -> 1.85, "q_download_media" -> 2.4,
+    "q_download_rq_only" -> 2.24, "q_download_unique" -> 2.06,
+    "q_dq_report" -> 0.43, "q_dq_stats" -> 0.59, "q_drift" -> 0.53,
+    "q_dsir" -> 0.85, "q_dsir_incr" -> 0.86, "q_dsl_compound" -> 0.31,
+    "q_dsl_exists_missing" -> 0.2, "q_dsl_fulltext" -> 0.43,
+    "q_dsl_geo_bbox" -> 0.2, "q_dsl_geo_distance" -> 0.18,
+    "q_dsl_geo_polygon" -> 0.25, "q_dsl_geo_shape" -> 0.19,
+    "q_dsl_prefix" -> 0.16, "q_dsl_range" -> 0.22, "q_dsl_term" -> 0.16,
+    "q_dsl_terms" -> 0.29, "q_dup_detect" -> 0.71,
+    "q_dwca_roundtrip" -> 0.65, "q_eml" -> 0.3, "q_enrich" -> 2.25,
+    "q_enrich_media" -> 1.53, "q_enrich_publisher" -> 0.28,
+    "q_enrich_recordset" -> 0.45, "q_entropy" -> 0.51,
+    "q_etag_dedup" -> 0.69, "q_except" -> 0.35, "q_export_csv" -> 0.56,
+    "q_export_dwca" -> 0.29, "q_fd_check" -> 0.76,
+    "q_feature_hash" -> 0.49, "q_fulltext_rank" -> 0.5, "q_funnel" -> 0.44,
+    "q_fuzzy_join" -> 1.55, "q_gaps" -> 0.49, "q_geo_correct" -> 2.21,
+    "q_geohash_prune" -> 1.19, "q_golden" -> 0.52,
+    "q_hard_negatives" -> 0.48, "q_has_child" -> 1.31, "q_heaps" -> 0.66,
+    "q_heavy_hitters" -> 0.42, "q_histogram" -> 0.42,
+    "q_hll_rollup" -> 0.68, "q_hybrid_rrf" -> 0.88,
+    "q_identifiers_agg" -> 0.46, "q_ild" -> 2.0, "q_inclusion" -> 0.5,
+    "q_incremental" -> 0.89, "q_index_merge" -> 1.11,
+    "q_index_run" -> 3.33, "q_index_run_incr" -> 0.9,
+    "q_index_run_media" -> 1.25, "q_index_search" -> 0.87,
+    "q_ingest_identity" -> 0.61, "q_ingest_summary" -> 1.12,
+    "q_ingest_suspects" -> 0.31, "q_inner_hits" -> 0.54,
+    "q_inverted_index" -> 1.25, "q_item_view" -> 3.43,
+    "q_jaro_match" -> 0.46, "q_join_broadcast" -> 0.56,
+    "q_join_card" -> 0.73, "q_join_equi" -> 0.39, "q_join_salted" -> 0.64,
+    "q_jsonl" -> 0.69, "q_kappa" -> 0.51, "q_kcore" -> 1.79,
+    "q_kcore_order" -> 0.85, "q_key_skew" -> 0.29, "q_kmeans" -> 0.16,
+    "q_kmeans_fixedk" -> 1.24, "q_kmv_overlap" -> 0.58, "q_kn3_lm" -> 3.1,
+    "q_kn3_score" -> 2.27, "q_kn_heldout" -> 1.23, "q_kn_incr" -> 1.66,
+    "q_kn_lm" -> 1.23, "q_kn_prune" -> 2.04, "q_kn_score" -> 1.5,
+    "q_lang_id" -> 0.34, "q_lang_id_conf" -> 0.34,
+    "q_latest_version" -> 0.47, "q_len_quantiles" -> 0.35,
+    "q_linkage" -> 4.0, "q_linkage_eval" -> 0.77, "q_mad" -> 0.74,
+    "q_max_watermark" -> 0.13, "q_media_api" -> 0.84,
+    "q_media_audio" -> 0.66, "q_media_derivative" -> 1.62,
+    "q_media_fetch" -> 0.55, "q_media_phash" -> 0.56,
+    "q_media_resolution" -> 0.56, "q_media_video" -> 0.68,
+    "q_mixture_entropy" -> 0.65, "q_mmr" -> 1.43, "q_modularity" -> 1.29,
+    "q_moving_avg" -> 0.4, "q_nb_lang" -> 2.08, "q_ndcg" -> 0.75,
+    "q_ohlc" -> 0.53, "q_outliers" -> 0.24, "q_pack_chunks" -> 0.2,
+    "q_pack_chunks_sharded" -> 0.46, "q_pagerank" -> 1.39,
+    "q_paging" -> 0.1, "q_perplexity" -> 1.11, "q_pii_scrub" -> 0.89,
+    "q_pipeline" -> 3.8, "q_pipeline_incr" -> 3.05, "q_pivot" -> 0.49,
+    "q_pmi" -> 1.01, "q_ppr" -> 1.6, "q_quality_filter" -> 1.16,
+    "q_quality_rep" -> 0.43, "q_quality_trim" -> 0.32,
+    "q_quantile_rollup" -> 1.48, "q_quantile_sketch" -> 0.35,
+    "q_random_proj" -> 0.43, "q_range_join" -> 0.72, "q_rbo" -> 0.92,
+    "q_remix_weights" -> 0.37, "q_resume_actions" -> 1.02,
+    "q_retention" -> 0.56, "q_rfm" -> 1.36, "q_rollup" -> 0.4,
+    "q_rss" -> 0.36, "q_sample_balanced" -> 0.46, "q_sample_quota" -> 0.3,
+    "q_sampled_agg" -> 0.41, "q_scd2" -> 0.79, "q_sci_authors" -> 0.36,
+    "q_semdedup" -> 2.75, "q_semi_join" -> 0.61, "q_sessionize" -> 0.94,
+    "q_shuffle_order" -> 0.53, "q_sibling_closure" -> 0.23,
+    "q_silhouette" -> 1.09, "q_source_profile" -> 0.46,
+    "q_split_hash" -> 0.2, "q_split_safe" -> 0.25,
+    "q_static_datasets" -> 0.87, "q_stats_digest" -> 1.18,
+    "q_stats_rollup" -> 0.7, "q_store_view" -> 2.42,
+    "q_subitem_view" -> 0.78, "q_suffix_match" -> 1.06,
+    "q_taxon_model" -> 0.74, "q_temperature_remix" -> 0.49,
+    "q_temporal_join" -> 0.87, "q_terms_agg" -> 0.23,
+    "q_terms_nested" -> 0.4, "q_text_stats" -> 0.66, "q_tfidf" -> 1.11,
+    "q_token_budget" -> 0.33, "q_topk" -> 0.27, "q_transitions" -> 0.57,
+    "q_trend" -> 0.48, "q_triangles" -> 0.38, "q_union" -> 0.28,
+    "q_uniquevals" -> 0.24, "q_version_assign" -> 1.04,
+    "q_weighted_sample" -> 0.26, "q_winnow" -> 1.37,
+    "q_winnow_incr" -> 1.89, "q_winnow_match" -> 1.34, "q_zipf" -> 0.36,
+    "q_zorder" -> 0.24)
 
   def main(args: Array[String]): Unit = {
     // drop any previous run's artifact FIRST: if this run's write fails
