@@ -186,16 +186,22 @@ object Bench {
     "q_zorder" -> 0.24)
 
   def main(args: Array[String]): Unit = {
-    // drop any previous run's artifact FIRST: if this run's write fails
-    // (swallowed below — stdout stays the primary channel), a consumer
-    // cp'ing BENCH_FULL.json must fail loudly rather than silently
-    // archive another run's numbers
-    try java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get("BENCH_FULL.json"))
-    catch { case _: Throwable => }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val canaryStart = canaryMs()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // drop any previous run's artifacts FIRST: if this run's write fails
+    // (swallowed below — stdout stays the primary channel), a consumer
+    // cp'ing BENCH_FULL.json must fail loudly rather than silently
+    // archive another run's numbers. The cpus-suffixed copy exists
+    // because a later run at ANOTHER core count overwrites
+    // BENCH_FULL.json (r21: the driver's 8-core run clobbered the
+    // 32-core per-query evidence) — each core count keeps its own.
+    try {
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get("BENCH_FULL.json"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"BENCH_FULL_c$cpus.json"))
+    } catch { case _: Throwable => }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -242,13 +248,37 @@ object Bench {
     // numbers are emitted: if the retry returns to normal the first
     // reading was a host-contention window, classified by the artifact
     // itself (the `suspects` list below); if it repeats, it's code.
-    val retries = results.collect {
+    // Retry-storm cap (the r21 lesson: a contended window tripped 120
+    // retries and doubled the run's wall clock — the cure cost more
+    // than the disease). Three fences, all recorded in the artifact:
+    //  - a parallel-canary probe taken right before the retry pass: a
+    //    reading past 1000 ms means the host is contended NOW, so
+    //    re-runs would measure the same contention — skip them all
+    //    (the artifact is already classified contended; re-running
+    //    every inflated query just re-measures the window);
+    //  - retries run LARGEST ORIGINAL ELAPSED FIRST, so whatever
+    //    budget survives buys the most adjudication;
+    //  - a wall-clock budget (90 s) on the retry pass as a whole.
+    // Skipped candidates are counted in `retry_skipped_contended`.
+    val retryCandidates = results.collect {
       case (name, (t, true)) if t > 0.5 &&
-        controlledSec.get(name).exists(c => t > 2 * c) =>
+        controlledSec.get(name).exists(c => t > 2 * c) => (name, t)
+    }.sortBy(-_._2)
+    val parCanaryRetry =
+      if (retryCandidates.nonEmpty) parallelCanaryMs(spark) else 0.0
+    val retryBudgetSec = 90.0
+    var retryWallSec = 0.0
+    val retries = retryCandidates.flatMap { case (name, _) =>
+      if (parCanaryRetry > 1000.0 || retryWallSec > retryBudgetSec) None
+      else {
         val t0 = System.nanoTime()
         val ok = try { run(name); true } catch { case _: Throwable => false }
-        name -> (((System.nanoTime() - t0) / 1e9, ok))
+        val t = (System.nanoTime() - t0) / 1e9
+        retryWallSec += t
+        Some(name -> ((t, ok)))
+      }
     }
+    val retrySkipped = retryCandidates.size - retries.size
     // a reading whose same-session re-run SUCCEEDED in half the time
     // was transient host load, not code — machine-checkable from the
     // artifact alone. A crashed re-run must never classify (its short
@@ -321,7 +351,7 @@ object Bench {
     // reads host-vs-code straight off the JSON instead of re-running.
     val contended = Seq(parCanaryStart, parCanaryMid, parCanaryEnd,
       canaryStart, canaryEnd).exists(_ > 1000.0)
-    val canaries = f""""canary_ms_start":$canaryStart%.0f,"canary_ms_end":$canaryEnd%.0f,"par_canary_ms_start":$parCanaryStart%.0f,"par_canary_ms_mid":$parCanaryMid%.0f,"par_canary_ms_end":$parCanaryEnd%.0f,"contended":$contended"""
+    val canaries = f""""canary_ms_start":$canaryStart%.0f,"canary_ms_end":$canaryEnd%.0f,"par_canary_ms_start":$parCanaryStart%.0f,"par_canary_ms_mid":$parCanaryMid%.0f,"par_canary_ms_retry":$parCanaryRetry%.0f,"par_canary_ms_end":$parCanaryEnd%.0f,"contended":$contended,"retry_skipped_contended":$retrySkipped"""
     val compact = f"""{"metric":"total","value":$total%.3f,"value_adjudicated":$totalAdj%.3f,"unit":"sec","enrich_rec_s_core":$enrichWarm%.0f,"enrich_rec_s_core_cold":$enrichCold%.0f,"enrich_cores":$effCores%.0f,$canaries,"retries":$retryJson,"suspects":$suspectsJson,"staging":$stagingJsonShort,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     val full = f"""{"metric":"total","value":$total%.3f,"value_adjudicated":$totalAdj%.3f,"unit":"sec","queries":$qs,"enrich_rec_s_core":$enrichWarm%.0f,"enrich_rec_s_core_cold":$enrichCold%.0f,"enrich_cores":$effCores%.0f,$canaries,"retries":$retryJson,"suspects":$suspectsJson,"staging":$stagingJson,"sf":"$sfDir"}"""
     // ONE COMPLETE JSON OBJECT per run as a FILE artifact: the driver's
@@ -329,9 +359,14 @@ object Bench {
     // archive's per-query map to the alphabetical tail — the file keeps
     // every per-query time + staging key + canary adjudicable. Written
     // relative to the forked JVM's cwd (the project root).
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => } // best-effort: stdout remains primary
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (full + "\n").getBytes("UTF-8"))
+      // per-core-count copy: survives a later run at a different cpus
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"BENCH_FULL_c$cpus.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => } // best-effort: stdout remains primary
     // Compact summary line FIRST **and** LAST, long per-query line in the
     // middle: the driver captures the TAIL of stdout, and round 10 proved
     // a compact line printed only first gets pushed out of the capture

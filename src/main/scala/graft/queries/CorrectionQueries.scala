@@ -17,14 +17,30 @@ import org.apache.spark.sql.functions._
   */
 object CorrectionQueries {
 
-  def qCorrections(s: SparkSession, dir: String): DataFrame = {
-    // sort at the SOURCE (the qEnrich discipline): the output contract
-    // is id-ordered, and a top-level orderBy would range-sample its
-    // child — re-running the whole corrections pipeline a second time
-    // just to pick partition boundaries. The broadcast join and the
-    // per-row correction maps are order-preserving, so sorting the
-    // pruned customer scan once gives the same ordered output.
-    val c = Tables.customer(s, dir).orderBy(col("c_custkey"))
+  /** Materialize-and-cut the corrected result, then sort the CUT (the
+    * r21 verdict's q_corrections fix): a source-side sort sits below
+    * the broadcast joins, where Catalyst's EliminateSorts removes it —
+    * sorts below joins are order-irrelevant TO THE OPTIMIZER, so the
+    * id-ordered output contract was left riding on incidental file
+    * order, a local-layout assumption that scrambles on multi-split
+    * inputs. A plain top-level orderBy re-runs the whole map-only
+    * pipeline in the range exchange's sampling pass; cutting first
+    * means the sampling hits materialized rows, so the pipeline runs
+    * once and exactly one Sort enforces the contract. */
+  private def cutThenSort(df: DataFrame, key: String): DataFrame = {
+    val (cut, rdd) = graft.operators.Graph.localCut(df)
+    graft.Staging.registerPinned(df.sparkSession, rdd)
+    cut.orderBy(col(key))
+  }
+
+  def qCorrections(s: SparkSession, dir: String): DataFrame =
+    cutThenSort(correctedCustomers(s, dir), "id")
+
+  /** The corrections pipeline WITHOUT the ordered-output enforcement —
+    * [[qDqStats]] aggregates it (order-free), so it must not pay the
+    * gate's materialize+sort. */
+  private def correctedCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
     val records = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .select(
@@ -75,10 +91,10 @@ object CorrectionQueries {
   // ---------------------------------------------------------------------
 
   def qCorrectionsGeo(s: SparkSession, dir: String): DataFrame = {
-    // sort at the SOURCE — see qCorrections: the rule pipeline is
-    // order-preserving per-row maps, so the id-ordered contract comes
-    // from the pruned orders scan, not a result-resampling orderBy
-    val o = Tables.orders(s, dir).orderBy(col("o_orderkey"))
+    // cut-then-sort — see [[cutThenSort]]: the r21 sort-at-source form
+    // was eliminated by Catalyst (sort below the rule-lookup joins),
+    // leaving the id-ordered contract unenforced
+    val o = Tables.orders(s, dir)
     val k = col("o_orderkey") % 12
     val records = o.select(
       col("o_orderkey").as("id"),
@@ -103,11 +119,14 @@ object CorrectionQueries {
       "dwc:stateProvince" -> "stateprovince", "dwc:country" -> "country",
       "dwc:continent" -> "continent",
       "idigbio:isoCountryCode" -> "countrycode", "dwc:kingdom" -> "kingdom")
-    Corrections.foldFlags(
-        Corrections.apply(records, graft.etl.Locality.rules, fieldCol), "flags")
-      .select(col("id"), col("stateprovince"), col("country"),
-        col("continent"), col("countrycode"),
-        array_join(col("flags"), ",").as("flags"))
+    cutThenSort(
+      Corrections.foldFlags(
+          Corrections.apply(records, graft.etl.Locality.rules, fieldCol),
+          "flags")
+        .select(col("id"), col("stateprovince"), col("country"),
+          col("continent"), col("countrycode"),
+          array_join(col("flags"), ",").as("flags")),
+      "id")
   }
 
   val qCorrectionsGeoSql: String =
@@ -160,7 +179,9 @@ object CorrectionQueries {
   // ---------------------------------------------------------------------
 
   def qDqStats(s: SparkSession, dir: String): DataFrame = {
-    val corrected = qCorrections(s, dir)
+    // the UNCUT pipeline: this aggregate is order-free, so it must not
+    // pay qCorrections' gate-side materialize+sort
+    val corrected = correctedCustomers(s, dir)
     def has(flag: String) = when(col("flags").contains(flag), 1L).otherwise(0L)
     val agg = corrected.agg(
       count(lit(1)).as("t"),

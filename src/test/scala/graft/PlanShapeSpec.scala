@@ -58,6 +58,28 @@ class PlanShapeSpec extends SparkSpec {
       "record side must never be hash-repartitioned")
   }
 
+  test("corrections gates enforce id order with one Sort over a cut child") {
+    // the r21 sort-at-source form was silently removed by Catalyst
+    // (EliminateSorts drops sorts below joins), leaving the id-ordered
+    // output contract riding on incidental file order. The r22 form
+    // (cut-then-sort) must keep EXACTLY ONE enforced Sort whose child
+    // is the materialized cut (ExistingRDD) — and no re-execution of
+    // the correction pipeline (no join) inside the sorted plan.
+    val dir = "/root/testdata/sf0.001"
+    for (gate <- Seq(
+        graft.queries.CorrectionQueries.qCorrections(spark, dir),
+        graft.queries.CorrectionQueries.qCorrectionsGeo(spark, dir))) {
+      val p = plan(gate)
+      assert("(?m)^(?!.*InMemory).*Sort".r.findAllIn(p).size == 1,
+        s"exactly one enforced Sort expected:\n$p")
+      assert(p.contains("ExistingRDD"),
+        s"the Sort must read the materialized cut:\n$p")
+      assert(!p.contains("Join"),
+        s"the correction pipeline must not re-run inside the sorted plan:\n$p")
+    }
+    graft.Staging.releasePinned(spark)
+  }
+
   test("suspects gate is a pure projection (no shuffle, no join)") {
     val ctr = Seq((1L, true, 100L, 10L, 90L, 0L, 50L, 10L, 40L, 0L))
       .toDF("id", "ok", "rc", "rcr", "rup", "rdel", "mc", "mcr", "mup", "mdel")

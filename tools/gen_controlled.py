@@ -12,20 +12,14 @@ to splice into Bench.scala.
 """
 import json, sys
 
-# plan/staging changed THIS round — prior-round readings not comparable
-# (r21 set: the r20 ADVICE fix added q_dedup_incr_embed, whose plan
-# changed in r20; the rest are the r21 optimization targets)
-TOUCHED = {"q_semdedup", "q_dedup_snm", "q_linkage", "q_linkage_eval",
-           "q_download_dedup", "q_media_fetch", "q_ann_recall",
-           "q_dedup_incr_embed",
-           # r21 optimization round
-           "q_bleu", "q_store_view", "q_item_view", "q_subitem_view",
-           "q_has_child", "q_version_assign", "q_etag_dedup",
-           "q_annotations", "q_index_run_incr", "q_incremental",
-           "q_resume_actions", "q_download", "q_download_unique",
-           "q_download_media", "q_download_rq_only", "q_corrections",
-           "q_corrections_geo", "q_sci_authors", "q_dedup_jaccard",
-           "q_dedup_contain", "q_rfm", "q_triangles", "q_clustering"}
+# plan/staging changed THIS round — prior-round readings not comparable.
+# REBUILD PER ROUND to contain ONLY queries whose plan changed since the
+# readings being folded in (the r21 ADVICE low: stale prior-round names
+# left in this set exclude valid lower readings and inflate the floors).
+# r22 set: the corrections pair (cut-then-sort restored an enforced
+# Sort) — everything else this round is measurement-harness or
+# confirmed/reverted-in-place work whose plans match the r21 close pair.
+TOUCHED = {"q_corrections", "q_corrections_geo"}
 
 def load(p):
     """Per-query best of (original, successful retry): a retry is a
