@@ -612,9 +612,26 @@ object Corpus {
     * and one 3-integer scalar off the counts table, joined back on
     * their own aggregation keys; the corpus text is never touched. */
   def knModel(counts: DataFrame): DataFrame =
-    knJoined(counts, counts)
+    knModelFromJoined(knJoinedRelation(counts))
+
+  /** [[knModel]] over an already-built [[knJoinedRelation]] — the
+    * compute-once seam: the joined per-bigram-type relation is
+    * threshold- and consumer-independent, so query layers stage IT
+    * once and every KN gate applies only its own projection. */
+  def knModelFromJoined(joined: DataFrame): DataFrame =
+    joined
       .select(col("w1"), col("w2"), col("cb"), col("c1"), col("nf"), col("nb"),
         round(knLogTermInput, 6).as("p_kn"))
+
+  /** The per-bigram-type joined model relation — [[knJoined]]'s
+    * self-join form, exposed for staging: one row per observed bigram
+    * type carrying every exact-integer input of the KN formula
+    * (cb, c1, nf, nb, bt, n1, n2). At 100 TB this IS the stored LM
+    * model table; deriving it is three aggregates + three joins of
+    * the counts table that the model/score/prune consumers previously
+    * each re-ran. */
+  def knJoinedRelation(counts: DataFrame): DataFrame =
+    knJoined(counts, counts)
 
   /** The derived-relation join shared by [[knModel]] and
     * [[knScoreFromCounts]]: `stream` (any relation carrying w1/w2)
@@ -671,6 +688,12 @@ object Corpus {
     * the 6-decimal round. */
   def knScoreFromCounts(docs: DataFrame, idCol: String, wordsCol: String,
       counts: DataFrame): DataFrame =
+    knScoreFromJoined(docs, idCol, wordsCol, knJoinedRelation(counts))
+
+  /** [[knScoreFromCounts]] over an already-built [[knJoinedRelation]]
+    * (the staged-model seam). */
+  def knScoreFromJoined(docs: DataFrame, idCol: String, wordsCol: String,
+      joined: DataFrame): DataFrame =
     bigramPairs(docs, idCol, wordsCol)
       // fold the per-TYPE probability first (one derived-relation join
       // over the types-sized counts table), then hit the occurrence
@@ -679,7 +702,7 @@ object Corpus {
       // stream flows scan → join → per-doc aggregate with no shuffle
       // per derived relation. The per-occurrence log of a per-type
       // value is the same double either way, so oracle parity holds.
-      .join(knJoined(counts, counts)
+      .join(joined
         .select(col("w1"), col("w2"), log(knLogTermInput).as("lp")),
         Seq("w1", "w2"))
       .groupBy(idCol)
@@ -1170,9 +1193,27 @@ object Corpus {
     * contract. Output: one row per observed trigram type —
     * (w1, w2, w3, c3, p_kn3). */
   def kn3Model(counts: DataFrame): DataFrame =
-    kn3Joined(counts, counts)
+    kn3ModelFromJoined(kn3JoinedRelation(counts))
+
+  /** [[kn3Model]] over an already-built [[kn3JoinedRelation]] — the
+    * compute-once seam (see [[knModelFromJoined]], order 3). */
+  def kn3ModelFromJoined(joined: DataFrame): DataFrame =
+    joined
       .select(col("w1"), col("w2"), col("w3"), col("c3"),
         round(kn3TermInput, 6).as("p_kn3"))
+
+  /** The per-trigram-type joined model relation — [[kn3Joined]]'s
+    * self-join form, exposed for staging: one row per observed trigram
+    * type carrying every exact-integer input of both interpolation
+    * levels (c3, c12, nf12, b23, s2, nf2, nb3 and the 6 corpus
+    * scalars). At 100 TB this IS the stored order-3 LM table; deriving
+    * it is four aggregates + four joins of the counts table that the
+    * lm/score/prune gates each re-ran — and within ONE gate the b23
+    * bigram-type aggregate was re-expanded for each of its three
+    * downstream consumers (ctx2, nb, scalars), so the staged relation
+    * also collapses the intra-plan duplication. */
+  def kn3JoinedRelation(counts: DataFrame): DataFrame =
+    kn3Joined(counts, counts)
 
   /** Score a tokenized corpus under the order-3 model derived from
     * `counts` — per document, average trigram log-probability and
@@ -1181,10 +1222,16 @@ object Corpus {
     * three tokens drop. */
   def kn3ScoreFromCounts(docs: DataFrame, idCol: String, wordsCol: String,
       counts: DataFrame): DataFrame =
+    kn3ScoreFromJoined(docs, idCol, wordsCol, kn3JoinedRelation(counts))
+
+  /** [[kn3ScoreFromCounts]] over an already-built [[kn3JoinedRelation]]
+    * (the staged-model seam). */
+  def kn3ScoreFromJoined(docs: DataFrame, idCol: String, wordsCol: String,
+      joined: DataFrame): DataFrame =
     trigramStream(docs, idCol, wordsCol)
       // per-TYPE fold first, ONE stream join after — the
       // [[knScoreFromCounts]] plan rationale, order 3
-      .join(kn3Joined(counts, counts)
+      .join(joined
         .select(col("w1"), col("w2"), col("w3"),
           log(kn3TermInput).as("lp")),
         Seq("w1", "w2", "w3"))
@@ -1265,7 +1312,12 @@ object Corpus {
     * why pruning thresholds on this quantity. Output: one row per
     * trigram type — (w1, w2, w3, c3, gain round 6). */
   def kn3PruneGains(counts: DataFrame): DataFrame =
-    kn3Joined(counts, counts)
+    kn3PruneGainsFromJoined(kn3JoinedRelation(counts))
+
+  /** [[kn3PruneGains]] over an already-built [[kn3JoinedRelation]]
+    * (the staged-model seam). */
+  def kn3PruneGainsFromJoined(joined: DataFrame): DataFrame =
+    joined
       .select(col("w1"), col("w2"), col("w3"), col("c3"),
         round(col("c3").cast("double") *
           (log(kn3TermInput) - log(kn3P2Input)), 6).as("gain"))

@@ -1958,7 +1958,7 @@ object LlmQueries {
     * their bigram backoff. The oracle replays both interpolation
     * levels and the weighted log-ratio. */
   def qKnPrune(s: SparkSession, dir: String): DataFrame =
-    Corpus.kn3PruneGains(kn3CountsStaged(s, dir))
+    Corpus.kn3PruneGainsFromJoined(kn3JoinedStaged(s, dir))
       .where(col("gain") >= 1.0)
       .orderBy(col("w1"), col("w2"), col("w3"))
 
@@ -2678,7 +2678,7 @@ object LlmQueries {
     * engines, so p_kn agrees bit-for-bit before the 6-decimal
     * round. */
   def qKnLm(s: SparkSession, dir: String): DataFrame =
-    Corpus.knModel(knCountsStaged(s, dir))
+    Corpus.knModelFromJoined(knJoinedStaged(s, dir))
       .where(col("cb") >= 3)
       .orderBy(col("w1"), col("w2"))
 
@@ -2701,6 +2701,19 @@ object LlmQueries {
         "doc_id", "w")
     }
 
+  /** The order-2 joined model relation ([[Corpus.knJoinedRelation]])
+    * staged once per (session, dir) — q_kn_lm and q_kn_score each
+    * re-derived the context/continuation aggregates + joins from the
+    * staged counts (the [[kn3JoinedStaged]] rationale, order 2;
+    * q_kn_incr and q_kn_heldout build DIFFERENT counts — merged and
+    * train-split — so they keep the self-contained forms). */
+  private def knJoinedStaged(s: SparkSession, dir: String): DataFrame = {
+    val counts = knCountsStaged(s, dir)
+    graft.Staging.stage(s, s"kn:joined:$dir") {
+      Corpus.knJoinedRelation(counts)
+    }
+  }
+
   /** Per-document Kneser-Ney perplexity ([[Corpus.knScoreFromCounts]])
     * — the CCNet curation signal with the real KN estimator: average
     * bigram log-probability (round 6) and perplexity exp(−avg)
@@ -2709,10 +2722,10 @@ object LlmQueries {
     * decimals; avg_logprob stays the 6-decimal witness). */
   def qKnScore(s: SparkSession, dir: String): DataFrame =
     knScoreOrdered(
-      Corpus.knScoreFromCounts(
+      Corpus.knScoreFromJoined(
         Tables.documents(s, dir)
           .select(col("doc_id"), split(col("text"), " ").as("w")),
-        "doc_id", "w", knCountsStaged(s, dir)))
+        "doc_id", "w", knJoinedStaged(s, dir)))
 
   /** The score-gate output shaping shared across orders: doc_id, the
     * order's own count column (n_bigrams / n_trigrams — position 1 of
@@ -2813,13 +2826,28 @@ object LlmQueries {
         "doc_id", "w")
     }
 
+  /** The order-3 joined model relation ([[Corpus.kn3JoinedRelation]])
+    * staged once per (session, dir): q_kn3_lm, q_kn3_score and
+    * q_kn_prune each re-derived the four model aggregates + four
+    * joins from the staged counts (and each plan re-expanded the
+    * bigram-type aggregate three times for its three consumers —
+    * 48 Exchanges per gate, r22 plan audit). At 100 TB the joined
+    * relation IS the stored LM model the scorer ships. Prerequisite
+    * counts staged OUTSIDE the builder (acyclic-stage contract). */
+  private def kn3JoinedStaged(s: SparkSession, dir: String): DataFrame = {
+    val counts = kn3CountsStaged(s, dir)
+    graft.Staging.stage(s, s"kn3:joined:$dir") {
+      Corpus.kn3JoinedRelation(counts)
+    }
+  }
+
   /** Order-3 interpolated Kneser-Ney model ([[Corpus.kn3Model]] — the
     * Chen & Goodman recursion KenLM runs at order 5), restricted to
     * trigram types seen ≥ 3 times. The oracle replays BOTH
     * interpolation levels, both discounts, and the continuation
     * distribution from the same single counts table. */
   def qKn3Lm(s: SparkSession, dir: String): DataFrame =
-    Corpus.kn3Model(kn3CountsStaged(s, dir))
+    Corpus.kn3ModelFromJoined(kn3JoinedStaged(s, dir))
       .where(col("c3") >= 3)
       .orderBy(col("w1"), col("w2"), col("w3"))
 
@@ -2835,10 +2863,10 @@ object LlmQueries {
     * order up: docs under three tokens drop, ppl loosens to round 3. */
   def qKn3Score(s: SparkSession, dir: String): DataFrame =
     knScoreOrdered(
-      Corpus.kn3ScoreFromCounts(
+      Corpus.kn3ScoreFromJoined(
         Tables.documents(s, dir)
           .select(col("doc_id"), split(col("text"), " ").as("w")),
-        "doc_id", "w", kn3CountsStaged(s, dir)))
+        "doc_id", "w", kn3JoinedStaged(s, dir)))
 
   val qKn3ScoreSql: String =
     s"""WITH $kn3Ctes,

@@ -54,6 +54,37 @@ class SharedPrefixParitySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("KN FromJoined forms over a precomputed joined relation equal " +
+      "the self-contained forms (both orders)") {
+    val docs = docsDf.select(col("doc_id"),
+      split(col("text"), " ").as("w"))
+    // order 2
+    val c2 = Corpus.knCounts(docs, "doc_id", "w")
+    val j2 = Corpus.knJoinedRelation(c2)
+    assert(Corpus.knModel(c2).orderBy("w1", "w2").collect().toSeq ===
+      Corpus.knModelFromJoined(j2).orderBy("w1", "w2").collect().toSeq)
+    assert(Corpus.knScoreFromCounts(docs, "doc_id", "w", c2)
+        .orderBy("doc_id").collect().toSeq ===
+      Corpus.knScoreFromJoined(docs, "doc_id", "w", j2)
+        .orderBy("doc_id").collect().toSeq)
+    // order 3
+    val c3 = Corpus.kn3Counts(docs, "doc_id", "w")
+    val j3 = Corpus.kn3JoinedRelation(c3)
+    val m3 = Corpus.kn3Model(c3).orderBy("w1", "w2", "w3").collect().toSeq
+    assert(m3.nonEmpty, "fixture must produce trigram types")
+    assert(m3 ===
+      Corpus.kn3ModelFromJoined(j3).orderBy("w1", "w2", "w3")
+        .collect().toSeq)
+    assert(Corpus.kn3ScoreFromCounts(docs, "doc_id", "w", c3)
+        .orderBy("doc_id").collect().toSeq ===
+      Corpus.kn3ScoreFromJoined(docs, "doc_id", "w", j3)
+        .orderBy("doc_id").collect().toSeq)
+    assert(Corpus.kn3PruneGains(c3).orderBy("w1", "w2", "w3")
+        .collect().toSeq ===
+      Corpus.kn3PruneGainsFromJoined(j3).orderBy("w1", "w2", "w3")
+        .collect().toSeq)
+  }
+
   test("clusteringCoefficientsFromTriangles over precomputed " +
       "triangleCounts equals clusteringCoefficients") {
     val s = spark
