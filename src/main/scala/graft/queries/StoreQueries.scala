@@ -154,7 +154,7 @@ object StoreQueries {
     val requested = st.uuids
       .filter(col("type") === "records" &&
         expr("CAST(substr(uuid, 2) AS BIGINT) % 10 = 0"))
-    val env = requested
+    val env0 = requested
       .join(st.identifiersView.withColumnRenamed("uuids_id", "uuid"),
         Seq("uuid"), "left")
       .join(st.siblingsView.withColumnRenamed("uuids_id", "uuid"),
@@ -163,6 +163,16 @@ object StoreQueries {
         array_join(col("recordids"), ",").as("recordids_csv"),
         array_join(element_at(col("siblings"), "mediarecords"), ",")
           .as("media_links_csv"))
+    // env feeds all THREE variant legs — uncut, each leg re-expanded
+    // the identifiers aggregation (over the map-only events projection)
+    // and the two-level siblings aggregation (guide §7.2 duplicated
+    // subtrees; the DownloadQueries.cutRegistered discipline). The cut
+    // table is slice-sized (the %10 uuid sample plus csv strings).
+    val env = {
+      val (cut, rdd) = graft.operators.Graph.localCut(env0)
+      graft.Staging.registerPinned(s, rdd)
+      cut
+    }
     val vers = st.uuidsData.withColumnRenamed("uuids_id", "uuid")
       .join(st.data.withColumnRenamed("etag", "_e"),
         col("data_etag") === col("_e"), "left")
