@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** Eager lineage cut with pinned-block registration for the small
+    * model-statistic intermediates this module materializes (the
+    * [[graft.operators.TextDedup]] discipline): blocks release via
+    * [[graft.Staging.releasePinned]] / session end. */
+  private def cutRegistered(df: DataFrame): DataFrame = {
+    val (cut, rdd) = Graph.localCut(df)
+    graft.Staging.registerPinned(df.sparkSession, rdd)
+    cut
+  }
+
   /** Recall@k of an approximate retrieval against exact truth: the
     * fraction of the true top-k that the approximate top-k found,
     * per query. Both inputs are (qid, nid, rank) relations (the
@@ -209,10 +219,18 @@ object Eval {
       classCol: String, wordsCol: String): DataFrame = {
     val tokens = docs.select(col(idCol).as("_id"),
       col(classCol).as("_true"), explode(col(wordsCol)).as("_w"))
-    val wc = tokens.groupBy(col("_true").as("_cl"), col("_w"))
-      .agg(count(lit(1)).as("_cnt"))
+    // the (class, word) count table is the model's whole token-level
+    // sufficient statistic: cut it once (it is vocab×classes-sized) and
+    // derive vocab / totals / log-probs from the CUT — before the cut,
+    // each of the three consumers re-expanded the aggregation subtree,
+    // so the corpus was exploded and aggregated once per consumer
+    // (r22 plan audit: five corpus scans in one gate). The vocabulary
+    // off wc is EXACTLY the token-stream vocabulary: every occurring
+    // word lands in wc under its document's class.
+    val wc = cutRegistered(tokens.groupBy(col("_true").as("_cl"), col("_w"))
+      .agg(count(lit(1)).as("_cnt")))
     val tot = wc.groupBy(col("_cl")).agg(sum(col("_cnt")).as("_tot"))
-    val vocab = tokens.select(col("_w")).distinct()
+    val vocab = wc.select(col("_w")).distinct()
     val vs = vocab.agg(count(lit(1)).as("_v"))
     val cls = docs.groupBy(col(classCol).as("_cl"))
       .agg(count(lit(1)).as("_dc"))
