@@ -100,9 +100,17 @@ object Corpus {
     * (d1, d2, n_shared), d1 < d2. */
   def winnowMatches(fps: DataFrame, idCol: String,
       minShared: Long = 2, maxDocFreq: Long = 100): DataFrame = {
-    val rare = fps.select(col(idCol), col("fp"))
-      .join(fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
-        .where(col("_df") <= maxDocFreq).select(col("fp")), "fp")
+    // cut the df-pruned index once: it feeds BOTH sides of the
+    // self-join, and uncut each side re-ran the df aggregate + join
+    // over the fingerprint index (guide §7.2 duplicated subtrees)
+    val rare = {
+      val (cut, rdd) = graft.operators.Graph.localCut(
+        fps.select(col(idCol), col("fp"))
+          .join(fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+            .where(col("_df") <= maxDocFreq).select(col("fp")), "fp"))
+      graft.Staging.registerPinned(fps.sparkSession, rdd)
+      cut
+    }
     rare.toDF("fp", "d1").join(rare.toDF("fp", "d2"), Seq("fp"))
       .where(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_shared"))

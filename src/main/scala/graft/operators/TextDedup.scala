@@ -710,10 +710,14 @@ object TextDedup {
     val sh = docs.select(col(idCol),
       graft.functions.NativeText.simhash60(split(col(textCol), " ")).as("simhash"))
     val mask = (1L << SimBandBits) - 1
-    val bands = sh.select(col(idCol), col("simhash"), posexplode(
-      array((0 until SimBands).map(b =>
-        shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit(mask))): _*)))
-      .toDF(idCol, "simhash", "band", "bucket")
+    // cut the banded relation once: it feeds BOTH sides of the bucket
+    // self-join, and uncut each side re-ran the simhash kernel scan +
+    // band explode (guide §7.2 duplicated subtrees)
+    val bands = cutRegistered(
+      sh.select(col(idCol), col("simhash"), posexplode(
+          array((0 until SimBands).map(b =>
+            shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit(mask))): _*)))
+        .toDF(idCol, "simhash", "band", "bucket"))
     val b1 = bands.toDF("d1", "h1", "band", "bucket")
     val b2 = bands.toDF("d2", "h2", "band", "bucket")
     b1.join(b2, Seq("band", "bucket"))

@@ -3209,9 +3209,19 @@ object LlmQueries {
     * micro-unit quantization makes every distance a BIGINT sum and
     * the argmin total — the "do the classes separate" sanity pass,
     * exact end to end. */
-  def qCentroidClassify(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Similarity.nearestCentroidConfusion(
+  /** The nearest-centroid confusion matrix staged once per
+    * (session, dir) — q_centroid_classify emits it and q_classify_f1
+    * derives the per-label scorecard from it; each previously re-ran
+    * the centroid build + scoring pass. The staged table is
+    * labels²-sized. */
+  private def centroidConfStaged(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.stage(s, s"ann:centconf:$dir") {
+      graft.operators.Similarity.nearestCentroidConfusion(
         Tables.embeddings(s, dir), "vec_id", "label", "embedding")
+    }
+
+  def qCentroidClassify(s: SparkSession, dir: String): DataFrame =
+    centroidConfStaged(s, dir)
       .orderBy(col("label"), col("pred"))
 
   val qCentroidClassifySql: String =
@@ -3981,9 +3991,7 @@ object LlmQueries {
     * derived entirely from exact integers — only the final divisions
     * are doubles, so the gate hash-checks every metric. */
   def qClassifyF1(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Eval.classificationReport(
-        graft.operators.Similarity.nearestCentroidConfusion(
-          Tables.embeddings(s, dir), "vec_id", "label", "embedding"))
+    graft.operators.Eval.classificationReport(centroidConfStaged(s, dir))
       .orderBy(col("label"))
 
   val qClassifyF1Sql: String =
